@@ -1,0 +1,556 @@
+"""Declared analytic query surface over the driver testdata tables.
+
+Each entry pairs an idiomatic-Spark DataFrame program with the
+equivalent ANSI SQL an external oracle (DuckDB) can run on the same
+parquet tables. The pairs are the correctness gate for the operator
+inventory in SURVEY.md §2:
+
+- A3/A4 aggregations  -> q1_pricing_summary, events_pivot_by_type
+- J1/J2 joins          -> q3_top_revenue, q5_region_volume,
+                          customer_churn_features, orders_priority_semi
+- WF1 window dedup     -> events_latest_per_user, events_cdc_state
+- F1-F4 predicates     -> everywhere; U1 union inside cdc state
+- O1-O3 sort/limit     -> q3_top_revenue, top3_orders_per_cust
+- SF5-SF9 scalar fns   -> customer_churn_features
+- training-data ops    -> docs_exact_dedup, docs_text_stats,
+                          emb_knn_brute (see operators/)
+
+Conventions for oracle comparability (the driver hashes values
+order-insensitively but compares column names and exact values):
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are rounded (2dp money, 4dp ratios,
+  6dp similarities) AFTER ordering decisions are made on full precision;
+- timestamps are projected as DATE or excluded — the Spark session is
+  pinned to UTC (session.py) so instants agree with DuckDB's naive
+  timestamps;
+- LIMIT queries always order by a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.cdc import dedupe_latest
+from ..operators.similarity import cosine_similarity_col
+from ..operators.textstats import with_token_stats
+from ..spec import OP_DELETE
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    headline: bool = True  # include in bench.py
+
+
+def _utc(spark: SparkSession) -> None:
+    # Defensive: the verify driver builds its own session; timestamp
+    # comparisons against the oracle require UTC (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan + filter + hash aggregate.
+# Mirrors reference A3 (groupBy + COUNT/SUM, sample_redshift_ml_sql_query.txt:27-33).
+# Scale: single shuffle on two low-cardinality keys; partial aggregation
+# map-side; filter + column pruning pushed to the parquet scan.
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q3_top_revenue — TPC-H Q3 shape: selective dim filter + 3-way join +
+# agg + top-N. Mirrors reference J2 (3-way equi-join,
+# sample_redshift_ml_sql_query.txt:54-73) and O1/O3 sort+limit.
+# Scale: customer filter first (small side -> broadcast), lineitem stays
+# fact-sized; top-N via TakeOrderedAndProject (no global sort
+# materialization).
+# --------------------------------------------------------------------------
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(revenue.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            F.round(F.col("_rev"), 2).alias("revenue"),
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, round(rev, 2) AS revenue
+FROM (
+  SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+) ORDER BY rev DESC, l_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q5_region_volume — TPC-H Q5 shape: snowflake join across 6 tables with
+# the classic "supplier nation = customer nation" constraint.
+# Scale: region/nation/supplier/customer are all broadcast-able dims;
+# only orders⋈lineitem shuffles.
+# --------------------------------------------------------------------------
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# events_latest_per_user — the reference's signature operator WF1
+# (latest-record CDC dedup, src/hudi/hudi-cdc-load.py:79-88) expressed
+# the deterministic way (SURVEY §7.4.1): row_number over
+# (key ORDER BY ts DESC, unique tiebreaker) == 1.
+# Scale: one hash shuffle on the key; no unbounded range frame.
+# --------------------------------------------------------------------------
+
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    latest = dedupe_latest(ev, key="user_id", ts_col="ts", tiebreakers=[F.col("event_id").desc()])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+EVENTS_LATEST_ORACLE = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# events_cdc_state — the full CDC apply dataflow (§3.2) as one query:
+# map events to a DMS-style envelope (signup->I, error->D, else U),
+# keep the latest op per key, upsert I/U and drop keys whose latest op
+# is D. This is exactly the semantics initial+cdc_load produce on a
+# managed table, validated end-to-end against the SQL oracle.
+# --------------------------------------------------------------------------
+
+def events_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    enveloped = ev.withColumn(
+        "Op",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")),
+    )
+    latest = dedupe_latest(
+        enveloped, key="user_id", ts_col="ts", op_col="Op",
+        tiebreakers=[F.col("event_id").desc()],
+    )
+    surviving = latest.filter(F.col("Op") != OP_DELETE)
+    return surviving.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+EVENTS_CDC_STATE_ORACLE = """
+WITH enveloped AS (
+  SELECT *,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op
+  FROM events
+), latest AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY ts DESC,
+               (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+               event_id DESC) AS rn
+  FROM enveloped
+)
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# events_pivot_by_type — reference A4: conditional (pivot-style)
+# aggregation, SUM(CASE WHEN device=... ) per user
+# (sample_redshift_ml_sql_query.txt:38-49), re-keyed to events.
+# --------------------------------------------------------------------------
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+
+    def vsum(t: str):
+        return F.round(F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0))), 2)
+
+    def csum(t: str):
+        return F.sum(F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0)))
+
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        vsum("click").alias("click_value"),
+        vsum("view").alias("view_value"),
+        vsum("purchase").alias("purchase_value"),
+        csum("error").alias("n_errors"),
+        csum("signup").alias("n_signups"),
+    )
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click_value,
+       round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+       sum(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) AS n_errors,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signups
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_churn_features — the reference's downstream churn feature
+# workload (§3.3, sample_redshift_ml_sql_query.txt:11-73): projections,
+# DATEDIFF (SF5), CASE churn label (SF6), group-by aggregates and an
+# equi-join, re-keyed to customer/orders.
+# --------------------------------------------------------------------------
+
+def customer_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("account_days"),
+    )
+    labeled = per_cust.withColumn(
+        "churned",
+        F.when(F.col("last_order_date") < F.lit("2000-01-01").cast("date"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        cust.join(labeled, cust.c_custkey == labeled.o_custkey)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "n_orders",
+            "total_spent",
+            "last_order_date",
+            "account_days",
+            "churned",
+        )
+    )
+
+
+CHURN_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, f.n_orders, f.total_spent,
+       f.last_order_date, f.account_days, f.churned
+FROM customer c
+JOIN (
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spent,
+         CAST(max(o_orderdate) AS DATE) AS last_order_date,
+         date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS account_days,
+         CASE WHEN CAST(max(o_orderdate) AS DATE) < DATE '2000-01-01' THEN 1 ELSE 0 END AS churned
+  FROM orders GROUP BY o_custkey
+) f ON c.c_custkey = f.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_priority_semi — EXISTS via left-semi join (Q4 shape). The
+# reference has no semi join; added for operator completeness.
+# --------------------------------------------------------------------------
+
+def orders_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORDERS_SEMI_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# top3_orders_per_cust — top-K per group via ranking window, the
+# standard OLAP pattern the latest-record dedup generalizes to.
+# --------------------------------------------------------------------------
+
+def top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank_in_cust")
+    )
+
+
+TOP3_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+  FROM orders
+) WHERE rank_in_cust <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_exact_dedup — exact deduplication over the documents table:
+# content-hash groupBy keeping the lowest doc_id as canonical.
+# Scale: md5 is computed JVM-side; single shuffle on the 128-bit hash —
+# the canonical 100-TB exact-dedup plan.
+# --------------------------------------------------------------------------
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+DOCS_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_text_stats — text-analysis operators (token counting, uniqueness)
+# as pure built-in expressions (no Python UDF in the hot path).
+# --------------------------------------------------------------------------
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_token_stats(docs, text_col="text").select(
+        "doc_id",
+        "lang",
+        "n_chars_calc",
+        "n_tokens",
+        "n_uniq_tokens",
+        "uniq_token_ratio",
+        "avg_token_len",
+    )
+
+
+DOCS_TEXT_STATS_ORACLE = """
+SELECT doc_id, lang,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_token_ratio,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 4) AS avg_token_len
+FROM (
+  SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_knn_brute — brute-force cosine top-k over the embedding column:
+# the exact baseline for approximate-nearest-neighbor (operators/similarity).
+# Scale: the query vector broadcasts; similarity is a codegen'd
+# higher-order-function expression over array<double>; top-k is
+# TakeOrderedAndProject (no global sort).
+# --------------------------------------------------------------------------
+
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    cand = emb.filter(F.col("vec_id") != 0)
+    sims = cand.crossJoin(F.broadcast(query)).withColumn(
+        "_sim", cosine_similarity_col(F.col("embedding"), F.col("q_vec"))
+    )
+    return (
+        sims.orderBy(F.col("_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("_sim"), 6).alias("cos_sim"))
+    )
+
+
+EMB_KNN_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(sim, 6) AS cos_sim
+FROM (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_vec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
+        QueryDef("q3_top_revenue", q3_top_revenue, Q3_ORACLE),
+        QueryDef("q5_region_volume", q5_region_volume, Q5_ORACLE),
+        QueryDef("events_latest_per_user", events_latest_per_user, EVENTS_LATEST_ORACLE),
+        QueryDef("events_cdc_state", events_cdc_state, EVENTS_CDC_STATE_ORACLE),
+        QueryDef("events_pivot_by_type", events_pivot_by_type, EVENTS_PIVOT_ORACLE),
+        QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
+        QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
+        QueryDef("top3_orders_per_cust", top3_orders_per_cust, TOP3_ORACLE),
+        QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
+        QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
+        QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
+    ]
+}

@@ -1,0 +1,89 @@
+"""Declarative table specifications.
+
+Mirrors the reference's per-table config dicts (``cdk.json:61-86``,
+parsed via ``ast.literal_eval`` at ``src/hudi/hudi-initial-load.py:118``):
+``{'table_name': ..., 'primary_key': ..., 'partition_key': ...,
+'precombine_key': ...}`` where the string ``"None"`` means absent.
+
+Here a first-class dataclass with real Optionals, plus the columns the
+CDC envelope contributes (``Op``, ``timestamp`` — observed in the
+reference's demo CDC parquet, SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+# DMS-style CDC envelope column names (reference demo_data/cdc-load/*).
+OP_COL = "Op"
+TS_COL = "timestamp"
+AUDIT_COL = "last_applied_date"  # reference src/hudi/hudi-cdc-load.py:93-95
+
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def _none_str(v: Any) -> str | None:
+    """The reference encodes 'no key' as the literal string "None"
+    (cdk.json:65-66); accept that plus real None."""
+    if v is None or v == "None" or v == "":
+        return None
+    return str(v)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Identity + layout metadata for one managed table.
+
+    Attributes
+    ----------
+    table_name: logical table name within the database.
+    primary_key: record-identity column used for upsert/delete matching
+        (reference ``src/iceberg/iceberg-cdc-load.py:131``).
+    partition_key: optional physical partition column
+        (reference ``src/hudi/hudi-initial-load.py:68``).
+    version_key: optional column ordering versions of the same key within
+        a batch (reference Hudi ``precombine_key``,
+        ``src/hudi/hudi-cdc-load.py:123``). For CDC batches this defaults
+        to the envelope ``timestamp`` at dedup time.
+    database: logical namespace (reference database ``game``).
+    """
+
+    table_name: str
+    primary_key: str
+    partition_key: str | None = None
+    version_key: str | None = None
+    database: str = "default"
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any], database: str = "default") -> "TableSpec":
+        """Parse a reference-style config dict (cdk.json:61-86 shape)."""
+        return cls(
+            table_name=d["table_name"],
+            primary_key=d["primary_key"],
+            partition_key=_none_str(d.get("partition_key")),
+            version_key=_none_str(d.get("precombine_key") or d.get("version_key")),
+            database=database,
+        )
+
+    @property
+    def qualified_name(self) -> str:
+        return f"{self.database}.{self.table_name}"
+
+    @property
+    def partition_keys(self) -> list[str]:
+        return [self.partition_key] if self.partition_key else []
+
+
+# The reference's demo `game` database (cdk.json:61-86), reproduced as
+# engine-native specs; used by fixtures/tests.
+GAME_SPECS: list[TableSpec] = [
+    TableSpec("user_data", "user_id", None, None, "game"),
+    TableSpec("item_data", "item_id", "category", None, "game"),
+    TableSpec("play_data", "play_id", None, None, "game"),
+    TableSpec("purchase_data", "purchase_id", None, None, "game"),
+]
+
+GAME_SPECS_BY_NAME: dict[str, TableSpec] = {s.table_name: s for s in GAME_SPECS}
