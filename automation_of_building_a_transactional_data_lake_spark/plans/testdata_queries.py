@@ -42,7 +42,21 @@ from ..spec import OP_DELETE
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read one driver testdata table.
+
+    The events table stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
+    which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). The
+    runtime-settable legacy knob reads nanos as a plain long; we then
+    rebuild a microsecond timestamp with integer division (``div`` stays
+    in long arithmetic — a double division would lose precision above
+    2^53 ns). DuckDB truncates ns→µs identically, so oracle hashes
+    agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 @dataclass(frozen=True)
@@ -319,8 +333,8 @@ SELECT user_id,
        round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click_value,
        round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view_value,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
-       sum(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) AS n_errors,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signups
+       CAST(sum(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups
 FROM events GROUP BY user_id
 """
 
