@@ -1,0 +1,70 @@
+"""Benchmark harness: times the headline queries and prints ONE JSON line.
+
+Contract (driver): run at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, emit
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing method: each query is planned fresh and fully executed via a
+count-style action that forces every operator (``df.write.format("noop")``
+is not in OSS Spark; ``collect`` on small results is the honest cost the
+driver also pays). Queries returning large row counts are drained with
+``count()`` after a ``cache``-free run — we time end-to-end plan+execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from automation_of_building_a_transactional_data_lake_spark.session import SessionFactory
+from automation_of_building_a_transactional_data_lake_spark.plans.testdata_queries import QUERIES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; timings still valid
+
+    spark = SessionFactory(
+        master=f"local[{cpus}]",
+        app_name="tdl_bench",
+        shuffle_partitions=max(cpus, 8),
+    ).create()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        if not q.headline:
+            continue
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        # Drain the full result: forces every operator including final
+        # projections; small results so collect cost is negligible vs
+        # execution.
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
