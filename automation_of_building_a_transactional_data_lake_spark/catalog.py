@@ -1,0 +1,62 @@
+"""Catalog operations over a warehouse of managed tables.
+
+The reference uses the Glue Data Catalog: existence checks via
+``spark.catalog.listTables`` / ``SHOW TABLES``
+(``src/hudi/hudi-initial-load.py:114``,
+``src/iceberg/iceberg-initial-load.py:102-104``,
+``src/delta/delta-cdc-load.py:158-160``) and registration via hive sync /
+GlueCatalog / a crawler (``cdk_stacks/glue_stack.py:242-259``). This
+engine's catalog is the warehouse directory tree itself plus the
+per-table commit pointer — registration is implicit in a committed
+create (no crawler needed), which is the ``saveAsTable`` behavior the
+reference's Delta variant lacks (SURVEY §2.2 W9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .formats.parquet_cow import ParquetCowTable
+from .spec import TableSpec
+
+
+class Catalog:
+    """Directory-backed catalog: databases are directories, tables are
+    committed ``ParquetCowTable`` instances."""
+
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+
+    def table(self, spec: TableSpec) -> ParquetCowTable:
+        return ParquetCowTable(self.spark, self.warehouse, spec)
+
+    def table_exists(self, spec: TableSpec) -> bool:
+        """S5: existence check (reference
+        ``spark.catalog.listTables(DATABASE)`` —
+        ``src/hudi/hudi-cdc-load.py:108-109``)."""
+        return self.table(spec).exists()
+
+    def list_tables(self, database: str) -> list[str]:
+        """S5: ``SHOW TABLES IN db`` (reference
+        ``src/iceberg/iceberg-cdc-load.py:117``). Only committed tables
+        (with a version pointer) are listed — an in-flight create is
+        invisible, matching transactional catalog semantics."""
+        db_dir = os.path.join(self.warehouse, database)
+        if not os.path.isdir(db_dir):
+            return []
+        out = []
+        for entry in sorted(os.listdir(db_dir)):
+            if os.path.isfile(os.path.join(db_dir, entry, "_LATEST")):
+                out.append(entry)
+        return out
+
+    def read_table(self, spec: TableSpec) -> DataFrame:
+        """S4: snapshot read through the catalog."""
+        return self.table(spec).read()
+
+    def register_temp_view(self, spec: TableSpec, name: str | None = None) -> str:
+        """W11: make the table SQL-visible in the session."""
+        return self.table(spec).register_temp_view(name)

@@ -1,0 +1,384 @@
+"""Versioned copy-on-write parquet table format.
+
+The reference delegates transactional upsert/delete to an open table
+format (Hudi CoW — ``src/hudi/hudi-initial-load.py:71``; Iceberg v2 —
+``src/iceberg/iceberg-initial-load.py:64``; Delta —
+``src/delta/delta-cdc-load.py:118-141``). None of those format jars are
+available in this environment, so this module implements the same
+capability surface natively on Spark + parquet:
+
+- **W1/W2/W4** ``create`` / ``overwrite``: partitioned bulk write
+  (reference ``src/delta/delta-initial-load.py:61-78``).
+- **W3/O2** write clustering: repartition by partition key +
+  ``sortWithinPartitions`` before write (reference
+  ``src/iceberg/iceberg-initial-load.py:87-92``'s ``INSERT ... ORDER BY``).
+- **W5/W6/J1** ``merge_upsert``: MERGE semantics ``WHEN MATCHED UPDATE
+  SET * WHEN NOT MATCHED INSERT *`` (reference
+  ``src/iceberg/iceberg-cdc-load.py:127-134``).
+- **W7/W8** ``merge_delete``: ``WHEN MATCHED THEN DELETE`` (reference
+  ``src/delta/delta-cdc-load.py:135-141``).
+- **W10** ``generate_manifest``: symlink-style data-file manifest for
+  external engines (reference ``cdk_stacks/glue_stack.py:262-279``).
+- **S4** ``read``: snapshot read of the committed version.
+- Maintenance: ``compact`` (small-file rewrite) and ``vacuum`` (drop
+  unreferenced versions) — the reference's north-star gap (SURVEY §4).
+
+Commit protocol (single-writer, like the reference's
+``max_concurrent_runs=1`` — ``cdk_stacks/glue_stack.py:156-158``):
+
+```
+<warehouse>/<db>/<table>/
+  _LATEST            text file holding the committed version number;
+                     written to a temp name then os.rename'd (atomic on
+                     POSIX) — readers never observe a partial commit
+  _v00000001/        immutable version directory of parquet data files
+  _v00000002/        (hive-partitioned subdirs when partition_key set)
+```
+
+A failed job leaves at most an orphaned ``_v*`` staging directory that
+``_LATEST`` never references; the next ``vacuum`` removes it. On S3 the
+same protocol works with a conditional PUT of the pointer object.
+
+Scale design (100 TB, 1000 executors):
+
+- MERGE rewrites only **affected partitions**: the partitions that
+  contain a matched key (found with a column-pruned scan of
+  ``(pk, partition_key)`` joined against the source keys) plus the
+  partitions the source rows land in. Unaffected partition files are
+  carried into the new version via hard links — metadata-only, no data
+  movement, exactly how Delta/Iceberg snapshots reference unchanged
+  files. An update that *moves* a row across partitions is handled
+  because its old partition contains a matched key and is therefore
+  rewritten.
+- The source side of a CDC merge is a deduped micro-batch — orders of
+  magnitude smaller than the target — so the anti-join broadcasts
+  (AQE decides; no hint needed).
+- Unpartitioned tables fall back to full copy-on-write, the same
+  behavior as Delta CoW on an unpartitioned table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import TableSpec
+
+# Version directories deliberately do NOT start with "_": Hadoop's path
+# filter treats "_"/"." prefixes as hidden, which is exactly right for
+# the metadata files (_LATEST, _format.json, _ledger) but would make
+# data directories invisible to readers.
+_LATEST = "_LATEST"
+_VERSION_PREFIX = "v"
+_META = "_format.json"
+_MANIFEST_DIR = "_symlink_manifest"
+
+
+class MergeError(RuntimeError):
+    """Raised when a merge precondition fails (e.g. duplicate source
+    keys — the condition Delta/Iceberg MERGE also rejects)."""
+
+
+@dataclass(frozen=True)
+class TableVersion:
+    version: int
+    path: str
+
+
+def _fmt_version(n: int) -> str:
+    return f"{_VERSION_PREFIX}{n:08d}"
+
+
+class ParquetCowTable:
+    """One managed copy-on-write table under a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, spec: TableSpec) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.spec = spec
+        self.path = os.path.join(warehouse, spec.database, spec.table_name)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.path, _LATEST)
+
+    def exists(self) -> bool:
+        """S5-style existence check (reference
+        ``src/hudi/hudi-initial-load.py:114``): a table exists iff it has
+        a committed version pointer."""
+        return os.path.isfile(self._latest_path())
+
+    def current_version(self) -> TableVersion | None:
+        if not self.exists():
+            return None
+        with open(self._latest_path(), encoding="ascii") as f:
+            n = int(f.read().strip())
+        return TableVersion(n, os.path.join(self.path, _fmt_version(n)))
+
+    def _commit(self, n: int) -> None:
+        """Atomically advance the version pointer (write-temp + rename)."""
+        tmp = os.path.join(self.path, f".{_LATEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(n))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._latest_path())
+
+    def _next_version(self) -> int:
+        cur = self.current_version()
+        return (cur.version + 1) if cur else 1
+
+    def _write_meta(self) -> None:
+        meta = {
+            "table": self.spec.table_name,
+            "database": self.spec.database,
+            "primary_key": self.spec.primary_key,
+            "partition_key": self.spec.partition_key,
+            "format": "parquet_cow",
+        }
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, _META), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=2)
+
+    # -- write path --------------------------------------------------------
+
+    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+        """W3/O2 write clustering: co-locate rows of one partition value
+        into the same task and sort within, minimizing output file count
+        per partition (reference ``INSERT ... ORDER BY partition_key``,
+        ``src/iceberg/iceberg-initial-load.py:87-92``)."""
+        if self.spec.partition_key:
+            return df.repartition(F.col(self.spec.partition_key)).sortWithinPartitions(
+                self.spec.partition_key, self.spec.primary_key
+            )
+        return df.sortWithinPartitions(self.spec.primary_key)
+
+    def _write_version(self, df: DataFrame, n: int) -> str:
+        """Write a full new version directory (not yet committed)."""
+        vdir = os.path.join(self.path, _fmt_version(n))
+        writer = self._cluster_for_write(df).write.mode("overwrite")
+        if self.spec.partition_key:
+            writer = writer.partitionBy(self.spec.partition_key)
+        writer.parquet(vdir)
+        return vdir
+
+    def create(self, df: DataFrame, if_not_exists: bool = True) -> bool:
+        """W1/W2: initial bulk load. Returns False when skipped because
+        the table already exists (idempotent-create, reference
+        ``src/hudi/hudi-initial-load.py:109-110``)."""
+        if self.exists():
+            if if_not_exists:
+                return False
+            raise FileExistsError(self.spec.qualified_name)
+        self._write_meta()
+        n = self._next_version()
+        self._write_version(df, n)
+        self._commit(n)
+        return True
+
+    def overwrite(self, df: DataFrame) -> None:
+        """W4: replace table contents (reference
+        ``src/delta/delta-initial-load.py:61-78`` overwrite mode)."""
+        self._write_meta()
+        n = self._next_version()
+        self._write_version(df, n)
+        self._commit(n)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """S4: snapshot read of the committed version."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        reader = self.spark.read
+        if self.spec.partition_key:
+            # Hive-partitioned layout: recover the partition column.
+            reader = reader.option("basePath", cur.path)
+            return reader.parquet(cur.path)
+        return reader.parquet(cur.path)
+
+    def register_temp_view(self, name: str | None = None) -> str:
+        """W11: stage the table as a SQL-visible view (reference
+        ``df.createOrReplaceTempView`` at
+        ``src/iceberg/iceberg-initial-load.py:77-78``)."""
+        view = name or f"{self.spec.database}__{self.spec.table_name}"
+        self.read().createOrReplaceTempView(view)
+        return view
+
+    # -- merge (the reference's core dataflow) -----------------------------
+
+    def _check_unique_keys(self, src: DataFrame) -> None:
+        """Delta/Iceberg MERGE throws on multiple source rows per key;
+        enforce the same contract so latent dedup bugs surface loudly."""
+        pk = self.spec.primary_key
+        dup = (
+            src.groupBy(pk).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise MergeError(
+                f"merge source has multiple rows for key {dup[0][pk]!r}; "
+                "dedupe_latest the batch first"
+            )
+
+    def _affected_partitions(self, src: DataFrame, delete: bool) -> list:
+        """Partitions that must be rewritten: those holding a matched
+        key (column-pruned scan of (pk, partition_key)) plus — for
+        upserts — those the source rows land in. A delete source only
+        carries the key column (reference drops everything else,
+        ``src/hudi/hudi-cdc-load.py:165``), so its landing partitions
+        don't exist and aren't needed."""
+        pk, part = self.spec.primary_key, self.spec.partition_key
+        tgt_parts = (
+            self.read()
+            .select(pk, part)
+            .join(src.select(pk).distinct(), pk, "left_semi")
+            .select(part)
+            .distinct()
+        )
+        if not delete:
+            tgt_parts = tgt_parts.union(src.select(part).distinct()).distinct()
+        return [r[0] for r in tgt_parts.collect()]
+
+    def _link_forward(self, old_dir: str, new_dir: str, skip_partitions: list) -> None:
+        """Hard-link unaffected partition subdirectories from the
+        previous version into the new one — metadata-only carry-forward
+        of unchanged data files (what a real table format does by
+        re-referencing files in the new snapshot)."""
+        part = self.spec.partition_key
+        skip = {f"{part}={v}" for v in skip_partitions}
+        for entry in os.listdir(old_dir):
+            src_sub = os.path.join(old_dir, entry)
+            if not entry.startswith(f"{part}=") or entry in skip:
+                continue
+            dst_sub = os.path.join(new_dir, entry)
+            os.makedirs(dst_sub, exist_ok=True)
+            for fname in os.listdir(src_sub):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(src_sub, fname), os.path.join(dst_sub, fname))
+
+    def _merge_partitioned(self, src: DataFrame, delete: bool) -> None:
+        pk, part = self.spec.primary_key, self.spec.partition_key
+        cur = self.current_version()
+        affected = self._affected_partitions(src, delete)
+        n = self._next_version()
+        vdir = os.path.join(self.path, _fmt_version(n))
+
+        tgt_affected = self.read().filter(F.col(part).isin(affected))
+        kept = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
+        merged = kept if delete else kept.unionByName(src, allowMissingColumns=True)
+
+        writer = self._cluster_for_write(merged).write.mode("overwrite").partitionBy(part)
+        writer.parquet(vdir)
+        self._link_forward(cur.path, vdir, affected)
+        self._commit(n)
+
+    def _merge_full(self, src: DataFrame, delete: bool) -> None:
+        pk = self.spec.primary_key
+        tgt = self.read()
+        kept = tgt.join(src.select(pk).distinct(), pk, "left_anti")
+        merged = kept if delete else kept.unionByName(src, allowMissingColumns=True)
+        n = self._next_version()
+        self._write_version(merged, n)
+        self._commit(n)
+
+    def merge_upsert(self, src: DataFrame) -> None:
+        """W5/W6/J1: ``MERGE INTO t USING s ON s.pk = t.pk WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (reference
+        ``src/iceberg/iceberg-cdc-load.py:127-134``). Schema evolution:
+        source-only columns (e.g. the CDC ``last_applied_date``) appear
+        as null on untouched rows — the autoMerge semantics the
+        reference enables (``src/delta/delta-initial-load.py:33``)."""
+        self._check_unique_keys(src)
+        if self.spec.partition_key:
+            self._merge_partitioned(src, delete=False)
+        else:
+            self._merge_full(src, delete=False)
+
+    def merge_delete(self, src: DataFrame) -> None:
+        """W7/W8: ``MERGE INTO ... WHEN MATCHED THEN DELETE`` (reference
+        ``src/delta/delta-cdc-load.py:135-141``). ``src`` only needs the
+        primary-key column."""
+        if self.spec.partition_key:
+            self._merge_partitioned(src, delete=True)
+        else:
+            self._merge_full(src, delete=True)
+
+    # -- maintenance / interchange ----------------------------------------
+
+    def data_files(self) -> list[str]:
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out: list[str] = []
+        for root, _dirs, files in os.walk(cur.path):
+            for fname in files:
+                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                    out.append(os.path.join(root, fname))
+        return sorted(out)
+
+    def generate_manifest(self) -> str:
+        """W10: symlink-format manifest — a text file listing the data
+        files of the committed snapshot so external engines can read it
+        (reference's Delta→Redshift manifest,
+        ``cdk_stacks/glue_stack.py:262-279``)."""
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, "manifest")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(self.data_files()) + "\n")
+        os.rename(tmp, mpath)
+        return mpath
+
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Small-file compaction (Delta OPTIMIZE / Iceberg
+        rewrite_data_files equivalent): rewrite the current snapshot
+        with a file count sized from data volume."""
+        df = self.read()
+        total_bytes = sum(os.path.getsize(p) for p in self.data_files())
+        n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        compacted = df.repartition(int(n_files))
+        n = self._next_version()
+        vdir = os.path.join(self.path, _fmt_version(n))
+        writer = self._cluster_for_write(compacted).write.mode("overwrite")
+        if self.spec.partition_key:
+            writer = writer.partitionBy(self.spec.partition_key)
+        writer.parquet(vdir)
+        self._commit(n)
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete version directories no longer referenced by the
+        pointer (keeping ``retain_last`` most recent committed versions
+        for time-travel/readers-in-flight). Hard links make this safe:
+        files carried forward stay alive in newer versions."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        removed: list[str] = []
+        keep_from = cur.version - retain_last + 1
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith(_VERSION_PREFIX):
+                continue
+            try:
+                v = int(entry[len(_VERSION_PREFIX):])
+            except ValueError:
+                continue
+            if v < keep_from or v > cur.version:  # orphaned staging too
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(entry)
+        return removed
+
+
+def temp_warehouse(prefix: str = "tdl_wh_") -> str:
+    """A scratch warehouse directory for tests/demos."""
+    return tempfile.mkdtemp(prefix=prefix)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..spec import AUDIT_COL, OP_COL, OP_DELETE, TS_COL
+from ..spec import AUDIT_COL, OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, TS_COL
 
 _ROW_NUM_COL = "__rn"
 
@@ -69,6 +69,25 @@ def dedupe_latest(
         .filter(F.col(_ROW_NUM_COL) == 1)
         .drop(_ROW_NUM_COL)
     )
+
+
+def recombine_ops(df: DataFrame, op_col: str = OP_COL) -> DataFrame:
+    """The reference's I-branch vs U/D-branch split and ``unionAll``
+    recombination (F2 literal equality, F3 IN-list, U1 union —
+    ``src/hudi/hudi-cdc-load.py:88-91``):
+
+        newInsertedDF = filter("Op = 'I'")
+        updatedOrDeletedDF = filter("Op IN ('U','D')")
+        finalInputDF = newInsertedDF.unionAll(updatedOrDeletedDF)
+
+    Semantically a partition-and-reassemble of the same set (SURVEY
+    §3.2); kept as a real operator for parity, and Catalyst collapses
+    the union of two filters over one child into a single scan, so it
+    costs nothing at any scale.
+    """
+    new_inserted = df.filter(F.col(op_col) == OP_INSERT)
+    updated_or_deleted = df.filter(F.col(op_col).isin(OP_UPDATE, OP_DELETE))
+    return new_inserted.unionAll(updated_or_deleted)
 
 
 def split_ops(df: DataFrame, op_col: str = OP_COL) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,147 @@
+"""Pipeline orchestration: the reference's two job lifecycles as library
+functions (SURVEY §3.1 initial load, §3.2 CDC load, §2.12 control plane).
+
+Reference shape per table (``src/hudi/hudi-initial-load.py:109-127``,
+``src/iceberg/iceberg-cdc-load.py:68-178``):
+
+  initial:  scan raw zone → skip if table exists → bulk write + register
+  cdc:      incremental scan (bookmark) → empty-batch guard → cast ts →
+            latest-record dedup → I vs U/D split + unionAll → audit col →
+            telemetry → skip if table missing → MERGE upsert → MERGE
+            delete → commit bookmark
+
+Differences, intentional (SURVEY §7.4):
+- dedup is row_number with deterministic tie-break (the reference's
+  window-max keeps equal-timestamp duplicates, which MERGE rejects);
+- telemetry is one groupBy pass, not four separate count() jobs
+  (reference ``src/hudi/hudi-cdc-load.py:97-100``) — at 100 TB each
+  count() is a full batch re-scan;
+- the deduped batch is cached: it feeds telemetry, the upsert merge and
+  the delete merge (reference recomputes the window per action);
+- the file ledger commits only after both merges succeed, so a failed
+  run replays the batch (MERGE is idempotent per key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+
+from .catalog import Catalog
+from .operators.cdc import (
+    cast_envelope_timestamp,
+    dedupe_latest,
+    op_telemetry,
+    recombine_ops,
+    split_ops,
+    with_audit_column,
+)
+from .sources.ledger import FileLedger
+from .spec import OP_COL, TS_COL, TableSpec
+
+INITIAL_ZONE = "initial-load"
+CDC_ZONE = "cdc-load"
+
+
+@dataclass
+class LoadReport:
+    table: str
+    action: str  # created | skipped_exists | merged | skipped_empty | skipped_missing
+    telemetry: dict[str, int] = field(default_factory=dict)
+    files: list[str] = field(default_factory=list)
+
+
+def _raw_dir(raw_root: str, zone: str, spec: TableSpec) -> str:
+    # Raw-zone layout <root>/<zone>/<db>/<table>/ (reference README.md:31-46).
+    return f"{raw_root}/{zone}/{spec.database}/{spec.table_name}"
+
+
+def initial_load(
+    spark: SparkSession,
+    catalog: Catalog,
+    spec: TableSpec,
+    raw_root: str,
+) -> LoadReport:
+    """One table's full load (§3.1): recursive raw-zone scan (S1) →
+    idempotent create (W1/W2, skip-if-exists guard at reference
+    ``src/hudi/hudi-initial-load.py:109-110``)."""
+    tbl = catalog.table(spec)
+    if tbl.exists():
+        return LoadReport(spec.table_name, "skipped_exists")
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(_raw_dir(raw_root, INITIAL_ZONE, spec))
+    )
+    tbl.create(df)
+    return LoadReport(spec.table_name, "created")
+
+
+def cdc_load(
+    spark: SparkSession,
+    catalog: Catalog,
+    spec: TableSpec,
+    raw_root: str,
+    clock: datetime | None = None,
+) -> LoadReport:
+    """One table's CDC micro-batch (§3.2) against the managed table."""
+    tbl = catalog.table(spec)
+    ledger = FileLedger(tbl.path)
+    files = ledger.new_files(_raw_dir(raw_root, CDC_ZONE, spec))
+    if not files:
+        # Empty-batch guard (reference src/hudi/hudi-cdc-load.py:72-73).
+        return LoadReport(spec.table_name, "skipped_empty")
+    if not tbl.exists():
+        # Missing-table guard (reference src/hudi/hudi-cdc-load.py:110-112).
+        return LoadReport(spec.table_name, "skipped_missing", files=files)
+
+    batch = cast_envelope_timestamp(spark.read.parquet(*files))
+    deduped = dedupe_latest(
+        batch,
+        key=spec.primary_key,
+        ts_col=spec.version_key or TS_COL,
+        op_col=OP_COL,
+    )
+    routed = recombine_ops(deduped).cache()
+    try:
+        telemetry = op_telemetry(routed)
+        upserts, deletes = split_ops(routed)
+        n_upserts = telemetry.get("I", 0) + telemetry.get("U", 0)
+        n_deletes = telemetry.get("D", 0)
+        if n_upserts > 0:
+            # P2 envelope drop (reference src/hudi/hudi-cdc-load.py:107,115)
+            # + P4 audit stamp, then MERGE upsert (W5/W6).
+            src = with_audit_column(upserts.drop(OP_COL, TS_COL), clock)
+            tbl.merge_upsert(src)
+        if n_deletes > 0:
+            # MERGE delete needs only the key column (W7/W8).
+            tbl.merge_delete(deletes.select(spec.primary_key))
+        # Bookmark commits only after both merges succeed.
+        ledger.commit(files)
+    finally:
+        routed.unpersist()
+    return LoadReport(spec.table_name, "merged", telemetry=telemetry, files=files)
+
+
+def initial_load_all(
+    spark: SparkSession,
+    catalog: Catalog,
+    specs: list[TableSpec],
+    raw_root: str,
+) -> list[LoadReport]:
+    """Multi-table loop from declarative config (reference
+    ``src/hudi/hudi-initial-load.py:118-127``)."""
+    return [initial_load(spark, catalog, s, raw_root) for s in specs]
+
+
+def cdc_load_all(
+    spark: SparkSession,
+    catalog: Catalog,
+    specs: list[TableSpec],
+    raw_root: str,
+    clock: datetime | None = None,
+) -> list[LoadReport]:
+    """Multi-table CDC loop (reference
+    ``src/iceberg/iceberg-cdc-load.py:171-178``)."""
+    return [cdc_load(spark, catalog, s, raw_root, clock) for s in specs]

@@ -548,6 +548,93 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# game_*_cdc_e2e — the reference's actual job, end-to-end (SURVEY §3.1 +
+# §3.2): initial full load of the demo raw zone into a managed
+# copy-on-write table, then the CDC batch applied via latest-record
+# dedup + MERGE upsert + MERGE delete, then a snapshot read of final
+# state. The DuckDB oracle implements latest-wins-then-delete over the
+# same raw parquet. Exercises S1, S3, S4, W1, W5-W8, P2-P4, F1-F4, WF1,
+# U1, A1, J1, O2 in one gate.
+# user_data: unpartitioned, Op mix I/U/D = 46/52/2.
+# item_data: hive-partitioned by category (partition-pruned merge with
+# hard-link carry-forward), 13 in-batch duplicate keys (dedup tie-break).
+# --------------------------------------------------------------------------
+
+_DEMO_ROOT = "/root/reference/demo_data"
+
+
+def _game_cdc_final_state(spark: SparkSession, table: str, out_cols: list[str]) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from ..catalog import Catalog
+    from ..formats.parquet_cow import temp_warehouse
+    from ..pipeline import cdc_load, initial_load
+    from ..spec import GAME_SPECS_BY_NAME
+
+    _utc(spark)
+    spec = GAME_SPECS_BY_NAME[table]
+    cat = Catalog(spark, temp_warehouse(prefix=f"tdl_e2e_{table}_"))
+    initial_load(spark, cat, spec, _DEMO_ROOT)
+    cdc_load(spark, cat, spec, _DEMO_ROOT, clock=datetime(2023, 9, 1, tzinfo=timezone.utc))
+    final = cat.read_table(spec)
+    # COALESCE to an epoch sentinel: null-free output hashes robustly
+    # across Spark/DuckDB null representations (None vs NaT).
+    return final.select(
+        *out_cols,
+        F.coalesce(
+            F.col("last_applied_date").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("last_applied"),
+    )
+
+
+def game_user_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_cdc_final_state(
+        spark,
+        "user_data",
+        ["user_id", "email", "gender", "cur_level", "marketing_agreement", "dob"],
+    )
+
+
+def _game_oracle(table: str, pk: str, out_cols: str) -> str:
+    return f"""
+WITH init AS (
+  SELECT * FROM read_parquet('{_DEMO_ROOT}/initial-load/game/{table}/*.parquet')
+), cdc AS (
+  SELECT * FROM read_parquet('{_DEMO_ROOT}/cdc-load/game/{table}/*.parquet')
+), latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {pk}
+    ORDER BY "timestamp" DESC,
+             (CASE Op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC
+  ) AS rn FROM cdc
+), dedup AS (SELECT * FROM latest WHERE rn = 1)
+SELECT {out_cols}, last_applied FROM (
+  SELECT i.*, DATE '1970-01-01' AS last_applied
+  FROM init i WHERE {pk} NOT IN (SELECT {pk} FROM dedup)
+  UNION ALL BY NAME
+  SELECT * EXCLUDE (Op, "timestamp", rn), DATE '2023-09-01' AS last_applied
+  FROM dedup WHERE Op <> 'D'
+)
+"""
+
+
+GAME_USER_E2E_ORACLE = _game_oracle(
+    "user_data", "user_id", "user_id, email, gender, cur_level, marketing_agreement, dob"
+)
+
+
+def game_item_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_cdc_final_state(
+        spark, "item_data", ["item_id", "item_name", "category", "price"]
+    )
+
+
+GAME_ITEM_E2E_ORACLE = _game_oracle(
+    "item_data", "item_id", "item_id, item_name, category, price"
+)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -563,6 +650,8 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
         QueryDef("top3_orders_per_cust", top3_orders_per_cust, TOP3_ORACLE),
+        QueryDef("game_user_cdc_e2e", game_user_cdc_e2e, GAME_USER_E2E_ORACLE, headline=False),
+        QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),

@@ -1,0 +1,249 @@
+"""Write path: parquet CoW format, catalog, ledger, pipeline lifecycles.
+
+Mirrors the reference semantics per SURVEY §3.1/§3.2 and the e2e
+strategy of §5: initial load + CDC batches, final table state compared
+against a DuckDB oracle implementing latest-wins-then-delete.
+"""
+
+import os
+from datetime import datetime, timezone
+
+import duckdb
+import pytest
+
+from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+    MergeError,
+    ParquetCowTable,
+)
+from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+    cdc_load,
+    cdc_load_all,
+    initial_load_all,
+)
+from automation_of_building_a_transactional_data_lake_spark.sources.ledger import FileLedger
+from automation_of_building_a_transactional_data_lake_spark.spec import GAME_SPECS, TableSpec
+
+DEMO = "/root/reference/demo_data"
+CLOCK = datetime(2023, 9, 1, tzinfo=timezone.utc)
+
+SPEC_PLAIN = TableSpec("t_plain", "id", None, None, "testdb")
+SPEC_PART = TableSpec("t_part", "id", "cat", None, "testdb")
+
+
+def _mk(spark, rows, schema="id long, val string, cat string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- format unit tests -------------------------------------------------------
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    assert not tbl.exists()
+    df = _mk(spark, [(1, "a", "x"), (2, "b", "y")])
+    assert tbl.create(df) is True
+    got = {(r.id, r.val) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_idempotent_create_skips(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    assert tbl.create(_mk(spark, [(9, "z", "z")])) is False  # skipped
+    assert tbl.read().count() == 1
+
+
+def test_merge_upsert_update_and_insert(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    tbl.merge_upsert(_mk(spark, [(2, "B", "y"), (3, "c", "z")]))
+    got = {(r.id, r.val) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """Source-only column (the CDC audit stamp) must appear as null on
+    untouched rows — reference autoMerge semantics."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    src = _mk(spark, [(2, "B", "y")]).withColumn(
+        "extra", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("NEW")
+    )
+    tbl.merge_upsert(src)
+    rows = {r.id: r.extra for r in tbl.read().collect()}
+    assert rows == {1: None, 2: "NEW"}
+
+
+def test_merge_delete(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    tbl.merge_delete(spark.createDataFrame([(2,)], "id long"))
+    assert {r.id for r in tbl.read().collect()} == {1, 3}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    with pytest.raises(MergeError):
+        tbl.merge_upsert(_mk(spark, [(1, "p", "x"), (1, "q", "x")]))
+
+
+def test_partitioned_merge_prunes_and_handles_partition_move(spark, tmp_path):
+    """An update that moves a key across partitions must remove the old
+    row (old partition is rewritten because it holds a matched key)."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    v1_files = set(tbl.data_files())
+    # Move key 2 from partition y -> x; partition z untouched.
+    tbl.merge_upsert(_mk(spark, [(2, "B", "x")]))
+    got = {(r.id, r.val, r.cat) for r in tbl.read().collect()}
+    assert got == {(1, "a", "x"), (2, "B", "x"), (3, "c", "z")}
+    # Partition z's file is carried forward (same inode, hard link).
+    v2_files = set(tbl.data_files())
+    z_old = [p for p in v1_files if "cat=z" in p]
+    z_new = [p for p in v2_files if "cat=z" in p]
+    assert len(z_old) == len(z_new)
+    assert {os.stat(p).st_ino for p in z_old} == {os.stat(p).st_ino for p in z_new}
+
+
+def test_versions_vacuum_compact_manifest(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(2, "b", "y")]))
+    assert tbl.current_version().version == 2
+    tbl.compact()
+    assert tbl.current_version().version == 3
+    removed = tbl.vacuum(retain_last=1)
+    assert removed == ["v00000001", "v00000002"]
+    assert {r.id for r in tbl.read().collect()} == {1, 2}
+    manifest = tbl.generate_manifest()
+    listed = open(manifest).read().strip().splitlines()
+    assert listed == tbl.data_files() and len(listed) >= 1
+
+
+def test_catalog_listing_and_views(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    assert cat.list_tables("testdb") == []
+    cat.table(SPEC_PLAIN).create(_mk(spark, [(1, "a", "x")]))
+    assert cat.list_tables("testdb") == ["t_plain"]
+    assert cat.table_exists(SPEC_PLAIN)
+    view = cat.register_temp_view(SPEC_PLAIN)
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 1
+
+
+# -- ledger ------------------------------------------------------------------
+
+
+def test_ledger_only_new_files(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.parquet").write_bytes(b"x")
+    (raw / "b.parquet").write_bytes(b"x")
+    led = FileLedger(str(tmp_path / "tbl"))
+    first = led.new_files(str(raw))
+    assert [os.path.basename(p) for p in first] == ["a.parquet", "b.parquet"]
+    led.commit(first)
+    assert led.new_files(str(raw)) == []
+    (raw / "c.parquet").write_bytes(b"x")
+    assert [os.path.basename(p) for p in led.new_files(str(raw))] == ["c.parquet"]
+
+
+# -- pipeline e2e against the reference demo data ----------------------------
+
+
+@pytest.fixture(scope="module")
+def loaded_game(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cat = Catalog(spark, wh)
+    init_reports = initial_load_all(spark, cat, GAME_SPECS, DEMO)
+    cdc_reports = cdc_load_all(spark, cat, GAME_SPECS, DEMO, clock=CLOCK)
+    return cat, init_reports, cdc_reports
+
+
+def test_initial_load_all_creates(loaded_game):
+    _, init_reports, _ = loaded_game
+    assert [r.action for r in init_reports] == ["created"] * 4
+
+
+def test_cdc_load_all_merges_with_telemetry(loaded_game):
+    _, _, cdc_reports = loaded_game
+    by_table = {r.table: r for r in cdc_reports}
+    assert by_table["user_data"].telemetry["I"] == 46
+    assert by_table["user_data"].telemetry["D"] == 2
+    # item_data has 13 in-batch duplicate keys: deduped telemetry counts
+    # unique keys, total <= 100.
+    assert by_table["item_data"].telemetry["total"] <= 100
+    assert all(r.action == "merged" for r in cdc_reports)
+
+
+def test_user_data_final_state_matches_duckdb_oracle(loaded_game):
+    """End-to-end gate (SURVEY §5): latest-wins-then-delete applied by
+    DuckDB over the same raw files must equal the managed table."""
+    cat, _, _ = loaded_game
+    spec = next(s for s in GAME_SPECS if s.table_name == "user_data")
+    got = (
+        cat.read_table(spec)
+        .selectExpr("user_id", "email", "cur_level", "cast(last_login as date) AS ll")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    oracle = duckdb.sql(
+        f"""
+        WITH init AS (
+          SELECT * FROM read_parquet('{DEMO}/initial-load/game/user_data/*.parquet')
+        ), cdc AS (
+          SELECT * FROM read_parquet('{DEMO}/cdc-load/game/user_data/*.parquet')
+        ), latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY "timestamp" DESC,
+                     (CASE Op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC
+          ) AS rn FROM cdc
+        ), dedup AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT user_id, email, cur_level, CAST(last_login AS DATE) AS ll
+        FROM (
+          SELECT * FROM init WHERE user_id NOT IN (SELECT user_id FROM dedup)
+          UNION ALL BY NAME
+          SELECT * EXCLUDE (Op, "timestamp", rn) FROM dedup WHERE Op <> 'D'
+        ) ORDER BY user_id
+        """
+    ).df()
+    assert len(got) == len(oracle)
+    assert (got["user_id"].values == oracle["user_id"].values).all()
+    assert (got["email"].values == oracle["email"].values).all()
+    assert (got["cur_level"].values == oracle["cur_level"].values).all()
+    assert (got["ll"].astype(str).values == oracle["ll"].astype(str).values).all()
+
+
+def test_cdc_rerun_is_idempotent(spark, loaded_game):
+    """Same batch applied twice -> identical state (ledger makes the
+    second run a no-op; reference bookmark semantics)."""
+    cat, _, _ = loaded_game
+    spec = next(s for s in GAME_SPECS if s.table_name == "item_data")
+    before = cat.table(spec).current_version().version
+    rpt = cdc_load(spark, cat, spec, DEMO, clock=CLOCK)
+    assert rpt.action == "skipped_empty"
+    assert cat.table(spec).current_version().version == before
+
+
+def test_cdc_missing_table_guard(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    spec = next(s for s in GAME_SPECS if s.table_name == "user_data")
+    rpt = cdc_load(spark, cat, spec, DEMO, clock=CLOCK)
+    assert rpt.action == "skipped_missing"
+    # Ledger must NOT have committed: files still pending.
+    assert FileLedger(cat.table(spec).path).new_files(
+        f"{DEMO}/cdc-load/game/user_data"
+    ) == rpt.files
+
+
+def test_audit_column_stamped_on_upserts_only(loaded_game):
+    cat, _, _ = loaded_game
+    spec = next(s for s in GAME_SPECS if s.table_name == "user_data")
+    df = cat.read_table(spec)
+    stamped = df.filter("last_applied_date IS NOT NULL").count()
+    # 46 inserts + 52 updates - keys whose final op was D = upserted rows.
+    assert stamped > 0
+    assert df.filter("last_applied_date = timestamp'2023-09-01 00:00:00'").count() == stamped
