@@ -1,0 +1,219 @@
+"""Document near-duplicate detection: MinHash + banded LSH, with exact
+n-gram Jaccard verification.
+
+Not in the reference's surface — a first-class training-data-pipeline
+operator. The canonical web-scale text-dedup plan:
+
+1. **Shingle**: lowercase whitespace tokens → distinct token n-grams.
+2. **MinHash**: ``num_perm`` permutations approximated by seeded
+   ``xxhash64``; signature[i] = min hash of any shingle under seed i.
+   All array expressions — JVM-side, whole-stage codegen, no UDF.
+3. **Banded LSH**: the signature splits into ``bands`` bands of
+   ``rows_per_band`` values; each band hashes to one bucket. A pair is
+   a *candidate* if ANY band collides (OR-amplification):
+   P(candidate) = 1 - (1 - j^r)^b — near 1 above the threshold, near 0
+   well below it. A single-band signature (one AND-only hash) collapses
+   recall; this is the fix for round-1's ``lsh_near_pairs`` weakness.
+4. **Verify**: exact Jaccard on the candidates only, so the output is
+   exact above the threshold (the LSH stage only prunes the pair space,
+   it never admits a false positive).
+
+Scale (100 TB): the all-pairs space never materializes — the only
+shuffles are (a) one explode+hash-partition on (band, bucket), whose
+fan-out is ``bands`` rows per doc, and (b) the bucket-equijoin. Skewed
+buckets (boilerplate shingles) are bounded because every bucket key
+includes the band index, and AQE skew-join splits oversized buckets.
+Exact verification joins fetch shingle sets by doc id — column-pruned
+and co-partitioned on the id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of lowercased whitespace tokens.
+    Documents shorter than ``n`` tokens yield one whole-doc shingle, so
+    no row drops out of the pipeline."""
+    toks = tokens_col(F.lower(text))
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """MinHash signature as an array<long> of length ``num_perm``.
+    Permutation i is approximated by ``xxhash64(shingle, i)`` (seeded
+    hash families are the standard practical stand-in for random
+    permutations).
+
+    The transform lambda must take exactly ONE parameter: a binary
+    lambda would make PySpark bind the second parameter to the array
+    *index*, silently turning the hash position-dependent (and MinHash
+    order-sensitive — a recall-destroying bug caught by the oracle).
+    """
+
+    def _perm_hash(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_perm)]
+    )
+
+
+def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Per-band bucket ids: array<struct<band:int, bucket:long>>. The
+    band index is folded into the bucket hash so collisions never cross
+    bands."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    return df.withColumn(out_col, shingles_col(F.col(text_col), n))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """All near-duplicate pairs with exact shingle-Jaccard ≥ threshold,
+    found via MinHash banded LSH. Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    With the defaults (b=32, r=2): P(miss at j=0.8) = (1-0.8^2)^32
+    ≈ 6e-15 — the candidate stage is effectively lossless at the
+    threshold, and the exact verify keeps precision at 1.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
+    rows_per_band = num_perm // bands
+
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
+    banded = sig.select(
+        id_col,
+        F.explode(band_buckets(F.col("__sig"), bands, rows_per_band)).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # Exact verification: fetch each side's shingle set by id.
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def exact_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs baseline (O(n^2) — correctness oracle for the
+    LSH path; never the plan to run at scale)."""
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard_col(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, n_bits: int = 64, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over token shingles: bit k of the fingerprint is
+    the sign of the sum over shingles of (bit k of xxhash64(shingle)
+    ? +1 : -1). Documents within small Hamming distance are near-dups.
+    Pure array expressions (aggregate over a bit-count vector)."""
+    sh = F.array_distinct(
+        F.when(
+            F.size(tokens_col(F.lower(text))) >= shingle_n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens_col(F.lower(text))) - F.lit(shingle_n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens_col(F.lower(text)), i, shingle_n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens_col(F.lower(text)))))
+    )
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    # votes[k] = sum over hashes of +/-1 by bit k; fingerprint bit k =
+    # votes[k] > 0. The merge lambda must be binary for PySpark's
+    # higher-order-function binding, hence the factory.
+    def _vote_merge(k: int):
+        def merge(acc, h):
+            bit_k = F.shiftright(h, k).bitwiseAND(F.lit(1))
+            return acc + F.when(bit_k == F.lit(1), F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    fingerprint = F.lit(0).cast("long")
+    for k in range(n_bits):
+        votes = F.aggregate(hashes, F.lit(0), _vote_merge(k))
+        # shiftleft stays in long arithmetic (2**63 as a literal would
+        # overflow; 1<<63 wraps to the sign bit, which is exactly bit 63).
+        bit_val = F.shiftleft(F.lit(1).cast("long"), k)
+        fingerprint = fingerprint.bitwiseOR(F.when(votes > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    return fingerprint
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_col(F.col(text_col)))
+
+
+def hamming_dist_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    XOR — one JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -88,8 +88,22 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def _band_bucket_col(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """One band's bucket: bit-packed signs of ``n_planes`` hyperplane
+    dot products (all built-in expressions — codegen'd, no driver
+    action)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        sign_bit = (dot_col(vec, plane_col) > 0).cast("long")
+        bucket = bucket + (sign_bit * F.lit(2**i).cast("long"))
+    return bucket
+
+
 def with_lsh_signature(
     df: DataFrame,
+    dim: int,
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 42,
@@ -97,46 +111,71 @@ def with_lsh_signature(
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: bucket id = bit-packed signs of
     plane dot products. Cosine-similar vectors collide with high
-    probability. Pure built-in expressions (arrays_zip/aggregate).
+    probability.
+
+    ``dim`` is an explicit parameter: inferring it with ``.first()``
+    would run a Spark job at plan-construction time and break on empty
+    input (round-1 advisory).
     """
     d = as_double_vec(df, vec_col)
-    dim = len(d.select(F.col(vec_col)).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        sign_bit = (dot_col(F.col(vec_col), plane_col) > 0).cast("long")
-        bucket = bucket + (sign_bit * F.lit(2**i).cast("long"))
-    return d.withColumn(out_col, bucket)
+    return d.withColumn(out_col, _band_bucket_col(F.col(vec_col), dim, n_planes, seed))
 
 
 def lsh_near_pairs(
     df: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate all-pairs cosine similarity ≥ threshold via LSH
-    bucketing: self-join ONLY within buckets (shuffle on bucket id, no
-    cross product), then exact cosine verify. Scale path for near-dup
-    detection over embeddings at 100 TB: bucket count grows 2^n_planes,
-    keeping per-bucket candidate sets tiny.
+    """All-pairs cosine similarity ≥ threshold via multi-band
+    random-hyperplane LSH: ``n_bands`` independent bucketings
+    (OR-amplification — a pair is a candidate if ANY band collides,
+    fixing the single-band recall collapse of round 1), bucket-local
+    self-join (the cross product never materializes), then **exact**
+    cosine verification, so precision is 1 and recall is
+    1 - (1 - p^n_planes)^n_bands with p = 1 - angle/pi.
+
+    Scale path at 100 TB: one explode of ``n_bands`` rows per vector,
+    hash shuffle on (band, bucket), AQE skew-split for hot buckets;
+    candidate count is controlled by n_planes (bucket granularity).
     """
-    sig = with_lsh_signature(df, vec_col, n_planes, seed).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+    d = as_double_vec(df, vec_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _band_bucket_col(F.col(vec_col), dim, n_planes, seed + 7919 * b).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    left = sig.alias("a")
-    right = sig.alias("b")
-    pairs = left.join(
-        right,
-        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    banded = d.select(F.col(id_col), F.explode(bands).alias("__bb")).select(
+        id_col, "__bb.band", "__bb.bucket"
     )
-    with_sim = pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
-    return with_sim.filter(F.col("cos_sim") >= threshold)
+    a_vec = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
+    b_vec = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
+    return (
+        cand.join(a_vec, "id_a")
+        .join(b_vec, "id_b")
+        .withColumn("cos_sim", cosine_similarity_col(F.col("__v_a"), F.col("__v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -509,6 +509,44 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# docs_minhash_near_dup — near-duplicate text detection at scale:
+# MinHash signatures over 3-token shingles, banded LSH candidate
+# generation (OR-amplified, b=32 r=2: P(miss at j=0.8) ~ 6e-15), exact
+# Jaccard verification. The oracle is the exact all-pairs computation,
+# so this gate proves the LSH path loses nothing above the threshold.
+# --------------------------------------------------------------------------
+
+def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, id_col="doc_id", text_col="text", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+DOCS_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE j >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -654,6 +692,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
+        QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
     ]
 }

@@ -1,0 +1,150 @@
+"""Unit tests for operators that the driver's oracle gate doesn't reach
+directly: CDC helpers, text quality/lang/fingerprint, MinHash/SimHash
+dedup, embedding LSH (planted near-dups)."""
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from automation_of_building_a_transactional_data_lake_spark.operators.cdc import (
+    op_telemetry,
+    recombine_ops,
+    split_ops,
+    with_audit_column,
+)
+from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+    exact_ngram_jaccard_pairs,
+    hamming_dist_col,
+    minhash_near_dup_pairs,
+    with_simhash,
+)
+from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+    lsh_near_pairs,
+)
+from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _cdc_frame(spark):
+    rows = [
+        ("I", "2023-01-01 00:00:00", 1, "a"),
+        ("U", "2023-01-02 00:00:00", 1, "a2"),
+        ("I", "2023-01-01 00:00:00", 2, "b"),
+        ("D", "2023-01-03 00:00:00", 2, "b"),
+        ("I", "2023-01-01 00:00:00", 3, "c"),
+    ]
+    return spark.createDataFrame(rows, "Op string, timestamp string, id long, val string")
+
+
+def test_op_telemetry_single_pass(spark):
+    t = op_telemetry(_cdc_frame(spark))
+    assert t == {"I": 3, "U": 1, "D": 1, "total": 5}
+
+
+def test_split_and_recombine_ops(spark):
+    df = _cdc_frame(spark)
+    ups, dels = split_ops(df)
+    assert ups.count() == 4 and dels.count() == 1
+    # recombine is a partition-and-reassemble: same multiset of rows.
+    assert sorted(recombine_ops(df).collect()) == sorted(df.collect())
+
+
+def test_with_audit_column_injectable_clock(spark):
+    clock = datetime(2024, 5, 6, 7, 8, 9, tzinfo=timezone.utc)
+    out = with_audit_column(_cdc_frame(spark), clock=clock)
+    vals = {r.last_applied_date for r in out.collect()}
+    assert vals == {datetime(2024, 5, 6, 7, 8, 9)}
+
+
+def test_quality_score_ratios(spark):
+    df = spark.createDataFrame([("ab, cd 12",), ("",)], "text string")
+    rows = with_quality_score(df).collect()
+    r = rows[0]
+    # 9 chars: 4 alpha, 1 punct, 2 space, 2 digit.
+    assert (r.alpha_ratio, r.punct_ratio, r.space_ratio, r.digit_ratio) == (
+        round(4 / 9, 4), round(1 / 9, 4), round(2 / 9, 4), round(2 / 9, 4))
+    assert rows[1].alpha_ratio == 0.0  # empty doc: no division by zero
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("der hund und die katze ist da",), ("zzz qqq",)],
+        "text string",
+    )
+    got = [r.lang_pred for r in with_lang_id(df).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma  beta\talpha",), ("different words",)], "text string"
+    )
+    fps = [r.fingerprint for r in with_fingerprint(df).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_minhash_matches_exact_on_real_docs(spark):
+    """The LSH candidate stage must lose nothing above the threshold:
+    banded-MinHash output == exact all-pairs output on the testdata."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    lsh = {(r.id_a, r.id_b, round(r.jaccard, 4))
+           for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()}
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 4))
+             for r in exact_ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # the fixture really contains near-dups
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = exact_ngram_jaccard_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    sh = with_simhash(docs.select("doc_id", "text"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    dists = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(hamming_dist_col(F.col("sh_a"), F.col("sh_b")).alias("d"))
+        .collect()
+    )
+    # Near-dups land well below the random-pair expectation of ~32 bits.
+    assert dists and all(r.d <= 16 for r in dists)
+    # And a random far pair is far: compare unrelated docs.
+    far = (
+        sh.alias("x").crossJoin(sh.alias("y"))
+        .filter(F.col("x.doc_id") + 200 == F.col("y.doc_id"))
+        .select(hamming_dist_col(F.col("x.simhash"), F.col("y.simhash")).alias("d"))
+        .limit(5).collect()
+    )
+    assert far and all(r.d > 16 for r in far)
+
+
+def test_lsh_near_pairs_planted_vectors(spark):
+    """Plant two high-cosine pairs among random-ish vectors; multi-band
+    LSH + exact verify must find exactly the planted pairs."""
+    dim = 16
+    base1 = [1.0 if i % 2 == 0 else 0.2 for i in range(dim)]
+    near1 = [v + (0.01 if i == 3 else 0.0) for i, v in enumerate(base1)]
+    base2 = [(-1.0) ** i * (i + 1) / dim for i in range(dim)]
+    near2 = [v * 1.02 for v in base2]
+    noise = [
+        [math.sin(7.3 * i * (k + 1)) for i in range(dim)] for k in range(20)
+    ]
+    rows = (
+        [(0, base1), (1, near1), (2, base2), (3, near2)]
+        + [(10 + k, v) for k, v in enumerate(noise)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           lsh_near_pairs(df, dim=dim, n_planes=8, n_bands=12, threshold=0.99).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_lsh_near_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lsh_near_pairs(df, dim=8).count() == 0  # no .first() crash
