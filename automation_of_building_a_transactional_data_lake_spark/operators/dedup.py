@@ -47,24 +47,37 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature as an array<long> of length ``num_perm``.
     Permutation i is approximated by ``xxhash64(shingle, i)`` (seeded
     hash families are the standard practical stand-in for random
     permutations).
 
-    The transform lambda must take exactly ONE parameter: a binary
-    lambda would make PySpark bind the second parameter to the array
-    *index*, silently turning the hash position-dependent (and MinHash
-    order-sensitive — a recall-destroying bug caught by the oracle).
+    Formulated as ONE ``aggregate`` pass whose accumulator is the
+    running elementwise minimum vector: codegen size stays constant in
+    ``num_perm`` (the per-permutation variant — num_perm separate
+    ``array_min(transform(...))`` expressions — compiled ~10s of
+    generated code per query and ran 2x slower).
+
+    Lambda-arity trap (caught by the oracle gate): inner transform
+    lambdas must take exactly ONE parameter — with two, PySpark binds
+    the second to the array *index*, silently making the hash
+    position-dependent and MinHash order-sensitive.
     """
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm)
 
-    def _perm_hash(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+    def merge(acc, s):
+        return F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, b: F.least(a, b),
+        )
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_perm)]
-    )
+    return F.aggregate(shingles, init, merge)
 
 
 def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -117,7 +130,16 @@ def minhash_near_dup_pairs(
         raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
     rows_per_band = num_perm // bands
 
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    # Repartition by id before the signature stage: the hash work is
+    # CPU-heavy and the input may arrive in few (even one) file splits;
+    # hashing must use the whole cluster. The partition count is
+    # explicit — AQE would coalesce a hint-free repartition down to the
+    # (tiny) shuffle byte size, serializing the CPU-bound stage. The
+    # same partitioning then co-locates the verify joins on id.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
+    ).repartition(n_parts, F.col(id_col))
     sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
     banded = sig.select(
         id_col,

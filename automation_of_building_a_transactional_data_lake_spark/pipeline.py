@@ -96,9 +96,20 @@ def cdc_load(
         # Missing-table guard (reference src/hudi/hudi-cdc-load.py:110-112).
         return LoadReport(spec.table_name, "skipped_missing", files=files)
 
-    batch = cast_envelope_timestamp(spark.read.parquet(*files))
+    batch = spark.read.parquet(*files)
+    telemetry = apply_cdc_batch(batch, tbl, spec, clock)
+    # Bookmark commits only after both merges succeed.
+    ledger.commit(files)
+    return LoadReport(spec.table_name, "merged", telemetry=telemetry, files=files)
+
+
+def apply_cdc_batch(batch, tbl, spec: TableSpec, clock: datetime | None = None) -> dict:
+    """The CDC apply core (§3.2 steps 3-8), shared by the batch loop
+    and the Structured Streaming ``foreachBatch`` sink: cast envelope
+    timestamp → latest-record dedup → I/U-D route+union → telemetry →
+    MERGE upsert (envelope dropped, audit stamped) → MERGE delete."""
     deduped = dedupe_latest(
-        batch,
+        cast_envelope_timestamp(batch),
         key=spec.primary_key,
         ts_col=spec.version_key or TS_COL,
         op_col=OP_COL,
@@ -117,11 +128,9 @@ def cdc_load(
         if n_deletes > 0:
             # MERGE delete needs only the key column (W7/W8).
             tbl.merge_delete(deletes.select(spec.primary_key))
-        # Bookmark commits only after both merges succeed.
-        ledger.commit(files)
     finally:
         routed.unpersist()
-    return LoadReport(spec.table_name, "merged", telemetry=telemetry, files=files)
+    return telemetry
 
 
 def initial_load_all(

@@ -135,9 +135,12 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # No broadcast hint on customer: it grows with scale factor (TPC-H
+    # sf100 ~ 15M rows) and a hard hint overrides AQE — at local scale
+    # AQE still picks broadcast because the filtered side is small.
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
@@ -188,10 +191,14 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
+    # Broadcast hints only on the fixed-size dims (region: 5 rows,
+    # nation: 25 rows). customer/supplier grow with scale factor —
+    # AQE decides those joins from runtime sizes (broadcast while the
+    # side fits, sort-merge beyond).
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -347,6 +354,8 @@ FROM events GROUP BY user_id
 # --------------------------------------------------------------------------
 
 def customer_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import account_days, as_of_date
+
     _utc(spark)
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -354,14 +363,13 @@ def customer_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
-        F.datediff(
-            F.max(F.col("o_orderdate").cast("date")),
-            F.min(F.col("o_orderdate").cast("date")),
-        ).alias("account_days"),
+        account_days(F.min("o_orderdate"), F.max("o_orderdate")).alias("account_days"),
     )
+    # SF6 CASE label against an SF7 as-of date — pinned for determinism
+    # (pass None for the live CURRENT_DATE behavior).
     labeled = per_cust.withColumn(
         "churned",
-        F.when(F.col("last_order_date") < F.lit("2000-01-01").cast("date"), F.lit(1)).otherwise(F.lit(0)),
+        F.when(F.col("last_order_date") < as_of_date("2000-01-01"), F.lit(1)).otherwise(F.lit(0)),
     )
     return (
         cust.join(labeled, cust.c_custkey == labeled.o_custkey)

@@ -1,0 +1,117 @@
+"""Tests for the round-2 extension surface: date functions (SF5/SF7),
+streaming CDC (AvailableNow), multimodal plumbing."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+from automation_of_building_a_transactional_data_lake_spark.functions.dates import (
+    account_days,
+    age_years,
+    as_of_date,
+)
+from automation_of_building_a_transactional_data_lake_spark.operators.multimodal import (
+    extract_features,
+    media_frame,
+    sample_frames,
+)
+from automation_of_building_a_transactional_data_lake_spark.pipeline import initial_load
+from automation_of_building_a_transactional_data_lake_spark.spec import GAME_SPECS_BY_NAME
+from automation_of_building_a_transactional_data_lake_spark.streaming.microbatch import (
+    cdc_stream_available_now,
+)
+
+DEMO = "/root/reference/demo_data"
+
+
+# -- dates (SF5/SF7) ---------------------------------------------------------
+
+
+def test_as_of_date_pinned_and_live(spark):
+    df = spark.range(1)
+    pinned = df.select(as_of_date("2020-06-15").alias("d")).collect()[0].d
+    assert pinned == dt.date(2020, 6, 15)
+    live = df.select(as_of_date(None).alias("d")).collect()[0].d
+    assert abs((live - dt.date.today()).days) <= 1  # midnight-safe
+
+
+def test_age_years_and_account_days(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2000, 6, 16), dt.date(2023, 1, 1), dt.date(2023, 3, 2))],
+        "dob date, first date, last date",
+    )
+    row = df.select(
+        age_years(F.col("dob"), "2020-06-15").alias("age"),
+        account_days(F.col("first"), F.col("last")).alias("days"),
+    ).collect()[0]
+    assert row.age == 19  # birthday one day after the as-of date
+    assert row.days == 60
+
+
+# -- streaming CDC -----------------------------------------------------------
+
+
+def test_cdc_stream_available_now_matches_batch_semantics(spark, tmp_path):
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    initial_load(spark, cat, spec, DEMO)
+    clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
+
+    t1 = cdc_stream_available_now(
+        spark, cat, spec, DEMO, str(tmp_path / "ckpt"), clock=clock
+    )
+    assert len(t1) == 1 and t1[0]["I"] == 46 and t1[0]["D"] == 2
+    assert cat.read_table(spec).count() == 10000 + 46 - 2
+
+    # Second drain: checkpoint remembers the files -> no new batches.
+    t2 = cdc_stream_available_now(
+        spark, cat, spec, DEMO, str(tmp_path / "ckpt"), clock=clock
+    )
+    assert t2 == []
+    assert cat.read_table(spec).count() == 10044
+
+
+def test_cdc_stream_requires_table(spark, tmp_path):
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    with pytest.raises(FileNotFoundError):
+        cdc_stream_available_now(spark, cat, spec, DEMO, str(tmp_path / "c2"))
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def _media_rows():
+    return [
+        (1, "image", "image/png", b"\x89PNG" + bytes(range(100)), 10, 10, None),
+        (2, "audio", "audio/wav", b"RIFF" + bytes([5] * 50), None, None, 2000),
+        (3, "video", "video/mp4", b"\x00mp4" + bytes([7] * 30), 640, 480, 3500),
+        (4, "image", "image/png", None, None, None, None),  # null payload
+    ]
+
+
+def test_extract_features_deterministic(spark):
+    media = media_frame(spark, _media_rows())
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].n_bytes == 104
+    assert rows[4].n_bytes == 0 and rows[4].payload_hash == 0
+    # Determinism: same input -> identical features.
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert all(rows[k] == again[k] for k in rows)
+
+
+def test_extract_features_real_decoder_stubbed(spark):
+    media = media_frame(spark, _media_rows())
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="pil")
+
+
+def test_sample_frames_jvm_side(spark):
+    media = media_frame(spark, _media_rows())
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in frames} == {
+        (3, 0), (3, 1000), (3, 2000), (3, 3000)
+    }
