@@ -266,7 +266,31 @@ class ParquetCowTable:
                     continue
                 os.link(os.path.join(src_sub, fname), os.path.join(dst_sub, fname))
 
-    def _merge_partitioned(self, src: DataFrame, delete: bool) -> None:
+    def _apply_upsert(self, tgt: DataFrame, src: DataFrame, guard_col: str | None) -> DataFrame:
+        """Target-minus-matched ∪ source; with ``guard_col``, a matched
+        target row survives unless the source row's guard value is
+        strictly greater (``WHEN MATCHED AND s.guard > t.guard``)."""
+        pk = self.spec.primary_key
+        if guard_col is None:
+            kept = tgt.join(src.select(pk).distinct(), pk, "left_anti")
+            return kept.unionByName(src, allowMissingColumns=True)
+        # Guarded variant: pick the per-key winner by (guard DESC,
+        # is_source ASC) — on a guard tie the target wins, matching
+        # "update only when strictly newer".
+        from pyspark.sql.window import Window
+
+        both = (
+            tgt.withColumn("__is_src", F.lit(0))
+            .unionByName(src.withColumn("__is_src", F.lit(1)), allowMissingColumns=True)
+        )
+        w = Window.partitionBy(pk).orderBy(F.col(guard_col).desc(), F.col("__is_src").asc())
+        return (
+            both.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__is_src")
+        )
+
+    def _merge_partitioned(self, src: DataFrame, delete: bool, guard_col: str | None = None) -> None:
         pk, part = self.spec.primary_key, self.spec.partition_key
         cur = self.current_version()
         affected = self._affected_partitions(src, delete)
@@ -274,35 +298,45 @@ class ParquetCowTable:
         vdir = os.path.join(self.path, _fmt_version(n))
 
         tgt_affected = self.read().filter(F.col(part).isin(affected))
-        kept = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
-        merged = kept if delete else kept.unionByName(src, allowMissingColumns=True)
+        if delete:
+            merged = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
+        else:
+            merged = self._apply_upsert(tgt_affected, src, guard_col)
 
         writer = self._cluster_for_write(merged).write.mode("overwrite").partitionBy(part)
         writer.parquet(vdir)
         self._link_forward(cur.path, vdir, affected)
         self._commit(n)
 
-    def _merge_full(self, src: DataFrame, delete: bool) -> None:
+    def _merge_full(self, src: DataFrame, delete: bool, guard_col: str | None = None) -> None:
         pk = self.spec.primary_key
         tgt = self.read()
-        kept = tgt.join(src.select(pk).distinct(), pk, "left_anti")
-        merged = kept if delete else kept.unionByName(src, allowMissingColumns=True)
+        if delete:
+            merged = tgt.join(src.select(pk).distinct(), pk, "left_anti")
+        else:
+            merged = self._apply_upsert(tgt, src, guard_col)
         n = self._next_version()
         self._write_version(merged, n)
         self._commit(n)
 
-    def merge_upsert(self, src: DataFrame) -> None:
+    def merge_upsert(self, src: DataFrame, guard_col: str | None = None) -> None:
         """W5/W6/J1: ``MERGE INTO t USING s ON s.pk = t.pk WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (reference
         ``src/iceberg/iceberg-cdc-load.py:127-134``). Schema evolution:
         source-only columns (e.g. the CDC ``last_applied_date``) appear
         as null on untouched rows — the autoMerge semantics the
-        reference enables (``src/delta/delta-initial-load.py:33``)."""
+        reference enables (``src/delta/delta-initial-load.py:33``).
+
+        ``guard_col``: optional late-data guard the reference lacks
+        (SURVEY §2.10): update a matched row only when the source's
+        guard value is strictly greater — a replayed or out-of-order
+        batch can never regress a newer row.
+        """
         self._check_unique_keys(src)
         if self.spec.partition_key:
-            self._merge_partitioned(src, delete=False)
+            self._merge_partitioned(src, delete=False, guard_col=guard_col)
         else:
-            self._merge_full(src, delete=False)
+            self._merge_full(src, delete=False, guard_col=guard_col)
 
     def merge_delete(self, src: DataFrame) -> None:
         """W7/W8: ``MERGE INTO ... WHEN MATCHED THEN DELETE`` (reference

@@ -431,6 +431,41 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# orders_urgent_by_status — F3 IN-list predicate as a first-class
+# analytic filter (reference `filter("Op IN ('U','D')")`,
+# src/hudi/hudi-cdc-load.py:89-90), combined with an A4-style
+# conditional aggregate. Scale: both predicates reach the parquet scan
+# as pushed In/Or filters; single shuffle on the group key.
+# --------------------------------------------------------------------------
+
+def orders_urgent_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1)).otherwise(F.lit(0))).alias("n_urgent"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORDERS_URGENT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus  IN ('F', 'O')
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # top3_orders_per_cust — top-K per group via ranking window, the
 # standard OLAP pattern the latest-record dedup generalizes to.
 # --------------------------------------------------------------------------
@@ -695,6 +730,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("events_pivot_by_type", events_pivot_by_type, EVENTS_PIVOT_ORACLE),
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
+        QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),
         QueryDef("top3_orders_per_cust", top3_orders_per_cust, TOP3_ORACLE),
         QueryDef("game_user_cdc_e2e", game_user_cdc_e2e, GAME_USER_E2E_ORACLE, headline=False),
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),

@@ -75,6 +75,9 @@ class SessionFactory:
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
             "spark.sql.session.timeZone": "UTC",
+            # The driver testdata's events table stores ns-precision
+            # timestamps, which Spark 4 otherwise refuses to read.
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             "spark.sql.parquet.compression.codec": "snappy",
             # CDC/merge sources are re-read several times per batch; cap
@@ -107,4 +110,5 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     on a session the engine did not create (e.g. the verify driver's).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -64,7 +64,10 @@ class TableSpec:
             table_name=d["table_name"],
             primary_key=d["primary_key"],
             partition_key=_none_str(d.get("partition_key")),
-            version_key=_none_str(d.get("precombine_key") or d.get("version_key")),
+            # Normalize each candidate BEFORE the fallback: the literal
+            # string "None" (the reference's absent-encoding) is truthy
+            # and would otherwise shadow a real version_key.
+            version_key=_none_str(d.get("precombine_key")) or _none_str(d.get("version_key")),
             database=database,
         )
 

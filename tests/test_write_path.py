@@ -82,6 +82,33 @@ def test_merge_delete(spark, tmp_path):
     assert {r.id for r in tbl.read().collect()} == {1, 3}
 
 
+def test_merge_upsert_guard_col_rejects_stale_rows(spark, tmp_path):
+    """Late-data guard (SURVEY §2.10): a source row only replaces a
+    matched target row when its guard value is strictly greater."""
+    spec = TableSpec("t_guard", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    tbl.create(
+        spark.createDataFrame(
+            [(1, "cur", 5), (2, "cur", 5)], "id long, val string, ver long"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, "stale", 3), (2, "newer", 7), (3, "insert", 1)],
+        "id long, val string, ver long",
+    )
+    tbl.merge_upsert(src, guard_col="ver")
+    got = {(r.id, r.val) for r in tbl.read().collect()}
+    assert got == {(1, "cur"), (2, "newer"), (3, "insert")}
+    # Tie keeps the target ("strictly newer" contract).
+    tbl.merge_upsert(
+        spark.createDataFrame([(2, "tie", 7)], "id long, val string, ver long"),
+        guard_col="ver",
+    )
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {
+        (1, "cur"), (2, "newer"), (3, "insert")
+    }
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
     tbl.create(_mk(spark, [(1, "a", "x")]))
