@@ -194,16 +194,26 @@ class ParquetCowTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """S4: snapshot read of the committed version."""
+    def read(self, version: int | None = None) -> DataFrame:
+        """S4: snapshot read. ``version`` gives time travel to any
+        retained snapshot (Delta ``VERSION AS OF`` / Iceberg
+        snapshot-id reads); default is the committed latest."""
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        if version is not None:
+            vpath = os.path.join(self.path, _fmt_version(version))
+            if version > cur.version or not os.path.isdir(vpath):
+                raise FileNotFoundError(
+                    f"version {version} of {self.spec.qualified_name} does not "
+                    f"exist (latest committed: {cur.version}; older versions "
+                    "may have been vacuumed)"
+                )
+            cur = TableVersion(version, vpath)
         reader = self.spark.read
         if self.spec.partition_key:
             # Hive-partitioned layout: recover the partition column.
             reader = reader.option("basePath", cur.path)
-            return reader.parquet(cur.path)
         return reader.parquet(cur.path)
 
     def register_temp_view(self, name: str | None = None) -> str:

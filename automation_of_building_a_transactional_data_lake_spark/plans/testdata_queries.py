@@ -347,6 +347,74 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# events_hourly_rollup — time-bucketed (hypertable-style) rollup over
+# the event stream: date_trunc to the hour + grouped aggregates, the
+# canonical time-series downsampling plan. Scale: single shuffle on
+# (hour, event_type); partial aggregation map-side; the hour column is
+# projected as a string so both engines hash identical values.
+# --------------------------------------------------------------------------
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.groupBy(
+            F.date_format(hour, "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_token_counts — token counting with a BPE-ish regex (letter runs,
+# digit runs, single punctuation marks — the pre-tokenization split
+# GPT-style BPE applies before merges), alongside whitespace counts.
+# Both engines run the identical regex, all JVM/native-side.
+# --------------------------------------------------------------------------
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws_toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    bpe_toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws_toks).alias("n_ws_tokens"),
+        F.size(bpe_toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe_toks)).alias("n_uniq_bpe_tokens"),
+    )
+
+
+DOCS_TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_ISH}'))) AS n_uniq_bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # customer_churn_features — the reference's downstream churn feature
 # workload (§3.3, sample_redshift_ml_sql_query.txt:11-73): projections,
 # DATEDIFF (SF5), CASE churn label (SF6), group-by aggregates and an
@@ -716,6 +784,31 @@ GAME_ITEM_E2E_ORACLE = _game_oracle(
 
 
 # --------------------------------------------------------------------------
+# emb_ivf_knn — IVF approximate-nearest-neighbor, gated exactly: with
+# nprobe == n_centroids the probe set is exhaustive, so the result MUST
+# equal brute force (the oracle). The scale path (nprobe << k scanning
+# a fraction of the lists) is covered by a recall test in pytest; this
+# gate proves the index/assign/probe machinery loses nothing.
+# --------------------------------------------------------------------------
+
+def emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import build_ivf, ivf_topk
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    cand = emb.filter(F.col("vec_id") != 0)
+    indexed, centroids = build_ivf(cand, k=8, iters=2)
+    top = ivf_topk(indexed, centroids, qvec, k=10, nprobe=len(centroids))
+    return top.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+EMB_IVF_ORACLE = EMB_KNN_ORACLE  # exhaustive probing == exact top-k
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -728,6 +821,8 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("events_latest_per_user", events_latest_per_user, EVENTS_LATEST_ORACLE),
         QueryDef("events_cdc_state", events_cdc_state, EVENTS_CDC_STATE_ORACLE),
         QueryDef("events_pivot_by_type", events_pivot_by_type, EVENTS_PIVOT_ORACLE),
+        QueryDef("events_hourly_rollup", events_hourly_rollup, EVENTS_ROLLUP_ORACLE),
+        QueryDef("docs_token_counts", docs_token_counts, DOCS_TOKEN_COUNTS_ORACLE),
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
         QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),
@@ -738,5 +833,6 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
+        QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
     ]
 }
