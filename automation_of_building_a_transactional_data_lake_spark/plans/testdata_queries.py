@@ -560,6 +560,117 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14 shape: join + LIKE predicate (string
+# function surface) + conditional aggregate producing one scalar.
+# Scale: part is the small side (AQE broadcast); lineitem scans with
+# the date filter pushed; single partial-aggregated reduction.
+# --------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(100 * promo_rev / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q18_large_orders — TPC-H Q18 shape: HAVING over a fact aggregate,
+# then join back to orders/customer for the top-N. Scale: the HAVING
+# prunes the aggregate before the joins (tiny build side), top-N via
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)  # HAVING
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250
+) b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_grouping_sets — multi-granularity aggregate in ONE pass via
+# GROUPING SETS (status, status x priority, grand total), through the
+# SQL API (temp view + spark.sql). Group keys are coalesced to 'ALL'
+# so the output is null-free for hashing. Scale: Spark expands grouping
+# sets into a single shuffle with a grouping-id column — one scan, not
+# three.
+# --------------------------------------------------------------------------
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*)                          AS n_orders,
+               round(sum(o_totalprice), 2)       AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+ORDERS_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                          AS n_orders,
+       round(sum(o_totalprice), 2)       AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_exact_dedup — exact deduplication over the documents table:
 # content-hash groupBy keeping the lowest doc_id as canonical.
 # Scale: md5 is computed JVM-side; single shuffle on the 128-bit hash —
@@ -827,6 +938,9 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
         QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),
         QueryDef("top3_orders_per_cust", top3_orders_per_cust, TOP3_ORACLE),
+        QueryDef("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
+        QueryDef("q18_large_orders", q18_large_orders, Q18_ORACLE),
+        QueryDef("orders_grouping_sets", orders_grouping_sets, ORDERS_GROUPING_SETS_ORACLE),
         QueryDef("game_user_cdc_e2e", game_user_cdc_e2e, GAME_USER_E2E_ORACLE, headline=False),
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
