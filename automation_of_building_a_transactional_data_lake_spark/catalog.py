@@ -19,19 +19,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .formats.parquet_cow import ParquetCowTable
+from .formats.parquet_mor import ParquetMorTable
 from .spec import TableSpec
+
+_FORMATS = {"cow": ParquetCowTable, "mor": ParquetMorTable}
 
 
 class Catalog:
     """Directory-backed catalog: databases are directories, tables are
-    committed ``ParquetCowTable`` instances."""
+    committed table-format instances.
 
-    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+    ``table_format`` selects the writer backend for all tables in this
+    catalog — the engine-native equivalent of the reference's single
+    config switch between Hudi/Iceberg/Delta (``cdk.json:87``):
+    ``"cow"`` (copy-on-write, read-optimized, default) or ``"mor"``
+    (merge-on-read, write-optimized).
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, table_format: str = "cow") -> None:
+        if table_format not in _FORMATS:
+            raise ValueError(
+                f"unknown table_format {table_format!r}; choose from {sorted(_FORMATS)}"
+            )
         self.spark = spark
         self.warehouse = warehouse
+        self.table_format = table_format
 
-    def table(self, spec: TableSpec) -> ParquetCowTable:
-        return ParquetCowTable(self.spark, self.warehouse, spec)
+    def table(self, spec: TableSpec):
+        return _FORMATS[self.table_format](self.spark, self.warehouse, spec)
 
     def table_exists(self, spec: TableSpec) -> bool:
         """S5: existence check (reference

@@ -1,11 +1,20 @@
-"""Table-format writer backends.
+"""Table-format writer backends (the reference's pluggable
+Hudi/Iceberg/Delta switch, re-derived — see ``base.TableFormat``).
 
-``parquet_cow``: versioned copy-on-write parquet tables with atomic
-version-pointer commits — the engine's native stand-in for the
-reference's Hudi/Iceberg/Delta backends (their jars are unavailable
-here; the write protocol is re-derived, see module docstring).
+``parquet_cow``: copy-on-write — merges rewrite affected files; plain
+scans on read. ``parquet_mor``: merge-on-read — merges append delta
+logs; reads reconcile; ``compact()`` repays the debt.
 """
 
+from .base import TableFormat
 from .parquet_cow import MergeError, ParquetCowTable, TableVersion, temp_warehouse
+from .parquet_mor import ParquetMorTable
 
-__all__ = ["MergeError", "ParquetCowTable", "TableVersion", "temp_warehouse"]
+__all__ = [
+    "MergeError",
+    "ParquetCowTable",
+    "ParquetMorTable",
+    "TableFormat",
+    "TableVersion",
+    "temp_warehouse",
+]

@@ -1,0 +1,216 @@
+"""Merge-on-read parquet table format (Hudi MoR semantics).
+
+Where the CoW backend (``parquet_cow``) rewrites affected files on
+every merge, MoR appends a small **delta log** per merge and defers the
+reconciliation to read time:
+
+- ``merge_upsert`` / ``merge_delete`` write only the batch rows (plus
+  an op marker and a monotonically increasing sequence number) — write
+  cost is O(batch), independent of table size.
+- ``read`` reconciles base ∪ deltas with latest-sequence-wins per key
+  (the same ``dedupe_latest`` machinery the CDC pipeline uses) and
+  drops keys whose latest marker is a delete.
+- ``compact`` folds all deltas into a new base — the read-cost debt is
+  repaid in one bounded job (Hudi's compaction / the reference's
+  missing maintenance story, SURVEY §4).
+
+Layout and commit protocol (single-writer, atomic pointer, same as CoW):
+
+```
+<warehouse>/<db>/<table>/
+  _LATEST              committed snapshot number (write-temp + rename)
+  _snapshots/N.json    {"base": "b00000001", "deltas": ["d00000002", ...]}
+  b00000001/           base parquet (full rows)
+  d00000002/           delta parquet (batch rows + __mor_op/__mor_seq)
+```
+
+A crashed merge leaves an unreferenced delta directory; ``vacuum``
+removes anything no retained snapshot references.
+
+Scale: the write path is append-only (no read-modify-write shuffle at
+all); the read path adds one hash shuffle on the primary key over
+base+deltas, which AQE sizes. The CoW-vs-MoR trade is per-table: CDC
+tables with hourly micro-batches want MoR + scheduled compaction;
+read-heavy analytics tables want CoW. Both sit behind
+``formats.base.TableFormat``, mirroring the reference's one-switch
+format selection (``cdk.json:87``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import dedupe_latest
+from ..spec import TableSpec
+from .parquet_cow import MergeError
+
+_LATEST = "_LATEST"
+_SNAP_DIR = "_snapshots"
+_OP = "__mor_op"
+_SEQ = "__mor_seq"
+
+
+class ParquetMorTable:
+    """One managed merge-on-read table under a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, spec: TableSpec) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.spec = spec
+        self.path = os.path.join(warehouse, spec.database, spec.table_name)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.path, _LATEST)
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._latest_path())
+
+    def _snapshot(self, n: int | None = None) -> dict:
+        if n is None:
+            with open(self._latest_path(), encoding="ascii") as f:
+                n = int(f.read().strip())
+        with open(os.path.join(self.path, _SNAP_DIR, f"{n}.json"), encoding="utf-8") as f:
+            snap = json.load(f)
+        snap["n"] = n
+        return snap
+
+    def current_snapshot(self) -> dict | None:
+        if not self.exists():
+            return None
+        return self._snapshot()
+
+    def _commit(self, snap: dict) -> int:
+        cur = self.current_snapshot()
+        n = (cur["n"] + 1) if cur else 1
+        os.makedirs(os.path.join(self.path, _SNAP_DIR), exist_ok=True)
+        spath = os.path.join(self.path, _SNAP_DIR, f"{n}.json")
+        with open(spath, "w", encoding="utf-8") as f:
+            json.dump({k: v for k, v in snap.items() if k != "n"}, f)
+        tmp = os.path.join(self.path, f".{_LATEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(n))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._latest_path())
+        return n
+
+    # -- write path --------------------------------------------------------
+
+    def _write_dir(self, df: DataFrame, name: str) -> str:
+        d = os.path.join(self.path, name)
+        df.sortWithinPartitions(self.spec.primary_key).write.mode("overwrite").parquet(d)
+        return d
+
+    def create(self, df: DataFrame, if_not_exists: bool = True) -> bool:
+        if self.exists():
+            if if_not_exists:
+                return False
+            raise FileExistsError(self.spec.qualified_name)
+        os.makedirs(self.path, exist_ok=True)
+        base = f"b{1:08d}"
+        self._write_dir(df, base)
+        self._commit({"base": base, "deltas": []})
+        return True
+
+    def overwrite(self, df: DataFrame) -> None:
+        cur = self.current_snapshot()
+        base = f"b{(cur['n'] + 1) if cur else 1:08d}"
+        self._write_dir(df, base)
+        self._commit({"base": base, "deltas": []})
+
+    def _check_unique_keys(self, src: DataFrame) -> None:
+        pk = self.spec.primary_key
+        dup = src.groupBy(pk).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise MergeError(
+                f"merge source has multiple rows for key {dup[0][pk]!r}; "
+                "dedupe_latest the batch first"
+            )
+
+    def _append_delta(self, rows: DataFrame, op: str) -> None:
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        seq = cur["n"] + 1
+        delta = f"d{seq:08d}"
+        self._write_dir(
+            rows.withColumn(_OP, F.lit(op)).withColumn(_SEQ, F.lit(seq).cast("long")),
+            delta,
+        )
+        self._commit({"base": cur["base"], "deltas": cur["deltas"] + [delta]})
+
+    def merge_upsert(self, src: DataFrame) -> None:
+        """O(batch) append: the merge itself is deferred to read/compact."""
+        self._check_unique_keys(src)
+        self._append_delta(src, "U")
+
+    def merge_delete(self, src: DataFrame) -> None:
+        pk = self.spec.primary_key
+        self._append_delta(src.select(pk).distinct(), "D")
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Reconcile base ∪ deltas: latest sequence wins per key;
+        delete markers drop the key. One hash shuffle on the pk."""
+        if not self.exists():
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        snap = self._snapshot(version)
+        base = (
+            self.spark.read.parquet(os.path.join(self.path, snap["base"]))
+            .withColumn(_OP, F.lit("U"))
+            .withColumn(_SEQ, F.lit(0).cast("long"))
+        )
+        merged = base
+        for delta in snap["deltas"]:
+            d = self.spark.read.parquet(os.path.join(self.path, delta))
+            merged = merged.unionByName(d, allowMissingColumns=True)
+        if snap["deltas"]:
+            merged = dedupe_latest(merged, key=self.spec.primary_key, ts_col=_SEQ)
+            merged = merged.filter(F.col(_OP) != "D")
+        return merged.drop(_OP, _SEQ)
+
+    def register_temp_view(self, name: str | None = None) -> str:
+        view = name or f"{self.spec.database}__{self.spec.table_name}"
+        self.read().createOrReplaceTempView(view)
+        return view
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold all deltas into a new base (Hudi compaction)."""
+        cur = self.current_snapshot()
+        if cur is None or not cur["deltas"]:
+            return
+        base = f"b{cur['n'] + 1:08d}"
+        self._write_dir(self.read(), base)
+        self._commit({"base": base, "deltas": []})
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Remove data directories no retained snapshot references."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        keep_snaps = range(max(1, cur["n"] - retain_last + 1), cur["n"] + 1)
+        referenced: set[str] = set()
+        for n in keep_snaps:
+            try:
+                s = self._snapshot(n)
+            except FileNotFoundError:
+                continue
+            referenced.add(s["base"])
+            referenced.update(s["deltas"])
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.path)):
+            if entry[0] in "bd" and entry[1:].isdigit() and entry not in referenced:
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(entry)
+        return removed
