@@ -400,6 +400,28 @@ class ParquetCowTable:
         writer.parquet(vdir)
         self._commit(n)
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY equivalent: retained snapshots, oldest
+        first, with file counts and whether each is the committed
+        head."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith(_VERSION_PREFIX) or not entry[len(_VERSION_PREFIX):].isdigit():
+                continue
+            v = int(entry[len(_VERSION_PREFIX):])
+            vdir = os.path.join(self.path, entry)
+            n_files = sum(
+                1
+                for _root, _dirs, files in os.walk(vdir)
+                for fname in files
+                if fname.endswith(".parquet")
+            )
+            out.append({"version": v, "n_files": n_files, "is_current": v == cur.version})
+        return out
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete version directories no longer referenced by the
         pointer (keeping ``retain_last`` most recent committed versions

@@ -194,6 +194,28 @@ class ParquetMorTable:
         self._write_dir(self.read(), base)
         self._commit({"base": base, "deltas": []})
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY equivalent: retained snapshots with their
+        base and delta references, oldest first."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        out = []
+        for n in range(1, cur["n"] + 1):
+            try:
+                s = self._snapshot(n)
+            except FileNotFoundError:
+                continue
+            out.append(
+                {
+                    "version": n,
+                    "base": s["base"],
+                    "n_deltas": len(s["deltas"]),
+                    "is_current": n == cur["n"],
+                }
+            )
+        return out
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Remove data directories no retained snapshot references."""
         cur = self.current_snapshot()

@@ -154,3 +154,29 @@ def cdc_load_all(
     """Multi-table CDC loop (reference
     ``src/iceberg/iceberg-cdc-load.py:171-178``)."""
     return [cdc_load(spark, catalog, s, raw_root, clock) for s in specs]
+
+
+def maintain_all(
+    catalog: Catalog,
+    specs: list[TableSpec],
+    compact: bool = True,
+    vacuum_retain_last: int | None = 2,
+) -> list[LoadReport]:
+    """Scheduled maintenance over the table registry (the reference's
+    missing story, SURVEY §4 / BASELINE north star): per table, compact
+    small files / fold MoR deltas, then vacuum snapshots older than the
+    retention window. Run after the CDC loop on whatever cadence the
+    deployment's time-travel contract allows."""
+    reports = []
+    for spec in specs:
+        tbl = catalog.table(spec)
+        if not tbl.exists():
+            reports.append(LoadReport(spec.table_name, "skipped_missing"))
+            continue
+        if compact:
+            tbl.compact()
+        removed = tbl.vacuum(vacuum_retain_last) if vacuum_retain_last else []
+        reports.append(
+            LoadReport(spec.table_name, "maintained", telemetry={"removed_dirs": len(removed)})
+        )
+    return reports

@@ -109,6 +109,69 @@ def test_extract_features_real_decoder_stubbed(spark):
         extract_features(media, decoder="pil")
 
 
+def test_salted_join_equals_plain_join(spark):
+    from automation_of_building_a_transactional_data_lake_spark.operators.skew import (
+        salted_join,
+    )
+
+    # Heavily skewed big side: one hot key with 500 rows.
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 20)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 15)], "k long, attr string")
+    plain = {(r.k, r.payload, r.attr) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.payload, r.attr) for r in salted_join(big, small, "k", n_salts=4).collect()}
+    assert salted == plain and len(plain) == 500 + 13
+
+
+def test_salted_distinct_count_exact(spark):
+    from automation_of_building_a_transactional_data_lake_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 37) for i in range(400)] + [("b", i) for i in range(10)],
+        "g string, v long",
+    )
+    got = {r.g: r.n_distinct for r in salted_distinct_count(df, "g", "v").collect()}
+    assert got == {"a": 37, "b": 10}
+
+
+def test_table_history_both_formats(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        ParquetCowTable, ParquetMorTable)
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    for cls, name in [(ParquetCowTable, "h_cow"), (ParquetMorTable, "h_mor")]:
+        spec = TableSpec(name, "id", None, None, "testdb")
+        tbl = cls(spark, str(tmp_path), spec)
+        tbl.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+        tbl.merge_upsert(spark.createDataFrame([(2, "b")], "id long, v string"))
+        hist = tbl.history()
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[-1]["is_current"] and not hist[0]["is_current"]
+
+
+def test_maintain_all_compacts_and_vacuums(spark, tmp_path):
+    import datetime as dt
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        cdc_load_all, initial_load_all, maintain_all)
+    from automation_of_building_a_transactional_data_lake_spark.spec import GAME_SPECS_BY_NAME
+
+    spec = GAME_SPECS_BY_NAME["item_data"]
+    cat = Catalog(spark, str(tmp_path / "m"), table_format="mor")
+    initial_load_all(spark, cat, [spec], DEMO)
+    cdc_load_all(spark, cat, [spec], DEMO,
+                 clock=dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc))
+    before = cat.read_table(spec).collect()
+    reports = maintain_all(cat, [spec], vacuum_retain_last=1)
+    assert reports[0].action == "maintained"
+    tbl = cat.table(spec)
+    assert tbl.current_snapshot()["deltas"] == []
+    assert sorted(map(tuple, cat.read_table(spec).collect())) == sorted(map(tuple, before))
+
+
 def test_sample_frames_jvm_side(spark):
     media = media_frame(spark, _media_rows())
     frames = sample_frames(media, every_ms=1000).collect()
