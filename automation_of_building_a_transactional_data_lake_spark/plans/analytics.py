@@ -1,0 +1,307 @@
+"""Extended analytic query surface: join/subquery shapes beyond the
+reference's own workload.
+
+The reference's read path stops at inner equi-joins and plain
+aggregates (SURVEY §2.7 "No theta/range/as-of/semi/anti joins in the
+reference surface"); a user replacing it with this engine also runs
+the standard warehouse shapes — outer joins, EXISTS / NOT EXISTS,
+scalar subqueries, distinct aggregates, correlated-min lookups. Each
+query here pairs an idiomatic-Spark program with a DuckDB oracle and
+follows the aliasing/rounding conventions of
+``plans.testdata_queries``.
+
+Scale notes are per-query; the shared principles: dimension sides
+stay hint-free so AQE picks broadcast from runtime sizes, facts are
+never broadcast, correlated subqueries are re-expressed as windows or
+joins (Spark decorrelates EXISTS into semi/anti joins natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import cosine_similarity_col
+from .testdata_queries import QueryDef, _utc, load
+
+# --------------------------------------------------------------------------
+# q13_cust_distribution — TPC-H Q13 shape: LEFT OUTER join preserving
+# customers with zero orders, then a two-level aggregate (count per
+# customer, histogram of counts). Exercises the outer-join null path:
+# count("o_orderkey") must skip nulls while count(*) would not.
+# Scale: orders shuffles on o_custkey once; the second aggregate runs
+# over |customers| rows with low-cardinality keys (map-side partials).
+# --------------------------------------------------------------------------
+
+
+def q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (
+    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# q22_idle_balance — TPC-H Q22 shape: scalar subquery (global average)
+# + NOT EXISTS anti join. The scalar stays distributed: a 1-row
+# aggregate cross-joined (broadcast) into the filter instead of a
+# driver-side collect. The average is rounded to 2dp on BOTH sides
+# before the comparison so a last-ulp difference in double summation
+# order between engines cannot flip boundary rows.
+# Scale: the 1-row broadcast is free; the anti join shuffles orders
+# once on o_custkey (or broadcasts the filtered customer side under
+# AQE when it is small).
+# --------------------------------------------------------------------------
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q16_brand_type_suppliers — TPC-H Q16 shape: distinct aggregate
+# (count(DISTINCT l_suppkey)) + negated IN-list. Spark plans
+# countDistinct as a two-phase expand/aggregate; the NOT IN over
+# literals pushes to the part scan as a Not(In(...)) filter.
+# Scale: lineitem shuffles once on (p_brand, p_type) after the join;
+# part is the AQE-broadcast side.
+# --------------------------------------------------------------------------
+
+
+def q16_brand_type_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .filter(F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand NOT IN ('Brand#1', 'Brand#2')
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+GROUP BY p_brand, p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q2_min_price_supplier — TPC-H Q2 shape: correlated min subquery
+# ("the supplier offering each part at its minimum price"),
+# decorrelated into a per-key window minimum + equality filter — one
+# shuffle on l_partkey instead of a re-scan per outer row. Ties on the
+# exact minimum survive on both sides identically (doubles compare
+# exactly; no arithmetic is performed before the equality).
+# Scale: window min shuffles lineitem once; part/supplier join after
+# the filter runs over ~|parts| rows (AQE broadcast).
+# --------------------------------------------------------------------------
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    cheapest = li.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 45)
+        .select("p_partkey", "p_name")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cheapest.join(part, cheapest.l_partkey == part.p_partkey)
+        .join(supp, cheapest.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+    )
+
+
+Q2_ORACLE = """
+SELECT p.p_partkey, p.p_name, s.s_name, round(l.l_extendedprice, 2) AS min_price
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size >= 45
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# q4_late_shipment_exists — TPC-H Q4 shape: EXISTS with a non-equi
+# correlated term (l_shipdate > o_orderdate + 60 days), planned as a
+# left-semi join with a mixed equi + range condition. Spark keeps the
+# equi part as the join key (hashable) and evaluates the range term as
+# a post-join residual — no nested-loop.
+# Scale: the date-range filter on orders is pushed to the scan;
+# lineitem shuffles once on l_orderkey.
+# --------------------------------------------------------------------------
+
+
+def q4_late_shipment_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_batch_knn — batch k-nearest-neighbor: top-3 cosine neighbors for
+# each of 8 query vectors in ONE pass (vs emb_knn_brute's single
+# query). The query block broadcasts; similarity is a codegen'd
+# higher-order-function expression; per-query top-k is a ranking
+# window over q_id — the grouped generalization of
+# TakeOrderedAndProject. This is the shape of dedup-against-seed-set
+# and retrieval-eval jobs over embedding tables.
+# Scale: candidates never shuffle for the join (broadcast nested
+# loop); the window shuffles |cand| x |queries| scored rows on q_id —
+# at 100 TB you first block candidates per query via the IVF index
+# (operators/ann_ivf.py) and run this same window over the candidate
+# subset.
+# --------------------------------------------------------------------------
+
+
+def emb_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = emb.filter(F.col("vec_id") >= 8)
+    scored = cand.crossJoin(F.broadcast(queries)).withColumn(
+        "_sim", cosine_similarity_col(F.col("embedding"), F.col("q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            F.round(F.col("_sim"), 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+EMB_BATCH_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_vec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id >= 8
+)
+SELECT q_id, nn_id, round(sim, 6) AS cos_sim, rn
+FROM (
+  SELECT q_id, nn_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+ANALYTICS_QUERIES: list[QueryDef] = [
+    QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
+    QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
+    QueryDef("q16_brand_type_suppliers", q16_brand_type_suppliers, Q16_ORACLE),
+    QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
+    QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
+    QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
+]

@@ -950,3 +950,14 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
     ]
 }
+
+
+def _register_extensions() -> None:
+    # Imported late: analytics.py imports QueryDef/load from this module.
+    from .analytics import ANALYTICS_QUERIES
+
+    for q in ANALYTICS_QUERIES:
+        QUERIES[q.name] = q
+
+
+_register_extensions()
