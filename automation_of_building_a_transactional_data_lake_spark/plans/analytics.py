@@ -297,6 +297,30 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# customer_churn_predict — the reference's Redshift-ML churn workload
+# end-to-end (SURVEY §2.11): train on the churn feature table, batch
+# inference, return per-customer predictions. Training is iterative
+# (LBFGS) and not SQL-expressible, so the driver records the weaker
+# rows-only check; pytest asserts the three inference paths (JVM
+# transform, codegen'd sigmoid, Arrow pandas UDF) agree exactly.
+# --------------------------------------------------------------------------
+
+
+def customer_churn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.churn import FEATURE_COLS, export_coefficients, score_with_coefficients, train_churn_model
+    from .testdata_queries import customer_churn_features
+
+    _utc(spark)
+    features = customer_churn_features(spark, sf_dir)
+    model = train_churn_model(features)
+    coefs, intercept = export_coefficients(model)
+    scored = score_with_coefficients(features, coefs, intercept, FEATURE_COLS)
+    return scored.select(
+        "c_custkey", "churned", "churn_pred", F.round("churn_prob", 4).alias("churn_prob")
+    )
+
+
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
     QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
@@ -304,4 +328,5 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
     QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
+    QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
