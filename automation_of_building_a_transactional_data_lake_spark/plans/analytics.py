@@ -330,3 +330,10 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
+
+# Self-register (covers the analytics-imported-first order; see
+# testdata_queries._register_extensions for the other order).
+from .testdata_queries import QUERIES  # noqa: E402
+
+for _q in ANALYTICS_QUERIES:
+    QUERIES[_q.name] = _q

@@ -954,7 +954,13 @@ QUERIES: dict[str, QueryDef] = {
 
 def _register_extensions() -> None:
     # Imported late: analytics.py imports QueryDef/load from this module.
-    from .analytics import ANALYTICS_QUERIES
+    # If the user imported analytics FIRST, that module is mid-import
+    # here (circular); the from-import raises ImportError and analytics
+    # self-registers at its own bottom instead.
+    try:
+        from .analytics import ANALYTICS_QUERIES
+    except ImportError:
+        return
 
     for q in ANALYTICS_QUERIES:
         QUERIES[q.name] = q

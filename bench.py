@@ -38,6 +38,12 @@ def main() -> None:
         shuffle_partitions=max(cpus, 8),
     ).create()
 
+    # Warm-up: JIT/codegen/classloading paths (parquet scan + shuffle +
+    # agg) so the first timed query measures the engine, not JVM start.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.headline:
