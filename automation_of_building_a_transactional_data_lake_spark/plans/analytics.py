@@ -298,6 +298,153 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# events_asof_purchase — as-of join: each click event enriched with
+# the most recent purchase (same user, purchase.ts <= click.ts),
+# nulls where none precedes. Sort-based implementation
+# (operators/temporal.asof_join): one shuffle on user_id + one window
+# — no per-row probe, no range blow-up. The oracle decorrelates the
+# same semantics as a ranked non-equi join.
+# Scale: the window state is one carried row per key; skewed users
+# cost sort time only, not memory blow-up.
+# --------------------------------------------------------------------------
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("p_event_id"),
+        F.round(F.col("value_asof"), 2).alias("p_value"),
+    )
+
+
+EVENTS_ASOF_ORACLE = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT c.event_id, p.event_id AS p_event_id, p.value AS p_value,
+         row_number() OVER (
+           PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC
+         ) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+)
+SELECT c.event_id, c.user_id, m.p_event_id, round(m.p_value, 2) AS p_value
+FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m ON c.event_id = m.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# events_click_purchase_attrib — bounded range join: purchase events
+# within 30 minutes AFTER a click by the same user (ad-attribution
+# shape). Bucketed implementation (operators/temporal):
+# equi-join on (user_id, time-bucket) with the exact µs predicate as
+# residual — a shuffle join, never the BNLJ Spark would plan for the
+# raw non-equi condition. Gap arithmetic is in microsecond longs, so
+# boundary rows are exact on both engines.
+# --------------------------------------------------------------------------
+
+
+def events_click_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import bounded_range_join
+
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    pairs = bounded_range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="c_ts",
+        right_time="p_ts",
+        max_gap_seconds=1800,
+        direction="forward",
+    )
+    return pairs.select(
+        "user_id",
+        "c_event_id",
+        "p_event_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias("gap_us"),
+        F.round("value", 2).alias("p_value"),
+    )
+
+
+EVENTS_ATTRIB_ORACLE = """
+WITH c AS (
+  SELECT event_id AS c_event_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c_event_id, p_event_id,
+       date_diff('microsecond', c_ts, p_ts) AS gap_us,
+       round(value, 2) AS p_value
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE p_ts > c_ts AND date_diff('microsecond', c_ts, p_ts) <= 1800 * 1000000
+"""
+
+
+# --------------------------------------------------------------------------
+# events_props_json — semi-structured surface: JSON extraction from
+# the props column with built-ins (get_json_object — JVM-side, no
+# UDF), then a grouped aggregate. The reference has no JSON functions
+# (SURVEY §2.9); CDC envelopes in the wild carry them.
+# --------------------------------------------------------------------------
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # customer_churn_predict — the reference's Redshift-ML churn workload
 # end-to-end (SURVEY §2.11): train on the churn feature table, batch
 # inference, return per-customer predictions. Training is iterative
@@ -328,6 +475,9 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
     QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
+    QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
+    QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
+    QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
 

@@ -1,0 +1,100 @@
+"""Temporal operators: asof_join against pandas merge_asof, and
+bounded_range_join against a brute-force non-equi join."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from automation_of_building_a_transactional_data_lake_spark.operators.temporal import (
+    asof_join,
+    bounded_range_join,
+)
+from automation_of_building_a_transactional_data_lake_spark.plans.testdata_queries import load
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load(spark, SF_SMOKE, "events").cache()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark, events):
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    got = (
+        asof_join(
+            clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+            right_cols=["event_id", "value"], tiebreak="event_id",
+        )
+        .select("event_id", "event_id_asof")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    cp = clicks.toPandas().sort_values("ts", kind="mergesort")
+    pp = (
+        purchases.toPandas()
+        # merge_asof keeps the LAST right row at equal keys; sorting by
+        # (ts, event_id) makes that the greatest event_id — our tiebreak.
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .rename(columns={"event_id": "event_id_asof"})[["user_id", "ts", "event_id_asof"]]
+    )
+    want = (
+        pd.merge_asof(cp, pp, on="ts", by="user_id", direction="backward")
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "event_id_asof"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_no_match_keeps_nulls(spark):
+    left = spark.createDataFrame([(1, "k", 100), (2, "k", 5)], ["id", "k", "t"])
+    right = spark.createDataFrame([(7, "k", 50)], ["rid", "k", "t"])
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", right_cols=["rid"]
+    ).toPandas().set_index("id")
+    assert out.loc[1, "rid_asof"] == 7
+    assert pd.isna(out.loc[2, "rid_asof"])  # t=5 precedes every right row
+
+
+def test_bounded_range_join_matches_bruteforce(spark, events):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    got = (
+        bounded_range_join(
+            clicks, errors, on="user_id", left_time="c_ts", right_time="e_ts",
+            max_gap_seconds=3600, direction="both",
+        )
+        .select("c_id", "e_id")
+        .toPandas()
+        .sort_values(["c_id", "e_id"])
+        .reset_index(drop=True)
+    )
+    brute = (
+        clicks.join(errors, "user_id")
+        .filter(
+            F.abs(F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts")))
+            <= 3600 * 1_000_000
+        )
+        .select("c_id", "e_id")
+        .toPandas()
+        .sort_values(["c_id", "e_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # non-vacuous at sf0.001
+    pd.testing.assert_frame_equal(got, brute)
+
+
+def test_bounded_range_join_direction_validation(spark, events):
+    clicks = events.limit(1).select(F.col("event_id").alias("c_id"), "user_id", "ts")
+    with pytest.raises(ValueError, match="direction"):
+        bounded_range_join(clicks, clicks, on="user_id", left_time="ts",
+                           right_time="ts", max_gap_seconds=60, direction="sideways")
