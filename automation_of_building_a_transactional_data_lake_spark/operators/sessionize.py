@@ -1,0 +1,63 @@
+"""Sessionization: split each key's event stream into sessions
+separated by an inactivity gap.
+
+The standard two-window formulation — no state machine, no UDF:
+
+1. ``lag(ts)`` per key ordered by time → gap to the previous event;
+2. session-start flag = (gap is null) or (gap > threshold);
+3. running sum of the flag over the same window → session index;
+4. (optional) aggregate per (key, session index).
+
+Scale: both windows share ONE hash partition + sort on the key — one
+shuffle total, and the running sum is O(1) state per row. The same
+semantics in streaming is ``F.session_window`` (see
+streaming/windows.py); this module is the batch/backfill path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_session_id(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Adds an integer per-key session index (0-based, ordered by
+    time). Ties on ``time_col`` within a key stay in one session (gap
+    0 <= threshold) regardless of sort order, so the result is
+    deterministic without a tiebreaker."""
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session aggregate: event count, duration, value sum."""
+    s = with_session_id(df, key_col, time_col, gap_seconds)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col))
+        ).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

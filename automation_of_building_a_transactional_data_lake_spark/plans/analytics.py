@@ -445,6 +445,44 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# events_sessionization — per-user sessions with a 30-minute
+# inactivity gap (operators/sessionize): lag + running-sum windows,
+# one shuffle, then the per-session aggregate. The canonical
+# clickstream/training-data operator the reference lacks entirely.
+# --------------------------------------------------------------------------
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_stats
+
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, key_col="user_id", time_col="ts", gap_seconds=1800)
+
+
+EVENTS_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+       round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
 # customer_churn_predict — the reference's Redshift-ML churn workload
 # end-to-end (SURVEY §2.11): train on the churn feature table, batch
 # inference, return per-customer predictions. Training is iterative
@@ -478,6 +516,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
     QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),
+    QueryDef("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
 
