@@ -85,6 +85,11 @@ class SessionFactory:
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
             "spark.ui.enabled": "false",
             "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+            # Catalog-managed (bucketed) tables land here, not in cwd.
+            # Static conf: set at create; existing sessions keep theirs.
+            "spark.sql.warehouse.dir": os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/tdl_spark_warehouse"
+            ),
         }
         if self.driver_memory:
             c["spark.driver.memory"] = self.driver_memory
