@@ -298,6 +298,205 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape: selective fact filter
+# (returnflag) + date window + 3-way join + multi-column group + top-N
+# by revenue. Exercises grouping on many mixed-type keys.
+# Scale: lineitem filter pushed (returnflag='R' drops ~75%), joins
+# stay hint-free; top-N is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "revenue",
+        )
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name, revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q12_shipmode_priority — TPC-H Q12 shape: join + two conditional
+# aggregates (A4) keyed on a computed predicate; the reference's
+# pivot-style CASE-WHEN aggregate over a join.
+# --------------------------------------------------------------------------
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive_pred — TPC-H Q19 shape: an OR of conjunctive
+# brand/size/quantity clauses across the join. Catalyst pushes the
+# common (per-side) parts of the disjunction to both scans and
+# evaluates the cross-table residual post-join — the standard test of
+# boolean-predicate normalization.
+# --------------------------------------------------------------------------
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(clause1 | clause2 | clause3).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_price_percentiles — exact interpolated percentiles (median /
+# p90) per priority: Spark `percentile` and DuckDB `quantile_cont`
+# share the continuous-interpolation definition, so the gate is exact
+# after rounding. Scale: percentile is a full-sort-per-group
+# aggregate — fine on grouped slices, never on the ungrouped fact.
+# --------------------------------------------------------------------------
+
+
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORDERS_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_name_features — string-function surface (SURVEY §2.9 notes
+# the reference has none): substring / upper / concat / length /
+# regexp, all JVM built-ins inside one projection.
+# --------------------------------------------------------------------------
+
+
+def customer_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("name_digits"),
+    )
+
+
+CUST_NAME_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       coalesce(regexp_extract(c_name, '(\\d+)$', 1), '') AS name_digits
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
 # events_asof_purchase — as-of join: each click event enriched with
 # the most recent purchase (same user, purchase.ts <= click.ts),
 # nulls where none precedes. Sort-based implementation
@@ -512,6 +711,11 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q16_brand_type_suppliers", q16_brand_type_suppliers, Q16_ORACLE),
     QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
     QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
+    QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE),
+    QueryDef("q12_shipmode_priority", q12_shipmode_priority, Q12_ORACLE),
+    QueryDef("q19_disjunctive_pred", q19_disjunctive_pred, Q19_ORACLE),
+    QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
+    QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
     QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
