@@ -4,9 +4,20 @@
   reference's signature dataflow, SURVEY §3.2). MERGE itself lives in
   ``formats.parquet_cow`` (the write-path join J1).
 - ``dedup``: document near-dup detection (MinHash + banded LSH,
-  n-gram Jaccard).
+  n-gram Jaccard, SimHash).
 - ``similarity``: cosine similarity / nearest-neighbor search over
   embedding columns.
+- ``ann_ivf``: IVF approximate-nearest-neighbor index (k-means
+  coarse quantizer, probed-list search).
 - ``textstats``: token counting, quality scoring, language ID,
   fingerprinting.
+- ``temporal``: as-of join and bounded range join (sort-based /
+  bucketed — no pair-space blow-up).
+- ``sessionize``: inactivity-gap sessionization (lag + running-sum
+  windows; streaming twin in ``streaming.windows``).
+- ``ivm``: incremental view maintenance for decomposable rollups
+  (fold only new files via the processed-file ledger).
+- ``skew``: salted join / salted distinct-count for hot keys.
+- ``multimodal``: binary media columns, Arrow-batched feature
+  extraction (decoders stubbed).
 """

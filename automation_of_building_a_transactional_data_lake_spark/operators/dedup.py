@@ -115,31 +115,38 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 3,
-    num_perm: int = 64,
-    bands: int = 32,
+    num_perm: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
     """All near-duplicate pairs with exact shingle-Jaccard ≥ threshold,
     found via MinHash banded LSH. Returns (id_a, id_b, jaccard) with
     id_a < id_b.
 
-    With the defaults (b=32, r=2): P(miss at j=0.8) = (1-0.8^2)^32
-    ≈ 6e-15 — the candidate stage is effectively lossless at the
-    threshold, and the exact verify keeps precision at 1.
+    With the defaults (b=16, r=2): P(miss at j=0.8) = (1-0.8^2)^16
+    ≈ 8e-8 — the candidate stage is effectively lossless at the
+    threshold, and the exact verify keeps precision at 1. (Raise
+    num_perm/bands for thresholds below ~0.7; the hash cost is linear
+    in num_perm and dominated the profile at b=32.)
     """
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
     rows_per_band = num_perm // bands
 
-    # Repartition by id before the signature stage: the hash work is
-    # CPU-heavy and the input may arrive in few (even one) file splits;
-    # hashing must use the whole cluster. The partition count is
-    # explicit — AQE would coalesce a hint-free repartition down to the
-    # (tiny) shuffle byte size, serializing the CPU-bound stage. The
-    # same partitioning then co-locates the verify joins on id.
+    # Repartition the RAW text by id before any expression work: the
+    # shingle+hash pipeline is CPU-heavy and the input may arrive in
+    # few (even one) file splits — expressions projected before the
+    # exchange would run inside the scan stage on those few tasks
+    # (measured 6s serial vs <2s parallel at sf0.1). The partition
+    # count is explicit — AQE would coalesce a hint-free repartition
+    # down to the (tiny) shuffle byte size, re-serializing the
+    # CPU-bound stage. The same partitioning then co-locates the
+    # verify joins on id.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
-    ).repartition(n_parts, F.col(id_col))
+    sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    )
     sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
     banded = sig.select(
         id_col,
