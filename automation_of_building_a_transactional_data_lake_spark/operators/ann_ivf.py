@@ -112,6 +112,17 @@ def train_centroids(
     return centroids
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy distance expressions run cluster-wide: a
+    table arriving in fewer file splits than cores would evaluate them
+    serially inside the scan stage (same trap as the minhash shingle
+    stage — measured 3x there). No-op when the input is already wide."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        return df.repartition(n_parts)
+    return df
+
+
 def build_ivf(
     df: DataFrame,
     k: int = 16,
@@ -122,8 +133,9 @@ def build_ivf(
     """Train the quantizer and return (table + cluster_id column,
     centroids). Persist the returned frame (or write it partitioned by
     cluster_id) to make probing physical."""
-    centroids = train_centroids(df, k, id_col, vec_col, iters)
-    return assign_clusters(df, centroids, vec_col), centroids
+    d = _spread(df)
+    centroids = train_centroids(d, k, id_col, vec_col, iters)
+    return assign_clusters(d, centroids, vec_col), centroids
 
 
 def ivf_topk(
