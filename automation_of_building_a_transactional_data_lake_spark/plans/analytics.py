@@ -644,6 +644,41 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# events_rolling_stats — explicit window FRAMES: a 5-row trailing
+# moving average (rowsBetween) and a running total (unbounded
+# preceding) per user. Complements WF1's whole-partition frame with
+# the bounded-frame variants; one shuffle on user_id shared by both
+# windows (same partitioning + ordering).
+# --------------------------------------------------------------------------
+
+
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    moving = w.rowsBetween(-4, Window.currentRow)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(moving), 4).alias("avg_5"),
+        F.round(F.sum("value").over(running), 2).alias("running_total"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+EVENTS_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg_5,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # events_sessionization — per-user sessions with a 30-minute
 # inactivity gap (operators/sessionize): lag + running-sum windows,
 # one shuffle, then the per-session aggregate. The canonical
@@ -720,6 +755,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
     QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),
+    QueryDef("events_rolling_stats", events_rolling_stats, EVENTS_ROLLING_ORACLE),
     QueryDef("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]

@@ -90,14 +90,17 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
     checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain an aggregated stream with AvailableNow into an in-memory
-    sink (complete mode — windowed aggs emit finalized panes) and
-    return the result as a batch DataFrame."""
+    sink and return the result as a batch DataFrame. ``complete`` for
+    windowed aggs (re-emits finalized panes); ``append`` for stateful
+    operators that emit rows exactly once (note: the memory sink in
+    append mode only holds rows from THIS drain, not prior runs)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
