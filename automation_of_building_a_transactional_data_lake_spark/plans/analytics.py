@@ -434,6 +434,66 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 
 # --------------------------------------------------------------------------
+# q7_nation_volume — TPC-H Q7 shape: 6-way join with the SAME dim
+# table joined twice under different roles (supplier nation vs
+# customer nation), a symmetric disjunctive pair filter, and a
+# year(date) grouping. Self-joined dims need distinct attribute ids —
+# the aliasing pattern Catalyst requires.
+# Scale: both nation sides broadcast; lineitem carries the pushed
+# date filter; one shuffle for the final group.
+# --------------------------------------------------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol), 2).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --------------------------------------------------------------------------
 # orders_price_percentiles — exact interpolated percentiles (median /
 # p90) per priority: Spark `percentile` and DuckDB `quantile_cont`
 # share the continuous-interpolation definition, so the gate is exact
@@ -749,6 +809,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE),
     QueryDef("q12_shipmode_priority", q12_shipmode_priority, Q12_ORACLE),
     QueryDef("q19_disjunctive_pred", q19_disjunctive_pred, Q19_ORACLE),
+    QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
