@@ -800,6 +800,296 @@ def customer_churn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6 shape: the purest pushdown test. All
+# three predicates (date range, discount band, quantity cap) must reach
+# the parquet scan (`PushedFilters`), the projection must prune to four
+# columns (`ReadSchema`), and the single global aggregate runs as
+# partial-then-final with no intermediate shuffle of data rows.
+# Scale: at 100 TB this is a scan-bound query; row-group statistics
+# skip entire files outside the date range when the data is
+# date-clustered (our write path sorts on the partition key for
+# exactly this reason, O2/W3).
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8 shape: 7-way join (fact + 2 roles of
+# nation + region + part filter) feeding a conditional-ratio aggregate:
+# share of one supplier nation's volume within a region's imports of
+# one part type, per year. sum(CASE)/sum(*) stays a single aggregate
+# pass — no second join against a totals subquery.
+# Scale: part/nation/region broadcast; lineitem joins orders on the
+# shuffle; the grouped output is |years| rows. Ratio rounded 4dp (the
+# two double sums are order-sensitive in the last ulp).
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# q9_product_profit — TPC-H Q9 shape (adapted: the testdata has no
+# partsupp, so profit omits the supplycost term): substring-match part
+# filter (`p_name LIKE '%gear%'`) + supplier-nation / order-year
+# grouping. LIKE '%...%' cannot push to parquet as a range, but it
+# prunes before the joins (filter sits under the join in the plan).
+# The per-line volume is cast to DECIMAL(18,4) before summing: with
+# 175 output groups, double summation-order differences flipped 2dp
+# rounding on half-cent boundaries (2/175 groups in testing); decimal
+# sums are exact, so the engines agree bit-for-bit.
+# Scale: part is AQE-broadcast after the LIKE filter; nation
+# broadcast; the lineitem->orders join carries only matched lines.
+# --------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(vol), 2).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15 shape: an aggregate-over-aggregate
+# (max of per-supplier revenue) re-expressed without a correlated
+# subquery: the 1-row max broadcasts back onto the per-supplier
+# revenue. Revenue is rounded 2dp BEFORE the max/equality so a
+# last-ulp double difference between engines cannot select different
+# winners.
+# Scale: lineitem aggregates to |suppliers| rows in one shuffle; the
+# max is a 1-row broadcast; supplier join is AQE-broadcast.
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(vol), 2).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17_small_quantity — TPC-H Q17 shape: per-group average feeding a
+# row-level predicate (quantity below half the part's average).
+# Expressed as groupBy+join rather than a correlated subquery; the
+# comparison is exact because l_quantity is integer-valued — double
+# sums of integers are exact, so avg agrees bit-for-bit across
+# engines regardless of summation order.
+# Scale: the per-part average is |parts| rows (broadcastable); the
+# brand filter prunes before the join; single shuffle on l_partkey.
+# --------------------------------------------------------------------------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE p.p_brand = 'Brand#12' AND l.l_quantity < pa.half_avg
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_top_pairs — exact most-similar embedding pairs: all-pairs cosine
+# (a.vec_id < b.vec_id) ranked descending, top 15. The exact baseline
+# the LSH path (operators/similarity.lsh_near_pairs) approximates;
+# the testdata plants no >0.9 duplicates, so a threshold query would
+# be vacuous — ranking keeps the oracle discriminating.
+# Both engines reduce the dot product sequentially over array<double>,
+# so sims agree bitwise; ordering happens on full precision, rounding
+# (6dp) only in the final projection.
+# Scale: O(n²) — correct at verification scale only. At 100 TB the
+# same ranking runs over LSH/IVF candidate buckets (X6/X8), not the
+# cross product.
+# --------------------------------------------------------------------------
+
+
+def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sims = pairs.withColumn(
+        "_sim", cosine_similarity_col(F.col("__ea"), F.col("__eb"))
+    )
+    return (
+        sims.orderBy(F.col("_sim").desc(), F.col("vec_a"), F.col("vec_b"))
+        .limit(15)
+        .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+EMB_TOP_PAIRS_ORACLE = """
+SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+ORDER BY sim DESC, vec_a, vec_b
+LIMIT 15
+"""
+
+
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
     QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
@@ -810,6 +1100,12 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q12_shipmode_priority", q12_shipmode_priority, Q12_ORACLE),
     QueryDef("q19_disjunctive_pred", q19_disjunctive_pred, Q19_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
+    QueryDef("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
+    QueryDef("q8_market_share", q8_market_share, Q8_ORACLE),
+    QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE),
+    QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
+    QueryDef("emb_top_pairs", emb_top_pairs, EMB_TOP_PAIRS_ORACLE),
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
