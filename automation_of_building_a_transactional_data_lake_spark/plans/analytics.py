@@ -1059,15 +1059,27 @@ WHERE p.p_brand = 'Brand#12' AND l.l_quantity < pa.half_avg
 
 
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot_col
+
     _utc(spark)
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    # Norms are precomputed per vector (n sqrt-dots, not 2 per pair) and
+    # the streamed side is repartitioned: the single-file scan would
+    # otherwise stream the whole cross product through one task.
+    n_parts = spark.sparkContext.defaultParallelism
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .withColumn("__n", F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"), F.col("__n").alias("__na")
+    ).repartition(n_parts, "vec_a")
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"), F.col("__n").alias("__nb")
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     sims = pairs.withColumn(
-        "_sim", cosine_similarity_col(F.col("__ea"), F.col("__eb"))
+        "_sim", dot_col(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
     )
     return (
         sims.orderBy(F.col("_sim").desc(), F.col("vec_a"), F.col("vec_b"))
