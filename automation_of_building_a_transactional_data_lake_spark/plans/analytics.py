@@ -1102,6 +1102,94 @@ LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# cust_retention_setops — INTERSECT / EXCEPT (§2.5 beyond U1 union):
+# customers active in both 1995 and 1996 (retained) vs active in 1995
+# only (lost), counted per nation. Spark plans INTERSECT as a
+# left-semi and EXCEPT as a left-anti over the distinct key sets —
+# both hash-partitioned on o_custkey, no row-level set materialized.
+# Scale: the two year-slices shuffle once each on o_custkey; the
+# customer join is AQE-broadcast under sf, SMJ co-partitioned above.
+# --------------------------------------------------------------------------
+
+
+def cust_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    retained = y95.intersect(y96).withColumn("status", F.lit("retained"))
+    # subtract == EXCEPT (set) semantics; exceptAll would only cancel
+    # one 1996 occurrence per key, leaving repeat-1995 customers behind.
+    lost = y95.subtract(y96).withColumn("status", F.lit("lost"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        retained.unionByName(lost)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_nationkey", "status")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+CUST_RETENTION_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     tagged AS (
+       SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+       UNION ALL
+       SELECT o_custkey, 'lost' AS status FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+     )
+SELECT c.c_nationkey, t.status, count(*) AS n_cust
+FROM tagged t JOIN customer c ON t.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey, t.status
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_metrics_unpivot — UNPIVOT (wide->long melt): per-priority
+# aggregates unpivoted into (metric, value) rows. Spark's native
+# ``unpivot`` is a zero-shuffle Expand over the aggregated (tiny)
+# frame; the oracle is the standard UNION ALL formulation.
+# Scale: the melt happens after aggregation — |priorities| x |metrics|
+# rows — so the operator cost is nil at any input size.
+# --------------------------------------------------------------------------
+
+
+def orders_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORDERS_UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price,
+         round(avg(o_totalprice), 2) AS avg_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'avg_price' AS metric, avg_price AS value FROM agg
+"""
+
+
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
     QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
@@ -1118,6 +1206,8 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
     QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QueryDef("emb_top_pairs", emb_top_pairs, EMB_TOP_PAIRS_ORACLE),
+    QueryDef("cust_retention_setops", cust_retention_setops, CUST_RETENTION_ORACLE),
+    QueryDef("orders_metrics_unpivot", orders_metrics_unpivot, ORDERS_UNPIVOT_ORACLE),
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
