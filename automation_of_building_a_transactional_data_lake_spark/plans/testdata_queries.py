@@ -731,6 +731,96 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# docs_lang_confusion — heuristic language-ID (marker-token argmax,
+# operators/textstats.with_lang_id) evaluated against the labeled
+# `lang` column as a confusion-matrix aggregate. The oracle re-derives
+# the same heuristic in SQL from the SAME marker lists (inlined from
+# _LANG_MARKERS, so the two sides cannot drift), with first-listed-
+# wins tie semantics encoded as a cascaded CASE.
+# Scale: pure per-row expressions (codegen) + one low-cardinality
+# groupBy — a map-side-combine aggregate at any size.
+# --------------------------------------------------------------------------
+
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_lang_id
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        with_lang_id(docs, text_col="text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from ..operators.textstats import _LANG_MARKERS
+
+    score_cols = ",\n    ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join("'" + m + "'" for m in markers)
+        + f"], x))) AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)  # en, de, fr, es, zh — declaration order
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = (
+        "CASE WHEN greatest(" + ", ".join(f"s_{la}" for la in langs) + ") = 0 THEN 'und'\n    "
+        + "\n    ".join(branches)
+        + f"\n    ELSE '{langs[-1]}' END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), scores AS (
+  SELECT lang,
+    {score_cols}
+  FROM toks
+)
+SELECT lang, {case} AS lang_pred, count(*) AS n_docs
+FROM scores
+GROUP BY 1, 2
+"""
+
+
+DOCS_LANG_CONFUSION_ORACLE = _lang_confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_quality_score — heuristic quality ratios (alpha / punct /
+# whitespace / digit character fractions), the standard cheap
+# pre-filters for corpus cleaning. Spark `regexp_replace` is global;
+# DuckDB's needs the explicit 'g' flag — same regexes otherwise.
+# Scale: four regex passes per row, all codegen; no shuffle at all
+# (per-document projection).
+# --------------------------------------------------------------------------
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_quality_score
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_quality_score(docs, text_col="text").select(
+        "doc_id", "alpha_ratio", "punct_ratio", "space_ratio", "digit_ratio"
+    )
+
+
+DOCS_QUALITY_ORACLE = r"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n, 4) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0 / n, 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^\s]', '', 'g')) * 1.0 / n, 4) AS space_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n, 4) AS digit_ratio
+FROM (SELECT doc_id, text, CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS n
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_minhash_near_dup — near-duplicate text detection at scale:
 # MinHash signatures over 3-token shingles, banded LSH candidate
 # generation (OR-amplified, b=32 r=2: P(miss at j=0.8) ~ 6e-15), exact
@@ -946,6 +1036,8 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
+        QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
+        QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
     ]
