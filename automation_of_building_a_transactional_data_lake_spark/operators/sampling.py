@@ -1,0 +1,61 @@
+"""Deterministic, engine-portable sampling and train/test splitting.
+
+Not in the reference's surface — a training-data-pipeline primitive.
+``DataFrame.sample``/``randomSplit`` are seed-deterministic only within
+one Spark version/partitioning: the assignment depends on partition
+layout, so repartitioning (or another engine) re-shuffles rows across
+splits. For corpus curation the split must be a pure function of the
+RECORD, not of the physical plan: hash the content key, bucket the
+hash, threshold the bucket.
+
+md5 is the portable choice (identical in Spark, DuckDB, Python,
+Postgres, ...); 16 bits of it (4 hex chars -> 0..65535) give a
+per-record uniform bucket with plenty of resolution for split
+fractions, while keeping the hex->int conversion inside built-in
+expressions on every engine.
+
+Scale: one hash + substring per row, no shuffle, no UDF — the split
+column is free at 100 TB and stable across reruns, engines, and
+repartitioning, which is what makes downstream eval/holdout honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16  # 4 hex chars of md5
+
+
+def md5_bucket_col(key: Column) -> Column:
+    """Uniform bucket 0..65535 as a pure function of the key's bytes."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str = "text",
+    train_frac: float = 0.8,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign 'train'/'test' deterministically by content hash. Records
+    with identical keys always land in the same split (no near-dup
+    leakage across the boundary for exact dupes)."""
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0,1), got {train_frac}")
+    thresh = int(train_frac * _BUCKETS)
+    bucket = md5_bucket_col(F.col(key_col))
+    return df.withColumn(
+        out_col, F.when(bucket < thresh, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, frac: float
+) -> DataFrame:
+    """Keep ~frac of rows, chosen by content hash — reproducible across
+    runs, engines, and physical layout (unlike ``DataFrame.sample``)."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0,1], got {frac}")
+    thresh = int(frac * _BUCKETS)
+    return df.filter(md5_bucket_col(F.col(key_col)) < thresh)

@@ -731,6 +731,38 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# docs_split_counts — deterministic content-hash train/test split
+# (operators/sampling.with_split): the assignment is a pure function
+# of the text bytes (md5 bucket), so it is identical across engines,
+# reruns, and physical layouts — unlike randomSplit, whose assignment
+# depends on partitioning. The confusion-free oracle recomputes the
+# same bucketing in DuckDB ('0x'-cast of the same 4 md5 hex chars).
+# Scale: hash+substring per row, no shuffle; the groupBy is
+# low-cardinality (2 splits x |langs|).
+# --------------------------------------------------------------------------
+
+def docs_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import with_split
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        with_split(docs, key_col="text", train_frac=0.8)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+DOCS_SPLIT_ORACLE = """
+SELECT CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) < 52428
+            THEN 'train' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_lang_confusion — heuristic language-ID (marker-token argmax,
 # operators/textstats.with_lang_id) evaluated against the labeled
 # `lang` column as a confusion-matrix aggregate. The oracle re-derives
@@ -1037,6 +1069,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
+        QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
         QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),

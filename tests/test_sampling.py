@@ -1,0 +1,62 @@
+"""Deterministic sampling: assignment must be a pure function of the
+record key — stable under repartitioning (the property randomSplit
+lacks) and within documented tolerance of the target fraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from automation_of_building_a_transactional_data_lake_spark.operators.sampling import (
+    deterministic_sample,
+    with_split,
+)
+from automation_of_building_a_transactional_data_lake_spark.plans.testdata_queries import load
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_split_stable_under_repartition(spark):
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    a = with_split(docs, key_col="text").select("doc_id", "split")
+    b = with_split(docs.repartition(7, "doc_id"), key_col="text").select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_split_fraction_near_target(spark):
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    counts = dict(
+        with_split(docs, key_col="text", train_frac=0.8)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    # 500 docs, binomial(0.8): 5 sigma ~ 0.09.
+    assert abs(counts["train"] / total - 0.8) < 0.1
+
+
+def test_identical_keys_same_split(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    splits = with_split(df, key_col="text").select("text", "split").distinct()
+    assert splits.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    s1 = deterministic_sample(docs, "text", 0.3).select("doc_id")
+    s2 = deterministic_sample(docs.repartition(5), "text", 0.3).select("doc_id")
+    assert s1.subtract(s2).count() == 0 and s2.subtract(s1).count() == 0
+    n = s1.count()
+    assert 0 < n < docs.count()
+    # Nested property: a smaller fraction is a subset of a larger one.
+    s_small = deterministic_sample(docs, "text", 0.1).select("doc_id")
+    assert s_small.subtract(s1).count() == 0
+
+
+def test_invalid_fractions_raise(spark):
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    with pytest.raises(ValueError):
+        with_split(docs, train_frac=0.0)
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "text", 1.5)
