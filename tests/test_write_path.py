@@ -274,3 +274,28 @@ def test_audit_column_stamped_on_upserts_only(loaded_game):
     # 46 inserts + 52 updates - keys whose final op was D = upserted rows.
     assert stamped > 0
     assert df.filter("last_applied_date = timestamp'2023-09-01 00:00:00'").count() == stamped
+
+
+def _scanned_files(df) -> int:
+    """numFiles metric of the (single) file scan after an action ran."""
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+    return scan.metrics().apply("numFiles").value()
+
+
+def test_partition_filter_is_physical(spark, tmp_path):
+    """A partition-key predicate on a partitioned table must prune at
+    the FILE level (PartitionFilters in the scan, fewer files opened),
+    not as a post-scan row filter — the property that makes
+    date-clustered 100 TB tables scannable. (inputFiles() is
+    relation-level and reports pre-pruning files; the executed scan's
+    numFiles metric is the honest signal.)"""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    df = tbl.read().filter("cat = 'y'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cat" in plan.split("PartitionFilters")[1][:120]
+    assert {r.id for r in df.collect()} == {2}
+    full = tbl.read()
+    full.collect()
+    assert _scanned_files(full) == 3  # one file per hive partition
+    assert _scanned_files(df) == 1  # only cat=y opened
