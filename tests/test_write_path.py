@@ -299,3 +299,45 @@ def test_partition_filter_is_physical(spark, tmp_path):
     full.collect()
     assert _scanned_files(full) == 3  # one file per hive partition
     assert _scanned_files(df) == 1  # only cat=y opened
+
+
+def test_play_data_case_sensitive_column_preserved(loaded_game):
+    """SURVEY hard-part 6: play_data's `MultiPoints` column must keep
+    its exact case through create + merge + read, and the final state
+    must match the DuckDB latest-wins oracle (its CDC batch is all-I —
+    pure inserts on top of the initial load)."""
+    cat, _, _ = loaded_game
+    spec = next(s for s in GAME_SPECS if s.table_name == "play_data")
+    df = cat.read_table(spec)
+    assert "MultiPoints" in df.columns  # exact case, not multipoints
+    got = (
+        df.selectExpr("play_id", "MultiPoints", "time_spent")
+        .toPandas()
+        .sort_values("play_id")
+        .reset_index(drop=True)
+    )
+    oracle = duckdb.sql(
+        f"""
+        WITH init AS (
+          SELECT * FROM read_parquet('{DEMO}/initial-load/game/play_data/*.parquet')
+        ), cdc AS (
+          SELECT * FROM read_parquet('{DEMO}/cdc-load/game/play_data/*.parquet')
+        ), latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY play_id
+            ORDER BY "timestamp" DESC,
+                     (CASE Op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC
+          ) AS rn FROM cdc
+        ), dedup AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT play_id, "MultiPoints", time_spent
+        FROM (
+          SELECT * FROM init WHERE play_id NOT IN (SELECT play_id FROM dedup)
+          UNION ALL BY NAME
+          SELECT * EXCLUDE (Op, "timestamp", rn) FROM dedup WHERE Op <> 'D'
+        ) ORDER BY play_id
+        """
+    ).df()
+    assert len(got) == len(oracle) > 100
+    assert (got["play_id"].values == oracle["play_id"].values).all()
+    assert (got["MultiPoints"].values == oracle["MultiPoints"].values).all()
+    assert (got["time_spent"].values == oracle["time_spent"].values).all()
