@@ -132,8 +132,15 @@ def build_ivf(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train the quantizer and return (table + cluster_id column,
     centroids). Persist the returned frame (or write it partitioned by
-    cluster_id) to make probing physical."""
-    d = _spread(df)
+    cluster_id) to make probing physical.
+
+    The spread+cast working set is persisted before training: Lloyd's
+    loop makes ``iters`` passes plus the final assignment over the same
+    rows, and without the cache each pass re-reads and re-casts the
+    source (measured 5.4s -> 3.7s at sf0.1). At index-build scale the
+    equivalent is materializing the vector table once before clustering."""
+    d = _spread(as_double_vec(df, vec_col)).persist()
+    d.count()  # materialize the working set once
     centroids = train_centroids(d, k, id_col, vec_col, iters)
     return assign_clusters(d, centroids, vec_col), centroids
 
