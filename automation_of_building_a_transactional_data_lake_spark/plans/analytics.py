@@ -1190,6 +1190,46 @@ SELECT o_orderpriority, 'avg_price' AS metric, avg_price AS value FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# orders_quartile_bands — NTILE window (equi-height bucketing): price
+# quartiles per priority with per-band count/min/max. The window order
+# includes the unique o_orderkey tiebreaker so bucket boundaries are
+# deterministic; both engines give earlier buckets the extra row when
+# the partition doesn't divide evenly (SQL-standard ntile).
+# Scale: one shuffle on the partition key; ntile is a streaming window
+# (no frame buffering); the aggregate collapses to |priorities| x 4.
+# --------------------------------------------------------------------------
+
+
+def orders_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("band_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("band_hi"),
+        )
+    )
+
+
+ORDERS_QUARTILE_ORACLE = """
+SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS band_lo,
+       round(max(o_totalprice), 2) AS band_hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+"""
+
+
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
     QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
@@ -1208,6 +1248,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("emb_top_pairs", emb_top_pairs, EMB_TOP_PAIRS_ORACLE),
     QueryDef("cust_retention_setops", cust_retention_setops, CUST_RETENTION_ORACLE),
     QueryDef("orders_metrics_unpivot", orders_metrics_unpivot, ORDERS_UNPIVOT_ORACLE),
+    QueryDef("orders_quartile_bands", orders_quartile_bands, ORDERS_QUARTILE_ORACLE),
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
