@@ -785,7 +785,10 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_confusion_oracle() -> str:
+def _lang_pred_sql_parts() -> tuple[str, str]:
+    """(score column list, argmax CASE) re-derived from the SAME marker
+    lists the Spark operator uses — the two sides cannot drift. The
+    scores expect a lowercased-token list column named ``t``."""
     from ..operators.textstats import _LANG_MARKERS
 
     score_cols = ",\n    ".join(
@@ -804,6 +807,11 @@ def _lang_confusion_oracle() -> str:
         + "\n    ".join(branches)
         + f"\n    ELSE '{langs[-1]}' END"
     )
+    return score_cols, case
+
+
+def _lang_confusion_oracle() -> str:
+    score_cols, case = _lang_pred_sql_parts()
     return f"""
 WITH toks AS (
   SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
@@ -850,6 +858,108 @@ SELECT doc_id,
 FROM (SELECT doc_id, text, CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS n
       FROM documents)
 """
+
+
+# --------------------------------------------------------------------------
+# docs_curation_pipeline — the full training-data curation flow as ONE
+# composed query: token-count quality floor -> heuristic lang filter
+# ('en' only) -> exact dedup (canonical min doc_id per content hash) ->
+# near-dup removal (drop the larger id of every MinHash-verified pair
+# with Jaccard >= 0.8, computed WITHIN the surviving set) ->
+# deterministic train/test split -> per-split corpus stats. Every stage
+# reuses an individually-gated operator; this entry gates their
+# composition. avg_alpha sums in DECIMAL (order-independent) because
+# per-split membership differs at every stage boundary.
+# Scale: filters are per-row codegen; dedup is one shuffle on the
+# content hash; near-dup is the banded-LSH path (never all-pairs); the
+# final aggregate is 2 rows.
+# --------------------------------------------------------------------------
+
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+    from ..operators.sampling import with_split
+    from ..operators.textstats import with_lang_id, with_quality_score
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    d = with_quality_score(with_lang_id(with_token_stats(docs, text_col="text")))
+    kept = d.filter((F.col("n_tokens") >= 25) & (F.col("lang_pred") == "en")).select(
+        "doc_id", "text", "n_tokens", "alpha_ratio"
+    )
+    # The filtered set feeds three branches (canonical-hash dedup, the
+    # near-dup pair join, and the final anti-join); without the cache
+    # each branch re-evaluates the lang-id/quality expression stack
+    # (measured 7.3s -> 4.9s at sf0.1). At warehouse scale this stage
+    # boundary is where the curated set would be checkpointed anyway.
+    kept = kept.persist()
+    canon = kept.groupBy(F.md5("text").alias("__h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(canon.select("doc_id"), "doc_id")
+    near = minhash_near_dup_pairs(
+        kept.select("doc_id", "text"), id_col="doc_id", text_col="text", threshold=0.8
+    )
+    final = kept.join(
+        near.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return (
+        with_split(final, key_col="text", train_frac=0.8)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("alpha_ratio").cast("decimal(10,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_alpha"),
+        )
+    )
+
+
+def _curation_oracle() -> str:
+    score_cols, case = _lang_pred_sql_parts()
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+               (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END), 4) AS alpha_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_tokens, alpha_ratio,
+    {score_cols}
+  FROM base
+), kept AS (
+  SELECT doc_id, text, n_tokens, alpha_ratio FROM scored
+  WHERE n_tokens >= 25 AND ({case}) = 'en'
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), kept2 AS (
+  SELECT k.* FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM kept2)
+), dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.8
+), final AS (
+  SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+)
+SELECT CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) < 52428
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(sum(n_tokens) * 1.0 / count(*), 4) AS avg_tokens,
+       round(CAST(sum(CAST(alpha_ratio AS DECIMAL(10,4))) AS DOUBLE) / count(*), 4) AS avg_alpha
+FROM final
+GROUP BY 1
+"""
+
+
+DOCS_CURATION_ORACLE = _curation_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1070,6 +1180,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
         QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
+        QueryDef("docs_curation_pipeline", docs_curation_pipeline, DOCS_CURATION_ORACLE),
         QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
