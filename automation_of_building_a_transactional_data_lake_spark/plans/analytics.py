@@ -14,6 +14,12 @@ Scale notes are per-query; the shared principles: dimension sides
 stay hint-free so AQE picks broadcast from runtime sizes, facts are
 never broadcast, correlated subqueries are re-expressed as windows or
 joins (Spark decorrelates EXISTS into semi/anti joins natively).
+
+TPC-H coverage is q1-q10, q12-q19, q22 (adapted to the testdata
+schema). q11 and q20 need the partsupp table and q21 needs
+l_receiptdate/l_commitdate — neither exists in the driver-generated
+testdata, so those three are intentionally absent rather than gated
+vacuously.
 """
 
 from __future__ import annotations
