@@ -79,11 +79,20 @@ _LATEST = "_LATEST"
 _VERSION_PREFIX = "v"
 _META = "_format.json"
 _MANIFEST_DIR = "_symlink_manifest"
+_COMMIT_LOCK = "_commit.lock"
 
 
 class MergeError(RuntimeError):
     """Raised when a merge precondition fails (e.g. duplicate source
     keys — the condition Delta/Iceberg MERGE also rejects)."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed a
+    version after this write's snapshot was read (or holds the commit
+    lock right now). The caller's staged result was based on stale
+    data and has been discarded — re-read and retry, exactly like a
+    Delta ConcurrentModificationException / Iceberg commit conflict."""
 
 
 @dataclass(frozen=True)
@@ -132,9 +141,52 @@ class ParquetCowTable:
             os.fsync(f.fileno())
         os.rename(tmp, self._latest_path())
 
-    def _next_version(self) -> int:
-        cur = self.current_version()
-        return (cur.version + 1) if cur else 1
+    def _write_staging(self, df: DataFrame) -> str:
+        """Write a full clustered snapshot into an anonymous staging
+        directory ('.'-prefixed: invisible to readers). The version
+        number is assigned at promote time, never at write time — two
+        concurrent writers can stage freely without touching each
+        other."""
+        sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        writer = self._cluster_for_write(df).write.mode("overwrite")
+        if self.spec.partition_key:
+            writer = writer.partitionBy(self.spec.partition_key)
+        writer.parquet(sdir)
+        return sdir
+
+    def _promote(self, staging: str, expected_version: int) -> int:
+        """Optimistic-concurrency commit (the Delta/Iceberg protocol):
+        under an exclusive lock file, verify the table head is still the
+        snapshot this write was computed from, then atomically rename
+        the staging directory to the next version and advance the
+        pointer. Any mismatch discards the staging result and raises
+        ``ConcurrentWriteError`` — a stale merge can never clobber a
+        newer commit, and two writers can never produce the same
+        version directory."""
+        lock = os.path.join(self.path, _COMMIT_LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.spec.qualified_name}: another commit is in flight"
+            ) from None
+        try:
+            cur = self.current_version()
+            latest = cur.version if cur else 0
+            if latest != expected_version:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{self.spec.qualified_name}: expected to commit on top of "
+                    f"v{expected_version} but head is v{latest}; re-read and retry"
+                )
+            n = latest + 1
+            os.rename(staging, os.path.join(self.path, _fmt_version(n)))
+            self._commit(n)
+            return n
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def _write_meta(self) -> None:
         meta = {
