@@ -23,7 +23,8 @@ capability surface natively on Spark + parquet:
 - Maintenance: ``compact`` (small-file rewrite) and ``vacuum`` (drop
   unreferenced versions) — the reference's north-star gap (SURVEY §4).
 
-Commit protocol (single-writer, like the reference's
+Commit protocol (optimistic concurrency — stronger than the
+reference, which simply serializes writers with
 ``max_concurrent_runs=1`` — ``cdk_stacks/glue_stack.py:156-158``):
 
 ```
@@ -31,13 +32,21 @@ Commit protocol (single-writer, like the reference's
   _LATEST            text file holding the committed version number;
                      written to a temp name then os.rename'd (atomic on
                      POSIX) — readers never observe a partial commit
-  _v00000001/        immutable version directory of parquet data files
-  _v00000002/        (hive-partitioned subdirs when partition_key set)
+  v00000001/         immutable version directory of parquet data files
+  v00000002/         (hive-partitioned subdirs when partition_key set)
+  .staging-<uuid>/   writer-private staging; renamed to v<n> at commit
 ```
 
-A failed job leaves at most an orphaned ``_v*`` staging directory that
-``_LATEST`` never references; the next ``vacuum`` removes it. On S3 the
-same protocol works with a conditional PUT of the pointer object.
+Every write stages into an anonymous ``.staging-*`` directory, then
+``_promote`` — under an ``O_EXCL`` lock file — verifies the table head
+still equals the snapshot the write was computed from, renames staging
+to the next version, and advances the pointer. A stale writer gets
+``ConcurrentWriteError`` and its staging is discarded: the
+Delta ``ConcurrentModificationException`` / Iceberg commit-conflict
+semantics. A crashed job leaves at most an orphaned staging directory
+that ``_LATEST`` never references; the next ``vacuum`` removes it. On
+S3 the same protocol works with a conditional PUT of the pointer
+object.
 
 Scale design (100 TB, 1000 executors):
 
@@ -105,6 +114,31 @@ def _fmt_version(n: int) -> str:
     return f"{_VERSION_PREFIX}{n:08d}"
 
 
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+# The character set Hive/Spark escape in partition path segments
+# (ExternalCatalogUtils.escapePathName): these plus control chars.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition value exactly as Spark names the hive
+    directory segment: null -> __HIVE_DEFAULT_PARTITION__, booleans
+    lowercase, reserved chars %XX-escaped. Needed so the link-forward
+    skip set matches what is actually on disk."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 class ParquetCowTable:
     """One managed copy-on-write table under a warehouse directory."""
 
@@ -141,14 +175,16 @@ class ParquetCowTable:
             os.fsync(f.fileno())
         os.rename(tmp, self._latest_path())
 
-    def _write_staging(self, df: DataFrame) -> str:
-        """Write a full clustered snapshot into an anonymous staging
-        directory ('.'-prefixed: invisible to readers). The version
-        number is assigned at promote time, never at write time — two
-        concurrent writers can stage freely without touching each
-        other."""
+    def _write_staging(self, df: DataFrame, cluster: bool = True) -> str:
+        """Write a full snapshot into an anonymous staging directory
+        ('.'-prefixed: invisible to readers). The version number is
+        assigned at promote time, never at write time — two concurrent
+        writers can stage freely without touching each other.
+        ``cluster=False`` lets callers that already shaped the
+        partitioning (compact) skip the default write clustering."""
         sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        writer = self._cluster_for_write(df).write.mode("overwrite")
+        out = self._cluster_for_write(df) if cluster else df
+        writer = out.write.mode("overwrite")
         if self.spec.partition_key:
             writer = writer.partitionBy(self.spec.partition_key)
         writer.parquet(sdir)
@@ -213,15 +249,6 @@ class ParquetCowTable:
             )
         return df.sortWithinPartitions(self.spec.primary_key)
 
-    def _write_version(self, df: DataFrame, n: int) -> str:
-        """Write a full new version directory (not yet committed)."""
-        vdir = os.path.join(self.path, _fmt_version(n))
-        writer = self._cluster_for_write(df).write.mode("overwrite")
-        if self.spec.partition_key:
-            writer = writer.partitionBy(self.spec.partition_key)
-        writer.parquet(vdir)
-        return vdir
-
     def create(self, df: DataFrame, if_not_exists: bool = True) -> bool:
         """W1/W2: initial bulk load. Returns False when skipped because
         the table already exists (idempotent-create, reference
@@ -231,18 +258,17 @@ class ParquetCowTable:
                 return False
             raise FileExistsError(self.spec.qualified_name)
         self._write_meta()
-        n = self._next_version()
-        self._write_version(df, n)
-        self._commit(n)
+        staging = self._write_staging(df)
+        self._promote(staging, expected_version=0)
         return True
 
     def overwrite(self, df: DataFrame) -> None:
         """W4: replace table contents (reference
         ``src/delta/delta-initial-load.py:61-78`` overwrite mode)."""
         self._write_meta()
-        n = self._next_version()
-        self._write_version(df, n)
-        self._commit(n)
+        cur = self.current_version()
+        staging = self._write_staging(df)
+        self._promote(staging, expected_version=cur.version if cur else 0)
 
     # -- read path ---------------------------------------------------------
 
@@ -314,9 +340,12 @@ class ParquetCowTable:
         """Hard-link unaffected partition subdirectories from the
         previous version into the new one — metadata-only carry-forward
         of unchanged data files (what a real table format does by
-        re-referencing files in the new snapshot)."""
+        re-referencing files in the new snapshot). Skip-set entries are
+        rendered with Hive path escaping (nulls ->
+        __HIVE_DEFAULT_PARTITION__, reserved chars %XX) so they match
+        the on-disk directory names Spark wrote."""
         part = self.spec.partition_key
-        skip = {f"{part}={v}" for v in skip_partitions}
+        skip = {f"{part}={_escape_partition_value(v)}" for v in skip_partitions}
         for entry in os.listdir(old_dir):
             src_sub = os.path.join(old_dir, entry)
             if not entry.startswith(f"{part}=") or entry in skip:
@@ -356,30 +385,34 @@ class ParquetCowTable:
         pk, part = self.spec.primary_key, self.spec.partition_key
         cur = self.current_version()
         affected = self._affected_partitions(src, delete)
-        n = self._next_version()
-        vdir = os.path.join(self.path, _fmt_version(n))
 
-        tgt_affected = self.read().filter(F.col(part).isin(affected))
+        # isin() is null-rejecting, so a null partition value in the
+        # affected set needs an explicit isNull branch or its target
+        # rows would silently survive in the linked-forward files.
+        non_null = [v for v in affected if v is not None]
+        cond = F.col(part).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in affected):
+            cond = cond | F.col(part).isNull()
+        tgt_affected = self.read().filter(cond)
         if delete:
             merged = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
         else:
             merged = self._apply_upsert(tgt_affected, src, guard_col)
 
-        writer = self._cluster_for_write(merged).write.mode("overwrite").partitionBy(part)
-        writer.parquet(vdir)
-        self._link_forward(cur.path, vdir, affected)
-        self._commit(n)
+        staging = self._write_staging(merged)
+        self._link_forward(cur.path, staging, affected)
+        self._promote(staging, expected_version=cur.version)
 
     def _merge_full(self, src: DataFrame, delete: bool, guard_col: str | None = None) -> None:
         pk = self.spec.primary_key
+        cur = self.current_version()
         tgt = self.read()
         if delete:
             merged = tgt.join(src.select(pk).distinct(), pk, "left_anti")
         else:
             merged = self._apply_upsert(tgt, src, guard_col)
-        n = self._next_version()
-        self._write_version(merged, n)
-        self._commit(n)
+        staging = self._write_staging(merged)
+        self._promote(staging, expected_version=cur.version)
 
     def merge_upsert(self, src: DataFrame, guard_col: str | None = None) -> None:
         """W5/W6/J1: ``MERGE INTO t USING s ON s.pk = t.pk WHEN MATCHED
@@ -439,18 +472,23 @@ class ParquetCowTable:
     def compact(self, target_file_mb: int = 128) -> None:
         """Small-file compaction (Delta OPTIMIZE / Iceberg
         rewrite_data_files equivalent): rewrite the current snapshot
-        with a file count sized from data volume."""
+        with a file count sized from data volume — ONE exchange.
+        Partitioned tables hash on the partition key into the target
+        task count (each hive partition's rows land in one task, so
+        each partition directory gets at most one file per colliding
+        key-group); unpartitioned tables round-robin into exactly
+        ``n_files`` tasks."""
+        cur = self.current_version()
         df = self.read()
         total_bytes = sum(os.path.getsize(p) for p in self.data_files())
-        n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-        compacted = df.repartition(int(n_files))
-        n = self._next_version()
-        vdir = os.path.join(self.path, _fmt_version(n))
-        writer = self._cluster_for_write(compacted).write.mode("overwrite")
-        if self.spec.partition_key:
-            writer = writer.partitionBy(self.spec.partition_key)
-        writer.parquet(vdir)
-        self._commit(n)
+        n_files = int(max(1, total_bytes // (target_file_mb * 1024 * 1024)))
+        pk, part = self.spec.primary_key, self.spec.partition_key
+        if part:
+            compacted = df.repartition(n_files, F.col(part)).sortWithinPartitions(part, pk)
+        else:
+            compacted = df.repartition(n_files).sortWithinPartitions(pk)
+        staging = self._write_staging(compacted, cluster=False)
+        self._promote(staging, expected_version=cur.version)
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots, oldest
@@ -485,13 +523,19 @@ class ParquetCowTable:
         removed: list[str] = []
         keep_from = cur.version - retain_last + 1
         for entry in sorted(os.listdir(self.path)):
+            if entry.startswith(".staging-"):
+                # Orphaned staging from a crashed or conflict-losing
+                # writer — never referenced, always safe to drop.
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                removed.append(entry)
+                continue
             if not entry.startswith(_VERSION_PREFIX):
                 continue
             try:
                 v = int(entry[len(_VERSION_PREFIX):])
             except ValueError:
                 continue
-            if v < keep_from or v > cur.version:  # orphaned staging too
+            if v < keep_from or v > cur.version:  # uncommitted versions too
                 shutil.rmtree(os.path.join(self.path, entry))
                 removed.append(entry)
         return removed
