@@ -73,8 +73,14 @@ def train_centroids(
     vec_col: str = "embedding",
     iters: int = 4,
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means. Init = k evenly spaced vectors in
-    id order (no RNG — reproducible across runs and cluster sizes).
+    """Deterministic Lloyd k-means. Init = the k vectors with the
+    smallest ``xxhash64(id)`` — a deterministic pseudo-random sample
+    that is **layout-independent** (same seeds whatever the partition
+    count or row order) and scale-cheap: ``orderBy(hash).limit(k)``
+    plans as TakeOrderedAndProject, a per-partition top-k + driver
+    merge, never a global sort. (Round-2 advisory: the previous
+    ``monotonically_increasing_id % step`` filter was neither evenly
+    spaced nor layout-stable under multi-partition input.)
     Each iteration: assign (map-only) → per-dimension mean per cluster
     (posexplode + groupBy). Empty clusters keep their previous
     centroid."""
@@ -83,11 +89,8 @@ def train_centroids(
     if n == 0:
         raise ValueError("cannot train centroids on an empty table")
     k = min(k, n)
-    step = max(1, n // k)
     seed_rows = (
-        d.orderBy(id_col)
-        .withColumn("__rn", F.monotonically_increasing_id())
-        .filter((F.col("__rn") % step == 0))
+        d.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k)
         .select(vec_col)
         .collect()
@@ -134,14 +137,21 @@ def build_ivf(
     centroids). Persist the returned frame (or write it partitioned by
     cluster_id) to make probing physical.
 
-    The spread+cast working set is persisted before training: Lloyd's
-    loop makes ``iters`` passes plus the final assignment over the same
+    The spread+cast working set is persisted for the duration of
+    training only: Lloyd's loop makes ``iters`` passes over the same
     rows, and without the cache each pass re-reads and re-casts the
-    source (measured 5.4s -> 3.7s at sf0.1). At index-build scale the
-    equivalent is materializing the vector table once before clustering."""
-    d = _spread(as_double_vec(df, vec_col)).persist()
-    d.count()  # materialize the working set once
-    centroids = train_centroids(d, k, id_col, vec_col, iters)
+    source (measured 5.4s -> 3.7s at sf0.1). The cache is released
+    before returning (round-2 advisory: it leaked for the session
+    lifetime) — the returned assignment is a fresh uncached lineage,
+    one source scan at materialization, which a caller persisting or
+    writing the index pays exactly once anyway."""
+    cached = _spread(as_double_vec(df, vec_col)).persist()
+    cached.count()  # materialize the working set once
+    try:
+        centroids = train_centroids(cached, k, id_col, vec_col, iters)
+    finally:
+        cached.unpersist()
+    d = _spread(as_double_vec(df, vec_col))
     return assign_clusters(d, centroids, vec_col), centroids
 
 

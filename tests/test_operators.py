@@ -3,6 +3,7 @@ directly: CDC helpers, text quality/lang/fingerprint, MinHash/SimHash
 dedup, embedding LSH (planted near-dups)."""
 
 import math
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
@@ -192,3 +193,56 @@ def test_ivf_partial_probe_recall_and_pruning(spark):
     assert sum(sizes.values()) == cand.count()
     assert max(sizes.values()) < cand.count()
     indexed.unpersist()
+
+
+def test_ivf_seeding_is_layout_independent(spark):
+    """Centroid seeds (hence trained centroids) must be identical
+    whatever the input partitioning — pins the xxhash64-based seed
+    selection (round-2: monotonically_increasing_id seeding drifted
+    with partition layout)."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_ivf import (
+        train_centroids)
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    c1 = train_centroids(emb.repartition(1), k=4, iters=1)
+    c7 = train_centroids(emb.repartition(7, "vec_id"), k=4, iters=1)
+    c13 = train_centroids(emb.orderBy(F.col("vec_id").desc()).repartition(13), k=4, iters=1)
+    assert c1 == c7 == c13
+
+
+def test_ivf_probe_pruning_is_physical(spark, tmp_path):
+    """Writing the indexed table partitioned by cluster_id through the
+    CoW format must make nprobe pruning a FILE-level partition filter:
+    a 1-list probe opens fewer files than the full table holds — the
+    property that turns nprobe/k into physical scan fraction at 100 TB."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ParquetCowTable)
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_ivf import (
+        build_ivf, ivf_topk)
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    indexed, centroids = build_ivf(emb.filter(F.col("vec_id") != 0), k=4, iters=2)
+    spec = TableSpec("ivf_index", "vec_id", "cluster_id", None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    tbl.create(indexed)
+    n_lists = len({os.path.dirname(p) for p in tbl.data_files()})
+    assert n_lists >= 3  # several hive partitions exist
+
+    probed = ivf_topk(tbl.read(), centroids, qvec, k=5, nprobe=1)
+    probed.collect()
+    scan = probed._jdf.queryExecution().executedPlan().collectLeaves().head()
+    files_opened = scan.metrics().apply("numFiles").value()
+    total_files = len(tbl.data_files())
+    assert files_opened < total_files
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
