@@ -35,9 +35,13 @@ class TableFormat(Protocol):
 
     def exists(self) -> bool: ...
 
-    def create(self, df: DataFrame, if_not_exists: bool = True) -> bool: ...
+    def create(
+        self, df: DataFrame, if_not_exists: bool = True, snapshot_meta: dict | None = None
+    ) -> bool: ...
 
-    def overwrite(self, df: DataFrame) -> None: ...
+    def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None: ...
+
+    def snapshot_meta(self, version: int | None = None) -> dict | None: ...
 
     def read(self) -> DataFrame: ...
 

@@ -87,6 +87,7 @@ from ..spec import TableSpec
 _LATEST = "_LATEST"
 _VERSION_PREFIX = "v"
 _META = "_format.json"
+_SNAPSHOT_META = "_snapshot.json"
 _MANIFEST_DIR = "_symlink_manifest"
 _COMMIT_LOCK = "_commit.lock"
 
@@ -249,7 +250,34 @@ class ParquetCowTable:
             )
         return df.sortWithinPartitions(self.spec.primary_key)
 
-    def create(self, df: DataFrame, if_not_exists: bool = True) -> bool:
+    def _stage_snapshot_meta(self, staging: str, meta: dict | None) -> None:
+        """Write caller metadata INTO the staging directory so it
+        commits atomically with the data when staging is renamed to a
+        version — the mechanism that gives IVM's processed-file set
+        exactly-once semantics (no window where table and ledger
+        disagree). '_'-prefixed: invisible to parquet readers."""
+        if meta is None:
+            return
+        with open(os.path.join(staging, _SNAPSHOT_META), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    def snapshot_meta(self, version: int | None = None) -> dict | None:
+        """Caller metadata committed atomically with ``version``
+        (default: the current head). None when that snapshot carried
+        none."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        vpath = cur.path if version is None else os.path.join(self.path, _fmt_version(version))
+        mpath = os.path.join(vpath, _SNAPSHOT_META)
+        if not os.path.isfile(mpath):
+            return None
+        with open(mpath, encoding="utf-8") as f:
+            return json.load(f)
+
+    def create(
+        self, df: DataFrame, if_not_exists: bool = True, snapshot_meta: dict | None = None
+    ) -> bool:
         """W1/W2: initial bulk load. Returns False when skipped because
         the table already exists (idempotent-create, reference
         ``src/hudi/hudi-initial-load.py:109-110``)."""
@@ -259,15 +287,17 @@ class ParquetCowTable:
             raise FileExistsError(self.spec.qualified_name)
         self._write_meta()
         staging = self._write_staging(df)
+        self._stage_snapshot_meta(staging, snapshot_meta)
         self._promote(staging, expected_version=0)
         return True
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
         """W4: replace table contents (reference
         ``src/delta/delta-initial-load.py:61-78`` overwrite mode)."""
         self._write_meta()
         cur = self.current_version()
         staging = self._write_staging(df)
+        self._stage_snapshot_meta(staging, snapshot_meta)
         self._promote(staging, expected_version=cur.version if cur else 0)
 
     # -- read path ---------------------------------------------------------

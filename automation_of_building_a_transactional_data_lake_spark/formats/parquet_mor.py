@@ -109,7 +109,9 @@ class ParquetMorTable:
         df.sortWithinPartitions(self.spec.primary_key).write.mode("overwrite").parquet(d)
         return d
 
-    def create(self, df: DataFrame, if_not_exists: bool = True) -> bool:
+    def create(
+        self, df: DataFrame, if_not_exists: bool = True, snapshot_meta: dict | None = None
+    ) -> bool:
         if self.exists():
             if if_not_exists:
                 return False
@@ -117,14 +119,21 @@ class ParquetMorTable:
         os.makedirs(self.path, exist_ok=True)
         base = f"b{1:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": []})
+        self._commit({"base": base, "deltas": [], "meta": snapshot_meta})
         return True
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
         cur = self.current_snapshot()
         base = f"b{(cur['n'] + 1) if cur else 1:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": []})
+        self._commit({"base": base, "deltas": [], "meta": snapshot_meta})
+
+    def snapshot_meta(self, version: int | None = None) -> dict | None:
+        """Caller metadata committed atomically with the snapshot json
+        (same contract as ParquetCowTable.snapshot_meta)."""
+        if not self.exists():
+            return None
+        return self._snapshot(version).get("meta")
 
     def _check_unique_keys(self, src: DataFrame) -> None:
         pk = self.spec.primary_key
@@ -145,7 +154,9 @@ class ParquetMorTable:
             rows.withColumn(_OP, F.lit(op)).withColumn(_SEQ, F.lit(seq).cast("long")),
             delta,
         )
-        self._commit({"base": cur["base"], "deltas": cur["deltas"] + [delta]})
+        self._commit(
+            {"base": cur["base"], "deltas": cur["deltas"] + [delta], "meta": cur.get("meta")}
+        )
 
     def merge_upsert(self, src: DataFrame) -> None:
         """O(batch) append: the merge itself is deferred to read/compact."""
@@ -192,7 +203,7 @@ class ParquetMorTable:
             return
         base = f"b{cur['n'] + 1:08d}"
         self._write_dir(self.read(), base)
-        self._commit({"base": base, "deltas": []})
+        self._commit({"base": base, "deltas": [], "meta": cur.get("meta")})
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots with their

@@ -9,11 +9,18 @@ decomposable aggregate, so maintenance cost should scale with the
 NEW data, not the table: partial-aggregate the new batch, then
 combine with the stored state (counts and sums add; mins/maxes fold).
 
-Components reused: ``FileLedger`` (S3 only-new-files semantics) for
-discovery, a ``TableFormat`` table for the versioned rollup state —
-so refresh history is time-travelable and a crash between overwrite
-and ledger-commit just re-folds the same batch into the PREVIOUS
-version (at-least-once + versioned state = exactly-once outcome).
+Exactly-once: the processed-file set is NOT a side ledger — it is
+committed **atomically with the rollup version** via the table
+format's ``snapshot_meta`` (the set rides inside the staged version
+directory, so the rename that publishes the data publishes the set).
+There is no state window where "table updated, ledger not": a crash
+before promote leaves no new version and no new processed set (the
+re-run refolds the batch once); a crash after promote left both.
+Rolling the table back to an older version automatically rolls the
+processed set back with it. (Round-2 advisory: the previous
+side-ledger design double-counted after a crash between
+``overwrite()`` and ``ledger.commit()``.) Discovery still reuses
+``FileLedger.discover`` (recursive raw-zone listing).
 
 Scale: the expensive input scan touches only new files; the combine
 re-aggregates |existing rollup| + |new partials| rows — for an
@@ -71,7 +78,14 @@ class IncrementalRollup:
         self.group_cols = list(group_cols)
         self.aggs = list(aggs)
         self.prepare = prepare  # optional df->df hook (casts, derived keys)
-        self.ledger = FileLedger(table.path)
+
+    def processed(self) -> set[str]:
+        """The processed-file set of the CURRENT table version — read
+        from the snapshot's atomic metadata, never from a side file."""
+        if not self.table.exists():
+            return set()
+        meta = self.table.snapshot_meta()
+        return set(meta["processed_files"]) if meta else set()
 
     def _partial(self, df: DataFrame) -> DataFrame:
         exprs = []
@@ -90,7 +104,8 @@ class IncrementalRollup:
 
     def refresh(self, spark: SparkSession) -> dict:
         """Fold new files in; returns {'new_files': n, 'rollup_rows': m}."""
-        files = self.ledger.new_files(self.raw_dir)
+        done = self.processed()
+        files = [p for p in FileLedger.discover(self.raw_dir) if p not in done]
         if not files:
             rows = self.table.read().count() if self.table.exists() else 0
             return {"new_files": 0, "rollup_rows": rows}
@@ -100,13 +115,13 @@ class IncrementalRollup:
             batch = self.prepare(batch)
         partial = self._partial(batch)
 
+        # The updated processed set commits in the SAME atomic rename
+        # that publishes the new rollup version — exactly-once.
+        meta = {"processed_files": sorted(done | set(files))}
         if self.table.exists():
             merged = self._combine(self.table.read().unionByName(partial))
-            self.table.overwrite(merged)
+            self.table.overwrite(merged, snapshot_meta=meta)
         else:
             # First batch: partials ARE the rollup.
-            self.table.create(partial)
-        # Ledger commits only after the table version committed
-        # (reference job.commit() ordering).
-        self.ledger.commit(files)
+            self.table.create(partial, snapshot_meta=meta)
         return {"new_files": len(files), "rollup_rows": self.table.read().count()}

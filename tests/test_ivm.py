@@ -91,30 +91,42 @@ def test_refresh_without_new_files_is_noop(spark, tmp_path, arrivals):
     assert r.table.current_version().version == v_before  # no empty version
 
 
-def test_crash_before_ledger_commit_converges(spark, tmp_path, arrivals):
-    """Simulate: table version committed but ledger commit lost — the
-    re-run refolds the same batch into the PREVIOUS table version (the
-    one the surviving ledger state corresponds to), so the outcome
-    converges instead of double-counting."""
+def test_processed_set_commits_atomically_with_version(spark, tmp_path, arrivals):
+    """Exactly-once: the processed-file set rides inside the version
+    snapshot, so there is NO state window where the table head and the
+    ledger disagree (round-2 advisory: the old side-ledger design
+    double-counted after a crash between overwrite and ledger-commit).
+    A crash before promote leaves neither the version nor the set; a
+    rollback to an older version rolls the set back with it."""
     ev, raw = arrivals
     r = _rollup(spark, tmp_path, raw)
     r.refresh(spark)
+    v1_processed = r.processed()
+    assert v1_processed and all("wave1" in p for p in v1_processed)
 
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{raw}/wave2")
-    ledger_state = r.ledger.processed()
     r.refresh(spark)
-    # "crash": restore the pre-refresh ledger; roll the table back to the
-    # matching version (the versioned table keeps it).
-    r.ledger.commit([])  # materialize dir
-    import os
+    assert any("wave2" in p for p in r.processed())
 
-    with open(r.ledger.path, "w", encoding="utf-8") as f:
-        f.write("\n".join(sorted(ledger_state)) + "\n")
-    os.replace(r.ledger.path, r.ledger.path)
+    # Crash-simulation A: a torn run that staged but never promoted
+    # changes nothing — an abandoned staging dir is invisible.
+    staging = r.table._write_staging(r.table.read().limit(1))
+    assert r.processed() == {p for p in r.processed()}  # unchanged
+    import shutil
+
+    shutil.rmtree(staging)
+
+    # Crash-simulation B: roll the table back to the wave1-only
+    # version — the processed set MUST roll back with it, so the next
+    # refresh refolds wave2 exactly once (no double count).
     prev = r.table.current_version().version - 1
-    r.table.overwrite(r.table.read(version=prev))
+    r.table.overwrite(
+        r.table.read(version=prev), snapshot_meta=r.table.snapshot_meta(version=prev)
+    )
+    assert r.processed() == v1_processed
+    rep = r.refresh(spark)
+    assert rep["new_files"] > 0  # wave2 refolded once
 
-    r.refresh(spark)  # re-folds wave2 once
     full = (
         _prepare(ev)
         .groupBy("hour", "event_type")
