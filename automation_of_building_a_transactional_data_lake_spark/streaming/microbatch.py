@@ -28,10 +28,48 @@ from __future__ import annotations
 from datetime import datetime
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..pipeline import CDC_ZONE, apply_cdc_batch
 from ..spec import TableSpec
+
+
+def stage_micros_parquet(
+    spark: SparkSession,
+    src_path: str,
+    out_dir: str,
+    ns_ts_cols: tuple[str, ...] = ("ts",),
+) -> str:
+    """Normalize INT64 TIMESTAMP(NANOS) parquet (the driver's ``events``
+    table) into standard microsecond parquet a STREAMING file source can
+    consume.
+
+    Spark 4 rejects nanosecond parquet outright unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — a BATCH-only knob
+    with no ``readStream`` hook, so the streaming CDC twin cannot read
+    such files directly. This bridge batch-reads with the knob, rebuilds
+    µs timestamps in long arithmetic (``div 1000`` — exact; a double
+    division would lose precision above 2^53 ns), and rewrites. At scale
+    it is a one-off normalization pass over the raw zone (or the
+    producer writes µs in the first place); from then on every stream
+    reads the staged copy. Returns ``out_dir``.
+    """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(src_path)
+        dtypes = dict(df.dtypes)
+        for c in ns_ts_cols:
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.write.mode("overwrite").parquet(out_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return out_dir
 
 
 def cdc_stream_available_now(

@@ -74,6 +74,60 @@ def test_cdc_stream_available_now_matches_batch_semantics(spark, tmp_path):
     assert cat.read_table(spec).count() == 10044
 
 
+def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
+    """Round-2 gap: the driver's events.parquet is INT64
+    TIMESTAMP(NANOS), which the streaming file source cannot read (the
+    nanosAsLong knob is batch-only). stage_micros_parquet normalizes it
+    to µs parquet; this gates stream ≡ batch on REAL testdata through
+    the stream path end-to-end."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        CDC_ZONE,
+        INITIAL_ZONE,
+        cdc_load,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+    from automation_of_building_a_transactional_data_lake_spark.streaming.microbatch import (
+        stage_micros_parquet,
+    )
+    from .conftest import SF_SMOKE
+
+    staged = stage_micros_parquet(
+        spark, f"{SF_SMOKE}/events.parquet", str(tmp_path / "staged_events")
+    )
+    ev = spark.read.parquet(staged)
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # µs path, no legacy knob
+
+    # Synthesize a CDC raw zone from the real rows: evens are the
+    # initial snapshot, odds arrive as an insert batch with the DMS
+    # envelope (Op, timestamp).
+    spec = TableSpec("events_state", "event_id", None, None, "streamdb")
+    root = str(tmp_path / "raw")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(
+        f"{root}/{INITIAL_ZONE}/{spec.database}/{spec.table_name}"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).withColumn("Op", F.lit("I")).withColumn(
+        "timestamp", F.col("ts")
+    ).write.parquet(f"{root}/{CDC_ZONE}/{spec.database}/{spec.table_name}")
+
+    clock = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    # Batch twin.
+    cat_b = Catalog(spark, str(tmp_path / "wh_batch"))
+    initial_load(spark, cat_b, spec, root)
+    cdc_load(spark, cat_b, spec, root, clock=clock)
+    # Stream twin over the same staged raw zone.
+    cat_s = Catalog(spark, str(tmp_path / "wh_stream"))
+    initial_load(spark, cat_s, spec, root)
+    t = cdc_stream_available_now(
+        spark, cat_s, spec, root, str(tmp_path / "ckpt_ev"), clock=clock
+    )
+    assert sum(x.get("I", 0) for x in t) == ev.filter(F.col("event_id") % 2 == 1).count()
+
+    cols = sorted(cat_b.read_table(spec).columns)
+    got_b = sorted(map(tuple, cat_b.read_table(spec).select(*cols).collect()))
+    got_s = sorted(map(tuple, cat_s.read_table(spec).select(*cols).collect()))
+    assert got_b == got_s and len(got_b) == ev.count()
+
+
 def test_cdc_stream_requires_table(spark, tmp_path):
     spec = GAME_SPECS_BY_NAME["user_data"]
     cat = Catalog(spark, str(tmp_path / "wh2"))

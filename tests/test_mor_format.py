@@ -77,19 +77,31 @@ def test_mor_upsert_wins_over_older_delete(spark, tmp_path):
 
 
 def test_full_pipeline_equivalence_cow_vs_mor(spark, tmp_path):
-    """The same demo lifecycle through both backends yields identical
-    final state — the format really is pluggable."""
-    spec = next(s for s in GAME_SPECS if s.table_name == "user_data")
+    """The ENTIRE game demo lifecycle (all tables: initial load + CDC
+    merge, including item_data's in-batch duplicate keys and
+    play_data's case-sensitive column) through both backends yields
+    identical final state on every column — the format really is
+    pluggable end-to-end, one catalog switch like the reference's
+    cdk.json:87."""
     results = {}
     for fmt in ("cow", "mor"):
         cat = Catalog(spark, str(tmp_path / fmt), table_format=fmt)
-        initial_load_all(spark, cat, [spec], DEMO)
-        cdc_load_all(spark, cat, [spec], DEMO, clock=CLOCK)
-        rows = (
-            cat.read_table(spec)
-            .select("user_id", "email", "cur_level", "last_applied_date")
-            .collect()
-        )
-        results[fmt] = sorted((r.user_id, r.email, r.cur_level, r.last_applied_date) for r in rows)
-    assert results["cow"] == results["mor"]
-    assert len(results["cow"]) == 10044
+        init = initial_load_all(spark, cat, GAME_SPECS, DEMO)
+        assert [r.action for r in init] == ["created"] * len(GAME_SPECS)
+        cdc_load_all(spark, cat, GAME_SPECS, DEMO, clock=CLOCK)
+        per_table = {}
+        for spec in GAME_SPECS:
+            df = cat.read_table(spec)
+            cols = sorted(df.columns)
+            rows = [tuple(r) for r in df.select(*cols).collect()]
+            # None-safe ordering: nulls (e.g. audit col on untouched
+            # rows) sort before values without ever comparing across types.
+            rows.sort(key=lambda t: tuple((v is not None, v) for v in t))
+            per_table[spec.table_name] = (cols, rows)
+        results[fmt] = per_table
+    for spec in GAME_SPECS:
+        cow_cols, cow_rows = results["cow"][spec.table_name]
+        mor_cols, mor_rows = results["mor"][spec.table_name]
+        assert cow_cols == mor_cols, spec.table_name
+        assert cow_rows == mor_rows, spec.table_name
+    assert len(results["cow"]["user_data"][1]) == 10044
