@@ -29,6 +29,8 @@ and co-partitioned on the id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,16 +53,15 @@ _LONG_MAX = (1 << 63) - 1
 
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature as an array<long> of length ``num_perm``.
-    Permutation i is approximated by ``xxhash64(shingle, i)`` (seeded
-    hash families are the standard practical stand-in for random
-    permutations).
+    """MinHash signature as an array<long> of length ``num_perm``,
+    built from ONE ``aggregate`` fold with an elementwise running-min
+    accumulator over per-shingle ``xxhash64(shingle, seed_i)`` values.
 
-    Formulated as ONE ``aggregate`` pass whose accumulator is the
-    running elementwise minimum vector: codegen size stays constant in
-    ``num_perm`` (the per-permutation variant — num_perm separate
-    ``array_min(transform(...))`` expressions — compiled ~10s of
-    generated code per query and ran 2x slower).
+    Kept as the pure-expression reference implementation (no Python
+    dependency, exact same semantics on any Spark): higher-order
+    functions evaluate INTERPRETED, so this costs
+    O(shingles x num_perm) interpreted expression evals per row —
+    ``minhash_signature_udf`` below is the production path.
 
     Lambda-arity trap (caught by the oracle gate): inner transform
     lambdas must take exactly ONE parameter — with two, PySpark binds
@@ -78,6 +79,45 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
         )
 
     return F.aggregate(shingles, init, merge)
+
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 0x5EED):
+    """Arrow-batched MinHash over PRE-HASHED shingles: the textbook
+    one-hash-then-mix scheme, split so each side does what it is fast
+    at. The JVM hashes every shingle once (``xxhash64`` — one
+    interpreted ``transform`` per row, O(shingles) not
+    O(shingles x num_perm)) and ships only ``array<long>`` to Python
+    (8 bytes/shingle over Arrow, never the strings); numpy then derives
+    the ``num_perm`` permutation values per hash with one outer
+    product against a universal-hash family ``h_i(x) = a_i*x + b_i``
+    (odd ``a_i``, mod 2^64 wraparound) and takes per-document
+    columnwise minima with ``np.minimum.reduceat`` over the flattened
+    batch. Replaces the O(shingles x num_perm) interpreted fold of
+    ``minhash_signature`` (kept above as the engine-pure reference
+    twin). Constants derive deterministically from ``seed`` — same
+    signatures every run, any partitioning.
+
+    Input column: ``array<long>`` of per-shingle hashes, e.g.
+    ``F.transform(shingles, lambda s: F.xxhash64(s))``.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def sig(hash_lists: pd.Series) -> pd.Series:
+        n = len(hash_lists)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in hash_lists), dtype=np.int64, count=n)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hash_lists])
+        h = flat.view(np.uint64)
+        vals = h[:, None] * a[None, :] + b  # (total_shingles, num_perm), mod 2^64
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        mins = np.minimum.reduceat(vals, starts, axis=0)
+        return pd.Series(list(np.ascontiguousarray(mins).view(np.int64)))
+
+    return sig
 
 
 def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -142,12 +182,14 @@ def minhash_near_dup_pairs(
     # CPU-bound stage. The same partitioning then co-locates the
     # verify joins on id.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    src = df.select(F.col(id_col), F.col(text_col)).repartition(n_parts, F.col(id_col))
+    sh = src.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    sig = sh.withColumn(
+        "__sig",
+        minhash_signature_udf(num_perm)(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+        ),
     )
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
     banded = sig.select(
         id_col,
         F.explode(band_buckets(F.col("__sig"), bands, rows_per_band)).alias("__bb"),
