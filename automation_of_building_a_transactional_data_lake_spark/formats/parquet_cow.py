@@ -88,6 +88,7 @@ _LATEST = "_LATEST"
 _VERSION_PREFIX = "v"
 _META = "_format.json"
 _SNAPSHOT_META = "_snapshot.json"
+_FILE_STATS = "_file_stats.json"
 _MANIFEST_DIR = "_symlink_manifest"
 _COMMIT_LOCK = "_commit.lock"
 
@@ -191,6 +192,119 @@ class ParquetCowTable:
         writer.parquet(sdir)
         return sdir
 
+    # -- file statistics (Delta-style data skipping) -----------------------
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-storable, ordering-preserving form of a footer min/max:
+        numbers and strings as-is, date/time as ISO strings (ISO string
+        order == chronological order), bytes decoded best-effort."""
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return None
+
+    def _collect_file_stats(self, vdir: str) -> dict:
+        """Per-file column min/max/null_count from parquet FOOTERS
+        (metadata-only reads, no data pages — the same stats Delta
+        stores in its transaction log and Iceberg in manifest files).
+        Runs driver-side over the version's file list; at real scale
+        the identical footer read distributes as one map over file
+        paths with a driver-side merge of k x cols tiny dicts."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for root, _dirs, files in os.walk(vdir):
+            for fname in files:
+                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                    continue
+                fpath = os.path.join(root, fname)
+                md = pq.ParquetFile(fpath).metadata
+                cols: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        c = row.column(ci)
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn = self._stat_value(st.min)
+                        mx = self._stat_value(st.max)
+                        if mn is None or mx is None:
+                            continue
+                        name = c.path_in_schema
+                        cur = cols.get(name)
+                        if cur is None:
+                            cols[name] = {"min": mn, "max": mx, "nulls": st.null_count or 0}
+                        else:
+                            cur["min"] = min(cur["min"], mn)
+                            cur["max"] = max(cur["max"], mx)
+                            cur["nulls"] += st.null_count or 0
+                out[os.path.relpath(fpath, vdir)] = cols
+        return out
+
+    def file_stats(self, version: int | None = None) -> dict | None:
+        """The committed per-file min/max stats of a snapshot (None for
+        pre-stats versions)."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        vpath = cur.path if version is None else os.path.join(self.path, _fmt_version(version))
+        spath = os.path.join(vpath, _FILE_STATS)
+        if not os.path.isfile(spath):
+            return None
+        with open(spath, encoding="utf-8") as f:
+            return json.load(f)
+
+    def pruned_files(self, col: str, lower=None, upper=None) -> list[str]:
+        """Data skipping: the subset of the snapshot's data files whose
+        footer [min, max] range for ``col`` intersects [lower, upper].
+        Files without stats for the column are conservatively kept.
+        This is the Delta/Iceberg stats-skip: on a table clustered by
+        the column, a narrow range opens O(range) files instead of
+        O(table)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        stats = self.file_stats() or {}
+        lo = self._stat_value(lower) if lower is not None else None
+        hi = self._stat_value(upper) if upper is not None else None
+        keep = []
+        for f in self.data_files():
+            s = stats.get(os.path.relpath(f, cur.path), {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            if (lo is None or s["max"] >= lo) and (hi is None or s["min"] <= hi):
+                keep.append(f)
+        return keep
+
+    def read_skipping(self, col: str, lower=None, upper=None) -> DataFrame:
+        """Range read through the stats index: scan only intersecting
+        files, then apply the exact residual predicate. Equivalent to
+        ``read().filter(lower <= col <= upper)`` — cheaper by the
+        skipped files."""
+        files = self.pruned_files(col, lower, upper)
+        cur = self.current_version()
+        if not files:
+            df = self.read()
+            return df.filter(F.lit(False))
+        reader = self.spark.read
+        if self.spec.partition_key:
+            reader = reader.option("basePath", cur.path)
+        df = reader.parquet(*files)
+        if lower is not None:
+            df = df.filter(F.col(col) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(col) <= F.lit(upper))
+        return df
+
     def _promote(self, staging: str, expected_version: int) -> int:
         """Optimistic-concurrency commit (the Delta/Iceberg protocol):
         under an exclusive lock file, verify the table head is still the
@@ -200,6 +314,13 @@ class ParquetCowTable:
         ``ConcurrentWriteError`` — a stale merge can never clobber a
         newer commit, and two writers can never produce the same
         version directory."""
+        # Footer stats are computed OUTSIDE the lock (metadata-only
+        # reads; linked-forward files are already in place) and land
+        # inside the staging dir, so they commit atomically with the
+        # data like snapshot_meta does.
+        stats = self._collect_file_stats(staging)
+        with open(os.path.join(staging, _FILE_STATS), "w", encoding="utf-8") as f:
+            json.dump(stats, f)
         lock = os.path.join(self.path, _COMMIT_LOCK)
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

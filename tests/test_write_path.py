@@ -235,6 +235,49 @@ def test_compact_layout_and_content(spark, tmp_path):
     assert {(r.id, r.val) for r in tbl.read().collect()} == before
 
 
+def test_file_stats_data_skipping(spark, tmp_path):
+    """Delta-style stats skipping: on a range-clustered table a narrow
+    range predicate opens a strict subset of files via footer min/max,
+    and the skipped read equals the full-scan filter exactly. Stats
+    commit atomically with the version (inside the staged dir)."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    df = (
+        spark.range(1000)
+        .selectExpr("id", "cast(id as string) AS val", "'x' AS cat")
+        .repartitionByRange(4, "id")
+    )
+    tbl.create(df)
+    assert len(tbl.data_files()) == 4
+    stats = tbl.file_stats()
+    assert stats and all("id" in s for s in stats.values())
+
+    pruned = tbl.pruned_files("id", 100, 120)
+    assert 1 <= len(pruned) < 4
+    got = {r.id for r in tbl.read_skipping("id", 100, 120).collect()}
+    want = {r.id for r in tbl.read().filter("id BETWEEN 100 AND 120").collect()}
+    assert got == want == set(range(100, 121))
+
+    # Open-ended ranges and the no-match fast path.
+    assert len(tbl.pruned_files("id", lower=900)) < 4
+    assert tbl.read_skipping("id", lower=2000).count() == 0
+    # Unknown column -> conservative, keeps everything, still correct.
+    assert len(tbl.pruned_files("nope", 0, 1)) == 4
+
+
+def test_file_stats_survive_merge_and_strings(spark, tmp_path):
+    """Merges re-collect stats for the new snapshot (including files
+    carried forward by hard link), and string columns skip too."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.create(_mk(spark, [(1, "apple", "x"), (2, "mango", "y"), (3, "zebra", "z")]))
+    tbl.merge_upsert(_mk(spark, [(2, "melon", "y")]))
+    stats = tbl.file_stats()
+    assert stats and all("val" in s for s in stats.values())
+    pruned = tbl.pruned_files("val", "a", "b")
+    assert len(pruned) < len(tbl.data_files())
+    got = {(r.id, r.val) for r in tbl.read_skipping("val", "a", "b").collect()}
+    assert got == {(1, "apple")}
+
+
 def test_catalog_listing_and_views(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path))
     assert cat.list_tables("testdb") == []
