@@ -72,47 +72,49 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 4,
+    sample_limit: int = 4096,
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means. Init = the k vectors with the
-    smallest ``xxhash64(id)`` — a deterministic pseudo-random sample
-    that is **layout-independent** (same seeds whatever the partition
-    count or row order) and scale-cheap: ``orderBy(hash).limit(k)``
-    plans as TakeOrderedAndProject, a per-partition top-k + driver
-    merge, never a global sort. (Round-2 advisory: the previous
-    ``monotonically_increasing_id % step`` filter was neither evenly
-    spaced nor layout-stable under multi-partition input.)
-    Each iteration: assign (map-only) → per-dimension mean per cluster
-    (posexplode + groupBy). Empty clusters keep their previous
-    centroid."""
+    """Deterministic Lloyd k-means for the coarse quantizer, trained
+    DRIVER-SIDE on a bounded sample — the faiss practice: an IVF
+    quantizer never trains on the corpus, it trains on a sample whose
+    size is independent of data scale (``sample_limit`` x dim doubles,
+    ~2 MB at the default). The sample is the ``sample_limit`` vectors
+    with the smallest ``xxhash64(id)``: deterministic, **layout-
+    independent** (same vectors whatever the partition count or row
+    order — round-2 advisory replaced a layout-drifting
+    ``monotonically_increasing_id`` filter), and planned as
+    TakeOrderedAndProject (per-partition top-k + driver merge, no
+    global sort). ONE Spark job total, regardless of ``iters`` — the
+    previous formulation ran assign+groupBy jobs per iteration.
+    Seeds = first k of the hash-ordered sample; empty clusters keep
+    their previous centroid; numpy math is row-order-deterministic."""
+    import numpy as np
+
     d = as_double_vec(df.select(id_col, vec_col), vec_col)
-    n = d.count()
-    if n == 0:
-        raise ValueError("cannot train centroids on an empty table")
-    k = min(k, n)
-    seed_rows = (
+    rows = (
         d.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(k)
+        .limit(sample_limit)
         .select(vec_col)
         .collect()
     )
-    centroids = [list(r[0]) for r in seed_rows]
-
+    if not rows:
+        raise ValueError("cannot train centroids on an empty table")
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    k = min(k, len(x))
+    centroids = x[:k].copy()
     for _ in range(iters):
-        assigned = assign_clusters(d, centroids, vec_col)
-        means = (
-            assigned.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
+        # (n, k) squared distances via |x|^2 - 2 x.C^T + |c|^2.
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
         )
-        new_centroids = [list(c) for c in centroids]
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster_id, {})[r.dim] = r.mean
-        for cid, dims in by_cluster.items():
-            new_centroids[cid] = [dims[i] for i in range(len(dims))]
-        centroids = new_centroids
-    return centroids
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in centroids]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -134,24 +136,17 @@ def build_ivf(
     iters: int = 4,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train the quantizer and return (table + cluster_id column,
-    centroids). Persist the returned frame (or write it partitioned by
-    cluster_id) to make probing physical.
+    centroids). Write the returned frame partitioned by ``cluster_id``
+    (or persist it) to make probing physical.
 
-    The spread+cast working set is persisted for the duration of
-    training only: Lloyd's loop makes ``iters`` passes over the same
-    rows, and without the cache each pass re-reads and re-casts the
-    source (measured 5.4s -> 3.7s at sf0.1). The cache is released
-    before returning (round-2 advisory: it leaked for the session
-    lifetime) — the returned assignment is a fresh uncached lineage,
-    one source scan at materialization, which a caller persisting or
-    writing the index pays exactly once anyway."""
-    cached = _spread(as_double_vec(df, vec_col)).persist()
-    cached.count()  # materialize the working set once
-    try:
-        centroids = train_centroids(cached, k, id_col, vec_col, iters)
-    finally:
-        cached.unpersist()
+    Training is one sample-collect job (see ``train_centroids``), so
+    no working-set cache is needed (round-2's persist — and its leak —
+    are gone with the per-iteration Spark jobs they served). The
+    returned assignment is a fresh lineage: one source scan at
+    materialization, which a caller persisting or writing the index
+    pays exactly once anyway."""
     d = _spread(as_double_vec(df, vec_col))
+    centroids = train_centroids(d, k, id_col, vec_col, iters)
     return assign_clusters(d, centroids, vec_col), centroids
 
 

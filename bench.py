@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from automation_of_building_a_transactional_data_lake_spark.session import SessionFactory
@@ -43,6 +45,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().collect()
+    # ... and the Arrow/pandas worker pool, which otherwise bills its
+    # one-time startup (~2s) to the first vectorized-UDF query.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    warm_udf = F.pandas_udf(_warm, "long")
+    spark.range(8).select(warm_udf("id")).collect()
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
