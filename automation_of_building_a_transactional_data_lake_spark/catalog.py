@@ -46,7 +46,31 @@ class Catalog:
         self.table_format = table_format
 
     def table(self, spec: TableSpec):
-        return _FORMATS[self.table_format](self.spark, self.warehouse, spec)
+        """Instantiate the table's backend. An EXISTING table is opened
+        with the format that wrote it (recorded in its `_format.json`
+        at create time), whatever this catalog's default — so a
+        warehouse can mix CoW analytics tables with MoR CDC tables and
+        a reader never applies the wrong reconciliation. New tables get
+        the catalog default."""
+        recorded = self._recorded_format(spec)
+        if recorded == "parquet_cow":  # legacy alias from early metas
+            recorded = "cow"
+        fmt = recorded if recorded in _FORMATS else self.table_format
+        return _FORMATS[fmt](self.spark, self.warehouse, spec)
+
+    def _recorded_format(self, spec: TableSpec) -> str | None:
+        meta_path = os.path.join(
+            self.warehouse, spec.database, spec.table_name, "_format.json"
+        )
+        if not os.path.isfile(meta_path):
+            return None
+        import json
+
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                return json.load(f).get("format")
+        except (OSError, ValueError):
+            return None
 
     def table_exists(self, spec: TableSpec) -> bool:
         """S5: existence check (reference

@@ -352,7 +352,7 @@ class ParquetCowTable:
             "database": self.spec.database,
             "primary_key": self.spec.primary_key,
             "partition_key": self.spec.partition_key,
-            "format": "parquet_cow",
+            "format": "cow",
         }
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _META), "w", encoding="utf-8") as f:

@@ -104,6 +104,20 @@ class ParquetMorTable:
 
     # -- write path --------------------------------------------------------
 
+    def _write_meta(self) -> None:
+        """Record the owning format so a catalog with a different
+        default still opens this table with MoR reconciliation."""
+        os.makedirs(self.path, exist_ok=True)
+        meta = {
+            "table": self.spec.table_name,
+            "database": self.spec.database,
+            "primary_key": self.spec.primary_key,
+            "partition_key": self.spec.partition_key,
+            "format": "mor",
+        }
+        with open(os.path.join(self.path, "_format.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=2)
+
     def _write_dir(self, df: DataFrame, name: str) -> str:
         d = os.path.join(self.path, name)
         df.sortWithinPartitions(self.spec.primary_key).write.mode("overwrite").parquet(d)
@@ -116,13 +130,14 @@ class ParquetMorTable:
             if if_not_exists:
                 return False
             raise FileExistsError(self.spec.qualified_name)
-        os.makedirs(self.path, exist_ok=True)
+        self._write_meta()
         base = f"b{1:08d}"
         self._write_dir(df, base)
         self._commit({"base": base, "deltas": [], "meta": snapshot_meta})
         return True
 
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
+        self._write_meta()
         cur = self.current_snapshot()
         base = f"b{(cur['n'] + 1) if cur else 1:08d}"
         self._write_dir(df, base)

@@ -76,6 +76,49 @@ def test_mor_upsert_wins_over_older_delete(spark, tmp_path):
     assert [(r.id, r.val) for r in tbl.read().collect()] == [(1, "back")]
 
 
+def test_snapshot_meta_carries_through_deltas_and_compact(spark, tmp_path):
+    """MoR snapshot_meta commits with the snapshot json and survives
+    merge-appended deltas and compaction (same contract as CoW)."""
+    tbl = ParquetMorTable(spark, str(tmp_path), SPEC)
+    tbl.create(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        snapshot_meta={"processed_files": ["w1"]},
+    )
+    assert tbl.snapshot_meta() == {"processed_files": ["w1"]}
+    tbl.merge_upsert(spark.createDataFrame([(2, "b")], "id long, val string"))
+    assert tbl.snapshot_meta() == {"processed_files": ["w1"]}  # carried
+    tbl.compact()
+    assert tbl.snapshot_meta() == {"processed_files": ["w1"]}
+    tbl.overwrite(
+        spark.createDataFrame([(9, "z")], "id long, val string"),
+        snapshot_meta={"processed_files": ["w1", "w2"]},
+    )
+    assert tbl.snapshot_meta() == {"processed_files": ["w1", "w2"]}
+
+
+def test_catalog_opens_table_with_writing_format(spark, tmp_path):
+    """A warehouse can mix formats: an existing table opens with the
+    backend that WROTE it (recorded in _format.json), not the catalog
+    default — a CoW-default catalog must read a MoR table through
+    delta reconciliation, and vice versa."""
+    wh = str(tmp_path)
+    mor_cat = Catalog(spark, wh, table_format="mor")
+    mor_cat.table(SPEC).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    mor_cat.table(SPEC).merge_upsert(
+        spark.createDataFrame([(1, "A"), (2, "b")], "id long, val string")
+    )
+
+    cow_cat = Catalog(spark, wh)  # default "cow"
+    opened = cow_cat.table(SPEC)
+    assert isinstance(opened, ParquetMorTable)
+    got = {(r.id, r.val) for r in cow_cat.read_table(SPEC).collect()}
+    assert got == {(1, "A"), (2, "b")}  # deltas reconciled, not raw base
+
+    cow_spec = TableSpec("t_cow_mixed", "id", None, None, "testdb")
+    cow_cat.table(cow_spec).create(spark.createDataFrame([(7, "q")], "id long, val string"))
+    assert isinstance(mor_cat.table(cow_spec), ParquetCowTable)
+
+
 def test_full_pipeline_equivalence_cow_vs_mor(spark, tmp_path):
     """The ENTIRE game demo lifecycle (all tables: initial load + CDC
     merge, including item_data's in-batch duplicate keys and
