@@ -620,21 +620,69 @@ class ParquetCowTable:
         os.rename(tmp, mpath)
         return mpath
 
-    def compact(self, target_file_mb: int = 128) -> None:
+    def _zorder_value(self, df: DataFrame, cols: list[str], bits: int = 10):
+        """Z-value (Morton code) expression: each column min-max
+        normalizes to a ``bits``-bit integer (bounds from one tiny
+        driver-side agg — the sampling pass Delta's OPTIMIZE ZORDER
+        also pays), then the bit planes interleave. Rows close in z are
+        close in EVERY clustered dimension, so range-partitioning by z
+        gives each output file a tight min/max box on all columns at
+        once — what makes multi-column stats skipping work. Plain
+        shift/or arithmetic: whole-stage codegen, no HOFs."""
+        bounds = df.agg(
+            *[F.min(c).alias(f"__mn_{c}") for c in cols],
+            *[F.max(c).alias(f"__mx_{c}") for c in cols],
+        ).collect()[0]
+        scale = (1 << bits) - 1
+        quantized = []
+        for c in cols:
+            mn = float(bounds[f"__mn_{c}"])
+            span = float(bounds[f"__mx_{c}"]) - mn
+            q = (
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span or 1.0))
+                * F.lit(float(scale))
+            ).cast("long")
+            quantized.append(F.greatest(F.lit(0), F.least(F.lit(scale), q)))
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, q in enumerate(quantized):
+                bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+        return z
+
+    def compact(
+        self,
+        target_file_mb: int = 128,
+        zorder: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> None:
         """Small-file compaction (Delta OPTIMIZE / Iceberg
         rewrite_data_files equivalent): rewrite the current snapshot
         with a file count sized from data volume — ONE exchange.
         Partitioned tables hash on the partition key into the target
-        task count (each hive partition's rows land in one task, so
-        each partition directory gets at most one file per colliding
-        key-group); unpartitioned tables round-robin into exactly
-        ``n_files`` tasks."""
+        task count; unpartitioned tables round-robin.
+
+        ``zorder=[cols...]`` (Delta ``OPTIMIZE ... ZORDER BY``):
+        range-partition and sort by the Morton code of the given
+        columns instead, so the per-file footer stats form tight boxes
+        on EVERY listed column and ``read_skipping`` prunes on any of
+        them — the multi-dimensional layout a date+id 100 TB table
+        needs. ``n_files`` overrides the size-derived target."""
         cur = self.current_version()
         df = self.read()
         total_bytes = sum(os.path.getsize(p) for p in self.data_files())
-        n_files = int(max(1, total_bytes // (target_file_mb * 1024 * 1024)))
+        if n_files is None:
+            n_files = int(max(1, total_bytes // (target_file_mb * 1024 * 1024)))
         pk, part = self.spec.primary_key, self.spec.partition_key
-        if part:
+        if zorder:
+            z = self._zorder_value(df, zorder)
+            compacted = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif part:
             compacted = df.repartition(n_files, F.col(part)).sortWithinPartitions(part, pk)
         else:
             compacted = df.repartition(n_files).sortWithinPartitions(pk)

@@ -278,6 +278,33 @@ def test_file_stats_survive_merge_and_strings(spark, tmp_path):
     assert got == {(1, "apple")}
 
 
+def test_compact_zorder_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER equivalent: after z-order compaction the footer
+    stats prune on EVERY clustered column; a linear sort (control) only
+    prunes on its leading column. 64x64 grid where id = b*64 + a, so
+    sorting by pk orders by b and leaves a unprunable."""
+    spec = TableSpec("t_z", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    df = spark.range(4096).selectExpr("id", "id % 64 AS a", "id DIV 64 AS b")
+    tbl.create(df.repartition(4))
+
+    # Control: plain compaction round-robins rows across files (each
+    # file spans the full range of every column) -> nothing prunes.
+    tbl.compact(n_files=16)
+    assert len(tbl.data_files()) == 16
+    assert len(tbl.pruned_files("a", 0, 7)) == 16
+    assert len(tbl.pruned_files("b", 0, 7)) == 16
+
+    tbl.compact(zorder=["a", "b"], n_files=16)
+    assert len(tbl.data_files()) == 16
+    pa, pb = tbl.pruned_files("a", 0, 7), tbl.pruned_files("b", 0, 7)
+    assert len(pa) < 16 and len(pb) < 16  # both dimensions prune now
+
+    got = {r.id for r in tbl.read_skipping("a", 0, 7).collect()}
+    want = {r.id for r in tbl.read().filter("a BETWEEN 0 AND 7").collect()}
+    assert got == want and len(want) == 8 * 64
+
+
 def test_catalog_listing_and_views(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path))
     assert cat.list_tables("testdb") == []
