@@ -299,6 +299,12 @@ class ParquetCowTable:
         if self.spec.partition_key:
             reader = reader.option("basePath", cur.path)
         df = reader.parquet(*files)
+        if self.spec.partition_key:
+            ptype = self._read_meta().get("partition_type")
+            if ptype:
+                df = df.withColumn(
+                    self.spec.partition_key, F.col(self.spec.partition_key).cast(ptype)
+                )
         if lower is not None:
             df = df.filter(F.col(col) >= F.lit(lower))
         if upper is not None:
@@ -346,7 +352,7 @@ class ParquetCowTable:
             os.close(fd)
             os.unlink(lock)
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, df: DataFrame | None = None) -> None:
         meta = {
             "table": self.spec.table_name,
             "database": self.spec.database,
@@ -354,9 +360,23 @@ class ParquetCowTable:
             "partition_key": self.spec.partition_key,
             "format": "cow",
         }
+        # Record the partition column's declared type: hive-layout reads
+        # re-infer partition values from directory NAMES, so a string
+        # column holding numeric-looking values ("1", "2") would come
+        # back as int — schema instability a real table format never
+        # exhibits (caught by the model-based merge property test).
+        if df is not None and self.spec.partition_key:
+            meta["partition_type"] = dict(df.dtypes).get(self.spec.partition_key)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _META), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=2)
+
+    def _read_meta(self) -> dict:
+        mpath = os.path.join(self.path, _META)
+        if not os.path.isfile(mpath):
+            return {}
+        with open(mpath, encoding="utf-8") as f:
+            return json.load(f)
 
     # -- write path --------------------------------------------------------
 
@@ -406,7 +426,7 @@ class ParquetCowTable:
             if if_not_exists:
                 return False
             raise FileExistsError(self.spec.qualified_name)
-        self._write_meta()
+        self._write_meta(df)
         staging = self._write_staging(df)
         self._stage_snapshot_meta(staging, snapshot_meta)
         self._promote(staging, expected_version=0)
@@ -415,7 +435,7 @@ class ParquetCowTable:
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
         """W4: replace table contents (reference
         ``src/delta/delta-initial-load.py:61-78`` overwrite mode)."""
-        self._write_meta()
+        self._write_meta(df)
         cur = self.current_version()
         staging = self._write_staging(df)
         self._stage_snapshot_meta(staging, snapshot_meta)
@@ -440,10 +460,18 @@ class ParquetCowTable:
                 )
             cur = TableVersion(version, vpath)
         reader = self.spark.read
-        if self.spec.partition_key:
-            # Hive-partitioned layout: recover the partition column.
-            reader = reader.option("basePath", cur.path)
-        return reader.parquet(cur.path)
+        if not self.spec.partition_key:
+            return reader.parquet(cur.path)
+        # Hive-partitioned layout: recover the partition column, then
+        # restore its DECLARED type — path-based inference would turn
+        # numeric-looking string values into ints.
+        df = reader.option("basePath", cur.path).parquet(cur.path)
+        ptype = self._read_meta().get("partition_type")
+        if ptype:
+            df = df.withColumn(
+                self.spec.partition_key, F.col(self.spec.partition_key).cast(ptype)
+            )
+        return df
 
     def register_temp_view(self, name: str | None = None) -> str:
         """W11: stage the table as a SQL-visible view (reference

@@ -76,3 +76,71 @@ def test_cdc_apply_matches_python_oracle(spark, histories):
 
     got = {r.id: r.val for r in tbl.read().select("id", "val").collect()}
     assert got == python_oracle(initial, cdc_rows)
+
+
+# -- model-based merge sequences across formats ------------------------------
+
+# A batch maps key -> upsert value or delete marker (unique keys per
+# batch, as MERGE requires). Partition value derives from the key with
+# a NULL branch, so sequences exercise null partitions, Hive-default
+# routing, and cross-partition moves under the round-3 merge rewrite.
+_batch = st.dictionaries(
+    st.integers(0, 9),
+    st.one_of(st.none(), st.text("abX", min_size=1, max_size=3)),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _cat(k: int) -> str | None:
+    return None if k % 3 == 0 else str(k % 3)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_batch, min_size=1, max_size=3))
+def test_merge_sequences_match_dict_model_across_formats(spark, batches):
+    """ANY sequence of upsert/delete merge batches leaves the
+    partitioned-CoW table and the MoR table equal to a plain dict
+    model — format equivalence and merge semantics under arbitrary
+    interleavings, not just the fixed demo batches."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    initial = {k: "init" for k in (0, 1, 2)}
+    model = dict(initial)
+    spec_cow = TableSpec("seq_cow", "id", "cat", None, "propdb")
+    spec_mor = TableSpec("seq_mor", "id", None, None, "propdb")
+    cow = ParquetCowTable(spark, temp_warehouse("seq_"), spec_cow)
+    mor = ParquetMorTable(spark, temp_warehouse("seq_"), spec_mor)
+    init_rows = [(k, v, _cat(k)) for k, v in initial.items()]
+    cow.create(spark.createDataFrame(init_rows, "id long, val string, cat string"))
+    mor.create(spark.createDataFrame(init_rows, "id long, val string, cat string"))
+
+    for batch in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            src = spark.createDataFrame(
+                [(k, v, _cat(k)) for k, v in ups.items()],
+                "id long, val string, cat string",
+            )
+            cow.merge_upsert(src)
+            mor.merge_upsert(src)
+            model.update(ups)
+        if dels:
+            src = spark.createDataFrame([(k,) for k in dels], "id long")
+            cow.merge_delete(src)
+            mor.merge_delete(src)
+            for k in dels:
+                model.pop(k, None)
+
+    got_cow = {r.id: (r.val, r.cat) for r in cow.read().collect()}
+    got_mor = {r.id: (r.val, r.cat) for r in mor.read().collect()}
+    want = {k: (v, _cat(k)) for k, v in model.items()}
+    assert got_cow == want
+    assert got_mor == want
