@@ -11,25 +11,32 @@ the data; ``nprobe == k`` degrades gracefully to exact brute force
 Design choices for Spark:
 
 - **Centroids are driver-side metadata** (k x dim floats — a few KB),
-  exactly like Spark ML's KMeans model. They ship into executor-side
-  expressions as literal arrays; no join, no UDF.
-- **Assignment is one codegen'd expression**: argmin over k squared-L2
-  distances via ``array_min`` of (distance, index) structs
-  (lexicographic struct ordering makes min-by-first-field free).
-- **Training is Lloyd's algorithm as DataFrame ops**: assign (above) →
-  per-cluster mean via ``posexplode`` + groupBy — two shuffles per
-  iteration, each aggregating to k x dim rows. Deterministic: init
-  picks evenly spaced vectors by id order, no RNG.
+  exactly like Spark ML's KMeans model. They ship to executors closed
+  over an Arrow-batched UDF (or as literal arrays in the expression
+  twin); no join, no shuffle.
+- **Training is driver-side Lloyd's on a bounded sample** (faiss
+  practice): one TakeOrdered sample-collect job whose size is
+  independent of corpus scale, then numpy iterations. Deterministic
+  and layout-independent — the sample is the smallest-``xxhash64(id)``
+  vectors, whatever the partitioning.
+- **Assignment is one Arrow-batched matmul+argmin per batch**
+  (``assign_clusters_vectorized``) — the corpus-wide O(data) pass; an
+  ``array_min``-of-structs expression twin (``assign_clusters``) keeps
+  an engine-pure formulation for probe-scale frames.
 - **At 100 TB** the assignment pass is a single map over the data; the
   cluster-id column is written back (or bucketed) once, and every query
   after that scans only its probed lists — partition pruning on
-  ``cluster_id`` makes the scan fraction physical, not just logical.
+  ``cluster_id`` makes the scan fraction physical, not just logical
+  (gated: ``test_ivf_probe_pruning_is_physical`` writes the index
+  hive-partitioned by ``cluster_id`` and asserts the file-level prune).
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,7 +59,10 @@ def assign_clusters(
     out_col: str = "cluster_id",
 ) -> DataFrame:
     """Nearest-centroid assignment as one expression: argmin of
-    (squared distance, index) structs."""
+    (squared distance, index) structs. Engine-pure reference twin of
+    ``assign_clusters_vectorized`` (higher-order functions evaluate
+    interpreted — fine for probe-scale frames, not for the full-corpus
+    assignment pass)."""
     d = as_double_vec(df, vec_col)
     pairs = F.array(
         *[
@@ -64,6 +74,33 @@ def assign_clusters(
         ]
     )
     return d.withColumn(out_col, F.array_min(pairs)["idx"])
+
+
+def assign_clusters_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: per batch, one
+    ``|x|^2 - 2 xC^T + |c|^2`` matmul and an argmin — the production
+    path for the corpus-wide assignment that builds the index (the
+    pass that is O(data) at 100 TB). Ties break to the lowest index,
+    same as the expression twin (numpy argmin returns the first
+    minimum)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.vstack(vecs.to_numpy())
+        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + c_sq[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    d = as_double_vec(df, vec_col)
+    return d.withColumn(out_col, nearest(F.col(vec_col)))
 
 
 def train_centroids(
@@ -88,8 +125,6 @@ def train_centroids(
     previous formulation ran assign+groupBy jobs per iteration.
     Seeds = first k of the hash-ordered sample; empty clusters keep
     their previous centroid; numpy math is row-order-deterministic."""
-    import numpy as np
-
     d = as_double_vec(df.select(id_col, vec_col), vec_col)
     rows = (
         d.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -147,7 +182,7 @@ def build_ivf(
     pays exactly once anyway."""
     d = _spread(as_double_vec(df, vec_col))
     centroids = train_centroids(d, k, id_col, vec_col, iters)
-    return assign_clusters(d, centroids, vec_col), centroids
+    return assign_clusters_vectorized(d, centroids, vec_col), centroids
 
 
 def ivf_topk(
