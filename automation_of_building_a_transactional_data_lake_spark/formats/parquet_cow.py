@@ -593,7 +593,35 @@ class ParquetCowTable:
         staging = self._write_staging(merged)
         self._promote(staging, expected_version=cur.version)
 
-    def merge_upsert(self, src: DataFrame, guard_col: str | None = None) -> None:
+    def _merge_with_retries(
+        self, src: DataFrame, delete: bool, guard_col: str | None, retries: int
+    ) -> None:
+        """Optimistic-concurrency retry loop (what Delta's commit
+        service and Iceberg's commit.retry.num-retries do): on
+        ``ConcurrentWriteError`` the merge is recomputed against the
+        NEW table head — the previous attempt's staging was already
+        discarded, so a retry never double-applies and MERGE semantics
+        make replays idempotent per key. Conflicts from a lock held by
+        an in-flight commit retry after a short backoff."""
+        import time as _time
+
+        attempt = 0
+        while True:
+            try:
+                if self.spec.partition_key:
+                    self._merge_partitioned(src, delete=delete, guard_col=guard_col)
+                else:
+                    self._merge_full(src, delete=delete, guard_col=guard_col)
+                return
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                _time.sleep(0.05 * attempt)
+
+    def merge_upsert(
+        self, src: DataFrame, guard_col: str | None = None, retries: int = 0
+    ) -> None:
         """W5/W6/J1: ``MERGE INTO t USING s ON s.pk = t.pk WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (reference
         ``src/iceberg/iceberg-cdc-load.py:127-134``). Schema evolution:
@@ -605,21 +633,18 @@ class ParquetCowTable:
         (SURVEY §2.10): update a matched row only when the source's
         guard value is strictly greater — a replayed or out-of-order
         batch can never regress a newer row.
+
+        ``retries``: recompute-and-retry on commit conflict (0 =
+        surface ``ConcurrentWriteError`` to the caller).
         """
         self._check_unique_keys(src)
-        if self.spec.partition_key:
-            self._merge_partitioned(src, delete=False, guard_col=guard_col)
-        else:
-            self._merge_full(src, delete=False, guard_col=guard_col)
+        self._merge_with_retries(src, delete=False, guard_col=guard_col, retries=retries)
 
-    def merge_delete(self, src: DataFrame) -> None:
+    def merge_delete(self, src: DataFrame, retries: int = 0) -> None:
         """W7/W8: ``MERGE INTO ... WHEN MATCHED THEN DELETE`` (reference
         ``src/delta/delta-cdc-load.py:135-141``). ``src`` only needs the
         primary-key column."""
-        if self.spec.partition_key:
-            self._merge_partitioned(src, delete=True)
-        else:
-            self._merge_full(src, delete=True)
+        self._merge_with_retries(src, delete=True, guard_col=None, retries=retries)
 
     # -- maintenance / interchange ----------------------------------------
 

@@ -188,6 +188,59 @@ def test_commit_lock_in_flight_rejects_and_discards(spark, tmp_path):
     assert tbl.read().count() == 2
 
 
+def test_concurrent_merges_converge_with_retries(spark, tmp_path):
+    """Two writers merging disjoint keys concurrently, each with
+    retries: whoever loses the head race recomputes against the new
+    head and commits on retry — both merges land, no version is
+    burned, no row is lost (Delta/Iceberg commit-retry semantics)."""
+    import threading
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    errs: list[Exception] = []
+
+    def merge(rows):
+        try:
+            tbl.merge_upsert(_mk(spark, rows), retries=10)
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=merge, args=([(2, "b", "y")],)),
+        threading.Thread(target=merge, args=([(3, "c", "z")],)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    assert tbl.current_version().version == 3
+
+
+def test_merge_retry_waits_out_held_lock(spark, tmp_path):
+    """A merge with retries outlives a transiently-held commit lock."""
+    import threading
+    import time
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    lock = os.path.join(tbl.path, "_commit.lock")
+    open(lock, "w").close()
+    done: list[bool] = []
+
+    def merge():
+        tbl.merge_upsert(_mk(spark, [(2, "b", "y")]), retries=50)
+        done.append(True)
+
+    t = threading.Thread(target=merge)
+    t.start()
+    time.sleep(0.5)
+    os.unlink(lock)
+    t.join(timeout=60)
+    assert done and tbl.read().count() == 2
+
+
 def test_vacuum_removes_orphaned_staging(spark, tmp_path):
     tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
     tbl.create(_mk(spark, [(1, "a", "x")]))
