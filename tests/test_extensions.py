@@ -135,6 +135,65 @@ def test_cdc_stream_requires_table(spark, tmp_path):
         cdc_stream_available_now(spark, cat, spec, DEMO, str(tmp_path / "c2"))
 
 
+# -- composed embedding curation (integration) -------------------------------
+
+
+def test_embedding_curation_e2e(spark, tmp_path):
+    """End-to-end embedding pipeline over real testdata, integrating the
+    round-3 pieces: LSH near-dup removal (keep the lower vec_id of each
+    planted collinear-twin pair), IVF index build, CoW write partitioned
+    by cluster_id, physical probe pruning on the re-read table, and an
+    exhaustive-probe query that must equal brute force over the curated
+    corpus."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_ivf import (
+        build_ivf,
+        ivf_topk,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_near_pairs,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+    from .conftest import SF_SMOKE
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    # Plant collinear twins so dedup has real work (cosine exactly 1).
+    twins = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    n_twins = twins.count()
+
+    dup_pairs = lsh_near_pairs(corpus, dim=64, threshold=0.99)
+    drop_ids = dup_pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    curated = corpus.join(drop_ids, "vec_id", "left_anti")
+    assert curated.count() == emb.count()  # every twin (higher id) dropped
+    assert n_twins > 0
+
+    indexed, centroids = build_ivf(curated, k=4, iters=2)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("emb_index", "vec_id", "cluster_id", None, "ann")
+    tbl = cat.table(spec)
+    tbl.create(indexed)
+
+    qvec = list(emb.filter(F.col("vec_id") == 1).select("embedding").first()[0])
+    reread = tbl.read()
+    approx = ivf_topk(reread, centroids, qvec, k=5, nprobe=len(centroids))
+    exact = brute_force_topk(curated, emb.filter(F.col("vec_id") == 1), k=5)
+    assert [r.vec_id for r in approx.collect()] == [r.vec_id for r in exact.collect()]
+
+    # Probing one list is a physical partition prune on the stored index.
+    probed = ivf_topk(reread, centroids, qvec, k=5, nprobe=1)
+    probed.collect()
+    scan = probed._jdf.queryExecution().executedPlan().collectLeaves().head()
+    assert scan.metrics().apply("numFiles").value() < len(tbl.data_files())
+
+
 # -- multimodal --------------------------------------------------------------
 
 

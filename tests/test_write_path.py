@@ -331,6 +331,25 @@ def test_file_stats_survive_merge_and_strings(spark, tmp_path):
     assert got == {(1, "apple")}
 
 
+def test_file_stats_skip_on_date_column(spark, tmp_path):
+    """Date min/max round-trip through the stats file as ISO strings
+    (ISO order == chronological order), so date-range skipping works —
+    the dominant 100-TB pattern (time-clustered fact tables)."""
+    spec = TableSpec("t_dates", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    df = spark.range(365).selectExpr(
+        "id", "date_add(date'2023-01-01', cast(id AS int)) AS d"
+    ).repartitionByRange(12, "d")
+    tbl.create(df)
+    assert len(tbl.data_files()) == 12
+    import datetime as dt
+
+    pruned = tbl.pruned_files("d", dt.date(2023, 3, 1), dt.date(2023, 3, 31))
+    assert 1 <= len(pruned) <= 3
+    got = {r.d for r in tbl.read_skipping("d", dt.date(2023, 3, 1), dt.date(2023, 3, 31)).collect()}
+    assert len(got) == 31 and min(got) == dt.date(2023, 3, 1)
+
+
 def test_compact_zorder_multi_column_skipping(spark, tmp_path):
     """OPTIMIZE ZORDER equivalent: after z-order compaction the footer
     stats prune on EVERY clustered column; a linear sort (control) only
