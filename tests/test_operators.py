@@ -195,6 +195,47 @@ def test_ivf_partial_probe_recall_and_pruning(spark):
     indexed.unpersist()
 
 
+def test_minhash_expression_twin_matches_per_perm_min(spark):
+    """The engine-pure expression MinHash equals an explicit
+    per-permutation min oracle and is shingle-ORDER-insensitive — the
+    two properties that make it a faithful reference twin for the
+    vectorized path."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        minhash_signature)
+
+    df = spark.createDataFrame(
+        [(1, ["a b c", "d e f", "g h i"]), (2, ["zz", "a b c"])],
+        "doc_id long, sh array<string>",
+    )
+    got = {r.doc_id: list(r.sig) for r in
+           df.select("doc_id", minhash_signature(F.col("sh"), 8).alias("sig")).collect()}
+    # Oracle: min over shingles of xxhash64(shingle, i), per permutation.
+    ex = df.select("doc_id", F.explode("sh").alias("s"))
+    want = {r.doc_id: [r[f"m{i}"] for i in range(8)] for r in
+            ex.groupBy("doc_id").agg(
+                *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(8)]
+            ).collect()}
+    assert got == want
+    rev = df.select("doc_id", minhash_signature(F.reverse(F.col("sh")), 8).alias("sig"))
+    assert {r.doc_id: list(r.sig) for r in rev.collect()} == got
+
+
+def test_ivf_assignment_twins_agree(spark):
+    """Expression argmin and Arrow-batched matmul argmin assign every
+    real vector to the same cluster (tie-break: lowest index in both)."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_ivf import (
+        assign_clusters, assign_clusters_vectorized, train_centroids)
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    cents = train_centroids(emb, k=5, iters=2)
+    a = {r.vec_id: r.cluster_id for r in assign_clusters(emb, cents).collect()}
+    b = {r.vec_id: r.cluster_id for r in assign_clusters_vectorized(emb, cents).collect()}
+    assert a == b
+
+
 def test_ivf_seeding_is_layout_independent(spark):
     """Centroid seeds (hence trained centroids) must be identical
     whatever the input partitioning — pins the xxhash64-based seed
