@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from automation_of_building_a_transactional_data_lake_spark.operators.sessionize import (
     session_stats,
 )
-from automation_of_building_a_transactional_data_lake_spark.plans.testdata_queries import load
 from automation_of_building_a_transactional_data_lake_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_stats,
@@ -21,12 +20,16 @@ from .conftest import SF_SMOKE
 
 @pytest.fixture()
 def event_stream(spark, tmp_path):
-    """Events re-written as clean µs-timestamp parquet (streaming file
-    source can't use the nanosAsLong conversion path) + a readStream
-    over it."""
-    batch = load(spark, SF_SMOKE, "events")
-    src = str(tmp_path / "stream_src")
-    batch.write.parquet(src)
+    """Real driver events staged to µs parquet through the production
+    bridge (the streaming file source can't read TIMESTAMP(NANOS)) + a
+    readStream over the staged copy."""
+    from automation_of_building_a_transactional_data_lake_spark.streaming.microbatch import (
+        stage_micros_parquet,
+    )
+
+    src = stage_micros_parquet(
+        spark, f"{SF_SMOKE}/events.parquet", str(tmp_path / "stream_src")
+    )
     clean = spark.read.parquet(src)
     stream = spark.readStream.schema(clean.schema).parquet(src)
     return clean, stream
