@@ -387,6 +387,42 @@ def test_catalog_listing_and_views(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 1
 
 
+def test_snapshot_changes_cdf(spark, tmp_path):
+    """Change-data-feed between versions: create -> upsert -> delete,
+    then diff v1..head classifies every row correctly; diffing
+    adjacent versions isolates each transition; identical versions
+    diff to empty. Also exercised through the MoR backend."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.changes import (
+        snapshot_changes,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    for cls in (ParquetCowTable, ParquetMorTable):
+        tbl = cls(spark, str(tmp_path / cls.__name__), SPEC_PLAIN)
+        tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))       # v1
+        tbl.merge_upsert(_mk(spark, [(2, "B", "y"), (3, "c", "z")]))  # v2
+        tbl.merge_delete(spark.createDataFrame([(1,)], "id long"))    # v3
+
+        got = {
+            (r.id, r.val, r[-1])
+            for r in snapshot_changes(tbl, 1).select("id", "val", "_change_type").collect()
+        }
+        assert got == {
+            (3, "c", "insert"),
+            (1, "a", "delete"),
+            (2, "b", "update_preimage"),
+            (2, "B", "update_postimage"),
+        }, cls.__name__
+        only_delete = {
+            (r.id, r[-1])
+            for r in snapshot_changes(tbl, 2, 3).select("id", "_change_type").collect()
+        }
+        assert only_delete == {(1, "delete")}, cls.__name__
+        assert snapshot_changes(tbl, 1, 1).count() == 0, cls.__name__
+
+
 # -- ledger ------------------------------------------------------------------
 
 
