@@ -144,3 +144,35 @@ def test_merge_sequences_match_dict_model_across_formats(spark, batches):
     want = {k: (v, _cat(k)) for k, v in model.items()}
     assert got_cow == want
     assert got_mor == want
+
+
+# -- stats skipping is never lossy -------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    lo=st.integers(-1100, 1100),
+    span=st.integers(0, 500),
+)
+def test_read_skipping_equals_full_filter(spark, vals, lo, span):
+    """SAFETY property of file-level stats skipping: for ANY data
+    layout and ANY range (including empty and out-of-bounds ranges),
+    the skipped read returns exactly the rows of the full-scan filter
+    — pruning may open fewer files, never lose rows."""
+    hi = lo + span
+    spec = TableSpec("skip_prop", "id", None, None, "propdb")
+    tbl = ParquetCowTable(spark, temp_warehouse("skip_"), spec)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(3)
+    tbl.create(df)
+    got = sorted((r.id, r.v) for r in tbl.read_skipping("v", lo, hi).collect())
+    want = sorted(
+        (r.id, r.v) for r in tbl.read().filter(f"v >= {lo} AND v <= {hi}").collect()
+    )
+    assert got == want
