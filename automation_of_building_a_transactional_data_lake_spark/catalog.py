@@ -96,6 +96,21 @@ class Catalog:
         """S4: snapshot read through the catalog."""
         return self.table(spec).read()
 
+    def drop_table(self, spec: TableSpec, if_exists: bool = True) -> bool:
+        """DROP TABLE: remove the table directory (data, versions,
+        ledger, metadata). Returns False when absent and
+        ``if_exists``. The reference has no drop surface (cleanup is
+        stack teardown); a switching user needs one."""
+        import shutil
+
+        tdir = os.path.join(self.warehouse, spec.database, spec.table_name)
+        if not os.path.isdir(tdir):
+            if if_exists:
+                return False
+            raise FileNotFoundError(spec.qualified_name)
+        shutil.rmtree(tdir)
+        return True
+
     def register_temp_view(self, spec: TableSpec, name: str | None = None) -> str:
         """W11: make the table SQL-visible in the session."""
         return self.table(spec).register_temp_view(name)

@@ -135,6 +135,61 @@ def test_cdc_stream_requires_table(spark, tmp_path):
         cdc_stream_available_now(spark, cat, spec, DEMO, str(tmp_path / "c2"))
 
 
+def test_stream_bounded_drain_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch: a 3-file backlog
+    drains as 3 batches (each merged + telemetried separately), final
+    state identical to one big batch — the memory-safe backlog story
+    the reference's bookmark job cannot express."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        CDC_ZONE,
+        INITIAL_ZONE,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    spec = TableSpec("drain_t", "id", None, None, "streamdb")
+    root = str(tmp_path / "raw")
+    spark.createDataFrame([(0, "seed")], "id long, val string").write.parquet(
+        f"{root}/{INITIAL_ZONE}/{spec.database}/{spec.table_name}"
+    )
+    cdc_dir = f"{root}/{CDC_ZONE}/{spec.database}/{spec.table_name}"
+    for i in (1, 2, 3):
+        spark.createDataFrame(
+            [("I", dt.datetime(2024, 1, 1, 0, 0, i), i, f"v{i}")],
+            "Op string, timestamp timestamp, id long, val string",
+        ).coalesce(1).write.mode("append").parquet(cdc_dir)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    initial_load(spark, cat, spec, root)
+    t = cdc_stream_available_now(
+        spark,
+        cat,
+        spec,
+        root,
+        str(tmp_path / "ckpt"),
+        clock=dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    assert len(t) == 3 and all(b["I"] == 1 for b in t)
+    assert {r.id for r in cat.read_table(spec).collect()} == {0, 1, 2, 3}
+
+
+def test_catalog_drop_table(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = TableSpec("droppable", "id", None, None, "dropdb")
+    cat.table(spec).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    assert cat.list_tables("dropdb") == ["droppable"]
+    assert cat.drop_table(spec) is True
+    assert cat.list_tables("dropdb") == []
+    assert not cat.table_exists(spec)
+    assert cat.drop_table(spec) is False  # idempotent
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.drop_table(spec, if_exists=False)
+
+
 # -- composed embedding curation (integration) -------------------------------
 
 
