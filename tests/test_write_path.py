@@ -387,6 +387,29 @@ def test_catalog_listing_and_views(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 1
 
 
+def test_empty_edge_cases(spark, tmp_path):
+    """Empty inputs must be safe everywhere: creating an empty table,
+    reading it, merging an empty batch (no-op content), merging into
+    an empty table, and compacting it."""
+    empty = spark.createDataFrame([], "id long, val string, cat string")
+    tbl = ParquetCowTable(spark, str(tmp_path / "e1"), SPEC_PLAIN)
+    tbl.create(empty)
+    assert tbl.read().count() == 0
+    tbl.merge_upsert(_mk(spark, [(1, "a", "x")]))  # into empty table
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "a")}
+    tbl.merge_upsert(empty)  # empty batch
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "a")}
+    tbl.merge_delete(spark.createDataFrame([], "id long"))
+    assert tbl.read().count() == 1
+    tbl.compact()
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "a")}
+
+    part = ParquetCowTable(spark, str(tmp_path / "e2"), SPEC_PART)
+    part.create(_mk(spark, [(1, "a", "x")]))
+    part.merge_upsert(empty)  # empty batch on partitioned table
+    assert {(r.id, r.val) for r in part.read().collect()} == {(1, "a")}
+
+
 def test_snapshot_changes_cdf(spark, tmp_path):
     """Change-data-feed between versions: create -> upsert -> delete,
     then diff v1..head classifies every row correctly; diffing
