@@ -161,6 +161,7 @@ def maintain_all(
     specs: list[TableSpec],
     compact: bool = True,
     vacuum_retain_last: int | None = 2,
+    target_file_mb: float = 128,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
@@ -174,7 +175,15 @@ def maintain_all(
             reports.append(LoadReport(spec.table_name, "skipped_missing"))
             continue
         if compact:
-            tbl.compact()
+            from .formats.parquet_cow import ParquetCowTable
+
+            if isinstance(tbl, ParquetCowTable):
+                tbl.compact(
+                    target_file_mb=target_file_mb,
+                    zorder=list(spec.zorder_by) if spec.zorder_by else None,
+                )
+            else:
+                tbl.compact()
         removed = tbl.vacuum(vacuum_retain_last) if vacuum_retain_last else []
         reports.append(
             LoadReport(spec.table_name, "maintained", telemetry={"removed_dirs": len(removed)})

@@ -56,6 +56,10 @@ class TableSpec:
     partition_key: str | None = None
     version_key: str | None = None
     database: str = "default"
+    # Optional multi-column clustering for maintenance: maintain_all
+    # compacts CoW tables with a Z-order layout on these columns so
+    # footer-stats skipping prunes on each of them (SURVEY X30/X32).
+    zorder_by: tuple[str, ...] | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], database: str = "default") -> "TableSpec":

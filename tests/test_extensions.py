@@ -340,6 +340,25 @@ def test_maintain_all_compacts_and_vacuums(spark, tmp_path):
     assert sorted(map(tuple, cat.read_table(spec).collect())) == sorted(map(tuple, before))
 
 
+def test_maintain_all_applies_spec_zorder(spark, tmp_path):
+    """A spec carrying zorder_by gets a Z-order layout from routine
+    maintenance: after maintain_all, stats skipping prunes on both
+    clustered columns (a round-robin compact would prune on neither)."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import maintain_all
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    spec = TableSpec("zmaint", "id", None, None, "zdb", zorder_by=("a", "b"))
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(4096).selectExpr("id", "id % 64 AS a", "id DIV 64 AS b")
+    cat.table(spec).create(df.repartition(8))
+    reports = maintain_all(cat, [spec], vacuum_retain_last=1, target_file_mb=0.004)
+    assert reports[0].action == "maintained"
+    tbl = cat.table(spec)
+    total = len(tbl.data_files())
+    assert len(tbl.pruned_files("a", 0, 7)) < total
+    assert len(tbl.pruned_files("b", 0, 7)) < total
+
+
 def test_sample_frames_jvm_side(spark):
     media = media_frame(spark, _media_rows())
     frames = sample_frames(media, every_ms=1000).collect()
