@@ -128,6 +128,23 @@ def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
     assert got_b == got_s and len(got_b) == ev.count()
 
 
+def test_cdc_stream_through_mor_backend(spark, tmp_path):
+    """The streaming CDC twin is format-agnostic: draining through a
+    merge-on-read catalog appends deltas and reconciles to the same
+    state the CoW path produces."""
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
+    cat_mor = Catalog(spark, str(tmp_path / "wh_mor"), table_format="mor")
+    initial_load(spark, cat_mor, spec, DEMO)
+    t = cdc_stream_available_now(
+        spark, cat_mor, spec, DEMO, str(tmp_path / "ck_mor"), clock=clock
+    )
+    assert len(t) == 1 and t[0]["I"] == 46 and t[0]["D"] == 2
+    assert cat_mor.read_table(spec).count() == 10000 + 46 - 2
+    # Deltas were appended (write cost O(batch)), not a base rewrite.
+    assert cat_mor.table(spec).current_snapshot()["deltas"] != []
+
+
 def test_cdc_stream_requires_table(spark, tmp_path):
     spec = GAME_SPECS_BY_NAME["user_data"]
     cat = Catalog(spark, str(tmp_path / "wh2"))
