@@ -39,16 +39,25 @@ from pyspark.sql import functions as F
 from ..formats.base import TableFormat
 from ..sources.ledger import FileLedger
 
-_PARTIAL_FNS = {"count", "sum", "min", "max"}
+_PARTIAL_FNS = {"count", "sum", "min", "max", "approx_distinct"}
 _COMBINE_FNS = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
 @dataclass(frozen=True)
 class AggCol:
-    """One rollup measure: ``fn`` over ``src`` named ``out``."""
+    """One rollup measure: ``fn`` over ``src`` named ``out``.
+
+    ``approx_distinct`` maintains COUNT(DISTINCT src) incrementally —
+    impossible with scalar aggregates (distinct is not decomposable)
+    but exact-for-the-sketch with mergeable HLL state: the stored
+    column holds the binary sketch (``hll_sketch_agg``), refreshes
+    fold new partials in with ``hll_union_agg`` (register-wise max —
+    associative, commutative, idempotent, so the incremental sketch
+    is IDENTICAL to a full single-pass recompute), and
+    ``IncrementalRollup.estimates()`` projects the numeric estimate."""
 
     out: str
-    fn: str  # count | sum | min | max
+    fn: str  # count | sum | min | max | approx_distinct
     src: str | None = None  # ignored for count
 
     def __post_init__(self) -> None:
@@ -92,15 +101,29 @@ class IncrementalRollup:
         for a in self.aggs:
             if a.fn == "count":
                 exprs.append(F.count("*").alias(a.out))
+            elif a.fn == "approx_distinct":
+                exprs.append(F.hll_sketch_agg(a.src).alias(a.out))
             else:
                 exprs.append(getattr(F, a.fn)(a.src).alias(a.out))
         return df.groupBy(*self.group_cols).agg(*exprs)
 
     def _combine(self, df: DataFrame) -> DataFrame:
         exprs = [
-            getattr(F, _COMBINE_FNS[a.fn])(a.out).alias(a.out) for a in self.aggs
+            F.hll_union_agg(a.out).alias(a.out)
+            if a.fn == "approx_distinct"
+            else getattr(F, _COMBINE_FNS[a.fn])(a.out).alias(a.out)
+            for a in self.aggs
         ]
         return df.groupBy(*self.group_cols).agg(*exprs)
+
+    def estimates(self) -> DataFrame:
+        """The rollup with sketch columns projected to their numeric
+        estimates (other columns pass through)."""
+        df = self.table.read()
+        for a in self.aggs:
+            if a.fn == "approx_distinct":
+                df = df.withColumn(a.out, F.hll_sketch_estimate(F.col(a.out)))
+        return df
 
     def refresh(self, spark: SparkSession) -> dict:
         """Fold new files in; returns {'new_files': n, 'rollup_rows': m}."""

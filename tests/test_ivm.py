@@ -140,6 +140,49 @@ def test_processed_set_commits_atomically_with_version(spark, tmp_path, arrivals
     assert _sorted(r.table.read()) == _sorted(full)
 
 
+def test_approx_distinct_incremental_equals_full_sketch(spark, tmp_path, arrivals):
+    """COUNT DISTINCT is not decomposable as a scalar, but HLL sketch
+    state is: incrementally-folded sketches produce the EXACT same
+    estimates as a single-pass recompute (register-max merge is
+    associative/commutative/idempotent), and the estimate tracks the
+    true distinct count."""
+    ev, raw = arrivals
+    cat = Catalog(spark, warehouse=str(tmp_path / "whad"))
+    spec = TableSpec(table_name="events_uniques", primary_key="event_type", database="ivm")
+    r = IncrementalRollup(
+        cat.table(spec),
+        raw,
+        ["event_type"],
+        [AggCol("n_events", "count"), AggCol("uniq_users", "approx_distinct", "user_id")],
+    )
+    r.refresh(spark)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{raw}/wave2")
+    r.refresh(spark)
+
+    got = {
+        r_.event_type: (r_.n_events, r_.uniq_users)
+        for r_ in r.estimates().collect()
+    }
+    full = {
+        r_.event_type: (r_.n, r_.u)
+        for r_ in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("u"),
+        )
+        .collect()
+    }
+    assert got == full  # sketch-exact, not just approximately equal
+    exact = {
+        r_.event_type: r_.u
+        for r_ in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for et, (_n, est) in got.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05  # HLL accuracy sanity
+
+
 def test_aggcol_validation():
     with pytest.raises(ValueError, match="decomposable"):
         AggCol("a", "avg", "x")
