@@ -86,6 +86,22 @@ def session_window_stats(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    content-hash dedup (X3): keep the first row per key, with state
+    BOUNDED by the watermark horizon (``dropDuplicatesWithinWatermark``
+    evicts keys older than the watermark; plain ``dropDuplicates`` on a
+    stream keeps every key forever — the unbounded-state trap). A
+    duplicate arriving later than the watermark re-emits: at-least-once
+    dedup, which the idempotent MERGE sink downstream absorbs."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

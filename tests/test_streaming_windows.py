@@ -66,6 +66,39 @@ def test_stream_session_window_equals_batch_sessionizer(spark, event_stream, tmp
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_streaming_dedup_equals_batch_distinct(spark, event_stream, tmp_path):
+    """Duplicated source files streamed through watermark-bounded
+    dedup yield exactly one row per event_id — same as batch
+    dropDuplicates over the doubled data."""
+    import shutil
+
+    from automation_of_building_a_transactional_data_lake_spark.streaming.windows import (
+        streaming_dedup,
+    )
+
+    clean, _ = event_stream
+    src2 = str(tmp_path / "dup_src")
+    clean.write.parquet(src2)
+    # Double every row by copying each data file under a new name.
+    import os as _os
+
+    for f in list(_os.listdir(src2)):
+        if f.endswith(".parquet"):
+            shutil.copy(_os.path.join(src2, f), _os.path.join(src2, "dup_" + f))
+    doubled = spark.read.parquet(src2)
+    assert doubled.count() == 2 * clean.count()
+
+    stream = spark.readStream.schema(doubled.schema).parquet(src2)
+    got = run_stream_to_memory(
+        streaming_dedup(stream, ["event_id"], watermark="10 minutes"),
+        "dedup_stream",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    assert got.count() == clean.count()
+    assert got.select("event_id").distinct().count() == clean.count()
+
+
 def test_late_rows_dropped_by_watermark(spark, tmp_path):
     """With a finite watermark and a second micro-batch arriving far
     behind the first batch's max event time, the late rows are
