@@ -98,6 +98,12 @@ class MergeError(RuntimeError):
     keys — the condition Delta/Iceberg MERGE also rejects)."""
 
 
+class ConstraintViolation(ValueError):
+    """A written batch contains rows violating one of the table's
+    CHECK constraints (Delta `delta.constraints.*` semantics: the
+    whole transaction is rejected, nothing is staged)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: another writer committed a
     version after this write's snapshot was read (or holds the commit
@@ -426,6 +432,7 @@ class ParquetCowTable:
             if if_not_exists:
                 return False
             raise FileExistsError(self.spec.qualified_name)
+        self._check_constraints(df)
         self._write_meta(df)
         staging = self._write_staging(df)
         self._stage_snapshot_meta(staging, snapshot_meta)
@@ -435,6 +442,7 @@ class ParquetCowTable:
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
         """W4: replace table contents (reference
         ``src/delta/delta-initial-load.py:61-78`` overwrite mode)."""
+        self._check_constraints(df)
         self._write_meta(df)
         cur = self.current_version()
         staging = self._write_staging(df)
@@ -482,6 +490,24 @@ class ParquetCowTable:
         return view
 
     # -- merge (the reference's core dataflow) -----------------------------
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Reject a batch containing any row that violates a spec
+        CHECK constraint — one column-pruned pass over the batch for
+        ALL constraints (null predicate = pass, SQL-standard CHECK).
+        Runs BEFORE staging: a rejected transaction writes nothing."""
+        if not self.spec.constraints:
+            return
+        violated = None
+        for e in self.spec.constraints:
+            v = ~F.expr(e)
+            violated = v if violated is None else violated | v
+        bad = df.filter(violated).limit(1).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"{self.spec.qualified_name}: CHECK constraint(s) "
+                f"{list(self.spec.constraints)} violated by row {bad[0].asDict()!r}"
+            )
 
     def _check_unique_keys(self, src: DataFrame) -> None:
         """Delta/Iceberg MERGE throws on multiple source rows per key;
@@ -637,6 +663,7 @@ class ParquetCowTable:
         ``retries``: recompute-and-retry on commit conflict (0 =
         surface ``ConcurrentWriteError`` to the caller).
         """
+        self._check_constraints(src)
         self._check_unique_keys(src)
         self._merge_with_retries(src, delete=False, guard_col=guard_col, retries=retries)
 

@@ -60,6 +60,10 @@ class TableSpec:
     # compacts CoW tables with a Z-order layout on these columns so
     # footer-stats skipping prunes on each of them (SURVEY X30/X32).
     zorder_by: tuple[str, ...] | None = None
+    # Optional CHECK constraints (Delta table-constraint equivalent):
+    # SQL boolean expressions every written/merged row must satisfy;
+    # a violating batch is rejected BEFORE any data is staged.
+    constraints: tuple[str, ...] = ()
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], database: str = "default") -> "TableSpec":

@@ -387,6 +387,38 @@ def test_catalog_listing_and_views(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 1
 
 
+def test_check_constraints_reject_bad_batches(spark, tmp_path):
+    """Delta CHECK-constraint semantics: a batch with any violating
+    row is rejected before staging (nothing written, version
+    unchanged); conforming batches pass; a NULL predicate passes
+    (SQL-standard CHECK)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ConstraintViolation,
+    )
+
+    spec = TableSpec(
+        "t_check", "id", None, None, "testdb",
+        constraints=("id > 0", "val IS NOT NULL"),
+    )
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    with pytest.raises(ConstraintViolation):
+        tbl.create(_mk(spark, [(1, "a", "x"), (-5, "b", "y")]))
+    assert not tbl.exists()  # nothing staged or committed
+
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    v = tbl.current_version().version
+    with pytest.raises(ConstraintViolation):
+        tbl.merge_upsert(_mk(spark, [(2, None, "y")]))
+    assert tbl.current_version().version == v
+    assert tbl.read().count() == 1
+
+    # NULL predicate result passes (constraint on a null comparison).
+    spec2 = TableSpec("t_check2", "id", None, None, "testdb", constraints=("cat <> 'ban'",))
+    tbl2 = ParquetCowTable(spark, str(tmp_path / "c2"), spec2)
+    tbl2.create(_mk(spark, [(1, "a", None)]))  # cat NULL -> predicate NULL -> pass
+    assert tbl2.read().count() == 1
+
+
 def test_empty_edge_cases(spark, tmp_path):
     """Empty inputs must be safe everywhere: creating an empty table,
     reading it, merging an empty batch (no-op content), merging into
