@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import dedupe_latest
 from ..spec import TableSpec
-from .parquet_cow import MergeError
+from .parquet_cow import ConstraintViolation, MergeError
 
 _LATEST = "_LATEST"
 _SNAP_DIR = "_snapshots"
@@ -130,6 +130,7 @@ class ParquetMorTable:
             if if_not_exists:
                 return False
             raise FileExistsError(self.spec.qualified_name)
+        self._check_constraints(df)
         self._write_meta()
         base = f"b{1:08d}"
         self._write_dir(df, base)
@@ -137,6 +138,7 @@ class ParquetMorTable:
         return True
 
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
+        self._check_constraints(df)
         self._write_meta()
         cur = self.current_snapshot()
         base = f"b{(cur['n'] + 1) if cur else 1:08d}"
@@ -159,6 +161,22 @@ class ParquetMorTable:
                 "dedupe_latest the batch first"
             )
 
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Same CHECK semantics as the CoW backend: reject before any
+        delta/base is written."""
+        if not self.spec.constraints:
+            return
+        violated = None
+        for e in self.spec.constraints:
+            v = ~F.expr(e)
+            violated = v if violated is None else violated | v
+        bad = df.filter(violated).limit(1).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"{self.spec.qualified_name}: CHECK constraint(s) "
+                f"{list(self.spec.constraints)} violated by row {bad[0].asDict()!r}"
+            )
+
     def _append_delta(self, rows: DataFrame, op: str) -> None:
         cur = self.current_snapshot()
         if cur is None:
@@ -175,6 +193,7 @@ class ParquetMorTable:
 
     def merge_upsert(self, src: DataFrame) -> None:
         """O(batch) append: the merge itself is deferred to read/compact."""
+        self._check_constraints(src)
         self._check_unique_keys(src)
         self._append_delta(src, "U")
 

@@ -77,6 +77,8 @@ class TableSpec:
             # and would otherwise shadow a real version_key.
             version_key=_none_str(d.get("precombine_key")) or _none_str(d.get("version_key")),
             database=database,
+            zorder_by=tuple(d["zorder_by"]) if d.get("zorder_by") else None,
+            constraints=tuple(d.get("constraints") or ()),
         )
 
     @property

@@ -76,6 +76,24 @@ def test_mor_upsert_wins_over_older_delete(spark, tmp_path):
     assert [(r.id, r.val) for r in tbl.read().collect()] == [(1, "back")]
 
 
+def test_mor_check_constraints(spark, tmp_path):
+    """MoR enforces the same CHECK semantics: violating batches are
+    rejected before any base or delta is written."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ConstraintViolation,
+    )
+
+    spec = TableSpec("t_mor_chk", "id", None, None, "testdb", constraints=("id > 0",))
+    tbl = ParquetMorTable(spark, str(tmp_path), spec)
+    with pytest.raises(ConstraintViolation):
+        tbl.create(spark.createDataFrame([(0, "a")], "id long, val string"))
+    assert not tbl.exists()
+    tbl.create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    with pytest.raises(ConstraintViolation):
+        tbl.merge_upsert(spark.createDataFrame([(-2, "b")], "id long, val string"))
+    assert tbl.current_snapshot()["deltas"] == []
+
+
 def test_snapshot_meta_carries_through_deltas_and_compact(spark, tmp_path):
     """MoR snapshot_meta commits with the snapshot json and survives
     merge-appended deltas and compaction (same contract as CoW)."""
