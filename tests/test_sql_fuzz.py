@@ -66,6 +66,48 @@ def test_random_filter_agg_parity(spark, s):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+window_shape = st.fixed_dictionaries(
+    {
+        "group": st.sampled_from(GROUP_COLS),
+        "order_col": st.sampled_from(INT_COLS),
+        "lo": st.integers(0, 5000),
+        "span": st.integers(100, 3000),
+        "topn": st.integers(1, 5),
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(s=window_shape)
+def test_random_window_rank_parity(spark, s):
+    """dense_rank top-N per group (tie-deterministic: ties share a
+    rank and ALL tied rows are emitted, so the result SET is unique)
+    agrees with DuckDB."""
+    import pandas as pd
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sql = f"""
+    SELECT g, k, rnk FROM (
+      SELECT {s["group"]} AS g, {s["order_col"]} AS k,
+             dense_rank() OVER (PARTITION BY {s["group"]} ORDER BY {s["order_col"]}) AS rnk
+      FROM lineitem
+      WHERE {s["order_col"]} BETWEEN {s["lo"]} AND {s["lo"] + s["span"]}
+    ) WHERE rnk <= {s["topn"]}
+    GROUP BY g, k, rnk
+    ORDER BY g, k, rnk
+    """
+    got = normalize(spark.sql(sql).toPandas())
+    con = duckdb_con(SF_SMOKE)
+    want = normalize(con.sql(sql).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 join_shape = st.fixed_dictionaries(
     {
         "join": st.sampled_from(["JOIN", "LEFT JOIN"]),
