@@ -586,7 +586,13 @@ class ParquetCowTable:
             .drop("__rn", "__is_src")
         )
 
-    def _merge_partitioned(self, src: DataFrame, delete: bool, guard_col: str | None = None) -> None:
+    def _merge_partitioned(
+        self,
+        src: DataFrame,
+        delete: bool,
+        guard_col: str | None = None,
+        snapshot_meta: dict | None = None,
+    ) -> None:
         pk, part = self.spec.primary_key, self.spec.partition_key
         cur = self.current_version()
         affected = self._affected_partitions(src, delete)
@@ -606,9 +612,21 @@ class ParquetCowTable:
 
         staging = self._write_staging(merged)
         self._link_forward(cur.path, staging, affected)
+        # Carry the previous snapshot's metadata forward unless the
+        # caller overrides it — a merge or compaction must never drop
+        # state (e.g. IVM's processed-file set) committed earlier.
+        self._stage_snapshot_meta(
+            staging, snapshot_meta if snapshot_meta is not None else self.snapshot_meta()
+        )
         self._promote(staging, expected_version=cur.version)
 
-    def _merge_full(self, src: DataFrame, delete: bool, guard_col: str | None = None) -> None:
+    def _merge_full(
+        self,
+        src: DataFrame,
+        delete: bool,
+        guard_col: str | None = None,
+        snapshot_meta: dict | None = None,
+    ) -> None:
         pk = self.spec.primary_key
         cur = self.current_version()
         tgt = self.read()
@@ -617,10 +635,18 @@ class ParquetCowTable:
         else:
             merged = self._apply_upsert(tgt, src, guard_col)
         staging = self._write_staging(merged)
+        self._stage_snapshot_meta(
+            staging, snapshot_meta if snapshot_meta is not None else self.snapshot_meta()
+        )
         self._promote(staging, expected_version=cur.version)
 
     def _merge_with_retries(
-        self, src: DataFrame, delete: bool, guard_col: str | None, retries: int
+        self,
+        src: DataFrame,
+        delete: bool,
+        guard_col: str | None,
+        retries: int,
+        snapshot_meta: dict | None = None,
     ) -> None:
         """Optimistic-concurrency retry loop (what Delta's commit
         service and Iceberg's commit.retry.num-retries do): on
@@ -635,9 +661,13 @@ class ParquetCowTable:
         while True:
             try:
                 if self.spec.partition_key:
-                    self._merge_partitioned(src, delete=delete, guard_col=guard_col)
+                    self._merge_partitioned(
+                        src, delete=delete, guard_col=guard_col, snapshot_meta=snapshot_meta
+                    )
                 else:
-                    self._merge_full(src, delete=delete, guard_col=guard_col)
+                    self._merge_full(
+                        src, delete=delete, guard_col=guard_col, snapshot_meta=snapshot_meta
+                    )
                 return
             except ConcurrentWriteError:
                 if attempt >= retries:
@@ -646,7 +676,11 @@ class ParquetCowTable:
                 _time.sleep(0.05 * attempt)
 
     def merge_upsert(
-        self, src: DataFrame, guard_col: str | None = None, retries: int = 0
+        self,
+        src: DataFrame,
+        guard_col: str | None = None,
+        retries: int = 0,
+        snapshot_meta: dict | None = None,
     ) -> None:
         """W5/W6/J1: ``MERGE INTO t USING s ON s.pk = t.pk WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (reference
@@ -665,13 +699,19 @@ class ParquetCowTable:
         """
         self._check_constraints(src)
         self._check_unique_keys(src)
-        self._merge_with_retries(src, delete=False, guard_col=guard_col, retries=retries)
+        self._merge_with_retries(
+            src, delete=False, guard_col=guard_col, retries=retries, snapshot_meta=snapshot_meta
+        )
 
-    def merge_delete(self, src: DataFrame, retries: int = 0) -> None:
+    def merge_delete(
+        self, src: DataFrame, retries: int = 0, snapshot_meta: dict | None = None
+    ) -> None:
         """W7/W8: ``MERGE INTO ... WHEN MATCHED THEN DELETE`` (reference
         ``src/delta/delta-cdc-load.py:135-141``). ``src`` only needs the
         primary-key column."""
-        self._merge_with_retries(src, delete=True, guard_col=None, retries=retries)
+        self._merge_with_retries(
+            src, delete=True, guard_col=None, retries=retries, snapshot_meta=snapshot_meta
+        )
 
     # -- maintenance / interchange ----------------------------------------
 
@@ -767,6 +807,7 @@ class ParquetCowTable:
         else:
             compacted = df.repartition(n_files).sortWithinPartitions(pk)
         staging = self._write_staging(compacted, cluster=False)
+        self._stage_snapshot_meta(staging, self.snapshot_meta())  # carry forward
         self._promote(staging, expected_version=cur.version)
 
     def history(self) -> list[dict]:

@@ -177,7 +177,9 @@ class ParquetMorTable:
                 f"{list(self.spec.constraints)} violated by row {bad[0].asDict()!r}"
             )
 
-    def _append_delta(self, rows: DataFrame, op: str) -> None:
+    def _append_delta(
+        self, rows: DataFrame, op: str, snapshot_meta: dict | None = None
+    ) -> None:
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
@@ -188,18 +190,22 @@ class ParquetMorTable:
             delta,
         )
         self._commit(
-            {"base": cur["base"], "deltas": cur["deltas"] + [delta], "meta": cur.get("meta")}
+            {
+                "base": cur["base"],
+                "deltas": cur["deltas"] + [delta],
+                "meta": snapshot_meta if snapshot_meta is not None else cur.get("meta"),
+            }
         )
 
-    def merge_upsert(self, src: DataFrame) -> None:
+    def merge_upsert(self, src: DataFrame, snapshot_meta: dict | None = None) -> None:
         """O(batch) append: the merge itself is deferred to read/compact."""
         self._check_constraints(src)
         self._check_unique_keys(src)
-        self._append_delta(src, "U")
+        self._append_delta(src, "U", snapshot_meta)
 
-    def merge_delete(self, src: DataFrame) -> None:
+    def merge_delete(self, src: DataFrame, snapshot_meta: dict | None = None) -> None:
         pk = self.spec.primary_key
-        self._append_delta(src.select(pk).distinct(), "D")
+        self._append_delta(src.select(pk).distinct(), "D", snapshot_meta)
 
     # -- read path ---------------------------------------------------------
 

@@ -103,11 +103,23 @@ def cdc_load(
     return LoadReport(spec.table_name, "merged", telemetry=telemetry, files=files)
 
 
-def apply_cdc_batch(batch, tbl, spec: TableSpec, clock: datetime | None = None) -> dict:
+def apply_cdc_batch(
+    batch,
+    tbl,
+    spec: TableSpec,
+    clock: datetime | None = None,
+    snapshot_meta: dict | None = None,
+) -> dict:
     """The CDC apply core (§3.2 steps 3-8), shared by the batch loop
     and the Structured Streaming ``foreachBatch`` sink: cast envelope
     timestamp → latest-record dedup → I/U-D route+union → telemetry →
-    MERGE upsert (envelope dropped, audit stamped) → MERGE delete."""
+    MERGE upsert (envelope dropped, audit stamped) → MERGE delete.
+
+    ``snapshot_meta`` (e.g. the streaming txn marker) attaches to the
+    LAST commit the batch produces: a crash between the upsert and
+    delete halves leaves the marker un-advanced, so a replay re-applies
+    the whole batch (idempotent merges) and the outcome stays
+    exactly-once."""
     deduped = dedupe_latest(
         cast_envelope_timestamp(batch),
         key=spec.primary_key,
@@ -124,10 +136,12 @@ def apply_cdc_batch(batch, tbl, spec: TableSpec, clock: datetime | None = None) 
             # P2 envelope drop (reference src/hudi/hudi-cdc-load.py:107,115)
             # + P4 audit stamp, then MERGE upsert (W5/W6).
             src = with_audit_column(upserts.drop(OP_COL, TS_COL), clock)
-            tbl.merge_upsert(src)
+            tbl.merge_upsert(
+                src, snapshot_meta=snapshot_meta if n_deletes == 0 else None
+            )
         if n_deletes > 0:
             # MERGE delete needs only the key column (W7/W8).
-            tbl.merge_delete(deletes.select(spec.primary_key))
+            tbl.merge_delete(deletes.select(spec.primary_key), snapshot_meta=snapshot_meta)
     finally:
         routed.unpersist()
     return telemetry

@@ -11,10 +11,13 @@ pending in bounded micro-batches and terminates, and ``foreachBatch``
 applies the same CDC core (`pipeline.apply_cdc_batch`) the batch loop
 uses — dedup, route, MERGE upsert, MERGE delete.
 
-Exactly-once: the checkpoint commits a batch's file list only after
-``foreachBatch`` returns, and the merge itself is idempotent per key,
-so a crash between merge and checkpoint-commit replays harmlessly —
-the same at-least-once + idempotent-apply contract as the batch ledger.
+Exactly-once, two layers deep: (1) a transactional replay guard
+(``apply_cdc_batch_txn`` — the Delta txnAppId/txnVersion pattern)
+records the batch id in the table's atomic snapshot metadata, so a
+batch re-delivered after a crash between sink-commit and
+checkpoint-commit is SKIPPED, not re-merged; (2) even without the
+marker (a fresh consumer), the merge itself is idempotent per key, so
+re-application converges to the same state.
 
 Scale: the file-source listing cost and per-batch work are identical to
 the batch path; ``maxFilesPerTrigger`` (via ``options``) bounds
@@ -25,6 +28,7 @@ cannot do.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import SparkSession
@@ -33,6 +37,35 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..pipeline import CDC_ZONE, apply_cdc_batch
 from ..spec import TableSpec
+
+
+def apply_cdc_batch_txn(
+    batch_df,
+    batch_id: int,
+    tbl,
+    spec: TableSpec,
+    clock: datetime | None = None,
+    txn_app: str = "stream",
+) -> dict | None:
+    """Exactly-once foreachBatch apply — the Delta ``txnAppId`` /
+    ``txnVersion`` pattern on this engine's atomic snapshot metadata.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash
+    between the sink's commit and the checkpoint's, the SAME
+    ``batch_id`` is re-delivered. The guard records
+    ``(txn_app, txn_version=batch_id)`` in the snapshot metadata of the
+    batch's LAST table commit (same atomic rename as the data); a
+    re-delivered batch whose id is already committed for this app is
+    skipped entirely — no duplicate versions, no redundant merge work.
+    ``txn_app`` scopes the marker to one consumer (use the checkpoint
+    path): a different checkpoint is a different consumer and applies
+    from scratch, which plain idempotent MERGE absorbs. Returns the
+    batch telemetry, or None when skipped as a replay."""
+    meta = (tbl.snapshot_meta() or {}) if tbl.exists() else {}
+    if meta.get("txn_app") == txn_app and meta.get("txn_version", -1) >= batch_id:
+        return None
+    new_meta = {**meta, "txn_app": txn_app, "txn_version": batch_id}
+    return apply_cdc_batch(batch_df, tbl, spec, clock, snapshot_meta=new_meta)
 
 
 def stage_micros_parquet(
@@ -101,10 +134,14 @@ def cdc_stream_available_now(
 
     telemetries: list[dict] = []
 
+    txn_app = os.path.abspath(checkpoint_dir)
+
     def _apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        telemetries.append(apply_cdc_batch(batch_df, tbl, spec, clock))
+        t = apply_cdc_batch_txn(batch_df, batch_id, tbl, spec, clock, txn_app=txn_app)
+        if t is not None:
+            telemetries.append(t)
 
     query = (
         stream.writeStream.foreachBatch(_apply)

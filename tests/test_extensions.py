@@ -128,6 +128,45 @@ def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
     assert got_b == got_s and len(got_b) == ev.count()
 
 
+def test_foreachbatch_txn_guard_skips_replayed_batch(spark, tmp_path):
+    """Exactly-once sink: a foreachBatch delivery replayed with the
+    same batch_id is skipped (no new version, no merge work); a later
+    batch_id applies; a different consumer (txn_app) is independent.
+    Crash-window semantics: the marker rides the batch's LAST commit."""
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+    from automation_of_building_a_transactional_data_lake_spark.streaming.microbatch import (
+        apply_cdc_batch_txn,
+    )
+
+    spec = TableSpec("txn_t", "id", None, None, "streamdb")
+    cat = Catalog(spark, str(tmp_path))
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame([(0, "seed")], "id long, val string"))
+
+    batch = spark.createDataFrame(
+        [("I", dt.datetime(2024, 1, 1), 1, "v1"), ("D", dt.datetime(2024, 1, 1), 0, None)],
+        "Op string, timestamp timestamp, id long, val string",
+    )
+    t1 = apply_cdc_batch_txn(batch, 7, tbl, spec, txn_app="appA")
+    assert t1 is not None and t1["I"] == 1 and t1["D"] == 1
+    v_after = tbl.current_version().version
+    assert tbl.snapshot_meta()["txn_version"] == 7
+
+    # Replay of the same delivery: skipped entirely.
+    assert apply_cdc_batch_txn(batch, 7, tbl, spec, txn_app="appA") is None
+    assert tbl.current_version().version == v_after
+    # Stale (older) id too.
+    assert apply_cdc_batch_txn(batch, 3, tbl, spec, txn_app="appA") is None
+
+    # Next batch id applies; idempotent content, marker advances.
+    assert apply_cdc_batch_txn(batch, 8, tbl, spec, txn_app="appA") is not None
+    assert tbl.snapshot_meta()["txn_version"] == 8
+    # A different consumer is scoped independently.
+    assert apply_cdc_batch_txn(batch, 0, tbl, spec, txn_app="appB") is not None
+    assert tbl.snapshot_meta() == {"txn_app": "appB", "txn_version": 0}
+    assert {r.id for r in tbl.read().collect()} == {1}
+
+
 def test_cdc_stream_through_mor_backend(spark, tmp_path):
     """The streaming CDC twin is format-agnostic: draining through a
     merge-on-read catalog appends deltas and reconciles to the same
