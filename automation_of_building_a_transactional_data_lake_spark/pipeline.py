@@ -196,6 +196,9 @@ def maintain_all(
                     target_file_mb=target_file_mb,
                     zorder=list(spec.zorder_by) if spec.zorder_by else None,
                 )
+                # Compaction replaced every data file: refresh the
+                # symlink manifest external engines read (W10).
+                tbl.generate_manifest()
             else:
                 tbl.compact()
         removed = tbl.vacuum(vacuum_retain_last) if vacuum_retain_last else []

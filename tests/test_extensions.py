@@ -413,6 +413,11 @@ def test_maintain_all_applies_spec_zorder(spark, tmp_path):
     total = len(tbl.data_files())
     assert len(tbl.pruned_files("a", 0, 7)) < total
     assert len(tbl.pruned_files("b", 0, 7)) < total
+    # Maintenance refreshed the external-engine manifest to the new files.
+    import os as _os
+
+    manifest = _os.path.join(tbl.path, "_symlink_manifest", "manifest")
+    assert open(manifest).read().strip().splitlines() == tbl.data_files()
 
 
 def test_sample_frames_jvm_side(spark):
