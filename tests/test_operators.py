@@ -146,6 +146,26 @@ def test_lsh_near_pairs_planted_vectors(spark):
     assert got == {(0, 1), (2, 3)}
 
 
+def test_with_lsh_signature_buckets_by_direction(spark):
+    """Single-band signature: collinear vectors land in the SAME
+    bucket deterministically (sign-LSH depends only on direction);
+    a far-apart vector lands elsewhere under the fixed seed."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+        with_lsh_signature)
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, -3.0, 0.5]),
+            (2, [2.0, 4.0, -6.0, 1.0]),   # 2x vector 1 — same direction
+            (3, [-1.0, -2.0, 3.0, -0.5]),  # opposite direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.lsh_bucket for r in with_lsh_signature(df, dim=4, n_planes=16).collect()}
+    assert got[1] == got[2]
+    assert got[3] != got[1]  # every sign flips for the negated vector
+
+
 def test_lsh_near_pairs_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert lsh_near_pairs(df, dim=8).count() == 0  # no .first() crash
