@@ -58,22 +58,40 @@ def _raw_dir(raw_root: str, zone: str, spec: TableSpec) -> str:
     return f"{raw_root}/{zone}/{spec.database}/{spec.table_name}"
 
 
+_SOURCE_FORMATS = {"parquet", "csv", "json"}
+
+
 def initial_load(
     spark: SparkSession,
     catalog: Catalog,
     spec: TableSpec,
     raw_root: str,
+    source_format: str = "parquet",
+    schema=None,
+    reader_options: dict[str, str] | None = None,
 ) -> LoadReport:
     """One table's full load (§3.1): recursive raw-zone scan (S1) →
     idempotent create (W1/W2, skip-if-exists guard at reference
-    ``src/hudi/hudi-initial-load.py:109-110``)."""
+    ``src/hudi/hudi-initial-load.py:109-110``).
+
+    ``source_format``/``schema``/``reader_options`` extend the
+    reference's parquet-only raw zone to csv/json drops (a DMS task
+    can emit any of the three). Prefer an explicit ``schema`` for
+    text formats at scale — ``inferSchema`` is an extra full pass over
+    the raw zone. The managed table is always written as parquet."""
+    if source_format not in _SOURCE_FORMATS:
+        raise ValueError(
+            f"source_format {source_format!r} not in {sorted(_SOURCE_FORMATS)}"
+        )
     tbl = catalog.table(spec)
     if tbl.exists():
         return LoadReport(spec.table_name, "skipped_exists")
-    df = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(_raw_dir(raw_root, INITIAL_ZONE, spec))
-    )
+    reader = spark.read.option("recursiveFileLookup", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    df = getattr(reader, source_format)(_raw_dir(raw_root, INITIAL_ZONE, spec))
     tbl.create(df)
     return LoadReport(spec.table_name, "created")
 

@@ -229,6 +229,42 @@ def test_stream_bounded_drain_max_files_per_trigger(spark, tmp_path):
     assert {r.id for r in cat.read_table(spec).collect()} == {0, 1, 2, 3}
 
 
+def test_initial_load_csv_and_json_sources(spark, tmp_path):
+    """The raw zone can be csv or json drops, not just parquet: the
+    initial load reads them schema-enforced and the managed table is
+    identical to the parquet-sourced one."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        INITIAL_ZONE,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    rows = [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)]
+    src = spark.createDataFrame(rows, "id long, name string, score double")
+    root = str(tmp_path / "raw")
+    want = sorted(map(tuple, src.collect()))
+
+    got = {}
+    for fmt, opts in [("csv", {"header": "true"}), ("json", {})]:
+        spec = TableSpec(f"t_{fmt}", "id", None, None, "srcdb")
+        writer = src.write
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(f"{root}/{INITIAL_ZONE}/{spec.database}/{spec.table_name}")
+        cat = Catalog(spark, str(tmp_path / f"wh_{fmt}"))
+        rpt = initial_load(
+            spark, cat, spec, root,
+            source_format=fmt, schema=src.schema, reader_options=opts,
+        )
+        assert rpt.action == "created"
+        got[fmt] = sorted(map(tuple, cat.read_table(spec).collect()))
+    assert got["csv"] == got["json"] == want
+
+    with pytest.raises(ValueError, match="source_format"):
+        initial_load(spark, Catalog(spark, str(tmp_path / "whx")),
+                     TableSpec("t_x", "id", None, None, "srcdb"), root,
+                     source_format="avro")
+
+
 def test_catalog_drop_table(spark, tmp_path):
     from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
 
