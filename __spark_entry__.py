@@ -32,23 +32,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() (CORRECTNESS_r02 held exactly registry positions 0-49), so
 # iteration order decides which queries get a correctness row. The
 # registry exceeds 50, so demote to the tail the entries whose gate
-# contributes least: oracle twins whose scale-path counterpart is gated
-# (emb_top_pairs verifies emb_lsh_pairs), queries whose operator shape
-# is fully covered by another gated query (q6 ⊂ q1/q14 filter-agg,
-# orders_priority_semi ⊂ q4 exists-semi), and the oracle-less rows-only
-# check (customer_churn_predict).
+# contributes least — and ROTATE the tail across rounds so every
+# registered query earns a driver-green row at least once (round-3
+# verdict item #2).
+#
+# Rotation log:
+#   r3 tail: emb_top_pairs, q6_forecast_revenue, orders_priority_semi,
+#            customer_churn_predict
+#   r4 tail (this round): q6_forecast_revenue and customer_churn_predict
+#     rotate IN to the recorded 50; orders_urgent_by_status (shape ⊂
+#     q12/q16 IN-list agg) and docs_split_counts (shape ⊂
+#     docs_curation_pipeline, which composes the same splitter) rotate
+#     OUT. emb_top_pairs (O(n²) oracle twin of the gated emb_lsh_pairs)
+#     and orders_priority_semi (⊂ q4 exists-semi) stay demoted; both
+#     remain covered by in-repo tests (tests/test_oracle_parity.py
+#     drives the FULL registry, tail included, against the same oracles).
 _DEMOTED_TAIL = [
     "emb_top_pairs",
-    "q6_forecast_revenue",
     "orders_priority_semi",
-    "customer_churn_predict",
+    "orders_urgent_by_status",
+    "docs_split_counts",
 ]
+
+_DRIVER_SLOTS = 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the 50 driver-recorded slots go to the highest-value gates."""
     head = {n: q.spark for n, q in QUERIES.items() if n not in _DEMOTED_TAIL}
+    # Growth past the driver's recording window must force an explicit
+    # re-decision (which gate to demote), never a silent drop.
+    assert len(head) <= _DRIVER_SLOTS, (
+        f"{len(head)} undemoted queries exceed the driver's "
+        f"{_DRIVER_SLOTS}-slot correctness window; extend _DEMOTED_TAIL "
+        "consciously (and keep the demoted query gated by in-repo tests)."
+    )
     tail = {n: QUERIES[n].spark for n in _DEMOTED_TAIL if n in QUERIES}
     return {**head, **tail}
 
