@@ -72,6 +72,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -740,6 +741,33 @@ class ParquetCowTable:
         os.rename(tmp, mpath)
         return mpath
 
+    def _zorder_numeric(self, df: DataFrame, c: str):
+        """Order-preserving DOUBLE view of a z-order column. Temporal
+        types map to epoch numerics (date → days since 1970-01-01,
+        timestamp → epoch seconds) so the canonical 100-TB layout —
+        ``ZORDER BY (event_date, user_id)`` — quantizes like any
+        numeric pair; unsupported types fail with a clear error instead
+        of a ``float()`` TypeError at bounds-collect time (r3 advisory)."""
+        dtype = dict(df.dtypes).get(c)
+        if dtype is None:
+            raise ValueError(
+                f"{self.spec.qualified_name}: zorder column {c!r} not in table schema"
+            )
+        if dtype == "date":
+            return F.datediff(F.col(c), F.to_date(F.lit("1970-01-01"))).cast("double")
+        if dtype.startswith("timestamp"):
+            return F.col(c).cast("double")
+        if dtype == "boolean":
+            return F.col(c).cast("int").cast("double")
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+            dtype.startswith("decimal")
+        ):
+            return F.col(c).cast("double")
+        raise TypeError(
+            f"{self.spec.qualified_name}: cannot zorder by {c!r} of type {dtype}; "
+            "supported: numeric, boolean, date, timestamp"
+        )
+
     def _zorder_value(self, df: DataFrame, cols: list[str], bits: int = 10):
         """Z-value (Morton code) expression: each column min-max
         normalizes to a ``bits``-bit integer (bounds from one tiny
@@ -748,21 +776,29 @@ class ParquetCowTable:
         close in EVERY clustered dimension, so range-partitioning by z
         gives each output file a tight min/max box on all columns at
         once — what makes multi-column stats skipping work. Plain
-        shift/or arithmetic: whole-stage codegen, no HOFs."""
+        shift/or arithmetic: whole-stage codegen, no HOFs. Null values
+        (and all-null/empty columns) quantize to bucket 0, so they
+        cluster together instead of scattering a null z across files."""
+        nums = {c: self._zorder_numeric(df, c) for c in cols}
         bounds = df.agg(
-            *[F.min(c).alias(f"__mn_{c}") for c in cols],
-            *[F.max(c).alias(f"__mx_{c}") for c in cols],
+            *[F.min(nums[c]).alias(f"__mn_{c}") for c in cols],
+            *[F.max(nums[c]).alias(f"__mx_{c}") for c in cols],
         ).collect()[0]
         scale = (1 << bits) - 1
         quantized = []
         for c in cols:
-            mn = float(bounds[f"__mn_{c}"])
-            span = float(bounds[f"__mx_{c}"]) - mn
-            q = (
-                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span or 1.0))
-                * F.lit(float(scale))
-            ).cast("long")
-            quantized.append(F.greatest(F.lit(0), F.least(F.lit(scale), q)))
+            mn_v, mx_v = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+            if mn_v is None or mx_v is None:  # empty table / all-null column
+                quantized.append(F.lit(0).cast("long"))
+                continue
+            mn = float(mn_v)
+            span = float(mx_v) - mn
+            q = (((nums[c] - F.lit(mn)) / F.lit(span or 1.0)) * F.lit(float(scale))).cast(
+                "long"
+            )
+            quantized.append(
+                F.coalesce(F.greatest(F.lit(0), F.least(F.lit(scale), q)), F.lit(0))
+            )
         z = F.lit(0).cast("long")
         for b in range(bits):
             for i, q in enumerate(quantized):
@@ -832,33 +868,76 @@ class ParquetCowTable:
             out.append({"version": v, "n_files": n_files, "is_current": v == cur.version})
         return out
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        staging_retention_s: float = 3600.0,
+        lock_wait_s: float = 10.0,
+    ) -> list[str]:
         """Delete version directories no longer referenced by the
         pointer (keeping ``retain_last`` most recent committed versions
         for time-travel/readers-in-flight). Hard links make this safe:
-        files carried forward stay alive in newer versions."""
+        files carried forward stay alive in newer versions.
+
+        Concurrency: the sweep runs under ``_COMMIT_LOCK`` (waiting up
+        to ``lock_wait_s`` for an in-flight commit, then raising
+        ``ConcurrentWriteError``), so the ``v > cur.version`` branch can
+        never observe — and delete — a staging directory ``_promote``
+        has renamed to ``v(n+1)`` but not yet pointed ``_LATEST`` at.
+        Staging directories are only removed once older than
+        ``staging_retention_s`` (Delta VACUUM's retention-window idea):
+        a fresh ``.staging-*`` may belong to a live writer between
+        write and promote, and deleting it would fail that writer with
+        ``FileNotFoundError`` instead of a retryable conflict."""
         cur = self.current_version()
         if cur is None:
             return []
-        removed: list[str] = []
-        keep_from = cur.version - retain_last + 1
-        for entry in sorted(os.listdir(self.path)):
-            if entry.startswith(".staging-"):
-                # Orphaned staging from a crashed or conflict-losing
-                # writer — never referenced, always safe to drop.
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
-                removed.append(entry)
-                continue
-            if not entry.startswith(_VERSION_PREFIX):
-                continue
+        lock = os.path.join(self.path, _COMMIT_LOCK)
+        deadline = time.monotonic() + lock_wait_s
+        while True:
             try:
-                v = int(entry[len(_VERSION_PREFIX):])
-            except ValueError:
-                continue
-            if v < keep_from or v > cur.version:  # uncommitted versions too
-                shutil.rmtree(os.path.join(self.path, entry))
-                removed.append(entry)
-        return removed
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"{self.spec.qualified_name}: commit in flight; "
+                        "vacuum timed out waiting for the commit lock"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            cur = self.current_version()  # re-read under the lock
+            removed: list[str] = []
+            keep_from = cur.version - retain_last + 1
+            now = time.time()
+            for entry in sorted(os.listdir(self.path)):
+                full = os.path.join(self.path, entry)
+                if entry.startswith(".staging-"):
+                    # Orphaned staging from a crashed or conflict-losing
+                    # writer is never referenced — but a FRESH one may be
+                    # a live writer that hasn't called _promote yet.
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # promoted/removed since listdir
+                    if age < staging_retention_s:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(entry)
+                    continue
+                if not entry.startswith(_VERSION_PREFIX):
+                    continue
+                try:
+                    v = int(entry[len(_VERSION_PREFIX):])
+                except ValueError:
+                    continue
+                if v < keep_from or v > cur.version:  # uncommitted versions too
+                    shutil.rmtree(full)
+                    removed.append(entry)
+            return removed
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
 
 def temp_warehouse(prefix: str = "tdl_wh_") -> str:

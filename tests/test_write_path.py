@@ -6,6 +6,7 @@ against a DuckDB oracle implementing latest-wins-then-delete.
 """
 
 import os
+import time
 from datetime import datetime, timezone
 
 import duckdb
@@ -241,13 +242,74 @@ def test_merge_retry_waits_out_held_lock(spark, tmp_path):
     assert done and tbl.read().count() == 2
 
 
-def test_vacuum_removes_orphaned_staging(spark, tmp_path):
+def test_vacuum_removes_orphaned_staging_after_retention(spark, tmp_path):
+    """A FRESH .staging-* may belong to a live writer between write and
+    promote — vacuum must spare it (r3 advisory: deleting it fails that
+    writer with FileNotFoundError instead of a retryable conflict). Once
+    older than the retention window it is an orphan and is removed."""
     tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
     tbl.create(_mk(spark, [(1, "a", "x")]))
     orphan = os.path.join(tbl.path, ".staging-deadbeef")
     os.makedirs(orphan)
+    # Within retention: spared.
+    assert tbl.vacuum(retain_last=1) == []
+    assert os.path.isdir(orphan)
+    # Backdate past retention: removed.
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
     removed = tbl.vacuum(retain_last=1)
     assert ".staging-deadbeef" in removed and not os.path.isdir(orphan)
+
+
+def test_vacuum_waits_for_commit_lock(spark, tmp_path):
+    """vacuum's version sweep runs under _COMMIT_LOCK (r3 verdict #3):
+    while a commit is in flight it waits, then surfaces a retryable
+    ConcurrentWriteError — it can never sweep mid-promote."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(2, "b", "y")]))
+    lock = os.path.join(tbl.path, "_commit.lock")
+    open(lock, "w").close()
+    with pytest.raises(ConcurrentWriteError):
+        tbl.vacuum(retain_last=1, lock_wait_s=0.2)
+    os.unlink(lock)
+    assert tbl.vacuum(retain_last=1) == ["v00000001"]
+
+
+def test_vacuum_never_deletes_renamed_uncommitted_version(spark, tmp_path):
+    """The exact race from the r3 verdict: _promote has renamed staging
+    to v(n+1) but not yet advanced _LATEST — all under the lock. A
+    concurrent vacuum must block on the lock (not delete v(n+1)), and
+    once the commit completes the new head survives any later vacuum."""
+    import threading
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    lock = os.path.join(tbl.path, "_commit.lock")
+    # Simulate mid-promote: lock held, v2 renamed into place, pointer
+    # still at v1.
+    open(lock, "w").close()
+    staging = tbl._write_staging(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v2 = os.path.join(tbl.path, "v00000002")
+    os.rename(staging, v2)
+    results: list = []
+
+    def run_vacuum():
+        try:
+            results.append(tbl.vacuum(retain_last=1, lock_wait_s=30))
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            results.append(ex)
+
+    t = threading.Thread(target=run_vacuum)
+    t.start()
+    time.sleep(0.3)
+    assert os.path.isdir(v2)  # blocked on the lock, nothing deleted
+    tbl._commit(2)  # promote finishes: pointer -> v2 ...
+    os.unlink(lock)  # ... and the lock is released
+    t.join(timeout=30)
+    assert results == [["v00000001"]]  # swept the stale v1, kept v2
+    assert tbl.current_version().version == 2
+    assert {r.id for r in tbl.read().collect()} == {1, 2}
 
 
 def test_null_partition_merge_no_duplicates(spark, tmp_path):
@@ -375,6 +437,60 @@ def test_compact_zorder_multi_column_skipping(spark, tmp_path):
     got = {r.id for r in tbl.read_skipping("a", 0, 7).collect()}
     want = {r.id for r in tbl.read().filter("a BETWEEN 0 AND 7").collect()}
     assert got == want and len(want) == 8 * 64
+
+
+def test_compact_zorder_temporal_columns(spark, tmp_path):
+    """ZORDER BY (event_date, user_id) — THE canonical 100-TB layout
+    (r3 verdict #4): temporal columns quantize via epoch numerics, and
+    after z-order compaction stats skipping prunes on the date range
+    AND the id range. Also covers null dates (bucket 0, no crash)."""
+    import datetime as dt
+
+    spec = TableSpec("t_zt", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    # 64 days x 64 users; id encodes (day, user) so a pk sort would
+    # cluster only the date dimension.
+    df = spark.range(4096).selectExpr(
+        "id",
+        "date_add(DATE'2023-01-01', CAST(id % 64 AS INT)) AS event_date",
+        "id DIV 64 AS user_id",
+        "CAST(timestampadd(HOUR, CAST(id % 64 AS INT), TIMESTAMP'2023-01-01 00:00:00') "
+        "AS TIMESTAMP) AS ts",
+    )
+    tbl.create(df.repartition(4))
+    tbl.compact(zorder=["event_date", "user_id"], n_files=16)
+    assert len(tbl.data_files()) == 16
+    pd_ = tbl.pruned_files("event_date", dt.date(2023, 1, 1), dt.date(2023, 1, 8))
+    pu = tbl.pruned_files("user_id", 0, 7)
+    assert len(pd_) < 16 and len(pu) < 16  # both dimensions prune
+    got = {
+        r.id
+        for r in tbl.read_skipping(
+            "event_date", dt.date(2023, 1, 1), dt.date(2023, 1, 8)
+        ).collect()
+    }
+    want = {
+        r.id
+        for r in tbl.read().filter("event_date BETWEEN '2023-01-01' AND '2023-01-08'").collect()
+    }
+    assert got == want and len(want) == 8 * 64
+
+    # Timestamp + null handling: z-order by (ts, user_id) with some
+    # nulls must not crash and must keep every row.
+    null_df = df.selectExpr(
+        "id", "event_date", "user_id", "CASE WHEN id % 100 = 0 THEN NULL ELSE ts END AS ts"
+    )
+    tbl.overwrite(null_df)
+    tbl.compact(zorder=["ts", "user_id"], n_files=8)
+    assert tbl.read().count() == 4096
+
+    # Unknown / unsupported columns fail loudly, not with a float()
+    # TypeError at bounds-collect time.
+    with pytest.raises(ValueError, match="not in table schema"):
+        tbl.compact(zorder=["event_date", "no_such_column"])
+    tbl.overwrite(null_df.selectExpr("id", "event_date", "user_id", "CAST(ts AS STRING) AS ts"))
+    with pytest.raises(TypeError, match="cannot zorder"):
+        tbl.compact(zorder=["ts", "user_id"])
 
 
 def test_catalog_listing_and_views(spark, tmp_path):
