@@ -58,13 +58,20 @@ def apply_cdc_batch_txn(
     re-delivered batch whose id is already committed for this app is
     skipped entirely — no duplicate versions, no redundant merge work.
     ``txn_app`` scopes the marker to one consumer (use the checkpoint
-    path): a different checkpoint is a different consumer and applies
-    from scratch, which plain idempotent MERGE absorbs. Returns the
-    batch telemetry, or None when skipped as a replay."""
+    path). Markers live in a per-app map ``{"txns": {app_id: version}}``
+    — Delta's per-appId txn table — so two consumers with different
+    checkpoints interleaving into one table each keep their own replay
+    protection instead of clobbering a single slot (r3 advisory).
+    Returns the batch telemetry, or None when skipped as a replay."""
     meta = (tbl.snapshot_meta() or {}) if tbl.exists() else {}
-    if meta.get("txn_app") == txn_app and meta.get("txn_version", -1) >= batch_id:
+    txns = dict(meta.get("txns") or {})
+    # Migrate the pre-r4 single-slot marker into the map once.
+    if "txn_app" in meta:
+        txns.setdefault(meta["txn_app"], meta.get("txn_version", -1))
+    if txns.get(txn_app, -1) >= batch_id:
         return None
-    new_meta = {**meta, "txn_app": txn_app, "txn_version": batch_id}
+    new_meta = {k: v for k, v in meta.items() if k not in ("txn_app", "txn_version")}
+    new_meta["txns"] = {**txns, txn_app: batch_id}
     return apply_cdc_batch(batch_df, tbl, spec, clock, snapshot_meta=new_meta)
 
 

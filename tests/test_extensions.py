@@ -150,7 +150,7 @@ def test_foreachbatch_txn_guard_skips_replayed_batch(spark, tmp_path):
     t1 = apply_cdc_batch_txn(batch, 7, tbl, spec, txn_app="appA")
     assert t1 is not None and t1["I"] == 1 and t1["D"] == 1
     v_after = tbl.current_version().version
-    assert tbl.snapshot_meta()["txn_version"] == 7
+    assert tbl.snapshot_meta()["txns"] == {"appA": 7}
 
     # Replay of the same delivery: skipped entirely.
     assert apply_cdc_batch_txn(batch, 7, tbl, spec, txn_app="appA") is None
@@ -160,11 +160,42 @@ def test_foreachbatch_txn_guard_skips_replayed_batch(spark, tmp_path):
 
     # Next batch id applies; idempotent content, marker advances.
     assert apply_cdc_batch_txn(batch, 8, tbl, spec, txn_app="appA") is not None
-    assert tbl.snapshot_meta()["txn_version"] == 8
-    # A different consumer is scoped independently.
+    assert tbl.snapshot_meta()["txns"] == {"appA": 8}
+    # A different consumer is scoped independently AND must not clobber
+    # appA's marker (r3 advisory: per-appId txn map, Delta semantics).
     assert apply_cdc_batch_txn(batch, 0, tbl, spec, txn_app="appB") is not None
-    assert tbl.snapshot_meta() == {"txn_app": "appB", "txn_version": 0}
+    assert tbl.snapshot_meta() == {"txns": {"appA": 8, "appB": 0}}
+    # Interleaved replays on BOTH consumers are still caught.
+    assert apply_cdc_batch_txn(batch, 8, tbl, spec, txn_app="appA") is None
+    assert apply_cdc_batch_txn(batch, 0, tbl, spec, txn_app="appB") is None
     assert {r.id for r in tbl.read().collect()} == {1}
+
+
+def test_txn_guard_migrates_legacy_single_slot_marker(spark, tmp_path):
+    """A table whose snapshot carries the pre-r4 single-slot
+    txn_app/txn_version marker keeps its replay protection after the
+    map migration: the legacy app's old batch id is still skipped and
+    the marker moves into the txns map."""
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+    from automation_of_building_a_transactional_data_lake_spark.streaming.microbatch import (
+        apply_cdc_batch_txn,
+    )
+
+    spec = TableSpec("txn_legacy", "id", None, None, "streamdb")
+    cat = Catalog(spark, str(tmp_path))
+    tbl = cat.table(spec)
+    tbl.create(
+        spark.createDataFrame([(0, "seed")], "id long, val string"),
+        snapshot_meta={"txn_app": "appA", "txn_version": 7},
+    )
+    batch = spark.createDataFrame(
+        [("I", dt.datetime(2024, 1, 1), 1, "v1")],
+        "Op string, timestamp timestamp, id long, val string",
+    )
+    assert apply_cdc_batch_txn(batch, 7, tbl, spec, txn_app="appA") is None
+    assert apply_cdc_batch_txn(batch, 8, tbl, spec, txn_app="appA") is not None
+    meta = tbl.snapshot_meta()
+    assert meta["txns"] == {"appA": 8} and "txn_app" not in meta
 
 
 def test_cdc_stream_through_mor_backend(spark, tmp_path):

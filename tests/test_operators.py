@@ -240,6 +240,41 @@ def test_minhash_expression_twin_matches_per_perm_min(spark):
     assert {r.doc_id: list(r.sig) for r in rev.collect()} == got
 
 
+def test_minhash_udf_empty_hash_arrays(spark):
+    """The public vectorized path must handle empty per-row hash arrays
+    (r3 advisory): a trailing empty row made reduceat raise IndexError,
+    an interior one silently aliased the NEXT document's signature.
+    Empty rows get the identity signature (the expression twin's fold
+    init, LONG_MAX); non-empty rows are unaffected by their neighbors."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        _LONG_MAX,
+        minhash_signature_udf,
+    )
+
+    sig = minhash_signature_udf(num_perm=8)
+    df = spark.createDataFrame(
+        [(1, []), (2, [123456789, -42]), (3, []), (4, [987654321]), (5, [])],
+        "doc_id long, hs array<long>",
+    )
+    one = df.repartition(1)  # single batch: interior AND trailing empties
+    got = {r.doc_id: list(r.sig) for r in one.select("doc_id", sig("hs").alias("sig")).collect()}
+    ident = [_LONG_MAX] * 8
+    assert got[1] == ident and got[3] == ident and got[5] == ident
+    solo = {
+        r.doc_id: list(r.sig)
+        for r in df.filter("doc_id IN (2, 4)")
+        .repartition(1)
+        .select("doc_id", sig("hs").alias("sig"))
+        .collect()
+    }
+    assert got[2] == solo[2] and got[4] == solo[4]
+    # A batch that is ALL empty arrays must also produce identities.
+    all_empty = (
+        df.filter("doc_id IN (1, 3)").repartition(1).select(sig("hs").alias("sig")).collect()
+    )
+    assert [list(r.sig) for r in all_empty] == [ident, ident]
+
+
 def test_ivf_assignment_twins_agree(spark):
     """Expression argmin and Arrow-batched matmul argmin assign every
     real vector to the same cluster (tie-break: lowest index in both)."""
