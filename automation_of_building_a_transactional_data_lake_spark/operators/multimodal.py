@@ -6,13 +6,20 @@ metadata; per-item work (decode, resize, frame-sample, feature
 extraction) runs in Arrow-batched ``mapInPandas`` so Python touches
 data once per batch, never per row.
 
-The decode step itself is STUBBED in this environment (no image/audio
-codecs are installed): ``decoder="fake"`` produces deterministic
-pseudo-decodes (byte-level stats standing in for pixel stats) so the
-Spark-side contract — schemas, batch iteration, partitioning, column
-pruning — is real and testable; ``decoder="pil"``-style real backends
-raise ``NotImplementedError`` with a clear message until their
-libraries exist on the executors.
+Two decode tiers exist:
+
+- **Real, dependency-free header decoders** (``decoder="bmp"`` /
+  ``"wav"`` / ``"auto"`` in ``decode_media``): pure-python parsers for
+  the BMP DIB header (width/height/bit depth) and the RIFF/WAVE chunk
+  list (channels/sample rate/bit depth/duration) — genuine metadata
+  decode with no codec libraries, gated by golden-bytes tests.
+- **Stubbed sample decoders**: full pixel/audio-sample decode needs
+  codec libraries absent from this environment, so ``decoder="pil"`` /
+  ``"ffmpeg"`` raise ``NotImplementedError`` with a clear message;
+  ``decoder="fake"`` produces deterministic pseudo-decodes (byte-level
+  stats standing in for pixel stats) so the Spark-side contract —
+  schemas, batch iteration, partitioning, column pruning — stays
+  executable and testable everywhere.
 
 Scale notes:
 - ``mapInPandas`` with ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -62,7 +69,144 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-Decoder = Literal["fake", "pil", "ffmpeg"]
+Decoder = Literal["fake", "bmp", "wav", "auto", "pil", "ffmpeg"]
+
+# decode_media output: detected container metadata per item. Image
+# fields null for audio and vice versa; ALL parse fields null when the
+# payload is not the expected format (schema-stable, never throws on
+# bad bytes — a 100 TB crawl always contains garbage).
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("bits_per_sample", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def parse_bmp_header(payload: bytes | None) -> dict | None:
+    """Real, dependency-free BMP decode of the metadata tier: the
+    14-byte BITMAPFILEHEADER ('BM' magic) followed by a
+    BITMAPINFOHEADER (or the ancient BITMAPCOREHEADER). Returns
+    width/height/bits_per_sample, or None when the payload is not a
+    parseable BMP. A negative height means top-down row order — the
+    pixel height is its magnitude."""
+    import struct
+
+    if payload is None or len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib >= 40 and len(payload) >= 14 + 40:  # BITMAPINFOHEADER and successors
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+    elif dib == 12 and len(payload) >= 14 + 12:  # BITMAPCOREHEADER
+        w, h = struct.unpack_from("<HH", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
+    else:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    return {"format": "bmp", "width": int(w), "height": abs(int(h)), "bits_per_sample": int(bpp)}
+
+
+def parse_wav_header(payload: bytes | None) -> dict | None:
+    """Real, dependency-free RIFF/WAVE decode of the metadata tier:
+    walks the word-aligned chunk list for ``fmt `` (channels, sample
+    rate, bit depth) and ``data`` (payload size → duration). Returns
+    None when the payload is not a parseable WAV."""
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    off, fmt, data_size = 12, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if cid == b"fmt " and size >= 16 and off + 8 + 16 <= len(payload):
+            _tag, ch, rate = struct.unpack_from("<HHI", payload, off + 8)
+            bits = struct.unpack_from("<H", payload, off + 8 + 14)[0]
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        off += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None:
+        return None
+    ch, rate, bits = fmt
+    out = {
+        "format": "wav",
+        "n_channels": int(ch),
+        "sample_rate": int(rate),
+        "bits_per_sample": int(bits),
+    }
+    if data_size is not None and rate and ch and bits:
+        out["duration_ms"] = int(data_size * 8000 // (rate * ch * bits))
+    return out
+
+
+def _parse_fake(payload: bytes | None) -> dict | None:
+    """Deterministic pseudo-decode twin: stable fields derived from the
+    byte length alone, so tests of the dataflow never depend on codecs."""
+    if payload is None:
+        return None
+    n = len(payload)
+    return {"format": "fake", "width": n % 64 + 1, "height": n // 64 % 64 + 1}
+
+
+def _parse_auto(payload: bytes | None) -> dict | None:
+    return parse_bmp_header(payload) or parse_wav_header(payload)
+
+
+_DECODERS = {"fake": _parse_fake, "bmp": parse_bmp_header, "wav": parse_wav_header, "auto": _parse_auto}
+
+
+def decode_media(
+    media: DataFrame,
+    decoder: Decoder = "auto",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Metadata decode of the binary payload via Arrow-batched
+    ``mapInPandas``: BMP dimensions, WAV sample rate/channels/duration
+    (``"auto"`` sniffs both), or the deterministic ``"fake"`` twin.
+    Unparseable payloads yield null parse fields, never an error —
+    schema-stable over a dirty crawl. Header parsing is inherently
+    per-item; payloads still cross to Python once per Arrow batch, and
+    only (id, payload) is shipped (column-pruned at the scan)."""
+    if decoder not in _DECODERS:
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires media codec libraries not present "
+            "in this environment; available: "
+            "'bmp'/'wav'/'auto' (real header parse) or 'fake' (deterministic stub)"
+        )
+    parse = _DECODERS[decoder]
+    pruned = media.select(id_col, payload_col)
+    fields = [f.name for f in DECODED_SCHEMA.fields]
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                d = parse(raw) or {}
+                d["media_id"] = mid
+                d["n_bytes"] = len(raw) if raw is not None else 0
+                rows.append({k: d.get(k) for k in fields})
+            yield pd.DataFrame(rows, columns=fields)
+
+    return pruned.mapInPandas(_batches, schema=DECODED_SCHEMA)
 
 
 def media_frame(spark, rows) -> DataFrame:
@@ -84,7 +228,9 @@ def extract_features(
     if decoder != "fake":
         raise NotImplementedError(
             f"decoder={decoder!r} requires media codec libraries not present "
-            "in this environment; use decoder='fake' for the deterministic stub"
+            "in this environment; use decoder='fake' for the deterministic "
+            "stub, or decode_media(decoder='bmp'/'wav'/'auto') for real "
+            "header-metadata decode"
         )
 
     pruned = media.select(id_col, payload_col)

@@ -400,6 +400,90 @@ def test_extract_features_real_decoder_stubbed(spark):
         extract_features(media, decoder="pil")
 
 
+def _golden_bmp(width=7, height=5, bpp=24, topdown=False):
+    """Hand-assembled genuine BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
+    + zeroed pixel rows, 4-byte-aligned) — a real file any viewer
+    would open."""
+    import struct
+
+    row = (width * (bpp // 8) + 3) // 4 * 4
+    pixels = row * height
+    h = -height if topdown else height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + pixels, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0, pixels, 2835, 2835, 0, 0)
+        + bytes(pixels)
+    )
+
+
+def _golden_wav(rate=8000, channels=1, sampwidth=2, n_frames=4000):
+    """Genuine WAV via the stdlib wave writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(sampwidth)
+        wv.setframerate(rate)
+        wv.writeframes(b"\x00" * (sampwidth * channels * n_frames))
+    return buf.getvalue()
+
+
+def test_decode_media_real_bmp_wav_headers(spark):
+    """r3 verdict #5: the de-stubbed decode path. Golden BMP/WAV bytes
+    parse to their true dimensions / audio parameters through the
+    mapInPandas plumbing; garbage and null payloads yield null parse
+    fields (schema-stable, no crash); 'auto' sniffs both formats in one
+    pass."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.multimodal import (
+        decode_media,
+        parse_bmp_header,
+        parse_wav_header,
+    )
+
+    bmp = _golden_bmp(width=7, height=5, bpp=24)
+    wav = _golden_wav(rate=8000, channels=1, sampwidth=2, n_frames=4000)  # 0.5 s
+    rows = [
+        (1, "image", "image/bmp", bytearray(bmp), None, None, None),
+        (2, "audio", "audio/wav", bytearray(wav), None, None, None),
+        (3, "image", "image/bmp", b"not a bitmap at all", None, None, None),
+        (4, "image", "image/bmp", None, None, None, None),
+    ]
+    media = media_frame(spark, rows)
+
+    got = {r.media_id: r for r in decode_media(media, decoder="auto").collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].bits_per_sample) == (
+        "bmp", 7, 5, 24,
+    )
+    assert (
+        got[2].format,
+        got[2].n_channels,
+        got[2].sample_rate,
+        got[2].bits_per_sample,
+        got[2].duration_ms,
+    ) == ("wav", 1, 8000, 16, 500)
+    assert got[3].format is None and got[3].n_bytes == len(b"not a bitmap at all")
+    assert got[4].format is None and got[4].n_bytes == 0
+
+    # Single-format decoders only parse their own format.
+    only_bmp = {r.media_id: r.format for r in decode_media(media, decoder="bmp").collect()}
+    assert only_bmp == {1: "bmp", 2: None, 3: None, 4: None}
+    only_wav = {r.media_id: r.format for r in decode_media(media, decoder="wav").collect()}
+    assert only_wav == {1: None, 2: "wav", 3: None, 4: None}
+
+    # Pure-python parser unit checks: top-down BMP and truncated bytes.
+    td = parse_bmp_header(_golden_bmp(width=3, height=9, topdown=True))
+    assert (td["width"], td["height"]) == (3, 9)
+    assert parse_bmp_header(bmp[:20]) is None
+    assert parse_wav_header(wav[:10]) is None
+
+    # Codec-requiring backends still fail loudly.
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decoder="ffmpeg")
+
+
 def test_salted_join_equals_plain_join(spark):
     from automation_of_building_a_transactional_data_lake_spark.operators.skew import (
         salted_join,
