@@ -40,18 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r3 tail: emb_top_pairs, q6_forecast_revenue, orders_priority_semi,
 #            customer_churn_predict
 #   r4 tail (this round): q6_forecast_revenue and customer_churn_predict
-#     rotate IN to the recorded 50; orders_urgent_by_status (shape ⊂
-#     q12/q16 IN-list agg) and docs_split_counts (shape ⊂
-#     docs_curation_pipeline, which composes the same splitter) rotate
-#     OUT. emb_top_pairs (O(n²) oracle twin of the gated emb_lsh_pairs)
-#     and orders_priority_semi (⊂ q4 exists-semi) stay demoted; both
-#     remain covered by in-repo tests (tests/test_oracle_parity.py
-#     drives the FULL registry, tail included, against the same oracles).
+#     rotate IN to the recorded 50, as does the new q1_via_managed_table
+#     gate; orders_urgent_by_status (shape ⊂ q12/q16 IN-list agg),
+#     docs_split_counts (shape ⊂ docs_curation_pipeline, which composes
+#     the same splitter) and q14_promo_revenue (conditional-agg ratio ⊂
+#     q8 market share + q19 disjunctive filter) rotate OUT.
+#     emb_top_pairs (O(n²) oracle twin of the gated emb_lsh_pairs) and
+#     orders_priority_semi (⊂ q4 exists-semi) stay demoted; every
+#     demoted query remains covered by in-repo tests
+#     (tests/test_oracle_parity.py drives the FULL registry, tail
+#     included, against the same oracles).
 _DEMOTED_TAIL = [
     "emb_top_pairs",
     "orders_priority_semi",
     "orders_urgent_by_status",
     "docs_split_counts",
+    "q14_promo_revenue",
 ]
 
 _DRIVER_SLOTS = 50

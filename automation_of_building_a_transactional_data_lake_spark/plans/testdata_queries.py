@@ -80,9 +80,9 @@ def _utc(spark: SparkSession) -> None:
 # map-side; filter + column pruning pushed to the parquet scan.
 # --------------------------------------------------------------------------
 
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _utc(spark)
-    li = load(spark, sf_dir, "lineitem")
+def _q1_agg(li: DataFrame) -> DataFrame:
+    """The Q1 filter+aggregate over any lineitem-shaped frame (shared
+    by the raw-parquet and managed-table gates)."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -99,6 +99,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return _q1_agg(load(spark, sf_dir, "lineitem"))
 
 
 Q1_ORACLE = """
@@ -1127,6 +1132,32 @@ GAME_ITEM_E2E_ORACLE = _game_oracle(
 
 
 # --------------------------------------------------------------------------
+# q1_via_managed_table — the analytic surface through a MANAGED table
+# (r3 verdict #6): every other analytic gate reads raw parquet
+# directly; this one initial-loads lineitem into a hive-partitioned
+# copy-on-write table (write clustering, partition-type recovery,
+# footer-stats collection, snapshot read) and runs the SAME q1
+# aggregate through catalog.read_table against the SAME oracle —
+# proving the managed write/read path doesn't perturb analytics.
+# --------------------------------------------------------------------------
+
+
+def q1_via_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import Catalog
+    from ..formats.parquet_cow import temp_warehouse
+    from ..spec import TableSpec
+
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    spec = TableSpec(
+        "lineitem_managed", "l_orderkey", partition_key="l_returnflag", database="analyticsdb"
+    )
+    cat = Catalog(spark, temp_warehouse(prefix="tdl_q1_managed_"))
+    cat.table(spec).create(li)
+    return _q1_agg(cat.read_table(spec))
+
+
+# --------------------------------------------------------------------------
 # emb_ivf_knn — IVF approximate-nearest-neighbor, gated exactly: with
 # nprobe == n_centroids the probe set is exhaustive, so the result MUST
 # equal brute force (the oracle). The scale path (nprobe << k scanning
@@ -1184,6 +1215,10 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
+        # Same oracle as q1: the managed write/read path must be
+        # analytically invisible. headline=False like the game e2e rows
+        # (bench times the query surface, not bulk-load I/O).
+        QueryDef("q1_via_managed_table", q1_via_managed_table, Q1_ORACLE, headline=False),
     ]
 }
 
