@@ -151,6 +151,16 @@ def _escape_partition_value(v) -> str:
 class ParquetCowTable:
     """One managed copy-on-write table under a warehouse directory."""
 
+    #: A merge touching more distinct partitions than this falls back to
+    #: a full rewrite: the partition-pruned path costs O(affected) on
+    #: the driver (value list, isin literal filter, link-forward skip
+    #: set) — right for a CDC batch hitting a handful of partitions,
+    #: pathological for a year-wide backfill into a date-partitioned
+    #: table (10k-literal IN plan + 10k-entry skip set, while rewriting
+    #: ~everything anyway). Tune per table scale; Delta's equivalent
+    #: trade is OPTIMIZE-style full rewrites vs file-level conflicts.
+    max_affected_partitions: int = 1024
+
     def __init__(self, spark: SparkSession, warehouse: str, spec: TableSpec) -> None:
         self.spark = spark
         self.warehouse = warehouse
@@ -523,13 +533,20 @@ class ParquetCowTable:
                 "dedupe_latest the batch first"
             )
 
-    def _affected_partitions(self, src: DataFrame, delete: bool) -> list:
+    def _affected_partitions(self, src: DataFrame, delete: bool) -> list | None:
         """Partitions that must be rewritten: those holding a matched
         key (column-pruned scan of (pk, partition_key)) plus — for
         upserts — those the source rows land in. A delete source only
         carries the key column (reference drops everything else,
         ``src/hudi/hudi-cdc-load.py:165``), so its landing partitions
-        don't exist and aren't needed."""
+        don't exist and aren't needed.
+
+        The collect is bounded: at most ``max_affected_partitions + 1``
+        values come back (LIMIT in the plan, not a driver truncation);
+        when the merge touches more, returns None and the caller falls
+        back to a full rewrite — the driver-side list and the isin
+        literal plan never grow past the threshold no matter how many
+        distinct partition values the batch spans."""
         pk, part = self.spec.primary_key, self.spec.partition_key
         tgt_parts = (
             self.read()
@@ -540,7 +557,10 @@ class ParquetCowTable:
         )
         if not delete:
             tgt_parts = tgt_parts.union(src.select(part).distinct()).distinct()
-        return [r[0] for r in tgt_parts.collect()]
+        rows = tgt_parts.limit(self.max_affected_partitions + 1).collect()
+        if len(rows) > self.max_affected_partitions:
+            return None
+        return [r[0] for r in rows]
 
     def _link_forward(self, old_dir: str, new_dir: str, skip_partitions: list) -> None:
         """Hard-link unaffected partition subdirectories from the
@@ -597,6 +617,9 @@ class ParquetCowTable:
         pk, part = self.spec.primary_key, self.spec.partition_key
         cur = self.current_version()
         affected = self._affected_partitions(src, delete)
+        if affected is None:  # wide backfill: full rewrite beats pruning
+            self._merge_full(src, delete, guard_col=guard_col, snapshot_meta=snapshot_meta)
+            return
 
         # isin() is null-rejecting, so a null partition value in the
         # affected set needs an explicit isNull branch or its target

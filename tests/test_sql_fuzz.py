@@ -108,6 +108,78 @@ def test_random_window_rank_parity(spark, s):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+window_fn_shape = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(GROUP_COLS),
+        "order_col": st.sampled_from(INT_COLS),
+        "agg_col": st.sampled_from(INT_COLS),
+        "lo": st.integers(0, 5000),
+        "span": st.integers(50, 1500),
+        "frame_n": st.integers(0, 20),
+        "frame_kind": st.sampled_from(["cum", "preceding", "following", "full", "range"]),
+        "lag_off": st.integers(1, 3),
+    }
+)
+
+
+def _window_sql(s: dict) -> str:
+    # row_number/lag need a TOTAL order to be deterministic: tiebreak on
+    # the unique (l_orderkey, l_linenumber). rank/dense_rank are
+    # tie-stable by definition. RANGE frames with an offset require
+    # exactly ONE ordering column (both engines) and are deterministic
+    # under ties because the frame is value-based.
+    tie = f"{s['order_col']}, l_orderkey, l_linenumber"
+    frames = {
+        "cum": "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "preceding": f"ROWS BETWEEN {s['frame_n']} PRECEDING AND CURRENT ROW",
+        "following": f"ROWS BETWEEN CURRENT ROW AND {s['frame_n']} FOLLOWING",
+        "full": "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    }
+    if s["frame_kind"] == "range":
+        framed = (
+            f"PARTITION BY {s['part']} ORDER BY {s['order_col']} "
+            f"RANGE BETWEEN {s['frame_n']} PRECEDING AND CURRENT ROW"
+        )
+    else:
+        framed = f"PARTITION BY {s['part']} ORDER BY {tie} {frames[s['frame_kind']]}"
+    return f"""
+    SELECT {s["part"]} AS g, l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY {s["part"]} ORDER BY {tie}) AS rn,
+           rank() OVER (PARTITION BY {s["part"]} ORDER BY {s["order_col"]}) AS rk,
+           dense_rank() OVER (PARTITION BY {s["part"]} ORDER BY {s["order_col"]}) AS drk,
+           CAST(sum({s["agg_col"]}) OVER ({framed}) AS BIGINT) AS sm,
+           count(*) OVER ({framed}) AS cnt,
+           min({s["agg_col"]}) OVER ({framed}) AS mn,
+           lag({s["agg_col"]}, {s["lag_off"]}) OVER (PARTITION BY {s["part"]} ORDER BY {tie}) AS lg
+    FROM lineitem
+    WHERE {s["order_col"]} BETWEEN {s["lo"]} AND {s["lo"] + s["span"]}
+    """
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(s=window_fn_shape)
+def test_random_window_parity(spark, s):
+    """r3 verdict #7: hypothesis-generated row_number/rank/sum-over
+    shapes with random partitions, orders, and ROWS/RANGE frames agree
+    with DuckDB over integer domains (windows were the biggest unfuzzed
+    surface; the fuzz layer caught real bugs in r3)."""
+    import pandas as pd
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sql = _window_sql(s)
+    got = normalize(spark.sql(sql).toPandas())
+    con = duckdb_con(SF_SMOKE)
+    want = normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 join_shape = st.fixed_dictionaries(
     {
         "join": st.sampled_from(["JOIN", "LEFT JOIN"]),

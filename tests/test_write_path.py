@@ -312,6 +312,39 @@ def test_vacuum_never_deletes_renamed_uncommitted_version(spark, tmp_path):
     assert {r.id for r in tbl.read().collect()} == {1, 2}
 
 
+def test_wide_backfill_merge_falls_back_to_full_rewrite(spark, tmp_path):
+    """r3 verdict #8: a merge spanning more distinct partitions than
+    ``max_affected_partitions`` must not build an O(partitions)
+    driver-side value list / isin literal plan — it falls back to a
+    full rewrite (the affected-partition collect is LIMIT-bounded in
+    the plan itself). Final state identical; narrow merges keep the
+    pruned path."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.max_affected_partitions = 8
+    tbl.create(_mk(spark, [(i, f"v{i}", f"c{i % 30}") for i in range(60)]))
+
+    calls = []
+    orig = tbl._merge_full
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    tbl._merge_full = spy
+    # Year-wide-backfill shape: the batch touches 30 partitions > 8.
+    tbl.merge_upsert(_mk(spark, [(i, f"V{i}", f"c{i % 30}") for i in range(0, 60, 2)]))
+    assert calls, "wide merge should take the full-rewrite path"
+    got = {(r.id, r.val) for r in tbl.read().collect()}
+    assert got == {(i, f"V{i}" if i % 2 == 0 else f"v{i}") for i in range(60)}
+    # Hive partition layout survives the full rewrite.
+    assert all("cat=" in p for p in tbl.data_files())
+
+    n = len(calls)
+    tbl.merge_upsert(_mk(spark, [(0, "zz", "c0")]))
+    assert len(calls) == n, "narrow merge should keep the pruned path"
+    assert {r.val for r in tbl.read().filter("id = 0").collect()} == {"zz"}
+
+
 def test_null_partition_merge_no_duplicates(spark, tmp_path):
     """Null partition values route through __HIVE_DEFAULT_PARTITION__:
     the affected-partition filter must include the isNull branch and
