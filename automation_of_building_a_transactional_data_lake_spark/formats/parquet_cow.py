@@ -80,6 +80,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..spec import TableSpec
+from .transforms import parse_transform
 
 # Version directories deliberately do NOT start with "_": Hadoop's path
 # filter treats "_"/"." prefixes as hidden, which is exactly right for
@@ -166,6 +167,40 @@ class ParquetCowTable:
         self.warehouse = warehouse
         self.spec = spec
         self.path = os.path.join(warehouse, spec.database, spec.table_name)
+        # Iceberg-style hidden partitioning: the layout partitions on a
+        # DERIVED column (days(ts), bucket(16, id), ...) that exists
+        # only in hive directory names — never in data files or query
+        # results. Identity partitioning (spec.partition_key) keeps its
+        # existing behavior; the two are mutually exclusive (spec
+        # validation).
+        self._transform = (
+            parse_transform(spec.partition_transform) if spec.partition_transform else None
+        )
+
+    @property
+    def _part_name(self) -> str | None:
+        """Physical partition column name: the identity key, the
+        transform's derived name, or None (unpartitioned)."""
+        if self._transform is not None:
+            return self._transform.name
+        return self.spec.partition_key
+
+    @property
+    def _hidden_part(self) -> bool:
+        return self._transform is not None
+
+    def _with_part_col(self, df: DataFrame) -> DataFrame:
+        """Ensure the derived partition column is present (no-op for
+        identity partitioning or when already derived)."""
+        if self._transform is None or self._transform.name in df.columns:
+            return df
+        dtype = dict(df.dtypes).get(self._transform.source)
+        if dtype is None:
+            raise ValueError(
+                f"{self.spec.qualified_name}: partition transform source "
+                f"column {self._transform.source!r} missing from batch"
+            )
+        return df.withColumn(self._transform.name, self._transform.expr(dtype))
 
     # -- commit protocol ---------------------------------------------------
 
@@ -202,10 +237,11 @@ class ParquetCowTable:
         ``cluster=False`` lets callers that already shaped the
         partitioning (compact) skip the default write clustering."""
         sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        df = self._with_part_col(df)
         out = self._cluster_for_write(df) if cluster else df
         writer = out.write.mode("overwrite")
-        if self.spec.partition_key:
-            writer = writer.partitionBy(self.spec.partition_key)
+        if self._part_name:
+            writer = writer.partitionBy(self._part_name)
         writer.parquet(sdir)
         return sdir
 
@@ -292,15 +328,62 @@ class ParquetCowTable:
         stats = self.file_stats() or {}
         lo = self._stat_value(lower) if lower is not None else None
         hi = self._stat_value(upper) if upper is not None else None
+        # Hidden partitioning: when the predicate column IS the
+        # transform source (and the transform is monotonic), map the
+        # bounds onto the partition domain and drop whole directories
+        # BEFORE consulting footer stats — at scale this is a pure
+        # directory-listing prune, no metadata reads at all.
+        part_bounds = None
+        tr = self._transform
+        if (
+            tr is not None
+            and tr.monotonic
+            and col == tr.source
+            and (lower is not None or upper is not None)
+        ):
+            part_bounds = (
+                tr.literal(lower) if lower is not None else None,
+                tr.literal(upper) if upper is not None else None,
+            )
         keep = []
         for f in self.data_files():
-            s = stats.get(os.path.relpath(f, cur.path), {}).get(col)
+            rel = os.path.relpath(f, cur.path)
+            if part_bounds is not None and self._dir_out_of_range(rel, *part_bounds):
+                continue
+            s = stats.get(rel, {}).get(col)
             if s is None:
                 keep.append(f)
                 continue
             if (lo is None or s["max"] >= lo) and (hi is None or s["min"] <= hi):
                 keep.append(f)
         return keep
+
+    def _dir_out_of_range(self, relpath: str, plo, phi) -> bool:
+        """True when a data file's hidden-partition directory value
+        provably falls outside the transformed [plo, phi] bounds. Null
+        partitions (source column null) can never satisfy a range
+        predicate, so they prune whenever any bound is set; unparseable
+        segments are conservatively kept."""
+        seg = relpath.split(os.sep, 1)[0]
+        prefix = f"{self._transform.name}="
+        if not seg.startswith(prefix):
+            return False
+        raw = seg[len(prefix):]
+        if raw == _HIVE_DEFAULT_PARTITION:
+            return True
+        sample = plo if plo is not None else phi
+        try:
+            if isinstance(sample, int):
+                val = int(raw)
+            elif hasattr(sample, "isoformat") :
+                import datetime as _dt
+
+                val = _dt.date.fromisoformat(raw)
+            else:
+                val = raw
+        except ValueError:
+            return False
+        return (plo is not None and val < plo) or (phi is not None and val > phi)
 
     def read_skipping(self, col: str, lower=None, upper=None) -> DataFrame:
         """Range read through the stats index: scan only intersecting
@@ -312,21 +395,58 @@ class ParquetCowTable:
         if not files:
             df = self.read()
             return df.filter(F.lit(False))
+        part = self._part_name
         reader = self.spark.read
-        if self.spec.partition_key:
+        if part:
             reader = reader.option("basePath", cur.path)
         df = reader.parquet(*files)
-        if self.spec.partition_key:
+        if part:
             ptype = self._read_meta().get("partition_type")
             if ptype:
-                df = df.withColumn(
-                    self.spec.partition_key, F.col(self.spec.partition_key).cast(ptype)
-                )
+                df = df.withColumn(part, F.col(part).cast(ptype))
+            if self._hidden_part:
+                df = df.drop(part)
         if lower is not None:
             df = df.filter(F.col(col) >= F.lit(lower))
         if upper is not None:
             df = df.filter(F.col(col) <= F.lit(upper))
         return df
+
+    def read_lookup(self, value) -> DataFrame:
+        """Point lookup through the hidden partition layout: rows whose
+        transform SOURCE column equals ``value``, scanning only the
+        partition(s) that can hold it. Monotonic transforms route
+        through the range path; ``bucket(N, col)`` filters the derived
+        column against ``pmod(xxhash64(value), N)`` — a constant-folded
+        literal, so Catalyst prunes to ONE of N directories
+        (``PartitionFilters`` in the scan). This is the Iceberg
+        bucket-lookup pattern: a 100 TB keyed table answers an equality
+        probe by opening 1/N of its files."""
+        tr = self._transform
+        if tr is None:
+            raise ValueError(
+                f"{self.spec.qualified_name}: read_lookup requires a "
+                "partition_transform spec"
+            )
+        if tr.monotonic:
+            return self.read_skipping(tr.source, value, value).filter(
+                F.col(tr.source) == F.lit(value)
+            )
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        df = self._read_physical(cur)
+        # xxhash64 is physical-type-sensitive: hash the literal at the
+        # SOURCE column's type or an int-vs-bigint probe would land in
+        # the wrong bucket.
+        dtype = dict(df.dtypes).get(tr.source)
+        probe = F.lit(value).cast(dtype)
+        bucket = F.pmod(F.xxhash64(probe), F.lit(tr.param)).cast("int")
+        return (
+            df.filter(F.col(tr.name) == bucket)
+            .drop(tr.name)
+            .filter(F.col(tr.source) == probe)
+        )
 
     def _promote(self, staging: str, expected_version: int) -> int:
         """Optimistic-concurrency commit (the Delta/Iceberg protocol):
@@ -375,6 +495,7 @@ class ParquetCowTable:
             "database": self.spec.database,
             "primary_key": self.spec.primary_key,
             "partition_key": self.spec.partition_key,
+            "partition_transform": self.spec.partition_transform,
             "format": "cow",
         }
         # Record the partition column's declared type: hive-layout reads
@@ -382,8 +503,15 @@ class ParquetCowTable:
         # column holding numeric-looking values ("1", "2") would come
         # back as int — schema instability a real table format never
         # exhibits (caught by the model-based merge property test).
+        # For hidden partitioning the recorded type is the DERIVED
+        # column's (date for days, string for months/..., int for
+        # bucket) — it only ever backs internal physical reads.
         if df is not None and self.spec.partition_key:
             meta["partition_type"] = dict(df.dtypes).get(self.spec.partition_key)
+        elif df is not None and self._transform is not None:
+            meta["partition_type"] = dict(self._with_part_col(df).dtypes).get(
+                self._transform.name
+            )
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _META), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=2)
@@ -402,9 +530,10 @@ class ParquetCowTable:
         into the same task and sort within, minimizing output file count
         per partition (reference ``INSERT ... ORDER BY partition_key``,
         ``src/iceberg/iceberg-initial-load.py:87-92``)."""
-        if self.spec.partition_key:
-            return df.repartition(F.col(self.spec.partition_key)).sortWithinPartitions(
-                self.spec.partition_key, self.spec.primary_key
+        part = self._part_name
+        if part:
+            return df.repartition(F.col(part)).sortWithinPartitions(
+                part, self.spec.primary_key
             )
         return df.sortWithinPartitions(self.spec.primary_key)
 
@@ -478,8 +607,21 @@ class ParquetCowTable:
                     "may have been vacuumed)"
                 )
             cur = TableVersion(version, vpath)
+        df = self._read_physical(cur)
+        # Hidden partitioning: the derived column exists only in
+        # directory names — strip it so query results carry the user's
+        # schema, exactly like Iceberg's hidden partition fields.
+        if self._hidden_part:
+            df = df.drop(self._transform.name)
+        return df
+
+    def _read_physical(self, cur: TableVersion) -> DataFrame:
+        """Snapshot read KEEPING the physical partition column (identity
+        key or hidden-transform derivation) — the form merge internals
+        filter and link-forward against."""
         reader = self.spark.read
-        if not self.spec.partition_key:
+        part = self._part_name
+        if not part:
             return reader.parquet(cur.path)
         # Hive-partitioned layout: recover the partition column, then
         # restore its DECLARED type — path-based inference would turn
@@ -487,9 +629,7 @@ class ParquetCowTable:
         df = reader.option("basePath", cur.path).parquet(cur.path)
         ptype = self._read_meta().get("partition_type")
         if ptype:
-            df = df.withColumn(
-                self.spec.partition_key, F.col(self.spec.partition_key).cast(ptype)
-            )
+            df = df.withColumn(part, F.col(part).cast(ptype))
         return df
 
     def register_temp_view(self, name: str | None = None) -> str:
@@ -547,16 +687,20 @@ class ParquetCowTable:
         back to a full rewrite — the driver-side list and the isin
         literal plan never grow past the threshold no matter how many
         distinct partition values the batch spans."""
-        pk, part = self.spec.primary_key, self.spec.partition_key
+        pk, part = self.spec.primary_key, self._part_name
         tgt_parts = (
-            self.read()
+            self._read_physical(self.current_version())
             .select(pk, part)
             .join(src.select(pk).distinct(), pk, "left_semi")
             .select(part)
             .distinct()
         )
         if not delete:
-            tgt_parts = tgt_parts.union(src.select(part).distinct()).distinct()
+            # Hidden partitioning: derive the landing partition from the
+            # source rows' data column (no-op for identity keys).
+            tgt_parts = tgt_parts.union(
+                self._with_part_col(src).select(part).distinct()
+            ).distinct()
         rows = tgt_parts.limit(self.max_affected_partitions + 1).collect()
         if len(rows) > self.max_affected_partitions:
             return None
@@ -570,7 +714,7 @@ class ParquetCowTable:
         rendered with Hive path escaping (nulls ->
         __HIVE_DEFAULT_PARTITION__, reserved chars %XX) so they match
         the on-disk directory names Spark wrote."""
-        part = self.spec.partition_key
+        part = self._part_name
         skip = {f"{part}={_escape_partition_value(v)}" for v in skip_partitions}
         for entry in os.listdir(old_dir):
             src_sub = os.path.join(old_dir, entry)
@@ -614,7 +758,7 @@ class ParquetCowTable:
         guard_col: str | None = None,
         snapshot_meta: dict | None = None,
     ) -> None:
-        pk, part = self.spec.primary_key, self.spec.partition_key
+        pk, part = self.spec.primary_key, self._part_name
         cur = self.current_version()
         affected = self._affected_partitions(src, delete)
         if affected is None:  # wide backfill: full rewrite beats pruning
@@ -628,7 +772,12 @@ class ParquetCowTable:
         cond = F.col(part).isin(non_null) if non_null else F.lit(False)
         if any(v is None for v in affected):
             cond = cond | F.col(part).isNull()
-        tgt_affected = self.read().filter(cond)
+        # Filter on the PHYSICAL partition column (partition pruning on
+        # the directory listing), then restore the logical schema —
+        # staging re-derives the hidden column at write time.
+        tgt_affected = self._read_physical(cur).filter(cond)
+        if self._hidden_part:
+            tgt_affected = tgt_affected.drop(part)
         if delete:
             merged = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
         else:
@@ -684,7 +833,7 @@ class ParquetCowTable:
         attempt = 0
         while True:
             try:
-                if self.spec.partition_key:
+                if self._part_name:
                     self._merge_partitioned(
                         src, delete=delete, guard_col=guard_col, snapshot_meta=snapshot_meta
                     )
@@ -852,7 +1001,7 @@ class ParquetCowTable:
         total_bytes = sum(os.path.getsize(p) for p in self.data_files())
         if n_files is None:
             n_files = int(max(1, total_bytes // (target_file_mb * 1024 * 1024)))
-        pk, part = self.spec.primary_key, self.spec.partition_key
+        pk, part = self.spec.primary_key, self._part_name
         if zorder:
             z = self._zorder_value(df, zorder)
             compacted = (
@@ -862,7 +1011,11 @@ class ParquetCowTable:
                 .drop("__z")
             )
         elif part:
-            compacted = df.repartition(n_files, F.col(part)).sortWithinPartitions(part, pk)
+            compacted = (
+                self._with_part_col(df)
+                .repartition(n_files, F.col(part))
+                .sortWithinPartitions(part, pk)
+            )
         else:
             compacted = df.repartition(n_files).sortWithinPartitions(pk)
         staging = self._write_staging(compacted, cluster=False)

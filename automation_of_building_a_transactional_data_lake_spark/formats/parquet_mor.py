@@ -60,6 +60,11 @@ class ParquetMorTable:
     """One managed merge-on-read table under a warehouse directory."""
 
     def __init__(self, spark: SparkSession, warehouse: str, spec: TableSpec) -> None:
+        if spec.partition_transform:
+            raise NotImplementedError(
+                f"{spec.qualified_name}: hidden partitioning (partition_transform) "
+                "is CoW-only; use format='cow' or an identity partition_key"
+            )
         self.spark = spark
         self.warehouse = warehouse
         self.spec = spec

@@ -64,6 +64,20 @@ class TableSpec:
     # SQL boolean expressions every written/merged row must satisfy;
     # a violating batch is rejected BEFORE any data is staged.
     constraints: tuple[str, ...] = ()
+    # Optional Iceberg-style HIDDEN partitioning: a transform of a data
+    # column ("days(ts)", "months(ts)", "years(ts)", "hours(ts)",
+    # "bucket(16, id)", "truncate(4, code)") the layout partitions on
+    # without the derived column ever appearing in query results.
+    # Mutually exclusive with partition_key (which is identity
+    # partitioning on a real column). CoW format only.
+    partition_transform: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.partition_key and self.partition_transform:
+            raise ValueError(
+                f"{self.table_name}: partition_key and partition_transform "
+                "are mutually exclusive (a transform IS the partition spec)"
+            )
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], database: str = "default") -> "TableSpec":
@@ -79,6 +93,7 @@ class TableSpec:
             database=database,
             zorder_by=tuple(d["zorder_by"]) if d.get("zorder_by") else None,
             constraints=tuple(d.get("constraints") or ()),
+            partition_transform=_none_str(d.get("partition_transform")),
         )
 
     @property
