@@ -112,21 +112,21 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 0x5EED):
         lens = np.fromiter((len(x) for x in hash_lists), dtype=np.int64, count=n)
         empty = lens == 0
         # Empty hash arrays get the identity signature (LONG_MAX — the
-        # expression twin's fold init): a trailing empty row would make
-        # reduceat raise IndexError (start == len(flat)) and an interior
-        # one would silently alias the NEXT document's first shingle row.
-        if flat_size := int(lens.sum()):
+        # expression twin's fold init). Segment starts are computed over
+        # NON-EMPTY rows only and scattered back: including empty rows
+        # in the cumsum would make a trailing empty's start equal
+        # len(flat) (reduceat IndexError) and clipping it instead would
+        # silently truncate the preceding document's final shingle.
+        mins = np.full((n, num_perm), np.uint64(_LONG_MAX))
+        if int(lens.sum()):
             flat = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in hash_lists if len(x)]
             )
             h = flat.view(np.uint64)
             vals = h[:, None] * a[None, :] + b  # (total_shingles, num_perm), mod 2^64
-            starts = np.minimum(np.concatenate(([0], np.cumsum(lens)[:-1])), flat_size - 1)
-            mins = np.ascontiguousarray(np.minimum.reduceat(vals, starts, axis=0))
-        else:
-            mins = np.empty((n, num_perm), dtype=np.uint64)
-        if empty.any():
-            mins[empty] = np.uint64(_LONG_MAX)
+            nz = lens[~empty]
+            starts = np.concatenate(([0], np.cumsum(nz)[:-1]))
+            mins[~empty] = np.minimum.reduceat(vals, starts, axis=0)
         return pd.Series(list(mins.view(np.int64)))
 
     return sig

@@ -245,7 +245,12 @@ def test_minhash_udf_empty_hash_arrays(spark):
     (r3 advisory): a trailing empty row made reduceat raise IndexError,
     an interior one silently aliased the NEXT document's signature.
     Empty rows get the identity signature (the expression twin's fold
-    init, LONG_MAX); non-empty rows are unaffected by their neighbors."""
+    init, LONG_MAX); non-empty rows are unaffected by their neighbors.
+
+    Doc 4 deliberately has MULTIPLE hashes and is followed by a
+    trailing empty row (r4 advisory): the earlier clip-starts guard
+    truncated the LAST non-empty document's segment to its first
+    shingle whenever trailing empties followed it."""
     from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
         _LONG_MAX,
         minhash_signature_udf,
@@ -253,7 +258,7 @@ def test_minhash_udf_empty_hash_arrays(spark):
 
     sig = minhash_signature_udf(num_perm=8)
     df = spark.createDataFrame(
-        [(1, []), (2, [123456789, -42]), (3, []), (4, [987654321]), (5, [])],
+        [(1, []), (2, [123456789, -42]), (3, []), (4, [987654321, -7]), (5, [])],
         "doc_id long, hs array<long>",
     )
     one = df.repartition(1)  # single batch: interior AND trailing empties
