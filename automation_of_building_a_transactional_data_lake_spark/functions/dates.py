@@ -31,6 +31,21 @@ def age_years(dob: Column, as_of: date | str | None = None) -> Column:
     return F.floor(F.months_between(as_of_date(as_of), dob) / 12).cast("long")
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """µs-since-epoch as a long, for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); testdata vintages that
+    write plain TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet load as
+    NTZ and would fail analysis. The cast is a no-op on LTZ and
+    interprets NTZ wall-clock in the session time zone — the engine pins
+    UTC (``session.SessionFactory``), and every caller uses the result
+    for gap/bucket arithmetic where any strictly monotonic µs mapping is
+    correct.
+    """
+    c = ts if isinstance(ts, Column) else F.col(ts)
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def account_days(first_login: Column, last_login: Column) -> Column:
     """SF5: ``DATEDIFF(DAY, first_login, last_login)`` (reference
     ``src/sample_redshift_ml_sql_query.txt:19``)."""

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dates import epoch_micros
+
 
 def with_session_id(
     df: DataFrame,
@@ -33,7 +35,7 @@ def with_session_id(
     0 <= threshold) regardless of sort order, so the result is
     deterministic without a tiebreaker."""
     w = Window.partitionBy(key_col).orderBy(time_col)
-    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
+    gap_us = epoch_micros(F.col(time_col)) - epoch_micros(F.lag(time_col).over(w))
     is_start = F.when(
         gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
@@ -57,7 +59,7 @@ def session_stats(
     return s.groupBy(key_col, "session_id").agg(
         F.count("*").alias("n_events"),
         (
-            F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col))
+            epoch_micros(F.max(time_col)) - epoch_micros(F.min(time_col))
         ).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dates import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -110,7 +112,7 @@ def bounded_range_join(
     def bucket(ts: Column) -> Column:
         # floor division on longs (µs since epoch are positive here;
         # pmod keeps the floor semantics for pre-1970 times too).
-        us = F.unix_micros(ts)
+        us = epoch_micros(ts)
         return ((us - F.pmod(us, F.lit(gap_us))) / F.lit(gap_us)).cast("long")
 
     # Only the buckets the direction can reach: 2x fan-out for
@@ -126,7 +128,7 @@ def bounded_range_join(
     )
     rb = right.withColumn("__b", bucket(F.col(right_time)))
 
-    dt = F.unix_micros(F.col(right_time)) - F.unix_micros(F.col(left_time))
+    dt = epoch_micros(right_time) - epoch_micros(left_time)
     if direction == "both":
         residual = F.abs(dt) <= gap_us
     elif direction == "forward":

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dates import epoch_micros
 from ..operators.similarity import cosine_similarity_col
 from .testdata_queries import QueryDef, _utc, load
 
@@ -655,7 +656,7 @@ def events_click_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "c_event_id",
         "p_event_id",
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias("gap_us"),
+        (epoch_micros("p_ts") - epoch_micros("c_ts")).alias("gap_us"),
         F.round("value", 2).alias("p_value"),
     )
 

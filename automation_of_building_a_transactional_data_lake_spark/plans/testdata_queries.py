@@ -44,17 +44,19 @@ from ..spec import OP_DELETE
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table.
 
-    The events table stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
-    which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). The
-    runtime-settable legacy knob reads nanos as a plain long; we then
-    rebuild a microsecond timestamp with integer division (``div`` stays
-    in long arithmetic — a double division would lose precision above
-    2^53 ns). DuckDB truncates ns→µs identically, so oracle hashes
-    agree.
+    Some testdata vintages store ``events.ts`` as parquet INT64
+    TIMESTAMP(NANOS), which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL). The runtime-settable legacy knob reads nanos
+    as a plain long; we then rebuild a microsecond timestamp with
+    integer division (``div`` stays in long arithmetic — a double
+    division would lose precision above 2^53 ns). DuckDB truncates
+    ns→µs identically, so oracle hashes agree. Newer vintages write
+    ``ts`` as standard TIMESTAMP(MICROS) — the dtype guard makes the
+    bridge a no-op there, mirroring ``streaming.stage_micros_parquet``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events":
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -103,6 +103,12 @@ def stage_micros_parquet(
         for c in ns_ts_cols:
             if dtypes.get(c) == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            elif dtypes.get(c) == "timestamp_ntz":
+                # Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON
+                # _TIMESTAMP_TYPE on NTZ. The cast interprets wall-clock in
+                # the session time zone — the engine pins UTC, so it is
+                # lossless.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.write.mode("overwrite").parquet(out_dir)
     finally:
         if prev is None:

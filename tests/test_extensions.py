@@ -75,11 +75,11 @@ def test_cdc_stream_available_now_matches_batch_semantics(spark, tmp_path):
 
 
 def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
-    """Round-2 gap: the driver's events.parquet is INT64
+    """Round-2 gap: some testdata vintages write events.parquet as INT64
     TIMESTAMP(NANOS), which the streaming file source cannot read (the
     nanosAsLong knob is batch-only). stage_micros_parquet normalizes it
-    to µs parquet; this gates stream ≡ batch on REAL testdata through
-    the stream path end-to-end."""
+    to µs parquet (a no-op passthrough on µs vintages); this gates
+    stream ≡ batch on REAL testdata through the stream path end-to-end."""
     from automation_of_building_a_transactional_data_lake_spark.pipeline import (
         CDC_ZONE,
         INITIAL_ZONE,
@@ -95,7 +95,8 @@ def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
         spark, f"{SF_SMOKE}/events.parquet", str(tmp_path / "staged_events")
     )
     ev = spark.read.parquet(staged)
-    assert dict(ev.dtypes)["ts"] == "timestamp"  # µs path, no legacy knob
+    # µs path (LTZ or NTZ depending on vintage), no legacy knob needed
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
     # Synthesize a CDC raw zone from the real rows: evens are the
     # initial snapshot, odds arrive as an insert batch with the DMS

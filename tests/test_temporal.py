@@ -5,6 +5,9 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from automation_of_building_a_transactional_data_lake_spark.functions.dates import (
+    epoch_micros,
+)
 from automation_of_building_a_transactional_data_lake_spark.operators.temporal import (
     asof_join,
     bounded_range_join,
@@ -81,7 +84,7 @@ def test_bounded_range_join_matches_bruteforce(spark, events):
     brute = (
         clicks.join(errors, "user_id")
         .filter(
-            F.abs(F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts")))
+            F.abs(epoch_micros("e_ts") - epoch_micros("c_ts"))
             <= 3600 * 1_000_000
         )
         .select("c_id", "e_id")
