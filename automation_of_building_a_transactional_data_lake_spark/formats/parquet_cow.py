@@ -1064,7 +1064,15 @@ class ParquetCowTable:
         ``staging_retention_s`` (Delta VACUUM's retention-window idea):
         a fresh ``.staging-*`` may belong to a live writer between
         write and promote, and deleting it would fail that writer with
-        ``FileNotFoundError`` instead of a retryable conflict."""
+        ``FileNotFoundError`` instead of a retryable conflict.
+
+        Stale-lock recovery: a writer killed between lock create and
+        unlink leaves ``_commit.lock`` behind forever; ``_promote``
+        never waits (it raises on a held lock), so without recovery the
+        table would be permanently unwritable AND unvacuumable. A live
+        commit holds the lock for seconds, so a lock older than
+        ``staging_retention_s`` is crash debris by the same reasoning
+        as stale staging dirs — vacuum breaks it and proceeds."""
         cur = self.current_version()
         if cur is None:
             return []
@@ -1075,6 +1083,18 @@ class ParquetCowTable:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                try:
+                    lock_age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # released between open and stat; retry now
+                if lock_age >= staging_retention_s:
+                    # O_EXCL on the retry keeps this race-safe if two
+                    # vacuums break the same stale lock concurrently.
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentWriteError(
                         f"{self.spec.qualified_name}: commit in flight; "

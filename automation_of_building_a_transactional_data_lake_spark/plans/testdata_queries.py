@@ -1144,19 +1144,32 @@ GAME_ITEM_E2E_ORACLE = _game_oracle(
 # --------------------------------------------------------------------------
 
 
+# One scratch warehouse per sf_dir, removed at interpreter exit:
+# repeated correctness/bench invocations in one process reuse the
+# loaded table instead of accumulating full lineitem copies in /tmp.
+_Q1_MANAGED_WAREHOUSES: dict[str, str] = {}
+
+
 def q1_via_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+
     from ..catalog import Catalog
     from ..formats.parquet_cow import temp_warehouse
     from ..spec import TableSpec
 
     _utc(spark)
-    li = load(spark, sf_dir, "lineitem")
     spec = TableSpec(
         "lineitem_managed", "l_orderkey", partition_key="l_returnflag", database="analyticsdb"
     )
-    cat = Catalog(spark, temp_warehouse(prefix="tdl_q1_managed_"))
-    cat.table(spec).create(li)
-    return _q1_agg(cat.read_table(spec))
+    wh = _Q1_MANAGED_WAREHOUSES.get(sf_dir)
+    if wh is None or not os.path.isdir(wh):
+        wh = temp_warehouse(prefix="tdl_q1_managed_")
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+        Catalog(spark, wh).table(spec).create(load(spark, sf_dir, "lineitem"))
+        _Q1_MANAGED_WAREHOUSES[sf_dir] = wh
+    return _q1_agg(Catalog(spark, wh).read_table(spec))
 
 
 # --------------------------------------------------------------------------

@@ -276,6 +276,27 @@ def test_vacuum_waits_for_commit_lock(spark, tmp_path):
     assert tbl.vacuum(retain_last=1) == ["v00000001"]
 
 
+def test_vacuum_breaks_stale_commit_lock(spark, tmp_path):
+    """A writer SIGKILLed between lock create and unlink leaves
+    _commit.lock forever; _promote never waits, so every commit would
+    raise and no maintenance could run. vacuum treats a lock older
+    than staging_retention_s as crash debris (same reasoning as stale
+    staging dirs), breaks it, and completes — while a FRESH lock still
+    gets the in-flight-commit error."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(2, "b", "y")]))
+    lock = os.path.join(tbl.path, "_commit.lock")
+    open(lock, "w").close()
+    old = time.time() - 7200
+    os.utime(lock, (old, old))  # crashed an hour+ ago
+    # Stale: broken and swept in one call; commits work again after.
+    assert tbl.vacuum(retain_last=1, staging_retention_s=3600.0) == ["v00000001"]
+    assert not os.path.exists(lock)
+    tbl.merge_upsert(_mk(spark, [(3, "c", "z")]))
+    assert tbl.read().count() == 3
+
+
 def test_vacuum_never_deletes_renamed_uncommitted_version(spark, tmp_path):
     """The exact race from the r3 verdict: _promote has renamed staging
     to v(n+1) but not yet advanced _LATEST — all under the lock. A
