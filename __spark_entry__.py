@@ -50,12 +50,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     demoted query remains covered by in-repo tests
 #     (tests/test_oracle_parity.py drives the FULL registry, tail
 #     included, against the same oracles).
+#   r5 tail (this round): emb_top_pairs and orders_priority_semi —
+#     the only two queries never driver-recorded — rotate IN;
+#     top3_orders_per_cust (ranking window ⊂ events_rolling_stats +
+#     emb_batch_knn rn) and events_pivot_by_type (conditional agg ⊂
+#     q8/q12), both green in r3 AND r4, rotate OUT alongside the r4
+#     tail trio (all green in r3). After this round every registered
+#     query has at least one driver-green row.
 _DEMOTED_TAIL = [
-    "emb_top_pairs",
-    "orders_priority_semi",
     "orders_urgent_by_status",
     "docs_split_counts",
     "q14_promo_revenue",
+    "top3_orders_per_cust",
+    "events_pivot_by_type",
 ]
 
 _DRIVER_SLOTS = 50
