@@ -57,12 +57,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q8/q12), both green in r3 AND r4, rotate OUT alongside the r4
 #     tail trio (all green in r3). After this round every registered
 #     query has at least one driver-green row.
+#   r5 addition: docs_ngram_jaccard_dedup (new operator) takes a
+#     recorded slot; docs_quality_score (green r3+r4, shape = the
+#     curation pipeline's quality-floor stage) rotates OUT to make
+#     room.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
     "q14_promo_revenue",
     "top3_orders_per_cust",
     "events_pivot_by_type",
+    "docs_quality_score",
 ]
 
 _DRIVER_SLOTS = 50

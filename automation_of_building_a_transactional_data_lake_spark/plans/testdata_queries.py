@@ -988,7 +988,11 @@ def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_MINHASH_ORACLE = """
+def _all_pairs_jaccard_oracle(threshold: float) -> str:
+    """Exact all-pairs 3-token-shingle Jaccard in DuckDB — the shared
+    oracle for every near-dup scale path (MinHash LSH, prefix filter):
+    each path must reproduce the brute-force answer at its threshold."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
@@ -1003,8 +1007,37 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS j
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-) WHERE j >= 0.8
+) WHERE j >= {threshold}
 """
+
+
+DOCS_MINHASH_ORACLE = _all_pairs_jaccard_oracle(0.8)
+
+
+# --------------------------------------------------------------------------
+# docs_ngram_jaccard_dedup — the DETERMINISTIC near-dup scale path:
+# exact n-gram Jaccard similarity join via prefix filtering (SSJoin/
+# PPJoin family) — complete by construction, no LSH recall epsilon.
+# Run at 0.7 (below the LSH sweet spot) where longer prefixes exercise
+# the size + positional filters; the oracle is the same brute-force
+# all-pairs computation at that threshold.
+# --------------------------------------------------------------------------
+
+
+def docs_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_prefix_pairs
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+DOCS_NGRAM_JACCARD_ORACLE = _all_pairs_jaccard_oracle(0.7)
 
 
 # --------------------------------------------------------------------------
@@ -1224,6 +1257,9 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
+        QueryDef(
+            "docs_ngram_jaccard_dedup", docs_ngram_jaccard_dedup, DOCS_NGRAM_JACCARD_ORACLE
+        ),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
         QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
         QueryDef("docs_curation_pipeline", docs_curation_pipeline, DOCS_CURATION_ORACLE),

@@ -102,6 +102,45 @@ def test_minhash_matches_exact_on_real_docs(spark):
     assert len(exact) > 0  # the fixture really contains near-dups
 
 
+def test_prefix_filter_matches_exact_on_real_docs(spark):
+    """The prefix-filter join is exact-complete by CONSTRUCTION (no LSH
+    recall epsilon): its output must equal brute force at two
+    thresholds, including 0.6 where prefixes get long and the size +
+    positional filters do real pruning."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for t in (0.8, 0.6):
+        pf = {(r.id_a, r.id_b, round(r.jaccard, 4))
+              for r in ngram_jaccard_prefix_pairs(docs, threshold=t).collect()}
+        exact = {(r.id_a, r.id_b, round(r.jaccard, 4))
+                 for r in exact_ngram_jaccard_pairs(docs, threshold=t).collect()}
+        assert pf == exact, f"threshold {t}"
+    assert len(pf) > 0
+
+
+def test_prefix_filter_tiny_and_identical_docs(spark):
+    """Sub-shingle docs collapse to one whole-doc shingle; identical
+    twins must pair at jaccard 1.0, disjoint docs must not pair."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rows = [
+        (1, "tiny doc"),                       # < 3 tokens -> whole-doc shingle
+        (2, "tiny doc"),                       # identical twin
+        (3, "completely different words here entirely"),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+        (5, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b, r.jaccard)
+           for r in ngram_jaccard_prefix_pairs(docs, threshold=0.8).collect()}
+    assert got == {(1, 2, 1.0), (4, 5, 1.0)}
+
+
 def test_simhash_near_dups_have_small_hamming(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     pairs = exact_ngram_jaccard_pairs(docs, threshold=0.9).select("id_a", "id_b")
