@@ -57,9 +57,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q8/q12), both green in r3 AND r4, rotate OUT alongside the r4
 #     tail trio (all green in r3). After this round every registered
 #     query has at least one driver-green row.
-#   r5 addition: docs_ngram_jaccard_dedup (new operator) takes a
-#     recorded slot; docs_quality_score (green r3+r4, shape = the
-#     curation pipeline's quality-floor stage) rotates OUT to make
+#   r5 additions: docs_ngram_jaccard_dedup, events_time_range_rolling
+#     and orders_pivot_by_priority (new operators) take recorded
+#     slots; docs_quality_score (green r3+r4, shape = the curation
+#     pipeline's quality-floor stage), orders_quartile_bands (ntile ⊂
+#     the percentile family, green r3+r4) and customer_name_features
+#     (string-function projection, green r3+r4) rotate OUT to make
 #     room.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
@@ -68,6 +71,8 @@ _DEMOTED_TAIL = [
     "top3_orders_per_cust",
     "events_pivot_by_type",
     "docs_quality_score",
+    "orders_quartile_bands",
+    "customer_name_features",
 ]
 
 _DRIVER_SLOTS = 50

@@ -753,6 +753,90 @@ FROM events
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# events_time_range_rolling — time-RANGE window frames: a 1-hour
+# trailing aggregate per user, framed by the ORDER-BY VALUE (RANGE
+# BETWEEN INTERVAL ... PRECEDING), not by row count. A different
+# operator class from events_rolling_stats' ROWS frames: peers at the
+# same timestamp aggregate together regardless of physical order, and
+# the frame width adapts to event density — the canonical "activity in
+# the last hour" feature. Spark's DataFrame rangeBetween is numeric,
+# so the order key is epoch microseconds (exact long arithmetic);
+# DuckDB states the same frame as RANGE INTERVAL over the timestamp.
+# Scale: one shuffle on user_id; the running frame is O(1) memory per
+# partition (sliding aggregation), never a self-join.
+# --------------------------------------------------------------------------
+
+
+def events_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import epoch_micros
+
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").withColumn("__us", epoch_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+EVENTS_TIME_RANGE_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_pivot_by_priority — the NATIVE dynamic pivot operator
+# (relational transpose): groupBy().pivot().agg() runs Spark's
+# two-phase plan — distinct pivot values resolved at planning, then
+# one conditional aggregate per value — unlike events_pivot_by_type's
+# hand-written sum(when) stack. Values are pinned (the stable-schema
+# practice at scale: an unpinned pivot scans the column for distinct
+# values first, an extra pass over 100 TB) and re-aliased to clean
+# column names. Oracle: the equivalent conditional aggregate per
+# priority class.
+# --------------------------------------------------------------------------
+
+
+def orders_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    clean = ["urgent", "high", "medium", "not_specified", "low"]
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(c) for p, c in zip(prios, clean)],
+    )
+
+
+ORDERS_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS not_specified,
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import session_stats
 
@@ -1327,6 +1411,10 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
     QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),
     QueryDef("events_rolling_stats", events_rolling_stats, EVENTS_ROLLING_ORACLE),
+    QueryDef(
+        "events_time_range_rolling", events_time_range_rolling, EVENTS_TIME_RANGE_ORACLE
+    ),
+    QueryDef("orders_pivot_by_priority", orders_pivot_by_priority, ORDERS_PIVOT_ORACLE),
     QueryDef("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
