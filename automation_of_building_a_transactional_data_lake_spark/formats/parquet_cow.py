@@ -32,6 +32,9 @@ reference, which simply serializes writers with
   _LATEST            text file holding the committed version number;
                      written to a temp name then os.rename'd (atomic on
                      POSIX) — readers never observe a partial commit
+  _refs.json         named refs: tags pinning snapshot versions
+                     (Iceberg tag semantics; vacuum never drops a
+                     tagged version)
   v00000001/         immutable version directory of parquet data files
   v00000002/         (hive-partitioned subdirs when partition_key set)
   .staging-<uuid>/   writer-private staging; renamed to v<n> at commit
@@ -74,6 +77,7 @@ import shutil
 import tempfile
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +91,7 @@ from .transforms import parse_transform
 # the metadata files (_LATEST, _format.json, _ledger) but would make
 # data directories invisible to readers.
 _LATEST = "_LATEST"
+_REFS = "_refs.json"
 _VERSION_PREFIX = "v"
 _META = "_format.json"
 _SNAPSHOT_META = "_snapshot.json"
@@ -591,10 +596,106 @@ class ParquetCowTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    # -- named refs (Iceberg tag semantics) --------------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, _REFS)
+
+    def tags(self) -> dict[str, int]:
+        """All named tags: ``{name: version}``."""
+        try:
+            with open(self._refs_path(), encoding="utf-8") as f:
+                return dict(json.load(f).get("tags", {}))
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = os.path.join(self.path, f".{_REFS}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._refs_path())
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a committed snapshot under a name (Iceberg
+        ``ALTER TABLE ... CREATE TAG``): tagged versions survive
+        ``vacuum`` regardless of ``retain_last``, so audits /
+        reproductions / model-training datasets can name the exact
+        table state they read. Runs under the commit lock — a tag can
+        never race a concurrent vacuum into pinning a directory that
+        is being deleted. Returns the pinned version."""
+        with self._commit_lock_held("create_tag"):
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} does not exist"
+                )
+            v = cur.version if version is None else int(version)
+            if v > cur.version or not os.path.isdir(
+                os.path.join(self.path, _fmt_version(v))
+            ):
+                raise FileNotFoundError(
+                    f"cannot tag version {v} of {self.spec.qualified_name}: "
+                    f"not a committed snapshot (latest: {cur.version}; older "
+                    "versions may have been vacuumed)"
+                )
+            refs = {"tags": self.tags()}
+            if name in refs["tags"]:
+                raise ValueError(
+                    f"tag {name!r} already exists at v{refs['tags'][name]}; "
+                    "delete_tag first (tags are immutable by design)"
+                )
+            refs["tags"][name] = v
+            self._write_refs(refs)
+            return v
+
+    def delete_tag(self, name: str) -> None:
+        with self._commit_lock_held("delete_tag"):
+            refs = {"tags": self.tags()}
+            if name not in refs["tags"]:
+                raise KeyError(f"tag {name!r} does not exist")
+            del refs["tags"][name]
+            self._write_refs(refs)
+
+    @contextmanager
+    def _commit_lock_held(self, op: str, wait_s: float = 10.0):
+        """Hold ``_COMMIT_LOCK`` for a short metadata operation,
+        waiting out an in-flight commit up to ``wait_s``."""
+        lock = os.path.join(self.path, _COMMIT_LOCK)
+        deadline = time.monotonic() + wait_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"{self.spec.qualified_name}: commit in flight; "
+                        f"{op} timed out waiting for the commit lock"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """S4: snapshot read. ``version`` gives time travel to any
         retained snapshot (Delta ``VERSION AS OF`` / Iceberg
-        snapshot-id reads); default is the committed latest."""
+        snapshot-id reads); ``tag`` resolves a named ref created with
+        ``create_tag``; default is the committed latest."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version= or tag=, not both")
+            known = self.tags()
+            if tag not in known:
+                raise KeyError(
+                    f"tag {tag!r} does not exist on {self.spec.qualified_name} "
+                    f"(known: {sorted(known)})"
+                )
+            version = known[tag]
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
@@ -1105,6 +1206,9 @@ class ParquetCowTable:
             cur = self.current_version()  # re-read under the lock
             removed: list[str] = []
             keep_from = cur.version - retain_last + 1
+            # Tagged snapshots are pinned regardless of retain_last
+            # (Iceberg expire_snapshots never drops a ref'd snapshot).
+            pinned = set(self.tags().values())
             now = time.time()
             for entry in sorted(os.listdir(self.path)):
                 full = os.path.join(self.path, entry)
@@ -1126,6 +1230,8 @@ class ParquetCowTable:
                 try:
                     v = int(entry[len(_VERSION_PREFIX):])
                 except ValueError:
+                    continue
+                if v in pinned and v <= cur.version:
                     continue
                 if v < keep_from or v > cur.version:  # uncommitted versions too
                     shutil.rmtree(full)

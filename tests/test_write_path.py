@@ -276,6 +276,46 @@ def test_vacuum_waits_for_commit_lock(spark, tmp_path):
     assert tbl.vacuum(retain_last=1) == ["v00000001"]
 
 
+def test_tags_pin_snapshots_through_vacuum(spark, tmp_path):
+    """Iceberg tag semantics: a tagged version survives vacuum
+    regardless of retain_last, reads back bit-identically by name, and
+    becomes reclaimable once the tag is dropped."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(2, "b", "y")]))          # v2
+    assert tbl.create_tag("train_cutoff") == 2             # default: head
+    tbl.merge_upsert(_mk(spark, [(3, "c", "z")]))          # v3
+    tbl.merge_upsert(_mk(spark, [(1, "a2", "x")]))         # v4
+
+    removed = tbl.vacuum(retain_last=1)
+    assert sorted(removed) == ["v00000001", "v00000003"]  # v2 pinned, v4 head
+    assert {r.id for r in tbl.read(tag="train_cutoff").collect()} == {1, 2}
+    # the same state via explicit time travel still works too
+    assert tbl.read(version=2).count() == 2
+    assert tbl.tags() == {"train_cutoff": 2}
+
+    tbl.delete_tag("train_cutoff")
+    assert tbl.vacuum(retain_last=1) == ["v00000002"]
+
+
+def test_tag_validation_and_unknown_refs(spark, tmp_path):
+    import pytest as _pytest
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.create_tag("t1")
+    with _pytest.raises(ValueError, match="already exists"):
+        tbl.create_tag("t1")
+    with _pytest.raises(FileNotFoundError, match="not a committed snapshot"):
+        tbl.create_tag("future", version=99)
+    with _pytest.raises(KeyError, match="does not exist"):
+        tbl.read(tag="nope")
+    with _pytest.raises(KeyError):
+        tbl.delete_tag("nope")
+    with _pytest.raises(ValueError, match="not both"):
+        tbl.read(version=1, tag="t1")
+
+
 def test_vacuum_breaks_stale_commit_lock(spark, tmp_path):
     """A writer SIGKILLed between lock create and unlink leaves
     _commit.lock forever; _promote never waits, so every commit would
