@@ -209,6 +209,10 @@ class ParquetCowTable:
 
     # -- commit protocol ---------------------------------------------------
 
+    # Set on views returned by ``branch()``: commits/reads resolve
+    # through the named branch ref instead of _LATEST.
+    _branch: str | None = None
+
     def _latest_path(self) -> str:
         return os.path.join(self.path, _LATEST)
 
@@ -219,6 +223,16 @@ class ParquetCowTable:
         return os.path.isfile(self._latest_path())
 
     def current_version(self) -> TableVersion | None:
+        if self._branch is not None:
+            b = self._read_refs()["branches"].get(self._branch)
+            if b is None:
+                raise KeyError(
+                    f"branch {self._branch!r} does not exist on "
+                    f"{self.spec.qualified_name}"
+                )
+            return TableVersion(
+                b["head"], os.path.join(self.path, _fmt_version(b["head"]))
+            )
         if not self.exists():
             return None
         with open(self._latest_path(), encoding="ascii") as f:
@@ -226,7 +240,19 @@ class ParquetCowTable:
         return TableVersion(n, os.path.join(self.path, _fmt_version(n)))
 
     def _commit(self, n: int) -> None:
-        """Atomically advance the version pointer (write-temp + rename)."""
+        """Atomically advance the version pointer (write-temp + rename).
+        On a branch view the branch head moves instead of _LATEST —
+        main never observes branch commits until publish."""
+        if self._branch is not None:
+            refs = self._read_refs()
+            if self._branch not in refs["branches"]:
+                raise KeyError(
+                    f"branch {self._branch!r} does not exist on "
+                    f"{self.spec.qualified_name}"
+                )
+            refs["branches"][self._branch]["head"] = n
+            self._write_refs(refs)
+            return
         tmp = os.path.join(self.path, f".{_LATEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="ascii") as f:
             f.write(str(n))
@@ -486,13 +512,29 @@ class ParquetCowTable:
                     f"{self.spec.qualified_name}: expected to commit on top of "
                     f"v{expected_version} but head is v{latest}; re-read and retry"
                 )
-            n = latest + 1
+            # Version numbers are allocated from the GLOBAL directory
+            # namespace, not head+1: branch commits interleave with
+            # main commits (Iceberg snapshot ids share one sequence
+            # across refs), and crash debris (renamed-but-uncommitted
+            # directories) must never collide with a fresh rename.
+            n = max(latest, self._max_version_dir()) + 1
             os.rename(staging, os.path.join(self.path, _fmt_version(n)))
             self._commit(n)
             return n
         finally:
             os.close(fd)
             os.unlink(lock)
+
+    def _max_version_dir(self) -> int:
+        """Highest materialized version directory number (0 if none) —
+        the allocation floor shared by every ref."""
+        hi = 0
+        for entry in os.listdir(self.path):
+            if entry.startswith(_VERSION_PREFIX):
+                suffix = entry[len(_VERSION_PREFIX):]
+                if suffix.isdigit():
+                    hi = max(hi, int(suffix))
+        return hi
 
     def _write_meta(self, df: DataFrame | None = None) -> None:
         meta = {
@@ -601,13 +643,20 @@ class ParquetCowTable:
     def _refs_path(self) -> str:
         return os.path.join(self.path, _REFS)
 
-    def tags(self) -> dict[str, int]:
-        """All named tags: ``{name: version}``."""
+    def _read_refs(self) -> dict:
         try:
             with open(self._refs_path(), encoding="utf-8") as f:
-                return dict(json.load(f).get("tags", {}))
+                raw = json.load(f)
         except FileNotFoundError:
-            return {}
+            raw = {}
+        return {
+            "tags": dict(raw.get("tags", {})),
+            "branches": {k: dict(v) for k, v in raw.get("branches", {}).items()},
+        }
+
+    def tags(self) -> dict[str, int]:
+        """All named tags: ``{name: version}``."""
+        return self._read_refs()["tags"]
 
     def _write_refs(self, refs: dict) -> None:
         tmp = os.path.join(self.path, f".{_REFS}.{uuid.uuid4().hex}.tmp")
@@ -625,6 +674,7 @@ class ParquetCowTable:
         table state they read. Runs under the commit lock — a tag can
         never race a concurrent vacuum into pinning a directory that
         is being deleted. Returns the pinned version."""
+        self._require_main("create_tag")
         with self._commit_lock_held("create_tag"):
             cur = self.current_version()
             if cur is None:
@@ -640,7 +690,7 @@ class ParquetCowTable:
                     f"not a committed snapshot (latest: {cur.version}; older "
                     "versions may have been vacuumed)"
                 )
-            refs = {"tags": self.tags()}
+            refs = self._read_refs()
             if name in refs["tags"]:
                 raise ValueError(
                     f"tag {name!r} already exists at v{refs['tags'][name]}; "
@@ -651,12 +701,100 @@ class ParquetCowTable:
             return v
 
     def delete_tag(self, name: str) -> None:
+        self._require_main("delete_tag")
         with self._commit_lock_held("delete_tag"):
-            refs = {"tags": self.tags()}
+            refs = self._read_refs()
             if name not in refs["tags"]:
                 raise KeyError(f"tag {name!r} does not exist")
             del refs["tags"][name]
             self._write_refs(refs)
+
+    # -- branches (write-audit-publish) ------------------------------------
+
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(
+                f"{op} must run on the main table, not the "
+                f"{self._branch!r} branch view"
+            )
+
+    def branches(self) -> dict[str, dict]:
+        """All branches: ``{name: {"head": v, "base": v}}`` (``base``
+        is the main version the branch forked from)."""
+        return self._read_refs()["branches"]
+
+    def create_branch(self, name: str) -> int:
+        """Fork a branch at the current main head (Iceberg branch ref /
+        the write-audit-publish staging pattern): commits through the
+        ``branch(name)`` view move only the branch head — production
+        readers on main never observe them until ``publish_branch``.
+        Returns the fork version."""
+        self._require_main("create_branch")
+        with self._commit_lock_held("create_branch"):
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} does not exist"
+                )
+            refs = self._read_refs()
+            if name in refs["branches"]:
+                raise ValueError(f"branch {name!r} already exists")
+            refs["branches"][name] = {"head": cur.version, "base": cur.version}
+            self._write_refs(refs)
+            return cur.version
+
+    def branch(self, name: str) -> "ParquetCowTable":
+        """A view of this table whose reads and commits resolve through
+        the named branch ref. Every write path (merge, overwrite,
+        compact) works unchanged — the optimistic-concurrency protocol
+        applies per ref, and version directories come from the shared
+        global sequence so branch and main commits never collide."""
+        self._require_main("branch")
+        if name not in self._read_refs()["branches"]:
+            raise KeyError(
+                f"branch {name!r} does not exist on {self.spec.qualified_name}"
+            )
+        view = object.__new__(type(self))
+        view.__dict__.update(self.__dict__)
+        view._branch = name
+        return view
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch; its unpublished versions become vacuumable."""
+        self._require_main("drop_branch")
+        with self._commit_lock_held("drop_branch"):
+            refs = self._read_refs()
+            if name not in refs["branches"]:
+                raise KeyError(f"branch {name!r} does not exist")
+            del refs["branches"][name]
+            self._write_refs(refs)
+
+    def publish_branch(self, name: str) -> int:
+        """Write-audit-publish: fast-forward main to the audited branch
+        head and retire the branch — one atomic pointer move, exactly
+        the Iceberg ``fast_forward`` procedure. Conflicts like any
+        optimistic commit: if main advanced past the branch's fork
+        point, publishing would silently drop those commits, so it
+        raises ``ConcurrentWriteError`` instead (re-branch and replay).
+        """
+        self._require_main("publish_branch")
+        with self._commit_lock_held("publish_branch"):
+            refs = self._read_refs()
+            if name not in refs["branches"]:
+                raise KeyError(f"branch {name!r} does not exist")
+            b = refs["branches"][name]
+            cur = self.current_version()
+            if cur.version != b["base"]:
+                raise ConcurrentWriteError(
+                    f"{self.spec.qualified_name}: main advanced from "
+                    f"v{b['base']} to v{cur.version} since branch {name!r} "
+                    "forked; publishing would drop those commits — re-branch "
+                    "and replay"
+                )
+            self._commit(b["head"])
+            del refs["branches"][name]
+            self._write_refs(refs)
+            return b["head"]
 
     @contextmanager
     def _commit_lock_held(self, op: str, wait_s: float = 10.0):
@@ -1174,6 +1312,7 @@ class ParquetCowTable:
         commit holds the lock for seconds, so a lock older than
         ``staging_retention_s`` is crash debris by the same reasoning
         as stale staging dirs — vacuum breaks it and proceeds."""
+        self._require_main("vacuum")
         cur = self.current_version()
         if cur is None:
             return []
@@ -1206,9 +1345,15 @@ class ParquetCowTable:
             cur = self.current_version()  # re-read under the lock
             removed: list[str] = []
             keep_from = cur.version - retain_last + 1
-            # Tagged snapshots are pinned regardless of retain_last
-            # (Iceberg expire_snapshots never drops a ref'd snapshot).
-            pinned = set(self.tags().values())
+            # Ref'd snapshots are pinned regardless of retain_last
+            # (Iceberg expire_snapshots never drops a ref'd snapshot):
+            # tags, plus every live branch head — branch commits sit
+            # ABOVE the main head in the shared version sequence, where
+            # the debris sweep would otherwise take them.
+            refs = self._read_refs()
+            pinned = set(refs["tags"].values()) | {
+                b["head"] for b in refs["branches"].values()
+            }
             now = time.time()
             for entry in sorted(os.listdir(self.path)):
                 full = os.path.join(self.path, entry)
@@ -1231,7 +1376,7 @@ class ParquetCowTable:
                     v = int(entry[len(_VERSION_PREFIX):])
                 except ValueError:
                     continue
-                if v in pinned and v <= cur.version:
+                if v in pinned:
                     continue
                 if v < keep_from or v > cur.version:  # uncommitted versions too
                     shutil.rmtree(full)

@@ -316,6 +316,72 @@ def test_tag_validation_and_unknown_refs(spark, tmp_path):
         tbl.read(version=1, tag="t1")
 
 
+def test_branch_write_audit_publish(spark, tmp_path):
+    """WAP lifecycle: branch commits are invisible to main until an
+    atomic publish fast-forwards the pointer; the full merge machinery
+    (upsert + delete) runs unchanged on the branch view."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))   # v1
+    assert tbl.create_branch("audit") == 1
+
+    br = tbl.branch("audit")
+    br.merge_upsert(_mk(spark, [(3, "c", "z")]))             # v2 on branch
+    br.merge_delete(_mk(spark, [(2, "b", "y")]))             # v3 on branch
+    # main is untouched; the branch sees its own lineage
+    assert {r.id for r in tbl.read().collect()} == {1, 2}
+    assert {r.id for r in br.read().collect()} == {1, 3}
+    assert tbl.branches() == {"audit": {"head": 3, "base": 1}}
+
+    published = tbl.publish_branch("audit")
+    assert published == 3
+    assert {r.id for r in tbl.read().collect()} == {1, 3}
+    assert tbl.branches() == {}
+    # intermediate branch version v2 is reclaimable, published head is not
+    assert "v00000003" not in tbl.vacuum(retain_last=1)
+
+
+def test_branch_publish_conflicts_when_main_advances(spark, tmp_path):
+    """Publishing after main moved past the fork point must conflict
+    (the branch would silently drop main's commits), while dropping
+    the branch leaves its versions to the debris sweep."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))                  # v1
+    tbl.create_branch("audit")
+    br = tbl.branch("audit")
+    br.merge_upsert(_mk(spark, [(3, "c", "z")]))             # v2 (branch)
+    tbl.merge_upsert(_mk(spark, [(4, "d", "w")]))            # v3 (main: global seq skips v2)
+    assert {r.id for r in tbl.read().collect()} == {1, 4}
+    assert {r.id for r in br.read().collect()} == {1, 3}
+    with pytest.raises(ConcurrentWriteError, match="re-branch"):
+        tbl.publish_branch("audit")
+    tbl.drop_branch("audit")
+    # with the ref gone, the branch's v2 is debris above... below head:
+    # v2 < main head v3 falls to the retain window instead
+    removed = tbl.vacuum(retain_last=1)
+    assert "v00000002" in removed and "v00000001" in removed
+    assert {r.id for r in tbl.read().collect()} == {1, 4}
+
+
+def test_branch_view_guards(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.create_branch("b1")
+    br = tbl.branch("b1")
+    for op in (
+        lambda: br.vacuum(),
+        lambda: br.create_tag("t"),
+        lambda: br.create_branch("b2"),
+        lambda: br.publish_branch("b1"),
+        lambda: br.branch("b1"),
+    ):
+        with pytest.raises(ValueError, match="main table"):
+            op()
+    with pytest.raises(KeyError):
+        tbl.branch("missing")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_branch("b1")
+
+
 def test_vacuum_breaks_stale_commit_lock(spark, tmp_path):
     """A writer SIGKILLed between lock create and unlink leaves
     _commit.lock forever; _promote never waits, so every commit would
