@@ -203,7 +203,14 @@ def minhash_near_dup_pairs(
     # verify joins on id.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col), F.col(text_col)).repartition(n_parts, F.col(id_col))
-    sh = src.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    # Materialize the shingle sets and band buckets once (same
+    # reasoning as ngram_jaccard_prefix_pairs): each feeds multiple
+    # join branches and Spark re-plans the full upstream pipeline per
+    # differently-aliased branch — the shingle/signature work would run
+    # 2-3x. Executor-local storage, ~30% wall-clock at sf0.1.
+    sh = src.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
+    ).localCheckpoint()
     sig = sh.withColumn(
         "__sig",
         minhash_signature_udf(num_perm)(
@@ -213,7 +220,7 @@ def minhash_near_dup_pairs(
     banded = sig.select(
         id_col,
         F.explode(band_buckets(F.col("__sig"), bands, rows_per_band)).alias("__bb"),
-    ).select(id_col, "__bb.band", "__bb.bucket")
+    ).select(id_col, "__bb.band", "__bb.bucket").localCheckpoint()
 
     left = banded.alias("a")
     right = banded.alias("b")
