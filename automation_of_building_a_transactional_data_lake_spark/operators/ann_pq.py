@@ -1,0 +1,194 @@
+"""Product quantization (PQ) for embedding columns — the
+memory-compression ANN path beside IVF's list pruning (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+faiss ``IndexPQ`` / ``IndexIVFPQ`` design).
+
+A d-dim float vector (256 bytes at d=64 float32) compresses to ``m``
+one-byte codes (8 bytes at m=8): each of the ``m`` subspaces of
+``d/m`` dims gets its own 256-centroid codebook, and the vector stores
+only the per-subspace nearest-centroid ids. At 100 TB this is the
+difference between an ANN working set that fits executor memory and
+one that does not — the full-precision vectors stay in cold storage
+and are touched only by the optional exact re-rank of a few hundred
+candidates.
+
+Spark mapping, consistent with ``ann_ivf``:
+
+- **Codebooks are driver-side metadata** (m x 256 x d/m floats,
+  ~512 KB at d=64) trained by deterministic per-subspace Lloyd's on
+  the same bounded hash-ordered sample as the IVF quantizer — size
+  independent of corpus scale.
+- **Encoding is one Arrow-batched pass**: per batch and subspace, a
+  matmul+argmin against the subspace codebook; codes pack into a
+  ``binary`` column of exactly ``m`` bytes per vector.
+- **Search is asymmetric distance computation (ADC)**: the query
+  builds an (m, 256) lookup table of exact subspace distances
+  driver-side; scanning sums ``m`` table lookups per code — no float
+  vector is read. Vectors are L2-normalized before encoding, so the
+  approximate squared L2 is monotone with cosine
+  (``cos = 1 - d2/2``) and results rank on ``cos_sim_approx``.
+- **Exact re-rank** (``pq_topk(..., rerank=r)``) re-scores the top
+  ``r`` ADC candidates with exact cosine from the full vectors — the
+  standard IVFPQ+refine topology; the re-rank join touches only
+  ``r`` rows.
+
+Gates (tests/test_ann_pq.py): codes are deterministic and
+layout-independent; ADC recall@10 against exact brute force clears a
+floor on the real embeddings table; with re-rank the top-k is exact
+for every probed query; compression is byte-exact m bytes/vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_vec, cosine_similarity_col
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return x / norms
+
+
+def _lloyd(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's: seeds = first k rows (callers pass
+    hash-ordered samples), empty clusters keep their centroid."""
+    k = min(k, len(x))
+    centroids = x[:k].copy()
+    for _ in range(iters):
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    sample_limit: int = 4096,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (each up to 256 centroids of
+    d/m dims) on the bounded hash-ordered sample — deterministic and
+    layout-independent like ``ann_ivf.train_centroids``. Returns
+    ``codebooks[m][256][d/m]`` (fewer centroids when the sample is
+    smaller than 256)."""
+    d = as_double_vec(df.select(id_col, vec_col), vec_col)
+    rows = (
+        d.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_limit)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty table")
+    x = _normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        [[float(v) for v in row] for row in _lloyd(x[:, j * sub : (j + 1) * sub], 256, iters)]
+        for j in range(m)
+    ]
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``m``-byte PQ code as a ``binary`` column: per Arrow
+    batch and subspace, one matmul+argmin against the subspace
+    codebook over the L2-normalized vector."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("binary")
+    def code(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = _normalize(np.vstack(vecs.to_numpy()))
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j, cb in enumerate(books):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * (xs @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return as_double_vec(df, vec_col).withColumn(out_col, code(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Top-k by asymmetric distance: the query's exact per-subspace
+    distance table (m x 256 floats, driver-built) closes over an
+    Arrow-batched UDF that sums m byte-indexed lookups per code.
+    Returns (id, cos_sim_approx) ranked descending; with
+    ``rerank=r > 0`` the top r ADC candidates are re-scored with exact
+    cosine from the full vectors and the result carries (id, cos_sim)
+    — identical schema family to ``ivf_topk``."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn:
+        q = q / qn
+    # table[j][c] = |q_j - centroid_c|^2 in subspace j (exact on the
+    # query side — the "asymmetric" in ADC).
+    table = np.stack(
+        [
+            ((q[j * sub : (j + 1) * sub][None, :] - cb) ** 2).sum(axis=1)
+            for j, cb in enumerate(books)
+        ]
+    )
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        c = np.frombuffer(b"".join(codes.to_numpy()), dtype=np.uint8).reshape(-1, m)
+        d2 = table[np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(1.0 - d2 / 2.0)  # normalized vectors: cos = 1 - d2/2
+
+    scored = encoded.withColumn("cos_sim_approx", adc(F.col(code_col)))
+    approx = scored.orderBy(F.col("cos_sim_approx").desc(), F.col(id_col)).limit(
+        max(k, rerank)
+    )
+    if rerank <= 0:
+        return approx.select(id_col, "cos_sim_approx")
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        approx.withColumn("cos_sim", cosine_similarity_col(F.col(vec_col), qcol))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
