@@ -321,8 +321,17 @@ def ngram_jaccard_prefix_pairs(
         F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
     ).localCheckpoint()
 
+    # The index pipeline runs on xxhash64(token) LONGS, not the 3-gram
+    # strings: 8-byte keys through the df groupBy, the rank window and
+    # the candidate equi-join instead of ~25-byte grams. Completeness
+    # is unaffected — a shared token always shares its hash (a
+    # collision can only ADD a candidate, which exact verification
+    # kills), and the global order (df(hash), hash) is still a total
+    # order both documents of a pair sort identically.
     toks = sh.select(
-        F.col(id_col), F.size("__sh").alias("__s"), F.explode("__sh").alias("__tok")
+        F.col(id_col),
+        F.size("__sh").alias("__s"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__tok"),
     )
     dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
     ranked = toks.join(dfreq, "__tok").withColumn(
