@@ -126,15 +126,24 @@ def cdc_stream_available_now(
     checkpoint_dir: str,
     clock: datetime | None = None,
     options: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> list[dict]:
     """Drain all pending CDC files for one table and stop. Returns the
-    per-micro-batch telemetry dicts (empty list when nothing pending)."""
+    per-micro-batch telemetry dicts (empty list when nothing pending).
+
+    ``branch`` targets a named branch ref instead of main: streaming
+    write-audit-publish — micro-batches (and their exactly-once txn
+    markers) commit to the branch head, production readers on main see
+    nothing until ``publish_branch`` fast-forwards the pointer after
+    audit."""
     raw_dir = f"{raw_root}/{CDC_ZONE}/{spec.database}/{spec.table_name}"
     tbl = catalog.table(spec)
     if not tbl.exists():
         raise FileNotFoundError(
             f"table {spec.qualified_name} missing — run initial_load first"
         )
+    if branch is not None:
+        tbl = tbl.branch(branch)
 
     # Streaming file sources need a declared schema; infer once from the
     # raw zone with a batch read (footer-only, no data scan).

@@ -74,6 +74,35 @@ def test_cdc_stream_available_now_matches_batch_semantics(spark, tmp_path):
     assert cat.read_table(spec).count() == 10044
 
 
+def test_cdc_stream_into_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish (X42 + X58 composed): the CDC
+    stream drains into a branch — main stays at the initial snapshot
+    for production readers — and an atomic publish fast-forwards main
+    to the audited state, which equals what a direct-to-main drain
+    produces."""
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    initial_load(spark, cat, spec, DEMO)
+    clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
+
+    tbl = cat.table(spec)
+    tbl.create_branch("ingest")
+    t1 = cdc_stream_available_now(
+        spark, cat, spec, DEMO, str(tmp_path / "ckpt_br"), clock=clock, branch="ingest"
+    )
+    assert len(t1) == 1 and t1[0]["I"] == 46 and t1[0]["D"] == 2
+    # main untouched; branch carries the merged state
+    assert cat.read_table(spec).count() == 10000
+    assert tbl.branch("ingest").read().count() == 10044
+
+    assert tbl.publish_branch("ingest") == tbl.current_version().version
+    assert cat.read_table(spec).count() == 10044
+    # replay protection traveled with the published snapshot: a fresh
+    # drain against MAIN with the same checkpoint finds no new files,
+    # and the txn marker sits in the published snapshot metadata.
+    assert (tbl.snapshot_meta() or {}).get("txns")
+
+
 def test_stream_cdc_on_driver_testdata_via_micros_bridge(spark, tmp_path):
     """Round-2 gap: some testdata vintages write events.parquet as INT64
     TIMESTAMP(NANOS), which the streaming file source cannot read (the
