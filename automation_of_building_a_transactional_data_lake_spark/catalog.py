@@ -92,9 +92,18 @@ class Catalog:
                 out.append(entry)
         return out
 
-    def read_table(self, spec: TableSpec) -> DataFrame:
-        """S4: snapshot read through the catalog."""
-        return self.table(spec).read()
+    def read_table(
+        self, spec: TableSpec, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
+        """S4: snapshot read through the catalog. ``version`` time-
+        travels (both formats); ``tag`` resolves a named snapshot ref
+        (CoW tables — see ``ParquetCowTable.create_tag``)."""
+        tbl = self.table(spec)
+        if tag is not None:
+            return tbl.read(tag=tag)
+        if version is not None:
+            return tbl.read(version=version)
+        return tbl.read()
 
     def drop_table(self, spec: TableSpec, if_exists: bool = True) -> bool:
         """DROP TABLE: remove the table directory (data, versions,
