@@ -121,6 +121,45 @@ def test_prefix_filter_matches_exact_on_real_docs(spark):
     assert len(pf) > 0
 
 
+def test_prefix_filter_fuzz_equals_bruteforce(spark):
+    """Hypothesis sweep over random corpora and thresholds: the prefix
+    filter's pigeonhole math (prefix length, size filter, positional
+    filter) must never lose a pair the brute-force join finds — the
+    subtlest invariant in the operator, fuzzed rather than trusted."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=10),
+        threshold=st.sampled_from([0.5, 0.7, 0.9]),
+        shingle_n=st.sampled_from([1, 2, 3]),
+    )
+    def run(docs, threshold, shingle_n):
+        rows = [(i, d) for i, d in enumerate(docs)]
+        frame = spark.createDataFrame(rows, ["doc_id", "text"])
+        pf = {(r.id_a, r.id_b, round(r.jaccard, 6))
+              for r in ngram_jaccard_prefix_pairs(
+                  frame, threshold=threshold, shingle_n=shingle_n).collect()}
+        exact = {(r.id_a, r.id_b, round(r.jaccard, 6))
+                 for r in exact_ngram_jaccard_pairs(
+                     frame, threshold=threshold, shingle_n=shingle_n).collect()}
+        assert pf == exact, (docs, threshold, shingle_n)
+
+    run()
+
+
 def test_prefix_filter_tiny_and_identical_docs(spark):
     """Sub-shingle docs collapse to one whole-doc shingle; identical
     twins must pair at jaccard 1.0, disjoint docs must not pair."""
