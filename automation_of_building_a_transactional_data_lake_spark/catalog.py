@@ -100,6 +100,14 @@ class Catalog:
         (CoW tables — see ``ParquetCowTable.create_tag``)."""
         tbl = self.table(spec)
         if tag is not None:
+            if not isinstance(tbl, ParquetCowTable):
+                # Without the guard this crashes with an opaque
+                # TypeError (ParquetMorTable.read has no `tag`) — a
+                # mixed-format warehouse deserves a feature error.
+                raise ValueError(
+                    f"{spec.qualified_name}: tags are only supported on "
+                    "copy-on-write tables; this table is merge-on-read"
+                )
             return tbl.read(tag=tag)
         if version is not None:
             return tbl.read(version=version)

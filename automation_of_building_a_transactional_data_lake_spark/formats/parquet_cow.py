@@ -1328,13 +1328,41 @@ class ParquetCowTable:
                 except OSError:
                     continue  # released between open and stat; retry now
                 if lock_age >= staging_retention_s:
-                    # O_EXCL on the retry keeps this race-safe if two
-                    # vacuums break the same stale lock concurrently.
+                    # Capture-then-verify break. A bare unlink(lock)
+                    # here is NOT race-safe: between the mtime check
+                    # and the unlink, another breaker may have removed
+                    # the stale lock and a writer created a FRESH one
+                    # at the same path — the unlink would then destroy
+                    # the live lock and two holders would proceed
+                    # (reintroducing the vacuum-vs-commit race this
+                    # lock exists to prevent). Instead, atomically
+                    # rename the lock to a unique name — only ONE
+                    # breaker can win the rename of a given file — and
+                    # re-check the mtime of the inode actually
+                    # captured. Stale: discard it; the path is free.
+                    # Fresh (path was swapped under us): restore it
+                    # via link(), which atomically fails rather than
+                    # clobbering any newer lock at the path.
+                    captured = lock + ".breaking." + uuid.uuid4().hex
                     try:
-                        os.unlink(lock)
+                        os.rename(lock, captured)
                     except OSError:
-                        pass
-                    continue
+                        continue  # another breaker won; re-acquire
+                    try:
+                        cap_age = time.time() - os.path.getmtime(captured)
+                    except OSError:
+                        continue
+                    if cap_age >= staging_retention_s:
+                        os.unlink(captured)
+                        continue
+                    try:
+                        os.link(captured, lock)
+                    except OSError:
+                        pass  # path re-occupied; new holder stands
+                    os.unlink(captured)
+                    # Fresh lock restored — fall through to the
+                    # deadline check below like any held lock, so a
+                    # live commit can't starve vacuum into a spin.
                 if time.monotonic() >= deadline:
                     raise ConcurrentWriteError(
                         f"{self.spec.qualified_name}: commit in flight; "

@@ -31,19 +31,47 @@ def age_years(dob: Column, as_of: date | str | None = None) -> Column:
     return F.floor(F.months_between(as_of_date(as_of), dob) / 12).cast("long")
 
 
-def epoch_micros(ts: Column | str) -> Column:
+def epoch_micros(ts: Column | str, ntz: bool = False) -> Column:
     """µs-since-epoch as a long, for TIMESTAMP *or* TIMESTAMP_NTZ input.
 
     ``unix_micros`` only accepts TIMESTAMP (LTZ); testdata vintages that
     write plain TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet load as
-    NTZ and would fail analysis. The cast is a no-op on LTZ and
-    interprets NTZ wall-clock in the session time zone — the engine pins
-    UTC (``session.SessionFactory``), and every caller uses the result
-    for gap/bucket arithmetic where any strictly monotonic µs mapping is
-    correct.
+    NTZ and would fail analysis. Callers using the result for gap/bucket
+    arithmetic need a strictly monotonic µs mapping; which expression
+    delivers one depends on the input TYPE, hence the ``ntz`` flag:
+
+    - ``ntz=False`` (TIMESTAMP/string input): ``unix_micros(cast)`` —
+      instant-based, monotonic under any session time zone. The cast is
+      a no-op on LTZ.
+    - ``ntz=True`` (TIMESTAMP_NTZ input): wall-clock-as-UTC micros via
+      tz-free FIELD extraction (unix_date + hour/minute/second). Casting
+      NTZ through LTZ instead would interpret the wall clock in the
+      session time zone — monotonic only when that zone is fixed-offset;
+      under a DST zone, fall-back makes distinct wall clocks collide and
+      spring-forward shifts nonexistent ones (both verified), producing
+      wrong gaps/duplicate buckets with no warning. (``timestampdiff``
+      against an NTZ epoch literal has the same DST hole — it converts
+      through LTZ internally.)
+
+    Operators that own the DataFrame should derive the flag with
+    ``col_is_ntz(df, time_col)`` — expression-only call sites cannot see
+    the schema, and no single expression is monotonic for both types.
     """
     c = ts if isinstance(ts, Column) else F.col(ts)
-    return F.unix_micros(c.cast("timestamp"))
+    if not ntz:
+        return F.unix_micros(c.cast("timestamp"))
+    return (
+        F.unix_date(c.cast("date")) * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast("long")
+    )
+
+
+def col_is_ntz(df, col_name: str) -> bool:
+    """True when ``col_name`` in ``df`` is TIMESTAMP_NTZ — the flag
+    ``epoch_micros`` needs to pick a session-tz-independent expression."""
+    return dict(df.dtypes).get(col_name) == "timestamp_ntz"
 
 
 def account_days(first_login: Column, last_login: Column) -> Column:

@@ -52,6 +52,27 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 _LONG_MAX = (1 << 63) - 1
 
+# Floating-point slack for the prefix/size/positional filter bounds.
+# Every bound below is mathematically an integer ceiling of a rational
+# (e.g. ceil(t/(1+t) * (sa+sb))), but evaluated in doubles the operand
+# can land a few ulps ABOVE the exact value — ceil then overshoots by
+# one and a true boundary pair (Jaccard exactly = threshold) is pruned
+# before verification. Concretely: t=0.8, sa+sb=63 → exact required
+# overlap is 63*4/9 = 28, but 0.8/1.8*63 = 28.000000000000004 in
+# doubles → ceil gives 29 and the 31/32-token boundary pair is missed.
+# Subtracting EPS before each ceil (and relaxing the size filter by
+# EPS) biases every bound in the SAFE direction: an underestimate only
+# admits extra candidates, which the exact Jaccard verify removes.
+# EPS=1e-9 dwarfs the ~1e-10 worst-case double error at realistic set
+# sizes (<~1e6 tokens) yet is far smaller than the 1/(sa+sb) gap to
+# the next lower integer, so it never loosens a bound by a full unit.
+_CEIL_EPS = 1e-9
+
+
+def _safe_ceil(c: Column) -> Column:
+    """``ceil`` biased never to overshoot the exact rational value."""
+    return F.ceil(c - F.lit(_CEIL_EPS))
+
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature as an array<long> of length ``num_perm``,
@@ -337,7 +358,7 @@ def ngram_jaccard_prefix_pairs(
     ranked = toks.join(dfreq, "__tok").withColumn(
         "__rk", F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "__tok"))
     )
-    prefix_len = F.col("__s") - F.ceil(F.lit(threshold) * F.col("__s")) + 1
+    prefix_len = F.col("__s") - _safe_ceil(F.lit(threshold) * F.col("__s")) + 1
     prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
         id_col, "__tok", "__s", "__rk"
     ).localCheckpoint()
@@ -354,16 +375,16 @@ def ngram_jaccard_prefix_pairs(
         F.col("__s").alias("__sb"),
         F.col("__rk").alias("__rb"),
     )
-    required = F.ceil(
+    required = _safe_ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("__sa") + F.col("__sb"))
     )
     cand = (
         a.join(b, "__tok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            # size filter: t * max <= min
-            & (F.col("__sa") >= F.lit(threshold) * F.col("__sb"))
-            & (F.col("__sb") >= F.lit(threshold) * F.col("__sa"))
+            # size filter: t * max <= min (EPS-relaxed, see _CEIL_EPS)
+            & (F.col("__sa") >= F.lit(threshold) * F.col("__sb") - F.lit(_CEIL_EPS))
+            & (F.col("__sb") >= F.lit(threshold) * F.col("__sa") - F.lit(_CEIL_EPS))
             # positional filter: best-case remaining overlap
             & (
                 1 + F.least(F.col("__sa") - F.col("__ra"), F.col("__sb") - F.col("__rb"))

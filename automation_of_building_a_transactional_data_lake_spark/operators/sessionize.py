@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dates import epoch_micros
+from ..functions.dates import col_is_ntz, epoch_micros
 
 
 def with_session_id(
@@ -35,7 +35,10 @@ def with_session_id(
     0 <= threshold) regardless of sort order, so the result is
     deterministic without a tiebreaker."""
     w = Window.partitionBy(key_col).orderBy(time_col)
-    gap_us = epoch_micros(F.col(time_col)) - epoch_micros(F.lag(time_col).over(w))
+    ntz = col_is_ntz(df, time_col)  # lag() preserves the input dtype
+    gap_us = epoch_micros(F.col(time_col), ntz) - epoch_micros(
+        F.lag(time_col).over(w), ntz
+    )
     is_start = F.when(
         gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
@@ -56,10 +59,11 @@ def session_stats(
 ) -> DataFrame:
     """Per-session aggregate: event count, duration, value sum."""
     s = with_session_id(df, key_col, time_col, gap_seconds)
+    ntz = col_is_ntz(df, time_col)  # max/min preserve the input dtype
     return s.groupBy(key_col, "session_id").agg(
         F.count("*").alias("n_events"),
         (
-            epoch_micros(F.max(time_col)) - epoch_micros(F.min(time_col))
+            epoch_micros(F.max(time_col), ntz) - epoch_micros(F.min(time_col), ntz)
         ).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dates import epoch_micros
+from ..functions.dates import col_is_ntz, epoch_micros
 
 
 def asof_join(
@@ -108,11 +108,13 @@ def bounded_range_join(
     # (double epoch-seconds carry ~0.1µs rounding error that can flip
     # rows sitting exactly on the gap boundary).
     gap_us = int(round(float(max_gap_seconds) * 1_000_000))
+    ntz_l = col_is_ntz(left, left_time)
+    ntz_r = col_is_ntz(right, right_time)
 
-    def bucket(ts: Column) -> Column:
+    def bucket(ts: Column, ntz: bool) -> Column:
         # floor division on longs (µs since epoch are positive here;
         # pmod keeps the floor semantics for pre-1970 times too).
-        us = epoch_micros(ts)
+        us = epoch_micros(ts, ntz)
         return ((us - F.pmod(us, F.lit(gap_us))) / F.lit(gap_us)).cast("long")
 
     # Only the buckets the direction can reach: 2x fan-out for
@@ -123,12 +125,12 @@ def bounded_range_join(
         neighbors = [F.col("__lb") - 1, F.col("__lb")]
     else:
         neighbors = [F.col("__lb") - 1, F.col("__lb"), F.col("__lb") + 1]
-    lb = left.withColumn("__lb", bucket(F.col(left_time))).withColumn(
+    lb = left.withColumn("__lb", bucket(F.col(left_time), ntz_l)).withColumn(
         "__b", F.explode(F.array(*neighbors))
     )
-    rb = right.withColumn("__b", bucket(F.col(right_time)))
+    rb = right.withColumn("__b", bucket(F.col(right_time), ntz_r))
 
-    dt = epoch_micros(right_time) - epoch_micros(left_time)
+    dt = epoch_micros(right_time, ntz_r) - epoch_micros(left_time, ntz_l)
     if direction == "both":
         residual = F.abs(dt) <= gap_us
     elif direction == "forward":

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dates import epoch_micros
+from ..functions.dates import col_is_ntz, epoch_micros
 from ..operators.similarity import cosine_similarity_col
 from .testdata_queries import QueryDef, _utc, load
 
@@ -652,11 +652,12 @@ def events_click_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap_seconds=1800,
         direction="forward",
     )
+    ntz = col_is_ntz(ev, "ts")
     return pairs.select(
         "user_id",
         "c_event_id",
         "p_event_id",
-        (epoch_micros("p_ts") - epoch_micros("c_ts")).alias("gap_us"),
+        (epoch_micros("p_ts", ntz) - epoch_micros("c_ts", ntz)).alias("gap_us"),
         F.round("value", 2).alias("p_value"),
     )
 
@@ -769,10 +770,9 @@ FROM events
 
 
 def events_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.dates import epoch_micros
-
     _utc(spark)
-    ev = load(spark, sf_dir, "events").withColumn("__us", epoch_micros("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", epoch_micros("ts", col_is_ntz(ev, "ts")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("__us")

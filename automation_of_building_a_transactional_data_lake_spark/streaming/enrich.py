@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.dates import epoch_micros
+from ..functions.dates import col_is_ntz, epoch_micros
 
 
 def enrich_stream(
@@ -88,7 +88,9 @@ def stream_interval_join(
     gap_us = int(round(float(max_gap_seconds) * 1_000_000))
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
-    dt: Column = epoch_micros(right_time) - epoch_micros(left_time)
+    dt: Column = epoch_micros(right_time, col_is_ntz(right, right_time)) - epoch_micros(
+        left_time, col_is_ntz(left, left_time)
+    )
     if direction == "both":
         bound = F.abs(dt) <= gap_us
     elif direction == "forward":

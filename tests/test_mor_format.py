@@ -166,3 +166,15 @@ def test_full_pipeline_equivalence_cow_vs_mor(spark, tmp_path):
         assert cow_cols == mor_cols, spec.table_name
         assert cow_rows == mor_rows, spec.table_name
     assert len(results["cow"]["user_data"][1]) == 10044
+
+
+def test_catalog_tag_read_on_mor_raises_clear_error(spark, tmp_path):
+    """Catalog.read_table(spec, tag=...) on a merge-on-read table must
+    raise a feature error naming the limitation, not an opaque
+    TypeError from ParquetMorTable.read's signature."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path), table_format="mor")
+    cat.table(SPEC).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    with pytest.raises(ValueError, match="copy-on-write"):
+        cat.read_table(SPEC, tag="some_tag")

@@ -180,6 +180,36 @@ def test_prefix_filter_tiny_and_identical_docs(spark):
     assert got == {(1, 2, 1.0), (4, 5, 1.0)}
 
 
+def test_prefix_filter_float_boundary_pair_not_pruned(spark):
+    """Regression: double-rounding in the filter bounds must never prune
+    a TRUE boundary pair (Jaccard exactly = threshold).
+
+    sa=31, sb=32, intersection=28 → J = 28/(31+32-28) = 28/35 = 0.8
+    exactly, and the required-overlap bound t/(1+t)*(sa+sb) = 63*4/9 =
+    28 exactly — but 0.8/1.8*63 evaluates to 28.000000000000004 in
+    doubles, so a bare ceil() demands 29 shared tokens and the
+    positional filter prunes the pair (best case 1+min(31-4, 32-5) =
+    28). The unique tokens (df=1) deliberately outrank the shared ones
+    (df=2) in the ascending-df prefix order so every shared prefix
+    token sits deep enough to trigger the overshoot. Fixed by
+    _safe_ceil's epsilon slack."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    shared = " ".join(f"s{i:02d}" for i in range(28))
+    doc_a = "ua1 ua2 ua3 " + shared                # 31 distinct tokens
+    doc_b = "ub1 ub2 ub3 ub4 " + shared            # 32 distinct tokens
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6))
+           for r in ngram_jaccard_prefix_pairs(
+               docs, threshold=0.8, shingle_n=1).collect()}
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 6))
+             for r in exact_ngram_jaccard_pairs(
+                 docs, threshold=0.8, shingle_n=1).collect()}
+    assert got == exact == {(1, 2, 0.8)}
+
+
 def test_simhash_near_dups_have_small_hamming(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     pairs = exact_ngram_jaccard_pairs(docs, threshold=0.9).select("id_a", "id_b")

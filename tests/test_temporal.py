@@ -101,3 +101,47 @@ def test_bounded_range_join_direction_validation(spark, events):
     with pytest.raises(ValueError, match="direction"):
         bounded_range_join(clicks, clicks, on="user_id", left_time="ts",
                            right_time="ts", max_gap_seconds=60, direction="sideways")
+
+
+def test_epoch_micros_ntz_dst_safe(spark):
+    """TIMESTAMP_NTZ micros must be session-timezone-independent: under
+    a DST zone, the old cast-through-LTZ path maps the spring-forward
+    wall clocks 01:59 -> 03:01 to instants only 2 real minutes apart
+    (the 02:00-03:00 hour doesn't exist locally), collapsing a 62-minute
+    wall-clock gap — sessionize would then glue two sessions together.
+    The field-based ntz path must report the true wall-clock gap and
+    split the sessions, identically under UTC and America/New_York."""
+    from automation_of_building_a_transactional_data_lake_spark.functions.dates import (
+        col_is_ntz,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.operators.sessionize import (
+        with_session_id,
+    )
+
+    df = (
+        spark.createDataFrame(
+            [(1, "2024-03-10 01:59:00"), (1, "2024-03-10 03:01:00")], "user_id long, w string"
+        )
+        .withColumn("ts", F.col("w").cast("timestamp_ntz"))
+        .drop("w")
+    )
+    assert col_is_ntz(df, "ts")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            us = sorted(
+                r.us for r in df.select(epoch_micros("ts", ntz=True).alias("us")).collect()
+            )
+            sess = sorted(
+                (r.user_id, r.session_id)
+                for r in with_session_id(df, gap_seconds=1800).collect()
+            )
+            results[tz] = (us, sess)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert results["UTC"] == results["America/New_York"]
+    us, sess = results["UTC"]
+    assert us[1] - us[0] == 62 * 60 * 1_000_000  # true wall-clock gap
+    assert sess == [(1, 0), (1, 1)]  # 62 min > 30 min gap: two sessions

@@ -403,6 +403,35 @@ def test_vacuum_breaks_stale_commit_lock(spark, tmp_path):
     assert tbl.read().count() == 3
 
 
+def test_vacuum_lock_break_restores_freshly_swapped_lock(spark, tmp_path, monkeypatch):
+    """Race-safety of stale-lock breaking: if the lock observed as
+    stale at the PATH turns out fresh once captured (another breaker
+    removed the stale lock and a live writer re-created one between
+    our stat and our rename), vacuum must restore the live lock
+    instead of destroying it, leave no .breaking.* debris, and time
+    out like any held-lock wait. Simulated deterministically by
+    making the path-stat report stale while the captured-inode stat
+    reports fresh."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    lock = os.path.join(tbl.path, "_commit.lock")
+    open(lock, "w").close()
+    real_getmtime = os.path.getmtime
+
+    def fake_getmtime(p):
+        if ".breaking." in str(p):
+            return time.time()  # the inode we captured is FRESH
+        if str(p).endswith("_commit.lock"):
+            return time.time() - 7200  # ... but the path looked stale
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", fake_getmtime)
+    with pytest.raises(ConcurrentWriteError):
+        tbl.vacuum(retain_last=1, staging_retention_s=3600.0, lock_wait_s=0.5)
+    assert os.path.exists(lock)  # live lock restored, not destroyed
+    assert not [e for e in os.listdir(tbl.path) if ".breaking." in e]
+
+
 def test_vacuum_never_deletes_renamed_uncommitted_version(spark, tmp_path):
     """The exact race from the r3 verdict: _promote has renamed staging
     to v(n+1) but not yet advanced _LATEST — all under the lock. A
