@@ -74,6 +74,51 @@ def _safe_ceil(c: Column) -> Column:
     return F.ceil(c - F.lit(_CEIL_EPS))
 
 
+def _materialize(df: DataFrame, mode: str | None) -> DataFrame:
+    """Materialize an intermediate frame that feeds MULTIPLE join
+    branches (Spark re-plans the full upstream pipeline per
+    differently-aliased branch — the work would otherwise run 2-3x).
+
+    Modes, by failure-recovery tradeoff:
+
+    - ``"local"`` — ``localCheckpoint()``: truncates lineage into
+      EXECUTOR-LOCAL block storage. Fastest (2x measured at sf0.1),
+      but on a real cluster losing ONE executor mid-job makes its
+      checkpointed partitions unrecoverable and FAILS the job — fine
+      on ``local[*]`` where executor==driver, an availability bug at
+      100-TB scale with node churn.
+    - ``"disk"`` — ``persist(StorageLevel.DISK_ONLY)``: keeps lineage,
+      so a lost executor's partitions are recomputed from source;
+      plan reuse comes from the InMemoryRelation cache instead of a
+      lineage cut. The cluster-safe default.
+    - ``"checkpoint"`` — reliable ``checkpoint()`` to the directory
+      set via ``sparkContext.setCheckpointDir`` (HDFS/S3): survives
+      executor loss AND cuts lineage — for very deep pipelines where
+      recompute itself is the risk.
+    - ``"none"`` — no materialization (each branch recomputes).
+
+    ``mode=None`` picks ``"local"`` under a ``local[*]`` master and
+    ``"disk"`` otherwise, so tests keep the fast path and cluster
+    deployments get the safe one without opting in.
+    """
+    if mode is None:
+        master = df.sparkSession.sparkContext.master or ""
+        mode = "local" if master.startswith("local") else "disk"
+    if mode == "none":
+        return df
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "disk":
+        from pyspark.storagelevel import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if mode == "checkpoint":
+        return df.checkpoint()
+    raise ValueError(
+        f"materialize must be local|disk|checkpoint|none or None, got {mode!r}"
+    )
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature as an array<long> of length ``num_perm``,
     built from ONE ``aggregate`` fold with an elementwise running-min
@@ -198,6 +243,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     num_perm: int = 32,
     bands: int = 16,
+    materialize: str | None = None,
 ) -> DataFrame:
     """All near-duplicate pairs with exact shingle-Jaccard ≥ threshold,
     found via MinHash banded LSH. Returns (id_a, id_b, jaccard) with
@@ -208,6 +254,12 @@ def minhash_near_dup_pairs(
     threshold, and the exact verify keeps precision at 1. (Raise
     num_perm/bands for thresholds below ~0.7; the hash cost is linear
     in num_perm and dominated the profile at b=32.)
+
+    ``materialize`` picks how the twice-consumed shingle/bucket frames
+    are pinned (see ``_materialize``): default localCheckpoint on
+    ``local[*]`` (fast, but unrecoverable if an executor dies) and
+    DISK_ONLY persist on a cluster (lineage kept — survives executor
+    loss).
     """
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
@@ -229,19 +281,25 @@ def minhash_near_dup_pairs(
     # join branches and Spark re-plans the full upstream pipeline per
     # differently-aliased branch — the shingle/signature work would run
     # 2-3x. Executor-local storage, ~30% wall-clock at sf0.1.
-    sh = src.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint()
+    sh = _materialize(
+        src.select(
+            F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
+        ),
+        materialize,
+    )
     sig = sh.withColumn(
         "__sig",
         minhash_signature_udf(num_perm)(
             F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
         ),
     )
-    banded = sig.select(
-        id_col,
-        F.explode(band_buckets(F.col("__sig"), bands, rows_per_band)).alias("__bb"),
-    ).select(id_col, "__bb.band", "__bb.bucket").localCheckpoint()
+    banded = _materialize(
+        sig.select(
+            id_col,
+            F.explode(band_buckets(F.col("__sig"), bands, rows_per_band)).alias("__bb"),
+        ).select(id_col, "__bb.band", "__bb.bucket"),
+        materialize,
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -298,6 +356,7 @@ def ngram_jaccard_prefix_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    materialize: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via prefix filtering — the
     deterministic scale path (SSJoin/PPJoin family: Chaudhuri et al.
@@ -336,11 +395,15 @@ def ngram_jaccard_prefix_pairs(
     # across the differently-aliased self-join sides — measured 15
     # exchanges / 60 tokenize projections, 2x wall-clock). This is the
     # inverted-index build every similarity-join system performs;
-    # executor-local storage (memory, spills to disk), never the
+    # storage mode per ``materialize`` (localCheckpoint locally,
+    # lineage-keeping DISK_ONLY persist on a cluster), never the
     # driver.
-    sh = src.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint()
+    sh = _materialize(
+        src.select(
+            F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
+        ),
+        materialize,
+    )
 
     # The index pipeline runs on xxhash64(token) LONGS, not the 3-gram
     # strings: 8-byte keys through the df groupBy, the rank window and
@@ -359,9 +422,12 @@ def ngram_jaccard_prefix_pairs(
         "__rk", F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "__tok"))
     )
     prefix_len = F.col("__s") - _safe_ceil(F.lit(threshold) * F.col("__s")) + 1
-    prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
-        id_col, "__tok", "__s", "__rk"
-    ).localCheckpoint()
+    prefix = _materialize(
+        ranked.filter(F.col("__rk") <= prefix_len).select(
+            id_col, "__tok", "__s", "__rk"
+        ),
+        materialize,
+    )
 
     a = prefix.select(
         F.col(id_col).alias("id_a"),

@@ -455,3 +455,31 @@ def test_ivf_probe_pruning_is_physical(spark, tmp_path):
     assert files_opened < total_files
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_similarity_join_materialize_modes_agree(spark):
+    """The materialize= knob changes ONLY how the twice-consumed
+    intermediate frames are pinned (localCheckpoint vs lineage-keeping
+    DISK_ONLY persist vs none), never the result: all modes must
+    produce identical pair sets on both similarity joins. 'disk' is
+    the cluster default because localCheckpoint's executor-local
+    blocks are unrecoverable after executor loss."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for fn in (ngram_jaccard_prefix_pairs, minhash_near_dup_pairs):
+        by_mode = {
+            mode: {(r.id_a, r.id_b, round(r.jaccard, 6))
+                   for r in fn(docs, threshold=0.8, materialize=mode).collect()}
+            for mode in ("local", "disk", "none")
+        }
+        assert by_mode["local"] == by_mode["disk"] == by_mode["none"], fn.__name__
+        assert len(by_mode["local"]) > 0, fn.__name__
+
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        ngram_jaccard_prefix_pairs(docs, materialize="bogus").collect()
