@@ -9,12 +9,21 @@ count-style action that forces every operator (``df.write.format("noop")``
 is not in OSS Spark; ``collect`` on small results is the honest cost the
 driver also pays). Queries returning large row counts are drained with
 ``count()`` after a ``cache``-free run — we time end-to-end plan+execute.
+
+Each query is timed ``SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+MEDIAN is reported: single-shot timings proved untrustworthy for
+round-over-round deltas (one round showed ~15 unrelated queries drift
++35-48% in lockstep from environmental noise, indistinguishable from a
+real regression at n=1). Every run re-plans from scratch — there is no
+cross-run DataFrame caching — so the median measures the engine, not a
+warm cache of results.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,18 +64,26 @@ def main() -> None:
     warm_udf = F.pandas_udf(_warm, "long")
     spark.range(8).select(warm_udf("id")).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.headline:
             continue
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        # Drain the full result: forces every operator including final
-        # projections; small results so collect cost is negligible vs
-        # execution.
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            # Drain the full result: forces every operator including
+            # final projections; small results so collect cost is
+            # negligible vs execution.
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
+        print(
+            f"# {name}: median {timings[name]}s of {n_runs} {spread} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
