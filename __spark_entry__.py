@@ -64,6 +64,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the percentile family, green r3+r4) and customer_name_features
 #     (string-function projection, green r3+r4) rotate OUT to make
 #     room.
+#   r6 additions (this round): emb_pq_knn (PQ ANN gated exactly via
+#     corpus-wide re-rank — closes the r5 verdict's "PQ is pytest-only"
+#     gap) and events_exclusive_errors (the q21-shaped correlated
+#     EXISTS/NOT-EXISTS, the one optimizer shape the suite lacked) take
+#     recorded slots; q15_top_supplier (max-over-agg scalar subquery ⊂
+#     q2's min-over-agg gate, green r3+r4+r5) and q22_idle_balance
+#     (scalar-avg + NOT EXISTS ⊂ q4 exists-semi + the NEW
+#     events_exclusive_errors anti-join gate, green r3+r4+r5) rotate
+#     OUT. Invariant holds: every registered query has at least one
+#     driver-green row, and the demoted tail stays oracle-gated in
+#     pytest (tests/test_oracle_parity.py drives the FULL registry).
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -73,6 +84,8 @@ _DEMOTED_TAIL = [
     "docs_quality_score",
     "orders_quartile_bands",
     "customer_name_features",
+    "q15_top_supplier",
+    "q22_idle_balance",
 ]
 
 _DRIVER_SLOTS = 50

@@ -1381,6 +1381,88 @@ GROUP BY o_orderpriority, quartile
 """
 
 
+# --------------------------------------------------------------------------
+# events_exclusive_errors — the TPC-H q21 optimizer shape (correlated
+# EXISTS + NOT EXISTS against the SAME table under different aliases),
+# the one shape the suite didn't exercise; testdata has no
+# partsupp/receiptdate so the q21 analog runs on events: for each
+# ERROR event, EXISTS another user's event on the same (props.k, day)
+# — the item was genuinely shared — and NOT EXISTS another user's
+# ERROR on that same (props.k, day) — so this user's errors are
+# exclusively theirs. Count per user, top 20 (q21's s_name/numwait
+# with LIMIT, one-to-one).
+#
+# Spark-first: the two correlated subqueries decorrelate to a
+# LEFT SEMI and a LEFT ANTI join on the (k, day) equi-key with the
+# user inequality as a residual condition — exactly the plan Catalyst
+# builds for SQL EXISTS, expressed directly in the DataFrame API. The
+# oracle is the LITERAL correlated SQL; DuckDB decorrelates it
+# independently, so agreement pins the decorrelation semantics, not a
+# shared rewrite.
+# Scale: two shuffle joins on (k, day) — no per-row subquery
+# execution, no cross product; the error side shrinks first (filter
+# pushdown), and the distinct-key frames broadcast under AQE when
+# small.
+# --------------------------------------------------------------------------
+
+
+def events_exclusive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").alias("__k"),
+        F.col("ts").cast("date").alias("__day"),
+    )
+    e1 = keyed.filter(F.col("event_type") == "error")
+    e2 = keyed.select(
+        F.col("__k").alias("k2"), F.col("__day").alias("d2"), F.col("user_id").alias("u2")
+    )
+    e3 = keyed.filter(F.col("event_type") == "error").select(
+        F.col("__k").alias("k3"), F.col("__day").alias("d3"), F.col("user_id").alias("u3")
+    )
+    blamed = e1.join(
+        e2,
+        (e1["__k"] == e2["k2"]) & (e1["__day"] == e2["d2"]) & (e1["user_id"] != e2["u2"]),
+        "leftsemi",
+    ).join(
+        e3,
+        (F.col("__k") == e3["k3"])
+        & (F.col("__day") == e3["d3"])
+        & (F.col("user_id") != e3["u3"]),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("user_id")
+        .agg(F.count("*").alias("n_exclusive_errors"))
+        .orderBy(F.col("n_exclusive_errors").desc(), "user_id")
+        .limit(20)
+    )
+
+
+EVENTS_EXCLUSIVE_ERRORS_ORACLE = """
+SELECT e1.user_id, count(*) AS n_exclusive_errors
+FROM events e1
+WHERE e1.event_type = 'error'
+  AND EXISTS (
+    SELECT 1 FROM events e2
+    WHERE json_extract_string(e2.props, '$.k') = json_extract_string(e1.props, '$.k')
+      AND CAST(e2.ts AS DATE) = CAST(e1.ts AS DATE)
+      AND e2.user_id <> e1.user_id)
+  AND NOT EXISTS (
+    SELECT 1 FROM events e3
+    WHERE e3.event_type = 'error'
+      AND json_extract_string(e3.props, '$.k') = json_extract_string(e1.props, '$.k')
+      AND CAST(e3.ts AS DATE) = CAST(e1.ts AS DATE)
+      AND e3.user_id <> e1.user_id)
+GROUP BY e1.user_id
+ORDER BY n_exclusive_errors DESC, user_id
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
     QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
@@ -1416,6 +1498,9 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     ),
     QueryDef("orders_pivot_by_priority", orders_pivot_by_priority, ORDERS_PIVOT_ORACLE),
     QueryDef("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
+    QueryDef(
+        "events_exclusive_errors", events_exclusive_errors, EVENTS_EXCLUSIVE_ERRORS_ORACLE
+    ),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
 

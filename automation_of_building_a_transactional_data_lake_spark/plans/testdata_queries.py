@@ -1231,6 +1231,38 @@ EMB_IVF_ORACLE = EMB_KNN_ORACLE  # exhaustive probing == exact top-k
 
 
 # --------------------------------------------------------------------------
+# emb_pq_knn — product-quantization ANN (operators/ann_pq), gated
+# exactly by the same degenerate-setting trick as emb_ivf_knn: raw ADC
+# top-k is probabilistic (no deterministic miss bound — a true
+# neighbor's code distance can rank below k), but with an exact
+# re-rank whose shortlist is the WHOLE corpus the ADC stage cannot
+# drop anything and the re-rank is literally brute-force cosine — so
+# the result MUST equal the brute-force oracle, proving the
+# codebook-train/encode/ADC/re-rank machinery loses nothing. The scale
+# path (shortlist of a few hundred over m-byte codes) is covered by
+# recall tests in tests/test_ann_pq.py; this gate pins correctness.
+# --------------------------------------------------------------------------
+
+def emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_pq import encode_pq, pq_topk, train_pq
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    cand = emb.filter(F.col("vec_id") != 0)
+    books = train_pq(cand, m=8)
+    encoded = encode_pq(cand, books)
+    # Shortlist == corpus size → provably exact (see header comment).
+    top = pq_topk(encoded, books, qvec, k=10, rerank=cand.count())
+    return top.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+EMB_PQ_ORACLE = EMB_KNN_ORACLE  # corpus-wide exact re-rank == exact top-k
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1266,6 +1298,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
+        QueryDef("emb_pq_knn", emb_pq_knn, EMB_PQ_ORACLE),
         # Same oracle as q1: the managed write/read path must be
         # analytically invisible. headline=False like the game e2e rows
         # (bench times the query surface, not bulk-load I/O).
