@@ -194,13 +194,33 @@ def maintain_all(
     compact: bool = True,
     vacuum_retain_last: int | None = 2,
     target_file_mb: float = 128,
+    ann_indexes: list | None = None,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
     small files / fold MoR deltas, then vacuum snapshots older than the
     retention window. Run after the CDC loop on whatever cadence the
-    deployment's time-travel contract allows."""
+    deployment's time-travel contract allows.
+
+    ``ann_indexes`` (``operators.ann_index.ManagedAnnIndex``) refresh
+    FIRST, before any compaction or vacuum: the incremental refresh
+    diffs against the source snapshot it last indexed, and (a) vacuum
+    could drop that snapshot (forcing the full re-encode fallback),
+    (b) compaction creates a rewrite-only version whose change feed is
+    empty — diffing before it avoids paying those joins for nothing."""
     reports = []
+    for idx in ann_indexes or []:
+        reports.append(
+            LoadReport(
+                idx.index_spec.table_name,
+                "ann_refreshed",
+                telemetry={
+                    k: v
+                    for k, v in idx.refresh().items()
+                    if isinstance(v, (int, float))
+                },
+            )
+        )
     for spec in specs:
         tbl = catalog.table(spec)
         if not tbl.exists():
