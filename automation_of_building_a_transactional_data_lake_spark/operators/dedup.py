@@ -350,6 +350,62 @@ def exact_ngram_jaccard_pairs(
     )
 
 
+def _prefix_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int,
+    materialize: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the shared shingle frame and the rarest-first prefix index
+    ``(id, token_hash, set_size, rank)`` — the candidate-generation
+    state of ``ngram_jaccard_prefix_pairs``, split out so the skew gate
+    can assert the index's shape directly (boilerplate tokens must stay
+    OUT of prefixes; see tests/test_operators.py).
+
+    Materialized once (mode per ``_materialize``): both frames feed
+    MULTIPLE join branches, and Spark plans each branch's full upstream
+    pipeline separately (no exchange reuse across the differently-
+    aliased self-join sides — measured 15 exchanges / 60 tokenize
+    projections, 2x wall-clock). This is the inverted-index build every
+    similarity-join system performs; never driver-side.
+
+    The index pipeline runs on xxhash64(token) LONGS, not the 3-gram
+    strings: 8-byte keys through the df groupBy, the rank window and
+    the candidate equi-join instead of ~25-byte grams. Completeness
+    is unaffected — a shared token always shares its hash (a
+    collision can only ADD a candidate, which exact verification
+    kills), and the global order (df(hash), hash) is still a total
+    order both documents of a pair sort identically.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col), F.col(text_col)).repartition(n_parts, F.col(id_col))
+    sh = _materialize(
+        src.select(
+            F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
+        ),
+        materialize,
+    )
+    toks = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__s"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__tok"),
+    )
+    dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ranked = toks.join(dfreq, "__tok").withColumn(
+        "__rk", F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "__tok"))
+    )
+    prefix_len = F.col("__s") - _safe_ceil(F.lit(threshold) * F.col("__s")) + 1
+    prefix = _materialize(
+        ranked.filter(F.col("__rk") <= prefix_len).select(
+            id_col, "__tok", "__s", "__rk"
+        ),
+        materialize,
+    )
+    return sh, prefix
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -387,47 +443,7 @@ def ngram_jaccard_prefix_pairs(
     recall epsilon; costlier when sets are large and threshold is low
     (longer prefixes) — offer both, pick per corpus.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col), F.col(text_col)).repartition(n_parts, F.col(id_col))
-    # Materialize the shingle sets and (below) the prefix index once:
-    # both frames feed MULTIPLE join branches, and Spark plans each
-    # branch's full upstream pipeline separately (no exchange reuse
-    # across the differently-aliased self-join sides — measured 15
-    # exchanges / 60 tokenize projections, 2x wall-clock). This is the
-    # inverted-index build every similarity-join system performs;
-    # storage mode per ``materialize`` (localCheckpoint locally,
-    # lineage-keeping DISK_ONLY persist on a cluster), never the
-    # driver.
-    sh = _materialize(
-        src.select(
-            F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh")
-        ),
-        materialize,
-    )
-
-    # The index pipeline runs on xxhash64(token) LONGS, not the 3-gram
-    # strings: 8-byte keys through the df groupBy, the rank window and
-    # the candidate equi-join instead of ~25-byte grams. Completeness
-    # is unaffected — a shared token always shares its hash (a
-    # collision can only ADD a candidate, which exact verification
-    # kills), and the global order (df(hash), hash) is still a total
-    # order both documents of a pair sort identically.
-    toks = sh.select(
-        F.col(id_col),
-        F.size("__sh").alias("__s"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__tok"),
-    )
-    dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
-    ranked = toks.join(dfreq, "__tok").withColumn(
-        "__rk", F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "__tok"))
-    )
-    prefix_len = F.col("__s") - _safe_ceil(F.lit(threshold) * F.col("__s")) + 1
-    prefix = _materialize(
-        ranked.filter(F.col("__rk") <= prefix_len).select(
-            id_col, "__tok", "__s", "__rk"
-        ),
-        materialize,
-    )
+    sh, prefix = _prefix_index(df, id_col, text_col, threshold, shingle_n, materialize)
 
     a = prefix.select(
         F.col(id_col).alias("id_a"),

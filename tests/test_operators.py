@@ -483,3 +483,50 @@ def test_similarity_join_materialize_modes_agree(spark):
 
     with pytest.raises(ValueError, match="materialize"):
         ngram_jaccard_prefix_pairs(docs, materialize="bogus").collect()
+
+
+def test_prefix_filter_skew_gate_boilerplate_stays_out_of_prefixes(spark):
+    """Skew gate for the planted-boilerplate corpus: one token appears
+    in 30% of documents (web boilerplate). The rarest-first prefix
+    order must keep that hot token OUT of every prefix — so no
+    candidate bucket fans out with the boilerplate — while the join
+    stays exact vs brute force. Asserted structurally on the prefix
+    index itself, not just end-to-end."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        _prefix_index,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    BOILER = "boilerplate_token"
+    rows = []
+    # 60 docs x 20 distinct tokens each: 19 unique + the boilerplate
+    # token on 18 docs (30%). Three planted near-dup pairs share their
+    # 19 uniques (J = 19/21 ~ 0.905 > 0.8).
+    for i in range(60):
+        if i in (1, 11, 21):  # twin of i-1: same uniques, own salt
+            toks = [f"u{i-1}_{j}" for j in range(19)] + [f"salt{i}"]
+        else:
+            toks = [f"u{i}_{j}" for j in range(19)] + [f"salt{i}"]
+        if i < 18:
+            toks[-1] = BOILER  # 18/60 = 30% of docs carry it
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # (a) exactness is untouched by the skew.
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6))
+           for r in ngram_jaccard_prefix_pairs(docs, threshold=0.8, shingle_n=1).collect()}
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 6))
+             for r in exact_ngram_jaccard_pairs(docs, threshold=0.8, shingle_n=1).collect()}
+    assert got == exact
+    assert {(a, b) for a, b, _ in got} == {(0, 1), (10, 11), (20, 21)}
+
+    # (b) the structural claim: the hot token's hash never enters a
+    # prefix (rank 20 of 20 by ascending df, prefix length 5 at
+    # t=0.8/s=20), and every prefix bucket's fan-out is bounded by the
+    # planted df<=2 tokens — so no candidate bucket explodes.
+    _, prefix = _prefix_index(docs, "doc_id", "text", 0.8, 1, None)
+    hot_hash = spark.range(1).select(F.xxhash64(F.lit(BOILER))).first()[0]
+    per_tok = {r["__tok"]: r["n"] for r in
+               prefix.groupBy("__tok").agg(F.count("*").alias("n")).collect()}
+    assert hot_hash not in per_tok
+    assert max(per_tok.values()) <= 2
