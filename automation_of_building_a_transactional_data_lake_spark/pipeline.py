@@ -165,6 +165,67 @@ def apply_cdc_batch(
     return telemetry
 
 
+def cdc_load_wap(
+    spark: SparkSession,
+    catalog: Catalog,
+    spec: TableSpec,
+    raw_root: str,
+    audit=None,
+    branch_name: str = "wap-cdc",
+    clock: datetime | None = None,
+) -> LoadReport:
+    """Write-audit-publish CDC micro-batch (Iceberg's WAP pattern as a
+    spec-driven pipeline step, no table-API dropdown needed): the batch
+    merges into a staging BRANCH invisible to main readers, ``audit``
+    (a callable ``DataFrame -> bool`` over the branch state) gates it,
+    and only a passing batch fast-forwards main. A failing audit drops
+    the branch — main never saw the bad batch — and leaves the file
+    ledger uncommitted, so the NEXT run replays the same files (merges
+    are idempotent per key; fix the audit or the data and rerun).
+
+    CoW tables only (branch refs live in the CoW commit protocol);
+    merge-on-read tables get a clear feature error.
+    """
+    from .formats.parquet_cow import ParquetCowTable
+
+    tbl = catalog.table(spec)
+    ledger = FileLedger(tbl.path)
+    files = ledger.new_files(_raw_dir(raw_root, CDC_ZONE, spec))
+    if not files:
+        return LoadReport(spec.table_name, "skipped_empty")
+    if not tbl.exists():
+        return LoadReport(spec.table_name, "skipped_missing", files=files)
+    if not isinstance(tbl, ParquetCowTable):
+        raise ValueError(
+            f"{spec.qualified_name}: write-audit-publish needs branch refs, "
+            "which only copy-on-write tables support; this table is "
+            "merge-on-read"
+        )
+
+    tbl.create_branch(branch_name)
+    try:
+        batch = spark.read.parquet(*files)
+        telemetry = apply_cdc_batch(batch, tbl.branch(branch_name), spec, clock)
+        staged = catalog.read_table(spec, branch=branch_name)
+        if audit is not None and not audit(staged):
+            tbl.drop_branch(branch_name)
+            return LoadReport(
+                spec.table_name, "audit_failed", telemetry=telemetry, files=files
+            )
+    except Exception:
+        # Never leave a half-applied staging branch behind: the next
+        # run re-creates it from a fresh fork and replays the batch.
+        try:
+            tbl.drop_branch(branch_name)
+        except KeyError:
+            pass
+        raise
+    tbl.publish_branch(branch_name)
+    # Bookmark commits only after the audited state is live on main.
+    ledger.commit(files)
+    return LoadReport(spec.table_name, "published", telemetry=telemetry, files=files)
+
+
 def initial_load_all(
     spark: SparkSession,
     catalog: Catalog,

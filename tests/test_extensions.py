@@ -607,3 +607,72 @@ def test_sample_frames_jvm_side(spark):
     assert {(r.media_id, r.frame_ts_ms) for r in frames} == {
         (3, 0), (3, 1000), (3, 2000), (3, 3000)
     }
+
+
+def test_cdc_load_wap_through_catalog_and_pipeline_only(spark, tmp_path):
+    """Spec-driven write-audit-publish, no table-API dropdown: initial
+    load -> cdc_load_wap stages the batch on a branch (main invisible,
+    verified FROM INSIDE the audit via Catalog reads), a failing audit
+    drops the branch without committing the ledger (the batch replays),
+    and a passing audit publishes atomically."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        cdc_load_wap,
+    )
+
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    initial_load(spark, cat, spec, DEMO)
+    clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
+
+    # Round 1: audit rejects. Main must be untouched, the branch gone,
+    # and the batch NOT bookmarked (so round 2 replays it).
+    seen = {}
+
+    def reject(staged):
+        seen["staged"] = staged.count()
+        seen["main_during_audit"] = cat.read_table(spec).count()
+        seen["branch_read"] = cat.read_table(spec, branch="wap-cdc").count()
+        return False
+
+    r1 = cdc_load_wap(spark, cat, spec, DEMO, audit=reject, clock=clock)
+    assert r1.action == "audit_failed"
+    assert r1.telemetry["I"] == 46 and r1.telemetry["D"] == 2
+    assert seen == {"staged": 10044, "main_during_audit": 10000, "branch_read": 10044}
+    assert cat.read_table(spec).count() == 10000
+    assert cat.table(spec).branches() == {}
+
+    # Round 2: audit passes -> published; ledger committed so round 3
+    # is an empty batch.
+    r2 = cdc_load_wap(spark, cat, spec, DEMO, audit=lambda df: df.count() == 10044,
+                      clock=clock)
+    assert r2.action == "published"
+    assert cat.read_table(spec).count() == 10044
+    assert cat.table(spec).branches() == {}
+    assert cdc_load_wap(spark, cat, spec, DEMO, clock=clock).action == "skipped_empty"
+
+
+def test_read_table_branch_guards(spark, tmp_path):
+    """Catalog.read_table(branch=) surfaces branches without dropping
+    to the table API; selectors are mutually exclusive and
+    merge-on-read tables get a feature error, not a crash."""
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    spec = TableSpec("t_br", "id", None, None, "testdb")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.table(spec).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    cat.table(spec).create_branch("b1")
+    cat.table(spec).branch("b1").merge_upsert(
+        spark.createDataFrame([(2, "b")], "id long, val string")
+    )
+    assert cat.read_table(spec).count() == 1
+    assert cat.read_table(spec, branch="b1").count() == 2
+    with pytest.raises(ValueError, match="at most one"):
+        cat.read_table(spec, version=1, branch="b1")
+
+    mor_cat = Catalog(spark, str(tmp_path / "wh_mor"), table_format="mor")
+    mor_spec = TableSpec("t_br_mor", "id", None, None, "testdb")
+    mor_cat.table(mor_spec).create(
+        spark.createDataFrame([(1, "a")], "id long, val string")
+    )
+    with pytest.raises(ValueError, match="copy-on-write"):
+        mor_cat.read_table(mor_spec, branch="b1")
