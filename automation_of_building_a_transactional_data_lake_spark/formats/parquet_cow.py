@@ -945,16 +945,26 @@ class ParquetCowTable:
             return None
         return [r[0] for r in rows]
 
-    def _link_forward(self, old_dir: str, new_dir: str, skip_partitions: list) -> None:
+    def _link_forward(
+        self,
+        old_dir: str,
+        new_dir: str,
+        skip_partitions: list = (),
+        skip_segments: set | None = None,
+    ) -> None:
         """Hard-link unaffected partition subdirectories from the
         previous version into the new one — metadata-only carry-forward
         of unchanged data files (what a real table format does by
         re-referencing files in the new snapshot). Skip-set entries are
         rendered with Hive path escaping (nulls ->
         __HIVE_DEFAULT_PARTITION__, reserved chars %XX) so they match
-        the on-disk directory names Spark wrote."""
+        the on-disk directory names Spark wrote; callers that already
+        hold directory names (selective compaction walks the
+        filesystem) pass them via ``skip_segments`` unescaped-free."""
         part = self._part_name
-        skip = {f"{part}={_escape_partition_value(v)}" for v in skip_partitions}
+        skip = set(skip_segments or ()) | {
+            f"{part}={_escape_partition_value(v)}" for v in skip_partitions
+        }
         for entry in os.listdir(old_dir):
             src_sub = os.path.join(old_dir, entry)
             if not entry.startswith(f"{part}=") or entry in skip:
@@ -1217,30 +1227,119 @@ class ParquetCowTable:
                 z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
         return z
 
+    def _partition_layout(self, cur: TableVersion) -> dict[str, list[int]]:
+        """Per-partition data-file sizes of a snapshot, keyed by the
+        on-disk directory segment (``part=<escaped>``) — the metadata
+        listing selective compaction decides from (filesystem only, no
+        Spark job)."""
+        part = self._part_name
+        out: dict[str, list[int]] = {}
+        for entry in os.listdir(cur.path):
+            sub = os.path.join(cur.path, entry)
+            if not entry.startswith(f"{part}=") or not os.path.isdir(sub):
+                continue
+            out[entry] = [
+                os.path.getsize(os.path.join(sub, f))
+                for f in os.listdir(sub)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    def _compact_partitions(
+        self, cur: TableVersion, segments: list[str], target_file_mb: int
+    ) -> None:
+        """Rewrite ONLY the named partition directories (coalescing
+        their small files) and hard-link every other partition forward
+        — the merge path's partition-pruned rewrite, reused for
+        maintenance."""
+        pk, part = self.spec.primary_key, self._part_name
+        paths = [os.path.join(cur.path, seg) for seg in segments]
+        df = self.spark.read.option("basePath", cur.path).parquet(*paths)
+        ptype = self._read_meta().get("partition_type")
+        if ptype:
+            df = df.withColumn(part, F.col(part).cast(ptype))
+        sub_bytes = sum(
+            os.path.getsize(os.path.join(p, f))
+            for p in paths
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        n_files = int(max(1, sub_bytes // (target_file_mb * 1024 * 1024)))
+        compacted = df.repartition(n_files, F.col(part)).sortWithinPartitions(part, pk)
+        staging = self._write_staging(compacted, cluster=False)
+        self._link_forward(cur.path, staging, skip_segments=set(segments))
+        self._stage_snapshot_meta(staging, self.snapshot_meta())  # carry forward
+        self._promote(staging, expected_version=cur.version)
+
     def compact(
         self,
         target_file_mb: int = 128,
         zorder: list[str] | None = None,
         n_files: int | None = None,
-    ) -> None:
+        selective: bool = True,
+    ) -> str:
         """Small-file compaction (Delta OPTIMIZE / Iceberg
-        rewrite_data_files equivalent): rewrite the current snapshot
-        with a file count sized from data volume — ONE exchange.
-        Partitioned tables hash on the partition key into the target
-        task count; unpartitioned tables round-robin.
+        rewrite_data_files equivalent). Returns what it did:
+        ``"noop"`` | ``"selective"`` | ``"full"``.
 
-        ``zorder=[cols...]`` (Delta ``OPTIMIZE ... ZORDER BY``):
-        range-partition and sort by the Morton code of the given
-        columns instead, so the per-file footer stats form tight boxes
-        on EVERY listed column and ``read_skipping`` prunes on any of
-        them — the multi-dimensional layout a date+id 100 TB table
-        needs. ``n_files`` overrides the size-derived target."""
+        With ``selective=True`` (default) the full-table rewrite is the
+        LAST resort, not the steady state — at 100 TB a maintenance
+        loop that rewrites every byte every cycle is the bug:
+
+        - A partition needs work only when it holds >= 2 files below
+          half the target size; partitions already compact hard-link
+          forward untouched (``_compact_partitions``), and when NO
+          partition needs work the call is a metadata-only noop.
+        - Unpartitioned tables noop by the same small-file test over
+          the whole snapshot.
+        - ``zorder=[cols...]`` (Delta ``OPTIMIZE ... ZORDER BY``) is an
+          inherently GLOBAL re-layout (range-partition + sort by the
+          Morton code so footer stats box every listed column), so
+          selectivity instead comes from an idempotence marker: the
+          compaction commit records (zorder, target, version) in its
+          snapshot metadata, and a repeat call with the same layout
+          against the same head noops. Any data commit moves the head
+          past the marker and re-clustering runs again.
+
+        ``n_files`` overrides the size-derived target and forces the
+        full path (the caller is hand-shaping the layout)."""
         cur = self.current_version()
+        pk, part = self.spec.primary_key, self._part_name
+        small_bytes = target_file_mb * 1024 * 1024 // 2
+
+        if selective and zorder and n_files is None:
+            prev = (self.snapshot_meta() or {}).get("_compacted")
+            if (
+                prev
+                and prev.get("zorder") == list(zorder)
+                and prev.get("target_file_mb") == target_file_mb
+                and prev.get("at_version") == cur.version
+            ):
+                return "noop"
+        if selective and not zorder and n_files is None:
+            if part:
+                layout = self._partition_layout(cur)
+                need = [
+                    seg
+                    for seg, sizes in layout.items()
+                    if sum(1 for s in sizes if s < small_bytes) >= 2
+                ]
+                if not need:
+                    return "noop"
+                if len(need) <= self.max_affected_partitions and len(need) < len(layout):
+                    self._compact_partitions(cur, need, target_file_mb)
+                    return "selective"
+                # Wide spread: the full rewrite below beats per-partition
+                # bookkeeping (same reasoning as the merge fallback).
+            else:
+                sizes = [os.path.getsize(p) for p in self.data_files()]
+                if sum(1 for s in sizes if s < small_bytes) < 2:
+                    return "noop"
+
         df = self.read()
         total_bytes = sum(os.path.getsize(p) for p in self.data_files())
         if n_files is None:
             n_files = int(max(1, total_bytes // (target_file_mb * 1024 * 1024)))
-        pk, part = self.spec.primary_key, self._part_name
         if zorder:
             z = self._zorder_value(df, zorder)
             compacted = (
@@ -1258,8 +1357,20 @@ class ParquetCowTable:
         else:
             compacted = df.repartition(n_files).sortWithinPartitions(pk)
         staging = self._write_staging(compacted, cluster=False)
-        self._stage_snapshot_meta(staging, self.snapshot_meta())  # carry forward
+        meta = dict(self.snapshot_meta() or {})  # carry forward + marker
+        meta["_compacted"] = {
+            "zorder": list(zorder) if zorder else None,
+            "target_file_mb": target_file_mb,
+            # Predicted commit version (the number _promote allocates on
+            # success against this head). A mispredict — possible only
+            # if concurrent staging renames a higher directory in this
+            # window — merely voids the marker, costing one redundant
+            # re-cluster later; never a skipped-but-needed one.
+            "at_version": max(cur.version, self._max_version_dir()) + 1,
+        }
+        self._stage_snapshot_meta(staging, meta)
         self._promote(staging, expected_version=cur.version)
+        return "full"
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots, oldest

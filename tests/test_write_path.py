@@ -965,3 +965,62 @@ def test_play_data_case_sensitive_column_preserved(loaded_game):
     assert (got["play_id"].values == oracle["play_id"].values).all()
     assert (got["MultiPoints"].values == oracle["MultiPoints"].values).all()
     assert (got["time_spent"].values == oracle["time_spent"].values).all()
+
+
+def test_compact_selective_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """At scale the maintenance loop must NOT rewrite the whole table
+    every cycle: only partitions holding multiple small files rewrite;
+    already-compact partitions hard-link forward (same inode), and a
+    follow-up compact is a metadata-only noop."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    rows = [(i, f"v{i}", "x") for i in range(600)] + [(9999, "solo", "y")]
+    df = spark.createDataFrame(rows, "id long, val string, cat string")
+    tbl.create(df)  # v1: write clustering -> 1 file per partition
+    # Fragment ONLY cat=x: stage an unclustered rewrite (6 round-robin
+    # tasks -> up to 6 files for x's 600 rows; y's single row stays 1).
+    staging = tbl._write_staging(df.repartition(6), cluster=False)
+    tbl._promote(staging, expected_version=1)
+    layout = tbl._partition_layout(tbl.current_version())
+    assert len(layout["cat=x"]) > 1 and len(layout["cat=y"]) == 1
+    y_file = os.path.join(tbl.current_version().path, "cat=y")
+    y_inodes = {os.stat(os.path.join(y_file, f)).st_ino
+                for f in os.listdir(y_file) if f.endswith(".parquet")}
+    before = {(r.id, r.val, r.cat) for r in tbl.read().collect()}
+
+    assert tbl.compact(target_file_mb=128) == "selective"
+    layout2 = tbl._partition_layout(tbl.current_version())
+    assert len(layout2["cat=x"]) == 1  # coalesced
+    y_dir2 = os.path.join(tbl.current_version().path, "cat=y")
+    y_inodes2 = {os.stat(os.path.join(y_dir2, f)).st_ino
+                 for f in os.listdir(y_dir2) if f.endswith(".parquet")}
+    assert y_inodes2 == y_inodes  # carried forward by reference, not rewritten
+    assert {(r.id, r.val, r.cat) for r in tbl.read().collect()} == before
+
+    assert tbl.compact(target_file_mb=128) == "noop"  # steady state
+
+
+def test_compact_noop_on_already_compact_unpartitioned(spark, tmp_path):
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    df = spark.range(500).selectExpr("id", "cast(id as string) AS val", "'x' AS cat")
+    tbl.create(df.repartition(5))
+    v_before = tbl.current_version().version
+    assert tbl.compact(target_file_mb=128) == "full"
+    assert tbl.compact(target_file_mb=128) == "noop"
+    assert tbl.current_version().version == v_before + 1  # exactly one rewrite
+
+
+def test_compact_zorder_marker_idempotent_until_data_changes(spark, tmp_path):
+    """Z-order is a global re-layout, so selectivity is an idempotence
+    marker: same layout against the same head noops; any data commit
+    voids the marker and re-clustering runs."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    df = spark.range(1000).selectExpr(
+        "id", "id * 7 % 13 AS val", "'x' AS cat"
+    )
+    tbl.create(df.repartition(4))
+    assert tbl.compact(zorder=["id"]) == "full"
+    assert tbl.compact(zorder=["id"]) == "noop"
+    assert tbl.compact(zorder=["id", "val"]) == "full"  # different layout
+    tbl.merge_upsert(spark.createDataFrame([(1, 99, "x")], "id long, val long, cat string"))
+    assert tbl.compact(zorder=["id", "val"]) == "full"  # head moved past marker
+    assert tbl.compact(zorder=["id", "val"]) == "noop"
