@@ -75,6 +75,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     OUT. Invariant holds: every registered query has at least one
 #     driver-green row, and the demoted tail stays oracle-gated in
 #     pytest (tests/test_oracle_parity.py drives the FULL registry).
+#   r6 late addition: docs_repetition_stats (Gopher-style repetition
+#     signals) takes a recorded slot; emb_knn_brute rotates OUT — its
+#     oracle row is literally identical to the two exhaustive ANN gates
+#     that stay (emb_ivf_knn nprobe=k and emb_pq_knn corpus-rerank both
+#     compare against the same brute-force SQL), so its slot duplicated
+#     a gate; the brute-force plan itself stays bench-timed and
+#     pytest-gated.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -86,6 +93,7 @@ _DEMOTED_TAIL = [
     "customer_name_features",
     "q15_top_supplier",
     "q22_idle_balance",
+    "emb_knn_brute",
 ]
 
 _DRIVER_SLOTS = 50

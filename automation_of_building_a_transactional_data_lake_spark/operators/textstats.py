@@ -112,3 +112,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     whitespace to one fingerprint — cheap canonical near-dup key."""
     toks = F.array_sort(F.array_distinct(tokens_col(F.lower(F.col(text_col)))))
     return df.withColumn(out_col, F.xxhash64(F.concat_ws("", toks)))
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1's
+    repetition filters; the C4 heuristics family) — the standard cheap
+    detectors for boilerplate/spam documents in web-scale corpora:
+
+    - ``dup_token_frac``   1 - distinct/total whitespace tokens
+    - ``top_token_frac``   occurrences of the most frequent token / total
+    - ``dup_2gram_frac``   1 - distinct/total consecutive token 2-grams
+
+    Plan: the distinct/total fractions are pure codegen'd array
+    expressions; the mode count (``top_token_frac``) would be an
+    interpreted O(distinct x total) fold as an expression, so it runs
+    as explode -> (id, token) count -> per-id max — one shuffle on the
+    id — and joins back (AQE broadcasts the tiny aggregate). Empty
+    docs report 0.0 everywhere (left join + coalesce, no divide).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+
+    base = (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "dup_token_frac",
+            F.round(F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0)), 6),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.round(F.when(ng > 0, 1.0 - ngd / ng).otherwise(F.lit(0.0)), 6),
+        )
+    )
+    mode = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__max_cnt"))
+    )
+    return (
+        base.join(mode, id_col, "left")
+        .withColumn(
+            "top_token_frac",
+            F.round(
+                F.coalesce(F.col("__max_cnt") / F.col("n_tokens"), F.lit(0.0)), 6
+            ),
+        )
+        .drop("__max_cnt")
+    )

@@ -422,6 +422,59 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# docs_repetition_stats — Gopher-style repetition signals (duplicate
+# token / top-token / duplicate-2-gram fractions): the standard cheap
+# boilerplate detectors for LLM corpus curation. Fractions are
+# codegen'd array expressions; the per-doc mode count runs as one
+# explode + two-level groupBy shuffle on the id (an expression fold
+# would be interpreted O(distinct x total)). The oracle mirrors the
+# math over the same whitespace tokenization with unnest + windowed
+# lists in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_repetition_stats
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_token_frac", "dup_2gram_frac"
+    )
+
+
+DOCS_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS grams
+  FROM t
+), mode AS (
+  SELECT doc_id, max(c) AS max_cnt FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM t, unnest(t.toks) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       round(CASE WHEN b.n > 0 THEN 1.0 - b.nd * 1.0 / b.n ELSE 0.0 END, 6)
+         AS dup_token_frac,
+       round(coalesce(m.max_cnt * 1.0 / b.n, 0.0), 6) AS top_token_frac,
+       round(CASE WHEN len(b.grams) > 0
+                  THEN 1.0 - len(list_distinct(b.grams)) * 1.0 / len(b.grams)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM base b LEFT JOIN mode m USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # customer_churn_features — the reference's downstream churn feature
 # workload (§3.3, sample_redshift_ml_sql_query.txt:11-73): projections,
 # DATEDIFF (SF5), CASE churn label (SF6), group-by aggregates and an
@@ -1277,6 +1330,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("events_pivot_by_type", events_pivot_by_type, EVENTS_PIVOT_ORACLE),
         QueryDef("events_hourly_rollup", events_hourly_rollup, EVENTS_ROLLUP_ORACLE),
         QueryDef("docs_token_counts", docs_token_counts, DOCS_TOKEN_COUNTS_ORACLE),
+        QueryDef("docs_repetition_stats", docs_repetition_stats, DOCS_REPETITION_ORACLE),
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
         QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),

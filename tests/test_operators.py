@@ -530,3 +530,31 @@ def test_prefix_filter_skew_gate_boilerplate_stays_out_of_prefixes(spark):
                prefix.groupBy("__tok").agg(F.count("*").alias("n")).collect()}
     assert hot_hash not in per_tok
     assert max(per_tok.values()) <= 2
+
+
+def test_repetition_stats_edges(spark):
+    """Gopher-style repetition signals on planted edges: empty doc (all
+    zeros, no divide), single token, all-identical tokens (dup fracs ->
+    1 - 1/n, top -> 1.0), and a half-repeated doc."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+        with_repetition_stats,
+    )
+
+    rows = [
+        (0, ""),
+        (1, "solo"),
+        (2, "spam spam spam spam"),
+        (3, "a b a b c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_token_frac, r.dup_2gram_frac)
+        for r in with_repetition_stats(docs).collect()
+    }
+    assert got[0] == (0, 0.0, 0.0, 0.0)
+    assert got[1] == (1, 0.0, 1.0, 0.0)
+    # 4x "spam": 3/4 dup tokens, top 1.0; 3 identical 2-grams -> 2/3 dup.
+    assert got[2] == (4, 0.75, 1.0, round(2 / 3, 6))
+    # "a b a b c": 5 tokens 3 distinct -> 0.4; top "a" (or "b") 2/5;
+    # grams [a b, b a, a b, b c]: 4 total 3 distinct -> 0.25.
+    assert got[3] == (5, 0.4, 0.4, 0.25)
