@@ -96,6 +96,13 @@ _VERSION_PREFIX = "v"
 _META = "_format.json"
 _SNAPSHOT_META = "_snapshot.json"
 _FILE_STATS = "_file_stats.json"
+_BLOOM_FILE = "_bloom.json"
+# Per-file, per-column bloom parameters: 8192 bits (1 KiB) / 5 hashes
+# gives a false-positive rate of ~(n*k/m)^k ≈ 8e-5 at 250 distinct
+# values per file and degrades gracefully for bigger files; a false
+# positive only costs one extra file open, never a wrong result.
+_BLOOM_M = 8192
+_BLOOM_K = 5
 _MANIFEST_DIR = "_symlink_manifest"
 _COMMIT_LOCK = "_commit.lock"
 
@@ -346,6 +353,152 @@ class ParquetCowTable:
         with open(spath, encoding="utf-8") as f:
             return json.load(f)
 
+    def _read_blooms(self, vdir: str | None = None) -> dict:
+        """The committed per-file bloom bitsets of a snapshot
+        ({relpath: {"_file_size": n, col: hex}}), {} when absent."""
+        if vdir is None:
+            cur = self.current_version()
+            if cur is None:
+                return {}
+            vdir = cur.path
+        bpath = os.path.join(vdir, _BLOOM_FILE)
+        if not os.path.isfile(bpath):
+            return {}
+        with open(bpath, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _collect_blooms(self, staging: str) -> dict:
+        """Per-file bloom bitsets for ``spec.bloom_filter_cols``.
+
+        Hard-linked carry-forward files reuse the previous commit's
+        bitsets byte-for-byte (matched on relpath + size — linked files
+        ARE the same bytes), so the one Spark job here scans only the
+        files this commit actually wrote, reading only the bloom
+        columns. Positions come from ``pmod(xxhash64(col, seed), m)``
+        — the same expression the probe side evaluates, so hash parity
+        is by construction, not by reimplementation. The driver-side
+        collect is bounded: (new files) x (cols) x (<= m positions).
+        Nulls never enter a bloom — the index answers non-null
+        equality only."""
+        cols = list(self.spec.bloom_filter_cols)
+        prev = self._read_blooms()
+        out: dict[str, dict] = {}
+        todo: dict[str, tuple[str, int]] = {}
+        for root, _dirs, files in os.walk(staging):
+            for fname in files:
+                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, staging)
+                size = os.path.getsize(full)
+                p = prev.get(rel)
+                if p and p.get("_file_size") == size:
+                    out[rel] = p
+                else:
+                    out[rel] = {"_file_size": size}
+                    todo[os.path.realpath(full)] = (rel, size)
+        if not todo:
+            return out
+        df = self.spark.read.parquet(*todo)
+        present = [c for c in cols if c in df.columns]
+        sel = df.select(F.input_file_name().alias("__f"), *present)
+        parts = None
+        for c in present:
+            pos = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(s)), F.lit(_BLOOM_M))
+                    for s in range(_BLOOM_K)
+                ]
+            )
+            piece = sel.filter(F.col(c).isNotNull()).select(
+                "__f", F.lit(c).alias("__c"), F.explode(pos).alias("__p")
+            )
+            parts = piece if parts is None else parts.unionByName(piece)
+        if parts is None:
+            return out
+        import urllib.parse
+
+        agg = parts.distinct().groupBy("__f", "__c").agg(
+            F.collect_set("__p").alias("__ps")
+        )
+        for r in agg.collect():
+            path = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+            rel, _size = todo[os.path.realpath(path)]
+            bits = bytearray(_BLOOM_M // 8)
+            for p in r["__ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            out[rel][r["__c"]] = bits.hex()
+        return out
+
+    def _bloom_probe_positions(self, col: str, value) -> list[int]:
+        """The probe value's bit positions, evaluated by the ENGINE
+        (one 1-row job) with the literal cast to the column's type —
+        xxhash64 is physical-type-sensitive, so driver-side
+        reimplementation would be a parity bug waiting to happen."""
+        dtype = dict(self.read().dtypes).get(col)
+        probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(probe, F.lit(s)), F.lit(_BLOOM_M)).alias(f"p{s}")
+                for s in range(_BLOOM_K)
+            ]
+        ).first()
+        return [row[f"p{s}"] for s in range(_BLOOM_K)]
+
+    def bloom_pruned_files(self, col: str, value) -> list[str]:
+        """Equality data skipping: files that might contain
+        ``col == value``, pruned by BOTH footer min/max (range check)
+        and the bloom bitset (membership check). Files without either
+        index for the column are conservatively kept. On a
+        high-cardinality unclustered column — where every file's
+        [min, max] spans the probe — the bloom is the only index that
+        prunes, which is exactly why Delta/Parquet offer one."""
+        if value is None:
+            raise ValueError("bloom lookup is defined for non-null values only")
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        stats = self.file_stats() or {}
+        blooms = self._read_blooms()
+        pos = self._bloom_probe_positions(col, value)
+        v = self._stat_value(value)
+        keep = []
+        for f in self.data_files():
+            rel = os.path.relpath(f, cur.path)
+            s = stats.get(rel, {}).get(col)
+            if s is not None and v is not None and not (s["min"] <= v <= s["max"]):
+                continue
+            b = blooms.get(rel, {}).get(col)
+            if b is not None:
+                bits = bytes.fromhex(b)
+                if not all((bits[p // 8] >> (p % 8)) & 1 for p in pos):
+                    continue
+            keep.append(f)
+        return keep
+
+    def read_lookup_eq(self, col: str, value) -> DataFrame:
+        """Point lookup through the bloom + stats index: scan only
+        candidate files, then apply the exact equality predicate
+        (bloom false positives die here). Equivalent to
+        ``read().filter(col == value)`` — cheaper by the skipped
+        files."""
+        files = self.bloom_pruned_files(col, value)
+        cur = self.current_version()
+        if not files:
+            return self.read().filter(F.lit(False))
+        part = self._part_name
+        reader = self.spark.read
+        if part:
+            reader = reader.option("basePath", cur.path)
+        df = reader.parquet(*files)
+        if part:
+            ptype = self._read_meta().get("partition_type")
+            if ptype:
+                df = df.withColumn(part, F.col(part).cast(ptype))
+            if self._hidden_part:
+                df = df.drop(part)
+        return df.filter(F.col(col) == F.lit(value))
+
     def pruned_files(self, col: str, lower=None, upper=None) -> list[str]:
         """Data skipping: the subset of the snapshot's data files whose
         footer [min, max] range for ``col`` intersects [lower, upper].
@@ -495,6 +648,13 @@ class ParquetCowTable:
         stats = self._collect_file_stats(staging)
         with open(os.path.join(staging, _FILE_STATS), "w", encoding="utf-8") as f:
             json.dump(stats, f)
+        if self.spec.bloom_filter_cols:
+            # Like the footer stats: computed OUTSIDE the lock, lands
+            # inside the staging dir, commits atomically with the data.
+            # Carried-forward files reuse the previous commit's bitsets,
+            # so the scan covers only this commit's new files.
+            with open(os.path.join(staging, _BLOOM_FILE), "w", encoding="utf-8") as f:
+                json.dump(self._collect_blooms(staging), f)
         lock = os.path.join(self.path, _COMMIT_LOCK)
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

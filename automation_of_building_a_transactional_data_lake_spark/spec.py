@@ -64,6 +64,13 @@ class TableSpec:
     # SQL boolean expressions every written/merged row must satisfy;
     # a violating batch is rejected BEFORE any data is staged.
     constraints: tuple[str, ...] = ()
+    # Optional per-file bloom-filter index columns (Delta/Parquet bloom
+    # filter equivalent): high-cardinality columns probed by equality
+    # where min/max footer stats can't prune (values spread across
+    # every file's range). Each commit stores a compact per-file bitset
+    # per listed column; `read_lookup_eq` opens only files whose bloom
+    # might contain the probe value. CoW format only.
+    bloom_filter_cols: tuple[str, ...] = ()
     # Optional Iceberg-style HIDDEN partitioning: a transform of a data
     # column ("days(ts)", "months(ts)", "years(ts)", "hours(ts)",
     # "bucket(16, id)", "truncate(4, code)") the layout partitions on

@@ -1024,3 +1024,77 @@ def test_compact_zorder_marker_idempotent_until_data_changes(spark, tmp_path):
     tbl.merge_upsert(spark.createDataFrame([(1, 99, "x")], "id long, val long, cat string"))
     assert tbl.compact(zorder=["id", "val"]) == "full"  # head moved past marker
     assert tbl.compact(zorder=["id", "val"]) == "noop"
+
+
+SPEC_BLOOM = TableSpec(
+    "t_bloom", "id", None, None, "testdb", bloom_filter_cols=("val",)
+)
+
+
+def test_bloom_index_prunes_equality_probes(spark, tmp_path):
+    """On a high-cardinality column NOT clustered by value, footer
+    min/max spans every file and prunes nothing — the bloom index is
+    what turns an equality probe into an O(1-file) read. Present
+    values must never be excluded (no false negatives); absent values
+    prune to (almost) nothing; results equal the full-scan filter."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_BLOOM)
+    # Range-clustered on id: val = f"user_{id}" is unique and spread
+    # so every file's [min, max] on val covers nearly everything.
+    df = spark.range(1000).selectExpr(
+        "id", "concat('user_', id) AS val", "'x' AS cat"
+    ).repartitionByRange(4, "id")
+    tbl.create(df)
+    all_files = tbl.data_files()
+    assert len(all_files) == 4
+
+    cand = tbl.bloom_pruned_files("val", "user_500")
+    assert len(cand) < len(all_files)  # really pruned
+    got = [(r.id, r.val) for r in tbl.read_lookup_eq("val", "user_500").collect()]
+    assert got == [(500, "user_500")]
+
+    # Absent value: near-total prune, exact-empty result.
+    assert len(tbl.bloom_pruned_files("val", "user_nope")) <= 1
+    assert tbl.read_lookup_eq("val", "user_nope").count() == 0
+
+    # No false negatives anywhere: every present value must surface.
+    for probe in (0, 1, 499, 999):
+        assert tbl.read_lookup_eq("val", f"user_{probe}").count() == 1
+
+
+def test_bloom_index_carries_forward_through_merge(spark, tmp_path):
+    """Merges must not re-scan unchanged data for blooms: hard-linked
+    carry-forward files reuse the previous commit's bitsets
+    byte-for-byte, and lookups stay exact across the merge."""
+    spec = TableSpec(
+        "t_bloom_part", "id", "cat", None, "testdb", bloom_filter_cols=("val",)
+    )
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    rows = [(i, f"user_{i}", "x" if i % 2 else "y") for i in range(400)]
+    tbl.create(spark.createDataFrame(rows, "id long, val string, cat string"))
+    before = tbl._read_blooms()
+
+    # Merge touches only cat=x (odd ids): cat=y files carry forward.
+    tbl.merge_upsert(
+        spark.createDataFrame([(1, "user_1b", "x")], "id long, val string, cat string")
+    )
+    after = tbl._read_blooms()
+    y_rels = [rel for rel in after if rel.startswith("cat=y")]
+    assert y_rels and all(after[rel] == before[rel] for rel in y_rels)
+
+    # New value findable, old value gone, untouched value findable.
+    assert [r.id for r in tbl.read_lookup_eq("val", "user_1b").collect()] == [1]
+    assert tbl.read_lookup_eq("val", "user_1").count() == 0
+    assert [r.id for r in tbl.read_lookup_eq("val", "user_2").collect()] == [2]
+
+
+def test_bloom_lookup_guards_and_fallback(spark, tmp_path):
+    """Null probes are a clear error; columns without a bloom fall back
+    to stats-only pruning (conservative, still correct)."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_BLOOM)
+    df = spark.range(100).selectExpr("id", "concat('u', id) AS val", "'x' AS cat")
+    tbl.create(df.repartitionByRange(2, "id"))
+    with pytest.raises(ValueError, match="non-null"):
+        tbl.bloom_pruned_files("val", None)
+    # 'cat' has no bloom: stats still prune nothing ('x' everywhere),
+    # result correct.
+    assert tbl.read_lookup_eq("cat", "x").count() == 100
