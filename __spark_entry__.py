@@ -81,7 +81,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     that stay (emb_ivf_knn nprobe=k and emb_pq_knn corpus-rerank both
 #     compare against the same brute-force SQL), so its slot duplicated
 #     a gate; the brute-force plan itself stays bench-timed and
-#     pytest-gated.
+#     pytest-gated. Same move for the batch pair: emb_ivf_batch_knn
+#     (IVF-indexed batch kNN, exhaustive ≡ brute) takes the slot;
+#     emb_batch_knn (broadcast brute twin, green r3-r5, identical
+#     oracle) rotates OUT.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -94,6 +97,7 @@ _DEMOTED_TAIL = [
     "q15_top_supplier",
     "q22_idle_balance",
     "emb_knn_brute",
+    "emb_batch_knn",
 ]
 
 _DRIVER_SLOTS = 50

@@ -215,6 +215,81 @@ def ivf_topk(
     )
 
 
+def probe_clusters_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "q_vec",
+    out_col: str = "__probe",
+) -> DataFrame:
+    """Per-row ``nprobe`` nearest centroid ids as ``array<int>`` — the
+    batch generalization of ``ivf_topk``'s driver-side centroid
+    ranking, Arrow-batched for a query TABLE. Stable argsort keeps the
+    tie order identical to the driver path (lowest index first)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+    n = max(1, min(nprobe, len(centroids)))
+
+    @F.pandas_udf("array<int>")
+    def nearest_n(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vecs.to_numpy())
+        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + c_sq[None, :]
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return as_double_vec(df, vec_col).withColumn(out_col, nearest_n(F.col(vec_col)))
+
+
+def ivf_batch_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Per-query top-k cosine neighbors for a whole QUERY TABLE through
+    the IVF index — the scale path for dedup-against-seed-set and
+    retrieval-eval jobs where ``emb_batch_knn``'s broadcast brute force
+    would score |corpus| x |queries| pairs.
+
+    Plan: each query row derives its ``nprobe`` nearest lists (one
+    Arrow-batched argsort — no per-query driver work), explodes to
+    (query, cluster_id), and equi-joins the index on ``cluster_id`` —
+    so a corpus row is scored only against the queries that probe its
+    list, a ``nprobe/k`` fraction of the pair space. Per-query top-k is
+    one ranking window on the query id. ``nprobe == len(centroids)``
+    is exhaustive and must equal the brute-force window plan (the
+    correctness gate); real deployments pick nprobe << k and carry the
+    recall-vs-cost tradeoff (gated by a recall floor in pytest).
+    Returns (q_id, nn_id, cos_sim, rn<=k)."""
+    from pyspark.sql.window import Window
+
+    probed = probe_clusters_vectorized(queries, centroids, nprobe, q_vec_col).select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(F.col("__probe")).alias("cluster_id"),
+    )
+    cand = indexed.join(probed, "cluster_id")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("__sim").desc(), F.col(id_col))
+    return (
+        cand.withColumn("__sim", cosine_similarity_col(F.col(vec_col), F.col(q_vec_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            q_id_col,
+            F.col(id_col).alias("nn_id"),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 def recall_at_k(found: list, exact: list) -> float:
     """Fraction of the exact top-k ids present in the approximate
     result — the standard ANN quality metric."""

@@ -295,13 +295,43 @@ WITH q AS (
   FROM embeddings e, q
   WHERE e.vec_id >= 8
 )
-SELECT q_id, nn_id, round(sim, 6) AS cos_sim, rn
+SELECT q_id, nn_id, round(sim, 6) AS cos_sim, CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT q_id, nn_id, sim,
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
   FROM scored
 ) WHERE rn <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_batch_knn — the IVF-indexed twin of emb_batch_knn: every
+# query row derives its probe lists (Arrow argsort), explodes, and
+# equi-joins the index on cluster_id — corpus rows are scored only
+# against queries probing their list, never broadcast-crossed. Gated
+# exactly like emb_ivf_knn: with nprobe == n_centroids the probe set
+# is exhaustive, so the result MUST equal the brute-force window plan
+# (same oracle as emb_batch_knn); the nprobe << k scale path carries a
+# recall floor in pytest.
+# --------------------------------------------------------------------------
+
+
+def emb_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import build_ivf, ivf_batch_topk
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = emb.filter(F.col("vec_id") >= 8)
+    indexed, centroids = build_ivf(cand, k=8, iters=2)
+    return ivf_batch_topk(indexed, centroids, queries, k=3, nprobe=len(centroids))
+
+
+EMB_IVF_BATCH_KNN_ORACLE = EMB_BATCH_KNN_ORACLE  # exhaustive probing == brute
 
 
 # --------------------------------------------------------------------------
@@ -1489,6 +1519,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
+    QueryDef("emb_ivf_batch_knn", emb_ivf_batch_knn, EMB_IVF_BATCH_KNN_ORACLE),
     QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
     QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),

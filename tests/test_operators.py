@@ -558,3 +558,50 @@ def test_repetition_stats_edges(spark):
     # "a b a b c": 5 tokens 3 distinct -> 0.4; top "a" (or "b") 2/5;
     # grams [a b, b a, a b, b c]: 4 total 3 distinct -> 0.25.
     assert got[3] == (5, 0.4, 0.4, 0.25)
+
+
+def test_ivf_batch_topk_exhaustive_equals_brute_and_partial_prunes(spark):
+    """Batch kNN through the IVF index: exhaustive probing must equal
+    the broadcast brute-force window plan row-for-row for EVERY query;
+    partial probing keeps positive per-query recall while each query
+    scores only its probed lists."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_ivf import (
+        build_ivf, ivf_batch_topk, recall_at_k)
+    from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+        cosine_similarity_col)
+    from pyspark.sql.window import Window
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cand = emb.filter(F.col("vec_id") >= 8)
+    indexed, centroids = build_ivf(cand, k=8, iters=2)
+    indexed = indexed.cache()
+
+    w = Window.partitionBy("q_id").orderBy(F.col("_s").desc(), F.col("vec_id"))
+    brute = sorted(
+        (r.q_id, r.vec_id, round(r._s, 6), r.rn)
+        for r in cand.crossJoin(F.broadcast(queries))
+        .withColumn("_s", cosine_similarity_col(F.col("embedding"), F.col("q_vec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    full = sorted(
+        (r.q_id, r.nn_id, r.cos_sim, r.rn)
+        for r in ivf_batch_topk(indexed, centroids, queries, k=3, nprobe=8).collect()
+    )
+    assert full == brute
+
+    exact_by_q = {}
+    for q_id, nn_id, _s, _rn in brute:
+        exact_by_q.setdefault(q_id, []).append(nn_id)
+    part = {}
+    for r in ivf_batch_topk(indexed, centroids, queries, k=3, nprobe=3).collect():
+        part.setdefault(r.q_id, []).append(r.nn_id)
+    recalls = [recall_at_k(part.get(q, []), exact) for q, exact in exact_by_q.items()]
+    assert sum(recalls) / len(recalls) > 0.3  # partial probe still finds most
+    indexed.unpersist()
