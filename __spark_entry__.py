@@ -84,7 +84,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     pytest-gated. Same move for the batch pair: emb_ivf_batch_knn
 #     (IVF-indexed batch kNN, exhaustive ≡ brute) takes the slot;
 #     emb_batch_knn (broadcast brute twin, green r3-r5, identical
-#     oracle) rotates OUT.
+#     oracle) rotates OUT. customer_pii_masked (governance masking,
+#     new operator family) takes a slot; docs_exact_dedup (green
+#     r3-r5, groupBy-min shape = the curation pipeline's first stage,
+#     which stays recorded) rotates OUT.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -98,6 +101,7 @@ _DEMOTED_TAIL = [
     "q22_idle_balance",
     "emb_knn_brute",
     "emb_batch_knn",
+    "docs_exact_dedup",
 ]
 
 _DRIVER_SLOTS = 50

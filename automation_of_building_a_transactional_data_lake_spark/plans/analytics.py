@@ -335,6 +335,47 @@ EMB_IVF_BATCH_KNN_ORACLE = EMB_BATCH_KNN_ORACLE  # exhaustive probing == brute
 
 
 # --------------------------------------------------------------------------
+# customer_pii_masked — the governance surface: deterministic salted
+# pseudonyms (joinable tokens, value never exposed), format-preserving
+# digit masking (routing prefix readable), digit redaction in
+# free-text. Masking must be REPRODUCIBLE across engines — a governed
+# share and its audit must agree — so the oracle states the identical
+# substring/regexp/md5 transformation and the hash gate proves
+# byte-parity. Pure codegen'd projections: no shuffle, no UDF.
+# --------------------------------------------------------------------------
+
+
+def customer_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.masking import mask_digits, pseudonymize
+
+    _utc(spark)
+    cust = load(spark, sf_dir, "customer")
+    # Three policy styles on the columns testdata actually has:
+    # a joinable pseudonym, a format-preserving mask ("Customer#" stays
+    # readable), and numeric generalization (k-anonymity banding).
+    return cust.select(
+        "c_custkey",
+        pseudonymize(F.col("c_name"), salt="s4lt").alias("name_pseudonym"),
+        mask_digits(F.col("c_name"), keep_prefix=9).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("double")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+CUSTOMER_PII_ORACLE = """
+SELECT c_custkey,
+       md5('s4lt' || c_name) AS name_pseudonym,
+       substr(c_name, 1, 9)
+         || regexp_replace(substr(c_name, 10), '[0-9]', '*', 'g') AS name_masked,
+       CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
 # q10_returned_items — TPC-H Q10 shape: selective fact filter
 # (returnflag) + date window + 3-way join + multi-column group + top-N
 # by revenue. Exercises grouping on many mixed-type keys.
@@ -1520,6 +1561,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
     QueryDef("emb_ivf_batch_knn", emb_ivf_batch_knn, EMB_IVF_BATCH_KNN_ORACLE),
+    QueryDef("customer_pii_masked", customer_pii_masked, CUSTOMER_PII_ORACLE),
     QueryDef("events_asof_purchase", events_asof_purchase, EVENTS_ASOF_ORACLE),
     QueryDef("events_click_purchase_attrib", events_click_purchase_attrib, EVENTS_ATTRIB_ORACLE),
     QueryDef("events_props_json", events_props_json, EVENTS_PROPS_JSON_ORACLE),

@@ -605,3 +605,32 @@ def test_ivf_batch_topk_exhaustive_equals_brute_and_partial_prunes(spark):
     recalls = [recall_at_k(part.get(q, []), exact) for q, exact in exact_by_q.items()]
     assert sum(recalls) / len(recalls) > 0.3  # partial probe still finds most
     indexed.unpersist()
+
+
+def test_masking_helpers_edges(spark):
+    """Masking edges: nulls stay null (pseudonym and digit mask), short
+    strings survive the prefix split, pseudonyms are deterministic and
+    salt-sensitive, digit masking keeps separators."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.masking import (
+        mask_digits,
+        pseudonymize,
+        redact_pattern,
+    )
+
+    df = spark.createDataFrame(
+        [("25-989-741-2988",), ("1",), ("",), (None,)], "s string"
+    )
+    got = [r.m for r in df.select(mask_digits(F.col("s"), 3).alias("m")).collect()]
+    assert got == ["25-***-***-****", "1", "", None]
+
+    p = spark.createDataFrame([("alice",), ("alice",), (None,)], "s string")
+    tok = [r.t for r in p.select(pseudonymize(F.col("s"), "k1").alias("t")).collect()]
+    assert tok[0] == tok[1] and tok[2] is None
+    tok2 = [r.t for r in p.select(pseudonymize(F.col("s"), "k2").alias("t")).collect()]
+    assert tok2[0] != tok[0]  # salt rotation unlinks releases
+
+    e = spark.createDataFrame([("mail bob@x.io now",)], "s string")
+    red = e.select(
+        redact_pattern(F.col("s"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("r")
+    ).first().r
+    assert red == "mail [REDACTED] now"
