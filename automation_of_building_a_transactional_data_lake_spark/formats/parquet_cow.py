@@ -317,7 +317,11 @@ class ParquetCowTable:
                     continue
                 fpath = os.path.join(root, fname)
                 md = pq.ParquetFile(fpath).metadata
-                cols: dict[str, dict] = {}
+                # File-level row count beside the per-column entries
+                # ("_"-prefixed: parquet column names can't collide —
+                # readers hide leading-underscore fields). Powers the
+                # metadata-only COUNT(*) fast path (`row_count`).
+                cols: dict[str, dict] = {"_rows": md.num_rows}
                 for rg in range(md.num_row_groups):
                     row = md.row_group(rg)
                     for ci in range(row.num_columns):
@@ -498,6 +502,20 @@ class ParquetCowTable:
             if self._hidden_part:
                 df = df.drop(part)
         return df.filter(F.col(col) == F.lit(value))
+
+    def row_count(self, version: int | None = None) -> int:
+        """COUNT(*) from committed footer stats — O(files) metadata,
+        no data scan (the Delta-log/Iceberg-manifest fast path; at
+        100 TB a bare count must never cost a table read). Falls back
+        to an exact scan count for pre-stats snapshots."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        stats = self.file_stats(version)
+        if stats is not None and all("_rows" in s for s in stats.values()):
+            return sum(s["_rows"] for s in stats.values())
+        df = self.read(version=version) if version is not None else self.read()
+        return df.count()
 
     def pruned_files(self, col: str, lower=None, upper=None) -> list[str]:
         """Data skipping: the subset of the snapshot's data files whose

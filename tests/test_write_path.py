@@ -1098,3 +1098,24 @@ def test_bloom_lookup_guards_and_fallback(spark, tmp_path):
     # 'cat' has no bloom: stats still prune nothing ('x' everywhere),
     # result correct.
     assert tbl.read_lookup_eq("cat", "x").count() == 100
+
+
+def test_row_count_metadata_only_tracks_every_write(spark, tmp_path):
+    """COUNT(*) from footer stats must equal the scan count through the
+    whole lifecycle (create, merge upsert/delete, selective compact,
+    time travel) — the metadata fast path is only a fast path if it is
+    never wrong."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    rows = [(i, f"v{i}", "x" if i % 2 else "y") for i in range(300)]
+    tbl.create(spark.createDataFrame(rows, "id long, val string, cat string"))
+    assert tbl.row_count() == tbl.read().count() == 300
+    tbl.merge_upsert(
+        spark.createDataFrame([(1, "V", "x"), (300, "new", "y")],
+                              "id long, val string, cat string")
+    )
+    assert tbl.row_count() == tbl.read().count() == 301
+    tbl.merge_delete(spark.createDataFrame([(2,), (4,)], "id long"))
+    assert tbl.row_count() == tbl.read().count() == 299
+    tbl.compact()
+    assert tbl.row_count() == tbl.read().count() == 299
+    assert tbl.row_count(version=1) == 300  # time travel counts too
