@@ -88,6 +88,8 @@ class Catalog:
             return []
         out = []
         for entry in sorted(os.listdir(db_dir)):
+            if entry.startswith("."):
+                continue  # hidden build dirs (e.g. in-flight clones)
             if os.path.isfile(os.path.join(db_dir, entry, "_LATEST")):
                 out.append(entry)
         return out
@@ -124,6 +126,107 @@ class Catalog:
         if version is not None:
             return tbl.read(version=version)
         return tbl.read()
+
+    def clone_table(
+        self,
+        src_spec: TableSpec,
+        dst_spec: TableSpec,
+        version: int | None = None,
+        tag: str | None = None,
+        deep: bool = False,
+    ) -> int:
+        """Delta-style CLONE: a new managed table whose first version
+        references one snapshot of the source — shallow (default) via
+        hard links (metadata-only, zero data movement: the dev/test
+        sandbox pattern), or ``deep=True`` via byte copies (also the
+        cross-filesystem path; shallow falls back to copy per file when
+        linking fails). The clone is an INDEPENDENT table: fresh
+        lineage starting at v1, its own refs and ledger, no source
+        transaction markers — vacuuming either table never breaks the
+        other because hard links keep shared bytes alive until the last
+        referent drops them. Returns the clone's version (always 1).
+
+        The destination spec must declare the same physical layout
+        (partition key/transform) — a clone re-labels bytes, it never
+        re-partitions them."""
+        import shutil
+
+        src = self.table(src_spec)
+        if not isinstance(src, ParquetCowTable):
+            raise ValueError(
+                f"{src_spec.qualified_name}: clone is only supported for "
+                "copy-on-write tables; this table is merge-on-read"
+            )
+        if (
+            dst_spec.partition_key != src_spec.partition_key
+            or dst_spec.partition_transform != src_spec.partition_transform
+        ):
+            raise ValueError(
+                "clone cannot change the physical layout: destination spec "
+                "must declare the same partition_key/partition_transform"
+            )
+        if tag is not None and version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        if tag is not None:
+            known = src.tags()
+            if tag not in known:
+                raise KeyError(f"tag {tag!r} does not exist on {src_spec.qualified_name}")
+            version = known[tag]
+        cur = src.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {src_spec.qualified_name} does not exist")
+        vpath = cur.path
+        if version is not None:
+            vpath = os.path.join(src.path, f"v{version:08d}")
+            if not os.path.isdir(vpath):
+                raise FileNotFoundError(
+                    f"version {version} of {src_spec.qualified_name} is not retained"
+                )
+
+        dst = self.table(dst_spec)
+        if dst.exists():
+            raise FileExistsError(dst_spec.qualified_name)
+        # Build the whole clone under a hidden temp dir, then one rename
+        # publishes it — a crashed clone leaves only invisible debris.
+        import json as _json
+        import uuid as _uuid
+
+        tmp = os.path.join(
+            os.path.dirname(dst.path),
+            f".{dst_spec.table_name}.clonetmp-{_uuid.uuid4().hex}",
+        )
+        v1 = os.path.join(tmp, "v00000001")
+        try:
+            os.makedirs(v1)
+            meta = dict(src._read_meta())
+            meta["table"] = dst_spec.table_name
+            meta["database"] = dst_spec.database
+            with open(os.path.join(tmp, "_format.json"), "w", encoding="utf-8") as f:
+                _json.dump(meta, f, indent=2)
+            for root, _dirs, files in os.walk(vpath):
+                rel = os.path.relpath(root, vpath)
+                out_dir = v1 if rel == "." else os.path.join(v1, rel)
+                os.makedirs(out_dir, exist_ok=True)
+                for fname in files:
+                    if fname == "_snapshot.json":
+                        continue  # source txn/IVM markers are lineage state
+                    s = os.path.join(root, fname)
+                    d = os.path.join(out_dir, fname)
+                    if deep:
+                        shutil.copy2(s, d)
+                    else:
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)  # cross-device shallow
+            with open(os.path.join(tmp, "_LATEST"), "w", encoding="ascii") as f:
+                f.write("1")
+            os.makedirs(os.path.dirname(dst.path), exist_ok=True)
+            os.rename(tmp, dst.path)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        return 1
 
     def drop_table(self, spec: TableSpec, if_exists: bool = True) -> bool:
         """DROP TABLE: remove the table directory (data, versions,

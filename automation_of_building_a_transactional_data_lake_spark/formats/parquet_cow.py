@@ -1550,6 +1550,102 @@ class ParquetCowTable:
         self._promote(staging, expected_version=cur.version)
         return "full"
 
+    def fsck(self, staging_retention_s: float = 3600.0, deep: bool = False) -> list[dict]:
+        """Integrity audit of the table's on-disk state — the
+        operational check a format with hard links, refs, and crash
+        debris owes its operators. Returns findings
+        ``[{"severity": "error"|"warn", "kind": ..., "detail": ...}]``;
+        an empty list means healthy. Never mutates anything (vacuum is
+        the repair tool for debris findings).
+
+        Checks: the committed pointer resolves to an existing version
+        directory; every retained version's stats index covers exactly
+        its data files; bloom coverage when the spec declares bloom
+        columns; every tag and branch ref resolves to a retained
+        version; stale staging directories and commit locks older than
+        the retention window. ``deep=True`` additionally opens every
+        data file's parquet footer (metadata-only read) to catch
+        truncated/corrupt files."""
+        findings: list[dict] = []
+
+        def err(kind: str, detail: str) -> None:
+            findings.append({"severity": "error", "kind": kind, "detail": detail})
+
+        def warn(kind: str, detail: str) -> None:
+            findings.append({"severity": "warn", "kind": kind, "detail": detail})
+
+        if not self.exists():
+            err("missing_pointer", "table has no committed _LATEST pointer")
+            return findings
+        cur = self.current_version()
+        if not os.path.isdir(cur.path):
+            err("dangling_pointer", f"head points at missing {os.path.basename(cur.path)}")
+
+        retained: set[int] = set()
+        for entry in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, entry)
+            if entry.startswith(_VERSION_PREFIX) and entry[len(_VERSION_PREFIX):].isdigit():
+                retained.add(int(entry[len(_VERSION_PREFIX):]))
+                files = {
+                    os.path.relpath(os.path.join(root, f), full)
+                    for root, _d, fs in os.walk(full)
+                    for f in fs
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                }
+                spath = os.path.join(full, _FILE_STATS)
+                if os.path.isfile(spath):
+                    with open(spath, encoding="utf-8") as fh:
+                        covered = set(json.load(fh))
+                    if files - covered:
+                        err("stats_gap", f"{entry}: {len(files - covered)} data "
+                            "files missing from the stats index")
+                    if covered - files:
+                        err("stats_orphan", f"{entry}: stats index lists "
+                            f"{len(covered - files)} nonexistent files")
+                else:
+                    warn("no_stats", f"{entry}: no stats index (pre-stats snapshot)")
+                if self.spec.bloom_filter_cols:
+                    bcovered = set(self._read_blooms(full))
+                    if files - bcovered:
+                        err("bloom_gap", f"{entry}: {len(files - bcovered)} data "
+                            "files missing from the bloom index")
+                if deep:
+                    import pyarrow.parquet as pq
+
+                    for rel in files:
+                        try:
+                            pq.ParquetFile(os.path.join(full, rel)).metadata
+                        except Exception as ex:  # noqa: BLE001 — report, don't raise
+                            err("unreadable_file", f"{entry}/{rel}: {ex}")
+                continue
+            if entry.startswith(".staging-"):
+                try:
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= staging_retention_s:
+                    warn("stale_staging", f"{entry} is {int(age)}s old (crash debris; "
+                         "vacuum removes it)")
+            if entry == _COMMIT_LOCK:
+                try:
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= staging_retention_s:
+                    warn("stale_lock", f"_commit.lock is {int(age)}s old (crashed "
+                         "writer; vacuum breaks it)")
+
+        refs = self._read_refs()
+        for name, v in refs["tags"].items():
+            if v not in retained:
+                err("dangling_tag", f"tag {name!r} -> v{v} not retained")
+        for name, b in refs["branches"].items():
+            for what in ("head", "base"):
+                if b[what] not in retained:
+                    err("dangling_branch", f"branch {name!r} {what} -> v{b[what]} "
+                        "not retained")
+        return findings
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots, oldest
         first, with file counts and whether each is the committed

@@ -1119,3 +1119,106 @@ def test_row_count_metadata_only_tracks_every_write(spark, tmp_path):
     tbl.compact()
     assert tbl.row_count() == tbl.read().count() == 299
     assert tbl.row_count(version=1) == 300  # time travel counts too
+
+
+def test_fsck_healthy_then_finds_planted_damage(spark, tmp_path):
+    """fsck returns [] on a healthy table and pinpoints planted damage:
+    a dangling tag after manual version removal, a stats index gap, and
+    stale crash debris — without mutating anything."""
+    import json as _json
+    import shutil as _shutil
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(2, "b", "y")]))
+    tbl.create_tag("pin", version=1)
+    assert tbl.fsck(deep=True) == []
+
+    # Damage 1: remove the tagged version behind the format's back.
+    _shutil.rmtree(os.path.join(tbl.path, "v00000001"))
+    kinds = {f["kind"] for f in tbl.fsck()}
+    assert "dangling_tag" in kinds
+
+    # Damage 2: drop a stats entry -> gap between index and files.
+    spath = os.path.join(tbl.current_version().path, "_file_stats.json")
+    stats = _json.load(open(spath))
+    stats.pop(next(iter(stats)))
+    _json.dump(stats, open(spath, "w"))
+    kinds = {f["kind"] for f in tbl.fsck()}
+    assert "stats_gap" in kinds
+
+    # Damage 3: stale staging + stale lock -> warns, not errors.
+    sdir = os.path.join(tbl.path, ".staging-deadbeef")
+    os.makedirs(sdir)
+    lock = os.path.join(tbl.path, "_commit.lock")
+    open(lock, "w").close()
+    old = time.time() - 7200
+    os.utime(sdir, (old, old))
+    os.utime(lock, (old, old))
+    found = tbl.fsck()
+    assert {f["kind"] for f in found} >= {"stale_staging", "stale_lock"}
+    assert all(f["severity"] == "warn" for f in found
+               if f["kind"] in ("stale_staging", "stale_lock"))
+    os.unlink(lock)
+
+
+def test_clone_table_shallow_shares_bytes_and_diverges(spark, tmp_path):
+    """Shallow clone: zero data movement (same inodes), then fully
+    independent lifecycles — mutating the clone never touches the
+    source, and vacuuming the source never breaks the clone (hard
+    links keep shared bytes alive)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    src_spec = TableSpec("t_src", "id", "cat", None, "testdb")
+    dst_spec = TableSpec("t_dev", "id", "cat", None, "testdb")
+    src = cat.table(src_spec)
+    src.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    src.merge_upsert(_mk(spark, [(3, "c", "x")]))
+
+    assert cat.clone_table(src_spec, dst_spec) == 1
+    dst = cat.table(dst_spec)
+    assert {r.id for r in dst.read().collect()} == {1, 2, 3}
+    assert dst.current_version().version == 1  # fresh lineage
+    src_inodes = {os.path.basename(p): os.stat(p).st_ino for p in src.data_files()}
+    dst_inodes = {os.path.basename(p): os.stat(p).st_ino for p in dst.data_files()}
+    assert src_inodes == dst_inodes  # shared bytes, no copy
+    assert dst.row_count() == 3  # stats index traveled with the clone
+
+    # Divergence: clone mutates; source untouched — and vice versa.
+    dst.merge_upsert(_mk(spark, [(9, "z", "y")]))
+    assert {r.id for r in src.read().collect()} == {1, 2, 3}
+    src.merge_delete(spark.createDataFrame([(1,)], "id long"))
+    assert {r.id for r in dst.read().collect()} == {1, 2, 3, 9}
+    # Source vacuum drops its old versions; the clone keeps reading.
+    src.vacuum(retain_last=1)
+    assert {r.id for r in dst.read().collect()} == {1, 2, 3, 9}
+    assert dst.fsck() == []
+    assert "t_dev" in cat.list_tables("testdb")
+
+
+def test_clone_table_versions_and_guards(spark, tmp_path):
+    """Clones pin a chosen snapshot (version= / tag=); layout changes
+    and existing destinations are rejected."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    src_spec = TableSpec("t_src2", "id", None, None, "testdb")
+    src = cat.table(src_spec)
+    src.create(_mk(spark, [(1, "a", "x")]))
+    src.create_tag("v1pin")
+    src.merge_upsert(_mk(spark, [(2, "b", "y")]))
+
+    cat.clone_table(src_spec, TableSpec("t_at_tag", "id", None, None, "testdb"), tag="v1pin")
+    assert {r.id for r in cat.read_table(
+        TableSpec("t_at_tag", "id", None, None, "testdb")).collect()} == {1}
+
+    deep_spec = TableSpec("t_deep", "id", None, None, "testdb")
+    cat.clone_table(src_spec, deep_spec, deep=True)
+    deep_inodes = {os.stat(p).st_ino for p in cat.table(deep_spec).data_files()}
+    assert deep_inodes.isdisjoint({os.stat(p).st_ino for p in src.data_files()})
+
+    with pytest.raises(FileExistsError):
+        cat.clone_table(src_spec, deep_spec)
+    with pytest.raises(ValueError, match="layout"):
+        cat.clone_table(src_spec, TableSpec("t_bad", "id", "cat", None, "testdb"))
