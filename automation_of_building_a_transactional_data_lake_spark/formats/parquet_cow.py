@@ -1550,6 +1550,52 @@ class ParquetCowTable:
         self._promote(staging, expected_version=cur.version)
         return "full"
 
+    def metadata_table(self, kind: str) -> DataFrame:
+        """Iceberg-style queryable metadata (``SELECT * FROM t.files``
+        equivalent): a small DataFrame over the committed metadata —
+        joinable, filterable, SQL-visible via ``createOrReplaceTempView``
+        — so operational questions (file sizes per partition, snapshot
+        growth, ref inventory) are answered by queries, not scripts.
+
+        Kinds: ``"files"`` (path, partition, bytes, rows per data file
+        of the head snapshot — rows from the stats index, no data
+        read), ``"history"`` (retained snapshots), ``"refs"`` (tags and
+        branches with their pinned versions)."""
+        if kind == "files":
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} does not exist"
+                )
+            stats = self.file_stats() or {}
+            part = self._part_name
+            rows = []
+            for f in self.data_files():
+                rel = os.path.relpath(f, cur.path)
+                seg = rel.split(os.sep, 1)[0] if part and os.sep in rel else None
+                pval = seg.split("=", 1)[1] if seg and "=" in seg else None
+                n = stats.get(rel, {}).get("_rows")
+                rows.append((rel, pval, os.path.getsize(f), n))
+            return self.spark.createDataFrame(
+                rows, "path string, partition string, bytes long, rows long"
+            )
+        if kind == "history":
+            return self.spark.createDataFrame(
+                [(h["version"], h["n_files"], h["is_current"]) for h in self.history()],
+                "version long, n_files long, is_current boolean",
+            )
+        if kind == "refs":
+            refs = self._read_refs()
+            rows = [("tag", name, v, None) for name, v in sorted(refs["tags"].items())]
+            rows += [
+                ("branch", name, b["head"], b["base"])
+                for name, b in sorted(refs["branches"].items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "kind string, name string, version long, base long"
+            )
+        raise ValueError(f"unknown metadata table {kind!r}; choose files|history|refs")
+
     def fsck(self, staging_retention_s: float = 3600.0, deep: bool = False) -> list[dict]:
         """Integrity audit of the table's on-disk state — the
         operational check a format with hard links, refs, and crash

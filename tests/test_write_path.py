@@ -1222,3 +1222,30 @@ def test_clone_table_versions_and_guards(spark, tmp_path):
         cat.clone_table(src_spec, deep_spec)
     with pytest.raises(ValueError, match="layout"):
         cat.clone_table(src_spec, TableSpec("t_bad", "id", "cat", None, "testdb"))
+
+
+def test_metadata_tables_files_history_refs(spark, tmp_path):
+    """Queryable metadata: files carries per-file partition/bytes/rows
+    (rows from the stats index, no data read), history mirrors
+    history(), refs lists tags and branches — all plain DataFrames a
+    user can register and join."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")]))
+    tbl.merge_upsert(_mk(spark, [(4, "d", "x")]))
+    tbl.create_tag("pin", version=1)
+    tbl.create_branch("dev")
+
+    files = tbl.metadata_table("files")
+    got = [(r.partition, r.rows) for r in files.orderBy("path").collect()]
+    assert sum(r for _p, r in got) == 4  # stats-index rows cover all data
+    assert {p for p, _r in got} == {"x", "y"}
+    assert all(r.bytes > 0 for r in files.collect())
+
+    hist = {(r.version, r.is_current) for r in tbl.metadata_table("history").collect()}
+    assert (2, True) in hist and (1, False) in hist
+
+    refs = {(r.kind, r.name, r.version) for r in tbl.metadata_table("refs").collect()}
+    assert ("tag", "pin", 1) in refs and ("branch", "dev", 2) in refs
+
+    with pytest.raises(ValueError, match="files|history|refs"):
+        tbl.metadata_table("nope")
