@@ -123,12 +123,19 @@ window_fn_shape = st.fixed_dictionaries(
 
 
 def _window_sql(s: dict) -> str:
-    # row_number/lag need a TOTAL order to be deterministic: tiebreak on
-    # the unique (l_orderkey, l_linenumber). rank/dense_rank are
-    # tie-stable by definition. RANGE frames with an offset require
-    # exactly ONE ordering column (both engines) and are deterministic
-    # under ties because the frame is value-based.
-    tie = f"{s['order_col']}, l_orderkey, l_linenumber"
+    # row_number/lag need a TOTAL order to be deterministic. Real TPC-H
+    # has the unique key (l_orderkey, l_linenumber); the driver's
+    # synthetic lineitem does NOT (duplicate pairs exist — hypothesis
+    # eventually found one whose lag order differed between engines).
+    # Appending the aggregated column makes every REMAINING tie group
+    # indistinguishable in all projected expressions, so any engine's
+    # tie order yields the identical output multiset: equal agg values
+    # give equal prefix sums/mins/lag sources, and rn/cnt pair up
+    # positionally regardless of which duplicate goes first.
+    # rank/dense_rank are tie-stable by definition. RANGE frames with
+    # an offset require exactly ONE ordering column (both engines) and
+    # are deterministic under ties because the frame is value-based.
+    tie = f"{s['order_col']}, l_orderkey, l_linenumber, {s['agg_col']}"
     frames = {
         "cum": "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
         "preceding": f"ROWS BETWEEN {s['frame_n']} PRECEDING AND CURRENT ROW",
