@@ -246,3 +246,9 @@ class Catalog:
     def register_temp_view(self, spec: TableSpec, name: str | None = None) -> str:
         """W11: make the table SQL-visible in the session."""
         return self.table(spec).register_temp_view(name)
+
+    def fsck(self, spec: TableSpec, deep: bool = False) -> list[dict]:
+        """Integrity audit of a managed table (either format): findings
+        with severity+kind, empty = healthy. Never mutates — vacuum is
+        the repair tool for debris findings."""
+        return self.table(spec).fsck(deep=deep)

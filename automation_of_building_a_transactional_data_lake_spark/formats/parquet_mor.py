@@ -234,6 +234,51 @@ class ParquetMorTable:
             merged = merged.filter(F.col(_OP) != "D")
         return merged.drop(_OP, _SEQ)
 
+    def fsck(self, deep: bool = False) -> list[dict]:
+        """Integrity audit (CoW twin's contract, MoR shape): every
+        retained snapshot's base and delta directories must exist;
+        ``deep=True`` additionally opens every referenced parquet
+        footer. Returns findings [{"severity", "kind", "detail"}];
+        empty = healthy. Never mutates."""
+        findings: list[dict] = []
+
+        def err(kind: str, detail: str) -> None:
+            findings.append({"severity": "error", "kind": kind, "detail": detail})
+
+        if not self.exists():
+            err("missing_pointer", "table has no committed _LATEST pointer")
+            return findings
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        for fname in sorted(os.listdir(snap_dir)) if os.path.isdir(snap_dir) else []:
+            if not fname.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(snap_dir, fname), encoding="utf-8") as f:
+                    snap = json.load(f)
+            except (OSError, ValueError) as ex:
+                err("unreadable_snapshot", f"{fname}: {ex}")
+                continue
+            for d in [snap.get("base"), *snap.get("deltas", [])]:
+                full = os.path.join(self.path, d or "")
+                if not d or not os.path.isdir(full):
+                    err("dangling_dir", f"{fname} references missing {d!r}")
+                elif deep:
+                    import pyarrow.parquet as pq
+
+                    for root, _dirs, files in os.walk(full):
+                        for pf in files:
+                            if not pf.endswith(".parquet") or pf.startswith(("_", ".")):
+                                continue
+                            try:
+                                pq.ParquetFile(os.path.join(root, pf)).metadata
+                            except Exception as ex:  # noqa: BLE001
+                                err("unreadable_file", f"{d}/{pf}: {ex}")
+        try:
+            self.current_snapshot()
+        except (OSError, ValueError) as ex:
+            err("dangling_pointer", str(ex))
+        return findings
+
     def register_temp_view(self, name: str | None = None) -> str:
         view = name or f"{self.spec.database}__{self.spec.table_name}"
         self.read().createOrReplaceTempView(view)

@@ -20,4 +20,12 @@
 - ``skew``: salted join / salted distinct-count for hot keys.
 - ``multimodal``: binary media columns, Arrow-batched feature
   extraction (decoders stubbed).
+- ``ann_pq``: product-quantization ANN (m-byte codes, asymmetric
+  distance, exact re-rank).
+- ``ann_index``: CDC-maintained ANN index — a managed table refreshed
+  incrementally from the change feed under frozen quantizer state.
+- ``sampling``: deterministic content-hash sampling / train-test
+  splits (engine- and layout-stable).
+- ``masking``: governance masking — salted pseudonyms, digit masking,
+  pattern redaction (engine-reproducible).
 """

@@ -178,3 +178,20 @@ def test_catalog_tag_read_on_mor_raises_clear_error(spark, tmp_path):
     cat.table(SPEC).create(spark.createDataFrame([(1, "a")], "id long, val string"))
     with pytest.raises(ValueError, match="copy-on-write"):
         cat.read_table(SPEC, tag="some_tag")
+
+
+def test_mor_fsck_healthy_and_damaged(spark, tmp_path):
+    """MoR fsck: [] on a healthy table (deep included); a manually
+    removed delta directory surfaces as a dangling_dir error. The
+    catalog passthrough works for either format."""
+    import os
+    import shutil as _shutil
+
+    cat = Catalog(spark, str(tmp_path), table_format="mor")
+    cat.table(SPEC).create(_mk(spark, [(1, "a"), (2, "b")]))
+    cat.table(SPEC).merge_upsert(_mk(spark, [(3, "c")]))
+    assert cat.fsck(SPEC, deep=True) == []
+
+    _shutil.rmtree(os.path.join(cat.table(SPEC).path, "d00000002"))
+    kinds = {f["kind"] for f in cat.fsck(SPEC)}
+    assert "dangling_dir" in kinds
