@@ -87,7 +87,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     oracle) rotates OUT. customer_pii_masked (governance masking,
 #     new operator family) takes a slot; docs_exact_dedup (green
 #     r3-r5, groupBy-min shape = the curation pipeline's first stage,
-#     which stays recorded) rotates OUT.
+#     which stays recorded) rotates OUT. docs_vocab_topk (corpus
+#     vocabulary induction) takes a slot; docs_minhash_near_dup (green
+#     r3-r5; its banded-LSH machinery is composed inside the recorded
+#     docs_curation_pipeline and pinned by the minhash≡exact pytest
+#     gate) rotates OUT.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -102,6 +106,7 @@ _DEMOTED_TAIL = [
     "emb_knn_brute",
     "emb_batch_knn",
     "docs_exact_dedup",
+    "docs_minhash_near_dup",
 ]
 
 _DRIVER_SLOTS = 50

@@ -182,3 +182,31 @@ def with_repetition_stats(
         )
         .drop("__max_cnt")
     )
+
+
+def document_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level document-frequency table: for each distinct token,
+    the number (and fraction) of documents containing it — the input
+    to stop-word discovery, IDF weighting, and tokenizer-vocabulary
+    seeding over a training corpus.
+
+    Plan: distinct tokens PER DOCUMENT first (array_distinct before the
+    explode, so a token counts once per doc), then one map-side-combined
+    groupBy — at 100 TB this is a single count-shuffle on the token,
+    never a per-doc window. The total doc count rides along as a
+    literal-free cross-joined 1-row aggregate (broadcast by AQE).
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    per_doc = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    freq = per_doc.groupBy("__tok").agg(F.count("*").alias("doc_freq"))
+    total = df.select(F.count("*").alias("__n_docs"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__tok").alias("token"),
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("__n_docs"), 6).alias("doc_frac"),
+        )
+    )

@@ -475,6 +475,44 @@ FROM base b LEFT JOIN mode m USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# docs_vocab_topk — corpus-level vocabulary induction: top document
+# frequencies over per-doc DISTINCT tokens (stop-word discovery / IDF
+# weights / tokenizer vocab seeding). One map-side-combined count
+# shuffle on the token; the doc total broadcasts. Deterministic order
+# by (doc_freq desc, token).
+# --------------------------------------------------------------------------
+
+
+def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import document_frequencies
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        document_frequencies(docs)
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(100)
+    )
+
+
+DOCS_VOCAB_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+)
+SELECT tok AS token,
+       count(*) AS doc_freq,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS doc_frac
+FROM t
+GROUP BY tok
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # customer_churn_features — the reference's downstream churn feature
 # workload (§3.3, sample_redshift_ml_sql_query.txt:11-73): projections,
 # DATEDIFF (SF5), CASE churn label (SF6), group-by aggregates and an
@@ -1331,6 +1369,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("events_hourly_rollup", events_hourly_rollup, EVENTS_ROLLUP_ORACLE),
         QueryDef("docs_token_counts", docs_token_counts, DOCS_TOKEN_COUNTS_ORACLE),
         QueryDef("docs_repetition_stats", docs_repetition_stats, DOCS_REPETITION_ORACLE),
+        QueryDef("docs_vocab_topk", docs_vocab_topk, DOCS_VOCAB_ORACLE),
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
         QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),
