@@ -91,7 +91,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     vocabulary induction) takes a slot; docs_minhash_near_dup (green
 #     r3-r5; its banded-LSH machinery is composed inside the recorded
 #     docs_curation_pipeline and pinned by the minhash≡exact pytest
-#     gate) rotates OUT.
+#     gate) rotates OUT. events_influence_reach (recursive CTE — the
+#     iterative plan class, new in Spark 4 and previously absent from
+#     the suite) takes a slot; docs_lang_confusion (green r3-r5;
+#     lang-id is pinned by pytest markers and composed in the recorded
+#     curation pipeline) rotates OUT.
 _DEMOTED_TAIL = [
     "orders_urgent_by_status",
     "docs_split_counts",
@@ -107,6 +111,7 @@ _DEMOTED_TAIL = [
     "emb_batch_knn",
     "docs_exact_dedup",
     "docs_minhash_near_dup",
+    "docs_lang_confusion",
 ]
 
 _DRIVER_SLOTS = 50

@@ -376,6 +376,70 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
+# events_influence_reach — RECURSIVE CTE (Spark 4's iterative plan —
+# the one query class no single-pass DataFrame program expresses):
+# multi-hop reachability over a graph derived in-query. Edge u -> v
+# when u CLICKED item props.k on the same day v PURCHASED it; from 5
+# seed users, count distinct users reachable in <= 2 hops. The UNION
+# ALL recursion is bounded by the depth predicate (paths, not visited
+# sets — the final DISTINCT collapses them), exactly how both engines
+# evaluate it; DuckDB runs the literal same recursion independently,
+# so agreement pins Spark's recursive-CTE machinery end-to-end.
+# Scale: the edge set materializes once per iteration from an
+# equi-join on (k, day); each step is one join of the frontier against
+# edges — the standard iterative BSP shape; depth bound keeps the path
+# expansion polynomial.
+# --------------------------------------------------------------------------
+
+
+def events_influence_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("__ev_reach")
+    return spark.sql("""
+WITH RECURSIVE reach(seed, node, depth) AS (
+  SELECT user_id, user_id, 0
+  FROM (SELECT DISTINCT user_id FROM __ev_reach WHERE user_id < 5)
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r
+  JOIN (
+    SELECT DISTINCT c.user_id AS src, p.user_id AS dst
+    FROM (SELECT user_id, get_json_object(props, '$.k') AS k, CAST(ts AS DATE) AS d
+          FROM __ev_reach WHERE event_type = 'click') c
+    JOIN (SELECT user_id, get_json_object(props, '$.k') AS k, CAST(ts AS DATE) AS d
+          FROM __ev_reach WHERE event_type = 'purchase') p
+      ON c.k = p.k AND c.d = p.d AND c.user_id <> p.user_id
+  ) e ON e.src = r.node
+  WHERE r.depth < 2
+)
+SELECT seed, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable
+FROM reach GROUP BY seed ORDER BY seed
+""")
+
+
+EVENTS_REACH_ORACLE = """
+WITH RECURSIVE reach(seed, node, depth) AS (
+  SELECT user_id, user_id, 0
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5)
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r
+  JOIN (
+    SELECT DISTINCT c.user_id AS src, p.user_id AS dst
+    FROM (SELECT user_id, json_extract_string(props, '$.k') AS k, CAST(ts AS DATE) AS d
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, json_extract_string(props, '$.k') AS k, CAST(ts AS DATE) AS d
+          FROM events WHERE event_type = 'purchase') p
+      ON c.k = p.k AND c.d = p.d AND c.user_id <> p.user_id
+  ) e ON e.src = r.node
+  WHERE r.depth < 2
+)
+SELECT seed, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable
+FROM reach GROUP BY seed ORDER BY seed
+"""
+
+
+# --------------------------------------------------------------------------
 # q10_returned_items — TPC-H Q10 shape: selective fact filter
 # (returnflag) + date window + 3-way join + multi-column group + top-N
 # by revenue. Exercises grouping on many mixed-type keys.
@@ -1574,6 +1638,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef(
         "events_exclusive_errors", events_exclusive_errors, EVENTS_EXCLUSIVE_ERRORS_ORACLE
     ),
+    QueryDef("events_influence_reach", events_influence_reach, EVENTS_REACH_ORACLE),
     QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
 ]
 
