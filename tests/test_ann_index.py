@@ -189,3 +189,49 @@ def test_index_topk_matches_bruteforce_when_exhaustive(spark, tmp_path):
         for r in pq.topk(q, k=5, nprobe=4, rerank=200).collect()
     ]
     assert got_pq == brute
+
+
+def test_cdc_pipeline_to_index_refresh_end_to_end(spark, tmp_path):
+    """The full loop a production deployment runs: raw-zone initial
+    load -> build index -> CDC batch (envelope Op/timestamp) merges
+    upserts+deletes -> maintain_all refreshes the index incrementally
+    — final index state equals the frozen-quantizer re-encode of the
+    post-CDC table, and the refresh touched only the batch's keys."""
+    import numpy as np
+
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        cdc_load,
+        initial_load,
+    )
+
+    rng = np.random.RandomState(11)
+    spec = TableSpec("emb_cdc", "vec_id", None, None, "testdb")
+    raw = tmp_path / "raw"
+    init_dir = raw / "initial-load" / "testdb" / "emb_cdc"
+    cdc_dir = raw / "cdc-load" / "testdb" / "emb_cdc"
+    spark.createDataFrame(
+        [(i, _vec(rng)) for i in range(90)], "vec_id long, embedding array<double>"
+    ).write.parquet(str(init_dir))
+    # CDC envelope: 2 updates, 1 insert, 1 delete.
+    spark.createDataFrame(
+        [
+            ("U", "2024-01-02 00:00:00", 3, _vec(rng)),
+            ("U", "2024-01-02 00:00:00", 7, _vec(rng)),
+            ("I", "2024-01-02 00:00:00", 90, _vec(rng)),
+            ("D", "2024-01-02 00:00:00", 11, _vec(rng)),
+        ],
+        "Op string, timestamp string, vec_id long, embedding array<double>",
+    ).write.parquet(str(cdc_dir))
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    assert initial_load(spark, cat, spec, str(raw)).action == "created"
+    idx = ManagedAnnIndex(cat, spec, ivf_k=4)
+    idx.build()
+
+    r = cdc_load(spark, cat, spec, str(raw))
+    assert r.action == "merged" and r.telemetry["D"] == 1
+    reports = maintain_all(cat, [spec], ann_indexes=[idx])
+    ann = {x.table: x for x in reports}["emb_cdc_ann_idx"]
+    assert ann.telemetry["encoded"] == 3 and ann.telemetry["deleted"] == 1
+    assert _index_state(idx) == _frozen_full_reencode_state(idx)
+    assert idx._table().read().count() == 90  # 90 - 1 delete + 1 insert
