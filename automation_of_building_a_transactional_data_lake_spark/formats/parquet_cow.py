@@ -77,7 +77,7 @@ import shutil
 import tempfile
 import time
 import uuid
-from contextlib import contextmanager
+from contextlib import contextmanager, suppress
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -701,7 +701,14 @@ class ParquetCowTable:
             return n
         finally:
             os.close(fd)
-            os.unlink(lock)
+            # ENOENT tolerated: vacuum's stale-lock breaker has a brief
+            # window (rename-out -> link-back restore) where this path
+            # is unoccupied; a successful commit must not turn into an
+            # exception because a breaker captured-and-restored the lock
+            # mid-hold. Full closure needs fd-identity locking (flock),
+            # not path-based locks — documented tradeoff.
+            with suppress(FileNotFoundError):
+                os.unlink(lock)
 
     def _max_version_dir(self) -> int:
         """Highest materialized version directory number (0 if none) —
@@ -995,7 +1002,9 @@ class ParquetCowTable:
             yield
         finally:
             os.close(fd)
-            os.unlink(lock)
+            # ENOENT tolerated — see _promote's finally.
+            with suppress(FileNotFoundError):
+                os.unlink(lock)
 
     def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """S4: snapshot read. ``version`` gives time travel to any
@@ -1652,7 +1661,16 @@ class ParquetCowTable:
                     warn("no_stats", f"{entry}: no stats index (pre-stats snapshot)")
                 if self.spec.bloom_filter_cols:
                     bcovered = set(self._read_blooms(full))
-                    if files - bcovered:
+                    if not bcovered:
+                        # No _bloom.json at all: a healthy snapshot
+                        # committed before bloom_filter_cols entered the
+                        # spec — the same upgrade situation as no_stats,
+                        # so the same warn severity (reads fall back to
+                        # stats-only pruning; an 'error' is reserved for
+                        # a bloom file that EXISTS but misses files).
+                        warn("no_blooms", f"{entry}: no bloom index "
+                             "(pre-bloom snapshot)")
+                    elif files - bcovered:
                         err("bloom_gap", f"{entry}: {len(files - bcovered)} data "
                             "files missing from the bloom index")
                 if deep:
@@ -1843,7 +1861,9 @@ class ParquetCowTable:
             return removed
         finally:
             os.close(fd)
-            os.unlink(lock)
+            # ENOENT tolerated — see _promote's finally.
+            with suppress(FileNotFoundError):
+                os.unlink(lock)
 
 
 def temp_warehouse(prefix: str = "tdl_wh_") -> str:

@@ -37,18 +37,22 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
+from contextlib import contextmanager, suppress
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..formats.changes import CHANGE_TYPE_COL, snapshot_changes
+from ..formats.parquet_cow import ConcurrentWriteError
 from ..spec import TableSpec
 from .ann_ivf import assign_clusters_vectorized, train_centroids
 from .ann_pq import encode_pq, train_pq
 from .similarity import as_double_vec, cosine_similarity_col
 
 _META_FILE = "_ann_meta.json"
+_MAINT_LOCK = "_ann_maintenance.lock"
 
 
 class ManagedAnnIndex:
@@ -132,10 +136,56 @@ class ManagedAnnIndex:
 
     # -- lifecycle --------------------------------------------------------
 
+    @contextmanager
+    def _maintenance_lock(self, wait_s: float = 30.0, stale_s: float = 3600.0):
+        """Serialize build/refresh per index. The index table's merges
+        each commit under the table's own commit lock, but the
+        merge+meta SEQUENCE in refresh is not atomic — two concurrent
+        refreshes could interleave so ``indexed_version`` claims a head
+        whose change window was applied under the other writer's meta.
+        This is a SEPARATE lock file (reusing the table's commit lock
+        would deadlock: the merges inside refresh acquire it).
+        Locks older than ``stale_s`` are crash debris and broken, same
+        reasoning as the table vacuum's stale-lock recovery."""
+        os.makedirs(self._table().path, exist_ok=True)
+        lock = os.path.join(self._table().path, _MAINT_LOCK)
+        deadline = time.monotonic() + wait_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # released between open and stat; retry now
+                if age >= stale_s:
+                    with suppress(OSError):
+                        os.unlink(lock)
+                    continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"{self.index_spec.qualified_name}: another "
+                        "build/refresh is in flight; timed out waiting "
+                        "for the maintenance lock"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with suppress(FileNotFoundError):
+                os.unlink(lock)
+
     def build(self) -> dict:
         """Full (re)train + full encode — creation AND the explicit
         drift trigger. Everything downstream of this call (refreshes,
-        probes) reuses the quantizer trained here."""
+        probes) reuses the quantizer trained here. Serialized per index
+        via the maintenance lock."""
+        with self._maintenance_lock():
+            return self._build_locked()
+
+    def _build_locked(self) -> dict:
         src = self._source()
         head = src.current_version().version
         df = src.read()
@@ -174,9 +224,15 @@ class ManagedAnnIndex:
         ``pipeline.maintain_all`` schedules. Returns telemetry:
         ``encoded``/``deleted`` row counts, plus ``changed_fraction``
         (changed keys / index size) the caller can use as a drift
-        trigger for a full ``build()``."""
-        if not self.exists():
-            return self.build()
+        trigger for a full ``build()``. Serialized per index via the
+        maintenance lock, so concurrent refreshes can never interleave
+        the merge+meta sequence."""
+        with self._maintenance_lock():
+            if not self.exists():
+                return self._build_locked()
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> dict:
         meta = self._read_meta()
         src = self._source()
         head = src.current_version().version

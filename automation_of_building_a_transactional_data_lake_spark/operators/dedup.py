@@ -111,12 +111,41 @@ def _materialize(df: DataFrame, mode: str | None) -> DataFrame:
     if mode == "disk":
         from pyspark.storagelevel import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY)
+        out = df.persist(StorageLevel.DISK_ONLY)
+        # persist() pins executor blocks until unpersist or session end:
+        # repeated similarity joins in one long-lived session would
+        # accumulate DISK_ONLY blocks forever. Track every pinned frame
+        # so release_similarity_cache() can free them once the caller
+        # has materialized the pair results.
+        _PERSISTED.append(out)
+        return out
     if mode == "checkpoint":
         return df.checkpoint()
     raise ValueError(
         f"materialize must be local|disk|checkpoint|none or None, got {mode!r}"
     )
+
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_similarity_cache() -> int:
+    """Unpersist every DISK_ONLY frame the similarity joins pinned via
+    ``materialize="disk"`` (the cluster default). Call after the pair
+    results have been collected/written — the returned pair frames stay
+    valid (lineage is kept in disk mode; later actions recompute from
+    source). Returns the number of frames released. ``local`` /
+    ``checkpoint`` modes hold no session-lifetime executor cache and
+    need no release."""
+    n = 0
+    while _PERSISTED:
+        frame = _PERSISTED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session has nothing to free
+            pass
+    return n
 
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:

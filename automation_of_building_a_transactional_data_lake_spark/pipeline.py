@@ -202,6 +202,15 @@ def cdc_load_wap(
             "merge-on-read"
         )
 
+    # A leftover staging branch (crash between create and drop/publish,
+    # or a publish that lost a ConcurrentWriteError race) must not wedge
+    # every subsequent run with "branch already exists" — the batch it
+    # staged was never published and its ledger never committed, so the
+    # correct recovery IS to drop it and replay from a fresh fork.
+    try:
+        tbl.drop_branch(branch_name)
+    except KeyError:
+        pass
     tbl.create_branch(branch_name)
     try:
         batch = spark.read.parquet(*files)
@@ -212,6 +221,10 @@ def cdc_load_wap(
             return LoadReport(
                 spec.table_name, "audit_failed", telemetry=telemetry, files=files
             )
+        # Publish INSIDE the try: if main advanced past the fork point,
+        # publish_branch raises ConcurrentWriteError — the cleanup below
+        # drops the branch so the retry replays against the new head.
+        tbl.publish_branch(branch_name)
     except Exception:
         # Never leave a half-applied staging branch behind: the next
         # run re-creates it from a fresh fork and replays the batch.
@@ -220,7 +233,6 @@ def cdc_load_wap(
         except KeyError:
             pass
         raise
-    tbl.publish_branch(branch_name)
     # Bookmark commits only after the audited state is live on main.
     ledger.commit(files)
     return LoadReport(spec.table_name, "published", telemetry=telemetry, files=files)

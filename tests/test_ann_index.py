@@ -235,3 +235,41 @@ def test_cdc_pipeline_to_index_refresh_end_to_end(spark, tmp_path):
     assert ann.telemetry["encoded"] == 3 and ann.telemetry["deleted"] == 1
     assert _index_state(idx) == _frozen_full_reencode_state(idx)
     assert idx._table().read().count() == 90  # 90 - 1 delete + 1 insert
+
+
+def test_refresh_serialized_by_maintenance_lock(spark, tmp_path):
+    """build/refresh are serialized per index (r6 advisory: the
+    merge+meta sequence in refresh is not atomic, so two interleaved
+    refreshes could pin indexed_version to a head whose change window
+    ran under the other writer's meta). A held maintenance lock makes a
+    concurrent refresh raise a timeout conflict, not interleave; a
+    STALE lock (crashed maintainer) is broken and the refresh proceeds."""
+    import os
+    import time
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ConcurrentWriteError,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.operators.ann_index import (
+        _MAINT_LOCK,
+    )
+
+    cat, rng = _seed_source(spark, str(tmp_path))
+    idx = ManagedAnnIndex(cat, SPEC, ivf_k=4)
+    idx.build()
+    lock = os.path.join(idx._table().path, _MAINT_LOCK)
+
+    # Fresh lock held by a live maintainer: the second refresh conflicts.
+    with idx._maintenance_lock():
+        assert os.path.exists(lock)
+        with pytest.raises(ConcurrentWriteError, match="maintenance lock"):
+            with idx._maintenance_lock(wait_s=0.2):
+                pass
+    assert not os.path.exists(lock)
+
+    # Stale lock (crashed maintainer): broken, refresh proceeds.
+    open(lock, "w").close()
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    assert idx.refresh()["action"] == "noop"
+    assert not os.path.exists(lock)

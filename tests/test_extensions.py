@@ -651,6 +651,52 @@ def test_cdc_load_wap_through_catalog_and_pipeline_only(spark, tmp_path):
     assert cdc_load_wap(spark, cat, spec, DEMO, clock=clock).action == "skipped_empty"
 
 
+def test_cdc_load_wap_recovers_from_leftover_branch_and_publish_conflict(
+    spark, tmp_path
+):
+    """The WAP loop must self-heal (r6 advisory): (a) a staging branch
+    left behind by a crashed prior run is dropped and re-forked instead
+    of wedging every run with 'branch already exists'; (b) a publish
+    conflict (main advanced mid-WAP) cleans the branch up and leaves
+    the ledger uncommitted, so the NEXT run replays the batch against
+    the new head and succeeds."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ConcurrentWriteError,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        cdc_load_wap,
+    )
+
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    initial_load(spark, cat, spec, DEMO)
+    clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
+
+    # (a) Simulate a crash between create_branch and drop/publish.
+    cat.table(spec).create_branch("wap-cdc")
+    # (b) In the same run, simulate a concurrent writer advancing main
+    # while the batch is being audited: publish must conflict, clean up,
+    # and replay on the next call.
+    def advance_main_then_pass(staged):
+        tbl = cat.table(spec)
+        bump = tbl.read().filter(F.col("user_id") == 1).withColumn(
+            "email", F.lit("racer@example.com")
+        )
+        tbl.merge_upsert(bump)
+        return True
+
+    with pytest.raises(ConcurrentWriteError):
+        cdc_load_wap(spark, cat, spec, DEMO, audit=advance_main_then_pass, clock=clock)
+    # Cleanup happened: no branch left, batch not bookmarked.
+    assert cat.table(spec).branches() == {}
+
+    # Replay succeeds against the advanced head (no wedge, no data loss).
+    r = cdc_load_wap(spark, cat, spec, DEMO, clock=clock)
+    assert r.action == "published"
+    assert cat.read_table(spec).count() == 10044
+    assert cat.table(spec).branches() == {}
+
+
 def test_read_table_branch_guards(spark, tmp_path):
     """Catalog.read_table(branch=) surfaces branches without dropping
     to the table API; selectors are mutually exclusive and
@@ -676,3 +722,22 @@ def test_read_table_branch_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="copy-on-write"):
         mor_cat.read_table(mor_spec, branch="b1")
+
+
+def test_influence_reach_edge_set_materialized_once(spark):
+    """r6 verdict item 5: the recursive-CTE's click x purchase edge
+    derivation must execute ONCE, before the recursion — not be
+    re-planned inside the recursive member every iteration. With the
+    edge table checkpointed, the final plan's recursive side is a scan
+    of precomputed blocks: no get_json_object / edge join remains
+    anywhere in the plan."""
+    from automation_of_building_a_transactional_data_lake_spark.plans.analytics import (
+        events_influence_reach,
+    )
+    from .conftest import SF_SMOKE
+
+    df = events_influence_reach(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert plan.count("get_json_object") == 0
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert df.count() > 0

@@ -102,6 +102,29 @@ def test_minhash_matches_exact_on_real_docs(spark):
     assert len(exact) > 0  # the fixture really contains near-dups
 
 
+def test_release_similarity_cache_frees_disk_persists(spark):
+    """materialize='disk' (the cluster default) pins DISK_ONLY frames
+    for the session lifetime; release_similarity_cache() must free every
+    one of them once the pair results are materialized (r6 advisory:
+    repeated similarity joins in a long-lived session otherwise
+    accumulate executor blocks until session end)."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        release_similarity_cache,
+    )
+
+    release_similarity_cache()  # clean slate from earlier tests
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.8, materialize="disk")
+    assert pairs.count() > 0
+    assert jsc.getPersistentRDDs().size() >= baseline + 2  # shingles + buckets
+    assert release_similarity_cache() >= 2
+    assert jsc.getPersistentRDDs().size() == baseline
+    # The returned frame stays valid: lineage was kept in disk mode.
+    assert pairs.count() > 0
+
+
 def test_prefix_filter_matches_exact_on_real_docs(spark):
     """The prefix-filter join is exact-complete by CONSTRUCTION (no LSH
     recall epsilon): its output must equal brute force at two

@@ -1162,6 +1162,38 @@ def test_fsck_healthy_then_finds_planted_damage(spark, tmp_path):
     os.unlink(lock)
 
 
+def test_fsck_pre_bloom_snapshot_warns_not_errors(spark, tmp_path):
+    """Upgrading a healthy table to bloom_filter_cols must not make its
+    pre-bloom snapshots read as corrupt (r6 advisory): a version with NO
+    bloom file at all is a 'no_blooms' warn (like the no_stats analogue);
+    'bloom_gap' errors are reserved for a bloom file that exists but
+    misses files."""
+    import json as _json
+
+    plain = TableSpec("t_upg", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), plain)
+    tbl.create(spark.createDataFrame([(1, "a", "x")], "id long, val string, cat string"))
+
+    upgraded_spec = TableSpec(
+        "t_upg", "id", None, None, "testdb", bloom_filter_cols=("val",)
+    )
+    upgraded = ParquetCowTable(spark, str(tmp_path), upgraded_spec)
+    found = upgraded.fsck()
+    assert [f["kind"] for f in found] == ["no_blooms"]
+    assert found[0]["severity"] == "warn"
+
+    # A post-upgrade commit writes blooms; damaging THAT index is an error.
+    upgraded.merge_upsert(
+        spark.createDataFrame([(2, "b", "y")], "id long, val string, cat string")
+    )
+    bpath = os.path.join(upgraded.current_version().path, "_bloom.json")
+    blooms = _json.load(open(bpath))
+    blooms.pop(next(iter(blooms)))
+    _json.dump(blooms, open(bpath, "w"))
+    kinds = {(f["kind"], f["severity"]) for f in upgraded.fsck()}
+    assert ("bloom_gap", "error") in kinds
+
+
 def test_clone_table_shallow_shares_bytes_and_diverges(spark, tmp_path):
     """Shallow clone: zero data movement (same inodes), then fully
     independent lifecycles — mutating the clone never touches the
