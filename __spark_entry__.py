@@ -96,7 +96,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the suite) takes a slot; docs_lang_confusion (green r3-r5;
 #     lang-id is pinned by pytest markers and composed in the recorded
 #     curation pipeline) rotates OUT.
+#   r7 additions (this round): q1_via_sql_catalog (the SQL-by-identifier
+#     surface through sql.LakeSQL — r6 verdict #1/#2) and
+#     game_user_cdc_e2e_sqltext (the reference's MERGE INTO statements
+#     as literal SQL text, same oracle as the API-path e2e) take
+#     recorded slots; q1_via_managed_table (green r4-r6; its managed
+#     write/read shape is a strict SUBSET of the new q1_via_sql_catalog,
+#     which runs the same warehouse + aggregate THROUGH the identifier
+#     surface) and orders_priority_semi (green r5+r6; left-semi shape ⊂
+#     q4_late_shipment_exists, still pytest-gated) rotate OUT.
 _DEMOTED_TAIL = [
+    "q1_via_managed_table",
+    "orders_priority_semi",
     "orders_urgent_by_status",
     "docs_split_counts",
     "q14_promo_revenue",

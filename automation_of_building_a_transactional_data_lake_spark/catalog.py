@@ -72,6 +72,36 @@ class Catalog:
         except (OSError, ValueError):
             return None
 
+    def resolve_spec(self, database: str, table_name: str) -> TableSpec:
+        """Rebuild a table's spec from its committed metadata — what
+        lets the SQL surface (``sql.LakeSQL``) address tables by NAME
+        (``lake.db.table``) the way the reference's jobs do
+        (``src/iceberg/iceberg-cdc-load.py:158-159``) without the
+        caller holding a TableSpec. Identity and layout come from
+        ``_format.json``, written at create time; write-side-only
+        knobs (constraints, bloom columns, z-order) are not recorded
+        there and resolve as defaults — reads and merges don't need
+        them."""
+        import json
+
+        meta_path = os.path.join(self.warehouse, database, table_name, "_format.json")
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"no managed table {database}.{table_name}")
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        pk = meta.get("primary_key")
+        if not pk:
+            raise ValueError(
+                f"{database}.{table_name}: metadata records no primary_key"
+            )
+        return TableSpec(
+            table_name=table_name,
+            primary_key=pk,
+            partition_key=meta.get("partition_key"),
+            database=database,
+            partition_transform=meta.get("partition_transform"),
+        )
+
     def table_exists(self, spec: TableSpec) -> bool:
         """S5: existence check (reference
         ``spark.catalog.listTables(DATABASE)`` —

@@ -1,0 +1,197 @@
+"""sources.lake_datasource — the Spark DataSource scan for managed CoW
+tables (r6 verdict #1): reads plan through Spark's data-source interface
+with pushFilters routing predicates into stats / bloom / partition file
+pruning, all computed from committed metadata in a session-less Python
+worker (pure-Python xxhash64 twin for bloom/bucket parity)."""
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In, LessThan
+
+from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+from automation_of_building_a_transactional_data_lake_spark.functions.xxh64 import xxhash64
+from automation_of_building_a_transactional_data_lake_spark.sources.lake_datasource import (
+    LakeDataSource,
+    register_lake_datasource,
+)
+from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+
+def test_xxh64_twin_matches_spark_bit_exactly(spark):
+    """The pure-Python xxhash64 must agree with the engine for every
+    type the pruning paths hash: ints, longs (all widths), strings of
+    every length class (tail/4-byte/8-byte/32-byte-stripe paths), and
+    the chained (value, seed) form the bloom builder uses."""
+    rng = random.Random(7)
+    ints = [rng.randint(-(2**31), 2**31 - 1) for _ in range(20)]
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(20)]
+    strs = [
+        "".join(rng.choice(string.printable) for _ in range(n))
+        for n in (0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 64, 100)
+    ]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    got = {r.v: r.h for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    assert all(got[v] == xxhash64(v) for v in ints)
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = {r.v: r.h for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    assert all(got[v] == xxhash64(("long", v)) for v in longs)
+    df = spark.createDataFrame(list(enumerate(strs)), "i int, v string")
+    for seed in (None, 0, 4):
+        expr = F.xxhash64("v") if seed is None else F.xxhash64("v", F.lit(seed))
+        got = {r.i: r.h for r in df.select("i", expr.alias("h")).collect()}
+        for i, s in enumerate(strs):
+            want = xxhash64(s) if seed is None else xxhash64(s, seed)
+            assert got[i] == want, (i, seed)
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("t_ds", "id", None, None, "dsdb", bloom_filter_cols=("val",))
+    df = spark.range(400).selectExpr("id", "concat('user_', id) AS val")
+    tbl = cat.table(spec)
+    tbl.create(df.repartitionByRange(4, "id"))
+    register_lake_datasource(spark)
+    return tbl
+
+
+def test_datasource_read_equals_native(bloom_table, spark):
+    r = spark.read.format("lakehouse").option("path", bloom_table.path).load()
+    a = sorted(map(tuple, r.select("id", "val").collect()))
+    b = sorted(map(tuple, bloom_table.read().select("id", "val").collect()))
+    assert a == b and len(a) == 400
+
+
+def test_pushed_filters_prune_files(bloom_table):
+    """The numFiles gate: planner-level pruning through pushFilters must
+    open fewer files than the snapshot holds — stats for ranges, bloom
+    for equality — while Spark still applies every filter exactly."""
+    ds = LakeDataSource({"path": bloom_table.path})
+    schema = ds.schema()
+
+    base = ds.reader(schema)
+    base.pushFilters([])
+    n_total = len(base.partitions())
+    assert n_total == len(bloom_table.data_files()) == 4
+
+    # Stats range: the table is range-clustered on id.
+    rd = ds.reader(schema)
+    rd.pushFilters([LessThan(("id",), 100)])
+    assert len(rd.partitions()) < n_total
+
+    # Bloom equality on the unclustered string column (min/max spans
+    # every file — only the bloom can prune here).
+    rd = ds.reader(schema)
+    rd.pushFilters([EqualTo(("val",), "user_123")])
+    assert len(rd.partitions()) < n_total
+    # Absent value: near-total prune.
+    rd = ds.reader(schema)
+    rd.pushFilters([EqualTo(("val",), "user_nope")])
+    assert len(rd.partitions()) <= 1
+    # IN-list keeps any file that might hold any listed value.
+    rd = ds.reader(schema)
+    rd.pushFilters([In(("val",), ("user_1", "user_399"))])
+    assert 1 <= len(rd.partitions()) < n_total
+
+
+def test_filtered_results_stay_exact(bloom_table, spark):
+    r = spark.read.format("lakehouse").option("path", bloom_table.path).load()
+    got = [(x.id, x.val) for x in r.filter(F.col("val") == "user_123").collect()]
+    assert got == [(123, "user_123")]
+    assert r.filter(F.col("id") < 100).count() == 100
+    assert r.filter(F.col("val") == "user_nope").count() == 0
+
+
+def test_identity_partition_column_roundtrips(spark, tmp_path):
+    """Hive-partitioned tables store the partition column only in
+    directory names; the datasource must surface it with its DECLARED
+    type and prune directories on equality/IN filters."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("t_part", "id", "cat", None, "dsdb")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", c) for i, c in enumerate(["x", "y", "z"] * 30)],
+        "id long, val string, cat string",
+    )
+    tbl = cat.table(spec)
+    tbl.create(df)
+    register_lake_datasource(spark)
+    r = spark.read.format("lakehouse").option("path", tbl.path).load()
+    assert dict(r.dtypes)["cat"] == "string"
+    a = sorted(map(tuple, r.select("id", "cat").collect()))
+    b = sorted(map(tuple, tbl.read().select("id", "cat").collect()))
+    assert a == b
+    assert r.filter(F.col("cat") == "x").count() == 30
+
+    ds = LakeDataSource({"path": tbl.path})
+    rd = ds.reader(ds.schema())
+    rd.pushFilters([EqualTo(("cat",), "x")])
+    kept = rd.partitions()
+    assert rd.files_total == 3 and len(kept) == 1
+
+
+def test_version_and_tag_options(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("t_tt", "id", None, None, "dsdb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    tbl.create_tag("v1pin")
+    tbl.merge_upsert(spark.createDataFrame([(2, "b")], "id long, val string"))
+    register_lake_datasource(spark)
+    def fresh():
+        # A DataFrameReader is mutable — options accumulate — so each
+        # selector needs its own builder.
+        return spark.read.format("lakehouse").option("path", tbl.path)
+
+    assert fresh().load().count() == 2
+    assert fresh().option("version", "1").load().count() == 1
+    assert fresh().option("tag", "v1pin").load().count() == 1
+
+
+def test_schema_evolved_old_files_read_nulls(spark, tmp_path):
+    """A merge that adds a column hard-links old files forward; the
+    datasource must read the absent column as null there, like the
+    native path."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("t_evo", "id", "cat", None, "dsdb")
+    tbl = cat.table(spec)
+    tbl.create(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, cat string")
+    )
+    tbl.merge_upsert(
+        spark.createDataFrame([(3, "x", "extra")], "id long, cat string, note string")
+    )
+    register_lake_datasource(spark)
+    r = spark.read.format("lakehouse").option("path", tbl.path).load()
+    got = {x.id: x.note for x in r.collect()}
+    want = {x.id: x.note for x in tbl.read().collect()}
+    assert got == want == {1: None, 2: None, 3: "extra"}
+
+
+def test_mor_table_rejected_with_feature_error(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), table_format="mor")
+    spec = TableSpec("t_mor", "id", None, None, "dsdb")
+    cat.table(spec).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    register_lake_datasource(spark)
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("lakehouse").option(
+            "path", cat.table(spec).path
+        ).load().collect()
+
+
+def test_lakesql_via_datasource_matches_native(spark, tmp_path):
+    """LakeSQL(via='datasource') routes identifier reads through the
+    lakehouse format — same results as the native rewrite."""
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("t_sqlds", "id", None, None, "dsdb")
+    cat.table(spec).create(
+        spark.range(50).selectExpr("id", "concat('v', id) AS val")
+    )
+    q = "SELECT count(*) AS n FROM lake.dsdb.t_sqlds WHERE id < 10"
+    native = LakeSQL(cat).sql(q).first().n
+    via_ds = LakeSQL(cat, via="datasource").sql(q).first().n
+    assert native == via_ds == 10

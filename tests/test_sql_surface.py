@@ -1,0 +1,187 @@
+"""sql.LakeSQL — the SQL text surface (r6 verdict #1/#2): SELECT by
+``lake.db.table`` identifier (with FOR VERSION/TAG AS OF time travel)
+and the reference's MERGE INTO statements as literal text
+(src/iceberg/iceberg-cdc-load.py:127-159), executed through the same
+transactional merge surface as the API path."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+    cdc_load,
+    initial_load,
+)
+from automation_of_building_a_transactional_data_lake_spark.spec import (
+    GAME_SPECS_BY_NAME,
+    TableSpec,
+)
+from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL, MergeResult
+
+DEMO = "/root/reference/demo_data"
+
+
+@pytest.fixture()
+def user_lake(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    initial_load(spark, cat, spec, DEMO)
+    return cat, spec, LakeSQL(cat)
+
+
+def test_select_by_identifier_and_alias(user_lake, spark):
+    cat, spec, lake = user_lake
+    assert lake.sql("SELECT count(*) AS n FROM lake.game.user_data").first().n == 10000
+    # Aliased, filtered, ordered — the rewrite must leave real SQL alone.
+    rows = lake.sql(
+        "SELECT u.user_id FROM lake.game.user_data u "
+        "WHERE u.user_id <= 3 ORDER BY u.user_id"
+    ).collect()
+    assert [r.user_id for r in rows] == [1, 2, 3]
+    # String literals are never rewritten.
+    r = lake.sql("SELECT 'lake.game.user_data' AS s, count(*) AS n FROM lake.game.user_data").first()
+    assert r.s == "lake.game.user_data" and r.n == 10000
+
+
+def test_select_joins_two_managed_tables(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for t in ("user_data", "purchase_data"):
+        initial_load(spark, cat, GAME_SPECS_BY_NAME[t], DEMO)
+    lake = LakeSQL(cat)
+    got = lake.sql("""
+        SELECT count(*) AS n
+        FROM lake.game.user_data u JOIN lake.game.purchase_data p
+          ON u.user_id = p.user_id
+    """).first().n
+    u = cat.read_table(GAME_SPECS_BY_NAME["user_data"])
+    p = cat.read_table(GAME_SPECS_BY_NAME["purchase_data"])
+    assert got == u.join(p, "user_id").count() > 0
+
+
+def test_merge_upsert_sql_text_equals_api_path(user_lake, spark, tmp_path):
+    """The reference's exact MERGE upsert statement must produce the
+    same table state as merge_upsert on a twin table."""
+    cat, spec, lake = user_lake
+    twin = TableSpec("user_twin", "user_id", None, None, "game")
+    cat.table(twin).create(cat.read_table(spec))
+
+    src = (
+        cat.read_table(spec)
+        .filter(F.col("user_id") <= 5)
+        .withColumn("email", F.concat(F.lit("u_"), F.col("email")))
+        .unionByName(
+            cat.read_table(spec).limit(0).unionByName(
+                spark.createDataFrame(
+                    cat.read_table(spec).filter("user_id = 1").withColumn(
+                        "user_id", F.lit(99991).cast("long")
+                    ).collect()
+                )
+            )
+        )
+    )
+    src.createOrReplaceTempView("merge_src")
+
+    r = lake.sql("""
+        MERGE INTO lake.game.user_data t USING merge_src s
+        ON s.user_id = t.user_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert isinstance(r, MergeResult) and r.action == "upsert" and r.source_rows == 6
+    cat.table(twin).merge_upsert(spark.table("merge_src"))
+
+    cols = sorted(cat.read_table(spec).columns)
+    a = sorted(map(tuple, cat.read_table(spec).select(*cols).collect()))
+    b = sorted(map(tuple, cat.read_table(twin).select(*cols).collect()))
+    assert a == b and len(a) == 10001
+
+
+def test_merge_delete_and_guard_sql_text(user_lake, spark):
+    cat, spec, lake = user_lake
+    spark.createDataFrame([(1,), (2,)], "user_id long").createOrReplaceTempView("dels")
+    r = lake.sql("""
+        MERGE INTO lake.game.user_data t USING dels s
+        ON t.user_id = s.user_id
+        WHEN MATCHED THEN DELETE
+    """)
+    assert r.action == "delete" and r.source_rows == 2
+    assert lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data WHERE user_id IN (1, 2)"
+    ).first().n == 0
+
+    # Strictly-newer guard: an older source row must NOT regress the target.
+    guarded = TableSpec("g_t", "id", None, None, "game")
+    cat.table(guarded).create(
+        spark.createDataFrame([(1, "new", 10)], "id long, val string, ver long")
+    )
+    spark.createDataFrame(
+        [(1, "stale", 5), (2, "fresh", 1)], "id long, val string, ver long"
+    ).createOrReplaceTempView("gsrc")
+    lake.sql("""
+        MERGE INTO lake.game.g_t t USING gsrc s
+        ON s.id = t.id
+        WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.id: r.val for r in cat.read_table(guarded).collect()}
+    assert got == {1: "new", 2: "fresh"}
+
+
+def test_merge_source_can_be_subquery_and_managed_identifier(user_lake, spark):
+    cat, spec, lake = user_lake
+    # Subquery source with a managed identifier INSIDE it.
+    lake.sql("""
+        MERGE INTO lake.game.user_data t
+        USING (SELECT user_id FROM lake.game.user_data WHERE user_id IN (7, 8)) s
+        ON s.user_id = t.user_id
+        WHEN MATCHED THEN DELETE
+    """)
+    assert lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data WHERE user_id IN (7, 8)"
+    ).first().n == 0
+
+
+def test_time_travel_version_and_tag(user_lake, spark):
+    cat, spec, lake = user_lake
+    tbl = cat.table(spec)
+    tbl.create_tag("pre_cdc")
+    cdc_load(spark, cat, spec, DEMO, clock=dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc))
+    assert lake.sql("SELECT count(*) AS n FROM lake.game.user_data").first().n == 10044
+    assert lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data FOR VERSION AS OF 1"
+    ).first().n == 10000
+    assert lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data FOR TAG AS OF 'pre_cdc'"
+    ).first().n == 10000
+
+
+def test_merge_rejects_unsupported_shapes(user_lake, spark):
+    cat, spec, lake = user_lake
+    spark.createDataFrame([(1,)], "user_id long").createOrReplaceTempView("one")
+    with pytest.raises(ValueError, match="primary key"):
+        lake.sql(
+            "MERGE INTO lake.game.user_data t USING one s ON s.user_id = t.email "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="target must be"):
+        lake.sql(
+            "MERGE INTO somewhere.user_data t USING one s ON s.user_id = t.user_id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="WHEN combination|no WHEN"):
+        lake.sql(
+            "MERGE INTO lake.game.user_data t USING one s ON s.user_id = t.user_id "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(FileNotFoundError):
+        lake.sql("SELECT * FROM lake.game.nope")
+
+
+def test_resolve_spec_roundtrip(user_lake):
+    cat, spec, _lake = user_lake
+    resolved = cat.resolve_spec("game", "user_data")
+    assert resolved.primary_key == spec.primary_key
+    assert resolved.partition_key == spec.partition_key
+    assert resolved.database == "game"
