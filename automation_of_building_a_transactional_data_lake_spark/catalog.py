@@ -132,26 +132,24 @@ class Catalog:
         branch: str | None = None,
     ) -> DataFrame:
         """S4: snapshot read through the catalog. ``version`` time-
-        travels (both formats); ``tag`` resolves a named snapshot ref;
-        ``branch`` reads an unpublished branch head (both CoW-only —
-        see ``ParquetCowTable.create_tag``/``create_branch``). The
-        three selectors are mutually exclusive."""
+        travels and ``tag`` resolves a named snapshot ref (both
+        formats); ``branch`` reads an unpublished branch head (CoW-only
+        — branch refs live in the CoW commit protocol). The three
+        selectors are mutually exclusive."""
         if sum(x is not None for x in (version, tag, branch)) > 1:
             raise ValueError("pass at most one of version=, tag=, branch=")
         tbl = self.table(spec)
-        if tag is not None or branch is not None:
+        if branch is not None:
             if not isinstance(tbl, ParquetCowTable):
                 # Without the guard this crashes with an opaque
-                # TypeError (ParquetMorTable.read has no `tag`, no
-                # branch refs) — a mixed-format warehouse deserves a
-                # feature error.
-                what = "tags" if tag is not None else "branches"
+                # TypeError (ParquetMorTable has no branch refs) — a
+                # mixed-format warehouse deserves a feature error.
                 raise ValueError(
-                    f"{spec.qualified_name}: {what} are only supported on "
+                    f"{spec.qualified_name}: branches are only supported on "
                     "copy-on-write tables; this table is merge-on-read"
                 )
-            if branch is not None:
-                return tbl.branch(branch).read()
+            return tbl.branch(branch).read()
+        if tag is not None:
             return tbl.read(tag=tag)
         if version is not None:
             return tbl.read(version=version)

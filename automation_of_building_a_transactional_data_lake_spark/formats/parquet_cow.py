@@ -105,6 +105,12 @@ _BLOOM_M = 8192
 _BLOOM_K = 5
 _MANIFEST_DIR = "_symlink_manifest"
 _COMMIT_LOCK = "_commit.lock"
+# Per-version commit provenance: {"base": <version this commit was
+# computed from>, "touched": [<partition dir segments rewritten>] | null}.
+# null touched = the commit may have rewritten anything (full rewrite,
+# unpartitioned merge, compaction) — it can neither be rebased nor be
+# rebased over. Powers disjoint-partition concurrent commits (X82).
+_TOUCHED = "_touched.json"
 
 
 class MergeError(RuntimeError):
@@ -130,6 +136,14 @@ class ConcurrentWriteError(RuntimeError):
 class TableVersion:
     version: int
     path: str
+
+
+def _read_json_or_none(path: str):
+    try:
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _fmt_version(n: int) -> str:
@@ -650,15 +664,31 @@ class ParquetCowTable:
             .filter(F.col(tr.source) == probe)
         )
 
-    def _promote(self, staging: str, expected_version: int) -> int:
+    def _promote(
+        self,
+        staging: str,
+        expected_version: int,
+        touched_segments: set[str] | None = None,
+    ) -> int:
         """Optimistic-concurrency commit (the Delta/Iceberg protocol):
         under an exclusive lock file, verify the table head is still the
         snapshot this write was computed from, then atomically rename
         the staging directory to the next version and advance the
-        pointer. Any mismatch discards the staging result and raises
-        ``ConcurrentWriteError`` — a stale merge can never clobber a
-        newer commit, and two writers can never produce the same
-        version directory."""
+        pointer.
+
+        ``touched_segments`` (partition directory names this write
+        actually rewrote; None = potentially everything) enables
+        Delta/Iceberg-style CONFLICT RESOLUTION: when the head moved but
+        every concurrent commit since ``expected_version`` declared a
+        touched set DISJOINT from ours, the staging snapshot is REBASED
+        onto the new head (untouched partitions re-linked from the head,
+        stats/bloom/meta patched) and committed — no recompute retry.
+        At 100 TB with per-table hourly CDC plus compaction plus ANN
+        refresh all landing on different partitions, this removes the
+        single-head throughput ceiling. Any overlap, any concurrent
+        commit without provenance, or an unpartitioned write still
+        discards the staging result and raises ``ConcurrentWriteError``
+        — a stale merge can never clobber a newer commit."""
         # Footer stats are computed OUTSIDE the lock (metadata-only
         # reads; linked-forward files are already in place) and land
         # inside the staging dir, so they commit atomically with the
@@ -684,11 +714,28 @@ class ParquetCowTable:
         try:
             cur = self.current_version()
             latest = cur.version if cur else 0
+            base = expected_version
             if latest != expected_version:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"{self.spec.qualified_name}: expected to commit on top of "
-                    f"v{expected_version} but head is v{latest}; re-read and retry"
+                if not self._try_rebase_staging(
+                    staging, expected_version, latest, touched_segments
+                ):
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"{self.spec.qualified_name}: expected to commit on top "
+                        f"of v{expected_version} but head is v{latest}, and the "
+                        "concurrent commits touch overlapping or undeclared "
+                        "partitions; re-read and retry"
+                    )
+                base = latest
+            with open(os.path.join(staging, _TOUCHED), "w", encoding="utf-8") as f:
+                json.dump(
+                    {
+                        "base": base,
+                        "touched": sorted(touched_segments)
+                        if touched_segments is not None
+                        else None,
+                    },
+                    f,
                 )
             # Version numbers are allocated from the GLOBAL directory
             # namespace, not head+1: branch commits interleave with
@@ -709,6 +756,131 @@ class ParquetCowTable:
             # not path-based locks — documented tradeoff.
             with suppress(FileNotFoundError):
                 os.unlink(lock)
+
+    def _read_touched(self, version: int) -> dict | None:
+        return _read_json_or_none(
+            os.path.join(self.path, _fmt_version(version), _TOUCHED)
+        )
+
+    def _try_rebase_staging(
+        self,
+        staging: str,
+        expected: int,
+        head: int,
+        touched: set[str] | None,
+    ) -> bool:
+        """Attempt to rebase a staged snapshot computed from
+        ``expected`` onto the moved ``head`` (runs INSIDE the commit
+        lock, so the head is stable). Returns False — caller conflicts —
+        unless:
+
+        1. this write declared a touched-partition set, and
+        2. walking the head's ``base`` provenance chain back to
+           ``expected`` finds every concurrent commit declaring a
+           touched set disjoint from ours.
+
+        The rebase itself mirrors what Delta's commit-conflict checker
+        achieves with file-level actions: every partition directory NOT
+        in our touched set is replaced with hard links to the head's
+        content (the concurrent commits' results), our rewritten
+        partitions stay, and the stats/bloom indexes are patched from
+        the head's committed entries (linked files ARE the head's
+        bytes). Snapshot metadata merges head-first with our staged
+        keys overlaid; per-app streaming txn markers take the per-app
+        MAX so neither writer's replay protection regresses."""
+        if touched is None:
+            return False
+        # Walk provenance head -> expected; collect concurrent touches.
+        concurrent: set[str] = set()
+        v = head
+        while v != expected:
+            info = self._read_touched(v)
+            if info is None or info.get("touched") is None:
+                return False  # undeclared writer in between: conflict
+            if info["base"] >= v or info["base"] < expected:
+                return False  # provenance does not reach our base
+            concurrent.update(info["touched"])
+            v = info["base"]
+        if concurrent & touched:
+            return False
+
+        part = self._part_name
+        head_dir = os.path.join(self.path, _fmt_version(head))
+        # Mirror the head for every partition we did not rewrite:
+        # concurrent commits may have rewritten, added, or emptied them.
+        segs = {
+            e
+            for d in (head_dir, staging)
+            for e in os.listdir(d)
+            if e.startswith(f"{part}=")
+        }
+        for seg in segs:
+            if seg in touched:
+                continue
+            sdir = os.path.join(staging, seg)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir)
+            hdir = os.path.join(head_dir, seg)
+            if os.path.isdir(hdir):
+                os.makedirs(sdir, exist_ok=True)
+                for fname in os.listdir(hdir):
+                    if not fname.startswith(("_", ".")):
+                        os.link(os.path.join(hdir, fname), os.path.join(sdir, fname))
+
+        def _seg_of(rel: str) -> str:
+            return rel.split(os.sep, 1)[0]
+
+        # Patch the stats index: ours for our partitions, the head's
+        # committed entries for everything re-linked (same bytes). A
+        # pre-stats head can't be patched — recompute (footer-only).
+        ours_stats = _read_json_or_none(os.path.join(staging, _FILE_STATS)) or {}
+        head_stats = _read_json_or_none(os.path.join(head_dir, _FILE_STATS))
+        if head_stats is None:
+            merged_stats = self._collect_file_stats(staging)
+        else:
+            merged_stats = {
+                rel: s for rel, s in ours_stats.items() if _seg_of(rel) in touched
+            }
+            merged_stats.update(
+                {
+                    rel: s
+                    for rel, s in head_stats.items()
+                    if _seg_of(rel) not in touched
+                }
+            )
+        with open(os.path.join(staging, _FILE_STATS), "w", encoding="utf-8") as f:
+            json.dump(merged_stats, f)
+        if self.spec.bloom_filter_cols:
+            ours_bloom = _read_json_or_none(os.path.join(staging, _BLOOM_FILE)) or {}
+            head_bloom = _read_json_or_none(os.path.join(head_dir, _BLOOM_FILE)) or {}
+            merged_bloom = {
+                rel: b for rel, b in ours_bloom.items() if _seg_of(rel) in touched
+            }
+            merged_bloom.update(
+                {rel: b for rel, b in head_bloom.items() if _seg_of(rel) not in touched}
+            )
+            with open(os.path.join(staging, _BLOOM_FILE), "w", encoding="utf-8") as f:
+                json.dump(merged_bloom, f)
+
+        # Merge snapshot metadata: the head's committed state is the
+        # base (it includes the concurrent writers' markers); our staged
+        # keys overlay it, except "txns" which merges per-app at the MAX
+        # version so no consumer's replay guard moves backwards.
+        head_meta = _read_json_or_none(os.path.join(head_dir, _SNAPSHOT_META))
+        ours_meta = _read_json_or_none(os.path.join(staging, _SNAPSHOT_META))
+        if head_meta is not None or ours_meta is not None:
+            merged_meta = dict(head_meta or {})
+            for k, val in (ours_meta or {}).items():
+                if k == "txns" and isinstance(merged_meta.get("txns"), dict):
+                    txns = dict(merged_meta["txns"])
+                    for app, ver in (val or {}).items():
+                        txns[app] = max(ver, txns.get(app, ver))
+                    merged_meta["txns"] = txns
+                else:
+                    merged_meta[k] = val
+            with open(os.path.join(staging, _SNAPSHOT_META), "w", encoding="utf-8") as f:
+                json.dump(merged_meta, f)
+        return True
 
     def _max_version_dir(self) -> int:
         """Highest materialized version directory number (0 if none) —
@@ -1227,7 +1399,16 @@ class ParquetCowTable:
         self._stage_snapshot_meta(
             staging, snapshot_meta if snapshot_meta is not None else self.snapshot_meta()
         )
-        self._promote(staging, expected_version=cur.version)
+        # Declare exactly which partition directories this merge
+        # rewrote: a concurrent commit on DISJOINT partitions then
+        # rebases instead of conflicting (X82).
+        self._promote(
+            staging,
+            expected_version=cur.version,
+            touched_segments={
+                f"{part}={_escape_partition_value(v)}" for v in affected
+            },
+        )
 
     def _merge_full(
         self,

@@ -52,14 +52,32 @@ from .parquet_cow import ConstraintViolation, MergeError
 
 _LATEST = "_LATEST"
 _SNAP_DIR = "_snapshots"
+_REFS = "_refs.json"
 _OP = "__mor_op"
 _SEQ = "__mor_seq"
 
 
 class ParquetMorTable:
-    """One managed merge-on-read table under a warehouse directory."""
+    """One managed merge-on-read table under a warehouse directory.
 
-    def __init__(self, spark: SparkSession, warehouse: str, spec: TableSpec) -> None:
+    ``deletion_vectors=True`` switches the table to POSITION-DELETE
+    reconciliation (Iceberg v2 position deletes / Delta deletion
+    vectors, r6 verdict #6): each merge records the file-relative row
+    positions of the base rows it supersedes (one bounded semi-join
+    scan of the base at WRITE time), and the read path drops those
+    positions with an anti-join on (file, row_index) — the per-key
+    latest-wins window then runs over the DELTAS ONLY, never the base.
+    At 100 TB that turns read reconcile from an O(table) hash shuffle
+    into a positional skip plus an O(deltas) window. ``None`` (default)
+    re-opens an existing table in the mode that created it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        spec: TableSpec,
+        deletion_vectors: bool | None = None,
+    ) -> None:
         if spec.partition_transform:
             raise NotImplementedError(
                 f"{spec.qualified_name}: hidden partitioning (partition_transform) "
@@ -69,6 +87,14 @@ class ParquetMorTable:
         self.warehouse = warehouse
         self.spec = spec
         self.path = os.path.join(warehouse, spec.database, spec.table_name)
+        if deletion_vectors is None:
+            meta_path = os.path.join(self.path, "_format.json")
+            try:
+                with open(meta_path, encoding="utf-8") as f:
+                    deletion_vectors = bool(json.load(f).get("deletion_vectors"))
+            except (OSError, ValueError):
+                deletion_vectors = False
+        self.deletion_vectors = bool(deletion_vectors)
 
     # -- commit protocol ---------------------------------------------------
 
@@ -119,6 +145,7 @@ class ParquetMorTable:
             "primary_key": self.spec.primary_key,
             "partition_key": self.spec.partition_key,
             "format": "mor",
+            "deletion_vectors": self.deletion_vectors,
         }
         with open(os.path.join(self.path, "_format.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=2)
@@ -182,6 +209,38 @@ class ParquetMorTable:
                 f"{list(self.spec.constraints)} violated by row {bad[0].asDict()!r}"
             )
 
+    # Driver-side bound on per-merge position collection in DV mode:
+    # positions are O(matched keys) = O(batch), the same order as the
+    # CDC batch itself, but a pathological backfill should fail loudly
+    # rather than balloon the driver.
+    dv_collect_limit = 1_000_000
+
+    def _base_positions(self, cur: dict, keys: DataFrame) -> dict[str, list[int]]:
+        """File-relative row positions of base rows whose key appears in
+        ``keys`` — the write-time scan that makes read-time reconcile
+        positional (what an Iceberg v2 writer does to emit position
+        deletes). One column-pruned semi-join over the base; collected
+        rows are bounded by the batch's matched-key count."""
+        pk = self.spec.primary_key
+        base = self.spark.read.parquet(os.path.join(self.path, cur["base"])).select(
+            F.col(pk),
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+            F.col("_metadata.row_index").alias("__i"),
+        )
+        hits = base.join(keys.select(pk).distinct(), pk, "left_semi").select("__f", "__i")
+        rows = hits.limit(self.dv_collect_limit + 1).collect()
+        if len(rows) > self.dv_collect_limit:
+            raise MergeError(
+                f"{self.spec.qualified_name}: deletion-vector merge matched more "
+                f"than dv_collect_limit={self.dv_collect_limit} base rows; use a "
+                "classic merge-on-read table (or compact first) for backfills "
+                "this wide"
+            )
+        out: dict[str, list[int]] = {}
+        for r in rows:
+            out.setdefault(r["__f"], []).append(int(r["__i"]))
+        return out
+
     def _append_delta(
         self, rows: DataFrame, op: str, snapshot_meta: dict | None = None
     ) -> None:
@@ -194,13 +253,20 @@ class ParquetMorTable:
             rows.withColumn(_OP, F.lit(op)).withColumn(_SEQ, F.lit(seq).cast("long")),
             delta,
         )
-        self._commit(
-            {
-                "base": cur["base"],
-                "deltas": cur["deltas"] + [delta],
-                "meta": snapshot_meta if snapshot_meta is not None else cur.get("meta"),
-            }
-        )
+        snap = {
+            "base": cur["base"],
+            "deltas": cur["deltas"] + [delta],
+            "meta": snapshot_meta if snapshot_meta is not None else cur.get("meta"),
+        }
+        if self.deletion_vectors:
+            # Superseded base rows become position deletes, committed
+            # atomically with the delta in the snapshot json; earlier
+            # DVs for the same files merge by position union.
+            dvs = {k: set(v) for k, v in (cur.get("dvs") or {}).items()}
+            for fname, pos in self._base_positions(cur, rows).items():
+                dvs.setdefault(fname, set()).update(pos)
+            snap["dvs"] = {k: sorted(v) for k, v in sorted(dvs.items())}
+        self._commit(snap)
 
     def merge_upsert(self, src: DataFrame, snapshot_meta: dict | None = None) -> None:
         """O(batch) append: the merge itself is deferred to read/compact."""
@@ -212,14 +278,83 @@ class ParquetMorTable:
         pk = self.spec.primary_key
         self._append_delta(src.select(pk).distinct(), "D", snapshot_meta)
 
+    # -- named refs (tags — CoW parity, r7 verdict #4) ---------------------
+
+    def _read_refs(self) -> dict:
+        try:
+            with open(os.path.join(self.path, _REFS), encoding="utf-8") as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            raw = {}
+        return {"tags": dict(raw.get("tags", {}))}
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = os.path.join(self.path, f".{_REFS}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.path, _REFS))
+
+    def tags(self) -> dict[str, int]:
+        """All named tags: ``{name: snapshot}`` (same contract as the
+        CoW backend's Iceberg-tag surface)."""
+        return self._read_refs()["tags"]
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a committed snapshot under a name; tagged snapshots (and
+        every base/delta directory they reference) survive ``vacuum``
+        regardless of ``retain_last``. Returns the pinned snapshot."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        v = cur["n"] if version is None else int(version)
+        if v > cur["n"] or not os.path.isfile(
+            os.path.join(self.path, _SNAP_DIR, f"{v}.json")
+        ):
+            raise FileNotFoundError(
+                f"cannot tag snapshot {v} of {self.spec.qualified_name}: not a "
+                f"committed snapshot (latest: {cur['n']})"
+            )
+        refs = self._read_refs()
+        if name in refs["tags"]:
+            raise ValueError(
+                f"tag {name!r} already exists at snapshot {refs['tags'][name]}; "
+                "delete_tag first (tags are immutable by design)"
+            )
+        refs["tags"][name] = v
+        self._write_refs(refs)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        refs = self._read_refs()
+        if name not in refs["tags"]:
+            raise KeyError(f"tag {name!r} does not exist")
+        del refs["tags"][name]
+        self._write_refs(refs)
+
     # -- read path ---------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """Reconcile base ∪ deltas: latest sequence wins per key;
-        delete markers drop the key. One hash shuffle on the pk."""
+        delete markers drop the key. One hash shuffle on the pk.
+        ``version`` time-travels to any retained snapshot; ``tag``
+        resolves a named ref (CoW-parity surface)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version= or tag=, not both")
+            known = self.tags()
+            if tag not in known:
+                raise KeyError(
+                    f"tag {tag!r} does not exist on {self.spec.qualified_name} "
+                    f"(known: {sorted(known)})"
+                )
+            version = known[tag]
         if not self.exists():
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
         snap = self._snapshot(version)
+        if self.deletion_vectors:
+            return self._read_dv(snap)
         base = (
             self.spark.read.parquet(os.path.join(self.path, snap["base"]))
             .withColumn(_OP, F.lit("U"))
@@ -233,6 +368,48 @@ class ParquetMorTable:
             merged = dedupe_latest(merged, key=self.spec.primary_key, ts_col=_SEQ)
             merged = merged.filter(F.col(_OP) != "D")
         return merged.drop(_OP, _SEQ)
+
+    def _read_dv(self, snap: dict) -> DataFrame:
+        """Position-delete reconciliation: base rows at DV'd
+        (file, row_index) positions are skipped with one broadcast
+        anti-join — NO key hash of the base — and the latest-wins
+        window runs over the deltas alone (every base row a delta
+        supersedes is already position-deleted). Read cost: positional
+        skip over the base + O(deltas) window, vs the classic path's
+        O(base + deltas) shuffle."""
+        base = self.spark.read.parquet(os.path.join(self.path, snap["base"]))
+        dvs = snap.get("dvs") or {}
+        if dvs:
+            dv_rows = [(f, i) for f, ps in dvs.items() for i in ps]
+            dv_df = self.spark.createDataFrame(dv_rows, "__f string, __i long")
+            base = (
+                base.withColumn(
+                    "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                )
+                .withColumn("__i", F.col("_metadata.row_index"))
+                .join(F.broadcast(dv_df), ["__f", "__i"], "left_anti")
+                .drop("__f", "__i")
+            )
+        if not snap["deltas"]:
+            return base
+        deltas = None
+        for delta in snap["deltas"]:
+            d = self.spark.read.parquet(os.path.join(self.path, delta))
+            deltas = d if deltas is None else deltas.unionByName(d, allowMissingColumns=True)
+        winners = (
+            dedupe_latest(deltas, key=self.spec.primary_key, ts_col=_SEQ)
+            .filter(F.col(_OP) != "D")
+            .drop(_OP, _SEQ)
+        )
+        return base.unionByName(winners, allowMissingColumns=True)
+
+    def dv_stats(self, version: int | None = None) -> dict:
+        """Deletion-vector telemetry: how many base files carry DVs and
+        the total positions skipped at read (the numRowsSkipped the
+        operator watches to schedule compaction)."""
+        snap = self._snapshot(version)
+        dvs = snap.get("dvs") or {}
+        return {"files": len(dvs), "positions": sum(len(v) for v in dvs.values())}
 
     def fsck(self, deep: bool = False) -> list[dict]:
         """Integrity audit (CoW twin's contract, MoR shape): every
@@ -317,14 +494,88 @@ class ParquetMorTable:
             )
         return out
 
+    def row_count(self, version: int | None = None) -> int:
+        """COUNT(*) — metadata-fast when the snapshot has NO deltas
+        (sum of base footer row counts; compaction restores this state),
+        exact reconcile otherwise. Honest contract: a merge-on-read
+        snapshot's live row count is not derivable from footers alone —
+        deltas overwrite and delete keys — so the fast path exists
+        exactly when the read path is also cheapest."""
+        import pyarrow.parquet as pq
+
+        if not self.exists():
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        snap = self._snapshot(version)
+        if not snap["deltas"] and not snap.get("dvs"):
+            total = 0
+            bdir = os.path.join(self.path, snap["base"])
+            for root, _dirs, files in os.walk(bdir):
+                for fname in files:
+                    if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                        total += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+            return total
+        return self.read(version=version).count()
+
+    def metadata_table(self, kind: str) -> DataFrame:
+        """Queryable metadata (CoW parity, MoR shape): ``"files"`` lists
+        the head snapshot's base AND delta parquet files with their role,
+        ``"history"`` the retained snapshots, ``"refs"`` the tags."""
+        if kind == "files":
+            cur = self.current_snapshot()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} does not exist"
+                )
+            import pyarrow.parquet as pq
+
+            rows = []
+            for d, role in [(cur["base"], "base")] + [
+                (x, "delta") for x in cur["deltas"]
+            ]:
+                full = os.path.join(self.path, d)
+                for root, _dirs, files in os.walk(full):
+                    for fname in files:
+                        if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                            continue
+                        fpath = os.path.join(root, fname)
+                        rows.append(
+                            (
+                                os.path.relpath(fpath, self.path),
+                                role,
+                                os.path.getsize(fpath),
+                                pq.ParquetFile(fpath).metadata.num_rows,
+                            )
+                        )
+            return self.spark.createDataFrame(
+                rows, "path string, role string, bytes long, rows long"
+            )
+        if kind == "history":
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["base"], h["n_deltas"], h["is_current"])
+                    for h in self.history()
+                ],
+                "version long, base string, n_deltas long, is_current boolean",
+            )
+        if kind == "refs":
+            return self.spark.createDataFrame(
+                [("tag", name, v) for name, v in sorted(self.tags().items())],
+                "kind string, name string, version long",
+            )
+        raise ValueError(f"unknown metadata table {kind!r}; choose files|history|refs")
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
-        """Remove data directories no retained snapshot references."""
+        """Remove data directories no retained snapshot references.
+        Tagged snapshots are pinned regardless of ``retain_last`` —
+        their snapshot jsons stay readable and every base/delta
+        directory they reference survives (CoW tag semantics)."""
         cur = self.current_snapshot()
         if cur is None:
             return []
-        keep_snaps = range(max(1, cur["n"] - retain_last + 1), cur["n"] + 1)
+        keep_snaps = set(range(max(1, cur["n"] - retain_last + 1), cur["n"] + 1))
+        keep_snaps |= set(self.tags().values())
         referenced: set[str] = set()
-        for n in keep_snaps:
+        for n in sorted(keep_snaps):
             try:
                 s = self._snapshot(n)
             except FileNotFoundError:
@@ -332,6 +583,20 @@ class ParquetMorTable:
             referenced.add(s["base"])
             referenced.update(s["deltas"])
         removed: list[str] = []
+        # Retire the snapshot JSONs of swept snapshots FIRST: a snapshot
+        # whose base/delta dirs are gone is unreadable anyway, and a
+        # lingering json would read as a dangling reference in fsck.
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        for fname in sorted(os.listdir(snap_dir)) if os.path.isdir(snap_dir) else []:
+            if not fname.endswith(".json"):
+                continue
+            try:
+                n = int(fname[:-5])
+            except ValueError:
+                continue
+            if n < cur["n"] and n not in keep_snaps:
+                os.unlink(os.path.join(snap_dir, fname))
+                removed.append(f"{_SNAP_DIR}/{fname}")
         for entry in sorted(os.listdir(self.path)):
             if entry[0] in "bd" and entry[1:].isdigit() and entry not in referenced:
                 shutil.rmtree(os.path.join(self.path, entry))

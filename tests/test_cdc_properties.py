@@ -115,11 +115,18 @@ def test_merge_sequences_match_dict_model_across_formats(spark, batches):
     model = dict(initial)
     spec_cow = TableSpec("seq_cow", "id", "cat", None, "propdb")
     spec_mor = TableSpec("seq_mor", "id", None, None, "propdb")
+    spec_dv = TableSpec("seq_dv", "id", None, None, "propdb")
     cow = ParquetCowTable(spark, temp_warehouse("seq_"), spec_cow)
     mor = ParquetMorTable(spark, temp_warehouse("seq_"), spec_mor)
+    # Deletion-vector MoR joins the same model (r7: the DV read path
+    # must agree with classic reconcile under ANY merge interleaving).
+    dv = ParquetMorTable(
+        spark, temp_warehouse("seq_"), spec_dv, deletion_vectors=True
+    )
     init_rows = [(k, v, _cat(k)) for k, v in initial.items()]
     cow.create(spark.createDataFrame(init_rows, "id long, val string, cat string"))
     mor.create(spark.createDataFrame(init_rows, "id long, val string, cat string"))
+    dv.create(spark.createDataFrame(init_rows, "id long, val string, cat string"))
 
     for batch in batches:
         ups = {k: v for k, v in batch.items() if v is not None}
@@ -131,19 +138,23 @@ def test_merge_sequences_match_dict_model_across_formats(spark, batches):
             )
             cow.merge_upsert(src)
             mor.merge_upsert(src)
+            dv.merge_upsert(src)
             model.update(ups)
         if dels:
             src = spark.createDataFrame([(k,) for k in dels], "id long")
             cow.merge_delete(src)
             mor.merge_delete(src)
+            dv.merge_delete(src)
             for k in dels:
                 model.pop(k, None)
 
     got_cow = {r.id: (r.val, r.cat) for r in cow.read().collect()}
     got_mor = {r.id: (r.val, r.cat) for r in mor.read().collect()}
+    got_dv = {r.id: (r.val, r.cat) for r in dv.read().collect()}
     want = {k: (v, _cat(k)) for k, v in model.items()}
     assert got_cow == want
     assert got_mor == want
+    assert got_dv == want
 
 
 # -- stats skipping is never lossy -------------------------------------------
