@@ -111,6 +111,16 @@ _COMMIT_LOCK = "_commit.lock"
 # unpartitioned merge, compaction) — it can neither be rebased nor be
 # rebased over. Powers disjoint-partition concurrent commits (X82).
 _TOUCHED = "_touched.json"
+# Per-version logical schema mapping (Iceberg field-ID semantics without
+# parquet field IDs): {"columns": [{"id", "name", "physical", "type"}],
+# "dropped_physical": [...]}. The PHYSICAL name of a field is frozen at
+# first write; ALTER RENAME moves only the logical name (metadata-only —
+# old files keep serving the field), ALTER DROP removes the entry and
+# tombstones the physical name so a later same-named column can never
+# resurrect old bytes, ALTER ADD appends a null-backed entry. Each
+# version carries ITS mapping, so time travel reads every snapshot under
+# the schema it was committed with (X85).
+_SCHEMA = "_schema.json"
 
 
 class MergeError(RuntimeError):
@@ -287,15 +297,220 @@ class ParquetCowTable:
         assigned at promote time, never at write time — two concurrent
         writers can stage freely without touching each other.
         ``cluster=False`` lets callers that already shaped the
-        partitioning (compact) skip the default write clustering."""
+        partitioning (compact) skip the default write clustering.
+
+        Schema mapping: the incoming frame carries LOGICAL names;
+        renamed fields are written under their frozen PHYSICAL names,
+        and the updated mapping (existing entries + new source-only
+        columns) lands in the staging dir so it commits atomically
+        with the data."""
         sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        mapping = self._schema_mapping()
         df = self._with_part_col(df)
+        df = self._to_physical(df, mapping)
         out = self._cluster_for_write(df) if cluster else df
         writer = out.write.mode("overwrite")
         if self._part_name:
             writer = writer.partitionBy(self._part_name)
         writer.parquet(sdir)
+        self._stage_schema_mapping(sdir, mapping, df)
         return sdir
+
+    # -- logical schema mapping (ALTER TABLE surface, X85) -----------------
+
+    def _schema_mapping(self, vdir: str | None = None) -> dict | None:
+        """The schema mapping committed with a snapshot (default: the
+        current head); None for tables created before the mapping
+        existed (identity semantics)."""
+        if vdir is None:
+            cur = self.current_version()
+            if cur is None:
+                return None
+            vdir = cur.path
+        return _read_json_or_none(os.path.join(vdir, _SCHEMA))
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+        if not mapping:
+            return df
+        for e in mapping["columns"]:
+            if e["name"] != e["physical"] and e["name"] in df.columns:
+                df = df.withColumnRenamed(e["name"], e["physical"])
+        return df
+
+    def _to_logical(self, df: DataFrame, mapping: dict | None) -> DataFrame:
+        """Project a physical frame to the mapping's logical schema:
+        renamed fields read from their frozen physical column, fields
+        absent from every underlying file (freshly ADDed, or pre-add
+        snapshots' files) read as typed nulls, dropped fields vanish.
+        Columns outside the mapping (the hidden-transform partition
+        derivation) pass through for the internal read paths."""
+        if not mapping:
+            return df
+        cols = []
+        mapped_physical = set()
+        for e in mapping["columns"]:
+            mapped_physical.add(e["physical"])
+            if e["physical"] in df.columns:
+                cols.append(F.col(e["physical"]).alias(e["name"]))
+            else:
+                cols.append(F.lit(None).cast(e["type"]).alias(e["name"]))
+        dropped = set(mapping.get("dropped_physical", ()))
+        for name in df.columns:
+            if name not in mapped_physical and name not in dropped:
+                cols.append(F.col(name))
+        return df.select(*cols)
+
+    def _stage_schema_mapping(
+        self, sdir: str, mapping: dict | None, physical_df: DataFrame
+    ) -> None:
+        """Extend the mapping with columns this write introduced (merge
+        schema evolution: source-only columns become new fields with
+        physical == logical name, or a tombstone-avoiding suffixed
+        physical if a dropped field used the name) and stage it."""
+        mapping = {
+            "columns": [dict(e) for e in (mapping or {}).get("columns", [])],
+            "dropped_physical": list((mapping or {}).get("dropped_physical", [])),
+        }
+        known_physical = {e["physical"] for e in mapping["columns"]}
+        known_logical = {e["name"] for e in mapping["columns"]}
+        next_id = 1 + max((e["id"] for e in mapping["columns"]), default=0)
+        tr = self._transform
+        for name, dtype in physical_df.dtypes:
+            if name in known_physical or name in known_logical:
+                continue
+            if tr is not None and name == tr.name:
+                continue  # hidden partition derivation: never user schema
+            physical = name
+            if physical in mapping["dropped_physical"]:
+                # A dropped field's bytes still live in old files under
+                # this name; give the new field a fresh physical name so
+                # those bytes can never resurface.
+                physical = f"{name}__f{next_id}"
+            mapping["columns"].append(
+                {"id": next_id, "name": name, "physical": physical, "type": dtype}
+            )
+            next_id += 1
+        with open(os.path.join(sdir, _SCHEMA), "w", encoding="utf-8") as f:
+            json.dump(mapping, f)
+
+    def _physical_name(self, col: str) -> str:
+        """Logical -> frozen physical column name (identity when the
+        table has no mapping or the column is unmapped)."""
+        mapping = self._schema_mapping()
+        if mapping:
+            for e in mapping["columns"]:
+                if e["name"] == col:
+                    return e["physical"]
+        return col
+
+    def _alter_metadata_commit(self, mutate) -> int:
+        """Shared ALTER machinery: a METADATA-ONLY commit — every data
+        file hard-links forward unchanged; only the schema mapping
+        changes (exactly how Iceberg's ALTERs commit a new schema with
+        the same data files). ``mutate(mapping) -> mapping``."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        mapping = self._schema_mapping()
+        if mapping is None:
+            # Legacy table: synthesize the identity mapping first.
+            mapping = {
+                "columns": [
+                    {"id": i + 1, "name": n, "physical": n, "type": t}
+                    for i, (n, t) in enumerate(self.read().dtypes)
+                ],
+                "dropped_physical": [],
+            }
+        mapping = mutate(
+            {
+                "columns": [dict(e) for e in mapping["columns"]],
+                "dropped_physical": list(mapping.get("dropped_physical", [])),
+            }
+        )
+        sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        os.makedirs(sdir)
+        for root, _dirs, files in os.walk(cur.path):
+            rel = os.path.relpath(root, cur.path)
+            out_dir = sdir if rel == "." else os.path.join(sdir, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for fname in files:
+                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                    os.link(os.path.join(root, fname), os.path.join(out_dir, fname))
+        with open(os.path.join(sdir, _SCHEMA), "w", encoding="utf-8") as f:
+            json.dump(mapping, f)
+        self._stage_snapshot_meta(sdir, self.snapshot_meta())
+        return self._promote(sdir, expected_version=cur.version)
+
+    def _guard_alter_col(self, col: str, op: str) -> None:
+        protected = {self.spec.primary_key, self.spec.partition_key}
+        tr = self._transform
+        if tr is not None:
+            protected.add(tr.source)
+        if col in protected:
+            raise ValueError(
+                f"cannot {op} {col!r}: it is the primary key, partition "
+                "column, or a partition-transform source"
+            )
+
+    def alter_add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN (metadata-only): existing rows read
+        the new column as null; the first write that supplies it
+        materializes values. Returns the committed version."""
+
+        def mutate(m):
+            if any(e["name"] == name for e in m["columns"]):
+                raise ValueError(f"column {name!r} already exists")
+            nid = 1 + max((e["id"] for e in m["columns"]), default=0)
+            physical = name
+            if physical in m["dropped_physical"] or any(
+                e["physical"] == name for e in m["columns"]
+            ):
+                physical = f"{name}__f{nid}"
+            m["columns"].append(
+                {"id": nid, "name": name, "physical": physical, "type": dtype}
+            )
+            return m
+
+        return self._alter_metadata_commit(mutate)
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (metadata-only): the field's
+        physical name stays frozen, so every existing file — and every
+        retained snapshot via time travel — keeps serving it; only the
+        logical name readers see changes. Returns the version."""
+        self._guard_alter_col(old, "rename")
+
+        def mutate(m):
+            names = {e["name"] for e in m["columns"]}
+            if old not in names:
+                raise KeyError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for e in m["columns"]:
+                if e["name"] == old:
+                    e["name"] = new
+            return m
+
+        return self._alter_metadata_commit(mutate)
+
+    def alter_drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN (metadata-only): the field leaves
+        the logical schema and its physical name is tombstoned — a
+        later ADD of the same name gets a fresh physical name, so the
+        dropped bytes (still present in old files, visible via time
+        travel) can never resurface in the live schema."""
+        self._guard_alter_col(col, "drop")
+
+        def mutate(m):
+            entry = next((e for e in m["columns"] if e["name"] == col), None)
+            if entry is None:
+                raise KeyError(f"column {col!r} does not exist")
+            m["columns"] = [e for e in m["columns"] if e["name"] != col]
+            m["dropped_physical"].append(entry["physical"])
+            return m
+
+        return self._alter_metadata_commit(mutate)
 
     # -- file statistics (Delta-style data skipping) -----------------------
 
@@ -479,6 +694,8 @@ class ParquetCowTable:
         stats = self.file_stats() or {}
         blooms = self._read_blooms()
         pos = self._bloom_probe_positions(col, value)
+        # Footer stats and bloom bitsets key on the frozen PHYSICAL name.
+        col = self._physical_name(col)
         v = self._stat_value(value)
         keep = []
         for f in self.data_files():
@@ -515,7 +732,8 @@ class ParquetCowTable:
                 df = df.withColumn(part, F.col(part).cast(ptype))
             if self._hidden_part:
                 df = df.drop(part)
-        return df.filter(F.col(col) == F.lit(value))
+        df = df.filter(F.col(self._physical_name(col)) == F.lit(value))
+        return self._to_logical(df, self._schema_mapping(cur.path))
 
     def row_count(self, version: int | None = None) -> int:
         """COUNT(*) from committed footer stats — O(files) metadata,
@@ -542,6 +760,7 @@ class ParquetCowTable:
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
         stats = self.file_stats() or {}
+        col = self._physical_name(col)  # footer stats key on physical names
         lo = self._stat_value(lower) if lower is not None else None
         hi = self._stat_value(upper) if upper is not None else None
         # Hidden partitioning: when the predicate column IS the
@@ -622,11 +841,12 @@ class ParquetCowTable:
                 df = df.withColumn(part, F.col(part).cast(ptype))
             if self._hidden_part:
                 df = df.drop(part)
+        ph = self._physical_name(col)
         if lower is not None:
-            df = df.filter(F.col(col) >= F.lit(lower))
+            df = df.filter(F.col(ph) >= F.lit(lower))
         if upper is not None:
-            df = df.filter(F.col(col) <= F.lit(upper))
-        return df
+            df = df.filter(F.col(ph) <= F.lit(upper))
+        return self._to_logical(df, self._schema_mapping(cur.path))
 
     def read_lookup(self, value) -> DataFrame:
         """Point lookup through the hidden partition layout: rows whose
@@ -658,11 +878,12 @@ class ParquetCowTable:
         dtype = dict(df.dtypes).get(tr.source)
         probe = F.lit(value).cast(dtype)
         bucket = F.pmod(F.xxhash64(probe), F.lit(tr.param)).cast("int")
-        return (
+        out = (
             df.filter(F.col(tr.name) == bucket)
             .drop(tr.name)
             .filter(F.col(tr.source) == probe)
         )
+        return self._to_logical(out, self._schema_mapping(cur.path))
 
     def _promote(
         self,
@@ -1211,7 +1432,9 @@ class ParquetCowTable:
         # schema, exactly like Iceberg's hidden partition fields.
         if self._hidden_part:
             df = df.drop(self._transform.name)
-        return df
+        # Apply THAT snapshot's logical schema mapping: every retained
+        # version reads under the schema it was committed with (X85).
+        return self._to_logical(df, self._schema_mapping(cur.path))
 
     def _read_physical(self, cur: TableVersion) -> DataFrame:
         """Snapshot read KEEPING the physical partition column (identity
@@ -1386,6 +1609,9 @@ class ParquetCowTable:
         tgt_affected = self._read_physical(cur).filter(cond)
         if self._hidden_part:
             tgt_affected = tgt_affected.drop(part)
+        # Logical schema for the combine: renamed fields align with the
+        # source's names; staging maps back to physical at write.
+        tgt_affected = self._to_logical(tgt_affected, self._schema_mapping(cur.path))
         if delete:
             merged = tgt_affected.join(src.select(pk).distinct(), pk, "left_anti")
         else:

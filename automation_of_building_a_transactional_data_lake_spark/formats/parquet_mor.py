@@ -166,7 +166,7 @@ class ParquetMorTable:
         self._write_meta()
         base = f"b{1:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": [], "meta": snapshot_meta})
+        self._commit({"base": base, "deltas": [], "meta": snapshot_meta, "op": "create"})
         return True
 
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
@@ -175,7 +175,7 @@ class ParquetMorTable:
         cur = self.current_snapshot()
         base = f"b{(cur['n'] + 1) if cur else 1:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": [], "meta": snapshot_meta})
+        self._commit({"base": base, "deltas": [], "meta": snapshot_meta, "op": "overwrite"})
 
     def snapshot_meta(self, version: int | None = None) -> dict | None:
         """Caller metadata committed atomically with the snapshot json
@@ -257,6 +257,7 @@ class ParquetMorTable:
             "base": cur["base"],
             "deltas": cur["deltas"] + [delta],
             "meta": snapshot_meta if snapshot_meta is not None else cur.get("meta"),
+            "op": "merge",
         }
         if self.deletion_vectors:
             # Superseded base rows become position deletes, committed
@@ -470,7 +471,7 @@ class ParquetMorTable:
             return
         base = f"b{cur['n'] + 1:08d}"
         self._write_dir(self.read(), base)
-        self._commit({"base": base, "deltas": [], "meta": cur.get("meta")})
+        self._commit({"base": base, "deltas": [], "meta": cur.get("meta"), "op": "compact"})
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots with their

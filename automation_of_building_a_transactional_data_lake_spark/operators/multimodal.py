@@ -167,7 +167,47 @@ def _parse_auto(payload: bytes | None) -> dict | None:
     return parse_bmp_header(payload) or parse_wav_header(payload)
 
 
+def pillow_available() -> bool:
+    """True when the optional pillow dependency is importable (it is
+    not installed in the build sandbox; deployments that need real
+    JPEG/PNG/WebP decode install it and the ``pil`` decoder activates
+    without code changes)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def parse_pil_header(payload: bytes | None) -> dict | None:
+    """Optional-dependency image decode via pillow: format, pixel
+    dimensions and channel count for every format pillow can identify
+    (JPEG/PNG/WebP/GIF/...). ``Image.open`` on a BytesIO only parses
+    headers — no pixel data is decoded — so the per-item cost matches
+    the dependency-free BMP/WAV tier. Returns None for unparseable
+    payloads (schema-stable over a dirty crawl)."""
+    if payload is None:
+        return None
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "format": (im.format or "unknown").lower(),
+                "width": int(im.size[0]),
+                "height": int(im.size[1]),
+                "n_channels": len(im.getbands()),
+            }
+    except Exception:  # noqa: BLE001 — any undecodable payload is null fields
+        return None
+
+
 _DECODERS = {"fake": _parse_fake, "bmp": parse_bmp_header, "wav": parse_wav_header, "auto": _parse_auto}
+if pillow_available():
+    _DECODERS["pil"] = parse_pil_header
 
 
 def decode_media(
@@ -184,10 +224,14 @@ def decode_media(
     per-item; payloads still cross to Python once per Arrow batch, and
     only (id, payload) is shipped (column-pruned at the scan)."""
     if decoder not in _DECODERS:
+        hint = (
+            "install pillow to enable decoder='pil'"
+            if decoder == "pil"
+            else "media codec libraries not present in this environment"
+        )
         raise NotImplementedError(
-            f"decoder={decoder!r} requires media codec libraries not present "
-            "in this environment; available: "
-            "'bmp'/'wav'/'auto' (real header parse) or 'fake' (deterministic stub)"
+            f"decoder={decoder!r} unavailable ({hint}); available: "
+            f"{sorted(_DECODERS)}"
         )
     parse = _DECODERS[decoder]
     pruned = media.select(id_col, payload_col)

@@ -43,6 +43,7 @@ import urllib.parse
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
@@ -198,7 +199,7 @@ class LakeDataSource(DataSource):
             )
         return meta
 
-    def schema(self) -> StructType:
+    def _batch_schema(self) -> StructType:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -240,8 +241,79 @@ class LakeDataSource(DataSource):
             schema = schema.add(part_col, by_name.get(ptype, StringType()), True)
         return schema
 
+    def _mor_meta(self) -> dict:
+        meta = _read_json(os.path.join(self._table_path(), _META), None)
+        if meta is None:
+            raise FileNotFoundError(f"no managed table at {self._table_path()}")
+        if meta.get("format") != "mor":
+            raise ValueError(
+                "the lakehouse CHANGE FEED streams a merge-on-read table's "
+                "delta log (each micro-batch = the CDC batches committed "
+                "since the last offset); copy-on-write tables derive changes "
+                "by snapshot diff — use formats.changes.snapshot_changes in "
+                "batch for those"
+            )
+        return meta
+
+    def _changes_schema(self) -> StructType:
+        """Change-feed schema: the newest delta's business columns plus
+        ``_change_op`` ('U'|'D') and ``_commit_version``. Derived from
+        the latest delta footer (falling back to the base) so schema
+        evolution in newer deltas is picked up at stream (re)start."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType
+
+        self._mor_meta()
+        path = self._table_path()
+        snap = _mor_snapshot(path, _mor_head(path))
+        # Union of base + every current delta's footer, first-seen order:
+        # delete deltas carry only the key column, and schema evolution
+        # may widen later deltas — a single footer under-describes the
+        # feed (nullable fields cover the gaps per file at read).
+        fields: list = []
+        seen: set[str] = set()
+        for d in [snap["base"], *snap["deltas"]]:
+            ddir = os.path.join(path, d)
+            pfiles = sorted(
+                os.path.join(r, f)
+                for r, _dirs, fs in os.walk(ddir)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not pfiles:
+                continue
+            for f in from_arrow_schema(pq.ParquetFile(pfiles[0]).schema_arrow).fields:
+                if f.name.startswith("__mor_") or f.name in seen:
+                    continue
+                seen.add(f.name)
+                fields.append(f)
+        schema = StructType(fields)
+        return schema.add("_change_op", StringType(), True).add(
+            "_commit_version", LongType(), False
+        )
+
+    def schema(self) -> StructType:
+        if self.options.get("feed") == "changes":
+            return self._changes_schema()
+        return self._batch_schema()
+
     def reader(self, schema: StructType) -> "LakeReader":
+        if self.options.get("feed") == "changes":
+            raise ValueError(
+                "feed=changes is a STREAMING source (spark.readStream); "
+                "for batch snapshots drop the feed option"
+            )
         return LakeReader(self._table_path(), self._meta(), dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> "LakeChangeFeedReader":  # noqa: N802
+        self._mor_meta()
+        if self.options.get("feed") != "changes":
+            raise ValueError(
+                "streaming the lakehouse format requires .option('feed', "
+                "'changes') — the stream is the table's change feed"
+            )
+        return LakeChangeFeedReader(self._table_path(), dict(self.options), schema)
 
 
 class LakeReader(DataSourceReader):
@@ -434,3 +506,110 @@ class LakeReader(DataSourceReader):
                 # Schema-evolved older file: absent column reads as null.
                 cols.append(pa.nulls(len(tbl), field.type))
         yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
+
+
+# -- MoR change-feed streaming (Delta CDF / Hudi incremental pull) ----------
+
+
+def _mor_head(table_path: str) -> int:
+    latest = os.path.join(table_path, _LATEST)
+    if not os.path.isfile(latest):
+        raise FileNotFoundError(f"no committed table at {table_path}")
+    with open(latest, encoding="ascii") as f:
+        return int(f.read().strip())
+
+
+def _mor_snapshot(table_path: str, n: int) -> dict:
+    snap = _read_json(os.path.join(table_path, "_snapshots", f"{n}.json"), None)
+    if snap is None:
+        raise FileNotFoundError(f"snapshot {n} missing at {table_path}")
+    return snap
+
+
+class LakeCommitPartition(InputPartition):
+    def __init__(self, files: list[str], version: int) -> None:
+        self.files = files
+        self.version = version
+
+
+class LakeChangeFeedReader(DataSourceStreamReader):
+    """Structured-Streaming source over a merge-on-read table's DELTA
+    LOG — the engine's Delta-CDF / Hudi-incremental-pull: each
+    micro-batch delivers exactly the CDC rows committed since the last
+    offset, as (business columns, _change_op 'U'|'D', _commit_version).
+
+    Scale shape: offsets are version numbers (driver traffic is O(1)
+    metadata); each committed merge contributes its delta FILES as
+    input partitions, so row bytes flow through executors, never the
+    driver — micro-batch size is the CDC batch size by construction.
+    Compaction commits are skipped (they change no logical content);
+    an overwrite aborts the stream loudly (content replaced outside
+    the change protocol — restart the stream from it)."""
+
+    def __init__(self, table_path: str, options: dict, schema: StructType) -> None:
+        self.table_path = table_path
+        self.options = options
+        self.schema_ = schema
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        start = self.options.get("starting_version")
+        v = int(start) if start is not None else _mor_head(self.table_path)
+        return {"version": v}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"version": _mor_head(self.table_path)}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for n in range(start["version"] + 1, end["version"] + 1):
+            snap = _mor_snapshot(self.table_path, n)
+            op = snap.get("op")
+            if op == "merge" or (op is None and snap["deltas"]):
+                ddir = os.path.join(self.table_path, snap["deltas"][-1])
+                files = sorted(
+                    os.path.join(r, f)
+                    for r, _d, fs in os.walk(ddir)
+                    for f in fs
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+                if files:
+                    out.append(LakeCommitPartition(files, n))
+            elif op == "overwrite":
+                raise ValueError(
+                    f"snapshot {n} OVERWROTE the table outside the change "
+                    "protocol; the change feed cannot represent it — restart "
+                    f"the stream with starting_version={n}"
+                )
+            # create/compact: no logical row-level changes to emit.
+        if not out:
+            # Spark requires at least one (possibly empty) partition
+            # per planned batch.
+            out.append(LakeCommitPartition([], end["version"]))
+        return out
+
+    def read(self, partition: LakeCommitPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema_)
+        for fpath in partition.files:
+            tbl = pq.read_table(fpath)
+            cols = []
+            for field in target:
+                if field.name == "_change_op":
+                    cols.append(tbl.column("__mor_op").cast(field.type))
+                elif field.name == "_commit_version":
+                    cols.append(
+                        pa.array([partition.version] * len(tbl)).cast(field.type)
+                    )
+                elif field.name in tbl.column_names:
+                    cols.append(tbl.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(len(tbl), field.type))
+            yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        # Offsets are table versions; the checkpoint owns progress, the
+        # table owns retention (vacuum) — nothing to clean up here.
+        return

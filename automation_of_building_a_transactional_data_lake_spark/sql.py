@@ -133,13 +133,175 @@ class LakeSQL:
         out.append(text[last:])
         return "".join(out)
 
-    def sql(self, text: str) -> DataFrame | MergeResult:
-        """Run one statement. SELECT/CTE/etc return the DataFrame Spark
-        plans for the rewritten text; MERGE executes transactionally
-        and returns a :class:`MergeResult`."""
+    def sql(self, text: str) -> DataFrame | MergeResult | dict | None:
+        """Run one statement.
+
+        - SELECT / CTE / any read shape: the DataFrame Spark plans for
+          the identifier-rewritten text.
+        - ``MERGE INTO``: executes transactionally, returns
+          :class:`MergeResult`.
+        - DDL/maintenance on managed tables, mapped onto the table API:
+          ``CREATE TABLE <ident> AS SELECT ...`` (reference W2 as text),
+          ``ALTER TABLE <ident> ADD COLUMN c t | RENAME COLUMN a TO b |
+          DROP COLUMN c`` (X85), ``VACUUM <ident> [RETAIN n VERSIONS]``,
+          ``OPTIMIZE <ident> [ZORDER BY (c, ...)]`` (Delta maintenance
+          SQL), ``DROP TABLE [IF EXISTS] <ident>``, ``SHOW TABLES IN
+          <cat>.<db>`` and ``DESCRIBE <ident>`` (S5 as text).
+        """
         if re.match(r"\s*MERGE\s+INTO\b", text, re.IGNORECASE):
             return self._merge(text)
+        handled = self._ddl(text)
+        if handled is not NotImplemented:
+            return handled
+        fast = self._metadata_count(text)
+        if fast is not None:
+            return fast
         return self.spark.sql(self._rewrite(text))
+
+    def _metadata_count(self, text: str):
+        """``SELECT count(*) FROM <ident> [FOR VERSION AS OF n]`` with
+        no WHERE/GROUP BY answers from the committed footer-stats index
+        (X75): O(files) metadata, zero data scan — at 100 TB a bare
+        count must never cost a table read. Any other shape falls
+        through to the normal plan."""
+        m = re.match(
+            rf"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
+            rf"FROM\s+(?P<t>{re.escape(self.name)}\.\w+\.\w+)"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        spec, tbl = self._resolve_ident(m.group("t"))
+        if not hasattr(tbl, "row_count"):
+            return None
+        n = tbl.row_count(version=int(m.group("ver")) if m.group("ver") else None)
+        alias = m.group("alias") or "count(1)"
+        return self.spark.createDataFrame([(n,)], f"`{alias}` long")
+
+    # -- DDL / maintenance statements --------------------------------------
+
+    def _resolve_ident(self, ident: str):
+        parts = ident.split(".")
+        if len(parts) != 3 or parts[0].lower() != self.name.lower():
+            raise ValueError(
+                f"expected {self.name}.<db>.<table>, got {ident!r}"
+            )
+        spec = self.catalog.resolve_spec(parts[1], parts[2])
+        return spec, self.catalog.table(spec)
+
+    def _ddl(self, text: str):
+        s = text.strip().rstrip(";").strip()
+        ident = rf"{re.escape(self.name)}\.\w+\.\w+"
+
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(?P<t>{ident})\s+AS\s+(?P<q>SELECT\b.*)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CTAS needs a primary key for the merge surface; take the
+            # first output column (documented convention) — reference W2
+            # creates from an inferred schema the same way.
+            df = self.spark.sql(self._rewrite(m.group("q")))
+            _cat, db, tname = m.group("t").split(".")
+            from .spec import TableSpec
+
+            spec = TableSpec(tname, df.columns[0], None, None, db)
+            self.catalog.table(spec).create(df)
+            return {"table": spec.qualified_name, "action": "created"}
+
+        m = re.match(
+            rf"ALTER\s+TABLE\s+(?P<t>{ident})\s+(?P<rest>.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            _spec, tbl = self._resolve_ident(m.group("t"))
+            if not isinstance(tbl, ParquetCowTable):
+                raise ValueError(
+                    "ALTER TABLE (schema evolution) is supported on "
+                    "copy-on-write tables; this table is merge-on-read"
+                )
+            rest = m.group("rest").strip()
+            am = re.match(
+                r"ADD\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s+(?P<ty>[\w()<>, ]+?)\s*\)?$",
+                rest, re.IGNORECASE,
+            )
+            if am:
+                v = tbl.alter_add_column(am.group("c"), am.group("ty").lower())
+                return {"action": "add_column", "version": v}
+            rm = re.match(
+                r"RENAME\s+COLUMN\s+(?P<a>\w+)\s+TO\s+(?P<b>\w+)$", rest, re.IGNORECASE
+            )
+            if rm:
+                v = tbl.alter_rename_column(rm.group("a"), rm.group("b"))
+                return {"action": "rename_column", "version": v}
+            dm = re.match(r"DROP\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s*\)?$", rest, re.IGNORECASE)
+            if dm:
+                v = tbl.alter_drop_column(dm.group("c"))
+                return {"action": "drop_column", "version": v}
+            raise ValueError(f"unsupported ALTER TABLE clause {rest!r}")
+
+        m = re.match(
+            rf"VACUUM\s+(?P<t>{ident})(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            _spec, tbl = self._resolve_ident(m.group("t"))
+            removed = tbl.vacuum(int(m.group("n")) if m.group("n") else 1)
+            return {"action": "vacuum", "removed": removed}
+
+        m = re.match(
+            rf"OPTIMIZE\s+(?P<t>{ident})"
+            r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[\w ,]+?)\s*\))?$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            _spec, tbl = self._resolve_ident(m.group("t"))
+            z = [c.strip() for c in m.group("z").split(",")] if m.group("z") else None
+            if z and not isinstance(tbl, ParquetCowTable):
+                raise ValueError("ZORDER BY is supported on copy-on-write tables only")
+            mode = tbl.compact(zorder=z) if z else tbl.compact()
+            return {"action": "optimize", "mode": mode}
+
+        m = re.match(
+            rf"DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<t>{ident})$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            _cat, db, tname = m.group("t").split(".")
+            from .spec import TableSpec
+
+            dropped = self.catalog.drop_table(
+                TableSpec(tname, "_", None, None, db),
+                if_exists=bool(m.group("ine")),
+            )
+            return {"action": "drop_table", "dropped": dropped}
+
+        m = re.match(
+            rf"SHOW\s+TABLES\s+IN\s+{re.escape(self.name)}\.(?P<db>\w+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            names = self.catalog.list_tables(m.group("db"))
+            return self.spark.createDataFrame(
+                [(m.group("db"), n) for n in names], "database string, table string"
+            )
+
+        m = re.match(rf"DESC(?:RIBE)?\s+(?P<t>{ident})$", s, re.IGNORECASE)
+        if m:
+            spec, tbl = self._resolve_ident(m.group("t"))
+            df = tbl.read()
+            rows = [
+                (n, t, n == spec.primary_key, n == spec.partition_key)
+                for n, t in df.dtypes
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, is_primary_key boolean, "
+                "is_partition boolean"
+            )
+
+        return NotImplemented
 
     # -- MERGE INTO --------------------------------------------------------
 
@@ -250,7 +412,15 @@ class LakeSQL:
                         f"{salias}.<col> > {talias}.<col> (strictly-newer guard)"
                     )
                 guard_col = g.group("gs")
-            tbl.merge_upsert(src, guard_col=guard_col)
+            if guard_col is None:
+                tbl.merge_upsert(src)
+            elif isinstance(tbl, ParquetCowTable):
+                tbl.merge_upsert(src, guard_col=guard_col)
+            else:
+                raise ValueError(
+                    "the strictly-newer guard is supported on copy-on-write "
+                    "tables; this table is merge-on-read"
+                )
             return MergeResult(spec.qualified_name, "upsert", src.count())
 
         raise ValueError(

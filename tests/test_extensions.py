@@ -741,3 +741,52 @@ def test_influence_reach_edge_set_materialized_once(spark):
     assert plan.count("get_json_object") == 0
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert df.count() > 0
+
+
+def test_pil_decoder_golden_bytes_or_clear_absence(spark):
+    """r6 verdict #9: the pillow backend is optional-dependency-gated —
+    present: golden-bytes PNG decode through the same decode_media
+    plumbing; absent: NotImplementedError that names the missing
+    dependency. Never a silent wrong answer either way."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.multimodal import (
+        decode_media,
+        pillow_available,
+    )
+
+    if not pillow_available():
+        from .conftest import SF_SMOKE  # noqa: F401 (import parity with siblings)
+
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_media(None, decoder="pil")
+        pytest.skip("pillow not installed; absence contract verified")
+
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    # Golden bytes: a 3x2 8-bit RGB PNG built by hand.
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * 3 for _ in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    media = media_frame(
+        spark,
+        [(1, "image", "image/png", bytearray(png), None, None, None),
+         (2, "image", None, bytearray(b"not an image"), None, None, None)],
+    )
+    got = {r.media_id: r for r in decode_media(media, decoder="pil").collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].n_channels) == (
+        "png", 3, 2, 3,
+    )
+    assert got[2].format is None and got[2].width is None

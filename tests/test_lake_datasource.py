@@ -195,3 +195,60 @@ def test_lakesql_via_datasource_matches_native(spark, tmp_path):
     native = LakeSQL(cat).sql(q).first().n
     via_ds = LakeSQL(cat, via="datasource").sql(q).first().n
     assert native == via_ds == 10
+
+
+def test_mor_change_feed_streaming_source(spark, tmp_path):
+    """Streaming change feed over a merge-on-read table's delta log
+    (Delta CDF / Hudi incremental pull through the lakehouse format):
+    each micro-batch = the CDC rows committed since the checkpointed
+    offset, as (cols..., _change_op, _commit_version); compaction
+    commits contribute nothing (no logical change); a checkpointed
+    restart delivers ONLY the new commits; delete rows carry null
+    business columns beyond the key; an overwrite aborts loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    spec = TableSpec("t_feed", "id", None, None, "streamdb")
+    tbl = ParquetMorTable(spark, str(tmp_path / "wh"), spec)
+    tbl.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    tbl.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"))
+    tbl.merge_delete(spark.createDataFrame([(1,)], "id long"))
+    register_lake_datasource(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", tbl.path)
+            .option("feed", "changes")
+            .option("starting_version", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == {(2, "B", "U", 2), (3, "c", "U", 2), (1, None, "D", 3)}
+
+    tbl.merge_upsert(spark.createDataFrame([(4, "d")], "id long, val string"))
+    tbl.compact()  # no logical change: must emit nothing
+    tbl.merge_delete(spark.createDataFrame([(3,)], "id long"))
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        (2, "B", "U", 2), (3, "c", "U", 2), (1, None, "D", 3),
+        (4, "d", "U", 4), (3, None, "D", 6),
+    }
+
+    # Feed option guards: batch read with feed=changes is an error; a
+    # CoW table names the limitation.
+    with pytest.raises(Exception, match="STREAMING|streaming"):
+        spark.read.format("lakehouse").option("path", tbl.path).option(
+            "feed", "changes"
+        ).load().collect()

@@ -185,3 +185,69 @@ def test_resolve_spec_roundtrip(user_lake):
     assert resolved.primary_key == spec.primary_key
     assert resolved.partition_key == spec.partition_key
     assert resolved.database == "game"
+
+
+def test_ddl_statements_end_to_end(spark, tmp_path):
+    """The DDL/maintenance text surface: CTAS, ALTER ADD/RENAME/DROP,
+    OPTIMIZE (+ZORDER), VACUUM, SHOW TABLES, DESCRIBE, DROP TABLE —
+    each mapped onto the transactional table API."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    lake = LakeSQL(cat)
+    spark.range(100).selectExpr(
+        "id", "concat('u', id) AS val", "CAST(id % 3 AS STRING) AS grp"
+    ).createOrReplaceTempView("src_rows")
+
+    r = lake.sql("CREATE TABLE lake.ddl.t1 AS SELECT * FROM src_rows")
+    assert r == {"table": "ddl.t1", "action": "created"}
+    assert lake.sql("SELECT count(*) AS n FROM lake.ddl.t1").first().n == 100
+
+    # SHOW TABLES / DESCRIBE
+    rows = lake.sql("SHOW TABLES IN lake.ddl").collect()
+    assert [(x.database, x.table) for x in rows] == [("ddl", "t1")]
+    desc = {x.col_name: x for x in lake.sql("DESCRIBE lake.ddl.t1").collect()}
+    assert desc["id"].is_primary_key and desc["id"].data_type == "bigint"
+
+    # ALTER: add, write through it, rename, drop.
+    assert lake.sql("ALTER TABLE lake.ddl.t1 ADD COLUMN score double")["action"] == "add_column"
+    spark.createDataFrame(
+        [(1, "u1b", "1", 0.5)], "id long, val string, grp string, score double"
+    ).createOrReplaceTempView("t1_up")
+    lake.sql("""MERGE INTO lake.ddl.t1 t USING t1_up s ON s.id = t.id
+                WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    lake.sql("ALTER TABLE lake.ddl.t1 RENAME COLUMN val TO username")
+    got = lake.sql(
+        "SELECT username, score FROM lake.ddl.t1 WHERE id = 1"
+    ).first()
+    assert (got.username, got.score) == ("u1b", 0.5)
+    lake.sql("ALTER TABLE lake.ddl.t1 DROP COLUMN grp")
+    assert "grp" not in lake.sql("SELECT * FROM lake.ddl.t1").columns
+
+    # OPTIMIZE / VACUUM / DROP TABLE.
+    assert lake.sql("OPTIMIZE lake.ddl.t1")["action"] == "optimize"
+    assert lake.sql("OPTIMIZE lake.ddl.t1 ZORDER BY (id, score)")["mode"] in (
+        "full", "noop", "selective",
+    )
+    out = lake.sql("VACUUM lake.ddl.t1 RETAIN 1 VERSIONS")
+    assert out["action"] == "vacuum" and isinstance(out["removed"], list)
+    assert lake.sql("DROP TABLE lake.ddl.t1") == {"action": "drop_table", "dropped": True}
+    assert lake.sql("SHOW TABLES IN lake.ddl").count() == 0
+    assert lake.sql("DROP TABLE IF EXISTS lake.ddl.t1")["dropped"] is False
+
+
+def test_bare_count_star_answers_from_metadata(user_lake, spark):
+    """SELECT count(*) FROM <ident> with no predicate answers from the
+    footer-stats index (X75 through the SQL surface) — asserted by
+    checking the returned plan is a LocalRelation (no file scan) while
+    the value still matches the scan count; shapes with predicates fall
+    through to a real plan."""
+    cat, spec, lake = user_lake
+    df = lake.sql("SELECT count(*) AS n FROM lake.game.user_data")
+    assert df.first().n == 10000
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" not in plan or "LocalRelation" in plan  # no parquet scan
+    # Predicated count: NOT the metadata path (real scan, exact result).
+    filtered = lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data WHERE user_id <= 10"
+    )
+    assert filtered.first().n == 10
+    assert "LocalRelation" not in filtered._jdf.queryExecution().optimizedPlan().toString()

@@ -1378,3 +1378,112 @@ def test_rebase_merges_txn_markers_per_app_max(spark, tmp_path, monkeypatch):
         _mk(spark, [(2, "B", "y")]), snapshot_meta={"txns": {"appA": 6, "appB": 4}}
     )
     assert tbl.snapshot_meta() == {"txns": {"appA": 7, "appB": 4}}
+
+
+def test_alter_add_rename_drop_columns_with_time_travel(spark, tmp_path):
+    """r6 verdict #7: schema evolution surface. ADD/RENAME/DROP are
+    metadata-only commits (data files hard-link forward, byte-identical);
+    renames keep the frozen physical name so every existing file keeps
+    serving the field; old snapshots still read correctly — under THEIR
+    schema — via time travel; merging through the renamed schema stays
+    green; a re-added name never resurrects dropped bytes."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PLAIN)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v1_files = {f: os.stat(f).st_ino for f in tbl.data_files()}
+
+    # ADD: nulls until written.
+    tbl.alter_add_column("score", "double")
+    assert {r.id: r.score for r in tbl.read().collect()} == {1: None, 2: None}
+    # Metadata-only: same inodes.
+    assert {os.path.basename(f) for f in tbl.data_files()} == {
+        os.path.basename(f) for f in v1_files
+    }
+
+    # RENAME: logical-only; data still served from the old physical name.
+    tbl.alter_rename_column("val", "label")
+    got = {r.id: r.label for r in tbl.read().collect()}
+    assert got == {1: "a", 2: "b"}
+    assert "val" not in tbl.read().columns
+
+    # Merge THROUGH the renamed schema: source uses the new name.
+    tbl.merge_upsert(
+        spark.createDataFrame(
+            [(2, "B", "y", 0.5), (3, "c", "z", 0.9)],
+            "id long, label string, cat string, score double",
+        )
+    )
+    got = {r.id: (r.label, r.score) for r in tbl.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 0.5), 3: ("c", 0.9)}
+
+    # Time travel: v1 reads under ITS schema (val, no score).
+    v1 = tbl.read(version=1)
+    assert set(v1.columns) == {"id", "val", "cat"}
+    assert {r.id: r.val for r in v1.collect()} == {1: "a", 2: "b"}
+
+    # DROP then re-ADD same name: fresh field, old bytes never resurface.
+    tbl.alter_drop_column("label")
+    assert "label" not in tbl.read().columns
+    tbl.alter_add_column("label", "string")
+    assert {r.label for r in tbl.read().collect()} == {None}
+    tbl.merge_upsert(
+        spark.createDataFrame(
+            [(1, "fresh", "x", 1.0)], "id long, label string, cat string, score double"
+        )
+    )
+    got = {r.id: r.label for r in tbl.read().collect()}
+    assert got == {1: "fresh", 2: None, 3: None}
+
+    # Guards: identity/primary columns are not alterable; dup/missing
+    # names error clearly.
+    with pytest.raises(ValueError, match="primary key"):
+        tbl.alter_rename_column("id", "uid")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.alter_add_column("score", "double")
+    with pytest.raises(KeyError):
+        tbl.alter_drop_column("nope")
+    assert tbl.fsck(deep=True) == []
+
+
+def test_alter_rename_keeps_stats_pruning_and_lookup(spark, tmp_path):
+    """Footer stats key on the frozen physical name; pruning and
+    point-lookup entry points must keep working when addressed by the
+    NEW logical name after a rename."""
+    spec = TableSpec("t_alter_stats", "id", None, None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    df = spark.range(100).selectExpr("id", "concat('u', id) AS val", "'x' AS cat")
+    tbl.create(df.repartitionByRange(4, "id"))
+    tbl.alter_rename_column("val", "username")
+
+    total = len(tbl.data_files())
+    pruned = tbl.pruned_files("username", "u10", "u20")
+    assert len(pruned) <= total  # addressed by logical name, no KeyError
+    rows = tbl.read_skipping("username", "u10", "u10").collect()
+    assert [r.username for r in rows] == ["u10"]
+    assert "val" not in tbl.read_skipping("username", "u10", "u10").columns
+
+
+def test_external_engine_reads_manifest_snapshot(spark, tmp_path):
+    """External-engine interop (the reference's Redshift-Spectrum
+    symlink-manifest story, W10): a non-Spark engine (DuckDB) reading
+    exactly the manifest's file list must reproduce the committed
+    snapshot — including after a merge + compaction rewrote the file
+    set — without any engine-private metadata."""
+    import duckdb
+
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    rows = [(i, f"v{i}", "x" if i % 2 else "y") for i in range(50)]
+    tbl.create(_mk(spark, rows))
+    tbl.merge_upsert(_mk(spark, [(1, "V1", "x"), (50, "new", "y")]))
+    tbl.merge_delete(spark.createDataFrame([(2,)], "id long"))
+    tbl.compact()
+    manifest = tbl.generate_manifest()
+
+    files = open(manifest).read().strip().splitlines()
+    con = duckdb.connect()
+    got = con.sql(
+        "SELECT id, val FROM read_parquet(?) ORDER BY id", params=[files]
+    ).fetchall()
+    want = sorted(
+        (r.id, r.val) for r in tbl.read().select("id", "val").collect()
+    )
+    assert got == want and len(got) == 50
