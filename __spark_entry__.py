@@ -105,7 +105,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     which runs the same warehouse + aggregate THROUGH the identifier
 #     surface) and orders_priority_semi (green r5+r6; left-semi shape ⊂
 #     q4_late_shipment_exists, still pytest-gated) rotate OUT.
+#   r7 late addition: docs_dedup_clusters (connected components over the
+#     near-dup graph — the clustering stage pair-finding feeds; oracle
+#     is an independent recursive-CTE transitive closure) takes a
+#     recorded slot; docs_token_counts (green r3-r6; whitespace+BPE-ish
+#     token counting is composed inside the recorded docs_text_stats
+#     and vocab-induction gates) rotates OUT.
 _DEMOTED_TAIL = [
+    "docs_token_counts",
     "q1_via_managed_table",
     "orders_priority_semi",
     "orders_urgent_by_status",

@@ -561,3 +561,75 @@ def hamming_dist_col(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     XOR — one JVM intrinsic)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the stage
+    that turns PAIRS into the CLUSTERS a dedup pipeline actually acts
+    on (keep one representative per component, drop the rest). Returns
+    ``(doc_id, cluster_id)`` for every node that appears in a pair,
+    with ``cluster_id`` = the component's minimum id (deterministic
+    canonical representative).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    itself; each round, a node adopts the minimum label among itself
+    and its neighbors; fixpoint = components. Rounds needed equal the
+    graph diameter; near-dup graphs are overwhelmingly tiny cliques
+    and short chains (diameter a handful), so the loop converges in a
+    few one-shuffle joins. Each round is label-frame x edge-frame
+    equi-join + groupBy-min — no driver-side graph state, and the
+    label frame is localCheckpointed per round so the plan does not
+    deepen with iterations (lineage-safe alternative for clusters:
+    persist, same as ``_materialize``). ``max_iterations`` bounds the
+    adversarial case (one long path); production graphs at 100 TB that
+    really have huge diameters should switch to the
+    large-star/small-star alternating algorithm (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in
+    O(log^2 n) rounds of the same join shape.
+
+    The fixpoint check is exact: iteration stops when NO node's label
+    changed (count of changed rows == 0), so the result equals the
+    transitive-closure definition the oracle computes independently.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    edges = edges.distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

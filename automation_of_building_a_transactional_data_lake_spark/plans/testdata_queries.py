@@ -1132,6 +1132,44 @@ DOCS_NGRAM_JACCARD_ORACLE = _all_pairs_jaccard_oracle(0.7)
 
 
 # --------------------------------------------------------------------------
+# docs_dedup_clusters — the stage AFTER pair finding: connected
+# components over the near-dup graph, yielding the (doc_id, cluster_id)
+# assignment a dedup pipeline acts on (keep cluster_id == doc_id, drop
+# the rest). Spark side: banded-LSH pairs (exact-verified) -> min-label
+# propagation to fixpoint (operators.dedup.connected_components); the
+# oracle computes the same components INDEPENDENTLY via a recursive-CTE
+# transitive closure over the brute-force pair set — agreement pins
+# both the pair stage and the iterative clustering.
+# --------------------------------------------------------------------------
+
+
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, minhash_near_dup_pairs
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, id_col="doc_id", text_col="text", threshold=0.8)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+DOCS_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_all_pairs_jaccard_oracle(0.8)}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+)
+SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -1507,6 +1545,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "docs_ngram_jaccard_dedup", docs_ngram_jaccard_dedup, DOCS_NGRAM_JACCARD_ORACLE
         ),
+        QueryDef("docs_dedup_clusters", docs_dedup_clusters, DOCS_CLUSTERS_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
         QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
         QueryDef("docs_curation_pipeline", docs_curation_pipeline, DOCS_CURATION_ORACLE),

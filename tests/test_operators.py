@@ -657,3 +657,25 @@ def test_masking_helpers_edges(spark):
         redact_pattern(F.col("s"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("r")
     ).first().r
     assert red == "mail [REDACTED] now"
+
+
+def test_connected_components_shapes(spark):
+    """Min-label propagation must reach the exact fixpoint on the graph
+    shapes near-dup graphs exhibit: chains (worst diameter), cliques,
+    multiple components, and isolated pairs — cluster_id is always the
+    component minimum."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
