@@ -111,7 +111,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     recorded slot; docs_token_counts (green r3-r6; whitespace+BPE-ish
 #     token counting is composed inside the recorded docs_text_stats
 #     and vocab-induction gates) rotates OUT.
+#   r7 late additions 2: docs_bm25_search (Okapi BM25 retrieval) and
+#     docs_trigram_lm_score (corpus-trained char-trigram LM scoring,
+#     the KenLM-perplexity-filter stand-in) take recorded slots;
+#     q6_forecast_revenue (single-group filtered agg ⊂ q1/q19, green
+#     r4-r6) and events_hourly_rollup (date-trunc groupBy count ⊂ the
+#     q1 agg family + events_time_range_rolling, green r3-r6) rotate
+#     OUT — both stay oracle-gated in pytest via test_oracle_parity.
 _DEMOTED_TAIL = [
+    "q6_forecast_revenue",
+    "events_hourly_rollup",
     "docs_token_counts",
     "q1_via_managed_table",
     "orders_priority_semi",

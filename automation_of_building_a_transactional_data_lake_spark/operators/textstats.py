@@ -210,3 +210,55 @@ def document_frequencies(
             F.round(F.col("doc_freq") / F.col("__n_docs"), 6).alias("doc_frac"),
         )
     )
+
+
+def trigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average log-likelihood under a corpus-trained
+    character-trigram language model — the dependency-free stand-in
+    for the KenLM-style perplexity filters big text pipelines run
+    (CCNet/Gopher): documents whose character statistics diverge from
+    the corpus score low.
+
+    Model: P(tri) = count(tri) / count(trigrams sharing tri's first
+    two characters); both counts over the whole corpus (one explode +
+    two map-side-combined groupBys). Score(d) = avg over d's trigram
+    positions of ln P — every doc trigram exists in the model it
+    helped train, so no smoothing term is needed. Documents shorter
+    than 3 characters have no trigram positions and are excluded.
+    Scale: the model frames are O(distinct trigrams) (bounded by
+    |alphabet|^3), broadcastable; the scoring join is one shuffle on
+    the trigram key. All codegen'd expressions, no UDF.
+
+    Returns (id, n_trigrams, avg_logprob rounded to 4dp)."""
+    # sequence(1, stop) DESCENDS when stop < 1 (length <= 2), silently
+    # yielding bogus positions — guard short docs to an empty array.
+    positions = F.when(
+        F.length(text_col) >= 3,
+        F.sequence(F.lit(1), F.length(text_col) - F.lit(2)),
+    ).otherwise(F.array().cast("array<int>"))
+    tris = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(3)))
+        ).alias("__tri"),
+    )
+    tri_counts = tris.groupBy("__tri").agg(F.count("*").alias("__c3"))
+    prefix_counts = (
+        tri_counts.groupBy(F.substring("__tri", 1, 2).alias("__bi"))
+        .agg(F.sum("__c3").alias("__c2"))
+    )
+    model = tri_counts.withColumn("__bi", F.substring("__tri", 1, 2)).join(
+        F.broadcast(prefix_counts), "__bi"
+    )
+    return (
+        tris.join(F.broadcast(model.select("__tri", "__c3", "__c2")), "__tri")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.log(F.col("__c3") / F.col("__c2"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -1170,6 +1170,98 @@ FROM walk GROUP BY node ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# docs_bm25_search — Okapi BM25 top-k retrieval over the documents
+# table (operators/retrieval): lexical ranking against a probe query,
+# the operator curation pipelines use for topical filtering /
+# contamination checks. Spark: explode+groupBy term stats with the
+# query-term filter BEFORE the shuffle, broadcast df/corpus frames,
+# codegen'd score. Oracle: the identical formula in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = "fast merge spark window"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+DOCS_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qtf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('fast', 'merge', 'spark', 'window')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM qtf GROUP BY t
+)
+SELECT doc_id, round(sum(
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * q.tf * ({_BM25_K1} + 1)
+         / (q.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / c.avgdl))
+       ), 4) AS bm25
+FROM qtf q JOIN dfreq f USING (t) JOIN dl d USING (doc_id), corpus c
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_trigram_lm_score — corpus-trained character-trigram LM average
+# log-likelihood per document (the dependency-free stand-in for the
+# KenLM perplexity filters of CCNet/Gopher-class pipelines). Model and
+# scoring are both derived in-query; DuckDB trains the identical model
+# independently, pinning the explode/count/join machinery end-to-end.
+# Bottom-20 by avg_logprob = "most surprising documents", the rows a
+# quality filter would cut first.
+# --------------------------------------------------------------------------
+
+
+def docs_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import trigram_lm_scores
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        trigram_lm_scores(docs)
+        .orderBy(F.col("avg_logprob").asc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+DOCS_TRIGRAM_LM_ORACLE = """
+WITH tris AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                                       i -> substr(text, i, 3))) AS tri
+  FROM documents WHERE length(text) >= 3
+), c3 AS (
+  SELECT tri, count(*) AS n3 FROM tris GROUP BY tri
+), c2 AS (
+  SELECT substr(tri, 1, 2) AS bi, sum(n3) AS n2 FROM c3 GROUP BY bi
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(ln(n3 * 1.0 / n2)), 4) AS avg_logprob
+FROM tris JOIN c3 USING (tri) JOIN c2 ON substr(tri, 1, 2) = c2.bi
+GROUP BY doc_id
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -1546,6 +1638,8 @@ QUERIES: dict[str, QueryDef] = {
             "docs_ngram_jaccard_dedup", docs_ngram_jaccard_dedup, DOCS_NGRAM_JACCARD_ORACLE
         ),
         QueryDef("docs_dedup_clusters", docs_dedup_clusters, DOCS_CLUSTERS_ORACLE),
+        QueryDef("docs_bm25_search", docs_bm25_search, DOCS_BM25_ORACLE),
+        QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
         QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
         QueryDef("docs_curation_pipeline", docs_curation_pipeline, DOCS_CURATION_ORACLE),

@@ -679,3 +679,56 @@ def test_connected_components_shapes(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a controlled corpus: a doc containing all query
+    terms outranks partial matches; rarer terms contribute more than
+    common ones; docs without query terms never appear; empty query is
+    a clear error."""
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge fast window"),       # all terms
+            (2, "spark spark spark common words"),  # common term, repeated
+            (3, "window rare thing"),              # one rarer term
+            (4, "nothing relevant here"),
+            (5, "spark text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, "spark window", k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1                 # both terms wins
+    assert 4 not in ids                # no query term -> absent
+    assert len(ids) == 4
+    # 'window' (df=2) is rarer than 'spark' (df=3): single-'window'
+    # doc 3 outscores single-'spark' doc 5.
+    scores = {r.doc_id: r.bm25 for r in got}
+    assert scores[3] > scores[5]
+    with _pytest.raises(ValueError, match="no terms"):
+        bm25_topk(docs, "   ")
+
+
+def test_trigram_lm_scores_short_docs_and_model(spark):
+    """Short docs (< 3 chars) are excluded, repeated-structure docs
+    score higher than corpus-atypical ones, and n_trigrams equals
+    len(text) - 2."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+        trigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcabcabcabc"), (2, "abcabcabcabd"), (3, "zq"), (4, "xyzw")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in trigram_lm_scores(docs).collect()}
+    assert 3 not in got  # too short for any trigram
+    assert got[1].n_trigrams == 10 and got[4].n_trigrams == 2
+    # Doc 1 is pure corpus-modal structure; doc 2 ends atypically.
+    assert got[1].avg_logprob > got[2].avg_logprob
