@@ -406,6 +406,80 @@ class LakeReader(DataSourceReader):
             return True  # mixed-type comparison: keep the file
         return True
 
+    def _transform_excludes(self, rel: str, tr, kinds: dict) -> bool:
+        """Hidden-partitioning directory pruning (the Iceberg read
+        story, from committed metadata alone): a file is excluded when
+        its transform directory value PROVABLY cannot satisfy a pushed
+        filter on the SOURCE column — range/equality bounds mapped
+        through monotonic transforms (days/months/years/hours/
+        truncate), equality probes through ``bucket`` via the xxhash64
+        twin. Unparseable segments are conservatively kept."""
+        seg = rel.split(os.sep, 1)[0]
+        prefix = f"{tr.name}="
+        if not seg.startswith(prefix):
+            return False
+        raw = seg[len(prefix):]
+        is_null = raw == _HIVE_DEFAULT_PARTITION
+        raw = None if is_null else urllib.parse.unquote(raw)
+        for f in self.filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1 or attr[0] != tr.source:
+                continue
+            cls = type(f).__name__
+            if is_null:
+                # A null source can satisfy no bound/equality predicate.
+                if cls in ("EqualTo", "In", "GreaterThan", "GreaterThanOrEqual",
+                           "LessThan", "LessThanOrEqual"):
+                    return True
+                continue
+            if tr.monotonic:
+                try:
+                    if cls == "EqualTo":
+                        los = his = [tr.literal(f.value)]
+                    elif cls == "In":
+                        vals = [tr.literal(v) for v in f.value]
+                        if raw is not None and self._pv(raw, vals[0]) not in vals:
+                            return True
+                        continue
+                    elif cls in ("GreaterThan", "GreaterThanOrEqual"):
+                        los, his = [tr.literal(f.value)], []
+                    elif cls in ("LessThan", "LessThanOrEqual"):
+                        los, his = [], [tr.literal(f.value)]
+                    else:
+                        continue
+                    pv = self._pv(raw, (los + his)[0])
+                    if any(pv < lo for lo in los) or any(pv > hi for hi in his):
+                        return True
+                except (ValueError, TypeError):
+                    continue  # unmappable bound: keep the file
+            elif cls == "EqualTo":
+                pos = None
+                kind = kinds.get(tr.source, "")
+                if kind == "str" and isinstance(f.value, str):
+                    pos = xxhash64(f.value) % tr.param
+                elif kind in ("int", "long") and isinstance(f.value, int):
+                    pos = xxhash64((kind, f.value)) % tr.param
+                if pos is not None:
+                    try:
+                        if int(raw) != pos:
+                            return True
+                    except ValueError:
+                        continue
+        return False
+
+    @staticmethod
+    def _pv(raw: str, sample):
+        """Parse a transform directory value into the sample bound's
+        comparison domain (date for days, int for numeric truncate,
+        string — ISO prefixes compare chronologically — otherwise)."""
+        import datetime as _dt
+
+        if isinstance(sample, _dt.date) and not isinstance(sample, _dt.datetime):
+            return _dt.date.fromisoformat(raw)
+        if isinstance(sample, int):
+            return int(raw)
+        return raw
+
     def partitions(self):
         vdir = _resolve_version_dir(self.table_path, self.options)
         files = _data_files(vdir)
@@ -415,6 +489,11 @@ class LakeReader(DataSourceReader):
         part_col = self.meta.get("partition_key")
         ptype = self.meta.get("partition_type")
         hidden = self.meta.get("partition_transform") is not None
+        transform = None
+        if hidden:
+            from ..formats.transforms import parse_transform
+
+            transform = parse_transform(self.meta["partition_transform"])
         kinds = self._col_kinds(vdir, files)
 
         # Pre-compute bloom probe positions once per (col, value).
@@ -442,6 +521,8 @@ class LakeReader(DataSourceReader):
                 has_part, raw = _partition_dir_value(rel, part_col)
                 if has_part:
                     part_value = _cast_partition_value(raw, ptype)
+            if transform is not None and self._transform_excludes(rel, transform, kinds):
+                continue
             keep = True
             for f in self.filters:
                 attr = getattr(f, "attribute", None)

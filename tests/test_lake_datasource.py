@@ -252,3 +252,62 @@ def test_mor_change_feed_streaming_source(spark, tmp_path):
         spark.read.format("lakehouse").option("path", tbl.path).option(
             "feed", "changes"
         ).load().collect()
+
+
+def test_hidden_transform_directory_pruning(spark, tmp_path):
+    """Iceberg-style hidden partitioning through the DataSource: range
+    predicates on the SOURCE column prune whole days() directories, and
+    bucket(N, col) equality probes open 1/N of the directories — all
+    decided from directory names + the xxhash64 twin, before any footer
+    is read; results stay exact."""
+    import datetime as dt
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    days_spec = TableSpec(
+        "t_days", "id", None, None, "dsdb", partition_transform="days(ts)"
+    )
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 4, 10, 0, 0), f"v{i}") for i in range(80)
+    ]
+    tbl = cat.table(days_spec)
+    tbl.create(spark.createDataFrame(rows, "id long, ts timestamp, val string"))
+    register_lake_datasource(spark)
+
+    ds = LakeDataSource({"path": tbl.path})
+    schema = ds.schema()
+    assert "ts_days" not in schema.fieldNames()  # hidden stays hidden
+    base = ds.reader(schema)
+    base.pushFilters([])
+    n_total = len(base.partitions())
+    assert n_total >= 4  # one dir per day at least
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rd = ds.reader(schema)
+    rd.pushFilters([GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 3, 0, 0, 0))])
+    assert 0 < len(rd.partitions()) < n_total
+    rd = ds.reader(schema)
+    rd.pushFilters([EqualTo(("ts",), dt.datetime(2024, 1, 2, 10, 0, 0))])
+    assert 0 < len(rd.partitions()) < n_total
+
+    r = spark.read.format("lakehouse").option("path", tbl.path).load()
+    assert r.filter(F.col("ts") >= "2024-01-03").count() == (
+        tbl.read().filter(F.col("ts") >= "2024-01-03").count()
+    )
+
+    # bucket(8, id): equality probe opens 1/8 of the directories.
+    bucket_spec = TableSpec(
+        "t_bucket", "id", None, None, "dsdb", partition_transform="bucket(8, id)"
+    )
+    btbl = cat.table(bucket_spec)
+    btbl.create(spark.range(200).selectExpr("id", "concat('u', id) AS val"))
+    ds = LakeDataSource({"path": btbl.path})
+    schema = ds.schema()
+    base = ds.reader(schema)
+    base.pushFilters([])
+    n_total = len(base.partitions())
+    rd = ds.reader(schema)
+    rd.pushFilters([EqualTo(("id",), 123)])
+    assert len(rd.partitions()) <= max(1, n_total // 4)
+    r = spark.read.format("lakehouse").option("path", btbl.path).load()
+    assert [x.val for x in r.filter(F.col("id") == 123).collect()] == ["u123"]

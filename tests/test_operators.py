@@ -732,3 +732,47 @@ def test_trigram_lm_scores_short_docs_and_model(spark):
     assert got[1].n_trigrams == 10 and got[4].n_trigrams == 2
     # Doc 1 is pure corpus-modal structure; doc 2 ends atypically.
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Hypothesis sweep over random edge lists: min-label propagation's
+    fixpoint must equal a pure-python union-find ground truth on every
+    graph shape (cycles, stars, long paths, dense blobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edge = st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=25))
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {n: find(n) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == want, edges
+
+    run()
