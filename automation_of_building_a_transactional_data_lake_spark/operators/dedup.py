@@ -600,11 +600,24 @@ def connected_components(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
     edges = edges.distinct().localCheckpoint()
+    # Size the iteration's partitioning to the GRAPH, not the session
+    # default: near-dup graphs are a small fraction of the corpus, and
+    # every round pays per-partition task overhead times the iteration
+    # count. ~50k edges per partition keeps big graphs parallel while a
+    # small graph runs its whole fixpoint in a handful of tasks
+    # (measured: the count() on checkpointed edges is one cheap job).
+    n_parts = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        edges.count() // 50_000 + 1,
+    ))
+    edges = edges.repartition(n_parts, "v").localCheckpoint()
 
+    # Seed with round one folded in: label(v) = min(v, neighbors) —
+    # the groupBy IS the first propagation, one iteration saved.
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .repartition(n_parts, "node")
         .localCheckpoint()
     )
     for _ in range(max_iterations):
