@@ -232,17 +232,33 @@ def trigram_lm_scores(
     the trigram key. All codegen'd expressions, no UDF.
 
     Returns (id, n_trigrams, avg_logprob rounded to 4dp)."""
+    from .dedup import _materialize
+
     # sequence(1, stop) DESCENDS when stop < 1 (length <= 2), silently
     # yielding bogus positions — guard short docs to an empty array.
     positions = F.when(
         F.length(text_col) >= 3,
         F.sequence(F.lit(1), F.length(text_col) - F.lit(2)),
     ).otherwise(F.array().cast("array<int>"))
-    tris = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(3)))
-        ).alias("__tri"),
+    # Explode the POSITIONS, then slice with a plain substr projection:
+    # a transform() lambda here would run INTERPRETED per position (the
+    # round-3 higher-order-function finding — measured ~2.6x slower at
+    # sf0.1), while explode+substr stays in whole-stage codegen. The
+    # trigram frame feeds the model counts AND the scoring join, so it
+    # materializes once (policy per dedup._materialize).
+    # Repartition the raw text BEFORE the explode: a single-file corpus
+    # would otherwise evaluate the whole slice pipeline serially inside
+    # the scan stage (the X72 single-file lesson).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    tris = _materialize(
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.col(text_col), F.explode(positions).alias("__i"))
+        .select(
+            F.col(id_col),
+            F.col(text_col).substr(F.col("__i"), F.lit(3)).alias("__tri"),
+        ),
+        None,
     )
     tri_counts = tris.groupBy("__tri").agg(F.count("*").alias("__c3"))
     prefix_counts = (
