@@ -44,6 +44,12 @@ def bm25_topk(
     if not qterms:
         raise ValueError("query has no terms")
 
+    # No pre-explode repartition here, deliberately: whitespace
+    # tokenize is CHEAP per byte (unlike minhash shingling or trigram
+    # slicing, where the X72 pre-shuffle pays for itself) — measured at
+    # sf0.1, shuffling the raw text first costs more than the serial
+    # scan it avoids. The two consumers (dl, qtf) re-run the light
+    # explode rather than paying a materialization barrier.
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("__t")
     )
