@@ -311,3 +311,35 @@ def test_hidden_transform_directory_pruning(spark, tmp_path):
     assert len(rd.partitions()) <= max(1, n_total // 4)
     r = spark.read.format("lakehouse").option("path", btbl.path).load()
     assert [x.val for x in r.filter(F.col("id") == 123).collect()] == ["u123"]
+
+
+def test_change_feed_over_deletion_vector_table(spark, tmp_path):
+    """The streaming change feed reads delta DIRECTORIES, which DV-mode
+    tables write identically (DVs only change the READ reconcile), so
+    feed output must be byte-identical across the two MoR modes."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    spec = TableSpec("t_feed_dv", "id", None, None, "streamdb")
+    dv = ParquetMorTable(spark, str(tmp_path / "wh"), spec, deletion_vectors=True)
+    dv.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    dv.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"))
+    dv.merge_delete(spark.createDataFrame([(1,)], "id long"))
+    register_lake_datasource(spark)
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", dv.path)
+        .option("feed", "changes")
+        .option("starting_version", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    assert got == {(2, "B", "U", 2), (3, "c", "U", 2), (1, None, "D", 3)}

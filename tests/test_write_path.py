@@ -1487,3 +1487,47 @@ def test_external_engine_reads_manifest_snapshot(spark, tmp_path):
         (r.id, r.val) for r in tbl.read().select("id", "val").collect()
     )
     assert got == want and len(got) == 50
+
+
+def test_disjoint_merges_race_under_real_threads(spark, tmp_path):
+    """X82 under genuine concurrency: four threads each repeatedly
+    merging into their OWN partition, racing freely. Rebase absorbs
+    most collisions; a small retry budget covers lock-held windows.
+    Afterwards: every thread's rows landed (nothing lost, nothing
+    clobbered), row_count/stats exact, deep fsck clean."""
+    import threading
+
+    spec = TableSpec("t_race", "id", "cat", None, "testdb")
+    tbl = ParquetCowTable(spark, str(tmp_path), spec)
+    cats = ["a", "b", "c", "d"]
+    tbl.create(
+        _mk(spark, [(i, "seed", cats[i % 4]) for i in range(8)])
+    )
+    errors = []
+    n_rounds = 3
+
+    def writer(ti: int):
+        try:
+            for r in range(n_rounds):
+                batch = _mk(
+                    spark,
+                    [(100 + ti * 10 + r, f"w{ti}r{r}", cats[ti])],
+                )
+                tbl.merge_upsert(batch, retries=8)
+        except Exception as ex:  # noqa: BLE001
+            errors.append((ti, ex))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    got = {r.id: (r.val, r.cat) for r in tbl.read().collect()}
+    for ti in range(4):
+        for r in range(n_rounds):
+            assert got[100 + ti * 10 + r] == (f"w{ti}r{r}", cats[ti])
+    assert len(got) == 8 + 4 * n_rounds
+    assert tbl.row_count() == tbl.read().count() == len(got)
+    assert tbl.fsck(deep=True) == []
