@@ -563,11 +563,19 @@ def hamming_dist_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative operator hit its round bound before the fixpoint —
+    the result would be silently wrong, so the operator refuses to
+    return it."""
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "auto",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the stage
     that turns PAIRS into the CLUSTERS a dedup pipeline actually acts
@@ -576,49 +584,88 @@ def connected_components(
     with ``cluster_id`` = the component's minimum id (deterministic
     canonical representative).
 
-    Algorithm: min-label propagation — every node starts labeled with
-    itself; each round, a node adopts the minimum label among itself
-    and its neighbors; fixpoint = components. Rounds needed equal the
-    graph diameter; near-dup graphs are overwhelmingly tiny cliques
-    and short chains (diameter a handful), so the loop converges in a
-    few one-shuffle joins. Each round is label-frame x edge-frame
-    equi-join + groupBy-min — no driver-side graph state, and the
-    label frame is localCheckpointed per round so the plan does not
-    deepen with iterations (lineage-safe alternative for clusters:
-    persist, same as ``_materialize``). ``max_iterations`` bounds the
-    adversarial case (one long path); production graphs at 100 TB that
-    really have huge diameters should switch to the
-    large-star/small-star alternating algorithm (Kiveris et al.,
-    "Connected Components in MapReduce"), which converges in
-    O(log^2 n) rounds of the same join shape.
+    Algorithms (``algorithm=``):
 
-    The fixpoint check is exact: iteration stops when NO node's label
-    changed (count of changed rows == 0), so the result equals the
+    - ``"label"`` — min-label propagation: every node starts labeled
+      with itself; each round, a node adopts the minimum label among
+      itself and its neighbors; fixpoint = components. Rounds needed
+      equal the graph DIAMETER; near-dup graphs are overwhelmingly
+      tiny cliques and short chains, so this converges in a few
+      one-shuffle joins. Hitting ``max_iterations`` before the
+      fixpoint raises ``ConvergenceError`` — never a silently
+      unconverged labeling.
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14):
+      large-star hangs every neighbor LARGER than the center off the
+      center's minimum; small-star re-hangs the smaller neighbors.
+      Converges in O(log^2 n) rounds regardless of diameter — the
+      escalation path for adversarial long-chain graphs.
+    - ``"auto"`` (default) — min-label first (cheapest on real near-dup
+      graphs); if the diameter exhausts ``max_iterations``, RESTART
+      with large-star/small-star instead of failing. Never returns an
+      unconverged result.
+
+    Every round is edge-frame equi-join + groupBy-min — no driver-side
+    graph state. Per-round intermediates materialize through
+    ``_materialize(mode=materialize)``: the default picks
+    ``localCheckpoint`` under ``local[*]`` and the cluster-safe
+    DISK_ONLY persist elsewhere (one lost executor must not fail a
+    100-TB job mid-fixpoint); persisted frames are released via
+    ``release_similarity_cache()``.
+
+    The fixpoint checks are exact (min-label: zero changed labels;
+    star: edge set unchanged), so the result equals the
     transitive-closure definition the oracle computes independently.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"algorithm must be auto|label|star, got {algorithm!r}"
+        )
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-    edges = edges.distinct().localCheckpoint()
+    edges = _materialize(edges.distinct(), materialize)
     # Size the iteration's partitioning to the GRAPH, not the session
     # default: near-dup graphs are a small fraction of the corpus, and
     # every round pays per-partition task overhead times the iteration
     # count. ~50k edges per partition keeps big graphs parallel while a
     # small graph runs its whole fixpoint in a handful of tasks
-    # (measured: the count() on checkpointed edges is one cheap job).
+    # (measured: the count() on the materialized edges is one cheap job).
     n_parts = max(1, min(
         edges.sparkSession.sparkContext.defaultParallelism,
         edges.count() // 50_000 + 1,
     ))
-    edges = edges.repartition(n_parts, "v").localCheckpoint()
+    edges = _materialize(edges.repartition(n_parts, "v"), materialize)
 
+    if algorithm in ("auto", "label"):
+        labels = _min_label_components(
+            edges, n_parts, max_iterations, materialize
+        )
+        if labels is not None:
+            return labels
+        if algorithm == "label":
+            raise ConvergenceError(
+                f"min-label propagation did not reach its fixpoint in "
+                f"{max_iterations} rounds (graph diameter exceeds the bound); "
+                "raise max_iterations or use algorithm='star' "
+                "(large-star/small-star, O(log^2 n) rounds)"
+            )
+    return _star_components(edges, n_parts, materialize)
+
+
+def _min_label_components(
+    edges: DataFrame, n_parts: int, max_iterations: int, materialize: str | None
+) -> DataFrame | None:
+    """Min-label propagation to the exact fixpoint; None when
+    ``max_iterations`` rounds were not enough (caller decides whether
+    to raise or escalate)."""
     # Seed with round one folded in: label(v) = min(v, neighbors) —
     # the groupBy IS the first propagation, one iteration saved.
-    labels = (
+    labels = _materialize(
         edges.groupBy(F.col("u").alias("node"))
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
-        .repartition(n_parts, "node")
-        .localCheckpoint()
+        .repartition(n_parts, "node"),
+        materialize,
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -626,7 +673,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        updated = _materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -636,13 +683,90 @@ def connected_components(
                 (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
                     "__changed"
                 ),
-            )
-            .localCheckpoint()
+            ),
+            materialize,
         )
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    return None
+
+
+def _star_components(
+    edges: DataFrame, n_parts: int, materialize: str | None
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. SoCC'14) to
+    the exact fixpoint: at convergence every edge points a node at its
+    component's minimum id (a forest of depth-1 stars).
+
+    - large-star: per center u over its symmetric neighborhood Γ(u),
+      m = min(Γ(u) ∪ {u}); emit (v, m) for every v ∈ Γ(u) with v > u.
+    - small-star: orient edges (big, small); per center u over its
+      smaller neighborhood N(u), m = min(N(u)); emit (u, m) and
+      (v, m) for v ∈ N(u) \\ {m}.
+
+    Each phase is one groupBy-min + re-join shuffle on the center key.
+    Round bound 64 is far beyond the O(log^2 n) guarantee for any
+    realizable graph (n <= 2^32 → ~1024 rounds would need n ~ 2^(2^5);
+    observed: long chains of 10^3 nodes converge in < 10 rounds);
+    exhausting it raises ``ConvergenceError`` rather than returning a
+    wrong labeling."""
+    nodes = _materialize(
+        edges.select(F.col("u").alias("node")).distinct(), materialize
+    )
+    cur = edges  # symmetric, deduped, materialized by the caller
+    for _ in range(64):
+        # Large-star over the symmetric closure of the current edges.
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        large = _materialize(large.repartition(n_parts, "u"), materialize)
+
+        # Small-star over (big, small)-oriented edges.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(smins, "u")
+        small = (
+            joined.select(F.col("u"), F.col("m").alias("v"))
+            .union(
+                joined.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            )
+            .distinct()
+        )
+        small = _materialize(small.repartition(n_parts, "u"), materialize)
+
+        # Fixpoint: the edge set did not change (both sides deduped, so
+        # one symmetric difference probe is an exact equality check).
+        changed = (
+            small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(small).limit(1).count()
+        )
+        cur = small
+        if changed == 0:
+            # Stars: (node, root) for every non-root; roots self-label.
+            return (
+                nodes.join(cur.withColumnRenamed("u", "node"), "node", "left")
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.coalesce(F.col("v"), F.col("node")).alias("cluster_id"),
+                )
+            )
+    raise ConvergenceError(
+        "large-star/small-star did not converge in 64 rounds — "
+        "theoretically impossible for any realizable graph; this "
+        "indicates corrupted edge input (e.g. NaN ids)"
     )

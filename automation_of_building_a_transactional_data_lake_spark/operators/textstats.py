@@ -213,7 +213,12 @@ def document_frequencies(
 
 
 def trigram_lm_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool | None = None,
+    max_broadcast_model_rows: int = 2_000_000,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Per-document average log-likelihood under a corpus-trained
     character-trigram language model — the dependency-free stand-in
@@ -227,9 +232,20 @@ def trigram_lm_scores(
     positions of ln P — every doc trigram exists in the model it
     helped train, so no smoothing term is needed. Documents shorter
     than 3 characters have no trigram positions and are excluded.
-    Scale: the model frames are O(distinct trigrams) (bounded by
-    |alphabet|^3), broadcastable; the scoring join is one shuffle on
-    the trigram key. All codegen'd expressions, no UDF.
+
+    Scale: the model frame is O(distinct character trigrams) — a few
+    thousand rows on ASCII corpora, but MILLIONS on a multilingual
+    100-TB crawl (CJK alone), where a forced broadcast would OOM the
+    driver. The join strategy is therefore SIZE-GATED:
+    ``broadcast_model=None`` (default) counts the already-materialized
+    model once (one cheap job over the cached trigram frame) and
+    broadcasts only when it holds at most ``max_broadcast_model_rows``
+    rows; otherwise the score side shuffles on the trigram key —
+    which it is already keyed by — in a plain hash join. Callers that
+    know their alphabet pass ``broadcast_model=True``/``False`` to
+    skip the gating count. ``materialize`` follows
+    ``dedup._materialize``'s policy (None = localCheckpoint under
+    local[*], DISK_ONLY persist on a cluster).
 
     Returns (id, n_trigrams, avg_logprob rounded to 4dp)."""
     from .dedup import _materialize
@@ -258,18 +274,28 @@ def trigram_lm_scores(
             F.col(id_col),
             F.col(text_col).substr(F.col("__i"), F.lit(3)).alias("__tri"),
         ),
-        None,
+        materialize,
     )
-    tri_counts = tris.groupBy("__tri").agg(F.count("*").alias("__c3"))
+    # The model frame feeds the prefix aggregation, the scoring join,
+    # and (when gating) the size count — materialize it once too.
+    tri_counts = _materialize(
+        tris.groupBy("__tri").agg(F.count("*").alias("__c3")), materialize
+    )
+    if broadcast_model is None:
+        broadcast_model = tri_counts.count() <= max_broadcast_model_rows
     prefix_counts = (
         tri_counts.groupBy(F.substring("__tri", 1, 2).alias("__bi"))
         .agg(F.sum("__c3").alias("__c2"))
     )
+
+    def _model_side(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if broadcast_model else frame
+
     model = tri_counts.withColumn("__bi", F.substring("__tri", 1, 2)).join(
-        F.broadcast(prefix_counts), "__bi"
+        _model_side(prefix_counts), "__bi"
     )
     return (
-        tris.join(F.broadcast(model.select("__tri", "__c3", "__c2")), "__tri")
+        tris.join(_model_side(model.select("__tri", "__c3", "__c2")), "__tri")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_trigrams"),

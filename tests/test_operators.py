@@ -679,6 +679,72 @@ def test_connected_components_shapes(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+    # Large-star/small-star must produce the identical labeling.
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_connected_components_long_chain_escalates(spark):
+    """An adversarial long-chain graph (diameter > max_iterations):
+    algorithm='label' must RAISE rather than return a silently
+    unconverged labeling; 'auto' escalates to large-star/small-star
+    and still reaches the exact fixpoint; 'star' converges directly in
+    O(log^2 n) rounds."""
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    n = 60  # path 0-1-...-59: diameter 59 > max_iterations=10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ConvergenceError, match="star"):
+        connected_components(pairs, max_iterations=10, algorithm="label")
+
+    want = {i: 0 for i in range(n)}
+    for algo in ("auto", "star"):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                pairs, max_iterations=10, algorithm=algo
+            ).collect()
+        }
+        assert got == want, algo
+
+
+def test_connected_components_materialize_modes_agree(spark):
+    """The cluster-recovery materialization policy threads through the
+    iterative fixpoint exactly as it does through the similarity joins:
+    every mode yields the identical labeling (local is the local[*]
+    default; disk is the cluster-safe persist; none recomputes)."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        connected_components,
+        release_similarity_cache,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    try:
+        results = {
+            mode: {
+                r.doc_id: r.cluster_id
+                for r in connected_components(pairs, materialize=mode).collect()
+            }
+            for mode in ("local", "disk", "none")
+        }
+    finally:
+        release_similarity_cache()
+    assert results["local"] == results["disk"] == results["none"]
+    assert results["local"] == {1: 1, 2: 1, 3: 1, 4: 1,
+                                10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 def test_bm25_ranking_properties(spark):
@@ -732,6 +798,52 @@ def test_trigram_lm_scores_short_docs_and_model(spark):
     assert got[1].n_trigrams == 10 and got[4].n_trigrams == 2
     # Doc 1 is pure corpus-modal structure; doc 2 ends atypically.
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def _initial_plan(df) -> str:
+    """Pre-execution physical plan text (what the operator ASKED the
+    planner for, before AQE's runtime rewrites)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_trigram_lm_scores_size_gated_model_join(spark):
+    """The trigram model join must not FORCE a broadcast of the model
+    frame: on a wide-alphabet corpus (millions of distinct trigrams at
+    100 TB — CJK) a forced broadcast OOMs. The gate counts the model
+    and falls back to a shuffle join on the trigram key; both
+    strategies must agree exactly, and the shuffle path's initial plan
+    must carry NO BroadcastExchange (AQE may still convert at runtime
+    when the model turns out tiny — that is the desired behavior, a
+    runtime decision instead of a hardcoded one)."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+        trigram_lm_scores,
+    )
+
+    # Planted wide-alphabet corpus: BMP codepoints spread far apart so
+    # nearly every trigram is distinct (the multilingual-crawl shape).
+    rows = [
+        (i, "".join(chr(0x4E00 + (i * 97 + j * 13) % 20000) for j in range(40)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    forced_bc = trigram_lm_scores(docs, broadcast_model=True)
+    shuffled = trigram_lm_scores(docs, broadcast_model=False)
+    assert "BroadcastExchange" in _initial_plan(forced_bc)
+    assert "BroadcastExchange" not in _initial_plan(shuffled)
+
+    # The auto gate picks the shuffle strategy once the model exceeds
+    # the row cap — same plan shape as the explicit broadcast_model=False.
+    auto_wide = trigram_lm_scores(docs, max_broadcast_model_rows=10)
+    assert "BroadcastExchange" not in _initial_plan(auto_wide)
+
+    a = {r.doc_id: r for r in forced_bc.collect()}
+    b = {r.doc_id: r for r in shuffled.collect()}
+    c = {r.doc_id: r for r in auto_wide.collect()}
+    assert set(a) == set(b) == set(c) == set(range(30))
+    for i in a:
+        assert a[i].n_trigrams == b[i].n_trigrams == c[i].n_trigrams
+        assert a[i].avg_logprob == b[i].avg_logprob == c[i].avg_logprob
 
 
 def test_connected_components_fuzz_vs_union_find(spark):
