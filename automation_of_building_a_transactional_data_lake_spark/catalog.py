@@ -77,11 +77,12 @@ class Catalog:
         lets the SQL surface (``sql.LakeSQL``) address tables by NAME
         (``lake.db.table``) the way the reference's jobs do
         (``src/iceberg/iceberg-cdc-load.py:158-159``) without the
-        caller holding a TableSpec. Identity and layout come from
-        ``_format.json``, written at create time; write-side-only
-        knobs (constraints, bloom columns, z-order) are not recorded
-        there and resolve as defaults — reads and merges don't need
-        them."""
+        caller holding a TableSpec. Identity, layout, AND write-side
+        invariants (CHECK constraints, bloom index columns, version
+        guard, z-order) come from ``_format.json``, written at create
+        time — a MERGE through the SQL-text surface enforces exactly
+        what the creating writer declared (r7 advisory: resolving
+        without constraints silently skipped validation)."""
         import json
 
         meta_path = os.path.join(self.warehouse, database, table_name, "_format.json")
@@ -98,7 +99,11 @@ class Catalog:
             table_name=table_name,
             primary_key=pk,
             partition_key=meta.get("partition_key"),
+            version_key=meta.get("version_key"),
             database=database,
+            zorder_by=tuple(meta["zorder_by"]) if meta.get("zorder_by") else None,
+            constraints=tuple(meta.get("constraints") or ()),
+            bloom_filter_cols=tuple(meta.get("bloom_filter_cols") or ()),
             partition_transform=meta.get("partition_transform"),
         )
 

@@ -1025,6 +1025,21 @@ class ParquetCowTable:
         if concurrent & touched:
             return False
 
+        # Concurrent SCHEMA EVOLUTION cannot be rebased over (r7
+        # advisory): our staged _schema.json was derived from the
+        # expected base, and committing it would overwrite the head's
+        # mapping — dropping the concurrent writer's new field entries
+        # and letting a later write reuse their field ids. Conflict
+        # unless the mapping is identical across the chain.
+        head_schema = _read_json_or_none(
+            os.path.join(self.path, _fmt_version(head), _SCHEMA)
+        )
+        base_schema = _read_json_or_none(
+            os.path.join(self.path, _fmt_version(expected), _SCHEMA)
+        )
+        if head_schema != base_schema:
+            return False
+
         part = self._part_name
         head_dir = os.path.join(self.path, _fmt_version(head))
         # Mirror the head for every partition we did not rewrite:
@@ -1123,6 +1138,19 @@ class ParquetCowTable:
             "partition_transform": self.spec.partition_transform,
             "format": "cow",
         }
+        # Write-side invariants PERSIST with the table: a later writer
+        # that resolved the spec by NAME (catalog.resolve_spec — e.g. a
+        # LakeSQL MERGE INTO) must enforce the same CHECK constraints,
+        # bloom index columns, version guard, and z-order layout the
+        # creator declared — not silently skip them (r7 advisory).
+        if self.spec.version_key:
+            meta["version_key"] = self.spec.version_key
+        if self.spec.constraints:
+            meta["constraints"] = list(self.spec.constraints)
+        if self.spec.bloom_filter_cols:
+            meta["bloom_filter_cols"] = list(self.spec.bloom_filter_cols)
+        if self.spec.zorder_by:
+            meta["zorder_by"] = list(self.spec.zorder_by)
         # Record the partition column's declared type: hive-layout reads
         # re-infer partition values from directory NAMES, so a string
         # column holding numeric-looking values ("1", "2") would come

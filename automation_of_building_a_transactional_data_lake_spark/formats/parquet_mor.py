@@ -87,13 +87,27 @@ class ParquetMorTable:
         self.warehouse = warehouse
         self.spec = spec
         self.path = os.path.join(warehouse, spec.database, spec.table_name)
+        meta_path = os.path.join(self.path, "_format.json")
+        recorded: bool | None = None
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                recorded = bool(json.load(f).get("deletion_vectors"))
+        except (OSError, ValueError):
+            recorded = None
         if deletion_vectors is None:
-            meta_path = os.path.join(self.path, "_format.json")
-            try:
-                with open(meta_path, encoding="utf-8") as f:
-                    deletion_vectors = bool(json.load(f).get("deletion_vectors"))
-            except (OSError, ValueError):
-                deletion_vectors = False
+            deletion_vectors = recorded if recorded is not None else False
+        elif recorded is not None and bool(deletion_vectors) != recorded:
+            # The reconciliation mode is a PROPERTY OF THE TABLE'S DATA
+            # (earlier deltas either recorded position deletes or they
+            # did not); silently honoring a different constructor flag
+            # would resurrect superseded base rows (r7 advisory).
+            raise ValueError(
+                f"{spec.qualified_name}: table was created with "
+                f"deletion_vectors={recorded}; opening it with "
+                f"deletion_vectors={bool(deletion_vectors)} would "
+                "misreconcile existing deltas — omit the argument to use "
+                "the recorded mode"
+            )
         self.deletion_vectors = bool(deletion_vectors)
 
     # -- commit protocol ---------------------------------------------------
@@ -147,6 +161,12 @@ class ParquetMorTable:
             "format": "mor",
             "deletion_vectors": self.deletion_vectors,
         }
+        # Persist write-side invariants so name-resolved writers enforce
+        # them (same contract as the CoW meta; r7 advisory).
+        if self.spec.version_key:
+            meta["version_key"] = self.spec.version_key
+        if self.spec.constraints:
+            meta["constraints"] = list(self.spec.constraints)
         with open(os.path.join(self.path, "_format.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=2)
 

@@ -137,6 +137,18 @@ def _partition_dir_value(rel: str, part_col: str):
     return True, urllib.parse.unquote(raw)
 
 
+# Partition types whose directory-string parse lands in the SAME Python
+# comparison domain as the filter values Spark's datasource API pushes —
+# only these may drive identity-partition equality PRUNING. Timestamps
+# (tz-rendering ambiguity) and decimals (Decimal vs float literals)
+# reconstruct fine but are conservatively NEVER pruned on: a missed
+# prune costs one extra file open; a wrong one silently drops rows.
+_PRUNABLE_PTYPES = (
+    None, "string", "tinyint", "smallint", "int", "bigint",
+    "float", "double", "date", "boolean",
+)
+
+
 def _cast_partition_value(raw: str | None, ptype: str | None):
     if raw is None:
         return None
@@ -148,6 +160,18 @@ def _cast_partition_value(raw: str | None, ptype: str | None):
         import datetime as _dt
 
         return _dt.date.fromisoformat(raw)
+    if ptype == "boolean":
+        return raw in ("true", "True")
+    if ptype and ptype.startswith("timestamp"):
+        # Spark renders the dir value in the session tz (pinned UTC by
+        # session.py); naive datetimes cast to tz-aware as UTC in Arrow.
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(raw)
+    if ptype and ptype.startswith("decimal"):
+        import decimal as _dec
+
+        return _dec.Decimal(raw)
     return raw  # string and anything else: the raw text
 
 
@@ -228,7 +252,15 @@ class LakeDataSource(DataSource):
                 StringType,
             )
 
+            from pyspark.sql.types import (
+                BooleanType,
+                ByteType,
+                DecimalType,
+                TimestampType,
+            )
+
             by_name = {
+                "tinyint": ByteType(),
                 "smallint": ShortType(),
                 "int": IntegerType(),
                 "bigint": LongType(),
@@ -236,9 +268,19 @@ class LakeDataSource(DataSource):
                 "double": DoubleType(),
                 "date": DateType(),
                 "string": StringType(),
+                "boolean": BooleanType(),
             }
             ptype = meta.get("partition_type") or "string"
-            schema = schema.add(part_col, by_name.get(ptype, StringType()), True)
+            if ptype.startswith("timestamp"):
+                dtype = TimestampType()
+            elif ptype.startswith("decimal"):
+                import re as _re
+
+                m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", ptype)
+                dtype = DecimalType(int(m.group(1)), int(m.group(2))) if m else StringType()
+            else:
+                dtype = by_name.get(ptype, StringType())
+            schema = schema.add(part_col, dtype, True)
         return schema
 
     def _mor_meta(self) -> dict:
@@ -530,8 +572,11 @@ class LakeReader(DataSourceReader):
                     continue
                 col = attr[0]
                 # Identity-partition pruning: the directory value IS the
-                # column value for every row in the file.
-                if has_part and col == part_col:
+                # column value for every row in the file. Only for
+                # partition types whose parse provably lands in the
+                # filter value's comparison domain (_PRUNABLE_PTYPES) —
+                # anything else is conservatively kept.
+                if has_part and col == part_col and ptype in _PRUNABLE_PTYPES:
                     if isinstance(f, EqualTo) and part_value != f.value:
                         keep = False
                         break

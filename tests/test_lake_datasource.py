@@ -132,6 +132,57 @@ def test_identity_partition_column_roundtrips(spark, tmp_path):
     assert rd.files_total == 3 and len(kept) == 1
 
 
+def test_boolean_and_timestamp_partition_columns(spark, tmp_path):
+    """r7 advisory: boolean/timestamp identity partition columns used to
+    come back as raw strings, so equality pruning compared 'true' !=
+    True and silently dropped every matching file. Boolean now parses
+    (and prunes); timestamp surfaces with its declared type and is
+    conservatively NEVER pruned on — filters still apply exactly."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    spec_b = TableSpec("t_bool", "id", "flag", None, "dsdb")
+    df_b = spark.createDataFrame(
+        [(i, f"v{i}", i % 2 == 0) for i in range(20)],
+        "id long, val string, flag boolean",
+    )
+    tbl_b = cat.table(spec_b)
+    tbl_b.create(df_b)
+    register_lake_datasource(spark)
+    r = spark.read.format("lakehouse").option("path", tbl_b.path).load()
+    assert dict(r.dtypes)["flag"] == "boolean"
+    assert r.filter(F.col("flag") == True).count() == 10  # noqa: E712
+    assert r.filter(F.col("flag") == False).count() == 10  # noqa: E712
+    ds = LakeDataSource({"path": tbl_b.path})
+    rd = ds.reader(ds.schema())
+    rd.pushFilters([EqualTo(("flag",), True)])
+    kept_b = rd.partitions()
+    assert rd.files_total == 2 and len(kept_b) == 1
+
+    spec_t = TableSpec("t_ts", "id", "day_ts", None, "dsdb")
+    df_t = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 2}-15 00:00:00") for i in range(20)],
+        "id long, day_ts string",
+    ).withColumn("day_ts", F.to_timestamp("day_ts"))
+    tbl_t = cat.table(spec_t)
+    tbl_t.create(df_t)
+    r = spark.read.format("lakehouse").option("path", tbl_t.path).load()
+    assert dict(r.dtypes)["day_ts"].startswith("timestamp")
+    a = sorted(map(tuple, r.select("id", "day_ts").collect()))
+    b = sorted(map(tuple, tbl_t.read().select("id", "day_ts").collect()))
+    assert a == b
+    # Equality on the timestamp partition returns exactly the matching
+    # rows (no silent pruning loss) even though no files are pruned.
+    n = r.filter(F.col("day_ts") == F.to_timestamp(F.lit("2024-01-15 00:00:00"))).count()
+    assert n == 10
+    ds = LakeDataSource({"path": tbl_t.path})
+    rd = ds.reader(ds.schema())
+    import datetime as _dt
+
+    rd.pushFilters([EqualTo(("day_ts",), _dt.datetime(2024, 1, 15))])
+    kept_t = rd.partitions()
+    assert rd.files_total >= 2 and len(kept_t) == rd.files_total  # conservative keep
+
+
 def test_version_and_tag_options(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     spec = TableSpec("t_tt", "id", None, None, "dsdb")

@@ -724,6 +724,64 @@ def test_check_constraints_reject_bad_batches(spark, tmp_path):
     assert tbl2.read().count() == 1
 
 
+def test_resolve_spec_rehydrates_write_invariants(spark, tmp_path):
+    """r7 advisory: constraints/bloom/version-key/z-order persist into
+    _format.json at create and rehydrate through resolve_spec — so a
+    writer that addresses the table BY NAME (the LakeSQL MERGE path)
+    enforces exactly what the creator declared instead of silently
+    skipping validation."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ConstraintViolation,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        "t_inv", "id", None, "ver", "testdb",
+        zorder_by=("id",),
+        constraints=("id > 0",),
+        bloom_filter_cols=("val",),
+    )
+    cat.table(spec).create(
+        spark.createDataFrame([(1, "a", 1)], "id long, val string, ver long")
+    )
+    resolved = cat.resolve_spec("testdb", "t_inv")
+    assert resolved.constraints == ("id > 0",)
+    assert resolved.bloom_filter_cols == ("val",)
+    assert resolved.version_key == "ver"
+    assert resolved.zorder_by == ("id",)
+    # The name-resolved handle enforces the creator's CHECK constraint.
+    with pytest.raises(ConstraintViolation):
+        cat.table(resolved).merge_upsert(
+            spark.createDataFrame([(-9, "bad", 2)], "id long, val string, ver long")
+        )
+    # MoR tables persist the same invariants.
+    cat_m = Catalog(spark, str(tmp_path / "whm"), table_format="mor")
+    cat_m.table(spec).create(
+        spark.createDataFrame([(1, "a", 1)], "id long, val string, ver long")
+    )
+    rm = cat_m.resolve_spec("testdb", "t_inv")
+    assert rm.constraints == ("id > 0",) and rm.version_key == "ver"
+
+
+def test_mor_dv_mode_mismatch_errors(spark, tmp_path):
+    """r7 advisory: opening an existing classic MoR table with
+    deletion_vectors=True (or vice versa) must error — honoring the
+    flag would resurrect base rows superseded by earlier deltas."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    spec = TableSpec("t_dvm", "id", None, None, "testdb")
+    tbl = ParquetMorTable(spark, str(tmp_path), spec, deletion_vectors=False)
+    tbl.create(_mk(spark, [(1, "a", "x")]))
+    tbl.merge_upsert(_mk(spark, [(1, "a2", "x")]))
+    with pytest.raises(ValueError, match="deletion_vectors"):
+        ParquetMorTable(spark, str(tmp_path), spec, deletion_vectors=True)
+    # Matching explicit flag and omitted flag both open fine.
+    assert ParquetMorTable(spark, str(tmp_path), spec, deletion_vectors=False).read().count() == 1
+    assert ParquetMorTable(spark, str(tmp_path), spec).read().count() == 1
+
+
 def test_empty_edge_cases(spark, tmp_path):
     """Empty inputs must be safe everywhere: creating an empty table,
     reading it, merging an empty batch (no-op content), merging into
@@ -1356,6 +1414,28 @@ def test_full_rewrite_between_stage_and_commit_still_conflicts(
     _interleave_commit(monkeypatch, lambda: tbl.overwrite(_mk(spark, [(9, "z", "y")])))
     with pytest.raises(ConcurrentWriteError):
         tbl.merge_upsert(batch_b)
+
+
+def test_rebase_conflicts_on_concurrent_schema_evolution(spark, tmp_path, monkeypatch):
+    """r7 advisory: a concurrent merge that ADDED columns via merge
+    schema evolution declares disjoint partitions, but its new
+    _schema.json mapping must not be clobbered by a rebasing commit
+    staged from the older base — the rebase now conflicts, and the
+    retry (recomputed against the new head) preserves the evolved
+    column."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    tbl.create(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    # Concurrent writer evolves the schema on partition x.
+    batch_a = spark.createDataFrame(
+        [(1, "A", "x", "evolved")], "id long, val string, cat string, note string"
+    )
+    batch_b = _mk(spark, [(3, "B", "y")])  # disjoint partition, old schema
+    _interleave_commit(monkeypatch, lambda: tbl.merge_upsert(batch_a))
+    with pytest.raises(ConcurrentWriteError):
+        tbl.merge_upsert(batch_b)
+    tbl.merge_upsert(batch_b, retries=1)
+    got = {r.id: (r.val, r.note) for r in tbl.read().collect()}
+    assert got == {1: ("A", "evolved"), 2: ("b", None), 3: ("B", None)}
 
 
 def test_rebase_merges_txn_markers_per_app_max(spark, tmp_path, monkeypatch):
