@@ -137,22 +137,14 @@ class Catalog:
         branch: str | None = None,
     ) -> DataFrame:
         """S4: snapshot read through the catalog. ``version`` time-
-        travels and ``tag`` resolves a named snapshot ref (both
-        formats); ``branch`` reads an unpublished branch head (CoW-only
-        — branch refs live in the CoW commit protocol). The three
+        travels, ``tag`` resolves a named snapshot ref, and ``branch``
+        reads an unpublished branch head — all supported by BOTH
+        formats (MoR branch refs landed with r7 verdict #5). The three
         selectors are mutually exclusive."""
         if sum(x is not None for x in (version, tag, branch)) > 1:
             raise ValueError("pass at most one of version=, tag=, branch=")
         tbl = self.table(spec)
         if branch is not None:
-            if not isinstance(tbl, ParquetCowTable):
-                # Without the guard this crashes with an opaque
-                # TypeError (ParquetMorTable has no branch refs) — a
-                # mixed-format warehouse deserves a feature error.
-                raise ValueError(
-                    f"{spec.qualified_name}: branches are only supported on "
-                    "copy-on-write tables; this table is merge-on-read"
-                )
             return tbl.branch(branch).read()
         if tag is not None:
             return tbl.read(tag=tag)
@@ -236,13 +228,16 @@ class Catalog:
             meta["database"] = dst_spec.database
             with open(os.path.join(tmp, "_format.json"), "w", encoding="utf-8") as f:
                 _json.dump(meta, f, indent=2)
-            for root, _dirs, files in os.walk(vpath):
+            for root, dirs, files in os.walk(vpath):
+                # The source's change-data capture is lineage state, not
+                # table content — a clone starts a fresh change history.
+                dirs[:] = [d for d in dirs if d != "_changelog"]
                 rel = os.path.relpath(root, vpath)
                 out_dir = v1 if rel == "." else os.path.join(v1, rel)
                 os.makedirs(out_dir, exist_ok=True)
                 for fname in files:
-                    if fname == "_snapshot.json":
-                        continue  # source txn/IVM markers are lineage state
+                    if fname in ("_snapshot.json", "_commit_op.json"):
+                        continue  # source txn/IVM/op markers are lineage state
                     s = os.path.join(root, fname)
                     d = os.path.join(out_dir, fname)
                     if deep:
@@ -252,6 +247,8 @@ class Catalog:
                             os.link(s, d)
                         except OSError:
                             shutil.copy2(s, d)  # cross-device shallow
+            with open(os.path.join(v1, "_commit_op.json"), "w", encoding="utf-8") as f:
+                _json.dump({"op": "create"}, f)
             with open(os.path.join(tmp, "_LATEST"), "w", encoding="ascii") as f:
                 f.write("1")
             os.makedirs(os.path.dirname(dst.path), exist_ok=True)
@@ -279,6 +276,45 @@ class Catalog:
     def register_temp_view(self, spec: TableSpec, name: str | None = None) -> str:
         """W11: make the table SQL-visible in the session."""
         return self.table(spec).register_temp_view(name)
+
+    def sync_session_views(self, database: str | None = None) -> list[str]:
+        """Bridge to the BARE SparkSession: (re)register every managed
+        table as a session temp view named ``<db>__<table>``, so plain
+        ``spark.table("db__t")`` / ``spark.sql("SELECT ... FROM
+        db__t")`` work with no ``LakeSQL`` wrapper — the nearest
+        equivalent of the reference's Glue-catalog visibility
+        (``src/iceberg/iceberg-cdc-load.py:158-159``) a pure-Python
+        engine can offer.
+
+        Honest contract: views are SNAPSHOT-PINNED at sync time (each
+        backs the table's committed head via its read path, schema
+        mapping and MoR reconcile included). Re-run after commits to
+        advance them — the call is metadata-only per table, no data
+        scan. Why pinned: Spark's CatalogPlugin API (which would make
+        ``spark.table("lake.db.t")`` resolve live) is JVM-only, Python
+        data sources cannot register a session catalog, and
+        DataFrame-backed temp views store the analyzed plan — there is
+        no pure-Python hook that re-resolves a table pointer at query
+        time. ``LakeSQL`` remains the always-current SQL surface.
+
+        ``database=None`` syncs every database in the warehouse.
+        Returns the registered view names."""
+        if database is not None:
+            dbs = [database]
+        elif os.path.isdir(self.warehouse):
+            dbs = sorted(
+                d
+                for d in os.listdir(self.warehouse)
+                if not d.startswith(".") and os.path.isdir(os.path.join(self.warehouse, d))
+            )
+        else:
+            dbs = []
+        out: list[str] = []
+        for db in dbs:
+            for t in self.list_tables(db):
+                spec = self.resolve_spec(db, t)
+                out.append(self.table(spec).register_temp_view(f"{db}__{t}"))
+        return out
 
     def fsck(self, spec: TableSpec, deep: bool = False) -> list[dict]:
         """Integrity audit of a managed table (either format): findings

@@ -97,6 +97,17 @@ _META = "_format.json"
 _SNAPSHOT_META = "_snapshot.json"
 _FILE_STATS = "_file_stats.json"
 _BLOOM_FILE = "_bloom.json"
+# Write-time change-data capture (Delta CDF's _change_data analog):
+# every MERGE stages the deduped batch under <version>/_changelog/
+# with a __change_op marker ('U'|'D'), committing atomically with the
+# data — the streaming change feed then reads commits' changelogs like
+# the MoR delta log, O(batch) extra write cost, no read-time diff.
+# _commit_op.json records WHAT KIND of commit each version was so the
+# feed can skip no-logical-change commits (create/compact/alter) and
+# fail loudly on ones it cannot represent (overwrite).
+_CHANGELOG_DIR = "_changelog"
+_COMMIT_OP = "_commit_op.json"
+_CHANGE_OP = "__change_op"
 # Per-file, per-column bloom parameters: 8192 bits (1 KiB) / 5 hashes
 # gives a false-positive rate of ~(n*k/m)^k ≈ 8e-5 at 250 distinct
 # values per file and degrades gracefully for bigger files; a false
@@ -158,6 +169,18 @@ def _read_json_or_none(path: str):
 
 def _fmt_version(n: int) -> str:
     return f"{_VERSION_PREFIX}{n:08d}"
+
+
+def _iter_data_files(top: str):
+    """(root, fname) for every data parquet under ``top``, PRUNING
+    hidden directories ("_"/"." prefixes — _changelog lives there) the
+    same way Spark's file index does, so metadata walks and the scan
+    agree on what "the data" is."""
+    for root, dirs, files in os.walk(top):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                yield root, fname
 
 
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -430,16 +453,15 @@ class ParquetCowTable:
         )
         sdir = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         os.makedirs(sdir)
-        for root, _dirs, files in os.walk(cur.path):
+        for root, fname in _iter_data_files(cur.path):
             rel = os.path.relpath(root, cur.path)
             out_dir = sdir if rel == "." else os.path.join(sdir, rel)
             os.makedirs(out_dir, exist_ok=True)
-            for fname in files:
-                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
-                    os.link(os.path.join(root, fname), os.path.join(out_dir, fname))
+            os.link(os.path.join(root, fname), os.path.join(out_dir, fname))
         with open(os.path.join(sdir, _SCHEMA), "w", encoding="utf-8") as f:
             json.dump(mapping, f)
         self._stage_snapshot_meta(sdir, self.snapshot_meta())
+        self._stage_commit_op(sdir, "alter")
         return self._promote(sdir, expected_version=cur.version)
 
     def _guard_alter_col(self, col: str, op: str) -> None:
@@ -540,37 +562,34 @@ class ParquetCowTable:
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
-        for root, _dirs, files in os.walk(vdir):
-            for fname in files:
-                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
-                    continue
-                fpath = os.path.join(root, fname)
-                md = pq.ParquetFile(fpath).metadata
-                # File-level row count beside the per-column entries
-                # ("_"-prefixed: parquet column names can't collide —
-                # readers hide leading-underscore fields). Powers the
-                # metadata-only COUNT(*) fast path (`row_count`).
-                cols: dict[str, dict] = {"_rows": md.num_rows}
-                for rg in range(md.num_row_groups):
-                    row = md.row_group(rg)
-                    for ci in range(row.num_columns):
-                        c = row.column(ci)
-                        st = c.statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        mn = self._stat_value(st.min)
-                        mx = self._stat_value(st.max)
-                        if mn is None or mx is None:
-                            continue
-                        name = c.path_in_schema
-                        cur = cols.get(name)
-                        if cur is None:
-                            cols[name] = {"min": mn, "max": mx, "nulls": st.null_count or 0}
-                        else:
-                            cur["min"] = min(cur["min"], mn)
-                            cur["max"] = max(cur["max"], mx)
-                            cur["nulls"] += st.null_count or 0
-                out[os.path.relpath(fpath, vdir)] = cols
+        for root, fname in _iter_data_files(vdir):
+            fpath = os.path.join(root, fname)
+            md = pq.ParquetFile(fpath).metadata
+            # File-level row count beside the per-column entries
+            # ("_"-prefixed: parquet column names can't collide —
+            # readers hide leading-underscore fields). Powers the
+            # metadata-only COUNT(*) fast path (`row_count`).
+            cols: dict[str, dict] = {"_rows": md.num_rows}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn = self._stat_value(st.min)
+                    mx = self._stat_value(st.max)
+                    if mn is None or mx is None:
+                        continue
+                    name = c.path_in_schema
+                    cur = cols.get(name)
+                    if cur is None:
+                        cols[name] = {"min": mn, "max": mx, "nulls": st.null_count or 0}
+                    else:
+                        cur["min"] = min(cur["min"], mn)
+                        cur["max"] = max(cur["max"], mx)
+                        cur["nulls"] += st.null_count or 0
+            out[os.path.relpath(fpath, vdir)] = cols
         return out
 
     def file_stats(self, version: int | None = None) -> dict | None:
@@ -617,19 +636,16 @@ class ParquetCowTable:
         prev = self._read_blooms()
         out: dict[str, dict] = {}
         todo: dict[str, tuple[str, int]] = {}
-        for root, _dirs, files in os.walk(staging):
-            for fname in files:
-                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
-                    continue
-                full = os.path.join(root, fname)
-                rel = os.path.relpath(full, staging)
-                size = os.path.getsize(full)
-                p = prev.get(rel)
-                if p and p.get("_file_size") == size:
-                    out[rel] = p
-                else:
-                    out[rel] = {"_file_size": size}
-                    todo[os.path.realpath(full)] = (rel, size)
+        for root, fname in _iter_data_files(staging):
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, staging)
+            size = os.path.getsize(full)
+            p = prev.get(rel)
+            if p and p.get("_file_size") == size:
+                out[rel] = p
+            else:
+                out[rel] = {"_file_size": size}
+                todo[os.path.realpath(full)] = (rel, size)
         if not todo:
             return out
         df = self.spark.read.parquet(*todo)
@@ -1201,6 +1217,26 @@ class ParquetCowTable:
         with open(os.path.join(staging, _SNAPSHOT_META), "w", encoding="utf-8") as f:
             json.dump(meta, f)
 
+    def _stage_commit_op(self, staging: str, op: str) -> None:
+        """Record the commit KIND in the staging dir (atomic with the
+        data): the change feed skips no-logical-change commits
+        (create/compact/alter) and rejects unrepresentable ones
+        (overwrite) by this marker."""
+        with open(os.path.join(staging, _COMMIT_OP), "w", encoding="utf-8") as f:
+            json.dump({"op": op}, f)
+
+    def _stage_changelog(self, staging: str, batch: DataFrame, op: str) -> None:
+        """Write-time change-data capture (Delta CDF analog): stage the
+        merge batch under ``<staging>/_changelog/`` with a
+        ``__change_op`` marker so it commits atomically with the data.
+        Cost is O(batch) — one extra parquet write of rows the merge
+        already holds — and it is what makes the CoW change feed a
+        LOG READ instead of a per-commit snapshot diff (which would
+        re-report every carried-over row of each rewritten file)."""
+        batch.withColumn(_CHANGE_OP, F.lit(op)).write.mode("overwrite").parquet(
+            os.path.join(staging, _CHANGELOG_DIR)
+        )
+
     def snapshot_meta(self, version: int | None = None) -> dict | None:
         """Caller metadata committed atomically with ``version``
         (default: the current head). None when that snapshot carried
@@ -1229,6 +1265,7 @@ class ParquetCowTable:
         self._write_meta(df)
         staging = self._write_staging(df)
         self._stage_snapshot_meta(staging, snapshot_meta)
+        self._stage_commit_op(staging, "create")
         self._promote(staging, expected_version=0)
         return True
 
@@ -1240,6 +1277,7 @@ class ParquetCowTable:
         cur = self.current_version()
         staging = self._write_staging(df)
         self._stage_snapshot_meta(staging, snapshot_meta)
+        self._stage_commit_op(staging, "overwrite")
         self._promote(staging, expected_version=cur.version if cur else 0)
 
     # -- read path ---------------------------------------------------------
@@ -1653,6 +1691,10 @@ class ParquetCowTable:
         self._stage_snapshot_meta(
             staging, snapshot_meta if snapshot_meta is not None else self.snapshot_meta()
         )
+        self._stage_changelog(
+            staging, src.select(pk).distinct() if delete else src, "D" if delete else "U"
+        )
+        self._stage_commit_op(staging, "merge")
         # Declare exactly which partition directories this merge
         # rewrote: a concurrent commit on DISJOINT partitions then
         # rebases instead of conflicting (X82).
@@ -1682,6 +1724,10 @@ class ParquetCowTable:
         self._stage_snapshot_meta(
             staging, snapshot_meta if snapshot_meta is not None else self.snapshot_meta()
         )
+        self._stage_changelog(
+            staging, src.select(pk).distinct() if delete else src, "D" if delete else "U"
+        )
+        self._stage_commit_op(staging, "merge")
         self._promote(staging, expected_version=cur.version)
 
     def _merge_with_retries(
@@ -1763,11 +1809,7 @@ class ParquetCowTable:
         cur = self.current_version()
         if cur is None:
             return []
-        out: list[str] = []
-        for root, _dirs, files in os.walk(cur.path):
-            for fname in files:
-                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
-                    out.append(os.path.join(root, fname))
+        out = [os.path.join(root, fname) for root, fname in _iter_data_files(cur.path)]
         return sorted(out)
 
     def generate_manifest(self) -> str:
@@ -1891,6 +1933,7 @@ class ParquetCowTable:
         staging = self._write_staging(compacted, cluster=False)
         self._link_forward(cur.path, staging, skip_segments=set(segments))
         self._stage_snapshot_meta(staging, self.snapshot_meta())  # carry forward
+        self._stage_commit_op(staging, "compact")
         self._promote(staging, expected_version=cur.version)
 
     def compact(
@@ -1991,6 +2034,7 @@ class ParquetCowTable:
             "at_version": max(cur.version, self._max_version_dir()) + 1,
         }
         self._stage_snapshot_meta(staging, meta)
+        self._stage_commit_op(staging, "compact")
         self._promote(staging, expected_version=cur.version)
         return "full"
 
@@ -2078,9 +2122,7 @@ class ParquetCowTable:
                 retained.add(int(entry[len(_VERSION_PREFIX):]))
                 files = {
                     os.path.relpath(os.path.join(root, f), full)
-                    for root, _d, fs in os.walk(full)
-                    for f in fs
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                    for root, f in _iter_data_files(full)
                 }
                 spath = os.path.join(full, _FILE_STATS)
                 if os.path.isfile(spath):
@@ -2158,12 +2200,7 @@ class ParquetCowTable:
                 continue
             v = int(entry[len(_VERSION_PREFIX):])
             vdir = os.path.join(self.path, entry)
-            n_files = sum(
-                1
-                for _root, _dirs, files in os.walk(vdir)
-                for fname in files
-                if fname.endswith(".parquet")
-            )
+            n_files = sum(1 for _root, _fname in _iter_data_files(vdir))
             out.append({"version": v, "n_files": n_files, "is_current": v == cur.version})
         return out
 

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import dedupe_latest
 from ..spec import TableSpec
-from .parquet_cow import ConstraintViolation, MergeError
+from .parquet_cow import ConcurrentWriteError, ConstraintViolation, MergeError
 
 _LATEST = "_LATEST"
 _SNAP_DIR = "_snapshots"
@@ -70,6 +70,11 @@ class ParquetMorTable:
     At 100 TB that turns read reconcile from an O(table) hash shuffle
     into a positional skip plus an O(deltas) window. ``None`` (default)
     re-opens an existing table in the mode that created it."""
+
+    # Set on views returned by ``branch()``: commits/reads resolve
+    # through the named branch ref instead of _LATEST (CoW parity —
+    # r7 verdict #5 lifted the CoW-only restriction).
+    _branch: str | None = None
 
     def __init__(
         self,
@@ -120,8 +125,17 @@ class ParquetMorTable:
 
     def _snapshot(self, n: int | None = None) -> dict:
         if n is None:
-            with open(self._latest_path(), encoding="ascii") as f:
-                n = int(f.read().strip())
+            if self._branch is not None:
+                refs = self._read_refs()
+                if self._branch not in refs["branches"]:
+                    raise KeyError(
+                        f"branch {self._branch!r} does not exist on "
+                        f"{self.spec.qualified_name}"
+                    )
+                n = refs["branches"][self._branch]["head"]
+            else:
+                with open(self._latest_path(), encoding="ascii") as f:
+                    n = int(f.read().strip())
         with open(os.path.join(self.path, _SNAP_DIR, f"{n}.json"), encoding="utf-8") as f:
             snap = json.load(f)
         snap["n"] = n
@@ -132,13 +146,41 @@ class ParquetMorTable:
             return None
         return self._snapshot()
 
-    def _commit(self, snap: dict) -> int:
-        cur = self.current_snapshot()
-        n = (cur["n"] + 1) if cur else 1
+    def _next_n(self) -> int:
+        """Allocate from the GLOBAL sequence (snapshot jsons + data
+        directory numbers): branch and main commits interleave without
+        colliding, same as the CoW version allocation."""
+        hi = 0
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        if os.path.isdir(snap_dir):
+            for fname in os.listdir(snap_dir):
+                if fname.endswith(".json") and fname[:-5].isdigit():
+                    hi = max(hi, int(fname[:-5]))
+        if os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if entry[:1] in "bd" and entry[1:].isdigit():
+                    hi = max(hi, int(entry[1:]))
+        return hi + 1
+
+    def _commit(self, snap: dict, n: int | None = None) -> int:
+        if n is None:
+            n = self._next_n()
         os.makedirs(os.path.join(self.path, _SNAP_DIR), exist_ok=True)
         spath = os.path.join(self.path, _SNAP_DIR, f"{n}.json")
         with open(spath, "w", encoding="utf-8") as f:
             json.dump({k: v for k, v in snap.items() if k != "n"}, f)
+        if self._branch is not None:
+            # Branch commits move only the branch head ref — main
+            # readers never observe them until publish_branch.
+            refs = self._read_refs()
+            if self._branch not in refs["branches"]:
+                raise KeyError(
+                    f"branch {self._branch!r} does not exist on "
+                    f"{self.spec.qualified_name}"
+                )
+            refs["branches"][self._branch]["head"] = n
+            self._write_refs(refs)
+            return n
         tmp = os.path.join(self.path, f".{_LATEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="ascii") as f:
             f.write(str(n))
@@ -184,18 +226,32 @@ class ParquetMorTable:
             raise FileExistsError(self.spec.qualified_name)
         self._check_constraints(df)
         self._write_meta()
-        base = f"b{1:08d}"
+        n = self._next_n()
+        base = f"b{n:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": [], "meta": snapshot_meta, "op": "create"})
+        self._commit(
+            {"base": base, "deltas": [], "meta": snapshot_meta, "op": "create", "parent": 0},
+            n,
+        )
         return True
 
     def overwrite(self, df: DataFrame, snapshot_meta: dict | None = None) -> None:
         self._check_constraints(df)
         self._write_meta()
         cur = self.current_snapshot()
-        base = f"b{(cur['n'] + 1) if cur else 1:08d}"
+        n = self._next_n()
+        base = f"b{n:08d}"
         self._write_dir(df, base)
-        self._commit({"base": base, "deltas": [], "meta": snapshot_meta, "op": "overwrite"})
+        self._commit(
+            {
+                "base": base,
+                "deltas": [],
+                "meta": snapshot_meta,
+                "op": "overwrite",
+                "parent": cur["n"] if cur else 0,
+            },
+            n,
+        )
 
     def snapshot_meta(self, version: int | None = None) -> dict | None:
         """Caller metadata committed atomically with the snapshot json
@@ -267,7 +323,7 @@ class ParquetMorTable:
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
-        seq = cur["n"] + 1
+        seq = self._next_n()
         delta = f"d{seq:08d}"
         self._write_dir(
             rows.withColumn(_OP, F.lit(op)).withColumn(_SEQ, F.lit(seq).cast("long")),
@@ -278,6 +334,7 @@ class ParquetMorTable:
             "deltas": cur["deltas"] + [delta],
             "meta": snapshot_meta if snapshot_meta is not None else cur.get("meta"),
             "op": "merge",
+            "parent": cur["n"],
         }
         if self.deletion_vectors:
             # Superseded base rows become position deletes, committed
@@ -287,7 +344,7 @@ class ParquetMorTable:
             for fname, pos in self._base_positions(cur, rows).items():
                 dvs.setdefault(fname, set()).update(pos)
             snap["dvs"] = {k: sorted(v) for k, v in sorted(dvs.items())}
-        self._commit(snap)
+        self._commit(snap, seq)
 
     def merge_upsert(self, src: DataFrame, snapshot_meta: dict | None = None) -> None:
         """O(batch) append: the merge itself is deferred to read/compact."""
@@ -307,7 +364,10 @@ class ParquetMorTable:
                 raw = json.load(f)
         except (OSError, ValueError):
             raw = {}
-        return {"tags": dict(raw.get("tags", {}))}
+        return {
+            "tags": dict(raw.get("tags", {})),
+            "branches": {k: dict(v) for k, v in raw.get("branches", {}).items()},
+        }
 
     def _write_refs(self, refs: dict) -> None:
         tmp = os.path.join(self.path, f".{_REFS}.{uuid.uuid4().hex}.tmp")
@@ -326,6 +386,7 @@ class ParquetMorTable:
         """Pin a committed snapshot under a name; tagged snapshots (and
         every base/delta directory they reference) survive ``vacuum``
         regardless of ``retain_last``. Returns the pinned snapshot."""
+        self._require_main("create_tag")
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
@@ -353,6 +414,90 @@ class ParquetMorTable:
             raise KeyError(f"tag {name!r} does not exist")
         del refs["tags"][name]
         self._write_refs(refs)
+
+    # -- branches (write-audit-publish — CoW parity, r7 verdict #5) --------
+
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(
+                f"{op} must run on the main table, not the "
+                f"{self._branch!r} branch view"
+            )
+
+    def branches(self) -> dict[str, dict]:
+        """All branches: ``{name: {"head": n, "base": n}}`` (``base``
+        is the main snapshot the branch forked from)."""
+        return self._read_refs()["branches"]
+
+    def create_branch(self, name: str) -> int:
+        """Fork a branch at the current main head: commits through the
+        ``branch(name)`` view move only the branch head ref — main
+        readers never observe them until ``publish_branch``. Returns
+        the fork snapshot."""
+        self._require_main("create_branch")
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        refs = self._read_refs()
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        refs["branches"][name] = {"head": cur["n"], "base": cur["n"]}
+        self._write_refs(refs)
+        return cur["n"]
+
+    def branch(self, name: str) -> "ParquetMorTable":
+        """A view of this table whose reads and commits resolve through
+        the named branch ref. Every write path (merge, overwrite,
+        compact) works unchanged; snapshot numbers come from the shared
+        global sequence so branch and main commits never collide."""
+        self._require_main("branch")
+        if name not in self._read_refs()["branches"]:
+            raise KeyError(
+                f"branch {name!r} does not exist on {self.spec.qualified_name}"
+            )
+        view = object.__new__(type(self))
+        view.__dict__.update(self.__dict__)
+        view._branch = name
+        return view
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch; its unpublished snapshots become
+        vacuumable."""
+        self._require_main("drop_branch")
+        refs = self._read_refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"branch {name!r} does not exist")
+        del refs["branches"][name]
+        self._write_refs(refs)
+
+    def publish_branch(self, name: str) -> int:
+        """Write-audit-publish: fast-forward main to the audited branch
+        head and retire the branch — one atomic pointer move (Iceberg
+        ``fast_forward``). Raises ``ConcurrentWriteError`` when main
+        advanced past the fork point (publishing would silently drop
+        those commits — re-branch and replay)."""
+        self._require_main("publish_branch")
+        refs = self._read_refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"branch {name!r} does not exist")
+        b = refs["branches"][name]
+        cur = self.current_snapshot()
+        if cur is None or cur["n"] != b["base"]:
+            raise ConcurrentWriteError(
+                f"{self.spec.qualified_name}: main advanced from "
+                f"snapshot {b['base']} to {cur['n'] if cur else 0} since "
+                f"branch {name!r} forked; publishing would drop those "
+                "commits — re-branch and replay"
+            )
+        tmp = os.path.join(self.path, f".{_LATEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(b["head"]))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._latest_path())
+        del refs["branches"][name]
+        self._write_refs(refs)
+        return b["head"]
 
     # -- read path ---------------------------------------------------------
 
@@ -489,9 +634,19 @@ class ParquetMorTable:
         cur = self.current_snapshot()
         if cur is None or not cur["deltas"]:
             return
-        base = f"b{cur['n'] + 1:08d}"
+        n = self._next_n()
+        base = f"b{n:08d}"
         self._write_dir(self.read(), base)
-        self._commit({"base": base, "deltas": [], "meta": cur.get("meta"), "op": "compact"})
+        self._commit(
+            {
+                "base": base,
+                "deltas": [],
+                "meta": cur.get("meta"),
+                "op": "compact",
+                "parent": cur["n"],
+            },
+            n,
+        )
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent: retained snapshots with their
@@ -590,11 +745,16 @@ class ParquetMorTable:
         Tagged snapshots are pinned regardless of ``retain_last`` —
         their snapshot jsons stay readable and every base/delta
         directory they reference survives (CoW tag semantics)."""
+        self._require_main("vacuum")
         cur = self.current_snapshot()
         if cur is None:
             return []
         keep_snaps = set(range(max(1, cur["n"] - retain_last + 1), cur["n"] + 1))
         keep_snaps |= set(self.tags().values())
+        # Live branches pin their head (the readable state) and base
+        # (the publish conflict check needs it to stay resolvable).
+        for b in self.branches().values():
+            keep_snaps |= {b["head"], b["base"]}
         referenced: set[str] = set()
         for n in sorted(keep_snaps):
             try:

@@ -183,11 +183,10 @@ def cdc_load_wap(
     ledger uncommitted, so the NEXT run replays the same files (merges
     are idempotent per key; fix the audit or the data and rerun).
 
-    CoW tables only (branch refs live in the CoW commit protocol);
-    merge-on-read tables get a clear feature error.
+    Works on both formats: CoW and MoR tables carry branch refs in
+    their commit protocols (r7 verdict #5 lifted the CoW-only
+    restriction).
     """
-    from .formats.parquet_cow import ParquetCowTable
-
     tbl = catalog.table(spec)
     ledger = FileLedger(tbl.path)
     files = ledger.new_files(_raw_dir(raw_root, CDC_ZONE, spec))
@@ -195,12 +194,6 @@ def cdc_load_wap(
         return LoadReport(spec.table_name, "skipped_empty")
     if not tbl.exists():
         return LoadReport(spec.table_name, "skipped_missing", files=files)
-    if not isinstance(tbl, ParquetCowTable):
-        raise ValueError(
-            f"{spec.qualified_name}: write-audit-publish needs branch refs, "
-            "which only copy-on-write tables support; this table is "
-            "merge-on-read"
-        )
 
     # A leftover staging branch (crash between create and drop/publish,
     # or a publish that lost a ConcurrentWriteError race) must not wedge

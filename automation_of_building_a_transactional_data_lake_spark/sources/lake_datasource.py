@@ -28,10 +28,13 @@ Design constraints (the Python DataSource API, Spark 4.1):
   Arrow-batched reads; identity-partition values are re-attached from the
   hive directory name (the files themselves don't store the column).
 
-Scope: copy-on-write tables (MoR read-time reconcile is a join, not a
-file scan). Reads are Arrow-batched through the Python worker — the
-interop/pushdown surface; the engine-native ``read()`` path stays the
-JVM-parquet hot path.
+Scope: BATCH scans cover copy-on-write tables (MoR read-time reconcile
+is a join, not a file scan); the STREAMING change feed
+(``.option("feed", "changes")``) covers both formats — MoR streams its
+delta log, CoW streams the write-time ``_changelog`` capture each merge
+commits atomically with its data. Reads are Arrow-batched through the
+Python worker — the interop/pushdown surface; the engine-native
+``read()`` path stays the JVM-parquet hot path.
 """
 
 from __future__ import annotations
@@ -117,7 +120,10 @@ def _resolve_version_dir(table_path: str, options) -> str:
 
 def _data_files(vdir: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(vdir):
+    for root, dirs, files in os.walk(vdir):
+        # Prune hidden directories (the _changelog CDC capture lives in
+        # one) exactly like Spark's own file index does.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fname in files:
             if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
                 out.append(os.path.relpath(os.path.join(root, fname), vdir))
@@ -283,53 +289,67 @@ class LakeDataSource(DataSource):
             schema = schema.add(part_col, dtype, True)
         return schema
 
-    def _mor_meta(self) -> dict:
+    def _feed_meta(self) -> dict:
+        """Change-feed precondition: a managed table of either format.
+        MoR streams its delta log directly; CoW streams the write-time
+        ``_changelog`` capture each merge commits atomically with its
+        data (Delta-CDF analog)."""
         meta = _read_json(os.path.join(self._table_path(), _META), None)
         if meta is None:
             raise FileNotFoundError(f"no managed table at {self._table_path()}")
-        if meta.get("format") != "mor":
+        if meta.get("format") not in ("mor", "cow", "parquet_cow"):
             raise ValueError(
-                "the lakehouse CHANGE FEED streams a merge-on-read table's "
-                "delta log (each micro-batch = the CDC batches committed "
-                "since the last offset); copy-on-write tables derive changes "
-                "by snapshot diff — use formats.changes.snapshot_changes in "
-                "batch for those"
+                "the lakehouse CHANGE FEED streams a managed table's change "
+                f"log; format {meta.get('format')!r} is not a managed table"
             )
         return meta
 
     def _changes_schema(self) -> StructType:
-        """Change-feed schema: the newest delta's business columns plus
-        ``_change_op`` ('U'|'D') and ``_commit_version``. Derived from
-        the latest delta footer (falling back to the base) so schema
-        evolution in newer deltas is picked up at stream (re)start."""
+        """Change-feed schema: the newest change batch's business
+        columns plus ``_change_op`` ('U'|'D') and ``_commit_version``.
+        Derived from the latest commit's change footers (falling back
+        to the base / table schema) so schema evolution in newer
+        batches is picked up at stream (re)start."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import LongType, StringType
 
-        self._mor_meta()
+        meta = self._feed_meta()
         path = self._table_path()
-        snap = _mor_snapshot(path, _mor_head(path))
-        # Union of base + every current delta's footer, first-seen order:
-        # delete deltas carry only the key column, and schema evolution
-        # may widen later deltas — a single footer under-describes the
-        # feed (nullable fields cover the gaps per file at read).
         fields: list = []
         seen: set[str] = set()
-        for d in [snap["base"], *snap["deltas"]]:
-            ddir = os.path.join(path, d)
-            pfiles = sorted(
-                os.path.join(r, f)
-                for r, _dirs, fs in os.walk(ddir)
-                for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            if not pfiles:
-                continue
-            for f in from_arrow_schema(pq.ParquetFile(pfiles[0]).schema_arrow).fields:
-                if f.name.startswith("__mor_") or f.name in seen:
+
+        def _add(schema_fields) -> None:
+            for f in schema_fields:
+                if f.name.startswith(("__mor_", "__change_")) or f.name in seen:
                     continue
                 seen.add(f.name)
                 fields.append(f)
+
+        if meta.get("format") == "mor":
+            snap = _mor_snapshot(path, _mor_head(path))
+            # Union of base + every current delta's footer, first-seen
+            # order: delete deltas carry only the key column, and schema
+            # evolution may widen later deltas — a single footer
+            # under-describes the feed (nullable fields cover the gaps
+            # per file at read).
+            for d in [snap["base"], *snap["deltas"]]:
+                pfiles = _dir_parquet_files(os.path.join(path, d))
+                if pfiles:
+                    _add(from_arrow_schema(pq.ParquetFile(pfiles[0]).schema_arrow).fields)
+        else:
+            # CoW: newest committed changelog footer first (it carries
+            # the logical column names merges were written with), then
+            # the table's batch schema for anything a delete-only or
+            # absent changelog under-describes.
+            for n in range(_mor_head(path), 0, -1):
+                pfiles = _dir_parquet_files(
+                    os.path.join(path, f"v{n:08d}", "_changelog")
+                )
+                if pfiles:
+                    _add(from_arrow_schema(pq.ParquetFile(pfiles[0]).schema_arrow).fields)
+                    break
+            _add(self._batch_schema().fields)
         schema = StructType(fields)
         return schema.add("_change_op", StringType(), True).add(
             "_commit_version", LongType(), False
@@ -349,13 +369,14 @@ class LakeDataSource(DataSource):
         return LakeReader(self._table_path(), self._meta(), dict(self.options), schema)
 
     def streamReader(self, schema: StructType) -> "LakeChangeFeedReader":  # noqa: N802
-        self._mor_meta()
+        meta = self._feed_meta()
         if self.options.get("feed") != "changes":
             raise ValueError(
                 "streaming the lakehouse format requires .option('feed', "
                 "'changes') — the stream is the table's change feed"
             )
-        return LakeChangeFeedReader(self._table_path(), dict(self.options), schema)
+        fmt = "mor" if meta.get("format") == "mor" else "cow"
+        return LakeChangeFeedReader(self._table_path(), dict(self.options), schema, fmt)
 
 
 class LakeReader(DataSourceReader):
@@ -634,10 +655,12 @@ class LakeReader(DataSourceReader):
         yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
 
 
-# -- MoR change-feed streaming (Delta CDF / Hudi incremental pull) ----------
+# -- change-feed streaming (Delta CDF / Hudi incremental pull) --------------
 
 
 def _mor_head(table_path: str) -> int:
+    """Head version from ``_LATEST`` — the same pointer file for both
+    formats (MoR snapshot number / CoW version number)."""
     latest = os.path.join(table_path, _LATEST)
     if not os.path.isfile(latest):
         raise FileNotFoundError(f"no committed table at {table_path}")
@@ -652,6 +675,19 @@ def _mor_snapshot(table_path: str, n: int) -> dict:
     return snap
 
 
+def _dir_parquet_files(ddir: str) -> list[str]:
+    """Sorted non-hidden parquet files directly under a directory tree
+    (delta dirs / changelog dirs)."""
+    if not os.path.isdir(ddir):
+        return []
+    return sorted(
+        os.path.join(r, f)
+        for r, _dirs, fs in os.walk(ddir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
 class LakeCommitPartition(InputPartition):
     def __init__(self, files: list[str], version: int) -> None:
         self.files = files
@@ -659,23 +695,33 @@ class LakeCommitPartition(InputPartition):
 
 
 class LakeChangeFeedReader(DataSourceStreamReader):
-    """Structured-Streaming source over a merge-on-read table's DELTA
-    LOG — the engine's Delta-CDF / Hudi-incremental-pull: each
-    micro-batch delivers exactly the CDC rows committed since the last
-    offset, as (business columns, _change_op 'U'|'D', _commit_version).
+    """Structured-Streaming source over a managed table's change log —
+    the engine's Delta-CDF / Hudi-incremental-pull: each micro-batch
+    delivers exactly the CDC rows committed since the last offset, as
+    (business columns, _change_op 'U'|'D', _commit_version).
+
+    Log source by format: MoR streams its DELTA LOG (each merge's
+    delta directory IS the change batch); CoW streams the write-time
+    ``_changelog`` capture each merge stages atomically with its
+    rewritten files — same rows, same cost shape, so consumers are
+    format-agnostic.
 
     Scale shape: offsets are version numbers (driver traffic is O(1)
-    metadata); each committed merge contributes its delta FILES as
+    metadata); each committed merge contributes its change FILES as
     input partitions, so row bytes flow through executors, never the
     driver — micro-batch size is the CDC batch size by construction.
-    Compaction commits are skipped (they change no logical content);
-    an overwrite aborts the stream loudly (content replaced outside
-    the change protocol — restart the stream from it)."""
+    Commits with no logical row-level changes (create/compact/alter)
+    are skipped; an overwrite aborts the stream loudly (content
+    replaced outside the change protocol — restart the stream from
+    it), as does a pre-changelog legacy commit it cannot classify."""
 
-    def __init__(self, table_path: str, options: dict, schema: StructType) -> None:
+    def __init__(
+        self, table_path: str, options: dict, schema: StructType, fmt: str = "mor"
+    ) -> None:
         self.table_path = table_path
         self.options = options
         self.schema_ = schema
+        self.fmt = fmt
 
     def initialOffset(self) -> dict:  # noqa: N802
         start = self.options.get("starting_version")
@@ -685,28 +731,104 @@ class LakeChangeFeedReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802
         return {"version": _mor_head(self.table_path)}
 
-    def partitions(self, start: dict, end: dict):
-        out = []
-        for n in range(start["version"] + 1, end["version"] + 1):
+    def _commit_files(self, n: int) -> list[str] | None:
+        """The change files of commit ``n`` (None = no logical changes);
+        raises when the commit cannot be represented as changes."""
+        if self.fmt == "mor":
             snap = _mor_snapshot(self.table_path, n)
             op = snap.get("op")
             if op == "merge" or (op is None and snap["deltas"]):
-                ddir = os.path.join(self.table_path, snap["deltas"][-1])
-                files = sorted(
-                    os.path.join(r, f)
-                    for r, _d, fs in os.walk(ddir)
-                    for f in fs
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                )
-                if files:
-                    out.append(LakeCommitPartition(files, n))
-            elif op == "overwrite":
+                return _dir_parquet_files(
+                    os.path.join(self.table_path, snap["deltas"][-1])
+                ) or None
+            if op == "overwrite":
                 raise ValueError(
                     f"snapshot {n} OVERWROTE the table outside the change "
                     "protocol; the change feed cannot represent it — restart "
                     f"the stream with starting_version={n}"
                 )
-            # create/compact: no logical row-level changes to emit.
+            return None  # create/compact: no logical row-level changes.
+        vdir = os.path.join(self.table_path, f"v{n:08d}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {n} has been vacuumed; the change feed cannot "
+                f"replay it — restart the stream with a retained "
+                "starting_version"
+            )
+        files = _dir_parquet_files(os.path.join(vdir, "_changelog"))
+        if files:
+            return files
+        op = (_read_json(os.path.join(vdir, "_commit_op.json"), None) or {}).get("op")
+        if op in ("create", "compact", "alter"):
+            return None  # no logical row-level changes to emit
+        raise ValueError(
+            f"version {n} {'OVERWROTE the table' if op == 'overwrite' else 'carries no change capture'} "
+            "(committed outside the change protocol, or by a pre-changelog "
+            "engine build); the change feed cannot represent it — restart "
+            f"the stream with starting_version={n}"
+        )
+
+    def _cow_lineage(self, start: int, end: int) -> list[int]:
+        """Main-lineage versions in (start, end], oldest first, from
+        each commit's recorded provenance base. CoW version numbers
+        come from a GLOBAL sequence shared with branch refs, so an
+        integer range would leak a branch's unpublished commits into
+        the feed; the base chain walks exactly the commits that became
+        this ref's history (published branch work included, because a
+        publish fast-forward makes its commits the chain)."""
+        chain: list[int] = []
+        n = end
+        while n > start:
+            vdir = os.path.join(self.table_path, f"v{n:08d}")
+            info = _read_json(os.path.join(vdir, "_touched.json"), None)
+            if info is None:
+                raise FileNotFoundError(
+                    f"version {n} is vacuumed or carries no provenance; the "
+                    "change feed cannot replay it — restart the stream with "
+                    "a retained starting_version"
+                )
+            chain.append(n)
+            n = int(info["base"])
+        if n != start:
+            raise ValueError(
+                f"offset version {start} is not on this table's commit "
+                "lineage (it may belong to an abandoned branch); restart "
+                "the stream with a committed starting_version"
+            )
+        return list(reversed(chain))
+
+    def _mor_lineage(self, start: int, end: int) -> list[int]:
+        """Main-lineage snapshots in (start, end], oldest first. MoR
+        snapshots record their ``parent`` since branches arrived; a
+        legacy snapshot without one predates branching, where the
+        integer range IS the lineage."""
+        chain: list[int] = []
+        n = end
+        while n > start:
+            snap = _mor_snapshot(self.table_path, n)
+            parent = snap.get("parent")
+            if parent is None:
+                return list(range(start + 1, end + 1))
+            chain.append(n)
+            n = int(parent)
+        if n != start:
+            raise ValueError(
+                f"offset version {start} is not on this table's commit "
+                "lineage (it may belong to an abandoned branch); restart "
+                "the stream with a committed starting_version"
+            )
+        return list(reversed(chain))
+
+    def partitions(self, start: dict, end: dict):
+        if self.fmt == "mor":
+            versions = self._mor_lineage(start["version"], end["version"])
+        else:
+            versions = self._cow_lineage(start["version"], end["version"])
+        out = []
+        for n in versions:
+            files = self._commit_files(n)
+            if files:
+                out.append(LakeCommitPartition(files, n))
         if not out:
             # Spark requires at least one (possibly empty) partition
             # per planned batch.
@@ -719,12 +841,13 @@ class LakeChangeFeedReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema_)
+        op_col = "__mor_op" if self.fmt == "mor" else "__change_op"
         for fpath in partition.files:
             tbl = pq.read_table(fpath)
             cols = []
             for field in target:
                 if field.name == "_change_op":
-                    cols.append(tbl.column("__mor_op").cast(field.type))
+                    cols.append(tbl.column(op_col).cast(field.type))
                 elif field.name == "_commit_version":
                     cols.append(
                         pa.array([partition.version] * len(tbl)).cast(field.type)

@@ -273,3 +273,53 @@ def test_refresh_serialized_by_maintenance_lock(spark, tmp_path):
     os.utime(lock, (old, old))
     assert idx.refresh()["action"] == "noop"
     assert not os.path.exists(lock)
+
+
+def test_refresh_driven_by_cow_change_stream(spark, tmp_path):
+    """r7 verdict #3 end-to-end gate: the incremental ANN refresh is
+    DRIVEN from the STREAMING change feed of a copy-on-write source
+    table — the feed (write-time _changelog capture) delivers each
+    merge's rows as a micro-batch, the consumer refreshes the index
+    per micro-batch, and the final index equals a frozen-quantizer
+    full re-encode. The streamed rows themselves must be exactly the
+    merged batches (keys + ops), proving the notification channel
+    carries the same content the refresh consumed."""
+    from automation_of_building_a_transactional_data_lake_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    cat, rng = _seed_source(spark, str(tmp_path / "wh"))
+    src = cat.table(SPEC)
+    idx = ManagedAnnIndex(cat, SPEC, ivf_k=4)
+    assert idx.build()["action"] == "built"
+    indexed_v = idx._read_meta()["indexed_version"]
+    register_lake_datasource(spark)
+
+    src.merge_upsert(_mk(spark, [(5, _vec(rng)), (200, _vec(rng))]))
+    src.merge_delete(spark.createDataFrame([(7,)], "vec_id long"))
+
+    seen: list = []
+    actions: list = []
+
+    def on_batch(df, _epoch):
+        seen.extend((r.vec_id, r._change_op) for r in df.collect())
+        actions.append(idx.refresh()["action"])
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", src.path)
+        .option("feed", "changes")
+        .option("starting_version", str(indexed_v))
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(seen) == [(5, "U"), (7, "D"), (200, "U")]
+    assert "refreshed" in actions
+    assert _index_state(idx) == _frozen_full_reencode_state(idx)
+    live = (set(range(120)) | {200}) - {7}
+    assert idx._table().read().count() == len(live)

@@ -609,18 +609,20 @@ def test_sample_frames_jvm_side(spark):
     }
 
 
-def test_cdc_load_wap_through_catalog_and_pipeline_only(spark, tmp_path):
-    """Spec-driven write-audit-publish, no table-API dropdown: initial
-    load -> cdc_load_wap stages the batch on a branch (main invisible,
-    verified FROM INSIDE the audit via Catalog reads), a failing audit
-    drops the branch without committing the ledger (the batch replays),
-    and a passing audit publishes atomically."""
+@pytest.mark.parametrize("fmt", ["cow", "mor"])
+def test_cdc_load_wap_through_catalog_and_pipeline_only(spark, tmp_path, fmt):
+    """Spec-driven write-audit-publish on BOTH formats (the X83
+    pattern; r7 verdict #5): initial load -> cdc_load_wap stages the
+    batch on a branch (main invisible, verified FROM INSIDE the audit
+    via Catalog reads), a failing audit drops the branch without
+    committing the ledger (the batch replays), and a passing audit
+    publishes atomically."""
     from automation_of_building_a_transactional_data_lake_spark.pipeline import (
         cdc_load_wap,
     )
 
     spec = GAME_SPECS_BY_NAME["user_data"]
-    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat = Catalog(spark, str(tmp_path / "wh"), table_format=fmt)
     initial_load(spark, cat, spec, DEMO)
     clock = dt.datetime(2023, 9, 1, tzinfo=dt.timezone.utc)
 
@@ -699,29 +701,24 @@ def test_cdc_load_wap_recovers_from_leftover_branch_and_publish_conflict(
 
 def test_read_table_branch_guards(spark, tmp_path):
     """Catalog.read_table(branch=) surfaces branches without dropping
-    to the table API; selectors are mutually exclusive and
-    merge-on-read tables get a feature error, not a crash."""
+    to the table API on BOTH formats (r7 verdict #5); selectors are
+    mutually exclusive and a missing branch is a KeyError."""
     from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
 
-    spec = TableSpec("t_br", "id", None, None, "testdb")
-    cat = Catalog(spark, str(tmp_path / "wh"))
-    cat.table(spec).create(spark.createDataFrame([(1, "a")], "id long, val string"))
-    cat.table(spec).create_branch("b1")
-    cat.table(spec).branch("b1").merge_upsert(
-        spark.createDataFrame([(2, "b")], "id long, val string")
-    )
-    assert cat.read_table(spec).count() == 1
-    assert cat.read_table(spec, branch="b1").count() == 2
-    with pytest.raises(ValueError, match="at most one"):
-        cat.read_table(spec, version=1, branch="b1")
-
-    mor_cat = Catalog(spark, str(tmp_path / "wh_mor"), table_format="mor")
-    mor_spec = TableSpec("t_br_mor", "id", None, None, "testdb")
-    mor_cat.table(mor_spec).create(
-        spark.createDataFrame([(1, "a")], "id long, val string")
-    )
-    with pytest.raises(ValueError, match="copy-on-write"):
-        mor_cat.read_table(mor_spec, branch="b1")
+    for fmt in ("cow", "mor"):
+        spec = TableSpec(f"t_br_{fmt}", "id", None, None, "testdb")
+        cat = Catalog(spark, str(tmp_path / f"wh_{fmt}"), table_format=fmt)
+        cat.table(spec).create(spark.createDataFrame([(1, "a")], "id long, val string"))
+        cat.table(spec).create_branch("b1")
+        cat.table(spec).branch("b1").merge_upsert(
+            spark.createDataFrame([(2, "b")], "id long, val string")
+        )
+        assert cat.read_table(spec).count() == 1
+        assert cat.read_table(spec, branch="b1").count() == 2
+        with pytest.raises(ValueError, match="at most one"):
+            cat.read_table(spec, version=1, branch="b1")
+        with pytest.raises(KeyError):
+            cat.read_table(spec, branch="nope")
 
 
 def test_influence_reach_edge_set_materialized_once(spark):
@@ -790,3 +787,43 @@ def test_pil_decoder_golden_bytes_or_clear_absence(spark):
         "png", 3, 2, 3,
     )
     assert got[2].format is None and got[2].width is None
+
+
+def test_sync_session_views_bridges_bare_spark(spark, tmp_path):
+    """r7 verdict #6: a user holding only a SparkSession reads managed
+    tables with plain spark.table / spark.sql — no LakeSQL wrapper.
+    sync_session_views registers <db>__<table> views for every table in
+    every database (mixed CoW/MoR warehouse); a re-sync after a merge
+    surfaces the new committed snapshot."""
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    wh = str(tmp_path / "wh")
+    cow_cat = Catalog(spark, wh)
+    mor_cat = Catalog(spark, wh, table_format="mor")
+    u = TableSpec("users", "id", None, None, "gamedb")
+    p = TableSpec("plays", "play_id", None, None, "gamedb")
+    cow_cat.table(u).create(
+        spark.createDataFrame([(1, "ana"), (2, "bo")], "id long, name string")
+    )
+    mor_cat.table(p).create(
+        spark.createDataFrame([(10, 1), (11, 2)], "play_id long, id long")
+    )
+
+    views = cow_cat.sync_session_views()
+    assert views == ["gamedb__plays", "gamedb__users"]
+    assert spark.table("gamedb__users").count() == 2
+    joined = spark.sql(
+        "SELECT u.name, count(*) AS n FROM gamedb__users u "
+        "JOIN gamedb__plays p ON u.id = p.id GROUP BY u.name"
+    )
+    assert {(r.name, r.n) for r in joined.collect()} == {("ana", 1), ("bo", 1)}
+
+    # Merge through either format, re-sync, bare spark.table sees the
+    # committed snapshot — LakeSQL never touched.
+    cow_cat.table(u).merge_upsert(
+        spark.createDataFrame([(3, "cy")], "id long, name string")
+    )
+    mor_cat.table(p).merge_delete(spark.createDataFrame([(11,)], "play_id long"))
+    cow_cat.sync_session_views(database="gamedb")
+    assert {r.name for r in spark.table("gamedb__users").collect()} == {"ana", "bo", "cy"}
+    assert {r.play_id for r in spark.table("gamedb__plays").collect()} == {10}

@@ -248,20 +248,27 @@ def test_lakesql_via_datasource_matches_native(spark, tmp_path):
     assert native == via_ds == 10
 
 
-def test_mor_change_feed_streaming_source(spark, tmp_path):
-    """Streaming change feed over a merge-on-read table's delta log
-    (Delta CDF / Hudi incremental pull through the lakehouse format):
-    each micro-batch = the CDC rows committed since the checkpointed
+@pytest.mark.parametrize("fmt", ["mor", "cow"])
+def test_mor_change_feed_streaming_source(spark, tmp_path, fmt):
+    """Streaming change feed over a managed table's change log (Delta
+    CDF / Hudi incremental pull through the lakehouse format),
+    parameterized over BOTH formats — MoR streams its delta log, CoW
+    streams the write-time _changelog capture (r7 verdict #3): each
+    micro-batch = the CDC rows committed since the checkpointed
     offset, as (cols..., _change_op, _commit_version); compaction
     commits contribute nothing (no logical change); a checkpointed
     restart delivers ONLY the new commits; delete rows carry null
     business columns beyond the key; an overwrite aborts loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ParquetCowTable,
+    )
     from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
         ParquetMorTable,
     )
 
     spec = TableSpec("t_feed", "id", None, None, "streamdb")
-    tbl = ParquetMorTable(spark, str(tmp_path / "wh"), spec)
+    cls = ParquetMorTable if fmt == "mor" else ParquetCowTable
+    tbl = cls(spark, str(tmp_path / "wh"), spec)
     tbl.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
     tbl.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"))
     tbl.merge_delete(spark.createDataFrame([(1,)], "id long"))
@@ -394,3 +401,57 @@ def test_change_feed_over_deletion_vector_table(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
     assert got == {(2, "B", "U", 2), (3, "c", "U", 2), (1, None, "D", 3)}
+
+
+def test_cow_change_feed_lineage_and_guards(spark, tmp_path):
+    """CoW feed specifics: version numbers come from a GLOBAL sequence
+    shared with branch refs, so the feed must walk the commit
+    provenance chain — a branch's unpublished merges never leak into
+    main's feed, while a PUBLISHED branch's commits become the chain;
+    alter/compact commits emit nothing; an overwrite aborts loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        ParquetCowTable,
+    )
+
+    spec = TableSpec("t_cow_feed", "id", None, None, "streamdb")
+    tbl = ParquetCowTable(spark, str(tmp_path / "wh"), spec)
+    tbl.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))  # v1
+    tbl.merge_upsert(spark.createDataFrame([(3, "c")], "id long, val string"))       # v2
+    tbl.create_branch("wip")
+    tbl.branch("wip").merge_upsert(
+        spark.createDataFrame([(9, "UNPUBLISHED")], "id long, val string")
+    )                                                                                # v3 (branch)
+    tbl.merge_upsert(spark.createDataFrame([(4, "d")], "id long, val string"))       # v4 (main, base v2)
+    tbl.alter_add_column("note", "string")                                           # v5 (alter)
+    tbl.compact()                                                                    # v6 or noop
+
+    ds = LakeDataSource({"path": tbl.path, "feed": "changes"})
+    rd = ds.streamReader(ds.schema())
+    head = tbl.current_version().version
+    parts = [p for p in rd.partitions({"version": 1}, {"version": head}) if p.files]
+    assert [p.version for p in parts] == [2, 4]  # branch v3 + alter/compact excluded
+    ids = set()
+    for p in parts:
+        for batch in rd.read(p):
+            ids.update(batch.to_pydict()["id"])
+    assert ids == {3, 4}
+
+    # Published branch commits ARE the chain.
+    tbl.drop_branch("wip")
+    fork = tbl.current_version().version
+    tbl.create_branch("rel")
+    tbl.branch("rel").merge_upsert(
+        spark.createDataFrame([(10, "published")], "id long, val string")
+    )
+    published_v = tbl.publish_branch("rel")
+    rd2 = ds.streamReader(ds.schema())
+    parts2 = [
+        p for p in rd2.partitions({"version": fork}, {"version": published_v}) if p.files
+    ]
+    assert [p.version for p in parts2] == [published_v]
+
+    # Overwrite cannot be represented as changes: the feed aborts.
+    tbl.overwrite(spark.createDataFrame([(99, "fresh", None)], "id long, val string, note string"))
+    rd3 = ds.streamReader(ds.schema())
+    with pytest.raises(ValueError, match="OVERWROTE|change capture"):
+        rd3.partitions({"version": published_v}, {"version": tbl.current_version().version})
