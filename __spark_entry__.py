@@ -118,6 +118,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4-r6) and events_hourly_rollup (date-trunc groupBy count ⊂ the
 #     q1 agg family + events_time_range_rolling, green r3-r6) rotate
 #     OUT — both stay oracle-gated in pytest via test_oracle_parity.
+#   r8 additions (this round): docs_bm25_batch (per-query-table BM25 —
+#     the contamination-check shape, r7 verdict #8) and
+#     docs_multimodal_stats (synthesize→decode→aggregate over real
+#     BMP/WAV bytes — the first driver gate for the multimodal family,
+#     r7 verdict #7) take recorded slots; emb_top_pairs (green
+#     r2/r5/r6/r7 — the O(n²) all-pairs oracle twin of the gated
+#     emb_lsh_pairs, same demotion class as emb_knn_brute in r6) and
+#     q17_small_quantity (green r2-r7 — correlated scalar-avg subquery
+#     ⊂ q2's min-over-agg scalar-subquery gate) rotate OUT; both stay
+#     oracle-gated in pytest via test_oracle_parity.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -139,6 +149,8 @@ _DEMOTED_TAIL = [
     "docs_exact_dedup",
     "docs_minhash_near_dup",
     "docs_lang_confusion",
+    "emb_top_pairs",
+    "q17_small_quantity",
 ]
 
 _DRIVER_SLOTS = 50

@@ -258,6 +258,89 @@ def media_frame(spark, rows) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_bmp_bytes(width: int, height: int, bits_per_pixel: int = 24) -> bytes:
+    """A genuine, viewer-openable BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + zeroed 4-byte-aligned pixel rows) — the
+    deterministic payload generator for exercising the decode plumbing
+    and load-testing media pipelines without codec libraries."""
+    import struct
+
+    row = (width * (bits_per_pixel // 8) + 3) // 4 * 4
+    pixels = row * height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + pixels, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bits_per_pixel, 0, pixels,
+            2835, 2835, 0, 0,
+        )
+        + bytes(pixels)
+    )
+
+
+def make_wav_bytes(
+    n_channels: int, sample_rate: int, bits_per_sample: int = 16, data_size: int = 0
+) -> bytes:
+    """A genuine RIFF/WAVE file (fmt + zeroed data chunk) — the audio
+    twin of ``make_bmp_bytes``."""
+    import struct
+
+    byte_rate = sample_rate * n_channels * bits_per_sample // 8
+    block = n_channels * bits_per_sample // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block,
+            bits_per_sample,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+        + bytes(data_size)
+    )
+
+
+def synthesize_media(
+    df: DataFrame,
+    kind_col: str = "kind",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "n_channels",
+    rate_col: str = "sample_rate",
+    data_size_col: str = "data_size",
+    out_col: str = "payload",
+) -> DataFrame:
+    """Attach a deterministic binary media payload per row: ``kind``
+    'bmp' rows get a real BMP of (width, height); anything else gets a
+    real WAV of (n_channels, sample_rate, data_size bytes of silence).
+    Arrow-batched ``pandas_udf`` — payload bytes are built executor-side
+    per batch, never on the driver — so a synthetic media corpus of any
+    size is one narrow projection away from any id-bearing table."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(kind, w, h, ch, rate, ds):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out = []
+        for k, wi, hi, c, r, d in zip(kind, w, h, ch, rate, ds):
+            if k == "bmp":
+                out.append(make_bmp_bytes(int(wi), int(hi)))
+            else:
+                out.append(make_wav_bytes(int(c), int(r), 16, int(d)))
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col,
+        _synth(
+            F.col(kind_col), F.col(width_col), F.col(height_col),
+            F.col(channels_col), F.col(rate_col), F.col(data_size_col),
+        ),
+    )
+
+
 def extract_features(
     media: DataFrame,
     decoder: Decoder = "fake",

@@ -1262,6 +1262,145 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# docs_bm25_batch — per-query top-k BM25 over a query TABLE
+# (operators/retrieval.bm25_topk_batch): the contamination-check shape
+# curation pipelines run (every eval prompt vs the corpus), r7 verdict
+# #8. Spark: corpus term stats computed ONCE for the union of query
+# terms (broadcast-semi-join pruned BEFORE the shuffle), per-query
+# fan-out on the broadcast query-term list, ranking window for top-k.
+# Oracle: the identical per-query formula in DuckDB over the same
+# literal query table.
+# --------------------------------------------------------------------------
+
+_BM25_BATCH_QUERIES = [
+    (1, "fast merge spark window"),
+    (2, "hash join table"),
+    (3, "slow scan value batch"),
+]
+
+
+def docs_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk_batch
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id long, query string")
+    return bm25_topk_batch(
+        docs, queries, k=5, k1=_BM25_K1, b=_BM25_B
+    ).orderBy("query_id", F.col("bm25").desc(), "doc_id")
+
+
+_BM25_BATCH_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_BATCH_QUERIES)
+
+DOCS_BM25_BATCH_ORACLE = f"""
+WITH queries(query_id, query) AS (VALUES {_BM25_BATCH_VALUES}),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query), '\\s+'), x -> x <> '')) AS t
+  FROM queries
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qtf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN (SELECT DISTINCT t FROM qterms)
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM qtf GROUP BY t
+), scored AS (
+  SELECT qt.query_id, q.doc_id, round(sum(
+           ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+           * q.tf * ({_BM25_K1} + 1)
+           / (q.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / c.avgdl))
+         ), 4) AS bm25
+  FROM qtf q JOIN dfreq f USING (t) JOIN dl d USING (doc_id)
+       JOIN qterms qt USING (t), corpus c
+  GROUP BY qt.query_id, q.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+  ) AS rn FROM scored
+)
+SELECT query_id, doc_id, bm25 FROM ranked WHERE rn <= 5
+ORDER BY query_id, bm25 DESC, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_multimodal_stats — the multimodal binary-column dataflow gated
+# end-to-end (r7 verdict #7): deterministic BMP/WAV payloads are
+# SYNTHESIZED IN-PLAN from the documents table (Arrow-batched
+# pandas_udf building real file bytes executor-side), decoded by the
+# dependency-free header parsers via the 'auto' format sniffer
+# (mapInPandas), and aggregated per detected format. The DuckDB oracle
+# states the same header arithmetic (BMP row padding, WAV duration
+# formula) over the same deterministic parameterization — so a decoder
+# that mis-parses any field hash-mismatches.
+# --------------------------------------------------------------------------
+
+
+def docs_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, synthesize_media
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp")).otherwise(F.lit("wav")).alias("kind"),
+        (F.col("doc_id") % 13 + 1).alias("width"),
+        (F.col("doc_id") % 7 + 1).alias("height"),
+        (F.col("doc_id") % 2 + 1).alias("n_channels"),
+        F.lit(8000).alias("sample_rate"),
+        ((F.col("doc_id") % 40 + 1) * 4).alias("data_size"),
+    )
+    media = synthesize_media(params).select("media_id", "payload")
+    decoded = decode_media(media, decoder="auto")
+    return (
+        decoded.groupBy("format")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.coalesce(F.col("width"), F.lit(0))).alias("sum_width"),
+            F.sum(F.coalesce(F.col("height"), F.lit(0))).alias("sum_height"),
+            F.sum(F.coalesce(F.col("sample_rate"), F.lit(0))).alias("sum_rate"),
+            F.sum(F.coalesce(F.col("duration_ms"), F.lit(0))).alias("sum_duration_ms"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum(F.coalesce(F.col("bits_per_sample"), F.lit(0))).alias("sum_bits"),
+        )
+        .orderBy("format")
+    )
+
+
+DOCS_MULTIMODAL_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+         doc_id % 13 + 1 AS w,
+         doc_id % 7 + 1 AS h,
+         doc_id % 2 + 1 AS ch,
+         (doc_id % 40 + 1) * 4 AS ds
+  FROM documents
+)
+SELECT format,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN format = 'bmp' THEN w ELSE 0 END) AS BIGINT) AS sum_width,
+       CAST(sum(CASE WHEN format = 'bmp' THEN h ELSE 0 END) AS BIGINT) AS sum_height,
+       CAST(sum(CASE WHEN format = 'wav' THEN 8000 ELSE 0 END) AS BIGINT) AS sum_rate,
+       CAST(sum(CASE WHEN format = 'wav' THEN ds // (ch * 16) ELSE 0 END) AS BIGINT)
+         AS sum_duration_ms,
+       CAST(sum(CASE WHEN format = 'bmp'
+                     THEN 14 + 40 + ((w * 3 + 3) // 4) * 4 * h
+                     ELSE 44 + ds END) AS BIGINT) AS sum_bytes,
+       CAST(sum(CASE WHEN format = 'bmp' THEN 24 ELSE 16 END) AS BIGINT) AS sum_bits
+FROM m GROUP BY format ORDER BY format
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -1639,6 +1778,8 @@ QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("docs_dedup_clusters", docs_dedup_clusters, DOCS_CLUSTERS_ORACLE),
         QueryDef("docs_bm25_search", docs_bm25_search, DOCS_BM25_ORACLE),
+        QueryDef("docs_bm25_batch", docs_bm25_batch, DOCS_BM25_BATCH_ORACLE),
+        QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
         QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),

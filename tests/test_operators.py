@@ -888,3 +888,67 @@ def test_connected_components_fuzz_vs_union_find(spark):
         assert got == want, edges
 
     run()
+
+
+def test_bm25_batch_agrees_with_single_query(spark):
+    """bm25_topk_batch must reproduce bm25_topk exactly per query (same
+    formula, tokenization, rounding, and tie-break), and never leak a
+    doc with no terms of THAT query into its ranking."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge fast window"),
+            (2, "spark spark spark common words"),
+            (3, "window rare thing"),
+            (4, "nothing relevant here"),
+            (5, "spark text merge"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark window"), (2, "merge text"), (3, "absentterm")],
+        "query_id long, query string",
+    )
+    batch = bm25_topk_batch(docs, queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.bm25))
+    for qid, qtext in [(1, "spark window"), (2, "merge text")]:
+        single = [(r.doc_id, r.bm25) for r in bm25_topk(docs, qtext, k=10).collect()]
+        got = sorted(by_q[qid], key=lambda x: (-x[1], x[0]))
+        assert got == single, qid
+    assert 3 not in by_q  # no doc matches -> query absent, never a 0-score row
+
+
+def test_synthesize_media_roundtrips_through_decode(spark):
+    """synthesize_media builds REAL file bytes: the dependency-free
+    header decoders must recover exactly the parameters the synthesizer
+    was given, through the full Arrow-batched plumbing."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    params = spark.createDataFrame(
+        [
+            (1, "bmp", 7, 5, 1, 8000, 0),
+            (2, "bmp", 64, 1, 1, 8000, 0),
+            (3, "wav", 0, 0, 2, 44100, 44100 * 2 * 2),  # 1 s stereo 16-bit
+            (4, "wav", 0, 0, 1, 8000, 16000),           # 1 s mono 16-bit
+        ],
+        "media_id long, kind string, width long, height long, "
+        "n_channels long, sample_rate long, data_size long",
+    )
+    media = synthesize_media(params).select("media_id", "payload")
+    got = {r.media_id: r for r in decode_media(media, decoder="auto").collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 7, 5)
+    assert (got[2].format, got[2].width, got[2].height) == ("bmp", 64, 1)
+    assert (got[3].format, got[3].n_channels, got[3].sample_rate, got[3].duration_ms) == (
+        "wav", 2, 44100, 1000
+    )
+    assert (got[4].format, got[4].n_channels, got[4].duration_ms) == ("wav", 1, 1000)
+    assert got[4].bits_per_sample == 16
