@@ -414,9 +414,14 @@ def events_influence_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Materialize the edge table once; the recursive member below joins
-    # only frontier x edges (the plan's edge side is a precomputed RDD
-    # scan, asserted by tests/test_extensions.py).
-    edges.localCheckpoint().createOrReplaceTempView("__ev_edges")
+    # only frontier x edges (the plan's edge side is a precomputed
+    # scan, asserted by tests/test_extensions.py). Routed through the
+    # dedup._materialize policy (r7 verdict #9): localCheckpoint on
+    # local[*], cluster-safe DISK_ONLY persist elsewhere — an iterative
+    # plan must not lose its only copy of the edge set with an executor.
+    from ..operators.dedup import _materialize
+
+    _materialize(edges, None).createOrReplaceTempView("__ev_edges")
     ev.createOrReplaceTempView("__ev_reach")
     return spark.sql("""
 WITH RECURSIVE reach(seed, node, depth) AS (
