@@ -128,6 +128,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q17_small_quantity (green r2-r7 — correlated scalar-avg subquery
 #     ⊂ q2's min-over-agg scalar-subquery gate) rotate OUT; both stay
 #     oracle-gated in pytest via test_oracle_parity.
+#   r8 late addition: docs_decontamination (exact n-gram eval-overlap
+#     scrub — the GPT-3/PaLM pre-training decontamination check, a new
+#     operator family) takes a recorded slot; q10_returned_items (green
+#     r2-r7 — 4-way join + group agg + orderBy/limit, shape covered by
+#     the staying q3/q5 join-agg gates) rotates OUT, pytest-gated as
+#     ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -151,6 +157,7 @@ _DEMOTED_TAIL = [
     "docs_lang_confusion",
     "emb_top_pairs",
     "q17_small_quantity",
+    "q10_returned_items",
 ]
 
 _DRIVER_SLOTS = 50

@@ -1332,6 +1332,53 @@ ORDER BY query_id, bm25 DESC, doc_id
 
 
 # --------------------------------------------------------------------------
+# docs_decontamination — exact n-gram eval-overlap check
+# (operators/decontam.ngram_contamination): the GPT-3/PaLM-style
+# pre-training scrub. An eval set is carved from the documents table
+# (doc_id % 97 == 0) so both engines derive it identically; the Spark
+# plan broadcasts the eval grams and kills non-colliding corpus grams
+# MAP-SIDE before the only shuffle (the per-pair count). Oracle:
+# identical n-gram construction and join in DuckDB.
+# --------------------------------------------------------------------------
+
+_DECONTAM_N = 3
+_DECONTAM_MOD = 97
+
+
+def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_contamination
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    return ngram_contamination(corpus, ev, n=_DECONTAM_N).orderBy("doc_id", "eval_id")
+
+
+DOCS_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ts) >= {_DECONTAM_N}
+           THEN list_transform(range(1, len(ts) - {_DECONTAM_N} + 2),
+                               i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))
+           ELSE [array_to_string(ts, ' ')] END) AS g
+    FROM toks)
+), ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0),
+   corp AS (SELECT doc_id, g FROM grams WHERE doc_id % {_DECONTAM_MOD} <> 0)
+SELECT c.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corp c JOIN ev e USING (g)
+GROUP BY c.doc_id, e.eval_id
+ORDER BY c.doc_id, e.eval_id
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_multimodal_stats — the multimodal binary-column dataflow gated
 # end-to-end (r7 verdict #7): deterministic BMP/WAV payloads are
 # SYNTHESIZED IN-PLAN from the documents table (Arrow-batched
@@ -1779,6 +1826,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_dedup_clusters", docs_dedup_clusters, DOCS_CLUSTERS_ORACLE),
         QueryDef("docs_bm25_search", docs_bm25_search, DOCS_BM25_ORACLE),
         QueryDef("docs_bm25_batch", docs_bm25_batch, DOCS_BM25_BATCH_ORACLE),
+        QueryDef("docs_decontamination", docs_decontamination, DOCS_DECONTAM_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),

@@ -952,3 +952,42 @@ def test_synthesize_media_roundtrips_through_decode(spark):
     )
     assert (got[4].format, got[4].n_channels, got[4].duration_ms) == ("wav", 1, 1000)
     assert got[4].bits_per_sample == 16
+
+
+def test_ngram_contamination_exact_pairs(spark):
+    """Exact n-gram decontamination: a corpus doc pairs with an eval
+    doc iff they share a full length-n token n-gram; n_shared counts
+    DISTINCT shared grams; sub-n docs match only as whole sequences;
+    contaminated_ids is exactly the distinct id set of the pair view."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.decontam import (
+        contaminated_ids,
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),    # shares 'quick brown fox' with eval 10
+            (2, "quick brown wolf runs fast"),   # bigram overlap only -> clean at n=3
+            (3, "tiny doc"),                     # sub-n whole-sequence: matches eval 11
+            (4, "the quick brown fox sleeps"),   # same shared gram as doc 1
+            (5, "completely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, "a quick brown fox appeared"), (11, "tiny doc"), (12, "nothing here")],
+        "eval_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in ngram_contamination(corpus, evals, n=3).collect()
+    }
+    assert got == {(1, 10): 1, (4, 10): 1, (3, 11): 1}
+    ids = {r.doc_id for r in contaminated_ids(corpus, evals, n=3).collect()}
+    assert ids == {1, 3, 4}
+    # Two shared grams count as 2: overlapping 4-token run shares two
+    # distinct trigrams.
+    c2 = spark.createDataFrame([(1, "alpha beta gamma delta x")], "doc_id long, text string")
+    e2 = spark.createDataFrame([(9, "alpha beta gamma delta y")], "eval_id long, text string")
+    got2 = ngram_contamination(c2, e2, n=3).collect()
+    assert [(r.doc_id, r.eval_id, r.n_shared) for r in got2] == [(1, 9, 2)]
