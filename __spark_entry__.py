@@ -134,6 +134,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r2-r7 — 4-way join + group agg + orderBy/limit, shape covered by
 #     the staying q3/q5 join-agg gates) rotates OUT, pytest-gated as
 #     ever.
+#   r8 late addition 2: docs_stratified_sample (per-stratum
+#     deterministic corpus-mix rebalancing, new sampling surface) takes
+#     a recorded slot; events_rolling_stats (green r3-r7 — ROWS-frame
+#     rolling window, family covered by the staying RANGE-frame
+#     events_time_range_rolling plus the ranking-window ANN gates)
+#     rotates OUT, pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -158,6 +164,7 @@ _DEMOTED_TAIL = [
     "emb_top_pairs",
     "q17_small_quantity",
     "q10_returned_items",
+    "events_rolling_stats",
 ]
 
 _DRIVER_SLOTS = 50

@@ -59,3 +59,39 @@ def deterministic_sample(
         raise ValueError(f"frac must be in (0,1], got {frac}")
     thresh = int(frac * _BUCKETS)
     return df.filter(md5_bucket_col(F.col(key_col)) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str = "text",
+    default_frac: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-MIX rebalancing
+    step of a training pipeline (downsample boilerplate-heavy domains,
+    keep all of a rare language): each stratum keeps ~its fraction of
+    rows, chosen by the same portable content hash as ``with_split``,
+    so membership is a pure function of (record, stratum policy) and
+    survives reruns, engines, and repartitioning. Strata absent from
+    ``fractions`` keep ``default_frac``.
+
+    Scale: the policy compiles to a LITERAL map expression (per-row
+    lookup + one hash, no join, no shuffle, no UDF) — a million-row
+    policy would want a broadcast-join variant instead, but corpus
+    mixes are dozens of strata. Fractions quantize to 1/65536 via the
+    same integer thresholds on every engine."""
+    for name, v in list(fractions.items()) + [("default_frac", default_frac)]:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction {name!r} must be in [0,1], got {v}")
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in sorted(fractions.items())
+            for x in (k, int(v * _BUCKETS))
+        ]
+    )
+    thresh = F.coalesce(
+        mapping[F.col(stratum_col)], F.lit(int(default_frac * _BUCKETS))
+    )
+    return df.filter(md5_bucket_col(F.col(key_col)) < thresh)

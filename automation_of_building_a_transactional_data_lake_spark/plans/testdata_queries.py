@@ -1332,6 +1332,47 @@ ORDER BY query_id, bm25 DESC, doc_id
 
 
 # --------------------------------------------------------------------------
+# docs_stratified_sample — per-stratum deterministic sampling
+# (operators/sampling.stratified_sample): the corpus-mix rebalancing
+# step (downsample the dominant language, keep all of the rare ones).
+# Membership is a pure function of (content md5, per-stratum integer
+# threshold) — no shuffle, no join, engine-portable — so DuckDB
+# restates the identical CASE thresholds and the group counts must
+# hash-match exactly.
+# --------------------------------------------------------------------------
+
+_STRATA_FRACS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_STRATA_DEFAULT = 0.75
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", _STRATA_FRACS, key_col="text", default_frac=_STRATA_DEFAULT
+    )
+    return (
+        kept.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+    )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(v * 65536)}" for k, v in sorted(_STRATA_FRACS.items())
+)
+
+DOCS_STRATIFIED_ORACLE = f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) <
+      CASE lang {_STRATA_CASE} ELSE {int(_STRATA_DEFAULT * 65536)} END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_decontamination — exact n-gram eval-overlap check
 # (operators/decontam.ngram_contamination): the GPT-3/PaLM-style
 # pre-training scrub. An eval set is carved from the documents table
@@ -1827,6 +1868,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_bm25_search", docs_bm25_search, DOCS_BM25_ORACLE),
         QueryDef("docs_bm25_batch", docs_bm25_batch, DOCS_BM25_BATCH_ORACLE),
         QueryDef("docs_decontamination", docs_decontamination, DOCS_DECONTAM_ORACLE),
+        QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),

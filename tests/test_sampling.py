@@ -60,3 +60,45 @@ def test_invalid_fractions_raise(spark):
         with_split(docs, train_frac=0.0)
     with pytest.raises(ValueError):
         deterministic_sample(docs, "text", 1.5)
+
+
+def test_stratified_sample_per_stratum_policy(spark):
+    """Per-stratum fractions apply independently: frac 1.0 keeps the
+    whole stratum, 0.0 drops it, unlisted strata use default_frac, and
+    membership is layout-stable (repartition changes nothing). Each
+    stratum's kept set must equal deterministic_sample at its own
+    fraction — the stratified operator is exactly the per-group
+    composition of the portable sampler."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    fracs = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    kept = stratified_sample(docs, "lang", fracs, default_frac=0.75)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == base["de"]          # frac 1.0: everything
+    assert "zh" not in counts                  # frac 0.0: nothing
+    assert 0 < counts["en"] < base["en"]
+    for lang in ("fr", "es"):                  # default 0.75
+        assert 0 < counts[lang] <= base[lang]
+
+    # Per-stratum equivalence with the flat sampler.
+    en_flat = {
+        r.doc_id
+        for r in deterministic_sample(docs.filter(F.col("lang") == "en"), "text", 0.5)
+        .select("doc_id").collect()
+    }
+    en_strat = {r.doc_id for r in kept.filter(F.col("lang") == "en").select("doc_id").collect()}
+    assert en_flat == en_strat
+
+    # Layout-stable.
+    kept2 = stratified_sample(docs.repartition(7), "lang", fracs, default_frac=0.75)
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {r.doc_id for r in kept2.select("doc_id").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", {"en": 1.5})
