@@ -18,14 +18,20 @@
 - ``ivm``: incremental view maintenance for decomposable rollups
   (fold only new files via the processed-file ledger).
 - ``skew``: salted join / salted distinct-count for hot keys.
-- ``multimodal``: binary media columns, Arrow-batched feature
-  extraction (decoders stubbed).
+- ``multimodal``: binary media columns — real BMP/WAV header decode,
+  deterministic media synthesis, Arrow-batched feature extraction
+  (codec tiers stubbed).
 - ``ann_pq``: product-quantization ANN (m-byte codes, asymmetric
   distance, exact re-rank).
 - ``ann_index``: CDC-maintained ANN index — a managed table refreshed
   incrementally from the change feed under frozen quantizer state.
 - ``sampling``: deterministic content-hash sampling / train-test
-  splits (engine- and layout-stable).
+  splits + per-stratum corpus-mix rebalancing (engine- and
+  layout-stable).
 - ``masking``: governance masking — salted pseudonyms, digit masking,
   pattern redaction (engine-reproducible).
+- ``retrieval``: Okapi BM25 top-k — single-query and per-query-table
+  batch (the contamination-check shape).
+- ``decontam``: exact n-gram eval-set decontamination (GPT-3/PaLM
+  pre-training scrub).
 """

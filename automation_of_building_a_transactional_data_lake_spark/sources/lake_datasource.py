@@ -827,8 +827,11 @@ class LakeChangeFeedReader(DataSourceStreamReader):
         out = []
         for n in versions:
             files = self._commit_files(n)
-            if files:
-                out.append(LakeCommitPartition(files, n))
+            # One input partition per FILE (not per commit): a large
+            # CDC batch's change files read task-parallel, the same
+            # file-level parallelism the batch scan gets.
+            for f in files or []:
+                out.append(LakeCommitPartition([f], n))
         if not out:
             # Spark requires at least one (possibly empty) partition
             # per planned batch.

@@ -429,7 +429,8 @@ def test_cow_change_feed_lineage_and_guards(spark, tmp_path):
     rd = ds.streamReader(ds.schema())
     head = tbl.current_version().version
     parts = [p for p in rd.partitions({"version": 1}, {"version": head}) if p.files]
-    assert [p.version for p in parts] == [2, 4]  # branch v3 + alter/compact excluded
+    # one partition per FILE; versions: branch v3 + alter/compact excluded
+    assert sorted({p.version for p in parts}) == [2, 4]
     ids = set()
     for p in parts:
         for batch in rd.read(p):
@@ -448,7 +449,7 @@ def test_cow_change_feed_lineage_and_guards(spark, tmp_path):
     parts2 = [
         p for p in rd2.partitions({"version": fork}, {"version": published_v}) if p.files
     ]
-    assert [p.version for p in parts2] == [published_v]
+    assert {p.version for p in parts2} == {published_v}
 
     # Overwrite cannot be represented as changes: the feed aborts.
     tbl.overwrite(spark.createDataFrame([(99, "fresh", None)], "id long, val string, note string"))
