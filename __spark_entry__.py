@@ -140,6 +140,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     rolling window, family covered by the staying RANGE-frame
 #     events_time_range_rolling plus the ranking-window ANN gates)
 #     rotates OUT, pytest-gated as ever.
+#   r8 late addition 3: q1_via_delta_interop (REAL Delta Lake interop —
+#     lineitem exported to an actual _delta_log table by the jar-less
+#     writer and aggregated through the log-replay reader; r7 verdict
+#     "missing #4") takes a recorded slot; orders_pivot_by_priority
+#     (green r5-r7 — conditional-agg pivot, family held by the staying
+#     q8/q12 conditional-agg gates) rotates OUT, pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -165,6 +171,7 @@ _DEMOTED_TAIL = [
     "q17_small_quantity",
     "q10_returned_items",
     "events_rolling_stats",
+    "orders_pivot_by_priority",
 ]
 
 _DRIVER_SLOTS = 50

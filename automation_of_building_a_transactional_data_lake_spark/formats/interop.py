@@ -1,0 +1,430 @@
+"""Real-format interop: read ACTUAL Delta Lake / Apache Hudi tables,
+write ACTUAL Delta Lake tables — pure Python, no format jars.
+
+The reference's whole point is that its tables are real Hudi / Iceberg /
+Delta tables other engines can open (``src/delta/delta-initial-load.py``,
+``src/hudi/hudi-initial-load.py``). This sandbox has none of those jars,
+but two of the three formats need none for a correct (feature-guarded)
+implementation:
+
+- **Delta Lake** is parquet data + a JSON transaction log
+  (`_delta_log/<version>.json` action lines, optional parquet
+  checkpoints) — fully specified in the public protocol
+  (delta-io/delta PROTOCOL.md). Reading is log replay; writing is
+  parquet + one more log entry. Both implemented here.
+- **Hudi copy-on-write** is parquet base files named
+  ``<fileId>_<writeToken>_<instantTime>.parquet`` plus a
+  ``.hoodie/<instant>.commit`` timeline — a committed snapshot is "the
+  latest base file per file group whose instant completed". Read
+  implemented here.
+- **Iceberg** manifests are Avro; no Avro decoder ships in this
+  environment (pyarrow has none), so ``read_iceberg`` raises a clear
+  feature error naming the dependency instead of shipping a partial
+  parser.
+
+Feature guards fail LOUDLY: Delta tables using deletion vectors or
+column mapping, and Hudi tables with merge-on-read logs or
+replacecommits, raise ``NotImplementedError`` naming the feature —
+never a silently wrong read.
+
+Scale: log replay and timeline listing are O(metadata) driver work;
+the data read is a plain ``spark.read.parquet`` over the active file
+list (file-parallel, column-pruned, filter-pushed by Spark itself).
+Writes stage through Spark's parquet writer and commit with one log
+append — O(batch), single-writer (no optimistic-concurrency loop
+against OTHER engines' writers; use the engine-native formats for
+contended tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_DELTA_LOG = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+# -- Delta Lake: transaction-log replay (read) ------------------------------
+
+
+def _delta_log_versions(log_dir: str) -> list[int]:
+    out = []
+    for fname in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.json", fname)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _delta_latest_version(log_dir: str) -> int:
+    """Highest committed version visible in the log dir — JSON commits
+    OR parquet checkpoints (after a vacuum the checkpoint may be the
+    only witness of earlier versions). -1 when the log is empty."""
+    best = -1
+    for fname in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.(json|checkpoint\.parquet)", fname)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
+    supported_reader_features = {"timestampNtz"}
+    if protocol:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - supported_reader_features
+        if protocol.get("minReaderVersion", 1) >= 3 and unsupported:
+            raise NotImplementedError(
+                f"Delta reader features {sorted(unsupported)} are not "
+                "supported by the pure-Python reader"
+            )
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+        raise NotImplementedError(
+            "Delta column mapping is not supported by the pure-Python reader"
+        )
+
+
+def _norm_pv(pv) -> dict:
+    """Parquet checkpoints encode partitionValues as a MAP (arrow
+    surfaces it as a list of pairs); JSON commits as an object."""
+    if isinstance(pv, list):
+        return {k: v for k, v in pv}
+    return dict(pv or {})
+
+
+def _delta_apply_action(state: dict, action: dict) -> None:
+    if "metaData" in action:
+        md = dict(action["metaData"])
+        if isinstance(md.get("configuration"), list):
+            md["configuration"] = dict(md["configuration"])
+        state["metaData"] = md
+    elif "protocol" in action:
+        state["protocol"] = action["protocol"]
+    elif "add" in action:
+        add = dict(action["add"])
+        if add.get("deletionVector"):
+            raise NotImplementedError(
+                "Delta deletion vectors are not supported by the pure-Python "
+                "reader"
+            )
+        add["partitionValues"] = _norm_pv(add.get("partitionValues"))
+        state["files"][add["path"]] = add
+    elif "remove" in action:
+        state["files"].pop(action["remove"]["path"], None)
+
+
+def _delta_replay(table_path: str, version: int | None) -> dict:
+    """Replay the transaction log to ``version`` (default: latest).
+    Returns {"metaData", "protocol", "files": {path: add}, "version"}.
+    Starts from the newest parquet checkpoint at or below the target
+    when one exists (the spec's recovery path for vacuumed early
+    logs)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no Delta table at {table_path} (no _delta_log)")
+    versions = _delta_log_versions(log_dir)
+    if version is None:
+        target = _delta_latest_version(log_dir)
+        if target < 0:
+            raise FileNotFoundError(f"empty _delta_log at {table_path}")
+    else:
+        target = int(version)
+
+    state: dict = {"metaData": None, "protocol": None, "files": {}}
+    start = 0
+    ckpt = None
+    lc = os.path.join(log_dir, _LAST_CHECKPOINT)
+    if os.path.isfile(lc):
+        try:
+            with open(lc, encoding="utf-8") as f:
+                ckpt = json.load(f)
+        except (OSError, ValueError):
+            ckpt = None
+    if ckpt and int(ckpt["version"]) <= target:
+        import pyarrow.parquet as pq
+
+        cv = int(ckpt["version"])
+        cpath = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
+        tbl = pq.read_table(cpath)
+        for row in tbl.to_pylist():
+            action = {k: v for k, v in row.items() if v is not None}
+            action.pop("commitInfo", None)
+            action.pop("txn", None)
+            if action:
+                _delta_apply_action(state, action)
+        start = cv + 1
+    missing = [v for v in range(start, target + 1) if v not in set(versions)]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log versions {missing} are missing at {table_path} "
+            "(vacuumed past the last checkpoint?)"
+        )
+    for v in range(start, target + 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _delta_apply_action(state, json.loads(line))
+    if state["metaData"] is None:
+        raise ValueError(f"Delta log at {table_path} carries no metaData action")
+    _delta_guard_protocol(state["protocol"], state["metaData"])
+    state["version"] = target
+    return state
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a REAL Delta Lake table (written by any engine) by
+    replaying its transaction log — snapshot-consistent, time-travel
+    via ``version=``. Partition columns are reconstructed from each
+    add action's ``partitionValues`` with the schema's declared types
+    (Delta data files do not store partition columns)."""
+    state = _delta_replay(table_path, version)
+    meta = state["metaData"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    file_schema = StructType([f for f in schema.fields if f.name not in pcols])
+
+    # Group files by partition tuple; each group reads file-parallel
+    # and re-attaches its literal partition values typed per schema.
+    groups: dict[tuple, list[str]] = {}
+    for path, add in state["files"].items():
+        pv = add.get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in pcols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, urllib.parse.unquote(path))
+        )
+    if not groups:
+        return spark.createDataFrame([], schema)
+    out = None
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for c, raw in key:
+            df = df.withColumn(
+                c,
+                F.lit(raw).cast(ptypes[c]) if raw is not None
+                else F.lit(None).cast(ptypes[c]),
+            )
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# -- Delta Lake: single-writer commit (write) -------------------------------
+
+
+def _delta_stage_files(
+    df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Write the batch's parquet through Spark into a hidden staging
+    dir, then move each file to its final (hive-conventional) location
+    under a fresh uuid name; returns the add actions."""
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    try:
+        for root, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for fname in files:
+                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                pv: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        pv[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
+                        )
+                final_rel = os.path.join(
+                    "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                final_abs = os.path.join(table_path, final_rel)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(os.path.join(root, fname), final_abs)
+                adds.append(
+                    {
+                        "path": urllib.parse.quote(final_rel.replace(os.sep, "/")),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(final_abs),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a REAL Delta Lake table any Delta reader can open: parquet
+    data + a spec-conformant transaction-log commit (protocol 1/2,
+    metaData with the Spark schema JSON — which IS Delta's schema
+    serialization — add actions with partitionValues/size, remove
+    actions on overwrite). Modes: ``error`` (create; fail if exists),
+    ``overwrite`` (logical replace via remove+add), ``append``.
+    Single-writer: the commit is an O_EXCL create of the next version's
+    log file, so two engine-native writers cannot clobber each other,
+    but no conflict resolution is attempted against foreign writers."""
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
+    partition_by = list(partition_by or [])
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    exists = os.path.isdir(log_dir) and _delta_latest_version(log_dir) >= 0
+    if exists and mode == "error":
+        raise FileExistsError(f"Delta table already exists at {table_path}")
+
+    actions: list[dict] = []
+    next_version = 0
+    if not exists:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    else:
+        state = _delta_replay(table_path, None)
+        next_version = state["version"] + 1
+        recorded_parts = list(state["metaData"].get("partitionColumns") or [])
+        if partition_by and partition_by != recorded_parts:
+            raise ValueError(
+                f"table is partitioned by {recorded_parts}, not {partition_by}"
+            )
+        partition_by = recorded_parts
+        if mode == "overwrite":
+            ts = int(time.time() * 1000)
+            for path in state["files"]:
+                actions.append(
+                    {"remove": {"path": path, "deletionTimestamp": ts,
+                                "dataChange": True}}
+                )
+
+    adds = _delta_stage_files(df, table_path, partition_by)
+    actions.extend({"add": a} for a in adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    log_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    return next_version
+
+
+# -- Apache Hudi (copy-on-write): timeline read -----------------------------
+
+_HOODIE_DIR = ".hoodie"
+# <fileId>_<writeToken>_<instantTime>.parquet (instant may carry a
+# millisecond suffix in newer Hudi versions — digits either way).
+_HUDI_FILE_RE = re.compile(r"(?P<fid>[^_]+(?:-[^_]+)*)_(?P<tok>[\w\-]+)_(?P<ts>\d+)\.parquet$")
+
+
+def _hudi_completed_instants(table_path: str) -> set[str]:
+    hdir = os.path.join(table_path, _HOODIE_DIR)
+    if not os.path.isdir(hdir):
+        raise FileNotFoundError(f"no Hudi table at {table_path} (no .hoodie)")
+    completed: set[str] = set()
+    for root, _dirs, files in os.walk(hdir):
+        for fname in files:
+            if fname.endswith((".replacecommit",)):
+                raise NotImplementedError(
+                    "Hudi replacecommit (clustering/insert_overwrite) is not "
+                    "supported by the pure-Python reader"
+                )
+            if fname.endswith(".deltacommit") or fname.endswith(".log"):
+                raise NotImplementedError(
+                    "Hudi merge-on-read log files are not supported by the "
+                    "pure-Python reader (copy-on-write tables only)"
+                )
+            m = re.fullmatch(r"(\d+)(?:_\d+)?\.commit", fname)
+            if m:
+                completed.add(m.group(1))
+    return completed
+
+
+def read_hudi(spark: SparkSession, table_path: str, drop_meta: bool = True) -> DataFrame:
+    """Read a REAL Apache Hudi copy-on-write table (written by any
+    engine): the committed snapshot is the latest base file per file
+    group whose instant COMPLETED — uncommitted/inflight files are
+    invisible, exactly Hudi's read semantics. ``drop_meta`` strips the
+    five ``_hoodie_*`` meta columns (Hudi parquet stores all business
+    and partition columns inline, so no reconstruction is needed)."""
+    completed = _hudi_completed_instants(table_path)
+    latest: dict[tuple[str, str], tuple[str, str]] = {}
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            m = _HUDI_FILE_RE.match(fname)
+            if not m:
+                continue
+            ts = m.group("ts")
+            # Newer Hudi appends _<ms> to the instant in file names;
+            # match on the completed set by prefix.
+            instant = next((c for c in completed if ts.startswith(c)), None)
+            if instant is None:
+                continue  # inflight or rolled-back write: invisible
+            key = (os.path.relpath(root, table_path), m.group("fid"))
+            cur = latest.get(key)
+            if cur is None or ts > cur[0]:
+                latest[key] = (ts, os.path.join(root, fname))
+    if not latest:
+        raise FileNotFoundError(
+            f"Hudi table at {table_path} has no committed base files"
+        )
+    df = spark.read.parquet(*[p for _ts, p in latest.values()])
+    if drop_meta:
+        df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+    return df
+
+
+def read_iceberg(spark: SparkSession, table_path: str) -> DataFrame:
+    """Not implementable in this environment: Iceberg manifests are
+    Avro, and no Avro decoder (fastavro / spark-avro / pyarrow-avro)
+    ships in the sandbox. Fails loudly instead of guessing."""
+    raise NotImplementedError(
+        "Iceberg metadata (manifest lists/manifests) is Avro-encoded; this "
+        "environment has no Avro decoder. Install fastavro or the "
+        "iceberg-spark runtime jar to read Iceberg tables."
+    )

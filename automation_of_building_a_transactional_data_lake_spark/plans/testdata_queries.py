@@ -1732,6 +1732,48 @@ def q1_via_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q1_via_delta_interop — REAL-FORMAT interop end-to-end (r7 "missing
+# #4", as far as a jar-less sandbox allows): lineitem exports to an
+# ACTUAL Delta Lake table (formats/interop.write_delta — parquet data
+# + spec-conformant _delta_log JSON any Delta reader opens) and the
+# q1 aggregate runs over the log-replay read (formats/interop.
+# read_delta, typed partition reconstruction from partitionValues).
+# Same oracle as q1: the export/import cycle must be analytically
+# invisible.
+# --------------------------------------------------------------------------
+
+_Q1_DELTA_EXPORTS: dict[str, str] = {}
+
+
+def _q1_delta_export(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..formats.interop import write_delta
+
+    path = _Q1_DELTA_EXPORTS.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="tdl_q1_delta_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        shutil.rmtree(path)
+        write_delta(
+            load(spark, sf_dir, "lineitem"), path, mode="error",
+            partition_by=["l_returnflag"],
+        )
+        _Q1_DELTA_EXPORTS[sf_dir] = path
+    return path
+
+
+def q1_via_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats.interop import read_delta
+
+    _utc(spark)
+    return _q1_agg(read_delta(spark, _q1_delta_export(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
 # q1_via_sql_catalog — the SQL TEXT surface end-to-end (r6 verdict #1/#2
 # follow-through): the SAME q1 aggregate as a literal SQL string whose
 # FROM reads the managed table BY IDENTIFIER (``lake.analyticsdb.
@@ -1886,6 +1928,10 @@ QUERIES: dict[str, QueryDef] = {
         # analytically invisible (and headline=False like the other
         # managed-path gates — bench times queries, not bulk loads).
         QueryDef("q1_via_sql_catalog", q1_via_sql_catalog, Q1_ORACLE, headline=False),
+        # Same oracle as q1: the Delta export/log-replay-read cycle must
+        # be analytically invisible (headline=False — bench times the
+        # query surface, not export I/O).
+        QueryDef("q1_via_delta_interop", q1_via_delta_interop, Q1_ORACLE, headline=False),
     ]
 }
 
