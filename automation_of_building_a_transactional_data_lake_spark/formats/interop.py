@@ -519,3 +519,29 @@ def read_iceberg(
             f"Iceberg snapshot {sid} at {table_path} references no data files"
         )
     return spark.read.parquet(*files)
+
+
+def read_external(spark: SparkSession, table_path: str) -> DataFrame:
+    """Open a foreign table by SNIFFING its format markers — the
+    one-call interop entry point (`_delta_log/` → Delta, `.hoodie/` →
+    Hudi, `metadata/*.metadata.json` → Iceberg). Ambiguity (multiple
+    markers) errors rather than guessing."""
+    markers = []
+    if os.path.isdir(os.path.join(table_path, _DELTA_LOG)):
+        markers.append("delta")
+    if os.path.isdir(os.path.join(table_path, _HOODIE_DIR)):
+        markers.append("hudi")
+    mdir = os.path.join(table_path, "metadata")
+    if os.path.isdir(mdir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(mdir)
+    ):
+        markers.append("iceberg")
+    if len(markers) != 1:
+        raise ValueError(
+            f"cannot identify the table format at {table_path}: markers "
+            f"found = {markers or 'none'} (expected exactly one of "
+            "_delta_log/, .hoodie/, metadata/*.metadata.json)"
+        )
+    return {"delta": read_delta, "hudi": read_hudi, "iceberg": read_iceberg}[
+        markers[0]
+    ](spark, table_path)

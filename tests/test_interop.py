@@ -540,3 +540,29 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
         f.write("2")
     with pytest.raises(NotImplementedError, match="DELETE manifests"):
         read_iceberg(spark, root)
+
+
+def test_read_external_sniffs_all_three_formats(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_external,
+    )
+
+    dpath = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dpath)
+    assert _rows(read_external(spark, dpath).select("id")) == [(1,)]
+
+    hpath = str(tmp_path / "h")
+    os.makedirs(os.path.join(hpath, ".hoodie"))
+    _write_one_parquet(
+        spark, [("100", "1", 7, "x")],
+        "_hoodie_commit_time string, _hoodie_record_key string, id long, val string",
+        os.path.join(hpath, "fg1_0-0-1_100.parquet"),
+    )
+    open(os.path.join(hpath, ".hoodie", "100.commit"), "w").close()
+    assert _rows(read_external(spark, hpath).select("id")) == [(7,)]
+
+    ipath = _iceberg_fixture(spark, tmp_path)
+    assert _rows(read_external(spark, ipath).select("id")) == [(2,), (3,)]
+
+    with pytest.raises(ValueError, match="cannot identify"):
+        read_external(spark, str(tmp_path))
