@@ -402,10 +402,7 @@ def read_hudi(spark: SparkSession, table_path: str, drop_meta: bool = True) -> D
             if not m:
                 continue
             ts = m.group("ts")
-            # Newer Hudi appends _<ms> to the instant in file names;
-            # match on the completed set by prefix.
-            instant = next((c for c in completed if ts.startswith(c)), None)
-            if instant is None:
+            if ts not in completed:
                 continue  # inflight or rolled-back write: invisible
             key = (os.path.relpath(root, table_path), m.group("fid"))
             cur = latest.get(key)
