@@ -146,6 +146,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     "missing #4") takes a recorded slot; orders_pivot_by_priority
 #     (green r5-r7 — conditional-agg pivot, family held by the staying
 #     q8/q12 conditional-agg gates) rotates OUT, pytest-gated as ever.
+#   r8 late addition 4: docs_simhash_md5 (engine-portable SimHash — the
+#     last dedup-family member without a driver oracle row; DuckDB
+#     re-derives all 60-bit fingerprints independently) takes a
+#     recorded slot; events_click_purchase_attrib (green r2-r7 — its
+#     time-bounded attribution join is held by the staying
+#     events_asof_purchase + RANGE-frame rolling gates) rotates OUT,
+#     pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -172,6 +179,7 @@ _DEMOTED_TAIL = [
     "q10_returned_items",
     "events_rolling_stats",
     "orders_pivot_by_priority",
+    "events_click_purchase_attrib",
 ]
 
 _DRIVER_SLOTS = 50

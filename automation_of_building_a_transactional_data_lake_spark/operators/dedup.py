@@ -557,6 +557,56 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     return df.withColumn(out_col, simhash_col(F.col(text_col)))
 
 
+# Portable SimHash bit width: 15 hex chars of md5 = 60 bits — the
+# largest prefix whose unsigned value fits a SIGNED 64-bit integer in
+# every engine (16 chars can exceed 2^63 and overflow BIGINT casts).
+SIMHASH_MD5_BITS = 60
+
+
+def simhash_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash twin: identical fingerprints from any
+    engine with md5 (the ``sampling`` module's portability argument,
+    applied to near-dup fingerprints) — bit k of the fingerprint is the
+    sign of the sum over distinct token shingles of (bit k of the
+    60-bit md5-prefix hash ? +1 : -1). The xxhash64 variant
+    (``simhash_col``) stays the in-engine fast path; this one is what
+    you publish when a DIFFERENT system must reproduce the fingerprint
+    (and what the DuckDB oracle pins bit-for-bit).
+
+    Plan: shingles explode to (id, shingle-hash) — one map-side-
+    combined aggregation computes all 60 conditional bit votes, then a
+    codegen'd projection assembles the fingerprint. One shuffle on the
+    id; no UDFs.
+
+    Returns (id_col, out_col) with one row per input row."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("long")
+    exploded = (
+        df.select(F.col(id_col), F.explode(sh).alias("__sh"))
+        .select(F.col(id_col), h.alias("__h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), k).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{k}")
+        for k in range(SIMHASH_MD5_BITS)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for k in range(SIMHASH_MD5_BITS):
+        fp = fp + F.when(
+            F.col(f"__v{k}") > 0, F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), fp.alias(out_col))
+
+
 def hamming_dist_col(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     XOR — one JVM intrinsic)."""

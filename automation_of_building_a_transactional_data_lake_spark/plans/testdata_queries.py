@@ -1332,6 +1332,54 @@ ORDER BY query_id, bm25 DESC, doc_id
 
 
 # --------------------------------------------------------------------------
+# docs_simhash_md5 — engine-portable SimHash fingerprints
+# (operators/dedup.simhash_md5): the md5-based twin of the xxhash64
+# fast path, published when a DIFFERENT system must reproduce the
+# fingerprint. Strongest possible gate for a fingerprint operator:
+# DuckDB re-derives every 60-bit fingerprint independently (same
+# shingles, same md5-prefix hash, same bit votes) and the values must
+# hash-match EXACTLY per document.
+# --------------------------------------------------------------------------
+
+
+def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_md5
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return simhash_md5(docs).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    from ..operators.dedup import SIMHASH_MD5_BITS
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(SIMHASH_MD5_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{k} > 0 THEN (CAST(1 AS BIGINT) << {k}) ELSE 0 END"
+        for k in range(SIMHASH_MD5_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+      THEN list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' '))
+      ELSE [array_to_string(ts, ' ')] END) AS g FROM toks)
+), h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv FROM sh),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v ORDER BY doc_id
+"""
+
+
+DOCS_SIMHASH_ORACLE = _simhash_oracle()
+
+
+# --------------------------------------------------------------------------
 # docs_stratified_sample — per-stratum deterministic sampling
 # (operators/sampling.stratified_sample): the corpus-mix rebalancing
 # step (downsample the dominant language, keep all of the rare ones).
@@ -1911,6 +1959,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_bm25_batch", docs_bm25_batch, DOCS_BM25_BATCH_ORACLE),
         QueryDef("docs_decontamination", docs_decontamination, DOCS_DECONTAM_ORACLE),
         QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
+        QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),

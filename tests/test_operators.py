@@ -991,3 +991,28 @@ def test_ngram_contamination_exact_pairs(spark):
     e2 = spark.createDataFrame([(9, "alpha beta gamma delta y")], "eval_id long, text string")
     got2 = ngram_contamination(c2, e2, n=3).collect()
     assert [(r.doc_id, r.eval_id, r.n_shared) for r in got2] == [(1, 9, 2)]
+
+
+def test_simhash_md5_near_dup_property(spark):
+    """The portable SimHash preserves the fingerprint's defining
+    property: near-duplicate documents land within small Hamming
+    distance, unrelated documents far apart; identical docs get
+    identical fingerprints."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        SIMHASH_MD5_BITS,
+        simhash_md5,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, base),
+         (4, "completely different subject matter entirely unrelated words here now")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_md5(docs).collect()}
+    assert fp[1] == fp[3]
+    assert all(0 <= v < (1 << SIMHASH_MD5_BITS) for v in fp.values())
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[4])
+    assert ham(fp[1], fp[2]) <= 12  # one-token edit: few flipped bits
