@@ -79,6 +79,10 @@ class SessionFactory:
             # timestamps, which Spark 4 otherwise refuses to read.
             "spark.sql.legacy.parquet.nanosAsLong": "true",
             "spark.sql.execution.arrow.pyspark.enabled": "true",
+            # Wide aggregations (the 60-bit-vote SimHash, pivots) blow
+            # past the default 100-field whole-stage-codegen cap and
+            # silently fall back to interpreted evaluation — raise it.
+            "spark.sql.codegen.maxFields": "300",
             "spark.sql.parquet.compression.codec": "snappy",
             # CDC/merge sources are re-read several times per batch; cap
             # in-memory relation size estimation surprises.
