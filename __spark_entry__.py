@@ -153,6 +153,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     time-bounded attribution join is held by the staying
 #     events_asof_purchase + RANGE-frame rolling gates) rotates OUT,
 #     pytest-gated as ever.
+#   r8 late addition 5: docs_normalized (Unicode NFC + control-strip +
+#     whitespace-squash text normalization, md5-per-doc oracle via
+#     DuckDB's nfc_normalize over in-plan decomposed-accent
+#     augmentation) takes a recorded slot; q9_product_profit (green
+#     r2-r7 — 6-way join + agg, family held by the staying
+#     q3/q5/q7/q8 multi-way join gates) rotates OUT, pytest-gated as
+#     ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -180,6 +187,7 @@ _DEMOTED_TAIL = [
     "events_rolling_stats",
     "orders_pivot_by_priority",
     "events_click_purchase_attrib",
+    "q9_product_profit",
 ]
 
 _DRIVER_SLOTS = 50

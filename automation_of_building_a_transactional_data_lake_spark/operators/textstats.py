@@ -3,7 +3,9 @@
 Not in the reference's surface — added as first-class training-data
 pipeline operators. Everything here is built-in-expression-only
 (split / filter / transform / aggregate higher-order functions), so the
-hot path stays inside whole-stage codegen: no Python UDFs.
+hot path stays inside whole-stage codegen — with ONE documented
+exception: Unicode normalization (``normalize_text``) has no Spark
+built-in, so that single step is an Arrow-batched pandas_udf.
 """
 
 from __future__ import annotations
@@ -104,6 +106,48 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
         best_score = F.greatest(best_score, F.col(f"__score_{lang}"))
     out = scored.withColumn(out_col, best)
     return out.drop(*[f"__score_{lang}" for lang in _LANG_MARKERS])
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+) -> DataFrame:
+    """Canonical text normalization — the pre-tokenize cleanup every
+    corpus pipeline runs before dedup/counting so that byte-different,
+    render-identical strings (composed vs combining accents, stray
+    control characters, ragged whitespace) collapse to one canonical
+    form: Unicode ``form`` normalization (NFC default), C0/C1-ish
+    control-character strip, whitespace squash to single spaces, trim.
+
+    Unicode normalization has no Spark built-in, so that ONE step runs
+    as an Arrow-batched pandas_udf (vectorized ``unicodedata``, no
+    per-row Python fn dispatch beyond the map); the strip/squash/trim
+    stay codegen'd regexp expressions. Order matters and is part of
+    the contract: normalize → strip controls → squash → trim, so the
+    DuckDB oracle (``nfc_normalize`` + the same regexps) reproduces
+    results byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC|NFD|NFKC|NFKD, got {form!r}")
+
+    def _unorm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _unorm = pandas_udf(_unorm_fn, StringType())
+
+    cleaned = F.regexp_replace(
+        _unorm(F.col(text_col)), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+    )
+    squashed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn(out_col, squashed)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

@@ -1332,6 +1332,55 @@ ORDER BY query_id, bm25 DESC, doc_id
 
 
 # --------------------------------------------------------------------------
+# docs_normalized — Unicode text normalization
+# (operators/textstats.normalize_text): NFC + control strip +
+# whitespace squash + trim, the pre-tokenize cleanup of every corpus
+# pipeline. The testdata text is ASCII, so each doc is augmented
+# IN-PLAN with a deterministic suffix of decomposed accents (NFD
+# e+U+0301, i+U+0308), a control byte, and ragged whitespace — built
+# from the same Python constant on both sides — and the gate compares
+# md5(normalized) per doc: any divergence in normalization form,
+# strip class, squash, or ordering hash-mismatches.
+# --------------------------------------------------------------------------
+
+# Decomposed accents so NFC composition does real work; BEL control
+# char; tab + doubled spaces for the squash.
+_NORM_SUFFIX = " cafe\u0301\t\x07 nai\u0308ve  "
+
+
+def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import normalize_text
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_NORM_SUFFIX))
+    )
+    return (
+        normalize_text(docs)
+        .select(
+            "doc_id",
+            F.md5("text_norm").alias("norm_hash"),
+            F.length("text_norm").alias("n_chars_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_NORMALIZED_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           nfc_normalize(text || '{_NORM_SUFFIX}'),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, md5(t) AS norm_hash, CAST(length(t) AS INT) AS n_chars_norm
+FROM n ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_simhash_md5 — engine-portable SimHash fingerprints
 # (operators/dedup.simhash_md5): the md5-based twin of the xxhash64
 # fast path, published when a DIFFERENT system must reproduce the
@@ -1960,6 +2009,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_decontamination", docs_decontamination, DOCS_DECONTAM_ORACLE),
         QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
+        QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),

@@ -1016,3 +1016,28 @@ def test_simhash_md5_near_dup_property(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[4])
     assert ham(fp[1], fp[2]) <= 12  # one-token edit: few flipped bits
+
+
+def test_normalize_text_canonicalization(spark):
+    """NFC composition, control strip, whitespace squash, trim — and
+    the defining property: decomposed and composed renderings of the
+    same text normalize to the SAME canonical string; nulls pass
+    through."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    composed = "caf\u00e9 na\u00efve"
+    decomposed = "cafe\u0301 nai\u0308ve"
+    docs = spark.createDataFrame(
+        [(1, "  a\t\tb \x07c  "), (2, decomposed), (3, composed), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    assert got[1] == "a b c"
+    assert got[2] == got[3] == composed  # NFC canonical form
+    assert got[4] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NFC"):
+        normalize_text(docs, form="bogus")
