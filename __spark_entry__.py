@@ -160,6 +160,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r2-r7 — 6-way join + agg, family held by the staying
 #     q3/q5/q7/q8 multi-way join gates) rotates OUT, pytest-gated as
 #     ever.
+#   r8 late addition 6: docs_curation_v2 (the round's new families —
+#     normalize -> exact-dedup-on-canonical-text -> decontaminate ->
+#     stratified rebalance — COMPOSED under one oracle) takes a
+#     recorded slot; docs_text_stats (green r1-r7 — token counting +
+#     uniqueness stats, composed inside the recorded vocab/curation
+#     gates) rotates OUT, pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -188,6 +194,7 @@ _DEMOTED_TAIL = [
     "orders_pivot_by_priority",
     "events_click_purchase_attrib",
     "q9_product_profit",
+    "docs_text_stats",
 ]
 
 _DRIVER_SLOTS = 50

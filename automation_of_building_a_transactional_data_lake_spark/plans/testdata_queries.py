@@ -1517,6 +1517,90 @@ ORDER BY c.doc_id, e.eval_id
 
 
 # --------------------------------------------------------------------------
+# docs_curation_v2 — the ROUND-8 operator families composed into one
+# pipeline with ONE oracle over all of it: normalize (X102) →
+# exact-dedup on the canonical text → n-gram decontamination vs an
+# in-plan eval set (X98) → stratified corpus-mix rebalance (X99) →
+# per-language accounting. Each stage is individually gated; this row
+# pins their COMPOSITION (column threading, stage ordering, and the
+# interaction of canonical text with hashing-based stages).
+# --------------------------------------------------------------------------
+
+
+def docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import contaminated_ids
+    from ..operators.sampling import stratified_sample
+    from ..operators.textstats import normalize_text
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
+    # Exact dedup on the CANONICAL text: keep the min doc_id per form.
+    keep = normed.groupBy("text_norm").agg(F.min("doc_id").alias("doc_id"))
+    deduped = normed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # Decontaminate the corpus against the in-plan eval slice.
+    ev = deduped.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("text_norm")
+    )
+    corpus = deduped.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    bad = contaminated_ids(
+        corpus, ev, n=_DECONTAM_N, text_col="text_norm", eval_text_col="text_norm"
+    )
+    clean = corpus.join(bad, "doc_id", "left_anti")
+    # Rebalance the language mix on the canonical text.
+    sampled = stratified_sample(
+        clean, "lang", _STRATA_FRACS, key_col="text_norm",
+        default_frac=_STRATA_DEFAULT,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_norm")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_CURATION_V2_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS t
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM n GROUP BY t
+), d AS (
+  SELECT n.* FROM n JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ts
+  FROM d
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ts) >= {_DECONTAM_N}
+           THEN list_transform(range(1, len(ts) - {_DECONTAM_N} + 2),
+                               i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))
+           ELSE [array_to_string(ts, ' ')] END) AS g
+    FROM toks)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % {_DECONTAM_MOD} <> 0) c
+  JOIN (SELECT g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0) e USING (g)
+), sampled AS (
+  SELECT * FROM d
+  WHERE doc_id % {_DECONTAM_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) <
+        CASE lang {_STRATA_CASE} ELSE {int(_STRATA_DEFAULT * 65536)} END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(length(t)) AS BIGINT) AS sum_chars
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_multimodal_stats — the multimodal binary-column dataflow gated
 # end-to-end (r7 verdict #7): deterministic BMP/WAV payloads are
 # SYNTHESIZED IN-PLAN from the documents table (Arrow-batched
@@ -2010,6 +2094,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
+        QueryDef("docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),

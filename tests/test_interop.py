@@ -566,3 +566,49 @@ def test_read_external_sniffs_all_three_formats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cannot identify"):
         read_external(spark, str(tmp_path))
+
+
+def test_avro_roundtrip_fuzz():
+    """Hypothesis sweep: random records under a rich schema must
+    roundtrip exactly through the container codec (both codecs)."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record", "name": "fz",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "b", "type": "boolean"},
+        ],
+    }
+    rec = st.fixed_dictionaries({
+        "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.text(max_size=30),
+        "u": st.none() | st.text(max_size=10),
+        "xs": st.lists(st.integers(min_value=-(2**31), max_value=2**31), max_size=5),
+        "m": st.dictionaries(st.text(min_size=1, max_size=5),
+                             st.integers(min_value=0, max_value=99), max_size=4),
+        "b": st.booleans(),
+    })
+
+    @settings(max_examples=25, deadline=None)
+    @given(records=st.lists(rec, max_size=8), codec=st.sampled_from(["null", "deflate"]))
+    def run(records, codec):
+        with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+            path = f.name
+        write_avro_file(path, schema, records, codec=codec)
+        got_schema, got = read_avro_file(path)
+        assert got_schema == schema and got == records
+
+    run()
