@@ -612,3 +612,30 @@ def test_avro_roundtrip_fuzz():
         assert got_schema == schema and got == records
 
     run()
+
+
+def test_delta_roundtrip_rich_types(spark, tmp_path):
+    """schemaString serialization + partitionValues reconstruction must
+    survive the full type surface: dates, timestamps, decimals, arrays,
+    structs, nulls — and date/int partition columns typed back from
+    their directory strings."""
+    path = str(tmp_path / "rich")
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          (1, DATE'2024-01-15', TIMESTAMP'2024-01-15 10:30:00',
+           CAST(12.34 AS DECIMAL(10,2)), array(1L, 2L),
+           named_struct('a', 'x', 'b', 5L), 7, DATE'2024-01-01'),
+          (2, DATE'2024-02-20', NULL,
+           NULL, array(9L),
+           named_struct('a', CAST(NULL AS STRING), 'b', 0L), 7, DATE'2024-01-01'),
+          (3, NULL, TIMESTAMP'2020-06-01 00:00:00',
+           CAST(0.01 AS DECIMAL(10,2)), array(CAST(NULL AS LONG)),
+           NULL, 8, DATE'2024-02-01')
+        AS t(id, d, ts, dec, xs, st, pi, pd)
+    """)
+    write_delta(df, path, mode="error", partition_by=["pi", "pd"])
+    back = read_delta(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
