@@ -639,3 +639,23 @@ def test_delta_roundtrip_rich_types(spark, tmp_path):
     a = sorted(df.collect(), key=lambda r: r.id)
     b = sorted(back.collect(), key=lambda r: r.id)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_delta_partition_pruning_via_constant_folding(spark, tmp_path):
+    """The per-partition-group union read gives partition PRUNING for
+    free: a filter on the reconstructed partition column constant-folds
+    to FALSE on non-matching groups and Catalyst collapses their scans
+    — the non-matching partition's files never appear in the plan."""
+    path = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "id long, val string, cat string",
+    )
+    write_delta(df, path, mode="error", partition_by=["cat"])
+    q = read_delta(spark, path).filter(F.col("cat") == "x")
+    files = q.inputFiles()
+    assert files and all("cat=x" in f for f in files)
+    assert not any("cat=y" in f for f in files)
+    # The pruned branch's scan is gone entirely (no Union remains).
+    assert "Union" not in q._jdf.queryExecution().optimizedPlan().toString()
+    assert {r.id for r in q.collect()} == {1, 3}
