@@ -103,3 +103,40 @@ def test_stream_interval_join_equals_batch(spark, event_stream, tmp_path):
     cols = ["user_id", "c_id", "p_id"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0  # the fixture really attributes something
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Curation ops compose with Structured Streaming: a document
+    STREAM decontaminated against a STATIC eval set (stream-side gram
+    explode -> stream-static broadcast join -> per-batch distinct ids)
+    must flag exactly the ids the batch operator flags."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.decontam import (
+        contaminated_ids,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        shingles_col,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    want = {r.doc_id for r in contaminated_ids(corpus, ev, n=3).collect()}
+    assert want  # the fixture genuinely contains contamination
+
+    src = str(tmp_path / "stream_docs")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    ev_grams = ev.select(F.explode(shingles_col(F.col("text"), 3)).alias("__g")).distinct()
+    flagged_stream = (
+        stream.select(F.col("doc_id"), F.explode(shingles_col(F.col("text"), 3)).alias("__g"))
+        .join(F.broadcast(ev_grams), "__g", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    got_df = run_stream_to_memory(
+        flagged_stream, "contam_stream", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {r.doc_id for r in got_df.collect()}
+    assert got == want
