@@ -74,7 +74,9 @@ def _delta_latest_version(log_dir: str) -> int:
     only witness of earlier versions). -1 when the log is empty."""
     best = -1
     for fname in os.listdir(log_dir):
-        m = re.fullmatch(r"(\d{20})\.(json|checkpoint\.parquet)", fname)
+        m = re.fullmatch(
+            r"(\d{20})\.(json|checkpoint(\.\d{10}\.\d{10})?\.parquet)", fname
+        )
         if m:
             best = max(best, int(m.group(1)))
     return best
@@ -157,14 +159,26 @@ def _delta_replay(table_path: str, version: int | None) -> dict:
         import pyarrow.parquet as pq
 
         cv = int(ckpt["version"])
-        cpath = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
-        tbl = pq.read_table(cpath)
-        for row in tbl.to_pylist():
-            action = {k: v for k, v in row.items() if v is not None}
-            action.pop("commitInfo", None)
-            action.pop("txn", None)
-            if action:
-                _delta_apply_action(state, action)
+        n_parts = int(ckpt.get("parts") or 1)
+        if n_parts == 1:
+            cpaths = [os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")]
+        else:
+            # Multi-part checkpoints: <v>.checkpoint.<i>.<n>.parquet.
+            cpaths = [
+                os.path.join(
+                    log_dir,
+                    f"{cv:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet",
+                )
+                for i in range(1, n_parts + 1)
+            ]
+        for cpath in cpaths:
+            tbl = pq.read_table(cpath)
+            for row in tbl.to_pylist():
+                action = {k: v for k, v in row.items() if v is not None}
+                action.pop("commitInfo", None)
+                action.pop("txn", None)
+                if action:
+                    _delta_apply_action(state, action)
         start = cv + 1
     missing = [v for v in range(start, target + 1) if v not in set(versions)]
     if missing:

@@ -130,10 +130,12 @@ def test_delta_reader_consumes_foreign_log(spark, tmp_path):
     assert _rows(head.select("id", "p")) == [(2, 2)]
 
 
-def test_delta_checkpoint_replay_and_missing_log(spark, tmp_path):
-    """The reader recovers from a parquet checkpoint when earlier JSON
-    commits are gone (the spec's vacuum story), and errors clearly when
-    neither the JSON chain nor a checkpoint covers the target."""
+@pytest.mark.parametrize("n_parts", [1, 2])
+def test_delta_checkpoint_replay_and_missing_log(spark, tmp_path, n_parts):
+    """The reader recovers from a parquet checkpoint (single-part AND
+    multi-part naming) when earlier JSON commits are gone (the spec's
+    vacuum story), and errors clearly when neither the JSON chain nor
+    a checkpoint covers the target."""
     path = str(tmp_path / "ckpt")
     df = spark.createDataFrame([(1, "a")], "id long, val string")
     write_delta(df, path, mode="error")
@@ -175,17 +177,30 @@ def test_delta_checkpoint_replay_and_missing_log(spark, tmp_path):
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean>"
     )
-    ckdir = str(tmp_path / "ckbuild")
-    spark.createDataFrame([to_row(a) for a in state_rows], ck_schema).coalesce(
-        1
-    ).write.parquet(ckdir)
-    part = next(
-        os.path.join(r, x) for r, _d, fs in os.walk(ckdir) for x in fs
-        if x.endswith(".parquet")
-    )
-    os.rename(part, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    def build_part(rows, dest):
+        ckdir = str(tmp_path / ("ckbuild_" + os.path.basename(dest)))
+        spark.createDataFrame([to_row(a) for a in rows], ck_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(ckdir)
+        part = next(
+            os.path.join(r, x) for r, _d, fs in os.walk(ckdir) for x in fs
+            if x.endswith(".parquet")
+        )
+        os.rename(part, dest)
+
+    if n_parts == 1:
+        build_part(state_rows, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+        lc = {"version": 1, "size": len(state_rows)}
+    else:
+        half = len(state_rows) // 2
+        for i, chunk in enumerate([state_rows[:half], state_rows[half:]], start=1):
+            build_part(
+                chunk,
+                os.path.join(log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"),
+            )
+        lc = {"version": 1, "size": len(state_rows), "parts": 2}
     with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as f:
-        json.dump({"version": 1, "size": len(state_rows)}, f)
+        json.dump(lc, f)
     # Vacuum the pre-checkpoint JSON commits.
     os.unlink(os.path.join(log, f"{0:020d}.json"))
     os.unlink(os.path.join(log, f"{1:020d}.json"))
