@@ -456,3 +456,46 @@ def test_cow_change_feed_lineage_and_guards(spark, tmp_path):
     rd3 = ds.streamReader(ds.schema())
     with pytest.raises(ValueError, match="OVERWROTE|change capture"):
         rd3.partitions({"version": published_v}, {"version": tbl.current_version().version})
+
+
+def test_mor_change_feed_lineage_excludes_branch_commits(spark, tmp_path):
+    """MoR snapshots share the global sequence with branch refs too
+    (r8): the feed walks the recorded parent chain, so a branch's
+    unpublished deltas never leak into main's feed, while a published
+    branch's deltas become the chain."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_mor import (
+        ParquetMorTable,
+    )
+
+    spec = TableSpec("t_mor_feed_br", "id", None, None, "streamdb")
+    tbl = ParquetMorTable(spark, str(tmp_path / "wh"), spec)
+    tbl.create(spark.createDataFrame([(1, "a")], "id long, val string"))        # s1
+    tbl.merge_upsert(spark.createDataFrame([(2, "b")], "id long, val string"))  # s2
+    tbl.create_branch("wip")
+    tbl.branch("wip").merge_upsert(
+        spark.createDataFrame([(9, "UNPUB")], "id long, val string")
+    )                                                                           # s3 (branch)
+    tbl.merge_upsert(spark.createDataFrame([(3, "c")], "id long, val string"))  # s4 (main)
+
+    ds = LakeDataSource({"path": tbl.path, "feed": "changes"})
+    rd = ds.streamReader(ds.schema())
+    head = tbl.current_snapshot()["n"]
+    parts = [p for p in rd.partitions({"version": 1}, {"version": head}) if p.files]
+    assert sorted({p.version for p in parts}) == [2, 4]
+    ids = set()
+    for p in parts:
+        for batch in rd.read(p):
+            ids.update(batch.to_pydict()["id"])
+    assert ids == {2, 3}  # the branch's id 9 is invisible
+
+    # Published branch deltas become the chain.
+    tbl.drop_branch("wip")
+    fork = tbl.current_snapshot()["n"]
+    tbl.create_branch("rel")
+    tbl.branch("rel").merge_upsert(
+        spark.createDataFrame([(10, "pub")], "id long, val string")
+    )
+    pub = tbl.publish_branch("rel")
+    rd2 = ds.streamReader(ds.schema())
+    parts2 = [p for p in rd2.partitions({"version": fork}, {"version": pub}) if p.files]
+    assert {p.version for p in parts2} == {pub}
