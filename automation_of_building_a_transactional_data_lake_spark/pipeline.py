@@ -24,6 +24,7 @@ Differences, intentional (SURVEY §7.4):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -254,6 +255,29 @@ def cdc_load_all(
     return [cdc_load(spark, catalog, s, raw_root, clock) for s in specs]
 
 
+def mirror_to_delta(catalog: Catalog, spec: TableSpec, delta_path: str) -> int:
+    """Publish the table's committed snapshot as a REAL Delta Lake
+    table (formats/interop.write_delta) for external consumers — the
+    engine-native upgrade of the reference's Redshift symlink-manifest
+    flow (``cdk_stacks/glue_stack.py:262-279``): any Delta reader
+    (Spark+delta jars, Trino, DuckDB-delta, Polars) opens the mirror
+    with snapshot isolation and schema, no manifest glue. Each call
+    logically replaces the mirror's content in ONE Delta commit
+    (remove+add), so readers always see a consistent snapshot; cost is
+    O(table) like compaction — run it on the maintenance cadence.
+    Returns the mirror's new Delta version."""
+    from .formats.interop import _DELTA_LOG, write_delta
+
+    df = catalog.read_table(spec)
+    exists = os.path.isdir(os.path.join(delta_path, _DELTA_LOG))
+    return write_delta(
+        df,
+        delta_path,
+        mode="overwrite" if exists else "error",
+        partition_by=spec.partition_keys,
+    )
+
+
 def maintain_all(
     catalog: Catalog,
     specs: list[TableSpec],
@@ -261,6 +285,7 @@ def maintain_all(
     vacuum_retain_last: int | None = 2,
     target_file_mb: float = 128,
     ann_indexes: list | None = None,
+    delta_mirrors: dict[str, str] | None = None,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
@@ -273,7 +298,11 @@ def maintain_all(
     diffs against the source snapshot it last indexed, and (a) vacuum
     could drop that snapshot (forcing the full re-encode fallback),
     (b) compaction creates a rewrite-only version whose change feed is
-    empty — diffing before it avoids paying those joins for nothing."""
+    empty — diffing before it avoids paying those joins for nothing.
+
+    ``delta_mirrors`` maps table names to Delta paths: those tables'
+    committed snapshots republish as real Delta tables after
+    compaction (``mirror_to_delta``) — the external-consumer story."""
     reports = []
     for idx in ann_indexes or []:
         reports.append(
@@ -306,7 +335,11 @@ def maintain_all(
             else:
                 tbl.compact()
         removed = tbl.vacuum(vacuum_retain_last) if vacuum_retain_last else []
+        telemetry = {"removed_dirs": len(removed)}
+        mirror = (delta_mirrors or {}).get(spec.table_name)
+        if mirror:
+            telemetry["delta_mirror_version"] = mirror_to_delta(catalog, spec, mirror)
         reports.append(
-            LoadReport(spec.table_name, "maintained", telemetry={"removed_dirs": len(removed)})
+            LoadReport(spec.table_name, "maintained", telemetry=telemetry)
         )
     return reports

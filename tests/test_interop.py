@@ -674,3 +674,40 @@ def test_delta_partition_pruning_via_constant_folding(spark, tmp_path):
     # The pruned branch's scan is gone entirely (no Union remains).
     assert "Union" not in q._jdf.queryExecution().optimizedPlan().toString()
     assert {r.id for r in q.collect()} == {1, 3}
+
+
+def test_delta_mirror_through_maintenance(spark, tmp_path):
+    """pipeline.mirror_to_delta / maintain_all(delta_mirrors=): the
+    managed table's committed snapshot republishes as a real Delta
+    table after each maintenance cycle — external Delta readers always
+    see a consistent latest snapshot (the reference's Redshift
+    symlink-manifest flow, upgraded)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        maintain_all,
+        mirror_to_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("mirrored", "id", "cat", None, "proddb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
+    ))
+    mirror = str(tmp_path / "mirror")
+    assert mirror_to_delta(cat, spec, mirror) == 0
+    assert _rows(read_delta(spark, mirror).select("id", "val", "cat")) == _rows(
+        tbl.read().select("id", "val", "cat")
+    )
+
+    tbl.merge_upsert(spark.createDataFrame(
+        [(2, "B2", "y"), (3, "c", "x")], "id long, val string, cat string"
+    ))
+    reports = maintain_all(cat, [spec], delta_mirrors={"mirrored": mirror})
+    assert reports[-1].telemetry["delta_mirror_version"] == 1
+    assert _rows(read_delta(spark, mirror).select("id", "val", "cat")) == _rows(
+        tbl.read().select("id", "val", "cat")
+    )
+    # The previous mirror snapshot stays time-travelable on the Delta side.
+    assert read_delta(spark, mirror, version=0).count() == 2
