@@ -77,6 +77,13 @@ class LakeSQL:
             r"|\s+FOR\s+TAG\s+AS\s+OF\s+'(?P<tag>[^']+)')?",
             re.IGNORECASE,
         )
+        # Foreign tables by path (the Spark `format`.`path` idiom):
+        # delta.`/p` / hudi.`/p` / iceberg.`/p` via the jar-less interop
+        # readers, external.`/p` auto-sniffs the format markers.
+        self._external = re.compile(
+            r"\b(?P<fmt>delta|hudi|iceberg|external)\.`(?P<path>[^`]+)`",
+            re.IGNORECASE,
+        )
         if via == "datasource":
             from .sources.lake_datasource import register_lake_datasource
 
@@ -111,7 +118,44 @@ class LakeSQL:
         df.createOrReplaceTempView(view)
         return view
 
+    def _external_view(self, fmt: str, path: str) -> str:
+        """Register a FOREIGN table (real Delta/Hudi/Iceberg bytes, read
+        by formats/interop without format jars) as a snapshot-pinned
+        temp view for this statement."""
+        import zlib
+
+        from .formats.interop import (
+            read_delta,
+            read_external,
+            read_hudi,
+            read_iceberg,
+        )
+
+        reader = {
+            "delta": read_delta,
+            "hudi": read_hudi,
+            "iceberg": read_iceberg,
+            "external": read_external,
+        }[fmt]
+        view = f"__{self.name}__ext_{fmt}_{zlib.crc32(path.encode('utf-8')):08x}"
+        reader(self.spark, path).createOrReplaceTempView(view)
+        return view
+
+    def _rewrite_externals(self, text: str) -> str:
+        masked = _mask_strings(text)
+        out = []
+        last = 0
+        for m in self._external.finditer(masked):
+            fmt = text[m.start("fmt"):m.end("fmt")].lower()
+            path = text[m.start("path"):m.end("path")]
+            out.append(text[last:m.start()])
+            out.append(self._external_view(fmt, path))
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
     def _rewrite(self, text: str) -> str:
+        text = self._rewrite_externals(text)
         masked = _mask_strings(text)
         out = []
         last = 0

@@ -251,3 +251,32 @@ def test_bare_count_star_answers_from_metadata(user_lake, spark):
     )
     assert filtered.first().n == 10
     assert "LocalRelation" not in filtered._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_sql_reads_foreign_tables_by_path(spark, tmp_path):
+    """The format.`path` idiom over the jar-less interop readers:
+    delta.`/p` (and external.`/p` auto-sniff) resolve inside any read
+    shape, joinable against managed lake.db.table identifiers."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("dims", "id", None, None, "sqldb")
+    cat.table(spec).create(
+        spark.createDataFrame([(1, "one"), (2, "two")], "id long, name string")
+    )
+    dpath = str(tmp_path / "facts_delta")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 2.5)], "id long, amt double"),
+        dpath,
+    )
+    lake = LakeSQL(cat)
+    out = lake.sql(f"""
+        SELECT d.name, CAST(sum(f.amt) AS DOUBLE) AS total
+        FROM delta.`{dpath}` f JOIN lake.sqldb.dims d ON f.id = d.id
+        GROUP BY d.name ORDER BY d.name
+    """)
+    assert [tuple(r) for r in out.collect()] == [("one", 15.0), ("two", 2.5)]
+    n = lake.sql(f"SELECT count(*) AS c FROM external.`{dpath}`").first().c
+    assert n == 3
