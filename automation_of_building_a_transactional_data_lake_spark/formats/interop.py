@@ -93,9 +93,15 @@ def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
                 "supported by the pure-Python reader"
             )
     conf = (meta or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+    # Column mapping: 'name' mode resolves through the per-field
+    # physicalName metadata (implemented in read_delta); 'id' mode
+    # matches by parquet field ids, which Spark's parquet reader cannot
+    # be asked to do from here — loud error.
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", "", "name"):
         raise NotImplementedError(
-            "Delta column mapping is not supported by the pure-Python reader"
+            "Delta column mapping mode "
+            f"{conf.get('delta.columnMapping.mode')!r} is not supported by "
+            "the pure-Python reader (supported: none, name)"
         )
 
 
@@ -210,16 +216,31 @@ def read_delta(
     state = _delta_replay(table_path, version)
     meta = state["metaData"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # Column mapping (name mode): every field may carry a frozen
+    # physicalName its file bytes are stored under — read physical,
+    # project back to logical (the same frozen-physical-name design as
+    # the engine's own X85 schema evolution). partitionValues keys are
+    # physical names too in that mode.
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
     pcols = list(meta.get("partitionColumns") or [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    file_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    file_schema = StructType(
+        [
+            type(f)(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
 
     # Group files by partition tuple; each group reads file-parallel
     # and re-attaches its literal partition values typed per schema.
     groups: dict[tuple, list[str]] = {}
     for path, add in state["files"].items():
         pv = add.get("partitionValues") or {}
-        key = tuple((c, pv.get(c)) for c in pcols)
+        key = tuple((c, pv.get(phys[c], pv.get(c))) for c in pcols)
         groups.setdefault(key, []).append(
             os.path.join(table_path, urllib.parse.unquote(path))
         )
@@ -228,13 +249,18 @@ def read_delta(
     out = None
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(file_schema).parquet(*paths)
-        for c, raw in key:
-            df = df.withColumn(
-                c,
-                F.lit(raw).cast(ptypes[c]) if raw is not None
-                else F.lit(None).cast(ptypes[c]),
-            )
-        df = df.select(*[f.name for f in schema.fields])
+        cols = []
+        for f in schema.fields:
+            if f.name in pcols:
+                raw = dict(key)[f.name]
+                cols.append(
+                    (F.lit(raw) if raw is not None else F.lit(None))
+                    .cast(ptypes[f.name])
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(phys[f.name]).alias(f.name))
+        df = df.select(*cols)
         out = df if out is None else out.unionByName(df)
     return out
 

@@ -226,7 +226,7 @@ def test_delta_feature_guards(spark, tmp_path):
         ),
         "partitionColumns": [],
     }
-    cm = dict(base_meta, configuration={"delta.columnMapping.mode": "name"})
+    cm = dict(base_meta, configuration={"delta.columnMapping.mode": "id"})
     with open(os.path.join(log, f"{0:020d}.json"), "w", encoding="utf-8") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
         f.write(json.dumps({"metaData": cm}) + "\n")
@@ -711,3 +711,64 @@ def test_delta_mirror_through_maintenance(spark, tmp_path):
     )
     # The previous mirror snapshot stays time-travelable on the Delta side.
     assert read_delta(spark, mirror, version=0).count() == 2
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Foreign table with delta.columnMapping.mode = name: file bytes
+    live under frozen physical names (col-<uuid> style), the logical
+    schema maps through per-field physicalName metadata, and
+    partitionValues are keyed by PHYSICAL name — the reader must
+    project everything back to logical names. Mode 'id' stays a loud
+    feature error."""
+    path = str(tmp_path / "cmap")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    # Data file under PHYSICAL column names.
+    spark.createDataFrame([(1, "a")], "`col-11` long, `col-22` string").coalesce(
+        1
+    ).write.parquet(f"{path}/pdir")
+    f1 = next(
+        os.path.join("pdir", x)
+        for r, _d, fs in os.walk(os.path.join(path, "pdir"))
+        for x in fs
+        if x.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-11"}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-22"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-33"}},
+        ],
+    }
+    meta = {
+        "id": "m", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema), "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {"add": {"path": f1, "partitionValues": {"col-33": "7"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = read_delta(spark, path)
+    assert dict(got.dtypes) == {"id": "bigint", "val": "string", "p": "int"}
+    assert _rows(got.select("id", "val", "p")) == [(1, "a", 7)]
+
+    # 'id' mode stays unsupported, loudly.
+    meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
+    with open(os.path.join(log, f"{1:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"metaData": meta_id}) + "\n")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta(spark, path)
