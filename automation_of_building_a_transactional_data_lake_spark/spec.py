@@ -100,6 +100,7 @@ class TableSpec:
             database=database,
             zorder_by=tuple(d["zorder_by"]) if d.get("zorder_by") else None,
             constraints=tuple(d.get("constraints") or ()),
+            bloom_filter_cols=tuple(d.get("bloom_filter_cols") or ()),
             partition_transform=_none_str(d.get("partition_transform")),
         )
 
