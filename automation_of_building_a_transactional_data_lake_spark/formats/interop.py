@@ -495,6 +495,69 @@ def _iceberg_local_path(uri: str, table_path: str) -> str:
     return os.path.join(table_path, uri)
 
 
+def _iceberg_spark_type(t):
+    """Iceberg type JSON -> Spark type (primitives, decimal/fixed,
+    nested struct/list/map)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        prim = {
+            "boolean": T.BooleanType(), "int": T.IntegerType(),
+            "long": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "date": T.DateType(),
+            "string": T.StringType(), "uuid": T.StringType(),
+            "binary": T.BinaryType(), "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(),
+        }
+        if t in prim:
+            return prim[t]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if t.startswith("fixed("):
+            return T.BinaryType()
+        raise NotImplementedError(f"Iceberg type {t!r} is not supported")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_spark_type(f["type"]), not f.get("required")
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_spark_type(t["element"]), not t.get("element-required")
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_spark_type(t["key"]),
+            _iceberg_spark_type(t["value"]),
+            not t.get("value-required"),
+        )
+    raise NotImplementedError(f"Iceberg type {t!r} is not supported")
+
+
+def _iceberg_table_schema(meta: dict) -> StructType | None:
+    """The CURRENT declared schema from the metadata JSON (v2 `schemas`
+    + current-schema-id, v1 inline `schema`); None when absent."""
+    sch = None
+    if meta.get("schemas"):
+        cur = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == cur:
+                sch = s
+                break
+        sch = sch or meta["schemas"][-1]
+    elif meta.get("schema"):
+        sch = meta["schema"]
+    if sch is None:
+        return None
+    return _iceberg_spark_type({"type": "struct", "fields": sch["fields"]})
+
+
 def read_iceberg(
     spark: SparkSession, table_path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -555,6 +618,13 @@ def read_iceberg(
         raise FileNotFoundError(
             f"Iceberg snapshot {sid} at {table_path} references no data files"
         )
+    # Project the DECLARED schema when the metadata carries one:
+    # evolution-stable (files predating an added column read it as
+    # null; extra physical columns drop) and type-exact. Name-based
+    # resolution — field-id renames are not re-mapped (documented).
+    schema = _iceberg_table_schema(meta)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 

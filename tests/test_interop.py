@@ -504,6 +504,16 @@ def _iceberg_fixture(spark, tmp_path):
         "format-version": 2,
         "table-uuid": "u",
         "location": "file://" + root,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "val", "required": False, "type": "string"},
+                # Added AFTER the data files were written: must read null.
+                {"id": 3, "name": "score", "required": False, "type": "double"},
+            ],
+        }],
         "current-snapshot-id": 100,
         "snapshots": [
             {"snapshot-id": 99, "manifest-list": "file://" + ml1},
@@ -526,7 +536,10 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
     raise instead of returning wrong rows."""
     root = _iceberg_fixture(spark, tmp_path)
     cur = read_iceberg(spark, root)
-    assert _rows(cur.select("id", "val")) == [(2, "b"), (3, "c")]
+    # Declared-schema projection: typed columns, evolution-stable (the
+    # post-facto 'score' column reads as null for pre-evolution files).
+    assert dict(cur.dtypes) == {"id": "bigint", "val": "string", "score": "double"}
+    assert _rows(cur.select("id", "val", "score")) == [(2, "b", None), (3, "c", None)]
     old = read_iceberg(spark, root, snapshot_id=99)
     assert _rows(old.select("id", "val")) == [(1, "a"), (2, "b")]
     with pytest.raises(FileNotFoundError, match="no snapshot"):
