@@ -95,3 +95,37 @@ def stratified_sample(
         mapping[F.col(stratum_col)], F.lit(int(default_frac * _BUCKETS))
     )
     return df.filter(md5_bucket_col(F.col(key_col)) < thresh)
+
+
+def stratified_cap(
+    df: DataFrame,
+    stratum_col: str,
+    max_rows: int,
+    key_col: str = "text",
+) -> DataFrame:
+    """Keep AT MOST ``max_rows`` rows per stratum, chosen
+    deterministically — the ABSOLUTE-cap twin of ``stratified_sample``'s
+    fractions ("no domain contributes more than N documents",
+    the long-tail-balancing move when head domains are orders of
+    magnitude larger). Selection ranks rows inside each stratum by
+    (content-hash bucket, key) — a pure function of the data, so the
+    kept set survives reruns, engines, and repartitioning, and a
+    stratum under the cap keeps everything.
+
+    Plan: one ranking window per stratum (hash shuffle on the stratum
+    key + in-partition sort) — the honest price of an exact per-group
+    cap; for approximate caps at extreme skew, compose
+    ``stratified_sample`` with measured per-stratum fractions instead
+    (no sort)."""
+    from pyspark.sql.window import Window
+
+    if max_rows < 0:
+        raise ValueError(f"max_rows must be >= 0, got {max_rows}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        md5_bucket_col(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -102,3 +102,27 @@ def test_stratified_sample_per_stratum_policy(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(docs, "lang", {"en": 1.5})
+
+
+def test_stratified_cap_deterministic_per_group(spark):
+    """Per-stratum absolute cap: over-cap strata keep exactly max_rows
+    (the same rows on every layout), under-cap strata keep everything,
+    cap 0 empties, and the kept set is stable under repartitioning."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.sampling import (
+        stratified_cap,
+    )
+
+    docs = load(spark, SF_CORRECTNESS, "documents")
+    capped = stratified_cap(docs, "lang", 40)
+    counts = {r.lang: r.n for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in base.items():
+        assert counts[lang] == min(n, 40), lang
+
+    a = {r.doc_id for r in capped.select("doc_id").collect()}
+    b = {r.doc_id for r in stratified_cap(docs.repartition(7), "lang", 40).select("doc_id").collect()}
+    assert a == b
+
+    assert stratified_cap(docs, "lang", 0).count() == 0
+    with pytest.raises(ValueError):
+        stratified_cap(docs, "lang", -1)
