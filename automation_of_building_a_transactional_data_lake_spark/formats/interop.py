@@ -268,6 +268,60 @@ def read_delta(
 # -- Delta Lake: single-writer commit (write) -------------------------------
 
 
+def _delta_file_stats(path: str) -> dict:
+    """Delta add-action stats from one parquet footer: numRecords plus
+    min/max/nullCount per top-level primitive column (dates/timestamps
+    as ISO strings, the Delta JSON-stats convention). Nested and
+    unstatable columns are simply omitted — readers treat absence as
+    'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            c = row.column(ci)
+            name = c.path_in_schema
+            if "." in name:
+                continue  # nested: omit
+            try:
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001 — pyarrow can't stat every type
+                continue
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                if hasattr(mn, "hour"):  # datetime: space separator
+                    mn, mx = mn.isoformat(sep=" "), mx.isoformat(sep=" ")
+                else:  # date
+                    mn, mx = mn.isoformat(), mx.isoformat()
+            import decimal as _dec
+
+            if isinstance(mn, _dec.Decimal):
+                mn, mx = float(mn), float(mx)
+            if name not in mins:
+                mins[name], maxs[name] = mn, mx
+            else:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
 def _delta_stage_files(
     df: DataFrame, table_path: str, partition_by: list[str]
 ) -> list[dict]:
@@ -308,6 +362,11 @@ def _delta_stage_files(
                         "size": os.path.getsize(final_abs),
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": True,
+                        # Per-file stats: Delta readers drive FILE
+                        # SKIPPING off these (numRecords also powers
+                        # metadata-only counts) — a mirror without them
+                        # forces full scans in every foreign engine.
+                        "stats": json.dumps(_delta_file_stats(final_abs)),
                     }
                 )
     finally:

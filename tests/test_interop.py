@@ -67,6 +67,10 @@ def test_delta_write_read_roundtrip_partitioned(spark, tmp_path):
     adds = [a["add"] for a in actions if "add" in a]
     assert {a["partitionValues"]["cat"] for a in adds} == {"x", "y"}
     assert all(a["size"] > 0 and a["dataChange"] for a in adds)
+    # Per-file stats ride every add (foreign readers skip files on them).
+    stats = [json.loads(a["stats"]) for a in adds]
+    assert sum(s["numRecords"] for s in stats) == 3
+    assert all("id" in s["minValues"] and "id" in s["maxValues"] for s in stats)
     with open(os.path.join(log, f"{2:020d}.json"), encoding="utf-8") as f:
         ow = [json.loads(x) for x in f if x.strip()]
     assert any("remove" in a for a in ow)
