@@ -1041,3 +1041,28 @@ def test_normalize_text_canonicalization(spark):
 
     with _pytest.raises(ValueError, match="NFC"):
         normalize_text(docs, form="bogus")
+
+
+def test_compression_ratio_orders_boilerplate_below_prose(spark):
+    """The information-density property the filter relies on: heavily
+    repetitive text compresses to a much smaller ratio than varied
+    prose; empty/null docs yield null; values are deterministic."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.textstats import (
+        with_compression_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "The quick brown fox jumps over the lazy dog while seventeen "
+                "violet zeppelins quietly hummed beyond frozen jagged cliffs."),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.compression_ratio for r in with_compression_ratio(docs).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1 < got[2] <= 1.2
+    got2 = {r.doc_id: r.compression_ratio for r in with_compression_ratio(docs).collect()}
+    assert got == got2  # deterministic
