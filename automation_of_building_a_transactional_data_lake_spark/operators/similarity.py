@@ -196,3 +196,73 @@ def lsh_near_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    seed: int = 7,
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """Deterministic PCA projection of an embedding column to ``k``
+    dims — the standard pre-index reduction (OPQ-less PCA) embedding
+    pipelines run before IVF/PQ so centroid training and codes work in
+    a compact, decorrelated space.
+
+    Scale shape: components train DRIVER-SIDE on a bounded
+    deterministic sample (hash-ordered ``sample_rows`` cap — same
+    bounded-collect policy as the IVF quantizer training in
+    ``ann_ivf``), then the projection applies executor-side as one
+    Arrow-batched pandas_udf doing a single (batch x dim) @ (dim x k)
+    matmul per batch — no per-row Python, no shuffle. SVD on the
+    centered sample is deterministic for a fixed sample; component
+    signs are canonicalized (largest-|loading| coordinate positive) so
+    projections are reproducible across runs and platforms.
+
+    Returns (projected df with ``vec_col`` replaced by the k-dim
+    array, components (k x dim), mean (dim,)) — persist the matrices
+    beside an index the way ``ann_index`` persists its quantizer."""
+    import numpy as _np
+
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    mat = _np.array([list(r[1]) for r in sample], dtype=_np.float64)
+    if mat.ndim != 2 or mat.shape[0] < 2:
+        raise ValueError("pca_project needs at least 2 sample vectors")
+    dim = mat.shape[1]
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    mean = mat.mean(axis=0)
+    _u, _s, vt = _np.linalg.svd(mat - mean, full_matrices=False)
+    comps = vt[:k]
+    # Canonical signs: the largest-|loading| coordinate of each
+    # component is positive (SVD sign ambiguity otherwise flips
+    # projections between runs/platforms).
+    for i in range(comps.shape[0]):
+        j = int(_np.argmax(_np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    from pyspark.sql.functions import pandas_udf
+
+    comps_t = comps.T.copy()
+
+    def _proj_fn(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                out.append(
+                    ((_np.asarray(v, dtype=_np.float64) - mean) @ comps_t).tolist()
+                )
+        return pd.Series(out)
+
+    _proj = pandas_udf(_proj_fn, "array<double>")
+    return df.withColumn(vec_col, _proj(F.col(vec_col))), comps, mean

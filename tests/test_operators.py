@@ -1066,3 +1066,45 @@ def test_compression_ratio_orders_boilerplate_below_prose(spark):
     assert got[1] < 0.1 < got[2] <= 1.2
     got2 = {r.doc_id: r.compression_ratio for r in with_compression_ratio(docs).collect()}
     assert got == got2  # deterministic
+
+
+def test_pca_project_matches_numpy_subspace(spark):
+    """PCA projection agreement with a pure-numpy ground truth on the
+    full (small) dataset: same component subspace (|cosine| ≈ 1 per
+    component), variance concentrated in the leading dims, projected
+    width k, deterministic across calls, and layout-independent."""
+    import numpy as np
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+        pca_project,
+    )
+
+    rng = np.random.RandomState(3)
+    # Anisotropic cloud: variance mostly in two planted directions.
+    basis = rng.randn(2, 8)
+    raw = rng.randn(200, 2) * np.array([10.0, 4.0]) @ basis + rng.randn(200, 8) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in raw[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    proj, comps, mean = pca_project(df, k=2, sample_rows=1000)
+    rows = {r.vec_id: r.embedding for r in proj.collect()}
+    assert all(len(v) == 2 for v in rows.values())
+
+    # numpy ground truth over the same data.
+    mat = raw - raw.mean(axis=0)
+    _u, s, vt = np.linalg.svd(mat, full_matrices=False)
+    for i in range(2):
+        cos = abs(float(comps[i] @ vt[i]) / (np.linalg.norm(comps[i]) * np.linalg.norm(vt[i])))
+        assert cos > 0.999, i
+    # Projection reproduces numpy's up to the canonical signs.
+    want = mat @ comps.T
+    got = np.array([rows[i] for i in range(200)])
+    assert np.allclose(got, want, atol=1e-8)
+    # Deterministic + layout-independent.
+    proj2, comps2, _m2 = pca_project(df.repartition(5), k=2, sample_rows=1000)
+    assert np.allclose(comps, comps2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pca_project(df, k=99)
