@@ -789,3 +789,57 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
         f.write(json.dumps({"metaData": meta_id}) + "\n")
     with pytest.raises(NotImplementedError, match="column mapping"):
         read_delta(spark, path)
+
+
+def test_read_delta_changes_cdf_and_appends(spark, tmp_path):
+    """Foreign Delta CDF: commits carrying cdc actions read their
+    _change_data files (typed _change_type rows); blind-append commits
+    read their adds as inserts; a remove without CDC capture fails
+    loudly — the foreign twin of the engine's own change feed."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "cdf")
+    # v0: create via the writer (adds -> inserts).
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), path
+    )
+    # v1: append via the writer (adds -> inserts).
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id long, val string"), path, mode="append"
+    )
+    # v2: hand-written CDF commit — an update captured in _change_data.
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    cdc_rel = os.path.join("_change_data", "cdc-0.parquet")
+    _write_one_parquet(
+        spark,
+        [(2, "b", "update_preimage"), (2, "B2", "update_postimage")],
+        "id long, val string, _change_type string",
+        os.path.join(path, cdc_rel),
+    )
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{2:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"cdc": {"path": cdc_rel, "partitionValues": {},
+                                    "size": 1, "dataChange": False}}) + "\n")
+        # The rewritten data files of the update (ignored by the feed
+        # because the cdc action is authoritative for this commit).
+        f.write(json.dumps({"remove": {"path": "whatever.parquet",
+                                       "deletionTimestamp": 1,
+                                       "dataChange": True}}) + "\n")
+
+    got = read_delta_changes(spark, path, 0)
+    rows = {(r.id, r.val, r._change_type, r._commit_version) for r in got.collect()}
+    assert rows == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0), (3, "c", "insert", 1),
+        (2, "b", "update_preimage", 2), (2, "B2", "update_postimage", 2),
+    }
+    # Window selection is inclusive.
+    assert {r._commit_version for r in read_delta_changes(spark, path, 1, 1).collect()} == {1}
+
+    # v3: a remove WITHOUT cdc capture cannot be reconstructed.
+    with open(os.path.join(log, f"{3:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"remove": {"path": "x.parquet", "deletionTimestamp": 2,
+                                       "dataChange": True}}) + "\n")
+    with pytest.raises(NotImplementedError, match="CDC capture"):
+        read_delta_changes(spark, path, 0)
