@@ -1108,3 +1108,43 @@ def test_pca_project_matches_numpy_subspace(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         pca_project(df, k=99)
+
+
+def test_embedding_near_dup_clusters_compose(spark):
+    """The dedup CLUSTERING stage composes with the EMBEDDING near-dup
+    family exactly as with text: hyperplane-LSH cosine pairs feed
+    connected_components, and the resulting clusters equal a
+    pure-python union-find over the exact pair set."""
+    import numpy as np
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    base = rng.randn(6, dim)
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(6):
+        members = []
+        for _ in range(3):  # three near-identical copies per group
+            v = base[g] + rng.randn(dim) * 0.01
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = lsh_near_pairs(df, dim=dim, threshold=0.95)
+    clusters = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    for members in groups:
+        labels = {clusters[m] for m in members}
+        assert labels == {min(members)}, members
+    # No cross-group merges: 6 distinct cluster labels.
+    assert len(set(clusters.values())) == 6
