@@ -808,7 +808,13 @@ class LakeChangeFeedReader(DataSourceStreamReader):
             snap = _mor_snapshot(self.table_path, n)
             parent = snap.get("parent")
             if parent is None:
-                return list(range(start + 1, end + 1))
+                # Legacy fallback applies only to the PRE-BRANCH suffix
+                # (versions at or below the first parentless snapshot);
+                # discarding the walked chain and returning the whole
+                # integer range would leak branch snapshot numbers that
+                # sit between parent-linked commits into the main feed
+                # (round-8 advisory).
+                return list(range(start + 1, n + 1)) + list(reversed(chain))
             chain.append(n)
             n = int(parent)
         if n != start:
