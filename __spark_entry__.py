@@ -166,6 +166,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     recorded slot; docs_text_stats (green r1-r7 — token counting +
 #     uniqueness stats, composed inside the recorded vocab/curation
 #     gates) rotates OUT, pytest-gated as ever.
+#   r9 additions (this round): q1_via_iceberg_interop (REAL Iceberg v2
+#     interop — write_iceberg/read_iceberg end-to-end, r8 verdict #1),
+#     docs_curation_v3 (v2's composition + the trigram-LM quality
+#     floor INSIDE the pipeline, r8 verdict #10), docs_stratified_cap
+#     (absolute per-stratum cap, r8 verdict #6) and emb_pca_knn (PCA
+#     projection gated exactly via k=dim distance preservation, r8
+#     verdict #4) take recorded slots. Rotating OUT, per protocol
+#     (every one green in r8 and shape-held by a staying gate):
+#     docs_curation_v2 (strict SUBSET of the staying v3 composition),
+#     docs_stratified_sample (green r8; the rebalance stage is pinned
+#     inside v3 and the sampling family holds the new cap gate),
+#     docs_trigram_lm_score (green r7/r8; the LM machinery is now
+#     composed inside v3's quality floor, same demotion class as
+#     docs_minhash_near_dup in r6), and q7_nation_volume (green r2-r8;
+#     multi-way join+conditional agg family held by the staying q5/q8).
+#     All four stay oracle-gated in pytest via test_oracle_parity.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -195,6 +211,10 @@ _DEMOTED_TAIL = [
     "events_click_purchase_attrib",
     "q9_product_profit",
     "docs_text_stats",
+    "docs_curation_v2",
+    "docs_stratified_sample",
+    "docs_trigram_lm_score",
+    "q7_nation_volume",
 ]
 
 _DRIVER_SLOTS = 50

@@ -231,8 +231,17 @@ def read_avro_file(path: str) -> tuple[dict, list]:
     return schema, records
 
 
-def write_avro_file(path: str, schema: dict, records: list, codec: str = "null") -> None:
-    """Encode records into an Avro object container (one block)."""
+def write_avro_file(
+    path: str,
+    schema: dict,
+    records: list,
+    codec: str = "null",
+    extra_meta: dict[str, bytes] | None = None,
+) -> None:
+    """Encode records into an Avro object container (one block).
+    ``extra_meta`` adds file-metadata pairs beyond avro.schema/avro.codec
+    — Iceberg manifests carry their table schema / partition spec /
+    format-version there and real readers consult them."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"Avro codec {codec!r} is not supported")
     body = io.BytesIO()
@@ -249,7 +258,8 @@ def write_avro_file(path: str, schema: dict, records: list, codec: str = "null")
     _encode(
         {"type": "map", "values": "bytes"},
         {"avro.schema": json.dumps(schema).encode("utf-8"),
-         "avro.codec": codec.encode("utf-8")},
+         "avro.codec": codec.encode("utf-8"),
+         **(extra_meta or {})},
         out,
         {},
     )

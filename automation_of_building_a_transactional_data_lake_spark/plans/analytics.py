@@ -1621,7 +1621,7 @@ LIMIT 20
 
 ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q13_cust_distribution", q13_cust_distribution, Q13_ORACLE),
-    QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE),
+    QueryDef("q22_idle_balance", q22_idle_balance, Q22_ORACLE, headline=False),
     QueryDef("q16_brand_type_suppliers", q16_brand_type_suppliers, Q16_ORACLE),
     QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
     QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
@@ -1629,10 +1629,10 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q12_shipmode_priority", q12_shipmode_priority, Q12_ORACLE),
     QueryDef("q19_disjunctive_pred", q19_disjunctive_pred, Q19_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
-    QueryDef("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
+    QueryDef("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE, headline=False),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE),
     QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE),
-    QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE, headline=False),
     QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QueryDef("emb_lsh_pairs", emb_lsh_pairs, EMB_LSH_PAIRS_ORACLE),
     # Oracle twin of emb_lsh_pairs: O(n²) cartesian ranking, correct at
@@ -1641,9 +1641,9 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("emb_top_pairs", emb_top_pairs, EMB_TOP_PAIRS_ORACLE, headline=False),
     QueryDef("cust_retention_setops", cust_retention_setops, CUST_RETENTION_ORACLE),
     QueryDef("orders_metrics_unpivot", orders_metrics_unpivot, ORDERS_UNPIVOT_ORACLE),
-    QueryDef("orders_quartile_bands", orders_quartile_bands, ORDERS_QUARTILE_ORACLE),
+    QueryDef("orders_quartile_bands", orders_quartile_bands, ORDERS_QUARTILE_ORACLE, headline=False),
     QueryDef("orders_price_percentiles", orders_price_percentiles, ORDERS_PCTL_ORACLE),
-    QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE),
+    QueryDef("customer_name_features", customer_name_features, CUST_NAME_ORACLE, headline=False),
     QueryDef("emb_batch_knn", emb_batch_knn, EMB_BATCH_KNN_ORACLE),
     QueryDef("emb_ivf_batch_knn", emb_ivf_batch_knn, EMB_IVF_BATCH_KNN_ORACLE),
     QueryDef("customer_pii_masked", customer_pii_masked, CUSTOMER_PII_ORACLE),

@@ -1601,6 +1601,212 @@ FROM sampled GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# docs_curation_v3 — v2's composition plus the QUALITY-FLOOR stage
+# pinned INSIDE the pipeline (r8 verdict #10): normalize →
+# exact-dedup → decontaminate → corpus-trained trigram-LM floor (the
+# KenLM-perplexity-filter stand-in, fixed literal threshold) →
+# stratified rebalance, all under ONE oracle. The LM trains on the
+# post-dedup post-decontamination corpus — exactly the data that
+# survives to training — so the floor's statistics shift with every
+# upstream stage, which is what makes composing it a real gate.
+# --------------------------------------------------------------------------
+
+_QUALITY_FLOOR_LP = -0.80
+
+
+def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import contaminated_ids
+    from ..operators.sampling import stratified_sample
+    from ..operators.textstats import normalize_text, trigram_lm_scores
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
+    keep = normed.groupBy("text_norm").agg(F.min("doc_id").alias("doc_id"))
+    deduped = normed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    ev = deduped.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("text_norm")
+    )
+    corpus = deduped.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    bad = contaminated_ids(
+        corpus, ev, n=_DECONTAM_N, text_col="text_norm", eval_text_col="text_norm"
+    )
+    clean = corpus.join(bad, "doc_id", "left_anti")
+    # Quality floor: LM trained on the surviving corpus itself; docs
+    # under the floor (or too short to score) are cut.
+    scores = trigram_lm_scores(clean, text_col="text_norm")
+    good = scores.filter(
+        F.col("avg_logprob") >= F.lit(_QUALITY_FLOOR_LP)
+    ).select("doc_id")
+    floored = clean.join(good, "doc_id", "left_semi")
+    sampled = stratified_sample(
+        floored, "lang", _STRATA_FRACS, key_col="text_norm",
+        default_frac=_STRATA_DEFAULT,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_norm")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_CURATION_V3_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS t
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM n GROUP BY t
+), d AS (
+  SELECT n.* FROM n JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ts
+  FROM d
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ts) >= {_DECONTAM_N}
+           THEN list_transform(range(1, len(ts) - {_DECONTAM_N} + 2),
+                               i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))
+           ELSE [array_to_string(ts, ' ')] END) AS g
+    FROM toks)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % {_DECONTAM_MOD} <> 0) c
+  JOIN (SELECT g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0) e USING (g)
+), clean AS (
+  SELECT * FROM d
+  WHERE doc_id % {_DECONTAM_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), ctris AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                                       i -> substr(t, i, 3))) AS tri
+  FROM clean WHERE length(t) >= 3
+), cc3 AS (
+  SELECT tri, count(*) AS n3 FROM ctris GROUP BY tri
+), cc2 AS (
+  SELECT substr(tri, 1, 2) AS bi, sum(n3) AS n2 FROM cc3 GROUP BY bi
+), good AS (
+  SELECT doc_id
+  FROM ctris JOIN cc3 USING (tri) JOIN cc2 ON substr(tri, 1, 2) = cc2.bi
+  GROUP BY doc_id
+  HAVING round(avg(ln(n3 * 1.0 / n2)), 4) >= {_QUALITY_FLOOR_LP}
+), sampled AS (
+  SELECT * FROM clean
+  WHERE doc_id IN (SELECT doc_id FROM good)
+    AND CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) <
+        CASE lang {_STRATA_CASE} ELSE {int(_STRATA_DEFAULT * 65536)} END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(length(t)) AS BIGINT) AS sum_chars
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# docs_stratified_cap — absolute per-stratum cap
+# (operators/sampling.stratified_cap, r8 verdict #6): "no domain
+# contributes more than N documents", the long-tail balancing move.
+# Selection ranks each stratum by (portable md5 bucket, text) — a pure
+# function of the data — so DuckDB restates the identical row_number
+# window. Aggregates are tie-safe: rows interchangeable under a
+# duplicate (bucket, text) key have identical text, so count and
+# sum(length) are deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_CAP_MAX_ROWS = 100
+
+
+def docs_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_cap
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    capped = stratified_cap(docs, "lang", _CAP_MAX_ROWS, key_col="text")
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_STRATIFIED_CAP_ORACLE = f"""
+SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, text, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST('0x' || substr(md5(text), 1, 4) AS INTEGER), text) AS rn
+  FROM documents)
+WHERE rn <= {_CAP_MAX_ROWS}
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_pca_knn — PCA projection gated EXACTLY (r8 verdict #4): with
+# k = dim, the centered orthonormal projection preserves pairwise L2
+# distances, so L2-kNN over PROJECTED vectors must equal brute-force
+# L2-kNN over the originals — which DuckDB states directly. The gate
+# proves the train-driver-side/apply-executor-side machinery (bounded
+# sample collect, batch matmul pandas_udf) loses nothing; the
+# production path picks k << dim for the ANN pre-reduction.
+# --------------------------------------------------------------------------
+
+
+def emb_pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pca_project
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    proj, _comps, _mean = pca_project(
+        emb, k=dim, id_col="vec_id", vec_col="embedding", sample_rows=20_000
+    )
+    query = proj.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cand = proj.filter(F.col("vec_id") != 0)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("q_vec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .withColumn("_d", dist)
+        .orderBy(F.col("_d").asc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("_d"), 4).alias("l2_dist"))
+    )
+
+
+EMB_PCA_KNN_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(d, 4) AS l2_dist
+FROM (
+  SELECT e.vec_id,
+         sqrt(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.q_vec),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+) ORDER BY d ASC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_multimodal_stats — the multimodal binary-column dataflow gated
 # end-to-end (r7 verdict #7): deterministic BMP/WAV payloads are
 # SYNTHESIZED IN-PLAN from the documents table (Arrow-batched
@@ -1955,6 +2161,48 @@ def q1_via_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q1_via_iceberg_interop — the Iceberg twin of the Delta gate (r8
+# verdict #1): lineitem exports to an ACTUAL Apache Iceberg v2 table
+# (formats/interop.write_iceberg — parquet data + avro_lite-encoded
+# manifest/manifest-list + v<N>.metadata.json snapshot commit, the
+# layout the reference's iceberg-initial-load.py:59-94 produces via
+# the Iceberg jars) and the q1 aggregate runs over the metadata-walk
+# read (formats/interop.read_iceberg). Same oracle as q1: the
+# export/import cycle must be analytically invisible.
+# --------------------------------------------------------------------------
+
+_Q1_ICEBERG_EXPORTS: dict[str, str] = {}
+
+
+def _q1_iceberg_export(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..formats.interop import write_iceberg
+
+    path = _Q1_ICEBERG_EXPORTS.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="tdl_q1_iceberg_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        shutil.rmtree(path)
+        write_iceberg(
+            load(spark, sf_dir, "lineitem"), path, mode="error",
+            partition_by=["l_returnflag"],
+        )
+        _Q1_ICEBERG_EXPORTS[sf_dir] = path
+    return path
+
+
+def q1_via_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats.interop import read_iceberg
+
+    _utc(spark)
+    return _q1_agg(read_iceberg(spark, _q1_iceberg_export(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
 # q1_via_sql_catalog — the SQL TEXT surface end-to-end (r6 verdict #1/#2
 # follow-through): the SAME q1 aggregate as a literal SQL string whose
 # FROM reads the managed table BY IDENTIFIER (``lake.analyticsdb.
@@ -2060,15 +2308,15 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("events_latest_per_user", events_latest_per_user, EVENTS_LATEST_ORACLE),
         QueryDef("events_cdc_state", events_cdc_state, EVENTS_CDC_STATE_ORACLE),
         QueryDef("events_pivot_by_type", events_pivot_by_type, EVENTS_PIVOT_ORACLE),
-        QueryDef("events_hourly_rollup", events_hourly_rollup, EVENTS_ROLLUP_ORACLE),
+        QueryDef("events_hourly_rollup", events_hourly_rollup, EVENTS_ROLLUP_ORACLE, headline=False),
         QueryDef("docs_token_counts", docs_token_counts, DOCS_TOKEN_COUNTS_ORACLE),
         QueryDef("docs_repetition_stats", docs_repetition_stats, DOCS_REPETITION_ORACLE),
         QueryDef("docs_vocab_topk", docs_vocab_topk, DOCS_VOCAB_ORACLE),
         QueryDef("customer_churn_features", customer_churn_features, CHURN_ORACLE),
         QueryDef("orders_priority_semi", orders_priority_semi, ORDERS_SEMI_ORACLE),
-        QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE),
+        QueryDef("orders_urgent_by_status", orders_urgent_by_status, ORDERS_URGENT_ORACLE, headline=False),
         QueryDef("top3_orders_per_cust", top3_orders_per_cust, TOP3_ORACLE),
-        QueryDef("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
+        QueryDef("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, headline=False),
         QueryDef("q18_large_orders", q18_large_orders, Q18_ORACLE),
         QueryDef("orders_grouping_sets", orders_grouping_sets, ORDERS_GROUPING_SETS_ORACLE),
         QueryDef("game_user_cdc_e2e", game_user_cdc_e2e, GAME_USER_E2E_ORACLE, headline=False),
@@ -2095,12 +2343,15 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
         QueryDef("docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE),
+        QueryDef("docs_curation_v3", docs_curation_v3, DOCS_CURATION_V3_ORACLE),
+        QueryDef("docs_stratified_cap", docs_stratified_cap, DOCS_STRATIFIED_CAP_ORACLE),
+        QueryDef("emb_pca_knn", emb_pca_knn, EMB_PCA_KNN_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
         QueryDef("docs_lang_confusion", docs_lang_confusion, DOCS_LANG_CONFUSION_ORACLE),
-        QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE),
+        QueryDef("docs_split_counts", docs_split_counts, DOCS_SPLIT_ORACLE, headline=False),
         QueryDef("docs_curation_pipeline", docs_curation_pipeline, DOCS_CURATION_ORACLE),
-        QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE),
+        QueryDef("docs_quality_score", docs_quality_score, DOCS_QUALITY_ORACLE, headline=False),
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
         QueryDef("emb_pq_knn", emb_pq_knn, EMB_PQ_ORACLE),
@@ -2116,6 +2367,14 @@ QUERIES: dict[str, QueryDef] = {
         # be analytically invisible (headline=False — bench times the
         # query surface, not export I/O).
         QueryDef("q1_via_delta_interop", q1_via_delta_interop, Q1_ORACLE, headline=False),
+        # REAL Iceberg v2 interop end-to-end (r8 verdict #1): the
+        # export/read cycle through write_iceberg/read_iceberg must be
+        # analytically invisible (headline=False like the other
+        # warehouse-building gates).
+        QueryDef(
+            "q1_via_iceberg_interop", q1_via_iceberg_interop, Q1_ORACLE,
+            headline=False,
+        ),
     ]
 }
 

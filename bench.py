@@ -100,17 +100,28 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the JSON line out of that window — r8's record truncated because
+    # the line outgrew it (BENCH_r08.json, "parsed": null). Compact
+    # separators + a hard budget keep the artifact whole; growth past
+    # the budget must force an explicit headline re-decision (mark a
+    # subsumed query headline=False), never a silently clipped record.
+    assert len(line) <= 1950, (
+        f"bench JSON line is {len(line)} chars; the driver's stdout-tail "
+        "capture holds 2000 — demote subsumed queries from headline "
+        "(QueryDef headline=False) to shrink it"
+    )
+    print(line)
     spark.stop()
 
 

@@ -541,8 +541,9 @@ def _iceberg_fixture(spark, tmp_path):
 def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
     """read_iceberg walks version-hint -> metadata -> snapshot ->
     Avro manifest list -> manifests: the current snapshot reflects
-    deletes/adds, snapshot_id= time-travels, and v2 delete manifests
-    raise instead of returning wrong rows."""
+    deletes/adds, snapshot_id= time-travels, and v2 EQUALITY deletes
+    raise instead of returning wrong rows (position deletes apply —
+    separate test)."""
     root = _iceberg_fixture(spark, tmp_path)
     cur = read_iceberg(spark, root)
     # Declared-schema projection: typed columns, evolution-stable (the
@@ -554,16 +555,27 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no snapshot"):
         read_iceberg(spark, root, snapshot_id=7)
 
-    # A delete manifest in the list must fail loudly.
+    # An EQUALITY-delete manifest must fail loudly.
     from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
         write_avro_file,
     )
 
     mdir = os.path.join(root, "metadata")
+    meq = os.path.join(mdir, "meq.avro")
+    write_avro_file(
+        meq, _MANIFEST_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": 101,
+          "data_file": {"content": 2, "file_path": "file:///nope.parquet",
+                        "file_format": "PARQUET", "record_count": 1,
+                        "file_size_in_bytes": 1}}],
+    )
     dl = os.path.join(mdir, "snap-101.avro")
     write_avro_file(
         dl, _MANIFEST_FILE_SCHEMA,
         [{"manifest_path": "file://" + os.path.join(mdir, "m2.avro"),
+          "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": 101},
+         {"manifest_path": "file://" + meq,
           "manifest_length": 1, "partition_spec_id": 0, "content": 1,
           "added_snapshot_id": 101}],
     )
@@ -575,8 +587,71 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
         f.write("2")
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_position_deletes_apply(spark, tmp_path):
+    """A v2 position-delete manifest (the shape the reference's own
+    MERGE INTO pipeline produces) removes exactly the named (file, pos)
+    rows — extending the hand-built two-snapshot fixture with a third
+    snapshot that deletes one row of f2 (round-8 verdict #2)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+
+    root = _iceberg_fixture(spark, tmp_path)
+    mdir = os.path.join(root, "metadata")
+    # Position-delete parquet: (file_path, pos) targeting f2 row 0.
+    f2 = os.path.join(root, "data", "f2.parquet")
+    pd_path = os.path.join(root, "data", "posdel.parquet")
+    spark.createDataFrame(
+        [("file://" + f2, 0)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(pd_path + ".tmpdir")
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(pd_path + ".tmpdir")
+        for f in fs if f.endswith(".parquet")
+    )
+    os.rename(part, pd_path)
+    import shutil as _sh
+
+    _sh.rmtree(pd_path + ".tmpdir")
+
+    mdel = os.path.join(mdir, "mdel.avro")
+    write_avro_file(
+        mdel, _MANIFEST_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": 102,
+          "data_file": {"content": 1, "file_path": "file://" + pd_path,
+                        "file_format": "PARQUET", "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(pd_path)}}],
+    )
+    ml = os.path.join(mdir, "snap-102.avro")
+    write_avro_file(
+        ml, _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": "file://" + os.path.join(mdir, "m2.avro"),
+          "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": 102},
+         {"manifest_path": "file://" + mdel,
+          "manifest_length": 1, "partition_spec_id": 0, "content": 1,
+          "added_snapshot_id": 102}],
+    )
+    with open(os.path.join(mdir, "v1.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 102, "manifest-list": "file://" + ml})
+    meta["current-snapshot-id"] = 102
+    with open(os.path.join(mdir, "v3.metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write("3")
+
+    got = read_iceberg(spark, root)
+    # Snapshot 102 = m2's live files (f2, f3) minus f2's row 0.
+    assert _rows(got.select("id", "val")) == [(3, "c")]
+    # Earlier snapshots unaffected.
+    assert _rows(
+        read_iceberg(spark, root, snapshot_id=100).select("id", "val")
+    ) == [(2, "b"), (3, "c")]
 
 
 def test_read_external_sniffs_all_three_formats(spark, tmp_path):
@@ -1218,3 +1293,141 @@ def test_iceberg_version_hint_unpadded_numeric_fallback(tmp_path):
     for v in (9, 10):
         (mdir / f"v{v}.metadata.json").write_text(json.dumps({"v": v}))
     assert _iceberg_current_metadata(str(tmp_path / "t")) == {"v": 10}
+
+
+# -- Iceberg v2 writer (round-9): roundtrip + spec structure ----------------
+
+
+def test_iceberg_write_read_roundtrip_partitioned(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_external,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "id long, val string, cat string",
+    )
+    sid1 = write_iceberg(df, path, mode="error", partition_by=["cat"])
+    got = read_iceberg(spark, path)
+    assert dict(got.dtypes) == {"id": "bigint", "val": "string", "cat": "string"}
+    assert _rows(got.select("id", "val", "cat")) == _rows(df)
+
+    sid2 = write_iceberg(
+        spark.createDataFrame([(4, "d", "z")], "id long, val string, cat string"),
+        path, mode="append", partition_by=["cat"],
+    )
+    assert read_iceberg(spark, path).count() == 4
+    assert read_iceberg(spark, path, snapshot_id=sid1).count() == 3
+
+    write_iceberg(
+        spark.createDataFrame([(9, "z", "w")], "id long, val string, cat string"),
+        path, mode="overwrite", partition_by=["cat"],
+    )
+    assert _rows(read_iceberg(spark, path).select("id")) == [(9,)]
+    # Prior snapshots stay time-travelable after overwrite.
+    assert read_iceberg(spark, path, snapshot_id=sid2).count() == 4
+    # Format sniffing picks it up.
+    assert read_external(spark, path).count() == 1
+
+    with pytest.raises(FileExistsError):
+        write_iceberg(df, path, mode="error")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(1,)], "other long"), path, mode="append"
+        )
+    with pytest.raises(ValueError, match="partition spec"):
+        write_iceberg(df, path, mode="append", partition_by=[])
+
+
+def test_iceberg_writer_emits_spec_structure(spark, tmp_path):
+    """Decode the emitted metadata JSON / manifest list / manifest and
+    assert the v2 spec shapes: field-ids, sequence numbers, identity
+    spec, partition values typed, Avro file-metadata keys present."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_s")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
+    )
+    sid = write_iceberg(df, path, mode="error", partition_by=["cat"])
+    mdir = os.path.join(path, "metadata")
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "1"
+    meta = json.load(open(os.path.join(mdir, "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    sch = meta["schemas"][0]
+    assert [(f["id"], f["name"], f["type"]) for f in sch["fields"]] == [
+        (1, "id", "long"), (2, "val", "string"), (3, "cat", "string")
+    ]
+    spec = meta["partition-specs"][0]
+    assert spec["fields"] == [
+        {"name": "cat", "source-id": 3, "transform": "identity", "field-id": 1000}
+    ]
+    assert meta["current-snapshot-id"] == sid
+    snap = meta["snapshots"][-1]
+    assert snap["sequence-number"] == 1 and snap["summary"]["operation"] == "append"
+
+    mlist_schema, mlist = read_avro_file(
+        snap["manifest-list"].replace("file://", "")
+    )
+    assert {f["name"] for f in mlist_schema["fields"]} >= {
+        "manifest_path", "manifest_length", "content", "sequence_number",
+        "min_sequence_number", "added_snapshot_id", "added_files_count",
+    }
+    # Spec field-ids ride the Avro schema for real readers.
+    assert {f["name"]: f["field-id"] for f in mlist_schema["fields"]}[
+        "manifest_path"
+    ] == 500
+    assert len(mlist) == 1 and mlist[0]["content"] == 0
+    assert mlist[0]["added_files_count"] == 2  # one file per partition
+    assert mlist[0]["added_rows_count"] == 2
+
+    m_schema, entries = read_avro_file(
+        mlist[0]["manifest_path"].replace("file://", "")
+    )
+    assert {f["name"] for f in m_schema["fields"]} == {
+        "status", "snapshot_id", "sequence_number", "file_sequence_number",
+        "data_file",
+    }
+    parts = sorted(e["data_file"]["partition"]["cat"] for e in entries)
+    assert parts == ["x", "y"]
+    assert all(e["status"] == 1 and e["sequence_number"] == 1 for e in entries)
+    assert all(e["data_file"]["content"] == 0 for e in entries)
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+    assert all(e["data_file"]["record_count"] == 1 for e in entries)
+    # Data files keep the partition column INLINE (Iceberg semantics).
+    import pyarrow.parquet as pq
+
+    fp = entries[0]["data_file"]["file_path"].replace("file://", "")
+    assert "cat" in pq.ParquetFile(fp).schema_arrow.names
+
+
+def test_iceberg_write_unpartitioned_and_array_schema(spark, tmp_path):
+    """Unpartitioned writes and nested (array) schemas roundtrip; the
+    schema JSON carries element-ids."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_u")
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.25]), (2, [1.0])], "id long, emb array<double>"
+    )
+    write_iceberg(df, path, mode="error")
+    got = read_iceberg(spark, path)
+    assert dict(got.dtypes) == {"id": "bigint", "emb": "array<double>"}
+    assert _rows(got.select("id")) == [(1,), (2,)]
+    meta = json.load(
+        open(os.path.join(path, "metadata", "v1.metadata.json"))
+    )
+    emb = meta["schemas"][0]["fields"][1]["type"]
+    assert emb["type"] == "list" and emb["element"] == "double"
+    assert emb["element-id"] == 3
+    assert meta["partition-specs"][0]["fields"] == []
