@@ -182,6 +182,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     docs_minhash_near_dup in r6), and q7_nation_volume (green r2-r8;
 #     multi-way join+conditional agg family held by the staying q5/q8).
 #     All four stay oracle-gated in pytest via test_oracle_parity.
+#   r9 late addition: q1_via_hudi_interop (REAL Hudi CoW interop —
+#     write_hudi bulk-insert with keyed file groups + _hoodie_* meta
+#     columns, read back through the committed-file-slice reader; the
+#     Hudi half of r8 "missing #1") takes a recorded slot;
+#     q19_disjunctive_pred (green r2-r8 — OR-of-ANDs predicate
+#     pushdown, family held by the staying q12 IN+range and q16
+#     NOT-IN filter gates) rotates OUT, pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -215,6 +222,7 @@ _DEMOTED_TAIL = [
     "docs_stratified_sample",
     "docs_trigram_lm_score",
     "q7_nation_volume",
+    "q19_disjunctive_pred",
 ]
 
 _DRIVER_SLOTS = 50

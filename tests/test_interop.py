@@ -1431,3 +1431,102 @@ def test_iceberg_write_unpartitioned_and_array_schema(spark, tmp_path):
     assert emb["type"] == "list" and emb["element"] == "double"
     assert emb["element-id"] == 3
     assert meta["partition-specs"][0]["fields"] == []
+
+
+# -- Hudi CoW writer (round-9): file groups, timeline, upsert/delete --------
+
+
+def test_hudi_write_read_roundtrip_and_upsert_delete(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hw")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "x" if i % 2 == 0 else "y") for i in range(20)],
+        "id long, val string, cat string",
+    )
+    i1 = write_hudi(df, path, record_key="id", mode="bulk_insert",
+                    partition_by=["cat"], num_buckets=2)
+    back = read_hudi(spark, path)
+    assert back.count() == 20
+    assert dict(back.dtypes) == {"id": "bigint", "val": "string", "cat": "string"}
+    # Meta columns are real and populated.
+    meta = read_hudi(spark, path, drop_meta=False)
+    r0 = meta.filter(F.col("id") == 0).collect()[0]
+    assert r0["_hoodie_commit_time"] == i1
+    assert r0["_hoodie_record_key"] == "0"
+    assert r0["_hoodie_partition_path"] == "cat=x"
+    assert r0["_hoodie_file_name"].endswith(f"_{i1}.parquet")
+    with pytest.raises(FileExistsError):
+        write_hudi(df, path, record_key="id", mode="bulk_insert")
+
+    # Upsert: 5 updates + 2 inserts. Untouched file groups must NOT be
+    # rewritten (CoW economics: their base files keep the old instant).
+    before = {
+        (r["_hoodie_partition_path"], r["_hoodie_file_name"])
+        for r in meta.select("_hoodie_partition_path", "_hoodie_file_name")
+        .distinct().collect()
+    }
+    up = spark.createDataFrame(
+        [(0, "NEW0", "x"), (1, "NEW1", "y"), (2, "NEW2", "x"), (3, "NEW3", "y"),
+         (4, "NEW4", "x"), (100, "n100", "x"), (101, "n101", "y")],
+        "id long, val string, cat string",
+    )
+    i2 = write_hudi(up, path, record_key="id", mode="upsert", partition_by=["cat"])
+    b2 = read_hudi(spark, path)
+    rows = {r.id: r.val for r in b2.collect()}
+    assert b2.count() == 22
+    assert rows[0] == "NEW0" and rows[4] == "NEW4"
+    assert rows[100] == "n100" and rows[101] == "n101"
+    assert rows[7] == "v7"  # untouched row intact
+    # Survivor rows in rewritten groups carry their ORIGINAL commit
+    # time (Hudi semantics); updated rows carry the new instant.
+    m2 = read_hudi(spark, path, drop_meta=False)
+    assert {
+        r["_hoodie_commit_time"] for r in m2.filter(F.col("id") == 0).collect()
+    } == {i2}
+
+    # Delete: includes emptying checks + untouched-group stability.
+    dl = spark.createDataFrame(
+        [(0, "", "x"), (100, "", "x"), (7, "", "y")], "id long, val string, cat string"
+    )
+    write_hudi(dl, path, record_key="id", mode="delete", partition_by=["cat"])
+    b3 = read_hudi(spark, path)
+    ids = {r.id for r in b3.collect()}
+    assert b3.count() == 19 and not {0, 100, 7} & ids
+    assert {1, 2, 3, 4, 101} <= ids
+
+
+def test_hudi_delete_emptying_a_file_group_writes_empty_base(spark, tmp_path):
+    """Deleting EVERY key of a file group must leave an empty base
+    file at the new instant — otherwise the reader would fall back to
+    the old slice and resurrect the rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hempty")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    write_hudi(df, path, record_key="id", mode="bulk_insert", num_buckets=1)
+    assert read_hudi(spark, path).count() == 3
+    write_hudi(df, path, record_key="id", mode="delete")
+    assert read_hudi(spark, path).count() == 0
+
+
+def test_hudi_write_unpartitioned_upsert(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hu")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    write_hudi(df, path, record_key="id", mode="bulk_insert", num_buckets=2)
+    write_hudi(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"),
+        path, record_key="id", mode="upsert",
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
