@@ -278,6 +278,67 @@ def mirror_to_delta(catalog: Catalog, spec: TableSpec, delta_path: str) -> int:
     )
 
 
+def mirror_to_iceberg(catalog: Catalog, spec: TableSpec, iceberg_path: str) -> int:
+    """The Iceberg twin of ``mirror_to_delta`` (possible since the r9
+    ``write_iceberg``): republish the committed snapshot as a REAL
+    Iceberg v2 table in one overwrite snapshot — prior mirror
+    snapshots stay time-travelable on the Iceberg side. Identity
+    partitioning only (transform-partitioned specs mirror
+    unpartitioned — the mirror's layout is a consumer convenience,
+    not a correctness surface). Returns the new snapshot id."""
+    from .formats.interop import write_iceberg
+
+    df = catalog.read_table(spec)
+    exists = os.path.isdir(os.path.join(iceberg_path, "metadata"))
+    pkeys = list(spec.partition_keys or [])
+    try:
+        return write_iceberg(
+            df, iceberg_path,
+            mode="overwrite" if exists else "error",
+            partition_by=pkeys,
+        )
+    except NotImplementedError:
+        if not pkeys:
+            raise
+        return write_iceberg(
+            df, iceberg_path, mode="overwrite" if exists else "error"
+        )
+
+
+def mirror_to_hudi(
+    catalog: Catalog, spec: TableSpec, hudi_path: str
+) -> str:
+    """The Hudi twin: an INCREMENTAL mirror — first publish bulk-
+    inserts, later publishes upsert the current snapshot (latest wins
+    per key) and delete keys that left the source, so only changed
+    file groups rewrite (Hudi's CoW economics; a full republish would
+    rewrite the world every cadence). Keys come from the spec's
+    ``primary_key``. Returns the commit instant."""
+    from .formats.interop import _HOODIE_DIR, read_hudi, write_hudi
+
+    key = spec.primary_key
+    df = catalog.read_table(spec)
+    if not os.path.isdir(os.path.join(hudi_path, _HOODIE_DIR)):
+        return write_hudi(
+            df, hudi_path, record_key=key, mode="bulk_insert",
+            partition_by=list(spec.partition_keys or []),
+        )
+    spark = df.sparkSession
+    instant = write_hudi(
+        df, hudi_path, record_key=key, mode="upsert",
+        partition_by=list(spec.partition_keys or []),
+    )
+    gone = read_hudi(spark, hudi_path).join(
+        df.select(key), key, "left_anti"
+    )
+    if gone.limit(1).count():
+        instant = write_hudi(
+            gone, hudi_path, record_key=key, mode="delete",
+            partition_by=list(spec.partition_keys or []),
+        )
+    return instant
+
+
 def maintain_all(
     catalog: Catalog,
     specs: list[TableSpec],
@@ -286,6 +347,8 @@ def maintain_all(
     target_file_mb: float = 128,
     ann_indexes: list | None = None,
     delta_mirrors: dict[str, str] | None = None,
+    iceberg_mirrors: dict[str, str] | None = None,
+    hudi_mirrors: dict[str, str] | None = None,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
@@ -339,6 +402,16 @@ def maintain_all(
         mirror = (delta_mirrors or {}).get(spec.table_name)
         if mirror:
             telemetry["delta_mirror_version"] = mirror_to_delta(catalog, spec, mirror)
+        imirror = (iceberg_mirrors or {}).get(spec.table_name)
+        if imirror:
+            telemetry["iceberg_mirror_snapshot"] = mirror_to_iceberg(
+                catalog, spec, imirror
+            )
+        hmirror = (hudi_mirrors or {}).get(spec.table_name)
+        if hmirror:
+            telemetry["hudi_mirror_instant"] = mirror_to_hudi(
+                catalog, spec, hmirror
+            )
         reports.append(
             LoadReport(spec.table_name, "maintained", telemetry=telemetry)
         )

@@ -1530,3 +1530,50 @@ def test_hudi_write_unpartitioned_upsert(spark, tmp_path):
     )
     got = {r.id: r.val for r in read_hudi(spark, path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_iceberg_and_hudi_mirrors_through_maintenance(spark, tmp_path):
+    """The r9 mirror twins: maintain_all(iceberg_mirrors=, hudi_mirrors=)
+    republishes the managed snapshot as a real Iceberg v2 overwrite
+    snapshot and as an INCREMENTAL Hudi upsert+delete (only changed
+    file groups rewrite) — all three reference formats are now
+    publishable on the maintenance cadence."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        maintain_all,
+        mirror_to_hudi,
+        mirror_to_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("mir2", "id", "cat", None, "proddb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "id long, val string, cat string",
+    ))
+    ip, hp = str(tmp_path / "ice"), str(tmp_path / "hud")
+    sid0 = mirror_to_iceberg(cat, spec, ip)
+    mirror_to_hudi(cat, spec, hp)
+    assert _rows(read_iceberg(spark, ip).select("id", "val", "cat")) == _rows(
+        tbl.read().select("id", "val", "cat")
+    )
+    assert _rows(read_hudi(spark, hp).select("id", "val", "cat")) == _rows(
+        tbl.read().select("id", "val", "cat")
+    )
+
+    tbl.merge_upsert(spark.createDataFrame(
+        [(2, "B2", "y"), (4, "d", "x")], "id long, val string, cat string"
+    ))
+    tbl.merge_delete(spark.createDataFrame([(3,)], "id long"))
+    reports = maintain_all(
+        cat, [spec], iceberg_mirrors={"mir2": ip}, hudi_mirrors={"mir2": hp}
+    )
+    t = reports[-1].telemetry
+    assert "iceberg_mirror_snapshot" in t and "hudi_mirror_instant" in t
+    want = _rows(tbl.read().select("id", "val", "cat"))
+    assert _rows(read_iceberg(spark, ip).select("id", "val", "cat")) == want
+    assert _rows(read_hudi(spark, hp).select("id", "val", "cat")) == want
+    # Prior Iceberg mirror snapshot stays time-travelable.
+    assert read_iceberg(spark, ip, snapshot_id=sid0).count() == 3
