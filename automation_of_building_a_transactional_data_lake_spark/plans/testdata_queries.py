@@ -1529,6 +1529,7 @@ ORDER BY c.doc_id, e.eval_id
 
 def docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decontam import contaminated_ids
+    from ..operators.dedup import _materialize
     from ..operators.sampling import stratified_sample
     from ..operators.textstats import normalize_text
 
@@ -1536,8 +1537,13 @@ def docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
     # Exact dedup on the CANONICAL text: keep the min doc_id per form.
+    # Materialized once — three downstream branches would otherwise
+    # re-run the normalize pandas_udf + dedup shuffle each (r9; same
+    # policy as v3).
     keep = normed.groupBy("text_norm").agg(F.min("doc_id").alias("doc_id"))
-    deduped = normed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    deduped = _materialize(
+        normed.join(keep.select("doc_id"), "doc_id", "left_semi"), None
+    )
     # Decontaminate the corpus against the in-plan eval slice.
     ev = deduped.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), F.col("text_norm")
@@ -1616,6 +1622,7 @@ _QUALITY_FLOOR_LP = -0.80
 
 def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decontam import contaminated_ids
+    from ..operators.dedup import _materialize
     from ..operators.sampling import stratified_sample
     from ..operators.textstats import normalize_text, trigram_lm_scores
 
@@ -1623,7 +1630,13 @@ def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
     keep = normed.groupBy("text_norm").agg(F.min("doc_id").alias("doc_id"))
-    deduped = normed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # The deduped frame feeds FOUR consumers (eval slice, decontam
+    # corpus side, LM training/scoring, rebalance): materialize once so
+    # the normalize pandas_udf + dedup shuffle don't re-execute per
+    # branch (same multi-branch-reuse policy as the similarity joins).
+    deduped = _materialize(
+        normed.join(keep.select("doc_id"), "doc_id", "left_semi"), None
+    )
     ev = deduped.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), F.col("text_norm")
     )
@@ -1631,7 +1644,7 @@ def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = contaminated_ids(
         corpus, ev, n=_DECONTAM_N, text_col="text_norm", eval_text_col="text_norm"
     )
-    clean = corpus.join(bad, "doc_id", "left_anti")
+    clean = _materialize(corpus.join(bad, "doc_id", "left_anti"), None)
     # Quality floor: LM trained on the surviving corpus itself; docs
     # under the floor (or too short to score) are cut.
     scores = trigram_lm_scores(clean, text_col="text_norm")
