@@ -100,14 +100,15 @@ def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
             )
     conf = (meta or {}).get("configuration") or {}
     # Column mapping: 'name' mode resolves through the per-field
-    # physicalName metadata (implemented in read_delta); 'id' mode
-    # matches by parquet field ids, which Spark's parquet reader cannot
-    # be asked to do from here — loud error.
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", "", "name"):
+    # physicalName metadata; 'id' mode resolves through parquet field
+    # ids via Spark's native `spark.sql.parquet.fieldId.read.enabled`
+    # + per-field `parquet.field.id` schema metadata (both implemented
+    # in read_delta).
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", "", "name", "id"):
         raise NotImplementedError(
             "Delta column mapping mode "
             f"{conf.get('delta.columnMapping.mode')!r} is not supported by "
-            "the pure-Python reader (supported: none, name)"
+            "the pure-Python reader (supported: none, name, id)"
         )
 
 
@@ -416,6 +417,62 @@ def _delta_replay(table_path: str, version: int | None) -> dict:
     return state
 
 
+def _delta_file_resolution(
+    spark: SparkSession, meta: dict, schema: StructType, pcols: list[str]
+) -> tuple[StructType, dict, dict]:
+    """How this table's parquet bytes map to the logical schema:
+    returns (file read schema for non-partition columns, {logical ->
+    column name AS READ}, {logical -> physical name for partitionValues
+    keys}).
+
+    - no mapping: physical == logical, read by name;
+    - 'name' mode: read the frozen physicalName columns, alias back;
+    - 'id' mode: read by PARQUET FIELD ID — the schema requests
+      LOGICAL names each tagged with ``parquet.field.id`` metadata and
+      Spark's native ``spark.sql.parquet.fieldId.read.enabled`` does
+      the id resolution (columns come back already logical)."""
+    from pyspark.sql.types import StructField
+
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+    if mode == "id":
+        fids = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.id")
+            for f in schema.fields
+        }
+        missing = [n for n, v in fids.items() if v is None]
+        if missing:
+            raise ValueError(
+                f"id-mode column mapping but fields {missing} carry no "
+                "delta.columnMapping.id"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        file_schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={"parquet.field.id": int(fids[f.name])},
+                )
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+        read_names = {f.name: f.name for f in schema.fields}
+    else:
+        file_schema = StructType(
+            [
+                type(f)(phys[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+        read_names = phys
+    return file_schema, read_names, phys
+
+
 def _delta_hive_conventional(adds: list[dict], pcols: list[str]) -> bool:
     """True when every add path lives under ``k=v`` directories that
     match the declared partition columns IN ORDER and the declared
@@ -474,23 +531,14 @@ def read_delta(
     state = _delta_replay(table_path, version)
     meta = state["metaData"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    # Column mapping (name mode): every field may carry a frozen
-    # physicalName its file bytes are stored under — read physical,
-    # project back to logical (the same frozen-physical-name design as
-    # the engine's own X85 schema evolution). partitionValues keys are
-    # physical names too in that mode.
-    phys = {
-        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-        for f in schema.fields
-    }
     pcols = list(meta.get("partitionColumns") or [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    file_schema = StructType(
-        [
-            type(f)(phys[f.name], f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in pcols
-        ]
+    # Column mapping ('name' via frozen physicalName, 'id' via parquet
+    # field ids — the same frozen-physical-name design as the engine's
+    # own X85 schema evolution). partitionValues keys are physical
+    # names in both mapped modes.
+    file_schema, read_names, phys = _delta_file_resolution(
+        spark, meta, schema, pcols
     )
 
     clean = [a for a in state["files"].values() if not a.get("deletionVector")]
@@ -498,7 +546,8 @@ def read_delta(
     if not clean and not dvd:
         return spark.createDataFrame([], schema)
 
-    unmapped = all(phys[c] == c for c in phys)
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    unmapped = mode in ("none", "") and all(phys[c] == c for c in phys)
     parts: list[DataFrame] = []
 
     if clean:
@@ -540,7 +589,7 @@ def read_delta(
                             .alias(f.name)
                         )
                     else:
-                        cols.append(F.col(phys[f.name]).alias(f.name))
+                        cols.append(F.col(read_names[f.name]).alias(f.name))
                 parts.append(df.select(*cols))
 
     if dvd:
@@ -583,7 +632,7 @@ def read_delta(
                 i = pcols.index(f.name)
                 cols.append(F.col(f"__pv_{i}").cast(ptypes[f.name]).alias(f.name))
             else:
-                cols.append(F.col(phys[f.name]).alias(f.name))
+                cols.append(F.col(read_names[f.name]).alias(f.name))
         parts.append(df.select(*cols))
 
     out = parts[0]
@@ -624,21 +673,13 @@ def read_delta_changes(
     )
     meta = _delta_replay(table_path, end)["metaData"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    # Same physical-name resolution as read_delta (round-8 advisory):
-    # a name-mode column-mapped table's CDC/add parquet stores PHYSICAL
-    # column names; reading logical names would return all-null columns.
-    phys = {
-        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-        for f in schema.fields
-    }
     pcols = list(meta.get("partitionColumns") or [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    file_schema = StructType(
-        [
-            type(f)(phys[f.name], f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in pcols
-        ]
+    # Same column-resolution as read_delta (round-8 advisory): a
+    # column-mapped table's CDC/add parquet stores physical names /
+    # field ids; reading logical names would return all-null columns.
+    file_schema, read_names, phys = _delta_file_resolution(
+        spark, meta, schema, pcols
     )
 
     out = None
@@ -711,7 +752,9 @@ def read_delta_changes(
             df = df.withColumn("_commit_version", F.lit(v).cast("long"))
             df = df.select(
                 *[
-                    F.col(f.name if f.name in pcols else phys[f.name]).alias(f.name)
+                    F.col(
+                        f.name if f.name in pcols else read_names[f.name]
+                    ).alias(f.name)
                     for f in schema.fields
                 ],
                 "_change_type",

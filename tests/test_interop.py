@@ -230,7 +230,7 @@ def test_delta_feature_guards(spark, tmp_path):
         ),
         "partitionColumns": [],
     }
-    cm = dict(base_meta, configuration={"delta.columnMapping.mode": "id"})
+    cm = dict(base_meta, configuration={"delta.columnMapping.mode": "weird"})
     with open(os.path.join(log, f"{0:020d}.json"), "w", encoding="utf-8") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
         f.write(json.dumps({"metaData": cm}) + "\n")
@@ -849,8 +849,8 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     live under frozen physical names (col-<uuid> style), the logical
     schema maps through per-field physicalName metadata, and
     partitionValues are keyed by PHYSICAL name — the reader must
-    project everything back to logical names. Mode 'id' stays a loud
-    feature error."""
+    project everything back to logical names. An unknown mapping mode
+    stays a loud feature error."""
     path = str(tmp_path / "cmap")
     log = os.path.join(path, "_delta_log")
     os.makedirs(log)
@@ -897,12 +897,83 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     assert dict(got.dtypes) == {"id": "bigint", "val": "string", "p": "int"}
     assert _rows(got.select("id", "val", "p")) == [(1, "a", 7)]
 
-    # 'id' mode stays unsupported, loudly.
-    meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
+    # An unknown mapping mode stays unsupported, loudly ('id' is
+    # supported since r9 — see the field-id test below).
+    meta_id = dict(meta, configuration={"delta.columnMapping.mode": "weird"})
     with open(os.path.join(log, f"{1:020d}.json"), "w", encoding="utf-8") as f:
         f.write(json.dumps({"metaData": meta_id}) + "\n")
     with pytest.raises(NotImplementedError, match="column mapping"):
         read_delta(spark, path)
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """Foreign table with delta.columnMapping.mode = id: columns
+    resolve by PARQUET FIELD ID (file bytes under arbitrary physical
+    names carrying field_id metadata) through Spark's native
+    fieldId.read support — including a renamed-physical-name file that
+    only the ids can match (round-8 'What's missing' #3 closed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cmapid")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    # Data file: OPAQUE physical names + parquet field ids.
+    pa_schema = pa.schema([
+        pa.field("col-aaa", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-bbb", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    os.makedirs(os.path.join(path, "d"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}, schema=pa_schema),
+        os.path.join(path, "d", "f1.parquet"),
+    )
+    # Second file: DIFFERENT physical names, same field ids — only id
+    # resolution reads both correctly.
+    pa_schema2 = pa.schema([
+        pa.field("col-zzz", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("col-yyy", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+    ])
+    pq.write_table(
+        pa.table({"col-zzz": ["c"], "col-yyy": [3]}, schema=pa_schema2),
+        os.path.join(path, "d", "f2.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    meta = {
+        "id": "m", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema), "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"},
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {"add": {"path": "d/f1.parquet", "partitionValues": {"col-ppp": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "d/f2.parquet", "partitionValues": {"col-ppp": "9"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = read_delta(spark, path)
+    assert dict(got.dtypes) == {"id": "bigint", "val": "string", "p": "int"}
+    assert _rows(got.select("id", "val", "p")) == [
+        (1, "a", 7), (2, "b", 7), (3, "c", 9)
+    ]
 
 
 def test_read_delta_changes_cdf_and_appends(spark, tmp_path):
