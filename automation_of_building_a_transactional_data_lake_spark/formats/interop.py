@@ -1530,16 +1530,18 @@ def read_iceberg(
     files to Spark's parquet reader (Iceberg data files store every
     column, identity partition values included).
 
-    v2 POSITION deletes are applied (round-8 verdict #2 — the
-    reference's own pipeline produces them at its first MERGE INTO,
-    iceberg-cdc-load.py:127-134): delete-manifest entries with
-    ``content=1`` read their (file_path, pos) parquet and anti-join
-    against the data scan's ``_metadata.row_index``. Position deletes
-    name exact (path, pos) pairs and paths are unique per table life,
-    so global application is sequence-number-safe. EQUALITY deletes
-    (content=2) and non-parquet data files still raise — never a
-    silently wrong read. Column resolution is by NAME (field-id
-    renames are not re-mapped)."""
+    v2 row-level deletes are applied, BOTH kinds (round-8 verdict #2 —
+    the reference's own pipeline produces them at its first MERGE
+    INTO, iceberg-cdc-load.py:127-134): POSITION deletes (content=1)
+    read their (file_path, pos) parquet and anti-join against the data
+    scan's ``_metadata.row_index`` (path-exact pairs, so global
+    application is sequence-number-safe); EQUALITY deletes (content=2)
+    resolve their ``equality_ids`` to schema columns and anti-join
+    null-safely against exactly the data files whose DATA sequence
+    number is strictly below the delete's — a row re-inserted AFTER
+    the delete survives, per spec. Non-parquet files still raise —
+    never a silently wrong read. Column resolution is by NAME
+    (field-id renames are not re-mapped)."""
     meta = _iceberg_current_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
@@ -1552,20 +1554,30 @@ def read_iceberg(
 
     from .avro_lite import read_avro_file
 
-    delete_manifests: list[str] = []
+    delete_manifests: list[tuple[str, int]] = []
+    mseqs: dict[str, int] = {}
     if "manifest-list" in snap:
         mlist_path = _iceberg_local_path(snap["manifest-list"], table_path)
         _schema, mentries = read_avro_file(mlist_path)
         manifests = []
         for e in mentries:
+            mseq = int(e.get("sequence_number") or 0)
             if e.get("content", 0) == 0:
                 manifests.append(e["manifest_path"])
+                mseqs[e["manifest_path"]] = mseq
             else:
-                delete_manifests.append(e["manifest_path"])
+                delete_manifests.append((e["manifest_path"], mseq))
     else:
         manifests = list(snap.get("manifests", []))  # v1 inline form
 
-    files: list[str] = []
+    def _entry_seq(entry: dict, default: int) -> int:
+        # v2 inheritance: a null sequence_number on an ADDED entry
+        # inherits the manifest's own sequence number.
+        s = entry.get("sequence_number")
+        return int(s) if s is not None else default
+
+    # (path, data sequence number) per live data file.
+    files: list[tuple[str, int]] = []
     for mpath in manifests:
         _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
         for e in entries:
@@ -1582,50 +1594,113 @@ def read_iceberg(
                 raise NotImplementedError(
                     f"Iceberg {fmt} data files are not supported (parquet only)"
                 )
-            files.append(_iceberg_local_path(df_rec["file_path"], table_path))
+            files.append(
+                (
+                    _iceberg_local_path(df_rec["file_path"], table_path),
+                    _entry_seq(e, mseqs.get(mpath, 0)),
+                )
+            )
     if not files:
         raise FileNotFoundError(
             f"Iceberg snapshot {sid} at {table_path} references no data files"
         )
 
     pos_delete_files: list[str] = []
-    for mpath in delete_manifests:
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    for mpath, mseq in delete_manifests:
         _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
         for e in entries:
             if e.get("status", 1) == 2:
                 continue
             df_rec = e["data_file"]
             content = df_rec.get("content", 1)
-            if content == 2:
-                raise NotImplementedError(
-                    "Iceberg EQUALITY deletes are not supported by the "
-                    "pure-Python reader (position deletes are)"
-                )
-            if content != 1:
-                raise ValueError(
-                    f"delete manifest entry with content={content} "
-                    "(expected 1 = position deletes)"
-                )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg {fmt} delete files are not supported (parquet only)"
                 )
-            pos_delete_files.append(
-                _iceberg_local_path(df_rec["file_path"], table_path)
-            )
+            dpath = _iceberg_local_path(df_rec["file_path"], table_path)
+            if content == 1:
+                pos_delete_files.append(dpath)
+            elif content == 2:
+                ids = tuple(df_rec.get("equality_ids") or ())
+                if not ids:
+                    raise ValueError(
+                        f"equality delete file {dpath} declares no equality_ids"
+                    )
+                eq_deletes.append((dpath, _entry_seq(e, mseq), ids))
+            else:
+                raise ValueError(
+                    f"delete manifest entry with content={content} "
+                    "(expected 1 = position or 2 = equality deletes)"
+                )
 
     # Project the DECLARED schema when the metadata carries one:
     # evolution-stable (files predating an added column read it as
     # null; extra physical columns drop) and type-exact. Name-based
     # resolution — field-id renames are not re-mapped (documented).
     schema = _iceberg_table_schema(meta)
-    if schema is not None:
-        df = spark.read.schema(schema).parquet(*files)
+
+    def _scan(paths: list[str], with_meta: bool) -> DataFrame:
+        rdr = spark.read.schema(schema) if schema is not None else spark.read
+        d = rdr.parquet(*paths)
+        if with_meta:
+            d = d.select(
+                "*",
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        return d
+
+    need_meta = bool(pos_delete_files)
+    if not eq_deletes:
+        df = _scan([p for p, _s in files], need_meta)
     else:
-        df = spark.read.parquet(*files)
+        # EQUALITY deletes apply to data files whose DATA sequence
+        # number is STRICTLY LESS than the delete's (spec "Scan
+        # Planning") — so the scan splits into sequence classes (few in
+        # practice: one per surviving write generation) and each class
+        # anti-joins only the delete rows newer than it. Nulls compare
+        # EQUAL here (the spec's equality semantics), hence eqNullSafe.
+        id_to_name: dict[int, str] = {}
+        for s in meta.get("schemas", []) or [meta.get("schema") or {}]:
+            for fld in s.get("fields", []):
+                id_to_name[int(fld["id"])] = fld["name"]
+        by_seq: dict[int, list[str]] = {}
+        for p, s in files:
+            by_seq.setdefault(s, []).append(p)
+        parts = []
+        for cls_seq, paths in sorted(by_seq.items()):
+            d = _scan(paths, need_meta)
+            # Group applicable delete files by their equality-column
+            # set: one anti-join per (class, column set).
+            groups: dict[tuple[int, ...], list[str]] = {}
+            for dpath, dseq, ids in eq_deletes:
+                if dseq > cls_seq:
+                    groups.setdefault(ids, []).append(dpath)
+            for ids, dpaths in sorted(groups.items()):
+                try:
+                    cols = [id_to_name[i] for i in ids]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"equality delete references unknown field id {exc} "
+                        f"(schema ids: {sorted(id_to_name)})"
+                    ) from exc
+                dels = spark.read.parquet(*dpaths).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                ).distinct()
+                cond = None
+                for c in cols:
+                    piece = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                    cond = piece if cond is None else cond & piece
+                d = d.join(F.broadcast(dels), cond, "left_anti")
+            parts.append(d)
+        df = parts[0]
+        for d in parts[1:]:
+            df = df.unionByName(d)
+
     if pos_delete_files:
-        out_cols = list(df.columns)
+        out_cols = [c for c in df.columns if c not in ("__fp", "__ri")]
         # The delete parquet's own columns are (file_path, pos[, row]);
         # normalize both sides' URIs the same way as the Delta DV path.
         dels = (
@@ -1635,14 +1710,8 @@ def read_iceberg(
                 F.col("pos").cast("long").alias("__ri"),
             )
         )
-        df = (
-            df.select(
-                "*",
-                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-            .join(F.broadcast(dels), ["__fp", "__ri"], "left_anti")
-            .select(*out_cols)
+        df = df.join(F.broadcast(dels), ["__fp", "__ri"], "left_anti").select(
+            *out_cols
         )
     return df
 

@@ -555,7 +555,9 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no snapshot"):
         read_iceberg(spark, root, snapshot_id=7)
 
-    # An EQUALITY-delete manifest must fail loudly.
+    # An equality-delete entry WITHOUT equality_ids must fail loudly
+    # (ids name the columns to match on; without them the delete is
+    # meaningless and skipping it would resurrect rows).
     from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
         write_avro_file,
     )
@@ -587,7 +589,7 @@ def test_iceberg_read_snapshots_and_guards(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
         f.write("2")
-    with pytest.raises(NotImplementedError, match="EQUALITY"):
+    with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, root)
 
 
@@ -1648,3 +1650,105 @@ def test_iceberg_and_hudi_mirrors_through_maintenance(spark, tmp_path):
     assert _rows(read_hudi(spark, hp).select("id", "val", "cat")) == want
     # Prior Iceberg mirror snapshot stays time-travelable.
     assert read_iceberg(spark, ip, snapshot_id=sid0).count() == 3
+
+
+def test_iceberg_equality_deletes_with_sequence_rule(spark, tmp_path):
+    """v2 EQUALITY deletes: rows matching the delete file's values on
+    the equality_ids columns vanish from data files whose DATA
+    sequence number is STRICTLY below the delete's — and a row with
+    the same value re-inserted at a HIGHER sequence number survives
+    (the spec's scan-planning rule; applying deletes globally would
+    silently kill the re-insert)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+
+    root = _iceberg_fixture(spark, tmp_path)
+    mdir = os.path.join(root, "metadata")
+
+    entry_schema_seq = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}},
+        ],
+    }
+    mlist_schema_seq = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+
+    # New data file f4 = (4, "b") — same val as f2's row — at seq 2.
+    f4 = os.path.join(root, "data", "f4.parquet")
+    _write_one_parquet(spark, [(4, "b")], "id long, val string", f4)
+    m4 = os.path.join(mdir, "m4.avro")
+    write_avro_file(
+        m4, entry_schema_seq,
+        [{"status": 1, "snapshot_id": 103, "sequence_number": None,
+          "data_file": {"content": 0, "file_path": "file://" + f4,
+                        "file_format": "PARQUET", "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(f4),
+                        "equality_ids": None}}],
+    )
+    # Equality delete at seq 1: val = 'b' (field id 2).
+    eqd = os.path.join(root, "data", "eqdel.parquet")
+    _write_one_parquet(spark, [("b",)], "val string", eqd)
+    mdel = os.path.join(mdir, "mdel2.avro")
+    write_avro_file(
+        mdel, entry_schema_seq,
+        [{"status": 1, "snapshot_id": 103, "sequence_number": None,
+          "data_file": {"content": 2, "file_path": "file://" + eqd,
+                        "file_format": "PARQUET", "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(eqd),
+                        "equality_ids": [2]}}],
+    )
+    ml = os.path.join(mdir, "snap-103.avro")
+    write_avro_file(
+        ml, mlist_schema_seq,
+        [
+            # m2 (data: f2 live, f3 live) at seq 0 — below the delete.
+            {"manifest_path": "file://" + os.path.join(mdir, "m2.avro"),
+             "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+             "sequence_number": 0, "added_snapshot_id": 103},
+            # f4's manifest at seq 2 — above the delete: survives.
+            {"manifest_path": "file://" + m4, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0, "sequence_number": 2,
+             "added_snapshot_id": 103},
+            # The equality delete at seq 1.
+            {"manifest_path": "file://" + mdel, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1, "sequence_number": 1,
+             "added_snapshot_id": 103},
+        ],
+    )
+    with open(os.path.join(mdir, "v1.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 103, "manifest-list": "file://" + ml})
+    meta["current-snapshot-id"] = 103
+    with open(os.path.join(mdir, "v4.metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write("4")
+
+    got = read_iceberg(spark, root)
+    # m2's live set is (2,'b') and (3,'c'): the 'b' at seq 0 dies, the
+    # 'c' survives, and the RE-INSERTED 'b' at seq 2 survives.
+    assert _rows(got.select("id", "val")) == [(3, "c"), (4, "b")]
