@@ -189,6 +189,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q19_disjunctive_pred (green r2-r8 — OR-of-ANDs predicate
 #     pushdown, family held by the staying q12 IN+range and q16
 #     NOT-IN filter gates) rotates OUT, pytest-gated as ever.
+#   r9 late addition 2: docs_pack_sequences (greedy context-window
+#     sequence packing — the corpus-to-training-batches step, a new
+#     operator family; oracle is a DuckDB RECURSIVE CTE restating the
+#     per-bucket greedy fold) takes a recorded slot; emb_lsh_pairs
+#     (green r3-r8 — its banded-LSH pair machinery is composed inside
+#     the recorded docs_dedup_clusters gate, commit 45ba3a5, and
+#     pinned by planted-recall pytest) rotates OUT, pytest-gated as
+#     ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -223,6 +231,7 @@ _DEMOTED_TAIL = [
     "docs_trigram_lm_score",
     "q7_nation_volume",
     "q19_disjunctive_pred",
+    "emb_lsh_pairs",
 ]
 
 _DRIVER_SLOTS = 50

@@ -1889,6 +1889,59 @@ FROM m GROUP BY format ORDER BY format
 
 
 # --------------------------------------------------------------------------
+# docs_pack_sequences — greedy context-window packing (the step that
+# turns a curated corpus into training batches; padding waste is the
+# tuned metric). A sequential fold cannot be one window function, so
+# the corpus shuffles ONCE on a hash bucket and each bucket folds
+# inside applyInPandas — embarrassingly parallel across buckets. The
+# oracle restates the identical greedy fold as a DuckDB RECURSIVE CTE
+# advancing all buckets in lockstep (one row per bucket per step), so
+# any divergence in bucket hashing, ordering, or the fold's boundary
+# rule (oversize docs get their own bin) hash-mismatches.
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+_PACK_BUCKETS = 8
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences, packing_stats
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(
+        docs, capacity=_PACK_CAPACITY, n_buckets=_PACK_BUCKETS
+    )
+    return packing_stats(packed, _PACK_CAPACITY).orderBy("bucket", "bin")
+
+
+DOCS_PACK_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CAST(doc_id % {_PACK_BUCKETS} AS INTEGER) AS bucket,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+), pack AS (
+  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n,
+         CASE WHEN p.fill > 0 AND p.fill + o.n > {_PACK_CAPACITY}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill > 0 AND p.fill + o.n > {_PACK_CAPACITY}
+              THEN o.n ELSE p.fill + o.n END
+  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT bucket, bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+       round(greatest(0.0, 1.0 - sum(n) / {_PACK_CAPACITY}.0), 4) AS padding_frac
+FROM pack GROUP BY bucket, bin ORDER BY bucket, bin
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -2447,6 +2500,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE),
         QueryDef("docs_curation_v3", docs_curation_v3, DOCS_CURATION_V3_ORACLE),
         QueryDef("docs_stratified_cap", docs_stratified_cap, DOCS_STRATIFIED_CAP_ORACLE),
+        QueryDef("docs_pack_sequences", docs_pack_sequences, DOCS_PACK_ORACLE),
         QueryDef("emb_pca_knn", emb_pca_knn, EMB_PCA_KNN_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),
         QueryDef("docs_trigram_lm_score", docs_trigram_lm_score, DOCS_TRIGRAM_LM_ORACLE),
