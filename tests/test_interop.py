@@ -1752,3 +1752,117 @@ def test_iceberg_equality_deletes_with_sequence_rule(spark, tmp_path):
     # m2's live set is (2,'b') and (3,'c'): the 'b' at seq 0 dies, the
     # 'c' survives, and the RE-INSERTED 'b' at seq 2 survives.
     assert _rows(got.select("id", "val")) == [(3, "c"), (4, "b")]
+
+
+# -- Model-based foreign-writer fuzzing (round-9) ---------------------------
+#
+# Same policy as tests/test_cdc_properties.py: ANY random op sequence
+# through the three foreign-format writers must leave the table equal
+# to a plain Python model — not just the fixed fixtures above.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_val = st.text(alphabet="abxyz", min_size=0, max_size=4)
+_hudi_batch = st.dictionaries(
+    st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_hudi_batch, min_size=1, max_size=3))
+def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches):
+    """ANY upsert/delete sequence through write_hudi (keyed file
+    groups, partial rewrites, empty-group synthesis) reads back equal
+    to a dict model applying latest-wins then delete."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path_factory.mktemp("hfuzz") / "t")
+    initial = {k: "init" for k in (0, 1, 2, 3)}
+    model = dict(initial)
+
+    def cat(k):
+        return "x" if k % 2 == 0 else "y"
+
+    write_hudi(
+        spark.createDataFrame(
+            [(k, v, cat(k)) for k, v in initial.items()],
+            "id long, val string, cat string",
+        ),
+        path, record_key="id", mode="bulk_insert", partition_by=["cat"],
+        num_buckets=2,
+    )
+    for batch in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            write_hudi(
+                spark.createDataFrame(
+                    [(k, v, cat(k)) for k, v in ups.items()],
+                    "id long, val string, cat string",
+                ),
+                path, record_key="id", mode="upsert", partition_by=["cat"],
+            )
+            model.update(ups)
+        if dels:
+            write_hudi(
+                spark.createDataFrame(
+                    [(k, "", cat(k)) for k in dels],
+                    "id long, val string, cat string",
+                ),
+                path, record_key="id", mode="delete", partition_by=["cat"],
+            )
+            for k in dels:
+                model.pop(k, None)
+    got = {r.id: (r.val, r.cat) for r in read_hudi(spark, path).collect()}
+    assert got == {k: (v, cat(k)) for k, v in model.items()}
+
+
+_ice_batch = st.tuples(
+    st.sampled_from(["append", "overwrite"]),
+    st.lists(st.tuples(st.integers(0, 99), _val), min_size=1, max_size=4),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_ice_batch, min_size=1, max_size=3))
+def test_iceberg_write_sequences_match_list_model(spark, tmp_path_factory, batches):
+    """ANY append/overwrite sequence through write_iceberg (manifest
+    carry-forward vs fresh manifest list) reads back equal to a list
+    model — and EVERY intermediate snapshot stays time-travelable."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path_factory.mktemp("ifuzz") / "t")
+    rows0 = [(0, "init", "x")]
+    model = list(rows0)
+    write_iceberg(
+        spark.createDataFrame(rows0, "id long, val string, cat string"),
+        path, mode="error", partition_by=["cat"],
+    )
+    history = []
+    for mode, rows in batches:
+        full = [(k, v, "x" if k % 2 == 0 else "y") for k, v in rows]
+        sid = write_iceberg(
+            spark.createDataFrame(full, "id long, val string, cat string"),
+            path, mode=mode, partition_by=["cat"],
+        )
+        model = (model + full) if mode == "append" else list(full)
+        history.append((sid, sorted(model)))
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert got == sorted(model)
+    for sid, want in history:
+        assert sorted(
+            map(tuple, read_iceberg(spark, path, snapshot_id=sid).collect())
+        ) == want
