@@ -355,25 +355,45 @@ class LakeDataSource(DataSource):
             "_commit_version", LongType(), False
         )
 
+    def _delta_changes_schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType
+
+        from ..formats.interop import _delta_replay
+
+        meta = _delta_replay(self._table_path(), None)["metaData"]
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return schema.add("_change_type", StringType(), True).add(
+            "_commit_version", LongType(), False
+        )
+
     def schema(self) -> StructType:
-        if self.options.get("feed") == "changes":
+        feed = self.options.get("feed")
+        if feed == "changes":
             return self._changes_schema()
+        if feed == "delta_changes":
+            return self._delta_changes_schema()
         return self._batch_schema()
 
     def reader(self, schema: StructType) -> "LakeReader":
-        if self.options.get("feed") == "changes":
+        if self.options.get("feed") in ("changes", "delta_changes"):
             raise ValueError(
-                "feed=changes is a STREAMING source (spark.readStream); "
+                "change feeds are STREAMING sources (spark.readStream); "
                 "for batch snapshots drop the feed option"
             )
         return LakeReader(self._table_path(), self._meta(), dict(self.options), schema)
 
-    def streamReader(self, schema: StructType) -> "LakeChangeFeedReader":  # noqa: N802
+    def streamReader(self, schema: StructType):  # noqa: N802
+        feed = self.options.get("feed")
+        if feed == "delta_changes":
+            return DeltaChangeFeedReader(
+                self._table_path(), dict(self.options), schema
+            )
         meta = self._feed_meta()
-        if self.options.get("feed") != "changes":
+        if feed != "changes":
             raise ValueError(
                 "streaming the lakehouse format requires .option('feed', "
-                "'changes') — the stream is the table's change feed"
+                "'changes') (managed tables) or .option('feed', "
+                "'delta_changes') (a foreign Delta table's CDF)"
             )
         fmt = "mor" if meta.get("format") == "mor" else "cow"
         return LakeChangeFeedReader(self._table_path(), dict(self.options), schema, fmt)
@@ -870,4 +890,169 @@ class LakeChangeFeedReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Offsets are table versions; the checkpoint owns progress, the
         # table owns retention (vacuum) — nothing to clean up here.
+        return
+
+
+# -- FOREIGN Delta CDF as a streaming source (round-9) ----------------------
+
+
+class DeltaCdfPartition(InputPartition):
+    def __init__(self, path: str, version: int, ctype: str | None, pvals: dict) -> None:
+        self.path = path
+        self.version = version
+        self.ctype = ctype  # None = cdc file carries _change_type itself
+        self.pvals = pvals  # partition column -> raw string (or None)
+
+
+class DeltaChangeFeedReader(DataSourceStreamReader):
+    """Structured-Streaming source over a FOREIGN Delta table's change
+    feed — the streaming twin of ``formats/interop.read_delta_changes``
+    (X106), activated by ``.option("feed", "delta_changes")`` on a path
+    holding a real ``_delta_log``: each micro-batch delivers the
+    commits since the last offset as (business columns, _change_type,
+    _commit_version), following Delta's CDF read algorithm (cdc
+    actions are authoritative; blind appends read as inserts; a remove
+    without cdc capture aborts loudly — unreconstructable row-level
+    history must never stream as silence).
+
+    Scale shape mirrors the managed feed: offsets are Delta versions
+    (O(1) driver metadata per poll), planning parses only the new
+    commits' JSON, and each change file is one input partition —
+    row bytes flow Arrow-batched through executors, never the driver.
+    Column mapping: 'name' mode resolves through frozen physicalNames;
+    'id' mode raises here (the BATCH reader supports it via Spark's
+    field-id scan, which the Python-worker arrow path cannot ask
+    for)."""
+
+    def __init__(self, table_path: str, options: dict, schema: StructType) -> None:
+        from ..formats.interop import _delta_replay
+
+        self.table_path = table_path
+        self.options = options
+        self.schema_ = schema
+        meta = _delta_replay(table_path, None)["metaData"]
+        tschema = StructType.fromJson(json.loads(meta["schemaString"]))
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode == "id":
+            raise NotImplementedError(
+                "id-mode column mapping is not supported by the STREAMING "
+                "CDF reader (the batch read_delta_changes is — it rides "
+                "Spark's native field-id scan)"
+            )
+        self.phys = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in tschema.fields
+        }
+        self.pcols = list(meta.get("partitionColumns") or [])
+
+    def _head(self) -> int:
+        from ..formats.interop import _DELTA_LOG, _delta_latest_version
+
+        return _delta_latest_version(os.path.join(self.table_path, _DELTA_LOG))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        start = self.options.get("starting_version")
+        # Exclusive-start offsets (the managed feed's convention): the
+        # first batch delivers version start+1 — so "stream everything"
+        # is starting_version=-1 and the default streams NEW commits.
+        v = int(start) if start is not None else self._head()
+        return {"version": v}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"version": self._head()}
+
+    def partitions(self, start: dict, end: dict):
+        from ..formats.interop import _DELTA_LOG, _norm_pv
+
+        log_dir = os.path.join(self.table_path, _DELTA_LOG)
+        out: list[DeltaCdfPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            vpath = os.path.join(log_dir, f"{v:020d}.json")
+            if not os.path.isfile(vpath):
+                raise FileNotFoundError(
+                    f"Delta log version {v} is missing at {self.table_path} "
+                    "(vacuumed?); restart the stream with a retained "
+                    "starting_version"
+                )
+            cdc, adds, removes = [], [], []
+            with open(vpath, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "cdc" in a:
+                        cdc.append(a["cdc"])
+                    elif "add" in a and a["add"].get("dataChange", True):
+                        adds.append(a["add"])
+                    elif "remove" in a and a["remove"].get("dataChange", True):
+                        removes.append(a["remove"])
+            if cdc:
+                entries = [(c, None) for c in cdc]
+            elif removes:
+                raise ValueError(
+                    f"Delta version {v} removes files without CDC capture "
+                    "(delta.enableChangeDataFeed was off); its row-level "
+                    "changes cannot stream — restart the feed after it"
+                )
+            else:
+                entries = [(a, "insert") for a in adds]
+            for action, ctype in entries:
+                pv = _norm_pv(action.get("partitionValues"))
+                out.append(
+                    DeltaCdfPartition(
+                        os.path.join(
+                            self.table_path,
+                            urllib.parse.unquote(action["path"]),
+                        ),
+                        v,
+                        ctype,
+                        {
+                            c: pv.get(self.phys[c], pv.get(c))
+                            for c in self.pcols
+                        },
+                    )
+                )
+        if not out:
+            out.append(DeltaCdfPartition("", end["version"], "insert", {}))
+        return out
+
+    def read(self, partition: DeltaCdfPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not partition.path:
+            return
+        target = to_arrow_schema(self.schema_)
+        tbl = pq.read_table(partition.path)
+        n = len(tbl)
+        cols = []
+        for field in target:
+            if field.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n).cast(field.type))
+            elif field.name == "_change_type":
+                if partition.ctype is None:
+                    cols.append(tbl.column("_change_type").cast(field.type))
+                else:
+                    cols.append(pa.array([partition.ctype] * n).cast(field.type))
+            elif field.name in partition.pvals:
+                raw = partition.pvals[field.name]
+                # Typed via arrow's string cast — the same conversion
+                # family the batch reader's lit().cast() applies.
+                src = pa.array([raw] * n, type=pa.string())
+                cols.append(src.cast(field.type))
+            else:
+                phys = self.phys.get(field.name, field.name)
+                if phys in tbl.column_names:
+                    cols.append(tbl.column(phys).cast(field.type))
+                else:
+                    cols.append(pa.nulls(n, field.type))
+        yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
         return

@@ -499,3 +499,90 @@ def test_mor_change_feed_lineage_excludes_branch_commits(spark, tmp_path):
     rd2 = ds.streamReader(ds.schema())
     parts2 = [p for p in rd2.partitions({"version": fork}, {"version": pub}) if p.files]
     assert {p.version for p in parts2} == {pub}
+
+
+def test_foreign_delta_cdf_streaming_source(spark, tmp_path):
+    """FOREIGN Delta CDF as a streaming source (r9): a real Delta
+    table's commits stream through .option('feed', 'delta_changes') —
+    blind appends as inserts, cdc actions authoritative, partition
+    values typed from partitionValues, checkpointed restarts deliver
+    only new commits, and a remove without cdc capture aborts."""
+    import json as _json
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+    )
+
+    path = str(tmp_path / "fdelta")
+    write_delta(
+        spark.createDataFrame([(1, "a", "x"), (2, "b", "y")],
+                              "id long, val string, cat string"),
+        path, mode="error", partition_by=["cat"],
+    )
+    write_delta(
+        spark.createDataFrame([(3, "c", "x")], "id long, val string, cat string"),
+        path, mode="append",
+    )
+    register_lake_datasource(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", path)
+            .option("feed", "delta_changes")
+            .option("starting_version", "-1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        (1, "a", "x", "insert", 0), (2, "b", "y", "insert", 0),
+        (3, "c", "x", "insert", 1),
+    }
+
+    # A hand-written CDC commit (update pre/post images) streams its
+    # authoritative _change_type rows; restart delivers ONLY it.
+    cdir = _os.path.join(path, "_change_data")
+    _os.makedirs(cdir, exist_ok=True)
+    spark.createDataFrame(
+        [(2, "b", "update_preimage"), (2, "B2", "update_postimage")],
+        "id long, val string, _change_type string",
+    ).coalesce(1).write.parquet(cdir + "_tmp")
+    cfile = next(
+        _os.path.join(r, f)
+        for r, _d, fs in _os.walk(cdir + "_tmp") for f in fs
+        if f.endswith(".parquet")
+    )
+    _os.rename(cfile, _os.path.join(cdir, "c1.parquet"))
+    log = _os.path.join(path, "_delta_log")
+    with open(_os.path.join(log, f"{2:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"cdc": {
+            "path": "_change_data/c1.parquet",
+            "partitionValues": {"cat": "y"}, "size": 1, "dataChange": False,
+        }}) + "\n")
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        (1, "a", "x", "insert", 0), (2, "b", "y", "insert", 0),
+        (3, "c", "x", "insert", 1),
+        (2, "b", "y", "update_preimage", 2), (2, "B2", "y", "update_postimage", 2),
+    }
+
+    # A remove WITHOUT cdc capture aborts the stream loudly.
+    with open(_os.path.join(log, f"{3:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"remove": {"path": "whatever.parquet",
+                                        "deletionTimestamp": 1,
+                                        "dataChange": True}}) + "\n")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="CDC capture"):
+        drain()
