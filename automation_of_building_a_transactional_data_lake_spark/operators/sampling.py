@@ -113,10 +113,14 @@ def stratified_cap(
     stratum under the cap keeps everything.
 
     Plan: one ranking window per stratum (hash shuffle on the stratum
-    key + in-partition sort) — the honest price of an exact per-group
-    cap; for approximate caps at extreme skew, compose
-    ``stratified_sample`` with measured per-stratum fractions instead
-    (no sort)."""
+    key + in-partition sort) — and because the rank filter is a
+    row_number <= N on the window's own order, Catalyst plans a
+    Partial+Final ``WindowGroupLimit``: every map task keeps at most N
+    rows per stratum BEFORE the shuffle, so the exchanged volume is
+    O(strata x N x tasks), not O(rows) — the plan shape that makes an
+    exact cap viable at 100 TB. For approximate caps at extreme skew,
+    compose ``stratified_sample`` with measured per-stratum fractions
+    instead (no sort)."""
     from pyspark.sql.window import Window
 
     if max_rows < 0:
