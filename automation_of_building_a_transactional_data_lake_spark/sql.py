@@ -84,6 +84,14 @@ class LakeSQL:
             r"\b(?P<fmt>delta|hudi|iceberg|external)\.`(?P<path>[^`]+)`",
             re.IGNORECASE,
         )
+        # Delta's CDF table function, path form (table_changes_by_path):
+        # row-level changes of a FOREIGN Delta table between versions,
+        # through the jar-less read_delta_changes.
+        self._table_changes = re.compile(
+            r"\btable_changes_by_path\s*\(\s*'(?P<path>[^']+)'\s*,"
+            r"\s*(?P<start>\d+)\s*(?:,\s*(?P<end>\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
         if via == "datasource":
             from .sources.lake_datasource import register_lake_datasource
 
@@ -154,7 +162,29 @@ class LakeSQL:
         out.append(text[last:])
         return "".join(out)
 
+    def _rewrite_table_changes(self, text: str) -> str:
+        import zlib
+
+        from .formats.interop import read_delta_changes
+
+        def repl(m: re.Match) -> str:
+            df = read_delta_changes(
+                self.spark,
+                m.group("path"),
+                int(m.group("start")),
+                int(m.group("end")) if m.group("end") else None,
+            )
+            view = (
+                f"__{self.name}__tc_"
+                f"{zlib.crc32(m.group(0).encode('utf-8')):08x}"
+            )
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._table_changes.sub(repl, text)
+
     def _rewrite(self, text: str) -> str:
+        text = self._rewrite_table_changes(text)
         text = self._rewrite_externals(text)
         masked = _mask_strings(text)
         out = []

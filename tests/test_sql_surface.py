@@ -280,3 +280,41 @@ def test_sql_reads_foreign_tables_by_path(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [("one", 15.0), ("two", 2.5)]
     n = lake.sql(f"SELECT count(*) AS c FROM external.`{dpath}`").first().c
     assert n == 3
+
+
+def test_table_changes_by_path_sql(spark, tmp_path):
+    """Delta's CDF table function as SQL text: table_changes_by_path
+    ('/p', start[, end]) resolves through the jar-less
+    read_delta_changes — blind appends arrive as inserts with their
+    commit versions, the window is inclusive, and the function
+    composes with ordinary SQL (filters/aggregates)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    path = str(tmp_path / "fd")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        path, mode="error",
+    )
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        path, mode="append",
+    )
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    got = sorted(
+        map(tuple, sql.sql(
+            f"SELECT id, val, _change_type, _commit_version "
+            f"FROM table_changes_by_path('{path}', 0) ORDER BY id"
+        ).collect())
+    )
+    assert got == [
+        (1, "a", "insert", 0), (2, "b", "insert", 0), (3, "c", "insert", 1),
+    ]
+    # Bounded window + aggregation through the same surface.
+    n = sql.sql(
+        f"SELECT count(*) AS n FROM table_changes_by_path('{path}', 1, 1)"
+    ).collect()[0].n
+    assert n == 1
