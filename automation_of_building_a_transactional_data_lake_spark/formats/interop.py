@@ -81,7 +81,9 @@ def _delta_latest_version(log_dir: str) -> int:
     best = -1
     for fname in os.listdir(log_dir):
         m = re.fullmatch(
-            r"(\d{20})\.(json|checkpoint(\.\d{10}\.\d{10})?\.parquet)", fname
+            r"(\d{20})\.(?:json|checkpoint"
+            r"(?:\.\d{10}\.\d{10}|\.[0-9a-zA-Z\-]+)?\.(?:parquet|json))",
+            fname,
         )
         if m:
             best = max(best, int(m.group(1)))
@@ -89,7 +91,9 @@ def _delta_latest_version(log_dir: str) -> int:
 
 
 def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
-    supported_reader_features = {"timestampNtz", "deletionVectors", "columnMapping"}
+    supported_reader_features = {
+        "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+    }
     if protocol:
         feats = set(protocol.get("readerFeatures") or [])
         unsupported = feats - supported_reader_features
@@ -346,6 +350,79 @@ def _delta_dv_positions(dv: dict, table_path: str) -> list[int]:
     return positions
 
 
+def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
+    """Yield version ``cv``'s checkpoint actions across every
+    checkpoint NAMING SCHEME the spec defines: classic single-file
+    (``n.checkpoint.parquet``), classic multi-part
+    (``n.checkpoint.i.n.parquet``), and V2 (``n.checkpoint.<uuid>.json|
+    parquet`` whose ``sidecar`` actions point at file-action parquet
+    under ``_delta_log/_sidecars/`` — the modern engines' default once
+    the v2Checkpoint feature is on)."""
+    import pyarrow.parquet as pq
+
+    def _parquet_rows(path: str):
+        for row in pq.read_table(path).to_pylist():
+            action = {k: v for k, v in row.items() if v is not None}
+            action.pop("commitInfo", None)
+            action.pop("txn", None)
+            if action:
+                yield action
+
+    def _json_rows(path: str):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+    def _expand(actions):
+        # V2 checkpoints carry their file actions in SIDECARS; the
+        # checkpointMetadata action is structural (version assertion).
+        for a in actions:
+            if "sidecar" in a:
+                spath = os.path.join(log_dir, "_sidecars", a["sidecar"]["path"])
+                yield from _parquet_rows(spath)
+            elif "checkpointMetadata" in a:
+                declared = a["checkpointMetadata"].get("version")
+                if declared is not None and int(declared) != cv:
+                    raise ValueError(
+                        f"v2 checkpoint declares version {declared}, "
+                        f"_last_checkpoint says {cv}"
+                    )
+            else:
+                yield a
+
+    n_parts = int(ckpt.get("parts") or 1)
+    if n_parts > 1:
+        for i in range(1, n_parts + 1):
+            yield from _parquet_rows(
+                os.path.join(
+                    log_dir,
+                    f"{cv:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet",
+                )
+            )
+        return
+    classic = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
+    if os.path.isfile(classic):
+        yield from _parquet_rows(classic)
+        return
+    v2 = [
+        f
+        for f in os.listdir(log_dir)
+        if re.fullmatch(
+            rf"{cv:020d}\.checkpoint\.[0-9a-zA-Z-]+\.(json|parquet)", f
+        )
+    ]
+    if not v2:
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {cv} but no checkpoint file "
+            f"of any known naming scheme exists in {log_dir}"
+        )
+    path = os.path.join(log_dir, sorted(v2)[0])
+    rows = _json_rows(path) if path.endswith(".json") else _parquet_rows(path)
+    yield from _expand(rows)
+
+
 def _delta_replay(table_path: str, version: int | None) -> dict:
     """Replay the transaction log to ``version`` (default: latest).
     Returns {"metaData", "protocol", "files": {path: add}, "version"}.
@@ -374,29 +451,9 @@ def _delta_replay(table_path: str, version: int | None) -> dict:
         except (OSError, ValueError):
             ckpt = None
     if ckpt and int(ckpt["version"]) <= target:
-        import pyarrow.parquet as pq
-
         cv = int(ckpt["version"])
-        n_parts = int(ckpt.get("parts") or 1)
-        if n_parts == 1:
-            cpaths = [os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")]
-        else:
-            # Multi-part checkpoints: <v>.checkpoint.<i>.<n>.parquet.
-            cpaths = [
-                os.path.join(
-                    log_dir,
-                    f"{cv:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet",
-                )
-                for i in range(1, n_parts + 1)
-            ]
-        for cpath in cpaths:
-            tbl = pq.read_table(cpath)
-            for row in tbl.to_pylist():
-                action = {k: v for k, v in row.items() if v is not None}
-                action.pop("commitInfo", None)
-                action.pop("txn", None)
-                if action:
-                    _delta_apply_action(state, action)
+        for action in _delta_checkpoint_actions(log_dir, cv, ckpt):
+            _delta_apply_action(state, action)
         start = cv + 1
     missing = [v for v in range(start, target + 1) if v not in set(versions)]
     if missing:

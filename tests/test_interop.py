@@ -1866,3 +1866,86 @@ def test_iceberg_write_sequences_match_list_model(spark, tmp_path_factory, batch
         assert sorted(
             map(tuple, read_iceberg(spark, path, snapshot_id=sid).collect())
         ) == want
+
+
+def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 checkpoints (`n.checkpoint.<uuid>.json` + `_sidecars/`
+    file-action parquet — what modern engines write once the
+    v2Checkpoint feature is on) recover table state after the JSON
+    commits are vacuumed; the checkpointMetadata version asserts."""
+    import uuid as _uuid
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "v2ck")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path, mode="error"
+    )
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id long, val string"), path, mode="append"
+    )
+    log = os.path.join(path, "_delta_log")
+    # Collect the live adds + metaData/protocol from the JSON commits.
+    actions = []
+    for v in (0, 1):
+        with open(os.path.join(log, f"{v:020d}.json"), encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    a.pop("commitInfo", None)
+                    if a:
+                        actions.append(a)
+    meta_a = next(a for a in actions if "metaData" in a)
+    proto_a = next(a for a in actions if "protocol" in a)
+    adds = [a["add"] for a in actions if "add" in a]
+
+    # Sidecar parquet holding the add file-actions.
+    os.makedirs(os.path.join(log, "_sidecars"))
+    side_rows = [
+        Row(add=Row(path=a["path"], partitionValues={}, size=a["size"],
+                    modificationTime=0, dataChange=True))
+        for a in adds
+    ]
+    side_schema = (
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean>"
+    )
+    tmpd = os.path.join(str(tmp_path), "side_tmp")
+    spark.createDataFrame(side_rows, side_schema).coalesce(1).write.parquet(tmpd)
+    part = next(
+        os.path.join(r, f) for r, _d, fs in os.walk(tmpd) for f in fs
+        if f.endswith(".parquet")
+    )
+    os.rename(part, os.path.join(log, "_sidecars", "sc1.parquet"))
+
+    u = _uuid.uuid4().hex
+    with open(os.path.join(log, f"{1:020d}.checkpoint.{u}.json"), "w",
+              encoding="utf-8") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        f.write(json.dumps(proto_a) + "\n")
+        f.write(json.dumps(meta_a) + "\n")
+        f.write(json.dumps(
+            {"sidecar": {"path": "sc1.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}}) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "size": len(adds) + 2}, f)
+    # Vacuum the JSON commits: the checkpoint is the only witness.
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+
+    got = read_delta(spark, path)
+    assert _rows(got.select("id", "val")) == [(1, "a"), (2, "b")]
+    # Appends continue past the v2 checkpoint.
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id long, val string"), path, mode="append"
+    )
+    assert read_delta(spark, path).count() == 3
+    # Pre-checkpoint versions are honestly unreachable.
+    with pytest.raises(FileNotFoundError, match="missing"):
+        read_delta(spark, path, version=0)
+    # A lying checkpointMetadata version fails loudly.
+    with open(os.path.join(log, f"{1:020d}.checkpoint.{u}.json"), "w",
+              encoding="utf-8") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 7}}) + "\n")
+    with pytest.raises(ValueError, match="declares version"):
+        read_delta(spark, path, version=1)
