@@ -147,31 +147,61 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
             "non-append commits, which this writer does not produce; "
             "overwrite would leave an unreconstructable hole in the feed"
         )
-    # Invariants ride on writer version 2 as per-field metadata.
+    # CHECK constraints live in table configuration (writer version 3).
+    bad_constraints = [k for k in conf if k.startswith("delta.constraints.")]
+    if bad_constraints:
+        raise NotImplementedError(
+            f"Delta CHECK constraints {bad_constraints} are not enforced by "
+            "this writer — refusing to write"
+        )
+    # Invariants / generated / identity columns ride as per-field
+    # metadata (writer versions 2/4/6) — scan for ACTUAL usage rather
+    # than blanket-rejecting protocol versions: a CDF table's protocol
+    # is minWriterVersion 4, and refusing its (explicitly supported)
+    # appends on the version number alone would be a false rejection.
     for f in json.loads((meta or {}).get("schemaString") or '{"fields":[]}').get(
         "fields", []
     ):
-        if (f.get("metadata") or {}).get("delta.invariants"):
+        md = f.get("metadata") or {}
+        if md.get("delta.invariants"):
             raise NotImplementedError(
                 f"Delta column invariant on field {f.get('name')!r} is not "
                 "enforced by this writer — refusing to write"
             )
+        if md.get("delta.generationExpression"):
+            raise NotImplementedError(
+                f"Delta generated column {f.get('name')!r} is not computed by "
+                "this writer — refusing to write"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise NotImplementedError(
+                f"Delta identity column {f.get('name')!r} is not assigned by "
+                "this writer — refusing to write"
+            )
     p = protocol or {}
     mwv = int(p.get("minWriterVersion", 1))
-    honored = {"appendOnly", "changeDataFeed"}
     if mwv == 7:
+        # Feature FLAGS whose demands the scans above verify (or whose
+        # semantics this writer's adds/removes cannot violate):
+        # deletionVectors is append/overwrite-safe (adds never carry
+        # DVs; removes drop whole files with their vectors).
+        honored = {
+            "appendOnly", "changeDataFeed", "invariants", "checkConstraints",
+            "generatedColumns", "identityColumns", "columnMapping",
+            "deletionVectors", "timestampNtz", "v2Checkpoint",
+        }
         unsupported = set(p.get("writerFeatures") or []) - honored
         if unsupported:
             raise NotImplementedError(
                 f"Delta writer features {sorted(unsupported)} are not honored "
                 "by the pure-Python writer"
             )
-    elif mwv > 2:
+    elif mwv > 7:
         raise NotImplementedError(
-            f"Delta minWriterVersion {mwv} demands writer behaviors "
-            "(invariants/CHECK constraints/generated columns) this writer "
-            "does not honor"
+            f"Delta minWriterVersion {mwv} is newer than this writer knows"
         )
+    # mwv 3-6 carry no demands beyond the concrete scans above
+    # (constraints v3, CDF/generated v4, column mapping v5, identity v6).
 
 
 def _norm_pv(pv) -> dict:
@@ -487,7 +517,15 @@ def _delta_file_resolution(
     - 'id' mode: read by PARQUET FIELD ID — the schema requests
       LOGICAL names each tagged with ``parquet.field.id`` metadata and
       Spark's native ``spark.sql.parquet.fieldId.read.enabled`` does
-      the id resolution (columns come back already logical)."""
+      the id resolution (columns come back already logical).
+
+    Side effect, documented deliberately: the fieldId conf is
+    SESSION-WIDE and stays enabled after an id-mode read — Spark
+    exposes no per-read knob for it (the datasource option form is
+    ignored; probed), and restoring it after building the lazy
+    DataFrame would flip resolution back before execution. The conf
+    is inert for schemas that carry no ``parquet.field.id`` metadata,
+    which is every schema this engine builds outside this path."""
     from pyspark.sql.types import StructField
 
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
@@ -698,6 +736,50 @@ def read_delta(
     return out
 
 
+def _delta_cdf_commit_entries(
+    table_path: str, v: int
+) -> list[tuple[dict, str | None]]:
+    """One commit's row-level change entries per Delta's CDF read
+    algorithm — the SINGLE implementation behind both the batch
+    ``read_delta_changes`` and the streaming ``DeltaChangeFeedReader``
+    (a spec nuance fixed in one must not diverge in the other):
+    [(file action, change type)] where change type None means the cdc
+    file carries its own ``_change_type`` column. A commit with cdc
+    actions is authoritative; a blind append reads as inserts; a
+    remove without cdc capture raises (row-level changes
+    unreconstructable); a missing commit JSON raises (vacuumed)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    vpath = os.path.join(log_dir, f"{v:020d}.json")
+    if not os.path.isfile(vpath):
+        raise FileNotFoundError(
+            f"Delta log version {v} is missing at {table_path} (vacuumed?); "
+            "change feeds need the JSON commits, not just a checkpoint — "
+            "restart from a retained starting version"
+        )
+    cdc, adds, removes = [], [], []
+    with open(vpath, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                cdc.append(a["cdc"])
+            elif "add" in a and a["add"].get("dataChange", True):
+                adds.append(a["add"])
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                removes.append(a["remove"])
+    if cdc:
+        return [(c, None) for c in cdc]
+    if removes:
+        raise NotImplementedError(
+            f"Delta version {v} removes files without CDC capture "
+            "(delta.enableChangeDataFeed was off); its row-level changes "
+            "cannot be reconstructed — start the feed after it"
+        )
+    return [(a, "insert") for a in adds]
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_path: str,
@@ -741,35 +823,7 @@ def read_delta_changes(
 
     out = None
     for v in range(int(starting_version), end + 1):
-        vpath = os.path.join(log_dir, f"{v:020d}.json")
-        if not os.path.isfile(vpath):
-            raise FileNotFoundError(
-                f"Delta log version {v} is missing at {table_path} (vacuumed?); "
-                "change feeds need the JSON commits, not just a checkpoint"
-            )
-        cdc, adds, removes = [], [], []
-        with open(vpath, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                if "cdc" in a:
-                    cdc.append(a["cdc"])
-                elif "add" in a and a["add"].get("dataChange", True):
-                    adds.append(a["add"])
-                elif "remove" in a and a["remove"].get("dataChange", True):
-                    removes.append(a["remove"])
-        if cdc:
-            entries = [(c, None) for c in cdc]  # _change_type from the file
-        elif removes:
-            raise NotImplementedError(
-                f"Delta version {v} removes files without CDC capture "
-                "(delta.enableChangeDataFeed was off); its row-level changes "
-                "cannot be reconstructed — start the feed after it"
-            )
-        else:
-            entries = [(a, "insert") for a in adds]
+        entries = _delta_cdf_commit_entries(table_path, v)
         # Bounded plan width (round-8 advisory): a commit with thousands
         # of files must NOT become thousands of union branches — group
         # by (change-type source, partition tuple) and hand each group's
@@ -1154,7 +1208,15 @@ def _hudi_stage_commit(
     resurrect its old rows at read time."""
     import pyarrow.parquet as pq
 
+    from ..operators.dedup import _materialize
+
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    # The staged frame feeds TWO actions (the group count and the
+    # write) and for upsert/delete its lineage contains the whole
+    # read_hudi scan + key joins — materialize once so the most
+    # expensive phase doesn't execute twice (same policy as the
+    # similarity joins / curation pipelines).
+    df_with_groups = _materialize(df_with_groups, None)
     n_groups = max(
         1, df_with_groups.select("__hudi_fid").distinct().count()
     )
@@ -1305,6 +1367,7 @@ def write_hudi(
     mode: str = "bulk_insert",
     partition_by: list[str] | None = None,
     num_buckets: int = 4,
+    precombine_col: str | None = None,
 ) -> str:
     """Write a REAL Apache Hudi copy-on-write table (the jar-less twin
     of the reference's Hudi jobs). Modes:
@@ -1313,7 +1376,11 @@ def write_hudi(
       hash by key into ``num_buckets`` file groups per partition.
     - ``upsert``: latest-wins merge by ``record_key``; ONLY the file
       groups holding matched keys (plus one new group per partition
-      for unmatched keys) are rewritten at the new instant.
+      for unmatched keys) are rewritten at the new instant. In-batch
+      duplicate keys precombine by ``precombine_col`` (max wins —
+      Hudi's precombine-field semantics); without one, a batch
+      carrying duplicate keys REFUSES loudly rather than writing both
+      rows into the table.
     - ``delete``: drop the batch's keys; affected groups rewrite
       (possibly to an empty base file — never silently resurrecting).
 
@@ -1377,6 +1444,30 @@ def write_hudi(
         F.col(record_key).cast("string").alias("__k"), batch_pp.alias("__hudi_pp"),
         *[c for c in business_cols],
     )
+    if mode == "upsert":
+        if precombine_col is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("__k").orderBy(F.col(precombine_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            dup = (
+                batch.groupBy("__k")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"upsert batch carries duplicate record_key "
+                    f"{dup[0]['__k']!r}; pass precombine_col= (max wins) "
+                    "or deduplicate the batch first"
+                )
     # File groups whose base files must be rewritten: those holding a
     # matched key. One small join on the key column.
     keys = batch.select("__k").distinct()

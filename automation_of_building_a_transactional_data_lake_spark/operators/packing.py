@@ -53,9 +53,13 @@ def pack_sequences(
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if token_count_col is None:
-        n_tokens = F.size(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        # Null text counts as an empty document (0 tokens), and the
+        # coalesce also neutralizes legacy sizeOfNull=-1 semantics.
+        n_tokens = F.coalesce(
+            F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")),
+            F.lit(0),
         )
+        n_tokens = F.greatest(n_tokens, F.lit(0))
     else:
         n_tokens = F.col(token_count_col)
     base = df.withColumn("n_tokens", n_tokens.cast("long")).withColumn(
@@ -74,7 +78,20 @@ def pack_sequences(
         import numpy as np
 
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        # A null or negative count would poison the fold silently (NaN
+        # fill disables the capacity check forever; negatives shrink
+        # it) — refuse loudly instead.
+        if pdf["n_tokens"].isna().any():
+            raise ValueError(
+                "pack_sequences: null token counts in the batch "
+                "(token_count_col carries nulls?) — clean or coalesce "
+                "them upstream"
+            )
         toks = pdf["n_tokens"].to_numpy()
+        if (toks < 0).any():
+            raise ValueError(
+                "pack_sequences: negative token counts in the batch"
+            )
         bins = np.zeros(len(toks), dtype=np.int64)
         cur_bin, fill = 0, 0
         for i, t in enumerate(toks):

@@ -2195,28 +2195,38 @@ def q1_via_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invisible.
 # --------------------------------------------------------------------------
 
-_Q1_DELTA_EXPORTS: dict[str, str] = {}
-
-
-def _q1_delta_export(spark: SparkSession, sf_dir: str) -> str:
+def _cached_export(sf_dir: str, cache: dict[str, str], prefix: str, write_fn) -> str:
+    """One warehouse export per (format, sf_dir) per process:
+    ``write_fn(path)`` builds the table at a fresh temp path, cleaned
+    at exit. Shared by the three interop gates."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from ..formats.interop import write_delta
-
-    path = _Q1_DELTA_EXPORTS.get(sf_dir)
+    path = cache.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="tdl_q1_delta_")
+        path = tempfile.mkdtemp(prefix=prefix)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         shutil.rmtree(path)
-        write_delta(
-            load(spark, sf_dir, "lineitem"), path, mode="error",
-            partition_by=["l_returnflag"],
-        )
-        _Q1_DELTA_EXPORTS[sf_dir] = path
+        write_fn(path)
+        cache[sf_dir] = path
     return path
+
+
+_Q1_DELTA_EXPORTS: dict[str, str] = {}
+
+
+def _q1_delta_export(spark: SparkSession, sf_dir: str) -> str:
+    from ..formats.interop import write_delta
+
+    return _cached_export(
+        sf_dir, _Q1_DELTA_EXPORTS, "tdl_q1_delta_",
+        lambda p: write_delta(
+            load(spark, sf_dir, "lineitem"), p, mode="error",
+            partition_by=["l_returnflag"],
+        ),
+    )
 
 
 def q1_via_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2241,24 +2251,15 @@ _Q1_ICEBERG_EXPORTS: dict[str, str] = {}
 
 
 def _q1_iceberg_export(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from ..formats.interop import write_iceberg
 
-    path = _Q1_ICEBERG_EXPORTS.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="tdl_q1_iceberg_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        shutil.rmtree(path)
-        write_iceberg(
-            load(spark, sf_dir, "lineitem"), path, mode="error",
+    return _cached_export(
+        sf_dir, _Q1_ICEBERG_EXPORTS, "tdl_q1_iceberg_",
+        lambda p: write_iceberg(
+            load(spark, sf_dir, "lineitem"), p, mode="error",
             partition_by=["l_returnflag"],
-        )
-        _Q1_ICEBERG_EXPORTS[sf_dir] = path
-    return path
+        ),
+    )
 
 
 def q1_via_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2281,28 +2282,19 @@ _Q1_HUDI_EXPORTS: dict[str, str] = {}
 
 
 def _q1_hudi_export(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from ..formats.interop import write_hudi
 
-    path = _Q1_HUDI_EXPORTS.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="tdl_q1_hudi_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        shutil.rmtree(path)
+    def _write(p: str) -> None:
         li = load(spark, sf_dir, "lineitem").withColumn(
             "l_rowkey",
             F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")),
         )
         write_hudi(
-            li, path, record_key="l_rowkey", mode="bulk_insert",
+            li, p, record_key="l_rowkey", mode="bulk_insert",
             partition_by=["l_returnflag"],
         )
-        _Q1_HUDI_EXPORTS[sf_dir] = path
-    return path
+
+    return _cached_export(sf_dir, _Q1_HUDI_EXPORTS, "tdl_q1_hudi_", _write)
 
 
 def q1_via_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -966,41 +966,15 @@ class DeltaChangeFeedReader(DataSourceStreamReader):
         return {"version": self._head()}
 
     def partitions(self, start: dict, end: dict):
-        from ..formats.interop import _DELTA_LOG, _norm_pv
+        # Per-commit classification is SHARED with the batch reader
+        # (interop._delta_cdf_commit_entries): cdc authoritative,
+        # blind appends as inserts, uncapturable removes / vacuumed
+        # commits raise — one implementation, no batch/stream drift.
+        from ..formats.interop import _delta_cdf_commit_entries, _norm_pv
 
-        log_dir = os.path.join(self.table_path, _DELTA_LOG)
         out: list[DeltaCdfPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            vpath = os.path.join(log_dir, f"{v:020d}.json")
-            if not os.path.isfile(vpath):
-                raise FileNotFoundError(
-                    f"Delta log version {v} is missing at {self.table_path} "
-                    "(vacuumed?); restart the stream with a retained "
-                    "starting_version"
-                )
-            cdc, adds, removes = [], [], []
-            with open(vpath, encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    a = json.loads(line)
-                    if "cdc" in a:
-                        cdc.append(a["cdc"])
-                    elif "add" in a and a["add"].get("dataChange", True):
-                        adds.append(a["add"])
-                    elif "remove" in a and a["remove"].get("dataChange", True):
-                        removes.append(a["remove"])
-            if cdc:
-                entries = [(c, None) for c in cdc]
-            elif removes:
-                raise ValueError(
-                    f"Delta version {v} removes files without CDC capture "
-                    "(delta.enableChangeDataFeed was off); its row-level "
-                    "changes cannot stream — restart the feed after it"
-                )
-            else:
-                entries = [(a, "insert") for a in adds]
+            entries = _delta_cdf_commit_entries(self.table_path, v)
             for action, ctype in entries:
                 pv = _norm_pv(action.get("partitionValues"))
                 out.append(

@@ -1312,10 +1312,32 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
               {"delta.enableChangeDataFeed": "true"})
     with pytest.raises(NotImplementedError, match="ChangeDataFeed"):
         write_delta(df, p, mode="overwrite")
+    # ... but a blind APPEND to a CDF table is legal (the feed reads it
+    # as inserts) and minWriterVersion 4 alone must not reject it.
+    write_delta(df, p, mode="append")
 
+    # Writer-feature FLAGS whose demands the guard verifies concretely
+    # (invariants here: the schema carries none) pass; a feature this
+    # writer genuinely cannot honor refuses.
+    p = fresh("wfeat_ok", {"minReaderVersion": 1, "minWriterVersion": 7,
+                           "writerFeatures": ["invariants"]}, {})
+    write_delta(df, p, mode="append")
     p = fresh("wfeat", {"minReaderVersion": 1, "minWriterVersion": 7,
-                        "writerFeatures": ["invariants"]}, {})
+                        "writerFeatures": ["rowTracking"]}, {})
     with pytest.raises(NotImplementedError, match="writer features"):
+        write_delta(df, p, mode="append")
+
+    # CHECK constraints and generated columns refuse on ACTUAL usage.
+    p = fresh("chk", {"minReaderVersion": 1, "minWriterVersion": 3},
+              {"delta.constraints.positive": "id > 0"})
+    with pytest.raises(NotImplementedError, match="CHECK constraints"):
+        write_delta(df, p, mode="append")
+    p = fresh("gen", {"minReaderVersion": 1, "minWriterVersion": 4}, {},
+              schema_fields=[{"name": "id", "type": "long", "nullable": True,
+                              "metadata": {"delta.generationExpression": "1"}},
+                             {"name": "val", "type": "string", "nullable": True,
+                              "metadata": {}}])
+    with pytest.raises(NotImplementedError, match="generated"):
         write_delta(df, p, mode="append")
 
     p = fresh("inv", {"minReaderVersion": 1, "minWriterVersion": 2}, {},
@@ -1949,3 +1971,27 @@ def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
         f.write(json.dumps({"checkpointMetadata": {"version": 7}}) + "\n")
     with pytest.raises(ValueError, match="declares version"):
         read_delta(spark, path, version=1)
+
+
+def test_hudi_upsert_duplicate_keys_precombine_or_refuse(spark, tmp_path):
+    """In-batch duplicate keys: precombine_col picks the max (Hudi's
+    precombine-field semantics); without one the upsert refuses
+    loudly instead of writing both rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hdup")
+    write_hudi(
+        spark.createDataFrame([(1, "a", 0)], "id long, val string, ts long"),
+        path, record_key="id", mode="bulk_insert",
+    )
+    dup = spark.createDataFrame(
+        [(1, "older", 5), (1, "newer", 9), (2, "b", 1)],
+        "id long, val string, ts long",
+    )
+    with pytest.raises(ValueError, match="duplicate record_key"):
+        write_hudi(dup, path, record_key="id", mode="upsert")
+    write_hudi(dup, path, record_key="id", mode="upsert", precombine_col="ts")
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == {1: "newer", 2: "b"}
