@@ -2089,9 +2089,10 @@ def write_iceberg(
     the Hadoop-catalog convention (``version-hint.text`` updated
     last). Modes: ``error`` (create), ``append`` (carries the previous
     snapshot's manifests forward in the new manifest list),
-    ``overwrite`` (new manifest list references only the new manifest —
-    correct for snapshot reads; incremental readers should diff
-    snapshots). Returns the new snapshot id.
+    ``overwrite`` (the new manifest list holds the new manifest plus a
+    DELETE-MARKING manifest recording every removed file as a status-2
+    entry — snapshot readers skip them, incremental readers see
+    exactly what the snapshot removed). Returns the new snapshot id.
 
     Scale: Spark writes the data file-parallel; the commit is
     O(manifests) driver work, exactly Iceberg's own design. Appends to
@@ -2174,7 +2175,9 @@ def write_iceberg(
         prev_version = (
             int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
         )
-        if mode == "append" and meta.get("current-snapshot-id") not in (None, -1):
+        if meta.get("current-snapshot-id") not in (None, -1):
+            # append: carried forward in the new manifest list.
+            # overwrite: rewritten as a DELETE-MARKING manifest below.
             snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
             cur_snap = snaps.get(meta["current-snapshot-id"])
             if cur_snap and "manifest-list" in cur_snap:
@@ -2257,8 +2260,76 @@ def write_iceberg(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    deletion_mlist_recs = []
+    if mode == "overwrite" and prev_mlist_records:
+        # Spec fidelity for incremental readers: the files the
+        # overwrite logically removed are recorded as STATUS-2
+        # (deleted) entries in a delete-marking DATA manifest — a
+        # snapshot reader skips them (status 2), an incremental reader
+        # sees exactly what this snapshot removed.
+        from .avro_lite import read_avro_file
+
+        deleted_entries = []
+        del_rows = 0
+        for r in prev_mlist_records:
+            if r.get("content", 0) != 0:
+                continue  # old delete manifests: their targets die here
+            _s, prev_entries = read_avro_file(
+                _iceberg_local_path(r["manifest_path"], table_path)
+            )
+            for e in prev_entries:
+                if e.get("status", 1) == 2:
+                    continue
+                prev_seq = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else r.get("sequence_number", 0)
+                )
+                del_rows += int(e["data_file"].get("record_count", 0) or 0)
+                deleted_entries.append(
+                    {
+                        "status": 2,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": prev_seq,
+                        "file_sequence_number": prev_seq,
+                        "data_file": e["data_file"],
+                    }
+                )
+        if deleted_entries:
+            dmanifest_abs = os.path.join(mdir, f"{uuid.uuid4().hex}-d0.avro")
+            write_avro_file(
+                dmanifest_abs, entry_schema, deleted_entries,
+                extra_meta={
+                    "schema": json.dumps(ice_schema).encode("utf-8"),
+                    "schema-id": b"0",
+                    "partition-spec": json.dumps(spec_fields).encode("utf-8"),
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+            deletion_mlist_recs.append(
+                {
+                    "manifest_path": f"file://{dmanifest_abs}",
+                    "manifest_length": os.path.getsize(dmanifest_abs),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        int(e["sequence_number"]) for e in deleted_entries
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": 0,
+                    "deleted_files_count": len(deleted_entries),
+                    "added_rows_count": 0,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": del_rows,
+                }
+            )
+
     carried = []
-    for r in prev_mlist_records:
+    for r in [] if mode == "overwrite" else prev_mlist_records:
         carried.append(
             {
                 "manifest_path": r["manifest_path"],
@@ -2290,7 +2361,9 @@ def write_iceberg(
         )
     mlist_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     mlist_abs = os.path.join(mdir, mlist_name)
-    write_avro_file(mlist_abs, mlist_schema, [new_mlist_rec] + carried)
+    write_avro_file(
+        mlist_abs, mlist_schema, [new_mlist_rec] + deletion_mlist_recs + carried
+    )
 
     snap = {
         "snapshot-id": snapshot_id,

@@ -1995,3 +1995,38 @@ def test_hudi_upsert_duplicate_keys_precombine_or_refuse(spark, tmp_path):
     write_hudi(dup, path, record_key="id", mode="upsert", precombine_col="ts")
     got = {r.id: r.val for r in read_hudi(spark, path).collect()}
     assert got == {1: "newer", 2: "b"}
+
+
+def test_iceberg_overwrite_emits_delete_marking_manifest(spark, tmp_path):
+    """Overwrite snapshots record the removed files as STATUS-2
+    manifest entries (incremental-reader fidelity): decode the new
+    manifest list and assert the delete-marking manifest's shape;
+    snapshot reads still skip them."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "iow")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        path, mode="error",
+    )
+    write_iceberg(
+        spark.createDataFrame([(9, "z")], "id long, val string"),
+        path, mode="overwrite",
+    )
+    meta = json.load(open(os.path.join(path, "metadata", "v2.metadata.json")))
+    snap = meta["snapshots"][-1]
+    _s, mlist = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    dels = [r for r in mlist if r["deleted_files_count"] > 0]
+    assert len(dels) == 1
+    assert dels[0]["added_files_count"] == 0
+    assert dels[0]["deleted_rows_count"] == 2
+    _s, entries = read_avro_file(dels[0]["manifest_path"].replace("file://", ""))
+    assert {e["status"] for e in entries} == {2}
+    assert len(entries) >= 1
+    # Snapshot reads skip the status-2 entries.
+    assert _rows(read_iceberg(spark, path).select("id")) == [(9,)]
