@@ -141,11 +141,13 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
             "is allowed on this table"
         )
     cdf = conf.get("delta.enableChangeDataFeed", "false").lower() == "true"
-    if cdf and mode != "append":
+    # Appends read as inserts under CDF, and merge_delta stages real
+    # cdc capture — only blind overwrites would hole the feed.
+    if cdf and mode not in ("append", "merge"):
         raise NotImplementedError(
             "delta.enableChangeDataFeed=true demands cdc actions for "
-            "non-append commits, which this writer does not produce; "
-            "overwrite would leave an unreconstructable hole in the feed"
+            "non-append commits, which the overwrite path does not produce; "
+            "it would leave an unreconstructable hole in the feed"
         )
     # CHECK constraints live in table configuration (writer version 3).
     bad_constraints = [k for k in conf if k.startswith("delta.constraints.")]
@@ -1059,6 +1061,233 @@ def write_delta(
         }
     )
     log_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    return next_version
+
+
+# -- Delta Lake: keyed MERGE (upsert / delete) on a foreign table -----------
+
+
+def _delta_stage_cdc(
+    df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Stage CDF rows (business columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the cdc actions — the capture a
+    CDF-enabled table's readers treat as authoritative."""
+    staging = os.path.join(table_path, f".staging-cdc-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    cdcs: list[dict] = []
+    try:
+        for root, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for fname in files:
+                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                pv: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        pv[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
+                        )
+                final_rel = os.path.join(
+                    "_change_data",
+                    "" if rel_dir == "." else rel_dir,
+                    f"cdc-{uuid.uuid4().hex}.parquet",
+                )
+                final_abs = os.path.join(table_path, final_rel)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(os.path.join(root, fname), final_abs)
+                cdcs.append(
+                    {
+                        "path": urllib.parse.quote(final_rel.replace(os.sep, "/")),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(final_abs),
+                        "dataChange": False,
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return cdcs
+
+
+def merge_delta(
+    source: DataFrame,
+    table_path: str,
+    key: str,
+    mode: str = "upsert",
+) -> int:
+    """Keyed MERGE into a REAL Delta Lake table — the reference's own
+    Delta CDC apply (``src/delta/delta-cdc-load.py:122-145``: ``MERGE
+    ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+    *`` and the keyed ``DELETE``), jar-less:
+
+    - ``upsert``: latest-wins by ``key`` — files holding matched keys
+      are rewritten without those rows, and the whole source batch
+      writes fresh files; unmatched files are untouched (Delta's own
+      copy-on-write merge economics).
+    - ``delete``: drop the source's keys from the files holding them.
+
+    On a ``delta.enableChangeDataFeed=true`` table the commit also
+    stages authoritative cdc files (update_preimage/update_postimage/
+    insert/delete) under ``_change_data/`` — so this engine's own CDF
+    readers (batch X106, streaming X117) and any foreign CDF reader
+    reconstruct the merge row-level. Duplicate source keys refuse
+    loudly (the reference dedups with its latest-record window first,
+    exactly like ``pipeline.apply_cdc_batch``). Tables with deletion
+    vectors or non-hive layouts raise — rewrite those with their
+    native engine. Returns the committed version (or the current
+    version when the merge is a no-op)."""
+    if mode not in ("upsert", "delete"):
+        raise ValueError(f"mode must be upsert|delete, got {mode!r}")
+    spark = source.sparkSession
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "merge")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    cols = [f.name for f in schema.fields]
+    if key not in cols:
+        raise ValueError(f"key {key!r} is not a table column ({cols})")
+    if any(a.get("deletionVector") for a in state["files"].values()):
+        raise NotImplementedError(
+            "merge into a Delta table carrying deletion vectors is not "
+            "supported by the pure-Python writer"
+        )
+    adds = list(state["files"].items())
+    if adds and pcols and not _delta_hive_conventional(
+        [a for _p, a in adds], pcols
+    ):
+        raise NotImplementedError(
+            "merge requires a hive-conventional partition layout "
+            "(non-hive foreign layouts: use the table's native engine)"
+        )
+
+    if mode == "upsert":
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks table columns {missing}")
+        src = source.select(*cols)
+    else:
+        if key not in source.columns:
+            raise ValueError(f"delete source lacks the key column {key!r}")
+        src = source.select(key).distinct()
+    if mode == "upsert":
+        dup = src.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge source carries duplicate key {dup[0][key]!r}; "
+                "deduplicate first (latest-record window, as the reference "
+                "does)"
+            )
+
+    abs_by_log = {
+        os.path.abspath(os.path.join(table_path, urllib.parse.unquote(p))): p
+        for p, _a in adds
+    }
+    keys = F.broadcast(src.select(key).distinct())
+    affected: list[str] = []
+    if abs_by_log:
+        rdr = spark.read.schema(schema)
+        if pcols:
+            rdr = rdr.option("basePath", table_path)
+        scan = rdr.parquet(*abs_by_log).select(
+            *cols, _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
+        )
+        affected = [
+            r["__fp"]
+            for r in scan.join(keys, key, "left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        ]
+
+    survivors = None
+    old_matched = None
+    if affected:
+        rdr = spark.read.schema(schema)
+        if pcols:
+            rdr = rdr.option("basePath", table_path)
+        ascan = rdr.parquet(*sorted(affected)).select(*cols)
+        survivors = ascan.join(keys, key, "left_anti")
+        old_matched = ascan.join(keys, key, "left_semi")
+    elif mode == "delete":
+        return state["version"]  # nothing matched: no-op
+
+    if mode == "upsert":
+        new_df = survivors.unionByName(src) if survivors is not None else src
+    else:
+        new_df = survivors
+
+    actions: list[dict] = []
+    ts = int(time.time() * 1000)
+    for apath in sorted(affected):
+        actions.append(
+            {
+                "remove": {
+                    "path": abs_by_log[apath],
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    for a in _delta_stage_files(new_df.select(*cols), table_path, pcols):
+        actions.append({"add": a})
+
+    cdf = (
+        (meta.get("configuration") or {})
+        .get("delta.enableChangeDataFeed", "false")
+        .lower()
+        == "true"
+    )
+    if cdf:
+        ct = "_change_type"
+        if mode == "delete":
+            cdc_df = old_matched.withColumn(ct, F.lit("delete"))
+        elif old_matched is not None:
+            mk = F.broadcast(old_matched.select(key).distinct())
+            cdc_df = (
+                old_matched.withColumn(ct, F.lit("update_preimage"))
+                .unionByName(
+                    src.join(mk, key, "left_semi")
+                    .withColumn(ct, F.lit("update_postimage"))
+                )
+                .unionByName(
+                    src.join(mk, key, "left_anti").withColumn(ct, F.lit("insert"))
+                )
+            )
+        else:
+            cdc_df = src.withColumn(ct, F.lit("insert"))
+        for c in _delta_stage_cdc(cdc_df, table_path, pcols):
+            actions.append({"cdc": c})
+
+    if not actions:
+        return state["version"]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {"mode": mode, "key": key},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(
+        table_path, _DELTA_LOG, f"{next_version:020d}.json"
+    )
     fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
