@@ -381,7 +381,7 @@ class LakeSQL:
 
     _MERGE = re.compile(
         r"""\s*MERGE\s+INTO\s+
-            (?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+
+            (?P<target>delta\.`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+
             USING\s+(?:(?P<srcsub>\(.*\))|(?P<srcname>[\w.]+))
             (?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+
             ON\s+(?P<on>.+?)\s+
@@ -393,6 +393,67 @@ class LakeSQL:
             THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)""",
         re.IGNORECASE | re.DOTALL | re.VERBOSE,
     )
+
+    def _merge_foreign_delta(self, m: re.Match, path: str) -> MergeResult:
+        """The reference's literal Delta MERGE statements against a
+        REAL Delta table by path, through ``interop.merge_delta`` —
+        the ON key IS the merge key (no spec exists for a foreign
+        table); the strictly-newer guard needs a table spec and is
+        managed-table-only."""
+        from .formats.interop import merge_delta
+
+        talias = m.group("talias") or "t"
+        salias = m.group("salias") or "s"
+        if m.group("srcsub"):
+            src = self.spark.sql(self._rewrite(m.group("srcsub")[1:-1]))
+        else:
+            srcname = m.group("srcname")
+            im = self._ident.fullmatch(srcname)
+            if im:
+                src = self.spark.table(
+                    self._view_for(im.group("db"), im.group("tbl"), None, None)
+                )
+            else:
+                src = self.spark.table(srcname)
+        on = m.group("on").strip()
+        om = re.match(
+            rf"^\s*(?:{salias}\.(?P<a>\w+)\s*=\s*{talias}\.(?P<b>\w+)"
+            rf"|{talias}\.(?P<c>\w+)\s*=\s*{salias}\.(?P<d>\w+))\s*$",
+            on,
+            re.IGNORECASE,
+        )
+        if om is None:
+            raise ValueError(
+                f"unsupported ON condition {on!r}: expected "
+                f"{salias}.<key> = {talias}.<key>"
+            )
+        s_col = om.group("a") or om.group("d")
+        t_col = om.group("b") or om.group("c")
+        if s_col.lower() != t_col.lower():
+            raise ValueError(
+                f"MERGE ON must equate the same key column, got {on!r}"
+            )
+        clauses = []
+        for w in self._WHEN.finditer(m.group("clauses")):
+            if w.group("guard") is not None:
+                raise ValueError(
+                    "guards are not supported on foreign Delta MERGE "
+                    "targets (managed tables support the strictly-newer "
+                    "guard)"
+                )
+            action = re.sub(r"\s+", " ", w.group("action")).upper()
+            clauses.append((bool(w.group("not")), action))
+        actions = set(clauses)
+        if actions == {(False, "DELETE")}:
+            merge_delta(src.select(s_col), path, key=s_col, mode="delete")
+            return MergeResult(f"delta.`{path}`", "delete", src.count())
+        if actions == {(False, "UPDATE SET *"), (True, "INSERT *")}:
+            merge_delta(src, path, key=s_col, mode="upsert")
+            return MergeResult(f"delta.`{path}`", "upsert", src.count())
+        raise ValueError(
+            f"unsupported WHEN combination {sorted(actions)}; supported: "
+            "UPDATE SET * + INSERT * (upsert) or a single MATCHED DELETE"
+        )
 
     def _merge(self, text: str) -> MergeResult:
         m = self._MERGE.match(text)
@@ -406,11 +467,17 @@ class LakeSQL:
                 "  -- or: WHEN MATCHED THEN DELETE\n"
                 "(the reference's exact shapes, src/iceberg/iceberg-cdc-load.py:127-150)"
             )
-        # Target must be a managed-table identifier.
-        tparts = m.group("target").split(".")
+        # Target: a managed-table identifier, or a FOREIGN Delta table
+        # by path (the reference's delta-cdc-load.py MERGE, as text).
+        target = m.group("target")
+        fm = re.fullmatch(r"delta\.`([^`]+)`", target, re.IGNORECASE)
+        if fm is not None:
+            return self._merge_foreign_delta(m, fm.group(1))
+        tparts = target.split(".")
         if len(tparts) != 3 or tparts[0].lower() != self.name.lower():
             raise ValueError(
-                f"MERGE target must be {self.name}.<db>.<table>, got {m.group('target')!r}"
+                f"MERGE target must be {self.name}.<db>.<table> or "
+                f"delta.`/path`, got {target!r}"
             )
         _cat, db, tname = tparts
         spec = self.catalog.resolve_spec(db, tname)

@@ -318,3 +318,39 @@ def test_table_changes_by_path_sql(spark, tmp_path):
         f"SELECT count(*) AS n FROM table_changes_by_path('{path}', 1, 1)"
     ).collect()[0].n
     assert n == 1
+
+
+def test_merge_into_foreign_delta_by_path(spark, tmp_path):
+    """The reference's literal Delta MERGE statements run against a
+    REAL Delta table by path: MERGE INTO delta.`/p` ... UPDATE SET * /
+    INSERT * and the keyed DELETE, through interop.merge_delta."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    path = str(tmp_path / "fd")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        path, mode="error",
+    )
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "id long, val string"
+    ).createOrReplaceTempView("up_src")
+    r = sql.sql(f"""MERGE INTO delta.`{path}` t USING up_src s
+ON s.id = t.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *""")
+    assert r.action == "upsert"
+    got = {x.id: x.val for x in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("del_src")
+    r = sql.sql(f"""MERGE INTO delta.`{path}` t USING del_src s
+ON s.id = t.id
+WHEN MATCHED THEN DELETE""")
+    assert r.action == "delete"
+    assert {x.id for x in read_delta(spark, path).collect()} == {2, 3}
