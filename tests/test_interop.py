@@ -2115,3 +2115,57 @@ def test_reference_delta_cdc_pipeline_on_real_delta_table(spark, tmp_path):
     assert kinds.get("update_preimage", 0) == kinds.get("update_postimage", 0) > 0
     assert kinds.get("delete", 0) == dels.count()
     assert kinds.get("insert", 0) > 0
+
+
+def test_mirrors_are_incremental_and_noop_when_current(spark, tmp_path):
+    """r9 mirror economics: an unchanged source republishes NOTHING
+    (no new delta version / 'noop' instant), and a one-key change
+    lands as a MERGE commit (remove+add of affected files only), not
+    an overwrite of the world."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_latest_version,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        mirror_to_delta,
+        mirror_to_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("inc", "id", "cat", None, "proddb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
+    ))
+    dp, hp = str(tmp_path / "d"), str(tmp_path / "h")
+    v0 = mirror_to_delta(cat, spec, dp)
+    mirror_to_hudi(cat, spec, hp)
+
+    # Unchanged source: no new commits on either mirror.
+    assert mirror_to_delta(cat, spec, dp) == v0
+    assert _delta_latest_version(os.path.join(dp, "_delta_log")) == v0
+    assert mirror_to_hudi(cat, spec, hp) == "noop"
+
+    # One-key change: the delta mirror commit is a MERGE, and the
+    # untouched partition's data file survives by identity.
+    import glob as _glob
+
+    y_files_before = set(_glob.glob(os.path.join(dp, "cat=y", "*.parquet")))
+    tbl.merge_upsert(spark.createDataFrame(
+        [(1, "A2", "x")], "id long, val string, cat string"
+    ))
+    v1 = mirror_to_delta(cat, spec, dp)
+    assert v1 == v0 + 1
+    with open(os.path.join(dp, "_delta_log", f"{v1:020d}.json"),
+              encoding="utf-8") as f:
+        ops = [json.loads(x) for x in f if x.strip()]
+    ci = next(a["commitInfo"] for a in ops if "commitInfo" in a)
+    assert ci["operation"] == "MERGE"
+    assert set(_glob.glob(os.path.join(dp, "cat=y", "*.parquet"))) == y_files_before
+    got = {r.id: r.val for r in read_delta(spark, dp).collect()}
+    assert got == {1: "A2", 2: "b"}
+    # Hudi side applies the same one-key change incrementally.
+    assert mirror_to_hudi(cat, spec, hp) != "noop"
+    got_h = {r.id: r.val for r in read_hudi(spark, hp).collect()}
+    assert got_h == {1: "A2", 2: "b"}
