@@ -197,6 +197,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the recorded docs_dedup_clusters gate, commit 45ba3a5, and
 #     pinned by planted-recall pytest) rotates OUT, pytest-gated as
 #     ever.
+#   r9 late addition 3: game_user_cdc_e2e_delta (the reference's
+#     Delta job end-to-end on a REAL Delta table via merge_delta,
+#     same oracle as the managed e2e) registers in the TAIL this
+#     round — its oracle runs in pytest via test_oracle_parity and
+#     its state equality with the recorded game_user_cdc_e2e is
+#     pinned by test_reference_delta_cdc_pipeline_on_real_delta_table
+#     — and should rotate into a recorded slot in r10 (the
+#     emb_top_pairs pattern: registered first, recorded next round).
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -232,6 +240,7 @@ _DEMOTED_TAIL = [
     "q7_nation_volume",
     "q19_disjunctive_pred",
     "emb_lsh_pairs",
+    "game_user_cdc_e2e_delta",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2095,6 +2095,63 @@ def game_user_cdc_e2e_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# game_user_cdc_e2e_delta — the reference's ACTUAL Delta job on a REAL
+# Delta table (src/delta/delta-cdc-load.py): initial bulk load via
+# interop.write_delta, the demo CDC batch applied with
+# interop.merge_delta (keyed MERGE upsert + keyed DELETE after the
+# latest-record dedup), final state read back through the log-replay
+# reader. Same oracle as the managed-pipeline gate — the table FORMAT
+# must be analytically invisible to the reference's own job.
+# --------------------------------------------------------------------------
+
+
+def game_user_cdc_e2e_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from datetime import datetime, timezone
+
+    from ..formats.interop import merge_delta, read_delta, write_delta
+    from ..operators.cdc import (
+        cast_envelope_timestamp,
+        dedupe_latest,
+        with_audit_column,
+    )
+    from ..spec import OP_COL, TS_COL, GAME_SPECS_BY_NAME
+
+    _utc(spark)
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    path = tempfile.mkdtemp(prefix="tdl_e2e_delta_") + "/t"
+    initial = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{_DEMO_ROOT}/initial-load/game/{spec.table_name}"
+    ).withColumn("last_applied_date", F.lit(None).cast("timestamp"))
+    write_delta(initial, path, mode="error")
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{_DEMO_ROOT}/cdc-load/game/{spec.table_name}"
+    )
+    deduped = dedupe_latest(
+        cast_envelope_timestamp(batch), key=spec.primary_key, ts_col=TS_COL,
+        op_col=OP_COL,
+    )
+    clock = datetime(2023, 9, 1, tzinfo=timezone.utc)
+    ups = with_audit_column(
+        deduped.filter(F.col(OP_COL) != "D").drop(OP_COL, TS_COL), clock
+    )
+    cols = read_delta(spark, path).columns
+    merge_delta(ups.select(*cols), path, key=spec.primary_key, mode="upsert")
+    merge_delta(
+        deduped.filter(F.col(OP_COL) == "D").select(spec.primary_key),
+        path, key=spec.primary_key, mode="delete",
+    )
+    final = read_delta(spark, path)
+    return final.select(
+        "user_id", "email", "gender", "cur_level", "marketing_agreement", "dob",
+        F.coalesce(
+            F.col("last_applied_date").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("last_applied"),
+    )
+
+
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
     return f"""
 WITH init AS (
@@ -2476,6 +2533,14 @@ QUERIES: dict[str, QueryDef] = {
             headline=False,
         ),
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
+        # The reference's Delta job on a REAL Delta table (r9,
+        # interop.merge_delta) — same oracle as the managed e2e.
+        QueryDef(
+            "game_user_cdc_e2e_delta",
+            game_user_cdc_e2e_delta,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),
         QueryDef("docs_minhash_near_dup", docs_minhash_near_dup, DOCS_MINHASH_ORACLE),
