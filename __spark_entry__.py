@@ -197,14 +197,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the recorded docs_dedup_clusters gate, commit 45ba3a5, and
 #     pinned by planted-recall pytest) rotates OUT, pytest-gated as
 #     ever.
-#   r9 late addition 3: game_user_cdc_e2e_delta (the reference's
-#     Delta job end-to-end on a REAL Delta table via merge_delta,
-#     same oracle as the managed e2e) registers in the TAIL this
-#     round — its oracle runs in pytest via test_oracle_parity and
-#     its state equality with the recorded game_user_cdc_e2e is
-#     pinned by test_reference_delta_cdc_pipeline_on_real_delta_table
-#     — and should rotate into a recorded slot in r10 (the
-#     emb_top_pairs pattern: registered first, recorded next round).
+#   r9 late addition 3: game_user_cdc_e2e_{delta,iceberg,hudi} (the
+#     reference's THREE format jobs end-to-end on REAL foreign tables
+#     via merge_delta / merge_iceberg / write_hudi upsert+delete,
+#     same oracle as the managed e2e) register in the TAIL this round
+#     — their oracles run in pytest via test_oracle_parity every
+#     session, and the delta one's state equality with the recorded
+#     game_user_cdc_e2e is additionally pinned by
+#     test_reference_delta_cdc_pipeline_on_real_delta_table — and
+#     should rotate into recorded slots in r10 (the emb_top_pairs
+#     pattern: registered first, recorded next round).
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -241,6 +243,8 @@ _DEMOTED_TAIL = [
     "q19_disjunctive_pred",
     "emb_lsh_pairs",
     "game_user_cdc_e2e_delta",
+    "game_user_cdc_e2e_iceberg",
+    "game_user_cdc_e2e_hudi",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2657,6 +2657,292 @@ def write_iceberg(
     return snapshot_id
 
 
+def merge_iceberg(
+    source: DataFrame,
+    table_path: str,
+    key: str,
+    mode: str = "upsert",
+) -> int:
+    """Keyed MERGE into a REAL Apache Iceberg v2 table — the
+    reference's own Iceberg CDC apply (``src/iceberg/
+    iceberg-cdc-load.py:127-150``: ``MERGE ... WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` and the keyed
+    DELETE), jar-less and copy-on-write:
+
+    only data files holding matched keys rewrite; every previous
+    manifest that references an affected file is REWRITTEN with those
+    entries marked status-2 (deleted, original sequence numbers kept)
+    and the rest carried as status-0 (existing) — untouched manifests
+    carry forward verbatim in the new manifest list, so snapshot
+    readers see the merged state and incremental readers see exactly
+    which files this snapshot removed. Duplicate source keys refuse
+    loudly; merging onto a snapshot that carries row-level delete
+    files raises (compact those with their native engine first).
+    Returns the new snapshot id."""
+    if mode not in ("upsert", "delete"):
+        raise ValueError(f"mode must be upsert|delete, got {mode!r}")
+    spark = source.sparkSession
+    from .avro_lite import read_avro_file, write_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "merge into a format-version 1 Iceberg table is not supported"
+        )
+    schema = _iceberg_table_schema(meta)
+    if schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} carries no schema")
+    cols = [f.name for f in schema.fields]
+    if key not in cols:
+        raise ValueError(f"key {key!r} is not a table column ({cols})")
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    if any(f.get("transform") != "identity" for f in spec.get("fields", [])):
+        raise NotImplementedError(
+            "merge through a non-identity partition spec is not supported"
+        )
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    field_types = {}
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    for f in cur_schema["fields"]:
+        field_types[f["name"]] = f["type"]
+    part_fields = [
+        {**f, "ice_type": field_types[f["name"]]} for f in spec.get("fields", [])
+    ]
+    spec_fields = spec.get("fields", [])
+
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    mlist_path = _iceberg_local_path(snap["manifest-list"], table_path)
+    _s, mlist_records = read_avro_file(mlist_path)
+    if any(r.get("content", 0) != 0 for r in mlist_records):
+        raise NotImplementedError(
+            "merge onto a snapshot carrying row-level delete files is not "
+            "supported — compact it with the table's native engine first"
+        )
+
+    # Per-manifest live entries, with normalized data-file paths.
+    manifests: list[dict] = []
+    all_paths: list[str] = []
+    for r in mlist_records:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        paths = [
+            os.path.abspath(_iceberg_local_path(e["data_file"]["file_path"], table_path))
+            for e in live
+        ]
+        manifests.append({"rec": r, "entries": live, "paths": paths})
+        all_paths.extend(paths)
+
+    if mode == "upsert":
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks table columns {missing}")
+        src = source.select(*cols)
+        dup = src.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge source carries duplicate key {dup[0][key]!r}; "
+                "deduplicate first (latest-record window, as the reference "
+                "does)"
+            )
+    else:
+        if key not in source.columns:
+            raise ValueError(f"delete source lacks the key column {key!r}")
+        src = source.select(key).distinct()
+    keys = F.broadcast(src.select(key).distinct())
+
+    affected: set[str] = set()
+    if all_paths:
+        scan = spark.read.schema(schema).parquet(*all_paths).select(
+            *cols, _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
+        )
+        affected = {
+            r["__fp"]
+            for r in scan.join(keys, key, "left_semi")
+            .select("__fp").distinct().collect()
+        }
+
+    survivors = None
+    if affected:
+        ascan = spark.read.schema(schema).parquet(*sorted(affected)).select(*cols)
+        survivors = ascan.join(keys, key, "left_anti")
+    elif mode == "delete":
+        return sid  # nothing matched: no-op, current snapshot stands
+
+    if mode == "upsert":
+        new_df = survivors.unionByName(src) if survivors is not None else src
+    else:
+        new_df = survivors
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    mdir = os.path.join(table_path, "metadata")
+
+    staged = _iceberg_stage_files(new_df.select(*cols), table_path, partition_by)
+    added_rows = 0
+    add_entries = []
+    for apath, pv, nrec, size in staged:
+        added_rows += nrec
+        add_entries.append(
+            {
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": f"file://{apath}",
+                    "file_format": "PARQUET",
+                    "partition": {
+                        pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
+                        for pf in part_fields
+                    },
+                    "record_count": nrec, "file_size_in_bytes": size,
+                },
+            }
+        )
+    new_mlist: list[dict] = []
+    if add_entries:
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+        write_avro_file(
+            mpath, entry_schema, add_entries,
+            extra_meta={
+                "schema": json.dumps(cur_schema).encode("utf-8"),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode("utf-8"),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        new_mlist.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(add_entries),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        )
+    for mf in manifests:
+        touched = [p in affected for p in mf["paths"]]
+        if not any(touched):
+            new_mlist.append(mf["rec"])  # untouched: carried verbatim
+            continue
+        rewritten = []
+        n_exist = n_del = rows_exist = rows_del = 0
+        min_seq = seq
+        for e, is_aff in zip(mf["entries"], touched):
+            eseq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf["rec"].get("sequence_number", 0)
+            )
+            min_seq = min(min_seq, int(eseq))
+            nrec = int(e["data_file"].get("record_count", 0) or 0)
+            rewritten.append(
+                {
+                    "status": 2 if is_aff else 0,
+                    "snapshot_id": snapshot_id if is_aff else e.get("snapshot_id"),
+                    "sequence_number": eseq,
+                    "file_sequence_number": e.get("file_sequence_number", eseq),
+                    "data_file": e["data_file"],
+                }
+            )
+            if is_aff:
+                n_del += 1
+                rows_del += nrec
+            else:
+                n_exist += 1
+                rows_exist += nrec
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m1.avro")
+        write_avro_file(
+            mpath, entry_schema, rewritten,
+            extra_meta={
+                "schema": json.dumps(cur_schema).encode("utf-8"),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode("utf-8"),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        new_mlist.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": n_exist,
+                "deleted_files_count": n_del,
+                "added_rows_count": 0,
+                "existing_rows_count": rows_exist,
+                "deleted_rows_count": rows_del,
+            }
+        )
+
+    mlist_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    mlist_abs = os.path.join(mdir, mlist_name)
+    write_avro_file(mlist_abs, mlist_schema, new_mlist)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file://{mlist_abs}",
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(add_entries)),
+            "deleted-data-files": str(len(affected)),
+        },
+        "schema-id": 0,
+    }
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    prev_version = int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    return snapshot_id
+
+
 def read_external(spark: SparkSession, table_path: str) -> DataFrame:
     """Open a foreign table by SNIFFING its format markers — the
     one-call interop entry point (`_delta_log/` → Delta, `.hoodie/` →

@@ -2096,21 +2096,22 @@ def game_user_cdc_e2e_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# game_user_cdc_e2e_delta — the reference's ACTUAL Delta job on a REAL
-# Delta table (src/delta/delta-cdc-load.py): initial bulk load via
-# interop.write_delta, the demo CDC batch applied with
-# interop.merge_delta (keyed MERGE upsert + keyed DELETE after the
-# latest-record dedup), final state read back through the log-replay
-# reader. Same oracle as the managed-pipeline gate — the table FORMAT
-# must be analytically invisible to the reference's own job.
+# game_user_cdc_e2e_{delta,iceberg,hudi} — the reference's ACTUAL jobs
+# on REAL foreign tables: initial bulk load via write_{delta,iceberg,
+# hudi}, the demo CDC batch applied with the format's keyed MERGE
+# (merge_delta / merge_iceberg / write_hudi upsert+delete — the
+# operations src/{delta,iceberg,hudi}/*-cdc-load.py run through the
+# format jars), final state read back through the jar-less readers.
+# Same oracle as the managed-pipeline gate — the table FORMAT must be
+# analytically invisible to the reference's own job.
 # --------------------------------------------------------------------------
 
 
-def game_user_cdc_e2e_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
     import tempfile
     from datetime import datetime, timezone
 
-    from ..formats.interop import merge_delta, read_delta, write_delta
+    from ..formats import interop
     from ..operators.cdc import (
         cast_envelope_timestamp,
         dedupe_latest,
@@ -2120,11 +2121,10 @@ def game_user_cdc_e2e_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     spec = GAME_SPECS_BY_NAME["user_data"]
-    path = tempfile.mkdtemp(prefix="tdl_e2e_delta_") + "/t"
+    path = tempfile.mkdtemp(prefix=f"tdl_e2e_{fmt}_") + "/t"
     initial = spark.read.option("recursiveFileLookup", "true").parquet(
         f"{_DEMO_ROOT}/initial-load/game/{spec.table_name}"
     ).withColumn("last_applied_date", F.lit(None).cast("timestamp"))
-    write_delta(initial, path, mode="error")
 
     batch = spark.read.option("recursiveFileLookup", "true").parquet(
         f"{_DEMO_ROOT}/cdc-load/game/{spec.table_name}"
@@ -2137,19 +2137,50 @@ def game_user_cdc_e2e_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ups = with_audit_column(
         deduped.filter(F.col(OP_COL) != "D").drop(OP_COL, TS_COL), clock
     )
-    cols = read_delta(spark, path).columns
-    merge_delta(ups.select(*cols), path, key=spec.primary_key, mode="upsert")
-    merge_delta(
-        deduped.filter(F.col(OP_COL) == "D").select(spec.primary_key),
-        path, key=spec.primary_key, mode="delete",
-    )
-    final = read_delta(spark, path)
+    dels = deduped.filter(F.col(OP_COL) == "D")
+    cols = initial.columns
+    pk = spec.primary_key
+
+    if fmt == "delta":
+        interop.write_delta(initial, path, mode="error")
+        interop.merge_delta(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.merge_delta(dels.select(pk), path, key=pk, mode="delete")
+        final = interop.read_delta(spark, path)
+    elif fmt == "iceberg":
+        interop.write_iceberg(initial, path, mode="error")
+        interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.merge_iceberg(dels.select(pk), path, key=pk, mode="delete")
+        final = interop.read_iceberg(spark, path)
+    elif fmt == "hudi":
+        interop.write_hudi(initial, path, record_key=pk, mode="bulk_insert")
+        interop.write_hudi(ups.select(*cols), path, record_key=pk, mode="upsert")
+        del_rows = (
+            dels.drop(OP_COL, TS_COL)
+            .withColumn("last_applied_date", F.lit(None).cast("timestamp"))
+            .select(*cols)
+        )
+        interop.write_hudi(del_rows, path, record_key=pk, mode="delete")
+        final = interop.read_hudi(spark, path)
+    else:
+        raise ValueError(fmt)
     return final.select(
         "user_id", "email", "gender", "cur_level", "marketing_agreement", "dob",
         F.coalesce(
             F.col("last_applied_date").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("last_applied"),
     )
+
+
+def game_user_cdc_e2e_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "delta")
+
+
+def game_user_cdc_e2e_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg")
+
+
+def game_user_cdc_e2e_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "hudi")
 
 
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
@@ -2533,11 +2564,24 @@ QUERIES: dict[str, QueryDef] = {
             headline=False,
         ),
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
-        # The reference's Delta job on a REAL Delta table (r9,
-        # interop.merge_delta) — same oracle as the managed e2e.
+        # The reference's Delta/Iceberg/Hudi jobs on REAL foreign
+        # tables (r9: interop.merge_delta / merge_iceberg /
+        # write_hudi) — same oracle as the managed e2e.
         QueryDef(
             "game_user_cdc_e2e_delta",
             game_user_cdc_e2e_delta,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        QueryDef(
+            "game_user_cdc_e2e_iceberg",
+            game_user_cdc_e2e_iceberg,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        QueryDef(
+            "game_user_cdc_e2e_hudi",
+            game_user_cdc_e2e_hudi,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
