@@ -113,14 +113,24 @@ def test_release_similarity_cache_frees_disk_persists(spark):
     )
 
     release_similarity_cache()  # clean slate from earlier tests
-    jsc = spark.sparkContext._jsc.sc()
-    baseline = jsc.getPersistentRDDs().size()
+
+    # Compare persistent-RDD ID SETS, not global counts: other suites'
+    # localCheckpoint frames in this shared session get unpersisted
+    # ASYNCHRONOUSLY by the ContextCleaner whenever their Python refs
+    # are GC'd, so a count captured here can legitimately shrink
+    # underneath an equality assert (observed flake, full-suite order).
+    def persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    baseline = persistent_ids()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     pairs = minhash_near_dup_pairs(docs, threshold=0.8, materialize="disk")
     assert pairs.count() > 0
-    assert jsc.getPersistentRDDs().size() >= baseline + 2  # shingles + buckets
+    pinned = persistent_ids() - baseline
+    assert len(pinned) >= 2  # shingles + buckets
     assert release_similarity_cache() >= 2
-    assert jsc.getPersistentRDDs().size() == baseline
+    assert not (persistent_ids() & pinned)  # OUR pins are gone
     # The returned frame stays valid: lineage was kept in disk mode.
     assert pairs.count() > 0
 
