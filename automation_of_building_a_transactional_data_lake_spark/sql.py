@@ -381,7 +381,8 @@ class LakeSQL:
 
     _MERGE = re.compile(
         r"""\s*MERGE\s+INTO\s+
-            (?P<target>delta\.`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+
+            (?P<target>(?:delta|iceberg|hudi)\.`[^`]+`|[\w.]+)
+            (?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+
             USING\s+(?:(?P<srcsub>\(.*\))|(?P<srcname>[\w.]+))
             (?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+
             ON\s+(?P<on>.+?)\s+
@@ -394,13 +395,14 @@ class LakeSQL:
         re.IGNORECASE | re.DOTALL | re.VERBOSE,
     )
 
-    def _merge_foreign_delta(self, m: re.Match, path: str) -> MergeResult:
-        """The reference's literal Delta MERGE statements against a
-        REAL Delta table by path, through ``interop.merge_delta`` —
-        the ON key IS the merge key (no spec exists for a foreign
-        table); the strictly-newer guard needs a table spec and is
-        managed-table-only."""
-        from .formats.interop import merge_delta
+    def _merge_foreign(self, m: re.Match, fmt: str, path: str) -> MergeResult:
+        """The reference's literal MERGE statements against REAL
+        foreign tables by path — `delta`/`iceberg` through
+        ``interop.merge_delta``/``merge_iceberg``, `hudi` through the
+        keyed ``write_hudi`` upsert/delete. The ON key IS the merge
+        key (no spec exists for a foreign table); the strictly-newer
+        guard needs a table spec and is managed-table-only."""
+        from .formats.interop import merge_delta, merge_iceberg, write_hudi
 
         talias = m.group("talias") or "t"
         salias = m.group("salias") or "s"
@@ -437,19 +439,41 @@ class LakeSQL:
         for w in self._WHEN.finditer(m.group("clauses")):
             if w.group("guard") is not None:
                 raise ValueError(
-                    "guards are not supported on foreign Delta MERGE "
-                    "targets (managed tables support the strictly-newer "
-                    "guard)"
+                    "guards are not supported on foreign MERGE targets "
+                    "(managed tables support the strictly-newer guard)"
                 )
             action = re.sub(r"\s+", " ", w.group("action")).upper()
             clauses.append((bool(w.group("not")), action))
         actions = set(clauses)
+
+        def _apply(mode: str, frame) -> None:
+            if fmt == "delta":
+                merge_delta(frame, path, key=s_col, mode=mode)
+            elif fmt == "iceberg":
+                merge_iceberg(frame, path, key=s_col, mode=mode)
+            else:  # hudi: the keyed writer IS the merge surface
+                write_hudi(
+                    frame, path, record_key=s_col,
+                    mode="upsert" if mode == "upsert" else "delete",
+                )
+
         if actions == {(False, "DELETE")}:
-            merge_delta(src.select(s_col), path, key=s_col, mode="delete")
-            return MergeResult(f"delta.`{path}`", "delete", src.count())
+            if fmt == "hudi":
+                # write_hudi delete takes full rows; keys suffice for
+                # group targeting — pad via the table's own rows.
+                from .formats.interop import read_hudi
+
+                rows = read_hudi(self.spark, path).join(
+                    src.select(s_col), s_col, "left_semi"
+                )
+                if rows.limit(1).count():
+                    _apply("delete", rows)
+            else:
+                _apply("delete", src.select(s_col))
+            return MergeResult(f"{fmt}.`{path}`", "delete", src.count())
         if actions == {(False, "UPDATE SET *"), (True, "INSERT *")}:
-            merge_delta(src, path, key=s_col, mode="upsert")
-            return MergeResult(f"delta.`{path}`", "upsert", src.count())
+            _apply("upsert", src)
+            return MergeResult(f"{fmt}.`{path}`", "upsert", src.count())
         raise ValueError(
             f"unsupported WHEN combination {sorted(actions)}; supported: "
             "UPDATE SET * + INSERT * (upsert) or a single MATCHED DELETE"
@@ -467,17 +491,20 @@ class LakeSQL:
                 "  -- or: WHEN MATCHED THEN DELETE\n"
                 "(the reference's exact shapes, src/iceberg/iceberg-cdc-load.py:127-150)"
             )
-        # Target: a managed-table identifier, or a FOREIGN Delta table
-        # by path (the reference's delta-cdc-load.py MERGE, as text).
+        # Target: a managed-table identifier, or a FOREIGN table by
+        # path (the reference's actual per-format MERGE jobs as text:
+        # delta-cdc-load.py / iceberg-cdc-load.py / hudi-cdc-load.py).
         target = m.group("target")
-        fm = re.fullmatch(r"delta\.`([^`]+)`", target, re.IGNORECASE)
+        fm = re.fullmatch(
+            r"(delta|iceberg|hudi)\.`([^`]+)`", target, re.IGNORECASE
+        )
         if fm is not None:
-            return self._merge_foreign_delta(m, fm.group(1))
+            return self._merge_foreign(m, fm.group(1).lower(), fm.group(2))
         tparts = target.split(".")
         if len(tparts) != 3 or tparts[0].lower() != self.name.lower():
             raise ValueError(
                 f"MERGE target must be {self.name}.<db>.<table> or "
-                f"delta.`/path`, got {target!r}"
+                f"delta|iceberg|hudi.`/path`, got {target!r}"
             )
         _cat, db, tname = tparts
         spec = self.catalog.resolve_spec(db, tname)

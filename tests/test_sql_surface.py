@@ -354,3 +354,49 @@ ON s.id = t.id
 WHEN MATCHED THEN DELETE""")
     assert r.action == "delete"
     assert {x.id for x in read_delta(spark, path).collect()} == {2, 3}
+
+
+def test_merge_into_foreign_iceberg_and_hudi_by_path(spark, tmp_path):
+    """The reference's literal MERGE statements against real Iceberg
+    and Hudi tables by path (iceberg-cdc-load.py's exact SQL shape)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        read_iceberg,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "id long, val string"
+    ).createOrReplaceTempView("m_src")
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("m_del")
+
+    ip = str(tmp_path / "ice")
+    write_iceberg(df, ip, mode="error")
+    sql.sql(f"""MERGE INTO iceberg.`{ip}` t USING m_src s
+ON s.id = t.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *""")
+    sql.sql(f"""MERGE INTO iceberg.`{ip}` t USING m_del s
+ON s.id = t.id
+WHEN MATCHED THEN DELETE""")
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {
+        2: "B2", 3: "c"
+    }
+
+    hp = str(tmp_path / "hud")
+    write_hudi(df, hp, record_key="id", mode="bulk_insert")
+    sql.sql(f"""MERGE INTO hudi.`{hp}` t USING m_src s
+ON s.id = t.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *""")
+    sql.sql(f"""MERGE INTO hudi.`{hp}` t USING m_del s
+ON s.id = t.id
+WHEN MATCHED THEN DELETE""")
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {
+        2: "B2", 3: "c"
+    }
