@@ -207,6 +207,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     test_reference_delta_cdc_pipeline_on_real_delta_table — and
 #     should rotate into recorded slots in r10 (the emb_top_pairs
 #     pattern: registered first, recorded next round).
+#   r10 rotation (this round, closing the r9 commitment above):
+#     game_user_cdc_e2e_{delta,iceberg,hudi} rotate IN to recorded
+#     slots — the reference's three CDC jobs (src/delta/delta-cdc-
+#     load.py:118-141, src/iceberg/iceberg-cdc-load.py:127-150,
+#     src/hudi/hudi-cdc-load.py:115-209) end-to-end on REAL foreign
+#     tables. Rotating OUT, per protocol (each green in r9 and
+#     family-held by the staying e2e twin in the SAME format, which
+#     exercises a strict superset of the interop machinery:
+#     write_* + merge_*/upsert/delete + read_*):
+#     q1_via_delta_interop, q1_via_iceberg_interop,
+#     q1_via_hudi_interop. All three stay oracle-gated in pytest via
+#     test_oracle_parity, as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -242,9 +254,9 @@ _DEMOTED_TAIL = [
     "q7_nation_volume",
     "q19_disjunctive_pred",
     "emb_lsh_pairs",
-    "game_user_cdc_e2e_delta",
-    "game_user_cdc_e2e_iceberg",
-    "game_user_cdc_e2e_hudi",
+    "q1_via_delta_interop",
+    "q1_via_iceberg_interop",
+    "q1_via_hudi_interop",
 ]
 
 _DRIVER_SLOTS = 50

@@ -388,9 +388,15 @@ def _mirror_delta_rows(catalog: Catalog, spec: TableSpec, mirror_path: str):
                 spec.primary_key
             )
             return ups, dels, head
-        except Exception:  # noqa: BLE001 — vacuumed window: full republish
-            pass
-    return catalog.read_table(spec), "full", head
+        except (FileNotFoundError, KeyError) as exc:
+            # Only the vacuumed-window failures (version-resolution
+            # errors from read(version=prev)) may fall back to a full
+            # republish; anything else (wrong primary_key, schema
+            # drift) must SURFACE, not masquerade as an O(table)
+            # rewrite every maintenance cycle (round-9 advice #3). The
+            # reason rides in the sentinel for the caller's telemetry.
+            return catalog.read_table(spec), f"full:{type(exc).__name__}", head
+    return catalog.read_table(spec), "full:first_diffable_publish", head
 
 
 def mirror_to_hudi(

@@ -460,16 +460,26 @@ class LakeSQL:
         if actions == {(False, "DELETE")}:
             if fmt == "hudi":
                 # write_hudi delete takes full rows; keys suffice for
-                # group targeting — pad via the table's own rows.
+                # group targeting — pad via the table's own rows. Pin
+                # the matched frame ONCE: its count is both the
+                # emptiness gate and the honest delete count (r9
+                # verdict #4: this path used to run three actions and
+                # report src.count() even when fewer keys matched).
+                from pyspark import StorageLevel
+
                 from .formats.interop import read_hudi
 
                 rows = read_hudi(self.spark, path).join(
                     src.select(s_col), s_col, "left_semi"
-                )
-                if rows.limit(1).count():
-                    _apply("delete", rows)
-            else:
-                _apply("delete", src.select(s_col))
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    n = rows.count()
+                    if n:
+                        _apply("delete", rows)
+                finally:
+                    rows.unpersist()
+                return MergeResult(f"{fmt}.`{path}`", "delete", n)
+            _apply("delete", src.select(s_col))
             return MergeResult(f"{fmt}.`{path}`", "delete", src.count())
         if actions == {(False, "UPDATE SET *"), (True, "INSERT *")}:
             _apply("upsert", src)

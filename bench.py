@@ -116,11 +116,14 @@ def main() -> None:
     # separators + a hard budget keep the artifact whole; growth past
     # the budget must force an explicit headline re-decision (mark a
     # subsumed query headline=False), never a silently clipped record.
-    assert len(line) <= 1950, (
-        f"bench JSON line is {len(line)} chars; the driver's stdout-tail "
-        "capture holds 2000 — demote subsumed queries from headline "
-        "(QueryDef headline=False) to shrink it"
-    )
+    # Explicit raise, not assert: asserts vanish under `python -O`,
+    # which would silently re-open the truncation this guards against.
+    if len(line) > 1950:
+        raise RuntimeError(
+            f"bench JSON line is {len(line)} chars; the driver's stdout-tail "
+            "capture holds 2000 — demote subsumed queries from headline "
+            "(QueryDef headline=False) to shrink it"
+        )
     print(line)
     spark.stop()
 

