@@ -219,6 +219,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q1_via_delta_interop, q1_via_iceberg_interop,
 #     q1_via_hudi_interop. All three stay oracle-gated in pytest via
 #     test_oracle_parity, as ever.
+#   r10 addition: game_user_cdc_e2e_via_changes (the change-feed
+#     family's first driver gate, r9 verdict missing #5 — final state
+#     reconstructed purely from read_delta_changes on a CDF-enabled
+#     real Delta table, same oracle as the managed e2e) takes a
+#     recorded slot; game_user_cdc_e2e_sqltext (green r9; a STRICT
+#     TWIN of the staying game_user_cdc_e2e — same merges, same
+#     oracle, same final state, differing only in driving the merges
+#     as SQL text, a surface test_sql_surface pins) rotates OUT,
+#     pytest-gated as ever.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -257,6 +266,7 @@ _DEMOTED_TAIL = [
     "q1_via_delta_interop",
     "q1_via_iceberg_interop",
     "q1_via_hudi_interop",
+    "game_user_cdc_e2e_sqltext",
 ]
 
 _DRIVER_SLOTS = 50

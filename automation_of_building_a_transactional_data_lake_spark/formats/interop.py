@@ -1050,6 +1050,7 @@ def write_delta(
     table_path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Write a REAL Delta Lake table any Delta reader can open: parquet
     data + a spec-conformant transaction-log commit (protocol 1/2,
@@ -1057,6 +1058,10 @@ def write_delta(
     serialization — add actions with partitionValues/size, remove
     actions on overwrite). Modes: ``error`` (create; fail if exists),
     ``overwrite`` (logical replace via remove+add), ``append``.
+    ``configuration`` sets table properties at CREATION (e.g.
+    ``{"delta.enableChangeDataFeed": "true"}`` — which also raises the
+    commit's writer protocol to 4 per spec); altering an existing
+    table's properties is refused.
     Single-writer: the commit is an O_EXCL create of the next version's
     log file, so two engine-native writers cannot clobber each other,
     but no conflict resolution is attempted against foreign writers."""
@@ -1071,8 +1076,19 @@ def write_delta(
     actions: list[dict] = []
     next_version = 0
     if not exists:
+        conf = dict(configuration or {})
+        cdf_on = conf.get("delta.enableChangeDataFeed", "false").lower() == "true"
         os.makedirs(log_dir, exist_ok=True)
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # CDF tables demand writer protocol 4 (spec): every
+                    # later writer must know to capture change data.
+                    "minWriterVersion": 4 if cdf_on else 2,
+                }
+            }
+        )
         actions.append(
             {
                 "metaData": {
@@ -1080,12 +1096,17 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": conf,
                     "createdTime": int(time.time() * 1000),
                 }
             }
         )
     else:
+        if configuration:
+            raise ValueError(
+                "configuration= applies at table CREATION only; this "
+                "writer does not alter an existing table's properties"
+            )
         state = _delta_replay(table_path, None)
         _delta_guard_writer(state["protocol"], state["metaData"], mode)
         next_version = state["version"] + 1

@@ -9,10 +9,12 @@ data once per batch, never per row.
 Two decode tiers exist:
 
 - **Real, dependency-free header decoders** (``decoder="bmp"`` /
-  ``"wav"`` / ``"auto"`` in ``decode_media``): pure-python parsers for
-  the BMP DIB header (width/height/bit depth) and the RIFF/WAVE chunk
-  list (channels/sample rate/bit depth/duration) — genuine metadata
-  decode with no codec libraries, gated by golden-bytes tests.
+  ``"wav"`` / ``"jpeg"`` / ``"png"`` / ``"auto"`` in ``decode_media``):
+  pure-python parsers for the BMP DIB header (width/height/bit depth),
+  the RIFF/WAVE chunk list (channels/sample rate/bit depth/duration),
+  the JPEG SOF frame header (marker-segment walk), and the PNG IHDR
+  chunk — genuine metadata decode with no codec libraries, gated by
+  golden-bytes tests.
 - **Stubbed sample decoders**: full pixel/audio-sample decode needs
   codec libraries absent from this environment, so ``decoder="pil"`` /
   ``"ffmpeg"`` raise ``NotImplementedError`` with a clear message;
@@ -69,7 +71,7 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-Decoder = Literal["fake", "bmp", "wav", "auto", "pil", "ffmpeg"]
+Decoder = Literal["fake", "bmp", "wav", "jpeg", "png", "auto", "pil", "ffmpeg"]
 
 # decode_media output: detected container metadata per item. Image
 # fields null for audio and vice versa; ALL parse fields null when the
@@ -154,6 +156,84 @@ def parse_wav_header(payload: bytes | None) -> dict | None:
     return out
 
 
+def parse_jpeg_header(payload: bytes | None) -> dict | None:
+    """Real, dependency-free JPEG decode of the metadata tier: walk the
+    marker segments from SOI to the first SOF0-SOF15 frame header
+    (skipping the non-frame markers that share the 0xC0 block: DHT C4,
+    JPG C8, DAC CC) and read precision / height / width / component
+    count. No entropy-coded data is touched — the per-item cost is the
+    header walk, same tier as BMP/WAV. Returns None for non-JPEG or
+    truncated payloads (schema-stable over a dirty crawl)."""
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    n = len(payload)
+    while off + 4 <= n:
+        if payload[off] != 0xFF:
+            return None  # lost marker sync: not a well-formed JPEG
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2  # standalone markers carry no length
+            continue
+        if off + 4 > n:
+            return None
+        seg_len = struct.unpack_from(">H", payload, off + 2)[0]
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if off + 2 + 8 > n:
+                return None
+            bits, h, w, comps = struct.unpack_from(">BHHB", payload, off + 4)
+            if w == 0 or h == 0:
+                return None
+            return {
+                "format": "jpeg",
+                "width": int(w),
+                "height": int(h),
+                "n_channels": int(comps),
+                "bits_per_sample": int(bits),
+            }
+        if marker == 0xDA:  # start of scan: entropy data, no SOF found
+            return None
+        off += 2 + seg_len
+    return None
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# IHDR color type → channel count (greyscale, rgb, palette, grey+alpha,
+# rgba), per the PNG spec's IHDR table.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png_header(payload: bytes | None) -> dict | None:
+    """Real, dependency-free PNG decode of the metadata tier: the IHDR
+    chunk (mandatory first chunk after the 8-byte signature) carries
+    width / height / bit depth / color type. Returns None for non-PNG
+    or truncated payloads."""
+    import struct
+
+    if payload is None or len(payload) < 8 + 25 or payload[:8] != _PNG_MAGIC:
+        return None
+    length, ctype = struct.unpack_from(">I4s", payload, 8)
+    if ctype != b"IHDR" or length != 13:
+        return None
+    w, h, depth, color = struct.unpack_from(">IIBB", payload, 16)
+    if w == 0 or h == 0 or color not in _PNG_CHANNELS:
+        return None
+    return {
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": _PNG_CHANNELS[color],
+        "bits_per_sample": int(depth),
+    }
+
+
 def _parse_fake(payload: bytes | None) -> dict | None:
     """Deterministic pseudo-decode twin: stable fields derived from the
     byte length alone, so tests of the dataflow never depend on codecs."""
@@ -164,7 +244,12 @@ def _parse_fake(payload: bytes | None) -> dict | None:
 
 
 def _parse_auto(payload: bytes | None) -> dict | None:
-    return parse_bmp_header(payload) or parse_wav_header(payload)
+    return (
+        parse_bmp_header(payload)
+        or parse_wav_header(payload)
+        or parse_png_header(payload)
+        or parse_jpeg_header(payload)
+    )
 
 
 def pillow_available() -> bool:
@@ -205,7 +290,14 @@ def parse_pil_header(payload: bytes | None) -> dict | None:
         return None
 
 
-_DECODERS = {"fake": _parse_fake, "bmp": parse_bmp_header, "wav": parse_wav_header, "auto": _parse_auto}
+_DECODERS = {
+    "fake": _parse_fake,
+    "bmp": parse_bmp_header,
+    "wav": parse_wav_header,
+    "jpeg": parse_jpeg_header,
+    "png": parse_png_header,
+    "auto": _parse_auto,
+}
 if pillow_available():
     _DECODERS["pil"] = parse_pil_header
 

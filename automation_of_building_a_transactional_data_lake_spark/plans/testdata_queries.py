@@ -2183,6 +2183,77 @@ def game_user_cdc_e2e_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "hudi")
 
 
+# --------------------------------------------------------------------------
+# game_user_cdc_e2e_via_changes — the change-feed family's CORRECTNESS
+# gate (round-9 verdict missing #5): the SAME reference Delta CDC job,
+# on a CDF-enabled REAL Delta table, but the FINAL STATE is
+# reconstructed purely from read_delta_changes (X106) — the blind
+# create read as inserts, the merges from their authoritative
+# _change_data capture. If the feed's rows fold back into exactly the
+# table the merges produced, the feed is row-level faithful; the
+# DuckDB oracle states that final table (same as game_user_cdc_e2e).
+# --------------------------------------------------------------------------
+
+
+def game_user_cdc_e2e_via_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from datetime import datetime, timezone
+
+    from pyspark.sql.window import Window
+
+    from ..formats import interop
+    from ..operators.cdc import (
+        cast_envelope_timestamp,
+        dedupe_latest,
+        with_audit_column,
+    )
+    from ..spec import OP_COL, TS_COL, GAME_SPECS_BY_NAME
+
+    _utc(spark)
+    spec = GAME_SPECS_BY_NAME["user_data"]
+    path = tempfile.mkdtemp(prefix="tdl_e2e_cdf_") + "/t"
+    initial = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{_DEMO_ROOT}/initial-load/game/{spec.table_name}"
+    ).withColumn("last_applied_date", F.lit(None).cast("timestamp"))
+    interop.write_delta(
+        initial, path, mode="error",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{_DEMO_ROOT}/cdc-load/game/{spec.table_name}"
+    )
+    deduped = dedupe_latest(
+        cast_envelope_timestamp(batch), key=spec.primary_key, ts_col=TS_COL,
+        op_col=OP_COL,
+    )
+    clock = datetime(2023, 9, 1, tzinfo=timezone.utc)
+    cols = initial.columns
+    pk = spec.primary_key
+    ups = with_audit_column(
+        deduped.filter(F.col(OP_COL) != "D").drop(OP_COL, TS_COL), clock
+    ).select(*cols)
+    dels = deduped.filter(F.col(OP_COL) == "D").select(pk)
+    interop.merge_delta(ups, path, key=pk, mode="upsert")
+    interop.merge_delta(dels, path, key=pk, mode="delete")
+
+    # Reconstruct from the feed alone: latest non-preimage change per
+    # key wins; a key whose latest change is a delete is gone.
+    ch = interop.read_delta_changes(spark, path, 0)
+    w = Window.partitionBy(pk).orderBy(F.col("_commit_version").desc())
+    final = (
+        ch.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("_change_type") != "delete"))
+    )
+    return final.select(
+        "user_id", "email", "gender", "cur_level", "marketing_agreement", "dob",
+        F.coalesce(
+            F.col("last_applied_date").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("last_applied"),
+    )
+
+
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
     return f"""
 WITH init AS (
@@ -2582,6 +2653,14 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_hudi",
             game_user_cdc_e2e_hudi,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # Change-feed family gate (X106/X87): final state rebuilt from
+        # read_delta_changes alone must equal the merge outcome.
+        QueryDef(
+            "game_user_cdc_e2e_via_changes",
+            game_user_cdc_e2e_via_changes,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
