@@ -256,7 +256,12 @@ def cdc_load_all(
     return [cdc_load(spark, catalog, s, raw_root, clock) for s in specs]
 
 
-def mirror_to_delta(catalog: Catalog, spec: TableSpec, delta_path: str) -> int:
+def mirror_to_delta(
+    catalog: Catalog,
+    spec: TableSpec,
+    delta_path: str,
+    telemetry: dict | None = None,
+) -> int:
     """Publish the table's committed snapshot as a REAL Delta Lake
     table for external consumers — the engine-native upgrade of the
     reference's Redshift symlink-manifest flow
@@ -297,6 +302,11 @@ def mirror_to_delta(catalog: Catalog, spec: TableSpec, delta_path: str) -> int:
     if ups is None:
         return _delta_latest_version(log_dir)  # already current
     if isinstance(dels, str):  # full republish fallback
+        if telemetry is not None:
+            # Surface WHY the expensive O(table) path ran (r9 advice
+            # #3): a persistent non-vacuum cause must be visible, not
+            # masquerade as routine maintenance cost.
+            telemetry["delta_mirror_fallback"] = dels
         v = write_delta(ups, delta_path, mode="overwrite")
     else:
         v = _delta_latest_version(log_dir)
@@ -400,7 +410,10 @@ def _mirror_delta_rows(catalog: Catalog, spec: TableSpec, mirror_path: str):
 
 
 def mirror_to_hudi(
-    catalog: Catalog, spec: TableSpec, hudi_path: str
+    catalog: Catalog,
+    spec: TableSpec,
+    hudi_path: str,
+    telemetry: dict | None = None,
 ) -> str:
     """The Hudi twin: a genuinely INCREMENTAL mirror — first publish
     bulk-inserts; later publishes diff the source's snapshots (X36)
@@ -434,6 +447,8 @@ def mirror_to_hudi(
         return "noop"
     spark = catalog.spark
     if isinstance(dels, str):  # full republish fallback
+        if telemetry is not None:
+            telemetry["hudi_mirror_fallback"] = dels
         df = ups
         instant = write_hudi(
             df, hudi_path, record_key=key, mode="upsert", partition_by=pkeys
@@ -530,7 +545,9 @@ def maintain_all(
         telemetry = {"removed_dirs": len(removed)}
         mirror = (delta_mirrors or {}).get(spec.table_name)
         if mirror:
-            telemetry["delta_mirror_version"] = mirror_to_delta(catalog, spec, mirror)
+            telemetry["delta_mirror_version"] = mirror_to_delta(
+                catalog, spec, mirror, telemetry=telemetry
+            )
         imirror = (iceberg_mirrors or {}).get(spec.table_name)
         if imirror:
             telemetry["iceberg_mirror_snapshot"] = mirror_to_iceberg(
@@ -539,7 +556,7 @@ def maintain_all(
         hmirror = (hudi_mirrors or {}).get(spec.table_name)
         if hmirror:
             telemetry["hudi_mirror_instant"] = mirror_to_hudi(
-                catalog, spec, hmirror
+                catalog, spec, hmirror, telemetry=telemetry
             )
         reports.append(
             LoadReport(spec.table_name, "maintained", telemetry=telemetry)

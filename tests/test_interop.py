@@ -2583,3 +2583,37 @@ def test_merge_iceberg_compacts_delete_carrying_snapshot(spark, tmp_path):
     assert _rows(read_iceberg(spark, root).select("id", "val")) == [
         (2, "B2"), (9, "new"),
     ]
+
+
+def test_mirror_fallback_reason_reaches_telemetry(spark, tmp_path):
+    """r9 advice #3: when the incremental mirror diff cannot run and
+    the O(table) full republish happens, the REASON rides into the
+    caller's telemetry instead of vanishing — a persistent non-vacuum
+    cause must be visible, not masquerade as routine cost."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        _MIRROR_STATE,
+        mirror_to_delta,
+        mirror_to_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("fbk", "id", None, None, "proddb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame([(1, "a")], "id long, val string"))
+    dp, hp = str(tmp_path / "d"), str(tmp_path / "h")
+    mirror_to_delta(cat, spec, dp)
+    mirror_to_hudi(cat, spec, hp)
+    tbl.merge_upsert(spark.createDataFrame([(2, "b")], "id long, val string"))
+    # Losing the mirror state forces the non-diffable full republish.
+    os.unlink(os.path.join(dp, _MIRROR_STATE))
+    os.unlink(os.path.join(hp, _MIRROR_STATE))
+    t: dict = {}
+    mirror_to_delta(cat, spec, dp, telemetry=t)
+    mirror_to_hudi(cat, spec, hp, telemetry=t)
+    assert t["delta_mirror_fallback"] == "full:first_diffable_publish"
+    assert t["hudi_mirror_fallback"] == "full:first_diffable_publish"
+    # The republished mirrors are still exactly the table.
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "a", 2: "b"}
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {1: "a", 2: "b"}
