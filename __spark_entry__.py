@@ -228,6 +228,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     oracle, same final state, differing only in driving the merges
 #     as SQL text, a surface test_sql_surface pins) rotates OUT,
 #     pytest-gated as ever.
+#   r10 late addition: game_item_cdc_e2e_via_changes (the ENGINE diff
+#     X36 — the source of every incremental mirror — folded onto v0
+#     must equal head, on the PARTITIONED item table) registers in
+#     the TAIL this round (the emb_top_pairs pattern: registered
+#     first, its oracle runs in pytest via test_oracle_parity every
+#     session; rotate into a recorded slot in r11).
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -267,6 +273,7 @@ _DEMOTED_TAIL = [
     "q1_via_iceberg_interop",
     "q1_via_hudi_interop",
     "game_user_cdc_e2e_sqltext",
+    "game_item_cdc_e2e_via_changes",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2254,6 +2254,61 @@ def game_user_cdc_e2e_via_changes(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# game_item_cdc_e2e_via_changes — the ENGINE change feed's gate (X36,
+# the diff the incremental mirrors publish from): the reference's
+# Hudi job on the PARTITIONED item table through the managed pipeline,
+# with the final state reconstructed from snapshot_changes(v0 → head)
+# folded onto the v0 snapshot — untouched keys keep their v0 row,
+# changed keys take their postimage/insert row, deleted keys drop.
+# If this doesn't equal the head snapshot, every incremental mirror
+# is silently wrong; the DuckDB oracle states the final table (same
+# as game_item_cdc_e2e).
+# --------------------------------------------------------------------------
+
+
+def game_item_cdc_e2e_via_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from ..catalog import Catalog
+    from ..formats.changes import CHANGE_TYPE_COL, snapshot_changes
+    from ..formats.parquet_cow import temp_warehouse
+    from ..pipeline import cdc_load, initial_load
+    from ..spec import GAME_SPECS_BY_NAME
+
+    _utc(spark)
+    spec = GAME_SPECS_BY_NAME["item_data"]
+    cat = Catalog(spark, temp_warehouse(prefix="tdl_e2e_feed_"))
+    initial_load(spark, cat, spec, _DEMO_ROOT)
+    tbl = cat.table(spec)
+    v0 = tbl.current_version().version
+    cdc_load(
+        spark, cat, spec, _DEMO_ROOT,
+        clock=datetime(2023, 9, 1, tzinfo=timezone.utc),
+    )
+    pk = spec.primary_key
+    base = tbl.read(version=v0)
+    # The merge ADDS last_applied_date via schema evolution, so the v0
+    # snapshot predates the column — normalize before the fold, exactly
+    # as an incremental consumer of an evolving table must.
+    if "last_applied_date" not in base.columns:
+        base = base.withColumn(
+            "last_applied_date", F.lit(None).cast("timestamp")
+        )
+    ch = snapshot_changes(tbl, v0)
+    untouched = base.join(ch.select(pk).distinct(), pk, "left_anti")
+    new_rows = ch.filter(
+        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
+    ).drop(CHANGE_TYPE_COL)
+    final = untouched.unionByName(new_rows.select(*untouched.columns))
+    return final.select(
+        "item_id", "item_name", "category", "price",
+        F.coalesce(
+            F.col("last_applied_date").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("last_applied"),
+    )
+
+
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
     return f"""
 WITH init AS (
@@ -2635,6 +2690,14 @@ QUERIES: dict[str, QueryDef] = {
             headline=False,
         ),
         QueryDef("game_item_cdc_e2e", game_item_cdc_e2e, GAME_ITEM_E2E_ORACLE, headline=False),
+        # Engine feed (X36) gate: v0 + snapshot_changes folds to head —
+        # the diff the incremental mirrors publish from.
+        QueryDef(
+            "game_item_cdc_e2e_via_changes",
+            game_item_cdc_e2e_via_changes,
+            GAME_ITEM_E2E_ORACLE,
+            headline=False,
+        ),
         # The reference's Delta/Iceberg/Hudi jobs on REAL foreign
         # tables (r9: interop.merge_delta / merge_iceberg /
         # write_hudi) — same oracle as the managed e2e.
