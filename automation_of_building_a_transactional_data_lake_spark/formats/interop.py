@@ -2372,18 +2372,24 @@ def read_iceberg(
             for fld in s.get("fields", []):
                 id_to_name[int(fld["id"])] = fld["name"]
 
-        def _applicable(cls_seq: int) -> tuple[tuple[str, tuple[int, ...]], ...]:
-            return tuple(
-                sorted(
-                    (dpath, ids)
-                    for dpath, dseq, ids in eq_deletes
-                    if dseq > cls_seq
-                )
-            )
+        # The applicable set for a data file depends only on HOW MANY
+        # delete sequence numbers exceed its own — rank via bisect, so
+        # the driver-side grouping is O(files log deletes), never the
+        # O(files × deletes) scan a naive per-file filter would cost on
+        # a 100k-file table.
+        import bisect
 
-        by_dels: dict[tuple, list[str]] = {}
+        sorted_deletes = sorted(eq_deletes, key=lambda d: d[1])
+        dseqs = [d[1] for d in sorted_deletes]
+        by_rank: dict[int, list[str]] = {}
         for p, s in files:
-            by_dels.setdefault(_applicable(s), []).append(p)
+            by_rank.setdefault(bisect.bisect_right(dseqs, s), []).append(p)
+        by_dels: dict[tuple, list[str]] = {}
+        for i, paths_i in by_rank.items():
+            key_i = tuple(
+                sorted((dpath, ids) for dpath, _ds, ids in sorted_deletes[i:])
+            )
+            by_dels.setdefault(key_i, []).extend(paths_i)
         parts = []
         for dset, paths in sorted(by_dels.items()):
             d = _scan(paths, need_meta)
