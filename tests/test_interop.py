@@ -1823,8 +1823,15 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _val = st.text(alphabet="abxyz", min_size=0, max_size=4)
-_hudi_batch = st.dictionaries(
-    st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
+# (batch, force_fallback): force_fallback=True runs that merge with
+# max_affected_file_groups=0, so it commits through the REPLACECOMMIT
+# whole-table-rewrite fallback — the fuzz interleaves per-group and
+# full-rewrite commits on one timeline (round-10 bounded planning).
+_hudi_batch = st.tuples(
+    st.dictionaries(
+        st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
+    ),
+    st.booleans(),
 )
 
 
@@ -1836,8 +1843,10 @@ _hudi_batch = st.dictionaries(
 @given(batches=st.lists(_hudi_batch, min_size=1, max_size=3))
 def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches):
     """ANY upsert/delete sequence through write_hudi (keyed file
-    groups, partial rewrites, empty-group synthesis) reads back equal
-    to a dict model applying latest-wins then delete."""
+    groups, partial rewrites, empty-group synthesis, and the bounded
+    planner's replacecommit full-rewrite fallback interleaved at
+    random) reads back equal to a dict model applying latest-wins then
+    delete."""
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         write_hudi,
     )
@@ -1857,7 +1866,8 @@ def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches)
         path, record_key="id", mode="bulk_insert", partition_by=["cat"],
         num_buckets=2,
     )
-    for batch in batches:
+    for batch, force_fallback in batches:
+        bound = 0 if force_fallback else 8192
         ups = {k: v for k, v in batch.items() if v is not None}
         dels = [k for k, v in batch.items() if v is None]
         if ups:
@@ -1867,6 +1877,7 @@ def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches)
                     "id long, val string, cat string",
                 ),
                 path, record_key="id", mode="upsert", partition_by=["cat"],
+                max_affected_file_groups=bound,
             )
             model.update(ups)
         if dels:
@@ -1876,6 +1887,7 @@ def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches)
                     "id long, val string, cat string",
                 ),
                 path, record_key="id", mode="delete", partition_by=["cat"],
+                max_affected_file_groups=bound,
             )
             for k in dels:
                 model.pop(k, None)
