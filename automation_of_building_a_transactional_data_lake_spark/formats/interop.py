@@ -499,6 +499,165 @@ def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
     yield from _expand(rows)
 
 
+# Classic-checkpoint cadence, matching delta.checkpointInterval's
+# default: every 10th commit compacts the log so readers replay
+# O(commits since checkpoint), not O(all commits) — without it a
+# long-lived incremental mirror (one MERGE commit per maintenance
+# cycle) makes every foreign reader's open slower each cycle.
+_DELTA_CHECKPOINT_INTERVAL = 10
+
+# Add-action fields a classic checkpoint written here can represent.
+# An add carrying anything else (deletionVector, row-tracking ids...)
+# makes the table un-checkpointable by this writer — re-serializing it
+# without those fields would CORRUPT the table for readers that trust
+# the checkpoint over the log.
+_CKPT_ADD_FIELDS = {
+    "path", "partitionValues", "size", "modificationTime", "dataChange",
+    "stats", "tags",
+}
+
+
+def _delta_checkpointable(table_path: str, version: int) -> bool:
+    """True when versions 0..version carry only actions a classic
+    checkpoint written by this module can faithfully represent (no
+    txn app-ids, no domainMetadata — replay ignores them, so a
+    checkpoint would silently drop them for foreign readers)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    representable = {"add", "remove", "metaData", "protocol", "commitInfo", "cdc"}
+    for v in _delta_log_versions(log_dir):
+        if v > version:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if not set(action) <= representable:
+                    return False
+                add = action.get("add")
+                if add and not set(add) <= _CKPT_ADD_FIELDS:
+                    return False
+    return True
+
+
+def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str | None:
+    """Write a CLASSIC single-file parquet checkpoint
+    (``<v>.checkpoint.parquet`` + ``_last_checkpoint``) of the state
+    at ``version`` (default head). The checkpoint carries the
+    protocol, metaData, and every live add action; remove tombstones
+    are omitted (they only time VACUUM against the retention window —
+    state reconstruction is identical without them, and this module's
+    log JSONs are never deleted). Tables whose log carries actions a
+    classic checkpoint here cannot faithfully represent (txn,
+    domainMetadata, DV-bearing adds) are SKIPPED — returns None; a
+    missing checkpoint is pure lost optimization, a lossy one would
+    corrupt the table for checkpoint-trusting readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = _delta_replay(table_path, version)
+    v = state["version"]
+    if not _delta_checkpointable(table_path, v):
+        return None
+    meta, proto = dict(state["metaData"]), dict(state["protocol"] or {})
+
+    smap = pa.map_(pa.string(), pa.string())
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", smap),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    schema = pa.schema(
+        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+    )
+
+    def _pairs(d):
+        return list((d or {}).items())
+
+    rows = [
+        {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            },
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta.get("id"),
+                "name": meta.get("name"),
+                "description": meta.get("description"),
+                "format": {
+                    "provider": (meta.get("format") or {}).get("provider", "parquet"),
+                    "options": _pairs((meta.get("format") or {}).get("options")),
+                },
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": list(meta.get("partitionColumns") or []),
+                "configuration": _pairs(meta.get("configuration")),
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for _path, add in sorted(state["files"].items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": _pairs(add.get("partitionValues")),
+                    "size": int(add.get("size", 0) or 0),
+                    "modificationTime": int(add.get("modificationTime", 0) or 0),
+                    "dataChange": False,
+                    "stats": add.get("stats"),
+                },
+            }
+        )
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    ckpt_path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), ckpt_path)
+    # _last_checkpoint LAST: readers that see it must find the file.
+    with open(os.path.join(log_dir, _LAST_CHECKPOINT), "w", encoding="utf-8") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+    return ckpt_path
+
+
+def _delta_maybe_checkpoint(table_path: str, version: int) -> None:
+    if version > 0 and version % _DELTA_CHECKPOINT_INTERVAL == 0:
+        _delta_write_checkpoint(table_path, version)
+
+
 def _delta_replay(table_path: str, version: int | None) -> dict:
     """Replay the transaction log to ``version`` (default: latest).
     Returns {"metaData", "protocol", "files": {path: add}, "version"}.
@@ -1144,6 +1303,7 @@ def write_delta(
     except Exception:
         os.unlink(log_path)
         raise
+    _delta_maybe_checkpoint(table_path, next_version)
     return next_version
 
 
@@ -1379,6 +1539,7 @@ def merge_delta(
     except Exception:
         os.unlink(log_path)
         raise
+    _delta_maybe_checkpoint(table_path, next_version)
     return next_version
 
 

@@ -2629,3 +2629,59 @@ def test_mirror_fallback_reason_reaches_telemetry(spark, tmp_path):
     # The republished mirrors are still exactly the table.
     assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "a", 2: "b"}
     assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {1: "a", 2: "b"}
+
+
+def test_delta_writer_checkpoints_every_tenth_commit(spark, tmp_path):
+    """Round-10 log compaction: the 10th commit writes a CLASSIC
+    parquet checkpoint + _last_checkpoint, the reader recovers the
+    exact state FROM the checkpoint alone (pre-checkpoint JSON logs
+    deleted), CDF-range reads over post-checkpoint commits still work,
+    and a log carrying actions the checkpoint cannot represent (txn)
+    is skipped rather than lossily compacted."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_write_checkpoint,
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "ck")
+    write_delta(
+        spark.createDataFrame([(0, "v0")], "id long, val string"), path,
+        mode="error",
+    )
+    for i in range(1, 11):
+        merge_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, val string"),
+            path, key="id", mode="upsert",
+        )
+    log = os.path.join(path, "_delta_log")
+    assert os.path.isfile(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), encoding="utf-8") as f:
+        assert json.load(f)["version"] == 10
+    want = {i: f"v{i}" for i in range(11)}
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == want
+
+    # The checkpoint ALONE reconstructs the state: drop versions 0-9.
+    for v in range(10):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == want
+    # And the table remains writable past it (replay starts at the
+    # checkpoint, not version 0).
+    merge_delta(
+        spark.createDataFrame([(0,)], "id long"), path, key="id", mode="delete"
+    )
+    want.pop(0)
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == want
+
+    # A foreign log carrying a txn app-id is NOT checkpointable: a
+    # classic checkpoint here would silently drop the app-id state.
+    path2 = str(tmp_path / "ck2")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path2,
+        mode="error",
+    )
+    log2 = os.path.join(path2, "_delta_log")
+    with open(os.path.join(log2, f"{1:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"txn": {"appId": "app", "version": 7}}) + "\n")
+    assert _delta_write_checkpoint(path2, 1) is None
+    assert not os.path.isfile(os.path.join(log2, "_last_checkpoint"))
