@@ -3561,6 +3561,209 @@ def merge_iceberg(
     return snapshot_id
 
 
+# -- Storage lifecycle for the real-format tables ---------------------------
+#
+# At 100 TB the mirrors' history is a first-class cost: every Iceberg
+# overwrite keeps its predecessor's files reachable, every Hudi commit
+# leaves the previous file slices on disk, every Delta merge tombstones
+# files it never deletes. The reference delegates retention to the
+# format jars' cleaners (Hudi's inline cleaner, Iceberg expire_snapshots,
+# Delta VACUUM); these are the jar-less equivalents. All three follow
+# the same crash-safe order: commit the NEW metadata state first, then
+# delete files — a crash mid-delete leaves unreferenced garbage, never
+# a corrupt table.
+
+
+def expire_iceberg_snapshots(table_path: str, keep_last: int = 2) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots of a REAL
+    Iceberg table (Iceberg's ``expire_snapshots``): the next metadata
+    JSON lists only the keepers, then every manifest list, manifest,
+    data file, and delete file reachable ONLY from expired snapshots is
+    deleted. Time travel to an expired snapshot raises read_iceberg's
+    unknown-snapshot error (loud, like the engine's own vacuum).
+    Returns {"expired", "deleted_files"}."""
+    from .avro_lite import read_avro_file
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    snaps = list(meta.get("snapshots", []))
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    # Keep the newest by sequence-number (falling back to list order),
+    # and ALWAYS the current snapshot.
+    order = sorted(
+        range(len(snaps)),
+        key=lambda i: (snaps[i].get("sequence-number", i), i),
+    )
+    keep_idx = set(order[-keep_last:])
+    cur_id = meta.get("current-snapshot-id")
+    for i, s in enumerate(snaps):
+        if s["snapshot-id"] == cur_id:
+            keep_idx.add(i)
+    keepers = [snaps[i] for i in sorted(keep_idx)]
+    expired = [snaps[i] for i in range(len(snaps)) if i not in keep_idx]
+
+    def _reachable(snapshot: dict) -> set[str]:
+        out: set[str] = set()
+        if "manifest-list" not in snapshot:
+            for mp in snapshot.get("manifests", []):
+                out.add(os.path.abspath(_iceberg_local_path(mp, table_path)))
+            mrecs = [
+                {"manifest_path": mp} for mp in snapshot.get("manifests", [])
+            ]
+        else:
+            ml = _iceberg_local_path(snapshot["manifest-list"], table_path)
+            out.add(os.path.abspath(ml))
+            _s, mrecs = read_avro_file(ml)
+        for r in mrecs:
+            mp = _iceberg_local_path(r["manifest_path"], table_path)
+            out.add(os.path.abspath(mp))
+            _s2, entries = read_avro_file(mp)
+            for e in entries:
+                # Only LIVE entries (status 0/1) protect a data file —
+                # a status-2 (deleted) reference in a retained snapshot
+                # records history, it does not keep bytes alive
+                # (Iceberg's own expire_snapshots semantics).
+                if e.get("status", 1) == 2:
+                    continue
+                out.add(
+                    os.path.abspath(
+                        _iceberg_local_path(
+                            e["data_file"]["file_path"], table_path
+                        )
+                    )
+                )
+        return out
+
+    live: set[str] = set()
+    for s in keepers:
+        live |= _reachable(s)
+    dead: set[str] = set()
+    for s in expired:
+        dead |= _reachable(s)
+    dead -= live
+
+    keep_ids = {s["snapshot-id"] for s in keepers}
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keepers
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e.get("snapshot-id") in keep_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    version = (int(m.group(1)) if m else len(new_meta["metadata-log"])) + 1
+    mdir = os.path.join(table_path, "metadata")
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    # Metadata committed — deletions are now pure garbage collection.
+    deleted = 0
+    for p in sorted(dead):
+        try:
+            os.unlink(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    return {"expired": len(expired), "deleted_files": deleted}
+
+
+def clean_hudi(table_path: str, keep_last_slices: int = 1) -> dict:
+    """Remove obsolete Hudi file slices (Hudi's cleaner,
+    KEEP_LATEST_FILE_VERSIONS policy): per file group, every committed
+    base file older than the newest ``keep_last_slices`` is deleted;
+    file groups a replacecommit retired lose ALL their replaced
+    slices. The committed snapshot is untouched (the reader always
+    serves the latest slice, which is always kept). No timeline action
+    is written — Hudi's ``.clean`` metadata is an Avro payload this
+    module does not emit, and snapshot readers need none; returns
+    {"deleted_files"}."""
+    if keep_last_slices < 1:
+        raise ValueError("keep_last_slices must be >= 1")
+    completed, replaced = _hudi_timeline(table_path)
+    groups: dict[tuple[str, str], list[tuple[tuple[int, int], str]]] = {}
+    dead: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            m = _HUDI_FILE_RE.match(fname)
+            if not m or m.group("ts") not in completed:
+                continue
+            pp = os.path.relpath(root, table_path)
+            pp = "" if pp == "." else pp
+            key = (pp, m.group("fid"))
+            ikey = _hudi_instant_key(m.group("ts"))
+            rep = replaced.get(key)
+            if rep is not None and ikey <= rep:
+                dead.append(os.path.join(root, fname))  # replaced slice
+                continue
+            groups.setdefault(key, []).append((ikey, os.path.join(root, fname)))
+    for _key, slices in groups.items():
+        slices.sort()
+        for _ikey, p in slices[:-keep_last_slices]:
+            dead.append(p)
+    deleted = 0
+    for p in sorted(dead):
+        try:
+            os.unlink(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    return {"deleted_files": deleted}
+
+
+def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
+    """Delete data files no RETAINED version references (Delta VACUUM
+    with a version-count window, matching the managed layer's
+    ``vacuum(retain_last=)`` contract): files referenced by any of the
+    newest ``retain_versions`` versions stay; older tombstoned files
+    delete. Log JSONs and checkpoints are kept (history metadata stays
+    auditable; time travel OLDER than the window fails at scan time,
+    loudly, when it touches a vacuumed file). Returns
+    {"deleted_files"}."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    head = _delta_latest_version(log_dir)
+    if head < 0:
+        raise FileNotFoundError(f"no Delta table at {table_path}")
+    lo = max(0, head - retain_versions + 1)
+    referenced: set[str] = set()
+    for v in range(lo, head + 1):
+        state = _delta_replay(table_path, v)
+        for p in state["files"]:
+            referenced.add(
+                os.path.abspath(
+                    os.path.join(table_path, urllib.parse.unquote(p))
+                )
+            )
+    deleted = 0
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d for d in dirs
+            if not d.startswith(".") and d not in (_DELTA_LOG, "_change_data")
+        ]
+        for fname in files:
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                continue
+            p = os.path.abspath(os.path.join(root, fname))
+            if p not in referenced:
+                os.unlink(p)
+                deleted += 1
+    return {"deleted_files": deleted}
+
+
 def read_external(spark: SparkSession, table_path: str) -> DataFrame:
     """Open a foreign table by SNIFFING its format markers — the
     one-call interop entry point (`_delta_log/` → Delta, `.hoodie/` →

@@ -493,6 +493,7 @@ def maintain_all(
     delta_mirrors: dict[str, str] | None = None,
     iceberg_mirrors: dict[str, str] | None = None,
     hudi_mirrors: dict[str, str] | None = None,
+    mirror_retention: int | None = None,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
@@ -509,7 +510,13 @@ def maintain_all(
 
     ``delta_mirrors`` maps table names to Delta paths: those tables'
     committed snapshots republish as real Delta tables after
-    compaction (``mirror_to_delta``) — the external-consumer story."""
+    compaction (``mirror_to_delta``) — the external-consumer story.
+
+    ``mirror_retention`` (versions/snapshots/slices to keep) runs the
+    real-format storage lifecycle after each publish — Delta VACUUM,
+    Iceberg expire_snapshots, the Hudi cleaner — so a mirror published
+    every cycle for months does not hold every historical byte (the
+    job the reference delegates to the format jars' inline cleaners)."""
     reports = []
     for idx in ann_indexes or []:
         reports.append(
@@ -548,16 +555,34 @@ def maintain_all(
             telemetry["delta_mirror_version"] = mirror_to_delta(
                 catalog, spec, mirror, telemetry=telemetry
             )
+            if mirror_retention:
+                from .formats.interop import vacuum_delta
+
+                telemetry["delta_mirror_vacuumed"] = vacuum_delta(
+                    mirror, retain_versions=mirror_retention
+                )["deleted_files"]
         imirror = (iceberg_mirrors or {}).get(spec.table_name)
         if imirror:
             telemetry["iceberg_mirror_snapshot"] = mirror_to_iceberg(
                 catalog, spec, imirror
             )
+            if mirror_retention:
+                from .formats.interop import expire_iceberg_snapshots
+
+                telemetry["iceberg_mirror_expired"] = expire_iceberg_snapshots(
+                    imirror, keep_last=mirror_retention
+                )["expired"]
         hmirror = (hudi_mirrors or {}).get(spec.table_name)
         if hmirror:
             telemetry["hudi_mirror_instant"] = mirror_to_hudi(
                 catalog, spec, hmirror, telemetry=telemetry
             )
+            if mirror_retention:
+                from .formats.interop import clean_hudi
+
+                telemetry["hudi_mirror_cleaned"] = clean_hudi(
+                    hmirror, keep_last_slices=mirror_retention
+                )["deleted_files"]
         reports.append(
             LoadReport(spec.table_name, "maintained", telemetry=telemetry)
         )

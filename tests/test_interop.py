@@ -2685,3 +2685,156 @@ def test_delta_writer_checkpoints_every_tenth_commit(spark, tmp_path):
         f.write(json.dumps({"txn": {"appId": "app", "version": 7}}) + "\n")
     assert _delta_write_checkpoint(path2, 1) is None
     assert not os.path.isfile(os.path.join(log2, "_last_checkpoint"))
+
+
+def test_expire_iceberg_snapshots(spark, tmp_path):
+    """Storage lifecycle (Iceberg expire_snapshots): expired snapshots
+    vanish from metadata (time travel to them raises loudly), their
+    exclusively-referenced files are deleted from disk, and retained
+    snapshots — current AND older keeper — still read exactly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    ip = str(tmp_path / "exp")
+    sids = [
+        write_iceberg(
+            spark.createDataFrame([(i, f"g{i}")], "id long, val string"),
+            ip, mode="error" if i == 0 else "overwrite",
+        )
+        for i in range(4)
+    ]
+
+    def _nfiles():
+        return sum(
+            1 for r, _d, fs in os.walk(os.path.join(ip, "data"))
+            for f in fs if f.endswith(".parquet")
+        )
+
+    before = _nfiles()
+    out = expire_iceberg_snapshots(ip, keep_last=2)
+    assert out["expired"] == 2 and out["deleted_files"] > 0
+    # Half the (uniformly written) snapshots gone -> half the data
+    # files gone (deleted_files also counts manifests/manifest lists).
+    assert _nfiles() == before // 2
+    # Current and the retained predecessor still read.
+    assert _rows(read_iceberg(spark, ip).select("id", "val")) == [(3, "g3")]
+    assert _rows(
+        read_iceberg(spark, ip, snapshot_id=sids[2]).select("id", "val")
+    ) == [(2, "g2")]
+    # Expired snapshot: loud unknown-snapshot error.
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        read_iceberg(spark, ip, snapshot_id=sids[0])
+    # No-op when nothing to expire.
+    assert expire_iceberg_snapshots(ip, keep_last=5) == {
+        "expired": 0, "deleted_files": 0,
+    }
+
+
+def test_clean_hudi_old_slices(spark, tmp_path):
+    """Storage lifecycle (Hudi cleaner): per file group only the
+    newest keep_last_slices base files survive; replaced groups lose
+    their replaced slices; the committed snapshot is unchanged."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        clean_hudi,
+        write_hudi,
+    )
+
+    hp = str(tmp_path / "hcl")
+    write_hudi(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        hp, record_key="id", mode="bulk_insert", num_buckets=1,
+    )
+    for i in range(3):
+        write_hudi(
+            spark.createDataFrame([(1, f"u{i}")], "id long, val string"),
+            hp, record_key="id", mode="upsert",
+        )
+    n_before = sum(
+        1 for r, _d, fs in os.walk(hp)
+        if "/.hoodie" not in r for f in fs if f.endswith(".parquet")
+    )
+    assert n_before == 4  # bulk + 3 upsert slices of the one group
+    before_rows = {r.id: r.val for r in read_hudi(spark, hp).collect()}
+    out = clean_hudi(hp, keep_last_slices=1)
+    assert out["deleted_files"] == 3
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == before_rows
+    # A forced replacecommit rewrite, then clean: replaced slices go.
+    write_hudi(
+        spark.createDataFrame([(2, "B")], "id long, val string"),
+        hp, record_key="id", mode="upsert", max_affected_file_groups=0,
+    )
+    out2 = clean_hudi(hp, keep_last_slices=1)
+    assert out2["deleted_files"] >= 1  # the pre-replacement slice
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {
+        1: "u2", 2: "B",
+    }
+
+
+def test_vacuum_delta_unreferenced_files(spark, tmp_path):
+    """Storage lifecycle (Delta VACUUM, version-count window): files
+    referenced by no retained version delete; head and the retained
+    window still read; time travel past the window fails at scan time
+    when it touches a vacuumed file."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    dp = str(tmp_path / "dvac")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), dp, mode="error"
+    )
+    for i in range(3):
+        merge_delta(
+            spark.createDataFrame([(1, f"u{i}")], "id long, val string"),
+            dp, key="id", mode="upsert",
+        )
+    out = vacuum_delta(dp, retain_versions=2)
+    assert out["deleted_files"] == 2  # v0 and v1's rewritten files
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "u2"}
+    assert {r.id: r.val for r in read_delta(spark, dp, version=2).collect()} == {
+        1: "u1",
+    }
+    # Past the window: the log still replays but the scan hits a
+    # vacuumed file — loud failure, not silent wrong rows.
+    with pytest.raises(Exception):
+        read_delta(spark, dp, version=0).collect()
+
+
+def test_maintain_all_mirror_retention(spark, tmp_path):
+    """maintain_all(mirror_retention=) runs the real-format lifecycle
+    after each publish — the mirrors stay exactly current while their
+    history is bounded, and the telemetry records what was reclaimed."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        maintain_all,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("ret", "id", None, None, "proddb")
+    tbl = cat.table(spec)
+    tbl.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    dp, ip, hp = (str(tmp_path / x) for x in ("d", "i", "h"))
+    mirrors = dict(
+        delta_mirrors={"ret": dp}, iceberg_mirrors={"ret": ip},
+        hudi_mirrors={"ret": hp},
+    )
+    maintain_all(cat, [spec], vacuum_retain_last=None, **mirrors)
+    for i in range(3):
+        tbl.merge_upsert(
+            spark.createDataFrame([(1, f"u{i}")], "id long, val string")
+        )
+        reports = maintain_all(
+            cat, [spec], vacuum_retain_last=None, mirror_retention=1, **mirrors
+        )
+    t = reports[-1].telemetry
+    assert {"delta_mirror_vacuumed", "iceberg_mirror_expired",
+            "hudi_mirror_cleaned"} <= set(t)
+    want = {r.id: r.val for r in cat.read_table(spec).collect()}
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == want
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == want
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == want
