@@ -217,7 +217,10 @@ class LakeSQL:
         - DDL/maintenance on managed tables, mapped onto the table API:
           ``CREATE TABLE <ident> AS SELECT ...`` (reference W2 as text),
           ``ALTER TABLE <ident> ADD COLUMN c t | RENAME COLUMN a TO b |
-          DROP COLUMN c`` (X85), ``VACUUM <ident> [RETAIN n VERSIONS]``,
+          DROP COLUMN c`` (X85), ``VACUUM <ident> [RETAIN n VERSIONS]``
+          (also ``VACUUM delta.`/p```/``iceberg.`/p```/``hudi.`/p``` —
+          the real-format lifecycle: Delta VACUUM, Iceberg
+          expire_snapshots, the Hudi cleaner),
           ``OPTIMIZE <ident> [ZORDER BY (c, ...)]`` (Delta maintenance
           SQL), ``DROP TABLE [IF EXISTS] <ident>``, ``SHOW TABLES IN
           <cat>.<db>`` and ``DESCRIBE <ident>`` (S5 as text).
@@ -315,6 +318,32 @@ class LakeSQL:
                 v = tbl.alter_drop_column(dm.group("c"))
                 return {"action": "drop_column", "version": v}
             raise ValueError(f"unsupported ALTER TABLE clause {rest!r}")
+
+        m = re.match(
+            r"VACUUM\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?:VERSIONS?|SNAPSHOTS?|SLICES?))?$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Foreign-path storage lifecycle as text: Delta VACUUM /
+            # Iceberg expire_snapshots / the Hudi cleaner, one uniform
+            # statement shape (round-10 lifecycle surface).
+            from .formats.interop import (
+                clean_hudi,
+                expire_iceberg_snapshots,
+                vacuum_delta,
+            )
+
+            n = int(m.group("n")) if m.group("n") else 2
+            fmt = m.group("fmt").lower()
+            p = m.group("p")
+            if fmt == "delta":
+                out = vacuum_delta(p, retain_versions=n)
+            elif fmt == "iceberg":
+                out = expire_iceberg_snapshots(p, keep_last=n)
+            else:
+                out = clean_hudi(p, keep_last_slices=n)
+            return {"action": "vacuum", "format": fmt, **out}
 
         m = re.match(
             rf"VACUUM\s+(?P<t>{ident})(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?$",

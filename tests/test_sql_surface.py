@@ -400,3 +400,56 @@ WHEN MATCHED THEN DELETE""")
     assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {
         2: "B2", 3: "c"
     }
+
+
+def test_vacuum_foreign_paths_as_text(spark, tmp_path):
+    """The real-format storage lifecycle drives as SQL text: one
+    uniform `VACUUM <fmt>.`/path`` RETAIN n ...` statement runs Delta
+    VACUUM / Iceberg expire_snapshots / the Hudi cleaner, and the
+    tables read back unchanged at head."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    rows0 = [(1, "a"), (2, "b")]
+    dp, ip, hp = (str(tmp_path / x) for x in ("d", "i", "h"))
+
+    write_delta(spark.createDataFrame(rows0, "id long, val string"), dp)
+    merge_delta(
+        spark.createDataFrame([(1, "A")], "id long, val string"), dp,
+        key="id", mode="upsert",
+    )
+    out = lake.sql(f"VACUUM delta.`{dp}` RETAIN 1 VERSIONS")
+    assert out["action"] == "vacuum" and out["format"] == "delta"
+    assert out["deleted_files"] >= 1
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "A", 2: "b"}
+
+    write_iceberg(spark.createDataFrame(rows0, "id long, val string"), ip)
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, val string"), ip,
+        mode="overwrite",
+    )
+    out = lake.sql(f"VACUUM iceberg.`{ip}` RETAIN 1 SNAPSHOTS")
+    assert out["format"] == "iceberg" and out["expired"] == 1
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {3: "c"}
+
+    write_hudi(
+        spark.createDataFrame(rows0, "id long, val string"), hp,
+        record_key="id", mode="bulk_insert", num_buckets=1,
+    )
+    write_hudi(
+        spark.createDataFrame([(1, "A")], "id long, val string"), hp,
+        record_key="id", mode="upsert",
+    )
+    out = lake.sql(f"VACUUM hudi.`{hp}` RETAIN 1 SLICES")
+    assert out["format"] == "hudi" and out["deleted_files"] == 1
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {1: "A", 2: "b"}
