@@ -320,31 +320,78 @@ def mirror_to_delta(
     return v
 
 
-def mirror_to_iceberg(catalog: Catalog, spec: TableSpec, iceberg_path: str) -> int:
-    """The Iceberg twin of ``mirror_to_delta`` (possible since the r9
-    ``write_iceberg``): republish the committed snapshot as a REAL
-    Iceberg v2 table in one overwrite snapshot — prior mirror
-    snapshots stay time-travelable on the Iceberg side. Identity
-    partitioning only (transform-partitioned specs mirror
-    unpartitioned — the mirror's layout is a consumer convenience,
-    not a correctness surface). Returns the new snapshot id."""
-    from .formats.interop import write_iceberg
+def mirror_to_iceberg(
+    catalog: Catalog,
+    spec: TableSpec,
+    iceberg_path: str,
+    telemetry: dict | None = None,
+) -> int:
+    """The Iceberg twin of ``mirror_to_delta``: publish the committed
+    snapshot as a REAL Iceberg v2 table. INCREMENTAL (r10, closing the
+    last full-republish-per-cycle mirror): after the initial bulk
+    publish, each cycle diffs the source's snapshots (X36) between the
+    last-mirrored version (``_mirror_state.json`` beside the mirror)
+    and head and applies only the changed keys through
+    ``interop.merge_iceberg`` — write amplification O(changed files),
+    not O(table). An unchanged source is a no-op; a vacuumed diff
+    window falls back to one overwrite snapshot (reason recorded in
+    ``telemetry``). Prior mirror snapshots stay time-travelable on the
+    Iceberg side either way. Identity partitioning only
+    (transform-partitioned specs mirror unpartitioned — the mirror's
+    layout is a consumer convenience, not a correctness surface).
+    Returns the current snapshot id."""
+    from .formats.interop import (
+        _iceberg_current_metadata,
+        merge_iceberg,
+        write_iceberg,
+    )
 
-    df = catalog.read_table(spec)
     exists = os.path.isdir(os.path.join(iceberg_path, "metadata"))
     pkeys = list(spec.partition_keys or [])
-    try:
-        return write_iceberg(
-            df, iceberg_path,
-            mode="overwrite" if exists else "error",
-            partition_by=pkeys,
-        )
-    except NotImplementedError:
-        if not pkeys:
-            raise
-        return write_iceberg(
-            df, iceberg_path, mode="overwrite" if exists else "error"
-        )
+    tbl = catalog.table(spec)
+    head = (
+        tbl.current_version().version
+        if hasattr(tbl, "current_version") and tbl.exists()
+        else None
+    )
+
+    def _publish_full(df):
+        try:
+            return write_iceberg(
+                df, iceberg_path,
+                mode="overwrite" if exists else "error",
+                partition_by=pkeys,
+            )
+        except NotImplementedError:
+            if not pkeys:
+                raise
+            return write_iceberg(
+                df, iceberg_path, mode="overwrite" if exists else "error"
+            )
+
+    if not exists:
+        sid = _publish_full(catalog.read_table(spec))
+        _write_mirror_state(iceberg_path, head)
+        return sid
+    ups, dels, head = _mirror_delta_rows(catalog, spec, iceberg_path)
+    if ups is None:
+        return _iceberg_current_metadata(iceberg_path).get("current-snapshot-id")
+    if isinstance(dels, str):  # full republish fallback
+        if telemetry is not None:
+            telemetry["iceberg_mirror_fallback"] = dels
+        sid = _publish_full(ups)
+    else:
+        sid = _iceberg_current_metadata(iceberg_path).get("current-snapshot-id")
+        if ups.limit(1).count():
+            sid = merge_iceberg(
+                ups, iceberg_path, key=spec.primary_key, mode="upsert"
+            )
+        if dels.limit(1).count():
+            sid = merge_iceberg(
+                dels, iceberg_path, key=spec.primary_key, mode="delete"
+            )
+    _write_mirror_state(iceberg_path, head)
+    return sid
 
 
 _MIRROR_STATE = "_mirror_state.json"
@@ -564,7 +611,7 @@ def maintain_all(
         imirror = (iceberg_mirrors or {}).get(spec.table_name)
         if imirror:
             telemetry["iceberg_mirror_snapshot"] = mirror_to_iceberg(
-                catalog, spec, imirror
+                catalog, spec, imirror, telemetry=telemetry
             )
             if mirror_retention:
                 from .formats.interop import expire_iceberg_snapshots

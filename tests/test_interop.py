@@ -2178,6 +2178,7 @@ def test_mirrors_are_incremental_and_noop_when_current(spark, tmp_path):
     from automation_of_building_a_transactional_data_lake_spark.pipeline import (
         mirror_to_delta,
         mirror_to_hudi,
+        mirror_to_iceberg,
     )
     from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
 
@@ -2187,14 +2188,16 @@ def test_mirrors_are_incremental_and_noop_when_current(spark, tmp_path):
     tbl.create(spark.createDataFrame(
         [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
     ))
-    dp, hp = str(tmp_path / "d"), str(tmp_path / "h")
+    dp, hp, ip = str(tmp_path / "d"), str(tmp_path / "h"), str(tmp_path / "i")
     v0 = mirror_to_delta(cat, spec, dp)
     mirror_to_hudi(cat, spec, hp)
+    isid0 = mirror_to_iceberg(cat, spec, ip)
 
-    # Unchanged source: no new commits on either mirror.
+    # Unchanged source: no new commits on any mirror.
     assert mirror_to_delta(cat, spec, dp) == v0
     assert _delta_latest_version(os.path.join(dp, "_delta_log")) == v0
     assert mirror_to_hudi(cat, spec, hp) == "noop"
+    assert mirror_to_iceberg(cat, spec, ip) == isid0
 
     # One-key change: the delta mirror commit is a MERGE, and the
     # untouched partition's data file survives by identity.
@@ -2218,6 +2221,18 @@ def test_mirrors_are_incremental_and_noop_when_current(spark, tmp_path):
     assert mirror_to_hudi(cat, spec, hp) != "noop"
     got_h = {r.id: r.val for r in read_hudi(spark, hp).collect()}
     assert got_h == {1: "A2", 2: "b"}
+    # Iceberg side (r10): the change lands as one MERGE snapshot —
+    # the untouched partition's data file survives by identity — and
+    # the pre-change snapshot stays time-travelable.
+    iy_before = set(_glob.glob(os.path.join(ip, "data", "cat=y", "*.parquet")))
+    isid1 = mirror_to_iceberg(cat, spec, ip)
+    assert isid1 != isid0
+    assert set(
+        _glob.glob(os.path.join(ip, "data", "cat=y", "*.parquet"))
+    ) == iy_before
+    got_i = {r.id: r.val for r in read_iceberg(spark, ip).collect()}
+    assert got_i == {1: "A2", 2: "b"}
+    assert read_iceberg(spark, ip, snapshot_id=isid0).count() == 2
 
 
 # -- Round-10: size-gated merge broadcasts, bounded Hudi planning, ----------
