@@ -1414,6 +1414,16 @@ def merge_delta(
         missing = [c for c in cols if c not in source.columns]
         if missing:
             raise ValueError(f"source lacks table columns {missing}")
+        extra = [c for c in source.columns if c not in cols]
+        if extra:
+            # Silently dropping them would be a silent-wrong merge;
+            # real engines reject this too unless schema evolution is
+            # explicitly enabled (which a jar-less writer cannot apply
+            # to a foreign table's metadata safely).
+            raise ValueError(
+                f"source carries columns {extra} the table schema lacks; "
+                "evolve the table with its native engine or drop them first"
+            )
         src = source.select(*cols)
     else:
         if key not in source.columns:
@@ -3267,6 +3277,16 @@ def merge_iceberg(
         missing = [c for c in cols if c not in source.columns]
         if missing:
             raise ValueError(f"source lacks table columns {missing}")
+        extra = [c for c in source.columns if c not in cols]
+        if extra:
+            # Silently dropping them would be a silent-wrong merge;
+            # real engines reject this too unless schema evolution is
+            # explicitly enabled (which a jar-less writer cannot apply
+            # to a foreign table's metadata safely).
+            raise ValueError(
+                f"source carries columns {extra} the table schema lacks; "
+                "evolve the table with its native engine or drop them first"
+            )
         src = source.select(*cols)
         dup = src.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:

@@ -2853,3 +2853,28 @@ def test_maintain_all_mirror_retention(spark, tmp_path):
     assert {r.id: r.val for r in read_delta(spark, dp).collect()} == want
     assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == want
     assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == want
+
+
+def test_foreign_merge_refuses_extra_source_columns(spark, tmp_path):
+    """An upsert source carrying a column the foreign table's schema
+    lacks refuses loudly — silently dropping it would be a
+    silent-wrong merge (real engines reject this too unless schema
+    evolution is explicitly on)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        merge_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 9)], "id long, val string, extra long"
+    )
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(1, "x")], "id long, val string"), dp)
+    with pytest.raises(ValueError, match="extra"):
+        merge_delta(src, dp, key="id", mode="upsert")
+    ip = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame([(1, "x")], "id long, val string"), ip)
+    with pytest.raises(ValueError, match="extra"):
+        merge_iceberg(src, ip, key="id", mode="upsert")
