@@ -234,6 +234,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the TAIL this round (the emb_top_pairs pattern: registered
 #     first, its oracle runs in pytest via test_oracle_parity every
 #     session; rotate into a recorded slot in r11).
+#   r10 late addition 2: docs_dedup_index_query (the CDC-MAINTAINED
+#     near-dup index — ManagedDedupIndex, the ann_index pattern
+#     applied to MinHash LSH; shard-pruned query vs the brute-force
+#     cross-split Jaccard oracle) registers in the TAIL this round,
+#     same protocol; rotate into a recorded slot in r11.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -274,6 +279,7 @@ _DEMOTED_TAIL = [
     "q1_via_hudi_interop",
     "game_user_cdc_e2e_sqltext",
     "game_item_cdc_e2e_via_changes",
+    "docs_dedup_index_query",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2309,6 +2309,67 @@ def game_item_cdc_e2e_via_changes(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# docs_dedup_index_query — the CDC-MAINTAINED near-dup index (the
+# 100-TB dedup shape: a long-lived corpus + arriving batches, no
+# O(corpus) recompute per batch). Corpus = the md5-bucket-80% split of
+# documents, loaded into a managed table and indexed ONCE
+# (ManagedDedupIndex: banded-LSH rows keyed (doc, band), partitioned
+# by bucket shard); the other 20% arrive as the query batch and dedup
+# against the index via shard-pruned band joins + exact verify. The
+# oracle is the brute-force cross-split Jaccard at the threshold —
+# banding at 0.7 with b=16/r=2 misses with P ≈ 2e-5, so the index
+# answer must equal the exact one.
+# --------------------------------------------------------------------------
+
+
+def docs_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import Catalog
+    from ..formats.parquet_cow import temp_warehouse
+    from ..operators.dedup_index import ManagedDedupIndex
+    from ..operators.sampling import md5_bucket_col
+    from ..spec import TableSpec
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = md5_bucket_col(F.col("doc_id"))
+    corpus = docs.filter(bucket < 52429)
+    batch = docs.filter(bucket >= 52429).withColumnRenamed("doc_id", "query_id")
+    cat = Catalog(spark, temp_warehouse(prefix="tdl_dedup_idx_"))
+    spec = TableSpec("corpus_docs", "doc_id", None, None, "dedup")
+    cat.table(spec).create(corpus)
+    idx = ManagedDedupIndex(cat, spec, threshold=0.7)
+    idx.build()
+    return idx.near_duplicates(batch).select(
+        "query_id", "doc_id", "jaccard"
+    )
+
+
+DOCS_DEDUP_INDEX_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), split AS (
+  SELECT doc_id, s,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429
+           AS in_corpus
+  FROM sh
+)
+SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       round(len(list_intersect(q.s, c.s)) * 1.0
+             / len(list_distinct(q.s || c.s)), 4) AS jaccard
+FROM split q JOIN split c ON (NOT q.in_corpus) AND c.in_corpus
+WHERE len(list_intersect(q.s, c.s)) * 1.0
+      / len(list_distinct(q.s || c.s)) >= 0.7
+"""
+
+
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
     return f"""
 WITH init AS (
@@ -2725,6 +2786,14 @@ QUERIES: dict[str, QueryDef] = {
             "game_user_cdc_e2e_via_changes",
             game_user_cdc_e2e_via_changes,
             GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # CDC-maintained dedup index: shard-pruned LSH query vs the
+        # brute-force cross-split oracle.
+        QueryDef(
+            "docs_dedup_index_query",
+            docs_dedup_index_query,
+            DOCS_DEDUP_INDEX_ORACLE,
             headline=False,
         ),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
