@@ -537,6 +537,7 @@ def maintain_all(
     vacuum_retain_last: int | None = 2,
     target_file_mb: float = 128,
     ann_indexes: list | None = None,
+    dedup_indexes: list | None = None,
     delta_mirrors: dict[str, str] | None = None,
     iceberg_mirrors: dict[str, str] | None = None,
     hudi_mirrors: dict[str, str] | None = None,
@@ -570,6 +571,20 @@ def maintain_all(
             LoadReport(
                 idx.index_spec.table_name,
                 "ann_refreshed",
+                telemetry={
+                    k: v
+                    for k, v in idx.refresh().items()
+                    if isinstance(v, (int, float))
+                },
+            )
+        )
+    # Dedup indexes refresh on the same pre-compaction schedule and for
+    # the same reasons as the ANN indexes (see the docstring above).
+    for idx in dedup_indexes or []:
+        reports.append(
+            LoadReport(
+                idx.index_spec.table_name,
+                "dedup_refreshed",
                 telemetry={
                     k: v
                     for k, v in idx.refresh().items()

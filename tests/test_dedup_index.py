@@ -131,3 +131,25 @@ def test_refresh_is_idempotent_per_window(spark, tmp_path):
         (r.entry_id, r.bucket) for r in idx._table().read().collect()
     )
     assert rows1 == rows2
+
+
+def test_maintain_all_refreshes_dedup_indexes(spark, tmp_path):
+    """maintain_all(dedup_indexes=) catches the index up on the
+    maintenance cadence, same contract as ann_indexes."""
+    from automation_of_building_a_transactional_data_lake_spark.pipeline import (
+        maintain_all,
+    )
+
+    cat, spec, tbl = _mk(spark, tmp_path)
+    idx = ManagedDedupIndex(cat, spec, threshold=0.7)
+    idx.build()
+    tbl.merge_upsert(
+        spark.createDataFrame([(9, _NEAR)], "doc_id long, text string")
+    )
+    reports = maintain_all(cat, [spec], dedup_indexes=[idx])
+    r = next(r for r in reports if r.action == "dedup_refreshed")
+    assert r.telemetry["hashed"] == 1
+    got = idx.near_duplicates(
+        spark.createDataFrame([(100, _DOC)], "query_id long, text string")
+    )
+    assert sorted(x.doc_id for x in got.collect()) == [1, 9]
