@@ -514,12 +514,14 @@ def mirror_to_hudi(
                 partition_by=pkeys,
             )
         if dels.limit(1).count():
-            deleted = dels
             # write_hudi delete needs the business columns' shape only
             # for partition derivation; survivors supply them — pass
-            # key-only rows padded via a join against the mirror.
+            # key-only rows padded via a join against the mirror. No
+            # broadcast hint: a CDC-sized delete set broadcasts under
+            # AQE anyway, and a backfill-sized one must not be forced
+            # (same class as the interop writers' size gate).
             mirror_rows = read_hudi(spark, hudi_path).join(
-                F.broadcast(deleted), key, "left_semi"
+                dels, key, "left_semi"
             )
             if mirror_rows.limit(1).count():
                 instant = write_hudi(
