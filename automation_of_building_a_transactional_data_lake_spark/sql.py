@@ -36,6 +36,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .formats.parquet_cow import ParquetCowTable
@@ -96,6 +97,11 @@ class LakeSQL:
             from .sources.lake_datasource import register_lake_datasource
 
             register_lake_datasource(self.spark)
+        # CREATE MODEL registry (the reference's Redshift-ML surface,
+        # src/sample_redshift_ml_sql_query.txt:80-104): metadata also
+        # persists under <warehouse>/_models so SHOW MODEL + the
+        # prediction function survive a fresh LakeSQL instance.
+        self._models: dict[str, dict] = {}
 
     # -- reads -------------------------------------------------------------
 
@@ -273,6 +279,21 @@ class LakeSQL:
         ident = rf"{re.escape(self.name)}\.\w+\.\w+"
 
         m = re.match(
+            r"CREATE\s+MODEL\s+(?P<name>\w+)\s+FROM\s*\((?P<q>.+)\)\s*"
+            r"TARGET\s+(?P<target>\w+)"
+            r"(?:\s+FUNCTION\s+(?P<fn>\w+))?"
+            r"(?:\s+IAM_ROLE\s+\S+)?"
+            r"(?:\s+SETTINGS\s*\(.*?\))?\s*$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_model(m)
+
+        m = re.match(r"SHOW\s+MODEL\s+(?P<name>\w+)\s*$", s, re.IGNORECASE)
+        if m:
+            return self._show_model(m.group("name"))
+
+        m = re.match(
             rf"CREATE\s+TABLE\s+(?P<t>{ident})\s+AS\s+(?P<q>SELECT\b.*)$",
             s, re.IGNORECASE | re.DOTALL,
         )
@@ -405,6 +426,126 @@ class LakeSQL:
             )
 
         return NotImplemented
+
+    # -- CREATE MODEL / SHOW MODEL (the reference's Redshift-ML text) -------
+
+    def _create_model(self, m: re.Match) -> dict:
+        """``CREATE MODEL <name> FROM (<select>) TARGET <col>
+        [FUNCTION <fn>]`` — the reference's downstream ML statement
+        (``src/sample_redshift_ml_sql_query.txt:80-104``), Spark-first:
+        the subquery trains a distributed logistic regression
+        (``ml.churn.train_churn_model``) over every NUMERIC non-target
+        column, and the prediction surface is a REGISTERED SQL function
+        (Arrow-vectorized pandas UDF over the exported coefficients) —
+        so the reference's step-4 query, ``SELECT <fn>(f1, f2, ...)
+        FROM ...``, runs as literal text. Trailing ``IAM_ROLE`` /
+        ``SETTINGS (...)`` clauses are accepted and ignored (cloud
+        provisioning directives with no local meaning). A boolean or
+        'True'/'False'-string target maps to 1.0/0.0; a numeric target
+        is used as-is (must already be 0/1 for a sane fit)."""
+        import json
+        import os
+
+        from .ml.churn import export_coefficients, train_churn_model
+
+        name = m.group("name")
+        target = m.group("target")
+        fn = m.group("fn") or f"ml_fn_{name}"
+        df = self.spark.sql(self._rewrite(m.group("q")))
+        if target not in df.columns:
+            raise ValueError(
+                f"TARGET {target!r} is not an output column of the "
+                f"training query ({df.columns})"
+            )
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        feats = [
+            c for c, t in df.dtypes
+            if c != target and (t in numeric or t.startswith("decimal"))
+        ]
+        skipped = [c for c, _t in df.dtypes if c != target and c not in feats]
+        if not feats:
+            raise ValueError(
+                "the training query yields no numeric feature columns"
+            )
+        label = F.coalesce(
+            F.col(target).cast("double"),
+            F.when(
+                F.lower(F.col(target).cast("string")).isin("true", "t", "yes"),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        train = df.select(
+            *[F.col(c).cast("double").alias(c) for c in feats],
+            label.alias("__label"),
+        ).na.drop()
+        n = train.count()
+        model = train_churn_model(train, feature_cols=feats, label_col="__label")
+        coefs, intercept = export_coefficients(model)
+        self._register_model_fn(fn, feats, coefs, intercept)
+        meta = {
+            "name": name, "function": fn, "target": target,
+            "features": feats, "skipped_columns": skipped,
+            "coefficients": coefs, "intercept": intercept,
+            "trained_rows": n,
+        }
+        self._models[name] = meta
+        mdir = os.path.join(self.catalog.warehouse, "_models")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"{name}.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        return {
+            "action": "create_model", "name": name, "function": fn,
+            "features": feats, "trained_rows": n,
+        }
+
+    def _register_model_fn(
+        self, fn: str, feats: list[str], coefs: list[float], intercept: float
+    ) -> None:
+        from pyspark.sql.functions import pandas_udf
+
+        if len(coefs) != len(feats):
+            raise ValueError(
+                f"{len(coefs)} coefficients for {len(feats)} features"
+            )
+        cl, b = [float(c) for c in coefs], float(intercept)
+
+        @pandas_udf("double")
+        def _predict(*cols):
+            import numpy as np
+            import pandas as pd
+
+            z = np.full(len(cols[0]), b)
+            for c, srs in zip(cl, cols):
+                z = z + c * srs.astype("float64").to_numpy()
+            return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+        self.spark.udf.register(fn, _predict)
+
+    def _show_model(self, name: str) -> DataFrame:
+        """``SHOW MODEL <name>`` (reference step 3): key/value metadata
+        frame. Loading from the warehouse registry also RE-REGISTERS
+        the prediction function, so a fresh session can predict after
+        one SHOW MODEL."""
+        import json
+        import os
+
+        meta = self._models.get(name)
+        if meta is None:
+            path = os.path.join(self.catalog.warehouse, "_models", f"{name}.json")
+            if not os.path.isfile(path):
+                raise KeyError(f"no model {name!r} in this warehouse")
+            with open(path, encoding="utf-8") as f:
+                meta = json.load(f)
+            self._register_model_fn(
+                meta["function"], meta["features"],
+                meta["coefficients"], meta["intercept"],
+            )
+            self._models[name] = meta
+        rows = [
+            (k, v if isinstance(v, str) else json.dumps(v))
+            for k, v in meta.items()
+        ]
+        return self.spark.createDataFrame(rows, "key string, value string")
 
     # -- MERGE INTO --------------------------------------------------------
 
