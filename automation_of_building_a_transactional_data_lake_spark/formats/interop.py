@@ -3748,10 +3748,13 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
     with a version-count window, matching the managed layer's
     ``vacuum(retain_last=)`` contract): files referenced by any of the
     newest ``retain_versions`` versions stay; older tombstoned files
-    delete. Log JSONs and checkpoints are kept (history metadata stays
-    auditable; time travel OLDER than the window fails at scan time,
-    loudly, when it touches a vacuumed file). Returns
-    {"deleted_files"}."""
+    delete, and so do the ``_change_data`` CDF captures of commits
+    OLDER than the window (each cdc file belongs to exactly one
+    commit, so pre-window captures are reclaimable; a CDF range read
+    reaching into the vacuumed window then fails at its scan — loudly
+    — the same contract as time travel). Log JSONs and checkpoints are
+    kept (history metadata stays auditable). Returns {"deleted_files",
+    "deleted_cdc_files"}."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     log_dir = os.path.join(table_path, _DELTA_LOG)
@@ -3781,7 +3784,30 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
             if p not in referenced:
                 os.unlink(p)
                 deleted += 1
-    return {"deleted_files": deleted}
+    # CDF captures of pre-window commits: each cdc action's file
+    # belongs to exactly that one commit, so versions < lo are
+    # reclaimable wholesale.
+    deleted_cdc = 0
+    for v in _delta_log_versions(log_dir):
+        if v >= lo:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or '"cdc"' not in line:
+                    continue
+                action = json.loads(line)
+                if "cdc" not in action:
+                    continue
+                p = os.path.join(
+                    table_path, urllib.parse.unquote(action["cdc"]["path"])
+                )
+                try:
+                    os.unlink(p)
+                    deleted_cdc += 1
+                except FileNotFoundError:
+                    pass
+    return {"deleted_files": deleted, "deleted_cdc_files": deleted_cdc}
 
 
 def read_external(spark: SparkSession, table_path: str) -> DataFrame:

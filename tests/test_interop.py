@@ -2878,3 +2878,37 @@ def test_foreign_merge_refuses_extra_source_columns(spark, tmp_path):
     write_iceberg(spark.createDataFrame([(1, "x")], "id long, val string"), ip)
     with pytest.raises(ValueError, match="extra"):
         merge_iceberg(src, ip, key="id", mode="upsert")
+
+
+def test_vacuum_delta_reclaims_old_cdf_captures(spark, tmp_path):
+    """CDF captures of pre-window commits delete with the window;
+    range reads inside the retained window still reconstruct, a range
+    read reaching into the vacuumed window fails at scan — loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta_changes,
+        vacuum_delta,
+        write_delta,
+    )
+
+    dp = str(tmp_path / "cdfv")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), dp,
+        mode="error", configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    for i in range(3):
+        merge_delta(
+            spark.createDataFrame([(1, f"u{i}")], "id long, val string"),
+            dp, key="id", mode="upsert",
+        )
+    out = vacuum_delta(dp, retain_versions=2)
+    assert out["deleted_cdc_files"] >= 1
+    # Retained window (versions 2..3) still reconstructs row-level.
+    kinds = {
+        r["_change_type"]
+        for r in read_delta_changes(spark, dp, 2).collect()
+    }
+    assert "update_postimage" in kinds
+    # Reaching into the vacuumed window fails loudly at the scan.
+    with pytest.raises(Exception):
+        read_delta_changes(spark, dp, 1, 1).collect()
