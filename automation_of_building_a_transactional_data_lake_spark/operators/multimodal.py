@@ -483,6 +483,106 @@ def extract_features(
     return pruned.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def _resize_bmp24(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a 24-bit BMP — BMP pixel arrays
+    are uncompressed, so this needs numpy only. Returns the new BMP
+    bytes, or None when the payload is not a resizable 24-bit BMP
+    (schema-stable over a dirty crawl, like the header decoders)."""
+    import struct
+
+    import numpy as np
+
+    hdr = parse_bmp_header(payload)
+    if hdr is None or hdr["bits_per_sample"] != 24:
+        return None
+    w, h = hdr["width"], hdr["height"]
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    raw_h = struct.unpack_from("<i", payload, 22)[0]
+    topdown = raw_h < 0
+    row = (w * 3 + 3) // 4 * 4
+    if len(payload) < data_off + row * h:
+        return None
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=data_off
+    ).reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        px = px[::-1]  # bottom-up storage -> top-down logical order
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    out = px[yi][:, xi]  # nearest-neighbor
+    if not topdown:
+        out = out[::-1]
+    new_row = (width * 3 + 3) // 4 * 4
+    padded = np.zeros((height, new_row), dtype=np.uint8)
+    padded[:, : width * 3] = out.reshape(height, width * 3)
+    pixels = padded.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, width, -height if topdown else height, 1, 24, 0,
+            len(pixels), 2835, 2835, 0, 0,
+        )
+    )
+    return header + pixels
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "bmp",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize image payloads via Arrow-batched ``mapInPandas``:
+    ``decoder="bmp"`` is a REAL dependency-free nearest-neighbor
+    resize (BMP pixel arrays are uncompressed — numpy slicing, no
+    codecs); unresizable payloads yield a null output payload, never
+    an error. Compressed-format resize needs the codec backends and
+    raises loudly (same contract as ``extract_features``)."""
+    if decoder != "bmp":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: resizing compressed formats needs the "
+            "pillow/ffmpeg backends, not present in this environment "
+            "(decoder='bmp' is the real dependency-free path)"
+        )
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    pruned = media.select(id_col, payload_col)
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                out = _resize_bmp24(raw, width, height) if raw else None
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": out,
+                        "width": width if out else None,
+                        "height": height if out else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return pruned.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,

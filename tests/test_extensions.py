@@ -894,3 +894,58 @@ def test_sync_session_views_bridges_bare_spark(spark, tmp_path):
     cow_cat.sync_session_views(database="gamedb")
     assert {r.name for r in spark.table("gamedb__users").collect()} == {"ana", "bo", "cy"}
     assert {r.play_id for r in spark.table("gamedb__plays").collect()} == {10}
+
+
+def test_resize_media_real_bmp_nearest_neighbor(spark):
+    """REAL resize: a genuine 24-bit BMP resizes through mapInPandas
+    to exact new dimensions with nearest-neighbor pixels (the output
+    is itself a valid BMP the header decoder re-reads); garbage and
+    null payloads yield null outputs; compressed-format decoders
+    raise loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.multimodal import (
+        parse_bmp_header,
+        resize_media,
+    )
+
+    # A 4x2 24-bit BMP with a distinct color per column quadrant:
+    # left half red (BGR 00 00 FF), right half blue (FF 00 00).
+    w, h = 4, 2
+    row = (w * 3 + 3) // 4 * 4
+    px = bytearray()
+    for _y in range(h):
+        r = bytearray()
+        for x in range(w):
+            r += b"\x00\x00\xff" if x < w // 2 else b"\xff\x00\x00"
+        r += b"\x00" * (row - len(r))
+        px += r
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + bytes(px)
+    )
+    media = media_frame(
+        spark,
+        [
+            (1, "image", "image/bmp", bytearray(bmp), None, None, None),
+            (2, "image", None, bytearray(b"garbage"), None, None, None),
+            (3, "image", None, None, None, None, None),
+        ],
+    )
+    got = {r.media_id: r for r in resize_media(media, 2, 1).collect()}
+    assert (got[1].width, got[1].height) == (2, 1)
+    out = bytes(got[1].payload)
+    hdr = parse_bmp_header(out)
+    assert (hdr["width"], hdr["height"], hdr["bits_per_sample"]) == (2, 1, 24)
+    # Nearest-neighbor: the 2 output pixels keep the quadrant colors.
+    data_off = struct.unpack_from("<I", out, 10)[0]
+    assert out[data_off : data_off + 3] == b"\x00\x00\xff"  # left: red
+    assert out[data_off + 3 : data_off + 6] == b"\xff\x00\x00"  # right: blue
+    assert got[2].payload is None and got[2].width is None
+    assert got[3].payload is None
+    with _pytest.raises(NotImplementedError, match="pillow/ffmpeg"):
+        resize_media(media, 2, 1, decoder="pil")
