@@ -228,7 +228,12 @@ class LakeSQL:
           the real-format lifecycle: Delta VACUUM, Iceberg
           expire_snapshots, the Hudi cleaner),
           ``OPTIMIZE <ident> [ZORDER BY (c, ...)]`` (Delta maintenance
-          SQL), ``DROP TABLE [IF EXISTS] <ident>``, ``SHOW TABLES IN
+          SQL), ``DESCRIBE HISTORY <ident>`` / ``DESCRIBE HISTORY
+          delta.`/p``` (snapshot audit), ``RESTORE TABLE <ident> TO
+          VERSION AS OF n`` (Delta RESTORE: a new version with the old
+          content, history intact), ``CREATE MODEL``/``SHOW MODEL``
+          (the reference's Redshift-ML statements),
+          ``DROP TABLE [IF EXISTS] <ident>``, ``SHOW TABLES IN
           <cat>.<db>`` and ``DESCRIBE <ident>`` (S5 as text).
         """
         if re.match(r"\s*MERGE\s+INTO\b", text, re.IGNORECASE):
@@ -411,6 +416,65 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 [(m.group("db"), n) for n in names], "database string, table string"
             )
+
+        m = re.match(
+            r"DESC(?:RIBE)?\s+HISTORY\s+delta\.`(?P<p>[^`]+)`$", s, re.IGNORECASE
+        )
+        if m:
+            # Foreign Delta history from each commit's commitInfo.
+            import json as _json
+            import os as _os
+
+            from .formats.interop import _DELTA_LOG, _delta_log_versions
+
+            log_dir = _os.path.join(m.group("p"), _DELTA_LOG)
+            rows = []
+            for v in _delta_log_versions(log_dir):
+                op, ts = None, None
+                with open(
+                    _os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8"
+                ) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line and '"commitInfo"' in line:
+                            ci = _json.loads(line).get("commitInfo") or {}
+                            op = ci.get("operation")
+                            ts = ci.get("timestamp")
+                            break
+                rows.append((v, ts, op))
+            return self.spark.createDataFrame(
+                rows, "version int, timestamp long, operation string"
+            )
+
+        m = re.match(
+            rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<t>{ident})$", s, re.IGNORECASE
+        )
+        if m:
+            _spec, tbl = self._resolve_ident(m.group("t"))
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["n_files"], h["is_current"])
+                    for h in tbl.history()
+                ],
+                "version int, n_files int, is_current boolean",
+            )
+
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+(?P<t>{ident})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Delta RESTORE semantics: a NEW version whose content
+            # equals the named snapshot — history stays intact (the
+            # restore itself is time-travelable and revertible).
+            _spec, tbl = self._resolve_ident(m.group("t"))
+            n = int(m.group("n"))
+            tbl.overwrite(tbl.read(version=n))
+            return {
+                "action": "restore",
+                "restored_from": n,
+                "version": tbl.current_version().version,
+            }
 
         m = re.match(rf"DESC(?:RIBE)?\s+(?P<t>{ident})$", s, re.IGNORECASE)
         if m:

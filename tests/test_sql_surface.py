@@ -453,3 +453,47 @@ def test_vacuum_foreign_paths_as_text(spark, tmp_path):
     out = lake.sql(f"VACUUM hudi.`{hp}` RETAIN 1 SLICES")
     assert out["format"] == "hudi" and out["deleted_files"] == 1
     assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {1: "A", 2: "b"}
+
+
+def test_describe_history_and_restore_as_text(spark, tmp_path):
+    """DESCRIBE HISTORY (managed + foreign Delta by path) and Delta
+    RESTORE semantics as text: the restore lands a NEW version whose
+    content equals the named snapshot — history stays intact and the
+    restore itself is time-travelable."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        write_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    lake.sql(
+        "CREATE TABLE lake.hx.t AS SELECT * FROM VALUES (1, 'a'), (2, 'b')"
+        " AS v(id, val)"
+    )
+    lake.sql(
+        "MERGE INTO lake.hx.t t USING (SELECT 1 AS id, 'A' AS val) s"
+        " ON s.id = t.id WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    hist = {r.version: r.is_current for r in lake.sql("DESCRIBE HISTORY lake.hx.t").collect()}
+    assert hist == {1: False, 2: True}
+
+    out = lake.sql("RESTORE TABLE lake.hx.t TO VERSION AS OF 1")
+    assert out["restored_from"] == 1 and out["version"] == 3
+    got = {r.id: r.val for r in lake.sql("SELECT * FROM lake.hx.t").collect()}
+    assert got == {1: "a", 2: "b"}  # pre-merge content, new version
+    # The merge snapshot is still reachable (history intact).
+    v2 = lake.sql("SELECT * FROM lake.hx.t FOR VERSION AS OF 2")
+    assert {r.id: r.val for r in v2.collect()} == {1: "A", 2: "b"}
+
+    # Foreign Delta history by path.
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
+    merge_delta(
+        spark.createDataFrame([(2, "b")], "id long, val string"), dp,
+        key="id", mode="upsert",
+    )
+    fh = {r.version: r.operation for r in lake.sql(f"DESCRIBE HISTORY delta.`{dp}`").collect()}
+    assert fh == {0: "WRITE", 1: "MERGE"}
