@@ -1553,6 +1553,71 @@ def merge_delta(
     return next_version
 
 
+def restore_delta(table_path: str, version: int) -> int:
+    """Delta RESTORE on a REAL foreign table, METADATA-ONLY (what the
+    native ``RESTORE TABLE ... TO VERSION AS OF`` does): the new commit
+    removes the files the restored snapshot does not reference and
+    re-adds the old snapshot's files by reference — zero parquet
+    rewritten, history intact (the restore itself is a new,
+    time-travelable version). Refuses when a re-added file has been
+    vacuumed away (the restore would commit a state the scan cannot
+    serve), on CDF tables (a restore without cdc capture would hole
+    the feed), and under appendOnly (removes are forbidden). Returns
+    the committed version."""
+    cur = _delta_replay(table_path, None)
+    old = _delta_replay(table_path, int(version))
+    meta = cur["metaData"]
+    _delta_guard_writer(cur["protocol"], meta, "overwrite")
+    if cur["version"] == int(version):
+        return cur["version"]  # restoring to head: no-op
+    missing = [
+        p for p in old["files"]
+        if not os.path.isfile(
+            os.path.join(table_path, urllib.parse.unquote(p))
+        )
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} of its "
+            f"data files were vacuumed (first: {missing[0]!r})"
+        )
+    ts = int(time.time() * 1000)
+    actions: list[dict] = []
+    for p in sorted(set(cur["files"]) - set(old["files"])):
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+        )
+    for p in sorted(set(old["files"]) - set(cur["files"])):
+        add = dict(old["files"][p])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    if not actions:
+        return cur["version"]  # same file set: no-op
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": int(version)},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = cur["version"] + 1
+    log_path = os.path.join(
+        table_path, _DELTA_LOG, f"{next_version:020d}.json"
+    )
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version
+
+
 # -- Apache Hudi (copy-on-write): timeline read -----------------------------
 
 _HOODIE_DIR = ".hoodie"

@@ -460,6 +460,20 @@ class LakeSQL:
             )
 
         m = re.match(
+            r"RESTORE\s+TABLE\s+delta\.`(?P<p>[^`]+)`"
+            r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Foreign Delta RESTORE: metadata-only (files re-added by
+            # reference, zero parquet rewritten).
+            from .formats.interop import restore_delta
+
+            n = int(m.group("n"))
+            v = restore_delta(m.group("p"), n)
+            return {"action": "restore", "restored_from": n, "version": v}
+
+        m = re.match(
             rf"RESTORE\s+TABLE\s+(?P<t>{ident})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)$",
             s, re.IGNORECASE,
         )

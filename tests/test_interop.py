@@ -2912,3 +2912,53 @@ def test_vacuum_delta_reclaims_old_cdf_captures(spark, tmp_path):
     # Reaching into the vacuumed window fails loudly at the scan.
     with pytest.raises(Exception):
         read_delta_changes(spark, dp, 1, 1).collect()
+
+
+def test_restore_delta_metadata_only(spark, tmp_path):
+    """Foreign Delta RESTORE is METADATA-ONLY: the commit re-adds the
+    old snapshot's files by reference (no parquet rewritten — data
+    file set identical on disk), history stays time-travelable, a
+    vacuumed target refuses, and the SQL text drives the same path."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        restore_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    dp = str(tmp_path / "r")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), dp)
+    merge_delta(
+        spark.createDataFrame([(1, "A"), (3, "c")], "id long, val string"),
+        dp, key="id", mode="upsert",
+    )
+
+    def _data_files():
+        return sorted(
+            f for r, _d, fs in os.walk(dp) if "_delta_log" not in r
+            for f in fs if f.endswith(".parquet")
+        )
+
+    files_before = _data_files()
+    v = restore_delta(dp, 0)
+    assert v == 2
+    assert _data_files() == files_before  # nothing rewritten
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "a", 2: "b"}
+    # The pre-restore state is still one time-travel away.
+    assert {r.id: r.val for r in read_delta(spark, dp, version=1).collect()} == {
+        1: "A", 2: "b", 3: "c",
+    }
+    # Restoring to head is a no-op; SQL text drives the same path.
+    assert restore_delta(dp, 2) == 2
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    out = lake.sql(f"RESTORE TABLE delta.`{dp}` TO VERSION AS OF 1")
+    assert out["version"] == 3
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {
+        1: "A", 2: "b", 3: "c",
+    }
+    # A vacuumed restore target refuses loudly.
+    vacuum_delta(dp, retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(dp, 2)
