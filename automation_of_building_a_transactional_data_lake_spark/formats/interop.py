@@ -3646,6 +3646,48 @@ def merge_iceberg(
     return snapshot_id
 
 
+def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
+    """Iceberg rollback (the catalog's ``rollback_to_snapshot``):
+    move ``current-snapshot-id`` back to a RETAINED snapshot —
+    metadata-only, no files touched, every other snapshot still
+    time-travelable. Refuses an unknown snapshot id. Returns the
+    snapshot id now current."""
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = int(snapshot_id)
+    if sid not in snaps:
+        raise FileNotFoundError(
+            f"Iceberg table at {table_path} has no snapshot {sid} "
+            f"(known: {sorted(snaps)})"
+        )
+    if meta.get("current-snapshot-id") == sid:
+        return sid  # already current: no-op
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = sid
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": sid}
+    ]
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    version = (int(m.group(1)) if m else len(new_meta["metadata-log"])) + 1
+    mdir = os.path.join(table_path, "metadata")
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    return sid
+
+
 # -- Storage lifecycle for the real-format tables ---------------------------
 #
 # At 100 TB the mirrors' history is a first-class cost: every Iceberg

@@ -474,6 +474,18 @@ class LakeSQL:
             return {"action": "restore", "restored_from": n, "version": v}
 
         m = re.match(
+            r"RESTORE\s+TABLE\s+iceberg\.`(?P<p>[^`]+)`"
+            r"\s+TO\s+SNAPSHOT\s+AS\s+OF\s+(?P<n>\d+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Iceberg rollback: current-snapshot pointer move only.
+            from .formats.interop import rollback_iceberg
+
+            sid = rollback_iceberg(m.group("p"), int(m.group("n")))
+            return {"action": "restore", "snapshot_id": sid}
+
+        m = re.match(
             rf"RESTORE\s+TABLE\s+(?P<t>{ident})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)$",
             s, re.IGNORECASE,
         )

@@ -2962,3 +2962,44 @@ def test_restore_delta_metadata_only(spark, tmp_path):
     vacuum_delta(dp, retain_versions=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta(dp, 2)
+
+
+def test_rollback_iceberg_pointer_move(spark, tmp_path):
+    """Iceberg rollback moves current-snapshot-id back to a retained
+    snapshot — metadata-only, every snapshot still time-travelable;
+    unknown ids refuse; the SQL text drives the same path."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        rollback_iceberg,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    ip = str(tmp_path / "ir")
+    s0 = write_iceberg(spark.createDataFrame([(1, "a")], "id long, val string"), ip)
+    s1 = write_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, val string"), ip,
+        mode="overwrite",
+    )
+    assert rollback_iceberg(ip, s0) == s0
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {1: "a"}
+    assert read_iceberg(spark, ip, snapshot_id=s1).count() == 1  # still there
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        rollback_iceberg(ip, 424242)
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    out = lake.sql(f"RESTORE TABLE iceberg.`{ip}` TO SNAPSHOT AS OF {s1}")
+    assert out["snapshot_id"] == s1
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {2: "b"}
+    # Writers continue cleanly after a rollback (merge on the rolled
+    # state commits a fresh snapshot on top).
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+    )
+
+    merge_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, val string"), ip,
+        key="id", mode="upsert",
+    )
+    assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {
+        2: "b", 3: "c",
+    }
