@@ -1832,6 +1832,7 @@ _hudi_batch = st.tuples(
         st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
     ),
     st.booleans(),
+    st.booleans(),  # clean old file slices after this batch?
 )
 
 
@@ -1866,7 +1867,11 @@ def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches)
         path, record_key="id", mode="bulk_insert", partition_by=["cat"],
         num_buckets=2,
     )
-    for batch, force_fallback in batches:
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        clean_hudi,
+    )
+
+    for batch, force_fallback, clean_after in batches:
         bound = 0 if force_fallback else 8192
         ups = {k: v for k, v in batch.items() if v is not None}
         dels = [k for k, v in batch.items() if v is None]
@@ -1891,6 +1896,9 @@ def test_hudi_write_sequences_match_dict_model(spark, tmp_path_factory, batches)
             )
             for k in dels:
                 model.pop(k, None)
+        if clean_after:
+            # The cleaner must never change what the snapshot reads.
+            clean_hudi(path, keep_last_slices=1)
     got = {r.id: (r.val, r.cat) for r in read_hudi(spark, path).collect()}
     assert got == {k: (v, cat(k)) for k, v in model.items()}
 
@@ -3003,3 +3011,108 @@ def test_rollback_iceberg_pointer_move(spark, tmp_path):
     assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {
         2: "b", 3: "c",
     }
+
+
+# -- Round-10 fuzz: checkpoints + storage lifecycle interleaved --------------
+
+_delta_fuzz_batch = st.tuples(
+    st.dictionaries(
+        st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
+    ),
+    st.booleans(),  # vacuum after this batch?
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_delta_fuzz_batch, min_size=1, max_size=4))
+def test_delta_sequences_with_checkpoints_and_vacuum(
+    spark, tmp_path_factory, batches
+):
+    """ANY merge sequence with the CHECKPOINT CADENCE FORCED TO EVERY
+    COMMIT and VACUUM interleaved at random still reads back equal to
+    a dict model — the round-10 checkpoint writer and version-window
+    vacuum compose with the merge protocol under arbitrary op
+    orders."""
+    from unittest import mock
+
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        interop,
+    )
+
+    path = str(tmp_path_factory.mktemp("dfuzz") / "t")
+    model = {k: "init" for k in (0, 1, 2)}
+    interop.write_delta(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ),
+        path, mode="error",
+    )
+    with mock.patch.object(interop, "_DELTA_CHECKPOINT_INTERVAL", 1):
+        for batch, vacuum_after in batches:
+            ups = {k: v for k, v in batch.items() if v is not None}
+            dels = [k for k, v in batch.items() if v is None]
+            if ups:
+                interop.merge_delta(
+                    spark.createDataFrame(
+                        [(k, v) for k, v in ups.items()], "id long, val string"
+                    ),
+                    path, key="id", mode="upsert",
+                )
+                model.update(ups)
+            if dels:
+                interop.merge_delta(
+                    spark.createDataFrame([(k,) for k in dels], "id long"),
+                    path, key="id", mode="delete",
+                )
+                for k in dels:
+                    model.pop(k, None)
+            if vacuum_after:
+                interop.vacuum_delta(path, retain_versions=1)
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == model
+
+
+_ice_fuzz_batch = st.tuples(
+    st.sampled_from(["append", "overwrite"]),
+    st.lists(st.tuples(st.integers(0, 99), _val), min_size=1, max_size=4),
+    st.booleans(),  # expire after this write?
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_ice_fuzz_batch, min_size=1, max_size=3))
+def test_iceberg_sequences_with_expiry(spark, tmp_path_factory, batches):
+    """ANY append/overwrite sequence with snapshot EXPIRY interleaved
+    at random: the head state always equals the list model (expiry
+    must never change what the current snapshot reads)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    path = str(tmp_path_factory.mktemp("iefuzz") / "t")
+    rows0 = [(0, "init", "x")]
+    model = list(rows0)
+    write_iceberg(
+        spark.createDataFrame(rows0, "id long, val string, cat string"),
+        path, mode="error", partition_by=["cat"],
+    )
+    for mode, rows, expire_after in batches:
+        full = [(k, v, "x" if k % 2 == 0 else "y") for k, v in rows]
+        write_iceberg(
+            spark.createDataFrame(full, "id long, val string, cat string"),
+            path, mode=mode, partition_by=["cat"],
+        )
+        model = (model + full) if mode == "append" else list(full)
+        if expire_after:
+            expire_iceberg_snapshots(path, keep_last=1)
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert got == sorted(model)
