@@ -3116,3 +3116,71 @@ def test_iceberg_sequences_with_expiry(spark, tmp_path_factory, batches):
             expire_iceberg_snapshots(path, keep_last=1)
     got = sorted(map(tuple, read_iceberg(spark, path).collect()))
     assert got == sorted(model)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(0, 9), st.one_of(st.none(), _val), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_delta_cdf_fold_reconstructs_any_merge_sequence(
+    spark, tmp_path_factory, batches
+):
+    """ANY merge sequence on a CDF-enabled table: folding the change
+    feed (latest non-preimage change per key; delete drops) must
+    reconstruct the table exactly — the generalization of the
+    game_user_cdc_e2e_via_changes gate to arbitrary op orders."""
+    from pyspark.sql.window import Window
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdffuzz") / "t")
+    model = {k: "init" for k in (0, 1)}
+    write_delta(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ),
+        path, mode="error",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    for batch in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            merge_delta(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, val string"
+                ),
+                path, key="id", mode="upsert",
+            )
+            model.update(ups)
+        if dels:
+            merge_delta(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, key="id", mode="delete",
+            )
+            for k in dels:
+                model.pop(k, None)
+    ch = read_delta_changes(spark, path, 0)
+    w = Window.partitionBy("id").orderBy(F.col("_commit_version").desc())
+    folded = (
+        ch.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("_change_type") != "delete"))
+    )
+    got = {r.id: r.val for r in folded.collect()}
+    assert got == model
+    assert got == {r.id: r.val for r in read_delta(spark, path).collect()}
