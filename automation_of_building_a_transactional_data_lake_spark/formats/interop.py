@@ -1,37 +1,44 @@
-"""Real-format interop: read ACTUAL Delta Lake / Apache Hudi tables,
-write ACTUAL Delta Lake tables — pure Python, no format jars.
+"""Real-format interop: read AND write ACTUAL Delta Lake / Apache Hudi
+(CoW) / Apache Iceberg (v2) tables — pure Python, no format jars.
 
 The reference's whole point is that its tables are real Hudi / Iceberg /
 Delta tables other engines can open (``src/delta/delta-initial-load.py``,
 ``src/hudi/hudi-initial-load.py``). This sandbox has none of those jars,
-but two of the three formats need none for a correct (feature-guarded)
-implementation:
+but all three formats admit a correct (feature-guarded) implementation
+from their public specifications:
 
 - **Delta Lake** is parquet data + a JSON transaction log
-  (`_delta_log/<version>.json` action lines, optional parquet
-  checkpoints) — fully specified in the public protocol
-  (delta-io/delta PROTOCOL.md). Reading is log replay; writing is
-  parquet + one more log entry. Both implemented here.
+  (`_delta_log/<version>.json` action lines, parquet checkpoints) —
+  fully specified in the public protocol (delta-io/delta PROTOCOL.md).
+  Read: log replay incl. classic/multi-part/V2 checkpoints, name- and
+  id-mode column mapping, deletion vectors (RoaringFormatSpec + Z85),
+  batch + streaming CDF. Write: create/append/overwrite (optionally
+  CDF-enabled at protocol 4), keyed MERGE with authoritative cdc
+  capture, metadata-only RESTORE, classic checkpoints every 10th
+  commit, version-window VACUUM.
 - **Hudi copy-on-write** is parquet base files named
-  ``<fileId>_<writeToken>_<instantTime>.parquet`` plus a
-  ``.hoodie/<instant>.commit`` timeline — a committed snapshot is "the
-  latest base file per file group whose instant completed". Read
-  implemented here.
+  ``<fileId>_<writeToken>_<instantTime>.parquet`` plus a ``.hoodie``
+  timeline — a committed snapshot is "the latest base file per file
+  group whose instant completed", with completed REPLACECOMMITs
+  retiring whole file groups (clustering output). Read + write
+  (bulk insert / keyed upsert / delete with bounded per-group
+  planning and a replacecommit full-rewrite fallback) + cleaner.
 - **Iceberg** metadata is a JSON file tree plus Avro manifest
   lists/manifests; no Avro library ships here, so ``formats/avro_lite``
-  implements the object-container codec from the public spec and
-  ``read_iceberg`` walks version-hint → metadata JSON → snapshot →
-  manifest list → manifests → live parquet files (v1 and v2; row-level
-  delete files raise).
+  implements the object-container codec from the public spec. Read:
+  version-hint → metadata JSON → snapshot → manifests → live parquet
+  (v1+v2, position AND equality deletes under the sequence-number
+  rule). Write: v2 snapshot commits (create/append/overwrite), keyed
+  MERGE (compact-then-merge onto delete-carrying snapshots),
+  rollback, snapshot expiry.
 
-Feature guards fail LOUDLY: Delta column mapping is read in 'name'
-mode (frozen physicalName resolution) and deletion vectors are applied
-from the roaring-bitmap sidecars; 'id'-mode mapping, and Hudi tables
-with merge-on-read logs or replacecommits, raise
-``NotImplementedError`` naming the feature — never a silently wrong
-read. The WRITE paths guard the writer-side protocol too: appending to
-a column-mapped / invariant-carrying / writer-feature table this
-writer cannot honor raises instead of corrupting a foreign table.
+Feature guards fail LOUDLY — never a silently wrong read or write:
+Hudi merge-on-read LOG files raise (deliberately: unlike Delta DVs
+and Avro, the log-block binary layout has no published byte-level
+spec retrievable here, and a reader validated only against
+self-invented fixtures would fake interop); non-parquet Iceberg
+files, unsupported Delta writer features, and schema-mismatched merge
+sources all raise naming the feature.
 
 Scale: log replay and timeline listing are O(metadata) driver work;
 the data read is a plain ``spark.read.parquet`` over the active file
@@ -39,7 +46,9 @@ list (file-parallel, column-pruned, filter-pushed by Spark itself).
 Writes stage through Spark's parquet writer and commit with one log
 append — O(batch), single-writer (no optimistic-concurrency loop
 against OTHER engines' writers; use the engine-native formats for
-contended tables).
+contended tables). Merge key frames are pinned + size-gated
+(broadcast only for CDC-sized batches; AQE picks the join for
+backfills).
 """
 
 from __future__ import annotations
