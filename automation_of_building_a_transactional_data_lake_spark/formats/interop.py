@@ -1304,8 +1304,25 @@ def write_delta(
             }
         }
     )
-    log_path = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    while True:
+        log_path = os.path.join(log_dir, f"{next_version:020d}.json")
+        try:
+            fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Another writer took this version. AddFile-only commits
+            # never conflict under Delta's own OCC rules (nothing we
+            # add depends on prior state), so an APPEND simply retries
+            # at the next slot — after re-running the writer guard, in
+            # case the interleaved commit changed table properties.
+            # Every other mode keeps the single-writer contract and
+            # surfaces the collision loudly.
+            if mode != "append":
+                raise
+            state = _delta_replay(table_path, None)
+            _delta_guard_writer(state["protocol"], state["metaData"], mode)
+            next_version = state["version"] + 1
+            continue
+        break
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")

@@ -3184,3 +3184,83 @@ def test_delta_cdf_fold_reconstructs_any_merge_sequence(
     got = {r.id: r.val for r in folded.collect()}
     assert got == model
     assert got == {r.id: r.val for r in read_delta(spark, path).collect()}
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """AddFile-only commits never conflict (Delta's own OCC rule): two
+    appends racing for the same version slot BOTH land — the loser
+    retries at the next slot instead of failing — while a racing
+    non-append still surfaces the collision loudly."""
+    import threading
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+    )
+
+    dp = str(tmp_path / "occ")
+    write_delta(spark.createDataFrame([(0, "seed")], "id long, val string"), dp)
+
+    # Deterministic interleave: stage a fake competing commit right at
+    # version 1, then append — the append must land at version 2.
+    log = os.path.join(dp, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    v = write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), dp,
+        mode="append",
+    )
+    assert v == 2
+    assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {
+        0: "seed", 1: "a",
+    }
+
+    # True race: two threads appending concurrently both commit.
+    errs = []
+
+    def _append(k):
+        try:
+            write_delta(
+                spark.createDataFrame([(k, f"t{k}")], "id long, val string"),
+                dp, mode="append",
+            )
+        except Exception as ex:  # noqa: BLE001 — collected for assert
+            errs.append(ex)
+
+    ts = [threading.Thread(target=_append, args=(k,)) for k in (10, 11)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    got = {r.id: r.val for r in read_delta(spark, dp).collect()}
+    assert got == {0: "seed", 1: "a", 10: "t10", 11: "t11"}
+
+    # Overwrite keeps the single-writer contract: a commit that lands
+    # MID-FLIGHT (after replay, before the O_EXCL create — injected via
+    # the staging hook) raises instead of silently clobbering.
+    from unittest import mock
+
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        interop,
+    )
+
+    real_stage = interop._delta_stage_files
+
+    def _stage_with_rival(df, table_path, partition_by):
+        nxt = max(
+            int(f[:20])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f[:20].isdigit()
+        ) + 1
+        with open(
+            os.path.join(log, f"{nxt:020d}.json"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+        return real_stage(df, table_path, partition_by)
+
+    with mock.patch.object(interop, "_delta_stage_files", _stage_with_rival):
+        with pytest.raises(FileExistsError):
+            interop.write_delta(
+                spark.createDataFrame([(9, "x")], "id long, val string"), dp,
+                mode="overwrite",
+            )
