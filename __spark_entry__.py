@@ -239,6 +239,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     applied to MinHash LSH; shard-pruned query vs the brute-force
 #     cross-split Jaccard oracle) registers in the TAIL this round,
 #     same protocol; rotate into a recorded slot in r11.
+#   r10 late addition 3: docs_winnow_fingerprints (rolling-hash
+#     winnowing / MOSS fingerprint selection — the remaining
+#     fingerprinting family beside SimHash; Arrow UDF bit-identical
+#     to the pure-expression twin, DuckDB re-derives every
+#     fingerprint) registers in the TAIL, same protocol; rotate into
+#     a recorded slot in r11.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -280,6 +286,7 @@ _DEMOTED_TAIL = [
     "game_user_cdc_e2e_sqltext",
     "game_item_cdc_e2e_via_changes",
     "docs_dedup_index_query",
+    "docs_winnow_fingerprints",
 ]
 
 _DRIVER_SLOTS = 50

@@ -832,3 +832,151 @@ def _star_components(
         "theoretically impossible for any realizable graph; this "
         "indicates corrupted edge input (e.g. NaN ids)"
     )
+
+
+# -- Winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+
+def winnow_fingerprints_col(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing fingerprint SET of a document (Schleimer/Wilkerson/
+    Aiken's MOSS selection, the standard rolling-hash fingerprinting
+    scheme): hash every character k-gram of the lowercased text, slide
+    a ``window`` over consecutive gram hashes, keep each window's
+    MINIMUM — the guarantee is that any match of length
+    >= k + window - 1 between two documents shares a selected
+    fingerprint, at ~1/window the storage of all grams.
+
+    Engine-portable by construction: the k-gram hash is the md5-prefix
+    integer (first 15 hex digits — the same portable-hash family as
+    ``sampling.md5_bucket_col``), identical in Spark, DuckDB, and
+    Python, so an independent oracle can re-derive every fingerprint.
+
+    Kept as the pure-expression REFERENCE twin (the exact
+    ``minhash_signature`` situation): higher-order functions evaluate
+    INTERPRETED, so per-gram md5+conv costs O(chars) interpreted evals
+    per row — ``winnow_fingerprints_udf`` below is the production
+    path. Documents shorter than ``k`` chars yield one whole-text
+    fingerprint (no row drops out of the pipeline)."""
+    if k < 2 or window < 1:
+        raise ValueError(f"need k >= 2 and window >= 1, got k={k}, window={window}")
+    t = F.lower(text)
+    n_grams = F.length(t) - F.lit(k - 1)
+    # GUARD the sequences: F.sequence(1, n) DESCENDS for n < 1 (its
+    # default step is sign-adaptive), which would hand short documents
+    # garbage gram lists instead of the whole-text fingerprint.
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: F.substring(t, i, F.lit(k))
+        ),
+    )
+
+    def _h(g):
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+    hashes = F.transform(grams, _h)
+    n_windows = F.size(hashes) - F.lit(window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        ),
+    )
+    short = F.array(_h(t))  # whole-text fingerprint for tiny docs
+    return F.array_distinct(
+        F.when(n_windows >= 1, mins).when(n_grams >= 1, hashes).otherwise(short)
+    )
+
+
+def winnow_fingerprints_udf(k: int = 8, window: int = 4):
+    """Arrow-batched production twin of ``winnow_fingerprints_col``:
+    per batch, python-side md5 over the k-grams (hashlib — the SAME
+    md5-prefix integers, so the expression twin and any independent
+    engine re-derive identical fingerprints) and a numpy
+    sliding-window minimum for the selection. Bit-identical to the
+    reference twin — gated."""
+
+    @F.pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(t):
+            if t is None:
+                return None
+            t = t.lower()
+            n = len(t)
+            if n >= k:
+                m = n - k + 1
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+            else:
+                hs = np.array(
+                    [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)],
+                    dtype=np.int64,
+                )
+            if len(hs) >= window:
+                sel = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            else:
+                sel = hs
+            return np.unique(sel).tolist()
+
+        return pd.Series([one(t) for t in texts])
+
+    return fps
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Exploded (id, fingerprint) rows — the join-able form: two
+    documents sharing any sufficiently long passage share fingerprints,
+    so a self-join on ``fingerprint`` grouped by pair counts shared
+    passages (the MOSS report) without any all-pairs comparison.
+    Production path: the Arrow-batched UDF (bit-identical to the
+    expression twin)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            winnow_fingerprints_udf(k, window)(F.col(text_col))
+        ).alias("fingerprint"),
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    materialize: str | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (id_a < id_b, n_shared desc-ready): the fingerprint table self-join
+    — work is proportional to fingerprint COLLISIONS, never all pairs.
+    The fingerprint frame feeds both join sides, so it is materialized
+    once (``_materialize``, same policy as the similarity joins)."""
+    fp = _materialize(winnow_fingerprints(df, id_col, text_col, k, window), materialize)
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

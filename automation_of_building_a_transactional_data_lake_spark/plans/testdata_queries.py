@@ -2310,6 +2310,49 @@ def game_item_cdc_e2e_via_changes(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# docs_winnow_fingerprints — rolling-hash document fingerprinting
+# (winnowing / MOSS selection): hash every character k-gram, slide a
+# window over consecutive hashes, keep each window's minimum — any
+# shared passage of length >= k + window - 1 shares a fingerprint, at
+# ~1/window the storage. Spark: Arrow-batched UDF (bit-identical to
+# the pure-expression reference twin, pinned in pytest); oracle:
+# DuckDB re-derives every fingerprint via the portable md5-prefix
+# hash + list window minima.
+# --------------------------------------------------------------------------
+
+
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
+DOCS_WINNOW_ORACLE = r"""
+WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id, CASE WHEN len(t) - 7 >= 1 THEN
+      list_transform(range(1, len(t) - 7 + 1), i -> substr(t, i, 8))
+    ELSE [t] END AS gs FROM g
+), hashes AS (
+  SELECT doc_id,
+         list_transform(gs, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))
+           AS hs
+  FROM grams
+), mins AS (
+  SELECT doc_id, CASE WHEN len(hs) - 3 >= 1 THEN
+      list_distinct(
+        list_transform(range(1, len(hs) - 3 + 1), j -> list_min(hs[j:j+3]))
+      )
+    ELSE list_distinct(hs) END AS fps
+  FROM hashes
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM mins
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_dedup_index_query — the CDC-MAINTAINED near-dup index (the
 # 100-TB dedup shape: a long-lived corpus + arriving batches, no
 # O(corpus) recompute per batch). Corpus = the md5-bucket-80% split of
@@ -2795,6 +2838,12 @@ QUERIES: dict[str, QueryDef] = {
             docs_dedup_index_query,
             DOCS_DEDUP_INDEX_ORACLE,
             headline=False,
+        ),
+        # Rolling-hash winnowing fingerprints vs the DuckDB re-derivation.
+        QueryDef(
+            "docs_winnow_fingerprints",
+            docs_winnow_fingerprints,
+            DOCS_WINNOW_ORACLE,
         ),
         QueryDef("docs_exact_dedup", docs_exact_dedup, DOCS_EXACT_DEDUP_ORACLE),
         QueryDef("docs_text_stats", docs_text_stats, DOCS_TEXT_STATS_ORACLE),

@@ -1158,3 +1158,52 @@ def test_embedding_near_dup_clusters_compose(spark):
         assert labels == {min(members)}, members
     # No cross-group merges: 6 distinct cluster labels.
     assert len(set(clusters.values())) == 6
+
+
+def test_winnow_fingerprints_twin_agreement_and_guarantee(spark):
+    """Winnowing (rolling-hash fingerprinting): the Arrow UDF path is
+    BIT-IDENTICAL to the pure-expression reference twin; the selection
+    guarantee holds (two docs sharing a passage of length >= k+w-1
+    share a fingerprint); the pair report finds the planted overlap
+    without all-pairs work; tiny docs never drop out."""
+    from pyspark.sql import functions as F
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_col,
+        winnow_shared_pairs,
+    )
+
+    shared = "the identical plagiarized passage travels verbatim here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha opening words. {shared} and an ending one"),
+            (2, f"totally different start! {shared} closing remarks"),
+            (3, "unrelated text with no overlap whatsoever in it"),
+            (4, "tiny"),  # shorter than k: whole-text fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    udf_rows = sorted(
+        map(tuple, winnow_fingerprints(docs).collect())
+    )
+    ref_rows = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(winnow_fingerprints_col(F.col("text"))).alias(
+                    "fingerprint"
+                ),
+            ).collect(),
+        )
+    )
+    assert udf_rows == ref_rows  # production twin is bit-identical
+    assert any(d == 4 for d, _ in udf_rows)  # tiny doc kept
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_shared_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # planted overlap found
+    assert all(3 not in p for p in pairs)  # no false pair with doc 3
