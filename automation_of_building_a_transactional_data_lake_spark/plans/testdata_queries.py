@@ -2326,7 +2326,21 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=8, window=4)
+    fp = winnow_fingerprints(docs, k=8, window=4)
+    # Per-doc summary, not the exploded rows: count + min + max +
+    # modular checksum pins every 60-bit fingerprint (a discrepancy
+    # slipping through all four simultaneously is ~impossible) while
+    # the result stays |docs|-sized — the exploded form would make the
+    # bench drain measure a 550k-row driver collect, not the operator.
+    # (The checksum modulus keeps the sum inside BIGINT on both
+    # engines; pytest additionally pins the exploded rows
+    # bit-identical to the pure-expression twin.)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum(F.pmod(F.col("fingerprint"), F.lit(1000003))).alias("fp_checksum"),
+    )
 
 
 DOCS_WINNOW_ORACLE = r"""
@@ -2347,8 +2361,15 @@ grams AS (
       )
     ELSE list_distinct(hs) END AS fps
   FROM hashes
+), fp AS (
+  SELECT doc_id, unnest(fps) AS fingerprint FROM mins
 )
-SELECT doc_id, unnest(fps) AS fingerprint FROM mins
+SELECT doc_id,
+       count(*) AS n_fps,
+       min(fingerprint) AS min_fp,
+       max(fingerprint) AS max_fp,
+       CAST(sum(fingerprint % 1000003) AS BIGINT) AS fp_checksum
+FROM fp GROUP BY doc_id
 """
 
 
