@@ -418,6 +418,63 @@ class LakeSQL:
             )
 
         m = re.match(
+            r"DESC(?:RIBE)?\s+HISTORY\s+iceberg\.`(?P<p>[^`]+)`$", s, re.IGNORECASE
+        )
+        if m:
+            # Foreign Iceberg history from the metadata snapshot list.
+            from .formats.interop import _iceberg_current_metadata
+
+            meta = _iceberg_current_metadata(m.group("p"))
+            cur = meta.get("current-snapshot-id")
+            rows = [
+                (
+                    int(sn["snapshot-id"]),
+                    sn.get("timestamp-ms"),
+                    (sn.get("summary") or {}).get("operation"),
+                    sn["snapshot-id"] == cur,
+                )
+                for sn in meta.get("snapshots", [])
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id long, timestamp long, operation string, "
+                "is_current boolean",
+            )
+
+        m = re.match(
+            r"DESC(?:RIBE)?\s+HISTORY\s+hudi\.`(?P<p>[^`]+)`$", s, re.IGNORECASE
+        )
+        if m:
+            # Foreign Hudi history from the completed timeline.
+            import json as _json
+            import os as _os
+
+            from .formats.interop import _HOODIE_DIR
+
+            hdir = _os.path.join(m.group("p"), _HOODIE_DIR)
+            if not _os.path.isdir(hdir):
+                raise FileNotFoundError(f"no Hudi table at {m.group('p')}")
+            rows = []
+            for fname in sorted(_os.listdir(hdir)):
+                fm = re.fullmatch(
+                    r"(\d+)(?:_\d+)?\.(commit|replacecommit)", fname
+                )
+                if not fm:
+                    continue
+                op = None
+                try:
+                    with open(_os.path.join(hdir, fname), encoding="utf-8") as f:
+                        body = f.read().strip()
+                    if body:
+                        op = _json.loads(body).get("operationType")
+                except (OSError, ValueError):
+                    op = None
+                rows.append((fm.group(1), fm.group(2), op))
+            return self.spark.createDataFrame(
+                rows, "instant string, action string, operation string"
+            )
+
+        m = re.match(
             r"DESC(?:RIBE)?\s+HISTORY\s+delta\.`(?P<p>[^`]+)`$", s, re.IGNORECASE
         )
         if m:

@@ -497,3 +497,39 @@ def test_describe_history_and_restore_as_text(spark, tmp_path):
     )
     fh = {r.version: r.operation for r in lake.sql(f"DESCRIBE HISTORY delta.`{dp}`").collect()}
     assert fh == {0: "WRITE", 1: "MERGE"}
+
+
+def test_describe_history_iceberg_and_hudi_paths(spark, tmp_path):
+    """DESCRIBE HISTORY for the other two foreign formats: Iceberg
+    from the metadata snapshot list (current flagged), Hudi from the
+    completed timeline (commit vs replacecommit actions)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    ip = str(tmp_path / "i")
+    s0 = write_iceberg(spark.createDataFrame([(1, "a")], "id long, val string"), ip)
+    s1 = write_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, val string"), ip, mode="append"
+    )
+    hist = {r.snapshot_id: r.is_current for r in lake.sql(
+        f"DESCRIBE HISTORY iceberg.`{ip}`"
+    ).collect()}
+    assert hist == {s0: False, s1: True}
+
+    hp = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame([(1, "a")], "id long, val string"), hp,
+        record_key="id", mode="bulk_insert",
+    )
+    write_hudi(
+        spark.createDataFrame([(1, "A")], "id long, val string"), hp,
+        record_key="id", mode="upsert", max_affected_file_groups=0,
+    )
+    rows = lake.sql(f"DESCRIBE HISTORY hudi.`{hp}`").collect()
+    assert [r.action for r in rows] == ["commit", "replacecommit"]
+    assert rows[0].operation == "BULK_INSERT" and rows[1].operation == "UPSERT"
