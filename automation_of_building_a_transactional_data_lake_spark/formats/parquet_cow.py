@@ -1508,6 +1508,24 @@ class ParquetCowTable:
         filter and link-forward against."""
         reader = self.spark.read
         part = self._part_name
+        if not any(True for _ in _iter_data_files(cur.path)):
+            # A snapshot can be legitimately EMPTY: a merge that
+            # deletes the last rows of a PARTITIONED table leaves no
+            # parquet at all (every partition directory went with its
+            # rows), and schema inference over zero files fails. Type
+            # the empty frame from the snapshot's committed schema
+            # mapping instead — same contract as read_iceberg's
+            # empty-snapshot read. Pre-mapping legacy snapshots keep
+            # the loud inference error (no schema exists to type them).
+            mapping = self._schema_mapping(cur.path)
+            if mapping:
+                cols = [(e["physical"], e["type"]) for e in mapping["columns"]]
+                if part and part not in {c for c, _t in cols}:
+                    ptype = self._read_meta().get("partition_type") or "string"
+                    cols.append((part, ptype))
+                return self.spark.createDataFrame(
+                    [], ", ".join(f"{c} {t}" for c, t in cols)
+                )
         if not part:
             return reader.parquet(cur.path)
         # Hive-partitioned layout: recover the partition column, then

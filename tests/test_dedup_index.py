@@ -153,3 +153,86 @@ def test_maintain_all_refreshes_dedup_indexes(spark, tmp_path):
         spark.createDataFrame([(100, _DOC)], "query_id long, text string")
     )
     assert sorted(x.doc_id for x in got.collect()) == [1, 9]
+
+
+# -- Model-based fuzz: refresh+query vs brute force -------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BASES = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "completely different words describing unrelated administrative matters",
+    "training data pipelines deduplicate documents before tokenization step",
+]
+_MUT = ["", " extra", " tail words here", " x"]
+_text = st.tuples(st.sampled_from(_BASES), st.sampled_from(_MUT)).map(
+    lambda t: t[0] + t[1]
+)
+_op = st.one_of(
+    st.tuples(st.just("upsert"), st.integers(0, 7), _text),
+    st.tuples(st.just("delete"), st.integers(0, 7), st.none()),
+)
+
+
+def _sh(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+def _jac(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4), probe=_text)
+def test_dedup_index_refresh_query_matches_brute_force(
+    spark, tmp_path_factory, ops, probe
+):
+    """ANY upsert/delete sequence + refresh: the index's answer has
+    EXACT precision (every reported pair is a true >= threshold pair —
+    the verify stage is exact) and full recall above the LSH guarantee
+    point (j >= 0.8 misses with P ~ 8e-8 at b=16/r=2)."""
+    wh = tmp_path_factory.mktemp("difuzz")
+    cat = Catalog(spark, str(wh / "wh"))
+    spec = TableSpec("docs", "doc_id", None, None, "fuzzdb")
+    tbl = cat.table(spec)
+    model = {0: _BASES[0], 1: _BASES[1]}
+    tbl.create(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string")
+    )
+    idx = ManagedDedupIndex(cat, spec, threshold=0.7)
+    idx.build()
+    for kind, key, text in ops:
+        if kind == "upsert":
+            tbl.merge_upsert(
+                spark.createDataFrame([(key, text)], "doc_id long, text string")
+            )
+            model[key] = text
+        else:
+            if key not in model:
+                continue
+            tbl.merge_delete(spark.createDataFrame([(key,)], "doc_id long"))
+            model.pop(key)
+        idx.refresh()
+    got = {
+        r.doc_id: r.jaccard
+        for r in idx.near_duplicates(
+            spark.createDataFrame([(999, probe)], "query_id long, text string")
+        ).collect()
+    }
+    ps = _sh(probe)
+    truth = {k: _jac(ps, _sh(v)) for k, v in model.items()}
+    # Precision is exact at the query threshold.
+    for k, j in got.items():
+        assert truth[k] >= 0.7 and abs(truth[k] - j) < 5e-4
+    # Recall is exact above the banding guarantee point.
+    for k, j in truth.items():
+        if j >= 0.8:
+            assert k in got, (k, j, got)

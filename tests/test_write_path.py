@@ -1630,3 +1630,32 @@ def test_disjoint_merges_race_under_real_threads(spark, tmp_path):
     assert len(got) == 8 + 4 * n_rounds
     assert tbl.row_count() == tbl.read().count() == len(got)
     assert tbl.fsck(deep=True) == []
+
+
+def test_partitioned_table_merged_to_empty_reads_typed(spark, tmp_path):
+    """A merge that deletes the LAST rows of a partitioned table leaves
+    no parquet at all; the snapshot must still read as a typed EMPTY
+    frame (from the committed schema mapping) and accept later upserts
+    — found by the dedup-index fuzz (round 10)."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = TableSpec("pempty", "id", "cat", None, "db")
+    tbl = cat.table(spec)
+    tbl.create(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, val string, cat string"
+        )
+    )
+    tbl.merge_delete(spark.createDataFrame([(1,), (2,)], "id long"))
+    df = tbl.read()
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"id": "bigint", "val": "string", "cat": "string"}
+    # Time travel to the populated snapshot still works...
+    assert tbl.read(version=1).count() == 2
+    # ...and the emptied table accepts a fresh upsert.
+    tbl.merge_upsert(
+        spark.createDataFrame([(3, "c", "z")], "id long, val string, cat string")
+    )
+    assert {(r.id, r.cat) for r in tbl.read().collect()} == {(3, "z")}
