@@ -238,8 +238,9 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
     if mwv == 7:
         # Feature FLAGS whose demands the scans above verify (or whose
         # semantics this writer's adds/removes cannot violate):
-        # deletionVectors is append/overwrite-safe (adds never carry
-        # DVs; removes drop whole files with their vectors).
+        # deletionVectors is fully honored: merge_delta WRITES DVs
+        # (strategy auto|dv), existing DVs are excluded from merge
+        # scans, and removes drop whole files with their vectors.
         honored = {
             "appendOnly", "changeDataFeed", "invariants", "checkConstraints",
             "generatedColumns", "identityColumns", "columnMapping",
@@ -433,6 +434,127 @@ def _delta_dv_positions(dv: dict, table_path: str) -> list[int]:
             f"bitmap holds {len(positions)}"
         )
     return positions
+
+
+# -- Delta Lake: deletion-vector sidecars (write) ---------------------------
+#
+# The exact inverse of the read path above: serialize deleted row
+# positions as the portable 64-bit RoaringBitmap (magic + int64 LE
+# bucket count, per bucket a uint32 LE high key + one 32-bit portable
+# bitmap), frame each DV as version-byte/size-BE/blob/crc-BE inside a
+# `deletion_vector_<uuid>.bin` sidecar, and reference it from the add
+# action with storageType "u" (PROTOCOL.md "Deletion Vectors"). Every
+# writer here is gated bit-for-bit against the module's own decoder —
+# decode(encode(x)) == x is a test invariant, not an assumption.
+
+
+def _z85_encode(data: bytes) -> str:
+    """Z85 (ZeroMQ base-85) encode; input length must be 4-aligned."""
+    if len(data) % 4:
+        raise ValueError(f"Z85 input length must be a multiple of 4, got {len(data)}")
+    out: list[str] = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            chunk.append(_Z85[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring32_encode(values: list[int]) -> bytes:
+    """ONE 32-bit RoaringBitmap, RoaringFormatSpec portable layout
+    (cookie 12346 = no run containers, descriptive + offset headers):
+    array containers up to cardinality 4096, 8 KiB bitset containers
+    above — the format-mandated switchover, so a dense DV stays O(1)
+    bytes per 65k-row chunk instead of O(rows). ``values`` must be
+    sorted, unique, in [0, 2^32)."""
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    head = struct.pack("<I", 12346) + struct.pack("<I", len(keys))
+    for k in keys:
+        head += struct.pack("<HH", k, len(by_key[k]) - 1)
+    bodies: list[bytes] = []
+    for k in keys:
+        lows = by_key[k]
+        if len(lows) <= 4096:
+            bodies.append(struct.pack(f"<{len(lows)}H", *lows))
+        else:
+            words = [0] * 1024
+            for lo in lows:
+                words[lo >> 6] |= 1 << (lo & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+    # Offset header: each container's byte position from the bitmap
+    # start (spec-required for cookie 12346 so readers can seek).
+    pos = len(head) + 4 * len(keys)
+    offs = b""
+    for b in bodies:
+        offs += struct.pack("<I", pos)
+        pos += len(b)
+    return head + offs + b"".join(bodies)
+
+
+def _dv_serialize(positions: list[int]) -> bytes:
+    """Delta DV blob: magic int32 LE + 64-bit portable roaring over the
+    sorted, deduplicated row positions."""
+    uniq = sorted(set(positions))
+    if uniq and (uniq[0] < 0 or uniq[-1] >= 1 << 64):
+        raise ValueError("DV positions must be uint64 row indexes")
+    by_high: dict[int, list[int]] = {}
+    for p in uniq:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = struct.pack("<i", _DV_MAGIC) + struct.pack("<q", len(by_high))
+    for h in sorted(by_high):
+        out += struct.pack("<I", h) + _roaring32_encode(by_high[h])
+    return out
+
+
+def _delta_write_dvs(
+    table_path: str, dv_positions: dict[str, list[int]]
+) -> dict[str, dict]:
+    """Write ONE ``deletion_vector_<uuid>.bin`` sidecar holding every
+    file's DV (version byte 0x01, then per DV: int32 BE size, blob,
+    uint32 BE crc32 — the framing ``_delta_dv_positions`` verifies) and
+    return each file's add-action descriptor. One sidecar per commit is
+    what the native writers do: the commit's DV bytes are one
+    sequential write, not a file per data file."""
+    u = uuid.uuid4()
+    fname = f"deletion_vector_{u}.bin"
+    enc = _z85_encode(u.bytes)
+    descriptors: dict[str, dict] = {}
+    buf = bytearray(b"\x01")
+    for log_path in sorted(dv_positions):
+        blob = _dv_serialize(dv_positions[log_path])
+        off = len(buf)
+        buf += struct.pack(">i", len(blob))
+        buf += blob
+        buf += struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+        descriptors[log_path] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": len(set(dv_positions[log_path])),
+        }
+    tmp = os.path.join(table_path, f".{fname}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(bytes(buf))
+    os.replace(tmp, os.path.join(table_path, fname))
+    return descriptors
+
+
+def _delta_dv_supported(protocol: dict | None) -> bool:
+    """True when the table's protocol already carries the
+    deletionVectors writer feature — the precondition for WRITING DVs.
+    This writer never upgrades a foreign table's protocol implicitly
+    (that would break every pre-DV reader of the table); create the
+    table with ``delta.enableDeletionVectors=true`` or upgrade it with
+    its native engine first."""
+    p = protocol or {}
+    return "deletionVectors" in (p.get("writerFeatures") or [])
 
 
 def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
@@ -1246,17 +1368,29 @@ def write_delta(
     if not exists:
         conf = dict(configuration or {})
         cdf_on = conf.get("delta.enableChangeDataFeed", "false").lower() == "true"
+        dv_on = conf.get("delta.enableDeletionVectors", "false").lower() == "true"
         os.makedirs(log_dir, exist_ok=True)
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 1,
-                    # CDF tables demand writer protocol 4 (spec): every
-                    # later writer must know to capture change data.
-                    "minWriterVersion": 4 if cdf_on else 2,
-                }
+        if dv_on:
+            # Deletion vectors are a TABLE FEATURE (spec): reader
+            # protocol 3 + writer protocol 7, with every in-use legacy
+            # feature listed explicitly alongside.
+            wfeats = ["appendOnly", "invariants", "deletionVectors"]
+            if cdf_on:
+                wfeats.append("changeDataFeed")
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": sorted(wfeats),
             }
-        )
+        else:
+            protocol = {
+                "minReaderVersion": 1,
+                # CDF tables demand writer protocol 4 (spec): every
+                # later writer must know to capture change data.
+                "minWriterVersion": 4 if cdf_on else 2,
+            }
+        actions.append({"protocol": protocol})
         actions.append(
             {
                 "metaData": {
@@ -1389,17 +1523,45 @@ def merge_delta(
     table_path: str,
     key: str,
     mode: str = "upsert",
+    strategy: str = "auto",
+    dv_max_fraction: float = 0.5,
+    max_dv_positions: int = 2_000_000,
 ) -> int:
     """Keyed MERGE into a REAL Delta Lake table — the reference's own
     Delta CDC apply (``src/delta/delta-cdc-load.py:122-145``: ``MERGE
     ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
     *`` and the keyed ``DELETE``), jar-less:
 
-    - ``upsert``: latest-wins by ``key`` — files holding matched keys
-      are rewritten without those rows, and the whole source batch
-      writes fresh files; unmatched files are untouched (Delta's own
-      copy-on-write merge economics).
+    - ``upsert``: latest-wins by ``key`` — matched keys' old rows are
+      retired, and the whole source batch writes fresh files;
+      unmatched files are untouched.
     - ``delete``: drop the source's keys from the files holding them.
+
+    HOW old rows are retired is the ``strategy``:
+
+    - ``rewrite`` — copy-on-write: each affected file is rewritten
+      without the matched rows (O(affected file bytes) per merge).
+    - ``dv`` — merge-on-read: each affected file stays in place and a
+      DELETION VECTOR marks the matched rows' positions (PROTOCOL.md
+      "Deletion Vectors": remove + re-add with a roaring-bitmap
+      sidecar; O(matched rows) bytes per merge — the economics that
+      make small CDC batches viable on 100-TB tables). Demands the
+      table's protocol already carry the ``deletionVectors`` writer
+      feature (create with ``delta.enableDeletionVectors=true``);
+      this writer never upgrades a foreign protocol implicitly.
+    - ``auto`` (default) — per affected file: a deletion vector when
+      the protocol supports it and the file's total deleted fraction
+      stays under ``dv_max_fraction`` (a mostly-dead file should be
+      compacted, not DV'd), else rewrite. Driver-side DV planning is
+      bounded by ``max_dv_positions`` collected row indexes; files
+      past the budget fall back to rewrite (``strategy="dv"`` raises
+      instead of silently rewriting).
+
+    Files already carrying deletion vectors merge correctly under
+    EVERY strategy: their deleted positions are excluded from the
+    scan (never resurrected by a rewrite), and a new DV unions the
+    old positions. A file whose rows are ALL retired is removed
+    outright, never left as a fully-dead DV'd husk.
 
     On a ``delta.enableChangeDataFeed=true`` table the commit also
     stages authoritative cdc files (update_preimage/update_postimage/
@@ -1407,12 +1569,14 @@ def merge_delta(
     readers (batch X106, streaming X117) and any foreign CDF reader
     reconstruct the merge row-level. Duplicate source keys refuse
     loudly (the reference dedups with its latest-record window first,
-    exactly like ``pipeline.apply_cdc_batch``). Tables with deletion
-    vectors or non-hive layouts raise — rewrite those with their
-    native engine. Returns the committed version (or the current
-    version when the merge is a no-op)."""
+    exactly like ``pipeline.apply_cdc_batch``). Non-hive partition
+    layouts raise — rewrite those with their native engine. Returns
+    the committed version (or the current version when the merge is a
+    no-op)."""
     if mode not in ("upsert", "delete"):
         raise ValueError(f"mode must be upsert|delete, got {mode!r}")
+    if strategy not in ("auto", "rewrite", "dv"):
+        raise ValueError(f"strategy must be auto|rewrite|dv, got {strategy!r}")
     spark = source.sparkSession
     state = _delta_replay(table_path, None)
     meta = state["metaData"]
@@ -1422,10 +1586,14 @@ def merge_delta(
     cols = [f.name for f in schema.fields]
     if key not in cols:
         raise ValueError(f"key {key!r} is not a table column ({cols})")
-    if any(a.get("deletionVector") for a in state["files"].values()):
+    dv_ok = _delta_dv_supported(state["protocol"])
+    if strategy == "dv" and not dv_ok:
         raise NotImplementedError(
-            "merge into a Delta table carrying deletion vectors is not "
-            "supported by the pure-Python writer"
+            "strategy='dv' needs the table protocol to carry the "
+            "deletionVectors writer feature; create the table with "
+            "delta.enableDeletionVectors=true or upgrade it with its "
+            "native engine (this writer never upgrades a foreign "
+            "table's protocol implicitly)"
         )
     adds = list(state["files"].items())
     if adds and pcols and not _delta_hive_conventional(
@@ -1468,6 +1636,39 @@ def merge_delta(
         os.path.abspath(os.path.join(table_path, urllib.parse.unquote(p))): p
         for p, _a in adds
     }
+    # Decode any EXISTING deletion vectors up front: their positions
+    # are excluded from every scan below, so already-deleted rows
+    # neither match keys nor get resurrected by a rewrite. Cardinality
+    # is bounded by rows prior commits retired in still-live files.
+    existing_dv: dict[str, list[int]] = {}
+    for p, a in adds:
+        if a.get("deletionVector"):
+            apath = os.path.abspath(
+                os.path.join(table_path, urllib.parse.unquote(p))
+            )
+            existing_dv[apath] = _delta_dv_positions(
+                a["deletionVector"], table_path
+            )
+    del_pairs = None
+    if existing_dv:
+        del_pairs = spark.createDataFrame(
+            [(p, ri) for p, pos in existing_dv.items() for ri in pos],
+            "__fp string, __ri long",
+        )
+
+    def _scan(paths: list[str]) -> DataFrame:
+        rdr = spark.read.schema(schema)
+        if pcols:
+            rdr = rdr.option("basePath", table_path)
+        df = rdr.parquet(*paths).select(
+            *cols,
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if del_pairs is not None:
+            df = df.join(F.broadcast(del_pairs), ["__fp", "__ri"], "left_anti")
+        return df
+
     # Size-gated, pinned key frame (round-9 verdict #2: a forced
     # broadcast of a backfill-sized batch is a latent executor OOM).
     keys, keys_pin = _pin_gated(src.select(key).distinct())
@@ -1475,12 +1676,7 @@ def merge_delta(
     try:
         affected: list[str] = []
         if abs_by_log:
-            rdr = spark.read.schema(schema)
-            if pcols:
-                rdr = rdr.option("basePath", table_path)
-            scan = rdr.parquet(*abs_by_log).select(
-                *cols, _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
-            )
+            scan = _scan(list(abs_by_log))
             affected = [
                 r["__fp"]
                 for r in scan.join(keys, key, "left_semi")
@@ -1491,24 +1687,87 @@ def merge_delta(
 
         survivors = None
         old_matched = None
+        dv_new: dict[str, list[int]] = {}
+        dead: list[str] = []
+        rewrite_paths: list[str] = []
         if affected:
-            rdr = spark.read.schema(schema)
-            if pcols:
-                rdr = rdr.option("basePath", table_path)
-            ascan = rdr.parquet(*sorted(affected)).select(*cols)
-            survivors = ascan.join(keys, key, "left_anti")
-            old_matched = ascan.join(keys, key, "left_semi")
+            ascan = _scan(sorted(affected))
+            old_matched = ascan.join(keys, key, "left_semi").select(*cols)
+            live = {
+                r["__fp"]: r["count"]
+                for r in ascan.groupBy("__fp").count().collect()
+            }
+            mpairs = ascan.join(keys, key, "left_semi").select("__fp", "__ri")
+            mcounts = {
+                r["__fp"]: r["count"]
+                for r in mpairs.groupBy("__fp").count().collect()
+            }
+            # Per-file physical plan: files with every live row matched
+            # are REMOVED outright; the rest take a deletion vector
+            # when the protocol supports it, the file's total deleted
+            # fraction stays under dv_max_fraction (auto — a mostly-
+            # dead file should compact, not accrete DVs), and the
+            # bounded driver-side position budget allows; else rewrite.
+            dv_chosen: list[str] = []
+            budget = max_dv_positions
+            candidates: list[tuple[int, str]] = []
+            for fp in sorted(affected):
+                prior = len(existing_dv.get(fp, []))
+                matched = mcounts.get(fp, 0)
+                physical = live[fp] + prior
+                if matched + prior >= physical:
+                    dead.append(fp)
+                    continue
+                if dv_ok and strategy != "rewrite" and (
+                    strategy == "dv"
+                    or (matched + prior) / physical <= dv_max_fraction
+                ):
+                    candidates.append((matched + prior, fp))
+                else:
+                    rewrite_paths.append(fp)
+            for total, fp in sorted(candidates):
+                if total <= budget:
+                    dv_chosen.append(fp)
+                    budget -= total
+                elif strategy == "dv":
+                    raise ValueError(
+                        "strategy='dv' would collect more than "
+                        f"max_dv_positions={max_dv_positions} deleted row "
+                        "positions driver-side; raise the budget or use "
+                        "strategy='auto' (which rewrites past-budget files)"
+                    )
+                else:
+                    rewrite_paths.append(fp)
+            if dv_chosen:
+                sel = spark.createDataFrame(
+                    [(p,) for p in dv_chosen], "__fp string"
+                )
+                for r in mpairs.join(F.broadcast(sel), "__fp").collect():
+                    dv_new.setdefault(r["__fp"], []).append(r["__ri"])
+            if rewrite_paths:
+                sel = spark.createDataFrame(
+                    [(p,) for p in rewrite_paths], "__fp string"
+                )
+                survivors = (
+                    ascan.join(F.broadcast(sel), "__fp")
+                    .join(keys, key, "left_anti")
+                    .select(*cols)
+                )
         elif mode == "delete":
             return state["version"]  # nothing matched: no-op
 
         if mode == "upsert":
-            new_df = survivors.unionByName(src) if survivors is not None else src
+            new_df = (
+                survivors.unionByName(src.select(*cols))
+                if survivors is not None
+                else src
+            )
         else:
             new_df = survivors
 
         actions: list[dict] = []
         ts = int(time.time() * 1000)
-        for apath in sorted(affected):
+        for apath in sorted(rewrite_paths) + sorted(dead):
             actions.append(
                 {
                     "remove": {
@@ -1518,8 +1777,41 @@ def merge_delta(
                     }
                 }
             )
-        for a in _delta_stage_files(new_df.select(*cols), table_path, pcols):
-            actions.append({"add": a})
+        if dv_new:
+            descriptors = _delta_write_dvs(
+                table_path,
+                {
+                    fp: sorted(set(existing_dv.get(fp, [])) | set(pos))
+                    for fp, pos in dv_new.items()
+                },
+            )
+            for fp in sorted(dv_new):
+                old = state["files"][abs_by_log[fp]]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": abs_by_log[fp],
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                newadd = {
+                    "path": abs_by_log[fp],
+                    "partitionValues": _norm_pv(old.get("partitionValues")),
+                    "size": old.get("size", 0),
+                    "modificationTime": old.get("modificationTime", ts),
+                    "dataChange": True,
+                    "deletionVector": descriptors[fp],
+                }
+                if old.get("stats"):
+                    # Stats describe the PHYSICAL file, which is
+                    # untouched; readers subtract DV cardinality.
+                    newadd["stats"] = old["stats"]
+                actions.append({"add": newadd})
+        if new_df is not None:
+            for a in _delta_stage_files(new_df.select(*cols), table_path, pcols):
+                actions.append({"add": a})
 
         cdf = (
             (meta.get("configuration") or {})
@@ -1559,7 +1851,11 @@ def merge_delta(
             "commitInfo": {
                 "timestamp": ts,
                 "operation": "MERGE",
-                "operationParameters": {"mode": mode, "key": key},
+                "operationParameters": {
+                    "mode": mode,
+                    "key": key,
+                    "strategy": strategy,
+                },
                 "engineInfo": "transactional-data-lake-spark interop",
             }
         }

@@ -3264,3 +3264,318 @@ def test_concurrent_appends_both_commit(spark, tmp_path):
                 spark.createDataFrame([(9, "x")], "id long, val string"), dp,
                 mode="overwrite",
             )
+
+
+# -- Delta: deletion-vector WRITE path (merge-on-read merges) ---------------
+#
+# The writer is gated bit-for-bit against the module's own DV decoder
+# (itself pinned above by hand-packed spec bytes), then end-to-end:
+# merge_delta(strategy=dv|auto) must leave data files untouched, mark
+# matched positions in a roaring sidecar, and read back exactly.
+
+
+def test_roaring_dv_encode_decode_roundtrip():
+    """decode(encode(x)) == x across the container switchovers: array
+    (<=4096), bitmap (>4096), multiple 16-bit keys, and 64-bit buckets
+    straddling 2^32."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _dv_serialize,
+        _roaring64_positions,
+    )
+
+    cases = [
+        [],
+        [0],
+        [1, 5, 0x10003],
+        list(range(4096)),                      # array container at the limit
+        list(range(4097)),                      # forces the bitmap form
+        list(range(0, 140000, 3)),              # bitmap + array across keys
+        [3, (1 << 32) + 7, (5 << 32) + 123],    # multi-bucket 64-bit
+        [65535, 65536, 131071],                 # key-boundary values
+    ]
+    for positions in cases:
+        blob = _dv_serialize(positions)
+        assert blob[:4] == (1681511377).to_bytes(4, "little")
+        assert _roaring64_positions(blob[4:]) == sorted(set(positions))
+
+
+def test_z85_encode_inverse_of_decoder():
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _z85_decode,
+        _z85_encode,
+    )
+
+    assert _z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    import os as _os
+
+    for n in (4, 16, 32):
+        raw = _os.urandom(n)
+        assert _z85_decode(_z85_encode(raw)) == raw
+    with pytest.raises(ValueError, match="multiple of 4"):
+        _z85_encode(b"abc")
+
+
+def _log_actions(path, version):
+    with open(
+        os.path.join(path, "_delta_log", f"{version:020d}.json"), encoding="utf-8"
+    ) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _data_files(path):
+    out = set()
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.update(f for f in files if f.endswith(".parquet"))
+    return out
+
+
+def test_merge_delta_dv_upsert_marks_positions_without_rewriting(spark, tmp_path):
+    """An upsert on a DV-enabled table retires matched rows via a
+    deletion vector: the old data files survive byte-identical, the
+    commit re-adds them with a DV descriptor, the source batch lands
+    as fresh files, and the snapshot reads exactly right (time travel
+    still sees the pre-merge rows)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvm")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id long, val string"
+    )
+    write_delta(
+        df.repartition(3), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    before = _data_files(path)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in before
+    }
+
+    src = spark.createDataFrame(
+        [(7, "NEW7"), (23, "NEW23"), (59, "NEW59")], "id long, val string"
+    )
+    v = merge_delta(src, path, "id", mode="upsert")
+    assert v == 1
+
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert len(got) == 60
+    assert got[7] == "NEW7" and got[23] == "NEW23" and got[59] == "NEW59"
+    assert got[0] == "v0"
+    # Pre-merge files are still present and untouched on disk.
+    assert before <= _data_files(path)
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, f)) == mt
+    # The commit's shape: every affected file re-added with a DV.
+    acts = _log_actions(path, v)
+    dv_adds = [a["add"] for a in acts if "add" in a and a["add"].get("deletionVector")]
+    assert dv_adds
+    for add in dv_adds:
+        d = add["deletionVector"]
+        assert d["storageType"] == "u"
+        assert d["cardinality"] >= 1
+    # Exactly one sidecar holds every DV of the commit.
+    bins = [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    # Time travel below the merge sees the original values.
+    got0 = {r.id: r.val for r in read_delta(spark, path, version=0).collect()}
+    assert got0[7] == "v7" and len(got0) == 60
+
+
+def test_merge_delta_dv_delete_unions_existing_dv(spark, tmp_path):
+    """A second DV merge on the same file UNIONS positions with the
+    existing vector (cardinality grows; no row resurrects)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvu")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, val string"
+    )
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    v1 = merge_delta(
+        spark.createDataFrame([(3,), (5,)], "id long"), path, "id", mode="delete"
+    )
+    v2 = merge_delta(
+        spark.createDataFrame([(5,), (11,)], "id long"), path, "id", mode="delete"
+    )
+    ids = {r.id for r in read_delta(spark, path).collect()}
+    assert ids == set(range(40)) - {3, 5, 11}
+    (dv1,) = [
+        a["add"]["deletionVector"]
+        for a in _log_actions(path, v1)
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    (dv2,) = [
+        a["add"]["deletionVector"]
+        for a in _log_actions(path, v2)
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv1["cardinality"] == 2
+    assert dv2["cardinality"] == 3  # union of {3,5} and {5,11}
+
+
+def test_merge_delta_dv_fully_dead_file_removed(spark, tmp_path):
+    """Deleting every remaining row of a file removes the file outright
+    — never a 100%-dead DV'd husk."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvd")
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id long, x long")
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # First kill 4 rows by DV, then the remaining 6: the file must go.
+    merge_delta(
+        spark.createDataFrame([(i,) for i in range(4)], "id long"),
+        path, "id", mode="delete",
+    )
+    v = merge_delta(
+        spark.createDataFrame([(i,) for i in range(4, 10)], "id long"),
+        path, "id", mode="delete",
+    )
+    assert read_delta(spark, path).count() == 0
+    acts = _log_actions(path, v)
+    assert any("remove" in a for a in acts)
+    assert not any("add" in a for a in acts)
+
+
+def test_merge_delta_auto_rewrites_dense_matches(spark, tmp_path):
+    """auto keeps the dv_max_fraction contract: matching most of a
+    file's rows rewrites it (no DV in the commit), and the DV budget
+    cap falls back to rewrite too."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvf")
+    df = spark.createDataFrame([(i, i) for i in range(20)], "id long, x long")
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # 15/20 = 75% > 50% default fraction -> rewrite.
+    v = merge_delta(
+        spark.createDataFrame([(i, -i) for i in range(15)], "id long, x long"),
+        path, "id", mode="upsert",
+    )
+    acts = _log_actions(path, v)
+    assert not any(
+        a["add"].get("deletionVector") for a in acts if "add" in a
+    )
+    got = {r.id: r.x for r in read_delta(spark, path).collect()}
+    assert got[3] == -3 and got[19] == 19 and len(got) == 20
+
+    # Budget: 3 matched positions with max_dv_positions=2 -> auto
+    # rewrites; explicit strategy='dv' refuses instead.
+    v2 = merge_delta(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        path, "id", mode="delete", max_dv_positions=2,
+    )
+    assert not any(
+        a["add"].get("deletionVector")
+        for a in _log_actions(path, v2)
+        if "add" in a
+    )
+    with pytest.raises(ValueError, match="max_dv_positions"):
+        merge_delta(
+            spark.createDataFrame([(5,), (6,), (7,)], "id long"),
+            path, "id", mode="delete", strategy="dv", max_dv_positions=2,
+        )
+
+
+def test_merge_delta_dv_demands_protocol_feature(spark, tmp_path):
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "nodv")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, mode="error"
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        merge_delta(
+            spark.createDataFrame([(1, "b")], "id long, v string"),
+            path, "id", strategy="dv",
+        )
+
+
+def test_merge_delta_rewrite_on_dv_table_never_resurrects(spark, tmp_path):
+    """The regression the old blanket refusal guarded against, now
+    handled: REWRITING a file that carries a deletion vector must not
+    bring its deleted rows back."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvrw")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string")
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(4,)], "id long"), path, "id", mode="delete",
+        strategy="dv",
+    )
+    # Force a rewrite of the same (DV-carrying) file.
+    merge_delta(
+        spark.createDataFrame([(7, "RW7")], "id long, val string"),
+        path, "id", mode="upsert", strategy="rewrite",
+    )
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert 4 not in got
+    assert got[7] == "RW7" and len(got) == 9
+
+
+def test_merge_delta_dv_cdf_capture_reconstructs(spark, tmp_path):
+    """DV merges on a CDF table still stage authoritative cdc files:
+    folding read_delta_changes over the whole history reproduces the
+    final snapshot (physical mechanism is invisible to the feed)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "dvcdf")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(30)], "id long, val string")
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    merge_delta(
+        spark.createDataFrame(
+            [(2, "U2"), (40, "I40")], "id long, val string"
+        ),
+        path, "id", mode="upsert",
+    )
+    merge_delta(
+        spark.createDataFrame([(5,), (6,)], "id long"), path, "id", mode="delete"
+    )
+
+    ch = read_delta_changes(spark, path, 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "update_preimage", 0).otherwise(1).desc(),
+    )
+    folded = (
+        ch.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .filter(F.col("_change_type") != "delete")
+        .select("id", "val")
+    )
+    assert _rows(folded) == _rows(read_delta(spark, path).select("id", "val"))
