@@ -3154,6 +3154,30 @@ def _iceberg_stage_files(
     return out
 
 
+def _mlist_carry(rec: dict) -> dict:
+    """Normalize a manifest-list record CARRIED FORWARD from a foreign
+    snapshot into the engine's strict v2 mlist schema: foreign/older
+    writers may omit the count/sequence fields (advisory for planning),
+    and re-serializing a sparse record through a required-long schema
+    would crash the commit."""
+    seq = int(rec.get("sequence_number") or 0)
+    return {
+        "manifest_path": rec["manifest_path"],
+        "manifest_length": int(rec.get("manifest_length") or 0),
+        "partition_spec_id": int(rec.get("partition_spec_id") or 0),
+        "content": int(rec.get("content") or 0),
+        "sequence_number": seq,
+        "min_sequence_number": int(rec.get("min_sequence_number") or seq),
+        "added_snapshot_id": int(rec.get("added_snapshot_id") or 0),
+        "added_files_count": int(rec.get("added_files_count") or 0),
+        "existing_files_count": int(rec.get("existing_files_count") or 0),
+        "deleted_files_count": int(rec.get("deleted_files_count") or 0),
+        "added_rows_count": int(rec.get("added_rows_count") or 0),
+        "existing_rows_count": int(rec.get("existing_rows_count") or 0),
+        "deleted_rows_count": int(rec.get("deleted_rows_count") or 0),
+    }
+
+
 def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
     """(manifest_entry schema, manifest_file schema) — the Iceberg v2
     Avro shapes with spec field-ids, partition record typed per the
@@ -3563,29 +3587,55 @@ def merge_iceberg(
     table_path: str,
     key: str,
     mode: str = "upsert",
+    strategy: str = "auto",
+    mor_max_fraction: float = 0.5,
+    max_mor_positions: int = 2_000_000,
 ) -> int:
     """Keyed MERGE into a REAL Apache Iceberg v2 table — the
     reference's own Iceberg CDC apply (``src/iceberg/
     iceberg-cdc-load.py:127-150``: ``MERGE ... WHEN MATCHED THEN
     UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` and the keyed
-    DELETE), jar-less and copy-on-write:
+    DELETE), jar-less. HOW matched rows are retired is the
+    ``strategy`` (Iceberg's own ``write.merge.mode``):
 
-    only data files holding matched keys rewrite; every previous
-    manifest that references an affected file is REWRITTEN with those
-    entries marked status-2 (deleted, original sequence numbers kept)
-    and the rest carried as status-0 (existing) — untouched manifests
-    carry forward verbatim in the new manifest list, so snapshot
-    readers see the merged state and incremental readers see exactly
-    which files this snapshot removed. Duplicate source keys refuse
-    loudly. A snapshot carrying row-level delete files (e.g. a table a
-    native engine's MERGE has touched) merges via a COMPACTING commit:
-    the deletes are APPLIED (read_iceberg's delete-aware scan), the
-    merged state lands in fresh files, and every prior data AND delete
-    file retires status-2 — apply-then-rewrite, the same compaction
-    native engines run (rewrite_data_files) before delete-sensitive
-    operations. Returns the new snapshot id."""
+    - ``cow`` — copy-on-write: only data files holding matched keys
+      rewrite; every previous manifest that references an affected
+      file is REWRITTEN with those entries marked status-2 (deleted,
+      original sequence numbers kept) and the rest carried as
+      status-0 — untouched manifests carry forward verbatim, so
+      snapshot readers see the merged state and incremental readers
+      see exactly which files this snapshot removed.
+    - ``mor`` — merge-on-read: affected files stay in place and a
+      POSITION DELETE file (spec content=1: sorted ``file_path``/
+      ``pos`` parquet, one per affected partition) marks the matched
+      rows; the commit adds one content=1 delete manifest and touches
+      no prior manifest — O(matched rows) bytes per merge, the
+      economics that make small CDC batches viable on 100-TB tables.
+    - ``auto`` (default) — per affected file: position-delete when
+      the file's total deleted fraction stays under
+      ``mor_max_fraction`` (a mostly-dead file should compact, not
+      accrete deletes) and the bounded ``max_mor_positions``
+      driver-side budget allows, else rewrite (``strategy="mor"``
+      raises past budget instead of silently rewriting). A file whose
+      rows are ALL retired goes status-2 outright under every
+      strategy.
+
+    Snapshots already carrying POSITION delete files merge at
+    O(affected files) under every strategy: their (file, pos) pairs
+    are anti-joined out of each scan (no resurrection) and the prior
+    delete manifests carry forward verbatim. Snapshots carrying
+    EQUALITY deletes (value-based, sequence-ordered) always merge via
+    a COMPACTING commit instead: the deletes are APPLIED
+    (read_iceberg's delete-aware scan), the merged state lands in
+    fresh files, and every prior data AND delete file retires
+    status-2 — apply-then-rewrite, the same compaction native engines
+    run (rewrite_data_files) before delete-sensitive operations.
+    Duplicate source keys refuse loudly. Returns the new snapshot
+    id."""
     if mode not in ("upsert", "delete"):
         raise ValueError(f"mode must be upsert|delete, got {mode!r}")
+    if strategy not in ("auto", "cow", "mor"):
+        raise ValueError(f"strategy must be auto|cow|mor, got {strategy!r}")
     spark = source.sparkSession
     from .avro_lite import read_avro_file, write_avro_file
 
@@ -3633,30 +3683,56 @@ def merge_iceberg(
     _s, mlist_records = read_avro_file(mlist_path)
     data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
     delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
-    # A snapshot carrying row-level delete files (the reference's own
-    # MERGE INTO produces position deletes at its first CDC batch)
-    # cannot take the economical per-file merge — which files' rows
-    # are live depends on the delete files. Instead: APPLY the deletes
-    # (read_iceberg's delete-aware scan) and REWRITE — one COMPACTING
-    # commit that retires every prior data and delete file (status-2,
-    # so incremental readers see the removals) and lands the merged
-    # state in fresh files. Native engines run the same compaction
-    # (rewrite_data_files) before delete-sensitive operations; closes
-    # the r9 reader/writer asymmetry (verdict missing #3).
-    compacting = bool(delete_recs)
+    # Existing row-level deletes: EQUALITY deletes (value-based,
+    # sequence-ordered — the shape a native engine's MERGE can leave)
+    # force the COMPACTING path, because which rows they kill depends
+    # on data sequence numbers a per-file merge would scramble. Apply
+    # the deletes (read_iceberg's delete-aware scan) and REWRITE — one
+    # commit that retires every prior data and delete file status-2
+    # and lands the merged state in fresh files, the same compaction
+    # native engines run before delete-sensitive operations. POSITION
+    # deletes ride along instead: path-exact (file, pos) pairs
+    # anti-join out of every scan and the delete manifests carry
+    # forward verbatim, so a snapshot a MoR merge has touched still
+    # merges at O(affected files), not O(table).
+    existing_pos_files: list[str] = []
+    has_eq = False
+    for r in delete_recs:
+        _sd, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        for e in dentries:
+            if e.get("status", 1) == 2:
+                continue
+            if e["data_file"].get("content", 1) == 2:
+                has_eq = True
+            else:
+                existing_pos_files.append(
+                    _iceberg_local_path(e["data_file"]["file_path"], table_path)
+                )
+    compacting = has_eq
 
-    # Per-manifest live entries, with normalized data-file paths.
+    # Per-manifest live entries, with normalized data-file paths; keep
+    # each file's ORIGINAL file_path string and partition record — a
+    # new position-delete row must reference the manifest's exact URI
+    # (foreign readers match strings, not normalized paths).
     manifests: list[dict] = []
     all_paths: list[str] = []
+    orig_path: dict[str, str] = {}
+    part_of: dict[str, dict] = {}
     for r in data_recs:
         _s2, entries = read_avro_file(
             _iceberg_local_path(r["manifest_path"], table_path)
         )
         live = [e for e in entries if e.get("status", 1) != 2]
-        paths = [
-            os.path.abspath(_iceberg_local_path(e["data_file"]["file_path"], table_path))
-            for e in live
-        ]
+        paths = []
+        for e in live:
+            ap = os.path.abspath(
+                _iceberg_local_path(e["data_file"]["file_path"], table_path)
+            )
+            paths.append(ap)
+            orig_path[ap] = e["data_file"]["file_path"]
+            part_of[ap] = dict(e["data_file"].get("partition") or {})
         manifests.append({"rec": r, "entries": live, "paths": paths})
         all_paths.extend(paths)
 
@@ -3686,36 +3762,133 @@ def merge_iceberg(
         if key not in source.columns:
             raise ValueError(f"delete source lacks the key column {key!r}")
         src = source.select(key).distinct()
+    pos_pairs = None
+    if existing_pos_files and not compacting:
+        pos_pairs = spark.read.parquet(*existing_pos_files).select(
+            _norm_file_path(F.col("file_path")).alias("__fp"),
+            F.col("pos").cast("long").alias("__ri"),
+        )
+
+    def _mscan(paths: list[str]) -> DataFrame:
+        d = spark.read.schema(schema).parquet(*paths).select(
+            *cols,
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if pos_pairs is not None:
+            # Rows existing position deletes already killed neither
+            # match keys nor survive a rewrite (no resurrection).
+            d = d.join(
+                _delete_side(pos_pairs, existing_pos_files),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        return d
+
     # Size-gated, pinned key frame (round-9 verdict #2: a forced
     # broadcast of a backfill-sized batch is a latent executor OOM).
     keys, keys_pin = _pin_gated(src.select(key).distinct())
     try:
         affected: set[str] = set()
         survivors = None
+        mor_new: dict[str, list[int]] = {}
+        dead: list[str] = []
+        rewrite_paths: list[str] = []
         if compacting:
             # Every data file rewrites; survivors come from the
             # delete-APPLIED state, not a raw path scan.
             affected = {os.path.abspath(p) for p in all_paths}
+            rewrite_paths = sorted(affected)
             live = read_iceberg(spark, table_path).select(*cols)
             survivors = live.join(keys, key, "left_anti")
         elif all_paths:
-            scan = spark.read.schema(schema).parquet(*all_paths).select(
-                *cols, _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
-            )
+            scan = _mscan(all_paths)
             affected = {
                 r["__fp"]
                 for r in scan.join(keys, key, "left_semi")
                 .select("__fp").distinct().collect()
             }
+            if affected:
+                ascan = _mscan(sorted(affected))
+                live_cnt = {
+                    r["__fp"]: r["count"]
+                    for r in ascan.groupBy("__fp").count().collect()
+                }
+                mpairs = ascan.join(keys, key, "left_semi").select("__fp", "__ri")
+                mcounts = {
+                    r["__fp"]: r["count"]
+                    for r in mpairs.groupBy("__fp").count().collect()
+                }
+                prior_cnt: dict[str, int] = {}
+                if pos_pairs is not None:
+                    asel = spark.createDataFrame(
+                        [(p,) for p in sorted(affected)], "__fp string"
+                    )
+                    prior_cnt = {
+                        r["__fp"]: r["count"]
+                        for r in pos_pairs.join(F.broadcast(asel), "__fp")
+                        .groupBy("__fp").count().collect()
+                    }
+                # Per-file physical plan, same shape as merge_delta's:
+                # fully-dead files retire status-2; position-delete
+                # when the density gate and bounded driver-side budget
+                # allow; else rewrite.
+                mor_chosen: list[str] = []
+                budget = max_mor_positions
+                candidates: list[tuple[int, str]] = []
+                for fp in sorted(affected):
+                    prior = prior_cnt.get(fp, 0)
+                    matched = mcounts.get(fp, 0)
+                    physical = live_cnt[fp] + prior
+                    if matched + prior >= physical:
+                        dead.append(fp)
+                        continue
+                    if strategy != "cow" and (
+                        strategy == "mor"
+                        or (matched + prior) / physical <= mor_max_fraction
+                    ):
+                        candidates.append((matched, fp))
+                    else:
+                        rewrite_paths.append(fp)
+                for matched, fp in sorted(candidates):
+                    if matched <= budget:
+                        mor_chosen.append(fp)
+                        budget -= matched
+                    elif strategy == "mor":
+                        raise ValueError(
+                            "strategy='mor' would collect more than "
+                            f"max_mor_positions={max_mor_positions} deleted "
+                            "row positions driver-side; raise the budget or "
+                            "use strategy='auto' (which rewrites past-budget "
+                            "files)"
+                        )
+                    else:
+                        rewrite_paths.append(fp)
+                if mor_chosen:
+                    msel = spark.createDataFrame(
+                        [(p,) for p in mor_chosen], "__fp string"
+                    )
+                    for r in mpairs.join(F.broadcast(msel), "__fp").collect():
+                        mor_new.setdefault(r["__fp"], []).append(r["__ri"])
+                if rewrite_paths:
+                    rsel = spark.createDataFrame(
+                        [(p,) for p in rewrite_paths], "__fp string"
+                    )
+                    survivors = (
+                        ascan.join(F.broadcast(rsel), "__fp")
+                        .join(keys, key, "left_anti")
+                        .select(*cols)
+                    )
 
-        if affected and survivors is None:
-            ascan = spark.read.schema(schema).parquet(*sorted(affected)).select(*cols)
-            survivors = ascan.join(keys, key, "left_anti")
-        elif not affected and mode == "delete":
+        if not affected and mode == "delete":
             return sid  # nothing matched: no-op, current snapshot stands
 
         if mode == "upsert":
-            new_df = survivors.unionByName(src) if survivors is not None else src
+            new_df = (
+                survivors.unionByName(src.select(*cols))
+                if survivors is not None
+                else src
+            )
         else:
             new_df = survivors
 
@@ -3728,9 +3901,14 @@ def merge_iceberg(
         # _iceberg_stage_files executes the plan (the last consumer of
         # the pinned keys); manifest/metadata writes below are pure
         # driver-side work.
-        staged = _iceberg_stage_files(new_df.select(*cols), table_path, partition_by)
+        staged = (
+            _iceberg_stage_files(new_df.select(*cols), table_path, partition_by)
+            if new_df is not None
+            else []
+        )
     finally:
         keys_pin.unpersist()
+    retire = set(rewrite_paths) | set(dead)
     added_rows = 0
     add_entries = []
     for apath, pv, nrec, size in staged:
@@ -3777,10 +3955,99 @@ def merge_iceberg(
                 "existing_rows_count": 0, "deleted_rows_count": 0,
             }
         )
+    # New POSITION DELETE files for the merge-on-read portion: one
+    # sorted (file_path, pos) parquet per affected partition (spec:
+    # delete files belong to one partition, like data files), rows
+    # referencing each manifest's ORIGINAL file_path string, parquet
+    # field ids 2147483546/2147483545 so foreign readers resolve them.
+    if mor_new:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        by_part: dict[tuple, list[tuple[str, int]]] = {}
+        for fp, positions in mor_new.items():
+            pkey = tuple(sorted(part_of.get(fp, {}).items()))
+            by_part.setdefault(pkey, []).extend(
+                (orig_path[fp], ri) for ri in positions
+            )
+        ddir = os.path.join(table_path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        pa_schema = pa.schema(
+            [
+                pa.field(
+                    "file_path", pa.string(), nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos", pa.int64(), nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        del_entries = []
+        for pkey, rows in sorted(by_part.items()):
+            rows.sort()
+            dpath = os.path.join(ddir, f"{uuid.uuid4().hex}-deletes.parquet")
+            papq.write_table(
+                pa.table(
+                    {
+                        "file_path": [p for p, _ri in rows],
+                        "pos": [ri for _p, ri in rows],
+                    },
+                    schema=pa_schema,
+                ),
+                dpath,
+            )
+            pv = dict(pkey)
+            del_entries.append(
+                {
+                    "status": 1, "snapshot_id": snapshot_id,
+                    "sequence_number": seq, "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1, "file_path": f"file://{dpath}",
+                        "file_format": "PARQUET",
+                        "partition": {
+                            pf["name"]: pv.get(pf["name"]) for pf in part_fields
+                        },
+                        "record_count": len(rows),
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                    },
+                }
+            )
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0d.avro")
+        write_avro_file(
+            mpath, entry_schema, del_entries,
+            extra_meta={
+                "schema": json.dumps(cur_schema).encode("utf-8"),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode("utf-8"),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        new_mlist.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in del_entries
+                ),
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        )
+
     for mf in manifests:
-        touched = [p in affected for p in mf["paths"]]
+        touched = [p in retire for p in mf["paths"]]
         if not any(touched):
-            new_mlist.append(mf["rec"])  # untouched: carried verbatim
+            # Untouched: carried forward (normalized — foreign records
+            # may be sparse on the advisory count fields).
+            new_mlist.append(_mlist_carry(mf["rec"]))
             continue
         rewritten = []
         n_exist = n_del = rows_exist = rows_del = 0
@@ -3924,6 +4191,11 @@ def merge_iceberg(
                     "deleted_rows_count": n_rows,
                 }
             )
+    else:
+        # Prior POSITION-delete manifests stay live: their pairs are
+        # path-exact, so they keep applying to untouched files and
+        # dangle harmlessly for retired ones (maintenance reclaims).
+        new_mlist.extend(_mlist_carry(r) for r in delete_recs)
 
     mlist_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     mlist_abs = os.path.join(mdir, mlist_name)
@@ -3937,7 +4209,13 @@ def merge_iceberg(
         "summary": {
             "operation": "overwrite",
             "added-data-files": str(len(add_entries)),
-            "deleted-data-files": str(len(affected)),
+            "deleted-data-files": str(len(retire)),
+            "added-delete-files": str(len({
+                tuple(sorted(part_of.get(fp, {}).items())) for fp in mor_new
+            })),
+            "added-position-deletes": str(
+                sum(len(v) for v in mor_new.values())
+            ),
         },
         "schema-id": 0,
     }

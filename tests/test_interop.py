@@ -2523,13 +2523,14 @@ def test_iceberg_eq_delete_classes_coalesce_by_applicable_set(spark, tmp_path):
     assert plan.count("LeftAnti") == 1, plan
 
 
-def test_merge_iceberg_compacts_delete_carrying_snapshot(spark, tmp_path):
-    """r9 verdict missing #3: merging onto a snapshot that carries
-    row-level delete files no longer raises — the deletes are APPLIED
-    and the table rewrites in one compacting commit (fresh data files,
-    every prior data and delete file retired status-2). The merged
-    state must reflect the deletes, prior snapshots stay readable, and
-    the post-compaction table takes the normal per-file merge path."""
+def test_merge_iceberg_posdelete_snapshot_merges_without_compaction(spark, tmp_path):
+    """Merging onto a snapshot that carries POSITION delete files no
+    longer forces a table-wide compacting rewrite (r10: the O(table)
+    compaction for one position delete was the scale-killer): the
+    existing (file, pos) pairs are anti-joined out of the scan (a
+    deleted key comes back as an INSERT, never resurrects) and the
+    prior delete manifest carries forward live. Prior snapshots stay
+    readable and a normal keyed delete works afterwards."""
     from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
         read_avro_file,
         write_avro_file,
@@ -2596,22 +2597,29 @@ def test_merge_iceberg_compacts_delete_carrying_snapshot(spark, tmp_path):
     assert _rows(got.select("id", "val", "score")) == [
         (2, "B2", 1.0), (3, "c", None), (9, "new", 2.0),
     ]
-    # The compacted snapshot carries NO live delete files: every
-    # manifest-list record with content=1 holds only status-2 entries.
+    # NO compaction happened: the prior position-delete manifest
+    # carried FORWARD live (still status-1) and the prior data
+    # manifest carried forward untouched — the merge cost O(affected
+    # files), not O(table).
     with open(os.path.join(mdir, "version-hint.text"), encoding="ascii") as f:
         hint = f.read().strip()
     with open(os.path.join(mdir, f"v{hint}.metadata.json"), encoding="utf-8") as f:
         m2 = json.load(f)
     snap = next(s for s in m2["snapshots"] if s["snapshot-id"] == new_sid)
     _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
-    for r in [r for r in recs if r.get("content", 0) != 0]:
-        _s2, entries = read_avro_file(r["manifest_path"].replace("file://", ""))
-        assert all(e["status"] == 2 for e in entries)
+    del_recs = [r for r in recs if r.get("content", 0) != 0]
+    assert [r["manifest_path"] for r in del_recs] == ["file://" + mdel]
+    _s2, entries = read_avro_file(mdel)
+    assert [e["status"] for e in entries] == [1]
+    data_recs = [r for r in recs if r.get("content", 0) == 0]
+    assert "file://" + os.path.join(mdir, "m2.avro") in [
+        r["manifest_path"] for r in data_recs
+    ]
     # Prior snapshot still time-travelable with its deletes applied.
     assert _rows(
         read_iceberg(spark, root, snapshot_id=102).select("id", "val")
     ) == [(3, "c")]
-    # Post-compaction: a normal (non-compacting) keyed delete works.
+    # A keyed delete on the delete-carrying table works too.
     merge_iceberg(
         spark.createDataFrame([(3,)], "id long"), root, key="id", mode="delete"
     )
@@ -3474,11 +3482,13 @@ def test_merge_delta_auto_rewrites_dense_matches(spark, tmp_path):
     got = {r.id: r.x for r in read_delta(spark, path).collect()}
     assert got[3] == -3 and got[19] == 19 and len(got) == 20
 
-    # Budget: 3 matched positions with max_dv_positions=2 -> auto
-    # rewrites; explicit strategy='dv' refuses instead.
+    # Budget: a zero position budget forces every candidate file back
+    # to rewrite (the bound is per collected position, so a partial
+    # budget admits the files that fit — still bounded); explicit
+    # strategy='dv' refuses instead.
     v2 = merge_delta(
         spark.createDataFrame([(1,), (2,), (3,)], "id long"),
-        path, "id", mode="delete", max_dv_positions=2,
+        path, "id", mode="delete", max_dv_positions=0,
     )
     assert not any(
         a["add"].get("deletionVector")
@@ -3488,7 +3498,7 @@ def test_merge_delta_auto_rewrites_dense_matches(spark, tmp_path):
     with pytest.raises(ValueError, match="max_dv_positions"):
         merge_delta(
             spark.createDataFrame([(5,), (6,), (7,)], "id long"),
-            path, "id", mode="delete", strategy="dv", max_dv_positions=2,
+            path, "id", mode="delete", strategy="dv", max_dv_positions=0,
         )
 
 
@@ -3579,3 +3589,319 @@ def test_merge_delta_dv_cdf_capture_reconstructs(spark, tmp_path):
         .select("id", "val")
     )
     assert _rows(folded) == _rows(read_delta(spark, path).select("id", "val"))
+
+
+# -- Iceberg: position-delete WRITE path (merge-on-read merges) -------------
+
+
+def test_merge_iceberg_mor_upsert_writes_position_deletes(spark, tmp_path):
+    """An auto-strategy merge on an Iceberg table retires matched rows
+    via a POSITION DELETE file: prior data files and manifests stay
+    untouched (carried forward, byte-identical on disk), the commit
+    adds one content=1 delete manifest whose parquet is the sorted
+    (file_path, pos) shape with the spec's reserved field ids, and the
+    snapshot reads exactly right (time travel included)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "imor")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id long, val string"
+    )
+    write_iceberg(df.repartition(3), root)
+    ddir = os.path.join(root, "data")
+    before = {
+        f: os.path.getmtime(os.path.join(ddir, f))
+        for f in os.listdir(ddir) if f.endswith(".parquet")
+    }
+
+    src = spark.createDataFrame(
+        [(7, "N7"), (23, "N23"), (99, "I99")], "id long, val string"
+    )
+    sid = merge_iceberg(src, root, key="id", mode="upsert")
+    got = {r.id: r.val for r in read_iceberg(spark, root).collect()}
+    assert len(got) == 61
+    assert got[7] == "N7" and got[23] == "N23" and got[99] == "I99" and got[0] == "v0"
+
+    # Old data files untouched on disk.
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(ddir, f)) == mt
+    dels = [f for f in os.listdir(ddir) if f.endswith("-deletes.parquet")]
+    assert len(dels) == 1
+    import pyarrow.parquet as _pq
+
+    dt = _pq.read_table(os.path.join(ddir, dels[0]))
+    assert dt.column_names == ["file_path", "pos"]
+    rows = list(zip(dt["file_path"].to_pylist(), dt["pos"].to_pylist()))
+    assert rows == sorted(rows)  # spec: sorted by file_path then pos
+    assert len(rows) == 2  # ids 7 and 23 matched; 99 is an insert
+    sch = _pq.read_schema(os.path.join(ddir, dels[0]))
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+
+    # The new manifest list: prior data manifests carried (no status-2
+    # rewrite), plus one content=1 delete manifest with status-1
+    # entries at the new sequence number.
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text"), encoding="ascii") as f:
+        hint = f.read().strip()
+    with open(os.path.join(meta_dir, f"v{hint}.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    del_recs = [r for r in recs if r.get("content", 0) != 0]
+    assert len(del_recs) == 1
+    _s2, dentries = read_avro_file(del_recs[0]["manifest_path"].replace("file://", ""))
+    assert [e["status"] for e in dentries] == [1]
+    assert dentries[0]["data_file"]["content"] == 1
+    assert dentries[0]["data_file"]["record_count"] == 2
+    assert snap["summary"]["added-position-deletes"] == "2"
+
+    # Time travel to the pre-merge snapshot sees the original rows.
+    first = next(s for s in meta["snapshots"] if s["snapshot-id"] != sid)
+    got0 = {
+        r.id: r.val
+        for r in read_iceberg(spark, root, snapshot_id=first["snapshot-id"]).collect()
+    }
+    assert got0[7] == "v7" and len(got0) == 60
+
+    # A SECOND merge carries the first delete manifest forward.
+    merge_iceberg(
+        spark.createDataFrame([(7,), (11,)], "id long"), root, key="id",
+        mode="delete",
+    )
+    got2 = {r.id: r.val for r in read_iceberg(spark, root).collect()}
+    assert len(got2) == 59 and 7 not in got2 and 11 not in got2
+    assert got2[23] == "N23"
+
+
+def test_merge_iceberg_mor_density_and_budget_gates(spark, tmp_path):
+    """auto rewrites files whose deleted fraction would exceed
+    mor_max_fraction and files past the bounded driver-side budget;
+    strategy='mor' raises past budget instead of silently rewriting."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "idense")
+    write_iceberg(
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, x long")
+        .coalesce(1),
+        root,
+    )
+    # 15/20 = 75% > 50% -> rewrite: no delete parquet appears.
+    merge_iceberg(
+        spark.createDataFrame([(i, -i) for i in range(15)], "id long, x long"),
+        root, key="id", mode="upsert",
+    )
+    ddir = os.path.join(root, "data")
+    assert not [f for f in os.listdir(ddir) if f.endswith("-deletes.parquet")]
+    got = {r.id: r.x for r in read_iceberg(spark, root).collect()}
+    assert got[3] == -3 and got[19] == 19 and len(got) == 20
+
+    # Budget: a zero position budget means every candidate file falls
+    # back to rewrite (the bound is per collected position, so a
+    # partial budget admits the files that fit — still bounded).
+    merge_iceberg(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        root, key="id", mode="delete", max_mor_positions=0,
+    )
+    assert not [f for f in os.listdir(ddir) if f.endswith("-deletes.parquet")]
+    assert read_iceberg(spark, root).count() == 17
+    with pytest.raises(ValueError, match="max_mor_positions"):
+        merge_iceberg(
+            spark.createDataFrame([(5,), (6,), (7,)], "id long"),
+            root, key="id", mode="delete", strategy="mor", max_mor_positions=0,
+        )
+
+
+def test_merge_iceberg_mor_dead_file_retires_outright(spark, tmp_path):
+    """A file whose every live row is matched goes status-2, never a
+    fully-dead position-delete husk — even under strategy='mor'."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "idead")
+    write_iceberg(
+        spark.createDataFrame([(i, i) for i in range(8)], "id long, x long")
+        .coalesce(1),
+        root,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(i,) for i in range(3)], "id long"),
+        root, key="id", mode="delete", strategy="mor",
+    )
+    merge_iceberg(
+        spark.createDataFrame([(i,) for i in range(3, 8)], "id long"),
+        root, key="id", mode="delete", strategy="mor",
+    )
+    assert read_iceberg(spark, root).count() == 0
+    ddir = os.path.join(root, "data")
+    # Only the FIRST merge wrote a delete file; the second retired the
+    # (by then 5-live-row) file outright.
+    assert len([f for f in os.listdir(ddir) if f.endswith("-deletes.parquet")]) == 1
+
+
+def test_merge_iceberg_mor_partitioned_delete_file_per_partition(spark, tmp_path):
+    """Position-delete files are partition-scoped like data files: an
+    upsert touching two partitions writes one sorted delete parquet
+    per partition, each manifest entry carrying that partition tuple."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "ipart")
+    pdf = spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 else "b") for i in range(40)],
+        "id long, val string, cat string",
+    )
+    write_iceberg(pdf, root, partition_by=["cat"])
+    merge_iceberg(
+        spark.createDataFrame(
+            [(1, "N1", "a"), (2, "N2", "b")], "id long, val string, cat string"
+        ),
+        root, key="id", mode="upsert",
+    )
+    got = {r.id: (r.val, r.cat) for r in read_iceberg(spark, root).collect()}
+    assert got[1] == ("N1", "a") and got[2] == ("N2", "b") and len(got) == 40
+    ddir = os.path.join(root, "data")
+    dels = [f for f in os.listdir(ddir) if f.endswith("-deletes.parquet")]
+    assert len(dels) == 2
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text"), encoding="ascii") as f:
+        hint = f.read().strip()
+    with open(os.path.join(meta_dir, f"v{hint}.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    (dmrec,) = [r for r in recs if r.get("content", 0) != 0]
+    _s2, dentries = read_avro_file(dmrec["manifest_path"].replace("file://", ""))
+    assert sorted(e["data_file"]["partition"]["cat"] for e in dentries) == ["a", "b"]
+
+
+def test_merge_iceberg_compacts_equality_delete_snapshot(spark, tmp_path):
+    """EQUALITY deletes still force the compacting merge (their
+    value+sequence semantics cannot soundly interleave with per-file
+    merges): deletes are APPLIED, fresh files land, and every prior
+    data and delete file retires status-2."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+    )
+
+    root = str(tmp_path / "ieq")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(mdir)
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+
+    def entry(path, seq, content=0, eq_ids=None):
+        return {"status": 1, "snapshot_id": 7, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": "file://" + path,
+                              "file_format": "PARQUET", "record_count": 1,
+                              "file_size_in_bytes": os.path.getsize(path),
+                              "equality_ids": eq_ids}}
+
+    mlist_entries = []
+    # Data at seq 1 (id=1,'a') and seq 2 (id=2,'b'); the eq delete on
+    # val='b' at seq 5 kills the seq-2 row.
+    for seq, (i, v) in zip((1, 2), [(1, "a"), (2, "b")]):
+        p = os.path.join(root, "data", f"f{seq}.parquet")
+        _write_one_parquet(spark, [(i, v)], "id long, val string", p)
+        m = os.path.join(mdir, f"m{seq}.avro")
+        write_avro_file(m, entry_schema, [entry(p, seq)])
+        mlist_entries.append(
+            {"manifest_path": "file://" + m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0, "sequence_number": seq,
+             "added_snapshot_id": 7}
+        )
+    eqd = os.path.join(root, "data", "eqdel.parquet")
+    _write_one_parquet(spark, [("b",)], "val string", eqd)
+    md = os.path.join(mdir, "mdel.avro")
+    write_avro_file(md, entry_schema, [entry(eqd, 5, content=2, eq_ids=[2])])
+    mlist_entries.append(
+        {"manifest_path": "file://" + md, "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "sequence_number": 5,
+         "added_snapshot_id": 7}
+    )
+    ml = os.path.join(mdir, "snap-7.avro")
+    write_avro_file(ml, mlist_schema, mlist_entries)
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": "file://" + root,
+        "current-schema-id": 0, "last-sequence-number": 5,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "manifest-list": "file://" + ml}],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write("1")
+    assert _rows(read_iceberg(spark, root).select("id", "val")) == [(1, "a")]
+
+    new_sid = merge_iceberg(
+        spark.createDataFrame([(2, "B2"), (9, "new")], "id long, val string"),
+        root, key="id", mode="upsert",
+    )
+    assert _rows(read_iceberg(spark, root).select("id", "val")) == [
+        (1, "a"), (2, "B2"), (9, "new"),
+    ]
+    with open(os.path.join(mdir, "version-hint.text"), encoding="ascii") as f:
+        hint = f.read().strip()
+    with open(os.path.join(mdir, f"v{hint}.metadata.json"), encoding="utf-8") as f:
+        m2 = json.load(f)
+    snap = next(s for s in m2["snapshots"] if s["snapshot-id"] == new_sid)
+    _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    for r in [r for r in recs if r.get("content", 0) != 0]:
+        _s2, entries = read_avro_file(r["manifest_path"].replace("file://", ""))
+        assert all(e["status"] == 2 for e in entries)
