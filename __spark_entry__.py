@@ -245,6 +245,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     to the pure-expression twin, DuckDB re-derives every
 #     fingerprint) registers in the TAIL, same protocol; rotate into
 #     a recorded slot in r11.
+#   r10 late addition 4: game_user_cdc_e2e_{delta_dv,iceberg_mor}
+#     (the MERGE-ON-READ write paths, X127 — the same reference jobs
+#     with matched rows retired via Delta deletion vectors / Iceberg
+#     position deletes, in-gate physical pins proving the mechanism
+#     engaged, same oracle as the managed e2e) register in the TAIL,
+#     same protocol; rotate into recorded slots in r11.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -287,6 +293,8 @@ _DEMOTED_TAIL = [
     "game_item_cdc_e2e_via_changes",
     "docs_dedup_index_query",
     "docs_winnow_fingerprints",
+    "game_user_cdc_e2e_delta_dv",
+    "game_user_cdc_e2e_iceberg_mor",
 ]
 
 _DRIVER_SLOTS = 50

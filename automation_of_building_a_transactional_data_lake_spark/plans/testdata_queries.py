@@ -2146,10 +2146,52 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
         interop.merge_delta(ups.select(*cols), path, key=pk, mode="upsert")
         interop.merge_delta(dels.select(pk), path, key=pk, mode="delete")
         final = interop.read_delta(spark, path)
+    elif fmt == "delta_dv":
+        # Same job, but the table is DV-enabled and the merges retire
+        # rows via DELETION VECTORS (merge-on-read; X127). The gate
+        # pins the MECHANISM too: a silent fallback to rewrite would
+        # make this a vacuous twin of the plain delta gate.
+        import os as _os
+
+        interop.write_delta(
+            initial, path, mode="error",
+            configuration={"delta.enableDeletionVectors": "true"},
+        )
+        interop.merge_delta(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.merge_delta(dels.select(pk), path, key=pk, mode="delete")
+        if not any(
+            f.startswith("deletion_vector_") for f in _os.listdir(path)
+        ):
+            raise AssertionError(
+                "delta_dv e2e expected deletion-vector sidecars; the "
+                "merges fell back to rewrite"
+            )
+        final = interop.read_delta(spark, path)
     elif fmt == "iceberg":
         interop.write_iceberg(initial, path, mode="error")
         interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
         interop.merge_iceberg(dels.select(pk), path, key=pk, mode="delete")
+        final = interop.read_iceberg(spark, path)
+    elif fmt == "iceberg_mor":
+        # Same job under the explicit merge-on-read strategy: matched
+        # rows retire via content=1 POSITION DELETE files (X127); the
+        # physical pin proves the mechanism engaged.
+        import os as _os
+
+        interop.write_iceberg(initial, path, mode="error")
+        interop.merge_iceberg(
+            ups.select(*cols), path, key=pk, mode="upsert", strategy="mor"
+        )
+        interop.merge_iceberg(
+            dels.select(pk), path, key=pk, mode="delete", strategy="mor"
+        )
+        if not any(
+            f.endswith("-deletes.parquet")
+            for f in _os.listdir(_os.path.join(path, "data"))
+        ):
+            raise AssertionError(
+                "iceberg_mor e2e expected position-delete files"
+            )
         final = interop.read_iceberg(spark, path)
     elif fmt == "hudi":
         interop.write_hudi(initial, path, record_key=pk, mode="bulk_insert")
@@ -2181,6 +2223,14 @@ def game_user_cdc_e2e_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def game_user_cdc_e2e_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "hudi")
+
+
+def game_user_cdc_e2e_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "delta_dv")
+
+
+def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg_mor")
 
 
 # --------------------------------------------------------------------------
@@ -2841,6 +2891,23 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_hudi",
             game_user_cdc_e2e_hudi,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r10: the MERGE-ON-READ write paths (X127) — the same jobs,
+        # matched rows retired via Delta deletion vectors / Iceberg
+        # position deletes, with in-gate physical pins proving the
+        # mechanism engaged. Same oracle: MoR must be analytically
+        # invisible.
+        QueryDef(
+            "game_user_cdc_e2e_delta_dv",
+            game_user_cdc_e2e_delta_dv,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        QueryDef(
+            "game_user_cdc_e2e_iceberg_mor",
+            game_user_cdc_e2e_iceberg_mor,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
