@@ -202,6 +202,23 @@ def _encode(schema, value, out: io.BytesIO, named: dict) -> None:
 # -- object container format ------------------------------------------------
 
 
+def decode_datum(schema: dict | list | str, data: bytes):
+    """Decode ONE raw (container-less) Avro binary datum — the shape
+    Hudi log blocks carry their records in."""
+    buf = io.BytesIO(data)
+    value = _decode(schema, buf, {})
+    if buf.read(1):
+        raise ValueError("trailing bytes after Avro datum")
+    return value
+
+
+def encode_datum(schema: dict | list | str, value) -> bytes:
+    """Encode ONE raw (container-less) Avro binary datum."""
+    out = io.BytesIO()
+    _encode(schema, value, out, {})
+    return out.getvalue()
+
+
 def read_avro_file(path: str) -> tuple[dict, list]:
     """Decode an Avro object-container file: (writer schema, records)."""
     with open(path, "rb") as f:

@@ -1971,8 +1971,10 @@ def _hudi_timeline(
     replaced group at an instant <= the replacecommit is hidden.
     Replaced fileIds are never reused (Hudi's contract), so the
     returned map carries the LATEST replacing instant per group.
-    Merge-on-read artifacts (log files / deltacommits) still raise —
-    a log-bearing read would be silently wrong, not merely slow."""
+    COMPLETED ``<instant>.deltacommit`` instants (merge-on-read log
+    appends) complete too — the MoR read path in ``read_hudi`` uses
+    them to decide which log blocks are visible; requested/inflight
+    states never match the completed pattern."""
     hdir = os.path.join(table_path, _HOODIE_DIR)
     if not os.path.isdir(hdir):
         raise FileNotFoundError(f"no Hudi table at {table_path} (no .hoodie)")
@@ -1980,12 +1982,9 @@ def _hudi_timeline(
     replaced: dict[tuple[str, str], tuple[int, int]] = {}
     for root, _dirs, files in os.walk(hdir):
         for fname in files:
-            if fname.endswith(".deltacommit") or fname.endswith(".log"):
-                raise NotImplementedError(
-                    "Hudi merge-on-read log files are not supported by the "
-                    "pure-Python reader (copy-on-write tables only)"
-                )
-            m = re.fullmatch(r"(\d+)(?:_\d+)?\.(commit|replacecommit)", fname)
+            m = re.fullmatch(
+                r"(\d+)(?:_\d+)?\.(commit|replacecommit|deltacommit)", fname
+            )
             if not m:
                 continue
             instant = m.group(1)
@@ -2015,21 +2014,56 @@ def _hudi_completed_instants(table_path: str) -> set[str]:
     return completed
 
 
-def read_hudi(spark: SparkSession, table_path: str, drop_meta: bool = True) -> DataFrame:
-    """Read a REAL Apache Hudi copy-on-write table (written by any
-    engine): the committed snapshot is the latest base file per file
-    group whose instant COMPLETED — uncommitted/inflight files are
-    invisible, exactly Hudi's read semantics. File groups a completed
-    ``replacecommit`` replaced (clustering / insert_overwrite output is
-    still copy-on-write) are hidden for slices at or before the
-    replacing instant. ``drop_meta`` strips the five ``_hoodie_*`` meta
-    columns (Hudi parquet stores all business and partition columns
-    inline, so no reconstruction is needed)."""
+def read_hudi(
+    spark: SparkSession,
+    table_path: str,
+    drop_meta: bool = True,
+    max_log_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Read a REAL Apache Hudi table (written by any engine) —
+    copy-on-write AND merge-on-read snapshots:
+
+    - CoW: the committed snapshot is the latest base file per file
+      group whose instant COMPLETED — uncommitted/inflight files are
+      invisible, exactly Hudi's read semantics. File groups a
+      completed ``replacecommit`` replaced (clustering /
+      insert_overwrite output is still copy-on-write) are hidden for
+      slices at or before the replacing instant.
+    - MoR: each latest file slice's LOG FILES
+      (``.<fid>_<base>.log.<v>_<tok>``, the HoodieLogFormat framing
+      decoded by ``formats/hudi_log``) are merged onto the base —
+      committed AVRO data blocks apply latest-wins by
+      ``_hoodie_record_key`` in block order, rollback command blocks
+      neutralize their target instant, ``_hoodie_is_deleted`` records
+      drop the key, and blocks from in-flight delta commits are
+      invisible. Log decoding is driver-side and BOUNDED by
+      ``max_log_bytes`` (default 256 MiB) — past the bound the read
+      refuses loudly (compact with the native engine) rather than
+      OOMing the driver; a well-maintained MoR table's un-compacted
+      logs are a few commits' deltas, not the table.
+
+    ``drop_meta`` strips the five ``_hoodie_*`` meta columns (Hudi
+    parquet stores all business and partition columns inline, so no
+    reconstruction is needed)."""
+    from . import hudi_log as _hlog
+
     completed, replaced = _hudi_timeline(table_path)
     latest: dict[tuple[str, str], tuple[str, str]] = {}
+    log_files: dict[tuple[str, str, str], list[tuple[int, str, str]]] = {}
     for root, dirs, files in os.walk(table_path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fname in files:
+            lm = _hlog.LOG_FILE_RE.match(fname)
+            if lm:
+                pp_rel = os.path.relpath(root, table_path)
+                pp_rel = "" if pp_rel == "." else pp_rel
+                log_files.setdefault(
+                    (pp_rel, lm.group("fid"), lm.group("base")), []
+                ).append(
+                    (int(lm.group("ver")), lm.group("tok") or "",
+                     os.path.join(root, fname))
+                )
+                continue
             m = _HUDI_FILE_RE.match(fname)
             if not m:
                 continue
@@ -2049,10 +2083,133 @@ def read_hudi(spark: SparkSession, table_path: str, drop_meta: bool = True) -> D
         raise FileNotFoundError(
             f"Hudi table at {table_path} has no committed base files"
         )
-    df = spark.read.parquet(*[p for _ts, p in latest.values()])
+
+    # Attach each latest slice's logs; logs naming an OLDER base are a
+    # compacted-away slice (ignore), logs naming a base that is not a
+    # committed base file of their group are a pending compaction's
+    # future slice — refusing beats guessing its merge semantics.
+    slice_logs: dict[tuple[str, str], list[str]] = {}
+    for (pp_rel, fid, base), entries in log_files.items():
+        cur = latest.get((pp_rel, fid))
+        if cur is not None and base == cur[0]:
+            slice_logs[(pp_rel, fid)] = [
+                p for _v, _t, p in sorted(entries)
+            ]
+        elif cur is not None and _hudi_instant_key(base) < _hudi_instant_key(
+            cur[0]
+        ):
+            continue  # superseded slice's logs (already compacted)
+        elif any(
+            b.header.get(_hlog.INSTANT_TIME) in completed
+            for p in [p for _v, _t, p in sorted(entries)]
+            for b in _hlog.read_log_file(p)
+        ):
+            raise NotImplementedError(
+                f"Hudi log files for file group {fid} name base instant "
+                f"{base} which is not a committed base file of the group "
+                "(log-only file group or pending compaction) — not "
+                "supported by the pure-Python reader"
+            )
+
+    base_paths = [p for _ts, p in latest.values()]
+    df = spark.read.parquet(*base_paths)
+    if slice_logs:
+        total = sum(
+            os.path.getsize(p) for lst in slice_logs.values() for p in lst
+        )
+        if total > max_log_bytes:
+            raise NotImplementedError(
+                f"Hudi table at {table_path} carries {total} bytes of "
+                f"un-compacted log files (> max_log_bytes={max_log_bytes}); "
+                "compact with the native engine or raise the bound"
+            )
+        if "_hoodie_record_key" not in df.columns:
+            raise NotImplementedError(
+                "merge-on-read needs populated _hoodie_record_key meta "
+                "columns (virtual-key tables are not supported)"
+            )
+        rows: list[tuple] = []
+        ordinal = 0
+        for key in sorted(slice_logs):
+            blocks = _hlog.visible_data_blocks(slice_logs[key], completed)
+            for b in blocks:
+                _schema_avro, recs = _hlog.decode_avro_data_block(b)
+                for rec in recs:
+                    ordinal += 1
+                    rows.append((rec, ordinal))
+        df = _hudi_apply_log_rows(spark, df, rows)
     if drop_meta:
         df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
     return df
+
+
+def _hudi_apply_log_rows(
+    spark: SparkSession, base: DataFrame, rows: list[tuple[dict, int]]
+) -> DataFrame:
+    """Merge decoded log records onto the base scan: latest-wins per
+    ``_hoodie_record_key`` with base rows at ordinal 0 and log records
+    at their block/record order; ``_hoodie_is_deleted=true`` records
+    drop the key (Hudi's soft-delete payload convention). Avro values
+    convert to the base schema's Spark types by NAME (timestamp-micros
+    longs, date days); fields the base schema lacks are dropped,
+    missing fields read null."""
+    from datetime import date as _date
+    from datetime import datetime as _dt
+    from datetime import timedelta as _td
+
+    from pyspark.sql.types import (
+        DateType,
+        TimestampType,
+    )
+    from pyspark.sql.window import Window
+
+    if not rows:
+        return base
+
+    def conv(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, TimestampType):
+            if isinstance(v, int):
+                return _dt(1970, 1, 1) + _td(microseconds=v)
+            return v
+        if isinstance(dt, DateType):
+            if isinstance(v, int):
+                return _date(1970, 1, 1) + _td(days=v)
+            return v
+        if dt.typeName() in ("double", "float") and isinstance(v, int):
+            return float(v)
+        return v
+
+    fields = base.schema.fields
+    tuples = []
+    for rec, ordinal in rows:
+        deleted = bool(rec.get("_hoodie_is_deleted") or False)
+        if rec.get("_hoodie_record_key") is None:
+            raise ValueError(
+                "merge-on-read log record carries no _hoodie_record_key"
+            )
+        tuples.append(
+            tuple(conv(rec.get(f.name), f.dataType) for f in fields)
+            + (ordinal, deleted)
+        )
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    log_schema = StructType(
+        list(fields)
+        + [StructField("__ord", LongType()), StructField("__del", BooleanType())]
+    )
+    logdf = spark.createDataFrame(tuples, log_schema)
+    u = base.withColumn("__ord", F.lit(0).cast("long")).withColumn(
+        "__del", F.lit(False)
+    ).unionByName(logdf)
+    w = Window.partitionBy("_hoodie_record_key").orderBy(F.col("__ord").desc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("__del"))
+        .drop("__rn", "__ord", "__del")
+    )
 
 
 # -- Apache Hudi (copy-on-write): timeline write ----------------------------
@@ -2298,6 +2455,30 @@ def _hudi_table_properties(table_path: str) -> dict[str, str]:
     return props
 
 
+def _hudi_guard_cow_write(table_path: str, props: dict, op: str) -> None:
+    """Writes here rewrite whole base files per group; on a
+    MERGE-ON-READ table (or any table whose timeline carries delta
+    commits) that would drop the log records attached to the old
+    slice — silent data loss. The READ path merges logs
+    (``read_hudi``); the write path refuses them."""
+    if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            f"{op} into a hoodie.table.type="
+            f"{props.get('hoodie.table.type')!r} table is not supported "
+            "by the pure-Python writer (copy-on-write only)"
+        )
+    hdir = os.path.join(table_path, _HOODIE_DIR)
+    for root, _dirs, files in os.walk(hdir):
+        for fname in files:
+            if ".deltacommit" in fname:
+                raise NotImplementedError(
+                    f"{op}: the timeline at {table_path} carries delta "
+                    "commits (merge-on-read log appends); rewriting base "
+                    "files would drop their log records — use the native "
+                    "engine"
+                )
+
+
 def _hudi_visible_groups(table_path: str) -> dict[str, list[str]]:
     """Currently-visible file groups per partition path — the same
     driver-side listing ``read_hudi`` plans with (completed instants,
@@ -2454,6 +2635,7 @@ def write_hudi(
         raise FileNotFoundError(f"no Hudi table at {table_path} (no .hoodie)")
     spark = df.sparkSession
     props = _hudi_table_properties(table_path)
+    _hudi_guard_cow_write(table_path, props, mode)
     tbl_key = props.get("hoodie.table.recordkey.fields", "")
     if tbl_key and tbl_key != record_key:
         raise ValueError(
@@ -4415,9 +4597,13 @@ def clean_hudi(table_path: str, keep_last_slices: int = 1) -> dict:
     serves the latest slice, which is always kept). No timeline action
     is written — Hudi's ``.clean`` metadata is an Avro payload this
     module does not emit, and snapshot readers need none; returns
-    {"deleted_files"}."""
+    {"deleted_files"}. Merge-on-read tables refuse: cleaning a base
+    slice without its logs would orphan or half-delete the slice."""
     if keep_last_slices < 1:
         raise ValueError("keep_last_slices must be >= 1")
+    _hudi_guard_cow_write(
+        table_path, _hudi_table_properties(table_path), "clean"
+    )
     completed, replaced = _hudi_timeline(table_path)
     groups: dict[tuple[str, str], list[tuple[tuple[int, int], str]]] = {}
     dead: list[str] = []

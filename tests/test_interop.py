@@ -312,10 +312,13 @@ def test_hudi_cow_latest_committed_file_slices(spark, tmp_path):
     kept_meta = read_hudi(spark, path, drop_meta=False)
     assert "_hoodie_commit_time" in kept_meta.columns
 
-    # MoR artifacts fail loudly.
+    # A delta commit with no log files is harmless to a snapshot read
+    # (r10: MoR logs are MERGED now, not blanket-refused — see the
+    # test_hudi_mor_* gates for the log semantics).
     open(os.path.join(path, ".hoodie", "400.deltacommit"), "w").close()
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
-        read_hudi(spark, path)
+    assert _rows(read_hudi(spark, path).select("id", "val", "cat")) == [
+        (1, "new", "x"), (2, "b", "y"),
+    ]
     os.unlink(os.path.join(path, ".hoodie", "400.deltacommit"))
     # An EMPTY completed replacecommit (no metadata to say what it
     # replaced) fails loudly rather than guessing.
@@ -3905,3 +3908,296 @@ def test_merge_iceberg_compacts_equality_delete_snapshot(spark, tmp_path):
     for r in [r for r in recs if r.get("content", 0) != 0]:
         _s2, entries = read_avro_file(r["manifest_path"].replace("file://", ""))
         assert all(e["status"] == 2 for e in entries)
+
+
+# -- Hudi: merge-on-read READ path (HoodieLogFormat) ------------------------
+#
+# The log-block codec is pinned by GOLDEN HAND-PACKED BYTES (layout per
+# the published storage spec, independent of the module's own writer),
+# then the MoR snapshot semantics end-to-end on a real table layout.
+
+
+def _hudi_log_mod():
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        hudi_log,
+    )
+
+    return hudi_log
+
+
+def test_hudi_log_block_golden_bytes():
+    """write_log_file must emit the exact HoodieLogFormat framing:
+    magic, BE block length, version, type ordinal, header map, content
+    length, content, footer map, trailing total length — byte-for-byte
+    against a hand-assembled block; read_log_file decodes it."""
+    import struct as _st
+
+    HL = _hudi_log_mod()
+    avsc = {"type": "record", "name": "r",
+            "fields": [{"name": "k", "type": "string"}]}
+    content = (
+        _st.pack(">i", 3) + _st.pack(">i", 1)  # format version 3, 1 record
+        + _st.pack(">i", 2) + b"\x02a"         # datum: string "a"
+    )
+    header_map = (
+        _st.pack(">i", 2)
+        + _st.pack(">i", 0) + _st.pack(">i", 3) + b"123"  # INSTANT_TIME
+        + _st.pack(">i", 2)
+        + _st.pack(">i", len(json.dumps(avsc).encode()))
+        + json.dumps(avsc).encode()                       # SCHEMA
+    )
+    footer_map = _st.pack(">i", 0)
+    block_len = 4 + 4 + len(header_map) + 8 + len(content) + len(footer_map) + 8
+    total_len = 6 + 8 + block_len
+    golden = (
+        b"#HUDI#" + _st.pack(">q", block_len)
+        + _st.pack(">i", 1)      # log format version
+        + _st.pack(">i", 3)      # AVRO_DATA_BLOCK ordinal
+        + header_map
+        + _st.pack(">q", len(content)) + content
+        + footer_map
+        + _st.pack(">q", total_len)
+    )
+
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "golden.log.1")
+    blk = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: "123", HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block([{"k": "a"}], avsc),
+    )
+    HL.write_log_file(p, [blk])
+    with open(p, "rb") as f:
+        assert f.read() == golden
+
+    (back,) = HL.read_log_file(p)
+    assert back.block_type == HL.AVRO_DATA_BLOCK
+    assert back.instant_time == "123"
+    _schema, recs = HL.decode_avro_data_block(back)
+    assert recs == [{"k": "a"}]
+
+
+def test_hudi_log_reader_refuses_corruption():
+    import struct as _st
+    import tempfile
+
+    HL = _hudi_log_mod()
+    d = tempfile.mkdtemp()
+    bad_magic = os.path.join(d, "bad1.log.1")
+    with open(bad_magic, "wb") as f:
+        f.write(b"#NOPE#" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="magic"):
+        HL.read_log_file(bad_magic)
+
+    truncated = os.path.join(d, "bad2.log.1")
+    with open(truncated, "wb") as f:
+        f.write(b"#HUDI#" + _st.pack(">q", 10_000) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        HL.read_log_file(truncated)
+
+
+def _hudi_mor_fixture(spark, tmp_path):
+    """A real CoW table from write_hudi, plus a hand-attached log file
+    slice (the jar-less stand-in for a foreign MoR writer)."""
+    import re as _re
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    HL = _hudi_log_mod()
+    path = str(tmp_path / "hmor")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    inst0 = write_hudi(df, path, record_key="id", num_buckets=1)
+    (base,) = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    fid = _re.match(r"(?P<fid>[^_]+(?:-[^_]+)*)_", base).group("fid")
+    avsc = {"type": "record", "name": "rec", "fields": [
+        {"name": n, "type": ["null", t], "default": None}
+        for n, t in [
+            ("_hoodie_commit_time", "string"),
+            ("_hoodie_commit_seqno", "string"),
+            ("_hoodie_record_key", "string"),
+            ("_hoodie_partition_path", "string"),
+            ("_hoodie_file_name", "string"),
+            ("id", "long"),
+            ("val", "string"),
+            ("_hoodie_is_deleted", "boolean"),
+        ]
+    ]}
+
+    def rec(instant, i, v, deleted=False):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0_1",
+            "_hoodie_record_key": str(i),
+            "_hoodie_partition_path": "",
+            "_hoodie_file_name": base,
+            "id": i, "val": v, "_hoodie_is_deleted": deleted,
+        }
+
+    return path, inst0, fid, avsc, rec, HL
+
+
+def test_hudi_mor_snapshot_merges_committed_log_blocks(spark, tmp_path):
+    """The full MoR read semantics on one slice: committed avro data
+    blocks apply latest-wins by record key (update + soft-delete +
+    insert), blocks of an IN-FLIGHT delta commit are invisible, a
+    later committed block beats an earlier one, and a committed
+    rollback command block neutralizes its target instant."""
+    path, inst0, fid, avsc, rec, HL = _hudi_mor_fixture(spark, tmp_path)
+
+    inst1 = "20240101000001000"
+    blk = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst1, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block(
+            [rec(inst1, 3, "NEW3"), rec(inst1, 7, None, deleted=True),
+             rec(inst1, 42, "I42")],
+            avsc,
+        ),
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [blk])
+
+    # In-flight: the deltacommit has not completed -> invisible.
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == {i: f"v{i}" for i in range(10)}
+
+    open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "NEW3" and 7 not in got and got[42] == "I42"
+    assert got[0] == "v0" and len(got) == 10
+
+    # A LATER committed block updates the same key again.
+    inst2 = "20240101000002000"
+    blk2 = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst2, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block([rec(inst2, 3, "NEWER3")], avsc),
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.2_0-1-1"), [blk2])
+    open(os.path.join(path, ".hoodie", f"{inst2}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "NEWER3"
+
+    # Rollback of inst2 restores inst1's value.
+    inst3 = "20240101000003000"
+    cmd = HL.LogBlock(
+        HL.COMMAND_BLOCK,
+        header={HL.INSTANT_TIME: inst3, HL.TARGET_INSTANT_TIME: inst2},
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.3_0-1-1"), [cmd])
+    open(os.path.join(path, ".hoodie", f"{inst3}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "NEW3" and 7 not in got and got[42] == "I42"
+
+    # drop_meta=False serves the merged meta columns too.
+    withmeta = read_hudi(spark, path, drop_meta=False)
+    assert "_hoodie_record_key" in withmeta.columns
+    row3 = withmeta.filter("id = 3").collect()[0]
+    assert row3["_hoodie_commit_time"] == inst1
+
+
+def test_hudi_mor_guards(spark, tmp_path):
+    """The loud edges: unsupported delete blocks raise (unless rolled
+    back), writes and cleans refuse log-bearing tables, the log-byte
+    budget bounds driver-side decoding, and logs naming a base instant
+    that is not a committed base file refuse."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        clean_hudi,
+        write_hudi,
+    )
+
+    path, inst0, fid, avsc, rec, HL = _hudi_mor_fixture(spark, tmp_path)
+    inst1 = "20240101000001000"
+    delb = HL.LogBlock(
+        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: inst1}, content=b"\x00\x00\x00\x02xx"
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [delb])
+    open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
+    with pytest.raises(NotImplementedError, match="delete"):
+        read_hudi(spark, path).collect()
+
+    # A committed ROLLBACK of the delete block's instant makes the
+    # table readable again (the unsupported block is neutralized).
+    inst2 = "20240101000002000"
+    cmd = HL.LogBlock(
+        HL.COMMAND_BLOCK,
+        header={HL.INSTANT_TIME: inst2, HL.TARGET_INSTANT_TIME: inst1},
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.2_0-1-1"), [cmd])
+    open(os.path.join(path, ".hoodie", f"{inst2}.deltacommit"), "w").close()
+    assert read_hudi(spark, path).count() == 10
+
+    # Writes and cleans refuse the log-bearing table.
+    with pytest.raises(NotImplementedError, match="delta commits"):
+        write_hudi(
+            spark.createDataFrame([(1, "x")], "id long, val string"),
+            path, record_key="id", mode="upsert",
+        )
+    with pytest.raises(NotImplementedError, match="delta commits"):
+        clean_hudi(path)
+
+    # Byte budget.
+    with pytest.raises(NotImplementedError, match="max_log_bytes"):
+        read_hudi(spark, path, max_log_bytes=1)
+
+    # Logs naming an unknown base instant (pending compaction's future
+    # slice) refuse when their blocks are committed.
+    inst4 = "20240101000004000"
+    orphan = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst4, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block([rec(inst4, 1, "X")], avsc),
+    )
+    HL.write_log_file(
+        os.path.join(path, f".{fid}_99990101000000000.log.1_0-1-1"), [orphan]
+    )
+    open(os.path.join(path, ".hoodie", f"{inst4}.deltacommit"), "w").close()
+    with pytest.raises(NotImplementedError, match="pending compaction"):
+        read_hudi(spark, path).collect()
+
+
+def test_hudi_mor_timestamp_and_date_conversion(spark, tmp_path):
+    """Avro log records carry timestamps as micros and dates as epoch
+    days; the merge converts them to the base schema's Spark types."""
+    import re as _re
+    from datetime import date, datetime
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    HL = _hudi_log_mod()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = str(tmp_path / "hts")
+    df = spark.createDataFrame(
+        [(1, datetime(2023, 1, 1, 12, 0, 0), date(2023, 1, 1))],
+        "id long, ts timestamp, d date",
+    )
+    inst0 = write_hudi(df, path, record_key="id", num_buckets=1)
+    (base,) = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    fid = _re.match(r"(?P<fid>[^_]+(?:-[^_]+)*)_", base).group("fid")
+    avsc = {"type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": ["null", "string"], "default": None},
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "ts", "type": ["null", "long"], "default": None},
+        {"name": "d", "type": ["null", "int"], "default": None},
+    ]}
+    new_ts = datetime(2024, 6, 1, 8, 30, 0)
+    micros = int((new_ts - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    days = (date(2024, 6, 1) - date(1970, 1, 1)).days
+    inst1 = "20240101000001000"
+    blk = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst1, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block(
+            [{"_hoodie_record_key": "1", "id": 1, "ts": micros, "d": days}], avsc
+        ),
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [blk])
+    open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
+    row = read_hudi(spark, path).collect()[0]
+    assert row.ts == new_ts and row.d == date(2024, 6, 1)
