@@ -251,6 +251,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     position deletes, in-gate physical pins proving the mechanism
 #     engaged, same oracle as the managed e2e) register in the TAIL,
 #     same protocol; rotate into recorded slots in r11.
+#   r10 late addition 5: game_user_cdc_e2e_hudi_mor (the Hudi
+#     MERGE_ON_READ lifecycle, X129 — CDC batches append HoodieLog
+#     avro blocks, snapshot oracle-checked before AND after
+#     compact_hudi folds them into new base slices, log-file pin
+#     in-gate) registers in the TAIL, same protocol; rotate into a
+#     recorded slot in r11.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -295,6 +301,7 @@ _DEMOTED_TAIL = [
     "docs_winnow_fingerprints",
     "game_user_cdc_e2e_delta_dv",
     "game_user_cdc_e2e_iceberg_mor",
+    "game_user_cdc_e2e_hudi_mor",
 ]
 
 _DRIVER_SLOTS = 50

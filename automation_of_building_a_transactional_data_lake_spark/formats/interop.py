@@ -2014,37 +2014,20 @@ def _hudi_completed_instants(table_path: str) -> set[str]:
     return completed
 
 
-def read_hudi(
-    spark: SparkSession,
+def _hudi_file_slices(
     table_path: str,
-    drop_meta: bool = True,
-    max_log_bytes: int = 256 << 20,
-) -> DataFrame:
-    """Read a REAL Apache Hudi table (written by any engine) —
-    copy-on-write AND merge-on-read snapshots:
-
-    - CoW: the committed snapshot is the latest base file per file
-      group whose instant COMPLETED — uncommitted/inflight files are
-      invisible, exactly Hudi's read semantics. File groups a
-      completed ``replacecommit`` replaced (clustering /
-      insert_overwrite output is still copy-on-write) are hidden for
-      slices at or before the replacing instant.
-    - MoR: each latest file slice's LOG FILES
-      (``.<fid>_<base>.log.<v>_<tok>``, the HoodieLogFormat framing
-      decoded by ``formats/hudi_log``) are merged onto the base —
-      committed AVRO data blocks apply latest-wins by
-      ``_hoodie_record_key`` in block order, rollback command blocks
-      neutralize their target instant, ``_hoodie_is_deleted`` records
-      drop the key, and blocks from in-flight delta commits are
-      invisible. Log decoding is driver-side and BOUNDED by
-      ``max_log_bytes`` (default 256 MiB) — past the bound the read
-      refuses loudly (compact with the native engine) rather than
-      OOMing the driver; a well-maintained MoR table's un-compacted
-      logs are a few commits' deltas, not the table.
-
-    ``drop_meta`` strips the five ``_hoodie_*`` meta columns (Hudi
-    parquet stores all business and partition columns inline, so no
-    reconstruction is needed)."""
+) -> tuple[
+    set[str],
+    dict[tuple[str, str], tuple[str, str]],
+    dict[tuple[str, str], list[str]],
+]:
+    """One walk of the table: (completed instants, latest committed
+    base slice per (partition path, fileId), and each latest slice's
+    log files in apply order). Logs naming an OLDER base are a
+    compacted-away slice (ignored); logs naming a base that is not a
+    committed base file of their group are a log-only file group or a
+    pending compaction's future slice — refusing beats guessing their
+    merge semantics (only when they carry COMMITTED blocks)."""
     from . import hudi_log as _hlog
 
     completed, replaced = _hudi_timeline(table_path)
@@ -2084,17 +2067,11 @@ def read_hudi(
             f"Hudi table at {table_path} has no committed base files"
         )
 
-    # Attach each latest slice's logs; logs naming an OLDER base are a
-    # compacted-away slice (ignore), logs naming a base that is not a
-    # committed base file of their group are a pending compaction's
-    # future slice — refusing beats guessing its merge semantics.
     slice_logs: dict[tuple[str, str], list[str]] = {}
     for (pp_rel, fid, base), entries in log_files.items():
         cur = latest.get((pp_rel, fid))
         if cur is not None and base == cur[0]:
-            slice_logs[(pp_rel, fid)] = [
-                p for _v, _t, p in sorted(entries)
-            ]
+            slice_logs[(pp_rel, fid)] = [p for _v, _t, p in sorted(entries)]
         elif cur is not None and _hudi_instant_key(base) < _hudi_instant_key(
             cur[0]
         ):
@@ -2110,7 +2087,43 @@ def read_hudi(
                 "(log-only file group or pending compaction) — not "
                 "supported by the pure-Python reader"
             )
+    return completed, latest, slice_logs
 
+
+def read_hudi(
+    spark: SparkSession,
+    table_path: str,
+    drop_meta: bool = True,
+    max_log_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Read a REAL Apache Hudi table (written by any engine) —
+    copy-on-write AND merge-on-read snapshots:
+
+    - CoW: the committed snapshot is the latest base file per file
+      group whose instant COMPLETED — uncommitted/inflight files are
+      invisible, exactly Hudi's read semantics. File groups a
+      completed ``replacecommit`` replaced (clustering /
+      insert_overwrite output is still copy-on-write) are hidden for
+      slices at or before the replacing instant.
+    - MoR: each latest file slice's LOG FILES
+      (``.<fid>_<base>.log.<v>_<tok>``, the HoodieLogFormat framing
+      decoded by ``formats/hudi_log``) are merged onto the base —
+      committed AVRO data blocks apply latest-wins by
+      ``_hoodie_record_key`` in block order, rollback command blocks
+      neutralize their target instant, ``_hoodie_is_deleted`` records
+      drop the key, and blocks from in-flight delta commits are
+      invisible. Log decoding is driver-side and BOUNDED by
+      ``max_log_bytes`` (default 256 MiB) — past the bound the read
+      refuses loudly (compact with the native engine) rather than
+      OOMing the driver; a well-maintained MoR table's un-compacted
+      logs are a few commits' deltas, not the table.
+
+    ``drop_meta`` strips the five ``_hoodie_*`` meta columns (Hudi
+    parquet stores all business and partition columns inline, so no
+    reconstruction is needed)."""
+    from . import hudi_log as _hlog
+
+    completed, latest, slice_logs = _hudi_file_slices(table_path)
     base_paths = [p for _ts, p in latest.values()]
     df = spark.read.parquet(*base_paths)
     if slice_logs:
@@ -2157,10 +2170,6 @@ def _hudi_apply_log_rows(
     from datetime import datetime as _dt
     from datetime import timedelta as _td
 
-    from pyspark.sql.types import (
-        DateType,
-        TimestampType,
-    )
     from pyspark.sql.window import Window
 
     if not rows:
@@ -2169,11 +2178,11 @@ def _hudi_apply_log_rows(
     def conv(v, dt):
         if v is None:
             return None
-        if isinstance(dt, TimestampType):
+        if dt.typeName() in ("timestamp", "timestamp_ntz"):
             if isinstance(v, int):
                 return _dt(1970, 1, 1) + _td(microseconds=v)
             return v
-        if isinstance(dt, DateType):
+        if dt.typeName() == "date":
             if isinstance(v, int):
                 return _date(1970, 1, 1) + _td(days=v)
             return v
@@ -2203,7 +2212,14 @@ def _hudi_apply_log_rows(
     u = base.withColumn("__ord", F.lit(0).cast("long")).withColumn(
         "__del", F.lit(False)
     ).unionByName(logdf)
-    w = Window.partitionBy("_hoodie_record_key").orderBy(F.col("__ord").desc())
+    # Key uniqueness is PER PARTITION under Hudi's default (non-global)
+    # index — the same record key may legitimately exist in two
+    # partitions as distinct records, so the latest-wins window keys
+    # on (partition path, record key).
+    w = Window.partitionBy(
+        F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
+        F.col("_hoodie_record_key"),
+    ).orderBy(F.col("__ord").desc())
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -2385,6 +2401,7 @@ def _hudi_complete(
     operation: str,
     stats: dict,
     replaced_fids: dict[str, list[str]] | None = None,
+    delta: bool = False,
 ) -> None:
     hdir = os.path.join(table_path, _HOODIE_DIR)
     meta = {
@@ -2392,7 +2409,7 @@ def _hudi_complete(
         "operationType": operation,
         "extraMetadata": {},
     }
-    ext = "commit"
+    ext = "deltacommit" if delta else "commit"
     if replaced_fids is not None:
         # Replacecommit: the listed file groups are dead from this
         # instant on (their pre-instant slices hide at read time).
@@ -2479,6 +2496,411 @@ def _hudi_guard_cow_write(table_path: str, props: dict, op: str) -> None:
                 )
 
 
+_AVRO_OF_SPARK = {
+    "long": "long", "integer": "int", "short": "int", "byte": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "bytes",
+    "timestamp": "long", "timestamp_ntz": "long", "date": "int",
+}
+
+
+def _hudi_avro_schema(business_fields) -> dict:
+    """Avro record schema for log-block records: the five _hoodie_*
+    meta strings, the business columns as nullable unions
+    (timestamp→long micros, date→int days — the exact inverse of the
+    read path's conversion), and the _hoodie_is_deleted soft-delete
+    flag."""
+    fields = [
+        {"name": n, "type": ["null", "string"], "default": None}
+        for n in _HUDI_META_COLS
+    ]
+    for f in business_fields:
+        t = f.dataType.typeName()
+        if t not in _AVRO_OF_SPARK:
+            raise NotImplementedError(
+                f"column {f.name!r}: Spark type {t!r} has no Hudi "
+                "log-record Avro mapping here"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", _AVRO_OF_SPARK[t]],
+             "default": None}
+        )
+    fields.append(
+        {"name": "_hoodie_is_deleted", "type": ["null", "boolean"],
+         "default": None}
+    )
+    return {"type": "record", "name": "hudi_log_record", "fields": fields}
+
+
+def _spark_to_avro_val(v):
+    from datetime import date as _date
+    from datetime import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt):
+        return int(
+            (v.replace(tzinfo=None) - _dt(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+    if isinstance(v, _date):
+        return (v - _date(1970, 1, 1)).days
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def _hudi_log_write(
+    df: DataFrame,
+    table_path: str,
+    record_key: str,
+    mode: str,
+    partition_by: list[str],
+    props: dict,
+    precombine_col: str | None,
+    instant: str,
+    max_log_rows: int = 1_000_000,
+) -> str:
+    """MERGE-ON-READ upsert/delete: the batch lands as ONE avro data
+    block appended to each affected file group's log (soft-delete
+    records for deletes), completed by a ``.deltacommit`` — O(batch)
+    bytes written, no base file touched; ``read_hudi`` (and any native
+    MoR snapshot reader) merges it. Routing is Hudi's own: keys
+    already in a group (base OR log) update in place; new keys
+    bucket-hash to their group, and a hashed group with no base slice
+    yet gets a BASE file this commit (our reader refuses log-only
+    groups, and so do bootstrap-sensitive native readers). The block
+    encode is driver-side, bounded by ``max_log_rows``."""
+    from . import hudi_log as _hlog
+
+    spark = df.sparkSession
+    completed, latest, slice_logs = _hudi_file_slices(table_path)
+    base_paths = [p for _ts, p in latest.values()]
+    pathmap = {
+        os.path.abspath(p): (pp, fid) for (pp, fid), (_ts, p) in latest.items()
+    }
+    base_schema = spark.read.parquet(*base_paths).schema
+    business_fields = [
+        f for f in base_schema.fields if not f.name.startswith("_hoodie_")
+    ]
+    business_cols = [f.name for f in business_fields]
+    if mode == "upsert":
+        missing = [c for c in business_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"upsert batch lacks table columns {missing}")
+        batch = df.select(*business_cols)
+    else:
+        need = [record_key] + [c for c in partition_by if c != record_key]
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"delete batch lacks {missing} (partitioned MoR deletes "
+                "route by partition — Hudi's non-global index)"
+            )
+        batch = df.select(*need).distinct()
+
+    if batch.limit(max_log_rows + 1).count() > max_log_rows:
+        raise NotImplementedError(
+            f"log-write batches are bounded at max_log_rows={max_log_rows} "
+            "driver-side rows; split the batch or bulk-load with the "
+            "native engine"
+        )
+
+    pp_col = _hudi_partition_path_col(partition_by)
+    rows_df = batch.withColumn("__pp", pp_col).withColumn(
+        "__k", F.col(record_key).cast("string")
+    )
+
+    # (pp, key) -> fid map: base files via one scan, log records via
+    # the (already bounded) driver decode.
+    map_rows: list[tuple[str, str, str]] = []
+    scan = spark.read.parquet(*base_paths).select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.coalesce(F.col("_hoodie_partition_path"), F.lit("")).alias("__pp"),
+        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+    )
+    keys, keys_pin = _pin_gated(rows_df.select("__pp", "__k").distinct())
+    try:
+        for r in scan.join(keys, ["__pp", "__k"], "left_semi").collect():
+            pp, fid = pathmap[r["__fp"]]
+            map_rows.append((r["__pp"], r["__k"], fid))
+    finally:
+        keys_pin.unpersist()
+    for (pp, fid), lpaths in sorted(slice_logs.items()):
+        for b in _hlog.visible_data_blocks(lpaths, completed):
+            _s, recs = _hlog.decode_avro_data_block(b)
+            for rec in recs:
+                if rec.get("_hoodie_record_key") is not None:
+                    map_rows.append(
+                        (rec.get("_hoodie_partition_path") or "",
+                         rec["_hoodie_record_key"], fid)
+                    )
+    if map_rows:
+        fmap = spark.createDataFrame(
+            list(dict.fromkeys(map_rows)), "__pp string, __k string, __fid string"
+        )
+        routed = rows_df.join(F.broadcast(fmap), ["__pp", "__k"], "left")
+    else:
+        routed = rows_df.withColumn("__fid", F.lit(None).cast("string"))
+
+    nb = int(props.get("hoodie.bucket.index.num.buckets") or 0)
+    if nb:
+        new_fid = F.concat(
+            F.lit("fg"),
+            F.pmod(F.xxhash64(F.col("__k")), F.lit(nb)).cast("string"),
+            F.lit("-"),
+            F.substring(F.md5(F.col("__pp")), 1, 8),
+        )
+    else:
+        # Foreign table without our bucket convention: one fresh group
+        # per partition per commit (fileIds are opaque strings).
+        new_fid = F.concat(
+            F.lit("fg"),
+            F.substring(F.md5(F.concat(F.lit(instant), F.col("__pp"))), 1, 12),
+        )
+    routed = routed.withColumn("__fid", F.coalesce(F.col("__fid"), new_fid))
+    if mode == "delete":
+        # Keys not present anywhere are a no-op, not a tombstone.
+        routed = routed.filter(F.col("__fid").isNotNull())
+        if map_rows:
+            known = {(pp, k) for pp, k, _f in map_rows}
+        else:
+            known = set()
+    collected = routed.collect()
+    if mode == "delete":
+        collected = [r for r in collected if (r["__pp"], r["__k"]) in known]
+        if not collected:
+            return instant
+
+    # In-batch duplicate keys: precombine (max wins) or refuse — the
+    # CoW path's exact contract.
+    by_key: dict[tuple[str, str], object] = {}
+    for r in collected:
+        kk = (r["__pp"], r["__k"])
+        if kk in by_key:
+            if mode == "delete":
+                continue
+            if not precombine_col:
+                raise ValueError(
+                    f"upsert batch carries duplicate key {r['__k']!r}; pass "
+                    "precombine_col or deduplicate first"
+                )
+            if r[precombine_col] >= by_key[kk][precombine_col]:
+                by_key[kk] = r
+        else:
+            by_key[kk] = r
+
+    avsc = _hudi_avro_schema(business_fields)
+    per_group: dict[tuple[str, str], list[dict]] = {}
+    seq = 0
+    for (pp, k), r in sorted(by_key.items()):
+        seq += 1
+        rec = {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0_{seq}",
+            "_hoodie_record_key": k,
+            "_hoodie_partition_path": pp,
+            "_hoodie_file_name": "",
+            "_hoodie_is_deleted": mode == "delete",
+        }
+        for f in business_fields:
+            rec[f.name] = (
+                None if mode == "delete" and f.name not in r
+                else _spark_to_avro_val(r[f.name] if f.name in r else None)
+            )
+        per_group.setdefault((pp, r["__fid"]), []).append(rec)
+
+    stats: dict[str, list] = {}
+    needs_base: list[tuple[str, str]] = []
+    for (pp, fid), recs in sorted(per_group.items()):
+        if (pp, fid) not in latest:
+            needs_base.append((pp, fid))
+            continue
+        base_instant = latest[(pp, fid)][0]
+        existing = slice_logs.get((pp, fid), [])
+        ver = 1
+        for p in existing:
+            m = _hlog.LOG_FILE_RE.match(os.path.basename(p))
+            if m and m.group("base") == base_instant:
+                ver = max(ver, int(m.group("ver")) + 1)
+        rel = (
+            os.path.join(pp, f".{fid}_{base_instant}.log.{ver}_0-0-0")
+            if pp else f".{fid}_{base_instant}.log.{ver}_0-0-0"
+        )
+        lpath = os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(lpath), exist_ok=True)
+        blk = _hlog.LogBlock(
+            _hlog.AVRO_DATA_BLOCK,
+            header={
+                _hlog.INSTANT_TIME: instant,
+                _hlog.SCHEMA: json.dumps(avsc),
+            },
+            content=_hlog.encode_avro_data_block(recs, avsc),
+        )
+        _hlog.write_log_file(lpath, [blk])
+        stats.setdefault(pp, []).append(
+            {
+                "fileId": fid,
+                "path": rel.replace(os.sep, "/"),
+                "numWrites": len(recs),
+                "fileSizeInBytes": os.path.getsize(lpath),
+            }
+        )
+
+    if needs_base:
+        # Hashed-to groups with no base slice yet (new partition or
+        # never-filled bucket): their rows become BASE files at this
+        # instant — a log-only file group would be unreadable.
+        nb_set = {f"{pp}\x00{fid}" for pp, fid in needs_base}
+        sel = spark.createDataFrame(
+            [(pp, fid) for pp, fid in needs_base], "__pp string, __fid string"
+        )
+        base_rows = routed.join(F.broadcast(sel), ["__pp", "__fid"])
+        staged = _hudi_select_order(
+            _hudi_with_meta(
+                base_rows, record_key, partition_by, instant, F.col("__fid")
+            ),
+            business_cols,
+        )
+        for pp, ss in _hudi_stage_commit(
+            staged, table_path, instant, expected_fids=nb_set
+        ).items():
+            stats.setdefault(pp, []).extend(ss)
+
+    _hudi_complete(
+        table_path, instant,
+        "UPSERT" if mode == "upsert" else "DELETE",
+        stats, delta=True,
+    )
+    return instant
+
+
+def compact_hudi(
+    spark: SparkSession, table_path: str, max_log_bytes: int = 256 << 20
+) -> str | None:
+    """Hudi COMPACTION, jar-less: every log-bearing file slice's
+    merged state (base + committed log blocks, the exact read-path
+    semantics) lands as a NEW base file per group at one ``.commit``
+    instant; the old logs attach to the superseded base instant, so
+    every snapshot reader — this module's and native ones — serves
+    the new slices and ignores them. Untouched groups cost nothing.
+    Returns the commit instant, or None when no group carries logs."""
+    from pyspark.sql.window import Window
+
+    from . import hudi_log as _hlog
+
+    completed, latest, slice_logs = _hudi_file_slices(table_path)
+    if not slice_logs:
+        return None
+    total = sum(os.path.getsize(p) for lst in slice_logs.values() for p in lst)
+    if total > max_log_bytes:
+        raise NotImplementedError(
+            f"compaction would decode {total} log bytes driver-side "
+            f"(> max_log_bytes={max_log_bytes}); raise the bound or use "
+            "the native engine"
+        )
+    instant = _hudi_new_instant(table_path)
+    paths = [latest[k][1] for k in sorted(slice_logs)]
+    fid_rows = [
+        (os.path.abspath(latest[(pp, fid)][1]), pp, fid)
+        for pp, fid in sorted(slice_logs)
+    ]
+    base = spark.read.parquet(*paths).select(
+        "*", _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
+    )
+    if "_hoodie_record_key" not in base.columns:
+        raise NotImplementedError(
+            "compaction needs populated _hoodie_record_key meta columns"
+        )
+
+    rows: list[tuple] = []
+    ordinal = 0
+    fields = [f for f in base.schema.fields if f.name != "__fp"]
+    from datetime import date as _date
+    from datetime import datetime as _dt
+    from datetime import timedelta as _td
+
+    def conv(v, dt):
+        if v is None:
+            return None
+        if dt.typeName() in ("timestamp", "timestamp_ntz") and isinstance(v, int):
+            return _dt(1970, 1, 1) + _td(microseconds=v)
+        if dt.typeName() == "date" and isinstance(v, int):
+            return _date(1970, 1, 1) + _td(days=v)
+        if dt.typeName() in ("double", "float") and isinstance(v, int):
+            return float(v)
+        return v
+
+    for (pp, fid) in sorted(slice_logs):
+        fp = os.path.abspath(latest[(pp, fid)][1])
+        for b in _hlog.visible_data_blocks(slice_logs[(pp, fid)], completed):
+            _s, recs = _hlog.decode_avro_data_block(b)
+            for rec in recs:
+                ordinal += 1
+                rows.append(
+                    tuple(conv(rec.get(f.name), f.dataType) for f in fields)
+                    + (fp, ordinal, bool(rec.get("_hoodie_is_deleted") or False))
+                )
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    log_schema = StructType(
+        list(fields)
+        + [
+            StructField("__fp", StringType()),
+            StructField("__ord", LongType()),
+            StructField("__del", BooleanType()),
+        ]
+    )
+    logdf = spark.createDataFrame(rows, log_schema)
+    u = base.withColumn("__ord", F.lit(0).cast("long")).withColumn(
+        "__del", F.lit(False)
+    ).unionByName(logdf)
+    w = Window.partitionBy(
+        F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
+        F.col("_hoodie_record_key"),
+    ).orderBy(F.col("__ord").desc())
+    merged = (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("__del"))
+        .drop("__rn", "__ord", "__del")
+    )
+    fmap = spark.createDataFrame(
+        fid_rows, "__fp string, __mpp string, __hudi_fid string"
+    )
+    business_cols = [
+        f.name for f in fields if not f.name.startswith("_hoodie_")
+    ]
+    staged = (
+        merged.join(F.broadcast(fmap), "__fp")
+        .withColumn("__hudi_pp", F.col("__mpp"))
+        .withColumn(
+            "__hudi_pp_dir",
+            F.when(F.col("__hudi_pp") == "", F.lit("__HUDI_ROOT__")).otherwise(
+                F.col("__hudi_pp")
+            ),
+        )
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__hudi_fid"), F.lit(f"_0-0-0_{instant}.parquet")),
+        )
+        .select(
+            *_HUDI_META_COLS, *business_cols, "__hudi_fid", "__hudi_pp_dir"
+        )
+    )
+    expected = {f"{pp}\x00{fid}" for pp, fid in slice_logs}
+    stats = _hudi_stage_commit(
+        staged, table_path, instant, expected_fids=expected
+    )
+    _hudi_complete(table_path, instant, "COMPACT", stats)
+    return instant
+
+
 def _hudi_visible_groups(table_path: str) -> dict[str, list[str]]:
     """Currently-visible file groups per partition path — the same
     driver-side listing ``read_hudi`` plans with (completed instants,
@@ -2563,21 +2985,30 @@ def write_hudi(
     num_buckets: int = 4,
     precombine_col: str | None = None,
     max_affected_file_groups: int = 8192,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """Write a REAL Apache Hudi copy-on-write table (the jar-less twin
-    of the reference's Hudi jobs). Modes:
+    """Write a REAL Apache Hudi table (the jar-less twin of the
+    reference's Hudi jobs) — COPY_ON_WRITE or MERGE_ON_READ
+    (``table_type``, fixed at creation). Modes:
 
     - ``bulk_insert``: create the table (error if it exists); records
-      hash by key into ``num_buckets`` file groups per partition.
-    - ``upsert``: latest-wins merge by ``record_key``; ONLY the file
-      groups holding matched keys (plus one new group per partition
-      for unmatched keys) are rewritten at the new instant. In-batch
-      duplicate keys precombine by ``precombine_col`` (max wins —
-      Hudi's precombine-field semantics); without one, a batch
-      carrying duplicate keys REFUSES loudly rather than writing both
-      rows into the table.
-    - ``delete``: drop the batch's keys; affected groups rewrite
-      (possibly to an empty base file — never silently resurrecting).
+      hash by key into ``num_buckets`` file groups per partition
+      (recorded as ``hoodie.bucket.index.num.buckets`` so later
+      writers route new keys identically).
+    - ``upsert``: latest-wins merge by ``record_key``. On a CoW table,
+      ONLY the file groups holding matched keys (plus one new group
+      per partition for unmatched keys) are rewritten at the new
+      instant. On a MERGE_ON_READ table the batch APPENDS one avro
+      data block to each affected group's log file at a
+      ``.deltacommit`` — O(batch) bytes, no base file touched
+      (``_hudi_log_write``; ``compact_hudi`` folds logs back into
+      base files). In-batch duplicate keys precombine by
+      ``precombine_col`` (max wins — Hudi's precombine-field
+      semantics); without one, a batch carrying duplicate keys
+      REFUSES loudly rather than writing both rows into the table.
+    - ``delete``: drop the batch's keys; CoW rewrites affected groups
+      (possibly to an empty base file — never silently resurrecting),
+      MoR appends ``_hoodie_is_deleted`` soft-delete records.
 
     On an existing PARTITIONED table, an omitted ``partition_by`` is
     derived from ``hoodie.properties`` (hoodie.table.partition.fields)
@@ -2595,6 +3026,10 @@ def write_hudi(
     instant instead of planning per-group."""
     if mode not in ("bulk_insert", "upsert", "delete"):
         raise ValueError(f"mode must be bulk_insert|upsert|delete, got {mode!r}")
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            f"table_type must be COPY_ON_WRITE|MERGE_ON_READ, got {table_type!r}"
+        )
     partition_by = list(partition_by or [])
     if record_key not in df.columns:
         raise ValueError(f"record_key {record_key!r} not in DataFrame")
@@ -2611,11 +3046,11 @@ def write_hudi(
             f.write(
                 "hoodie.table.name="
                 + os.path.basename(table_path.rstrip("/"))
-                + "\nhoodie.table.type=COPY_ON_WRITE\n"
+                + f"\nhoodie.table.type={table_type}\n"
                 + f"hoodie.table.recordkey.fields={record_key}\n"
                 + "hoodie.table.partition.fields="
                 + ",".join(partition_by)
-                + "\n"
+                + f"\nhoodie.bucket.index.num.buckets={num_buckets}\n"
             )
         fid = F.concat(
             F.lit("fg"),
@@ -2628,14 +3063,19 @@ def write_hudi(
             business_cols,
         )
         stats = _hudi_stage_commit(staged, table_path, instant)
-        _hudi_complete(table_path, instant, "BULK_INSERT", stats)
+        # MoR tables complete their writes as delta commits (Hudi's
+        # own timeline convention for MERGE_ON_READ bulk inserts too).
+        _hudi_complete(
+            table_path, instant, "BULK_INSERT", stats,
+            delta=table_type == "MERGE_ON_READ",
+        )
         return instant
 
     if not exists:
         raise FileNotFoundError(f"no Hudi table at {table_path} (no .hoodie)")
     spark = df.sparkSession
     props = _hudi_table_properties(table_path)
-    _hudi_guard_cow_write(table_path, props, mode)
+    tbl_type = props.get("hoodie.table.type", "COPY_ON_WRITE")
     tbl_key = props.get("hoodie.table.recordkey.fields", "")
     if tbl_key and tbl_key != record_key:
         raise ValueError(
@@ -2663,6 +3103,14 @@ def write_hudi(
                 f"upsert batch lacks partition column(s) {missing_parts} "
                 "(needed to place inserted keys)"
             )
+    if tbl_type == "MERGE_ON_READ":
+        return _hudi_log_write(
+            df, table_path, record_key, mode, partition_by, props,
+            precombine_col, instant,
+        )
+    # A COPY_ON_WRITE-typed table whose timeline nevertheless carries
+    # delta commits is in a state this writer cannot reason about.
+    _hudi_guard_cow_write(table_path, props, mode)
     # Current snapshot WITH file-group identity recovered from the
     # base-file names (one scan; _metadata costs nothing extra).
     current = read_hudi(spark, table_path, drop_meta=False).select(

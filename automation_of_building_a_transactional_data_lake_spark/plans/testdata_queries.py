@@ -2203,6 +2203,34 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
         )
         interop.write_hudi(del_rows, path, record_key=pk, mode="delete")
         final = interop.read_hudi(spark, path)
+    elif fmt == "hudi_mor":
+        # Same job on a MERGE_ON_READ table (X129): the CDC batch
+        # APPENDS log blocks (no base rewrite — physically pinned),
+        # the merged snapshot must match the oracle BOTH before and
+        # after compaction folds the logs into new base slices.
+        import os as _os
+
+        interop.write_hudi(
+            initial, path, record_key=pk, mode="bulk_insert",
+            table_type="MERGE_ON_READ",
+        )
+        interop.write_hudi(ups.select(*cols), path, record_key=pk, mode="upsert")
+        del_rows = (
+            dels.drop(OP_COL, TS_COL)
+            .withColumn("last_applied_date", F.lit(None).cast("timestamp"))
+            .select(*cols)
+        )
+        interop.write_hudi(del_rows, path, record_key=pk, mode="delete")
+        if not any(
+            ".log." in f for _r, _d, fs in _os.walk(path) for f in fs
+        ):
+            raise AssertionError("hudi_mor e2e expected log files")
+        pre = interop.read_hudi(spark, path)
+        if interop.compact_hudi(spark, path) is None:
+            raise AssertionError("hudi_mor e2e expected a compaction")
+        final = interop.read_hudi(spark, path)
+        if final.count() != pre.count():
+            raise AssertionError("compaction changed the snapshot row count")
     else:
         raise ValueError(fmt)
     return final.select(
@@ -2231,6 +2259,10 @@ def game_user_cdc_e2e_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "iceberg_mor")
+
+
+def game_user_cdc_e2e_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "hudi_mor")
 
 
 # --------------------------------------------------------------------------
@@ -2908,6 +2940,15 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_iceberg_mor",
             game_user_cdc_e2e_iceberg_mor,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r10: the Hudi MERGE_ON_READ lifecycle (X129) — CDC batches
+        # append log blocks, the snapshot matches the oracle before
+        # AND after compaction folds them into new base slices.
+        QueryDef(
+            "game_user_cdc_e2e_hudi_mor",
+            game_user_cdc_e2e_hudi_mor,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),

@@ -4201,3 +4201,128 @@ def test_hudi_mor_timestamp_and_date_conversion(spark, tmp_path):
     open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
     row = read_hudi(spark, path).collect()[0]
     assert row.ts == new_ts and row.d == date(2024, 6, 1)
+
+
+# -- Hudi: merge-on-read WRITE path + compaction ----------------------------
+
+
+def test_hudi_mor_write_lifecycle(spark, tmp_path):
+    """The full jar-less MoR lifecycle: bulk_insert creates a
+    MERGE_ON_READ table (completed by a .deltacommit), upserts and
+    deletes APPEND avro log blocks (no base file rewritten), a
+    brand-new partition's rows get a base file (never a log-only
+    group), compact_hudi folds logs into new base slices with an
+    identical snapshot, and post-compaction writes keep working."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "morw")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 else "b") for i in range(20)],
+        "id long, val string, cat string",
+    )
+    i0 = write_hudi(
+        df, path, record_key="id", table_type="MERGE_ON_READ",
+        partition_by=["cat"], num_buckets=2,
+    )
+    assert os.path.isfile(os.path.join(path, ".hoodie", f"{i0}.deltacommit"))
+    assert {r.id for r in read_hudi(spark, path).collect()} == set(range(20))
+
+    def base_files():
+        return sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    bases_before = base_files()
+    ups = spark.createDataFrame(
+        [(3, "N3", "a"), (4, "N4", "b"), (100, "I100", "a")],
+        "id long, val string, cat string",
+    )
+    i1 = write_hudi(ups, path, record_key="id", mode="upsert")
+    assert os.path.isfile(os.path.join(path, ".hoodie", f"{i1}.deltacommit"))
+    assert base_files() == bases_before  # log append touched no base
+    logs = [f for _r, _d, fs in os.walk(path) for f in fs if ".log." in f]
+    assert logs
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "N3" and got[4] == "N4" and got[100] == "I100"
+    assert got[0] == "v0" and len(got) == 21
+
+    write_hudi(
+        spark.createDataFrame([(5, "a"), (6, "b")], "id long, cat string"),
+        path, record_key="id", mode="delete",
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert 5 not in got and 6 not in got and len(got) == 19
+
+    # Insert landing in a partition with no file group yet: base file.
+    write_hudi(
+        spark.createDataFrame([(200, "P200", "z")], "id long, val string, cat string"),
+        path, record_key="id", mode="upsert",
+    )
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(path, "cat=z"))
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[200] == "P200" and len(got) == 20
+
+    before = _rows(read_hudi(spark, path).select("id", "val", "cat"))
+    ci = compact_hudi(spark, path)
+    assert ci is not None
+    assert os.path.isfile(os.path.join(path, ".hoodie", f"{ci}.commit"))
+    assert _rows(read_hudi(spark, path).select("id", "val", "cat")) == before
+    # Nothing left to compact; a fresh upsert attaches to the NEW base.
+    assert compact_hudi(spark, path) is None
+    write_hudi(
+        spark.createDataFrame([(3, "NN3", "a")], "id long, val string, cat string"),
+        path, record_key="id", mode="upsert",
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "NN3" and len(got) == 20
+
+
+def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
+    """MoR upserts keep the CoW contracts: duplicate keys refuse
+    without a precombine column and precombine-max wins with one; the
+    log-write batch is bounded by max_log_rows (via the public
+    surface's routing)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_log_write,
+        _hudi_new_instant,
+        _hudi_table_properties,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "morp")
+    write_hudi(
+        spark.createDataFrame([(1, "a", 0)], "id long, val string, ver long"),
+        path, record_key="id", table_type="MERGE_ON_READ",
+    )
+    dup = spark.createDataFrame(
+        [(1, "low", 1), (1, "high", 2)], "id long, val string, ver long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        write_hudi(dup, path, record_key="id", mode="upsert")
+    write_hudi(dup, path, record_key="id", mode="upsert", precombine_col="ver")
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[1] == "high"
+
+    props = _hudi_table_properties(path)
+    with pytest.raises(NotImplementedError, match="max_log_rows"):
+        _hudi_log_write(
+            spark.createDataFrame([(2, "x", 0), (3, "y", 0)],
+                                  "id long, val string, ver long"),
+            path, "id", "upsert", [], props, None,
+            _hudi_new_instant(path), max_log_rows=1,
+        )
+
+    # Deleting a key that exists nowhere is a clean no-op commit.
+    write_hudi(
+        spark.createDataFrame([(999,)], "id long"),
+        path, record_key="id", mode="delete",
+    )
+    assert {r.id for r in read_hudi(spark, path).collect()} == {1}
