@@ -1875,6 +1875,83 @@ def merge_delta(
     return next_version
 
 
+def compact_delta(spark: SparkSession, table_path: str) -> int | None:
+    """Purge deletion vectors (Delta's ``REORG TABLE ... APPLY
+    (PURGE)``): every DV-carrying file rewrites WITHOUT its deleted
+    rows into a fresh clean file; clean files are untouched. This is
+    the maintenance step that keeps merge-on-read economics honest —
+    DV merges write O(changes) per batch, and the accumulated debt is
+    paid here in one bounded pass over only the DV'd files. Returns
+    the committed version, or None when no file carries a DV."""
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "merge")
+    dvd = {p: a for p, a in state["files"].items() if a.get("deletionVector")}
+    if not dvd:
+        return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    cols = [f.name for f in schema.fields]
+    deleted: list[tuple[str, int]] = []
+    paths = []
+    for p, a in dvd.items():
+        ap = os.path.abspath(os.path.join(table_path, urllib.parse.unquote(p)))
+        paths.append(ap)
+        for pos in _delta_dv_positions(a["deletionVector"], table_path):
+            deleted.append((ap, pos))
+    rdr = spark.read.schema(schema)
+    if pcols:
+        rdr = rdr.option("basePath", table_path)
+    scan = rdr.parquet(*sorted(paths)).select(
+        *cols,
+        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    del_df = spark.createDataFrame(deleted, "__fp string, __ri long")
+    survivors = scan.join(
+        _delete_side(del_df, []), ["__fp", "__ri"], "left_anti"
+    ).select(*cols)
+
+    actions: list[dict] = []
+    ts = int(time.time() * 1000)
+    for p in sorted(dvd):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    # A purge changes no logical rows — CDF readers
+                    # must NOT see it as row-level change.
+                    "dataChange": False,
+                }
+            }
+        )
+    for a in _delta_stage_files(survivors, table_path, pcols):
+        a["dataChange"] = False
+        actions.append({"add": a})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": True},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(table_path, _DELTA_LOG, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version
+
+
 def restore_delta(table_path: str, version: int) -> int:
     """Delta RESTORE on a REAL foreign table, METADATA-ONLY (what the
     native ``RESTORE TABLE ... TO VERSION AS OF`` does): the new commit
@@ -3808,6 +3885,241 @@ def _mlist_carry(rec: dict) -> dict:
     }
 
 
+def _ice_data_manifest_meta(cur_schema: dict, spec_fields: list[dict], content: bytes) -> dict:
+    return {
+        "schema": json.dumps(cur_schema).encode("utf-8"),
+        "schema-id": b"0",
+        "partition-spec": json.dumps(spec_fields).encode("utf-8"),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": content,
+    }
+
+
+def _ice_retire_data_manifests(
+    manifests: list[dict],
+    retire: set[str],
+    seq: int,
+    snapshot_id: int,
+    entry_schema: dict,
+    cur_schema: dict,
+    spec_fields: list[dict],
+    mdir: str,
+) -> list[dict]:
+    """Rewrite every data manifest that references a retired file:
+    affected entries marked status-2 (original sequence numbers kept,
+    so incremental readers see exactly which files this snapshot
+    removed), the rest carried status-0; untouched manifests carry
+    forward verbatim (normalized). Returns the manifest-list records."""
+    from .avro_lite import write_avro_file
+
+    out: list[dict] = []
+    for mf in manifests:
+        touched = [p in retire for p in mf["paths"]]
+        if not any(touched):
+            out.append(_mlist_carry(mf["rec"]))
+            continue
+        rewritten = []
+        n_exist = n_del = rows_exist = rows_del = 0
+        min_seq = seq
+        for e, is_aff in zip(mf["entries"], touched):
+            eseq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf["rec"].get("sequence_number", 0)
+            )
+            min_seq = min(min_seq, int(eseq))
+            nrec = int(e["data_file"].get("record_count", 0) or 0)
+            rewritten.append(
+                {
+                    "status": 2 if is_aff else 0,
+                    "snapshot_id": snapshot_id if is_aff else e.get("snapshot_id"),
+                    "sequence_number": eseq,
+                    "file_sequence_number": e.get("file_sequence_number", eseq),
+                    "data_file": e["data_file"],
+                }
+            )
+            if is_aff:
+                n_del += 1
+                rows_del += nrec
+            else:
+                n_exist += 1
+                rows_exist += nrec
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m1.avro")
+        write_avro_file(
+            mpath, entry_schema, rewritten,
+            extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"data"),
+        )
+        out.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": n_exist,
+                "deleted_files_count": n_del,
+                "added_rows_count": 0,
+                "existing_rows_count": rows_exist,
+                "deleted_rows_count": rows_del,
+            }
+        )
+    return out
+
+
+def _ice_retire_delete_manifests(
+    delete_recs: list[dict],
+    table_path: str,
+    seq: int,
+    snapshot_id: int,
+    entry_schema: dict,
+    cur_schema: dict,
+    spec_fields: list[dict],
+    part_fields: list[dict],
+    mdir: str,
+) -> list[dict]:
+    """Retire every prior DELETE file: rewrite each delete manifest
+    with all live entries status-2 (content flag preserved), so the
+    new snapshot applies no stale deletes and incremental readers see
+    their removal. The entry schema gains a nullable equality_ids so
+    equality-delete identities survive the status-2 rewrite."""
+    from .avro_lite import read_avro_file, write_avro_file
+
+    del_entry_schema = json.loads(json.dumps(entry_schema))
+    del_entry_schema["name"] = "manifest_entry_del"
+    del_entry_schema["fields"][-1]["type"]["name"] = "r2d"
+    del_entry_schema["fields"][-1]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int",
+                              "element-id": 136}],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+    out: list[dict] = []
+    for r in delete_recs:
+        _s3, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live_d = [e for e in dentries if e.get("status", 1) != 2]
+        if not live_d:
+            continue
+        retired = []
+        n_rows = 0
+        min_seq = seq
+        for e in live_d:
+            eseq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else r.get("sequence_number", 0)
+            )
+            min_seq = min(min_seq, int(eseq))
+            dfr = e["data_file"]
+            nrec = int(dfr.get("record_count", 0) or 0)
+            n_rows += nrec
+            retired.append(
+                {
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": eseq,
+                    "file_sequence_number": e.get("file_sequence_number", eseq),
+                    "data_file": {
+                        "content": dfr.get("content", 1),
+                        "file_path": dfr["file_path"],
+                        "file_format": dfr.get("file_format", "PARQUET"),
+                        "partition": {
+                            pf["name"]: (dfr.get("partition") or {}).get(pf["name"])
+                            for pf in part_fields
+                        },
+                        "record_count": nrec,
+                        "file_size_in_bytes": int(
+                            dfr.get("file_size_in_bytes", 0) or 0
+                        ),
+                        "equality_ids": dfr.get("equality_ids"),
+                    },
+                }
+            )
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m2.avro")
+        write_avro_file(
+            mpath, del_entry_schema, retired,
+            extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"deletes"),
+        )
+        out.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq, "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": 0,
+                "deleted_files_count": len(retired),
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": n_rows,
+            }
+        )
+    return out
+
+
+def _ice_add_data_manifest(
+    staged: list[tuple],
+    part_fields: list[dict],
+    entry_schema: dict,
+    cur_schema: dict,
+    spec_fields: list[dict],
+    mdir: str,
+    snapshot_id: int,
+    seq: int,
+) -> tuple[dict | None, int]:
+    """One ADDED-data manifest for the staged parquet files. Returns
+    (manifest-list record or None when nothing staged, file count)."""
+    from .avro_lite import write_avro_file
+
+    added_rows = 0
+    add_entries = []
+    for apath, pv, nrec, size in staged:
+        added_rows += nrec
+        add_entries.append(
+            {
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": f"file://{apath}",
+                    "file_format": "PARQUET",
+                    "partition": {
+                        pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
+                        for pf in part_fields
+                    },
+                    "record_count": nrec, "file_size_in_bytes": size,
+                },
+            }
+        )
+    if not add_entries:
+        return None, 0
+    mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    write_avro_file(
+        mpath, entry_schema, add_entries,
+        extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"data"),
+    )
+    return (
+        {
+            "manifest_path": f"file://{mpath}",
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(add_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        },
+        len(add_entries),
+    )
+
+
 def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
     """(manifest_entry schema, manifest_file schema) — the Iceberg v2
     Avro shapes with spec field-ids, partition record typed per the
@@ -4539,52 +4851,13 @@ def merge_iceberg(
     finally:
         keys_pin.unpersist()
     retire = set(rewrite_paths) | set(dead)
-    added_rows = 0
-    add_entries = []
-    for apath, pv, nrec, size in staged:
-        added_rows += nrec
-        add_entries.append(
-            {
-                "status": 1, "snapshot_id": snapshot_id,
-                "sequence_number": seq, "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0, "file_path": f"file://{apath}",
-                    "file_format": "PARQUET",
-                    "partition": {
-                        pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
-                        for pf in part_fields
-                    },
-                    "record_count": nrec, "file_size_in_bytes": size,
-                },
-            }
-        )
     new_mlist: list[dict] = []
-    if add_entries:
-        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
-        write_avro_file(
-            mpath, entry_schema, add_entries,
-            extra_meta={
-                "schema": json.dumps(cur_schema).encode("utf-8"),
-                "schema-id": b"0",
-                "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-                "partition-spec-id": b"0",
-                "format-version": b"2",
-                "content": b"data",
-            },
-        )
-        new_mlist.append(
-            {
-                "manifest_path": f"file://{mpath}",
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 0,
-                "sequence_number": seq, "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(add_entries),
-                "existing_files_count": 0, "deleted_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": 0, "deleted_rows_count": 0,
-            }
-        )
+    add_rec, n_added = _ice_add_data_manifest(
+        staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
+        snapshot_id, seq,
+    )
+    if add_rec is not None:
+        new_mlist.append(add_rec)
     # New POSITION DELETE files for the merge-on-read portion: one
     # sorted (file_path, pos) parquet per affected partition (spec:
     # delete files belong to one partition, like data files), rows
@@ -4672,181 +4945,70 @@ def merge_iceberg(
             }
         )
 
-    for mf in manifests:
-        touched = [p in retire for p in mf["paths"]]
-        if not any(touched):
-            # Untouched: carried forward (normalized — foreign records
-            # may be sparse on the advisory count fields).
-            new_mlist.append(_mlist_carry(mf["rec"]))
-            continue
-        rewritten = []
-        n_exist = n_del = rows_exist = rows_del = 0
-        min_seq = seq
-        for e, is_aff in zip(mf["entries"], touched):
-            eseq = (
-                e.get("sequence_number")
-                if e.get("sequence_number") is not None
-                else mf["rec"].get("sequence_number", 0)
-            )
-            min_seq = min(min_seq, int(eseq))
-            nrec = int(e["data_file"].get("record_count", 0) or 0)
-            rewritten.append(
-                {
-                    "status": 2 if is_aff else 0,
-                    "snapshot_id": snapshot_id if is_aff else e.get("snapshot_id"),
-                    "sequence_number": eseq,
-                    "file_sequence_number": e.get("file_sequence_number", eseq),
-                    "data_file": e["data_file"],
-                }
-            )
-            if is_aff:
-                n_del += 1
-                rows_del += nrec
-            else:
-                n_exist += 1
-                rows_exist += nrec
-        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m1.avro")
-        write_avro_file(
-            mpath, entry_schema, rewritten,
-            extra_meta={
-                "schema": json.dumps(cur_schema).encode("utf-8"),
-                "schema-id": b"0",
-                "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-                "partition-spec-id": b"0",
-                "format-version": b"2",
-                "content": b"data",
-            },
+    new_mlist.extend(
+        _ice_retire_data_manifests(
+            manifests, retire, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, mdir,
         )
-        new_mlist.append(
-            {
-                "manifest_path": f"file://{mpath}",
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 0,
-                "sequence_number": seq, "min_sequence_number": min_seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": 0,
-                "existing_files_count": n_exist,
-                "deleted_files_count": n_del,
-                "added_rows_count": 0,
-                "existing_rows_count": rows_exist,
-                "deleted_rows_count": rows_del,
-            }
-        )
-
-    # Compaction retires every prior DELETE file too: rewrite each
-    # delete manifest with all live entries status-2 (content flag
-    # preserved), so the new snapshot applies no stale deletes and
-    # incremental readers see their removal. The entry schema gains a
-    # nullable equality_ids so equality-delete identities survive the
-    # status-2 rewrite.
+    )
     if compacting:
-        del_entry_schema = json.loads(json.dumps(entry_schema))
-        del_entry_schema["name"] = "manifest_entry_del"
-        del_entry_schema["fields"][-1]["type"]["name"] = "r2d"
-        del_entry_schema["fields"][-1]["type"]["fields"].append(
-            {
-                "name": "equality_ids",
-                "type": ["null", {"type": "array", "items": "int",
-                                  "element-id": 136}],
-                "default": None,
-                "field-id": 135,
-            }
+        new_mlist.extend(
+            _ice_retire_delete_manifests(
+                delete_recs, table_path, seq, snapshot_id,
+                entry_schema, cur_schema, spec_fields, part_fields, mdir,
+            )
         )
-        for r in delete_recs:
-            _s3, dentries = read_avro_file(
-                _iceberg_local_path(r["manifest_path"], table_path)
-            )
-            live_d = [e for e in dentries if e.get("status", 1) != 2]
-            if not live_d:
-                continue
-            retired = []
-            n_rows = 0
-            min_seq = seq
-            for e in live_d:
-                eseq = (
-                    e.get("sequence_number")
-                    if e.get("sequence_number") is not None
-                    else r.get("sequence_number", 0)
-                )
-                min_seq = min(min_seq, int(eseq))
-                dfr = e["data_file"]
-                nrec = int(dfr.get("record_count", 0) or 0)
-                n_rows += nrec
-                retired.append(
-                    {
-                        "status": 2,
-                        "snapshot_id": snapshot_id,
-                        "sequence_number": eseq,
-                        "file_sequence_number": e.get("file_sequence_number", eseq),
-                        "data_file": {
-                            "content": dfr.get("content", 1),
-                            "file_path": dfr["file_path"],
-                            "file_format": dfr.get("file_format", "PARQUET"),
-                            "partition": {
-                                pf["name"]: (dfr.get("partition") or {}).get(pf["name"])
-                                for pf in part_fields
-                            },
-                            "record_count": nrec,
-                            "file_size_in_bytes": int(
-                                dfr.get("file_size_in_bytes", 0) or 0
-                            ),
-                            "equality_ids": dfr.get("equality_ids"),
-                        },
-                    }
-                )
-            mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m2.avro")
-            write_avro_file(
-                mpath, del_entry_schema, retired,
-                extra_meta={
-                    "schema": json.dumps(cur_schema).encode("utf-8"),
-                    "schema-id": b"0",
-                    "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-                    "partition-spec-id": b"0",
-                    "format-version": b"2",
-                    "content": b"deletes",
-                },
-            )
-            new_mlist.append(
-                {
-                    "manifest_path": f"file://{mpath}",
-                    "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0, "content": 1,
-                    "sequence_number": seq, "min_sequence_number": min_seq,
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": 0,
-                    "existing_files_count": 0,
-                    "deleted_files_count": len(retired),
-                    "added_rows_count": 0,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": n_rows,
-                }
-            )
     else:
         # Prior POSITION-delete manifests stay live: their pairs are
         # path-exact, so they keep applying to untouched files and
         # dangle harmlessly for retired ones (maintenance reclaims).
         new_mlist.extend(_mlist_carry(r) for r in delete_recs)
 
+    summary = {
+        "operation": "overwrite",
+        "added-data-files": str(n_added),
+        "deleted-data-files": str(len(retire)),
+        "added-delete-files": str(len({
+            tuple(sorted(part_of.get(fp, {}).items())) for fp in mor_new
+        })),
+        "added-position-deletes": str(
+            sum(len(v) for v in mor_new.values())
+        ),
+    }
+    return _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
+
+
+def _ice_commit_snapshot(
+    table_path: str,
+    chosen: str,
+    meta: dict,
+    mlist_schema: dict,
+    new_mlist: list[dict],
+    snapshot_id: int,
+    parent_id: int,
+    seq: int,
+    now_ms: int,
+    summary: dict,
+) -> int:
+    """Write the manifest list, append the snapshot, and commit the
+    next metadata JSON (O_EXCL; version-hint updated last) — the
+    shared tail of every snapshot-producing Iceberg write here."""
+    from .avro_lite import write_avro_file
+
+    mdir = os.path.join(table_path, "metadata")
     mlist_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     mlist_abs = os.path.join(mdir, mlist_name)
     write_avro_file(mlist_abs, mlist_schema, new_mlist)
     new_snap = {
         "snapshot-id": snapshot_id,
-        "parent-snapshot-id": sid,
+        "parent-snapshot-id": parent_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": f"file://{mlist_abs}",
-        "summary": {
-            "operation": "overwrite",
-            "added-data-files": str(len(add_entries)),
-            "deleted-data-files": str(len(retire)),
-            "added-delete-files": str(len({
-                tuple(sorted(part_of.get(fp, {}).items())) for fp in mor_new
-            })),
-            "added-position-deletes": str(
-                sum(len(v) for v in mor_new.values())
-            ),
-        },
+        "summary": summary,
         "schema-id": 0,
     }
     m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
@@ -4874,6 +5036,171 @@ def merge_iceberg(
     with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
         f.write(str(version))
     return snapshot_id
+
+
+def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
+    """Iceberg delete-file compaction (what ``rewrite_data_files`` +
+    ``rewrite_position_delete_files`` maintenance achieves): apply the
+    current snapshot's row-level deletes and retire them.
+
+    - POSITION-delete-only snapshots compact TARGETED: only the data
+      files the delete rows actually reference rewrite (survivors
+      re-staged without deleted rows); untouched files and manifests
+      carry forward — O(affected files), the 100-TB-safe shape.
+    - Snapshots carrying EQUALITY deletes rewrite every data file
+      (their value+sequence semantics make per-file survival depend on
+      global ordering; read_iceberg's delete-aware scan supplies the
+      merged state).
+
+    Every prior delete file retires status-2 either way. Returns the
+    new snapshot id, or None when the snapshot carries no live
+    deletes."""
+    from .avro_lite import read_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "compaction of a format-version 1 Iceberg table is not supported"
+        )
+    schema = _iceberg_table_schema(meta)
+    if schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} carries no schema")
+    cols = [f.name for f in schema.fields]
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    if any(f.get("transform") != "identity" for f in spec.get("fields", [])):
+        raise NotImplementedError(
+            "compaction through a non-identity partition spec is not supported"
+        )
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    field_types = {f["name"]: f["type"] for f in cur_schema["fields"]}
+    part_fields = [
+        {**f, "ice_type": field_types[f["name"]]} for f in spec.get("fields", [])
+    ]
+    spec_fields = spec.get("fields", [])
+
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], table_path)
+    )
+    data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
+    delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
+    existing_pos_files: list[str] = []
+    has_eq = False
+    n_live_deletes = 0
+    for r in delete_recs:
+        _sd, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        for e in dentries:
+            if e.get("status", 1) == 2:
+                continue
+            n_live_deletes += 1
+            if e["data_file"].get("content", 1) == 2:
+                has_eq = True
+            else:
+                existing_pos_files.append(
+                    _iceberg_local_path(e["data_file"]["file_path"], table_path)
+                )
+    if not n_live_deletes:
+        return None
+
+    manifests: list[dict] = []
+    all_paths: list[str] = []
+    for r in data_recs:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        paths = [
+            os.path.abspath(
+                _iceberg_local_path(e["data_file"]["file_path"], table_path)
+            )
+            for e in live
+        ]
+        manifests.append({"rec": r, "entries": live, "paths": paths})
+        all_paths.extend(paths)
+
+    if has_eq:
+        retire = set(all_paths)
+        survivors = read_iceberg(spark, table_path).select(*cols)
+    else:
+        pos_pairs = spark.read.parquet(*existing_pos_files).select(
+            _norm_file_path(F.col("file_path")).alias("__fp"),
+            F.col("pos").cast("long").alias("__ri"),
+        )
+        live_set = set(all_paths)
+        retire = {
+            r["__fp"]
+            for r in pos_pairs.select("__fp").distinct().collect()
+            if r["__fp"] in live_set
+        }
+        survivors = None
+        if retire:
+            rdr = spark.read.schema(schema)
+            scan = rdr.parquet(*sorted(retire)).select(
+                *cols,
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            survivors = scan.join(
+                _delete_side(pos_pairs, existing_pos_files),
+                ["__fp", "__ri"],
+                "left_anti",
+            ).select(*cols)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    mdir = os.path.join(table_path, "metadata")
+    staged = (
+        _iceberg_stage_files(survivors, table_path, partition_by)
+        if survivors is not None
+        else []
+    )
+    new_mlist: list[dict] = []
+    add_rec, n_added = _ice_add_data_manifest(
+        staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
+        snapshot_id, seq,
+    )
+    if add_rec is not None:
+        new_mlist.append(add_rec)
+    new_mlist.extend(
+        _ice_retire_data_manifests(
+            manifests, retire, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, mdir,
+        )
+    )
+    new_mlist.extend(
+        _ice_retire_delete_manifests(
+            delete_recs, table_path, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, part_fields, mdir,
+        )
+    )
+    summary = {
+        "operation": "replace",
+        "added-data-files": str(n_added),
+        "deleted-data-files": str(len(retire)),
+        "removed-delete-files": str(n_live_deletes),
+    }
+    return _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
 
 
 def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
@@ -5104,14 +5431,27 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
         raise FileNotFoundError(f"no Delta table at {table_path}")
     lo = max(0, head - retain_versions + 1)
     referenced: set[str] = set()
+    referenced_dvs: set[str] = set()
     for v in range(lo, head + 1):
         state = _delta_replay(table_path, v)
-        for p in state["files"]:
+        for p, a in state["files"].items():
             referenced.add(
                 os.path.abspath(
                     os.path.join(table_path, urllib.parse.unquote(p))
                 )
             )
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                enc = dv["pathOrInlineDv"]
+                u = uuid.UUID(bytes=_z85_decode(enc[-20:]))
+                prefix = enc[:-20]
+                referenced_dvs.add(
+                    os.path.abspath(os.path.join(
+                        table_path,
+                        (prefix + "/" if prefix else "")
+                        + f"deletion_vector_{u}.bin",
+                    ))
+                )
     deleted = 0
     for root, dirs, files in os.walk(table_path):
         dirs[:] = [
@@ -5119,6 +5459,15 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
             if not d.startswith(".") and d not in (_DELTA_LOG, "_change_data")
         ]
         for fname in files:
+            if fname.startswith("deletion_vector_") and fname.endswith(".bin"):
+                # DV sidecars vacuum with their retention window too: a
+                # purged/superseded vector no retained version points at
+                # is reclaimable bytes.
+                p = os.path.abspath(os.path.join(root, fname))
+                if p not in referenced_dvs:
+                    os.unlink(p)
+                    deleted += 1
+                continue
             if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
                 continue
             p = os.path.abspath(os.path.join(root, fname))

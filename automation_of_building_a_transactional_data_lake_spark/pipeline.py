@@ -544,6 +544,7 @@ def maintain_all(
     iceberg_mirrors: dict[str, str] | None = None,
     hudi_mirrors: dict[str, str] | None = None,
     mirror_retention: int | None = None,
+    mirror_compact: bool = True,
 ) -> list[LoadReport]:
     """Scheduled maintenance over the table registry (the reference's
     missing story, SURVEY §4 / BASELINE north star): per table, compact
@@ -566,7 +567,15 @@ def maintain_all(
     real-format storage lifecycle after each publish — Delta VACUUM,
     Iceberg expire_snapshots, the Hudi cleaner — so a mirror published
     every cycle for months does not hold every historical byte (the
-    job the reference delegates to the format jars' inline cleaners)."""
+    job the reference delegates to the format jars' inline cleaners).
+
+    ``mirror_compact`` pays down MERGE-ON-READ debt after each publish
+    and before retention: the incremental mirrors' keyed MERGEs write
+    deletion vectors / position deletes under ``strategy='auto'``
+    (O(changes) per cycle — the right write shape), and this folds the
+    accumulated debt back into clean files (``compact_delta`` /
+    ``compact_iceberg`` / ``compact_hudi``, each a no-op when the
+    mirror carries none)."""
     reports = []
     for idx in ann_indexes or []:
         reports.append(
@@ -619,6 +628,12 @@ def maintain_all(
             telemetry["delta_mirror_version"] = mirror_to_delta(
                 catalog, spec, mirror, telemetry=telemetry
             )
+            if mirror_compact:
+                from .formats.interop import compact_delta
+
+                telemetry["delta_mirror_compacted"] = int(
+                    compact_delta(catalog.spark, mirror) is not None
+                )
             if mirror_retention:
                 from .formats.interop import vacuum_delta
 
@@ -630,6 +645,12 @@ def maintain_all(
             telemetry["iceberg_mirror_snapshot"] = mirror_to_iceberg(
                 catalog, spec, imirror, telemetry=telemetry
             )
+            if mirror_compact:
+                from .formats.interop import compact_iceberg
+
+                telemetry["iceberg_mirror_compacted"] = int(
+                    compact_iceberg(catalog.spark, imirror) is not None
+                )
             if mirror_retention:
                 from .formats.interop import expire_iceberg_snapshots
 
@@ -641,6 +662,12 @@ def maintain_all(
             telemetry["hudi_mirror_instant"] = mirror_to_hudi(
                 catalog, spec, hmirror, telemetry=telemetry
             )
+            if mirror_compact:
+                from .formats.interop import compact_hudi
+
+                telemetry["hudi_mirror_compacted"] = int(
+                    compact_hudi(catalog.spark, hmirror) is not None
+                )
             if mirror_retention:
                 from .formats.interop import clean_hudi
 

@@ -228,7 +228,10 @@ class LakeSQL:
           the real-format lifecycle: Delta VACUUM, Iceberg
           expire_snapshots, the Hudi cleaner),
           ``OPTIMIZE <ident> [ZORDER BY (c, ...)]`` (Delta maintenance
-          SQL), ``DESCRIBE HISTORY <ident>`` / ``DESCRIBE HISTORY
+          SQL; also ``OPTIMIZE delta.`/p```/``iceberg.`/p```/
+          ``hudi.`/p``` — merge-on-read debt compaction: DV purge,
+          delete-file apply+retire, log-to-base folding),
+          ``DESCRIBE HISTORY <ident>`` / ``DESCRIBE HISTORY
           delta.`/p``` (snapshot audit), ``RESTORE TABLE <ident> TO
           VERSION AS OF n`` (Delta RESTORE: a new version with the old
           content, history intact), ``CREATE MODEL``/``SHOW MODEL``
@@ -370,6 +373,34 @@ class LakeSQL:
             else:
                 out = clean_hudi(p, keep_last_slices=n)
             return {"action": "vacuum", "format": fmt, **out}
+
+        m = re.match(
+            r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Merge-on-read debt compaction as text (X130): purge Delta
+            # deletion vectors (REORG ... APPLY (PURGE)), apply+retire
+            # Iceberg delete files (rewrite_data_files), fold Hudi logs
+            # into new base slices (schedule-and-run compaction). A
+            # no-debt table is a clean no-op.
+            from .formats.interop import (
+                compact_delta,
+                compact_hudi,
+                compact_iceberg,
+            )
+
+            fmt = m.group("fmt").lower()
+            p = m.group("p")
+            fn = {"delta": compact_delta, "iceberg": compact_iceberg,
+                  "hudi": compact_hudi}[fmt]
+            out = fn(self.spark, p)
+            return {
+                "action": "optimize",
+                "format": fmt,
+                "compacted": out is not None,
+                "commit": out,
+            }
 
         m = re.match(
             rf"VACUUM\s+(?P<t>{ident})(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?$",

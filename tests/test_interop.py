@@ -4326,3 +4326,172 @@ def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
         path, record_key="id", mode="delete",
     )
     assert {r.id for r in read_hudi(spark, path).collect()} == {1}
+
+
+# -- Compaction: paying down merge-on-read debt -----------------------------
+
+
+def test_compact_delta_purges_deletion_vectors(spark, tmp_path):
+    """compact_delta (REORG ... APPLY (PURGE)): DV-carrying files
+    rewrite without their deleted rows, the snapshot is unchanged, the
+    state carries no vectors afterwards, the purge commit is
+    dataChange=false (invisible to the change feed), and VACUUM then
+    reclaims the orphaned sidecar."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        compact_delta,
+        merge_delta,
+        read_delta_changes,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "cdp")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, val string")
+    write_delta(
+        df.repartition(2), path, mode="error",
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    merge_delta(
+        spark.createDataFrame([(3, "N3"), (9, "N9")], "id long, val string"),
+        path, "id",
+    )
+    merge_delta(spark.createDataFrame([(5,)], "id long"), path, "id", mode="delete")
+    before = _rows(read_delta(spark, path))
+    v = compact_delta(spark, path)
+    assert v is not None
+    assert _rows(read_delta(spark, path)) == before
+    state = _delta_replay(path, None)
+    assert not any(a.get("deletionVector") for a in state["files"].values())
+    assert compact_delta(spark, path) is None  # idempotent
+
+    # The purge contributes NO rows to the change feed.
+    ch = read_delta_changes(spark, path, 0)
+    assert ch.filter(F.col("_commit_version") == v).count() == 0
+
+    # The orphaned DV sidecar vacuums away with the old versions.
+    assert [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    vacuum_delta(path, retain_versions=1)
+    assert not [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    assert _rows(read_delta(spark, path)) == before
+
+
+def test_compact_iceberg_targeted_posdelete_rewrite(spark, tmp_path):
+    """Position-delete-only compaction is TARGETED: only the data
+    files the delete rows reference rewrite (untouched base files stay
+    byte-identical), every delete file retires status-2, time travel
+    to the pre-compaction snapshot still applies the deletes, and a
+    clean table is a no-op."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "cit")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(60)], "id long, val string")
+    write_iceberg(df.repartition(3), path)
+    sid0_meta = os.path.join(path, "metadata")
+    merge_iceberg(
+        spark.createDataFrame([(3, "N3")], "id long, val string"),
+        path, "id", strategy="mor",
+    )
+    merge_iceberg(
+        spark.createDataFrame([(40,)], "id long"), path, "id",
+        mode="delete", strategy="mor",
+    )
+    with open(os.path.join(sid0_meta, "version-hint.text"), encoding="ascii") as f:
+        pre_hint = f.read().strip()
+    with open(os.path.join(sid0_meta, f"v{pre_hint}.metadata.json"), encoding="utf-8") as f:
+        pre_sid = json.load(f)["current-snapshot-id"]
+    ddir = os.path.join(path, "data")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(ddir, f))
+        for f in os.listdir(ddir)
+        if f.endswith(".parquet") and not f.endswith("-deletes.parquet")
+    }
+    before = _rows(read_iceberg(spark, path))
+
+    sid = compact_iceberg(spark, path)
+    assert sid is not None
+    assert _rows(read_iceberg(spark, path)) == before
+    # Untouched files stayed byte-identical on disk.
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(ddir, f)) == mt
+    # The new snapshot carries NO live delete entries.
+    with open(os.path.join(sid0_meta, "version-hint.text"), encoding="ascii") as f:
+        hint = f.read().strip()
+    with open(os.path.join(sid0_meta, f"v{hint}.metadata.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    _s, recs = read_avro_file(snap["manifest-list"].replace("file://", ""))
+    for r in [r for r in recs if r.get("content", 0) != 0]:
+        _s2, entries = read_avro_file(r["manifest_path"].replace("file://", ""))
+        assert all(e["status"] == 2 for e in entries)
+    assert snap["summary"]["operation"] == "replace"
+    # Time travel: the pre-compaction snapshot still applies deletes.
+    tt = {r.id: r.val for r in read_iceberg(spark, path, snapshot_id=pre_sid).collect()}
+    assert tt[3] == "N3" and 40 not in tt
+    # Idempotent.
+    assert compact_iceberg(spark, path) is None
+
+
+def test_optimize_sql_text_compacts_all_three_formats(spark, tmp_path):
+    """``OPTIMIZE delta.`/p``` / ``iceberg.`/p``` / ``hudi.`/p``` run
+    the format compactions as literal SQL text; a debt-free table
+    reports compacted=False."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        merge_iceberg,
+        read_hudi,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, x long")
+        .coalesce(1),
+        dp, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(spark.createDataFrame([(1,)], "id long"), dp, "id", mode="delete")
+    out = sql.sql(f"OPTIMIZE delta.`{dp}`")
+    assert out["action"] == "optimize" and out["compacted"] is True
+    assert read_delta(spark, dp).count() == 19
+    assert sql.sql(f"OPTIMIZE delta.`{dp}`")["compacted"] is False
+
+    ip = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, x long")
+        .coalesce(1),
+        ip,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), ip, "id",
+        mode="delete", strategy="mor",
+    )
+    assert sql.sql(f"OPTIMIZE iceberg.`{ip}`")["compacted"] is True
+    assert read_iceberg(spark, ip).count() == 19
+
+    hp = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, x long"),
+        hp, record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi(
+        spark.createDataFrame([(1, -1)], "id long, x long"),
+        hp, record_key="id", mode="upsert",
+    )
+    assert sql.sql(f"OPTIMIZE hudi.`{hp}`")["compacted"] is True
+    got = {r.id: r.x for r in read_hudi(spark, hp).collect()}
+    assert got[1] == -1 and len(got) == 20
+    assert sql.sql(f"OPTIMIZE hudi.`{hp}`")["compacted"] is False
