@@ -572,6 +572,19 @@ def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
             action = {k: v for k, v in row.items() if v is not None}
             action.pop("commitInfo", None)
             action.pop("txn", None)
+            add = action.get("add")
+            if add is not None:
+                # Struct columns surface null as an all/partly-None
+                # dict; a null deletionVector must read as ABSENT and a
+                # present one must not carry None subfields (the DV
+                # decoder treats key-present-None as malformed).
+                dv = add.get("deletionVector")
+                if dv is None or dv.get("storageType") is None:
+                    add.pop("deletionVector", None)
+                else:
+                    add["deletionVector"] = {
+                        k: v for k, v in dv.items() if v is not None
+                    }
             if action:
                 yield action
 
@@ -637,14 +650,16 @@ def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
 # cycle) makes every foreign reader's open slower each cycle.
 _DELTA_CHECKPOINT_INTERVAL = 10
 
-# Add-action fields a classic checkpoint written here can represent.
-# An add carrying anything else (deletionVector, row-tracking ids...)
-# makes the table un-checkpointable by this writer — re-serializing it
-# without those fields would CORRUPT the table for readers that trust
-# the checkpoint over the log.
+# Add-action fields a classic checkpoint written here can represent —
+# deletionVector INCLUDED (spec: checkpoints carry the DV descriptor;
+# without it a DV-merging mirror would never checkpoint and every
+# foreign open would replay O(commits)). An add carrying anything else
+# (row-tracking ids...) makes the table un-checkpointable by this
+# writer — re-serializing it without those fields would CORRUPT the
+# table for readers that trust the checkpoint over the log.
 _CKPT_ADD_FIELDS = {
     "path", "partitionValues", "size", "modificationTime", "dataChange",
-    "stats", "tags",
+    "stats", "tags", "deletionVector",
 }
 
 
@@ -679,9 +694,11 @@ def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str 
     protocol, metaData, and every live add action; remove tombstones
     are omitted (they only time VACUUM against the retention window —
     state reconstruction is identical without them, and this module's
-    log JSONs are never deleted). Tables whose log carries actions a
-    classic checkpoint here cannot faithfully represent (txn,
-    domainMetadata, DV-bearing adds) are SKIPPED — returns None; a
+    log JSONs are never deleted). DV-bearing adds checkpoint WITH
+    their deletionVector descriptor (spec checkpoint schema), so a
+    DV-merging mirror stays O(10)-commits to open. Tables whose log
+    carries actions a classic checkpoint here cannot faithfully
+    represent (txn, domainMetadata) are SKIPPED — returns None; a
     missing checkpoint is pure lost optimization, a lossy one would
     corrupt the table for checkpoint-trusting readers."""
     import pyarrow as pa
@@ -714,6 +731,15 @@ def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str 
             ("createdTime", pa.int64()),
         ]
     )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -722,6 +748,7 @@ def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str 
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     schema = pa.schema(
@@ -761,6 +788,7 @@ def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str 
         },
     ]
     for _path, add in sorted(state["files"].items()):
+        dv = add.get("deletionVector")
         rows.append(
             {
                 "protocol": None,
@@ -772,6 +800,16 @@ def _delta_write_checkpoint(table_path: str, version: int | None = None) -> str 
                     "modificationTime": int(add.get("modificationTime", 0) or 0),
                     "dataChange": False,
                     "stats": add.get("stats"),
+                    "deletionVector": None if not dv else {
+                        "storageType": dv["storageType"],
+                        "pathOrInlineDv": dv["pathOrInlineDv"],
+                        "offset": (
+                            None if dv.get("offset") is None
+                            else int(dv["offset"])
+                        ),
+                        "sizeInBytes": int(dv["sizeInBytes"]),
+                        "cardinality": int(dv.get("cardinality") or 0),
+                    },
                 },
             }
         )

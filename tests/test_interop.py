@@ -4495,3 +4495,41 @@ def test_optimize_sql_text_compacts_all_three_formats(spark, tmp_path):
     got = {r.id: r.x for r in read_hudi(spark, hp).collect()}
     assert got[1] == -1 and len(got) == 20
     assert sql.sql(f"OPTIMIZE hudi.`{hp}`")["compacted"] is False
+
+
+def test_delta_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A DV-merging table CHECKPOINTS (previously refused — a mirror
+    DV-merging every cycle would replay O(commits) forever): the
+    classic checkpoint's add structs carry the deletionVector
+    descriptor, and a reader reconstructing state from the checkpoint
+    ALONE (log JSONs removed) still applies the deletions."""
+    import shutil as _sh
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_write_checkpoint,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "ckdv")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(30)], "id long, val string")
+    write_delta(
+        df.coalesce(1), path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(2, "N2")], "id long, val string"), path, "id"
+    )
+    merge_delta(spark.createDataFrame([(7,)], "id long"), path, "id", mode="delete")
+    expected = _rows(read_delta(spark, path))
+
+    ckpt = _delta_write_checkpoint(path)
+    assert ckpt is not None
+
+    # Reconstruct from the checkpoint alone: move the JSON commits away.
+    log = os.path.join(path, "_delta_log")
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for f in os.listdir(log):
+        if f.endswith(".json") and not f.startswith("_"):
+            _sh.move(os.path.join(log, f), os.path.join(stash, f))
+    assert _rows(read_delta(spark, path)) == expected
