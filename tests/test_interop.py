@@ -4533,3 +4533,186 @@ def test_delta_checkpoint_carries_deletion_vectors(spark, tmp_path):
         if f.endswith(".json") and not f.startswith("_"):
             _sh.move(os.path.join(log, f), os.path.join(stash, f))
     assert _rows(read_delta(spark, path)) == expected
+
+
+# -- Strategy fuzz: MoR vs CoW must be analytically invisible ---------------
+
+_strat_val = st.text(
+    alphabet="abcdefgh", min_size=1, max_size=4
+)
+_strat_batch = st.tuples(
+    st.dictionaries(
+        st.integers(0, 9), st.one_of(st.none(), _strat_val), min_size=1, max_size=5
+    ),
+    st.sampled_from(["auto", "rewrite", "dv"]),
+    st.booleans(),  # compact after this batch
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_strat_batch, min_size=1, max_size=3))
+def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
+    """ANY merge sequence under ANY per-batch strategy (rewrite / dv /
+    auto) with DV purges interleaved at random always reads as the
+    dict model, and time travel to v0 still sees the initial rows —
+    the physical retirement mechanism must be analytically
+    invisible."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_delta,
+        merge_delta,
+    )
+
+    path = str(tmp_path_factory.mktemp("dsfuzz") / "t")
+    model = {k: "init" for k in (0, 1, 2)}
+    write_delta(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ).coalesce(1),
+        path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    for batch, strategy, compact_after in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            merge_delta(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, val string"
+                ),
+                path, key="id", mode="upsert", strategy=strategy,
+            )
+            model.update(ups)
+        if dels:
+            merge_delta(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, key="id", mode="delete", strategy=strategy,
+            )
+            for k in dels:
+                model.pop(k, None)
+        if compact_after:
+            compact_delta(spark, path)
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == model
+    assert {
+        r.id: r.val for r in read_delta(spark, path, version=0).collect()
+    } == {0: "init", 1: "init", 2: "init"}
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(0, 9), st.one_of(st.none(), _strat_val),
+                min_size=1, max_size=5,
+            ),
+            st.sampled_from(["auto", "cow", "mor"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_iceberg_merge_strategy_fuzz(spark, tmp_path_factory, batches):
+    """The Iceberg twin: any sequence under cow / mor / auto with
+    targeted compactions interleaved reads as the model."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path_factory.mktemp("isfuzz") / "t")
+    model = {k: "init" for k in (0, 1, 2)}
+    write_iceberg(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ).coalesce(1),
+        path,
+    )
+    for batch, strategy, compact_after in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            merge_iceberg(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, val string"
+                ),
+                path, key="id", mode="upsert", strategy=strategy,
+            )
+            model.update(ups)
+        if dels:
+            merge_iceberg(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, key="id", mode="delete", strategy=strategy,
+            )
+            for k in dels:
+                model.pop(k, None)
+        if compact_after:
+            compact_iceberg(spark, path)
+    assert {r.id: r.val for r in read_iceberg(spark, path).collect()} == model
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(0, 9), st.one_of(st.none(), _strat_val),
+                min_size=1, max_size=5,
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_hudi_mor_lifecycle_fuzz(spark, tmp_path_factory, batches):
+    """The Hudi MERGE_ON_READ twin: any log-append upsert/delete
+    sequence with compactions interleaved reads as the model."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path_factory.mktemp("hsfuzz") / "t")
+    model = {k: "init" for k in (0, 1, 2)}
+    write_hudi(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ),
+        path, record_key="id", table_type="MERGE_ON_READ", num_buckets=2,
+    )
+    for batch, compact_after in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            write_hudi(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, val string"
+                ),
+                path, record_key="id", mode="upsert",
+            )
+            model.update(ups)
+        if dels:
+            write_hudi(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, record_key="id", mode="delete",
+            )
+            for k in dels:
+                model.pop(k, None)
+        if compact_after:
+            compact_hudi(spark, path)
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got == model
