@@ -257,6 +257,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #     compact_hudi folds them into new base slices, log-file pin
 #     in-gate) registers in the TAIL, same protocol; rotate into a
 #     recorded slot in r11.
+#   r11 rotation (closing the r10 commitments above): the six r10
+#     tail registrations rotate IN to recorded slots —
+#     game_user_cdc_e2e_{delta_dv,iceberg_mor,hudi_mor} (the
+#     merge-on-read write paths), game_item_cdc_e2e_via_changes (the
+#     engine diff every incremental mirror folds), docs_dedup_index_
+#     query, docs_winnow_fingerprints. Rotating OUT, per protocol
+#     (each green in r10 and family-held by a STAYING gate that
+#     exercises the same machinery):
+#     - game_user_cdc_e2e_{delta,iceberg,hudi} (CoW merge trio) →
+#       held by the staying MoR twins (same reference jobs, same
+#       oracle, same write_*/merge_*/read_* surface; the CoW retire
+#       path additionally stays driver-covered for Delta via the
+#       staying game_user_cdc_e2e_via_changes, whose CDF table merges
+#       copy-on-write) + pytest test_oracle_parity each session.
+#     - game_item_cdc_e2e → held by the staying
+#       game_item_cdc_e2e_via_changes, a STRICT SUPERSET (runs the
+#       identical pipeline, then additionally folds the change feed
+#       and asserts equality with head).
+#     - docs_bm25_search → held by docs_bm25_batch (the batch gate
+#       runs the same scorer over a query TABLE — a superset).
+#     - docs_normalized → normalize_text is composed inside the
+#       staying docs_curation_pipeline and docs_curation_v3 gates;
+#       the dedicated hash-per-doc gate stays pytest-oracle-gated.
+#   r11 addition: game_user_cdc_e2e_delta_evolve (foreign-merge
+#     schema evolution — the reference's mid-stream last_applied_date
+#     column via Delta autoMerge, SURVEY §1.3) registers in the TAIL
+#     (the emb_top_pairs pattern: registered first, oracle runs in
+#     pytest via test_oracle_parity every session; rotate into a
+#     recorded slot in r12).
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -296,12 +325,12 @@ _DEMOTED_TAIL = [
     "q1_via_iceberg_interop",
     "q1_via_hudi_interop",
     "game_user_cdc_e2e_sqltext",
-    "game_item_cdc_e2e_via_changes",
-    "docs_dedup_index_query",
-    "docs_winnow_fingerprints",
-    "game_user_cdc_e2e_delta_dv",
-    "game_user_cdc_e2e_iceberg_mor",
-    "game_user_cdc_e2e_hudi_mor",
+    "game_user_cdc_e2e_delta",
+    "game_user_cdc_e2e_iceberg",
+    "game_user_cdc_e2e_hudi",
+    "game_item_cdc_e2e",
+    "docs_bm25_search",
+    "docs_normalized",
 ]
 
 _DRIVER_SLOTS = 50
