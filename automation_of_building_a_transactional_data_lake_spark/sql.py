@@ -827,8 +827,21 @@ class LakeSQL:
                 finally:
                     rows.unpersist()
                 return MergeResult(f"{fmt}.`{path}`", "delete", n)
-            _apply("delete", src.select(s_col))
-            return MergeResult(f"{fmt}.`{path}`", "delete", src.count())
+            # Same honesty as the hudi branch above (r10 verdict #5):
+            # the reported count is the rows the delete actually
+            # retires, counted BEFORE the commit — not src.count(),
+            # which over-reports when some keys match nothing.
+            from .formats.interop import read_delta, read_iceberg
+
+            reader = read_delta if fmt == "delta" else read_iceberg
+            n = (
+                reader(self.spark, path)
+                .join(src.select(s_col), s_col, "left_semi")
+                .count()
+            )
+            if n:
+                _apply("delete", src.select(s_col))
+            return MergeResult(f"{fmt}.`{path}`", "delete", n)
         if actions == {(False, "UPDATE SET *"), (True, "INSERT *")}:
             _apply("upsert", src)
             return MergeResult(f"{fmt}.`{path}`", "upsert", src.count())

@@ -348,11 +348,27 @@ WHEN NOT MATCHED THEN INSERT *""")
     got = {x.id: x.val for x in read_delta(spark, path).collect()}
     assert got == {1: "a", 2: "B2", 3: "c"}
 
-    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("del_src")
+    # Partially-matching delete keys: the reported count is the rows
+    # actually retired (1), never src.count() (2) — r10 verdict #5,
+    # aligning this branch with the hudi one.
+    spark.createDataFrame([(1,), (99,)], "id long").createOrReplaceTempView(
+        "del_src"
+    )
     r = sql.sql(f"""MERGE INTO delta.`{path}` t USING del_src s
 ON s.id = t.id
 WHEN MATCHED THEN DELETE""")
     assert r.action == "delete"
+    assert r.source_rows == 1
+    assert {x.id for x in read_delta(spark, path).collect()} == {2, 3}
+    # All-miss delete: count 0 and NO new commit (the emptiness gate
+    # short-circuits before _apply).
+    spark.createDataFrame([(42,)], "id long").createOrReplaceTempView(
+        "del_miss"
+    )
+    r = sql.sql(f"""MERGE INTO delta.`{path}` t USING del_miss s
+ON s.id = t.id
+WHEN MATCHED THEN DELETE""")
+    assert r.source_rows == 0
     assert {x.id for x in read_delta(spark, path).collect()} == {2, 3}
 
 
@@ -381,9 +397,14 @@ def test_merge_into_foreign_iceberg_and_hudi_by_path(spark, tmp_path):
 ON s.id = t.id
 WHEN MATCHED THEN UPDATE SET *
 WHEN NOT MATCHED THEN INSERT *""")
-    sql.sql(f"""MERGE INTO iceberg.`{ip}` t USING m_del s
+    spark.createDataFrame([(1,), (77,)], "id long").createOrReplaceTempView(
+        "m_del_partial"
+    )
+    r = sql.sql(f"""MERGE INTO iceberg.`{ip}` t USING m_del_partial s
 ON s.id = t.id
 WHEN MATCHED THEN DELETE""")
+    # Honest count: one row matched (77 misses) — r10 verdict #5.
+    assert r.source_rows == 1
     assert {r.id: r.val for r in read_iceberg(spark, ip).collect()} == {
         2: "B2", 3: "c"
     }
