@@ -3394,6 +3394,50 @@ def test_merge_delta_dv_upsert_marks_positions_without_rewriting(spark, tmp_path
     assert got0[7] == "v7" and len(got0) == 60
 
 
+def test_delta_dv_pairs_frame_decodes_in_executors(spark, tmp_path):
+    """_delta_dv_pairs_frame (the executor-side DV decode, r10 verdict
+    #3): the distributed (file, pos) frame equals the driver decoder's
+    positions file-for-file, and the byte gate gets the REAL sidecar
+    paths — never an empty list that always broadcasts."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_dv_pairs_frame,
+        _delta_dv_positions,
+        _delta_replay,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "dvx")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(80)], "id long, val string"
+        ).repartition(2),
+        path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(i,) for i in range(0, 80, 7)], "id long"),
+        path, "id", mode="delete",
+    )
+    state = _delta_replay(path, None)
+    dv_by_file = {
+        os.path.abspath(os.path.join(path, p)): a["deletionVector"]
+        for p, a in state["files"].items()
+        if a.get("deletionVector")
+    }
+    assert dv_by_file
+    frame, sidecars, inline = _delta_dv_pairs_frame(spark, dv_by_file, path)
+    got: dict[str, set] = {}
+    for r in frame.collect():
+        got.setdefault(r["__fp"], set()).add(r["__ri"])
+    want = {
+        fp: set(_delta_dv_positions(dv, path))
+        for fp, dv in dv_by_file.items()
+    }
+    assert got == want
+    assert sidecars and all(os.path.isfile(p) for p in sidecars)
+    assert inline == 0
+
+
 def test_merge_delta_dv_delete_unions_existing_dv(spark, tmp_path):
     """A second DV merge on the same file UNIONS positions with the
     existing vector (cardinality grows; no row resurrects)."""
@@ -4546,6 +4590,11 @@ _strat_batch = st.tuples(
     ),
     st.sampled_from(["auto", "rewrite", "dv"]),
     st.booleans(),  # compact after this batch
+    # force the bounded planner's WHOLESALE-rewrite fallback
+    # (max_affected_files=0) for this batch — interleaving per-file
+    # and full-rewrite commits on one log (r11 bounded planning;
+    # meaningless under strategy='dv', which raises there by contract)
+    st.booleans(),
 )
 
 
@@ -4575,7 +4624,8 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
         path, mode="error",
         configuration={"delta.enableDeletionVectors": "true"},
     )
-    for batch, strategy, compact_after in batches:
+    for batch, strategy, compact_after, force_fallback in batches:
+        bound = 0 if (force_fallback and strategy != "dv") else 100_000
         ups = {k: v for k, v in batch.items() if v is not None}
         dels = [k for k, v in batch.items() if v is None]
         if ups:
@@ -4584,12 +4634,14 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
                     [(k, v) for k, v in ups.items()], "id long, val string"
                 ),
                 path, key="id", mode="upsert", strategy=strategy,
+                max_affected_files=bound,
             )
             model.update(ups)
         if dels:
             merge_delta(
                 spark.createDataFrame([(k,) for k in dels], "id long"),
                 path, key="id", mode="delete", strategy=strategy,
+                max_affected_files=bound,
             )
             for k in dels:
                 model.pop(k, None)
@@ -4599,6 +4651,80 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
     assert {
         r.id: r.val for r in read_delta(spark, path, version=0).collect()
     } == {0: "init", 1: "init", 2: "init"}
+
+
+def test_merge_delta_bounded_planner_full_rewrite_fallback(spark, tmp_path):
+    """Past max_affected_files the planner rewrites WHOLESALE (r10
+    verdict #1, the write_hudi bounded-planner pattern): no per-file
+    counting collects, every prior file — including DV-carrying ones —
+    retires in the commit, the result equals the per-file plan's, and
+    strategy='dv' refuses instead of silently rewriting."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        merge_delta,
+    )
+
+    def _delta_state(p):
+        return _delta_replay(p, None)
+
+    path = str(tmp_path / "bnd")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(60)], "id long, val string"
+        ).repartition(3),
+        path, mode="error",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # Commit 1: a normal DV merge, so the fallback must also prove
+    # existing-DV rows stay dead through a wholesale rewrite.
+    merge_delta(
+        spark.createDataFrame([(7,), (23,)], "id long"),
+        path, key="id", mode="delete",
+    )
+    live_before = {
+        p for p, a in _delta_state(path)["files"].items()
+    }
+    assert any(
+        a.get("deletionVector")
+        for a in _delta_state(path)["files"].values()
+    )
+
+    with pytest.raises(ValueError, match="max_affected_files"):
+        merge_delta(
+            spark.createDataFrame([(3, "X3")], "id long, val string"),
+            path, key="id", mode="upsert", strategy="dv",
+            max_affected_files=0,
+        )
+
+    v = merge_delta(
+        spark.createDataFrame(
+            [(3, "X3"), (40, "X40"), (99, "NEW")], "id long, val string"
+        ),
+        path, key="id", mode="upsert", max_affected_files=0,
+    )
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert len(got) == 59  # 60 - 2 deleted + 1 inserted
+    assert got[3] == "X3" and got[40] == "X40" and got[99] == "NEW"
+    assert 7 not in got and 23 not in got
+    assert got[0] == "v0"
+    # Commit shape: EVERY previously-live file removed, and the new
+    # live set carries no deletion vector (the DVs died with their
+    # files — the fallback doubles as a purge).
+    acts = _log_actions(path, v)
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert removed == live_before
+    state = _delta_state(path)
+    assert not any(
+        a.get("deletionVector") for a in state["files"].values()
+    )
+    # A wholesale DELETE past the bound also folds correctly.
+    v2 = merge_delta(
+        spark.createDataFrame([(3,), (41,)], "id long"),
+        path, key="id", mode="delete", max_affected_files=0,
+    )
+    got2 = {r.id for r in read_delta(spark, path).collect()}
+    assert 3 not in got2 and 41 not in got2 and len(got2) == 57
+    assert v2 == v + 1
 
 
 @settings(
@@ -4615,6 +4741,7 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
             ),
             st.sampled_from(["auto", "cow", "mor"]),
             st.booleans(),
+            st.booleans(),  # force the bounded planner's compacting fallback
         ),
         min_size=1,
         max_size=3,
@@ -4637,7 +4764,8 @@ def test_iceberg_merge_strategy_fuzz(spark, tmp_path_factory, batches):
         ).coalesce(1),
         path,
     )
-    for batch, strategy, compact_after in batches:
+    for batch, strategy, compact_after, force_fallback in batches:
+        bound = 0 if (force_fallback and strategy != "mor") else 100_000
         ups = {k: v for k, v in batch.items() if v is not None}
         dels = [k for k, v in batch.items() if v is None]
         if ups:
@@ -4646,18 +4774,94 @@ def test_iceberg_merge_strategy_fuzz(spark, tmp_path_factory, batches):
                     [(k, v) for k, v in ups.items()], "id long, val string"
                 ),
                 path, key="id", mode="upsert", strategy=strategy,
+                max_affected_files=bound,
             )
             model.update(ups)
         if dels:
             merge_iceberg(
                 spark.createDataFrame([(k,) for k in dels], "id long"),
                 path, key="id", mode="delete", strategy=strategy,
+                max_affected_files=bound,
             )
             for k in dels:
                 model.pop(k, None)
         if compact_after:
             compact_iceberg(spark, path)
     assert {r.id: r.val for r in read_iceberg(spark, path).collect()} == model
+
+
+def test_merge_iceberg_bounded_planner_compacting_fallback(spark, tmp_path):
+    """Past max_affected_files the planner takes the COMPACTING commit
+    (r10 verdict #2): existing position deletes apply, every prior
+    data and delete file retires status-2, the result equals the
+    per-file plan's, and strategy='mor' refuses instead of silently
+    rewriting."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ibnd")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(60)], "id long, val string"
+        ).repartition(3),
+        path,
+    )
+    # A MoR merge first, so the fallback must fold existing position
+    # deletes (no resurrection) and then retire their manifests.
+    merge_iceberg(
+        spark.createDataFrame([(7,), (23,)], "id long"),
+        path, key="id", mode="delete", strategy="mor",
+    )
+
+    with pytest.raises(ValueError, match="max_affected_files"):
+        merge_iceberg(
+            spark.createDataFrame([(3, "X3")], "id long, val string"),
+            path, key="id", mode="upsert", strategy="mor",
+            max_affected_files=0,
+        )
+
+    merge_iceberg(
+        spark.createDataFrame(
+            [(3, "X3"), (40, "X40"), (99, "NEW")], "id long, val string"
+        ),
+        path, key="id", mode="upsert", max_affected_files=0,
+    )
+    got = {r.id: r.val for r in read_iceberg(spark, path).collect()}
+    assert len(got) == 59
+    assert got[3] == "X3" and got[40] == "X40" and got[99] == "NEW"
+    assert 7 not in got and 23 not in got and got[0] == "v0"
+    # Snapshot shape: the head manifest list carries NO live delete
+    # manifests and no live entry references a pre-fallback data file
+    # (everything rewrote; the position deletes died with the files).
+    _chosen, meta = _iceberg_current_metadata_named(path)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], path)
+    )
+    for rec in mlist:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(rec["manifest_path"], path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        if rec.get("content", 0) != 0:
+            assert not live, "delete manifest still live after fallback"
+    # A wholesale DELETE past the bound also folds correctly.
+    merge_iceberg(
+        spark.createDataFrame([(3,), (41,)], "id long"),
+        path, key="id", mode="delete", max_affected_files=0,
+    )
+    got2 = {r.id for r in read_iceberg(spark, path).collect()}
+    assert 3 not in got2 and 41 not in got2 and len(got2) == 57
 
 
 @settings(
