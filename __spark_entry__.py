@@ -331,6 +331,7 @@ _DEMOTED_TAIL = [
     "game_item_cdc_e2e",
     "docs_bm25_search",
     "docs_normalized",
+    "game_user_cdc_e2e_delta_evolve",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2167,6 +2167,27 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
                 "merges fell back to rewrite"
             )
         final = interop.read_delta(spark, path)
+    elif fmt == "delta_evolve":
+        # The reference's mid-stream schema evolution (SURVEY §1.3:
+        # delta-initial-load.py:33 turns on Delta autoMerge because
+        # the CDC stream adds last_applied_date after the initial
+        # load): the table is created WITHOUT the column; the CDC
+        # upsert carries it and merge_delta(evolve=True) commits the
+        # schema evolution IN the merge commit. Pre-evolution rows
+        # read the new column as null — the same analytic state as
+        # the plain delta gate, which the shared oracle pins.
+        interop.write_delta(
+            initial.drop("last_applied_date"), path, mode="error"
+        )
+        interop.merge_delta(
+            ups.select(*cols), path, key=pk, mode="upsert", evolve=True
+        )
+        interop.merge_delta(dels.select(pk), path, key=pk, mode="delete")
+        final = interop.read_delta(spark, path)
+        if "last_applied_date" not in final.columns:
+            raise AssertionError(
+                "evolve=True merge did not commit the new column"
+            )
     elif fmt == "iceberg":
         interop.write_iceberg(initial, path, mode="error")
         interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
@@ -2255,6 +2276,10 @@ def game_user_cdc_e2e_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def game_user_cdc_e2e_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "delta_dv")
+
+
+def game_user_cdc_e2e_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "delta_evolve")
 
 
 def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2934,6 +2959,17 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_delta_dv",
             game_user_cdc_e2e_delta_dv,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r11: foreign-merge schema evolution (SURVEY §1.3 — the
+        # reference's mid-stream last_applied_date via autoMerge):
+        # the table starts WITHOUT the column, merge_delta(evolve=
+        # True) commits the evolution with the merge. Same oracle:
+        # evolution must be analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_delta_evolve",
+            game_user_cdc_e2e_delta_evolve,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),

@@ -4332,8 +4332,9 @@ def test_hudi_mor_write_lifecycle(spark, tmp_path):
 def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
     """MoR upserts keep the CoW contracts: duplicate keys refuse
     without a precombine column and precombine-max wins with one; the
-    log-write batch is bounded by max_log_rows (via the public
-    surface's routing)."""
+    max_log_rows bound is PER-GROUP (r11 distributed log write) — a
+    batch bigger than the bound commits when it spreads across file
+    groups, and one group past the bound refuses loudly."""
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         _hudi_log_write,
         _hudi_new_instant,
@@ -4356,20 +4357,44 @@ def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
     assert got[1] == "high"
 
     props = _hudi_table_properties(path)
+    # Same-group overflow refuses: a single-bucket table (num_buckets
+    # defaults to 4 but ONE partition + forced collisions is fiddly —
+    # instead drive the private surface with a bound of 1 and a batch
+    # that provably lands 2 rows in one group: two updates of keys
+    # already routed to the same group would need key control, so use
+    # the public num_buckets=1 table below).
+    one = str(tmp_path / "one")
+    write_hudi(
+        spark.createDataFrame([(1, "a", 0)], "id long, val string, ver long"),
+        one, record_key="id", table_type="MERGE_ON_READ", num_buckets=1,
+    )
     with pytest.raises(NotImplementedError, match="max_log_rows"):
         _hudi_log_write(
             spark.createDataFrame([(2, "x", 0), (3, "y", 0)],
                                   "id long, val string, ver long"),
-            path, "id", "upsert", [], props, None,
-            _hudi_new_instant(path), max_log_rows=1,
+            one, "id", "upsert", [], _hudi_table_properties(one), None,
+            _hudi_new_instant(one), max_log_rows=1,
         )
+    # Cross-group spread: the SAME bound admits a batch LARGER than
+    # max_log_rows when no single group exceeds it — the exact case
+    # the old batch-level bound wrongly refused (backfill-sized CDC).
+    big = spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(2, 26)], "id long, val string, ver long"
+    )
+    _hudi_log_write(
+        big, path, "id", "upsert", [], props, None,
+        _hudi_new_instant(path), max_log_rows=12,
+    )
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert len(got) == 25 and got[2] == "v2" and got[25] == "v25"
+    assert got[1] == "high"
 
     # Deleting a key that exists nowhere is a clean no-op commit.
     write_hudi(
         spark.createDataFrame([(999,)], "id long"),
         path, record_key="id", mode="delete",
     )
-    assert {r.id for r in read_hudi(spark, path).collect()} == {1}
+    assert {r.id for r in read_hudi(spark, path).collect()} == set(range(1, 26))
 
 
 # -- Compaction: paying down merge-on-read debt -----------------------------
@@ -4651,6 +4676,87 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
     assert {
         r.id: r.val for r in read_delta(spark, path, version=0).collect()
     } == {0: "init", 1: "init", 2: "init"}
+
+
+def test_merge_evolve_adds_columns_mid_stream(spark, tmp_path):
+    """merge_*(evolve=True) commits the schema evolution WITH the
+    merge (the reference's autoMerge for the mid-stream
+    last_applied_date, SURVEY §1.3): new columns append nullable,
+    pre-evolution rows read them as null, the un-evolved merge still
+    refuses, Delta time travel below the evolution sees the OLD
+    schema, and Iceberg allocates fresh never-reused field ids."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        merge_delta,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    dp = str(tmp_path / "dev")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        dp, mode="error",
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", "2023-09-01"), (3, "c", "2023-09-01")],
+        "id long, val string, last_applied string",
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        merge_delta(src, dp, key="id", mode="upsert")
+    merge_delta(src, dp, key="id", mode="upsert", evolve=True)
+    got = {r.id: (r.val, r.last_applied) for r in read_delta(spark, dp).collect()}
+    assert got == {
+        1: ("a", None),           # pre-evolution row: new column null
+        2: ("B2", "2023-09-01"),
+        3: ("c", "2023-09-01"),
+    }
+    # Time travel below the evolution reads the ORIGINAL schema.
+    v0 = read_delta(spark, dp, version=0)
+    assert v0.columns == ["id", "val"]
+    # A follow-up merge WITH the evolved schema needs no evolve flag,
+    # and a second evolution stacks.
+    merge_delta(
+        spark.createDataFrame(
+            [(4, "d", "2023-09-02")], "id long, val string, last_applied string"
+        ),
+        dp, key="id", mode="upsert",
+    )
+    assert read_delta(spark, dp).count() == 4
+
+    ip = str(tmp_path / "iev")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), ip
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        merge_iceberg(src, ip, key="id", mode="upsert")
+    merge_iceberg(src, ip, key="id", mode="upsert", evolve=True)
+    got = {
+        r.id: (r.val, r.last_applied) for r in read_iceberg(spark, ip).collect()
+    }
+    assert got == {
+        1: ("a", None),
+        2: ("B2", "2023-09-01"),
+        3: ("c", "2023-09-01"),
+    }
+    _chosen, meta = _iceberg_current_metadata_named(ip)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = [f["id"] for f in cur["fields"]]
+    assert meta["current-schema-id"] >= 1        # a NEW schema entry
+    assert len(meta["schemas"]) >= 2             # old schema preserved
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert int(meta["last-column-id"]) == max(ids)
+    new_field = next(f for f in cur["fields"] if f["name"] == "last_applied")
+    assert new_field["required"] is False
+    assert new_field["id"] == 3                  # fresh, past the old max
+    # Evolved table still merges and reads.
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), ip, key="id", mode="delete"
+    )
+    assert {r.id for r in read_iceberg(spark, ip).collect()} == {2, 3}
 
 
 def test_merge_delta_bounded_planner_full_rewrite_fallback(spark, tmp_path):
