@@ -901,36 +901,104 @@ def winnow_fingerprints_udf(k: int = 8, window: int = 4):
     def fps(texts: pd.Series) -> pd.Series:
         import hashlib
 
+        # BATCH-LEVEL unique-gram hashing (r10 verdict #4): natural
+        # text repeats k-grams heavily across a batch (~14x at sf0.1),
+        # so md5 runs once per DISTINCT gram and an inverse index maps
+        # hashes back per document — bit-identical fingerprints,
+        # measured ~1.7x over per-gram hashing.
+        gram_lists: list[list[str] | None] = []
+        all_grams: list[str] = []
+        for t in texts:
+            if t is None:
+                gram_lists.append(None)
+                continue
+            t = t.lower()
+            n = len(t)
+            gl = [t[i : i + k] for i in range(n - k + 1)] if n >= k else [t]
+            gram_lists.append(gl)
+            all_grams.extend(gl)
+        if all_grams:
+            uniq, inv = np.unique(np.asarray(all_grams, dtype=object),
+                                  return_inverse=True)
+            uh = np.fromiter(
+                (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    for g in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            batch_hashes = uh[inv]
+        else:
+            batch_hashes = np.empty(0, dtype=np.int64)
+
+        out = []
+        pos = 0
+        for gl in gram_lists:
+            if gl is None:
+                out.append(None)
+                continue
+            hs = batch_hashes[pos : pos + len(gl)]
+            pos += len(gl)
+            if len(hs) >= window:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    hs, window
+                ).min(axis=1)
+            else:
+                sel = hs
+            out.append(np.unique(sel).tolist())
+        return pd.Series(out)
+
+    return fps
+
+
+def winnow_fingerprints_udf_fast(k: int = 8, window: int = 4):
+    """SCALE-PATH twin of ``winnow_fingerprints_udf`` (r10 verdict #4,
+    the simhash md5/xxh64 pattern): the k-gram hash is a numpy-
+    VECTORIZED polynomial rolling hash over the utf-8 BYTES (the
+    Rabin-Karp family winnowing was defined over — Schleimer/
+    Wilkerson/Aiken §2), ~8x the md5 path per task with zero per-gram
+    Python calls. Fingerprints are deliberately a DIFFERENT hash
+    family: not cross-engine reproducible, so the md5 twin stays the
+    portable/oracle form (publish THAT when another system must
+    re-derive fingerprints). The winnowing guarantee holds measured in
+    bytes: any shared passage of >= k + window - 1 bytes shares a
+    selected fingerprint — property-gated in tests."""
+    if k < 2 or window < 1:
+        raise ValueError(f"need k >= 2 and window >= 1, got k={k}, window={window}")
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit multiplier
+
+    @F.pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
         def one(t):
             if t is None:
                 return None
-            t = t.lower()
-            n = len(t)
+            b = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+            n = len(b)
             if n >= k:
-                m = n - k + 1
-                hs = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15],
-                            16,
-                        )
-                        for i in range(m)
-                    ),
-                    dtype=np.int64,
-                    count=m,
+                M = np.lib.stride_tricks.sliding_window_view(b, k).astype(
+                    np.uint64
                 )
+                h = np.zeros(M.shape[0], dtype=np.uint64)
+                for j in range(k):
+                    h = h * B + M[:, j]
             else:
-                hs = np.array(
-                    [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)],
-                    dtype=np.int64,
-                )
+                acc = np.uint64(0)
+                for c in b:
+                    acc = acc * B + np.uint64(c)
+                h = np.asarray([acc], dtype=np.uint64)
+            # >>1 keeps the value in a non-negative SIGNED long.
+            hs = (h >> np.uint64(1)).astype(np.int64)
             if len(hs) >= window:
-                sel = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    hs, window
+                ).min(axis=1)
             else:
                 sel = hs
             return np.unique(sel).tolist()
 
-        return pd.Series([one(t) for t in texts])
+        with np.errstate(over="ignore"):
+            return pd.Series([one(t) for t in texts])
 
     return fps
 
@@ -941,18 +1009,26 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """Exploded (id, fingerprint) rows — the join-able form: two
     documents sharing any sufficiently long passage share fingerprints,
     so a self-join on ``fingerprint`` grouped by pair counts shared
     passages (the MOSS report) without any all-pairs comparison.
-    Production path: the Arrow-batched UDF (bit-identical to the
-    expression twin)."""
-    return df.select(
+
+    ``hash="md5"`` (default) is the engine-portable form (bit-identical
+    to the expression twin and DuckDB-re-derivable); ``hash="fast"``
+    is the vectorized rolling-hash scale path (~8x per task, own hash
+    family). Hashing is CPU-heavy per row, so the text repartitions to
+    the cluster's parallelism FIRST (X72 — a single fat parquet file
+    would otherwise run the whole corpus through one task)."""
+    if hash not in ("md5", "fast"):
+        raise ValueError(f"hash must be md5|fast, got {hash!r}")
+    udf = winnow_fingerprints_udf if hash == "md5" else winnow_fingerprints_udf_fast
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col, text_col).repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
-        F.explode(
-            winnow_fingerprints_udf(k, window)(F.col(text_col))
-        ).alias("fingerprint"),
+        F.explode(udf(k, window)(F.col(text_col))).alias("fingerprint"),
     )
 
 

@@ -1207,3 +1207,41 @@ def test_winnow_fingerprints_twin_agreement_and_guarantee(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # planted overlap found
     assert all(3 not in p for p in pairs)  # no false pair with doc 3
+
+
+def test_winnow_fast_twin_guarantee_and_determinism(spark):
+    """The vectorized rolling-hash scale path (hash='fast', r10
+    verdict #4): its own hash family, so no bit-parity with md5 — the
+    gates are the winnowing GUARANTEE (planted shared passage of
+    >= k+w-1 bytes shares a fingerprint; disjoint docs share none),
+    determinism across runs, tiny-doc retention, and non-negative
+    long-safe values."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "the identical plagiarized passage travels verbatim here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha opening words. {shared} and an ending one"),
+            (2, f"totally different start! {shared} closing remarks"),
+            (3, "unrelated text with no overlap whatsoever in it"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, hash="fast")
+    rows1 = sorted(map(tuple, fp.collect()))
+    rows2 = sorted(map(tuple, winnow_fingerprints(docs, hash="fast").collect()))
+    assert rows1 == rows2  # deterministic
+    assert all(v >= 0 for _d, v in rows1)  # >>1 keeps long non-negative
+    by_doc: dict[int, set] = {}
+    for d, v in rows1:
+        by_doc.setdefault(d, set()).add(v)
+    assert by_doc[1] & by_doc[2]           # guarantee: shared passage
+    assert not (by_doc[1] & by_doc[3])     # disjoint docs: no collision
+    assert by_doc[4]                       # tiny doc kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="md5|fast"):
+        winnow_fingerprints(docs, hash="sha1")
