@@ -622,21 +622,25 @@ def _delta_dv_supported(protocol: dict | None) -> bool:
     return "deletionVectors" in (p.get("writerFeatures") or [])
 
 
-def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict):
+def _delta_checkpoint_actions(log_dir: str, cv: int, ckpt: dict, raw: bool = False):
     """Yield version ``cv``'s checkpoint actions across every
     checkpoint NAMING SCHEME the spec defines: classic single-file
     (``n.checkpoint.parquet``), classic multi-part
     (``n.checkpoint.i.n.parquet``), and V2 (``n.checkpoint.<uuid>.json|
     parquet`` whose ``sidecar`` actions point at file-action parquet
     under ``_delta_log/_sidecars/`` — the modern engines' default once
-    the v2Checkpoint feature is on)."""
+    the v2Checkpoint feature is on). ``raw=True`` keeps txn/commitInfo
+    actions instead of popping them — the representability guard needs
+    to SEE a txn hidden in a prior checkpoint, not have it silently
+    dropped (r10 advice #1)."""
     import pyarrow.parquet as pq
 
     def _parquet_rows(path: str):
         for row in pq.read_table(path).to_pylist():
             action = {k: v for k, v in row.items() if v is not None}
-            action.pop("commitInfo", None)
-            action.pop("txn", None)
+            if not raw:
+                action.pop("commitInfo", None)
+                action.pop("txn", None)
             add = action.get("add")
             if add is not None:
                 # Struct columns surface null as an all/partly-None
@@ -732,10 +736,41 @@ def _delta_checkpointable(table_path: str, version: int) -> bool:
     """True when versions 0..version carry only actions a classic
     checkpoint written by this module can faithfully represent (no
     txn app-ids, no domainMetadata — replay ignores them, so a
-    checkpoint would silently drop them for foreign readers)."""
+    checkpoint would silently drop them for foreign readers). When the
+    table's EARLY history lives only in a prior (possibly foreign)
+    checkpoint — the JSON log does not reach version 0 — that
+    checkpoint's actions get the SAME check, raw (before the reader's
+    txn pop): a foreign streaming writer's txn appId watermark hidden
+    there would otherwise vanish from our re-checkpoint and let it
+    re-apply a batch (r10 advice #1)."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     representable = {"add", "remove", "metaData", "protocol", "commitInfo", "cdc"}
-    for v in _delta_log_versions(log_dir):
+
+    def _ok(action: dict) -> bool:
+        if not set(action) <= representable:
+            return False
+        add = action.get("add")
+        if add and not set(add) <= _CKPT_ADD_FIELDS:
+            return False
+        return True
+
+    versions = _delta_log_versions(log_dir)
+    if not versions or min(versions) > 0:
+        lcp = os.path.join(log_dir, _LAST_CHECKPOINT)
+        if not os.path.isfile(lcp):
+            return False  # early history invisible: never re-checkpoint
+        with open(lcp, encoding="utf-8") as f:
+            ckpt = json.load(f)
+        cv = int(ckpt["version"])
+        if cv > version:
+            return False
+        try:
+            for action in _delta_checkpoint_actions(log_dir, cv, ckpt, raw=True):
+                if not _ok(action):
+                    return False
+        except (OSError, ValueError, NotImplementedError):
+            return False  # unreadable seed: a lossy re-checkpoint is worse
+    for v in versions:
         if v > version:
             continue
         with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as f:
@@ -743,11 +778,7 @@ def _delta_checkpointable(table_path: str, version: int) -> bool:
                 line = line.strip()
                 if not line:
                     continue
-                action = json.loads(line)
-                if not set(action) <= representable:
-                    return False
-                add = action.get("add")
-                if add and not set(add) <= _CKPT_ADD_FIELDS:
+                if not _ok(json.loads(line)):
                     return False
     return True
 
@@ -982,6 +1013,25 @@ def _delta_file_resolution(
             raise ValueError(
                 f"id-mode column mapping but fields {missing} carry no "
                 "delta.columnMapping.id"
+            )
+        # One-time loud note (r10 advice #4): this flip is session-wide
+        # and stays on — inert for schemas without parquet.field.id
+        # metadata, but a later user-schema parquet read that carries
+        # field ids resolves by ID from here on. (It cannot be scoped
+        # to this read; see _delta_file_resolution.)
+        if (
+            spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+            != "true"
+        ):
+            import warnings
+
+            warnings.warn(
+                "read_delta: id-mode column mapping enables "
+                "spark.sql.parquet.fieldId.read.enabled SESSION-WIDE and "
+                "leaves it on; run id-mode reads on spark.newSession() to "
+                "isolate, or reset the conf afterwards",
+                RuntimeWarning,
+                stacklevel=2,
             )
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         file_schema = StructType(
@@ -1558,6 +1608,39 @@ def write_delta(
             state = _delta_replay(table_path, None)
             _delta_guard_writer(state["protocol"], state["metaData"], mode)
             next_version = state["version"] + 1
+            # Lost CREATE race (append on a not-yet-existing table):
+            # the winner owns the table identity — REBUILD the actions
+            # without our creation protocol/metaData instead of
+            # overwriting the winner's id/schema/configuration at the
+            # next version (r10 advice #3), refusing when our batch or
+            # intent does not match what won.
+            if any("protocol" in a or "metaData" in a for a in actions):
+                win = state["metaData"]
+                if json.loads(win["schemaString"]) != df.schema.jsonValue():
+                    raise ValueError(
+                        "lost the table-create race to a writer with a "
+                        "different schema; cannot append this batch"
+                    )
+                if list(win.get("partitionColumns") or []) != partition_by:
+                    raise ValueError(
+                        "lost the table-create race to a writer with "
+                        f"partitioning {win.get('partitionColumns')}, not "
+                        f"{partition_by}; staged files are mislaid"
+                    )
+                ours_conf = next(
+                    a["metaData"] for a in actions if "metaData" in a
+                ).get("configuration") or {}
+                if ours_conf and ours_conf != (win.get("configuration") or {}):
+                    raise ValueError(
+                        "lost the table-create race; the winning table's "
+                        f"configuration {win.get('configuration')} differs "
+                        f"from the requested {ours_conf} (CDF/DV intent "
+                        "would be silently dropped)"
+                    )
+                actions = [
+                    a for a in actions
+                    if "protocol" not in a and "metaData" not in a
+                ]
             continue
         break
     try:
@@ -5806,7 +5889,11 @@ def clean_hudi(table_path: str, keep_last_slices: int = 1) -> dict:
     return {"deleted_files": deleted}
 
 
-def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
+def vacuum_delta(
+    table_path: str,
+    retain_versions: int = 2,
+    grace_seconds: float = 3600.0,
+) -> dict:
     """Delete data files no RETAINED version references (Delta VACUUM
     with a version-count window, matching the managed layer's
     ``vacuum(retain_last=)`` contract): files referenced by any of the
@@ -5816,10 +5903,19 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
     commit, so pre-window captures are reclaimable; a CDF range read
     reaching into the vacuumed window then fails at its scan — loudly
     — the same contract as time travel). Log JSONs and checkpoints are
-    kept (history metadata stays auditable). Returns {"deleted_files",
-    "deleted_cdc_files"}."""
+    kept (history metadata stays auditable).
+
+    Files younger than ``grace_seconds`` (mtime) are SKIPPED — native
+    VACUUM's retention-hours rationale (r10 advice #2): writers stage
+    parquet/DV files BEFORE their O_EXCL log commit, so an unreferenced
+    young file may be a commit in flight, and deleting it would commit
+    a version referencing missing data. Pass 0 only when no writer can
+    be running. Returns {"deleted_files", "deleted_cdc_files"}."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
+    if grace_seconds < 0:
+        raise ValueError("grace_seconds must be >= 0")
+    cutoff = time.time() - grace_seconds
     log_dir = os.path.join(table_path, _DELTA_LOG)
     head = _delta_latest_version(log_dir)
     if head < 0:
@@ -5859,14 +5955,14 @@ def vacuum_delta(table_path: str, retain_versions: int = 2) -> dict:
                 # purged/superseded vector no retained version points at
                 # is reclaimable bytes.
                 p = os.path.abspath(os.path.join(root, fname))
-                if p not in referenced_dvs:
+                if p not in referenced_dvs and os.path.getmtime(p) <= cutoff:
                     os.unlink(p)
                     deleted += 1
                 continue
             if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
                 continue
             p = os.path.abspath(os.path.join(root, fname))
-            if p not in referenced:
+            if p not in referenced and os.path.getmtime(p) <= cutoff:
                 os.unlink(p)
                 deleted += 1
     # CDF captures of pre-window commits: each cdc action's file

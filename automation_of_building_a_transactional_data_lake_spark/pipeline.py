@@ -637,8 +637,12 @@ def maintain_all(
             if mirror_retention:
                 from .formats.interop import vacuum_delta
 
+                # grace_seconds=0 is safe HERE: the pipeline is the
+                # mirror's only writer and runs this synchronously
+                # between its own commits — no staging race exists.
                 telemetry["delta_mirror_vacuumed"] = vacuum_delta(
-                    mirror, retain_versions=mirror_retention
+                    mirror, retain_versions=mirror_retention,
+                    grace_seconds=0,
                 )["deleted_files"]
         imirror = (iceberg_mirrors or {}).get(spec.table_name)
         if imirror:

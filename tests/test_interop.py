@@ -9,6 +9,7 @@ Hudi reader against a hand-built timeline + file-group layout.
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -2721,6 +2722,166 @@ def test_delta_writer_checkpoints_every_tenth_commit(spark, tmp_path):
     assert not os.path.isfile(os.path.join(log2, "_last_checkpoint"))
 
 
+def test_delta_checkpoint_guard_sees_prior_checkpoint_actions(spark, tmp_path):
+    """r10 advice #1: when the early history lives only in a prior
+    (foreign) checkpoint, the representability guard must scan THAT
+    checkpoint's raw actions too — a txn appId watermark hidden there
+    would vanish from a re-checkpoint and let a foreign streaming
+    writer re-apply a batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_checkpointable,
+        _delta_write_checkpoint,
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "ckg")
+    write_delta(
+        spark.createDataFrame([(0, "v0")], "id long, val string"), path,
+        mode="error",
+    )
+    merge_delta(
+        spark.createDataFrame([(1, "v1")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    assert _delta_write_checkpoint(path, 1) is not None
+    log = os.path.join(path, "_delta_log")
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # Seeded from OUR checkpoint (no txn): still checkpointable.
+    merge_delta(
+        spark.createDataFrame([(2, "v2")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    assert _delta_checkpointable(path, 2)
+
+    # Inject a txn row into the seed checkpoint (what a foreign
+    # streaming writer's checkpoint carries): the guard must flip.
+    cpath = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    t = pq.read_table(cpath)
+    txn_type = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    txn_col = pa.array(
+        [None] * t.num_rows + [{"appId": "foreign-stream", "version": 7}],
+        type=txn_type,
+    )
+    grown = {
+        name: pa.concat_arrays(
+            [t.column(name).combine_chunks(), pa.nulls(1, t.schema.field(name).type)]
+        )
+        for name in t.column_names
+    }
+    pq.write_table(
+        pa.table({**grown, "txn": txn_col}), cpath
+    )
+    assert not _delta_checkpointable(path, 2)
+    assert _delta_write_checkpoint(path) is None
+    # The table still READS (replay pops txn as before).
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2"}
+
+
+def test_write_delta_append_create_race_keeps_winner_identity(
+    spark, tmp_path, monkeypatch
+):
+    """r10 advice #3: an append that LOSES the table-create race must
+    rebuild its actions — retrying with its own creation
+    protocol/metaData would overwrite the winning writer's table
+    id/schema/configuration at version 1. The loser's rows append
+    under the winner's identity; a schema-mismatched loser refuses."""
+    import automation_of_building_a_transactional_data_lake_spark.formats.interop as interop
+
+    path = str(tmp_path / "race")
+    winner = spark.createDataFrame([(1, "w")], "id long, val string")
+    loser = spark.createDataFrame([(2, "l")], "id long, val string")
+    real_stage = interop._delta_stage_files
+    raced = {"done": False}
+
+    def racing_stage(df, table_path, partition_by):
+        adds = real_stage(df, table_path, partition_by)
+        if not raced["done"]:
+            raced["done"] = True
+            interop.write_delta(winner, path, mode="error")  # winner commits v0
+        return adds
+
+    monkeypatch.setattr(interop, "_delta_stage_files", racing_stage)
+    v = interop.write_delta(loser, path, mode="append")
+    assert v == 1
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == {1: "w", 2: "l"}
+    # The winner's identity survived: exactly ONE metaData in the log,
+    # and commit v1 carries neither protocol nor metaData.
+    log = os.path.join(path, "_delta_log")
+    metas = []
+    for fv in (0, 1):
+        with open(os.path.join(log, f"{fv:020d}.json"), encoding="utf-8") as f:
+            acts = [json.loads(x) for x in f if x.strip()]
+        if fv == 1:
+            assert not any("protocol" in a or "metaData" in a for a in acts)
+        metas.extend(a["metaData"] for a in acts if "metaData" in a)
+    assert len(metas) == 1
+
+    # Schema-mismatched loser: refuses instead of appending mislaid rows.
+    path2 = str(tmp_path / "race2")
+    winner2 = spark.createDataFrame([(1, "w")], "id long, val string")
+    loser2 = spark.createDataFrame([(2.5,)], "x double")
+    raced2 = {"done": False}
+
+    def racing_stage2(df, table_path, partition_by):
+        adds = real_stage(df, table_path, partition_by)
+        if not raced2["done"]:
+            raced2["done"] = True
+            interop.write_delta(winner2, path2, mode="error")
+        return adds
+
+    monkeypatch.setattr(interop, "_delta_stage_files", racing_stage2)
+    with pytest.raises(ValueError, match="different schema"):
+        interop.write_delta(loser2, path2, mode="append")
+
+
+def test_vacuum_delta_grace_window_protects_staged_files(spark, tmp_path):
+    """r10 advice #2: files younger than grace_seconds survive vacuum
+    even when unreferenced — a writer stages parquet BEFORE its O_EXCL
+    log commit, so a racing vacuum must not delete an in-flight
+    commit's data."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "vg")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        path, mode="error",
+    )
+    merge_delta(
+        spark.createDataFrame([(1, "A")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    # Simulate an in-flight commit: a staged-but-uncommitted file.
+    staged = os.path.join(path, "part-inflight.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"PAR1fake")
+    out = vacuum_delta(path, retain_versions=1)  # default grace
+    assert os.path.isfile(staged)  # young + unreferenced: protected
+    assert out["deleted_files"] == 0  # v0's old file is young too
+    # Age everything past the window: now the unreferenced files go.
+    old = time.time() - 7200
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    out = vacuum_delta(path, retain_versions=1)
+    assert not os.path.isfile(staged)
+    assert out["deleted_files"] >= 2  # the stale v0 file + the fake
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == {
+        1: "A", 2: "b"
+    }
+
+
 def test_expire_iceberg_snapshots(spark, tmp_path):
     """Storage lifecycle (Iceberg expire_snapshots): expired snapshots
     vanish from metadata (time travel to them raises loudly), their
@@ -2826,7 +2987,7 @@ def test_vacuum_delta_unreferenced_files(spark, tmp_path):
             spark.createDataFrame([(1, f"u{i}")], "id long, val string"),
             dp, key="id", mode="upsert",
         )
-    out = vacuum_delta(dp, retain_versions=2)
+    out = vacuum_delta(dp, retain_versions=2, grace_seconds=0)
     assert out["deleted_files"] == 2  # v0 and v1's rewritten files
     assert {r.id: r.val for r in read_delta(spark, dp).collect()} == {1: "u2"}
     assert {r.id: r.val for r in read_delta(spark, dp, version=2).collect()} == {
@@ -2920,7 +3081,7 @@ def test_vacuum_delta_reclaims_old_cdf_captures(spark, tmp_path):
             spark.createDataFrame([(1, f"u{i}")], "id long, val string"),
             dp, key="id", mode="upsert",
         )
-    out = vacuum_delta(dp, retain_versions=2)
+    out = vacuum_delta(dp, retain_versions=2, grace_seconds=0)
     assert out["deleted_cdc_files"] >= 1
     # Retained window (versions 2..3) still reconstructs row-level.
     kinds = {
@@ -2978,7 +3139,7 @@ def test_restore_delta_metadata_only(spark, tmp_path):
         1: "A", 2: "b", 3: "c",
     }
     # A vacuumed restore target refuses loudly.
-    vacuum_delta(dp, retain_versions=1)
+    vacuum_delta(dp, retain_versions=1, grace_seconds=0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta(dp, 2)
 
@@ -3082,7 +3243,7 @@ def test_delta_sequences_with_checkpoints_and_vacuum(
                 for k in dels:
                     model.pop(k, None)
             if vacuum_after:
-                interop.vacuum_delta(path, retain_versions=1)
+                interop.vacuum_delta(path, retain_versions=1, grace_seconds=0)
     got = {r.id: r.val for r in read_delta(spark, path).collect()}
     assert got == model
 
@@ -4442,7 +4603,7 @@ def test_compact_delta_purges_deletion_vectors(spark, tmp_path):
 
     # The orphaned DV sidecar vacuums away with the old versions.
     assert [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
-    vacuum_delta(path, retain_versions=1)
+    vacuum_delta(path, retain_versions=1, grace_seconds=0)
     assert not [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
     assert _rows(read_delta(spark, path)) == before
 

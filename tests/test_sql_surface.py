@@ -5,6 +5,8 @@ and the reference's MERGE INTO statements as literal text
 transactional merge surface as the API path."""
 
 import datetime as dt
+import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -449,6 +451,14 @@ def test_vacuum_foreign_paths_as_text(spark, tmp_path):
         spark.createDataFrame([(1, "A")], "id long, val string"), dp,
         key="id", mode="upsert",
     )
+    # The SQL surface keeps vacuum_delta's default GRACE window (young
+    # unreferenced files may be a commit in flight) — age the data
+    # files past it so the test still exercises real deletion.
+    old = time.time() - 7200
+    for root, dirs, files in os.walk(dp):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
     out = lake.sql(f"VACUUM delta.`{dp}` RETAIN 1 VERSIONS")
     assert out["action"] == "vacuum" and out["format"] == "delta"
     assert out["deleted_files"] >= 1
