@@ -234,6 +234,161 @@ def parse_png_header(payload: bytes | None) -> dict | None:
     }
 
 
+def decode_png_pixels(payload: bytes | None):
+    """REAL dependency-free PNG PIXEL decode (the spec's critical
+    chunks; zlib is stdlib): signature → chunk walk with CRC-32
+    verification (a silently corrupt pixel array poisons every feature
+    downstream) → concatenated-IDAT inflate → per-scanline unfilter
+    (all five filter types) → (height, width, channels) uint8 numpy
+    array. Covers 8-bit-depth, non-interlaced grey / RGB / grey+alpha /
+    RGBA — the overwhelming majority of crawled PNGs. Palette, 16-bit,
+    and Adam7 return None (their METADATA still decodes via
+    parse_png_header); so does any malformed payload — schema-stable
+    over a dirty crawl, never an error.
+
+    Filter math: Up and None are pure vector ops; Sub is a per-channel
+    cumulative sum (vectorized); Average/Paeth walk pixels within the
+    scanline (each needs the just-reconstructed left neighbor) with
+    all channels advanced per step — O(pixels) total either way, and
+    this module's own encoder emits filter 0, keeping the synthetic
+    path fully vectorized."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    hdr = parse_png_header(payload)
+    if hdr is None or hdr["bits_per_sample"] != 8:
+        return None
+    w, h, ch = hdr["width"], hdr["height"], hdr["n_channels"]
+    color, interlace = payload[25], payload[28]
+    if color == 3 or interlace != 0:
+        return None
+    idat = bytearray()
+    off, n = 8, len(payload)
+    saw_end = False
+    while off + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", payload, off)
+        data_end = off + 8 + length
+        if data_end + 4 > n:
+            return None
+        (crc,) = struct.unpack_from(">I", payload, data_end)
+        if zlib.crc32(payload[off + 4 : data_end]) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IDAT":
+            idat += payload[off + 8 : data_end]
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        off = data_end + 4
+    if not saw_end or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    if (ftypes > 4).any():
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: per-channel cumulative sum, vectorized
+            cur = line.copy()
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(cur[c::ch]) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(0, stride, ch):
+                cur[x : x + ch] = (
+                    cur[x : x + ch] + ((left + prev[x : x + ch]) >> 1)
+                ) & 0xFF
+                left = cur[x : x + ch]
+        else:  # Paeth
+            cur = line.copy()
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(0, stride, ch):
+                up = prev[x : x + ch]
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - up), np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                cur[x : x + ch] = (cur[x : x + ch] + pred) & 0xFF
+                left = cur[x : x + ch]
+                upleft = up
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(pixels) -> bytes:
+    """REAL PNG encoder (the inverse of ``decode_png_pixels``): a
+    (height, width, channels) or (height, width) uint8 array becomes a
+    spec-conformant non-interlaced 8-bit PNG — filter-0 scanlines,
+    one zlib IDAT, CRC'd chunks. decode(encode(x)) == x is a test
+    invariant, the same bit-for-bit gating discipline as the DV and
+    avro writers."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"pixels must be (h, w[, 1|2|3|4]), got {arr.shape}")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * ch)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_png_bytes(width: int, height: int, n_channels: int = 3) -> bytes:
+    """A genuine, viewer-openable PNG with a deterministic gradient
+    pattern — the compressed-format payload generator beside
+    ``make_bmp_bytes``/``make_wav_bytes``."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.uint64)[:, None, None]
+    x = np.arange(width, dtype=np.uint64)[None, :, None]
+    c = np.arange(n_channels, dtype=np.uint64)[None, None, :]
+    px = ((x * 7 + y * 13 + c * 29) % 256).astype(np.uint8)
+    return encode_png(px)
+
+
 def _parse_fake(payload: bytes | None) -> dict | None:
     """Deterministic pseudo-decode twin: stable fields derived from the
     byte length alone, so tests of the dataflow never depend on codecs."""
@@ -538,29 +693,52 @@ def _resize_bmp24(payload: bytes, width: int, height: int) -> bytes | None:
     return header + pixels
 
 
+def _resize_png(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a decodable PNG: pixel decode →
+    index-sliced resample → re-encode. None when undecodable."""
+    import numpy as np
+
+    px = decode_png_pixels(payload)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(px[yi][:, xi])
+
+
 def resize_media(
     media: DataFrame,
     width: int,
     height: int,
-    decoder: str = "bmp",
+    decoder: str = "auto",
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize image payloads via Arrow-batched ``mapInPandas``:
-    ``decoder="bmp"`` is a REAL dependency-free nearest-neighbor
-    resize (BMP pixel arrays are uncompressed — numpy slicing, no
-    codecs); unresizable payloads yield a null output payload, never
-    an error. Compressed-format resize needs the codec backends and
-    raises loudly (same contract as ``extract_features``)."""
-    if decoder != "bmp":
+    """Resize image payloads via Arrow-batched ``mapInPandas`` — REAL
+    dependency-free nearest-neighbor paths: ``"bmp"`` (uncompressed
+    pixel array, numpy slicing), ``"png"`` (full decode → resample →
+    re-encode, zlib from the stdlib), ``"auto"`` (sniff both).
+    Unresizable payloads yield a null output payload, never an error.
+    JPEG/video resize needs the codec backends and raises loudly
+    (same contract as ``extract_features``)."""
+    if decoder not in ("bmp", "png", "auto"):
         raise NotImplementedError(
-            f"decoder={decoder!r}: resizing compressed formats needs the "
+            f"decoder={decoder!r}: resizing this format needs the "
             "pillow/ffmpeg backends, not present in this environment "
-            "(decoder='bmp' is the real dependency-free path)"
+            "(decoder='bmp'/'png'/'auto' are the real dependency-free "
+            "paths)"
         )
     if width < 1 or height < 1:
         raise ValueError("width and height must be >= 1")
     pruned = media.select(id_col, payload_col)
+
+    def _one(raw: bytes):
+        if decoder in ("bmp", "auto"):
+            out = _resize_bmp24(raw, width, height)
+            if out is not None or decoder == "bmp":
+                return out
+        return _resize_png(raw, width, height)
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -569,7 +747,7 @@ def resize_media(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else None
-                out = _resize_bmp24(raw, width, height) if raw else None
+                out = _one(raw) if raw else None
                 rows.append(
                     {
                         "media_id": mid,
@@ -581,6 +759,94 @@ def resize_media(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return pruned.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+PIXEL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("pixel_mean", DoubleType(), True),
+        StructField("pixel_std", DoubleType(), True),
+        StructField("luma_mean", DoubleType(), True),
+    ]
+)
+
+
+def extract_pixel_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL pixel-tier feature extraction (no codec libraries): PNG
+    payloads fully decode (``decode_png_pixels``), 24-bit BMPs read
+    their uncompressed pixel array — per-image mean/std over samples
+    and a Rec.601 luma mean (the training-data quality signals:
+    near-black/near-white/flat images filter on these). Undecodable
+    payloads yield null feature columns, never an error. This is the
+    production tier ``extract_features(decoder='fake')`` stubbed —
+    byte-level stats remain available there for formats without a
+    dependency-free decoder (JPEG pixel decode still needs pillow)."""
+    import struct
+
+    pruned = media.select(id_col, payload_col)
+    fields = [f.name for f in PIXEL_FEATURE_SCHEMA.fields]
+
+    def _decode(raw: bytes):
+        import numpy as np
+
+        px = decode_png_pixels(raw)
+        if px is not None:
+            return "png", px
+        hdr = parse_bmp_header(raw)
+        if hdr is not None and hdr["bits_per_sample"] == 24:
+            w, h = hdr["width"], hdr["height"]
+            data_off = struct.unpack_from("<I", raw, 10)[0]
+            row = (w * 3 + 3) // 4 * 4
+            if len(raw) >= data_off + row * h:
+                px = np.frombuffer(
+                    raw, dtype=np.uint8, count=row * h, offset=data_off
+                ).reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+                return "bmp", px[::-1]
+        return None, None
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                fmt, px = _decode(raw) if raw else (None, None)
+                if px is None:
+                    rows.append({**dict.fromkeys(fields), "media_id": mid})
+                    continue
+                f = px.astype(np.float64)
+                if px.shape[2] >= 3:
+                    luma = (
+                        0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                        + 0.114 * f[:, :, 2]
+                    )
+                else:
+                    luma = f[:, :, 0]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "format": fmt,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "n_channels": int(px.shape[2]),
+                        "pixel_mean": float(f.mean()),
+                        "pixel_std": float(f.std()),
+                        "luma_mean": float(luma.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=fields)
+
+    return pruned.mapInPandas(_batches, schema=PIXEL_FEATURE_SCHEMA)
 
 
 def sample_frames(
