@@ -286,6 +286,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (the emb_top_pairs pattern: registered first, oracle runs in
 #     pytest via test_oracle_parity every session; rotate into a
 #     recorded slot in r12).
+#   r11 addition 2: game_user_cdc_e2e_iceberg_eqd (Iceberg EQUALITY
+#     DELETE writes — the streaming-CDC zero-scan delete shape,
+#     content=2 files via write_iceberg_equality_deletes, closing r10
+#     verdict missing #5; same oracle) registers in the TAIL, same
+#     protocol; rotate into a recorded slot in r12.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -332,6 +337,7 @@ _DEMOTED_TAIL = [
     "docs_bm25_search",
     "docs_normalized",
     "game_user_cdc_e2e_delta_evolve",
+    "game_user_cdc_e2e_iceberg_eqd",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2193,6 +2193,16 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
         interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
         interop.merge_iceberg(dels.select(pk), path, key=pk, mode="delete")
         final = interop.read_iceberg(spark, path)
+    elif fmt == "iceberg_eqd":
+        # The streaming-CDC delete shape (X_r11): upserts merge as
+        # usual, but the deletes commit as EQUALITY DELETE files
+        # (content=2, zero table scan — what a native Flink CDC writer
+        # produces) via write_iceberg_equality_deletes; the snapshot
+        # must read identically, and the shared oracle pins it.
+        interop.write_iceberg(initial, path, mode="error")
+        interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.write_iceberg_equality_deletes(dels.select(pk), path, pk)
+        final = interop.read_iceberg(spark, path)
     elif fmt == "iceberg_mor":
         # Same job under the explicit merge-on-read strategy: matched
         # rows retire via content=1 POSITION DELETE files (X127); the
@@ -2280,6 +2290,10 @@ def game_user_cdc_e2e_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def game_user_cdc_e2e_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "delta_evolve")
+
+
+def game_user_cdc_e2e_iceberg_eqd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg_eqd")
 
 
 def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2970,6 +2984,16 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_delta_evolve",
             game_user_cdc_e2e_delta_evolve,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r11: the streaming-CDC delete shape — deletes commit as
+        # Iceberg EQUALITY DELETE files (content=2, zero table scan)
+        # via write_iceberg_equality_deletes. Same oracle: the delete
+        # mechanism must be analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_iceberg_eqd",
+            game_user_cdc_e2e_iceberg_eqd,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
