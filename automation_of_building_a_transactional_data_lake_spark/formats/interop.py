@@ -2443,6 +2443,130 @@ def _hudi_file_slices(
     return completed, latest, slice_logs
 
 
+def _hudi_any_base_file(table_path: str) -> str | None:
+    """NEWEST completed base file on disk regardless of replacement —
+    the schema source for reading a table deleted to empty (every
+    group replaced). None when no completed base file ever existed."""
+    completed, _replaced = _hudi_timeline(table_path)
+    best: tuple[str, str] | None = None
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            m = _HUDI_FILE_RE.match(fname)
+            if not m or m.group("ts") not in completed:
+                continue
+            key = _hudi_instant_key(m.group("ts"))
+            if best is None or key > best[0]:
+                best = (key, os.path.join(root, fname))
+    return best[1] if best else None
+
+
+def _hudi_avro_to_spark_val(v, type_name: str):
+    """One decoded HoodieLog avro value → the base schema's Spark-type
+    value (timestamp-micros longs, date days — the read-path inverse
+    of ``_spark_to_avro_val``)."""
+    from datetime import date as _date
+    from datetime import datetime as _dt
+    from datetime import timedelta as _td
+
+    if v is None:
+        return None
+    if type_name in ("timestamp", "timestamp_ntz") and isinstance(v, int):
+        return _dt(1970, 1, 1) + _td(microseconds=v)
+    if type_name == "date" and isinstance(v, int):
+        return _date(1970, 1, 1) + _td(days=v)
+    if type_name in ("double", "float") and isinstance(v, int):
+        return float(v)
+    return v
+
+
+def _hudi_log_rows_frame(
+    spark: SparkSession,
+    slice_logs: dict,
+    latest: dict,
+    completed: set,
+    fields,
+    max_slice_log_bytes: int,
+) -> DataFrame:
+    """DISTRIBUTED decode of every latest file slice's visible log
+    blocks — the read-side twin of the distributed log WRITE (r11):
+    one task per slice opens that slice's HoodieLogFormat files from
+    (shared) storage via ``mapInPandas`` and emits rows converted to
+    the base schema plus ``__fp`` (the slice's base-file path),
+    ``__ord`` (in-slice apply order — keys live in exactly one slice,
+    so per-slice order IS the merge order), and ``__del``. The byte
+    bound is PER SLICE — one file group's compaction debt, the
+    per-task memory that actually matters — so table-wide log volume
+    no longer has a driver ceiling (r10: 256 MiB TOTAL, decoded on
+    the driver)."""
+    desc_rows = []
+    for (pp, fid) in sorted(slice_logs):
+        paths = [os.path.abspath(p) for p in slice_logs[(pp, fid)]]
+        nbytes = sum(os.path.getsize(p) for p in paths)
+        if nbytes > max_slice_log_bytes:
+            raise NotImplementedError(
+                f"Hudi file slice ({pp!r}, {fid!r}) carries {nbytes} bytes "
+                f"of un-compacted log files (> max_log_bytes="
+                f"{max_slice_log_bytes} per slice); compact the table or "
+                "raise the bound"
+            )
+        desc_rows.append(
+            (os.path.abspath(latest[(pp, fid)][1]), json.dumps(paths))
+        )
+    desc = spark.createDataFrame(desc_rows, "__fp string, __paths string")
+    if len(desc_rows) > 1:
+        desc = desc.repartition(min(len(desc_rows), 64))
+    field_list = [(f.name, f.dataType.typeName()) for f in fields]
+    completed_set = set(completed)
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField
+
+    out_schema = StructType(
+        list(fields)
+        + [
+            StructField("__fp", StringType()),
+            StructField("__ord", LongType()),
+            StructField("__del", BooleanType()),
+        ]
+    )
+    names = [n for n, _t in field_list] + ["__fp", "__ord", "__del"]
+
+    def decode(batches):
+        import pandas as pd
+
+        from . import hudi_log as _hlog
+
+        for pdf in batches:
+            for fp, pjson in zip(pdf["__fp"], pdf["__paths"]):
+                rows = []
+                ordinal = 0
+                for b in _hlog.visible_data_blocks(
+                    json.loads(pjson), completed_set
+                ):
+                    _s, recs = _hlog.decode_avro_data_block(b)
+                    for rec in recs:
+                        if rec.get("_hoodie_record_key") is None:
+                            raise ValueError(
+                                "merge-on-read log record carries no "
+                                "_hoodie_record_key"
+                            )
+                        ordinal += 1
+                        rows.append(
+                            tuple(
+                                _hudi_avro_to_spark_val(rec.get(n), t)
+                                for n, t in field_list
+                            )
+                            + (
+                                fp,
+                                ordinal,
+                                bool(rec.get("_hoodie_is_deleted") or False),
+                            )
+                        )
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    return desc.mapInPandas(decode, out_schema)
+
+
 def read_hudi(
     spark: SparkSession,
     table_path: str,
@@ -2465,110 +2589,63 @@ def read_hudi(
       ``_hoodie_record_key`` in block order, rollback command blocks
       neutralize their target instant, ``_hoodie_is_deleted`` records
       drop the key, and blocks from in-flight delta commits are
-      invisible. Log decoding is driver-side and BOUNDED by
-      ``max_log_bytes`` (default 256 MiB) — past the bound the read
-      refuses loudly (compact with the native engine) rather than
-      OOMing the driver; a well-maintained MoR table's un-compacted
-      logs are a few commits' deltas, not the table.
+      invisible. Log decoding is DISTRIBUTED (one task per file
+      slice, ``_hudi_log_rows_frame``) and ``max_log_bytes`` bounds
+      PER-SLICE task memory — table-wide un-compacted log volume has
+      no driver ceiling; one slice past the bound refuses loudly
+      (compact first) rather than OOMing a task.
 
     ``drop_meta`` strips the five ``_hoodie_*`` meta columns (Hudi
     parquet stores all business and partition columns inline, so no
-    reconstruction is needed)."""
-    from . import hudi_log as _hlog
+    reconstruction is needed).
 
-    completed, latest, slice_logs = _hudi_file_slices(table_path)
+    A table DELETED TO EMPTY (every file group retired by a completed
+    replacecommit) reads as a typed EMPTY frame — the schema comes
+    from a historical base file scanned under an always-false filter,
+    so the r10 'merged to empty' contract holds for Hudi too; a path
+    that was never a committed table still raises."""
+    try:
+        completed, latest, slice_logs = _hudi_file_slices(table_path)
+    except FileNotFoundError:
+        hist = _hudi_any_base_file(table_path)
+        if hist is None:
+            raise
+        df = spark.read.parquet(hist).filter(F.lit(False))
+        if drop_meta:
+            df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+        return df
     base_paths = [p for _ts, p in latest.values()]
     df = spark.read.parquet(*base_paths)
     if slice_logs:
-        total = sum(
-            os.path.getsize(p) for lst in slice_logs.values() for p in lst
-        )
-        if total > max_log_bytes:
-            raise NotImplementedError(
-                f"Hudi table at {table_path} carries {total} bytes of "
-                f"un-compacted log files (> max_log_bytes={max_log_bytes}); "
-                "compact with the native engine or raise the bound"
-            )
         if "_hoodie_record_key" not in df.columns:
             raise NotImplementedError(
                 "merge-on-read needs populated _hoodie_record_key meta "
                 "columns (virtual-key tables are not supported)"
             )
-        rows: list[tuple] = []
-        ordinal = 0
-        for key in sorted(slice_logs):
-            blocks = _hlog.visible_data_blocks(slice_logs[key], completed)
-            for b in blocks:
-                _schema_avro, recs = _hlog.decode_avro_data_block(b)
-                for rec in recs:
-                    ordinal += 1
-                    rows.append((rec, ordinal))
-        df = _hudi_apply_log_rows(spark, df, rows)
+        logdf = _hudi_log_rows_frame(
+            spark, slice_logs, latest, completed, df.schema.fields,
+            max_log_bytes,
+        ).drop("__fp")
+        df = _hudi_merge_log_frame(df, logdf)
     if drop_meta:
         df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
     return df
 
 
-def _hudi_apply_log_rows(
-    spark: SparkSession, base: DataFrame, rows: list[tuple[dict, int]]
-) -> DataFrame:
-    """Merge decoded log records onto the base scan: latest-wins per
-    ``_hoodie_record_key`` with base rows at ordinal 0 and log records
-    at their block/record order; ``_hoodie_is_deleted=true`` records
-    drop the key (Hudi's soft-delete payload convention). Avro values
-    convert to the base schema's Spark types by NAME (timestamp-micros
-    longs, date days); fields the base schema lacks are dropped,
-    missing fields read null."""
-    from datetime import date as _date
-    from datetime import datetime as _dt
-    from datetime import timedelta as _td
-
+def _hudi_merge_log_frame(base: DataFrame, logdf: DataFrame) -> DataFrame:
+    """Merge the decoded log-rows frame onto the base scan:
+    latest-wins per ``_hoodie_record_key`` with base rows at ordinal 0
+    and log records at their in-slice apply order;
+    ``_hoodie_is_deleted=true`` records drop the key (Hudi's
+    soft-delete payload convention). Key uniqueness is PER PARTITION
+    under Hudi's default (non-global) index — the same record key may
+    legitimately exist in two partitions as distinct records, so the
+    window keys on (partition path, record key)."""
     from pyspark.sql.window import Window
 
-    if not rows:
-        return base
-
-    def conv(v, dt):
-        if v is None:
-            return None
-        if dt.typeName() in ("timestamp", "timestamp_ntz"):
-            if isinstance(v, int):
-                return _dt(1970, 1, 1) + _td(microseconds=v)
-            return v
-        if dt.typeName() == "date":
-            if isinstance(v, int):
-                return _date(1970, 1, 1) + _td(days=v)
-            return v
-        if dt.typeName() in ("double", "float") and isinstance(v, int):
-            return float(v)
-        return v
-
-    fields = base.schema.fields
-    tuples = []
-    for rec, ordinal in rows:
-        deleted = bool(rec.get("_hoodie_is_deleted") or False)
-        if rec.get("_hoodie_record_key") is None:
-            raise ValueError(
-                "merge-on-read log record carries no _hoodie_record_key"
-            )
-        tuples.append(
-            tuple(conv(rec.get(f.name), f.dataType) for f in fields)
-            + (ordinal, deleted)
-        )
-    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
-
-    log_schema = StructType(
-        list(fields)
-        + [StructField("__ord", LongType()), StructField("__del", BooleanType())]
-    )
-    logdf = spark.createDataFrame(tuples, log_schema)
     u = base.withColumn("__ord", F.lit(0).cast("long")).withColumn(
         "__del", F.lit(False)
     ).unionByName(logdf)
-    # Key uniqueness is PER PARTITION under Hudi's default (non-global)
-    # index — the same record key may legitimately exist in two
-    # partitions as distinct records, so the latest-wins window keys
-    # on (partition path, record key).
     w = Window.partitionBy(
         F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
         F.col("_hoodie_record_key"),
@@ -3026,10 +3103,10 @@ def _hudi_log_write(
                     "pass precombine_col or deduplicate first"
                 )
 
-    # (pp, key) -> fid routing, DISTRIBUTED: base-file keys via one
-    # key-pruned scan joined to the (metadata-sized) file map; log
-    # keys via the bounded driver decode. No O(matched keys) driver
-    # collect — the map stays a frame.
+    # (pp, key) -> fid routing, DISTRIBUTED on both sides: base-file
+    # keys via one key-pruned scan joined to the (metadata-sized) file
+    # map; log keys via the distributed per-slice decode frame. No
+    # O(matched keys) driver collect — the map stays a frame.
     fmap_base = spark.createDataFrame(
         [
             (os.path.abspath(p), fid)
@@ -3043,28 +3120,32 @@ def _hudi_log_write(
         _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
     )
     keys, keys_pin = _pin_gated(rows_df.select("__pp", "__k").distinct())
-    log_rows: list[tuple[str, str, str]] = []
-    for (pp, fid), lpaths in sorted(slice_logs.items()):
-        for b in _hlog.visible_data_blocks(lpaths, completed):
-            _s, recs = _hlog.decode_avro_data_block(b)
-            for rec in recs:
-                if rec.get("_hoodie_record_key") is not None:
-                    log_rows.append(
-                        (rec.get("_hoodie_partition_path") or "",
-                         rec["_hoodie_record_key"], fid)
-                    )
     try:
         kmap = (
             scan.join(keys, ["__pp", "__k"], "left_semi")
             .join(F.broadcast(fmap_base), "__fp")
             .select("__pp", "__k", "__fid")
         )
-        if log_rows:
+        if slice_logs:
+            from pyspark.sql.types import StringType, StructField
+
+            route_fields = [
+                StructField("_hoodie_record_key", StringType()),
+                StructField("_hoodie_partition_path", StringType()),
+            ]
+            lframe = _hudi_log_rows_frame(
+                spark, slice_logs, latest, completed, route_fields,
+                256 << 20,
+            )
             kmap = kmap.unionByName(
-                spark.createDataFrame(
-                    list(dict.fromkeys(log_rows)),
-                    "__pp string, __k string, __fid string",
-                )
+                lframe.select(
+                    F.coalesce(
+                        F.col("_hoodie_partition_path"), F.lit("")
+                    ).alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__k"),
+                    "__fp",
+                ).join(F.broadcast(fmap_base), "__fp")
+                .select("__pp", "__k", "__fid")
             )
         # A key can sit in BOTH its group's base and log — same fid.
         kmap = kmap.dropDuplicates(["__pp", "__k"])
@@ -3253,21 +3334,14 @@ def compact_hudi(
     instant; the old logs attach to the superseded base instant, so
     every snapshot reader — this module's and native ones — serves
     the new slices and ignores them. Untouched groups cost nothing.
-    Returns the commit instant, or None when no group carries logs."""
-    from pyspark.sql.window import Window
-
-    from . import hudi_log as _hlog
-
+    The log decode is DISTRIBUTED (one task per slice,
+    ``_hudi_log_rows_frame``) with ``max_log_bytes`` bounding
+    PER-SLICE task memory — compaction scales with executors, not the
+    driver. Returns the commit instant, or None when no group carries
+    logs."""
     completed, latest, slice_logs = _hudi_file_slices(table_path)
     if not slice_logs:
         return None
-    total = sum(os.path.getsize(p) for lst in slice_logs.values() for p in lst)
-    if total > max_log_bytes:
-        raise NotImplementedError(
-            f"compaction would decode {total} log bytes driver-side "
-            f"(> max_log_bytes={max_log_bytes}); raise the bound or use "
-            "the native engine"
-        )
     instant = _hudi_new_instant(table_path)
     paths = [latest[k][1] for k in sorted(slice_logs)]
     fid_rows = [
@@ -3281,64 +3355,11 @@ def compact_hudi(
         raise NotImplementedError(
             "compaction needs populated _hoodie_record_key meta columns"
         )
-
-    rows: list[tuple] = []
-    ordinal = 0
     fields = [f for f in base.schema.fields if f.name != "__fp"]
-    from datetime import date as _date
-    from datetime import datetime as _dt
-    from datetime import timedelta as _td
-
-    def conv(v, dt):
-        if v is None:
-            return None
-        if dt.typeName() in ("timestamp", "timestamp_ntz") and isinstance(v, int):
-            return _dt(1970, 1, 1) + _td(microseconds=v)
-        if dt.typeName() == "date" and isinstance(v, int):
-            return _date(1970, 1, 1) + _td(days=v)
-        if dt.typeName() in ("double", "float") and isinstance(v, int):
-            return float(v)
-        return v
-
-    for (pp, fid) in sorted(slice_logs):
-        fp = os.path.abspath(latest[(pp, fid)][1])
-        for b in _hlog.visible_data_blocks(slice_logs[(pp, fid)], completed):
-            _s, recs = _hlog.decode_avro_data_block(b)
-            for rec in recs:
-                ordinal += 1
-                rows.append(
-                    tuple(conv(rec.get(f.name), f.dataType) for f in fields)
-                    + (fp, ordinal, bool(rec.get("_hoodie_is_deleted") or False))
-                )
-    from pyspark.sql.types import (
-        BooleanType,
-        LongType,
-        StringType,
-        StructField,
+    logdf = _hudi_log_rows_frame(
+        spark, slice_logs, latest, completed, fields, max_log_bytes
     )
-
-    log_schema = StructType(
-        list(fields)
-        + [
-            StructField("__fp", StringType()),
-            StructField("__ord", LongType()),
-            StructField("__del", BooleanType()),
-        ]
-    )
-    logdf = spark.createDataFrame(rows, log_schema)
-    u = base.withColumn("__ord", F.lit(0).cast("long")).withColumn(
-        "__del", F.lit(False)
-    ).unionByName(logdf)
-    w = Window.partitionBy(
-        F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
-        F.col("_hoodie_record_key"),
-    ).orderBy(F.col("__ord").desc())
-    merged = (
-        u.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(~F.col("__del"))
-        .drop("__rn", "__ord", "__del")
-    )
+    merged = _hudi_merge_log_frame(base, logdf)
     fmap = spark.createDataFrame(
         fid_rows, "__fp string, __mpp string, __hudi_fid string"
     )

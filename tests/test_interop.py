@@ -4305,11 +4305,54 @@ def test_hudi_mor_snapshot_merges_committed_log_blocks(spark, tmp_path):
     assert row3["_hoodie_commit_time"] == inst1
 
 
+def test_hudi_deleted_to_empty_reads_typed_and_recovers(spark, tmp_path):
+    """A Hudi table deleted to EMPTY (every file group retired by a
+    completed replacecommit — hypothesis-found r11) reads as a typed
+    empty frame instead of 'no committed base files', and a later
+    upsert repopulates it; a never-written path still raises."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "h0")
+    write_hudi(
+        spark.createDataFrame(
+            [(k, "init", "x" if k % 2 == 0 else "y") for k in range(4)],
+            "id long, val string, cat string",
+        ),
+        path, record_key="id", mode="bulk_insert", partition_by=["cat"],
+        num_buckets=2,
+    )
+    # Delete everything through the replacecommit full-rewrite fallback.
+    write_hudi(
+        spark.createDataFrame(
+            [(k, "", "x" if k % 2 == 0 else "y") for k in range(4)],
+            "id long, val string, cat string",
+        ),
+        path, record_key="id", mode="delete", partition_by=["cat"],
+        max_affected_file_groups=0,
+    )
+    empty = read_hudi(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "val", "cat"]  # typed, meta dropped
+    # The emptied table accepts new writes.
+    write_hudi(
+        spark.createDataFrame([(7, "back", "y")], "id long, val string, cat string"),
+        path, record_key="id", mode="upsert", partition_by=["cat"],
+    )
+    assert {r.id: r.val for r in read_hudi(spark, path).collect()} == {7: "back"}
+    with pytest.raises(FileNotFoundError):
+        read_hudi(spark, str(tmp_path / "never"))
+
+
 def test_hudi_mor_guards(spark, tmp_path):
     """The loud edges: unsupported delete blocks raise (unless rolled
     back), writes and cleans refuse log-bearing tables, the log-byte
-    budget bounds driver-side decoding, and logs naming a base instant
-    that is not a committed base file refuse."""
+    budget bounds PER-SLICE task memory, and logs naming a base
+    instant that is not a committed base file refuse. Since r11 the
+    log decode runs in EXECUTORS, so block-level guards surface
+    through Spark's task failure (PythonException wrapping the
+    NotImplementedError) — still loud, message preserved."""
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         clean_hudi,
         write_hudi,
@@ -4322,7 +4365,7 @@ def test_hudi_mor_guards(spark, tmp_path):
     )
     HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [delb])
     open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
-    with pytest.raises(NotImplementedError, match="delete"):
+    with pytest.raises(Exception, match="delete log blocks"):
         read_hudi(spark, path).collect()
 
     # A committed ROLLBACK of the delete block's instant makes the
