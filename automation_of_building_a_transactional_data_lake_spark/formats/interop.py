@@ -185,12 +185,20 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
     blind add-only commit as inserts; an overwrite without cdc actions
     would make the feed unreconstructable, so that raises)."""
     conf = (meta or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+    cm = conf.get("delta.columnMapping.mode", "none")
+    if cm not in ("none", "", "name", "id"):
         raise NotImplementedError(
-            "Delta column mapping mode "
-            f"{conf.get('delta.columnMapping.mode')!r}: this writer emits "
-            "parquet under LOGICAL column names, which a column-mapped "
-            "table's readers would resolve as all-null — refusing to write"
+            f"Delta column mapping mode {cm!r} is not supported"
+        )
+    if cm in ("name", "id") and (meta or {}).get("partitionColumns"):
+        # Mapped + partitioned writes need physical-named hive dirs
+        # AND physical partitionValues keys threaded through every
+        # scan/stage path — not implemented; the unpartitioned case
+        # (the common "renamed a column once" Databricks table) is.
+        raise NotImplementedError(
+            "writes to a PARTITIONED column-mapped Delta table are not "
+            "supported (unpartitioned mapped tables are); use the "
+            "table's native engine"
         )
     if conf.get("delta.appendOnly", "false").lower() == "true" and mode != "append":
         raise ValueError(
@@ -1436,6 +1444,34 @@ def _delta_file_stats(path: str) -> dict:
     }
 
 
+def _delta_physical_batch(df: DataFrame, schema: StructType) -> DataFrame:
+    """Rename a logical-schema batch to the table's PHYSICAL column
+    names (``delta.columnMapping.physicalName``) and stamp each column
+    with its ``parquet.field.id`` — the file shape BOTH mapping modes'
+    readers resolve ('name' matches the physical name, 'id' matches
+    the field id Spark writes from the metadata). The inverse of
+    ``_delta_file_resolution``'s read aliasing."""
+    out = df.select(
+        *[
+            F.col(f.name).alias(
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+            )
+            for f in schema.fields
+        ]
+    )
+    for f in schema.fields:
+        md = f.metadata or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is not None:
+            out = out.withMetadata(
+                md.get("delta.columnMapping.physicalName", f.name),
+                {"parquet.field.id": int(fid)},
+            )
+    return out
+
+
 def _delta_stage_files(
     df: DataFrame, table_path: str, partition_by: list[str]
 ) -> list[dict]:
@@ -1571,6 +1607,20 @@ def write_delta(
                 f"table is partitioned by {recorded_parts}, not {partition_by}"
             )
         partition_by = recorded_parts
+        tbl_conf = state["metaData"].get("configuration") or {}
+        if tbl_conf.get("delta.columnMapping.mode", "none") in ("name", "id"):
+            # Column-mapped table (unpartitioned — the guard enforces):
+            # the batch stages under the frozen PHYSICAL names +
+            # parquet field ids so every mapped reader resolves it.
+            tbl_schema = StructType.fromJson(
+                json.loads(state["metaData"]["schemaString"])
+            )
+            missing = [
+                f.name for f in tbl_schema.fields if f.name not in df.columns
+            ]
+            if missing:
+                raise ValueError(f"batch lacks table columns {missing}")
+            df = _delta_physical_batch(df, tbl_schema)
         if mode == "overwrite":
             ts = int(time.time() * 1000)
             for path in state["files"]:
@@ -1786,6 +1836,13 @@ def merge_delta(
     cols = [f.name for f in schema.fields]
     if key not in cols:
         raise ValueError(f"key {key!r} is not a table column ({cols})")
+    # Column-mapped tables (name/id mode; unpartitioned — the writer
+    # guard enforces): scans read the PHYSICAL columns aliased back to
+    # logical (_delta_file_resolution, the read path's own machinery)
+    # and every staged batch renames to physical + field ids.
+    cm_on = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) in ("name", "id")
     dv_ok = _delta_dv_supported(state["protocol"])
     if strategy == "dv" and not dv_ok:
         raise NotImplementedError(
@@ -1831,10 +1888,31 @@ def merge_delta(
             from pyspark.sql.types import StructField
 
             src_types = {f.name: f.dataType for f in source.schema.fields}
-            for c in sorted(extra, key=source.columns.index):
-                schema = schema.add(StructField(c, src_types[c], True))
-            cols = [f.name for f in schema.fields]
             evolved_meta = dict(meta)
+            cm_next_id = None
+            if cm_on:
+                cm_conf = dict(meta.get("configuration") or {})
+                cm_next_id = int(
+                    cm_conf.get("delta.columnMapping.maxColumnId", 0)
+                )
+            for c in sorted(extra, key=source.columns.index):
+                md = None
+                if cm_on:
+                    # Mapped tables: every column needs a frozen
+                    # physical name and a fresh never-reused id.
+                    cm_next_id += 1
+                    md = {
+                        "delta.columnMapping.id": cm_next_id,
+                        "delta.columnMapping.physicalName":
+                            f"col-{uuid.uuid4()}",
+                    }
+                schema = schema.add(
+                    StructField(c, src_types[c], True, metadata=md)
+                )
+            cols = [f.name for f in schema.fields]
+            if cm_on:
+                cm_conf["delta.columnMapping.maxColumnId"] = str(cm_next_id)
+                evolved_meta["configuration"] = cm_conf
             evolved_meta["schemaString"] = json.dumps(schema.jsonValue())
         src = source.select(*cols)
     else:
@@ -1886,15 +1964,30 @@ def merge_delta(
             spark, dv_desc, table_path
         )
 
-    def _scan(paths: list[str]) -> DataFrame:
-        rdr = spark.read.schema(schema)
-        if pcols:
-            rdr = rdr.option("basePath", table_path)
-        df = rdr.parquet(*paths).select(
-            *cols,
-            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
+    if cm_on:
+        cm_file_schema, cm_read_names, _cm_phys = _delta_file_resolution(
+            spark, meta, schema, pcols
         )
+
+    def _scan(paths: list[str]) -> DataFrame:
+        if cm_on:
+            df = spark.read.schema(cm_file_schema).parquet(*paths).select(
+                *[
+                    F.col(cm_read_names[f.name]).alias(f.name)
+                    for f in schema.fields
+                ],
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        else:
+            rdr = spark.read.schema(schema)
+            if pcols:
+                rdr = rdr.option("basePath", table_path)
+            df = rdr.parquet(*paths).select(
+                *cols,
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
         if del_pairs is not None:
             df = df.join(
                 _delete_side(del_pairs, dv_paths, dv_inline),
@@ -2082,7 +2175,10 @@ def merge_delta(
                     newadd["stats"] = old["stats"]
                 actions.append({"add": newadd})
         if new_df is not None:
-            for a in _delta_stage_files(new_df.select(*cols), table_path, pcols):
+            staged_df = new_df.select(*cols)
+            if cm_on:
+                staged_df = _delta_physical_batch(staged_df, schema)
+            for a in _delta_stage_files(staged_df, table_path, pcols):
                 actions.append({"add": a})
 
         cdf = (
@@ -2109,6 +2205,19 @@ def merge_delta(
                 )
             else:
                 cdc_df = src.withColumn(ct, F.lit("insert"))
+            if cm_on:
+                # CDF capture files use physical names too; the
+                # _change_type column has no mapping metadata and
+                # keeps its own name.
+                from pyspark.sql.types import StringType, StructField
+
+                cdc_df = _delta_physical_batch(
+                    cdc_df,
+                    StructType(
+                        list(schema.fields)
+                        + [StructField(ct, StringType())]
+                    ),
+                )
             for c in _delta_stage_cdc(cdc_df, table_path, pcols):
                 actions.append({"cdc": c})
     finally:
@@ -2176,17 +2285,35 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
     del_df, dv_paths, dv_inline = _delta_dv_pairs_frame(
         spark, dv_by_file, table_path
     )
-    rdr = spark.read.schema(schema)
-    if pcols:
-        rdr = rdr.option("basePath", table_path)
-    scan = rdr.parquet(*sorted(paths)).select(
-        *cols,
-        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
+    cm_on = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) in ("name", "id")
+    if cm_on:
+        cm_file_schema, cm_read_names, _p = _delta_file_resolution(
+            spark, meta, schema, pcols
+        )
+        scan = spark.read.schema(cm_file_schema).parquet(*sorted(paths)).select(
+            *[
+                F.col(cm_read_names[f.name]).alias(f.name)
+                for f in schema.fields
+            ],
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+    else:
+        rdr = spark.read.schema(schema)
+        if pcols:
+            rdr = rdr.option("basePath", table_path)
+        scan = rdr.parquet(*sorted(paths)).select(
+            *cols,
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
     survivors = scan.join(
         _delete_side(del_df, dv_paths, dv_inline), ["__fp", "__ri"], "left_anti"
     ).select(*cols)
+    if cm_on:
+        survivors = _delta_physical_batch(survivors, schema)
 
     actions: list[dict] = []
     ts = int(time.time() * 1000)

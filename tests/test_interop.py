@@ -4882,6 +4882,153 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
     } == {0: "init", 1: "init", 2: "init"}
 
 
+def _make_name_mapped_delta(spark, path):
+    """Hand-build a NAME-mode column-mapped Delta table the way a
+    foreign engine leaves one after a rename: physical col-* parquet
+    columns, logical names only in the schemaString metadata."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    os.makedirs(os.path.join(path, "_delta_log"))
+    staging = os.path.join(path, ".stage")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-aaa` long, `col-bbb` string"
+    ).coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    rel = f"part-{_uuid.uuid4().hex}.parquet"
+    os.rename(os.path.join(staging, part), os.path.join(path, rel))
+    _sh.rmtree(staging)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "val", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": 1700000000000, "dataChange": True,
+        }},
+    ]
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"), "w",
+        encoding="utf-8",
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+
+def test_delta_column_mapped_writes(spark, tmp_path):
+    """r11: appends, merges, evolution, and compaction WRITE to a
+    NAME-mode column-mapped Delta table (the shape Databricks leaves
+    after any column rename): batches stage under the frozen PHYSICAL
+    names + parquet field ids, scans resolve physical->logical, an
+    evolve merge assigns a fresh mapping id/physicalName and bumps
+    maxColumnId, and no parquet file ever carries a logical name.
+    Partitioned mapped tables still refuse."""
+    import pyarrow.parquet as papq
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "cm")
+    _make_name_mapped_delta(spark, path)
+    assert {r.id: r.val for r in read_delta(spark, path).collect()} == {
+        1: "a", 2: "b"
+    }
+
+    # Append under logical names lands physical.
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        path, mode="append",
+    )
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # Keyed MERGE upsert + delete.
+    merge_delta(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    merge_delta(
+        spark.createDataFrame([(1,)], "id long"), path, key="id",
+        mode="delete",
+    )
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == {2: "B2", 3: "c", 4: "d"}
+
+    # Schema evolution on the mapped table: fresh id + physicalName.
+    merge_delta(
+        spark.createDataFrame(
+            [(5, "e", "2023-09-01")], "id long, val string, seen string"
+        ),
+        path, key="id", mode="upsert", evolve=True,
+    )
+    got = {r.id: (r.val, r.seen) for r in read_delta(spark, path).collect()}
+    assert got[5] == ("e", "2023-09-01") and got[2] == ("B2", None)
+    meta = _delta_replay(path, None)["metaData"]
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.maxColumnId"] == "3"
+    newf = next(
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "seen"
+    )
+    assert newf["metadata"]["delta.columnMapping.id"] == 3
+    assert newf["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+
+    # PHYSICAL pin: no parquet file anywhere carries a logical name.
+    logical = {"id", "val", "seen"}
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                names = set(
+                    papq.read_schema(os.path.join(root, fn)).names
+                )
+                assert not (names & logical), (fn, names)
+
+    # Partitioned mapped tables refuse writes loudly.
+    pm = str(tmp_path / "cmp")
+    _make_name_mapped_delta(spark, pm)
+    log0 = os.path.join(pm, "_delta_log", f"{0:020d}.json")
+    with open(log0, encoding="utf-8") as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["partitionColumns"] = ["val"]
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(NotImplementedError, match="PARTITIONED column-mapped"):
+        write_delta(
+            spark.createDataFrame([(9, "z")], "id long, val string"),
+            pm, mode="append",
+        )
+
+
 def test_merge_evolve_adds_columns_mid_stream(spark, tmp_path):
     """merge_*(evolve=True) commits the schema evolution WITH the
     merge (the reference's autoMerge for the mid-stream
