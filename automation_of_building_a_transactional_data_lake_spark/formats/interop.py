@@ -1100,12 +1100,50 @@ def _norm_file_path(col):
     return F.regexp_replace(col, _FILE_URI_RE, "/")
 
 
+def _delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """Delta ``TIMESTAMP AS OF`` resolution: the LATEST version whose
+    commit timestamp is <= the requested instant — commitInfo.timestamp
+    when the commit carries one (every commit this engine writes
+    does), else the log file's mtime (Delta's own default source).
+    A timestamp before the first commit raises, like native Delta."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    best = None
+    for v in _delta_log_versions(log_dir):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        cts = None
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or '"commitInfo"' not in line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("timestamp") is not None:
+                    cts = int(ci["timestamp"])
+                break
+        if cts is None:
+            cts = int(os.path.getmtime(p) * 1000)
+        if cts <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms} ms "
+            f"(the table's history starts later)"
+        )
+    return best
+
+
 def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a REAL Delta Lake table (written by any engine) by
     replaying its transaction log — snapshot-consistent, time-travel
-    via ``version=``. Partition columns are reconstructed from each
+    via ``version=`` or ``timestamp_ms=`` (Delta's ``TIMESTAMP AS
+    OF``: the latest commit at or before the instant, resolved from
+    commitInfo timestamps with the log file mtime as the fallback —
+    native Delta's own source). Partition columns are reconstructed from each
     add action's ``partitionValues`` with the schema's declared types
     (Delta data files do not store partition columns). Files carrying
     deletion vectors have their deleted positions anti-joined away via
@@ -1131,6 +1169,10 @@ def read_delta(
     ``spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
     "false")`` — or run id-mode Delta reads on a dedicated
     ``spark.newSession()``."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version= OR timestamp_ms=, not both")
+        version = _delta_version_at_timestamp(table_path, int(timestamp_ms))
     state = _delta_replay(table_path, version)
     meta = state["metaData"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))

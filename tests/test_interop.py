@@ -4937,6 +4937,39 @@ def _make_name_mapped_delta(spark, path):
         f.write("\n".join(json.dumps(a) for a in acts) + "\n")
 
 
+def test_read_delta_timestamp_as_of(spark, tmp_path):
+    """Delta TIMESTAMP AS OF: the latest commit at or before the
+    instant serves (commitInfo timestamps, log mtime fallback); a
+    pre-history timestamp raises; version= and timestamp_ms= are
+    mutually exclusive."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "tt")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path,
+        mode="error",
+    )
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    merge_delta(
+        spark.createDataFrame([(1, "A"), (2, "b")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    at_mid = {r.id: r.val for r in read_delta(spark, path, timestamp_ms=t_mid).collect()}
+    assert at_mid == {1: "a"}
+    now = {r.id: r.val for r in read_delta(
+        spark, path, timestamp_ms=int(time.time() * 1000)
+    ).collect()}
+    assert now == {1: "A", 2: "b"}
+    with pytest.raises(ValueError, match="history starts later"):
+        read_delta(spark, path, timestamp_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, path, version=0, timestamp_ms=t_mid)
+
+
 def test_delta_column_mapped_writes(spark, tmp_path):
     """r11: appends, merges, evolution, and compaction WRITE to a
     NAME-mode column-mapped Delta table (the shape Databricks leaves
