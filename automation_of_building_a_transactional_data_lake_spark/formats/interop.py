@@ -2538,6 +2538,7 @@ def _hudi_completed_instants(table_path: str) -> set[str]:
 
 def _hudi_file_slices(
     table_path: str,
+    as_of: str | None = None,
 ) -> tuple[
     set[str],
     dict[tuple[str, str], tuple[str, str]],
@@ -2549,10 +2550,18 @@ def _hudi_file_slices(
     compacted-away slice (ignored); logs naming a base that is not a
     committed base file of their group are a log-only file group or a
     pending compaction's future slice — refusing beats guessing their
-    merge semantics (only when they carry COMMITTED blocks)."""
+    merge semantics (only when they carry COMMITTED blocks).
+    ``as_of`` (a timeline instant string) serves the snapshot AS OF
+    that instant: later completed instants — commits, deltacommits,
+    AND replacecommits — are invisible, Hudi's own
+    ``as.of.instant``."""
     from . import hudi_log as _hlog
 
     completed, replaced = _hudi_timeline(table_path)
+    if as_of is not None:
+        cut = _hudi_instant_key(str(as_of))
+        completed = {t for t in completed if _hudi_instant_key(t) <= cut}
+        replaced = {k: r for k, r in replaced.items() if r <= cut}
     latest: dict[tuple[str, str], tuple[str, str]] = {}
     log_files: dict[tuple[str, str, str], list[tuple[int, str, str]]] = {}
     for root, dirs, files in os.walk(table_path):
@@ -2612,12 +2621,15 @@ def _hudi_file_slices(
     return completed, latest, slice_logs
 
 
-def _hudi_any_base_file(table_path: str) -> str | None:
+def _hudi_any_base_file(table_path: str, as_of: str | None = None) -> str | None:
     """NEWEST completed base file on disk regardless of replacement —
     the schema source for reading a table deleted to empty (every
-    group replaced). None when no completed base file ever existed."""
+    group replaced). None when no completed base file ever existed
+    (or none at or before ``as_of``: a pre-history point-in-time read
+    must raise, not serve an empty frame)."""
     completed, _replaced = _hudi_timeline(table_path)
-    best: tuple[str, str] | None = None
+    cut = _hudi_instant_key(str(as_of)) if as_of is not None else None
+    best: tuple[tuple[int, int], str] | None = None
     for root, dirs, files in os.walk(table_path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fname in files:
@@ -2625,6 +2637,8 @@ def _hudi_any_base_file(table_path: str) -> str | None:
             if not m or m.group("ts") not in completed:
                 continue
             key = _hudi_instant_key(m.group("ts"))
+            if cut is not None and key > cut:
+                continue
             if best is None or key > best[0]:
                 best = (key, os.path.join(root, fname))
     return best[1] if best else None
@@ -2741,6 +2755,7 @@ def read_hudi(
     table_path: str,
     drop_meta: bool = True,
     max_log_bytes: int = 256 << 20,
+    as_of_instant: str | None = None,
 ) -> DataFrame:
     """Read a REAL Apache Hudi table (written by any engine) —
     copy-on-write AND merge-on-read snapshots:
@@ -2772,11 +2787,18 @@ def read_hudi(
     replacecommit) reads as a typed EMPTY frame — the schema comes
     from a historical base file scanned under an always-false filter,
     so the r10 'merged to empty' contract holds for Hudi too; a path
-    that was never a committed table still raises."""
+    that was never a committed table still raises.
+
+    ``as_of_instant`` (a 14/17-digit timeline instant string) is
+    Hudi's own ``as.of.instant`` point-in-time read: commits,
+    deltacommits, and replacecommits after the instant are
+    invisible."""
     try:
-        completed, latest, slice_logs = _hudi_file_slices(table_path)
+        completed, latest, slice_logs = _hudi_file_slices(
+            table_path, as_of=as_of_instant
+        )
     except FileNotFoundError:
-        hist = _hudi_any_base_file(table_path)
+        hist = _hudi_any_base_file(table_path, as_of=as_of_instant)
         if hist is None:
             raise
         df = spark.read.parquet(hist).filter(F.lit(False))
@@ -4058,7 +4080,10 @@ def _iceberg_table_schema(meta: dict) -> StructType | None:
 
 
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read a REAL Apache Iceberg table (v1 or v2, written by any
     engine): resolve the current metadata JSON (version-hint aware),
@@ -4078,9 +4103,26 @@ def read_iceberg(
     number is strictly below the delete's — a row re-inserted AFTER
     the delete survives, per spec. Non-parquet files still raise —
     never a silently wrong read. Column resolution is by NAME
-    (field-id renames are not re-mapped)."""
+    (field-id renames are not re-mapped). Time travel: ``snapshot_id=``
+    pins a snapshot; ``as_of_ms=`` (Iceberg's ``TIMESTAMP AS OF``)
+    serves the latest snapshot whose timestamp-ms is <= the instant,
+    resolved from the snapshot log."""
     meta = _iceberg_current_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id= OR as_of_ms=, not both")
+        eligible = [
+            (s.get("timestamp-ms", 0), s["snapshot-id"])
+            for s in meta.get("snapshots", [])
+            if int(s.get("timestamp-ms", 0)) <= int(as_of_ms)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no Iceberg snapshot at or before timestamp {as_of_ms} ms "
+                "(the table's history starts later)"
+            )
+        snapshot_id = max(eligible)[1]
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1 or sid not in snaps:
         raise FileNotFoundError(

@@ -4970,6 +4970,62 @@ def test_read_delta_timestamp_as_of(spark, tmp_path):
         read_delta(spark, path, version=0, timestamp_ms=t_mid)
 
 
+def test_iceberg_and_hudi_point_in_time_reads(spark, tmp_path):
+    """Iceberg TIMESTAMP AS OF (snapshot-log resolution) and Hudi
+    as.of.instant (timeline filtering, replacecommits included): the
+    pre-change snapshot serves at the old instant, head serves now,
+    pre-history raises, and exclusivity holds."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_timeline,
+        merge_iceberg,
+        write_hudi,
+        write_iceberg,
+    )
+
+    ip = str(tmp_path / "itt")
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, val string"), ip
+    )
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    merge_iceberg(
+        spark.createDataFrame([(1, "A"), (2, "b")], "id long, val string"),
+        ip, key="id", mode="upsert",
+    )
+    assert {
+        r.id: r.val for r in read_iceberg(spark, ip, as_of_ms=t_mid).collect()
+    } == {1: "a"}
+    assert {
+        r.id: r.val
+        for r in read_iceberg(spark, ip, as_of_ms=int(time.time() * 1000)).collect()
+    } == {1: "A", 2: "b"}
+    with pytest.raises(ValueError, match="history starts later"):
+        read_iceberg(spark, ip, as_of_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, ip, snapshot_id=1, as_of_ms=t_mid)
+
+    hp = str(tmp_path / "htt")
+    write_hudi(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        hp, record_key="id",
+    )
+    first_instant = max(_hudi_timeline(hp)[0])
+    write_hudi(
+        spark.createDataFrame([(1, "A"), (2, "b")], "id long, val string"),
+        hp, record_key="id", mode="upsert",
+    )
+    assert {
+        r.id: r.val
+        for r in read_hudi(spark, hp, as_of_instant=first_instant).collect()
+    } == {1: "a"}
+    assert {r.id: r.val for r in read_hudi(spark, hp).collect()} == {
+        1: "A", 2: "b"
+    }
+    with pytest.raises(FileNotFoundError):
+        read_hudi(spark, hp, as_of_instant="19700101000000000")
+
+
 def test_delta_column_mapped_writes(spark, tmp_path):
     """r11: appends, merges, evolution, and compaction WRITE to a
     NAME-mode column-mapped Delta table (the shape Databricks leaves
