@@ -82,7 +82,9 @@ class LakeSQL:
         # delta.`/p` / hudi.`/p` / iceberg.`/p` via the jar-less interop
         # readers, external.`/p` auto-sniffs the format markers.
         self._external = re.compile(
-            r"\b(?P<fmt>delta|hudi|iceberg|external)\.`(?P<path>[^`]+)`",
+            r"\b(?P<fmt>delta|hudi|iceberg|external)\.`(?P<path>[^`]+)`"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<xver>\d+)"
+            r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'(?P<xts>[^']+)')?",
             re.IGNORECASE,
         )
         # Delta's CDF table function, path form (table_changes_by_path):
@@ -132,10 +134,19 @@ class LakeSQL:
         df.createOrReplaceTempView(view)
         return view
 
-    def _external_view(self, fmt: str, path: str) -> str:
+    def _external_view(
+        self,
+        fmt: str,
+        path: str,
+        ver: str | None = None,
+        ts: str | None = None,
+    ) -> str:
         """Register a FOREIGN table (real Delta/Hudi/Iceberg bytes, read
         by formats/interop without format jars) as a snapshot-pinned
-        temp view for this statement."""
+        temp view for this statement — optionally time-traveled via
+        ``FOR VERSION AS OF n`` (Delta version / Iceberg snapshot id)
+        or ``FOR TIMESTAMP AS OF '<iso or epoch-ms>'`` (Delta/Iceberg
+        timestamp travel; Hudi takes its timeline instant string)."""
         import zlib
 
         from .formats.interop import (
@@ -145,14 +156,45 @@ class LakeSQL:
             read_iceberg,
         )
 
-        reader = {
-            "delta": read_delta,
-            "hudi": read_hudi,
-            "iceberg": read_iceberg,
-            "external": read_external,
-        }[fmt]
-        view = f"__{self.name}__ext_{fmt}_{zlib.crc32(path.encode('utf-8')):08x}"
-        reader(self.spark, path).createOrReplaceTempView(view)
+        def _ts_ms(s: str) -> int:
+            if s.isdigit():
+                return int(s)
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+
+        if fmt == "delta":
+            df_ = read_delta(
+                self.spark, path,
+                version=int(ver) if ver else None,
+                timestamp_ms=_ts_ms(ts) if ts else None,
+            )
+        elif fmt == "iceberg":
+            df_ = read_iceberg(
+                self.spark, path,
+                snapshot_id=int(ver) if ver else None,
+                as_of_ms=_ts_ms(ts) if ts else None,
+            )
+        elif fmt == "hudi":
+            if ver:
+                raise ValueError(
+                    "hudi tables time-travel by timeline instant: use "
+                    "FOR TIMESTAMP AS OF '<instant>'"
+                )
+            df_ = read_hudi(self.spark, path, as_of_instant=ts)
+        else:
+            if ver or ts:
+                raise ValueError(
+                    "external.`path` cannot time-travel (format unknown "
+                    "until sniffed); name the format explicitly"
+                )
+            df_ = read_external(self.spark, path)
+        pin = f"{path}\x00{ver or ''}\x00{ts or ''}"
+        view = f"__{self.name}__ext_{fmt}_{zlib.crc32(pin.encode('utf-8')):08x}"
+        df_.createOrReplaceTempView(view)
         return view
 
     def _rewrite_externals(self, text: str) -> str:
@@ -162,8 +204,10 @@ class LakeSQL:
         for m in self._external.finditer(masked):
             fmt = text[m.start("fmt"):m.end("fmt")].lower()
             path = text[m.start("path"):m.end("path")]
+            ver = text[m.start("xver"):m.end("xver")] if m.group("xver") else None
+            ts = text[m.start("xts"):m.end("xts")] if m.group("xts") else None
             out.append(text[last:m.start()])
-            out.append(self._external_view(fmt, path))
+            out.append(self._external_view(fmt, path, ver, ts))
             last = m.end()
         out.append(text[last:])
         return "".join(out)

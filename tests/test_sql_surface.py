@@ -322,6 +322,75 @@ def test_table_changes_by_path_sql(spark, tmp_path):
     assert n == 1
 
 
+def test_foreign_path_time_travel_as_text(spark, tmp_path):
+    """r11: `FOR VERSION AS OF n` / `FOR TIMESTAMP AS OF '...'` on
+    foreign paths — Delta by version and epoch-ms/ISO timestamp,
+    Iceberg by snapshot id and timestamp, Hudi by timeline instant;
+    external.`p` refuses pinning (format unknown until sniffed)."""
+    import time as _time
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_timeline,
+        merge_delta,
+        merge_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp, ip, hp = (str(tmp_path / x) for x in ("d", "i", "h"))
+
+    write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
+    _time.sleep(0.05)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    merge_delta(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        dp, key="id", mode="upsert",
+    )
+    n = sql.sql(f"SELECT count(*) AS n FROM delta.`{dp}` FOR VERSION AS OF 0")
+    assert n.collect()[0]["n"] == 1
+    n = sql.sql(
+        f"SELECT count(*) AS n FROM delta.`{dp}` FOR TIMESTAMP AS OF '{t_mid}'"
+    )
+    assert n.collect()[0]["n"] == 1
+    assert sql.sql(f"SELECT count(*) AS n FROM delta.`{dp}`").collect()[0]["n"] == 2
+
+    write_iceberg(spark.createDataFrame([(1, "a")], "id long, val string"), ip)
+    _time.sleep(0.05)
+    it_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    merge_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        ip, key="id", mode="upsert",
+    )
+    n = sql.sql(
+        f"SELECT count(*) AS n FROM iceberg.`{ip}` FOR TIMESTAMP AS OF '{it_mid}'"
+    )
+    assert n.collect()[0]["n"] == 1
+
+    write_hudi(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        hp, record_key="id",
+    )
+    first = max(_hudi_timeline(hp)[0])
+    write_hudi(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        hp, record_key="id", mode="upsert",
+    )
+    n = sql.sql(
+        f"SELECT count(*) AS n FROM hudi.`{hp}` FOR TIMESTAMP AS OF '{first}'"
+    )
+    assert n.collect()[0]["n"] == 1
+    with pytest.raises(ValueError, match="timeline instant"):
+        sql.sql(f"SELECT count(*) FROM hudi.`{hp}` FOR VERSION AS OF 1")
+    with pytest.raises(ValueError, match="sniffed"):
+        sql.sql(f"SELECT count(*) FROM external.`{dp}` FOR VERSION AS OF 0")
+
+
 def test_merge_into_foreign_delta_by_path(spark, tmp_path):
     """The reference's literal Delta MERGE statements run against a
     REAL Delta table by path: MERGE INTO delta.`/p` ... UPDATE SET * /
