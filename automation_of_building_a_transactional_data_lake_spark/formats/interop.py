@@ -5150,6 +5150,84 @@ def write_iceberg(
     return snapshot_id
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND scan (the native engines'
+    ``start-snapshot-id``/``end-snapshot-id`` read): rows of exactly
+    the data files ADDED by the snapshots in (from, to] along the
+    parent chain — the O(new data) way an incremental consumer tails
+    an append-only Iceberg table without rescanning it. Exclusive
+    start / inclusive end, Iceberg's own convention. A range
+    containing any non-append snapshot (overwrite / delete / replace)
+    raises loudly — file-level adds do not describe row-level change
+    there, and guessing would be silently wrong (Delta CDF via
+    ``read_delta_changes`` is the row-faithful alternative this
+    engine's mirrors publish). An empty range returns a typed empty
+    frame."""
+    from .avro_lite import read_avro_file
+
+    meta = _iceberg_current_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in snaps:
+        raise ValueError(f"unknown from_snapshot_id {from_snapshot_id}")
+    to_sid = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if to_sid not in snaps:
+        raise ValueError(f"unknown to_snapshot_id {to_sid}")
+    # Walk the parent chain to -> from (exclusive).
+    chain = []
+    cur = to_sid
+    while cur != from_snapshot_id:
+        if cur is None or cur not in snaps:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
+            )
+        chain.append(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+    chain.reverse()
+
+    schema = _iceberg_table_schema(meta)
+    paths: list[str] = []
+    for sid in chain:
+        snap = snaps[sid]
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                f"incremental range contains snapshot {sid} with "
+                f"operation {op!r}; only append-only ranges are "
+                "incremental-scannable (use the Delta CDF mirror for "
+                "row-level change feeds)"
+            )
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], table_path)
+        )
+        for rec in mlist:
+            if rec.get("content", 0) != 0:
+                continue
+            if rec.get("added_snapshot_id") != sid:
+                continue
+            _s2, entries = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], table_path)
+            )
+            for e in entries:
+                if e.get("status", 1) != 1:
+                    continue
+                paths.append(
+                    _iceberg_local_path(e["data_file"]["file_path"], table_path)
+                )
+    if not paths:
+        return spark.createDataFrame([], schema)
+    rdr = spark.read.schema(schema) if schema is not None else spark.read
+    return rdr.parquet(*paths)
+
+
 def write_iceberg_equality_deletes(
     source: DataFrame,
     table_path: str,

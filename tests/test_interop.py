@@ -5336,6 +5336,54 @@ def test_iceberg_merge_strategy_fuzz(spark, tmp_path_factory, batches):
     assert {r.id: r.val for r in read_iceberg(spark, path).collect()} == model
 
 
+def test_read_iceberg_incremental_appends(spark, tmp_path):
+    """Iceberg incremental append scan: exactly the rows of snapshots
+    (from, to] along the parent chain; empty range is a typed empty
+    frame; a non-append snapshot in range refuses loudly; a
+    non-ancestor start refuses."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        merge_iceberg,
+        read_iceberg_incremental,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "inc")
+
+    def sid():
+        return _iceberg_current_metadata_named(path)[1]["current-snapshot-id"]
+
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path
+    )
+    s0 = sid()
+    write_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, val string"), path,
+        mode="append",
+    )
+    s1 = sid()
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, val string"), path,
+        mode="append",
+    )
+    s2 = sid()
+    got = {r.id for r in read_iceberg_incremental(spark, path, s0).collect()}
+    assert got == {2, 3}
+    got = {r.id for r in read_iceberg_incremental(spark, path, s0, s1).collect()}
+    assert got == {2}
+    empty = read_iceberg_incremental(spark, path, s2, s2)
+    assert empty.count() == 0 and empty.columns == ["id", "val"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_incremental(spark, path, s1, s0)
+
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), path, key="id",
+        mode="delete",
+    )
+    with pytest.raises(NotImplementedError, match="append-only"):
+        read_iceberg_incremental(spark, path, s0).collect()
+
+
 def test_write_iceberg_equality_deletes(spark, tmp_path):
     """r10 verdict missing #5 (the write half of equality deletes):
     write_iceberg_equality_deletes commits content=2 delete files with
