@@ -1338,9 +1338,25 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
             }}) + "\n")
         return p
 
+    # Since r11, UNPARTITIONED column-mapped tables accept writes
+    # (physical names + field ids — test_delta_column_mapped_writes);
+    # the guard now fences the PARTITIONED mapped case, where the
+    # physical hive layout is not threaded through the write paths.
     p = fresh("cmap", {"minReaderVersion": 2, "minWriterVersion": 5},
               {"delta.columnMapping.mode": "name"})
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    write_delta(df, p, mode="append")
+    assert {r.id: r.val for r in read_delta(spark, p).collect()} == {1: "a"}
+    p = fresh("cmap_part", {"minReaderVersion": 2, "minWriterVersion": 5},
+              {"delta.columnMapping.mode": "name"})
+    log0 = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    with open(log0, encoding="utf-8") as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["partitionColumns"] = ["val"]
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
         write_delta(df, p, mode="append")
 
     p = fresh("aonly", {"minReaderVersion": 1, "minWriterVersion": 2},
