@@ -5296,6 +5296,85 @@ def test_merge_evolve_fuzz(spark, tmp_path_factory, batches, fmt):
     assert got == want
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(0, 7), st.one_of(st.none(), _strat_val),
+                min_size=1, max_size=4,
+            ),
+            st.booleans(),  # evolve a fresh column this batch?
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_delta_column_mapped_merge_fuzz(spark, tmp_path_factory, batches):
+    """Any upsert/delete/evolve sequence against a NAME-mapped foreign
+    Delta table reads as the dict model, and the physical invariant
+    holds THROUGHOUT: no parquet file ever carries a logical column
+    name (one leaked logical name = all-null rows for every mapped
+    reader)."""
+    import pyarrow.parquet as papq
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+    )
+
+    path = str(tmp_path_factory.mktemp("cmf") / "t")
+    _make_name_mapped_delta(spark, path)  # id/val over col-aaa/col-bbb
+    model = {1: {"val": "a"}, 2: {"val": "b"}}
+    all_cols = ["val"]
+    n_new = 0
+    for ups, do_evolve in batches:
+        new_col = None
+        if do_evolve:
+            n_new += 1
+            new_col = f"x{n_new}"
+            all_cols.append(new_col)
+        batch_cols = list(all_cols)
+        up = {k: v for k, v in ups.items() if v is not None}
+        dels = [k for k, v in ups.items() if v is None]
+        if up:
+            rows = []
+            for k, v in up.items():
+                row = {"val": v, **{c: f"{c}v" for c in batch_cols[1:]}}
+                rows.append((k, *[row[c] for c in batch_cols]))
+                model[k] = row
+            src = spark.createDataFrame(
+                rows,
+                "id long, " + ", ".join(f"{c} string" for c in batch_cols),
+            )
+            merge_delta(src, path, key="id", mode="upsert", evolve=True)
+        if dels:
+            merge_delta(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, key="id", mode="delete",
+            )
+            for k in dels:
+                model.pop(k, None)
+    got = {}
+    for r in read_delta(spark, path).collect():
+        d = r.asDict()
+        got[d.pop("id")] = d
+    want = {
+        k: {c: row.get(c) for c in all_cols} for k, row in model.items()
+    }
+    assert got == want
+    logical = {"id", "val", *(f"x{i}" for i in range(1, n_new + 1))}
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                names = set(papq.read_schema(os.path.join(root, fn)).names)
+                assert not (names & logical), (fn, names)
+
+
 def test_merge_delta_bounded_planner_full_rewrite_fallback(spark, tmp_path):
     """Past max_affected_files the planner rewrites WHOLESALE (r10
     verdict #1, the write_hudi bounded-planner pattern): no per-file
