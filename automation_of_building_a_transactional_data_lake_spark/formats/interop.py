@@ -190,15 +190,15 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
         raise NotImplementedError(
             f"Delta column mapping mode {cm!r} is not supported"
         )
-    if cm in ("name", "id") and (meta or {}).get("partitionColumns"):
-        # Mapped + partitioned writes need physical-named hive dirs
-        # AND physical partitionValues keys threaded through every
-        # scan/stage path — not implemented; the unpartitioned case
-        # (the common "renamed a column once" Databricks table) is.
+    if cm == "id" and (meta or {}).get("partitionColumns"):
+        # id-mode partitioned writes would mix field-id data-column
+        # resolution with physical-named hive dirs in one scan — not
+        # implemented ('name'-mode partitioned and both unpartitioned
+        # modes are).
         raise NotImplementedError(
-            "writes to a PARTITIONED column-mapped Delta table are not "
-            "supported (unpartitioned mapped tables are); use the "
-            "table's native engine"
+            "writes to a PARTITIONED id-mode column-mapped Delta table "
+            "are not supported (name-mode partitioned and unpartitioned "
+            "mapped tables are); use the table's native engine"
         )
     if conf.get("delta.appendOnly", "false").lower() == "true" and mode != "append":
         raise ValueError(
@@ -1651,9 +1651,9 @@ def write_delta(
         partition_by = recorded_parts
         tbl_conf = state["metaData"].get("configuration") or {}
         if tbl_conf.get("delta.columnMapping.mode", "none") in ("name", "id"):
-            # Column-mapped table (unpartitioned — the guard enforces):
-            # the batch stages under the frozen PHYSICAL names +
-            # parquet field ids so every mapped reader resolves it.
+            # Column-mapped table: the batch stages under the frozen
+            # PHYSICAL names + parquet field ids so every mapped reader
+            # resolves it; partition dirs use physical names too.
             tbl_schema = StructType.fromJson(
                 json.loads(state["metaData"]["schemaString"])
             )
@@ -1663,6 +1663,13 @@ def write_delta(
             if missing:
                 raise ValueError(f"batch lacks table columns {missing}")
             df = _delta_physical_batch(df, tbl_schema)
+            phys_map = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in tbl_schema.fields
+            }
+            partition_by = [phys_map[c] for c in partition_by]
         if mode == "overwrite":
             ts = int(time.time() * 1000)
             for path in state["files"]:
@@ -1878,10 +1885,11 @@ def merge_delta(
     cols = [f.name for f in schema.fields]
     if key not in cols:
         raise ValueError(f"key {key!r} is not a table column ({cols})")
-    # Column-mapped tables (name/id mode; unpartitioned — the writer
-    # guard enforces): scans read the PHYSICAL columns aliased back to
-    # logical (_delta_file_resolution, the read path's own machinery)
-    # and every staged batch renames to physical + field ids.
+    # Column-mapped tables (name/id mode; id+partitioned refused by
+    # the writer guard): scans read the PHYSICAL columns aliased back
+    # to logical (_delta_file_resolution, the read path's own
+    # machinery), every staged batch renames to physical + field ids,
+    # and partition dirs/keys use physical names.
     cm_on = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) in ("name", "id")
@@ -1895,8 +1903,15 @@ def merge_delta(
             "table's protocol implicitly)"
         )
     adds = list(state["files"].items())
+    _phys0 = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
     if adds and pcols and not _delta_hive_conventional(
-        [a for _p, a in adds], pcols
+        [a for _p, a in adds],
+        [_phys0[c] for c in pcols] if cm_on else pcols,
     ):
         raise NotImplementedError(
             "merge requires a hive-conventional partition layout "
@@ -2006,16 +2021,35 @@ def merge_delta(
             spark, dv_desc, table_path
         )
 
+    cm_pcols = pcols
     if cm_on:
-        cm_file_schema, cm_read_names, _cm_phys = _delta_file_resolution(
+        cm_file_schema, cm_read_names, cm_phys = _delta_file_resolution(
             spark, meta, schema, pcols
         )
+        cm_pcols = [cm_phys[c] for c in pcols]
+        if pcols:
+            # Partitioned (name-mode only, guard-enforced): ONE
+            # discovery scan over the physical hive dirs — the full
+            # schema under physical names pins the partition types.
+            cm_scan_schema = StructType(
+                [
+                    type(f)(cm_phys[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            cm_sel = cm_phys
+        else:
+            cm_scan_schema = cm_file_schema
+            cm_sel = cm_read_names
 
     def _scan(paths: list[str]) -> DataFrame:
         if cm_on:
-            df = spark.read.schema(cm_file_schema).parquet(*paths).select(
+            rdr = spark.read.schema(cm_scan_schema)
+            if pcols:
+                rdr = rdr.option("basePath", table_path)
+            df = rdr.parquet(*paths).select(
                 *[
-                    F.col(cm_read_names[f.name]).alias(f.name)
+                    F.col(cm_sel[f.name]).alias(f.name)
                     for f in schema.fields
                 ],
                 _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
@@ -2220,7 +2254,9 @@ def merge_delta(
             staged_df = new_df.select(*cols)
             if cm_on:
                 staged_df = _delta_physical_batch(staged_df, schema)
-            for a in _delta_stage_files(staged_df, table_path, pcols):
+            for a in _delta_stage_files(
+                staged_df, table_path, cm_pcols if cm_on else pcols
+            ):
                 actions.append({"add": a})
 
         cdf = (
@@ -2260,7 +2296,9 @@ def merge_delta(
                         + [StructField(ct, StringType())]
                     ),
                 )
-            for c in _delta_stage_cdc(cdc_df, table_path, pcols):
+            for c in _delta_stage_cdc(
+                cdc_df, table_path, cm_pcols if cm_on else pcols
+            ):
                 actions.append({"cdc": c})
     finally:
         keys_pin.unpersist()
@@ -2330,15 +2368,27 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
     cm_on = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) in ("name", "id")
+    cm_pcols = pcols
     if cm_on:
-        cm_file_schema, cm_read_names, _p = _delta_file_resolution(
+        cm_file_schema, cm_read_names, cm_phys = _delta_file_resolution(
             spark, meta, schema, pcols
         )
-        scan = spark.read.schema(cm_file_schema).parquet(*sorted(paths)).select(
-            *[
-                F.col(cm_read_names[f.name]).alias(f.name)
-                for f in schema.fields
-            ],
+        cm_pcols = [cm_phys[c] for c in pcols]
+        if pcols:
+            cm_scan_schema = StructType(
+                [
+                    type(f)(cm_phys[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            cm_sel = cm_phys
+        else:
+            cm_scan_schema, cm_sel = cm_file_schema, cm_read_names
+        rdr = spark.read.schema(cm_scan_schema)
+        if pcols:
+            rdr = rdr.option("basePath", table_path)
+        scan = rdr.parquet(*sorted(paths)).select(
+            *[F.col(cm_sel[f.name]).alias(f.name) for f in schema.fields],
             _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
@@ -2371,7 +2421,7 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
                 }
             }
         )
-    for a in _delta_stage_files(survivors, table_path, pcols):
+    for a in _delta_stage_files(survivors, table_path, cm_pcols):
         a["dataChange"] = False
         actions.append({"add": a})
     actions.append(

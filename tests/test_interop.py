@@ -1338,16 +1338,17 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
             }}) + "\n")
         return p
 
-    # Since r11, UNPARTITIONED column-mapped tables accept writes
-    # (physical names + field ids — test_delta_column_mapped_writes);
-    # the guard now fences the PARTITIONED mapped case, where the
-    # physical hive layout is not threaded through the write paths.
+    # Since r11, column-mapped tables accept writes (physical names +
+    # field ids — test_delta_column_mapped_writes, incl. name-mode
+    # partitioned); the remaining fence is id-mode + partitioned,
+    # where field-id data resolution and physical hive dirs would mix
+    # in one scan.
     p = fresh("cmap", {"minReaderVersion": 2, "minWriterVersion": 5},
               {"delta.columnMapping.mode": "name"})
     write_delta(df, p, mode="append")
     assert {r.id: r.val for r in read_delta(spark, p).collect()} == {1: "a"}
     p = fresh("cmap_part", {"minReaderVersion": 2, "minWriterVersion": 5},
-              {"delta.columnMapping.mode": "name"})
+              {"delta.columnMapping.mode": "id"})
     log0 = os.path.join(p, "_delta_log", f"{0:020d}.json")
     with open(log0, encoding="utf-8") as f:
         acts = [json.loads(x) for x in f if x.strip()]
@@ -1356,7 +1357,7 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
             a["metaData"]["partitionColumns"] = ["val"]
     with open(log0, "w", encoding="utf-8") as f:
         f.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
+    with pytest.raises(NotImplementedError, match="id-mode column-mapped"):
         write_delta(df, p, mode="append")
 
     p = fresh("aonly", {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -5116,8 +5117,9 @@ def test_delta_column_mapped_writes(spark, tmp_path):
                 )
                 assert not (names & logical), (fn, names)
 
-    # Partitioned mapped tables refuse writes loudly.
-    pm = str(tmp_path / "cmp")
+    # id-mode + partitioned stays fenced (name-mode partitioned is
+    # covered by test_delta_column_mapped_partitioned_writes).
+    pm = str(tmp_path / "cmidp")
     _make_name_mapped_delta(spark, pm)
     log0 = os.path.join(pm, "_delta_log", f"{0:020d}.json")
     with open(log0, encoding="utf-8") as f:
@@ -5125,13 +5127,111 @@ def test_delta_column_mapped_writes(spark, tmp_path):
     for a in acts:
         if "metaData" in a:
             a["metaData"]["partitionColumns"] = ["val"]
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     with open(log0, "w", encoding="utf-8") as f:
         f.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(NotImplementedError, match="PARTITIONED column-mapped"):
+    with pytest.raises(NotImplementedError, match="id-mode column-mapped"):
         write_delta(
             spark.createDataFrame([(9, "z")], "id long, val string"),
             pm, mode="append",
         )
+
+
+def test_delta_column_mapped_partitioned_writes(spark, tmp_path):
+    """r11: PARTITIONED name-mode mapped tables accept writes too —
+    physical hive dirs (col-*=v), physical partitionValues keys,
+    partition columns NOT in the data files (Delta's convention),
+    merges scanning through one physical-named discovery scan."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    import pyarrow.parquet as papq
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "cmp")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    staging = os.path.join(path, ".stage")
+    spark.createDataFrame([(1,)], "`col-aaa` long").coalesce(1).write.parquet(
+        staging
+    )
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    rel = os.path.join("col-bbb=a", f"part-{_uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.join(path, "col-bbb=a"))
+    os.rename(os.path.join(staging, part), os.path.join(path, rel))
+    _sh.rmtree(staging)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "val", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["val"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": {"col-bbb": "a"},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": 1700000000000, "dataChange": True,
+        }},
+    ]
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"), "w",
+        encoding="utf-8",
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    assert {(r.id, r.val) for r in read_delta(spark, path).collect()} == {
+        (1, "a")
+    }
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        path, mode="append",
+    )
+    merge_delta(
+        spark.createDataFrame(
+            [(1, "a2"), (3, "b")], "id long, val string"
+        ),
+        path, key="id", mode="upsert",
+    )
+    merge_delta(
+        spark.createDataFrame([(2,)], "id long"), path, key="id",
+        mode="delete",
+    )
+    got = {(r.id, r.val) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a2"), (3, "b")}
+    # Physical pins: hive dirs named by the PHYSICAL partition column,
+    # and no parquet carries a logical name or the partition column.
+    dirs = [
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith((".", "_"))
+    ]
+    assert dirs and all(d.startswith("col-bbb=") for d in dirs)
+    for root, ds, files in os.walk(path):
+        ds[:] = [d for d in ds if not d.startswith(("_", "."))]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                names = set(papq.read_schema(os.path.join(root, fn)).names)
+                assert not (names & {"id", "val", "col-bbb"}), (fn, names)
 
 
 def test_merge_evolve_adds_columns_mid_stream(spark, tmp_path):
