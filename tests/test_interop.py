@@ -5432,14 +5432,14 @@ def test_delta_column_mapped_merge_fuzz(spark, tmp_path_factory, batches):
     all_cols = ["val"]
     n_new = 0
     for ups, do_evolve in batches:
-        new_col = None
-        if do_evolve:
-            n_new += 1
-            new_col = f"x{n_new}"
-            all_cols.append(new_col)
-        batch_cols = list(all_cols)
         up = {k: v for k, v in ups.items() if v is not None}
         dels = [k for k, v in ups.items() if v is None]
+        # The schema only evolves when an upsert actually CARRIES the
+        # new column — a delete-only batch can't evolve anything.
+        if do_evolve and up:
+            n_new += 1
+            all_cols.append(f"x{n_new}")
+        batch_cols = list(all_cols)
         if up:
             rows = []
             for k, v in up.items():
