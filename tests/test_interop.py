@@ -5137,6 +5137,60 @@ def test_delta_column_mapped_writes(spark, tmp_path):
         )
 
 
+def test_delta_column_mapped_cdf_merge_roundtrip(spark, tmp_path):
+    """A NAME-mapped table with CDF enabled: a merge stages its cdc
+    capture under PHYSICAL names, and read_delta_changes folds it back
+    to logical rows — the full mapped write→change-feed loop."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "cmcdf")
+    _make_name_mapped_delta(spark, path)
+    # Upgrade the hand-built table's protocol+conf to carry CDF (what
+    # a foreign engine's table property change would commit).
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    with open(log0, encoding="utf-8") as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 2, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping", "changeDataFeed"],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    merge_delta(
+        spark.createDataFrame(
+            [(2, "B2"), (3, "c")], "id long, val string"
+        ),
+        path, key="id", mode="upsert",
+    )
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    ch = read_delta_changes(spark, path, 1, 1)
+    rows = {(r.id, r.val, r._change_type) for r in ch.collect()}
+    assert (2, "b", "update_preimage") in rows
+    assert (2, "B2", "update_postimage") in rows
+    assert (3, "c", "insert") in rows
+    # The staged cdc parquet itself is physical-named.
+    import pyarrow.parquet as papq
+
+    cdir = os.path.join(path, "_change_data")
+    for root, _d, files in os.walk(cdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                names = set(papq.read_schema(os.path.join(root, fn)).names)
+                assert "col-aaa" in names and "id" not in names
+
+
 def test_delta_column_mapped_partitioned_writes(spark, tmp_path):
     """r11: PARTITIONED name-mode mapped tables accept writes too —
     physical hive dirs (col-*=v), physical partitionValues keys,
