@@ -4453,6 +4453,24 @@ def _ice_schema_from_spark(schema: StructType) -> dict:
 
 # Identity-partition support: source types whose hive-dir string form
 # converts losslessly back to the typed Iceberg partition value.
+def _ice_part_field_type(pf: dict, cur_schema: dict) -> str:
+    """An Iceberg partition FIELD's value type — the transform's
+    RESULT type, as an ``_ICE_PART_AVRO`` key: identity/truncate keep
+    the source column's type; ``days`` yields date;
+    ``months``/``years``/``hours``/``bucket[N]`` yield int (spec
+    "Partition Transforms")."""
+    t = pf.get("transform") or "identity"
+    by_id = {f["id"]: f for f in cur_schema.get("fields", [])}
+    src = (by_id.get(pf.get("source-id")) or {}).get("type")
+    if t == "identity" or t.startswith("truncate"):
+        return src
+    if t == "days":
+        return "date"
+    if t in ("months", "years", "hours") or t.startswith("bucket"):
+        return "int"
+    raise NotImplementedError(f"partition transform {t!r} is not supported")
+
+
 _ICE_PART_AVRO = {
     "string": "string",
     "int": "int",
@@ -5521,9 +5539,22 @@ def merge_iceberg(
         ),
         {"fields": []},
     )
-    if any(f.get("transform") != "identity" for f in spec.get("fields", [])):
+    nonident = any(
+        f.get("transform") != "identity" for f in spec.get("fields", [])
+    )
+    if nonident and not (mode == "delete" and strategy == "mor"):
+        # A transformed spec only matters where NEW data files stage
+        # (their partition records need the transform evaluated).
+        # mode='delete' strategy='mor' stages nothing: position-delete
+        # files INHERIT their target data files' partition records and
+        # fully-dead files retire status-2 — so keyed CDC deletes work
+        # against days()/bucket[N]-partitioned foreign tables.
         raise NotImplementedError(
-            "merge through a non-identity partition spec is not supported"
+            "non-identity partition specs support mode='delete' with "
+            "strategy='mor' only (position deletes inherit their target "
+            "files' partition records; any other merge would stage new "
+            "data files, which demands evaluating the transforms) — use "
+            "the table's native engine"
         )
     partition_by = [f["name"] for f in spec.get("fields", [])]
     field_types = {}
@@ -5534,7 +5565,8 @@ def merge_iceberg(
     for f in cur_schema["fields"]:
         field_types[f["name"]] = f["type"]
     part_fields = [
-        {**f, "ice_type": field_types[f["name"]]} for f in spec.get("fields", [])
+        {**f, "ice_type": _ice_part_field_type(f, cur_schema)}
+        for f in spec.get("fields", [])
     ]
     spec_fields = spec.get("fields", [])
 
@@ -5575,6 +5607,14 @@ def merge_iceberg(
                     _iceberg_local_path(e["data_file"]["file_path"], table_path)
                 )
     compacting = has_eq
+    if compacting and nonident:
+        # The compacting commit stages NEW data files — needs the
+        # transforms evaluated, which the mor-delete carve-out avoids.
+        raise NotImplementedError(
+            "this snapshot carries equality deletes, which force a "
+            "compacting rewrite — not supported through a non-identity "
+            "partition spec; compact with the table's native engine first"
+        )
 
     # Per-manifest live entries, with normalized data-file paths; keep
     # each file's ORIGINAL file_path string and partition record — a

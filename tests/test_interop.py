@@ -5714,6 +5714,163 @@ def test_read_iceberg_incremental_appends(spark, tmp_path):
         read_iceberg_incremental(spark, path, s0).collect()
 
 
+def test_merge_iceberg_mor_delete_on_days_transform_spec(spark, tmp_path):
+    """r11: keyed CDC deletes against a days()-TRANSFORMED foreign
+    Iceberg table via strategy='mor' — position-delete files inherit
+    their target data files' partition records, so no transform
+    evaluation happens; every staging merge shape still refuses
+    loudly."""
+    from datetime import date
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_manifest_schemas,
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        merge_iceberg,
+    )
+
+    root = str(tmp_path / "days_t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    d1 = (date(2023, 9, 1) - date(1970, 1, 1)).days
+    d2 = (date(2023, 9, 2) - date(1970, 1, 1)).days
+
+    def data_file(name, rows):
+        dest = os.path.join(root, "data", name)
+        _write_one_parquet(
+            spark, rows, "id long, ts timestamp, val string", dest
+        )
+        return dest
+
+    import datetime as _dt
+
+    t1 = _dt.datetime(2023, 9, 1, 10, 0)
+    t2 = _dt.datetime(2023, 9, 2, 11, 0)
+    f1 = data_file("f1.parquet", [(1, t1, "a"), (2, t1, "b")])
+    f2 = data_file("f2.parquet", [(3, t2, "c")])
+
+    part_fields = [
+        {"name": "ts_day", "transform": "days", "source-id": 2,
+         "field-id": 1000, "ice_type": "date"}
+    ]
+    spec_fields = [{k: v for k, v in part_fields[0].items() if k != "ice_type"}]
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+
+    def entry(path, day):
+        return {
+            "status": 1, "snapshot_id": 99,
+            "sequence_number": 1, "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": "file://" + path,
+                "file_format": "PARQUET",
+                "partition": {"ts_day": day},
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    mpath = os.path.join(root, "metadata", "m1.avro")
+    write_avro_file(mpath, entry_schema, [entry(f1, d1), entry(f2, d2)])
+    mlpath = os.path.join(root, "metadata", "snap-99.avro")
+    write_avro_file(
+        mlpath, mlist_schema,
+        [{
+            "manifest_path": "file://" + mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 99,
+            "added_files_count": 2, "existing_files_count": 0,
+            "deleted_files_count": 0, "added_rows_count": 3,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "u",
+        "location": "file://" + root,
+        "last-sequence-number": 1,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "ts", "required": False,
+                 "type": "timestamp"},
+                {"id": 3, "name": "val", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "current-snapshot-id": 99,
+        "snapshots": [{
+            "snapshot-id": 99, "sequence-number": 1,
+            "timestamp-ms": 1700000000000,
+            "manifest-list": "file://" + mlpath,
+            "summary": {"operation": "append"},
+        }],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"), "w",
+        encoding="utf-8",
+    ) as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(root, "metadata", "version-hint.text"), "w",
+        encoding="ascii",
+    ) as f:
+        f.write("1")
+
+    assert {r.id for r in read_iceberg(spark, root).collect()} == {1, 2, 3}
+
+    # Staging merges refuse on the transformed spec.
+    with pytest.raises(NotImplementedError, match="non-identity"):
+        merge_iceberg(
+            spark.createDataFrame(
+                [(1, t1, "X")], "id long, ts timestamp, val string"
+            ),
+            root, key="id", mode="upsert",
+        )
+    with pytest.raises(NotImplementedError, match="non-identity"):
+        merge_iceberg(
+            spark.createDataFrame([(1,)], "id long"), root, key="id",
+            mode="delete", strategy="auto",
+        )
+
+    # The mor delete works, and the delete file INHERITS its target's
+    # partition record.
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), root, key="id",
+        mode="delete", strategy="mor",
+    )
+    got = {r.id: r.val for r in read_iceberg(spark, root).collect()}
+    assert got == {2: "b", 3: "c"}
+    _c, meta2 = _iceberg_current_metadata_named(root)
+    snap = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(_iceberg_local_path(snap["manifest-list"], root))
+    dman = next(r for r in mlist if r.get("content", 0) == 1)
+    _s2, dentries = read_avro_file(
+        _iceberg_local_path(dman["manifest_path"], root)
+    )
+    assert [e["data_file"]["partition"] for e in dentries] == [
+        {"ts_day": d1}
+    ]
+    # A second mor delete retiring a whole file (id=3 is f2's only
+    # row): status-2, still no staging.
+    merge_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root, key="id",
+        mode="delete", strategy="mor",
+    )
+    assert {r.id for r in read_iceberg(spark, root).collect()} == {2}
+
+
 def test_write_iceberg_equality_deletes(spark, tmp_path):
     """r10 verdict missing #5 (the write half of equality deletes):
     write_iceberg_equality_deletes commits content=2 delete files with
