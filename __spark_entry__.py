@@ -291,6 +291,34 @@ def entry(spark: SparkSession) -> DataFrame:
 #     content=2 files via write_iceberg_equality_deletes, closing r10
 #     verdict missing #5; same oracle) registers in the TAIL, same
 #     protocol; rotate into a recorded slot in r12.
+#   r12 rotation (closing the two r11 commitments above):
+#     game_user_cdc_e2e_delta_evolve and game_user_cdc_e2e_iceberg_eqd
+#     rotate IN to recorded slots. Rotating OUT, per protocol (each
+#     green in ≥2 driver rounds and family-held by a STAYING gate on
+#     the same machinery):
+#     - game_user_cdc_e2e_via_changes (green r10+r11) → held by the
+#       staying game_item_cdc_e2e_via_changes, the identical
+#       CDF-fold-equals-head pipeline on the item table (a superset:
+#       it additionally asserts feed≡head in-gate), + pytest
+#       test_oracle_parity each session.
+#     - emb_ivf_knn (green r6-r11) → held by the staying
+#       emb_ivf_batch_knn, a STRICT SUPERSET (the same IVF index and
+#       probe machinery over a query TABLE instead of one query
+#       vector), + pytest each session.
+#   r12 addition: game_user_cdc_e2e_iceberg_days (the reference's
+#     Iceberg hidden-partitioning context, iceberg-initial-load.py:
+#     64-71 — the full CDC pipeline against a days(ts)-TRANSFORMED v2
+#     table: transform-evaluated staging upsert, keyed delete,
+#     delete-file compaction; partition-record pins in-gate; same
+#     oracle family) registers in the TAIL (the emb_top_pairs
+#     pattern: oracle runs in pytest via test_oracle_parity every
+#     session); rotate into a recorded slot in r13.
+#   r12 addition 2: game_user_cdc_e2e_hudi_evolve (Hudi mid-stream
+#     schema evolution — the reference's DMS stream adds
+#     last_applied_date onto the Hudi table, hudi-cdc-load.py:115-157;
+#     write_hudi(evolve=True) evolves base+log schemas in the upsert)
+#     registers in the TAIL, same protocol; rotate into a recorded
+#     slot in r13.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -336,8 +364,8 @@ _DEMOTED_TAIL = [
     "game_item_cdc_e2e",
     "docs_bm25_search",
     "docs_normalized",
-    "game_user_cdc_e2e_delta_evolve",
-    "game_user_cdc_e2e_iceberg_eqd",
+    "game_user_cdc_e2e_via_changes",
+    "emb_ivf_knn",
 ]
 
 _DRIVER_SLOTS = 50
