@@ -5745,13 +5745,25 @@ def merge_iceberg(
         mor_new: dict[str, list[int]] = {}
         dead: list[str] = []
         rewrite_paths: list[str] = []
+        def _live_evolved() -> DataFrame:
+            # read_iceberg serves the ON-DISK (pre-merge) metadata; an
+            # evolve=True merge has already extended `schema`/`cols`
+            # in memory, so the evolved columns must join as typed
+            # nulls before the select — pre-evolution rows read the
+            # new column as null, per Iceberg evolution semantics
+            # (r11 advice: evolve + compacting crashed here).
+            live = read_iceberg(spark, table_path)
+            for c in cols:
+                if c not in live.columns:
+                    live = live.withColumn(c, F.lit(None).cast(schema[c].dataType))
+            return live.select(*cols)
+
         if compacting:
             # Every data file rewrites; survivors come from the
             # delete-APPLIED state, not a raw path scan.
             affected = {os.path.abspath(p) for p in all_paths}
             rewrite_paths = sorted(affected)
-            live = read_iceberg(spark, table_path).select(*cols)
-            survivors = live.join(keys, key, "left_anti")
+            survivors = _live_evolved().join(keys, key, "left_anti")
         elif all_paths:
             scan = _mscan(all_paths)
             # Bounded collect (r10 verdict #2, the write_hudi pattern):
@@ -5781,8 +5793,7 @@ def merge_iceberg(
                 compacting = True
                 affected = {os.path.abspath(p) for p in all_paths}
                 rewrite_paths = sorted(affected)
-                live = read_iceberg(spark, table_path).select(*cols)
-                survivors = live.join(keys, key, "left_anti")
+                survivors = _live_evolved().join(keys, key, "left_anti")
             elif affected:
                 ascan = _mscan(sorted(affected))
                 live_cnt = {

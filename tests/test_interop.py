@@ -5369,6 +5369,48 @@ def test_merge_evolve_adds_columns_mid_stream(spark, tmp_path):
     assert {r.id for r in read_iceberg(spark, ip).collect()} == {2, 3}
 
 
+def test_merge_iceberg_evolve_through_compacting_paths(spark, tmp_path):
+    """r12 (r11 advice, medium): evolve=True composed with either
+    COMPACTING branch — a snapshot carrying equality deletes, or the
+    max_affected_files=0 whole-table fallback — must not crash reading
+    the pre-evolution on-disk schema; pre-evolution rows read the new
+    column as null."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    # Branch 1: equality deletes force apply-then-rewrite.
+    p1 = str(tmp_path / "eqd_ev")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, val string"),
+        p1,
+    )
+    write_iceberg_equality_deletes(
+        spark.createDataFrame([(3,)], "id long"), p1, "id"
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", "x"), (4, "d", "y")], "id long, val string, extra string"
+    )
+    merge_iceberg(src, p1, key="id", mode="upsert", evolve=True)
+    got = {r.id: (r.val, r.extra) for r in read_iceberg(spark, p1).collect()}
+    assert got == {1: ("a", None), 2: ("B2", "x"), 4: ("d", "y")}
+
+    # Branch 2: the bounded-planner fallback (max_affected_files=0).
+    p2 = str(tmp_path / "maf_ev")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), p2
+    )
+    merge_iceberg(
+        spark.createDataFrame([(2, "B2", "x")], "id long, val string, extra string"),
+        p2, key="id", mode="upsert", evolve=True, max_affected_files=0,
+    )
+    got = {r.id: (r.val, r.extra) for r in read_iceberg(spark, p2).collect()}
+    assert got == {1: ("a", None), 2: ("B2", "x")}
+
+
 # (keys -> values, n new columns this batch, delete keys afterwards?)
 _evo_batch = st.tuples(
     st.dictionaries(st.integers(0, 7), _strat_val, min_size=1, max_size=4),
