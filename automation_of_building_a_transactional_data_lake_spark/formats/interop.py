@@ -4453,13 +4453,25 @@ def _ice_schema_from_spark(schema: StructType) -> dict:
 
 # Identity-partition support: source types whose hive-dir string form
 # converts losslessly back to the typed Iceberg partition value.
+def _ice_norm_transform(t: str | None) -> str:
+    """Normalize an Iceberg spec transform string: native Java
+    serializes the temporal transforms SINGULAR (``day``, the
+    ``Transforms.day().toString()`` form) while the SQL surface and
+    older metadata use plural (``days``) — accept both, reason about
+    one."""
+    t = (t or "identity").strip().lower()
+    return {
+        "day": "days", "month": "months", "year": "years", "hour": "hours",
+    }.get(t, t)
+
+
 def _ice_part_field_type(pf: dict, cur_schema: dict) -> str:
     """An Iceberg partition FIELD's value type — the transform's
     RESULT type, as an ``_ICE_PART_AVRO`` key: identity/truncate keep
     the source column's type; ``days`` yields date;
     ``months``/``years``/``hours``/``bucket[N]`` yield int (spec
     "Partition Transforms")."""
-    t = pf.get("transform") or "identity"
+    t = _ice_norm_transform(pf.get("transform"))
     by_id = {f["id"]: f for f in cur_schema.get("fields", [])}
     src = (by_id.get(pf.get("source-id")) or {}).get("type")
     if t == "identity" or t.startswith("truncate"):
@@ -4496,24 +4508,218 @@ def _ice_part_value(ice_type: str, raw: str | None):
     )
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 over ``data`` — the exact hash the Iceberg spec
+    mandates for ``bucket[N]`` transforms (Appendix B: seed 0,
+    little-endian blocks). Returns the SIGNED 32-bit hash; bucket =
+    ``(hash & 0x7fffffff) % N``. Pure Python for the driver-side
+    literal path and variable-length (string) values; the fixed-width
+    long path has a vectorized numpy twin in ``_ice_bucket_col``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i: 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[4 * nblocks:]
+    for i, b in enumerate(tail):
+        k ^= b << (8 * i)
+    if tail:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _ice_bucket_col(c, n: int, src_ice_type: str):
+    """Spark Column computing the Iceberg ``bucket[N]`` partition value
+    of source column ``c`` — murmur3_x86_32 over the spec's
+    single-value serialization (ints/dates/timestamps widen to an
+    8-byte little-endian long; strings hash their UTF-8 bytes), then
+    ``(hash & Integer.MAX_VALUE) % N``. Arrow-batched pandas UDF: the
+    fixed-width long path vectorizes the whole murmur3 in numpy (two
+    4-byte blocks, all uint32 arithmetic); only variable-length
+    strings fall back to per-row hashing inside the batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if src_ice_type in ("int", "long"):
+        src, kind = c.cast("long"), "long"
+    elif src_ice_type == "date":
+        src, kind = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long"), "long"
+    elif src_ice_type in ("timestamp", "timestamptz"):
+        src, kind = F.unix_micros(c.cast("timestamp")), "long"
+    elif src_ice_type == "string":
+        src, kind = c, "str"
+    else:
+        raise NotImplementedError(
+            f"bucket transform on Iceberg type {src_ice_type!r} is not "
+            "supported (int/long/date/timestamp/string)"
+        )
+
+    if kind == "long":
+
+        def _bucket_long(vals):
+            import numpy as np
+
+            mask = vals.notna()
+            v = vals[mask].to_numpy(dtype=np.int64).view(np.uint64)
+            lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            hi = (v >> np.uint64(32)).astype(np.uint32)
+            c1 = np.uint32(0xCC9E2D51)
+            c2 = np.uint32(0x1B873593)
+            h = np.zeros(len(v), dtype=np.uint32)
+            with np.errstate(over="ignore"):
+                for blk in (lo, hi):
+                    k = blk * c1
+                    k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                    k = k * c2
+                    h ^= k
+                    h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                    h = h * np.uint32(5) + np.uint32(0xE6546B64)
+                h ^= np.uint32(8)
+                h ^= h >> np.uint32(16)
+                h = h * np.uint32(0x85EBCA6B)
+                h ^= h >> np.uint32(13)
+                h = h * np.uint32(0xC2B2AE35)
+                h ^= h >> np.uint32(16)
+            out = pd.Series(np.full(len(vals), None, dtype=object), index=vals.index)
+            out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+            return out
+
+        bucket = pandas_udf(_bucket_long, "int")
+    else:
+
+        def _bucket_str(vals):
+            return vals.map(
+                lambda s: None if s is None
+                else (_murmur3_32(s.encode("utf-8")) & 0x7FFFFFFF) % n
+            )
+
+        bucket = pandas_udf(_bucket_str, "int")
+    return bucket(src)
+
+
+def _ice_transform_expr(transform: str, c, src_ice_type: str):
+    """The Spark Column deriving an Iceberg partition VALUE from its
+    source column, per spec "Partition Transforms" — in a form whose
+    hive-directory string round-trips through ``_ice_part_value``:
+    temporal values compute on the timestamp's raw epoch micros (UTC —
+    native Iceberg semantics, independent of the Spark session
+    timezone), ``days`` renders as a DATE, the int-typed transforms as
+    ints, truncate keeps the source type (string prefix / floored
+    multiple, negative-safe). One codegen'd expression per row except
+    ``bucket`` (Arrow-batched murmur3, see ``_ice_bucket_col``)."""
+    t = _ice_norm_transform(transform)
+    is_ts = src_ice_type in ("timestamp", "timestamptz")
+    if t == "identity":
+        return c
+    if t in ("days", "months", "years", "hours"):
+        if is_ts:
+            if t == "hours":
+                return F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)).cast("int")
+            day = F.date_from_unix_date(
+                F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)).cast("int")
+            )
+        elif src_ice_type == "date":
+            if t == "hours":
+                raise NotImplementedError("hours() on a date column is invalid")
+            day = c
+        else:
+            raise NotImplementedError(
+                f"{t}() on Iceberg type {src_ice_type!r} is not supported"
+            )
+        if t == "days":
+            return day
+        if t == "years":
+            return (F.year(day) - F.lit(1970)).cast("int")
+        return ((F.year(day) - F.lit(1970)) * F.lit(12) + F.month(day) - F.lit(1)).cast("int")
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        return _ice_bucket_col(c, int(m.group(1)), src_ice_type)
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        if src_ice_type == "string":
+            return F.substring(c, 1, w)
+        if src_ice_type in ("int", "long"):
+            # Floored multiple, negative-safe: v - (((v % W) + W) % W).
+            return (c - F.pmod(c, F.lit(w))).cast(
+                "int" if src_ice_type == "int" else "long"
+            )
+        raise NotImplementedError(
+            f"truncate on Iceberg type {src_ice_type!r} is not supported"
+        )
+    raise NotImplementedError(f"partition transform {transform!r} is not supported")
+
+
+def _ice_spec_part_fields(spec: dict, cur_schema: dict) -> list[dict]:
+    """The default spec's fields enriched for staging: ``ice_type``
+    (the transform's RESULT type), ``src`` (source column name) and
+    ``src_ice_type`` resolved from the current schema by source-id."""
+    by_id = {f["id"]: f for f in cur_schema.get("fields", [])}
+    out = []
+    for f in spec.get("fields", []):
+        src = by_id.get(f.get("source-id"))
+        if src is None:
+            raise ValueError(
+                f"partition field {f.get('name')!r} references unknown "
+                f"source-id {f.get('source-id')!r}"
+            )
+        out.append(
+            {
+                **f,
+                "ice_type": _ice_part_field_type(f, cur_schema),
+                "src": src["name"],
+                "src_ice_type": src["type"],
+            }
+        )
+    return out
+
+
 def _iceberg_stage_files(
-    df: DataFrame, table_path: str, partition_by: list[str]
+    df: DataFrame, table_path: str, part_fields: list[dict]
 ) -> list[tuple[str, dict, int, int]]:
     """Stage the batch as parquet under ``data/`` and return
     (abs_path, raw partition values, record_count, size) per file.
-    Unlike Delta, Iceberg data files must KEEP identity-partition
-    columns inline — so Spark partitions the staging write by
-    DUPLICATE columns and the originals stay in the file bytes."""
+    Unlike Delta, Iceberg data files must KEEP partition source
+    columns inline — so Spark partitions the staging write by DERIVED
+    duplicate columns (the spec transform evaluated per row,
+    ``_ice_transform_expr``; identity is a plain copy) and the
+    originals stay in the file bytes. The hive directory value each
+    file lands under IS its manifest partition record (parsed back
+    through ``_ice_part_value``) — value and record cannot diverge."""
     import pyarrow.parquet as pq
 
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     # Dup names must not start with "_": the staging walk prunes
     # underscore/dot dirs (Spark's _SUCCESS etc.) and the hive dirs
     # are named after these columns.
-    dups = [f"icepdup{i}" for i in range(len(partition_by))]
+    dups = [f"icepdup{i}" for i in range(len(part_fields))]
     w = df
-    for c, d in zip(partition_by, dups):
-        w = w.withColumn(d, F.col(c))
+    for pf, d in zip(part_fields, dups):
+        w = w.withColumn(
+            d,
+            _ice_transform_expr(
+                pf.get("transform") or "identity",
+                F.col(pf["src"]),
+                pf["src_ice_type"],
+            ),
+        )
     writer = w.write.mode("overwrite")
     if dups:
         writer = writer.partitionBy(*dups)
@@ -4529,13 +4735,13 @@ def _iceberg_stage_files(
                 pv: dict[str, str | None] = {}
                 segs = []
                 if rel_dir != ".":
-                    for seg, c in zip(rel_dir.split(os.sep), partition_by):
+                    for seg, pf in zip(rel_dir.split(os.sep), part_fields):
                         _k, _, v = seg.partition("=")
-                        pv[c] = (
+                        pv[pf["name"]] = (
                             None if v == "__HIVE_DEFAULT_PARTITION__"
                             else urllib.parse.unquote(v)
                         )
-                        segs.append(f"{c}={v}")
+                        segs.append(f"{pf['name']}={v}")
                 final_rel = os.path.join("data", *segs, f"{uuid.uuid4().hex}.parquet")
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
@@ -4821,7 +5027,7 @@ def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
             "name": pf["name"],
             "type": ["null", _ICE_PART_AVRO[pf["ice_type"]]],
             "default": None,
-            "field-id": _ICE_PART_FIELD_ID0 + i,
+            "field-id": pf.get("field-id", _ICE_PART_FIELD_ID0 + i),
         }
         for i, pf in enumerate(part_fields)
     ]
@@ -4864,6 +5070,46 @@ def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
     return entry_schema, mlist_schema
 
 
+_ICE_PART_ENTRY_RE = re.compile(
+    r"^\s*(?P<kind>days?|months?|years?|hours?|bucket|truncate)\s*\(\s*"
+    r"(?:(?P<param>\d+)\s*,\s*)?(?P<col>\w+)\s*\)\s*$"
+)
+
+
+def _ice_parse_partition_entry(entry: str) -> tuple[str, str, str]:
+    """Parse one ``partition_by`` entry — a plain column name
+    (identity) or an Iceberg hidden-partitioning transform
+    (``"days(ts)"`` / ``"bucket(16, id)"`` / ``"truncate(4, code)"``,
+    the reference's ``PARTITIONED BY (days(ts))`` surface,
+    src/iceberg/iceberg-initial-load.py:64-71). Returns (source
+    column, spec transform string in native serialized form, partition
+    field name per native convention: ``ts_day``, ``id_bucket``,
+    ``code_trunc``). A typo'd transform fails table creation rather
+    than silently partitioning by nothing."""
+    if "(" not in entry:
+        return entry, "identity", entry
+    m = _ICE_PART_ENTRY_RE.match(entry)
+    if not m:
+        raise ValueError(
+            f"unparseable partition transform {entry!r}; expected "
+            "days|months|years|hours(col), bucket(N, col) or "
+            "truncate(W, col)"
+        )
+    kind, param, col = m.group("kind"), m.group("param"), m.group("col")
+    if kind in ("bucket", "truncate"):
+        if not param or int(param) <= 0:
+            raise ValueError(
+                f"{kind} transform requires a positive integer parameter"
+            )
+        suffix = "bucket" if kind == "bucket" else "trunc"
+        return col, f"{kind}[{int(param)}]", f"{col}_{suffix}"
+    if param:
+        raise ValueError(f"{kind} transform takes no integer parameter")
+    singular = {"days": "day", "months": "month", "years": "year",
+                "hours": "hour"}[_ice_norm_transform(kind)]
+    return col, singular, f"{col}_{singular}"
+
+
 def write_iceberg(
     df: DataFrame,
     table_path: str,
@@ -4882,15 +5128,23 @@ def write_iceberg(
     entry — snapshot readers skip them, incremental readers see
     exactly what the snapshot removed). Returns the new snapshot id.
 
+    Hidden partitioning: a ``partition_by`` entry may be a transform —
+    ``"days(ts)"`` / ``"months(ts)"`` / ``"years(ts)"`` /
+    ``"hours(ts)"`` / ``"bucket(N, col)"`` / ``"truncate(W, col)"``
+    (the reference's Iceberg ``PARTITIONED BY (days(ts))`` context,
+    src/iceberg/iceberg-initial-load.py:64-71). The transform
+    evaluates per row at write time (spec-exact, murmur3 buckets
+    included); queries keep filtering on the SOURCE column.
+
     Scale: Spark writes the data file-parallel; the commit is
     O(manifests) driver work, exactly Iceberg's own design. Appends to
-    a format-version 1 table, or through a non-identity partition
-    spec, raise rather than committing metadata other engines would
-    misread."""
+    a format-version 1 table raise rather than committing metadata
+    other engines would misread."""
     if mode not in ("error", "overwrite", "append"):
         raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
-    missing = [c for c in partition_by if c not in df.columns]
+    parsed_parts = [_ice_parse_partition_entry(c) for c in partition_by]
+    missing = [src for src, _t, _n in parsed_parts if src not in df.columns]
     if missing:
         raise ValueError(f"partition columns {missing} not in DataFrame")
     mdir = os.path.join(table_path, "metadata")
@@ -4904,19 +5158,26 @@ def write_iceberg(
     field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     field_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     part_fields = []
-    for i, c in enumerate(partition_by):
-        t = field_types[c]
-        if not isinstance(t, str) or t not in _ICE_PART_AVRO:
+    for i, (src_col, transform, pname) in enumerate(parsed_parts):
+        src_t = field_types[src_col]
+        pf = {
+            "name": pname, "source-id": field_ids[src_col],
+            "transform": transform, "field-id": _ICE_PART_FIELD_ID0 + i,
+        }
+        ice_t = _ice_part_field_type(pf, ice_schema)
+        if not isinstance(ice_t, str) or ice_t not in _ICE_PART_AVRO:
             raise NotImplementedError(
-                f"identity partition on column {c!r} of Iceberg type {t!r} "
-                "is not supported (string/int/long/date only)"
+                f"partition field {pname!r} ({transform}) would have "
+                f"Iceberg type {ice_t!r}, which is not supported "
+                "(string/int/long/date only)"
             )
         part_fields.append(
-            {"name": c, "source-id": field_ids[c], "transform": "identity",
-             "field-id": _ICE_PART_FIELD_ID0 + i, "ice_type": t}
+            {**pf, "ice_type": ice_t, "src": src_col, "src_ice_type": src_t}
         )
     spec_fields = [
-        {k: v for k, v in pf.items() if k != "ice_type"} for pf in part_fields
+        {k: v for k, v in pf.items()
+         if k not in ("ice_type", "src", "src_ice_type")}
+        for pf in part_fields
     ]
 
     now_ms = int(time.time() * 1000)
@@ -4950,15 +5211,24 @@ def write_iceberg(
             ),
             None,
         )
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
         declared_parts = [
-            (f["name"], f["transform"]) for f in (spec or {}).get("fields", [])
+            (by_id.get(f.get("source-id")), _ice_norm_transform(f.get("transform")))
+            for f in (spec or {}).get("fields", [])
         ]
-        if declared_parts != [(c, "identity") for c in partition_by]:
+        requested = [
+            (src, _ice_norm_transform(t)) for src, t, _n in parsed_parts
+        ]
+        if declared_parts != requested:
             raise ValueError(
                 f"table partition spec is {declared_parts}, write asked for "
-                f"{[(c, 'identity') for c in partition_by]}"
+                f"{requested}"
             )
-        spec_fields = (spec or {}).get("fields", spec_fields)
+        if spec is not None:
+            # The table's spec is authoritative (its field-ids/names
+            # survive); re-enrich for staging.
+            part_fields = _ice_spec_part_fields(spec, cur_schema)
+            spec_fields = spec.get("fields", spec_fields)
         m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
         prev_version = (
             int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
@@ -4992,7 +5262,7 @@ def write_iceberg(
         parent_id = None
         location = table_path
 
-    staged = _iceberg_stage_files(df, table_path, partition_by)
+    staged = _iceberg_stage_files(df, table_path, part_fields)
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
 
@@ -5347,18 +5617,18 @@ def write_iceberg_equality_deletes(
         ),
         {"fields": []},
     )
-    if any(f.get("transform") != "identity" for f in spec.get("fields", [])):
-        raise NotImplementedError(
-            "equality deletes through a non-identity partition spec are "
-            "not supported"
-        )
-    partition_by = [f["name"] for f in spec.get("fields", [])]
-    need = key_cols + [c for c in partition_by if c not in key_cols]
+    # Transformed specs (days()/bucket[N]/...) stage like identity
+    # ones: the transform evaluates on the SOURCE column per delete
+    # row, so the batch must carry the spec's source columns.
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
+    need = key_cols + [
+        pf["src"] for pf in part_fields if pf["src"] not in key_cols
+    ]
     missing = [c for c in need if c not in source.columns]
     if missing:
         raise ValueError(
             f"delete source lacks columns {missing} (partitioned tables "
-            "need the partition columns to place each delete file)"
+            "need the partition SOURCE columns to place each delete file)"
         )
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -5367,10 +5637,6 @@ def write_iceberg_equality_deletes(
     _s, mlist_records = read_avro_file(
         _iceberg_local_path(snaps[sid]["manifest-list"], table_path)
     )
-    part_fields = [
-        {**f, "ice_type": field_types[f["name"]]}
-        for f in spec.get("fields", [])
-    ]
     spec_fields = spec.get("fields", [])
     entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
     # data_file gains equality_ids (field-id 135) — same shape the
@@ -5399,7 +5665,7 @@ def write_iceberg_equality_deletes(
     snapshot_id = uuid.uuid4().int >> 65
     seq = int(meta.get("last-sequence-number", 0)) + 1
     mdir = os.path.join(table_path, "metadata")
-    staged = _iceberg_stage_files(sel, table_path, partition_by)
+    staged = _iceberg_stage_files(sel, table_path, part_fields)
     eq_ids = [field_ids[k] for k in key_cols]
     del_entries = []
     deleted_rows = 0
@@ -5539,24 +5805,6 @@ def merge_iceberg(
         ),
         {"fields": []},
     )
-    nonident = any(
-        f.get("transform") != "identity" for f in spec.get("fields", [])
-    )
-    if nonident and not (mode == "delete" and strategy == "mor"):
-        # A transformed spec only matters where NEW data files stage
-        # (their partition records need the transform evaluated).
-        # mode='delete' strategy='mor' stages nothing: position-delete
-        # files INHERIT their target data files' partition records and
-        # fully-dead files retire status-2 — so keyed CDC deletes work
-        # against days()/bucket[N]-partitioned foreign tables.
-        raise NotImplementedError(
-            "non-identity partition specs support mode='delete' with "
-            "strategy='mor' only (position deletes inherit their target "
-            "files' partition records; any other merge would stage new "
-            "data files, which demands evaluating the transforms) — use "
-            "the table's native engine"
-        )
-    partition_by = [f["name"] for f in spec.get("fields", [])]
     field_types = {}
     cur_schema = next(
         s for s in meta.get("schemas", [])
@@ -5564,10 +5812,12 @@ def merge_iceberg(
     )
     for f in cur_schema["fields"]:
         field_types[f["name"]] = f["type"]
-    part_fields = [
-        {**f, "ice_type": _ice_part_field_type(f, cur_schema)}
-        for f in spec.get("fields", [])
-    ]
+    # Transformed specs (days()/bucket[N]/truncate[W]) merge like
+    # identity ones since r12: wherever NEW data files stage, the
+    # transform evaluates per staged row (_ice_transform_expr) and the
+    # partition record comes from the staged hive value; position
+    # deletes still INHERIT their target files' records.
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
     spec_fields = spec.get("fields", [])
 
     sid = meta.get("current-snapshot-id")
@@ -5607,14 +5857,6 @@ def merge_iceberg(
                     _iceberg_local_path(e["data_file"]["file_path"], table_path)
                 )
     compacting = has_eq
-    if compacting and nonident:
-        # The compacting commit stages NEW data files — needs the
-        # transforms evaluated, which the mor-delete carve-out avoids.
-        raise NotImplementedError(
-            "this snapshot carries equality deletes, which force a "
-            "compacting rewrite — not supported through a non-identity "
-            "partition spec; compact with the table's native engine first"
-        )
 
     # Per-manifest live entries, with normalized data-file paths; keep
     # each file's ORIGINAL file_path string and partition record — a
@@ -5888,7 +6130,7 @@ def merge_iceberg(
         # the pinned keys); manifest/metadata writes below are pure
         # driver-side work.
         staged = (
-            _iceberg_stage_files(new_df.select(*cols), table_path, partition_by)
+            _iceberg_stage_files(new_df.select(*cols), table_path, part_fields)
             if new_df is not None
             else []
         )
@@ -6121,19 +6363,13 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         ),
         {"fields": []},
     )
-    if any(f.get("transform") != "identity" for f in spec.get("fields", [])):
-        raise NotImplementedError(
-            "compaction through a non-identity partition spec is not supported"
-        )
-    partition_by = [f["name"] for f in spec.get("fields", [])]
     cur_schema = next(
         s for s in meta.get("schemas", [])
         if s.get("schema-id") == meta.get("current-schema-id")
     )
-    field_types = {f["name"]: f["type"] for f in cur_schema["fields"]}
-    part_fields = [
-        {**f, "ice_type": field_types[f["name"]]} for f in spec.get("fields", [])
-    ]
+    # Transformed specs compact like identity ones (r12): survivors
+    # re-stage with the transform evaluated per row.
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
     spec_fields = spec.get("fields", [])
 
     sid = meta.get("current-snapshot-id")
@@ -6216,7 +6452,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
     mdir = os.path.join(table_path, "metadata")
     staged = (
-        _iceberg_stage_files(survivors, table_path, partition_by)
+        _iceberg_stage_files(survivors, table_path, part_fields)
         if survivors is not None
         else []
     )

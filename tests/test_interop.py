@@ -5757,11 +5757,11 @@ def test_read_iceberg_incremental_appends(spark, tmp_path):
 
 
 def test_merge_iceberg_mor_delete_on_days_transform_spec(spark, tmp_path):
-    """r11: keyed CDC deletes against a days()-TRANSFORMED foreign
-    Iceberg table via strategy='mor' — position-delete files inherit
-    their target data files' partition records, so no transform
-    evaluation happens; every staging merge shape still refuses
-    loudly."""
+    """r11 (extended r12): keyed CDC merges against a days()-TRANSFORMED
+    foreign Iceberg table — position-delete files inherit their target
+    data files' partition records; staging upserts evaluate the
+    transform per row and stamp the staged file's partition record
+    from the derived hive value."""
     from datetime import date
 
     from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
@@ -5869,19 +5869,37 @@ def test_merge_iceberg_mor_delete_on_days_transform_spec(spark, tmp_path):
 
     assert {r.id for r in read_iceberg(spark, root).collect()} == {1, 2, 3}
 
-    # Staging merges refuse on the transformed spec.
-    with pytest.raises(NotImplementedError, match="non-identity"):
-        merge_iceberg(
-            spark.createDataFrame(
-                [(1, t1, "X")], "id long, ts timestamp, val string"
-            ),
-            root, key="id", mode="upsert",
-        )
-    with pytest.raises(NotImplementedError, match="non-identity"):
-        merge_iceberg(
-            spark.createDataFrame([(1,)], "id long"), root, key="id",
-            mode="delete", strategy="auto",
-        )
+    # r12: staging merges WORK on the transformed spec now — the
+    # transform evaluates per staged row and the new file's partition
+    # record comes from the staged hive value.
+    merge_iceberg(
+        spark.createDataFrame(
+            [(4, t2, "d")], "id long, ts timestamp, val string"
+        ),
+        root, key="id", mode="upsert",
+    )
+    assert {r.id for r in read_iceberg(spark, root).collect()} == {1, 2, 3, 4}
+    _c0, meta0 = _iceberg_current_metadata_named(root)
+    snap0 = next(
+        s for s in meta0["snapshots"]
+        if s["snapshot-id"] == meta0["current-snapshot-id"]
+    )
+    _s0, mlist0 = read_avro_file(
+        _iceberg_local_path(snap0["manifest-list"], root)
+    )
+    added0 = next(
+        r for r in mlist0
+        if r.get("content", 0) == 0 and r.get("added_files_count", 0) > 0
+        and r.get("added_snapshot_id") == meta0["current-snapshot-id"]
+    )
+    _s0b, ents0 = read_avro_file(
+        _iceberg_local_path(added0["manifest_path"], root)
+    )
+    new_parts = {
+        e["data_file"]["partition"]["ts_day"]
+        for e in ents0 if e.get("status") == 1
+    }
+    assert d2 in new_parts  # the staged file carries the days() record
 
     # The mor delete works, and the delete file INHERITS its target's
     # partition record.
@@ -5890,7 +5908,7 @@ def test_merge_iceberg_mor_delete_on_days_transform_spec(spark, tmp_path):
         mode="delete", strategy="mor",
     )
     got = {r.id: r.val for r in read_iceberg(spark, root).collect()}
-    assert got == {2: "b", 3: "c"}
+    assert got == {2: "b", 3: "c", 4: "d"}
     _c, meta2 = _iceberg_current_metadata_named(root)
     snap = next(
         s for s in meta2["snapshots"]
@@ -5910,7 +5928,221 @@ def test_merge_iceberg_mor_delete_on_days_transform_spec(spark, tmp_path):
         spark.createDataFrame([(3,)], "id long"), root, key="id",
         mode="delete", strategy="mor",
     )
-    assert {r.id for r in read_iceberg(spark, root).collect()} == {2}
+    assert {r.id for r in read_iceberg(spark, root).collect()} == {2, 4}
+
+
+def test_iceberg_murmur3_spec_vectors():
+    """The bucket transform's murmur3_x86_32 against the Iceberg
+    spec's own Appendix B test vectors — int/long widen to 8-byte LE
+    longs, dates to epoch days, timestamps to epoch micros, strings
+    hash UTF-8 bytes."""
+    import struct
+    from datetime import date, datetime, timezone
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _murmur3_32,
+    )
+
+    def hlong(v):
+        return _murmur3_32(struct.pack("<q", v))
+
+    assert hlong(34) == 2017239379                      # int and long 34
+    assert hlong((date(2017, 11, 16) - date(1970, 1, 1)).days) == -653330422
+    micros = int(
+        datetime(2017, 11, 16, 22, 31, 8, tzinfo=timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert hlong(micros) == -2047944441                 # timestamp
+    assert _murmur3_32(b"iceberg") == 1210000089        # string
+    assert _murmur3_32(bytes([0, 1, 2, 3])) == -188683207  # binary
+
+
+def test_write_iceberg_transform_partitioned_lifecycle(spark, tmp_path):
+    """r12 (verdict #2): hidden partitioning end-to-end on a table the
+    engine CREATES with transform specs — days(ts) + bucket(4, id).
+    The full CDC lifecycle runs (create, append, merge upsert/delete,
+    equality deletes, compaction) and every staged file's manifest
+    partition record matches the transform applied to its rows."""
+    import datetime as _dt
+    import struct
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        _murmur3_32,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    path = str(tmp_path / "ht")
+    t1 = _dt.datetime(2023, 9, 1, 10, 0)
+    t2 = _dt.datetime(2023, 9, 2, 11, 0)
+    d1 = (_dt.date(2023, 9, 1) - _dt.date(1970, 1, 1)).days
+    d2 = (_dt.date(2023, 9, 2) - _dt.date(1970, 1, 1)).days
+    df = spark.createDataFrame(
+        [(1, t1, "a"), (2, t1, "b"), (3, t2, "c")],
+        "id long, ts timestamp, val string",
+    )
+    write_iceberg(df, path, partition_by=["days(ts)", "bucket(4, id)"])
+
+    def bucket(i):
+        return (_murmur3_32(struct.pack("<q", i)) & 0x7FFFFFFF) % 4
+
+    _c, meta = _iceberg_current_metadata_named(path)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("ts_day", "day"), ("id_bucket", "bucket[4]"),
+    ]
+
+    def live_partitions():
+        _c2, m2 = _iceberg_current_metadata_named(path)
+        snap = next(
+            s for s in m2["snapshots"]
+            if s["snapshot-id"] == m2["current-snapshot-id"]
+        )
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], path)
+        )
+        parts = []
+        for rec in mlist:
+            if rec.get("content", 0) != 0:
+                continue
+            _s2, ents = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], path)
+            )
+            parts.extend(
+                e["data_file"]["partition"]
+                for e in ents if e.get("status", 1) != 2
+            )
+        return parts
+
+    # Every live file's partition record matches the transform.
+    expect = {(d1, bucket(1)), (d1, bucket(2)), (d2, bucket(3))}
+    assert {(p["ts_day"], p["id_bucket"]) for p in live_partitions()} == expect
+
+    # The source columns stay readable (hidden partitioning: queries
+    # filter on ts, not on a derived column) and no derived column
+    # leaks into the data.
+    got = read_iceberg(spark, path)
+    assert got.columns == ["id", "ts", "val"]
+    assert got.filter(F.col("ts") < F.lit(t2)).count() == 2
+
+    # Append respects the table's spec.
+    write_iceberg(
+        spark.createDataFrame([(4, t2, "d")], "id long, ts timestamp, val string"),
+        path, mode="append", partition_by=["days(ts)", "bucket(4, id)"],
+    )
+    assert (d2, bucket(4)) in {
+        (p["ts_day"], p["id_bucket"]) for p in live_partitions()
+    }
+
+    # Keyed CDC upsert + delete (the reference's iceberg-cdc-load
+    # shape) on the transformed spec.
+    merge_iceberg(
+        spark.createDataFrame(
+            [(2, t1, "B2"), (5, t2, "e")], "id long, ts timestamp, val string"
+        ),
+        path, key="id", mode="upsert",
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), path, key="id", mode="delete"
+    )
+    state = {r.id: r.val for r in read_iceberg(spark, path).collect()}
+    assert state == {2: "B2", 3: "c", 4: "d", 5: "e"}
+    assert all(
+        (p["ts_day"], p["id_bucket"]) in
+        {(d1, bucket(2)), (d2, bucket(3)), (d2, bucket(4)), (d2, bucket(5))}
+        for p in live_partitions()
+    )
+
+    # Equality deletes stage per-partition delete files on the
+    # transformed spec (source must carry ts, the spec's source col).
+    write_iceberg_equality_deletes(
+        spark.createDataFrame([(3, t2)], "id long, ts timestamp"), path, "id"
+    )
+    assert {r.id for r in read_iceberg(spark, path).collect()} == {2, 4, 5}
+
+    # Compaction folds the delete debt away, restaging through the
+    # transforms.
+    assert compact_iceberg(spark, path) is not None
+    assert {r.id: r.val for r in read_iceberg(spark, path).collect()} == {
+        2: "B2", 4: "d", 5: "e",
+    }
+    assert {(p["ts_day"], p["id_bucket"]) for p in live_partitions()} == {
+        (d1, bucket(2)), (d2, bucket(4)), (d2, bucket(5)),
+    }
+
+
+def test_write_iceberg_truncate_and_temporal_transforms(spark, tmp_path):
+    """truncate(W)/months()/years()/hours() partition values match the
+    Iceberg spec: string prefix, floored integer multiples
+    (negative-safe), months/years since 1970, hours since epoch —
+    pinned against independently computed expectations."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    def parts_of(path):
+        _c, m = _iceberg_current_metadata_named(path)
+        snap = next(
+            s for s in m["snapshots"]
+            if s["snapshot-id"] == m["current-snapshot-id"]
+        )
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], path)
+        )
+        out = []
+        for rec in mlist:
+            _s2, ents = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], path)
+            )
+            out.extend(
+                e["data_file"]["partition"]
+                for e in ents if e.get("status", 1) != 2
+            )
+        return out
+
+    p1 = str(tmp_path / "trunc")
+    write_iceberg(
+        spark.createDataFrame(
+            [(-7, "alphabet"), (13, "alp"), (25, "zz")], "n long, s string"
+        ),
+        p1, partition_by=["truncate(10, n)", "truncate(3, s)"],
+    )
+    got = {(p["n_trunc"], p["s_trunc"]) for p in parts_of(p1)}
+    # floor semantics: -7 -> -10 (NOT 0); 13 -> 10; 25 -> 20
+    assert got == {(-10, "alp"), (10, "alp"), (20, "zz")}
+
+    p2 = str(tmp_path / "temporal")
+    ts = _dt.datetime(2017, 11, 16, 22, 31, 8)
+    write_iceberg(
+        spark.createDataFrame([(1, ts)], "id long, ts timestamp"),
+        p2, partition_by=["months(ts)", "years(ts)", "hours(ts)"],
+    )
+    (p,) = parts_of(p2)
+    epoch_h = int(
+        ts.replace(tzinfo=_dt.timezone.utc).timestamp() // 3600
+    )
+    assert p == {
+        "ts_month": (2017 - 1970) * 12 + 10,   # Nov 2017, 0-based month
+        "ts_year": 2017 - 1970,
+        "ts_hour": epoch_h,
+    }
+    assert read_iceberg(spark, p2).columns == ["id", "ts"]
 
 
 def test_write_iceberg_equality_deletes(spark, tmp_path):
