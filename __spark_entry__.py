@@ -366,6 +366,7 @@ _DEMOTED_TAIL = [
     "docs_normalized",
     "game_user_cdc_e2e_via_changes",
     "emb_ivf_knn",
+    "game_user_cdc_e2e_iceberg_days",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2224,6 +2224,82 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
                 "iceberg_mor e2e expected position-delete files"
             )
         final = interop.read_iceberg(spark, path)
+    elif fmt == "iceberg_days":
+        # The reference's Iceberg HIDDEN-PARTITIONING context
+        # (src/iceberg/iceberg-initial-load.py:64-71): the table is
+        # PARTITIONED BY days(first_login) — a transform spec, no
+        # user-visible partition column — and the full CDC pipeline
+        # (transform-evaluated staging upsert, keyed MoR delete,
+        # delete-file compaction, X139/r12) runs against it. The gate
+        # pins the partition RECORDS: every live data file must hold
+        # rows of exactly one first_login day equal to its manifest
+        # record. Same oracle: hidden partitioning must be
+        # analytically invisible.
+        import os as _os
+
+        from ..formats.avro_lite import read_avro_file
+
+        interop.write_iceberg(
+            initial, path, mode="error", partition_by=["days(first_login)"]
+        )
+        interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.merge_iceberg(
+            dels.select(pk), path, key=pk, mode="delete", strategy="mor"
+        )
+
+        def _live_day_records() -> dict[str, int]:
+            _c, meta = interop._iceberg_current_metadata_named(path)
+            snap = next(
+                s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            _s, mlist = read_avro_file(
+                interop._iceberg_local_path(snap["manifest-list"], path)
+            )
+            recs: dict[str, int] = {}
+            for rec in mlist:
+                if rec.get("content", 0) != 0:
+                    continue
+                _s2, ents = read_avro_file(
+                    interop._iceberg_local_path(rec["manifest_path"], path)
+                )
+                for e in ents:
+                    if e.get("status", 1) == 2:
+                        continue
+                    ap = _os.path.abspath(
+                        interop._iceberg_local_path(
+                            e["data_file"]["file_path"], path
+                        )
+                    )
+                    recs[ap] = e["data_file"]["partition"]["first_login_day"]
+            return recs
+
+        recs = _live_day_records()
+        per_file = {
+            r["fp"]: (r["ndays"], r["day"])
+            for r in spark.read.parquet(*recs)
+            .select(
+                interop._norm_file_path(F.col("_metadata.file_path")).alias("fp"),
+                F.datediff(
+                    F.to_date("first_login"), F.lit("1970-01-01").cast("date")
+                ).alias("d"),
+            )
+            .groupBy("fp")
+            .agg(
+                F.countDistinct("d").alias("ndays"), F.first("d").alias("day")
+            )
+            .collect()
+        }
+        for ap, rec_day in recs.items():
+            ndays, day = per_file[ap]
+            if ndays != 1 or day != rec_day:
+                raise AssertionError(
+                    f"file {ap} spans {ndays} days / day {day}, manifest "
+                    f"record says {rec_day}"
+                )
+        if interop.compact_iceberg(spark, path) is None:
+            raise AssertionError("iceberg_days e2e expected a compaction")
+        final = interop.read_iceberg(spark, path)
     elif fmt == "hudi":
         interop.write_hudi(initial, path, record_key=pk, mode="bulk_insert")
         interop.write_hudi(ups.select(*cols), path, record_key=pk, mode="upsert")
@@ -2298,6 +2374,10 @@ def game_user_cdc_e2e_iceberg_eqd(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "iceberg_mor")
+
+
+def game_user_cdc_e2e_iceberg_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg_days")
 
 
 def game_user_cdc_e2e_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3000,6 +3080,17 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_iceberg_mor",
             game_user_cdc_e2e_iceberg_mor,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r12: Iceberg HIDDEN PARTITIONING — the full CDC pipeline on
+        # a days(first_login)-transformed spec (transform-evaluated
+        # staging, MoR delete, compaction) with in-gate
+        # partition-record pins. Same oracle: the layout must be
+        # analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_iceberg_days",
+            game_user_cdc_e2e_iceberg_days,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
