@@ -190,16 +190,9 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
         raise NotImplementedError(
             f"Delta column mapping mode {cm!r} is not supported"
         )
-    if cm == "id" and (meta or {}).get("partitionColumns"):
-        # id-mode partitioned writes would mix field-id data-column
-        # resolution with physical-named hive dirs in one scan — not
-        # implemented ('name'-mode partitioned and both unpartitioned
-        # modes are).
-        raise NotImplementedError(
-            "writes to a PARTITIONED id-mode column-mapped Delta table "
-            "are not supported (name-mode partitioned and unpartitioned "
-            "mapped tables are); use the table's native engine"
-        )
+    # id-mode + partitioned is supported since r12: scans mix field-id
+    # data resolution with physical-named hive-dir discovery in one
+    # read (_delta_mapped_scan_parts).
     if conf.get("delta.appendOnly", "false").lower() == "true" and mode != "append":
         raise ValueError(
             "delta.appendOnly=true forbids removing files; only mode='append' "
@@ -1063,6 +1056,52 @@ def _delta_file_resolution(
         )
         read_names = phys
     return file_schema, read_names, phys
+
+
+def _delta_mapped_scan_parts(
+    meta: dict,
+    schema: StructType,
+    pcols: list[str],
+    cm_file_schema: StructType,
+    cm_read_names: dict,
+    cm_phys: dict,
+) -> tuple[StructType, dict]:
+    """(scan schema, {logical -> as-read name}) for ONE discovery scan
+    over a column-mapped table: 'name' mode reads every column by its
+    frozen physical name; 'id' mode reads DATA columns by parquet
+    FIELD ID (logical-named fields carrying ``parquet.field.id``
+    metadata — a strict id-mode writer guarantees only the ids, not
+    the parquet column names) while the partition columns — absent
+    from data files by Delta's convention — decode from the
+    physical-named hive dirs via Spark's partition discovery, so the
+    two resolution modes coexist in the same scan."""
+    if not pcols:
+        return cm_file_schema, cm_read_names
+    from pyspark.sql.types import StructField
+
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "id":
+        scan_schema = StructType(
+            list(cm_file_schema.fields)
+            + [
+                StructField(cm_phys[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name in pcols
+            ]
+        )
+        sel = {
+            f.name: (cm_phys[f.name] if f.name in pcols else f.name)
+            for f in schema.fields
+        }
+        return scan_schema, sel
+    scan_schema = StructType(
+        [
+            type(f)(cm_phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return scan_schema, cm_phys
 
 
 def _delta_hive_conventional(adds: list[dict], pcols: list[str]) -> bool:
@@ -2027,20 +2066,12 @@ def merge_delta(
             spark, meta, schema, pcols
         )
         cm_pcols = [cm_phys[c] for c in pcols]
-        if pcols:
-            # Partitioned (name-mode only, guard-enforced): ONE
-            # discovery scan over the physical hive dirs — the full
-            # schema under physical names pins the partition types.
-            cm_scan_schema = StructType(
-                [
-                    type(f)(cm_phys[f.name], f.dataType, f.nullable)
-                    for f in schema.fields
-                ]
-            )
-            cm_sel = cm_phys
-        else:
-            cm_scan_schema = cm_file_schema
-            cm_sel = cm_read_names
+        # Partitioned: ONE discovery scan over the physical hive dirs
+        # (name mode all-physical; id mode field-id data resolution +
+        # physical partition dirs — _delta_mapped_scan_parts).
+        cm_scan_schema, cm_sel = _delta_mapped_scan_parts(
+            meta, schema, pcols, cm_file_schema, cm_read_names, cm_phys
+        )
 
     def _scan(paths: list[str]) -> DataFrame:
         if cm_on:
@@ -2374,16 +2405,9 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
             spark, meta, schema, pcols
         )
         cm_pcols = [cm_phys[c] for c in pcols]
-        if pcols:
-            cm_scan_schema = StructType(
-                [
-                    type(f)(cm_phys[f.name], f.dataType, f.nullable)
-                    for f in schema.fields
-                ]
-            )
-            cm_sel = cm_phys
-        else:
-            cm_scan_schema, cm_sel = cm_file_schema, cm_read_names
+        cm_scan_schema, cm_sel = _delta_mapped_scan_parts(
+            meta, schema, pcols, cm_file_schema, cm_read_names, cm_phys
+        )
         rdr = spark.read.schema(cm_scan_schema)
         if pcols:
             rdr = rdr.option("basePath", table_path)

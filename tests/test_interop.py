@@ -1339,26 +1339,14 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
         return p
 
     # Since r11, column-mapped tables accept writes (physical names +
-    # field ids — test_delta_column_mapped_writes, incl. name-mode
-    # partitioned); the remaining fence is id-mode + partitioned,
-    # where field-id data resolution and physical hive dirs would mix
-    # in one scan.
+    # field ids — test_delta_column_mapped_writes); since r12, id-mode
+    # + partitioned does too (test_delta_id_mapped_partitioned_writes
+    # — field-id data resolution and physical hive dirs mix in one
+    # scan via _delta_mapped_scan_parts).
     p = fresh("cmap", {"minReaderVersion": 2, "minWriterVersion": 5},
               {"delta.columnMapping.mode": "name"})
     write_delta(df, p, mode="append")
     assert {r.id: r.val for r in read_delta(spark, p).collect()} == {1: "a"}
-    p = fresh("cmap_part", {"minReaderVersion": 2, "minWriterVersion": 5},
-              {"delta.columnMapping.mode": "id"})
-    log0 = os.path.join(p, "_delta_log", f"{0:020d}.json")
-    with open(log0, encoding="utf-8") as f:
-        acts = [json.loads(x) for x in f if x.strip()]
-    for a in acts:
-        if "metaData" in a:
-            a["metaData"]["partitionColumns"] = ["val"]
-    with open(log0, "w", encoding="utf-8") as f:
-        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(NotImplementedError, match="id-mode column-mapped"):
-        write_delta(df, p, mode="append")
 
     p = fresh("aonly", {"minReaderVersion": 1, "minWriterVersion": 2},
               {"delta.appendOnly": "true"})
@@ -4899,25 +4887,54 @@ def test_delta_merge_strategy_fuzz(spark, tmp_path_factory, batches):
     } == {0: "init", 1: "init", 2: "init"}
 
 
-def _make_name_mapped_delta(spark, path):
-    """Hand-build a NAME-mode column-mapped Delta table the way a
-    foreign engine leaves one after a rename: physical col-* parquet
-    columns, logical names only in the schemaString metadata."""
+def _make_name_mapped_delta(spark, path, mode="name", partitioned=False):
+    """Hand-build a column-mapped Delta table the way a foreign engine
+    leaves one: name mode writes physical col-* parquet columns; id
+    mode writes STRICT field-id files (arbitrary parquet column names,
+    only the ids authoritative). ``partitioned=True`` partitions by
+    the logical ``val`` column under physical col-bbb=… hive dirs."""
     import shutil as _sh
     import uuid as _uuid
 
     os.makedirs(os.path.join(path, "_delta_log"))
-    staging = os.path.join(path, ".stage")
-    spark.createDataFrame(
-        [(1, "a"), (2, "b")], "`col-aaa` long, `col-bbb` string"
-    ).coalesce(1).write.parquet(staging)
-    part = next(
-        f for f in os.listdir(staging)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    rel = f"part-{_uuid.uuid4().hex}.parquet"
-    os.rename(os.path.join(staging, part), os.path.join(path, rel))
-    _sh.rmtree(staging)
+    adds = []
+    groups = [("a", [(1,)]), ("b", [(2,)])] if partitioned else [
+        (None, [(1, "a"), (2, "b")])
+    ]
+    for pv, rows in groups:
+        staging = os.path.join(path, ".stage")
+        if partitioned:
+            seed = spark.createDataFrame(rows, "`col-aaa` long")
+        else:
+            seed = spark.createDataFrame(
+                rows, "`col-aaa` long, `col-bbb` string"
+            )
+        if mode == "id":
+            seed = seed.withMetadata("col-aaa", {"parquet.field.id": 1})
+            if not partitioned:
+                seed = seed.withMetadata("col-bbb", {"parquet.field.id": 2})
+        seed.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if partitioned:
+            rel = os.path.join(
+                f"col-bbb={pv}", f"part-{_uuid.uuid4().hex}.parquet"
+            )
+            os.makedirs(os.path.join(path, f"col-bbb={pv}"), exist_ok=True)
+        else:
+            rel = f"part-{_uuid.uuid4().hex}.parquet"
+        os.rename(os.path.join(staging, part), os.path.join(path, rel))
+        _sh.rmtree(staging)
+        adds.append(
+            {"add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": {"col-bbb": pv} if partitioned else {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": 1700000000000, "dataChange": True,
+            }}
+        )
     fields = [
         {"name": "id", "type": "long", "nullable": True, "metadata": {
             "delta.columnMapping.id": 1,
@@ -4934,18 +4951,14 @@ def _make_name_mapped_delta(spark, path):
             "schemaString": json.dumps(
                 {"type": "struct", "fields": fields}
             ),
-            "partitionColumns": [],
+            "partitionColumns": ["val"] if partitioned else [],
             "configuration": {
-                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.mode": mode,
                 "delta.columnMapping.maxColumnId": "2",
             },
             "createdTime": 1700000000000,
         }},
-        {"add": {
-            "path": rel, "partitionValues": {},
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "modificationTime": 1700000000000, "dataChange": True,
-        }},
+        *adds,
     ]
     with open(
         os.path.join(path, "_delta_log", f"{0:020d}.json"), "w",
@@ -5049,8 +5062,7 @@ def test_delta_column_mapped_writes(spark, tmp_path):
     after any column rename): batches stage under the frozen PHYSICAL
     names + parquet field ids, scans resolve physical->logical, an
     evolve merge assigns a fresh mapping id/physicalName and bumps
-    maxColumnId, and no parquet file ever carries a logical name.
-    Partitioned mapped tables still refuse."""
+    maxColumnId, and no parquet file ever carries a logical name."""
     import pyarrow.parquet as papq
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
@@ -5117,24 +5129,8 @@ def test_delta_column_mapped_writes(spark, tmp_path):
                 )
                 assert not (names & logical), (fn, names)
 
-    # id-mode + partitioned stays fenced (name-mode partitioned is
-    # covered by test_delta_column_mapped_partitioned_writes).
-    pm = str(tmp_path / "cmidp")
-    _make_name_mapped_delta(spark, pm)
-    log0 = os.path.join(pm, "_delta_log", f"{0:020d}.json")
-    with open(log0, encoding="utf-8") as f:
-        acts = [json.loads(x) for x in f if x.strip()]
-    for a in acts:
-        if "metaData" in a:
-            a["metaData"]["partitionColumns"] = ["val"]
-            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
-    with open(log0, "w", encoding="utf-8") as f:
-        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(NotImplementedError, match="id-mode column-mapped"):
-        write_delta(
-            spark.createDataFrame([(9, "z")], "id long, val string"),
-            pm, mode="append",
-        )
+    # (id-mode + partitioned is covered by
+    # test_delta_id_mapped_partitioned_writes since r12.)
 
 
 def test_delta_column_mapped_cdf_merge_roundtrip(spark, tmp_path):
@@ -5286,6 +5282,129 @@ def test_delta_column_mapped_partitioned_writes(spark, tmp_path):
             if fn.endswith(".parquet"):
                 names = set(papq.read_schema(os.path.join(root, fn)).names)
                 assert not (names & {"id", "val", "col-bbb"}), (fn, names)
+
+
+def test_delta_id_mapped_partitioned_writes(spark, tmp_path):
+    """r12 (X137 remainder): PARTITIONED id-mode mapped tables accept
+    the full write surface. The seed table is STRICT id-mode — its
+    parquet data column is named something that matches NEITHER the
+    logical nor the physical name, so only field-id resolution can
+    read it — while partition dirs stay physical-named hive; appends,
+    merges (upsert/delete/evolve) and scans mix the two resolutions in
+    one read."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    import pyarrow.parquet as papq
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        merge_delta,
+        write_delta,
+    )
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    path = str(tmp_path / "idp")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    staging = os.path.join(path, ".stage")
+    # Strict id-mode file: arbitrary parquet column name, field id 1.
+    seed = spark.createDataFrame([(1,)], ST([SF("whatever", LongType(), True)]))
+    seed = seed.withMetadata("whatever", {"parquet.field.id": 1})
+    seed.coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    rel = os.path.join("col-bbb=a", f"part-{_uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.join(path, "col-bbb=a"))
+    os.rename(os.path.join(staging, part), os.path.join(path, rel))
+    _sh.rmtree(staging)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "val", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["val"],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": {"col-bbb": "a"},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": 1700000000000, "dataChange": True,
+        }},
+    ]
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"), "w",
+        encoding="utf-8",
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    assert {(r.id, r.val) for r in read_delta(spark, path).collect()} == {
+        (1, "a")
+    }
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        path, mode="append",
+    )
+    merge_delta(
+        spark.createDataFrame([(1, "a2"), (3, "b")], "id long, val string"),
+        path, key="id", mode="upsert",
+    )
+    merge_delta(
+        spark.createDataFrame([(2,)], "id long"), path, key="id",
+        mode="delete",
+    )
+    got = {(r.id, r.val) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a2"), (3, "b")}
+
+    # Evolution on the partitioned id-mode table.
+    merge_delta(
+        spark.createDataFrame(
+            [(4, "b", "x")], "id long, val string, extra string"
+        ),
+        path, key="id", mode="upsert", evolve=True,
+    )
+    got = {(r.id, r.val, r.extra) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a2", None), (3, "b", None), (4, "b", "x")}
+    meta = _delta_replay(path, None)["metaData"]
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+
+    # Physical pins: hive dirs use the PHYSICAL partition name; every
+    # data parquet carries field ids and no logical/partition name.
+    dirs = [
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith((".", "_"))
+    ]
+    assert dirs and all(d.startswith("col-bbb=") for d in dirs)
+    for root, ds, files in os.walk(path):
+        ds[:] = [d for d in ds if not d.startswith(("_", "."))]
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            sch = papq.read_schema(os.path.join(root, fn))
+            assert not (set(sch.names) & {"id", "val", "col-bbb"}), (
+                fn, sch.names,
+            )
+            if fn != os.path.basename(rel):  # files THIS writer staged
+                id_field = next(
+                    f for f in sch
+                    if (f.metadata or {}).get(b"PARQUET:field_id") == b"1"
+                )
+                assert id_field is not None
 
 
 def test_merge_evolve_adds_columns_mid_stream(spark, tmp_path):
@@ -5493,7 +5612,7 @@ def test_merge_evolve_fuzz(spark, tmp_path_factory, batches, fmt):
 
 
 @settings(
-    max_examples=4,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -5508,14 +5627,19 @@ def test_merge_evolve_fuzz(spark, tmp_path_factory, batches, fmt):
         ),
         min_size=1,
         max_size=3,
-    )
+    ),
+    cm_mode=st.sampled_from(["name", "id"]),
+    partitioned=st.booleans(),
 )
-def test_delta_column_mapped_merge_fuzz(spark, tmp_path_factory, batches):
-    """Any upsert/delete/evolve sequence against a NAME-mapped foreign
-    Delta table reads as the dict model, and the physical invariant
-    holds THROUGHOUT: no parquet file ever carries a logical column
-    name (one leaked logical name = all-null rows for every mapped
-    reader)."""
+def test_delta_column_mapped_merge_fuzz(
+    spark, tmp_path_factory, batches, cm_mode, partitioned
+):
+    """Any upsert/delete/evolve sequence against a column-mapped
+    foreign Delta table — NAME or ID mode, flat or PARTITIONED (r12:
+    the X137 remainder) — reads as the dict model, and the physical
+    invariant holds THROUGHOUT: no parquet file ever carries a logical
+    column name (one leaked logical name = all-null rows for every
+    mapped reader)."""
     import pyarrow.parquet as papq
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
@@ -5523,7 +5647,10 @@ def test_delta_column_mapped_merge_fuzz(spark, tmp_path_factory, batches):
     )
 
     path = str(tmp_path_factory.mktemp("cmf") / "t")
-    _make_name_mapped_delta(spark, path)  # id/val over col-aaa/col-bbb
+    # id/val over col-aaa/col-bbb; partitioned puts val in hive dirs.
+    _make_name_mapped_delta(
+        spark, path, mode=cm_mode, partitioned=partitioned
+    )
     model = {1: {"val": "a"}, 2: {"val": "b"}}
     all_cols = ["val"]
     n_new = 0
