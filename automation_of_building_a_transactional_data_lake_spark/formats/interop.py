@@ -1852,7 +1852,8 @@ def merge_delta(
     max_dv_positions: int = 2_000_000,
     max_affected_files: int = 100_000,
     evolve: bool = False,
-) -> int:
+    return_stats: bool = False,
+) -> int | tuple[int, dict]:
     """Keyed MERGE into a REAL Delta Lake table — the reference's own
     Delta CDC apply (``src/delta/delta-cdc-load.py:122-145``: ``MERGE
     ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
@@ -1910,7 +1911,12 @@ def merge_delta(
     exactly like ``pipeline.apply_cdc_batch``). Non-hive partition
     layouts raise — rewrite those with their native engine. Returns
     the committed version (or the current version when the merge is a
-    no-op)."""
+    no-op); with ``return_stats=True`` returns ``(version,
+    {"matched": n})`` where n is the rows the merge retired — FREE on
+    the per-file planning path (the planner already collected per-file
+    matched counts; r11 advice: sql.py's honest delete count used to
+    re-scan the table for this), one extra count only on the rare
+    bounded-planner wholesale fallback."""
     if mode not in ("upsert", "delete"):
         raise ValueError(f"mode must be upsert|delete, got {mode!r}")
     if strategy not in ("auto", "rewrite", "dv"):
@@ -2136,6 +2142,7 @@ def merge_delta(
 
         survivors = None
         old_matched = None
+        matched_n = 0
         dv_new: dict[str, list[int]] = {}
         dead: list[str] = []
         rewrite_paths: list[str] = []
@@ -2149,6 +2156,8 @@ def merge_delta(
             old_matched = allscan.join(keys, key, "left_semi").select(*cols)
             survivors = allscan.join(keys, key, "left_anti").select(*cols)
             rewrite_paths = sorted(abs_by_log)
+            if return_stats:
+                matched_n = old_matched.count()
         elif affected:
             ascan = _scan(sorted(affected))
             old_matched = ascan.join(keys, key, "left_semi").select(*cols)
@@ -2161,6 +2170,7 @@ def merge_delta(
                 r["__fp"]: r["count"]
                 for r in mpairs.groupBy("__fp").count().collect()
             }
+            matched_n = sum(mcounts.values())
             # Per-file physical plan: files with every live row matched
             # are REMOVED outright; the rest take a deletion vector
             # when the protocol supports it, the file's total deleted
@@ -2213,7 +2223,12 @@ def merge_delta(
                     .select(*cols)
                 )
         elif mode == "delete":
-            return state["version"]  # nothing matched: no-op
+            # nothing matched: no-op
+            return (
+                (state["version"], {"matched": 0})
+                if return_stats
+                else state["version"]
+            )
 
         if mode == "upsert":
             new_df = (
@@ -2337,7 +2352,11 @@ def merge_delta(
             mk_pin.unpersist()
 
     if not actions:
-        return state["version"]
+        return (
+            (state["version"], {"matched": matched_n})
+            if return_stats
+            else state["version"]
+        )
     actions.append(
         {
             "commitInfo": {
@@ -2364,7 +2383,11 @@ def merge_delta(
         os.unlink(log_path)
         raise
     _delta_maybe_checkpoint(table_path, next_version)
-    return next_version
+    return (
+        (next_version, {"matched": matched_n})
+        if return_stats
+        else next_version
+    )
 
 
 def compact_delta(spark: SparkSession, table_path: str) -> int | None:
@@ -5755,7 +5778,8 @@ def merge_iceberg(
     max_mor_positions: int = 2_000_000,
     max_affected_files: int = 100_000,
     evolve: bool = False,
-) -> int:
+    return_stats: bool = False,
+) -> int | tuple[int, dict]:
     """Keyed MERGE into a REAL Apache Iceberg v2 table — the
     reference's own Iceberg CDC apply (``src/iceberg/
     iceberg-cdc-load.py:127-150``: ``MERGE ... WHEN MATCHED THEN
@@ -5803,7 +5827,12 @@ def merge_iceberg(
     fresh files, retire every prior data and delete file status-2
     (``strategy="mor"`` raises there instead of silently rewriting).
     Duplicate source keys refuse loudly. Returns the new snapshot
-    id."""
+    id; with ``return_stats=True`` returns ``(snapshot_id,
+    {"matched": n})`` where n is the rows the merge retired — FREE on
+    the per-file planning path (the planner already collected
+    per-file matched counts; r11 advice: sql.py's honest delete count
+    used to re-scan the table for this), one extra count only on the
+    compacting paths."""
     if mode not in ("upsert", "delete"):
         raise ValueError(f"mode must be upsert|delete, got {mode!r}")
     if strategy not in ("auto", "cow", "mor"):
@@ -6008,6 +6037,7 @@ def merge_iceberg(
     try:
         affected: set[str] = set()
         survivors = None
+        matched_n = 0
         mor_new: dict[str, list[int]] = {}
         dead: list[str] = []
         rewrite_paths: list[str] = []
@@ -6029,7 +6059,10 @@ def merge_iceberg(
             # delete-APPLIED state, not a raw path scan.
             affected = {os.path.abspath(p) for p in all_paths}
             rewrite_paths = sorted(affected)
-            survivors = _live_evolved().join(keys, key, "left_anti")
+            live = _live_evolved()
+            survivors = live.join(keys, key, "left_anti")
+            if return_stats:
+                matched_n = live.join(keys, key, "left_semi").count()
         elif all_paths:
             scan = _mscan(all_paths)
             # Bounded collect (r10 verdict #2, the write_hudi pattern):
@@ -6059,7 +6092,10 @@ def merge_iceberg(
                 compacting = True
                 affected = {os.path.abspath(p) for p in all_paths}
                 rewrite_paths = sorted(affected)
-                survivors = _live_evolved().join(keys, key, "left_anti")
+                live = _live_evolved()
+                survivors = live.join(keys, key, "left_anti")
+                if return_stats:
+                    matched_n = live.join(keys, key, "left_semi").count()
             elif affected:
                 ascan = _mscan(sorted(affected))
                 live_cnt = {
@@ -6071,6 +6107,7 @@ def merge_iceberg(
                     r["__fp"]: r["count"]
                     for r in mpairs.groupBy("__fp").count().collect()
                 }
+                matched_n = sum(mcounts.values())
                 prior_cnt: dict[str, int] = {}
                 if pos_pairs is not None:
                     asel = spark.createDataFrame(
@@ -6133,7 +6170,8 @@ def merge_iceberg(
                     )
 
         if not affected and mode == "delete":
-            return sid  # nothing matched: no-op, current snapshot stands
+            # nothing matched: no-op, current snapshot stands
+            return (sid, {"matched": 0}) if return_stats else sid
 
         if mode == "upsert":
             new_df = (
@@ -6287,10 +6325,11 @@ def merge_iceberg(
             sum(len(v) for v in mor_new.values())
         ),
     }
-    return _ice_commit_snapshot(
+    new_sid = _ice_commit_snapshot(
         table_path, chosen, meta, mlist_schema, new_mlist,
         snapshot_id, sid, seq, now_ms, summary,
     )
+    return (new_sid, {"matched": matched_n}) if return_stats else new_sid
 
 
 def _ice_commit_snapshot(

@@ -871,21 +871,17 @@ class LakeSQL:
                 finally:
                     rows.unpersist()
                 return MergeResult(f"{fmt}.`{path}`", "delete", n)
-            # Same honesty as the hudi branch above (r10 verdict #5):
-            # the reported count is the rows the delete actually
-            # retires, counted BEFORE the commit — not src.count(),
-            # which over-reports when some keys match nothing.
-            from .formats.interop import read_delta, read_iceberg
-
-            reader = read_delta if fmt == "delta" else read_iceberg
-            n = (
-                reader(self.spark, path)
-                .join(src.select(s_col), s_col, "left_semi")
-                .count()
+            # Same honesty as the hudi branch above (r10 verdict #5),
+            # now FREE (r11 advice): the merge planner already counts
+            # the rows it retires per affected file — return_stats
+            # surfaces that instead of a separate pre-count scan, and
+            # the merge itself no-ops when nothing matches.
+            merge = merge_delta if fmt == "delta" else merge_iceberg
+            _v, stats = merge(
+                src.select(s_col), path, key=s_col, mode="delete",
+                return_stats=True,
             )
-            if n:
-                _apply("delete", src.select(s_col))
-            return MergeResult(f"{fmt}.`{path}`", "delete", n)
+            return MergeResult(f"{fmt}.`{path}`", "delete", stats["matched"])
         if actions == {(False, "UPDATE SET *"), (True, "INSERT *")}:
             _apply("upsert", src)
             return MergeResult(f"{fmt}.`{path}`", "upsert", src.count())
