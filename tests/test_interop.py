@@ -1018,6 +1018,29 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
         (1, "a", 7), (2, "b", 7), (3, "c", 9)
     ]
 
+    # r12 (r11 verdict #6): id-mode scans run on an INTERNAL isolated
+    # session — the user's session conf is untouched, so a subsequent
+    # SAME-SESSION parquet read with a field-id-carrying user schema
+    # still resolves by NAME (Spark's default), not by id.
+    assert (
+        spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+        != "true"
+    )
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    user_schema = ST([
+        # Requests "col-bbb" (a string column, field id 2) by NAME but
+        # tags it with field id 1 (the long column): under name
+        # resolution this reads strings; a leaked id-mode conf would
+        # make it resolve to the long column instead.
+        SF("col-bbb", __import__("pyspark").sql.types.StringType(), True,
+           metadata={"parquet.field.id": 1}),
+    ])
+    user_read = spark.read.schema(user_schema).parquet(
+        os.path.join(path, "d", "f1.parquet")
+    )
+    assert {r[0] for r in user_read.collect()} == {"a", "b"}
+
 
 def test_read_delta_changes_cdf_and_appends(spark, tmp_path):
     """Foreign Delta CDF: commits carrying cdc actions read their
