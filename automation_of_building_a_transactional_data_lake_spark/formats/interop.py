@@ -475,7 +475,11 @@ def _delta_dv_pairs_frame(
     rows = [(fp, json.dumps(dv)) for fp, dv in sorted(dv_by_file.items())]
     desc = spark.createDataFrame(rows, "__fp string, __dv string")
     if len(rows) > 1:
-        desc = desc.repartition(min(len(rows), 64))
+        # Fan out to cluster parallelism (r11 verdict #7, the winnow
+        # lesson): a many-file DV table should decode across every
+        # core, not a fixed 64-task ceiling.
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        desc = desc.repartition(min(len(rows), par))
 
     def decode(batches):
         import pandas as pd
@@ -3422,6 +3426,7 @@ def _hudi_log_write(
         _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
     )
     keys, keys_pin = _pin_gated(rows_df.select("__pp", "__k").distinct())
+    routed = None
     try:
         kmap = (
             scan.join(keys, ["__pp", "__k"], "left_semi")
@@ -3478,29 +3483,6 @@ def _hudi_log_write(
             routed = rows_df.join(kmap, ["__pp", "__k"], "left").withColumn(
                 "__fid", F.coalesce(F.col("__fid"), new_fid)
             )
-        # Routed feeds the bound check, the group write, and the
-        # needs-base split — pin it once.
-        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
-        if mode == "delete" and routed.limit(1).count() == 0:
-            routed.unpersist()
-            return instant
-
-        # Per-GROUP row bound: each group's task holds one block's
-        # records in memory; a group past the bound is a bucket-count
-        # problem, not a reason to encode an unbounded block.
-        over = (
-            routed.groupBy("__pp", "__fid").count()
-            .filter(F.col("count") > max_log_rows).limit(1).collect()
-        )
-        if over:
-            raise NotImplementedError(
-                f"file group ({over[0]['__pp']!r}, {over[0]['__fid']!r}) "
-                f"would receive {over[0]['count']} rows this commit "
-                f"(> max_log_rows={max_log_rows}); raise the bound, raise "
-                "hoodie.bucket.index.num.buckets, or bulk-load with the "
-                "native engine"
-            )
-
         # Split: groups WITH a base slice take the log path; hashed-to
         # groups with no base yet get a BASE file this commit (a
         # log-only file group would be unreadable). Log version per
@@ -3516,7 +3498,35 @@ def _hudi_log_write(
         group_meta = spark.createDataFrame(
             gm_rows, "__pp string, __fid string, __base string, __ver int"
         )
-        routed = routed.join(group_meta, ["__pp", "__fid"], "left")
+        # Routed feeds the bound check, the group write, and the
+        # needs-base split — pin it once (unpersisted in finally; the
+        # bound refusal below must not leak the pin, r11 advice).
+        routed = routed.join(group_meta, ["__pp", "__fid"], "left").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if mode == "delete" and routed.limit(1).count() == 0:
+            return instant
+
+        # Per-GROUP row bound, LOG groups only (r11 advice): each log
+        # group's task holds one avro block's records in memory; a
+        # group past the bound is a bucket-count problem, not a reason
+        # to encode an unbounded block. Brand-new groups (no base
+        # slice yet) take the CoW staging path, where Spark's parquet
+        # writer streams — no block memory bound applies.
+        over = (
+            routed.filter(F.col("__base").isNotNull())
+            .groupBy("__pp", "__fid").count()
+            .filter(F.col("count") > max_log_rows).limit(1).collect()
+        )
+        if over:
+            raise NotImplementedError(
+                f"file group ({over[0]['__pp']!r}, {over[0]['__fid']!r}) "
+                f"would receive {over[0]['count']} log rows this commit "
+                f"(> max_log_rows={max_log_rows}); raise the bound, raise "
+                "hoodie.bucket.index.num.buckets, or bulk-load with the "
+                "native engine"
+            )
+
         to_log = routed.filter(F.col("__base").isNotNull())
         to_base = routed.filter(F.col("__base").isNull())
 
@@ -3615,8 +3625,9 @@ def _hudi_log_write(
                 staged, table_path, instant, expected_fids=nb_set
             ).items():
                 stats.setdefault(pp, []).extend(ss)
-        routed.unpersist()
     finally:
+        if routed is not None:
+            routed.unpersist()
         keys_pin.unpersist()
 
     _hudi_complete(
@@ -4223,17 +4234,29 @@ def read_iceberg(
     if as_of_ms is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id= OR as_of_ms=, not both")
+        # Native Iceberg resolves TIMESTAMP AS OF from the SNAPSHOT LOG
+        # order (r11 advice): the LAST log entry at or before the
+        # instant wins, so two snapshots committed in the same
+        # millisecond resolve to the later one in the chain, not the
+        # larger random snapshot-id. Foreign metadata without a
+        # snapshot-log falls back to the snapshots list.
+        log = meta.get("snapshot-log") or [
+            {"timestamp-ms": s.get("timestamp-ms", 0),
+             "snapshot-id": s["snapshot-id"]}
+            for s in sorted(
+                meta.get("snapshots", []),
+                key=lambda s: int(s.get("timestamp-ms", 0)),
+            )
+        ]
         eligible = [
-            (s.get("timestamp-ms", 0), s["snapshot-id"])
-            for s in meta.get("snapshots", [])
-            if int(s.get("timestamp-ms", 0)) <= int(as_of_ms)
+            e for e in log if int(e.get("timestamp-ms", 0)) <= int(as_of_ms)
         ]
         if not eligible:
             raise ValueError(
                 f"no Iceberg snapshot at or before timestamp {as_of_ms} ms "
                 "(the table's history starts later)"
             )
-        snapshot_id = max(eligible)[1]
+        snapshot_id = eligible[-1]["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1 or sid not in snaps:
         raise FileNotFoundError(

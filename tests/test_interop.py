@@ -3626,6 +3626,15 @@ def test_delta_dv_pairs_frame_decodes_in_executors(spark, tmp_path):
     assert sidecars and all(os.path.isfile(p) for p in sidecars)
     assert inline == 0
 
+    # r12 (r11 verdict #7): the decode fan-out tracks CLUSTER
+    # parallelism, not a fixed 64-task ceiling — a planted many-file
+    # descriptor set spreads over defaultParallelism tasks. (Plan-only
+    # check: the descriptors never decode, so they can be synthetic.)
+    par = spark.sparkContext.defaultParallelism
+    many = {f"/planted/f{i}.parquet": {"cardinality": 1} for i in range(max(par, 64) * 2)}
+    planted, _s, _i = _delta_dv_pairs_frame(spark, many, path)
+    assert planted.rdd.getNumPartitions() == par
+
 
 def test_merge_delta_dv_delete_unions_existing_dv(spark, tmp_path):
     """A second DV merge on the same file UNIONS positions with the
@@ -4628,6 +4637,28 @@ def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
     )
     assert {r.id for r in read_hudi(spark, path).collect()} == set(range(1, 26))
 
+    # r12 (r11 advice): the bound applies to LOG groups only — a
+    # brand-new group (fresh partition, no base slice) takes the CoW
+    # staging path where Spark's parquet writer streams, so the same
+    # bound=1 admits a 3-row insert into a new partition.
+    part = str(tmp_path / "npart")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a", 0, "p1")], "id long, val string, ver long, cat string"
+        ),
+        part, record_key="id", table_type="MERGE_ON_READ", num_buckets=1,
+        partition_by=["cat"],
+    )
+    _hudi_log_write(
+        spark.createDataFrame(
+            [(5, "x", 0, "p2"), (6, "y", 0, "p2"), (7, "z", 0, "p2")],
+            "id long, val string, ver long, cat string",
+        ),
+        part, "id", "upsert", ["cat"], _hudi_table_properties(part), None,
+        _hudi_new_instant(part), max_log_rows=1,
+    )
+    assert {r.id for r in read_hudi(spark, part).collect()} == {1, 5, 6, 7}
+
 
 # -- Compaction: paying down merge-on-read debt -----------------------------
 
@@ -5057,6 +5088,37 @@ def test_iceberg_and_hudi_point_in_time_reads(spark, tmp_path):
         read_iceberg(spark, ip, as_of_ms=1)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, ip, snapshot_id=1, as_of_ms=t_mid)
+
+    # r12 (r11 advice): SAME-MILLISECOND snapshots resolve from the
+    # snapshot-log ORDER, not max(snapshot-id) — force a tie where the
+    # LATER chain entry has the SMALLER id and pin that it wins.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+    )
+
+    chosen, meta = _iceberg_current_metadata_named(ip)
+    ids = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    assert len(ids) == 2
+    tie_ms = 1700000000000
+    # Rewrite both log entries (and snapshots) to one timestamp and
+    # swap ids so the chain's LAST entry carries the smaller id.
+    lo, hi = sorted(ids)
+    meta["snapshot-log"] = [
+        {"timestamp-ms": tie_ms, "snapshot-id": hi},
+        {"timestamp-ms": tie_ms, "snapshot-id": lo},
+    ]
+    for s in meta["snapshots"]:
+        s["timestamp-ms"] = tie_ms
+    with open(os.path.join(ip, "metadata", chosen), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    later_in_chain = lo
+    expect = {
+        r.id: r.val
+        for r in read_iceberg(spark, ip, snapshot_id=later_in_chain).collect()
+    }
+    assert {
+        r.id: r.val for r in read_iceberg(spark, ip, as_of_ms=tie_ms).collect()
+    } == expect
 
     hp = str(tmp_path / "htt")
     write_hudi(
