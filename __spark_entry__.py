@@ -367,6 +367,7 @@ _DEMOTED_TAIL = [
     "game_user_cdc_e2e_via_changes",
     "emb_ivf_knn",
     "game_user_cdc_e2e_iceberg_days",
+    "game_user_cdc_e2e_hudi_evolve",
 ]
 
 _DRIVER_SLOTS = 50

@@ -2651,6 +2651,43 @@ def _hudi_completed_instants(table_path: str) -> set[str]:
     return completed
 
 
+def _hudi_commit_schema(table_path: str, as_of: str | None = None) -> dict | None:
+    """The Avro write schema recorded by the LATEST completed
+    commit/deltacommit at or before ``as_of`` (extraMetadata.schema —
+    native Hudi's TableSchemaResolver source), or None when no commit
+    carries one. This is the authority that makes LOG-ONLY schema
+    evolution readable: an evolved column may exist in no base parquet
+    file until compaction folds the logs."""
+    hdir = os.path.join(table_path, _HOODIE_DIR)
+    if not os.path.isdir(hdir):
+        return None
+    cands = []
+    for fn in os.listdir(hdir):
+        m = re.fullmatch(r"(\d{14,17})\.(commit|deltacommit)", fn)
+        if not m:
+            continue
+        inst = m.group(1)
+        if as_of is not None and _hudi_instant_key(inst) > _hudi_instant_key(as_of):
+            continue
+        cands.append((_hudi_instant_key(inst), fn))
+    # Newest commit carrying a schema wins (a schema-less commit —
+    # e.g. an older delete — does not erase the table's schema).
+    for _k, fn in sorted(cands, reverse=True):
+        try:
+            with open(os.path.join(hdir, fn), encoding="utf-8") as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        sj = (meta.get("extraMetadata") or {}).get("schema")
+        if not sj:
+            continue
+        try:
+            return json.loads(sj)
+        except ValueError:
+            continue
+    return None
+
+
 def _hudi_file_slices(
     table_path: str,
     as_of: str | None = None,
@@ -2921,7 +2958,28 @@ def read_hudi(
             df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
         return df
     base_paths = [p for _ts, p in latest.values()]
-    df = spark.read.parquet(*base_paths)
+    # mergeSchema: post-evolution base files carry columns the
+    # pre-evolution ones lack (r12 schema evolution) — the union
+    # schema reads old files' new columns as null, Spark-native.
+    df = spark.read.option("mergeSchema", "true").parquet(*base_paths)
+    # Commit-metadata schema is the authority beyond the base files
+    # (native Hudi's TableSchemaResolver): a column evolved in a
+    # deltacommit may exist ONLY in avro log blocks until compaction —
+    # extend the frame with typed nulls so the log merge can fill it.
+    cschema = _hudi_commit_schema(table_path, as_of_instant)
+    for fld in (cschema or {}).get("fields", []):
+        n = fld.get("name", "")
+        if n.startswith("_hoodie_") or not n or n in df.columns:
+            continue
+        try:
+            df = df.withColumn(
+                n, F.lit(None).cast(_hudi_spark_type_of_avro(fld.get("type")))
+            )
+        except NotImplementedError:
+            # A foreign schema type this engine cannot map: the column
+            # had no base-file presence either — keep the pre-r12
+            # behavior (absent) rather than failing the whole read.
+            continue
     if slice_logs:
         if "_hoodie_record_key" not in df.columns:
             raise NotImplementedError(
@@ -3138,12 +3196,18 @@ def _hudi_complete(
     stats: dict,
     replaced_fids: dict[str, list[str]] | None = None,
     delta: bool = False,
+    schema_json: str | None = None,
 ) -> None:
     hdir = os.path.join(table_path, _HOODIE_DIR)
     meta = {
         "partitionToWriteStats": stats,
         "operationType": operation,
-        "extraMetadata": {},
+        # Native Hudi records the write schema in commit metadata
+        # ("schema" in extraMetadata, TableSchemaResolver's source) —
+        # the authority that makes log-only schema EVOLUTION readable
+        # (an evolved column may exist only in avro log blocks until
+        # compaction).
+        "extraMetadata": {"schema": schema_json} if schema_json else {},
     }
     ext = "deltacommit" if delta else "commit"
     if replaced_fids is not None:
@@ -3236,8 +3300,40 @@ _AVRO_OF_SPARK = {
     "long": "long", "integer": "int", "short": "int", "byte": "int",
     "string": "string", "double": "double", "float": "float",
     "boolean": "boolean", "binary": "bytes",
-    "timestamp": "long", "timestamp_ntz": "long", "date": "int",
+    # Logical types (native Hudi's own serialization) keep the Spark
+    # type recoverable from commit-metadata schemas — the encoder
+    # treats them as their underlying primitive.
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-micros"},
+    "date": {"type": "int", "logicalType": "date"},
 }
+
+
+def _hudi_spark_type_of_avro(t) -> str:
+    """One commit-metadata Avro field type → a Spark DDL type string —
+    the inverse of ``_AVRO_OF_SPARK`` for the types this writer
+    emits."""
+    if isinstance(t, list):  # nullable union
+        t = next((x for x in t if x != "null"), "null")
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros":
+            return "timestamp"
+        if lt == "local-timestamp-micros":
+            return "timestamp_ntz"
+        if lt == "date":
+            return "date"
+        t = t.get("type")
+    prim = {
+        "string": "string", "long": "long", "int": "int",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "bytes": "binary",
+    }
+    if t in prim:
+        return prim[t]
+    raise NotImplementedError(
+        f"Hudi commit-metadata Avro type {t!r} has no Spark mapping here"
+    )
 
 
 def _hudi_avro_schema(business_fields) -> dict:
@@ -3328,6 +3424,7 @@ def _hudi_log_write(
     precombine_col: str | None,
     instant: str,
     max_log_rows: int = 1_000_000,
+    evolve: bool = False,
 ) -> str:
     """MERGE-ON-READ upsert/delete: the batch lands as ONE avro data
     block per affected file group, appended to that group's log
@@ -3358,15 +3455,53 @@ def _hudi_log_write(
     pathmap = {
         os.path.abspath(p): (pp, fid) for (pp, fid), (_ts, p) in latest.items()
     }
-    base_schema = spark.read.parquet(*base_paths).schema
+    base_schema = spark.read.option("mergeSchema", "true").parquet(
+        *base_paths
+    ).schema
     business_fields = [
         f for f in base_schema.fields if not f.name.startswith("_hoodie_")
     ]
+    # The table schema may already extend past the base files via a
+    # prior log-only evolution — the commit-metadata schema is the
+    # authority (same source read_hudi consults).
+    cschema = _hudi_commit_schema(table_path)
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import _parse_datatype_string as _parse_ddl_type
+
+    have = {f.name for f in business_fields}
+    for fld in (cschema or {}).get("fields", []):
+        n = fld.get("name", "")
+        if n.startswith("_hoodie_") or not n or n in have:
+            continue
+        try:
+            business_fields.append(
+                _SF(
+                    n,
+                    _parse_ddl_type(_hudi_spark_type_of_avro(fld.get("type"))),
+                    True,
+                )
+            )
+        except NotImplementedError:
+            continue
     business_cols = [f.name for f in business_fields]
     if mode == "upsert":
         missing = [c for c in business_cols if c not in df.columns]
         if missing:
             raise ValueError(f"upsert batch lacks table columns {missing}")
+        extra = [c for c in df.columns if c not in business_cols]
+        if extra and not evolve:
+            raise ValueError(
+                f"batch carries columns {extra} the table schema lacks; "
+                "pass evolve=True to commit the schema evolution with the "
+                "upsert (the reference's DMS stream adds last_applied_date "
+                "mid-stream, src/hudi/hudi-cdc-load.py:115-157), or drop "
+                "them first"
+            )
+        if extra:
+            src_types = {f.name: f.dataType for f in df.schema.fields}
+            for c in sorted(extra, key=df.columns.index):
+                business_fields.append(_SF(c, src_types[c], True))
+            business_cols = [f.name for f in business_fields]
         batch = df.select(*business_cols)
     else:
         need = [record_key] + [c for c in partition_by if c != record_key]
@@ -3633,7 +3768,7 @@ def _hudi_log_write(
     _hudi_complete(
         table_path, instant,
         "UPSERT" if mode == "upsert" else "DELETE",
-        stats, delta=True,
+        stats, delta=True, schema_json=avsc_json,
     )
     return instant
 
@@ -3661,13 +3796,29 @@ def compact_hudi(
         (os.path.abspath(latest[(pp, fid)][1]), pp, fid)
         for pp, fid in sorted(slice_logs)
     ]
-    base = spark.read.parquet(*paths).select(
+    base = spark.read.option("mergeSchema", "true").parquet(*paths).select(
         "*", _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
     )
     if "_hoodie_record_key" not in base.columns:
         raise NotImplementedError(
             "compaction needs populated _hoodie_record_key meta columns"
         )
+    # Log-only evolved columns (commit-metadata schema, r12) must fold
+    # INTO the new base files — extend like read_hudi does.
+    cschema = _hudi_commit_schema(table_path)
+    for fld in (cschema or {}).get("fields", []):
+        n = fld.get("name", "")
+        if n.startswith("_hoodie_") or not n or n in base.columns or n == "__fp":
+            continue
+        try:
+            base = base.withColumn(
+                n, F.lit(None).cast(_hudi_spark_type_of_avro(fld.get("type")))
+            )
+        except NotImplementedError:
+            continue
+    base = base.select(
+        *[c for c in base.columns if c != "__fp"], "__fp"
+    )
     fields = [f for f in base.schema.fields if f.name != "__fp"]
     logdf = _hudi_log_rows_frame(
         spark, slice_logs, latest, completed, fields, max_log_bytes
@@ -3789,6 +3940,7 @@ def write_hudi(
     precombine_col: str | None = None,
     max_affected_file_groups: int = 8192,
     table_type: str = "COPY_ON_WRITE",
+    evolve: bool = False,
 ) -> str:
     """Write a REAL Apache Hudi table (the jar-less twin of the
     reference's Hudi jobs) — COPY_ON_WRITE or MERGE_ON_READ
@@ -3817,6 +3969,17 @@ def write_hudi(
     derived from ``hoodie.properties`` (hoodie.table.partition.fields)
     so inserted keys land in real partition paths, and a caller-passed
     value that disagrees with the table's refuses loudly.
+
+    Schema evolution (r12, the reference's DMS stream adding
+    ``last_applied_date`` mid-stream onto its Hudi table,
+    src/hudi/hudi-cdc-load.py:115-157): an upsert batch carrying
+    columns the table lacks refuses unless ``evolve=True``, which
+    appends them nullable — CoW rewrites affected groups under the
+    evolved schema (untouched files read the column null via
+    mergeSchema), MoR appends log blocks whose Avro schema carries the
+    new column and records the evolved schema in the deltacommit's
+    extraMetadata (the authority read_hudi consults, since the column
+    may exist in no base file until compaction).
 
     Returns the commit instant. Scale: the merge is one join keyed by
     record key + one shuffle by file group; untouched file groups cost
@@ -3909,7 +4072,7 @@ def write_hudi(
     if tbl_type == "MERGE_ON_READ":
         return _hudi_log_write(
             df, table_path, record_key, mode, partition_by, props,
-            precombine_col, instant,
+            precombine_col, instant, evolve=evolve,
         )
     # A COPY_ON_WRITE-typed table whose timeline nevertheless carries
     # delta commits is in a state this writer cannot reason about.
@@ -3924,13 +4087,41 @@ def write_hudi(
     )
     current = current.withColumn("__hudi_fid", cur_fid).drop("__path")
 
+    # Business columns come from the TABLE, not the batch (r12 fix: a
+    # key-only delete batch used to rewrite surviving groups with only
+    # the batch's columns — silent data loss for every other column).
+    tbl_business = [
+        c for c in current.columns
+        if not c.startswith("_hoodie_") and c != "__hudi_fid"
+    ]
+    business_cols = list(tbl_business)
+    if mode == "upsert":
+        missing_b = [c for c in tbl_business if c not in df.columns]
+        if missing_b:
+            raise ValueError(f"upsert batch lacks table columns {missing_b}")
+        extra = [c for c in df.columns if c not in tbl_business]
+        if extra and not evolve:
+            raise ValueError(
+                f"batch carries columns {extra} the table schema lacks; "
+                "pass evolve=True to commit the schema evolution with the "
+                "upsert (the reference's DMS stream adds last_applied_date "
+                "mid-stream, src/hudi/hudi-cdc-load.py:115-157), or drop "
+                "them first"
+            )
+        if extra:
+            src_types = {f.name: f.dataType for f in df.schema.fields}
+            extra = sorted(extra, key=df.columns.index)
+            for c in extra:
+                current = current.withColumn(c, F.lit(None).cast(src_types[c]))
+            business_cols = tbl_business + extra
+
     # A delete batch may carry only the key column; its landing
     # partition is never needed (survivors keep their own path).
     can_pp = all(c in df.columns for c in partition_by)
     batch_pp = _hudi_partition_path_col(partition_by) if can_pp else F.lit("")
     batch = df.select(
         F.col(record_key).cast("string").alias("__k"), batch_pp.alias("__hudi_pp"),
-        *[c for c in business_cols],
+        *[c for c in business_cols if c in df.columns],
     )
     if mode == "upsert":
         if precombine_col is not None:
@@ -4079,7 +4270,17 @@ def write_hudi(
             .drop("__hudi_pp")
         )
         stats = _hudi_stage_commit(merged, table_path, instant, expected_fids=expected)
-        _hudi_complete(table_path, instant, "UPSERT", stats)
+        # Record the (possibly evolved) write schema like native Hudi;
+        # unmappable exotic types just omit it (CoW reads recover the
+        # schema from the parquet files themselves).
+        cur_types = dict(zip(current.schema.names, current.schema.fields))
+        try:
+            sj = json.dumps(
+                _hudi_avro_schema([cur_types[c] for c in business_cols])
+            )
+        except NotImplementedError:
+            sj = None
+        _hudi_complete(table_path, instant, "UPSERT", stats, schema_json=sj)
         return instant
     finally:
         keys_pin.unpersist()

@@ -2338,6 +2338,41 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
         final = interop.read_hudi(spark, path)
         if final.count() != pre.count():
             raise AssertionError("compaction changed the snapshot row count")
+    elif fmt == "hudi_evolve":
+        # The reference's mid-stream schema evolution on its HUDI
+        # table (SURVEY §1.3 / src/hudi/hudi-cdc-load.py:115-157: the
+        # DMS stream adds last_applied_date after the initial load):
+        # the MoR table is created WITHOUT the column; the CDC upsert
+        # carries it and write_hudi(evolve=True) evolves the avro log
+        # schema + commit-metadata schema in the deltacommit. The
+        # column exists in NO base file until compaction folds it in;
+        # the snapshot must match the shared oracle BOTH before and
+        # after. Pre-evolution rows read the column null — the same
+        # analytic state as the plain hudi gate.
+        interop.write_hudi(
+            initial.drop("last_applied_date"), path, record_key=pk,
+            mode="bulk_insert", table_type="MERGE_ON_READ",
+        )
+        interop.write_hudi(
+            ups.select(*cols), path, record_key=pk, mode="upsert",
+            evolve=True,
+        )
+        del_rows = (
+            dels.drop(OP_COL, TS_COL)
+            .withColumn("last_applied_date", F.lit(None).cast("timestamp"))
+            .select(*cols)
+        )
+        interop.write_hudi(del_rows, path, record_key=pk, mode="delete")
+        pre = interop.read_hudi(spark, path)
+        if "last_applied_date" not in pre.columns:
+            raise AssertionError(
+                "evolve=True upsert did not evolve the readable schema"
+            )
+        if interop.compact_hudi(spark, path) is None:
+            raise AssertionError("hudi_evolve e2e expected a compaction")
+        final = interop.read_hudi(spark, path)
+        if final.count() != pre.count():
+            raise AssertionError("compaction changed the snapshot row count")
     else:
         raise ValueError(fmt)
     return final.select(
@@ -2378,6 +2413,10 @@ def game_user_cdc_e2e_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def game_user_cdc_e2e_iceberg_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "iceberg_days")
+
+
+def game_user_cdc_e2e_hudi_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "hudi_evolve")
 
 
 def game_user_cdc_e2e_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3100,6 +3139,16 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_hudi_mor",
             game_user_cdc_e2e_hudi_mor,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r12: Hudi mid-stream SCHEMA EVOLUTION — the CDC upsert adds
+        # last_applied_date via write_hudi(evolve=True) on a MoR table
+        # (log-only until compaction). Same oracle: evolution must be
+        # analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_hudi_evolve",
+            game_user_cdc_e2e_hudi_evolve,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),

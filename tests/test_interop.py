@@ -4637,6 +4637,7 @@ def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
     )
     assert {r.id for r in read_hudi(spark, path).collect()} == set(range(1, 26))
 
+    # (see test_write_hudi_schema_evolution for the r12 evolve surface)
     # r12 (r11 advice): the bound applies to LOG groups only — a
     # brand-new group (fresh partition, no base slice) takes the CoW
     # staging path where Spark's parquet writer streams, so the same
@@ -4658,6 +4659,141 @@ def test_hudi_mor_write_precombine_and_guards(spark, tmp_path):
         _hudi_new_instant(part), max_log_rows=1,
     )
     assert {r.id for r in read_hudi(spark, part).collect()} == {1, 5, 6, 7}
+
+
+def test_write_hudi_key_only_delete_keeps_all_columns(spark, tmp_path):
+    """r12 data-loss fix: a CoW delete batch carrying ONLY the key
+    column used to rewrite surviving groups with only that column —
+    every other column silently vanished for the group's survivors.
+    Business columns now come from the TABLE."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    p = str(tmp_path / "kod")
+    # num_buckets=1 -> all keys share one file group, so the delete
+    # rewrites a group with SURVIVORS.
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, val string, n long",
+        ),
+        p, record_key="id", num_buckets=1,
+    )
+    write_hudi(
+        spark.createDataFrame([(1,)], "id long"),
+        p, record_key="id", mode="delete",
+    )
+    got = read_hudi(spark, p)
+    assert set(got.columns) == {"id", "val", "n"}
+    assert {(r.id, r.val, r.n) for r in got.collect()} == {
+        (2, "b", 20), (3, "c", 30)
+    }
+
+
+def test_write_hudi_schema_evolution(spark, tmp_path):
+    """r12 (verdict #8): write_hudi(evolve=True) — the reference's DMS
+    stream adding last_applied_date mid-stream onto its Hudi table.
+    CoW: affected groups rewrite under the evolved schema, untouched
+    files read the column null (mergeSchema). MoR: the avro LOG block
+    schema carries the new column, the deltacommit records the evolved
+    schema (readable while the column exists in NO base file), and
+    compaction folds it into new base files. Un-evolved upserts with
+    extra columns refuse loudly in both table types."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_hudi,
+        write_hudi,
+    )
+
+    # --- CoW ---------------------------------------------------------
+    cp = str(tmp_path / "cev")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        ),
+        cp, record_key="id",
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", "2023-09-01"), (4, "d", "2023-09-01")],
+        "id long, val string, seen string",
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        write_hudi(src, cp, record_key="id", mode="upsert")
+    write_hudi(src, cp, record_key="id", mode="upsert", evolve=True)
+    got = {r.id: (r.val, r.seen) for r in read_hudi(spark, cp).collect()}
+    assert got == {
+        1: ("a", None), 2: ("B2", "2023-09-01"),
+        3: ("c", None), 4: ("d", "2023-09-01"),
+    }
+    # A follow-up full-width upsert needs no evolve flag.
+    write_hudi(
+        spark.createDataFrame(
+            [(5, "e", None)], "id long, val string, seen string"
+        ),
+        cp, record_key="id", mode="upsert",
+    )
+    assert read_hudi(spark, cp).count() == 5
+
+    # --- MoR: LOG-ONLY evolution (every key exists -> no base file
+    # carries the column until compaction) ------------------------------
+    mp = str(tmp_path / "mev")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        ),
+        mp, record_key="id", table_type="MERGE_ON_READ",
+    )
+    first = max(
+        f.split(".")[0] for f in os.listdir(os.path.join(mp, ".hoodie"))
+        if f.endswith((".commit", ".deltacommit"))
+    )
+    msrc = spark.createDataFrame(
+        [(2, "B2", "2023-09-01"), (3, "C3", "2023-09-02")],
+        "id long, val string, seen string",
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        write_hudi(msrc, mp, record_key="id", mode="upsert")
+    write_hudi(msrc, mp, record_key="id", mode="upsert", evolve=True)
+    import pyarrow.parquet as papq
+
+    # Physical pin: the column exists in NO base parquet file yet.
+    for root, dirs, files in os.walk(mp):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                assert "seen" not in papq.read_schema(
+                    os.path.join(root, fn)
+                ).names
+    got = {r.id: (r.val, r.seen) for r in read_hudi(spark, mp).collect()}
+    assert got == {
+        1: ("a", None), 2: ("B2", "2023-09-01"), 3: ("C3", "2023-09-02"),
+    }
+    # Point-in-time read BELOW the evolution serves the old schema.
+    pre = read_hudi(spark, mp, as_of_instant=first)
+    assert "seen" not in pre.columns
+    # Compaction folds the log-only column into new base files.
+    assert compact_hudi(spark, mp) is not None
+    assert {
+        r.id: (r.val, r.seen) for r in read_hudi(spark, mp).collect()
+    } == got
+    seen_in_base = False
+    for root, dirs, files in os.walk(mp):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fn in files:
+            if fn.endswith(".parquet") and "seen" in papq.read_schema(
+                os.path.join(root, fn)
+            ).names:
+                seen_in_base = True
+    assert seen_in_base
+    # A second evolved-schema upsert (no new columns) needs no flag and
+    # keeps working post-compaction.
+    write_hudi(
+        spark.createDataFrame(
+            [(9, "z", None)], "id long, val string, seen string"
+        ),
+        mp, record_key="id", mode="upsert",
+    )
+    assert read_hudi(spark, mp).count() == 4
 
 
 # -- Compaction: paying down merge-on-read debt -----------------------------
