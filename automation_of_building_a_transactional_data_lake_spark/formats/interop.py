@@ -2850,7 +2850,10 @@ def _hudi_log_rows_frame(
         )
     desc = spark.createDataFrame(desc_rows, "__fp string, __paths string")
     if len(desc_rows) > 1:
-        desc = desc.repartition(min(len(desc_rows), 64))
+        # Cluster-parallel decode (the r11 verdict #7 fan-out rule):
+        # one task per slice up to defaultParallelism, no fixed cap.
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        desc = desc.repartition(min(len(desc_rows), par))
     field_list = [(f.name, f.dataType.typeName()) for f in fields]
     completed_set = set(completed)
     from pyspark.sql.types import BooleanType, LongType, StringType, StructField
