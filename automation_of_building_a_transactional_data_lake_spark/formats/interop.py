@@ -4405,11 +4405,148 @@ def _iceberg_table_schema(meta: dict) -> StructType | None:
     return _iceberg_spark_type({"type": "struct", "fields": sch["fields"]})
 
 
+_ICE_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _ice_part_domain(transform: str, src_ice_type: str, lit):
+    """A predicate literal mapped into a partition field's VALUE
+    domain — the representation manifest partition records use (epoch
+    days for ``days``, months-since-1970 for ``months``, murmur3
+    bucket for ``bucket[N]``, ...)."""
+    import datetime as _dt
+    import struct
+
+    t = _ice_norm_transform(transform)
+
+    def _as_dt(v) -> _dt.datetime:
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        raise TypeError(f"expected a date/datetime/ISO string, got {v!r}")
+
+    if t == "identity":
+        if src_ice_type == "date":
+            return (_as_dt(lit).date() - _dt.date(1970, 1, 1)).days
+        return lit
+    if t in ("days", "months", "years", "hours"):
+        d = _as_dt(lit)
+        if t == "days":
+            return (d - _dt.datetime(1970, 1, 1)).days  # timedelta floors
+        if t == "hours":
+            return int((d - _dt.datetime(1970, 1, 1)).total_seconds() // 3600)
+        if t == "years":
+            return d.year - 1970
+        return (d.year - 1970) * 12 + d.month - 1
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        n = int(m.group(1))
+        if src_ice_type in ("int", "long"):
+            b = struct.pack("<q", int(lit))
+        elif src_ice_type == "date":
+            b = struct.pack(
+                "<q", (_as_dt(lit).date() - _dt.date(1970, 1, 1)).days
+            )
+        elif src_ice_type in ("timestamp", "timestamptz"):
+            d = _as_dt(lit).replace(tzinfo=_dt.timezone.utc)
+            b = struct.pack("<q", int(d.timestamp() * 1_000_000))
+        elif src_ice_type == "string":
+            b = str(lit).encode("utf-8")
+        else:
+            raise NotImplementedError(
+                f"bucket pruning on Iceberg type {src_ice_type!r}"
+            )
+        return (_murmur3_32(b) & 0x7FFFFFFF) % n
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        if src_ice_type == "string":
+            return str(lit)[:w]
+        v = int(lit)
+        return v - (((v % w) + w) % w)
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _ice_prune_plan(meta: dict, where) -> list[tuple[str, str, object]]:
+    """Compile ``where`` predicates against the default partition spec:
+    returns (field name, op, domain literal) constraints a file's
+    partition record must POSSIBLY satisfy to be scanned. Transforms
+    prune conservatively: monotonic ones (identity/temporal/truncate)
+    support every comparison (a bound on the source column maps to the
+    same bound on the transformed value); ``bucket`` supports equality
+    only. Predicates on non-partition-source columns contribute no
+    constraint (the residual row filter still applies)."""
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        None,
+    )
+    cur_schema = next(
+        (
+            s for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        meta.get("schema"),
+    )
+    if not spec or not cur_schema or not spec.get("fields"):
+        return []
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
+    plan: list[tuple[str, str, object]] = []
+    for col_name, op, lit in where:
+        if op not in _ICE_PRUNE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (supported: "
+                f"{_ICE_PRUNE_OPS})"
+            )
+        if lit is None:
+            raise ValueError("null predicate literals do not prune")
+        for pf in part_fields:
+            if pf["src"] != col_name:
+                continue
+            t = _ice_norm_transform(pf.get("transform"))
+            if t.startswith("bucket") and op != "=":
+                continue  # buckets scramble order: equality only
+            try:
+                dom = _ice_part_domain(t, pf["src_ice_type"], lit)
+            except (NotImplementedError, TypeError, ValueError):
+                continue  # unmappable literal: no constraint, stay safe
+            plan.append((pf["name"], op, dom))
+    return plan
+
+
+def _ice_prune_keep(pv: dict | None, plan: list[tuple[str, str, object]]) -> bool:
+    """True when a file's partition record possibly satisfies every
+    compiled constraint — a null/absent record value keeps the file
+    (conservative)."""
+    for name, op, dom in plan:
+        v = (pv or {}).get(name)
+        if v is None:
+            continue
+        if op == "=":
+            ok = v == dom
+        elif op in ("<", "<="):
+            # The file holds SOME rows at partition value v; a bound
+            # lit>x maps to transformed-domain v<=dom possibly holding.
+            ok = v <= dom
+        else:
+            ok = v >= dom
+        if not ok:
+            return False
+    return True
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a REAL Apache Iceberg table (v1 or v2, written by any
     engine): resolve the current metadata JSON (version-hint aware),
@@ -4432,7 +4569,24 @@ def read_iceberg(
     (field-id renames are not re-mapped). Time travel: ``snapshot_id=``
     pins a snapshot; ``as_of_ms=`` (Iceberg's ``TIMESTAMP AS OF``)
     serves the latest snapshot whose timestamp-ms is <= the instant,
-    resolved from the snapshot log."""
+    resolved from the snapshot log.
+
+    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
+    is HIDDEN-PARTITION PRUNING — the point of the reference's
+    ``PARTITIONED BY (days(ts))`` layout at 100 TB: each predicate on
+    a partition SOURCE column maps into the transform's value domain
+    (epoch days for ``days``, murmur3 bucket for ``bucket[N]``
+    equality, ...) and manifest entries whose partition record cannot
+    satisfy it never reach the scan — the plan opens O(matching
+    partitions) files instead of O(table). The same predicates also
+    apply as a residual ROW filter, so the result is exact, not a
+    superset; predicates on non-partition columns filter rows only."""
+    for _c, _op, _l in where or []:
+        if _op not in _ICE_PRUNE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {_op!r} (supported: "
+                f"{_ICE_PRUNE_OPS})"
+            )
     meta = _iceberg_current_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if as_of_ms is not None:
@@ -4493,6 +4647,7 @@ def read_iceberg(
         s = entry.get("sequence_number")
         return int(s) if s is not None else default
 
+    prune_plan = _ice_prune_plan(meta, where) if where else []
     # (path, data sequence number) per live data file.
     files: list[tuple[str, int]] = []
     for mpath in manifests:
@@ -4511,6 +4666,10 @@ def read_iceberg(
                 raise NotImplementedError(
                     f"Iceberg {fmt} data files are not supported (parquet only)"
                 )
+            if prune_plan and not _ice_prune_keep(
+                df_rec.get("partition"), prune_plan
+            ):
+                continue  # hidden-partition pruning: record can't match
             files.append(
                 (
                     _iceberg_local_path(df_rec["file_path"], table_path),
@@ -4660,6 +4819,16 @@ def read_iceberg(
         df = df.join(
             _delete_side(dels, pos_delete_files), ["__fp", "__ri"], "left_anti"
         ).select(*out_cols)
+    if where:
+        # Residual ROW filter: pruning kept a superset of files; the
+        # predicates themselves make the result exact.
+        for col_name, op, lit in where:
+            c = F.col(col_name)
+            df = df.filter(
+                {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+                 ">=": c >= F.lit(lit)}[op]
+            )
     return df
 
 

@@ -6427,6 +6427,65 @@ def test_write_iceberg_transform_partitioned_lifecycle(spark, tmp_path):
     }
 
 
+def test_read_iceberg_hidden_partition_pruning(spark, tmp_path):
+    """r12: read_iceberg(where=) prunes manifest entries by partition
+    record through the TRANSFORMS — a ts range on a days() spec opens
+    O(matching days) files, a key equality on bucket[4] opens one
+    bucket — while the residual row filter keeps results exact. The
+    file-level pin uses inputFiles(); result equality uses the
+    unpruned read."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "prune")
+    days = [_dt.datetime(2023, 9, d, 12, 0) for d in range(1, 6)]
+    rows = [(d * 10 + i, days[d - 1], f"v{d}{i}") for d in range(1, 6) for i in range(3)]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, ts timestamp, val string"),
+        path, partition_by=["days(ts)", "bucket(4, id)"],
+    )
+
+    full = read_iceberg(spark, path)
+    n_files_all = len(full.inputFiles())
+    assert n_files_all >= 10  # 5 days x up to 4 buckets
+
+    # Temporal range on the SOURCE column prunes to the matching days.
+    lo = _dt.datetime(2023, 9, 4, 0, 0)
+    pruned = read_iceberg(spark, path, where=[("ts", ">=", lo)])
+    assert 0 < len(pruned.inputFiles()) < n_files_all
+    expect = {tuple(r) for r in full.filter(F.col("ts") >= F.lit(lo)).collect()}
+    assert {tuple(r) for r in pruned.collect()} == expect
+
+    # Range + bucket equality composes: one day x one bucket.
+    one = read_iceberg(
+        spark, path, where=[("ts", ">=", lo), ("ts", "<", _dt.datetime(2023, 9, 5)), ("id", "=", 41)]
+    )
+    assert len(one.inputFiles()) == 1
+    assert {tuple(r) for r in one.collect()} == {
+        tuple(r) for r in full.filter("id = 41").collect()
+    }
+
+    # A predicate on a NON-partition column prunes nothing but still
+    # filters rows exactly.
+    nv = read_iceberg(spark, path, where=[("val", "=", "v11")])
+    assert len(nv.inputFiles()) == n_files_all
+    assert {r.id for r in nv.collect()} == {11}
+
+    # Pruning to nothing returns a typed empty frame.
+    none = read_iceberg(
+        spark, path, where=[("ts", "<", _dt.datetime(2020, 1, 1))]
+    )
+    assert none.count() == 0 and none.columns == ["id", "ts", "val"]
+
+    # Bad ops refuse loudly.
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        read_iceberg(spark, path, where=[("ts", "!=", lo)])
+
+
 def test_write_iceberg_truncate_and_temporal_transforms(spark, tmp_path):
     """truncate(W)/months()/years()/hours() partition values match the
     Iceberg spec: string prefix, floored integer multiples
