@@ -526,6 +526,75 @@ WHEN MATCHED THEN DELETE""")
     }
 
 
+def test_create_foreign_tables_as_text(spark, tmp_path):
+    """r12: the reference's Iceberg DDL shape as text on REAL foreign
+    paths — CREATE TABLE <fmt>.`/p` [PARTITIONED BY (...)] AS SELECT;
+    the Iceberg form takes hidden-partitioning transforms, and the
+    created table round-trips through the jar-less readers and a
+    follow-up MERGE."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        read_delta,
+        read_hudi,
+        read_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    sql = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [
+            (1, _dt.datetime(2023, 9, 1, 10), "a"),
+            (2, _dt.datetime(2023, 9, 2, 11), "b"),
+        ],
+        "id long, ts timestamp, val string",
+    ).createOrReplaceTempView("ctas_src")
+
+    ip = str(tmp_path / "ice")
+    r = sql.sql(
+        f"CREATE TABLE iceberg.`{ip}` PARTITIONED BY (days(ts), bucket(4, id)) "
+        "AS SELECT * FROM ctas_src"
+    )
+    assert r["action"] == "created" and r["format"] == "iceberg"
+    _c, meta = _iceberg_current_metadata_named(ip)
+    assert [
+        (f["name"], f["transform"])
+        for f in meta["partition-specs"][0]["fields"]
+    ] == [("ts_day", "day"), ("id_bucket", "bucket[4]")]
+    assert {x.id for x in read_iceberg(spark, ip).collect()} == {1, 2}
+    # The created table accepts the reference's MERGE as text.
+    spark.createDataFrame(
+        [(2, _dt.datetime(2023, 9, 2, 12), "B2")],
+        "id long, ts timestamp, val string",
+    ).createOrReplaceTempView("ctas_up")
+    sql.sql(f"""MERGE INTO iceberg.`{ip}` t USING ctas_up s
+ON s.id = t.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *""")
+    assert {x.id: x.val for x in read_iceberg(spark, ip).collect()} == {
+        1: "a", 2: "B2"
+    }
+
+    dp = str(tmp_path / "del")
+    r = sql.sql(
+        f"CREATE TABLE delta.`{dp}` PARTITIONED BY (val) AS SELECT * FROM ctas_src"
+    )
+    assert r["version"] == 0
+    assert {x.id for x in read_delta(spark, dp).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="identity partition"):
+        sql.sql(
+            f"CREATE TABLE delta.`{tmp_path / 'dx'}` PARTITIONED BY "
+            "(days(ts)) AS SELECT * FROM ctas_src"
+        )
+
+    hp = str(tmp_path / "hud")
+    r = sql.sql(f"CREATE TABLE hudi.`{hp}` AS SELECT * FROM ctas_src")
+    assert r["action"] == "created"
+    assert {x.id for x in read_hudi(spark, hp).collect()} == {1, 2}
+
+
 def test_vacuum_foreign_paths_as_text(spark, tmp_path):
     """The real-format storage lifecycle drives as SQL text: one
     uniform `VACUUM <fmt>.`/path`` RETAIN n ...` statement runs Delta
