@@ -1188,11 +1188,110 @@ def _delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
     return best
 
 
+def _delta_lit_norm(dtype, v):
+    """A predicate literal / partition string / stats JSON value
+    normalized into one comparable Python domain per Spark type —
+    or None when this type/value cannot be compared safely."""
+    import datetime as _dt
+
+    t = dtype.typeName()
+    try:
+        if t in ("long", "integer", "short", "byte"):
+            return int(v)
+        if t in ("double", "float", "decimal"):
+            return float(v)
+        if t == "date":
+            if isinstance(v, _dt.datetime):
+                return v.date()
+            if isinstance(v, _dt.date):
+                return v
+            return _dt.date.fromisoformat(str(v))
+        if t in ("timestamp", "timestamp_ntz"):
+            if isinstance(v, _dt.datetime):
+                return v.replace(tzinfo=None)
+            d = _dt.datetime.fromisoformat(str(v))
+            return d.replace(tzinfo=None)
+        if t == "string":
+            return str(v)
+    except (ValueError, TypeError):
+        return None
+    return None  # boolean/binary/nested: no safe ordering here
+
+
+def _delta_prune_keep(
+    add: dict, schema: StructType, pcols: list[str], phys: dict,
+    preds: list[tuple],
+) -> bool:
+    """Delta FILE SKIPPING: True when the add action's partitionValues
+    and JSON stats (minValues/maxValues/nullCount — what this module's
+    own writer emits and native writers maintain) possibly satisfy
+    every predicate. Conservative: missing values keep the file;
+    string columns skip only via partitionValues (parquet writers may
+    TRUNCATE string min/max, so footer-derived string bounds are not
+    trusted for exclusion)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    stats = None
+    for col, op, lit in preds:
+        dtype = types.get(col)
+        if dtype is None:
+            continue
+        litn = _delta_lit_norm(dtype, lit)
+        if litn is None:
+            continue
+        if col in pcols:
+            pv = (add.get("partitionValues") or {})
+            raw = pv.get(phys.get(col, col), pv.get(col))
+            if raw is None:
+                continue
+            v = _delta_lit_norm(dtype, raw)
+            if v is None:
+                continue
+            ok = {
+                "=": v == litn, "<": v < litn, "<=": v <= litn,
+                ">": v > litn, ">=": v >= litn,
+            }[op]
+            if not ok:
+                return False
+            continue
+        if dtype.typeName() == "string":
+            continue  # truncation-unsafe: rows filter instead
+        if stats is None:
+            try:
+                stats = json.loads(add.get("stats") or "null") or {}
+            except ValueError:
+                stats = {}
+        pname = phys.get(col, col)
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        nrec = stats.get("numRecords")
+        if (
+            nrec is not None
+            and nulls.get(pname) == nrec
+            and nrec > 0
+        ):
+            return False  # all-null column never satisfies a comparison
+        mn = _delta_lit_norm(dtype, mins[pname]) if pname in mins else None
+        mx = _delta_lit_norm(dtype, maxs[pname]) if pname in maxs else None
+        if op in ("=", "<", "<=") and mn is not None:
+            if (op == "=" and mn > litn) or (op == "<" and mn >= litn) or (
+                op == "<=" and mn > litn
+            ):
+                return False
+        if op in ("=", ">", ">=") and mx is not None:
+            if (op == "=" and mx < litn) or (op == ">" and mx <= litn) or (
+                op == ">=" and mx < litn
+            ):
+                return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a REAL Delta Lake table (written by any engine) by
     replaying its transaction log — snapshot-consistent, time-travel
@@ -1222,7 +1321,22 @@ def read_delta(
     reader captures that conf from the relation's own session, so the
     returned DataFrame resolves by field id even inside plans composed
     with the user's session, and the user's session conf is never
-    touched."""
+    touched.
+
+    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
+    is Delta FILE SKIPPING (r12): each add action's partitionValues
+    and JSON stats (min/max/nullCount — this writer emits them, native
+    writers maintain them) exclude files that cannot match, so a point
+    lookup on a clustered column opens O(matching files), not
+    O(table). The predicates also apply as a residual ROW filter, so
+    results are exact; string columns skip via partition values only
+    (parquet string min/max may be writer-truncated)."""
+    for _c, _op, _l in where or []:
+        if _op not in _ICE_PRUNE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {_op!r} (supported: "
+                f"{_ICE_PRUNE_OPS})"
+            )
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version= OR timestamp_ms=, not both")
@@ -1242,8 +1356,14 @@ def read_delta(
         spark, meta, schema, pcols
     )
 
-    clean = [a for a in state["files"].values() if not a.get("deletionVector")]
-    dvd = [a for a in state["files"].values() if a.get("deletionVector")]
+    adds = list(state["files"].values())
+    if where:
+        adds = [
+            a for a in adds
+            if _delta_prune_keep(a, schema, pcols, phys, where)
+        ]
+    clean = [a for a in adds if not a.get("deletionVector")]
+    dvd = [a for a in adds if a.get("deletionVector")]
     if not clean and not dvd:
         return spark.createDataFrame([], schema)
 
@@ -1339,6 +1459,16 @@ def read_delta(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
+    if where:
+        # Residual ROW filter: skipping kept a superset of files; the
+        # predicates themselves make the result exact.
+        for col_name, op, lit in where:
+            c = F.col(col_name)
+            out = out.filter(
+                {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+                 ">=": c >= F.lit(lit)}[op]
+            )
     return out
 
 
@@ -2911,6 +3041,7 @@ def read_hudi(
     drop_meta: bool = True,
     max_log_bytes: int = 256 << 20,
     as_of_instant: str | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a REAL Apache Hudi table (written by any engine) —
     copy-on-write AND merge-on-read snapshots:
@@ -2947,7 +3078,31 @@ def read_hudi(
     ``as_of_instant`` (a 14/17-digit timeline instant string) is
     Hudi's own ``as.of.instant`` point-in-time read: commits,
     deltacommits, and replacecommits after the instant are
-    invisible."""
+    invisible.
+
+    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
+    prunes FILE SLICES whose hive partition path cannot match an
+    EQUALITY predicate on a partition column (Hudi partition values
+    live as path strings, so only equality is string-safe); every
+    predicate also applies as a residual ROW filter, so results are
+    exact and non-partition predicates filter rows only."""
+    for _c, _op, _l in where or []:
+        if _op not in _ICE_PRUNE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {_op!r} (supported: "
+                f"{_ICE_PRUNE_OPS})"
+            )
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for col_name, op, lit in where or []:
+            c = F.col(col_name)
+            df = df.filter(
+                {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+                 ">=": c >= F.lit(lit)}[op]
+            )
+        return df
+
     try:
         completed, latest, slice_logs = _hudi_file_slices(
             table_path, as_of=as_of_instant
@@ -2959,7 +3114,30 @@ def read_hudi(
         df = spark.read.parquet(hist).filter(F.lit(False))
         if drop_meta:
             df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-        return df
+        return _residual(df)
+    if where:
+        eqs = [(c, str(lit)) for c, op, lit in where if op == "="]
+
+        def _pp_keep(pp: str) -> bool:
+            segs = dict(
+                s.partition("=")[::2] for s in pp.split("/") if "=" in s
+            )
+            return all(
+                segs.get(c) is None or segs[c] == v for c, v in eqs
+            )
+
+        keep = {k for k in latest if _pp_keep(k[0])}
+        latest = {k: v for k, v in latest.items() if k in keep}
+        slice_logs = {k: v for k, v in slice_logs.items() if k in keep}
+        if not latest:
+            hist = _hudi_any_base_file(table_path, as_of=as_of_instant)
+            if hist is not None:
+                df = spark.read.parquet(hist).filter(F.lit(False))
+                if drop_meta:
+                    df = df.drop(
+                        *[c for c in df.columns if c.startswith("_hoodie_")]
+                    )
+                return df
     base_paths = [p for _ts, p in latest.values()]
     # mergeSchema: post-evolution base files carry columns the
     # pre-evolution ones lack (r12 schema evolution) — the union
@@ -2996,7 +3174,7 @@ def read_hudi(
         df = _hudi_merge_log_frame(df, logdf)
     if drop_meta:
         df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-    return df
+    return _residual(df)
 
 
 def _hudi_merge_log_frame(base: DataFrame, logdf: DataFrame) -> DataFrame:

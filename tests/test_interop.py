@@ -6427,6 +6427,125 @@ def test_write_iceberg_transform_partitioned_lifecycle(spark, tmp_path):
     }
 
 
+def test_read_delta_file_skipping(spark, tmp_path):
+    """r12: read_delta(where=) skips files via add-action
+    partitionValues and JSON min/max stats — a point lookup opens
+    O(matching files) — with the residual row filter keeping results
+    exact; string columns skip via partition values only (footer
+    string bounds may be writer-truncated); all-null columns skip
+    under any comparison."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "skip")
+    # 3 partitions x range-clustered id files (repartitionByRange gives
+    # disjoint id ranges per file, so stats actually discriminate).
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 3}", _dt.date(2023, 9, 1 + i % 5)) for i in range(300)],
+        "id long, cat string, d date",
+    )
+    write_delta(
+        df.repartitionByRange(4, "id"), path, mode="error",
+        partition_by=["cat"],
+    )
+    full = read_delta(spark, path)
+    n_all = len(full.inputFiles())
+    assert n_all >= 12  # 3 partitions x 4 range files
+
+    # Partition equality prunes to one partition's files.
+    p = read_delta(spark, path, where=[("cat", "=", "cat1")])
+    assert 0 < len(p.inputFiles()) <= n_all // 3
+    assert {r.id for r in p.collect()} == {i for i in range(300) if i % 3 == 1}
+
+    # Stats range on the clustered column prunes files.
+    q = read_delta(spark, path, where=[("id", ">=", 290)])
+    assert 0 < len(q.inputFiles()) < n_all
+    assert {r.id for r in q.collect()} == set(range(290, 300))
+
+    # Date stats prune too, and compose with partition pruning.
+    r = read_delta(
+        spark, path, where=[("d", "=", _dt.date(2023, 9, 2)), ("cat", "=", "cat1")]
+    )
+    assert {x.id for x in r.collect()} == {
+        i for i in range(300) if i % 5 == 1 and i % 3 == 1
+    }
+
+    # Pruning to nothing returns a typed empty frame.
+    z = read_delta(spark, path, where=[("id", "<", -1)])
+    assert z.count() == 0 and z.columns == ["id", "cat", "d"]
+
+    # String stats NEVER exclude (truncation-unsafe): a string
+    # predicate on a non-partition column keeps all files but filters
+    # rows exactly.
+    path2 = str(tmp_path / "strsafe")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "aa"), (2, "zz")], "id long, s string"
+        ).repartition(2),
+        path2, mode="error",
+    )
+    sres = read_delta(spark, path2, where=[("s", "=", "zz")])
+    assert len(sres.inputFiles()) == len(read_delta(spark, path2).inputFiles())
+    assert {r.id for r in sres.collect()} == {2}
+
+    # All-null column: any comparison skips the file outright.
+    path3 = str(tmp_path / "allnull")
+    write_delta(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "id long, n long"
+        ).coalesce(1),
+        path3, mode="error",
+    )
+    nres = read_delta(spark, path3, where=[("n", "=", 5)])
+    assert len(nres.inputFiles()) == 0 or nres.count() == 0
+    assert nres.count() == 0
+
+
+def test_read_hudi_partition_pruning(spark, tmp_path):
+    """r12: read_hudi(where=) prunes file slices by hive partition
+    path on equality predicates (path values are strings, so only
+    equality is string-safe) with the residual row filter keeping
+    results exact — on CoW and on MoR with log files."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hp")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 3}") for i in range(30)],
+            "id long, val string, cat string",
+        ),
+        path, record_key="id", partition_by=["cat"],
+        table_type="MERGE_ON_READ",
+    )
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "V1", "c1"), (31, "v31", "c1")],
+            "id long, val string, cat string",
+        ),
+        path, record_key="id", mode="upsert",
+    )
+    full = read_hudi(spark, path)
+    n_all = len(full.inputFiles())
+    p = read_hudi(spark, path, where=[("cat", "=", "c1")])
+    assert 0 < len(p.inputFiles()) < n_all
+    assert {r.id for r in p.collect()} == (
+        {i for i in range(30) if i % 3 == 1} | {31}
+    )
+    assert {r.val for r in p.collect() if r.id == 1} == {"V1"}  # log merged
+    # Non-partition predicate: rows filter, nothing prunes.
+    q = read_hudi(spark, path, where=[("id", ">=", 29)])
+    assert {r.id for r in q.collect()} == {29, 31}
+    # Pruning to nothing: typed empty frame.
+    z = read_hudi(spark, path, where=[("cat", "=", "nope")])
+    assert z.count() == 0 and set(z.columns) == {"id", "val", "cat"}
+
+
 def test_read_iceberg_hidden_partition_pruning(spark, tmp_path):
     """r12: read_iceberg(where=) prunes manifest entries by partition
     record through the TRANSFORMS — a ts range on a days() spec opens
