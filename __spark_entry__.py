@@ -319,6 +319,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     write_hudi(evolve=True) evolves base+log schemas in the upsert)
 #     registers in the TAIL, same protocol; rotate into a recorded
 #     slot in r13.
+#   r12 addition 3: orders_1996_iceberg_pruned (hidden-partition
+#     PRUNING gated — read_iceberg(where=) on a months(o_orderdate)
+#     spec must open strictly fewer files, pinned in-gate, and match
+#     the raw-orders oracle) registers in the TAIL, same protocol;
+#     rotate into a recorded slot in r13.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -368,6 +373,7 @@ _DEMOTED_TAIL = [
     "emb_ivf_knn",
     "game_user_cdc_e2e_iceberg_days",
     "game_user_cdc_e2e_hudi_evolve",
+    "orders_1996_iceberg_pruned",
 ]
 
 _DRIVER_SLOTS = 50

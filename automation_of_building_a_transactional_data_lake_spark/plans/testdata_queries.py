@@ -2849,6 +2849,74 @@ def q1_via_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# orders_1996_iceberg_pruned — hidden-partition PRUNING as a gated
+# query (X142/X140, r12): orders exports once to a REAL Iceberg v2
+# table PARTITIONED BY months(o_orderdate) (the reference's
+# hidden-partitioning context); the query filters on the SOURCE column
+# with read_iceberg(where=) and the gate PINS that the scan opened
+# strictly fewer files than the unpruned read — at 100 TB this is the
+# difference between O(months-in-range) and O(table) file opens. The
+# oracle restates the filter+aggregate over raw orders: pruning plus
+# the residual row filter must be analytically invisible.
+# --------------------------------------------------------------------------
+
+_ORDERS_ICEBERG_EXPORTS: dict[str, str] = {}
+
+
+def _orders_iceberg_export(spark: SparkSession, sf_dir: str) -> str:
+    from ..formats.interop import write_iceberg
+
+    return _cached_export(
+        sf_dir, _ORDERS_ICEBERG_EXPORTS, "tdl_orders_ice_",
+        lambda p: write_iceberg(
+            load(spark, sf_dir, "orders"), p, mode="error",
+            partition_by=["months(o_orderdate)"],
+        ),
+    )
+
+
+def orders_1996_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from ..formats.interop import read_iceberg
+
+    _utc(spark)
+    path = _orders_iceberg_export(spark, sf_dir)
+    pruned = read_iceberg(
+        spark, path,
+        where=[
+            ("o_orderdate", ">=", _dt.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", _dt.datetime(1997, 1, 1)),
+        ],
+    )
+    n_pruned = len(pruned.inputFiles())
+    n_all = len(read_iceberg(spark, path).inputFiles())
+    if not 0 < n_pruned < n_all:
+        raise AssertionError(
+            f"hidden-partition pruning did not engage: {n_pruned} of "
+            f"{n_all} files scanned"
+        )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORDERS_1996_PRUNED_ORACLE = """
+SELECT o_orderpriority,
+       count(*)                     AS n_orders,
+       round(sum(o_totalprice), 2)  AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # q1_via_hudi_interop — the Hudi twin (r8 verdict "missing #1", second
 # half): lineitem bulk-inserts into an ACTUAL Apache Hudi CoW table
 # (formats/interop.write_hudi — keyed file groups, _hoodie_* meta
@@ -3227,6 +3295,15 @@ QUERIES: dict[str, QueryDef] = {
         # file-group re-bucketing changes double accumulation order).
         QueryDef(
             "q1_via_hudi_interop", q1_via_hudi_interop, Q1_DECIMAL_ORACLE,
+            headline=False,
+        ),
+        # r12: hidden-partition PRUNING gated (X142/X140) — the scan
+        # must open strictly fewer files (pinned in-gate) and match
+        # the raw-orders oracle exactly.
+        QueryDef(
+            "orders_1996_iceberg_pruned",
+            orders_1996_iceberg_pruned,
+            ORDERS_1996_PRUNED_ORACLE,
             headline=False,
         ),
     ]
