@@ -4649,15 +4649,20 @@ def _ice_part_domain(transform: str, src_ice_type: str, lit):
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
-def _ice_prune_plan(meta: dict, where) -> list[tuple[str, str, object]]:
-    """Compile ``where`` predicates against the default partition spec:
-    returns (field name, op, domain literal) constraints a file's
-    partition record must POSSIBLY satisfy to be scanned. Transforms
-    prune conservatively: monotonic ones (identity/temporal/truncate)
-    support every comparison (a bound on the source column maps to the
-    same bound on the transformed value); ``bucket`` supports equality
-    only. Predicates on non-partition-source columns contribute no
-    constraint (the residual row filter still applies)."""
+def _ice_prune_plan(meta: dict, where) -> list[tuple]:
+    """Compile ``where`` predicates into manifest-entry constraints a
+    file must POSSIBLY satisfy to be scanned — two kinds:
+
+    - ``("part", field name, op, domain literal)`` against the
+      PARTITION RECORD, mapped through the spec transform (monotonic
+      transforms support every comparison; ``bucket`` equality only);
+    - ``("bounds", field id, ice type, op, domain literal)`` against
+      the entry's ``lower_bounds``/``upper_bounds`` column stats
+      (binary single-value serialization, spec field-ids 125/128) —
+      what skips files on NON-partition columns.
+
+    Predicates that map to neither contribute no constraint (the
+    residual row filter still applies)."""
     spec = next(
         (
             s for s in meta.get("partition-specs", [])
@@ -4672,10 +4677,18 @@ def _ice_prune_plan(meta: dict, where) -> list[tuple[str, str, object]]:
         ),
         meta.get("schema"),
     )
-    if not spec or not cur_schema or not spec.get("fields"):
+    if not cur_schema:
         return []
-    part_fields = _ice_spec_part_fields(spec, cur_schema)
-    plan: list[tuple[str, str, object]] = []
+    part_fields = (
+        _ice_spec_part_fields(spec, cur_schema)
+        if spec and spec.get("fields")
+        else []
+    )
+    col_types = {
+        f["name"]: (int(f["id"]), f.get("type"))
+        for f in cur_schema.get("fields", [])
+    }
+    plan: list[tuple] = []
     for col_name, op, lit in where:
         if op not in _ICE_PRUNE_OPS:
             raise ValueError(
@@ -4694,28 +4707,84 @@ def _ice_prune_plan(meta: dict, where) -> list[tuple[str, str, object]]:
                 dom = _ice_part_domain(t, pf["src_ice_type"], lit)
             except (NotImplementedError, TypeError, ValueError):
                 continue  # unmappable literal: no constraint, stay safe
-            plan.append((pf["name"], op, dom))
+            plan.append(("part", pf["name"], op, dom))
+        fid_t = col_types.get(col_name)
+        if fid_t and isinstance(fid_t[1], str) and fid_t[1] in _ICE_BOUND_TYPES:
+            dom = _ice_col_domain(fid_t[1], lit)
+            if dom is not None:
+                plan.append(("bounds", fid_t[0], fid_t[1], op, dom))
     return plan
 
 
-def _ice_prune_keep(pv: dict | None, plan: list[tuple[str, str, object]]) -> bool:
-    """True when a file's partition record possibly satisfies every
-    compiled constraint — a null/absent record value keeps the file
-    (conservative)."""
-    for name, op, dom in plan:
-        v = (pv or {}).get(name)
-        if v is None:
+def _ice_bounds_map(raw) -> dict[int, bytes]:
+    """A manifest bounds value (avro array-as-map of key/value records,
+    or a plain dict from foreign decoders) -> {field id: bytes}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        out = {}
+        for k, v in raw.items():
+            try:
+                out[int(k)] = bytes(v)
+            except (ValueError, TypeError):
+                continue
+        return out
+    out = {}
+    for kv in raw:
+        try:
+            out[int(kv["key"])] = bytes(kv["value"])
+        except (KeyError, ValueError, TypeError):
             continue
-        if op == "=":
-            ok = v == dom
-        elif op in ("<", "<="):
-            # The file holds SOME rows at partition value v; a bound
-            # lit>x maps to transformed-domain v<=dom possibly holding.
-            ok = v <= dom
-        else:
-            ok = v >= dom
-        if not ok:
-            return False
+    return out
+
+
+def _ice_prune_keep(df_rec: dict, plan: list[tuple]) -> bool:
+    """True when a manifest entry's partition record and column bounds
+    possibly satisfy every compiled constraint — null/absent values
+    keep the file (conservative)."""
+    pv = df_rec.get("partition") or {}
+    lowers = uppers = None
+    for kind, *rest in plan:
+        if kind == "part":
+            name, op, dom = rest
+            v = pv.get(name)
+            if v is None:
+                continue
+            if op == "=":
+                ok = v == dom
+            elif op in ("<", "<="):
+                # The file holds SOME rows at partition value v; a
+                # bound lit>x maps to transformed-domain v<=dom
+                # possibly holding.
+                ok = v <= dom
+            else:
+                ok = v >= dom
+            if not ok:
+                return False
+            continue
+        fid, itype, op, dom = rest
+        if lowers is None:
+            lowers = _ice_bounds_map(df_rec.get("lower_bounds"))
+            uppers = _ice_bounds_map(df_rec.get("upper_bounds"))
+        lo = (
+            _ice_bound_deser(itype, lowers[fid]) if fid in lowers else None
+        )
+        hi = (
+            _ice_bound_deser(itype, uppers[fid]) if fid in uppers else None
+        )
+        try:
+            if op in ("=", "<", "<=") and lo is not None:
+                if (op == "=" and lo > dom) or (op == "<" and lo >= dom) or (
+                    op == "<=" and lo > dom
+                ):
+                    return False
+            if op in ("=", ">", ">=") and hi is not None:
+                if (op == "=" and hi < dom) or (op == ">" and hi <= dom) or (
+                    op == ">=" and hi < dom
+                ):
+                    return False
+        except TypeError:
+            continue  # mixed-type comparison: keep the file
     return True
 
 
@@ -4844,10 +4913,8 @@ def read_iceberg(
                 raise NotImplementedError(
                     f"Iceberg {fmt} data files are not supported (parquet only)"
                 )
-            if prune_plan and not _ice_prune_keep(
-                df_rec.get("partition"), prune_plan
-            ):
-                continue  # hidden-partition pruning: record can't match
+            if prune_plan and not _ice_prune_keep(df_rec, prune_plan):
+                continue  # partition record / column bounds can't match
             files.append(
                 (
                     _iceberg_local_path(df_rec["file_path"], table_path),
@@ -5143,6 +5210,105 @@ def _ice_part_value(ice_type: str, raw: str | None):
     )
 
 
+def _ice_bound_ser(ice_type: str, v) -> bytes | None:
+    """Iceberg BINARY SINGLE-VALUE serialization (spec Appendix D) for
+    the column-bound types this engine stats: little-endian
+    fixed-width numerics, date as int days, timestamps as long micros,
+    UTF-8 strings. None for types/values it cannot represent."""
+    import datetime as _dt
+    import struct
+
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "date":
+            if isinstance(v, _dt.datetime):
+                v = v.date()
+            if isinstance(v, _dt.date):
+                v = (v - _dt.date(1970, 1, 1)).days
+            return struct.pack("<i", int(v))
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                v = int(v.timestamp() * 1_000_000)
+            return struct.pack("<q", int(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+    except (ValueError, TypeError, struct.error, OverflowError):
+        return None
+    return None
+
+
+def _ice_bound_deser(ice_type: str, b: bytes):
+    """Inverse of ``_ice_bound_ser`` into a COMPARABLE Python value —
+    dates as epoch days, timestamps as epoch micros (the same domains
+    ``_ice_col_domain`` maps predicate literals into)."""
+    import struct
+
+    try:
+        if ice_type in ("int", "date"):
+            return struct.unpack("<i", b)[0]
+        if ice_type in ("long", "timestamp", "timestamptz"):
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "boolean":
+            return b != b"\x00"
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _ice_col_domain(ice_type: str, lit):
+    """A predicate literal in the same comparable domain
+    ``_ice_bound_deser`` produces, or None when unmappable."""
+    import datetime as _dt
+
+    try:
+        if ice_type in ("int", "long"):
+            return int(lit)
+        if ice_type in ("float", "double"):
+            return float(lit)
+        if ice_type == "date":
+            if isinstance(lit, str):
+                lit = _dt.date.fromisoformat(lit)
+            if isinstance(lit, _dt.datetime):
+                lit = lit.date()
+            return (lit - _dt.date(1970, 1, 1)).days
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(lit, str):
+                lit = _dt.datetime.fromisoformat(lit)
+            if isinstance(lit, _dt.date) and not isinstance(lit, _dt.datetime):
+                lit = _dt.datetime(lit.year, lit.month, lit.day)
+            if lit.tzinfo is None:
+                lit = lit.replace(tzinfo=_dt.timezone.utc)
+            return int(lit.timestamp() * 1_000_000)
+        if ice_type == "string":
+            return str(lit)
+    except (ValueError, TypeError, AttributeError):
+        return None
+    return None
+
+
+_ICE_BOUND_TYPES = (
+    "int", "long", "float", "double", "date", "timestamp", "timestamptz",
+    "string",
+)
+
+
 def _murmur3_32(data: bytes, seed: int = 0) -> int:
     """murmur3_x86_32 over ``data`` — the exact hash the Iceberg spec
     mandates for ``bucket[N]`` transforms (Appendix B: seed 0,
@@ -5326,18 +5492,79 @@ def _ice_spec_part_fields(spec: dict, cur_schema: dict) -> list[dict]:
     return out
 
 
+def _ice_file_bounds(
+    path: str, bounds_fields: dict[str, tuple[int, str]]
+) -> tuple[list[dict], list[dict]]:
+    """(lower_bounds, upper_bounds) manifest map entries for one
+    staged parquet file — per-column footer min/max aggregated across
+    row groups and serialized per spec Appendix D. Unstatable columns
+    are omitted (readers treat absence as 'cannot skip')."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            c = row.column(ci)
+            name = c.path_in_schema
+            if name not in bounds_fields or "." in name:
+                continue
+            try:
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001 — pyarrow can't stat every type
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = mn, mx
+            else:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+    lowers: list[dict] = []
+    uppers: list[dict] = []
+    for name, mn in mins.items():
+        fid, itype = bounds_fields[name]
+        lo = _ice_bound_ser(itype, mn)
+        hi = _ice_bound_ser(itype, maxs[name])
+        if lo is None or hi is None:
+            continue
+        lowers.append({"key": fid, "value": lo})
+        uppers.append({"key": fid, "value": hi})
+    return lowers, uppers
+
+
+def _ice_schema_bounds_fields(cur_schema: dict) -> dict[str, tuple[int, str]]:
+    """name -> (field id, ice type) for the columns whose footer
+    min/max serialize safely as manifest bounds. Strings are EXCLUDED
+    on the write side: parquet writers may truncate string footer
+    stats, and an exactly-recorded truncated max would make native
+    engines wrongly prune (read-side pruning still CONSUMES string
+    bounds — any writer that records them per spec adjusted them)."""
+    out = {}
+    for f in cur_schema.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str) and t in _ICE_BOUND_TYPES and t != "string":
+            out[f["name"]] = (int(f["id"]), t)
+    return out
+
+
 def _iceberg_stage_files(
-    df: DataFrame, table_path: str, part_fields: list[dict]
-) -> list[tuple[str, dict, int, int]]:
+    df: DataFrame, table_path: str, part_fields: list[dict],
+    bounds_fields: dict[str, tuple[int, str]] | None = None,
+) -> list[tuple[str, dict, int, int, tuple[list, list]]]:
     """Stage the batch as parquet under ``data/`` and return
-    (abs_path, raw partition values, record_count, size) per file.
-    Unlike Delta, Iceberg data files must KEEP partition source
-    columns inline — so Spark partitions the staging write by DERIVED
-    duplicate columns (the spec transform evaluated per row,
-    ``_ice_transform_expr``; identity is a plain copy) and the
-    originals stay in the file bytes. The hive directory value each
-    file lands under IS its manifest partition record (parsed back
-    through ``_ice_part_value``) — value and record cannot diverge."""
+    (abs_path, raw partition values, record_count, size,
+    (lower_bounds, upper_bounds)) per file. Unlike Delta, Iceberg data
+    files must KEEP partition source columns inline — so Spark
+    partitions the staging write by DERIVED duplicate columns (the
+    spec transform evaluated per row, ``_ice_transform_expr``;
+    identity is a plain copy) and the originals stay in the file
+    bytes. The hive directory value each file lands under IS its
+    manifest partition record (parsed back through
+    ``_ice_part_value``) — value and record cannot diverge."""
     import pyarrow.parquet as pq
 
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
@@ -5381,12 +5608,18 @@ def _iceberg_stage_files(
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.rename(os.path.join(root, fname), final_abs)
+                bounds = (
+                    _ice_file_bounds(final_abs, bounds_fields)
+                    if bounds_fields
+                    else ([], [])
+                )
                 out.append(
                     (
                         final_abs,
                         pv,
                         pq.ParquetFile(final_abs).metadata.num_rows,
                         os.path.getsize(final_abs),
+                        bounds,
                     )
                 )
     finally:
@@ -5613,8 +5846,9 @@ def _ice_add_data_manifest(
 
     added_rows = 0
     add_entries = []
-    for apath, pv, nrec, size in staged:
+    for apath, pv, nrec, size, bounds in staged:
         added_rows += nrec
+        lowers, uppers = bounds
         add_entries.append(
             {
                 "status": 1, "snapshot_id": snapshot_id,
@@ -5627,6 +5861,8 @@ def _ice_add_data_manifest(
                         for pf in part_fields
                     },
                     "record_count": nrec, "file_size_in_bytes": size,
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
                 },
             }
         )
@@ -5684,6 +5920,32 @@ def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
                         "type": "record", "name": "r102", "fields": r102_fields}},
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    # Column bounds (spec field-ids 125/128, binary
+                    # single-value serialization) — what native engines
+                    # min/max-skip files with; nullable so carried
+                    # entries without them re-serialize cleanly.
+                    {"name": "lower_bounds", "default": None,
+                     "field-id": 125,
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {"type": "record", "name": "k126_v127",
+                                   "fields": [
+                                       {"name": "key", "type": "int",
+                                        "field-id": 126},
+                                       {"name": "value", "type": "bytes",
+                                        "field-id": 127},
+                                   ]}}]},
+                    {"name": "upper_bounds", "default": None,
+                     "field-id": 128,
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {"type": "record", "name": "k129_v130",
+                                   "fields": [
+                                       {"name": "key", "type": "int",
+                                        "field-id": 129},
+                                       {"name": "value", "type": "bytes",
+                                        "field-id": 130},
+                                   ]}}]},
                 ]}},
         ]}
     mlist_schema = {
@@ -5897,15 +6159,19 @@ def write_iceberg(
         parent_id = None
         location = table_path
 
-    staged = _iceberg_stage_files(df, table_path, part_fields)
+    staged = _iceberg_stage_files(
+        df, table_path, part_fields,
+        bounds_fields=_ice_schema_bounds_fields(ice_schema),
+    )
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
 
     entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
     entries = []
     added_rows = 0
-    for apath, pv, nrec, size in staged:
+    for apath, pv, nrec, size, bounds in staged:
         added_rows += nrec
+        lowers, uppers = bounds
         entries.append(
             {
                 "status": 1, "snapshot_id": snapshot_id,
@@ -5920,6 +6186,8 @@ def write_iceberg(
                     },
                     "record_count": nrec,
                     "file_size_in_bytes": size,
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
                 },
             }
         )
@@ -6304,7 +6572,7 @@ def write_iceberg_equality_deletes(
     eq_ids = [field_ids[k] for k in key_cols]
     del_entries = []
     deleted_rows = 0
-    for apath, pv, nrec, size in staged:
+    for apath, pv, nrec, size, _bounds in staged:
         deleted_rows += nrec
         del_entries.append(
             {
@@ -6780,7 +7048,10 @@ def merge_iceberg(
         # the pinned keys); manifest/metadata writes below are pure
         # driver-side work.
         staged = (
-            _iceberg_stage_files(new_df.select(*cols), table_path, part_fields)
+            _iceberg_stage_files(
+                new_df.select(*cols), table_path, part_fields,
+                bounds_fields=_ice_schema_bounds_fields(cur_schema),
+            )
             if new_df is not None
             else []
         )
@@ -7103,7 +7374,10 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
     mdir = os.path.join(table_path, "metadata")
     staged = (
-        _iceberg_stage_files(survivors, table_path, part_fields)
+        _iceberg_stage_files(
+            survivors, table_path, part_fields,
+            bounds_fields=_ice_schema_bounds_fields(cur_schema),
+        )
         if survivors is not None
         else []
     )

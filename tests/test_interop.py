@@ -6546,6 +6546,144 @@ def test_read_hudi_partition_pruning(spark, tmp_path):
     assert z.count() == 0 and set(z.columns) == {"id", "val", "cat"}
 
 
+def test_iceberg_bound_serialization_spec_vectors():
+    """Binary single-value serialization (spec Appendix D) round-trips
+    and matches hand-packed little-endian bytes for every bound type
+    this engine writes."""
+    import struct
+    from datetime import date, datetime, timezone
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_bound_deser,
+        _ice_bound_ser,
+        _ice_col_domain,
+    )
+
+    assert _ice_bound_ser("int", 34) == struct.pack("<i", 34) == b"\x22\x00\x00\x00"
+    assert _ice_bound_ser("long", -2) == struct.pack("<q", -2)
+    assert _ice_bound_ser("double", 1.5) == struct.pack("<d", 1.5)
+    assert _ice_bound_ser("float", 1.5) == struct.pack("<f", 1.5)
+    d = date(2017, 11, 16)
+    assert _ice_bound_ser("date", d) == struct.pack("<i", 17486)
+    ts = datetime(2017, 11, 16, 22, 31, 8, tzinfo=timezone.utc)
+    micros = int(ts.timestamp() * 1_000_000)
+    assert _ice_bound_ser("timestamp", ts) == struct.pack("<q", micros)
+    assert _ice_bound_ser("string", "iceberg") == b"iceberg"
+    for t, v in [
+        ("int", 34), ("long", -2), ("double", 1.5), ("string", "x"),
+    ]:
+        assert _ice_bound_deser(t, _ice_bound_ser(t, v)) == v
+    # Literal domains line up with deserialized bounds.
+    assert _ice_col_domain("date", d) == 17486
+    assert _ice_col_domain("timestamp", ts) == micros
+    assert _ice_bound_deser("date", _ice_bound_ser("date", d)) == 17486
+
+
+def test_read_iceberg_column_bounds_skipping(spark, tmp_path):
+    """r12: manifest lower_bounds/upper_bounds (spec field-ids 125/128)
+    are WRITTEN from the staged parquet footers and CONSUMED by
+    read_iceberg(where=) — a range predicate on a NON-partition column
+    skips files whose bounds cannot match, exactly like native
+    engines; strings are never written (truncation-unsafe) but a
+    hand-built manifest's spec-packed bounds prune on read."""
+    import struct
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "bnds")
+    df = spark.createDataFrame(
+        [(i, float(i) / 10, f"v{i}") for i in range(400)],
+        "id long, x double, val string",
+    )
+    write_iceberg(df.repartitionByRange(8, "id"), path)
+
+    # The manifest really carries bounds for id and x, not for val.
+    _c, meta = _iceberg_current_metadata_named(path)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], path)
+    )
+    _s2, ents = read_avro_file(
+        _iceberg_local_path(mlist[0]["manifest_path"], path)
+    )
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    for e in ents:
+        lows = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+        ups = {kv["key"]: kv["value"] for kv in e["data_file"]["upper_bounds"]}
+        assert ids["id"] in lows and ids["x"] in lows
+        assert ids["val"] not in lows  # strings: write-side excluded
+        lo = struct.unpack("<q", lows[ids["id"]])[0]
+        hi = struct.unpack("<q", ups[ids["id"]])[0]
+        assert 0 <= lo <= hi <= 399
+
+    full = read_iceberg(spark, path)
+    n_all = len(full.inputFiles())
+    assert n_all == 8
+    q = read_iceberg(spark, path, where=[("id", ">=", 395)])
+    assert len(q.inputFiles()) < n_all
+    assert {r.id for r in q.collect()} == set(range(395, 400))
+    qx = read_iceberg(spark, path, where=[("x", "<", 0.35)])
+    assert len(qx.inputFiles()) < n_all
+    assert {r.id for r in qx.collect()} == set(range(4))
+
+    # A merge's restaged survivors carry fresh bounds and still skip.
+    merge_iceberg(
+        spark.createDataFrame([(399, 39.9, "V399")], "id long, x double, val string"),
+        path, key="id", mode="upsert",
+    )
+    q2 = read_iceberg(spark, path, where=[("id", ">=", 395)])
+    assert len(q2.inputFiles()) < len(read_iceberg(spark, path).inputFiles())
+    assert {r.val for r in q2.collect() if r.id == 399} == {"V399"}
+
+    # String bounds CONSUME on read when a (foreign-style) manifest
+    # carries them: plant spec-packed bytes by rewriting one entry.
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_manifest_schemas,
+    )
+
+    p2 = str(tmp_path / "strb")
+    write_iceberg(
+        spark.createDataFrame([(1, "aa"), (2, "bb")], "id long, s string"),
+        p2,
+    )
+    _c2, meta2 = _iceberg_current_metadata_named(p2)
+    snap2 = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s3, mlist2 = read_avro_file(
+        _iceberg_local_path(snap2["manifest-list"], p2)
+    )
+    mp = _iceberg_local_path(mlist2[0]["manifest_path"], p2)
+    sch, ents2 = read_avro_file(mp)
+    sid = {f["name"]: f["id"] for f in meta2["schemas"][0]["fields"]}["s"]
+    for e in ents2:
+        e["data_file"]["lower_bounds"] = [{"key": sid, "value": b"aa"}]
+        e["data_file"]["upper_bounds"] = [{"key": sid, "value": b"bb"}]
+    entry_schema, _ml = _ice_manifest_schemas([])
+    write_avro_file(mp, entry_schema, ents2)
+    z = read_iceberg(spark, p2, where=[("s", ">", "zz")])
+    assert len(z.inputFiles()) == 0 or z.count() == 0
+    assert z.count() == 0
+    ok = read_iceberg(spark, p2, where=[("s", "=", "bb")])
+    assert {r.id for r in ok.collect()} == {2}
+
+
 def test_read_iceberg_hidden_partition_pruning(spark, tmp_path):
     """r12: read_iceberg(where=) prunes manifest entries by partition
     record through the TRANSFORMS — a ts range on a days() spec opens
