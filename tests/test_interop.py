@@ -6546,6 +6546,95 @@ def test_read_hudi_partition_pruning(spark, tmp_path):
     assert z.count() == 0 and set(z.columns) == {"id", "val", "cat"}
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-50, 50),
+            st.integers(0, 40),       # day offset
+            st.sampled_from(["a", "b", "c", "dd"]),
+        ),
+        min_size=1, max_size=20,
+    ),
+    fmt=st.sampled_from(["delta", "iceberg", "hudi"]),
+    layout=st.sampled_from(["flat", "identity", "days", "bucket"]),
+    preds=st.lists(
+        st.tuples(
+            st.sampled_from(["n", "ts", "cat"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+        ),
+        min_size=1, max_size=2,
+    ),
+    pivots=st.tuples(st.integers(-50, 50), st.integers(0, 40)),
+)
+def test_where_pruning_equals_full_filter_fuzz(
+    spark, tmp_path_factory, rows, fmt, layout, preds, pivots
+):
+    """PROPERTY (r12, all three formats): read_*(where=) equals the
+    unpruned read plus the same filter, for every predicate shape over
+    every layout — file skipping must never change RESULTS, only the
+    files opened. (Hudi has no transform layouts; days/bucket degrade
+    to flat there; delta has no transforms either.)"""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+
+    base_day = _dt.datetime(2023, 9, 1, 12, 0)
+    data = [
+        (i, n, base_day + _dt.timedelta(days=d), c)
+        for i, (n, d, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, n long, ts timestamp, cat string"
+    ).repartition(3)
+    path = str(tmp_path_factory.mktemp("wf") / "t")
+
+    if fmt == "iceberg":
+        pb = {
+            "flat": [], "identity": ["cat"], "days": ["days(ts)"],
+            "bucket": ["bucket(3, n)"],
+        }[layout]
+        write_iceberg(df, path, partition_by=pb)
+        reader = lambda **kw: read_iceberg(spark, path, **kw)  # noqa: E731
+    elif fmt == "delta":
+        pb = ["cat"] if layout == "identity" else []
+        write_delta(df, path, mode="error", partition_by=pb)
+        reader = lambda **kw: read_delta(spark, path, **kw)  # noqa: E731
+    else:
+        pb = ["cat"] if layout == "identity" else []
+        write_hudi(df, path, record_key="id", partition_by=pb)
+        reader = lambda **kw: read_hudi(spark, path, **kw)  # noqa: E731
+
+    npivot, dpivot = pivots
+    lits = {
+        "n": npivot,
+        "ts": base_day + _dt.timedelta(days=dpivot),
+        "cat": "b",
+    }
+    where = [(c, op, lits[c]) for c, op in preds]
+    got = {tuple(r) for r in reader(where=where).collect()}
+    full = reader()
+    for c, op, lit in where:
+        col = F.col(c)
+        full = full.filter(
+            {"=": col == F.lit(lit), "<": col < F.lit(lit),
+             "<=": col <= F.lit(lit), ">": col > F.lit(lit),
+             ">=": col >= F.lit(lit)}[op]
+        )
+    assert got == {tuple(r) for r in full.collect()}
+
+
 def test_iceberg_bound_serialization_spec_vectors():
     """Binary single-value serialization (spec Appendix D) round-trips
     and matches hand-packed little-endian bytes for every bound type
