@@ -7722,11 +7722,17 @@ def vacuum_delta(
     return {"deleted_files": deleted, "deleted_cdc_files": deleted_cdc}
 
 
-def read_external(spark: SparkSession, table_path: str) -> DataFrame:
+def read_external(
+    spark: SparkSession, table_path: str,
+    where: list[tuple] | None = None,
+) -> DataFrame:
     """Open a foreign table by SNIFFING its format markers — the
     one-call interop entry point (`_delta_log/` → Delta, `.hoodie/` →
     Hudi, `metadata/*.metadata.json` → Iceberg). Ambiguity (multiple
-    markers) errors rather than guessing."""
+    markers) errors rather than guessing. ``where=`` passes through to
+    the format reader's predicate-driven FILE SKIPPING (X142) —
+    uniform across the trio, exact results via the residual row
+    filter."""
     markers = []
     if os.path.isdir(os.path.join(table_path, _DELTA_LOG)):
         markers.append("delta")
@@ -7745,4 +7751,4 @@ def read_external(spark: SparkSession, table_path: str) -> DataFrame:
         )
     return {"delta": read_delta, "hudi": read_hudi, "iceberg": read_iceberg}[
         markers[0]
-    ](spark, table_path)
+    ](spark, table_path, where=where)

@@ -719,6 +719,12 @@ def test_read_external_sniffs_all_three_formats(spark, tmp_path):
     ipath = _iceberg_fixture(spark, tmp_path)
     assert _rows(read_external(spark, ipath).select("id")) == [(2,), (3,)]
 
+    # where= passes through to the format reader's file skipping.
+    assert _rows(
+        read_external(spark, dpath, where=[("id", "=", 1)]).select("id")
+    ) == [(1,)]
+    assert read_external(spark, ipath, where=[("id", "<", 0)]).count() == 0
+
     with pytest.raises(ValueError, match="cannot identify"):
         read_external(spark, str(tmp_path))
 
