@@ -6641,6 +6641,132 @@ def test_where_pruning_equals_full_filter_fuzz(
     assert got == {tuple(r) for r in full.collect()}
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(0, 9),
+            st.one_of(st.none(), st.tuples(st.integers(0, 45), _strat_val)),
+            min_size=1, max_size=5,
+        ),
+        min_size=1, max_size=3,
+    ),
+    spec=st.sampled_from(["days(ts)", "months(ts)", "bucket(3, id)"]),
+    del_strategy=st.sampled_from(["auto", "mor"]),
+)
+def test_iceberg_transform_merge_fuzz(
+    spark, tmp_path_factory, batches, spec, del_strategy
+):
+    """PROPERTY (r12, X140): any upsert/delete sequence against a
+    TRANSFORM-partitioned Iceberg table reads as the dict model, every
+    live file's partition record matches the transform of its rows
+    (re-checked after a closing compaction when delete files exist)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    base = _dt.datetime(2023, 9, 1, 12, 0)
+    path = str(tmp_path_factory.mktemp("tmf") / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(0, base, "seed")], "id long, ts timestamp, val string"
+        ),
+        path, partition_by=[spec],
+    )
+    model = {0: (base, "seed")}
+    for batch in batches:
+        ups = {
+            k: (base + _dt.timedelta(days=d), v)
+            for k, (d, v) in (
+                (k, dv) for k, dv in batch.items() if dv is not None
+            )
+        }
+        dels = [k for k, dv in batch.items() if dv is None]
+        if ups:
+            merge_iceberg(
+                spark.createDataFrame(
+                    [(k, t, v) for k, (t, v) in ups.items()],
+                    "id long, ts timestamp, val string",
+                ),
+                path, key="id", mode="upsert",
+            )
+            model.update(ups)
+        if dels:
+            merge_iceberg(
+                spark.createDataFrame([(k,) for k in dels], "id long"),
+                path, key="id", mode="delete", strategy=del_strategy,
+            )
+            for k in dels:
+                model.pop(k, None)
+
+    def check():
+        got = {
+            r.id: (r.ts, r.val) for r in read_iceberg(spark, path).collect()
+        }
+        assert got == model
+        # Every live data file's partition record matches its rows.
+        _c, meta = _iceberg_current_metadata_named(path)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], path)
+        )
+        pf_name = next(
+            f["name"]
+            for f in meta["partition-specs"][0]["fields"]
+        )
+        for rec in mlist:
+            if rec.get("content", 0) != 0:
+                continue
+            _s2, ents = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], path)
+            )
+            for e in ents:
+                if e.get("status", 1) == 2:
+                    continue
+                pv = e["data_file"]["partition"][pf_name]
+                fp = _iceberg_local_path(
+                    e["data_file"]["file_path"], path
+                )
+                pdf = spark.read.parquet(fp).collect()
+                for row in pdf:
+                    if spec.startswith("days"):
+                        want = (row.ts.date() - _dt.date(1970, 1, 1)).days
+                    elif spec.startswith("months"):
+                        want = (row.ts.year - 1970) * 12 + row.ts.month - 1
+                    else:
+                        import struct as _st
+
+                        from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+                            _murmur3_32,
+                        )
+
+                        want = (
+                            _murmur3_32(_st.pack("<q", row.id)) & 0x7FFFFFFF
+                        ) % 3
+                    assert pv == want, (spec, pv, want)
+
+    check()
+    if compact_iceberg(spark, path) is not None:
+        check()
+
+
 def test_iceberg_bound_serialization_spec_vectors():
     """Binary single-value serialization (spec Appendix D) round-trips
     and matches hand-packed little-endian bytes for every bound type
