@@ -1727,6 +1727,12 @@ def _delta_stage_files(
                             None if v == "__HIVE_DEFAULT_PARTITION__"
                             else urllib.parse.unquote(v)
                         )
+                stats = _delta_file_stats(os.path.join(root, fname))
+                if stats.get("numRecords", 0) == 0:
+                    # Spark's empty input partitions leave zero-row
+                    # part files; committing them adds dead stat-less
+                    # entries every skipping reader must keep (r12).
+                    continue
                 final_rel = os.path.join(
                     "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
                 )
@@ -1744,7 +1750,7 @@ def _delta_stage_files(
                         # SKIPPING off these (numRecords also powers
                         # metadata-only counts) — a mirror without them
                         # forces full scans in every foreign engine.
-                        "stats": json.dumps(_delta_file_stats(final_abs)),
+                        "stats": json.dumps(stats),
                     }
                 )
     finally:
@@ -5604,6 +5610,15 @@ def _iceberg_stage_files(
                             else urllib.parse.unquote(v)
                         )
                         segs.append(f"{pf['name']}={v}")
+                nrec = pq.ParquetFile(
+                    os.path.join(root, fname)
+                ).metadata.num_rows
+                if nrec == 0:
+                    # Spark's empty input partitions leave zero-row
+                    # part files; committing them would add dead
+                    # manifest entries with no bounds that every
+                    # pruned scan must conservatively keep (r12).
+                    continue
                 final_rel = os.path.join("data", *segs, f"{uuid.uuid4().hex}.parquet")
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
@@ -5617,7 +5632,7 @@ def _iceberg_stage_files(
                     (
                         final_abs,
                         pv,
-                        pq.ParquetFile(final_abs).metadata.num_rows,
+                        nrec,
                         os.path.getsize(final_abs),
                         bounds,
                     )
@@ -6396,6 +6411,7 @@ def read_iceberg_incremental(
     table_path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Iceberg INCREMENTAL APPEND scan (the native engines'
     ``start-snapshot-id``/``end-snapshot-id`` read): rows of exactly
@@ -6408,7 +6424,10 @@ def read_iceberg_incremental(
     there, and guessing would be silently wrong (Delta CDF via
     ``read_delta_changes`` is the row-faithful alternative this
     engine's mirrors publish). An empty range returns a typed empty
-    frame."""
+    frame. ``where=`` applies the same partition/bounds FILE SKIPPING
+    as ``read_iceberg`` (X142) plus the exact residual row filter —
+    an incremental consumer interested in one key range reads only
+    the new files that can hold it."""
     from .avro_lite import read_avro_file
 
     meta = _iceberg_current_metadata(table_path)
@@ -6435,6 +6454,7 @@ def read_iceberg_incremental(
     chain.reverse()
 
     schema = _iceberg_table_schema(meta)
+    prune_plan = _ice_prune_plan(meta, where) if where else []
     paths: list[str] = []
     for sid in chain:
         snap = snaps[sid]
@@ -6460,13 +6480,25 @@ def read_iceberg_incremental(
             for e in entries:
                 if e.get("status", 1) != 1:
                     continue
+                if prune_plan and not _ice_prune_keep(
+                    e["data_file"], prune_plan
+                ):
+                    continue  # partition/bounds skipping (X142)
                 paths.append(
                     _iceberg_local_path(e["data_file"]["file_path"], table_path)
                 )
     if not paths:
         return spark.createDataFrame([], schema)
     rdr = spark.read.schema(schema) if schema is not None else spark.read
-    return rdr.parquet(*paths)
+    out = rdr.parquet(*paths)
+    for col_name, op, lit in where or []:
+        c = F.col(col_name)
+        out = out.filter(
+            {"=": c == F.lit(lit), "<": c < F.lit(lit),
+             "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+             ">=": c >= F.lit(lit)}[op]
+        )
+    return out
 
 
 def write_iceberg_equality_deletes(

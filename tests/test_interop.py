@@ -6099,6 +6099,12 @@ def test_read_iceberg_incremental_appends(spark, tmp_path):
     assert got == {2}
     empty = read_iceberg_incremental(spark, path, s2, s2)
     assert empty.count() == 0 and empty.columns == ["id", "val"]
+    # r12: where= applies bounds file skipping + the exact row filter.
+    w = read_iceberg_incremental(spark, path, s0, where=[("id", ">=", 3)])
+    assert {r.id for r in w.collect()} == {3}
+    assert len(w.inputFiles()) <= 1
+    none = read_iceberg_incremental(spark, path, s0, where=[("id", "<", 0)])
+    assert none.count() == 0
     with pytest.raises(ValueError, match="not an ancestor"):
         read_iceberg_incremental(spark, path, s1, s0)
 
