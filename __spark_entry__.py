@@ -324,6 +324,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #     spec must open strictly fewer files, pinned in-gate, and match
 #     the raw-orders oracle) registers in the TAIL, same protocol;
 #     rotate into a recorded slot in r13.
+#   r13 rotation (closing the three r12 commitments above):
+#     game_user_cdc_e2e_iceberg_days, game_user_cdc_e2e_hudi_evolve
+#     and orders_1996_iceberg_pruned rotate IN to recorded slots.
+#     Rotating OUT, per protocol (each green in ≥2 driver rounds —
+#     all three are green r2-r12, eleven consecutive rounds — and
+#     family-held by a STAYING head gate on the same machinery):
+#     - q4_late_shipment_exists → held by the staying
+#       q18_large_orders (the same left-semi-join-against-a-
+#       filtered/aggregated-subquery machinery; q18 additionally
+#       exercises HAVING over the fact aggregate), + pytest
+#       test_oracle_parity each session.
+#     - q12_shipmode_priority → held by the staying q8_market_share
+#       (conditional CASE-aggregation over a multi-way join — a
+#       superset: share-of conditional agg over a 7-way join) and
+#       orders_grouping_sets (conditional/pivot aggregation, §2 A4),
+#       + pytest each session.
+#     - q13_cust_distribution → held by the staying
+#       customer_churn_features (the same customer LEFT OUTER JOIN
+#       orders + per-customer aggregation machinery, plus the SF5-SF9
+#       scalar-function surface on top), + pytest each session.
+#   r13 addition: orders_1996_sqltext_pruned (SQL-text WHERE drives
+#     manifest-level file skipping — the sqltext twin of
+#     orders_1996_iceberg_pruned; the strictly-fewer-files pin runs
+#     in-gate against the same months(o_orderdate) table, exercising
+#     the sql.py WHERE→where= derivation on the surface the reference
+#     validates its lake with, sample_redshift_ml_sql_query.txt:97,133)
+#     registers in the TAIL (the emb_top_pairs pattern: oracle runs in
+#     pytest via test_oracle_parity every session); rotate into a
+#     recorded slot in r14.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -371,9 +400,9 @@ _DEMOTED_TAIL = [
     "docs_normalized",
     "game_user_cdc_e2e_via_changes",
     "emb_ivf_knn",
-    "game_user_cdc_e2e_iceberg_days",
-    "game_user_cdc_e2e_hudi_evolve",
-    "orders_1996_iceberg_pruned",
+    "q4_late_shipment_exists",
+    "q12_shipmode_priority",
+    "q13_cust_distribution",
 ]
 
 _DRIVER_SLOTS = 50
