@@ -979,6 +979,17 @@ def _delta_replay(table_path: str, version: int | None) -> dict:
     return state
 
 
+_ID_READ_SYNC_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+    "spark.sql.parquet.int96RebaseModeInRead",
+    "spark.sql.adaptive.enabled",
+)
+
+
 def _delta_id_read_session(spark: SparkSession) -> SparkSession:
     """A cached per-parent-session isolated Spark session with
     ``spark.sql.parquet.fieldId.read.enabled`` on, used for ALL
@@ -993,26 +1004,21 @@ def _delta_id_read_session(spark: SparkSession) -> SparkSession:
     parent's runtime state, so the read-relevant runtime confs copy
     over explicitly."""
     iso = getattr(spark, "_tdl_id_read_session", None)
-    if iso is not None:
-        return iso
-    iso = spark.newSession()
-    for k in (
-        "spark.sql.session.timeZone",
-        "spark.sql.shuffle.partitions",
-        "spark.sql.files.maxPartitionBytes",
-        "spark.sql.legacy.parquet.nanosAsLong",
-        "spark.sql.parquet.datetimeRebaseModeInRead",
-        "spark.sql.parquet.int96RebaseModeInRead",
-        "spark.sql.adaptive.enabled",
-    ):
+    if iso is None:
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark._tdl_id_read_session = iso
+    # Re-sync the read-relevant confs from the parent on EVERY call
+    # (r12 advisory: a cached one-shot snapshot silently diverged when
+    # the user later changed session timezone / rebase modes / scan
+    # sizing) — a handful of conf.set calls, negligible next to a scan.
+    for k in _ID_READ_SYNC_CONFS:
         try:
             v = spark.conf.get(k)
         except Exception:
             continue
         if v is not None:
             iso.conf.set(k, v)
-    iso.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark._tdl_id_read_session = iso
     return iso
 
 
@@ -1207,10 +1213,17 @@ def _delta_lit_norm(dtype, v):
                 return v
             return _dt.date.fromisoformat(str(v))
         if t in ("timestamp", "timestamp_ntz"):
-            if isinstance(v, _dt.datetime):
-                return v.replace(tzinfo=None)
-            d = _dt.datetime.fromisoformat(str(v))
-            return d.replace(tzinfo=None)
+            d = (
+                v
+                if isinstance(v, _dt.datetime)
+                else _dt.datetime.fromisoformat(str(v))
+            )
+            if d.tzinfo is not None:
+                # An offset-carrying stats string is an instant:
+                # normalize INTO the UTC domain, never just drop the
+                # offset (r13; pre-r13 dropped it).
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return d
         if t == "string":
             return str(v)
     except (ValueError, TypeError):
@@ -1218,71 +1231,142 @@ def _delta_lit_norm(dtype, v):
     return None  # boolean/binary/nested: no safe ordering here
 
 
+def _delta_where_domain(
+    where_n: list[list[tuple]], schema: StructType, session_tz: str | None
+) -> list[list[tuple]]:
+    """Normalized predicates with each comparison literal pre-mapped
+    into the Delta STATS domain for its column's type — instant
+    columns through the residual filter's own timezone rules
+    (``_utc_instant_lit``, r12 tz advisory), everything else through
+    ``_delta_lit_norm``. A None domain makes the atom contribute no
+    pruning (the residual row filter stays exact)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    out: list[list[tuple]] = []
+    for disj in where_n:
+        mapped: list[tuple] = []
+        for col, op, lit in disj:
+            if op in ("is_null", "is_not_null"):
+                mapped.append((col, op, None))
+                continue
+            dtype = types.get(col)
+            dom = None
+            if dtype is not None:
+                if dtype.typeName() == "timestamp":
+                    dom = _utc_instant_lit(lit, session_tz)
+                else:
+                    dom = _delta_lit_norm(dtype, lit)
+            mapped.append((col, op, dom))
+        out.append(mapped)
+    return out
+
+
+def _delta_atom_possible(
+    add: dict, types: dict, pcols: list[str], phys: dict,
+    col: str, op: str, dom, cache: dict,
+) -> bool:
+    """True when one add action POSSIBLY satisfies one normalized
+    atom, judged from its partitionValues and JSON stats. Conservative
+    on absence; exact-bounds reasoning documented inline."""
+    dtype = types.get(col)
+    if dtype is None:
+        return True
+    pname = phys.get(col, col)
+    if col in pcols:
+        pv = add.get("partitionValues") or {}
+        if pname not in pv and col not in pv:
+            return True
+        raw = pv.get(pname, pv.get(col))
+        if op == "is_null":
+            return raw is None
+        if op == "is_not_null":
+            return raw is not None
+        if raw is None:
+            return False  # the null partition: no comparison matches
+        if dom is None:
+            return True
+        v = _delta_lit_norm(dtype, raw)
+        if v is None:
+            return True
+        try:
+            return {
+                "=": v == dom, "<": v < dom, "<=": v <= dom,
+                ">": v > dom, ">=": v >= dom, "!=": v != dom,
+            }[op]
+        except TypeError:
+            return True
+    stats = cache.get("stats")
+    if stats is None:
+        try:
+            stats = json.loads(add.get("stats") or "null") or {}
+        except ValueError:
+            stats = {}
+        cache["stats"] = stats
+    nulls = stats.get("nullCount") or {}
+    nrec = stats.get("numRecords")
+    nullc = nulls.get(pname)
+    if op == "is_null":
+        return not (nullc == 0)
+    if op == "is_not_null":
+        return not (
+            nrec is not None and nullc is not None
+            and int(nullc) >= int(nrec) > 0
+        )
+    if dom is None:
+        return True
+    if nrec is not None and nullc == nrec and int(nrec) > 0:
+        return False  # all-null column never satisfies a comparison
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    mn = _delta_lit_norm(dtype, mins[pname]) if pname in mins else None
+    mx = _delta_lit_norm(dtype, maxs[pname]) if pname in maxs else None
+    # Delta JSON stats are VALID BOUNDS even when writers truncate
+    # long strings (the protocol's convention, what delta-rs and
+    # Spark-Delta emit: min truncates to a prefix, <= the real min;
+    # max truncates to a prefix with the last code point incremented,
+    # >= the real max) — so ordinary interval exclusion on string
+    # bounds is sound (r12 verdict #4; pre-r13 skipped strings
+    # entirely).
+    try:
+        if op == "!=":
+            # Only an exactly single-valued file excludes !=; a
+            # >=32-char string bound may itself be a truncation
+            # artifact rather than the real value.
+            if mn is not None and mx is not None and mn == mx == dom:
+                return isinstance(dom, str) and len(dom) >= 32
+            return True
+        if op in ("=", "<", "<=") and mn is not None:
+            if (op == "=" and mn > dom) or (op == "<" and mn >= dom) or (
+                op == "<=" and mn > dom
+            ):
+                return False
+        if op in ("=", ">", ">=") and mx is not None:
+            if (op == "=" and mx < dom) or (op == ">" and mx <= dom) or (
+                op == ">=" and mx < dom
+            ):
+                return False
+    except TypeError:
+        return True  # mixed-type comparison: keep the file
+    return True
+
+
 def _delta_prune_keep(
     add: dict, schema: StructType, pcols: list[str], phys: dict,
-    preds: list[tuple],
+    preds_dom: list[list[tuple]],
 ) -> bool:
     """Delta FILE SKIPPING: True when the add action's partitionValues
     and JSON stats (minValues/maxValues/nullCount — what this module's
     own writer emits and native writers maintain) possibly satisfy
-    every predicate. Conservative: missing values keep the file;
-    string columns skip only via partitionValues (parquet writers may
-    TRUNCATE string min/max, so footer-derived string bounds are not
-    trusted for exclusion)."""
+    every AND-ed disjunct, i.e. for each disjunct at least one OR-ed
+    atom possibly holds. ``preds_dom`` is ``_delta_where_domain``
+    output (domain-mapped literals)."""
     types = {f.name: f.dataType for f in schema.fields}
-    stats = None
-    for col, op, lit in preds:
-        dtype = types.get(col)
-        if dtype is None:
-            continue
-        litn = _delta_lit_norm(dtype, lit)
-        if litn is None:
-            continue
-        if col in pcols:
-            pv = (add.get("partitionValues") or {})
-            raw = pv.get(phys.get(col, col), pv.get(col))
-            if raw is None:
-                continue
-            v = _delta_lit_norm(dtype, raw)
-            if v is None:
-                continue
-            ok = {
-                "=": v == litn, "<": v < litn, "<=": v <= litn,
-                ">": v > litn, ">=": v >= litn,
-            }[op]
-            if not ok:
-                return False
-            continue
-        if dtype.typeName() == "string":
-            continue  # truncation-unsafe: rows filter instead
-        if stats is None:
-            try:
-                stats = json.loads(add.get("stats") or "null") or {}
-            except ValueError:
-                stats = {}
-        pname = phys.get(col, col)
-        mins = stats.get("minValues") or {}
-        maxs = stats.get("maxValues") or {}
-        nulls = stats.get("nullCount") or {}
-        nrec = stats.get("numRecords")
-        if (
-            nrec is not None
-            and nulls.get(pname) == nrec
-            and nrec > 0
+    cache: dict = {}
+    for disj in preds_dom:
+        if not any(
+            _delta_atom_possible(add, types, pcols, phys, col, op, dom, cache)
+            for col, op, dom in disj
         ):
-            return False  # all-null column never satisfies a comparison
-        mn = _delta_lit_norm(dtype, mins[pname]) if pname in mins else None
-        mx = _delta_lit_norm(dtype, maxs[pname]) if pname in maxs else None
-        if op in ("=", "<", "<=") and mn is not None:
-            if (op == "=" and mn > litn) or (op == "<" and mn >= litn) or (
-                op == "<=" and mn > litn
-            ):
-                return False
-        if op in ("=", ">", ">=") and mx is not None:
-            if (op == "=" and mx < litn) or (op == ">" and mx <= litn) or (
-                op == ">=" and mx < litn
-            ):
-                return False
+            return False
     return True
 
 
@@ -1323,20 +1407,18 @@ def read_delta(
     with the user's session, and the user's session conf is never
     touched.
 
-    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
-    is Delta FILE SKIPPING (r12): each add action's partitionValues
-    and JSON stats (min/max/nullCount — this writer emits them, native
-    writers maintain them) exclude files that cannot match, so a point
-    lookup on a clustered column opens O(matching files), not
-    O(table). The predicates also apply as a residual ROW filter, so
-    results are exact; string columns skip via partition values only
-    (parquet string min/max may be writer-truncated)."""
-    for _c, _op, _l in where or []:
-        if _op not in _ICE_PRUNE_OPS:
-            raise ValueError(
-                f"unsupported predicate op {_op!r} (supported: "
-                f"{_ICE_PRUNE_OPS})"
-            )
+    ``where=`` (the shared grammar above ``_norm_where``: AND-ed
+    entries of ``= < <= > >= != in 'not in' 'is null' 'is not null'``
+    atoms, a list entry OR-ing its atoms) is Delta FILE SKIPPING
+    (r12, widened r13): each add action's partitionValues and JSON
+    stats (min/max/nullCount — this writer emits them, native writers
+    maintain them) exclude files that cannot match, so a point lookup
+    on a clustered column opens O(matching files), not O(table).
+    String bounds participate: Delta JSON stats are valid bounds even
+    under writer truncation (min a prefix, max tie-broken upward), so
+    interval exclusion is sound. The predicates also apply as a
+    residual ROW filter, so results are exact."""
+    where_n = _norm_where(where)
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version= OR timestamp_ms=, not both")
@@ -1357,10 +1439,14 @@ def read_delta(
     )
 
     adds = list(state["files"].values())
-    if where:
+    if where_n:
+        preds_dom = _delta_where_domain(
+            where_n, schema,
+            spark.conf.get("spark.sql.session.timeZone", None),
+        )
         adds = [
             a for a in adds
-            if _delta_prune_keep(a, schema, pcols, phys, where)
+            if _delta_prune_keep(a, schema, pcols, phys, preds_dom)
         ]
     clean = [a for a in adds if not a.get("deletionVector")]
     dvd = [a for a in adds if a.get("deletionVector")]
@@ -1459,17 +1545,9 @@ def read_delta(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
-    if where:
-        # Residual ROW filter: skipping kept a superset of files; the
-        # predicates themselves make the result exact.
-        for col_name, op, lit in where:
-            c = F.col(col_name)
-            out = out.filter(
-                {"=": c == F.lit(lit), "<": c < F.lit(lit),
-                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
-                 ">=": c >= F.lit(lit)}[op]
-            )
-    return out
+    # Residual ROW filter: skipping kept a superset of files; the
+    # predicates themselves make the result exact.
+    return _where_residual(out, where_n)
 
 
 def _delta_cdf_commit_entries(
@@ -3086,63 +3164,38 @@ def read_hudi(
     deltacommits, and replacecommits after the instant are
     invisible.
 
-    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
-    prunes FILE SLICES whose hive partition path cannot match an
-    EQUALITY predicate on a partition column (Hudi partition values
-    live as path strings, so only equality is string-safe); every
-    predicate also applies as a residual ROW filter, so results are
-    exact and non-partition predicates filter rows only."""
-    for _c, _op, _l in where or []:
-        if _op not in _ICE_PRUNE_OPS:
-            raise ValueError(
-                f"unsupported predicate op {_op!r} (supported: "
-                f"{_ICE_PRUNE_OPS})"
-            )
-
-    def _residual(df: DataFrame) -> DataFrame:
-        for col_name, op, lit in where or []:
-            c = F.col(col_name)
-            df = df.filter(
-                {"=": c == F.lit(lit), "<": c < F.lit(lit),
-                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
-                 ">=": c >= F.lit(lit)}[op]
-            )
-        return df
+    ``where=`` (the shared grammar above ``_norm_where``) prunes FILE
+    SLICES whose hive partition path cannot match: equality atoms
+    compare against the URL-unquoted path segment for literal types
+    whose Python ``str()`` provably matches Spark's cast-to-string
+    (string / int / date — bools render ``True`` vs Spark's ``true``
+    and float/decimal renderings drift, so those never prune, r12
+    advisory); null atoms match the ``__HIVE_DEFAULT_PARTITION__``
+    segment. Every predicate also applies as a residual ROW filter,
+    so results are exact and non-partition predicates filter rows
+    only."""
+    where_n = _norm_where(where)
 
     try:
         completed, latest, slice_logs = _hudi_file_slices(
             table_path, as_of=as_of_instant
         )
     except FileNotFoundError:
-        hist = _hudi_any_base_file(table_path, as_of=as_of_instant)
-        if hist is None:
+        df = _hudi_empty_frame(
+            spark, table_path, as_of_instant, drop_meta, where_n
+        )
+        if df is None:
             raise
-        df = spark.read.parquet(hist).filter(F.lit(False))
-        if drop_meta:
-            df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-        return _residual(df)
-    if where:
-        eqs = [(c, str(lit)) for c, op, lit in where if op == "="]
-
-        def _pp_keep(pp: str) -> bool:
-            segs = dict(
-                s.partition("=")[::2] for s in pp.split("/") if "=" in s
-            )
-            return all(
-                segs.get(c) is None or segs[c] == v for c, v in eqs
-            )
-
-        keep = {k for k in latest if _pp_keep(k[0])}
+        return df
+    if where_n:
+        keep = {k for k in latest if _hudi_pp_keep(k[0], where_n)}
         latest = {k: v for k, v in latest.items() if k in keep}
         slice_logs = {k: v for k, v in slice_logs.items() if k in keep}
         if not latest:
-            hist = _hudi_any_base_file(table_path, as_of=as_of_instant)
-            if hist is not None:
-                df = spark.read.parquet(hist).filter(F.lit(False))
-                if drop_meta:
-                    df = df.drop(
-                        *[c for c in df.columns if c.startswith("_hoodie_")]
-                    )
+            df = _hudi_empty_frame(
+                spark, table_path, as_of_instant, drop_meta, where_n
+            )
+            if df is not None:
                 return df
     base_paths = [p for _ts, p in latest.values()]
     # mergeSchema: post-evolution base files carry columns the
@@ -3153,20 +3206,9 @@ def read_hudi(
     # (native Hudi's TableSchemaResolver): a column evolved in a
     # deltacommit may exist ONLY in avro log blocks until compaction —
     # extend the frame with typed nulls so the log merge can fill it.
-    cschema = _hudi_commit_schema(table_path, as_of_instant)
-    for fld in (cschema or {}).get("fields", []):
-        n = fld.get("name", "")
-        if n.startswith("_hoodie_") or not n or n in df.columns:
-            continue
-        try:
-            df = df.withColumn(
-                n, F.lit(None).cast(_hudi_spark_type_of_avro(fld.get("type")))
-            )
-        except NotImplementedError:
-            # A foreign schema type this engine cannot map: the column
-            # had no base-file presence either — keep the pre-r12
-            # behavior (absent) rather than failing the whole read.
-            continue
+    df = _hudi_extend_commit_schema(
+        df, _hudi_commit_schema(table_path, as_of_instant)
+    )
     if slice_logs:
         if "_hoodie_record_key" not in df.columns:
             raise NotImplementedError(
@@ -3180,7 +3222,95 @@ def read_hudi(
         df = _hudi_merge_log_frame(df, logdf)
     if drop_meta:
         df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-    return _residual(df)
+    return _where_residual(df, where_n)
+
+
+def _hudi_extend_commit_schema(df: DataFrame, cschema: dict | None) -> DataFrame:
+    """Extend a Hudi frame with typed-null columns the commit-metadata
+    schema declares beyond the files scanned — the single
+    implementation behind the normal read AND the empty-frame branches
+    (r12 advisory: an evolved log-only column must exist on the empty
+    result too, or downstream selects fail only when the result
+    happens to be empty)."""
+    for fld in (cschema or {}).get("fields", []):
+        n = fld.get("name", "")
+        if n.startswith("_hoodie_") or not n or n in df.columns:
+            continue
+        try:
+            df = df.withColumn(
+                n, F.lit(None).cast(_hudi_spark_type_of_avro(fld.get("type")))
+            )
+        except NotImplementedError:
+            # A foreign schema type this engine cannot map: the column
+            # had no base-file presence either — keep the pre-r12
+            # behavior (absent) rather than failing the whole read.
+            continue
+    return df
+
+
+def _hudi_empty_frame(
+    spark: SparkSession, table_path: str, as_of_instant: str | None,
+    drop_meta: bool, where_n: list[list[tuple]],
+) -> DataFrame | None:
+    """The typed EMPTY frame for a Hudi table with no live file slices
+    (deleted to empty, or ``where=`` pruned every slice) — schema from
+    one historical base file extended with the commit-metadata schema
+    (log-only evolved columns included), the same contract as the
+    normal read path. None when no historical base file exists."""
+    hist = _hudi_any_base_file(table_path, as_of=as_of_instant)
+    if hist is None:
+        return None
+    df = spark.read.parquet(hist).filter(F.lit(False))
+    df = _hudi_extend_commit_schema(
+        df, _hudi_commit_schema(table_path, as_of_instant)
+    )
+    if drop_meta:
+        df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+    return _where_residual(df, where_n)
+
+
+def _hudi_pp_keep(pp: str, where_n: list[list[tuple]]) -> bool:
+    """True when a Hudi hive partition path POSSIBLY satisfies every
+    AND-ed disjunct. Segments are URL-unquoted before comparison
+    (``hoodie.datasource.write.partitionpath.urlencode=true`` layouts,
+    r12 advisory); equality prunes only for literal types whose
+    ``str()`` provably matches Spark's cast-to-string."""
+    import datetime as _dt
+
+    segs: dict[str, str] = {}
+    for s in pp.split("/"):
+        if "=" not in s:
+            # A non-k=v segment means the layout carries RAW partition
+            # values (native Hudi's urlencode=false default writes
+            # slashes through, nesting directories) — the path cannot
+            # be parsed back unambiguously, so nothing prunes and the
+            # residual row filter does all the work.
+            return True
+        k, _, v = s.partition("=")
+        segs[k] = urllib.parse.unquote(v)
+
+    def _atom_possible(col: str, op: str, lit) -> bool:
+        v = segs.get(col)
+        if v is None:
+            return True  # not a path column: rows filter instead
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            return op == "is_null"
+        if op == "is_null":
+            return False
+        if op == "is_not_null":
+            return True
+        if op != "=":
+            return True  # path strings carry no safe ordering
+        if isinstance(lit, bool) or isinstance(lit, _dt.datetime):
+            return True  # str(True)='True' vs 'true'; ts renders drift
+        if not isinstance(lit, (str, int, _dt.date)):
+            return True  # float/decimal renderings drift
+        return str(lit) == v
+
+    for disj in where_n:
+        if not any(_atom_possible(col, op, lit) for col, op, lit in disj):
+            return False
+    return True
 
 
 def _hudi_merge_log_frame(base: DataFrame, logdf: DataFrame) -> DataFrame:
@@ -4589,7 +4719,207 @@ def _iceberg_table_schema(meta: dict) -> StructType | None:
     return _iceberg_spark_type({"type": "struct", "fields": sch["fields"]})
 
 
-_ICE_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+# -- Predicate pushdown: the shared ``where=`` language ---------------------
+#
+# Every foreign-format reader takes the same predicate shape (r13,
+# widening the r12 ``= < <= > >=`` AND-only language to the
+# reference's own IN-shaped CDC filters, SURVEY §2.3 F3):
+#
+#     where=[entry, ...]                 # entries AND together
+#     entry  = atom | [atom, ...]        # a LIST of atoms ORs them
+#     atom   = (col, op, literal)
+#     op     = '=' '<' '<=' '>' '>=' '!=' 'in' 'not in'
+#              'is null' 'is not null'   # null ops take literal None
+#
+# ``in`` takes a list literal and expands to OR-of-equalities;
+# ``not in`` expands to AND-of-``!=`` and is therefore only legal as a
+# top-level entry (never inside an OR group). The NORMALIZED form all
+# per-format skipping code consumes is AND-of-OR: a list of DISJUNCTS,
+# each a list of (col, op, lit) atoms with op in _WHERE_NORM_OPS.
+
+_WHERE_NORM_OPS = ("=", "<", "<=", ">", ">=", "!=", "is_null", "is_not_null")
+_WHERE_OP_ALIASES = {
+    "==": "=", "<>": "!=", "not in": "not_in",
+    "is null": "is_null", "isnull": "is_null",
+    "is not null": "is_not_null", "isnotnull": "is_not_null",
+}
+_WHERE_OPS_MSG = (
+    "= < <= > >= != in 'not in' 'is null' 'is not null'"
+)
+
+
+def _norm_where_atom(atom) -> list[tuple]:
+    """One user atom -> its normalized atoms (``in`` expands to
+    several ``=`` atoms OR-ed inside the enclosing disjunct)."""
+    try:
+        col, op, lit = atom
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"a where= atom must be (column, op, literal), got {atom!r}"
+        ) from None
+    if not isinstance(col, str) or not isinstance(op, str):
+        raise ValueError(
+            f"a where= atom must be (column, op, literal), got {atom!r}"
+        )
+    op_n = op.strip().lower()
+    op_n = _WHERE_OP_ALIASES.get(op_n, op_n)
+    if op_n == "in":
+        vals = (
+            list(lit)
+            if isinstance(lit, (list, tuple, set, frozenset))
+            else None
+        )
+        if not vals:
+            raise ValueError(
+                "IN takes a non-empty list/tuple/set literal"
+            )
+        if any(v is None for v in vals):
+            raise ValueError(
+                "IN lists may not contain None (SQL NULL never "
+                "matches =; use 'is null' as an OR-ed atom)"
+            )
+        return [(col, "=", v) for v in vals]
+    if op_n in ("is_null", "is_not_null"):
+        if lit is not None:
+            raise ValueError(f"{op!r} takes literal None, got {lit!r}")
+        return [(col, op_n, None)]
+    if op_n not in ("=", "<", "<=", ">", ">=", "!="):
+        raise ValueError(
+            f"unsupported predicate op {op!r} (supported: "
+            f"{_WHERE_OPS_MSG})"
+        )
+    if lit is None:
+        raise ValueError(
+            f"{op!r} against None never matches a row; use 'is null'"
+        )
+    return [(col, op_n, lit)]
+
+
+def _norm_where(where) -> list[list[tuple]]:
+    """User ``where=`` -> AND-of-OR normal form: a list of disjuncts,
+    each a non-empty list of (col, op, lit) atoms. Raises on ops or
+    shapes outside the documented grammar — a predicate this engine
+    cannot push must fail loudly, never silently return a superset."""
+    out: list[list[tuple]] = []
+    for entry in where or []:
+        is_atom = (
+            isinstance(entry, (list, tuple))
+            and len(entry) == 3
+            and isinstance(entry[0], str)
+            and isinstance(entry[1], str)
+        )
+        if is_atom:
+            col, op, lit = entry
+            op_n = op.strip().lower()
+            op_n = _WHERE_OP_ALIASES.get(op_n, op_n)
+            if op_n == "not_in":
+                vals = (
+                    list(lit)
+                    if isinstance(lit, (list, tuple, set, frozenset))
+                    else None
+                )
+                if not vals:
+                    raise ValueError(
+                        "NOT IN takes a non-empty list/tuple/set literal"
+                    )
+                if any(v is None for v in vals):
+                    raise ValueError(
+                        "NOT IN lists may not contain None (SQL NULL "
+                        "makes the whole NOT IN never match)"
+                    )
+                out.extend([(col, "!=", v)] for v in vals)
+                continue
+            out.append(_norm_where_atom(entry))
+            continue
+        if isinstance(entry, (list, tuple)) and entry:
+            disj: list[tuple] = []
+            for a in entry:
+                if (
+                    isinstance(a, (list, tuple)) and len(a) == 3
+                    and isinstance(a[1], str)
+                    and _WHERE_OP_ALIASES.get(
+                        a[1].strip().lower(), a[1].strip().lower()
+                    ) == "not_in"
+                ):
+                    raise ValueError(
+                        "'not in' cannot appear inside an OR group "
+                        "(it expands to an AND of !=)"
+                    )
+                disj.extend(_norm_where_atom(a))
+            out.append(disj)
+            continue
+        raise ValueError(
+            f"a where= entry must be an atom (col, op, literal) or a "
+            f"non-empty list of atoms (OR group), got {entry!r}"
+        )
+    return out
+
+
+def _where_residual(df: DataFrame, where_n: list[list[tuple]]) -> DataFrame:
+    """The exact residual ROW filter for normalized predicates — file
+    skipping keeps a SUPERSET of files; this makes the result exact.
+    Built from the ORIGINAL literals, so Spark's own literal semantics
+    (naive datetimes in the driver's local timezone, ISO strings cast
+    in the session timezone) are the single source of row truth."""
+    for disj in where_n:
+        cond = None
+        for col_name, op, lit in disj:
+            c = F.col(col_name)
+            if op == "is_null":
+                a = c.isNull()
+            elif op == "is_not_null":
+                a = c.isNotNull()
+            else:
+                a = {
+                    "=": c == F.lit(lit), "<": c < F.lit(lit),
+                    "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+                    ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
+                }[op]
+            cond = a if cond is None else (cond | a)
+        df = df.filter(cond)
+    return df
+
+
+def _utc_instant_lit(lit, session_tz: str | None):
+    """A predicate literal against an INSTANT-typed column (Delta
+    ``timestamp``, Iceberg ``timestamptz``) as a UTC-naive datetime in
+    the file-stats domain — or None when unmappable (no pruning; the
+    residual row filter still applies). Mirrors what the residual
+    filter itself resolves the literal to (verified empirically on
+    classic PySpark, r12 tz advisory): a NAIVE Python datetime becomes
+    an instant in the DRIVER'S LOCAL timezone (py4j's converter — NOT
+    the session timezone), an ISO STRING is cast by Spark in the
+    SESSION timezone, an aware datetime carries its own offset, and a
+    bare date compares through a session-timezone midnight cast."""
+    import datetime as _dt
+
+    def _session_zone():
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(session_tz) if session_tz else _dt.timezone.utc
+
+    if isinstance(lit, str):
+        try:
+            d = _dt.datetime.fromisoformat(lit)
+        except ValueError:
+            return None
+        if d.tzinfo is None:
+            try:
+                d = d.replace(tzinfo=_session_zone())
+            except Exception:  # noqa: BLE001 — unknown zone: no pruning
+                return None
+    elif isinstance(lit, _dt.datetime):
+        d = lit if lit.tzinfo is not None else lit.astimezone()
+    elif isinstance(lit, _dt.date):
+        try:
+            d = _dt.datetime(
+                lit.year, lit.month, lit.day, tzinfo=_session_zone()
+            )
+        except Exception:  # noqa: BLE001
+            return None
+    else:
+        return None
+    return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
 
 
 def _ice_part_domain(transform: str, src_ice_type: str, lit):
@@ -4616,6 +4946,21 @@ def _ice_part_domain(transform: str, src_ice_type: str, lit):
     if t == "identity":
         if src_ice_type == "date":
             return (_as_dt(lit).date() - _dt.date(1970, 1, 1)).days
+        if src_ice_type in ("timestamp", "timestamptz"):
+            # Manifest partition records store identity-timestamp
+            # values as epoch-micros longs (r12 advisory: returning
+            # the raw datetime compared datetime==int -> False and
+            # silently pruned every file).
+            d = _as_dt(lit).replace(tzinfo=_dt.timezone.utc)
+            return int(d.timestamp() * 1_000_000)
+        if src_ice_type in ("int", "long"):
+            return int(lit)
+        if src_ice_type in ("float", "double"):
+            return float(lit)
+        if src_ice_type == "string":
+            if isinstance(lit, (bytes, bool)):
+                raise TypeError(f"not a string literal: {lit!r}")
+            return str(lit)
         return lit
     if t in ("days", "months", "years", "hours"):
         d = _as_dt(lit)
@@ -4655,20 +5000,103 @@ def _ice_part_domain(transform: str, src_ice_type: str, lit):
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
-def _ice_prune_plan(meta: dict, where) -> list[tuple]:
-    """Compile ``where`` predicates into manifest-entry constraints a
-    file must POSSIBLY satisfy to be scanned — two kinds:
+def _ice_atom_constraints(
+    col_name: str, op: str, lit,
+    part_fields: list[dict], col_types: dict, session_tz: str | None,
+) -> list[tuple]:
+    """One normalized atom -> the manifest-entry constraints that must
+    ALL possibly hold for the atom to possibly hold on a file — kinds:
 
     - ``("part", field name, op, domain literal)`` against the
       PARTITION RECORD, mapped through the spec transform (monotonic
-      transforms support every comparison; ``bucket`` equality only);
+      transforms support every comparison; ``bucket`` equality only;
+      ``!=`` excludes only via an IDENTITY record pinning every row);
     - ``("bounds", field id, ice type, op, domain literal)`` against
-      the entry's ``lower_bounds``/``upper_bounds`` column stats
-      (binary single-value serialization, spec field-ids 125/128) —
-      what skips files on NON-partition columns.
+      ``lower_bounds``/``upper_bounds`` column stats (spec field-ids
+      125/128) — what skips files on NON-partition columns (``!=``
+      excludes only a single-valued file, lower==upper==lit);
+    - ``("part_null", field name, want_null)`` — null-preserving
+      transforms put null source rows in the null partition, so a
+      non-null record excludes ``is null`` and a null record excludes
+      ``is not null`` (identity AND temporal/bucket/truncate alike);
+    - ``("nulls", field id, want_null)`` against the entry's
+      ``null_value_counts``/``record_count``: count 0 excludes
+      ``is null``; count == record_count excludes ``is not null``.
 
-    Predicates that map to neither contribute no constraint (the
-    residual row filter still applies)."""
+    An EMPTY return means the atom is unmappable on this table — it
+    contributes no pruning and the caller must treat the atom as
+    possibly-true (the residual row filter stays exact)."""
+    cons: list[tuple] = []
+    fid_t = col_types.get(col_name)
+
+    def _null_preserving(transform: str) -> bool:
+        # The spec's standard transforms all map null -> null and
+        # non-null -> non-null; anything else (``void`` nulls every
+        # row's record regardless of the source) must not feed
+        # null-based or comparison-based record reasoning.
+        t = _ice_norm_transform(transform)
+        return t in ("identity", "days", "months", "years", "hours") or bool(
+            re.fullmatch(r"(bucket|truncate)\[\d+\]", t)
+        )
+
+    if op in ("is_null", "is_not_null"):
+        want_null = op == "is_null"
+        for pf in part_fields:
+            if pf["src"] == col_name and _null_preserving(
+                pf.get("transform") or "identity"
+            ):
+                cons.append(("part_null", pf["name"], want_null))
+        if fid_t:
+            cons.append(("nulls", fid_t[0], want_null))
+        return cons
+    # Instant-typed literals pre-map through the session/driver
+    # timezone rules the residual filter itself uses (r12 advisory:
+    # pruning in a non-UTC session must never exclude files whose
+    # rows the residual filter would keep).
+    ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
+    lit_d = lit
+    if ice_t in ("timestamp", "timestamptz"):
+        lit_d = _utc_instant_lit(lit, session_tz)
+        if lit_d is None:
+            return []
+    for pf in part_fields:
+        if pf["src"] != col_name:
+            continue
+        t = _ice_norm_transform(pf.get("transform"))
+        if op == "!=":
+            if t != "identity":
+                continue  # transformed record does not pin row values
+            try:
+                dom = _ice_part_domain(t, pf["src_ice_type"], lit_d)
+            except (NotImplementedError, TypeError, ValueError):
+                continue
+            cons.append(("part", pf["name"], "!=", dom))
+            continue
+        if t.startswith("bucket") and op != "=":
+            continue  # buckets scramble order: equality only
+        try:
+            dom = _ice_part_domain(t, pf["src_ice_type"], lit_d)
+        except (NotImplementedError, TypeError, ValueError):
+            continue  # unmappable literal: no constraint, stay safe
+        cons.append(("part", pf["name"], op, dom))
+    if ice_t in _ICE_BOUND_TYPES:
+        dom = _ice_col_domain(ice_t, lit_d)
+        if dom is not None:
+            cons.append(("bounds", fid_t[0], ice_t, op, dom))
+    return cons
+
+
+def _ice_prune_plan(
+    meta: dict, where_n: list[list[tuple]], session_tz: str | None = None
+) -> list[list[list[tuple]]]:
+    """Compile NORMALIZED ``where`` predicates (AND-of-OR,
+    ``_norm_where``) into a manifest pruning plan: a list of
+    DISJUNCTS, each a list of ALTERNATIVES (one per OR-ed atom), each
+    a list of constraints (``_ice_atom_constraints``) that must all
+    possibly hold. A file is kept iff, for every disjunct, at least
+    one alternative possibly holds. A disjunct containing any
+    unmappable atom is dropped whole (that atom may be true on any
+    file — only the residual row filter can decide)."""
     spec = next(
         (
             s for s in meta.get("partition-specs", [])
@@ -4694,31 +5122,20 @@ def _ice_prune_plan(meta: dict, where) -> list[tuple]:
         f["name"]: (int(f["id"]), f.get("type"))
         for f in cur_schema.get("fields", [])
     }
-    plan: list[tuple] = []
-    for col_name, op, lit in where:
-        if op not in _ICE_PRUNE_OPS:
-            raise ValueError(
-                f"unsupported predicate op {op!r} (supported: "
-                f"{_ICE_PRUNE_OPS})"
+    plan: list[list[list[tuple]]] = []
+    for disj in where_n:
+        alts: list[list[tuple]] = []
+        prunable = True
+        for col_name, op, lit in disj:
+            cons = _ice_atom_constraints(
+                col_name, op, lit, part_fields, col_types, session_tz
             )
-        if lit is None:
-            raise ValueError("null predicate literals do not prune")
-        for pf in part_fields:
-            if pf["src"] != col_name:
-                continue
-            t = _ice_norm_transform(pf.get("transform"))
-            if t.startswith("bucket") and op != "=":
-                continue  # buckets scramble order: equality only
-            try:
-                dom = _ice_part_domain(t, pf["src_ice_type"], lit)
-            except (NotImplementedError, TypeError, ValueError):
-                continue  # unmappable literal: no constraint, stay safe
-            plan.append(("part", pf["name"], op, dom))
-        fid_t = col_types.get(col_name)
-        if fid_t and isinstance(fid_t[1], str) and fid_t[1] in _ICE_BOUND_TYPES:
-            dom = _ice_col_domain(fid_t[1], lit)
-            if dom is not None:
-                plan.append(("bounds", fid_t[0], fid_t[1], op, dom))
+            if not cons:
+                prunable = False
+                break
+            alts.append(cons)
+        if prunable and alts:
+            plan.append(alts)
     return plan
 
 
@@ -4744,53 +5161,118 @@ def _ice_bounds_map(raw) -> dict[int, bytes]:
     return out
 
 
-def _ice_prune_keep(df_rec: dict, plan: list[tuple]) -> bool:
-    """True when a manifest entry's partition record and column bounds
-    possibly satisfy every compiled constraint — null/absent values
-    keep the file (conservative)."""
+def _ice_constraint_possible(df_rec: dict, con: tuple, ctx: dict) -> bool:
+    """True when one compiled constraint POSSIBLY holds on a manifest
+    entry — null/absent metadata keeps the file (conservative), and an
+    uncoercible comparison keeps it too (r12 advisory: a foreign
+    partition record of an unexpected type must contribute no
+    constraint, never wrongly exclude files)."""
+    kind = con[0]
     pv = df_rec.get("partition") or {}
-    lowers = uppers = None
-    for kind, *rest in plan:
-        if kind == "part":
-            name, op, dom = rest
-            v = pv.get(name)
-            if v is None:
-                continue
+    if kind == "part":
+        _k, name, op, dom = con
+        if name not in pv:
+            return True
+        v = pv.get(name)
+        if op == "is_null":  # pragma: no cover — encoded as part_null
+            return v is None
+        if v is None:
+            # Null-preserving transforms: the null partition holds
+            # exactly the null source rows; no comparison matches.
+            return False
+        try:
             if op == "=":
-                ok = v == dom
-            elif op in ("<", "<="):
+                return v == dom
+            if op == "!=":
+                # An IDENTITY record pins every row's value to v.
+                return v != dom
+            if op in ("<", "<="):
                 # The file holds SOME rows at partition value v; a
                 # bound lit>x maps to transformed-domain v<=dom
                 # possibly holding.
-                ok = v <= dom
-            else:
-                ok = v >= dom
-            if not ok:
-                return False
-            continue
-        fid, itype, op, dom = rest
-        if lowers is None:
-            lowers = _ice_bounds_map(df_rec.get("lower_bounds"))
-            uppers = _ice_bounds_map(df_rec.get("upper_bounds"))
-        lo = (
-            _ice_bound_deser(itype, lowers[fid]) if fid in lowers else None
-        )
-        hi = (
-            _ice_bound_deser(itype, uppers[fid]) if fid in uppers else None
-        )
-        try:
-            if op in ("=", "<", "<=") and lo is not None:
-                if (op == "=" and lo > dom) or (op == "<" and lo >= dom) or (
-                    op == "<=" and lo > dom
-                ):
-                    return False
-            if op in ("=", ">", ">=") and hi is not None:
-                if (op == "=" and hi < dom) or (op == ">" and hi <= dom) or (
-                    op == ">=" and hi < dom
-                ):
-                    return False
+                return v <= dom
+            return v >= dom
         except TypeError:
-            continue  # mixed-type comparison: keep the file
+            return True  # uncoercible: keep the file
+    if kind == "part_null":
+        _k, name, want_null = con
+        if name not in pv:
+            return True
+        return (pv.get(name) is None) == want_null
+    if kind == "nulls":
+        _k, fid, want_null = con
+        counts = ctx.get("nulls")
+        if counts is None:
+            counts = _ice_counts_map(df_rec.get("null_value_counts"))
+            ctx["nulls"] = counts
+        nc = counts.get(fid)
+        if nc is None:
+            return True
+        if want_null:
+            return nc > 0
+        nrec = df_rec.get("record_count")
+        return not (nrec is not None and int(nrec) > 0 and nc >= int(nrec))
+    _k, fid, itype, op, dom = con
+    if ctx.get("lowers") is None:
+        ctx["lowers"] = _ice_bounds_map(df_rec.get("lower_bounds"))
+        ctx["uppers"] = _ice_bounds_map(df_rec.get("upper_bounds"))
+    lowers, uppers = ctx["lowers"], ctx["uppers"]
+    lo = _ice_bound_deser(itype, lowers[fid]) if fid in lowers else None
+    hi = _ice_bound_deser(itype, uppers[fid]) if fid in uppers else None
+    try:
+        if op == "!=":
+            # Only an exactly single-valued file excludes != (bounds
+            # are exact values per spec — truncation must adjust).
+            return not (lo is not None and hi is not None and lo == hi == dom)
+        if op in ("=", "<", "<=") and lo is not None:
+            if (op == "=" and lo > dom) or (op == "<" and lo >= dom) or (
+                op == "<=" and lo > dom
+            ):
+                return False
+        if op in ("=", ">", ">=") and hi is not None:
+            if (op == "=" and hi < dom) or (op == ">" and hi <= dom) or (
+                op == ">=" and hi < dom
+            ):
+                return False
+    except TypeError:
+        return True  # mixed-type comparison: keep the file
+    return True
+
+
+def _ice_counts_map(raw) -> dict[int, int]:
+    """A manifest counts value (avro array-as-map of key/value
+    records, or a plain dict from foreign decoders) -> {field id:
+    count}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        out = {}
+        for k, v in raw.items():
+            try:
+                out[int(k)] = int(v)
+            except (ValueError, TypeError):
+                continue
+        return out
+    out = {}
+    for kv in raw:
+        try:
+            out[int(kv["key"])] = int(kv["value"])
+        except (KeyError, ValueError, TypeError):
+            continue
+    return out
+
+
+def _ice_prune_keep(df_rec: dict, plan: list[list[list[tuple]]]) -> bool:
+    """True when a manifest entry possibly satisfies every disjunct —
+    i.e. for each AND-ed disjunct, at least one OR-ed alternative's
+    constraints all possibly hold."""
+    ctx: dict = {}
+    for alts in plan:
+        if not any(
+            all(_ice_constraint_possible(df_rec, con, ctx) for con in cons)
+            for cons in alts
+        ):
+            return False
     return True
 
 
@@ -4824,22 +5306,22 @@ def read_iceberg(
     serves the latest snapshot whose timestamp-ms is <= the instant,
     resolved from the snapshot log.
 
-    ``where=[(col, op, literal), ...]`` (ops ``= < <= > >=``, AND-ed)
-    is HIDDEN-PARTITION PRUNING — the point of the reference's
-    ``PARTITIONED BY (days(ts))`` layout at 100 TB: each predicate on
-    a partition SOURCE column maps into the transform's value domain
-    (epoch days for ``days``, murmur3 bucket for ``bucket[N]``
-    equality, ...) and manifest entries whose partition record cannot
-    satisfy it never reach the scan — the plan opens O(matching
-    partitions) files instead of O(table). The same predicates also
-    apply as a residual ROW filter, so the result is exact, not a
-    superset; predicates on non-partition columns filter rows only."""
-    for _c, _op, _l in where or []:
-        if _op not in _ICE_PRUNE_OPS:
-            raise ValueError(
-                f"unsupported predicate op {_op!r} (supported: "
-                f"{_ICE_PRUNE_OPS})"
-            )
+    ``where=`` (the shared grammar above ``_norm_where``: AND-ed
+    entries of ``= < <= > >= != in 'not in' 'is null' 'is not null'``
+    atoms, a list entry OR-ing its atoms) is HIDDEN-PARTITION PRUNING
+    — the point of the reference's ``PARTITIONED BY (days(ts))``
+    layout at 100 TB: each predicate on a partition SOURCE column maps
+    into the transform's value domain (epoch days for ``days``,
+    murmur3 bucket for ``bucket[N]`` equality — IN prunes bucketed
+    tables to exactly its buckets, ...) and manifest entries whose
+    partition record cannot satisfy it never reach the scan — the plan
+    opens O(matching partitions) files instead of O(table). Null
+    predicates prune via null-partition records and
+    ``null_value_counts``. The same predicates also apply as a
+    residual ROW filter, so the result is exact, not a superset;
+    predicates on non-partition columns skip via column bounds and
+    filter rows."""
+    where_n = _norm_where(where)
     meta = _iceberg_current_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if as_of_ms is not None:
@@ -4900,7 +5382,13 @@ def read_iceberg(
         s = entry.get("sequence_number")
         return int(s) if s is not None else default
 
-    prune_plan = _ice_prune_plan(meta, where) if where else []
+    prune_plan = (
+        _ice_prune_plan(
+            meta, where_n, spark.conf.get("spark.sql.session.timeZone", None)
+        )
+        if where_n
+        else []
+    )
     # (path, data sequence number) per live data file.
     files: list[tuple[str, int]] = []
     for mpath in manifests:
@@ -5070,16 +5558,9 @@ def read_iceberg(
         df = df.join(
             _delete_side(dels, pos_delete_files), ["__fp", "__ri"], "left_anti"
         ).select(*out_cols)
-    if where:
-        # Residual ROW filter: pruning kept a superset of files; the
-        # predicates themselves make the result exact.
-        for col_name, op, lit in where:
-            c = F.col(col_name)
-            df = df.filter(
-                {"=": c == F.lit(lit), "<": c < F.lit(lit),
-                 "<=": c <= F.lit(lit), ">": c > F.lit(lit),
-                 ">=": c >= F.lit(lit)}[op]
-            )
+    # Residual ROW filter: pruning kept a superset of files; the
+    # predicates themselves make the result exact.
+    df = _where_residual(df, where_n)
     return df
 
 
@@ -5499,31 +5980,46 @@ def _ice_spec_part_fields(spec: dict, cur_schema: dict) -> list[dict]:
 
 
 def _ice_file_bounds(
-    path: str, bounds_fields: dict[str, tuple[int, str]]
-) -> tuple[list[dict], list[dict]]:
-    """(lower_bounds, upper_bounds) manifest map entries for one
-    staged parquet file — per-column footer min/max aggregated across
-    row groups and serialized per spec Appendix D. Unstatable columns
-    are omitted (readers treat absence as 'cannot skip')."""
+    path: str,
+    bounds_fields: dict[str, tuple[int, str]],
+    count_fields: dict[str, int] | None = None,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(lower_bounds, upper_bounds, null_value_counts) manifest map
+    entries for one staged parquet file — per-column footer stats
+    aggregated across row groups, bounds serialized per spec Appendix
+    D, null counts per spec field-id 110 (what null-predicate file
+    skipping reads). Unstatable columns are omitted (readers treat
+    absence as 'cannot skip')."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: dict = {}
     maxs: dict = {}
+    nullc: dict = {}
+    dropped_null: set = set()
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
         for ci in range(row.num_columns):
             c = row.column(ci)
             name = c.path_in_schema
-            if name not in bounds_fields or "." in name:
+            if "." in name:
                 continue
             try:
                 st = c.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                mn, mx = st.min, st.max
             except Exception:  # noqa: BLE001 — pyarrow can't stat every type
                 continue
+            if st is None:
+                continue
+            if count_fields and name in count_fields:
+                # A row group without a null count makes the whole
+                # file's count unknowable: omit rather than understate.
+                if st.null_count is None:
+                    dropped_null.add(name)
+                else:
+                    nullc[name] = nullc.get(name, 0) + int(st.null_count)
+            if not bounds_fields or name not in bounds_fields or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
             if name not in mins:
                 mins[name], maxs[name] = mn, mx
             else:
@@ -5539,7 +6035,24 @@ def _ice_file_bounds(
             continue
         lowers.append({"key": fid, "value": lo})
         uppers.append({"key": fid, "value": hi})
-    return lowers, uppers
+    nulls = [
+        {"key": count_fields[name], "value": n}
+        for name, n in nullc.items()
+        if name not in dropped_null
+    ] if count_fields else []
+    return lowers, uppers, nulls
+
+
+def _ice_schema_count_fields(cur_schema: dict) -> dict[str, int]:
+    """name -> field id for every top-level primitive column — the
+    columns whose parquet footer null counts serialize as manifest
+    ``null_value_counts`` (strings included: a count has no
+    truncation concern)."""
+    return {
+        f["name"]: int(f["id"])
+        for f in cur_schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
 
 
 def _ice_schema_bounds_fields(cur_schema: dict) -> dict[str, tuple[int, str]]:
@@ -5560,10 +6073,11 @@ def _ice_schema_bounds_fields(cur_schema: dict) -> dict[str, tuple[int, str]]:
 def _iceberg_stage_files(
     df: DataFrame, table_path: str, part_fields: list[dict],
     bounds_fields: dict[str, tuple[int, str]] | None = None,
-) -> list[tuple[str, dict, int, int, tuple[list, list]]]:
+    count_fields: dict[str, int] | None = None,
+) -> list[tuple[str, dict, int, int, tuple[list, list, list]]]:
     """Stage the batch as parquet under ``data/`` and return
     (abs_path, raw partition values, record_count, size,
-    (lower_bounds, upper_bounds)) per file. Unlike Delta, Iceberg data
+    (lower_bounds, upper_bounds, null_value_counts)) per file. Unlike Delta, Iceberg data
     files must KEEP partition source columns inline — so Spark
     partitions the staging write by DERIVED duplicate columns (the
     spec transform evaluated per row, ``_ice_transform_expr``;
@@ -5624,9 +6138,9 @@ def _iceberg_stage_files(
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.rename(os.path.join(root, fname), final_abs)
                 bounds = (
-                    _ice_file_bounds(final_abs, bounds_fields)
-                    if bounds_fields
-                    else ([], [])
+                    _ice_file_bounds(final_abs, bounds_fields, count_fields)
+                    if bounds_fields or count_fields
+                    else ([], [], [])
                 )
                 out.append(
                     (
@@ -5863,7 +6377,7 @@ def _ice_add_data_manifest(
     add_entries = []
     for apath, pv, nrec, size, bounds in staged:
         added_rows += nrec
-        lowers, uppers = bounds
+        lowers, uppers, nulls = bounds
         add_entries.append(
             {
                 "status": 1, "snapshot_id": snapshot_id,
@@ -5878,6 +6392,7 @@ def _ice_add_data_manifest(
                     "record_count": nrec, "file_size_in_bytes": size,
                     "lower_bounds": lowers or None,
                     "upper_bounds": uppers or None,
+                    "null_value_counts": nulls or None,
                 },
             }
         )
@@ -5960,6 +6475,20 @@ def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
                                         "field-id": 129},
                                        {"name": "value", "type": "bytes",
                                         "field-id": 130},
+                                   ]}}]},
+                    # Null counts (spec field-id 110) — what IS NULL /
+                    # IS NOT NULL file skipping reads; nullable so
+                    # carried pre-r13 entries re-serialize cleanly.
+                    {"name": "null_value_counts", "default": None,
+                     "field-id": 110,
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {"type": "record", "name": "k121_v122",
+                                   "fields": [
+                                       {"name": "key", "type": "int",
+                                        "field-id": 121},
+                                       {"name": "value", "type": "long",
+                                        "field-id": 122},
                                    ]}}]},
                 ]}},
         ]}
@@ -6177,6 +6706,7 @@ def write_iceberg(
     staged = _iceberg_stage_files(
         df, table_path, part_fields,
         bounds_fields=_ice_schema_bounds_fields(ice_schema),
+        count_fields=_ice_schema_count_fields(ice_schema),
     )
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
@@ -6186,7 +6716,7 @@ def write_iceberg(
     added_rows = 0
     for apath, pv, nrec, size, bounds in staged:
         added_rows += nrec
-        lowers, uppers = bounds
+        lowers, uppers, nulls = bounds
         entries.append(
             {
                 "status": 1, "snapshot_id": snapshot_id,
@@ -6203,6 +6733,7 @@ def write_iceberg(
                     "file_size_in_bytes": size,
                     "lower_bounds": lowers or None,
                     "upper_bounds": uppers or None,
+                    "null_value_counts": nulls or None,
                 },
             }
         )
@@ -6454,7 +6985,14 @@ def read_iceberg_incremental(
     chain.reverse()
 
     schema = _iceberg_table_schema(meta)
-    prune_plan = _ice_prune_plan(meta, where) if where else []
+    where_n = _norm_where(where)
+    prune_plan = (
+        _ice_prune_plan(
+            meta, where_n, spark.conf.get("spark.sql.session.timeZone", None)
+        )
+        if where_n
+        else []
+    )
     paths: list[str] = []
     for sid in chain:
         snap = snaps[sid]
@@ -6490,14 +7028,7 @@ def read_iceberg_incremental(
     if not paths:
         return spark.createDataFrame([], schema)
     rdr = spark.read.schema(schema) if schema is not None else spark.read
-    out = rdr.parquet(*paths)
-    for col_name, op, lit in where or []:
-        c = F.col(col_name)
-        out = out.filter(
-            {"=": c == F.lit(lit), "<": c < F.lit(lit),
-             "<=": c <= F.lit(lit), ">": c > F.lit(lit),
-             ">=": c >= F.lit(lit)}[op]
-        )
+    out = _where_residual(rdr.parquet(*paths), where_n)
     return out
 
 
@@ -7083,6 +7614,7 @@ def merge_iceberg(
             _iceberg_stage_files(
                 new_df.select(*cols), table_path, part_fields,
                 bounds_fields=_ice_schema_bounds_fields(cur_schema),
+                count_fields=_ice_schema_count_fields(cur_schema),
             )
             if new_df is not None
             else []
@@ -7409,6 +7941,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         _iceberg_stage_files(
             survivors, table_path, part_fields,
             bounds_fields=_ice_schema_bounds_fields(cur_schema),
+            count_fields=_ice_schema_count_fields(cur_schema),
         )
         if survivors is not None
         else []

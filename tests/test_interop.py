@@ -6490,18 +6490,18 @@ def test_read_delta_file_skipping(spark, tmp_path):
     z = read_delta(spark, path, where=[("id", "<", -1)])
     assert z.count() == 0 and z.columns == ["id", "cat", "d"]
 
-    # String stats NEVER exclude (truncation-unsafe): a string
-    # predicate on a non-partition column keeps all files but filters
-    # rows exactly.
+    # String stats DO exclude (r13: Delta JSON stats are valid bounds
+    # even under writer truncation — see
+    # test_delta_truncated_string_stats_skipping for the fuzz).
     path2 = str(tmp_path / "strsafe")
     write_delta(
         spark.createDataFrame(
             [(1, "aa"), (2, "zz")], "id long, s string"
-        ).repartition(2),
+        ).repartitionByRange(2, "s"),
         path2, mode="error",
     )
     sres = read_delta(spark, path2, where=[("s", "=", "zz")])
-    assert len(sres.inputFiles()) == len(read_delta(spark, path2).inputFiles())
+    assert len(sres.inputFiles()) < len(read_delta(spark, path2).inputFiles())
     assert {r.id for r in sres.collect()} == {2}
 
     # All-null column: any comparison skips the file outright.
@@ -6558,39 +6558,50 @@ def test_read_hudi_partition_pruning(spark, tmp_path):
     assert z.count() == 0 and set(z.columns) == {"id", "val", "cat"}
 
 
+_FUZZ_ATOM = st.tuples(
+    st.sampled_from(["n", "ts", "cat"]),
+    st.sampled_from(
+        ["=", "<", "<=", ">", ">=", "!=", "in", "is null", "is not null"]
+    ),
+    st.integers(-50, 50),          # pivot seed; mapped per column
+    st.integers(1, 3),             # IN list width
+)
+
+
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(-50, 50),
-            st.integers(0, 40),       # day offset
-            st.sampled_from(["a", "b", "c", "dd"]),
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.integers(0, 40)),  # day offset
+            st.sampled_from(["a", "b", "c", "dd", None]),
         ),
         min_size=1, max_size=20,
     ),
     fmt=st.sampled_from(["delta", "iceberg", "hudi"]),
     layout=st.sampled_from(["flat", "identity", "days", "bucket"]),
     preds=st.lists(
-        st.tuples(
-            st.sampled_from(["n", "ts", "cat"]),
-            st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.one_of(
+            _FUZZ_ATOM,                                   # bare atom
+            st.lists(_FUZZ_ATOM, min_size=2, max_size=2),  # OR group
         ),
         min_size=1, max_size=2,
     ),
-    pivots=st.tuples(st.integers(-50, 50), st.integers(0, 40)),
 )
 def test_where_pruning_equals_full_filter_fuzz(
-    spark, tmp_path_factory, rows, fmt, layout, preds, pivots
+    spark, tmp_path_factory, rows, fmt, layout, preds
 ):
-    """PROPERTY (r12, all three formats): read_*(where=) equals the
-    unpruned read plus the same filter, for every predicate shape over
-    every layout — file skipping must never change RESULTS, only the
-    files opened. (Hudi has no transform layouts; days/bucket degrade
-    to flat there; delta has no transforms either.)"""
+    """PROPERTY (r12, widened r13, all three formats): read_*(where=)
+    equals the unpruned read plus the same filter, for every predicate
+    shape over every layout — the full grammar (= < <= > >= != IN,
+    OR groups, IS [NOT] NULL) over data WITH nulls in every predicated
+    column. File skipping must never change RESULTS, only the files
+    opened. (Hudi has no transform layouts; days/bucket degrade to
+    flat there; delta has no transforms either.)"""
     import datetime as _dt
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
@@ -6604,7 +6615,12 @@ def test_where_pruning_equals_full_filter_fuzz(
 
     base_day = _dt.datetime(2023, 9, 1, 12, 0)
     data = [
-        (i, n, base_day + _dt.timedelta(days=d), c)
+        (
+            i,
+            n,
+            None if d is None else base_day + _dt.timedelta(days=d),
+            c,
+        )
         for i, (n, d, c) in enumerate(rows)
     ]
     df = spark.createDataFrame(
@@ -6628,22 +6644,52 @@ def test_where_pruning_equals_full_filter_fuzz(
         write_hudi(df, path, record_key="id", partition_by=pb)
         reader = lambda **kw: read_hudi(spark, path, **kw)  # noqa: E731
 
-    npivot, dpivot = pivots
-    lits = {
-        "n": npivot,
-        "ts": base_day + _dt.timedelta(days=dpivot),
-        "cat": "b",
-    }
-    where = [(c, op, lits[c]) for c, op in preds]
+    def _lit(col, seed):
+        if col == "n":
+            return seed
+        if col == "ts":
+            return base_day + _dt.timedelta(days=abs(seed) % 41)
+        return ["a", "b", "c", "dd", "zz"][abs(seed) % 5]
+
+    def _mk_atom(col, op, seed, width):
+        if op in ("is null", "is not null"):
+            return (col, op, None)
+        if op == "in":
+            return (col, "in", [_lit(col, seed + k) for k in range(width)])
+        return (col, op, _lit(col, seed))
+
+    where = [
+        (
+            _mk_atom(*entry)
+            if isinstance(entry, tuple)
+            else [_mk_atom(*a) for a in entry]
+        )
+        for entry in preds
+    ]
+
+    def _cond(col, op, lit):
+        c = F.col(col)
+        if op == "is null":
+            return c.isNull()
+        if op == "is not null":
+            return c.isNotNull()
+        if op == "in":
+            return c.isin(*[F.lit(v) for v in lit])
+        return {
+            "=": c == F.lit(lit), "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
+        }[op]
+
     got = {tuple(r) for r in reader(where=where).collect()}
     full = reader()
-    for c, op, lit in where:
-        col = F.col(c)
-        full = full.filter(
-            {"=": col == F.lit(lit), "<": col < F.lit(lit),
-             "<=": col <= F.lit(lit), ">": col > F.lit(lit),
-             ">=": col >= F.lit(lit)}[op]
-        )
+    for entry in where:
+        atoms = [entry] if isinstance(entry, tuple) else entry
+        cond = None
+        for col, op, lit in atoms:
+            a = _cond(col, op, lit)
+            cond = a if cond is None else (cond | a)
+        full = full.filter(cond)
     assert got == {tuple(r) for r in full.collect()}
 
 
@@ -6965,9 +7011,15 @@ def test_read_iceberg_hidden_partition_pruning(spark, tmp_path):
     )
     assert none.count() == 0 and none.columns == ["id", "ts", "val"]
 
+    # != is part of the r13 widened grammar: exact result (residual
+    # filter), no over-pruning.
+    ne = read_iceberg(spark, path, where=[("id", "!=", 11)])
+    assert 11 not in {r.id for r in ne.collect()}
+    assert ne.count() == read_iceberg(spark, path).filter("id != 11").count()
+
     # Bad ops refuse loudly.
     with pytest.raises(ValueError, match="unsupported predicate op"):
-        read_iceberg(spark, path, where=[("ts", "!=", lo)])
+        read_iceberg(spark, path, where=[("ts", "~", lo)])
 
 
 def test_write_iceberg_truncate_and_temporal_transforms(spark, tmp_path):
@@ -7261,3 +7313,408 @@ def test_hudi_mor_lifecycle_fuzz(spark, tmp_path_factory, batches):
             compact_hudi(spark, path)
     got = {r.id: r.val for r in read_hudi(spark, path).collect()}
     assert got == model
+
+
+# -- r13: widened where= grammar — targeted semantics ------------------------
+
+
+def test_where_in_prunes_iceberg_buckets(spark, tmp_path):
+    """IN on a bucket[N]-partitioned Iceberg table opens only its
+    buckets' files (the reference's F3-shaped CDC filter at manifest
+    level) and returns the exact rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, val string"
+    ).repartition(4)
+    write_iceberg(df, path, partition_by=["bucket(8, id)"])
+
+    full = read_iceberg(spark, path)
+    n_all = len(full.inputFiles())
+    p = read_iceberg(spark, path, where=[("id", "in", [3, 17])])
+    assert {r.id for r in p.collect()} == {3, 17}
+    assert 0 < len(p.inputFiles()) < n_all
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
+def test_where_null_ops_prune_partitions(spark, tmp_path, fmt):
+    """IS NULL / IS NOT NULL prune identity-partitioned tables to the
+    null / non-null partitions on all three formats, results exact."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (5, None)],
+        "id long, cat string",
+    )
+    if fmt == "delta":
+        write_delta(df, path, partition_by=["cat"])
+        reader = lambda **kw: read_delta(spark, path, **kw)  # noqa: E731
+    elif fmt == "iceberg":
+        write_iceberg(df, path, partition_by=["cat"])
+        reader = lambda **kw: read_iceberg(spark, path, **kw)  # noqa: E731
+    else:
+        write_hudi(df, path, record_key="id", partition_by=["cat"])
+        reader = lambda **kw: read_hudi(spark, path, **kw)  # noqa: E731
+
+    n_all = len(reader().inputFiles())
+    nul = reader(where=[("cat", "is null", None)])
+    assert {r.id for r in nul.collect()} == {3, 5}
+    assert 0 < len(nul.inputFiles()) < n_all
+    nn = reader(where=[("cat", "is not null", None)])
+    assert {r.id for r in nn.collect()} == {1, 2, 4}
+    assert 0 < len(nn.inputFiles()) < n_all
+    # OR group mixing null and equality atoms.
+    mix = reader(where=[[("cat", "is null", None), ("cat", "=", "b")]])
+    assert {r.id for r in mix.collect()} == {3, 4, 5}
+
+
+def test_iceberg_identity_timestamp_partition_record_pruning():
+    """Foreign identity-TIMESTAMP partition records store epoch-micros
+    longs; the predicate literal must map into that domain (r12
+    advisory: datetime==int compared False and silently pruned every
+    file, and </> raised TypeError)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_prune_keep,
+        _ice_prune_plan,
+        _norm_where,
+    )
+
+    meta = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "ts", "type": "timestamptz",
+                 "required": False},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": "ts", "source-id": 2,
+                        "transform": "identity", "field-id": 1000}],
+        }],
+    }
+    jan1 = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    micros = int(jan1.timestamp() * 1_000_000)
+    rec_jan = {"partition": {"ts": micros}}
+    rec_feb = {"partition": {"ts": micros + 31 * 86_400_000_000}}
+
+    plan = _ice_prune_plan(
+        meta, _norm_where([("ts", "=", _dt.datetime(2024, 1, 1))]), "UTC"
+    )
+    assert _ice_prune_keep(rec_jan, plan)
+    assert not _ice_prune_keep(rec_feb, plan)
+    # Range comparisons must not raise on the long-typed record.
+    plan_lt = _ice_prune_plan(
+        meta, _norm_where([("ts", "<", _dt.datetime(2024, 1, 15))]), "UTC"
+    )
+    assert _ice_prune_keep(rec_jan, plan_lt)
+    assert not _ice_prune_keep(rec_feb, plan_lt)
+    # An uncoercible literal keeps every file rather than excluding.
+    plan_junk = _ice_prune_plan(
+        meta, _norm_where([("id", "=", 1)]), "UTC"
+    )
+    assert _ice_prune_keep({"partition": {"ts": "weird"}}, plan_junk)
+
+
+def test_where_session_timezone_pruning_consistency(spark, tmp_path):
+    """In a non-UTC session, timestamp file skipping must agree with
+    the residual row filter for every literal shape (r12 advisory:
+    skipping treated naive literals as UTC while the row filter used
+    other rules — wrong exclusions silently dropped rows)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    base = _dt.datetime(2024, 6, 1, 12, 0)  # stored as UTC-noon instants
+    df = spark.createDataFrame(
+        [(i, base + _dt.timedelta(days=i)) for i in range(6)],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    dpath, ipath = str(tmp_path / "d"), str(tmp_path / "i")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        write_delta(df, dpath)
+        write_iceberg(df, ipath, partition_by=["days(ts)"])
+        for reader, path in (
+            (read_delta, dpath), (read_iceberg, ipath),
+        ):
+            full = reader(spark, path)
+            for lit in (
+                _dt.datetime(2024, 6, 3, 12, 0),                  # naive: OS tz
+                _dt.datetime(2024, 6, 3, 12, 0,
+                             tzinfo=_dt.timezone.utc),            # aware
+                "2024-06-03 21:00:00",                            # str: session tz
+            ):
+                for op in ("=", "<", ">="):
+                    got = {
+                        r.id
+                        for r in reader(
+                            spark, path, where=[("ts", op, lit)]
+                        ).collect()
+                    }
+                    c = F.col("ts")
+                    want = {
+                        r.id
+                        for r in full.filter(
+                            {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                             ">=": c >= F.lit(lit)}[op]
+                        ).collect()
+                    }
+                    assert got == want, (reader.__name__, op, lit)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_delta_truncated_string_stats_skipping(spark, tmp_path):
+    """Writer-truncated string min/max (min: a prefix; max: a prefix
+    with the last char incremented — the Delta convention that keeps
+    stats valid bounds) still SKIP files, and never over-skip: fuzz
+    the truncation length and compare pruned vs full-read+filter
+    (r12 verdict #4)."""
+    import json as _json
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    lo_vals = ["apple", "apricot", "avocado"]
+    hi_vals = ["walnut", "yam", "zucchini"]
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(lo_vals)], "id long, s string"
+        ).coalesce(1),
+        path,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(i + 10, v) for i, v in enumerate(hi_vals)], "id long, s string"
+        ).coalesce(1),
+        path, mode="append",
+    )
+
+    def _patch_stats(trunc: int) -> None:
+        log = _os.path.join(path, "_delta_log")
+        for fn in sorted(_os.listdir(log)):
+            if not fn.endswith(".json"):
+                continue
+            fp = _os.path.join(log, fn)
+            out_lines = []
+            with open(fp, encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = _json.loads(line)
+                    add = act.get("add")
+                    if add and add.get("stats"):
+                        stats = _json.loads(add["stats"])
+                        mn = stats.get("minValues", {}).get("s")
+                        mx = stats.get("maxValues", {}).get("s")
+                        if mn is not None and len(mn) > trunc:
+                            stats["minValues"]["s"] = mn[:trunc]
+                        if mx is not None and len(mx) > trunc:
+                            p = mx[:trunc]
+                            stats["maxValues"]["s"] = (
+                                p[:-1] + chr(ord(p[-1]) + 1)
+                            )
+                        add["stats"] = _json.dumps(stats)
+                    out_lines.append(_json.dumps(act))
+            with open(fp, "w", encoding="utf-8") as f:
+                f.write("\n".join(out_lines) + "\n")
+
+    probes = [
+        ("=", "apple"), ("=", "walnut"), ("=", "mango"),
+        ("<", "b"), (">", "w"), (">=", "walnut"), ("<=", "apricot"),
+        ("!=", "apple"), ("=", "a"), ("=", "z"),
+    ]
+    for trunc in (1, 2, 3, 4, 100):
+        _patch_stats(trunc)
+        full = read_delta(spark, path)
+        for op, lit in probes:
+            got = {
+                r.id
+                for r in read_delta(
+                    spark, path, where=[("s", op, lit)]
+                ).collect()
+            }
+            c = F.col("s")
+            want = {
+                r.id
+                for r in full.filter(
+                    {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                     ">": c > F.lit(lit), ">=": c >= F.lit(lit),
+                     "<=": c <= F.lit(lit), "!=": c != F.lit(lit)}[op]
+                ).collect()
+            }
+            assert got == want, (trunc, op, lit)
+        # The skip actually happens: a probe inside neither file's
+        # range opens no files at all under any truncation length.
+        assert (
+            read_delta(spark, path, where=[("s", "=", "mango")])
+            .inputFiles() == []
+        )
+
+
+def test_hudi_urlencoded_partition_pruning(spark, tmp_path):
+    """Equality pruning URL-unquotes hive path segments (encoded
+    layouts) and bool literals never prune (str(True) vs 'true', r12
+    advisory) — results stay exact either way."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "c/d", False), (3, "plain", True)],
+        "id long, cat string, flag boolean",
+    )
+    write_hudi(df, path, record_key="id", partition_by=["cat"])
+    full = read_hudi(spark, path)
+    n_all = len(full.inputFiles())
+
+    for val, want in (("a b", {1}), ("c/d", {2}), ("plain", {3})):
+        p = read_hudi(spark, path, where=[("cat", "=", val)])
+        assert {r.id for r in p.collect()} == want, val
+    # A raw slash in a value nests directories (native Hudi's
+    # urlencode=false default): that layout is path-ambiguous, so the
+    # 'a b' probe — whose own segment IS parseable — must still return
+    # exact rows, and nothing may over-prune the nested value.
+    p = read_hudi(spark, path, where=[("cat", "=", "a b")])
+    assert 0 < len(p.inputFiles()) <= n_all
+    # bool predicate on a non-partition column: rows filter, exact.
+    b = read_hudi(spark, path, where=[("flag", "=", True)])
+    assert {r.id for r in b.collect()} == {1, 3}
+
+
+def test_hudi_pruned_empty_frame_carries_evolved_schema(spark, tmp_path):
+    """A where= that prunes every slice returns the evolved schema —
+    including a column living only in log blocks (r12 advisory: the
+    empty branch skipped the commit-schema extension)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "t")
+    write_hudi(
+        spark.createDataFrame([(1, "x", "p1")], "id long, v string, cat string"),
+        path, record_key="id", partition_by=["cat"],
+        table_type="MERGE_ON_READ",
+    )
+    # MoR upsert adding a new column: lives only in log blocks.
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "x2", "p1", "extra")],
+            "id long, v string, cat string, added string",
+        ),
+        path, record_key="id", partition_by=["cat"], mode="upsert",
+        evolve=True,
+    )
+    normal = read_hudi(spark, path)
+    assert "added" in normal.columns
+    empty = read_hudi(spark, path, where=[("cat", "=", "nope")])
+    assert empty.count() == 0
+    assert set(empty.columns) == set(normal.columns)
+
+
+def test_delta_id_read_session_resyncs_parent_confs(spark):
+    """The cached id-mode isolated session re-syncs read-relevant
+    confs from the parent on every call (r12 advisory: a one-shot
+    snapshot diverged after later parent conf changes)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_id_read_session,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        iso = _delta_id_read_session(spark)
+        assert iso.conf.get("spark.sql.session.timeZone") == "UTC"
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        iso2 = _delta_id_read_session(spark)
+        assert iso2 is iso  # still cached (one JVM-side session)
+        assert iso2.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_iceberg_null_value_counts_written_and_pruned(spark, tmp_path):
+    """r13: the manifest writer records ``null_value_counts`` (spec
+    field-id 110) per staged file, and IS NULL / IS NOT NULL prune
+    UNPARTITIONED tables through them — a null probe opens only files
+    that hold nulls."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        _iceberg_local_path,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        path,
+    )
+    write_iceberg(
+        spark.createDataFrame([(3, None), (4, "d")], "id long, v string")
+        .coalesce(1),
+        path, mode="append",
+    )
+
+    nul = read_iceberg(spark, path, where=[("v", "is null", None)])
+    assert [r.id for r in nul.collect()] == [3]
+    assert len(nul.inputFiles()) == 1
+    nn = read_iceberg(spark, path, where=[("v", "is not null", None)])
+    assert {r.id for r in nn.collect()} == {1, 2, 4}
+
+    # The counts really are in the manifests (field id of v = 2).
+    meta = _iceberg_current_metadata(path)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], path)
+    )
+    counts = []
+    for rec in mlist:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(rec["manifest_path"], path)
+        )
+        for e in entries:
+            raw = e["data_file"].get("null_value_counts") or []
+            counts.append(
+                {int(kv["key"]): int(kv["value"]) for kv in raw}
+            )
+    assert sorted(c.get(2, 0) for c in counts) == [0, 1]
