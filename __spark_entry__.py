@@ -403,6 +403,7 @@ _DEMOTED_TAIL = [
     "q4_late_shipment_exists",
     "q12_shipmode_priority",
     "q13_cust_distribution",
+    "orders_1996_sqltext_pruned",
 ]
 
 _DRIVER_SLOTS = 50

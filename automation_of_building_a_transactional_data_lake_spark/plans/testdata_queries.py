@@ -2916,6 +2916,44 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_1996_sqltext_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT twin of ``orders_1996_iceberg_pruned`` (r13): the
+    same ``months(o_orderdate)`` hidden-partitioned Iceberg table
+    queried through ``LakeSQL`` as plain text — the surface the
+    reference validates its lake with
+    (``src/sample_redshift_ml_sql_query.txt:97,133`` date predicates).
+    ``sql.py`` derives ``where=`` pushdown from the WHERE clause
+    (``_derive_pushdown``), so the manifest-level file skipping the
+    API path gets must engage HERE too: the strictly-fewer-files pin
+    runs in-gate against the untranslated full scan."""
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..formats.interop import read_iceberg
+    from ..sql import LakeSQL
+
+    _utc(spark)
+    path = _orders_iceberg_export(spark, sf_dir)
+    lake = LakeSQL(Catalog(spark, tempfile.mkdtemp(prefix="tdl_sqlwh_")))
+    df = lake.sql(f"""
+SELECT o_orderpriority,
+       count(*)                     AS n_orders,
+       round(sum(o_totalprice), 2)  AS total_price
+FROM iceberg.`{path}`
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+""")
+    n_pruned = len(df.inputFiles())
+    n_all = len(read_iceberg(spark, path).inputFiles())
+    if not 0 < n_pruned < n_all:
+        raise AssertionError(
+            f"SQL-text WHERE did not drive file skipping: {n_pruned} of "
+            f"{n_all} files scanned"
+        )
+    return df
+
+
 # --------------------------------------------------------------------------
 # q1_via_hudi_interop — the Hudi twin (r8 verdict "missing #1", second
 # half): lineitem bulk-inserts into an ACTUAL Apache Hudi CoW table
@@ -3303,6 +3341,15 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "orders_1996_iceberg_pruned",
             orders_1996_iceberg_pruned,
+            ORDERS_1996_PRUNED_ORACLE,
+            headline=False,
+        ),
+        # r13: SQL-TEXT WHERE drives the same file skipping
+        # (sql.py _derive_pushdown) — the strictly-fewer-files pin
+        # runs in-gate; same oracle.
+        QueryDef(
+            "orders_1996_sqltext_pruned",
+            orders_1996_sqltext_pruned,
             ORDERS_1996_PRUNED_ORACLE,
             headline=False,
         ),

@@ -734,3 +734,141 @@ def test_describe_history_iceberg_and_hudi_paths(spark, tmp_path):
     rows = lake.sql(f"DESCRIBE HISTORY hudi.`{hp}`").collect()
     assert [r.action for r in rows] == ["commit", "replacecommit"]
     assert rows[0].operation == "BULK_INSERT" and rows[1].operation == "UPSERT"
+
+
+# -- r13: SQL-text WHERE -> where= file-skipping derivation ------------------
+
+
+def test_sql_where_clause_parser_units():
+    """The derivation's clause parser: every supported conjunct shape
+    maps into the where= grammar; anything else is skipped (never
+    guessed)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.sql import (
+        _mask_strings,
+        _sql_parse_where_clause,
+    )
+
+    def parse(clause, alias=None):
+        return _sql_parse_where_clause(clause, _mask_strings(clause), alias)
+
+    assert parse("x = 5 AND y <> 'z'") == [("x", "=", 5), ("y", "!=", "z")]
+    assert parse("d >= DATE '1996-01-01'") == [
+        ("d", ">=", _dt.date(1996, 1, 1))
+    ]
+    # TIMESTAMP literals stay strings: the reader casts them in the
+    # session timezone, exactly how Spark parses the SQL literal.
+    assert parse("ts < TIMESTAMP '2024-01-01 00:00:00'") == [
+        ("ts", "<", "2024-01-01 00:00:00")
+    ]
+    assert parse("x BETWEEN 3 AND 7") == [("x", ">=", 3), ("x", "<=", 7)]
+    assert parse("y IN (1, 2) AND z NOT IN ('a', 'b')") == [
+        ("y", "in", [1, 2]), ("z", "not in", ["a", "b"]),
+    ]
+    assert parse("x IS NULL AND y IS NOT NULL") == [
+        ("x", "is null", None), ("y", "is not null", None),
+    ]
+    assert parse("(x = 1 OR x = 2) AND 10 > z") == [
+        [("x", "=", 1), ("x", "=", 2)], ("z", "<", 10),
+    ]
+    # Qualified columns push only under the statement's alias.
+    assert parse("t.x = 5", alias="t") == [("x", "=", 5)]
+    assert parse("q.x = 5", alias="t") == []
+    # Unrecognized shapes skip — never a wrong translation.
+    assert parse("upper(x) = 'A'") == []
+    assert parse("x + 1 = 5") == []
+    assert parse("x IN (SELECT id FROM t)") == []
+    assert parse("x = NULL") == []
+
+
+def test_sql_text_where_drives_file_skipping(spark, tmp_path):
+    """A single-table SELECT over a foreign path gets manifest-level
+    file skipping from its WHERE text on all three formats — exact
+    results, strictly fewer files opened (r12 verdict next-#2)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1 + i % 6, 1 + i % 27), f"c{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+
+    ice = str(tmp_path / "ice")
+    write_iceberg(df, ice, partition_by=["months(ts)"])
+    q = lake.sql(
+        f"SELECT id FROM iceberg.`{ice}` "
+        "WHERE ts >= TIMESTAMP '2024-05-01 00:00:00'"
+    )
+    assert {r.id for r in q.collect()} == {
+        i for i, (_, ts, _c) in enumerate(rows)
+        if ts >= _dt.datetime(2024, 5, 1)
+    }
+    assert 0 < len(q.inputFiles()) < len(read_iceberg(spark, ice).inputFiles())
+
+    de = str(tmp_path / "de")
+    write_delta(df.repartition(3), de, partition_by=["cat"])
+    q = lake.sql(f"SELECT id FROM delta.`{de}` d WHERE d.cat IN ('c1')")
+    assert {r.id for r in q.collect()} == {i for i in range(60) if i % 3 == 1}
+    assert 0 < len(q.inputFiles()) < len(read_delta(spark, de).inputFiles())
+
+    hu = str(tmp_path / "hu")
+    write_hudi(df, hu, record_key="id", partition_by=["cat"])
+    q = lake.sql(f"SELECT id FROM hudi.`{hu}` WHERE cat = 'c2'")
+    assert {r.id for r in q.collect()} == {i for i in range(60) if i % 3 == 2}
+    assert 0 < len(q.inputFiles()) < len(read_hudi(spark, hu).inputFiles())
+
+
+def test_sql_text_where_pushdown_soundness_guards(spark, tmp_path):
+    """Statements where pushing could be wrong do NOT push — joins
+    (outer-join null-extension), set ops, subqueries, a second FROM
+    source — and results stay exact; predicates on columns absent
+    from the table degrade to no pushdown, never an error."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+        write_iceberg,
+    )
+
+    rows = [(i, _dt.datetime(2024, 1 + i % 6, 1), f"c{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    ice = str(tmp_path / "ice")
+    write_iceberg(df, ice, partition_by=["months(ts)"])
+    de = str(tmp_path / "de")
+    write_delta(df, de, partition_by=["cat"])
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+
+    # LEFT JOIN + IS NULL on the right side: the classic unsound push.
+    left = lake.sql(
+        f"SELECT a.id AS aid, b.id AS bid "
+        f"FROM delta.`{de}` a LEFT JOIN iceberg.`{ice}` b "
+        "ON a.id = b.id + 100 WHERE b.ts IS NULL"
+    )
+    assert left.count() == 12  # every a-row null-extends
+
+    # Set op: no pushdown derived, result exact.
+    u = lake.sql(
+        f"SELECT id FROM iceberg.`{ice}` WHERE cat = 'c0' "
+        f"UNION ALL SELECT id FROM iceberg.`{ice}` WHERE cat = 'c1'"
+    )
+    assert u.count() == 8
+
+    # Unknown column in an OR group alongside a known one: the whole
+    # group only pushes if every column resolves; here it must simply
+    # not push (and certainly not raise).
+    g = lake.sql(
+        f"SELECT id FROM iceberg.`{ice}` "
+        "WHERE (cat = 'c0' OR id < 0) AND ts IS NOT NULL"
+    )
+    assert {r.id for r in g.collect()} == {i for i in range(12) if i % 3 == 0}
