@@ -353,6 +353,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     registers in the TAIL (the emb_top_pairs pattern: oracle runs in
 #     pytest via test_oracle_parity every session); rotate into a
 #     recorded slot in r14.
+#   r13 addition 2: game_user_cdc_e2e_iceberg_v1up (format-version 1
+#     interop — the initial load is a hand-built native-style v1
+#     table; upgrade_iceberg_v1_to_v2 commits v2 metadata-only, the
+#     CDC pipeline then runs; the v1-merge refusal is asserted
+#     in-gate; same oracle family) registers in the TAIL, same
+#     protocol; rotate into a recorded slot in r14.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -404,6 +410,7 @@ _DEMOTED_TAIL = [
     "q12_shipmode_priority",
     "q13_cust_distribution",
     "orders_1996_sqltext_pruned",
+    "game_user_cdc_e2e_iceberg_v1up",
 ]
 
 _DRIVER_SLOTS = 50

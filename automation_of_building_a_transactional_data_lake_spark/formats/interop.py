@@ -6156,6 +6156,26 @@ def _iceberg_stage_files(
     return out
 
 
+def _ice_datafile_carry(dfr: dict) -> dict:
+    """Normalize a data_file record CARRIED FORWARD from a foreign (or
+    format-version 1) manifest into the engine's strict v2 entry
+    schema: v1 records have no ``content`` and older writers omit the
+    optional stats maps — re-serializing a sparse record through a
+    required-int schema would crash the commit (r13, the
+    ``upgrade_iceberg_v1_to_v2`` path)."""
+    return {
+        "content": int(dfr.get("content") or 0),
+        "file_path": dfr["file_path"],
+        "file_format": dfr.get("file_format", "PARQUET"),
+        "partition": dfr.get("partition") or {},
+        "record_count": int(dfr.get("record_count", 0) or 0),
+        "file_size_in_bytes": int(dfr.get("file_size_in_bytes", 0) or 0),
+        "lower_bounds": dfr.get("lower_bounds"),
+        "upper_bounds": dfr.get("upper_bounds"),
+        "null_value_counts": dfr.get("null_value_counts"),
+    }
+
+
 def _mlist_carry(rec: dict) -> dict:
     """Normalize a manifest-list record CARRIED FORWARD from a foreign
     snapshot into the engine's strict v2 mlist schema: foreign/older
@@ -6231,7 +6251,7 @@ def _ice_retire_data_manifests(
                     "snapshot_id": snapshot_id if is_aff else e.get("snapshot_id"),
                     "sequence_number": eseq,
                     "file_sequence_number": e.get("file_sequence_number", eseq),
-                    "data_file": e["data_file"],
+                    "data_file": _ice_datafile_carry(e["data_file"]),
                 }
             )
             if is_aff:
@@ -6549,6 +6569,130 @@ def _ice_parse_partition_entry(entry: str) -> tuple[str, str, str]:
     singular = {"days": "day", "months": "month", "years": "year",
                 "hours": "hour"}[_ice_norm_transform(kind)]
     return col, singular, f"{col}_{singular}"
+
+
+def upgrade_iceberg_v1_to_v2(table_path: str) -> int:
+    """Upgrade a format-version 1 Iceberg table to v2 with ONE
+    metadata-only commit — what native engines run as ``ALTER TABLE
+    ... SET TBLPROPERTIES ('format-version'='2')``. No data or
+    manifest bytes move; existing history stays readable (spec
+    "Version changes": v1 snapshots/manifests read under v2 with
+    inherited sequence number 0). After the upgrade, this module's
+    whole v2 write surface works on the table: ``write_iceberg``
+    append/overwrite, ``merge_iceberg``, equality deletes,
+    ``compact_iceberg``. Returns the new metadata version number.
+    Idempotent on an already-v2 table (returns its current version,
+    commits nothing).
+
+    Normalizations applied (v1's optional/legacy forms -> v2's
+    required ones):
+
+    - inline ``schema`` -> ``schemas`` list + ``current-schema-id``;
+      flat ``partition-spec`` -> ``partition-specs`` +
+      ``default-spec-id`` (field-ids assigned from 1000 where absent,
+      spec "Partition Evolution" numbering);
+    - missing ``table-uuid`` / ``sort-orders`` / ``last-partition-id``
+      filled; ``last-sequence-number`` starts at 0;
+    - snapshots carrying the v1 INLINE ``manifests`` list get a real
+      manifest-list Avro file written (v2 requires ``manifest-list``),
+      every record at sequence number 0."""
+    from .avro_lite import write_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    fv = int(meta.get("format-version", 1))
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    cur_version = int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
+    if fv == 2:
+        return cur_version
+    if fv != 1:
+        raise NotImplementedError(
+            f"cannot upgrade format-version {fv} (v1 -> v2 only)"
+        )
+    mdir = os.path.join(table_path, "metadata")
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["format-version"] = 2
+    new_meta.setdefault("table-uuid", str(uuid.uuid4()))
+    if not new_meta.get("schemas"):
+        sch = dict(new_meta.get("schema") or {})
+        if not sch.get("fields"):
+            raise ValueError(
+                f"Iceberg v1 metadata at {table_path} carries no schema"
+            )
+        sch.setdefault("type", "struct")
+        sch.setdefault("schema-id", 0)
+        new_meta["schemas"] = [sch]
+        new_meta["current-schema-id"] = sch["schema-id"]
+    new_meta.pop("schema", None)
+    if not new_meta.get("partition-specs"):
+        flat = list(new_meta.get("partition-spec") or [])
+        fields = [
+            {**pf, "field-id": int(pf.get("field-id", _ICE_PART_FIELD_ID0 + i))}
+            for i, pf in enumerate(flat)
+        ]
+        new_meta["partition-specs"] = [{"spec-id": 0, "fields": fields}]
+        new_meta["default-spec-id"] = 0
+    new_meta.pop("partition-spec", None)
+    part_ids = [
+        int(f["field-id"])
+        for s in new_meta["partition-specs"]
+        for f in s.get("fields", [])
+        if f.get("field-id") is not None
+    ]
+    new_meta.setdefault(
+        "last-partition-id", max(part_ids, default=_ICE_PART_FIELD_ID0 - 1)
+    )
+    if not new_meta.get("sort-orders"):
+        new_meta["sort-orders"] = [{"order-id": 0, "fields": []}]
+        new_meta.setdefault("default-sort-order-id", 0)
+    new_meta["last-sequence-number"] = 0
+    snaps = []
+    for snap in new_meta.get("snapshots", []):
+        s = dict(snap)
+        s.setdefault("sequence-number", 0)
+        if "manifest-list" not in s and s.get("manifests"):
+            recs = []
+            for mp in s["manifests"]:
+                local = _iceberg_local_path(mp, table_path)
+                recs.append(
+                    _mlist_carry(
+                        {
+                            "manifest_path": mp,
+                            "manifest_length": (
+                                os.path.getsize(local)
+                                if os.path.isfile(local)
+                                else 0
+                            ),
+                            "added_snapshot_id": s.get("snapshot-id", 0),
+                            "sequence_number": 0,
+                        }
+                    )
+                )
+            _e, mlist_schema = _ice_manifest_schemas([])
+            ml_abs = os.path.join(
+                mdir, f"snap-{s.get('snapshot-id', 0)}-upgrade.avro"
+            )
+            write_avro_file(ml_abs, mlist_schema, recs)
+            s["manifest-list"] = f"file://{ml_abs}"
+            s.pop("manifests", None)
+        snaps.append(s)
+    new_meta["snapshots"] = snaps
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    version = cur_version + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    return version
 
 
 def write_iceberg(
@@ -7262,7 +7406,9 @@ def merge_iceberg(
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "merge into a format-version 1 Iceberg table is not supported"
+            "merge into a format-version 1 Iceberg table is not "
+            "supported; run upgrade_iceberg_v1_to_v2 first — a "
+            "metadata-only commit"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -7836,7 +7982,9 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "compaction of a format-version 1 Iceberg table is not supported"
+            "compaction of a format-version 1 Iceberg table is not "
+            "supported; run upgrade_iceberg_v1_to_v2 first — a "
+            "metadata-only commit"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:

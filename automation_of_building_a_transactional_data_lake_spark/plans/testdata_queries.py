@@ -2373,6 +2373,102 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
         final = interop.read_hudi(spark, path)
         if final.count() != pre.count():
             raise AssertionError("compaction changed the snapshot row count")
+    elif fmt == "iceberg_v1up":
+        # A NATIVE-STYLE format-version 1 table in the wild (r13, r12
+        # verdict missing #4): the initial load is committed as
+        # HAND-BUILT v1 metadata — inline schema / flat partition-spec,
+        # a snapshot carrying the v1 INLINE ``manifests`` list, entries
+        # without sequence numbers or ``content``. The v2 write surface
+        # must refuse it loudly; ``upgrade_iceberg_v1_to_v2`` is ONE
+        # metadata-only commit (no data/manifest bytes move) after
+        # which the standard CDC pipeline runs; same oracle — the
+        # upgrade must be analytically invisible.
+        import json as _json
+        import os as _os
+        import shutil as _sh
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        from ..formats.avro_lite import write_avro_file
+
+        ddir = _os.path.join(path, "data")
+        mdir = _os.path.join(path, "metadata")
+        _os.makedirs(ddir)
+        _os.makedirs(mdir)
+        stage = path + ".stage"
+        initial.coalesce(2).write.parquet(stage)
+        files = []
+        for root_, _dirs, fs in _os.walk(stage):
+            for f in fs:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    dst = _os.path.join(ddir, f"{_uuid.uuid4().hex}.parquet")
+                    _os.rename(_os.path.join(root_, f), dst)
+                    files.append(dst)
+        _sh.rmtree(stage, ignore_errors=True)
+        v1_entry_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ],
+        }
+        mp = _os.path.join(mdir, "m0.avro")
+        write_avro_file(
+            mp, v1_entry_schema,
+            [
+                {
+                    "status": 1, "snapshot_id": 7,
+                    "data_file": {
+                        "file_path": "file://" + fp,
+                        "file_format": "PARQUET",
+                        "record_count": _pq.ParquetFile(fp).metadata.num_rows,
+                        "file_size_in_bytes": _os.path.getsize(fp),
+                    },
+                }
+                for fp in files
+            ],
+        )
+        ice_schema, last_col = interop._ice_schema_from_spark(initial.schema)
+        meta_v1 = {
+            "format-version": 1, "location": "file://" + path,
+            "last-column-id": last_col,
+            "schema": ice_schema,
+            "partition-spec": [],
+            "current-snapshot-id": 7,
+            "snapshots": [{
+                "snapshot-id": 7, "timestamp-ms": 1693526400000,
+                "manifests": ["file://" + mp],
+                "summary": {"operation": "append"},
+            }],
+        }
+        with open(
+            _os.path.join(mdir, "v1.metadata.json"), "w", encoding="utf-8"
+        ) as f:
+            _json.dump(meta_v1, f)
+        with open(
+            _os.path.join(mdir, "version-hint.text"), "w", encoding="ascii"
+        ) as f:
+            f.write("1")
+        try:
+            interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
+            raise AssertionError(
+                "merge into v1 metadata unexpectedly succeeded"
+            )
+        except NotImplementedError:
+            pass
+        if interop.upgrade_iceberg_v1_to_v2(path) != 2:
+            raise AssertionError("upgrade did not commit v2 metadata")
+        interop.merge_iceberg(ups.select(*cols), path, key=pk, mode="upsert")
+        interop.merge_iceberg(dels.select(pk), path, key=pk, mode="delete")
+        final = interop.read_iceberg(spark, path)
     else:
         raise ValueError(fmt)
     return final.select(
@@ -2417,6 +2513,10 @@ def game_user_cdc_e2e_iceberg_days(spark: SparkSession, sf_dir: str) -> DataFram
 
 def game_user_cdc_e2e_hudi_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "hudi_evolve")
+
+
+def game_user_cdc_e2e_iceberg_v1up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg_v1up")
 
 
 def game_user_cdc_e2e_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3255,6 +3355,17 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_hudi_evolve",
             game_user_cdc_e2e_hudi_evolve,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r13: format-version 1 INTEROP — the initial load is a
+        # hand-built NATIVE-STYLE v1 table (inline schema, v1 inline
+        # manifests, no sequence numbers); upgrade_iceberg_v1_to_v2
+        # commits v2 metadata-only, then the CDC pipeline runs. Same
+        # oracle: the upgrade must be analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_iceberg_v1up",
+            game_user_cdc_e2e_iceberg_v1up,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),
