@@ -6571,6 +6571,110 @@ def _ice_parse_partition_entry(entry: str) -> tuple[str, str, str]:
     return col, singular, f"{col}_{singular}"
 
 
+def delta_row_count(table_path: str, version: int | None = None) -> int | None:
+    """The Delta snapshot's exact row count from METADATA ONLY —
+    add-action ``stats.numRecords``, with a parquet-footer fallback for
+    stats-less adds (still O(files) metadata, zero data scan). None
+    when metadata cannot answer exactly (a deletion vector hides rows
+    inside files): callers must fall back to a real count, never
+    guess."""
+    import pyarrow.parquet as pq
+
+    state = _delta_replay(table_path, version)
+    total = 0
+    for add in state["files"].values():
+        if add.get("deletionVector"):
+            return None
+        n = None
+        try:
+            n = (json.loads(add.get("stats") or "null") or {}).get("numRecords")
+        except ValueError:
+            n = None
+        if n is None:
+            fp = os.path.join(table_path, urllib.parse.unquote(add["path"]))
+            try:
+                n = pq.ParquetFile(fp).metadata.num_rows
+            except Exception:  # noqa: BLE001 — unreadable footer: no shortcut
+                return None
+        total += int(n)
+    return total
+
+
+def iceberg_row_count(
+    table_path: str, snapshot_id: int | None = None
+) -> int | None:
+    """The Iceberg snapshot's exact row count from manifest
+    ``record_count`` sums — zero data scan. None when row-level
+    deletes (position/equality files) make manifest arithmetic
+    inexact."""
+    from .avro_lite import read_avro_file
+
+    meta = _iceberg_current_metadata(table_path)
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid is None or sid not in snaps:
+        return None
+    snap = snaps[sid]
+    if "manifest-list" in snap:
+        _s, mentries = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], table_path)
+        )
+        manifests = []
+        for e in mentries:
+            if e.get("content", 0) != 0:
+                # A DELETE manifest with any live entry: rows hide
+                # behind row-level deletes — no metadata answer.
+                _s2, dents = read_avro_file(
+                    _iceberg_local_path(e["manifest_path"], table_path)
+                )
+                if any(d.get("status", 1) != 2 for d in dents):
+                    return None
+                continue
+            manifests.append(e["manifest_path"])
+    else:
+        manifests = list(snap.get("manifests", []))
+    total = 0
+    for mpath in manifests:
+        _s3, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            dfr = e["data_file"]
+            if dfr.get("content", 0) != 0:
+                return None
+            n = dfr.get("record_count")
+            if n is None:
+                return None
+            total += int(n)
+    return total
+
+
+def hudi_row_count(table_path: str) -> int | None:
+    """The Hudi CoW snapshot's exact row count from base-file parquet
+    footers (O(files) metadata). None when any live slice carries log
+    files (MoR debt: latest-wins merge changes the count) — callers
+    fall back to a real read."""
+    import pyarrow.parquet as pq
+
+    try:
+        _completed, latest, slice_logs = _hudi_file_slices(table_path)
+    except FileNotFoundError:
+        return None
+    if any(slice_logs.values()):
+        return None
+    total = 0
+    for _ts, p in latest.values():
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            return None
+    return total
+
+
 def upgrade_iceberg_v1_to_v2(table_path: str) -> int:
     """Upgrade a format-version 1 Iceberg table to v2 with ONE
     metadata-only commit — what native engines run as ``ALTER TABLE

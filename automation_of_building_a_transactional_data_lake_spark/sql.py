@@ -608,8 +608,13 @@ class LakeSQL:
         """``SELECT count(*) FROM <ident> [FOR VERSION AS OF n]`` with
         no WHERE/GROUP BY answers from the committed footer-stats index
         (X75): O(files) metadata, zero data scan — at 100 TB a bare
-        count must never cost a table read. Any other shape falls
-        through to the normal plan."""
+        count must never cost a table read. Foreign paths get the same
+        treatment (r13): ``SELECT count(*) FROM delta|iceberg|hudi.
+        `/p``` answers from add-action stats / manifest record_count
+        sums / base-file footers; shapes metadata cannot answer
+        EXACTLY (deletion vectors, live row-level delete files, MoR
+        log debt) fall through to the normal plan — never a guess.
+        Any other statement shape falls through too."""
         m = re.match(
             rf"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
             rf"FROM\s+(?P<t>{re.escape(self.name)}\.\w+\.\w+)"
@@ -617,12 +622,40 @@ class LakeSQL:
             text,
             re.IGNORECASE,
         )
+        if m is not None:
+            spec, tbl = self._resolve_ident(m.group("t"))
+            if not hasattr(tbl, "row_count"):
+                return None
+            n = tbl.row_count(
+                version=int(m.group("ver")) if m.group("ver") else None
+            )
+            alias = m.group("alias") or "count(1)"
+            return self.spark.createDataFrame([(n,)], f"`{alias}` long")
+        m = re.match(
+            r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
+            r"FROM\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<path>[^`]+)`"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
         if m is None:
             return None
-        spec, tbl = self._resolve_ident(m.group("t"))
-        if not hasattr(tbl, "row_count"):
-            return None
-        n = tbl.row_count(version=int(m.group("ver")) if m.group("ver") else None)
+        from .formats.interop import (
+            delta_row_count,
+            hudi_row_count,
+            iceberg_row_count,
+        )
+
+        fmt = m.group("fmt").lower()
+        ver = int(m.group("ver")) if m.group("ver") else None
+        if fmt == "delta":
+            n = delta_row_count(m.group("path"), version=ver)
+        elif fmt == "iceberg":
+            n = iceberg_row_count(m.group("path"), snapshot_id=ver)
+        else:
+            n = hudi_row_count(m.group("path")) if ver is None else None
+        if n is None:
+            return None  # metadata cannot answer exactly: real plan
         alias = m.group("alias") or "count(1)"
         return self.spark.createDataFrame([(n,)], f"`{alias}` long")
 

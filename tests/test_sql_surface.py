@@ -872,3 +872,57 @@ def test_sql_text_where_pushdown_soundness_guards(spark, tmp_path):
         "WHERE (cat = 'c0' OR id < 0) AND ts IS NOT NULL"
     )
     assert {r.id for r in g.collect()} == {i for i in range(12) if i % 3 == 0}
+
+
+def test_foreign_path_metadata_count(spark, tmp_path):
+    """``SELECT count(*) FROM delta|iceberg|hudi.`/p``` answers from
+    METADATA (zero data scan — inputFiles is empty on the result);
+    shapes metadata cannot answer exactly (deletion vectors, live
+    delete files, MoR log debt) fall through to the real plan and stay
+    correct (r13, A2 at foreign scale)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        merge_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+
+    rows = [(i, f"v{i}", _dt.datetime(2024, 1 + i % 3, 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v string, ts timestamp")
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+
+    de, ice, hu = (str(tmp_path / n) for n in ("de", "ice", "hu"))
+    write_delta(df.repartition(3), de)
+    write_iceberg(df.repartition(3), ice, partition_by=["months(ts)"])
+    write_hudi(df, hu, record_key="id")
+
+    for fmt, path in (("delta", de), ("iceberg", ice), ("hudi", hu)):
+        res = lake.sql(f"SELECT count(*) AS n FROM {fmt}.`{path}`")
+        assert res.collect()[0].n == 40, fmt
+        assert res.inputFiles() == [], f"{fmt}: count cost a scan"
+
+    # A merge-on-read shape makes metadata inexact: the count must
+    # fall through to a REAL plan and still be right.
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), ice, key="id",
+        mode="delete", strategy="mor",
+    )
+    res = lake.sql(f"SELECT count(*) AS n FROM iceberg.`{ice}`")
+    assert res.collect()[0].n == 39
+    assert res.inputFiles() != []  # honest fallback, not a guess
+
+    # Delta deletion vectors: same contract.
+    dv = str(tmp_path / "dv")
+    write_delta(
+        df.repartition(2), dv,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(2,)], "id long"), dv, key="id", mode="delete"
+    )
+    res = lake.sql(f"SELECT count(*) AS n FROM delta.`{dv}`")
+    assert res.collect()[0].n == 39
+    assert res.inputFiles() != []
