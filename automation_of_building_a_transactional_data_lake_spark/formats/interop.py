@@ -1599,6 +1599,7 @@ def read_delta_changes(
     table_path: str,
     starting_version: int,
     ending_version: int | None = None,
+    where: list | None = None,
 ) -> DataFrame:
     """Row-level changes of a REAL Delta table between versions — the
     foreign twin of the engine's own change feed (X87/X91), following
@@ -1615,7 +1616,15 @@ def read_delta_changes(
 
     Rows arrive as (business columns, _change_type, _commit_version).
     Versions are inclusive on both ends; ``ending_version=None`` means
-    the current head."""
+    the current head.
+
+    ``where=`` (r13, the shared grammar above ``_norm_where``) is the
+    incremental consumer's FILE SKIPPING: each commit's cdc/add
+    actions prune by partitionValues and JSON stats exactly like
+    ``read_delta``, so a consumer tailing one key range reads only
+    the change files that can hold it; the predicates also apply as a
+    residual row filter over the change rows (pre- and postimages
+    alike), so the feed stays exact."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"no Delta table at {table_path} (no _delta_log)")
@@ -1634,10 +1643,24 @@ def read_delta_changes(
     file_schema, read_names, phys, rsess = _delta_file_resolution(
         spark, meta, schema, pcols
     )
+    where_n = _norm_where(where)
+    preds_dom = (
+        _delta_where_domain(
+            where_n, schema,
+            spark.conf.get("spark.sql.session.timeZone", None),
+        )
+        if where_n
+        else []
+    )
 
     out = None
     for v in range(int(starting_version), end + 1):
         entries = _delta_cdf_commit_entries(table_path, v)
+        if preds_dom:
+            entries = [
+                (a, ct) for a, ct in entries
+                if _delta_prune_keep(a, schema, pcols, phys, preds_dom)
+            ]
         # Bounded plan width (round-8 advisory): a commit with thousands
         # of files must NOT become thousands of union branches — group
         # by (change-type source, partition tuple) and hand each group's
@@ -1690,7 +1713,7 @@ def read_delta_changes(
         empty = StructType(list(schema.fields))
         empty = empty.add("_change_type", "string").add("_commit_version", "long")
         return spark.createDataFrame([], empty)
-    return out
+    return _where_residual(out, where_n)
 
 
 # -- Delta Lake: single-writer commit (write) -------------------------------

@@ -7874,3 +7874,50 @@ def test_iceberg_v1_upgrade_then_full_write_surface(spark, tmp_path):
     assert {r.id for r in pr.collect()} == {
         k for k, (_v, c) in model.items() if c == "b"
     }
+
+
+def test_read_delta_changes_where_file_skipping(spark, tmp_path):
+    """r13: the CDF reader takes the shared where= grammar — an
+    incremental consumer tailing one partition reads only the change
+    files that can hold it (inputFiles pin) and the feed stays exact
+    (pre/postimages included) vs the unfiltered feed + filter."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"c{i % 3}") for i in range(30)],
+        "id long, v string, cat string",
+    )
+    write_delta(
+        df, path, partition_by=["cat"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame(
+            [(1, "v1b", "c1"), (31, "v31", "c1"), (2, "v2b", "c2")],
+            "id long, v string, cat string",
+        ),
+        path, key="id", mode="upsert",
+    )
+    merge_delta(
+        spark.createDataFrame([(4,)], "id long"), path, key="id",
+        mode="delete",
+    )
+
+    full = read_delta_changes(spark, path, 0)
+    got = read_delta_changes(spark, path, 0, where=[("cat", "=", "c1")])
+    want = full.filter(F.col("cat") == "c1")
+    key = ["id", "_change_type", "_commit_version"]
+    assert {tuple(r) for r in got.select(*key).collect()} == {
+        tuple(r) for r in want.select(*key).collect()
+    }
+    assert 0 < len(got.inputFiles()) < len(full.inputFiles())
+    # The OR/null grammar flows through too.
+    g2 = read_delta_changes(
+        spark, path, 0, where=[[("cat", "=", "c1"), ("cat", "=", "c2")]]
+    )
+    assert {r.cat for r in g2.collect()} == {"c1", "c2"}
