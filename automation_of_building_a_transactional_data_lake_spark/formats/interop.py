@@ -6223,12 +6223,15 @@ def _mlist_carry(rec: dict) -> dict:
     }
 
 
-def _ice_data_manifest_meta(cur_schema: dict, spec_fields: list[dict], content: bytes) -> dict:
+def _ice_data_manifest_meta(
+    cur_schema: dict, spec_fields: list[dict], content: bytes,
+    spec_id: int = 0,
+) -> dict:
     return {
         "schema": json.dumps(cur_schema).encode("utf-8"),
         "schema-id": str(cur_schema.get("schema-id", 0)).encode("utf-8"),
         "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-        "partition-spec-id": b"0",
+        "partition-spec-id": str(int(spec_id)).encode("ascii"),
         "format-version": b"2",
         "content": content,
     }
@@ -6243,6 +6246,7 @@ def _ice_retire_data_manifests(
     cur_schema: dict,
     spec_fields: list[dict],
     mdir: str,
+    spec_id: int = 0,
 ) -> list[dict]:
     """Rewrite every data manifest that references a retired file:
     affected entries marked status-2 (original sequence numbers kept,
@@ -6257,6 +6261,20 @@ def _ice_retire_data_manifests(
         if not any(touched):
             out.append(_mlist_carry(mf["rec"]))
             continue
+        mf_spec = int(mf["rec"].get("partition_spec_id") or 0)
+        if mf_spec != int(spec_id):
+            # A manifest written under ANOTHER partition spec (native
+            # spec evolution): rewriting its entries through the
+            # current spec's partition record shape would corrupt
+            # their records for native readers — refuse loudly rather
+            # than silently degrade foreign metadata.
+            raise NotImplementedError(
+                f"a merge must rewrite manifest {mf['rec']['manifest_path']}"
+                f" written under partition spec {mf_spec}, but the table's"
+                f" default spec is {spec_id}; multi-spec rewrite is not"
+                " supported (compact the table with its native engine"
+                " first)"
+            )
         rewritten = []
         n_exist = n_del = rows_exist = rows_del = 0
         min_seq = seq
@@ -6286,13 +6304,15 @@ def _ice_retire_data_manifests(
         mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m1.avro")
         write_avro_file(
             mpath, entry_schema, rewritten,
-            extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"data"),
+            extra_meta=_ice_data_manifest_meta(
+                cur_schema, spec_fields, b"data", spec_id
+            ),
         )
         out.append(
             {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 0,
+                "partition_spec_id": int(spec_id), "content": 0,
                 "sequence_number": seq, "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": 0,
@@ -6316,6 +6336,7 @@ def _ice_retire_delete_manifests(
     spec_fields: list[dict],
     part_fields: list[dict],
     mdir: str,
+    spec_id: int = 0,
 ) -> list[dict]:
     """Retire every prior DELETE file: rewrite each delete manifest
     with all live entries status-2 (content flag preserved), so the
@@ -6382,13 +6403,15 @@ def _ice_retire_delete_manifests(
         mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m2.avro")
         write_avro_file(
             mpath, del_entry_schema, retired,
-            extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"deletes"),
+            extra_meta=_ice_data_manifest_meta(
+                cur_schema, spec_fields, b"deletes", spec_id
+            ),
         )
         out.append(
             {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 1,
+                "partition_spec_id": int(spec_id), "content": 1,
                 "sequence_number": seq, "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": 0,
@@ -6411,6 +6434,7 @@ def _ice_add_data_manifest(
     mdir: str,
     snapshot_id: int,
     seq: int,
+    spec_id: int = 0,
 ) -> tuple[dict | None, int]:
     """One ADDED-data manifest for the staged parquet files. Returns
     (manifest-list record or None when nothing staged, file count)."""
@@ -6444,13 +6468,15 @@ def _ice_add_data_manifest(
     mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
     write_avro_file(
         mpath, entry_schema, add_entries,
-        extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"data"),
+        extra_meta=_ice_data_manifest_meta(
+            cur_schema, spec_fields, b"data", spec_id
+        ),
     )
     return (
         {
             "manifest_path": f"file://{mpath}",
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0, "content": 0,
+            "partition_spec_id": int(spec_id), "content": 0,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(add_entries),
@@ -6974,6 +7000,9 @@ def write_iceberg(
         parent_id = None
         location = table_path
 
+    cur_spec_id = (
+        int(meta.get("default-spec-id") or 0) if exists else 0
+    )
     staged = _iceberg_stage_files(
         df, table_path, part_fields,
         bounds_fields=_ice_schema_bounds_fields(ice_schema),
@@ -7018,7 +7047,7 @@ def write_iceberg(
             "schema": json.dumps(ice_schema).encode("utf-8"),
             "schema-id": str(ice_schema.get("schema-id", 0)).encode("utf-8"),
             "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(cur_spec_id).encode("ascii"),
             "format-version": b"2",
             "content": b"data",
         },
@@ -7026,7 +7055,7 @@ def write_iceberg(
     new_mlist_rec = {
         "manifest_path": f"file://{manifest_abs}",
         "manifest_length": os.path.getsize(manifest_abs),
-        "partition_spec_id": 0,
+        "partition_spec_id": cur_spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -7083,7 +7112,7 @@ def write_iceberg(
                         "utf-8"
                     ),
                     "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-                    "partition-spec-id": b"0",
+                    "partition-spec-id": str(cur_spec_id).encode("ascii"),
                     "format-version": b"2",
                     "content": b"data",
                 },
@@ -7092,7 +7121,7 @@ def write_iceberg(
                 {
                     "manifest_path": f"file://{dmanifest_abs}",
                     "manifest_length": os.path.getsize(dmanifest_abs),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": cur_spec_id,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min(
@@ -7428,16 +7457,19 @@ def write_iceberg_equality_deletes(
         )
     if not del_entries:
         return sid  # empty batch: no-op, current snapshot stands
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
     mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0eq.avro")
     write_avro_file(
         mpath, del_entry_schema, del_entries,
-        extra_meta=_ice_data_manifest_meta(cur_schema, spec_fields, b"deletes"),
+        extra_meta=_ice_data_manifest_meta(
+            cur_schema, spec_fields, b"deletes", cur_spec_id
+        ),
     )
     new_mlist = [
         {
             "manifest_path": f"file://{mpath}",
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0, "content": 1,
+            "partition_spec_id": cur_spec_id, "content": 1,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(del_entries),
@@ -7895,10 +7927,11 @@ def merge_iceberg(
     finally:
         keys_pin.unpersist()
     retire = set(rewrite_paths) | set(dead)
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
     new_mlist: list[dict] = []
     add_rec, n_added = _ice_add_data_manifest(
         staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
-        snapshot_id, seq,
+        snapshot_id, seq, spec_id=cur_spec_id,
     )
     if add_rec is not None:
         new_mlist.append(add_rec)
@@ -7970,7 +8003,7 @@ def merge_iceberg(
                     "utf-8"
                 ),
                 "partition-spec": json.dumps(spec_fields).encode("utf-8"),
-                "partition-spec-id": b"0",
+                "partition-spec-id": str(cur_spec_id).encode("ascii"),
                 "format-version": b"2",
                 "content": b"deletes",
             },
@@ -7979,7 +8012,7 @@ def merge_iceberg(
             {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 1,
+                "partition_spec_id": cur_spec_id, "content": 1,
                 "sequence_number": seq, "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(del_entries),
@@ -7995,6 +8028,7 @@ def merge_iceberg(
         _ice_retire_data_manifests(
             manifests, retire, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, mdir,
+            spec_id=cur_spec_id,
         )
     )
     if compacting:
@@ -8002,6 +8036,7 @@ def merge_iceberg(
             _ice_retire_delete_manifests(
                 delete_recs, table_path, seq, snapshot_id,
                 entry_schema, cur_schema, spec_fields, part_fields, mdir,
+                spec_id=cur_spec_id,
             )
         )
     else:
@@ -8221,10 +8256,11 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         if survivors is not None
         else []
     )
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
     new_mlist: list[dict] = []
     add_rec, n_added = _ice_add_data_manifest(
         staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
-        snapshot_id, seq,
+        snapshot_id, seq, spec_id=cur_spec_id,
     )
     if add_rec is not None:
         new_mlist.append(add_rec)
@@ -8232,12 +8268,14 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         _ice_retire_data_manifests(
             manifests, retire, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, mdir,
+            spec_id=cur_spec_id,
         )
     )
     new_mlist.extend(
         _ice_retire_delete_manifests(
             delete_recs, table_path, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, part_fields, mdir,
+            spec_id=cur_spec_id,
         )
     )
     summary = {

@@ -7921,3 +7921,65 @@ def test_read_delta_changes_where_file_skipping(spark, tmp_path):
         spark, path, 0, where=[[("cat", "=", "c1"), ("cat", "=", "c2")]]
     )
     assert {r.cat for r in g2.collect()} == {"c1", "c2"}
+
+
+def test_iceberg_nonzero_default_spec_id_stamped(spark, tmp_path):
+    """r13: commits against a foreign table whose default-spec-id is
+    not 0 stamp the REAL spec id into new manifest-list records and
+    manifest avro metadata (native readers decode partition records by
+    that id); rewriting a manifest written under ANOTHER spec refuses
+    loudly instead of corrupting its records."""
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"),
+        path, partition_by=["cat"],
+    )
+    # Doctor the metadata into the native spec-evolved shape: the
+    # (single) spec now carries id 1 and the default points at it.
+    mdir = os.path.join(path, "metadata")
+    chosen, meta = _iceberg_current_metadata_named(path)
+    meta["partition-specs"][0]["spec-id"] = 1
+    meta["default-spec-id"] = 1
+    with open(os.path.join(mdir, chosen), "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+
+    # Insert-only merge: no existing manifest is touched, so the add
+    # manifest commits under spec 1.
+    merge_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, cat string"),
+        path, key="id",
+    )
+    assert {r.id for r in read_iceberg(spark, path).collect()} == {1, 2, 3}
+    _c, meta2 = _iceberg_current_metadata_named(path)
+    snap = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(_iceberg_local_path(snap["manifest-list"], path))
+    added = [
+        r for r in mlist
+        if r.get("added_snapshot_id") == meta2["current-snapshot-id"]
+        and r.get("content", 0) == 0 and r.get("added_files_count", 0) > 0
+    ]
+    assert added and all(r["partition_spec_id"] == 1 for r in added)
+
+    # A merge that must REWRITE the spec-0 seed manifest (update of an
+    # existing key) hits the multi-spec guard.
+    with pytest.raises(NotImplementedError, match="partition spec 0"):
+        merge_iceberg(
+            spark.createDataFrame([(1, "a2")], "id long, cat string"),
+            path, key="id",
+        )
