@@ -227,3 +227,123 @@ def test_random_join_agg_parity(spark, s):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# -- r13: SQL-text WHERE -> where= pushdown fuzz -----------------------------
+
+_PUSH_WHERE_ATOM = st.sampled_from([
+    "id = {n}",
+    "id != {n}",
+    "{n} < id",
+    "id <= {n}",
+    "id BETWEEN {n} AND {m}",
+    "id IN ({n}, {m})",
+    "id NOT IN ({n}, {m})",
+    "cat = 'c{k}'",
+    "cat <> 'c{k}'",
+    "cat IN ('c{k}', 'c0')",
+    "cat IS NULL",
+    "cat IS NOT NULL",
+    "ts >= TIMESTAMP '2024-0{mo}-01 00:00:00'",
+    "ts < TIMESTAMP '2024-0{mo}-15 12:00:00'",
+    "d = DATE '2024-0{mo}-01'",
+    # unsupported shapes: must not push, must stay exact
+    "upper(cat) = 'C{k}'",
+    "id + 0 = {n}",
+    "length(cat) > {k}",
+])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    fmt=st.sampled_from(["delta", "iceberg", "hudi"]),
+    atoms=st.lists(
+        st.tuples(
+            _PUSH_WHERE_ATOM,
+            st.integers(0, 40),   # n
+            st.integers(0, 40),   # m
+            st.integers(0, 3),    # k
+            st.integers(1, 6),    # mo
+        ),
+        min_size=1, max_size=3,
+    ),
+    or_group=st.booleans(),
+    alias=st.booleans(),
+)
+def test_sql_where_pushdown_fuzz(
+    spark, tmp_path_factory, fmt, atoms, or_group, alias
+):
+    """PROPERTY (r13): for ANY WHERE clause assembled from supported
+    and unsupported conjunct shapes, a single-table SELECT through
+    LakeSQL over a foreign path equals plain Spark SQL over the full
+    unpruned read — the pushdown derivation may only skip files, never
+    change results."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    base = tmp_path_factory.mktemp("swf")
+    rows = [
+        (
+            i,
+            f"c{i % 4}" if i % 7 else None,
+            _dt.datetime(2024, 1 + i % 6, 1 + i % 27),
+            _dt.date(2024, 1 + i % 6, 1),
+        )
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cat string, ts timestamp, d date"
+    ).repartition(3)
+    path = str(base / "t")
+    if fmt == "delta":
+        write_delta(df, path, partition_by=["cat"])
+        full = read_delta(spark, path)
+    elif fmt == "iceberg":
+        write_iceberg(df, path, partition_by=["months(ts)"])
+        full = read_iceberg(spark, path)
+    else:
+        write_hudi(df, path, record_key="id", partition_by=["cat"])
+        full = read_hudi(spark, path)
+
+    rendered = [
+        tpl.format(n=n, m=max(n, m), k=k, mo=mo)
+        for tpl, n, m, k, mo in atoms
+    ]
+    if or_group and len(rendered) >= 2 and all(
+        " NOT IN " not in c for c in rendered[:2]
+    ):
+        clause = "(" + " OR ".join(rendered[:2]) + ")"
+        rest = rendered[2:]
+    else:
+        clause, rest = rendered[0], rendered[1:]
+    where_sql = " AND ".join([clause] + rest)
+    a = "t" if alias else ""
+    q = (
+        f"SELECT {'t.' if alias else ''}id, cat "
+        f"FROM {fmt}.`{path}` {a} WHERE {where_sql}"
+    )
+
+    lake = LakeSQL(Catalog(spark, str(base / "wh")))
+    got = {tuple(r) for r in lake.sql(q).collect()}
+    full.createOrReplaceTempView("__push_fuzz_full")
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT id, cat FROM __push_fuzz_full WHERE {where_sql}"
+        ).collect()
+    }
+    assert got == want, q
