@@ -979,6 +979,122 @@ class LakeSQL:
             )
 
         m = re.match(
+            r"DESC(?:RIBE)?\s+DETAIL\s+(?P<fmt>delta|iceberg|hudi)\."
+            r"`(?P<p>[^`]+)`$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Foreign-table operational detail from METADATA only
+            # (r13): file/byte totals, partitioning, current
+            # version/snapshot/instant, and the exact row count when
+            # metadata can answer it (null when deletes/log debt make
+            # it inexact — the count(*) shortcut's same honesty rule).
+            import os as _os
+
+            from .formats import interop
+
+            fmt, p = m.group("fmt").lower(), m.group("p")
+            if fmt == "delta":
+                state = interop._delta_replay(p, None)
+                meta_d = state["metaData"]
+                adds = list(state["files"].values())
+                detail = (
+                    "delta", p,
+                    list(meta_d.get("partitionColumns") or []),
+                    len(adds),
+                    sum(int(a.get("size", 0) or 0) for a in adds),
+                    interop.delta_row_count(p),
+                    str(state["version"]),
+                )
+            elif fmt == "iceberg":
+                from .formats.avro_lite import read_avro_file
+
+                meta_i = interop._iceberg_current_metadata(p)
+                sid = meta_i.get("current-snapshot-id")
+                snap = next(
+                    (
+                        sn for sn in meta_i.get("snapshots", [])
+                        if sn["snapshot-id"] == sid
+                    ),
+                    None,
+                )
+                nfiles = size = 0
+                if snap is not None and "manifest-list" in snap:
+                    _s, mlist = read_avro_file(
+                        interop._iceberg_local_path(snap["manifest-list"], p)
+                    )
+                    for rec in mlist:
+                        if rec.get("content", 0) != 0:
+                            continue
+                        _s2, ents = read_avro_file(
+                            interop._iceberg_local_path(
+                                rec["manifest_path"], p
+                            )
+                        )
+                        for e in ents:
+                            if e.get("status", 1) == 2:
+                                continue
+                            nfiles += 1
+                            size += int(
+                                e["data_file"].get("file_size_in_bytes", 0)
+                                or 0
+                            )
+                spec = next(
+                    (
+                        sp for sp in meta_i.get("partition-specs", [])
+                        if sp.get("spec-id") == meta_i.get("default-spec-id")
+                    ),
+                    None,
+                )
+                cur_sch = next(
+                    (
+                        sc for sc in meta_i.get("schemas", [])
+                        if sc.get("schema-id")
+                        == meta_i.get("current-schema-id")
+                    ),
+                    meta_i.get("schema"),
+                ) or {}
+                by_id = {
+                    f["id"]: f["name"] for f in cur_sch.get("fields", [])
+                }
+                pcols = []
+                for f in (spec or {}).get("fields", []):
+                    src = by_id.get(f.get("source-id"), f.get("name"))
+                    t = interop._ice_norm_transform(f.get("transform"))
+                    pcols.append(src if t == "identity" else f"{t}({src})")
+                detail = (
+                    "iceberg", p, pcols, nfiles, size,
+                    interop.iceberg_row_count(p),
+                    str(sid),
+                )
+            else:
+                _completed, latest, slice_logs = interop._hudi_file_slices(p)
+                nfiles = len(latest) + sum(
+                    len(v) for v in slice_logs.values()
+                )
+                size = 0
+                for _ts, bp in latest.values():
+                    try:
+                        size += _os.path.getsize(bp)
+                    except OSError:
+                        pass
+                head = max(
+                    (ts for ts, _bp in latest.values()), default=None
+                )
+                detail = (
+                    "hudi", p,
+                    [], nfiles, size,
+                    interop.hudi_row_count(p),
+                    head,
+                )
+            return self.spark.createDataFrame(
+                [detail],
+                "format string, location string, "
+                "partition_columns array<string>, num_files long, "
+                "size_bytes long, num_rows long, current string",
+            )
+
+        m = re.match(
             rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<t>{ident})$", s, re.IGNORECASE
         )
         if m:

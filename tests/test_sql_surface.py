@@ -926,3 +926,47 @@ def test_foreign_path_metadata_count(spark, tmp_path):
     res = lake.sql(f"SELECT count(*) AS n FROM delta.`{dv}`")
     assert res.collect()[0].n == 39
     assert res.inputFiles() != []
+
+
+def test_describe_detail_foreign_paths(spark, tmp_path):
+    """``DESCRIBE DETAIL <fmt>.`/p``` reports file/byte totals,
+    partitioning and the metadata-exact row count for all three
+    formats — zero data scan; row count nulls honestly when MoR debt
+    makes it inexact."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+
+    rows = [(i, f"c{i % 2}", _dt.datetime(2024, 1 + i % 3, 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, cat string, ts timestamp")
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+
+    de, ice, hu = (str(tmp_path / n) for n in ("de", "ice", "hu"))
+    write_delta(df, de, partition_by=["cat"])
+    write_iceberg(df, ice, partition_by=["months(ts)"])
+    write_hudi(df, hu, record_key="id")
+
+    d = lake.sql(f"DESCRIBE DETAIL delta.`{de}`").collect()[0]
+    assert d.format == "delta" and d.num_rows == 20
+    assert d.partition_columns == ["cat"] and d.num_files > 0
+    assert d.size_bytes > 0
+
+    i = lake.sql(f"DESCRIBE DETAIL iceberg.`{ice}`").collect()[0]
+    assert i.format == "iceberg" and i.num_rows == 20
+    assert i.partition_columns == ["months(ts)"]
+
+    h = lake.sql(f"DESCRIBE DETAIL hudi.`{hu}`").collect()[0]
+    assert h.format == "hudi" and h.num_rows == 20 and h.current is not None
+
+    # MoR debt nulls the row count honestly.
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), ice, key="id",
+        mode="delete", strategy="mor",
+    )
+    i2 = lake.sql(f"DESCRIBE DETAIL iceberg.`{ice}`").collect()[0]
+    assert i2.num_rows is None
