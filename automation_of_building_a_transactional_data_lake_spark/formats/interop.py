@@ -5700,6 +5700,16 @@ _ICE_PART_AVRO = {
     "int": "int",
     "long": "long",
     "date": {"type": "int", "logicalType": "date"},
+    # Identity-on-timestamp partition records are epoch-micros longs
+    # (spec "Partition Transforms": identity keeps the source type,
+    # whose manifest representation is long micros). The staging write
+    # derives the dup column as unix_micros, so the hive dir value is
+    # a tz-independent long that round-trips exactly (r13).
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {
+        "type": "long", "logicalType": "timestamp-micros",
+        "adjust-to-utc": True,
+    },
 }
 
 
@@ -5714,9 +5724,19 @@ def _ice_part_value(ice_type: str, raw: str | None):
         import datetime as _dt
 
         return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz"):
+        import datetime as _dt
+
+        try:
+            return int(raw)  # this writer stages epoch-micros longs
+        except ValueError:
+            d = _dt.datetime.fromisoformat(raw)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            return int(d.timestamp() * 1_000_000)
     raise NotImplementedError(
         f"identity partition on Iceberg type {ice_type!r} is not supported "
-        "(string/int/long/date only)"
+        "(string/int/long/date/timestamp only)"
     )
 
 
@@ -5938,6 +5958,13 @@ def _ice_transform_expr(transform: str, c, src_ice_type: str):
     t = _ice_norm_transform(transform)
     is_ts = src_ice_type in ("timestamp", "timestamptz")
     if t == "identity":
+        if is_ts:
+            # Stage epoch micros: the hive dir value becomes a plain
+            # long that round-trips through _ice_part_value exactly,
+            # independent of the session timezone's dir rendering
+            # (Iceberg paths are opaque; the manifest record is the
+            # truth, and identity-timestamp records ARE micros longs).
+            return F.unix_micros(c.cast("timestamp"))
         return c
     if t in ("days", "months", "years", "hours"):
         if is_ts:

@@ -7983,3 +7983,104 @@ def test_iceberg_nonzero_default_spec_id_stamped(spark, tmp_path):
             spark.createDataFrame([(1, "a2")], "id long, cat string"),
             path, key="id",
         )
+
+
+def test_iceberg_identity_timestamp_partitioning_lifecycle(spark, tmp_path):
+    """r13: identity-on-TIMESTAMP partition specs work through the
+    whole lifecycle — create, merge, keyed delete, compaction — with
+    partition records as epoch-micros longs (pinned against the rows)
+    and where= pruning engaging on the partition source, independent
+    of the session timezone."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    t0 = _dt.datetime(2024, 3, 1, 10, 30)
+    rows = [(i, t0 + _dt.timedelta(hours=i), f"v{i}") for i in range(6)]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        write_iceberg(
+            spark.createDataFrame(rows, "id long, ts timestamp, v string"),
+            path, partition_by=["ts"],
+        )
+        model = {i: (ts, v) for i, ts, v in rows}
+
+        def state():
+            return {
+                r.id: (r.ts, r.v)
+                for r in read_iceberg(spark, path).collect()
+            }
+
+        assert state() == model
+
+        # Partition records are the rows' epoch micros exactly.
+        _c, meta = _iceberg_current_metadata_named(path)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], path)
+        )
+        recs = set()
+        for rec in mlist:
+            _s2, ents = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], path)
+            )
+            for e in ents:
+                if e.get("status", 1) != 2:
+                    recs.add(e["data_file"]["partition"]["ts"])
+        # collect() returned ts in the SESSION tz — compute expected
+        # micros from the UTC instants the naive inputs denote in the
+        # driver's local tz (UTC here).
+        want = {
+            int(
+                ts.astimezone(_dt.timezone.utc).timestamp() * 1_000_000
+            )
+            for ts in (
+                t.replace(tzinfo=None).astimezone()
+                for t, _v in model.values()
+            )
+        }
+        assert recs == want
+
+        merge_iceberg(
+            spark.createDataFrame(
+                [(2, t0 + _dt.timedelta(hours=2), "v2b"),
+                 (9, t0 + _dt.timedelta(days=2), "v9")],
+                "id long, ts timestamp, v string",
+            ),
+            path, key="id",
+        )
+        model[2] = (model[2][0], "v2b")
+        model[9] = (t0 + _dt.timedelta(days=2), "v9")
+        assert state() == model
+
+        merge_iceberg(
+            spark.createDataFrame([(0,)], "id long"), path, key="id",
+            mode="delete", strategy="mor",
+        )
+        model.pop(0)
+        assert state() == model
+        compact_iceberg(spark, path)
+        assert state() == model
+
+        # Pruning on the identity-timestamp source column.
+        probe = model[9][0]
+        p = read_iceberg(spark, path, where=[("ts", "=", probe)])
+        assert {r.id for r in p.collect()} == {9}
+        assert len(p.inputFiles()) < len(read_iceberg(spark, path).inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
