@@ -5052,20 +5052,10 @@ def _ice_atom_constraints(
     cons: list[tuple] = []
     fid_t = col_types.get(col_name)
 
-    def _null_preserving(transform: str) -> bool:
-        # The spec's standard transforms all map null -> null and
-        # non-null -> non-null; anything else (``void`` nulls every
-        # row's record regardless of the source) must not feed
-        # null-based or comparison-based record reasoning.
-        t = _ice_norm_transform(transform)
-        return t in ("identity", "days", "months", "years", "hours") or bool(
-            re.fullmatch(r"(bucket|truncate)\[\d+\]", t)
-        )
-
     if op in ("is_null", "is_not_null"):
         want_null = op == "is_null"
         for pf in part_fields:
-            if pf["src"] == col_name and _null_preserving(
+            if pf["src"] == col_name and _ice_null_preserving(
                 pf.get("transform") or "identity"
             ):
                 cons.append(("part_null", pf["name"], want_null))
@@ -6647,19 +6637,414 @@ def _ice_parse_partition_entry(entry: str) -> tuple[str, str, str]:
     return col, singular, f"{col}_{singular}"
 
 
-def delta_row_count(table_path: str, version: int | None = None) -> int | None:
+# -- Metadata-only predicate counts (r13) ------------------------------------
+#
+# A file contributes to an exact metadata count only when the predicate
+# is DECIDABLE for every one of its rows: state ALL (every row
+# satisfies), NONE (no row), or SOME (undecidable -> the whole count
+# falls through to a real scan). Decisions come from partition records
+# (a null-preserving transform's record pins every row's source value
+# into a CLOSED interval) and column bounds + null counts (valid
+# bounds stay valid under writer truncation: the stored interval is a
+# SUPERSET of the real one, so containment in the predicate region is
+# still containment).
+
+_ALL, _NONE, _SOME = 1, 0, -1
+
+
+def _ice_null_preserving(transform: str) -> bool:
+    """The spec's standard transforms all map null -> null and
+    non-null -> non-null; anything else (``void`` nulls every row's
+    record regardless of the source) must not feed null-based or
+    comparison-based record reasoning."""
+    t = _ice_norm_transform(transform)
+    return t in ("identity", "days", "months", "years", "hours") or bool(
+        re.fullmatch(r"(bucket|truncate)\[\d+\]", t)
+    )
+
+
+def _interval_op_state(lo, hi, op: str, dom) -> int:
+    """State of ``col <op> dom`` when every (non-null) row's value
+    lies in the CLOSED interval [lo, hi]."""
+    try:
+        if op == "=":
+            if lo == hi == dom:
+                return _ALL
+            return _NONE if (dom < lo or dom > hi) else _SOME
+        if op == "!=":
+            inner = _interval_op_state(lo, hi, "=", dom)
+            return {_ALL: _NONE, _NONE: _ALL, _SOME: _SOME}[inner]
+        if op == "<":
+            return _ALL if hi < dom else (_NONE if lo >= dom else _SOME)
+        if op == "<=":
+            return _ALL if hi <= dom else (_NONE if lo > dom else _SOME)
+        if op == ">":
+            return _ALL if lo > dom else (_NONE if hi <= dom else _SOME)
+        if op == ">=":
+            return _ALL if lo >= dom else (_NONE if hi < dom else _SOME)
+    except TypeError:
+        return _SOME
+    return _SOME
+
+
+def _ice_part_src_interval(transform: str, src_ice_type: str, v):
+    """The CLOSED [lo, hi] interval in the SOURCE column's comparable
+    domain (``_ice_col_domain``'s) that partition value ``v`` pins
+    every row into — None when the transform pins no interval
+    (bucket)."""
+    t = _ice_norm_transform(transform)
+    if t == "identity":
+        return (v, v)
+    is_date_src = src_ice_type == "date"
+    if t == "days":
+        # Record domain: epoch days for ts sources serialize the field
+        # as date; the record arrives as epoch-days int either way.
+        d = int(v)
+        if is_date_src:
+            return (d, d)
+        return (d * 86_400_000_000, (d + 1) * 86_400_000_000 - 1)
+    if t == "hours":
+        h = int(v)
+        return (h * 3_600_000_000, (h + 1) * 3_600_000_000 - 1)
+    if t in ("months", "years"):
+        import datetime as _dt
+
+        n = int(v)
+        if t == "months":
+            y, mo = 1970 + n // 12, 1 + n % 12
+            start = _dt.date(y, mo, 1)
+            end = _dt.date(
+                y + (1 if mo == 12 else 0), 1 if mo == 12 else mo + 1, 1
+            )
+        else:
+            start, end = _dt.date(1970 + n, 1, 1), _dt.date(1971 + n, 1, 1)
+        d0 = (start - _dt.date(1970, 1, 1)).days
+        d1 = (end - _dt.date(1970, 1, 1)).days
+        if is_date_src:
+            return (d0, d1 - 1)
+        return (d0 * 86_400_000_000, d1 * 86_400_000_000 - 1)
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        if src_ice_type in ("int", "long"):
+            base = int(v)
+            return (base, base + w - 1)
+        return None  # string truncate: prefix, no closed upper bound
+    return None  # bucket / unknown: pins nothing
+
+
+def _ice_atom_state(df_rec: dict, spec: dict, ctx: dict) -> int:
+    """Three-valued state of one normalized atom on one manifest
+    entry. ``spec`` comes from ``_ice_count_plan``."""
+    op = spec["op"]
+    pv = df_rec.get("partition") or {}
+    # 1. Partition-record decision (null-preserving transforms only).
+    for pf in spec["parts"]:
+        name = pf["name"]
+        if name not in pv or not _ice_null_preserving(
+            pf.get("transform") or "identity"
+        ):
+            continue
+        v = pv.get(name)
+        if v is None:
+            # The null partition holds exactly the null source rows.
+            if op == "is_null":
+                return _ALL
+            return _NONE  # is_not_null and every comparison fail
+        if op == "is_null":
+            return _NONE
+        if op == "is_not_null":
+            return _ALL
+        dom = spec["src_dom"].get(name)
+        if dom is None:
+            continue
+        t = _ice_norm_transform(pf.get("transform"))
+        if t.startswith("bucket"):
+            if op == "=" and spec["bucket_dom"].get(name) is not None:
+                if v != spec["bucket_dom"][name]:
+                    return _NONE
+            continue
+        iv = _ice_part_src_interval(
+            pf.get("transform") or "identity", pf["src_ice_type"], v
+        )
+        if iv is None:
+            continue
+        st = _interval_op_state(iv[0], iv[1], op, dom)
+        if st != _SOME:
+            return st
+    # 2. Bounds + null-count decision.
+    fid, itype = spec["fid"], spec["ice_type"]
+    if fid is None:
+        return _SOME
+    nulls = ctx.get("nulls")
+    if nulls is None:
+        nulls = _ice_counts_map(df_rec.get("null_value_counts"))
+        ctx["nulls"] = nulls
+    nrec = df_rec.get("record_count")
+    nc = nulls.get(fid)
+    if op in ("is_null", "is_not_null"):
+        if nc is None:
+            return _SOME
+        if nc == 0:
+            return _NONE if op == "is_null" else _ALL
+        if nrec is not None and int(nc) >= int(nrec) > 0:
+            return _ALL if op == "is_null" else _NONE
+        return _SOME
+    if nrec is not None and nc is not None and int(nc) >= int(nrec) > 0:
+        return _NONE  # all-null: no comparison matches
+    dom = spec["col_dom"]
+    if dom is None or itype is None:
+        return _SOME
+    if ctx.get("lowers") is None:
+        ctx["lowers"] = _ice_bounds_map(df_rec.get("lower_bounds"))
+        ctx["uppers"] = _ice_bounds_map(df_rec.get("upper_bounds"))
+    lowers, uppers = ctx["lowers"], ctx["uppers"]
+    lo = _ice_bound_deser(itype, lowers[fid]) if fid in lowers else None
+    hi = _ice_bound_deser(itype, uppers[fid]) if fid in uppers else None
+    if lo is None or hi is None:
+        return _SOME
+    st = _interval_op_state(lo, hi, op, dom)
+    if st == _ALL and nc != 0:
+        return _SOME  # unknown/known nulls fail the comparison
+    return st
+
+
+def _ice_count_plan(
+    meta: dict, where_n: list[list[tuple]], session_tz: str | None
+) -> list[list[dict]]:
+    """Per-atom evaluation specs for the three-valued count walk."""
+    spec_p = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        None,
+    )
+    cur_schema = next(
+        (
+            s for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        meta.get("schema"),
+    )
+    if not cur_schema:
+        raise ValueError("no schema in Iceberg metadata")
+    part_fields = (
+        _ice_spec_part_fields(spec_p, cur_schema)
+        if spec_p and spec_p.get("fields")
+        else []
+    )
+    col_types = {
+        f["name"]: (int(f["id"]), f.get("type"))
+        for f in cur_schema.get("fields", [])
+    }
+    plan: list[list[dict]] = []
+    for disj in where_n:
+        specs = []
+        for col, op, lit in disj:
+            fid_t = col_types.get(col)
+            ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
+            lit_d = lit
+            if ice_t in ("timestamp", "timestamptz") and op not in (
+                "is_null", "is_not_null"
+            ):
+                lit_d = _utc_instant_lit(lit, session_tz)
+            parts = [pf for pf in part_fields if pf["src"] == col]
+            src_dom: dict = {}
+            bucket_dom: dict = {}
+            for pf in parts:
+                t = _ice_norm_transform(pf.get("transform"))
+                if op in ("is_null", "is_not_null"):
+                    continue
+                if lit_d is None:
+                    continue
+                src_dom[pf["name"]] = _ice_col_domain(
+                    pf["src_ice_type"], lit_d
+                )
+                if t.startswith("bucket"):
+                    try:
+                        bucket_dom[pf["name"]] = _ice_part_domain(
+                            t, pf["src_ice_type"], lit_d
+                        )
+                    except (NotImplementedError, TypeError, ValueError):
+                        bucket_dom[pf["name"]] = None
+            specs.append(
+                {
+                    "op": op,
+                    "parts": parts,
+                    "src_dom": src_dom,
+                    "bucket_dom": bucket_dom,
+                    "fid": fid_t[0] if fid_t else None,
+                    "ice_type": ice_t if ice_t in _ICE_BOUND_TYPES else None,
+                    "col_dom": (
+                        _ice_col_domain(ice_t, lit_d)
+                        if ice_t in _ICE_BOUND_TYPES
+                        and lit_d is not None
+                        and op not in ("is_null", "is_not_null")
+                        else None
+                    ),
+                }
+            )
+        plan.append(specs)
+    return plan
+
+
+def _ice_file_count_state(df_rec: dict, plan: list[list[dict]]) -> int:
+    """ALL / NONE / SOME of the whole AND-of-OR predicate on one
+    manifest entry."""
+    ctx: dict = {}
+    out = _ALL
+    for specs in plan:
+        states = [_ice_atom_state(df_rec, s, ctx) for s in specs]
+        if any(s == _ALL for s in states):
+            continue  # this disjunct is ALL
+        if all(s == _NONE for s in states):
+            return _NONE
+        out = _SOME
+    return out
+
+
+def _delta_atom_state(
+    add: dict, types: dict, pcols: list[str], phys: dict,
+    col: str, op: str, dom, cache: dict,
+) -> int:
+    """Three-valued state of one normalized atom on one add action —
+    the exact-count twin of ``_delta_atom_possible``. ALL decisions
+    need null-free evidence; Delta's valid-bounds guarantee makes
+    interval containment sound even under string truncation (the
+    stored interval is a superset of the real one)."""
+    dtype = types.get(col)
+    if dtype is None:
+        return _SOME
+    pname = phys.get(col, col)
+    if col in pcols:
+        pv = add.get("partitionValues") or {}
+        if pname not in pv and col not in pv:
+            return _SOME
+        raw = pv.get(pname, pv.get(col))
+        if raw is None:
+            return _ALL if op == "is_null" else _NONE
+        if op == "is_null":
+            return _NONE
+        if op == "is_not_null":
+            return _ALL
+        if dom is None:
+            return _SOME
+        v = _delta_lit_norm(dtype, raw)
+        if v is None:
+            return _SOME
+        return _interval_op_state(v, v, op, dom)
+    stats = cache.get("stats")
+    if stats is None:
+        try:
+            stats = json.loads(add.get("stats") or "null") or {}
+        except ValueError:
+            stats = {}
+        cache["stats"] = stats
+    nulls = stats.get("nullCount") or {}
+    nrec = stats.get("numRecords")
+    nc = nulls.get(pname)
+    if op in ("is_null", "is_not_null"):
+        if nc is None:
+            return _SOME
+        if nc == 0:
+            return _NONE if op == "is_null" else _ALL
+        if nrec is not None and int(nc) >= int(nrec) > 0:
+            return _ALL if op == "is_null" else _NONE
+        return _SOME
+    if nrec is not None and nc is not None and int(nc) >= int(nrec) > 0:
+        return _NONE
+    if dom is None:
+        return _SOME
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    mn = _delta_lit_norm(dtype, mins[pname]) if pname in mins else None
+    mx = _delta_lit_norm(dtype, maxs[pname]) if pname in maxs else None
+    if mn is None or mx is None:
+        return _SOME
+    # The != single-valued ALL/NONE inference needs untruncated
+    # values; >=32-char string bounds may be truncation artifacts.
+    if op in ("=", "!=") and isinstance(dom, str) and (
+        len(str(mn)) >= 32 or len(str(mx)) >= 32
+    ):
+        return _SOME
+    st = _interval_op_state(mn, mx, op, dom)
+    if st == _ALL and nc != 0:
+        return _SOME  # unknown/known nulls fail the comparison
+    return st
+
+
+def _delta_file_count_state(
+    add: dict, schema: StructType, pcols: list[str], phys: dict,
+    preds_dom: list[list[tuple]],
+) -> int:
+    types = {f.name: f.dataType for f in schema.fields}
+    cache: dict = {}
+    out = _ALL
+    for disj in preds_dom:
+        states = [
+            _delta_atom_state(add, types, pcols, phys, col, op, dom, cache)
+            for col, op, dom in disj
+        ]
+        if any(s == _ALL for s in states):
+            continue
+        if all(s == _NONE for s in states):
+            return _NONE
+        out = _SOME
+    return out
+
+
+def delta_row_count(
+    table_path: str,
+    version: int | None = None,
+    where: list | None = None,
+    session_tz: str | None = None,
+) -> int | None:
     """The Delta snapshot's exact row count from METADATA ONLY —
     add-action ``stats.numRecords``, with a parquet-footer fallback for
     stats-less adds (still O(files) metadata, zero data scan). None
     when metadata cannot answer exactly (a deletion vector hides rows
     inside files): callers must fall back to a real count, never
-    guess."""
+    guess.
+
+    ``where=`` (r13, the shared grammar) makes it a PREDICATE count:
+    every file must be decidably all-in (partition values / valid
+    stats bounds with zero nulls) or all-out — one undecidable file
+    and the answer is None. A date-range count on a partitioned table
+    whose files align with the range answers in O(files) metadata.
+    ``session_tz`` should be the Spark session timezone when timestamp
+    literals are involved (instant-literal rules match the row
+    filter's)."""
     import pyarrow.parquet as pq
 
     state = _delta_replay(table_path, version)
+    meta = state["metaData"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    where_n = _norm_where(where)
+    # Physical names only matter for column-mapped tables; reuse the
+    # mapping from metaData without building scan sessions.
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+    preds_dom = (
+        _delta_where_domain(where_n, schema, session_tz) if where_n else []
+    )
     total = 0
     for add in state["files"].values():
         if add.get("deletionVector"):
+            return None
+        st = (
+            _delta_file_count_state(add, schema, pcols, phys, preds_dom)
+            if preds_dom
+            else _ALL
+        )
+        if st == _NONE:
+            continue
+        if st == _SOME:
             return None
         n = None
         try:
@@ -6667,6 +7052,8 @@ def delta_row_count(table_path: str, version: int | None = None) -> int | None:
         except ValueError:
             n = None
         if n is None:
+            # A stats-less add can still be ALL-decided via partition
+            # values; its exact row count comes from the footer.
             fp = os.path.join(table_path, urllib.parse.unquote(add["path"]))
             try:
                 n = pq.ParquetFile(fp).metadata.num_rows
@@ -6677,12 +7064,22 @@ def delta_row_count(table_path: str, version: int | None = None) -> int | None:
 
 
 def iceberg_row_count(
-    table_path: str, snapshot_id: int | None = None
+    table_path: str,
+    snapshot_id: int | None = None,
+    where: list | None = None,
+    session_tz: str | None = None,
 ) -> int | None:
     """The Iceberg snapshot's exact row count from manifest
     ``record_count`` sums — zero data scan. None when row-level
     deletes (position/equality files) make manifest arithmetic
-    inexact."""
+    inexact.
+
+    ``where=`` (r13, the shared grammar) makes it a PREDICATE count:
+    every live data file must be decidably all-in or all-out — the
+    partition record's source interval (hidden transforms included:
+    a month-aligned range on a ``months(ts)`` table decides every
+    file) or null-free column bounds; one undecidable file and the
+    answer is None, never a guess."""
     from .avro_lite import read_avro_file
 
     meta = _iceberg_current_metadata(table_path)
@@ -6695,6 +7092,10 @@ def iceberg_row_count(
     if sid is None or sid not in snaps:
         return None
     snap = snaps[sid]
+    where_n = _norm_where(where)
+    count_plan = (
+        _ice_count_plan(meta, where_n, session_tz) if where_n else []
+    )
     if "manifest-list" in snap:
         _s, mentries = read_avro_file(
             _iceberg_local_path(snap["manifest-list"], table_path)
@@ -6722,6 +7123,12 @@ def iceberg_row_count(
             dfr = e["data_file"]
             if dfr.get("content", 0) != 0:
                 return None
+            if count_plan:
+                st = _ice_file_count_state(dfr, count_plan)
+                if st == _NONE:
+                    continue
+                if st == _SOME:
+                    return None
             n = dfr.get("record_count")
             if n is None:
                 return None

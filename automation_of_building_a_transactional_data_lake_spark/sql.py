@@ -264,12 +264,15 @@ def _sql_split_commas(masked: str) -> list[tuple[int, int]]:
 
 
 def _sql_parse_where_clause(
-    orig: str, masked: str, alias: str | None
-) -> list:
+    orig: str, masked: str, alias: str | None, strict: bool = False
+) -> list | None:
     """The WHERE clause's pushable predicates in the where= grammar:
     each depth-0 conjunct parses to an atom, a BETWEEN pair, or an
     OR group of atoms; anything else is skipped (it stays exact via
-    the SQL text itself)."""
+    the SQL text itself). ``strict=True`` returns None instead when
+    ANY conjunct fails to parse — required when the translation must
+    capture the WHOLE predicate (metadata counts), not just a sound
+    subset (file skipping)."""
     preds: list = []
     for cs, ce in _sql_split_spans(masked, "AND"):
         co, cm = _sql_strip_parens(orig[cs:ce], masked[cs:ce])
@@ -285,9 +288,13 @@ def _sql_parse_where_clause(
                 group.append(atom)
             if group:
                 preds.append(group)
+            elif strict:
+                return None
             continue
         atom = _sql_parse_atom(co, cm, alias)
         if atom is None:
+            if strict:
+                return None
             continue
         if isinstance(atom, list):  # BETWEEN: two conjunctive atoms
             preds.extend(atom)
@@ -631,12 +638,14 @@ class LakeSQL:
             )
             alias = m.group("alias") or "count(1)"
             return self.spark.createDataFrame([(n,)], f"`{alias}` long")
+        masked = _mask_strings(text)
         m = re.match(
             r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
             r"FROM\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<path>[^`]+)`"
-            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*;?\s*$",
-            text,
-            re.IGNORECASE,
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?"
+            r"(?:\s+WHERE\s+(?P<w>.+?))?\s*;?\s*$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
         )
         if m is None:
             return None
@@ -646,14 +655,34 @@ class LakeSQL:
             iceberg_row_count,
         )
 
-        fmt = m.group("fmt").lower()
+        fmt = text[m.start("fmt"):m.end("fmt")].lower()
+        path = text[m.start("path"):m.end("path")]
         ver = int(m.group("ver")) if m.group("ver") else None
+        where = None
+        if m.group("w"):
+            # The WHOLE predicate must translate (strict): a partially
+            # captured WHERE would over-count. Undecidable files still
+            # fall through via the count functions' None.
+            where = _sql_parse_where_clause(
+                text[m.start("w"):m.end("w")],
+                masked[m.start("w"):m.end("w")],
+                None, strict=True,
+            )
+            if not where:
+                return None
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None)
         if fmt == "delta":
-            n = delta_row_count(m.group("path"), version=ver)
+            n = delta_row_count(path, version=ver, where=where, session_tz=tz)
         elif fmt == "iceberg":
-            n = iceberg_row_count(m.group("path"), snapshot_id=ver)
+            n = iceberg_row_count(
+                path, snapshot_id=ver, where=where, session_tz=tz
+            )
         else:
-            n = hudi_row_count(m.group("path")) if ver is None else None
+            n = (
+                hudi_row_count(path)
+                if ver is None and where is None
+                else None
+            )
         if n is None:
             return None  # metadata cannot answer exactly: real plan
         alias = m.group("alias") or "count(1)"

@@ -8084,3 +8084,169 @@ def test_iceberg_identity_timestamp_partitioning_lifecycle(spark, tmp_path):
         assert len(p.inputFiles()) < len(read_iceberg(spark, path).inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_metadata_predicate_counts_deterministic(spark, tmp_path):
+    """r13: count(*) WHERE <pred> answers from metadata when every
+    file is decidably all-in/all-out — month-aligned ranges on a
+    months(ts) spec, partition IN on Delta, stats-decided empty
+    ranges — and honestly returns None (SQL: real plan) when any file
+    is undecidable."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delta_row_count,
+        iceberg_row_count,
+        write_delta,
+        write_iceberg,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1 + i % 6, 1 + i % 27), f"c{i % 3}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    ice, de = str(tmp_path / "ice"), str(tmp_path / "de")
+    write_iceberg(df.repartition(3), ice, partition_by=["months(ts)"])
+    write_delta(df.repartition(3), de, partition_by=["cat"])
+
+    lo, hi = _dt.datetime(2024, 3, 1), _dt.datetime(2024, 5, 1)
+    n = iceberg_row_count(
+        ice, where=[("ts", ">=", lo), ("ts", "<", hi)], session_tz="UTC"
+    )
+    assert n == len([r for r in rows if lo <= r[1] < hi])
+    # Misaligned boundary: some file is mixed -> None, never a guess.
+    assert iceberg_row_count(
+        ice, where=[("ts", ">=", _dt.datetime(2024, 3, 15))],
+        session_tz="UTC",
+    ) is None
+
+    assert delta_row_count(de, where=[("cat", "in", ["c1", "c2"])]) == len(
+        [r for r in rows if r[2] in ("c1", "c2")]
+    )
+    assert delta_row_count(de, where=[("id", "<", 0)]) == 0
+    # A mid-range id predicate crosses file bounds -> None.
+    assert delta_row_count(de, where=[("id", "<", 60)]) is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.integers(0, 40)),
+            st.sampled_from(["a", "b", "c", None]),
+        ),
+        min_size=1, max_size=25,
+    ),
+    fmt=st.sampled_from(["delta", "iceberg"]),
+    layout=st.sampled_from(["flat", "identity", "days", "months", "bucket"]),
+    preds=st.lists(
+        st.one_of(
+            _FUZZ_ATOM,
+            st.lists(_FUZZ_ATOM, min_size=2, max_size=2),
+        ),
+        min_size=1, max_size=2,
+    ),
+)
+def test_metadata_predicate_count_never_wrong_fuzz(
+    spark, tmp_path_factory, rows, fmt, layout, preds
+):
+    """PROPERTY (r13): whenever the metadata predicate count ANSWERS
+    (is not None), it equals the real filtered count — over the whole
+    where= grammar, data with nulls, and every layout. A wrong answer
+    here is silent data corruption for the SQL count(*) shortcut; None
+    is always legal, a number must be exact."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delta_row_count,
+        iceberg_row_count,
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    base_day = _dt.datetime(2023, 9, 1, 12, 0)
+    data = [
+        (
+            i,
+            n,
+            None if d is None else base_day + _dt.timedelta(days=d),
+            c,
+        )
+        for i, (n, d, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, n long, ts timestamp, cat string"
+    ).repartition(3)
+    path = str(tmp_path_factory.mktemp("mc") / "t")
+    if fmt == "iceberg":
+        pb = {
+            "flat": [], "identity": ["cat"], "days": ["days(ts)"],
+            "months": ["months(ts)"], "bucket": ["bucket(3, n)"],
+        }[layout]
+        write_iceberg(df, path, partition_by=pb)
+        counter = lambda w: iceberg_row_count(  # noqa: E731
+            path, where=w, session_tz="UTC"
+        )
+        full = read_iceberg(spark, path)
+    else:
+        pb = ["cat"] if layout == "identity" else []
+        write_delta(df, path, partition_by=pb)
+        counter = lambda w: delta_row_count(  # noqa: E731
+            path, where=w, session_tz="UTC"
+        )
+        full = read_delta(spark, path)
+
+    def _lit(col, seed):
+        if col == "n":
+            return seed
+        if col == "ts":
+            return base_day + _dt.timedelta(days=abs(seed) % 41)
+        return ["a", "b", "c", "zz"][abs(seed) % 4]
+
+    def _mk_atom(col, op, seed, width):
+        if op in ("is null", "is not null"):
+            return (col, op, None)
+        if op == "in":
+            return (col, "in", [_lit(col, seed + k) for k in range(width)])
+        return (col, op, _lit(col, seed))
+
+    where = [
+        (
+            _mk_atom(*entry)
+            if isinstance(entry, tuple)
+            else [_mk_atom(*a) for a in entry]
+        )
+        for entry in preds
+    ]
+    got = counter(where)
+    if got is None:
+        return  # honest refusal is always legal
+    f = full
+    for entry in where:
+        atoms = [entry] if isinstance(entry, tuple) else entry
+        cond = None
+        for col, op, lit in atoms:
+            c = F.col(col)
+            if op == "is null":
+                a = c.isNull()
+            elif op == "is not null":
+                a = c.isNotNull()
+            elif op == "in":
+                a = c.isin(*[F.lit(v) for v in lit])
+            else:
+                a = {
+                    "=": c == F.lit(lit), "<": c < F.lit(lit),
+                    "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+                    ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
+                }[op]
+            cond = a if cond is None else (cond | a)
+        f = f.filter(cond)
+    assert got == f.count(), (fmt, layout, where)

@@ -970,3 +970,61 @@ def test_describe_detail_foreign_paths(spark, tmp_path):
     )
     i2 = lake.sql(f"DESCRIBE DETAIL iceberg.`{ice}`").collect()[0]
     assert i2.num_rows is None
+
+
+def test_sql_count_where_metadata_only(spark, tmp_path):
+    """``SELECT count(*) FROM <fmt>.`/p`` WHERE <pred>`` answers from
+    metadata when every file decides (zero-scan pin), falls through to
+    a REAL plan when any file is mixed or the predicate doesn't fully
+    translate — and is exact either way."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+        write_iceberg,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1 + i % 6, 1 + i % 27), f"c{i % 3}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    ice, de = str(tmp_path / "ice"), str(tmp_path / "de")
+    write_iceberg(df.repartition(3), ice, partition_by=["months(ts)"])
+    write_delta(df.repartition(3), de, partition_by=["cat"])
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+
+    q = lake.sql(
+        f"SELECT count(*) AS n FROM iceberg.`{ice}` "
+        "WHERE ts >= TIMESTAMP '2024-03-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-05-01 00:00:00'"
+    )
+    want = len(
+        [r for r in rows if _dt.datetime(2024, 3, 1) <= r[1] < _dt.datetime(2024, 5, 1)]
+    )
+    assert q.collect()[0].n == want
+    assert q.inputFiles() == []  # metadata only
+
+    q2 = lake.sql(
+        f"SELECT count(*) AS n FROM delta.`{de}` WHERE cat IN ('c1', 'c2')"
+    )
+    assert q2.collect()[0].n == len([r for r in rows if r[2] != "c0"])
+    assert q2.inputFiles() == []
+
+    # Misaligned boundary: real plan, exact result.
+    q3 = lake.sql(
+        f"SELECT count(*) AS n FROM iceberg.`{ice}` "
+        "WHERE ts >= TIMESTAMP '2024-03-15 00:00:00'"
+    )
+    assert q3.collect()[0].n == len(
+        [r for r in rows if r[1] >= _dt.datetime(2024, 3, 15)]
+    )
+    assert q3.inputFiles() != []
+
+    # An untranslatable conjunct: strict parse refuses the shortcut.
+    q4 = lake.sql(
+        f"SELECT count(*) AS n FROM delta.`{de}` "
+        "WHERE cat = 'c1' AND length(cat) = 2"
+    )
+    assert q4.collect()[0].n == len([r for r in rows if r[2] == "c1"])
+    assert q4.inputFiles() != []
