@@ -359,6 +359,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     CDC pipeline then runs; the v1-merge refusal is asserted
 #     in-gate; same oracle family) registers in the TAIL, same
 #     protocol; rotate into a recorded slot in r14.
+#   r13 addition 3: orders_1996_metadata_count (metadata-only
+#     PREDICATE count — the reference's date-range count(*) validation
+#     shape answered from manifest arithmetic on the
+#     months(o_orderdate) table, zero-data-scan pinned in-gate via
+#     empty inputFiles; raw-orders count oracle) registers in the
+#     TAIL, same protocol; rotate into a recorded slot in r14.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -411,6 +417,7 @@ _DEMOTED_TAIL = [
     "q13_cust_distribution",
     "orders_1996_sqltext_pruned",
     "game_user_cdc_e2e_iceberg_v1up",
+    "orders_1996_metadata_count",
 ]
 
 _DRIVER_SLOTS = 50
