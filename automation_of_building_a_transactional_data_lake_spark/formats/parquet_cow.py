@@ -765,6 +765,124 @@ class ParquetCowTable:
         df = self.read(version=version) if version is not None else self.read()
         return df.count()
 
+    def metadata_predicate_count(
+        self, where, session_tz: str | None = None
+    ) -> int | None:
+        """COUNT(*) under a predicate from the committed footer-stats
+        index ALONE (r13, the managed twin of the foreign formats'
+        ``delta_row_count(where=)``): exact when every file is
+        decidably all-in (null-free [min, max] containment) or all-out
+        — one undecidable file and the answer is None, so callers run
+        a real plan rather than guess. ``where`` uses the shared
+        interop grammar; instant literals resolve through the same
+        timezone rules Spark's own filter applies."""
+        from .interop import (
+            _ALL,
+            _NONE,
+            _SOME,
+            _interval_op_state,
+            _norm_where,
+            _utc_instant_lit,
+        )
+
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} does not exist"
+            )
+        stats = self.file_stats()
+        if stats is None or not all("_rows" in s for s in stats.values()):
+            return None
+        where_n = _norm_where(where)
+        if not where_n:
+            return sum(s["_rows"] for s in stats.values())
+        types = {f.name: f.dataType.typeName() for f in self.read().schema.fields}
+
+        def _dom(col: str, lit):
+            t = types.get(col)
+            if t is None or lit is None:
+                return None
+            try:
+                if t == "timestamp":
+                    d = _utc_instant_lit(lit, session_tz)
+                    return d.isoformat() if d is not None else None
+                if t == "date":
+                    import datetime as _dt
+
+                    if isinstance(lit, str):
+                        lit = _dt.date.fromisoformat(lit)
+                    if isinstance(lit, _dt.datetime):
+                        lit = lit.date()
+                    return lit.isoformat()
+                if t in ("long", "integer", "short", "byte"):
+                    return int(lit)
+                if t in ("double", "float", "decimal"):
+                    return float(lit)
+                if t == "string":
+                    return str(lit) if isinstance(lit, str) else None
+            except (ValueError, TypeError):
+                return None
+            return None
+
+        doms = {}
+        for disj in where_n:
+            for col, op, lit in disj:
+                if op not in ("is_null", "is_not_null"):
+                    doms[(col, op, repr(lit))] = _dom(col, lit)
+
+        def atom_state(s: dict, col: str, op: str, lit) -> int:
+            ent = s.get(self._physical_name(col))
+            nrec = s["_rows"]
+            if op in ("is_null", "is_not_null"):
+                if ent is None:
+                    return _SOME
+                nc = ent.get("nulls")
+                if nc is None:
+                    return _SOME
+                if nc == 0:
+                    return _NONE if op == "is_null" else _ALL
+                if int(nc) >= int(nrec) > 0:
+                    return _ALL if op == "is_null" else _NONE
+                return _SOME
+            dom = doms.get((col, op, repr(lit)))
+            if ent is None or dom is None:
+                return _SOME
+            nc = ent.get("nulls")
+            if nc is not None and int(nc) >= int(nrec) > 0:
+                return _NONE  # all-null: no comparison matches
+            mn, mx = ent.get("min"), ent.get("max")
+            if mn is None or mx is None:
+                return _SOME
+            # Parquet footer string bounds may be writer-truncated
+            # (valid bounds, but the =/!= single-valued inference
+            # needs the actual value).
+            if op in ("=", "!=") and isinstance(dom, str) and (
+                len(str(mn)) >= 32 or len(str(mx)) >= 32
+            ):
+                return _SOME
+            st = _interval_op_state(mn, mx, op, dom)
+            if st == _ALL and nc != 0:
+                return _SOME  # unknown/known nulls fail the comparison
+            return st
+
+        total = 0
+        for _rel, s in stats.items():
+            file_state = _ALL
+            for disj in where_n:
+                states = [atom_state(s, c, o, v) for c, o, v in disj]
+                if any(x == _ALL for x in states):
+                    continue
+                if all(x == _NONE for x in states):
+                    file_state = _NONE
+                    break
+                file_state = _SOME
+            if file_state == _NONE:
+                continue
+            if file_state == _SOME:
+                return None
+            total += s["_rows"]
+        return total
+
     def pruned_files(self, col: str, lower=None, upper=None) -> list[str]:
         """Data skipping: the subset of the snapshot's data files whose
         footer [min, max] range for ``col`` intersects [lower, upper].

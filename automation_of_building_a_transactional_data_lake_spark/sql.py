@@ -622,15 +622,42 @@ class LakeSQL:
         EXACTLY (deletion vectors, live row-level delete files, MoR
         log debt) fall through to the normal plan — never a guess.
         Any other statement shape falls through too."""
+        masked = _mask_strings(text)
         m = re.match(
             rf"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
             rf"FROM\s+(?P<t>{re.escape(self.name)}\.\w+\.\w+)"
-            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*;?\s*$",
-            text,
-            re.IGNORECASE,
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?"
+            r"(?:\s+WHERE\s+(?P<w>.+?))?\s*;?\s*$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
         )
         if m is not None:
             spec, tbl = self._resolve_ident(m.group("t"))
+            if m.group("w"):
+                # Predicate count (r13): only from the footer-stats
+                # index, only when the WHOLE predicate translates and
+                # every file decides; anything else -> real plan.
+                if m.group("ver") or not hasattr(
+                    tbl, "metadata_predicate_count"
+                ):
+                    return None
+                where = _sql_parse_where_clause(
+                    text[m.start("w"):m.end("w")],
+                    masked[m.start("w"):m.end("w")],
+                    None, strict=True,
+                )
+                if not where:
+                    return None
+                n = tbl.metadata_predicate_count(
+                    where,
+                    session_tz=self.spark.conf.get(
+                        "spark.sql.session.timeZone", None
+                    ),
+                )
+                if n is None:
+                    return None
+                alias = m.group("alias") or "count(1)"
+                return self.spark.createDataFrame([(n,)], f"`{alias}` long")
             if not hasattr(tbl, "row_count"):
                 return None
             n = tbl.row_count(
@@ -638,7 +665,6 @@ class LakeSQL:
             )
             alias = m.group("alias") or "count(1)"
             return self.spark.createDataFrame([(n,)], f"`{alias}` long")
-        masked = _mask_strings(text)
         m = re.match(
             r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+)\s+)?"
             r"FROM\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<path>[^`]+)`"

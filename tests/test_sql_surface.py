@@ -1028,3 +1028,35 @@ def test_sql_count_where_metadata_only(spark, tmp_path):
     )
     assert q4.collect()[0].n == len([r for r in rows if r[2] == "c1"])
     assert q4.inputFiles() != []
+
+
+def test_sql_count_where_managed_metadata_only(spark, user_lake):
+    """The managed twin: ``count(*) FROM lake.db.tbl WHERE <pred>``
+    answers from the footer-stats index when every file decides, falls
+    through when mixed — exact either way."""
+    _cat, _spec, lake = user_lake
+
+    full = lake.sql("SELECT count(*) AS n FROM lake.game.user_data")
+    total = full.collect()[0].n
+    # A full-range predicate: every file decidably ALL (null-free
+    # bounds containment) -> metadata-only.
+    q = lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data WHERE user_id >= 0"
+    )
+    assert q.collect()[0].n == total
+    assert q.inputFiles() == []
+    # An out-of-range predicate: every file decidably NONE.
+    z = lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data WHERE user_id < 0"
+    )
+    assert z.collect()[0].n == 0 and z.inputFiles() == []
+    # A mid-range predicate crossing file bounds: honest real plan.
+    mid = lake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data "
+        "WHERE user_id <= 5000"
+    )
+    want = lake.sql(
+        "SELECT count(*) AS n FROM (SELECT * FROM lake.game.user_data) "
+        "WHERE user_id <= 5000"
+    ).collect()[0].n
+    assert mid.collect()[0].n == want
