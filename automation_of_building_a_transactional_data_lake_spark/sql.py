@@ -1205,6 +1205,41 @@ class LakeSQL:
                 "version": tbl.current_version().version,
             }
 
+        m = re.match(
+            rf"DESC(?:RIBE)?\s+DETAIL\s+(?P<t>{ident})$", s, re.IGNORECASE
+        )
+        if m:
+            # Managed twin of the foreign-path DESCRIBE DETAIL (r13):
+            # operational totals from the footer-stats index, zero scan.
+            import os as _os
+
+            spec, tbl = self._resolve_ident(m.group("t"))
+            cur = tbl.current_version()
+            stats = tbl.file_stats() or {}
+            files = tbl.data_files()
+            size = 0
+            for f in files:
+                try:
+                    size += _os.path.getsize(f)
+                except OSError:
+                    pass
+            n_rows = (
+                sum(s["_rows"] for s in stats.values())
+                if stats and all("_rows" in s for s in stats.values())
+                else None
+            )
+            detail = (
+                "managed", tbl.path,
+                [spec.partition_key] if spec.partition_key else [],
+                len(files), size, n_rows, str(cur.version),
+            )
+            return self.spark.createDataFrame(
+                [detail],
+                "format string, location string, "
+                "partition_columns array<string>, num_files long, "
+                "size_bytes long, num_rows long, current string",
+            )
+
         m = re.match(rf"DESC(?:RIBE)?\s+(?P<t>{ident})$", s, re.IGNORECASE)
         if m:
             spec, tbl = self._resolve_ident(m.group("t"))

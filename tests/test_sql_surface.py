@@ -1060,3 +1060,14 @@ def test_sql_count_where_managed_metadata_only(spark, user_lake):
         "WHERE user_id <= 5000"
     ).collect()[0].n
     assert mid.collect()[0].n == want
+
+
+def test_describe_detail_managed(spark, user_lake):
+    """Managed DESCRIBE DETAIL: totals from the footer-stats index,
+    zero data scan."""
+    _cat, _spec, lake = user_lake
+    d = lake.sql("DESCRIBE DETAIL lake.game.user_data")
+    row = d.collect()[0]
+    assert row.format == "managed" and row.num_rows == 10000
+    assert row.num_files > 0 and row.size_bytes > 0
+    assert d.inputFiles() == []
