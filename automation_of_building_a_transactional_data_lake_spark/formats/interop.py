@@ -1251,8 +1251,14 @@ def _delta_where_domain(
             dtype = types.get(col)
             dom = None
             if dtype is not None:
-                if dtype.typeName() == "timestamp":
+                tn = dtype.typeName()
+                if tn == "timestamp":
                     dom = _utc_instant_lit(lit, session_tz)
+                elif tn == "timestamp_ntz":
+                    # NTZ comparisons go through a session-tz cast in
+                    # Spark's own filter — no residual-consistent
+                    # stats mapping exists; the row filter decides.
+                    dom = None
                 else:
                     dom = _delta_lit_norm(dtype, lit)
             mapped.append((col, op, dom))
@@ -5065,10 +5071,16 @@ def _ice_atom_constraints(
     # Instant-typed literals pre-map through the session/driver
     # timezone rules the residual filter itself uses (r12 advisory:
     # pruning in a non-UTC session must never exclude files whose
-    # rows the residual filter would keep).
+    # rows the residual filter would keep). NTZ columns (Iceberg
+    # ``timestamp``) contribute NOTHING: Spark compares an ntz column
+    # to a timestamp literal through a session-tz cast, so no single
+    # stats-domain mapping is residual-consistent — the row filter
+    # alone decides (r13).
     ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
     lit_d = lit
-    if ice_t in ("timestamp", "timestamptz"):
+    if ice_t == "timestamp":
+        return []
+    if ice_t == "timestamptz":
         lit_d = _utc_instant_lit(lit, session_tz)
         if lit_d is None:
             return []
@@ -6844,8 +6856,16 @@ def _ice_count_plan(
         for col, op, lit in disj:
             fid_t = col_types.get(col)
             ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
+            if ice_t == "timestamp" and op not in ("is_null", "is_not_null"):
+                # NTZ comparisons: session-tz cast semantics, no
+                # residual-consistent stats mapping — never decide.
+                specs.append({
+                    "op": op, "parts": [], "src_dom": {}, "bucket_dom": {},
+                    "fid": None, "ice_type": None, "col_dom": None,
+                })
+                continue
             lit_d = lit
-            if ice_t in ("timestamp", "timestamptz") and op not in (
+            if ice_t == "timestamptz" and op not in (
                 "is_null", "is_not_null"
             ):
                 lit_d = _utc_instant_lit(lit, session_tz)
