@@ -1255,10 +1255,10 @@ def _delta_where_domain(
                 if tn == "timestamp":
                     dom = _utc_instant_lit(lit, session_tz)
                 elif tn == "timestamp_ntz":
-                    # NTZ comparisons go through a session-tz cast in
-                    # Spark's own filter — no residual-consistent
-                    # stats mapping exists; the row filter decides.
-                    dom = None
+                    # NTZ: Spark casts the literal through the SESSION
+                    # timezone into the column's wall-clock domain
+                    # (verified empirically) — map identically.
+                    dom = _ntz_wallclock_lit(lit, session_tz)
                 else:
                     dom = _delta_lit_norm(dtype, lit)
             mapped.append((col, op, dom))
@@ -4951,6 +4951,30 @@ def _utc_instant_lit(lit, session_tz: str | None):
     return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
 
 
+def _ntz_wallclock_lit(lit, session_tz: str | None):
+    """A predicate literal against an NTZ column as the WALL-CLOCK
+    naive datetime Spark's own filter compares it to — verified
+    empirically: the LTZ literal (naive = driver-local instant, ISO
+    string = session-tz instant, aware = own offset) casts to NTZ
+    through the SESSION timezone. None when unmappable."""
+    import datetime as _dt
+
+    u = _utc_instant_lit(lit, session_tz)
+    if u is None:
+        return None
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(session_tz) if session_tz else _dt.timezone.utc
+    except Exception:  # noqa: BLE001 — unknown zone: no pruning
+        return None
+    return (
+        u.replace(tzinfo=_dt.timezone.utc)
+        .astimezone(zone)
+        .replace(tzinfo=None)
+    )
+
+
 def _ice_part_domain(transform: str, src_ice_type: str, lit):
     """A predicate literal mapped into a partition field's VALUE
     domain — the representation manifest partition records use (epoch
@@ -5079,8 +5103,13 @@ def _ice_atom_constraints(
     ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
     lit_d = lit
     if ice_t == "timestamp":
-        return []
-    if ice_t == "timestamptz":
+        # NTZ: Spark casts the literal through the SESSION timezone
+        # into the column's wall-clock domain (verified empirically) —
+        # map the same way, or not at all.
+        lit_d = _ntz_wallclock_lit(lit, session_tz)
+        if lit_d is None:
+            return []
+    elif ice_t == "timestamptz":
         lit_d = _utc_instant_lit(lit, session_tz)
         if lit_d is None:
             return []
@@ -6856,19 +6885,14 @@ def _ice_count_plan(
         for col, op, lit in disj:
             fid_t = col_types.get(col)
             ice_t = fid_t[1] if fid_t and isinstance(fid_t[1], str) else None
-            if ice_t == "timestamp" and op not in ("is_null", "is_not_null"):
-                # NTZ comparisons: session-tz cast semantics, no
-                # residual-consistent stats mapping — never decide.
-                specs.append({
-                    "op": op, "parts": [], "src_dom": {}, "bucket_dom": {},
-                    "fid": None, "ice_type": None, "col_dom": None,
-                })
-                continue
             lit_d = lit
-            if ice_t == "timestamptz" and op not in (
-                "is_null", "is_not_null"
-            ):
-                lit_d = _utc_instant_lit(lit, session_tz)
+            if op not in ("is_null", "is_not_null"):
+                if ice_t == "timestamp":
+                    # NTZ: session-tz wall-clock mapping (see
+                    # _ntz_wallclock_lit) — unmappable decides nothing.
+                    lit_d = _ntz_wallclock_lit(lit, session_tz)
+                elif ice_t == "timestamptz":
+                    lit_d = _utc_instant_lit(lit, session_tz)
             parts = [pf for pf in part_fields if pf["src"] == col]
             src_dom: dict = {}
             bucket_dom: dict = {}

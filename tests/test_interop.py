@@ -8250,3 +8250,69 @@ def test_metadata_predicate_count_never_wrong_fuzz(
             cond = a if cond is None else (cond | a)
         f = f.filter(cond)
     assert got == f.count(), (fmt, layout, where)
+
+
+def test_where_ntz_timestamp_pruning_consistency(spark, tmp_path):
+    """NTZ columns (Iceberg ``timestamp``, Delta timestamp_ntz): file
+    skipping maps literals the way Spark's own filter casts them —
+    through the SESSION timezone into the wall-clock domain — so a
+    non-UTC session stays exact (r13; the naive blanket-refusal broke
+    hidden-partition pruning on NTZ sources, the naive-as-UTC mapping
+    would over-prune)."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    base = _dt.datetime(2024, 6, 1, 12, 0)
+    df = (
+        spark.createDataFrame(
+            [(i, base + _dt.timedelta(days=i)) for i in range(6)],
+            "id long, ts timestamp",
+        )
+        .selectExpr("id", "CAST(ts AS timestamp_ntz) AS ts")
+        .coalesce(1)
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    dpath, ipath = str(tmp_path / "d"), str(tmp_path / "i")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        write_delta(df, dpath)
+        write_iceberg(df, ipath, partition_by=["days(ts)"])
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for reader, path in ((read_delta, dpath), (read_iceberg, ipath)):
+                full = reader(spark, path)
+                for lit in (
+                    _dt.datetime(2024, 6, 3, 12, 0),   # naive: OS-tz instant
+                    "2024-06-03 12:00:00",             # str: session-tz
+                ):
+                    for op in ("=", "<", ">="):
+                        got = {
+                            r.id
+                            for r in reader(
+                                spark, path, where=[("ts", op, lit)]
+                            ).collect()
+                        }
+                        c = F.col("ts")
+                        want = {
+                            r.id
+                            for r in full.filter(
+                                {"=": c == F.lit(lit), "<": c < F.lit(lit),
+                                 ">=": c >= F.lit(lit)}[op]
+                            ).collect()
+                        }
+                        assert got == want, (reader.__name__, tz, op, lit)
+        # Skipping actually engages on the days(ntz) spec under UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        p = read_iceberg(
+            spark, ipath, where=[("ts", "=", _dt.datetime(2024, 6, 3, 12, 0))]
+        )
+        assert 0 < len(p.inputFiles()) < len(read_iceberg(spark, ipath).inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
