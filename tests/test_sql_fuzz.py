@@ -347,3 +347,22 @@ def test_sql_where_pushdown_fuzz(
         ).collect()
     }
     assert got == want, q
+
+
+@settings(max_examples=300, deadline=None)
+@given(clause=st.text(min_size=0, max_size=120))
+def test_sql_where_parser_never_crashes(clause):
+    """PROPERTY (r13): the WHERE-clause parser must never raise on
+    arbitrary text — unparseable input yields a (possibly empty)
+    predicate list in lax mode and None in strict mode. A crash here
+    would turn a harmless unsupported WHERE into a failed statement."""
+    from automation_of_building_a_transactional_data_lake_spark.sql import (
+        _mask_strings,
+        _sql_parse_where_clause,
+    )
+
+    masked = _mask_strings(clause)
+    out = _sql_parse_where_clause(clause, masked, None)
+    assert out is None or isinstance(out, list)
+    strict = _sql_parse_where_clause(clause, masked, "t", strict=True)
+    assert strict is None or isinstance(strict, list)
