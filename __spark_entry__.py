@@ -365,6 +365,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #     months(o_orderdate) table, zero-data-scan pinned in-gate via
 #     empty inputFiles; raw-orders count oracle) registers in the
 #     TAIL, same protocol; rotate into a recorded slot in r14.
+#   r14 rotation (closing the three r13 commitments above):
+#     orders_1996_sqltext_pruned, game_user_cdc_e2e_iceberg_v1up and
+#     orders_1996_metadata_count rotate IN to recorded slots.
+#     Rotating OUT, per protocol (each green in every driver round
+#     since registration — all three green r2-r13, twelve consecutive
+#     rounds — and family-held by a STAYING head gate on the same
+#     machinery):
+#     - q5_region_volume → held by the staying q3_top_revenue (the
+#       same multi-way equi-join + groupBy-agg + global-sort J2
+#       machinery) and q8_market_share (a superset: 7-way snowflake
+#       join with conditional CASE aggregation vs q5's 6-way join +
+#       sum), + pytest test_oracle_parity each session.
+#     - docs_curation_pipeline → held by the staying docs_curation_v3
+#       (the same multi-stage curation COMPOSITION machinery —
+#       normalize → exact-dedup → decontaminate → trigram-LM quality
+#       floor → stratified rebalance under one oracle); the pipeline's
+#       individual stages each keep their own staying gates
+#       (quality/lang: docs_repetition_stats + composed v3; minhash
+#       banding: docs_dedup_index_query's shard-pruned band joins;
+#       split/cap: docs_stratified_cap), + pytest each session.
+#     - docs_vocab_topk → held by the staying docs_bm25_batch (the
+#       same tokenize → explode → per-term document-frequency
+#       aggregation + deterministic top-k ordering machinery, plus
+#       BM25 length normalization on top — retrieval.py computes
+#       df(t) as its idf input), + pytest each session.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -415,9 +440,9 @@ _DEMOTED_TAIL = [
     "q4_late_shipment_exists",
     "q12_shipmode_priority",
     "q13_cust_distribution",
-    "orders_1996_sqltext_pruned",
-    "game_user_cdc_e2e_iceberg_v1up",
-    "orders_1996_metadata_count",
+    "q5_region_volume",
+    "docs_curation_pipeline",
+    "docs_vocab_topk",
 ]
 
 _DRIVER_SLOTS = 50
