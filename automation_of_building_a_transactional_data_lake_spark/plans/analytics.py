@@ -1027,24 +1027,77 @@ GROUP BY user_id, session_id
 # customer_churn_predict — the reference's Redshift-ML churn workload
 # end-to-end (SURVEY §2.11): train on the churn feature table, batch
 # inference, return per-customer predictions. Training is iterative
-# (LBFGS) and not SQL-expressible, so the driver records the weaker
-# rows-only check; pytest asserts the three inference paths (JVM
+# (LBFGS) and not SQL-expressible — but it IS deterministic on fixed
+# data, so the gate trains, asserts the model reproduces the FROZEN
+# fixed point for this testdata SF (the training regression check,
+# frozen_or_trained raises loudly on deviation), then scores with the
+# frozen floats. The oracle carries the same literals keyed by the
+# same row count, making INFERENCE hash-exact (min 4dp-rounding-
+# boundary margin measured at 1.4e-4, vs ulp-level libm exp skew).
+# pytest additionally asserts the three inference paths (JVM
 # transform, codegen'd sigmoid, Arrow pandas UDF) agree exactly.
 # --------------------------------------------------------------------------
 
 
 def customer_churn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.churn import FEATURE_COLS, export_coefficients, score_with_coefficients, train_churn_model
+    from ..ml.churn import (
+        FEATURE_COLS,
+        export_coefficients,
+        frozen_or_trained,
+        score_with_coefficients,
+        train_churn_model,
+    )
     from .testdata_queries import customer_churn_features
 
     _utc(spark)
     features = customer_churn_features(spark, sf_dir)
     model = train_churn_model(features)
     coefs, intercept = export_coefficients(model)
+    coefs, intercept = frozen_or_trained(features.count(), coefs, intercept)
     scored = score_with_coefficients(features, coefs, intercept, FEATURE_COLS)
     return scored.select(
         "c_custkey", "churned", "churn_pred", F.round("churn_prob", 4).alias("churn_prob")
     )
+
+
+# The logit association order ((b + c1*x1) + c2*x2) + c3*x3 matches
+# ml/churn._logit exactly (left-assoc SQL +), so both engines build
+# bit-identical doubles into exp(); 4dp rounding absorbs libm ulps.
+# An unrecognized SF leaves m empty -> 0 oracle rows -> a LOUD
+# mismatch, never a silent pass.
+CHURN_PREDICT_ORACLE = """
+WITH f AS (
+  SELECT c.c_custkey, f.n_orders, f.total_spent, f.account_days, f.churned
+  FROM customer c
+  JOIN (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent,
+           date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS account_days,
+           CASE WHEN CAST(max(o_orderdate) AS DATE) < DATE '2000-01-01' THEN 1 ELSE 0 END AS churned
+    FROM orders GROUP BY o_custkey
+  ) f ON c.c_custkey = f.o_custkey
+),
+m AS (
+  SELECT t.c1, t.c2, t.c3, t.b
+  FROM (VALUES
+    (150,  -0.2070332977407056,   -2.053683778089046e-07,  -0.0045339422774267925, 7.4883190389355185),
+    (1500,  0.0013396922351493147, -1.0561798205143388e-07, -0.0036165616521028152, 4.241507011961531)
+  ) AS t(n, c1, c2, c3, b)
+  WHERE t.n = (SELECT count(*) FROM f)
+),
+z AS (
+  SELECT f.c_custkey, f.churned,
+         1.0 / (1.0 + exp(-(((m.b + m.c1 * CAST(f.n_orders AS DOUBLE))
+                              + m.c2 * f.total_spent)
+                             + m.c3 * CAST(f.account_days AS DOUBLE)))) AS p
+  FROM f CROSS JOIN m
+)
+SELECT c_custkey, churned,
+       CAST(CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS INTEGER) AS churn_pred,
+       round(p, 4) AS churn_prob
+FROM z
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1660,7 +1713,7 @@ ANALYTICS_QUERIES: list[QueryDef] = [
         "events_exclusive_errors", events_exclusive_errors, EVENTS_EXCLUSIVE_ERRORS_ORACLE
     ),
     QueryDef("events_influence_reach", events_influence_reach, EVENTS_REACH_ORACLE),
-    QueryDef("customer_churn_predict", customer_churn_predict, None, headline=False),
+    QueryDef("customer_churn_predict", customer_churn_predict, CHURN_PREDICT_ORACLE, headline=False),
 ]
 
 # Self-register (covers the analytics-imported-first order; see
