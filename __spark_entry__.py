@@ -390,6 +390,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #       aggregation + deterministic top-k ordering machinery, plus
 #       BM25 length normalization on top — retrieval.py computes
 #       df(t) as its idf input), + pytest each session.
+#   r14 addition: emb_ann_index_query (the CDC-maintained ANN index —
+#     the last LLM-pipeline family without a driver gate: build, a
+#     three-commit merge sequence folded through ONE change-feed
+#     refresh with exact encoded/deleted pins, a strictly-fewer-files
+#     shard-pruned probe pin, exhaustive-probe exact top-k vs the
+#     brute-force cosine oracle over post-merge state) registers in
+#     the TAIL (the emb_top_pairs pattern: oracle runs in pytest via
+#     test_oracle_parity every session); rotate into a recorded slot
+#     in r15.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -443,6 +452,7 @@ _DEMOTED_TAIL = [
     "q5_region_volume",
     "docs_curation_pipeline",
     "docs_vocab_topk",
+    "emb_ann_index_query",
 ]
 
 _DRIVER_SLOTS = 50

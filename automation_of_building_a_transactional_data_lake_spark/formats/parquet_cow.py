@@ -982,6 +982,55 @@ class ParquetCowTable:
             df = df.filter(F.col(ph) <= F.lit(upper))
         return self._to_logical(df, self._schema_mapping(cur.path))
 
+    def read_partitions(self, values: list) -> DataFrame:
+        """IN-list partition-pruned read: scan only the snapshot's
+        files under ``partition_key = v`` directories for the given
+        values — driver-side directory-NAME pruning (O(files) string
+        checks, no data or footer reads), the hive twin of Iceberg's
+        partition-value manifest skip. Equivalent to
+        ``read().filter(col(part).isin(values))`` but the pruning is
+        engine-planned (``inputFiles()`` reflects it) instead of
+        relying on Catalyst recovering a PartitionFilter through the
+        declared-type cast ``read()`` applies.
+
+        ``values`` must be in the PARTITION domain and the partition
+        column's declared type (for hidden transforms: transformed
+        values) — directory names are matched via the same
+        ``_escape_partition_value`` rendering the writer used, and the
+        identity-key residual ``isin`` repairs over-selection only,
+        never a rendering miss."""
+        part = self._part_name
+        if not part:
+            raise ValueError(
+                f"{self.spec.qualified_name} is not partitioned — "
+                "read_partitions needs a partition_key or transform"
+            )
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} does not exist")
+        vals = list(values)
+        segs = {f"{part}={_escape_partition_value(v)}" for v in vals}
+        files = [
+            f
+            for f in self.data_files()
+            if os.path.relpath(f, cur.path).split(os.sep, 1)[0] in segs
+        ]
+        if not files:
+            return self.read().filter(F.lit(False))
+        df = self.spark.read.option("basePath", cur.path).parquet(*files)
+        ptype = self._read_meta().get("partition_type")
+        if ptype:
+            df = df.withColumn(part, F.col(part).cast(ptype))
+        if self._hidden_part:
+            df = df.drop(part)
+        else:
+            non_null = [v for v in vals if v is not None]
+            cond = F.col(part).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(vals):
+                cond = cond | F.col(part).isNull()
+            df = df.filter(cond)
+        return self._to_logical(df, self._schema_mapping(cur.path))
+
     def read_lookup(self, value) -> DataFrame:
         """Point lookup through the hidden partition layout: rows whose
         transform SOURCE column equals ``value``, scanning only the

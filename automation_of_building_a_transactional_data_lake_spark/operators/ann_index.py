@@ -308,7 +308,12 @@ class ManagedAnnIndex:
             range(len(centroids)), key=lambda i: (sq(query_vec, centroids[i]), i)
         )
         probe = order[: max(1, min(nprobe, len(centroids)))]
-        cand = self._table().read().filter(F.col("cluster_id").isin(probe))
+        # Manifest-level prune: only the probed clusters' partition
+        # files are planned (read_partitions), so the probe cost is
+        # O(nprobe/ivf_k of the index) by construction — not an
+        # optimizer outcome the declared-type cast could silently
+        # defeat (and honestly visible in inputFiles()).
+        cand = self._table().read_partitions(probe)
 
         if meta.get("codebooks") is None:
             qcol = F.array(*[F.lit(float(x)) for x in query_vec])

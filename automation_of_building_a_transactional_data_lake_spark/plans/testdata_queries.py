@@ -2774,6 +2774,111 @@ WHERE len(list_intersect(q.s, c.s)) * 1.0
 """
 
 
+# --------------------------------------------------------------------------
+# emb_ann_index_query — the CDC-MAINTAINED ANN index (the 100-TB
+# similarity shape: a long-lived vector corpus + arriving merges, no
+# O(corpus) re-encode per batch; the docs_dedup_index_query sibling).
+# Corpus = vec_id % 5 != 4 loaded into a managed table and indexed ONCE
+# (ManagedAnnIndex: IVF rows keyed vec_id, hive-partitioned by
+# cluster_id); a merge sequence then lands as THREE source commits —
+# the remaining 20% inserted, every corpus vec_id % 7 == 0 row's
+# vector rewritten to (0.5 - x), every vec_id % 11 == 3 key deleted
+# (overlapping the update/insert sets, so update-then-delete and
+# insert-then-delete net out inside ONE multi-commit change window) —
+# and one refresh() encodes ONLY the change feed. Pinned in-gate:
+# refresh took the CDF path with exact encoded/deleted counts, and a
+# shard-pruned probe (nprobe=2) opens STRICTLY fewer index files than
+# the exhaustive probe. Returned frame: the exhaustive probe
+# (nprobe == ivf_k — the probe set covers every cluster, so pruned
+# cosine top-k ≡ brute force, the emb_ivf_knn exactness pattern)
+# against the brute-force oracle over the post-merge state.
+# --------------------------------------------------------------------------
+
+
+def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import Catalog
+    from ..formats.parquet_cow import temp_warehouse
+    from ..operators.ann_index import ManagedAnnIndex
+    from ..spec import TableSpec
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus0 = emb.filter(F.col("vec_id") % 5 != 4)
+    inserts = emb.filter(F.col("vec_id") % 5 == 4)
+    updates = corpus0.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.lit(0.5) - x)
+    )
+    deletes = emb.filter(F.col("vec_id") % 11 == 3).select("vec_id")
+
+    cat = Catalog(spark, temp_warehouse(prefix="tdl_ann_idx_"))
+    spec = TableSpec("emb_vectors", "vec_id", None, None, "ann")
+    tbl = cat.table(spec)
+    tbl.create(corpus0)
+    idx = ManagedAnnIndex(cat, spec, vec_col="embedding", ivf_k=8)
+    idx.build()
+
+    tbl.merge_upsert(inserts)
+    tbl.merge_upsert(updates)
+    tbl.merge_delete(deletes)
+    stats = idx.refresh()
+    # Pin the incremental path: the refresh must have walked the
+    # change feed (never a silent full rebuild) and touched exactly
+    # the NET change set — snapshot_changes diffs window endpoints, so
+    # insert-then-delete keys vanish entirely and update-then-delete
+    # nets to a bare delete (the encode kernels never touch a row the
+    # final state doesn't hold).
+    n_encoded_expect = emb.filter(
+        ((F.col("vec_id") % 5 == 4) | (F.col("vec_id") % 7 == 0))
+        & (F.col("vec_id") % 11 != 3)
+    ).count()
+    n_deleted_expect = emb.filter(
+        (F.col("vec_id") % 11 == 3) & (F.col("vec_id") % 5 != 4)
+    ).count()
+    assert stats["action"] == "refreshed", stats
+    assert stats["encoded"] == n_encoded_expect, (stats, n_encoded_expect)
+    assert stats["deleted"] == n_deleted_expect, (stats, n_deleted_expect)
+
+    # Query = the ORIGINAL vector of vec_id 1 (in the corpus, not
+    # updated, not deleted — identical on both sides). One 64-float
+    # driver-side fetch, the same O(1) shape as the centroid state.
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+
+    # Shard pruning is physical: a 2-cluster probe must open strictly
+    # fewer partition files than the all-cluster probe (the
+    # orders_1996_iceberg_pruned pin, on the index table).
+    pruned_files = set(idx.topk(qvec, k=10, nprobe=2).inputFiles())
+    full = idx.topk(qvec, k=10, nprobe=8)
+    assert len(pruned_files) < len(set(full.inputFiles())), (
+        f"pruned probe opened {len(pruned_files)} files, exhaustive "
+        f"{len(set(full.inputFiles()))} — cluster_id partition pruning regressed"
+    )
+    return full.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+EMB_ANN_INDEX_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+state AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 <> 4 AND vec_id % 7 = 0
+              THEN list_transform(v, x -> 0.5 - x) ELSE v END AS v
+  FROM base
+  WHERE vec_id % 11 <> 3
+),
+q AS (SELECT v AS q_vec FROM base WHERE vec_id = 1)
+SELECT vec_id, round(sim, 6) AS cos_sim
+FROM (
+  SELECT s.vec_id,
+         list_dot_product(s.v, q.q_vec)
+           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+  FROM state s, q
+) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def _game_oracle(table: str, pk: str, out_cols: str) -> str:
     return f"""
 WITH init AS (
@@ -3421,6 +3526,14 @@ QUERIES: dict[str, QueryDef] = {
             "docs_dedup_index_query",
             docs_dedup_index_query,
             DOCS_DEDUP_INDEX_ORACLE,
+            headline=False,
+        ),
+        # CDC-maintained ANN index: change-feed refresh + shard-pruned
+        # probe vs the brute-force cosine oracle over post-merge state.
+        QueryDef(
+            "emb_ann_index_query",
+            emb_ann_index_query,
+            EMB_ANN_INDEX_ORACLE,
             headline=False,
         ),
         # Rolling-hash winnowing fingerprints vs the DuckDB re-derivation.

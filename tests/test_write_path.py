@@ -601,6 +601,41 @@ def test_file_stats_survive_merge_and_strings(spark, tmp_path):
     assert got == {(1, "apple")}
 
 
+def test_read_partitions_in_list_prune(spark, tmp_path):
+    """read_partitions plans ONLY the named partitions' files (the
+    engine-side IN-list directory prune the ANN-index probe rides):
+    inputFiles reflects the prune, results equal the full-scan isin
+    filter — including null partitions and hive-escaped values — and
+    a no-match list returns an empty, correctly-typed frame."""
+    tbl = ParquetCowTable(spark, str(tmp_path), SPEC_PART)
+    rows = [(1, "a", "x"), (2, "b", "y"), (3, "c", "a:b"), (4, "d", None), (5, "e", "y")]
+    tbl.create(_mk(spark, rows))
+    all_files = set(tbl.data_files())
+
+    got = tbl.read_partitions(["y"])
+    assert {(r.id, r.cat) for r in got.collect()} == {(2, "y"), (5, "y")}
+    assert set(got.inputFiles()) < {f"file:{p}" for p in all_files} or len(
+        set(got.inputFiles())
+    ) < len(all_files)
+
+    # Escaped value (':' is hive-escaped in the directory name) and a
+    # null partition (__HIVE_DEFAULT_PARTITION__) both resolve.
+    assert {r.id for r in tbl.read_partitions(["a:b"]).collect()} == {3}
+    assert {r.id for r in tbl.read_partitions([None]).collect()} == {4}
+    assert {r.id for r in tbl.read_partitions([None, "x"]).collect()} == {1, 4}
+
+    # No-match fast path: empty frame, full schema preserved.
+    empty = tbl.read_partitions(["nope"])
+    assert empty.count() == 0
+    assert empty.columns == tbl.read().columns
+
+    # Unpartitioned tables refuse loudly.
+    plain = ParquetCowTable(spark, str(tmp_path / "p2"), SPEC_PLAIN)
+    plain.create(_mk(spark, [(1, "a", "x")]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        plain.read_partitions(["x"])
+
+
 def test_file_stats_skip_on_date_column(spark, tmp_path):
     """Date min/max round-trip through the stats file as ISO strings
     (ISO order == chronological order), so date-range skipping works —
