@@ -53,6 +53,7 @@ backfills).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -4761,12 +4762,18 @@ def _iceberg_table_schema(meta: dict) -> StructType | None:
 #              'is null' 'is not null'   # null ops take literal None
 #
 # ``in`` takes a list literal and expands to OR-of-equalities;
-# ``not in`` expands to AND-of-``!=`` and is therefore only legal as a
-# top-level entry (never inside an OR group). The NORMALIZED form all
-# per-format skipping code consumes is AND-of-OR: a list of DISJUNCTS,
-# each a list of (col, op, lit) atoms with op in _WHERE_NORM_OPS.
+# ``not in`` expands to AND-of-``!=``: as a top-level entry that is a
+# plain list of conjuncts, and inside an OR group it distributes to
+# CNF — ``x OR c NOT IN (a, b)`` becomes ``(x OR c != a) AND
+# (x OR c != b)`` (distribution is exact in Kleene 3-valued logic, so
+# null semantics are preserved; the cross-product expansion is capped
+# at _WHERE_CNF_CAP disjuncts and raises loudly beyond it). The
+# NORMALIZED form all per-format skipping code consumes is AND-of-OR:
+# a list of DISJUNCTS, each a list of (col, op, lit) atoms with op in
+# _WHERE_NORM_OPS.
 
 _WHERE_NORM_OPS = ("=", "<", "<=", ">", ">=", "!=", "is_null", "is_not_null")
+_WHERE_CNF_CAP = 64
 _WHERE_OP_ALIASES = {
     "==": "=", "<>": "!=", "not in": "not_in",
     "is null": "is_null", "isnull": "is_null",
@@ -4862,6 +4869,7 @@ def _norm_where(where) -> list[list[tuple]]:
             continue
         if isinstance(entry, (list, tuple)) and entry:
             disj: list[tuple] = []
+            conjs: list[list[tuple]] = []
             for a in entry:
                 if (
                     isinstance(a, (list, tuple)) and len(a) == 3
@@ -4870,12 +4878,40 @@ def _norm_where(where) -> list[list[tuple]]:
                         a[1].strip().lower(), a[1].strip().lower()
                     ) == "not_in"
                 ):
-                    raise ValueError(
-                        "'not in' cannot appear inside an OR group "
-                        "(it expands to an AND of !=)"
+                    vals = (
+                        list(a[2])
+                        if isinstance(a[2], (list, tuple, set, frozenset))
+                        else None
                     )
+                    if not vals:
+                        raise ValueError(
+                            "NOT IN takes a non-empty list/tuple/set literal"
+                        )
+                    if any(v is None for v in vals):
+                        raise ValueError(
+                            "NOT IN lists may not contain None (SQL NULL "
+                            "makes the whole NOT IN never match)"
+                        )
+                    conjs.append([(a[0], "!=", v) for v in vals])
+                    continue
                 disj.extend(_norm_where_atom(a))
-            out.append(disj)
+            if not conjs:
+                out.append(disj)
+                continue
+            # OR over conjunctions -> CNF by cross product: one output
+            # disjunct per choice of one atom from each NOT IN
+            # (distribution is exact in Kleene logic, nulls included).
+            total = 1
+            for c in conjs:
+                total *= len(c)
+            if total > _WHERE_CNF_CAP:
+                raise ValueError(
+                    f"OR group with NOT IN lists expands to {total} "
+                    f"disjuncts (cap {_WHERE_CNF_CAP}) — split the "
+                    "predicate or shrink the NOT IN lists"
+                )
+            for picks in itertools.product(*conjs):
+                out.append(disj + list(picks))
             continue
         raise ValueError(
             f"a where= entry must be an atom (col, op, literal) or a "

@@ -282,7 +282,11 @@ def _sql_parse_where_clause(
             for s, e in or_spans:
                 ao, am = _sql_strip_parens(co[s:e], cm[s:e])
                 atom = _sql_parse_atom(ao, am, alias)
-                if atom is None or isinstance(atom, list) or atom[1] == "not in":
+                # NOT IN atoms are legal OR members since r14: the
+                # where= normalizer distributes them to CNF exactly.
+                # BETWEEN (a list of two conjuncts) still abandons the
+                # group — the grammar has no conjunct-in-OR entry.
+                if atom is None or isinstance(atom, list):
                     group = None
                     break
                 group.append(atom)

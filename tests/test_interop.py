@@ -6561,10 +6561,11 @@ def test_read_hudi_partition_pruning(spark, tmp_path):
 _FUZZ_ATOM = st.tuples(
     st.sampled_from(["n", "ts", "cat"]),
     st.sampled_from(
-        ["=", "<", "<=", ">", ">=", "!=", "in", "is null", "is not null"]
+        ["=", "<", "<=", ">", ">=", "!=", "in", "not in",
+         "is null", "is not null"]
     ),
     st.integers(-50, 50),          # pivot seed; mapped per column
-    st.integers(1, 3),             # IN list width
+    st.integers(1, 3),             # IN / NOT IN list width
 )
 
 
@@ -6654,8 +6655,8 @@ def test_where_pruning_equals_full_filter_fuzz(
     def _mk_atom(col, op, seed, width):
         if op in ("is null", "is not null"):
             return (col, op, None)
-        if op == "in":
-            return (col, "in", [_lit(col, seed + k) for k in range(width)])
+        if op in ("in", "not in"):
+            return (col, op, [_lit(col, seed + k) for k in range(width)])
         return (col, op, _lit(col, seed))
 
     where = [
@@ -6675,6 +6676,8 @@ def test_where_pruning_equals_full_filter_fuzz(
             return c.isNotNull()
         if op == "in":
             return c.isin(*[F.lit(v) for v in lit])
+        if op == "not in":
+            return ~c.isin(*[F.lit(v) for v in lit])
         return {
             "=": c == F.lit(lit), "<": c < F.lit(lit),
             "<=": c <= F.lit(lit), ">": c > F.lit(lit),
@@ -8214,8 +8217,8 @@ def test_metadata_predicate_count_never_wrong_fuzz(
     def _mk_atom(col, op, seed, width):
         if op in ("is null", "is not null"):
             return (col, op, None)
-        if op == "in":
-            return (col, "in", [_lit(col, seed + k) for k in range(width)])
+        if op in ("in", "not in"):
+            return (col, op, [_lit(col, seed + k) for k in range(width)])
         return (col, op, _lit(col, seed))
 
     where = [
@@ -8241,6 +8244,8 @@ def test_metadata_predicate_count_never_wrong_fuzz(
                 a = c.isNotNull()
             elif op == "in":
                 a = c.isin(*[F.lit(v) for v in lit])
+            elif op == "not in":
+                a = ~c.isin(*[F.lit(v) for v in lit])
             else:
                 a = {
                     "=": c == F.lit(lit), "<": c < F.lit(lit),

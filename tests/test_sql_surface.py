@@ -772,6 +772,12 @@ def test_sql_where_clause_parser_units():
     assert parse("(x = 1 OR x = 2) AND 10 > z") == [
         [("x", "=", 1), ("x", "=", 2)], ("z", "<", 10),
     ]
+    # NOT IN inside an OR group parses since r14 (the normalizer
+    # distributes it to CNF); BETWEEN in OR still abandons the group.
+    assert parse("x = 1 OR y NOT IN (2, 3)") == [
+        [("x", "=", 1), ("y", "not in", [2, 3])],
+    ]
+    assert parse("x = 1 OR y BETWEEN 2 AND 3") == []
     # Qualified columns push only under the statement's alias.
     assert parse("t.x = 5", alias="t") == [("x", "=", 5)]
     assert parse("q.x = 5", alias="t") == []
