@@ -3218,7 +3218,29 @@ def read_hudi(
             raise
         return df
     if where_n:
-        keep = {k for k in latest if _hudi_pp_keep(k[0], where_n)}
+        # Pruning needs the COLUMN TYPES (a path segment alone cannot
+        # say whether '2024-03-01 07:00:00' is a string value, provably
+        # comparable, or a timestamp rendered in the writer's session
+        # timezone, provably NOT) plus the table's recorded timestamp
+        # rendering. Unknown types never prune.
+        col_types: dict[str, str] = {}
+        for fld in (_hudi_commit_schema(table_path, as_of_instant) or {}).get(
+            "fields", []
+        ):
+            try:
+                col_types[fld.get("name", "")] = _hudi_spark_type_of_avro(
+                    fld.get("type")
+                )
+            except NotImplementedError:
+                continue
+        keep = {
+            k
+            for k in latest
+            if _hudi_pp_keep(
+                k[0], where_n, col_types, _hudi_ts_render_of(table_path),
+                spark.conf.get("spark.sql.session.timeZone", None),
+            )
+        }
         latest = {k: v for k, v in latest.items() if k in keep}
         slice_logs = {k: v for k, v in slice_logs.items() if k in keep}
         if not latest:
@@ -3299,13 +3321,46 @@ def _hudi_empty_frame(
     return _where_residual(df, where_n)
 
 
-def _hudi_pp_keep(pp: str, where_n: list[list[tuple]]) -> bool:
+def _hudi_pp_keep(
+    pp: str,
+    where_n: list[list[tuple]],
+    col_types: dict[str, str] | None = None,
+    ts_render: str = "cast",
+    session_tz: str | None = None,
+) -> bool:
     """True when a Hudi hive partition path POSSIBLY satisfies every
     AND-ed disjunct. Segments are URL-unquoted before comparison
     (``hoodie.datasource.write.partitionpath.urlencode=true`` layouts,
-    r12 advisory); equality prunes only for literal types whose
-    ``str()`` provably matches Spark's cast-to-string."""
+    r12 advisory). Pruning is TYPE-GATED (r14): a segment prunes only
+    when the column's commit-schema type proves how the writer
+    rendered it —
+
+    - string / int / long: literal of the SAME Python type compares by
+      exact string render (a cross-type literal goes through Spark
+      casts the path cannot reproduce: '05' = 5 matches rows but not
+      the segment);
+    - date: ISO rendering is timezone-free; date literals and pure ISO
+      date strings prune, datetime literals do not (Spark compares
+      them through a session-midnight cast);
+    - boolean: Spark casts render lowercase 'true'/'false' (the old
+      str(True) mismatch is a rendering bug, not an impossibility);
+    - timestamp: prunes ONLY on the stamped epoch-micros layout
+      (ts_render='epoch_micros'), where the segment is the exact
+      instant: ALL comparison ops decide via integer comparison after
+      mapping the literal through the SAME rules the residual filter
+      uses (_utc_instant_lit). On legacy cast layouts the wall-clock
+      rendering depends on the WRITER'S session timezone, which the
+      reader cannot know — nothing prunes (r14 fix: str-equality here
+      silently dropped rows across timezones);
+    - unknown / absent types (no commit schema), float/decimal,
+      timestamp_ntz: never prune.
+
+    Null atoms match the ``__HIVE_DEFAULT_PARTITION__`` segment
+    regardless of type. Every kept file still passes the residual row
+    filter, so a refused prune costs one file open, never a row."""
     import datetime as _dt
+
+    types = col_types or {}
 
     segs: dict[str, str] = {}
     for s in pp.split("/"):
@@ -3319,6 +3374,12 @@ def _hudi_pp_keep(pp: str, where_n: list[list[tuple]]) -> bool:
         k, _, v = s.partition("=")
         segs[k] = urllib.parse.unquote(v)
 
+    _CMP = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+
     def _atom_possible(col: str, op: str, lit) -> bool:
         v = segs.get(col)
         if v is None:
@@ -3329,13 +3390,44 @@ def _hudi_pp_keep(pp: str, where_n: list[list[tuple]]) -> bool:
             return False
         if op == "is_not_null":
             return True
+        ctype = types.get(col)
+        if ctype == "timestamp":
+            if ts_render != "epoch_micros":
+                return True  # writer-session rendering: unprovable
+            try:
+                pv = int(v)
+            except ValueError:
+                return True
+            d = _utc_instant_lit(lit, session_tz)
+            if d is None:
+                return True
+            lm = (d - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+            # Identity partition: the segment IS every row's value.
+            return _CMP[op](pv, lm)
         if op != "=":
             return True  # path strings carry no safe ordering
-        if isinstance(lit, bool) or isinstance(lit, _dt.datetime):
-            return True  # str(True)='True' vs 'true'; ts renders drift
-        if not isinstance(lit, (str, int, _dt.date)):
-            return True  # float/decimal renderings drift
-        return str(lit) == v
+        if ctype == "boolean":
+            if isinstance(lit, bool):
+                return v == ("true" if lit else "false")
+            return True
+        if ctype == "string":
+            return str(lit) == v if isinstance(lit, str) else True
+        if ctype in ("int", "long"):
+            if isinstance(lit, int) and not isinstance(lit, bool):
+                return str(lit) == v
+            return True
+        if ctype == "date":
+            if isinstance(lit, _dt.datetime):
+                return True
+            if isinstance(lit, _dt.date):
+                return str(lit) == v
+            if isinstance(lit, str):
+                try:
+                    return str(_dt.date.fromisoformat(lit)) == v
+                except ValueError:
+                    return True
+            return True
+        return True  # unknown / float / decimal / ntz: unprovable
 
     for disj in where_n:
         if not any(_atom_possible(col, op, lit) for col, op, lit in disj):
@@ -3405,17 +3497,51 @@ _HUDI_META_COLS = [
 ]
 
 
-def _hudi_partition_path_col(partition_by: list[str]):
+def _hudi_partition_path_col(partition_by: list[str], df: DataFrame, ts_render: str):
+    """Hive-style ``k=v/...`` path expression for the write side.
+
+    ``ts_render='epoch_micros'`` renders TIMESTAMP (instant) columns
+    as epoch microseconds — SESSION-TIMEZONE INDEPENDENT, unlike
+    ``cast('string')`` whose wall-clock rendering depends on
+    ``spark.sql.session.timeZone`` at write time (r14: two writers in
+    different zones would split one logical partition value into two
+    paths, and no reader can prune a rendering it cannot reconstruct).
+    Tables created with it stamp
+    ``spark.graft.partitionpath.timestamp.render=epoch_micros`` in
+    hoodie.properties so readers prune timestamps with provable
+    integer comparison and later writers keep the layout.
+    ``ts_render='cast'`` is the legacy rendering, kept for tables
+    created before the stamp (and for foreign layouts)."""
     if not partition_by:
         return F.lit("")
-    segs = [
-        F.concat(F.lit(f"{c}="), F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")))
-        for c in partition_by
-    ]
+    types = dict(df.dtypes)
+    segs = []
+    for c in partition_by:
+        v = F.col(c)
+        if ts_render == "epoch_micros" and types.get(c) == "timestamp":
+            v = F.unix_micros(v)
+        segs.append(
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(v.cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")),
+            )
+        )
     out = segs[0]
     for s in segs[1:]:
         out = F.concat(out, F.lit("/"), s)
     return out
+
+
+_HUDI_TS_RENDER_PROP = "spark.graft.partitionpath.timestamp.render"
+
+
+def _hudi_ts_render_of(table_path: str) -> str:
+    """The timestamp partition-path rendering an EXISTING table was
+    created with — every later write must keep it or split logical
+    partitions."""
+    props = _hudi_table_properties(table_path)
+    v = props.get(_HUDI_TS_RENDER_PROP, "cast")
+    return v if v == "epoch_micros" else "cast"
 
 
 def _hudi_stage_commit(
@@ -3575,9 +3701,9 @@ def _hudi_complete(
 
 def _hudi_with_meta(
     df: DataFrame, record_key: str, partition_by: list[str], instant: str,
-    fid_col,
+    fid_col, ts_render: str = "cast",
 ) -> DataFrame:
-    pp = _hudi_partition_path_col(partition_by)
+    pp = _hudi_partition_path_col(partition_by, df, ts_render)
     fname = F.concat(fid_col, F.lit(f"_0-0-0_{instant}.parquet"))
     return (
         df.withColumn("__hudi_pp", pp)
@@ -3860,7 +3986,8 @@ def _hudi_log_write(
             )
         batch = df.select(*need).distinct()
 
-    pp_col = _hudi_partition_path_col(partition_by)
+    ts_render = _hudi_ts_render_of(table_path)
+    pp_col = _hudi_partition_path_col(partition_by, batch, ts_render)
     rows_df = batch.withColumn("__pp", pp_col).withColumn(
         "__k", F.col(record_key).cast("string")
     )
@@ -4099,7 +4226,7 @@ def _hudi_log_write(
             staged = _hudi_select_order(
                 _hudi_with_meta(
                     to_base, record_key, partition_by, instant,
-                    F.col("__fid"),
+                    F.col("__fid"), ts_render=ts_render,
                 ),
                 business_cols,
             )
@@ -4255,7 +4382,8 @@ def _hudi_rewrite_all(
         content = survivors
     else:
         content = survivors.unionByName(batch.select(*business_cols))
-    pp_col = _hudi_partition_path_col(partition_by)
+    ts_render = _hudi_ts_render_of(table_path)
+    pp_col = _hudi_partition_path_col(partition_by, content, ts_render)
     fid = F.concat(
         F.lit("fg"),
         F.pmod(F.xxhash64(F.col(record_key).cast("string")), F.lit(num_buckets)).cast("string"),
@@ -4263,7 +4391,7 @@ def _hudi_rewrite_all(
         F.substring(F.md5(F.concat(F.lit(instant), pp_col)), 1, 8),
     )
     staged = _hudi_select_order(
-        _hudi_with_meta(content, record_key, partition_by, instant, fid),
+        _hudi_with_meta(content, record_key, partition_by, instant, fid, ts_render=ts_render),
         business_cols,
     )
     stats = _hudi_stage_commit(staged, table_path, instant)
@@ -4355,6 +4483,15 @@ def write_hudi(
         if exists:
             raise FileExistsError(f"Hudi table already exists at {table_path}")
         os.makedirs(hdir)
+        # New tables render timestamp partition values tz-independently
+        # (epoch micros) and stamp it so later writers and the pruning
+        # reader agree on the layout.
+        dtypes = dict(df.dtypes)
+        ts_render = (
+            "epoch_micros"
+            if any(dtypes.get(c) == "timestamp" for c in partition_by)
+            else "cast"
+        )
         with open(os.path.join(hdir, "hoodie.properties"), "w", encoding="utf-8") as f:
             f.write(
                 "hoodie.table.name="
@@ -4364,23 +4501,38 @@ def write_hudi(
                 + "hoodie.table.partition.fields="
                 + ",".join(partition_by)
                 + f"\nhoodie.bucket.index.num.buckets={num_buckets}\n"
+                + (
+                    f"{_HUDI_TS_RENDER_PROP}=epoch_micros\n"
+                    if ts_render == "epoch_micros"
+                    else ""
+                )
             )
         fid = F.concat(
             F.lit("fg"),
             F.pmod(F.xxhash64(F.col(record_key).cast("string")), F.lit(num_buckets)).cast("string"),
             F.lit("-"),
-            F.substring(F.md5(_hudi_partition_path_col(partition_by)), 1, 8),
+            F.substring(F.md5(_hudi_partition_path_col(partition_by, df, ts_render)), 1, 8),
         )
         staged = _hudi_select_order(
-            _hudi_with_meta(df, record_key, partition_by, instant, fid),
+            _hudi_with_meta(df, record_key, partition_by, instant, fid, ts_render=ts_render),
             business_cols,
         )
         stats = _hudi_stage_commit(staged, table_path, instant)
+        # Record the write schema like native Hudi does on EVERY
+        # commit (r14: the reader's type-gated partition pruning needs
+        # commit-schema types from the first commit on, not only after
+        # an upsert); unmappable exotic types just omit it.
+        try:
+            sj = json.dumps(
+                _hudi_avro_schema([f for f in df.schema.fields])
+            )
+        except NotImplementedError:
+            sj = None
         # MoR tables complete their writes as delta commits (Hudi's
         # own timeline convention for MERGE_ON_READ bulk inserts too).
         _hudi_complete(
             table_path, instant, "BULK_INSERT", stats,
-            delta=table_type == "MERGE_ON_READ",
+            delta=table_type == "MERGE_ON_READ", schema_json=sj,
         )
         return instant
 
@@ -4465,7 +4617,11 @@ def write_hudi(
     # A delete batch may carry only the key column; its landing
     # partition is never needed (survivors keep their own path).
     can_pp = all(c in df.columns for c in partition_by)
-    batch_pp = _hudi_partition_path_col(partition_by) if can_pp else F.lit("")
+    batch_pp = (
+        _hudi_partition_path_col(partition_by, df, _hudi_ts_render_of(table_path))
+        if can_pp
+        else F.lit("")
+    )
     batch = df.select(
         F.col(record_key).cast("string").alias("__k"), batch_pp.alias("__hudi_pp"),
         *[c for c in business_cols if c in df.columns],
@@ -6341,12 +6497,23 @@ def _ice_retire_data_manifests(
     spec_fields: list[dict],
     mdir: str,
     spec_id: int = 0,
+    all_specs: dict[int, dict] | None = None,
 ) -> list[dict]:
     """Rewrite every data manifest that references a retired file:
     affected entries marked status-2 (original sequence numbers kept,
     so incremental readers see exactly which files this snapshot
     removed), the rest carried status-0; untouched manifests carry
-    forward verbatim (normalized). Returns the manifest-list records."""
+    forward verbatim (normalized). Returns the manifest-list records.
+
+    A manifest written under ANOTHER partition spec (native spec
+    evolution) rewrites under its ORIGINAL spec — the Iceberg spec
+    keys manifests by their own ``partition-spec-id``, so the entries'
+    partition records carry verbatim while the avro header, entry
+    schema and manifest-list record all stamp the manifest's spec, not
+    the table default (r14, closing the X147 refusal). Only a spec id
+    the table metadata no longer lists (or whose source columns the
+    current schema dropped) still refuses: its record shape cannot be
+    reconstructed."""
     from .avro_lite import write_avro_file
 
     out: list[dict] = []
@@ -6356,19 +6523,26 @@ def _ice_retire_data_manifests(
             out.append(_mlist_carry(mf["rec"]))
             continue
         mf_spec = int(mf["rec"].get("partition_spec_id") or 0)
+        w_entry_schema, w_spec_fields, w_spec = entry_schema, spec_fields, int(spec_id)
         if mf_spec != int(spec_id):
-            # A manifest written under ANOTHER partition spec (native
-            # spec evolution): rewriting its entries through the
-            # current spec's partition record shape would corrupt
-            # their records for native readers — refuse loudly rather
-            # than silently degrade foreign metadata.
-            raise NotImplementedError(
-                f"a merge must rewrite manifest {mf['rec']['manifest_path']}"
-                f" written under partition spec {mf_spec}, but the table's"
-                f" default spec is {spec_id}; multi-spec rewrite is not"
-                " supported (compact the table with its native engine"
-                " first)"
-            )
+            spec_s = (all_specs or {}).get(mf_spec)
+            pf_s = None
+            if spec_s is not None:
+                try:
+                    pf_s = _ice_spec_part_fields(spec_s, cur_schema)
+                except (ValueError, NotImplementedError):
+                    pf_s = None
+            if pf_s is None:
+                raise NotImplementedError(
+                    f"a merge must rewrite manifest "
+                    f"{mf['rec']['manifest_path']} written under partition "
+                    f"spec {mf_spec}, which the table metadata no longer "
+                    "describes — its partition record shape cannot be "
+                    "reconstructed (compact the table with its native "
+                    "engine first)"
+                )
+            w_entry_schema, _w_mfile = _ice_manifest_schemas(pf_s)
+            w_spec_fields, w_spec = spec_s.get("fields", []), mf_spec
         rewritten = []
         n_exist = n_del = rows_exist = rows_del = 0
         min_seq = seq
@@ -6397,16 +6571,16 @@ def _ice_retire_data_manifests(
                 rows_exist += nrec
         mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m1.avro")
         write_avro_file(
-            mpath, entry_schema, rewritten,
+            mpath, w_entry_schema, rewritten,
             extra_meta=_ice_data_manifest_meta(
-                cur_schema, spec_fields, b"data", spec_id
+                cur_schema, w_spec_fields, b"data", w_spec
             ),
         )
         out.append(
             {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": int(spec_id), "content": 0,
+                "partition_spec_id": w_spec, "content": 0,
                 "sequence_number": seq, "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": 0,
@@ -6431,26 +6605,35 @@ def _ice_retire_delete_manifests(
     part_fields: list[dict],
     mdir: str,
     spec_id: int = 0,
+    all_specs: dict[int, dict] | None = None,
 ) -> list[dict]:
     """Retire every prior DELETE file: rewrite each delete manifest
     with all live entries status-2 (content flag preserved), so the
     new snapshot applies no stale deletes and incremental readers see
     their removal. The entry schema gains a nullable equality_ids so
-    equality-delete identities survive the status-2 rewrite."""
+    equality-delete identities survive the status-2 rewrite.
+
+    Like the data twin (r14), a delete manifest written under an OLD
+    spec rewrites under its OWN spec id with its own partition record
+    shape; a spec the metadata no longer lists refuses."""
     from .avro_lite import read_avro_file, write_avro_file
 
-    del_entry_schema = json.loads(json.dumps(entry_schema))
-    del_entry_schema["name"] = "manifest_entry_del"
-    del_entry_schema["fields"][-1]["type"]["name"] = "r2d"
-    del_entry_schema["fields"][-1]["type"]["fields"].append(
-        {
-            "name": "equality_ids",
-            "type": ["null", {"type": "array", "items": "int",
-                              "element-id": 136}],
-            "default": None,
-            "field-id": 135,
-        }
-    )
+    def _del_schema_of(es: dict) -> dict:
+        d = json.loads(json.dumps(es))
+        d["name"] = "manifest_entry_del"
+        d["fields"][-1]["type"]["name"] = "r2d"
+        d["fields"][-1]["type"]["fields"].append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int",
+                                  "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+        return d
+
+    del_entry_schema = _del_schema_of(entry_schema)
     out: list[dict] = []
     for r in delete_recs:
         _s3, dentries = read_avro_file(
@@ -6459,6 +6642,32 @@ def _ice_retire_delete_manifests(
         live_d = [e for e in dentries if e.get("status", 1) != 2]
         if not live_d:
             continue
+        mf_spec = int(r.get("partition_spec_id") or 0)
+        w_schema, w_fields, w_part_fields, w_spec = (
+            del_entry_schema, spec_fields, part_fields, int(spec_id)
+        )
+        if mf_spec != int(spec_id):
+            spec_s = (all_specs or {}).get(mf_spec)
+            pf_s = None
+            if spec_s is not None:
+                try:
+                    pf_s = _ice_spec_part_fields(spec_s, cur_schema)
+                except (ValueError, NotImplementedError):
+                    pf_s = None
+            if pf_s is None:
+                raise NotImplementedError(
+                    f"a merge must retire delete manifest "
+                    f"{r['manifest_path']} written under partition spec "
+                    f"{mf_spec}, which the table metadata no longer "
+                    "describes — its partition record shape cannot be "
+                    "reconstructed (compact the table with its native "
+                    "engine first)"
+                )
+            es_s, _mf_s = _ice_manifest_schemas(pf_s)
+            w_schema = _del_schema_of(es_s)
+            w_fields, w_part_fields, w_spec = (
+                spec_s.get("fields", []), pf_s, mf_spec
+            )
         retired = []
         n_rows = 0
         min_seq = seq
@@ -6484,7 +6693,7 @@ def _ice_retire_delete_manifests(
                         "file_format": dfr.get("file_format", "PARQUET"),
                         "partition": {
                             pf["name"]: (dfr.get("partition") or {}).get(pf["name"])
-                            for pf in part_fields
+                            for pf in w_part_fields
                         },
                         "record_count": nrec,
                         "file_size_in_bytes": int(
@@ -6496,16 +6705,16 @@ def _ice_retire_delete_manifests(
             )
         mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m2.avro")
         write_avro_file(
-            mpath, del_entry_schema, retired,
+            mpath, w_schema, retired,
             extra_meta=_ice_data_manifest_meta(
-                cur_schema, spec_fields, b"deletes", spec_id
+                cur_schema, w_fields, b"deletes", w_spec
             ),
         )
         out.append(
             {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": int(spec_id), "content": 1,
+                "partition_spec_id": w_spec, "content": 1,
                 "sequence_number": seq, "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": 0,
@@ -8543,6 +8752,10 @@ def merge_iceberg(
             manifests, retire, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, mdir,
             spec_id=cur_spec_id,
+            all_specs={
+                int(sp.get("spec-id") or 0): sp
+                for sp in meta.get("partition-specs", [])
+            },
         )
     )
     if compacting:
@@ -8551,6 +8764,10 @@ def merge_iceberg(
                 delete_recs, table_path, seq, snapshot_id,
                 entry_schema, cur_schema, spec_fields, part_fields, mdir,
                 spec_id=cur_spec_id,
+                all_specs={
+                    int(sp.get("spec-id") or 0): sp
+                    for sp in meta.get("partition-specs", [])
+                },
             )
         )
     else:
@@ -8783,6 +9000,10 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
             manifests, retire, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, mdir,
             spec_id=cur_spec_id,
+            all_specs={
+                int(sp.get("spec-id") or 0): sp
+                for sp in meta.get("partition-specs", [])
+            },
         )
     )
     new_mlist.extend(
@@ -8790,6 +9011,10 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
             delete_recs, table_path, seq, snapshot_id,
             entry_schema, cur_schema, spec_fields, part_fields, mdir,
             spec_id=cur_spec_id,
+            all_specs={
+                int(sp.get("spec-id") or 0): sp
+                for sp in meta.get("partition-specs", [])
+            },
         )
     )
     summary = {

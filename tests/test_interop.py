@@ -6558,6 +6558,121 @@ def test_read_hudi_partition_pruning(spark, tmp_path):
     assert z.count() == 0 and set(z.columns) == {"id", "val", "cat"}
 
 
+def test_hudi_timestamp_partition_pruning_epoch_layout(spark, tmp_path):
+    """r14 (verdict #6): timestamp-partitioned Hudi tables render the
+    partition path as epoch MICROS (session-tz independent, stamped in
+    hoodie.properties), so every comparison op prunes by provable
+    integer comparison — across write/read session timezones — and a
+    cross-tz new-key insert lands in the SAME logical partition
+    instead of splitting it."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "tsp")
+    ts1 = _dt.datetime(2024, 3, 1, 12, 0, tzinfo=_dt.timezone.utc)
+    ts2 = ts1 + _dt.timedelta(days=40)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_hudi(
+            spark.createDataFrame(
+                [(1, "a", ts1), (2, "b", ts2)], "id long, val string, ts timestamp"
+            ),
+            path, record_key="id", partition_by=["ts"],
+        )
+        paths = {
+            r._hoodie_partition_path
+            for r in read_hudi(spark, path, drop_meta=False).collect()
+        }
+        assert all(p.split("=", 1)[1].lstrip("-").isdigit() for p in paths), paths
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        n_all = len(read_hudi(spark, path).inputFiles())
+        cases = [
+            ([("ts", "=", "2024-03-01 12:00:00")], {1}),  # session-tz string
+            ([("ts", "=", ts1)], {1}),                    # aware datetime
+            ([("ts", ">", ts1)], {2}),
+            ([("ts", "<=", ts1)], {1}),
+            ([("ts", "!=", ts1)], {2}),
+        ]
+        for w, want in cases:
+            r = read_hudi(spark, path, where=w)
+            assert {x.id for x in r.collect()} == want, w
+            assert len(r.inputFiles()) < n_all, (w, "did not prune")
+
+        # Cross-tz insert of a NEW key with an existing logical
+        # partition value: same path, no partition split.
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        write_hudi(
+            spark.createDataFrame([(3, "c", ts1)], "id long, val string, ts timestamp"),
+            path, record_key="id", mode="upsert",
+        )
+        assert {
+            r._hoodie_partition_path
+            for r in read_hudi(spark, path, drop_meta=False).collect()
+        } == paths
+        r = read_hudi(spark, path, where=[("ts", "=", ts1)])
+        assert {x.id for x in r.collect()} == {1, 3}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_hudi_timestamp_legacy_cast_layout_never_prunes(spark, tmp_path):
+    """r14 over-prune regression: on a LEGACY layout (no epoch stamp —
+    partition paths are wall-clock renderings in the WRITER'S session
+    timezone) timestamp predicates must not prune at all; the old
+    string-equality prune silently dropped rows when the reader's
+    session timezone differed. Built by stripping the stamp and
+    upserting under a non-UTC session, so the new keys' paths really
+    are cast-rendered."""
+    import datetime as _dt
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "leg")
+    ts1 = _dt.datetime(2024, 3, 1, 12, 0, tzinfo=_dt.timezone.utc)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_hudi(
+            spark.createDataFrame([(1, "a", ts1)], "id long, val string, ts timestamp"),
+            path, record_key="id", partition_by=["ts"],
+        )
+        props = _os.path.join(path, ".hoodie", "hoodie.properties")
+        with open(props, encoding="utf-8") as f:
+            lines = [l for l in f if "partitionpath.timestamp.render" not in l]
+        with open(props, "w", encoding="utf-8") as f:
+            f.writelines(lines)
+        # Upsert under the non-UTC session: the new key renders a
+        # wall-clock path ('ts=2024-03-01 07:00:00').
+        write_hudi(
+            spark.createDataFrame([(2, "b", ts1)], "id long, val string, ts timestamp"),
+            path, record_key="id", mode="upsert",
+        )
+        assert any(
+            ":" in r._hoodie_partition_path
+            for r in read_hudi(spark, path, drop_meta=False).collect()
+        )
+
+        # Read under a DIFFERENT session tz: the string literal casts
+        # to the instant both rows hold; pruning must keep both files
+        # (the old code pruned on raw string equality and returned []).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        r = read_hudi(spark, path, where=[("ts", "=", "2024-03-01 12:00:00")])
+        assert {x.id for x in r.collect()} == {1, 2}
+        assert len(r.inputFiles()) == len(read_hudi(spark, path).inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
 _FUZZ_ATOM = st.tuples(
     st.sampled_from(["n", "ts", "cat"]),
     st.sampled_from(
@@ -6641,7 +6756,9 @@ def test_where_pruning_equals_full_filter_fuzz(
         write_delta(df, path, mode="error", partition_by=pb)
         reader = lambda **kw: read_delta(spark, path, **kw)  # noqa: E731
     else:
-        pb = ["cat"] if layout == "identity" else []
+        # Hudi has no transform layouts; 'days' exercises the r14
+        # identity-timestamp epoch-micros partition layout instead.
+        pb = {"identity": ["cat"], "days": ["ts"]}.get(layout, [])
         write_hudi(df, path, record_key="id", partition_by=pb)
         reader = lambda **kw: read_hudi(spark, path, **kw)  # noqa: E731
 
@@ -7930,8 +8047,10 @@ def test_iceberg_nonzero_default_spec_id_stamped(spark, tmp_path):
     """r13: commits against a foreign table whose default-spec-id is
     not 0 stamp the REAL spec id into new manifest-list records and
     manifest avro metadata (native readers decode partition records by
-    that id); rewriting a manifest written under ANOTHER spec refuses
-    loudly instead of corrupting its records."""
+    that id); rewriting a manifest written under a spec the table
+    metadata NO LONGER LISTS refuses loudly instead of corrupting its
+    records (r14: listed specs rewrite under their own id — see
+    test_iceberg_multi_spec_manifest_rewrite)."""
     import json as _json
 
     from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
@@ -7980,11 +8099,202 @@ def test_iceberg_nonzero_default_spec_id_stamped(spark, tmp_path):
     assert added and all(r["partition_spec_id"] == 1 for r in added)
 
     # A merge that must REWRITE the spec-0 seed manifest (update of an
-    # existing key) hits the multi-spec guard.
+    # existing key) hits the guard — spec 0 was doctored OUT of
+    # partition-specs, so its record shape cannot be reconstructed.
     with pytest.raises(NotImplementedError, match="partition spec 0"):
         merge_iceberg(
             spark.createDataFrame([(1, "a2")], "id long, cat string"),
             path, key="id",
+        )
+
+
+def test_iceberg_multi_spec_manifest_rewrite(spark, tmp_path):
+    """r14 (verdict #5, closing the X147 refusal): on a SPEC-EVOLVED
+    table — both specs listed in partition-specs — a merge that must
+    rewrite a manifest written under the OLD spec succeeds, rewriting
+    its entries under their ORIGINAL spec id: the rewritten manifest's
+    avro header and manifest-list record stamp spec 0 with spec-0
+    partition records carried verbatim, while the new files' manifest
+    stamps the default spec 1 with spec-1 records. Compaction then
+    works on the same table."""
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"),
+        path, partition_by=["cat"],
+    )
+    # Doctor a NATIVE-shape spec evolution: keep spec 0, add spec 1
+    # (bucket(3, id)) and point the default at it.
+    mdir = os.path.join(path, "metadata")
+    chosen, meta = _iceberg_current_metadata_named(path)
+    id_field = next(
+        f for f in meta["schemas"][-1]["fields"] if f["name"] == "id"
+    ) if meta.get("schemas") else next(
+        f for f in meta["schema"]["fields"] if f["name"] == "id"
+    )
+    meta["partition-specs"].append(
+        {
+            "spec-id": 1,
+            "fields": [
+                {
+                    "name": "id_bucket",
+                    "transform": "bucket[3]",
+                    "source-id": id_field["id"],
+                    "field-id": 1001,
+                }
+            ],
+        }
+    )
+    meta["default-spec-id"] = 1
+    with open(os.path.join(mdir, chosen), "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+
+    # Update key 1 (rewrites the spec-0 seed manifest) + insert key 3
+    # (stages under spec 1).
+    merge_iceberg(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, cat string"),
+        path, key="id",
+    )
+    got = {(r.id, r.cat) for r in read_iceberg(spark, path).collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+
+    _c, meta2 = _iceberg_current_metadata_named(path)
+    snap = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(_iceberg_local_path(snap["manifest-list"], path))
+    data_recs = [r for r in mlist if r.get("content", 0) == 0]
+    by_spec = {}
+    for r in data_recs:
+        by_spec.setdefault(int(r["partition_spec_id"]), []).append(r)
+    assert set(by_spec) == {0, 1}, by_spec
+
+    def _avro_header_meta(p):
+        import io as _io
+
+        from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+            _decode,
+        )
+
+        with open(p, "rb") as f:
+            buf = _io.BytesIO(f.read())
+        assert buf.read(4) == b"Obj\x01"
+        return _decode({"type": "map", "values": "bytes"}, buf, {})
+
+    # Native-shape pins on BOTH manifests: header spec id, header
+    # partition-spec fields, and the entries' partition record shape
+    # all match the manifest's OWN spec.
+    for spec_id_want, shape in [(0, {"cat"}), (1, {"id_bucket"})]:
+        mpath = _iceberg_local_path(by_spec[spec_id_want][0]["manifest_path"], path)
+        hdr = _avro_header_meta(mpath)
+        assert hdr["partition-spec-id"] == str(spec_id_want).encode()
+        hdr_fields = {f["name"] for f in _json.loads(hdr["partition-spec"])}
+        assert hdr_fields == shape, hdr_fields
+        _sch, entries = read_avro_file(mpath)
+        parts = [e["data_file"].get("partition") or {} for e in entries]
+        assert parts and all(set(p) == shape for p in parts), parts
+
+    # The spec-0 rewritten manifest keeps the retired entry visible as
+    # status-2 with its cat record intact (incremental-reader shape).
+    _sch0, e0 = read_avro_file(
+        _iceberg_local_path(by_spec[0][0]["manifest_path"], path)
+    )
+    st = {(e["status"], (e["data_file"].get("partition") or {}).get("cat")) for e in e0}
+    assert (2, "a") in st and (0, "b") in st, st
+
+    # Compaction on the two-spec table also succeeds and stays exact.
+    compact_iceberg(spark, path)
+    assert {(r.id, r.cat) for r in read_iceberg(spark, path).collect()} == got
+
+
+def test_iceberg_multi_spec_delete_manifest_retire(spark, tmp_path):
+    """r14: DELETE manifests written before a spec evolution (under the
+    old spec) retire under their OWN spec id too — a post-evolution
+    compaction folds the MoR debt instead of refusing or reshaping the
+    old records."""
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(8)],
+            "id long, v string, cat string",
+        ).coalesce(1),
+        path, partition_by=["cat"],
+    )
+    # MoR merge under spec 0: position-delete files + manifests (the
+    # matched file keeps 3 of 4 rows, so it cannot retire outright).
+    merge_iceberg(
+        spark.createDataFrame([(1, "V1", "c1")], "id long, v string, cat string"),
+        path, key="id", strategy="mor",
+    )
+    chosen, meta = _iceberg_current_metadata_named(path)
+    id_field = next(
+        f for f in (meta.get("schemas") or [meta["schema"]])[-1]["fields"]
+        if f["name"] == "id"
+    )
+    meta["partition-specs"].append(
+        {
+            "spec-id": 1,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[3]",
+                 "source-id": id_field["id"], "field-id": 1001}
+            ],
+        }
+    )
+    meta["default-spec-id"] = 1
+    with open(
+        os.path.join(path, "metadata", chosen), "w", encoding="utf-8"
+    ) as f:
+        _json.dump(meta, f)
+
+    # Post-evolution compaction: retires the spec-0 delete manifest
+    # (and rewrites spec-0 data manifests) under their own spec.
+    compact_iceberg(spark, path)
+    got = {(r.id, r.v) for r in read_iceberg(spark, path).collect()}
+    assert got == {(i, f"V{i}" if i == 1 else f"v{i}") for i in range(8)}
+    _c, meta2 = _iceberg_current_metadata_named(path)
+    snap = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s, mlist = read_avro_file(_iceberg_local_path(snap["manifest-list"], path))
+    del_recs = [r for r in mlist if r.get("content", 0) == 1]
+    assert del_recs and all(r["partition_spec_id"] == 0 for r in del_recs)
+    for r in del_recs:
+        _sch, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], path)
+        )
+        assert all(
+            set(e["data_file"].get("partition") or {}) == {"cat"}
+            and e["status"] == 2
+            for e in entries
         )
 
 
