@@ -6099,6 +6099,26 @@ def _murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
+def _ice_ts_micros_col(c, src_ice_type: str):
+    """Epoch-micros Column for a timestamp source — the spec's
+    single-value representation: ``timestamptz`` is instant micros;
+    NTZ ``timestamp`` is WALL-CLOCK micros, assembled from pure
+    components (``cast('timestamp')`` would shift the wall clock
+    through the SESSION timezone — r14 found-bug: identity records,
+    temporal transforms and bucket hashes written under a non-UTC
+    session disagreed with native Iceberg semantics and over-pruned
+    reads). Component purity on NTZ verified across NY/Kolkata/Eucla
+    sessions incl. pre-1970 and sub-second values."""
+    if src_ice_type == "timestamptz":
+        return F.unix_micros(c)
+    return (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86400)
+        + F.hour(c) * F.lit(3600)
+        + F.minute(c) * F.lit(60)
+        + F.second(c)
+    ) * F.lit(1_000_000) + F.date_format(c, "SSSSSS").cast("long")
+
+
 def _ice_bucket_col(c, n: int, src_ice_type: str):
     """Spark Column computing the Iceberg ``bucket[N]`` partition value
     of source column ``c`` — murmur3_x86_32 over the spec's
@@ -6116,7 +6136,7 @@ def _ice_bucket_col(c, n: int, src_ice_type: str):
     elif src_ice_type == "date":
         src, kind = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long"), "long"
     elif src_ice_type in ("timestamp", "timestamptz"):
-        src, kind = F.unix_micros(c.cast("timestamp")), "long"
+        src, kind = _ice_ts_micros_col(c, src_ice_type), "long"
     elif src_ice_type == "string":
         src, kind = c, "str"
     else:
@@ -6186,15 +6206,18 @@ def _ice_transform_expr(transform: str, c, src_ice_type: str):
             # long that round-trips through _ice_part_value exactly,
             # independent of the session timezone's dir rendering
             # (Iceberg paths are opaque; the manifest record is the
-            # truth, and identity-timestamp records ARE micros longs).
-            return F.unix_micros(c.cast("timestamp"))
+            # truth, and identity-timestamp records ARE micros longs —
+            # instant micros for timestamptz, WALL-CLOCK micros for
+            # NTZ, r14).
+            return _ice_ts_micros_col(c, src_ice_type)
         return c
     if t in ("days", "months", "years", "hours"):
         if is_ts:
+            us = _ice_ts_micros_col(c, src_ice_type)
             if t == "hours":
-                return F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)).cast("int")
+                return F.floor(us / F.lit(3_600_000_000)).cast("int")
             day = F.date_from_unix_date(
-                F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)).cast("int")
+                F.floor(us / F.lit(86_400_000_000)).cast("int")
             )
         elif src_ice_type == "date":
             if t == "hours":

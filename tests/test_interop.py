@@ -8631,3 +8631,81 @@ def test_where_ntz_timestamp_pruning_consistency(spark, tmp_path):
         assert 0 < len(p.inputFiles()) < len(read_iceberg(spark, ipath).inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_iceberg_ntz_partition_values_are_wallclock(spark, tmp_path):
+    """r14 FOUND-BUG regression: partition values derived from an NTZ
+    source (identity records, days/hours/months ranges, bucket hashes)
+    must be computed from the WALL CLOCK, not from
+    ``cast('timestamp')`` — which shifts through the writer's session
+    timezone, corrupting records vs native Iceberg semantics and
+    over-pruning reads (a string literal parses straight into the NTZ
+    domain, so the residual filter kept rows the skipped files held).
+    Pins: the identity record IS the wall-clock micros long; every
+    layout prunes exactly under a THIRD session timezone; a cross-tz
+    merge lands in the same logical partition."""
+    import datetime as _dt
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t1 = _dt.datetime(2024, 3, 1, 12, 0)
+    t2 = _dt.datetime(2024, 4, 10, 8, 0)
+    want_micros = int((t1 - _dt.datetime(1970, 1, 1)) / _dt.timedelta(microseconds=1))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for i, layout in enumerate(
+            [["ts"], ["days(ts)"], ["bucket(3, ts)"], ["hours(ts)"]]
+        ):
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            path = str(tmp_path / f"t{i}")
+            write_iceberg(
+                spark.createDataFrame(
+                    [(1, t1), (2, t2), (3, None)], "id long, ts timestamp_ntz"
+                ),
+                path, partition_by=layout,
+            )
+            if layout == ["ts"]:
+                _c, meta = _iceberg_current_metadata_named(path)
+                snap = next(
+                    s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"]
+                )
+                _s, ml = read_avro_file(
+                    _iceberg_local_path(snap["manifest-list"], path)
+                )
+                recs = set()
+                for r in ml:
+                    _s2, ents = read_avro_file(
+                        _iceberg_local_path(r["manifest_path"], path)
+                    )
+                    recs |= {e["data_file"]["partition"]["ts"] for e in ents}
+                assert want_micros in recs, (recs, want_micros)
+
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            full = read_iceberg(spark, path)
+            w = [("ts", "=", "2024-03-01 12:00:00")]
+            p = read_iceberg(spark, path, where=w)
+            assert sorted(x.id for x in p.collect()) == [1], layout
+            assert len(p.inputFiles()) < len(full.inputFiles()), layout
+
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+            merge_iceberg(
+                spark.createDataFrame([(4, t1)], "id long, ts timestamp_ntz"),
+                path, key="id",
+            )
+            got = sorted(
+                x.id for x in read_iceberg(spark, path, where=w).collect()
+            )
+            assert got == [1, 4], (layout, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
