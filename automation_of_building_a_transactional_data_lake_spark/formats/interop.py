@@ -3404,6 +3404,19 @@ def _hudi_pp_keep(
             lm = (d - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
             # Identity partition: the segment IS every row's value.
             return _CMP[op](pv, lm)
+        if ctype == "timestamp_ntz":
+            # NTZ cast-to-string rendering is WALL-CLOCK pure (session
+            # independent, fraction trimmed — parse-back is exact), so
+            # every comparison op decides; the literal maps through
+            # the SAME session-tz wall-clock rules the residual uses.
+            try:
+                pv_d = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return True
+            ld = _ntz_wallclock_lit(lit, session_tz)
+            if ld is None:
+                return True
+            return _CMP[op](pv_d, ld)
         if op != "=":
             return True  # path strings carry no safe ordering
         if ctype == "boolean":

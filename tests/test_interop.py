@@ -6621,6 +6621,46 @@ def test_hudi_timestamp_partition_pruning_epoch_layout(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
+def test_hudi_ntz_partition_pruning(spark, tmp_path):
+    """r14: timestamp_ntz partition paths render the WALL CLOCK via
+    cast-to-string (session independent — no epoch stamp needed), so
+    the pruner parses segments back exactly and every comparison op
+    decides; literals map through the same session-tz wall-clock
+    rules the residual uses."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "ntz")
+    t1, t2 = _dt.datetime(2024, 3, 1, 12, 0), _dt.datetime(2024, 4, 10, 8, 0)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_hudi(
+            spark.createDataFrame(
+                [(1, t1), (2, t2), (3, None)], "id long, ts timestamp_ntz"
+            ),
+            path, record_key="id", partition_by=["ts"],
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        full = read_hudi(spark, path)
+        n_all = len(full.inputFiles())
+        cases = [
+            ([("ts", "=", "2024-03-01 12:00:00")], [1]),  # NTZ-domain string
+            ([("ts", ">", "2024-03-01 12:00:00")], [2]),
+            ([("ts", "is null", None)], [3]),
+        ]
+        for w, want in cases:
+            p = read_hudi(spark, path, where=w)
+            assert sorted(x.id for x in p.collect()) == want, w
+            assert len(p.inputFiles()) < n_all, (w, "did not prune")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
 def test_hudi_timestamp_legacy_cast_layout_never_prunes(spark, tmp_path):
     """r14 over-prune regression: on a LEGACY layout (no epoch stamp —
     partition paths are wall-clock renderings in the WRITER'S session
