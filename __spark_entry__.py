@@ -390,6 +390,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       aggregation + deterministic top-k ordering machinery, plus
 #       BM25 length normalization on top — retrieval.py computes
 #       df(t) as its idf input), + pytest each session.
+#   r14 addition 2: docs_domain_mix (deterministic domain-MIXTURE
+#     resampling — the LLM data-mixing step: integer-part weights →
+#     exact BIGINT policy arithmetic, epoch replication via
+#     explode(sequence) + hash-thresholded fractional tail; BIGINT
+#     oracle re-derives the policy) registers in the TAIL, same
+#     protocol; rotate into a recorded slot in r15.
 #   r14 addition: emb_ann_index_query (the CDC-maintained ANN index —
 #     the last LLM-pipeline family without a driver gate: build, a
 #     three-commit merge sequence folded through ONE change-feed
@@ -453,6 +459,7 @@ _DEMOTED_TAIL = [
     "docs_curation_pipeline",
     "docs_vocab_topk",
     "emb_ann_index_query",
+    "docs_domain_mix",
 ]
 
 _DRIVER_SLOTS = 50

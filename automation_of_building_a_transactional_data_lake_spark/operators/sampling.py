@@ -133,3 +133,88 @@ def stratified_cap(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    key_col: str = "text",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Compose a ~``total_rows`` training mix with domain proportions
+    ``weights`` (normalized over the dict), UP- or DOWN-sampling each
+    domain as needed — the data-MIXING step of an LLM pipeline
+    (DoReMi-style static domain weights): a scarce domain repeats for
+    whole EPOCHS plus a hash-thresholded fractional tail, an abundant
+    one downsamples, so ``weights`` holds even when the natural corpus
+    mix doesn't. Unlike ``stratified_sample`` (fractions <= 1, keep
+    subsets) this op REPLICATES: the output carries ``epoch_col``
+    (1-based copy index) so downstream packing/shuffling can tell
+    copies apart.
+
+    Replication and selection are pure functions of (record, policy):
+    per-domain rate = weight-share x total_rows / domain count; whole
+    copies materialize via ``explode(sequence(1, n))`` (no UDF), the
+    fractional epoch keeps rows whose md5 bucket clears the remainder
+    threshold — the same portable hash as ``with_split``, so the whole
+    mix replays exactly on any engine. Domains absent from ``weights``
+    drop; a weighted domain absent from the data contributes nothing
+    (the realized total shrinks honestly, never re-normalizes onto
+    other domains).
+
+    Scale: ONE groupBy-count on the domain column (O(domains) rows to
+    the driver — corpus mixes are dozens of domains); after that the
+    policy is two literal-map lookups + one hash per row, no join, no
+    shuffle. Per-domain realized counts are binomial around target
+    (the hash threshold quantizes to 1/65536) — the contract is exact
+    SELECTION, not exact counts."""
+    from fractions import Fraction
+
+    if total_rows <= 0:
+        raise ValueError(f"total_rows must be positive, got {total_rows}")
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for domain {d!r} must be >= 0, got {w}")
+    # Policy arithmetic in EXACT rationals (Fraction(str(w)) reads a
+    # float weight as its decimal literal): the per-domain copy count
+    # and tail threshold are integers any engine re-derives exactly —
+    # integer weights make the whole policy plain BIGINT arithmetic in
+    # SQL (floor((w*total)/(wsum*n)) and the 1/65536-quantized
+    # remainder), so an oracle never drifts a boundary by one ulp.
+    wfr = {d: Fraction(str(w)) for d, w in weights.items()}
+    wsum = sum(wfr.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] is not None
+    }
+    policy = {}
+    for d, w in wfr.items():
+        n = counts.get(d)
+        if w > 0 and n:
+            rate = w * total_rows / (wsum * n)
+            copies = int(rate)
+            policy[d] = (copies, int((rate - copies) * _BUCKETS))
+    if not policy:
+        return df.filter(F.lit(False)).withColumn(epoch_col, F.lit(1))
+    copies_map = F.create_map(
+        *[F.lit(x) for d, (c, _t) in sorted(policy.items()) for x in (d, c)]
+    )
+    tail_map = F.create_map(
+        *[F.lit(x) for d, (_c, t) in sorted(policy.items()) for x in (d, t)]
+    )
+    bucket = md5_bucket_col(F.col(key_col))
+    upper = copies_map[F.col(domain_col)] + F.when(
+        bucket < tail_map[F.col(domain_col)], F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__mix_n", upper)
+        # sequence(1, 0) would generate DESCENDING [1, 0]: guard first.
+        .filter(F.col("__mix_n") >= 1)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__mix_n"))))
+        .drop("__mix_n")
+    )

@@ -1763,6 +1763,53 @@ GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# docs_domain_mix — deterministic domain-MIXTURE resampling (r14): the
+# data-mixing step of an LLM pipeline (DoReMi-style static weights):
+# compose a corpus-sized mix at parts en:30 de:35 zh:25 fr:10 (es
+# drops), UP-sampling scarce domains as whole epochs + a
+# hash-thresholded fractional tail and DOWN-sampling abundant ones.
+# Integer-part weights make the policy exact BIGINT arithmetic the
+# oracle re-derives; replication goes through explode(sequence) — no
+# UDF, no shuffle beyond the O(domains) count.
+# --------------------------------------------------------------------------
+
+_MIX_PARTS = {"en": 30, "de": 35, "zh": 25, "fr": 10}
+
+
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_resample
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mixed = mixture_resample(
+        docs, "lang", _MIX_PARTS, total_rows=docs.count(), key_col="text"
+    )
+    return mixed.select("doc_id", "lang", "epoch")
+
+
+DOCS_DOMAIN_MIX_ORACLE = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+w(lang, parts) AS (VALUES ('en', 30), ('de', 35), ('zh', 25), ('fr', 10)),
+p AS (
+  SELECT c.lang,
+         (w.parts::BIGINT * n.total) // (100 * c.cnt) AS copies,
+         (((w.parts::BIGINT * n.total) % (100 * c.cnt)) * 65536)
+           // (100 * c.cnt) AS tail
+  FROM c JOIN w USING (lang) CROSS JOIN n
+),
+sel AS (
+  SELECT d.doc_id, d.lang,
+         p.copies + CASE WHEN CAST('0x' || substr(md5(d.text), 1, 4) AS INTEGER)
+                              < p.tail THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN p USING (lang)
+)
+SELECT doc_id, lang, CAST(u.epoch AS INT) AS epoch
+FROM sel, unnest(range(1, n_copies + 1)) AS u(epoch)
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_pca_knn — PCA projection gated EXACTLY (r8 verdict #4): with
 # k = dim, the centered orthonormal projection preserves pairwise L2
 # distances, so L2-kNN over PROJECTED vectors must equal brute-force
@@ -3558,6 +3605,9 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE),
         QueryDef("docs_curation_v3", docs_curation_v3, DOCS_CURATION_V3_ORACLE),
         QueryDef("docs_stratified_cap", docs_stratified_cap, DOCS_STRATIFIED_CAP_ORACLE),
+        # Domain-mixture resampling (epoch replication + fractional
+        # tail): integer-part policy, BIGINT-exact oracle.
+        QueryDef("docs_domain_mix", docs_domain_mix, DOCS_DOMAIN_MIX_ORACLE, headline=False),
         QueryDef("docs_pack_sequences", docs_pack_sequences, DOCS_PACK_ORACLE),
         QueryDef("emb_pca_knn", emb_pca_knn, EMB_PCA_KNN_ORACLE),
         QueryDef("docs_multimodal_stats", docs_multimodal_stats, DOCS_MULTIMODAL_ORACLE),

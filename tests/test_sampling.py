@@ -126,3 +126,58 @@ def test_stratified_cap_deterministic_per_group(spark):
     assert stratified_cap(docs, "lang", 0).count() == 0
     with pytest.raises(ValueError):
         stratified_cap(docs, "lang", -1)
+
+
+def test_mixture_resample_policy_and_determinism(spark):
+    """r14: mixture_resample composes a target mix with exact-rational
+    policy arithmetic — scarce domains replicate as whole epochs + a
+    hash-thresholded fractional tail, abundant ones downsample,
+    unweighted domains drop; the output is a pure function of the data
+    (stable under repartitioning) and whole epochs carry every row of
+    their domain."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = load(spark, SF_CORRECTNESS, "documents").select("doc_id", "text", "lang")
+    total = docs.count()
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    parts = {"en": 30, "de": 35, "zh": 25, "fr": 10}
+    mixed = mixture_resample(docs, "lang", parts, total_rows=total, key_col="text")
+
+    got = {r.lang: r.n for r in mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "es" not in got  # unweighted domain drops
+    for lang, p in parts.items():
+        target = p * total / 100
+        # whole epochs are exact; only the fractional tail is binomial
+        copies = int(target // base[lang])
+        assert got[lang] >= copies * base[lang], lang
+        assert abs(got[lang] - target) < 0.15 * target + 10, (lang, got[lang], target)
+
+    # every whole epoch carries the domain completely
+    per_epoch = {
+        (r.lang, r.epoch): r.n
+        for r in mixed.groupBy("lang", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, p in parts.items():
+        copies = int((p * total / 100) // base[lang])
+        for e in range(1, copies + 1):
+            assert per_epoch[(lang, e)] == base[lang], (lang, e)
+
+    # stable under physical layout
+    a = {(r.doc_id, r.epoch) for r in mixed.collect()}
+    b = {
+        (r.doc_id, r.epoch)
+        for r in mixture_resample(
+            docs.repartition(7), "lang", parts, total_rows=total, key_col="text"
+        ).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError):
+        mixture_resample(docs, "lang", parts, total_rows=0)
+    with pytest.raises(ValueError):
+        mixture_resample(docs, "lang", {"en": -1}, total_rows=10)
+    assert (
+        mixture_resample(docs, "lang", {"nope": 1}, total_rows=10).count() == 0
+    )
