@@ -3217,7 +3217,7 @@ def read_hudi(
         if df is None:
             raise
         return df
-    if where_n:
+    if where_n and _hudi_path_value_invariant(table_path):
         # Pruning needs the COLUMN TYPES (a path segment alone cannot
         # say whether '2024-03-01 07:00:00' is a string value, provably
         # comparable, or a timestamp rendered in the writer's session
@@ -3555,6 +3555,29 @@ def _hudi_ts_render_of(table_path: str) -> str:
     props = _hudi_table_properties(table_path)
     v = props.get(_HUDI_TS_RENDER_PROP, "cast")
     return v if v == "epoch_micros" else "cast"
+
+
+def _hudi_path_value_invariant(table_path: str) -> bool:
+    """True when every row provably lives in the partition of its OWN
+    column values — the invariant path pruning needs. It holds under
+    Hudi's default non-global index (an update with a new partition
+    value inserts there; the old row keeps its old values AND old
+    path) and under a global index with update.partition.path=true
+    (this writer's semantics: the row moves, r14). The one layout that
+    breaks it is a GLOBAL index with update.partition.path=false —
+    the row's values update in the OLD path — so a table DECLARING
+    that combination in hoodie.properties never path-prunes here.
+    (Native Hudi's own readers mis-prune that layout — a documented
+    caveat — but this engine refuses the prune instead: a kept file
+    costs one open, a wrong skip costs rows.)"""
+    props = _hudi_table_properties(table_path)
+    itype = (props.get("hoodie.index.type") or "").upper()
+    if not itype.startswith("GLOBAL") and "RECORD_INDEX" not in itype:
+        return True
+    for k, v in props.items():
+        if k.endswith(".update.partition.path") and v.strip().lower() == "true":
+            return True
+    return False
 
 
 def _hudi_stage_commit(
@@ -3990,20 +4013,23 @@ def _hudi_log_write(
             business_cols = [f.name for f in business_fields]
         batch = df.select(*business_cols)
     else:
-        need = [record_key] + [c for c in partition_by if c != record_key]
-        missing = [c for c in need if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"delete batch lacks {missing} (partitioned MoR deletes "
-                "route by partition — Hudi's non-global index)"
-            )
-        batch = df.select(*need).distinct()
+        if record_key not in df.columns:
+            raise ValueError(f"delete batch lacks {record_key!r}")
+        # Global-index semantics (r14): deletes route by KEY to every
+        # current location — partition columns in the batch are
+        # accepted but not required.
+        batch = df.select(record_key).distinct()
 
     ts_render = _hudi_ts_render_of(table_path)
-    pp_col = _hudi_partition_path_col(partition_by, batch, ts_render)
-    rows_df = batch.withColumn("__pp", pp_col).withColumn(
-        "__k", F.col(record_key).cast("string")
-    )
+    if mode == "upsert":
+        pp_col = _hudi_partition_path_col(partition_by, batch, ts_render)
+        rows_df = batch.withColumn("__pp", pp_col).withColumn(
+            "__k", F.col(record_key).cast("string")
+        )
+    else:
+        # Deletes route by key to every current location — no batch
+        # partition path exists or is needed.
+        rows_df = batch.withColumn("__k", F.col(record_key).cast("string"))
 
     # In-batch duplicate keys resolve DISTRIBUTED — precombine
     # latest-wins via one window, or an O(1)-rows guard collect (the
@@ -4012,7 +4038,7 @@ def _hudi_log_write(
         if precombine_col:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy("__pp", "__k").orderBy(
+            w = Window.partitionBy("__k").orderBy(
                 F.col(precombine_col).desc()
             )
             rows_df = (
@@ -4022,7 +4048,7 @@ def _hudi_log_write(
             )
         else:
             dup = (
-                rows_df.groupBy("__pp", "__k").count()
+                rows_df.groupBy("__k").count()
                 .filter(F.col("count") > 1).limit(1).collect()
             )
             if dup:
@@ -4031,10 +4057,14 @@ def _hudi_log_write(
                     "pass precombine_col or deduplicate first"
                 )
 
-    # (pp, key) -> fid routing, DISTRIBUTED on both sides: base-file
-    # keys via one key-pruned scan joined to the (metadata-sized) file
-    # map; log keys via the distributed per-slice decode frame. No
-    # O(matched keys) driver collect — the map stays a frame.
+    # KEY -> current locations (pp, fid), DISTRIBUTED on both sides:
+    # base-file keys via one key-pruned scan joined to the
+    # (metadata-sized) file map; log keys via the distributed
+    # per-slice decode frame. GLOBAL (keyed on __k alone, r14): an
+    # upsert whose partition VALUE changed must find the old location
+    # to tombstone it (update.partition.path=true move semantics), and
+    # deletes kill every location of the key. No O(matched keys)
+    # driver collect — the map stays a frame.
     fmap_base = spark.createDataFrame(
         [
             (os.path.abspath(p), fid)
@@ -4047,11 +4077,11 @@ def _hudi_log_write(
         F.coalesce(F.col("_hoodie_partition_path"), F.lit("")).alias("__pp"),
         _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
     )
-    keys, keys_pin = _pin_gated(rows_df.select("__pp", "__k").distinct())
+    keys, keys_pin = _pin_gated(rows_df.select("__k").distinct())
     routed = None
     try:
-        kmap = (
-            scan.join(keys, ["__pp", "__k"], "left_semi")
+        locs = (
+            scan.join(keys, ["__k"], "left_semi")
             .join(F.broadcast(fmap_base), "__fp")
             .select("__pp", "__k", "__fid")
         )
@@ -4066,7 +4096,7 @@ def _hudi_log_write(
                 spark, slice_logs, latest, completed, route_fields,
                 256 << 20,
             )
-            kmap = kmap.unionByName(
+            locs = locs.unionByName(
                 lframe.select(
                     F.coalesce(
                         F.col("_hoodie_partition_path"), F.lit("")
@@ -4077,7 +4107,7 @@ def _hudi_log_write(
                 .select("__pp", "__k", "__fid")
             )
         # A key can sit in BOTH its group's base and log — same fid.
-        kmap = kmap.dropDuplicates(["__pp", "__k"])
+        locs = locs.dropDuplicates(["__pp", "__k"])
 
         nb = int(props.get("hoodie.bucket.index.num.buckets") or 0)
         if nb:
@@ -4099,12 +4129,34 @@ def _hudi_log_write(
         from pyspark import StorageLevel
 
         if mode == "delete":
-            # Keys not present anywhere are a no-op, not a tombstone.
-            routed = rows_df.join(kmap, ["__pp", "__k"], "inner")
+            # Keys not present anywhere are a no-op, not a tombstone;
+            # present keys tombstone in EVERY current location.
+            routed = locs.join(
+                rows_df.select("__k").distinct(), "__k", "left_semi"
+            ).withColumn("__del", F.lit(True))
         else:
-            routed = rows_df.join(kmap, ["__pp", "__k"], "left").withColumn(
-                "__fid", F.coalesce(F.col("__fid"), new_fid)
+            # Same-partition matches keep their group; a key found
+            # ONLY elsewhere (or nowhere) hashes to its value's
+            # partition, and every OTHER current location gets a
+            # soft-delete tombstone — the move that keeps the
+            # path≡value invariant partition pruning relies on.
+            routed = (
+                rows_df.join(locs, ["__pp", "__k"], "left")
+                .withColumn("__fid", F.coalesce(F.col("__fid"), new_fid))
+                .withColumn("__del", F.lit(False))
             )
+            moved = (
+                locs.withColumnRenamed("__pp", "__old_pp")
+                .join(
+                    rows_df.select("__k", "__pp").distinct(), "__k", "inner"
+                )
+                .filter(F.col("__old_pp") != F.col("__pp"))
+                .select(
+                    F.col("__old_pp").alias("__pp"), "__k", "__fid",
+                    F.lit(True).alias("__del"),
+                )
+            )
+            routed = routed.unionByName(moved, allowMissingColumns=True)
         # Split: groups WITH a base slice take the log path; hashed-to
         # groups with no base yet get a BASE file this commit (a
         # log-only file group would be unreadable). Log version per
@@ -4155,7 +4207,6 @@ def _hudi_log_write(
         avsc = _hudi_avro_schema(business_fields)
         avsc_json = json.dumps(avsc)
         bf_types = {f.name: f.dataType.typeName() for f in business_fields}
-        is_delete = mode == "delete"
 
         def _write_group(pdf):
             import pandas as pd
@@ -4178,7 +4229,7 @@ def _hudi_log_write(
                     "_hoodie_record_key": pdf["__k"].iloc[i],
                     "_hoodie_partition_path": pp,
                     "_hoodie_file_name": "",
-                    "_hoodie_is_deleted": is_delete,
+                    "_hoodie_is_deleted": bool(pdf["__del"].iloc[i]),
                 }
                 for name, styp in bf_types.items():
                     rec[name] = (
@@ -4752,12 +4803,20 @@ def write_hudi(
         fresh_fid = F.concat(
             F.lit("fgnew-"), F.substring(F.md5(F.concat(F.lit(instant), F.col("__hudi_pp"))), 1, 12)
         )
+        # Global-index update.partition.path=true semantics (r14): a
+        # matched key whose partition VALUE changed MOVES — the old
+        # group rewrites without it (survivors above), the row lands
+        # in its value's partition under a fresh group. Keeping it in
+        # the old path (the previous behavior) silently broke the
+        # path≡value invariant every partition-pruned read relies on.
+        same_part = F.col("__gpp").isNotNull() & (
+            F.col("__gpp") == F.col("__hudi_pp")
+        )
         batch_assigned = (
             batch.join(kg, batch["__k"] == kg["__gk"], "left")
             .withColumn(
-                "__hudi_fid", F.coalesce(F.col("__gfid"), fresh_fid)
+                "__hudi_fid", F.when(same_part, F.col("__gfid")).otherwise(fresh_fid)
             )
-            .withColumn("__hudi_pp", F.coalesce(F.col("__gpp"), F.col("__hudi_pp")))
         )
         batch_meta = (
             batch_assigned.withColumn("_hoodie_commit_time", F.lit(instant))

@@ -6621,6 +6621,68 @@ def test_hudi_timestamp_partition_pruning_epoch_layout(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
+def test_hudi_partition_value_update_moves_row(spark, tmp_path):
+    """r14 FOUND-BUG regression (fuzz-caught): an upsert that CHANGES a
+    matched key's partition column must MOVE the row to its value's
+    partition (global-index update.partition.path=true semantics) on
+    BOTH table types. Previously CoW updated the row in its OLD path —
+    path≠value, so a pruned read on the new value silently dropped it —
+    and MoR duplicated the key. Also pins key-only global deletes and
+    the declared-global-noupdate foreign layout refusing to prune."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        path = str(tmp_path / tt)
+        write_hudi(
+            spark.createDataFrame(
+                [(1, "a", "c0"), (2, "b", "c1")], "id long, val string, cat string"
+            ),
+            path, record_key="id", partition_by=["cat"], table_type=tt,
+        )
+        write_hudi(
+            spark.createDataFrame([(1, "A2", "c9")], "id long, val string, cat string"),
+            path, record_key="id", mode="upsert",
+        )
+        rows = sorted(
+            (r.id, r.val, r.cat, r._hoodie_partition_path)
+            for r in read_hudi(spark, path, drop_meta=False).collect()
+        )
+        assert rows == [
+            (1, "A2", "c9", "cat=c9"), (2, "b", "c1", "cat=c1")
+        ], (tt, rows)
+        p = read_hudi(spark, path, where=[("cat", "=", "c9")])
+        assert sorted(x.id for x in p.collect()) == [1], tt  # pruned read FINDS the moved row
+        assert len(p.inputFiles()) < len(read_hudi(spark, path).inputFiles())
+        # old-value prune finds nothing but stays typed
+        z = read_hudi(spark, path, where=[("cat", "=", "c0")])
+        assert z.count() == 0
+
+        # key-only global delete
+        write_hudi(spark.createDataFrame([(1,)], "id long"), path, record_key="id", mode="delete")
+        assert sorted(
+            (r.id, r.cat) for r in read_hudi(spark, path).collect()
+        ) == [(2, "c1")], tt
+
+    # A foreign table DECLARING global index + update.partition.path
+    # =false cannot hold the path≡value invariant: no path pruning.
+    import os as _os
+
+    path = str(tmp_path / "noinv")
+    write_hudi(
+        spark.createDataFrame([(1, "a", "c0"), (2, "b", "c1")], "id long, val string, cat string"),
+        path, record_key="id", partition_by=["cat"],
+    )
+    with open(_os.path.join(path, ".hoodie", "hoodie.properties"), "a", encoding="utf-8") as f:
+        f.write("hoodie.index.type=GLOBAL_BLOOM\n")
+        f.write("hoodie.bloom.index.update.partition.path=false\n")
+    p = read_hudi(spark, path, where=[("cat", "=", "c1")])
+    assert sorted(x.id for x in p.collect()) == [2]  # residual exact
+    assert len(p.inputFiles()) == len(read_hudi(spark, path).inputFiles())  # no prune
+
+
 def test_hudi_ntz_partition_pruning(spark, tmp_path):
     """r14: timestamp_ntz partition paths render the WALL CLOCK via
     cast-to-string (session independent — no epoch stamp needed), so
@@ -8747,5 +8809,104 @@ def test_iceberg_ntz_partition_values_are_wallclock(spark, tmp_path):
                 x.id for x in read_iceberg(spark, path, where=w).collect()
             )
             assert got == [1, 4], (layout, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            # keys -> (day offset | None for delete)
+            st.dictionaries(
+                st.integers(0, 9),
+                st.one_of(st.none(), st.integers(0, 3)),
+                min_size=1, max_size=5,
+            ),
+            # session timezone THIS batch commits under
+            st.sampled_from(
+                ["UTC", "America/New_York", "Asia/Kolkata", "Australia/Eucla"]
+            ),
+        ),
+        min_size=1, max_size=4,
+    ),
+    read_tz=st.sampled_from(["UTC", "America/New_York", "Asia/Tokyo"]),
+)
+def test_hudi_ts_partition_cross_tz_merge_fuzz(
+    spark, tmp_path_factory, batches, read_tz
+):
+    """PROPERTY (r14): any upsert/delete sequence against a
+    TIMESTAMP-partitioned Hudi table, with EVERY batch committed under
+    a different session timezone, reads as the dict model — the
+    epoch-micros partition layout makes the path a pure function of
+    the instant, so cross-timezone writers can never split a logical
+    partition or lose an upsert; an upsert that CHANGES a key's ts
+    MOVES the row to its value's partition (global-index
+    update.partition.path=true semantics, so path≡value holds) — and
+    timestamp predicates prune without changing results under yet
+    another read timezone."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    base = _dt.datetime(2024, 3, 1, 12, 0, tzinfo=_dt.timezone.utc)
+    day = {k: base + _dt.timedelta(days=k % 4) for k in range(10)}
+    path = str(tmp_path_factory.mktemp("hf") / "t")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    model: dict[int, tuple] = {}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", batches[0][1])
+        init = [(k, f"v{k}", day[k]) for k in range(10)]
+        write_hudi(
+            spark.createDataFrame(init, "id long, val string, ts timestamp"),
+            path, record_key="id", partition_by=["ts"],
+        )
+        model = {k: (f"v{k}", day[k]) for k in range(10)}
+        for i, (ops, tz) in enumerate(batches):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ups = [
+                (k, f"b{i}k{k}", day[(k + i) % 10])
+                for k, d in ops.items()
+                if d is not None
+            ]
+            dels = [(k,) for k, d in ops.items() if d is None and k in model]
+            if ups:
+                write_hudi(
+                    spark.createDataFrame(
+                        ups, "id long, val string, ts timestamp"
+                    ),
+                    path, record_key="id", mode="upsert",
+                )
+                for k, v, t in ups:
+                    # Move semantics: the row follows its ts VALUE.
+                    model[k] = (v, t)
+            if dels:
+                write_hudi(
+                    spark.createDataFrame(dels, "id long"),
+                    path, record_key="id", mode="delete",
+                )
+                for (k,) in dels:
+                    model.pop(k, None)
+
+        spark.conf.set("spark.sql.session.timeZone", read_tz)
+        got = {
+            r.id: (r.val, r.ts.replace(tzinfo=_dt.timezone.utc))
+            for r in read_hudi(spark, path).collect()
+        }
+        assert got == model
+        # Pruned reads stay exact for every live partition instant.
+        full = read_hudi(spark, path)
+        for t in sorted({v[1] for v in model.values()}):
+            p = read_hudi(spark, path, where=[("ts", "=", t)])
+            want = sorted(k for k, v in model.items() if v[1] == t)
+            assert sorted(x.id for x in p.collect()) == want, t
+            assert len(p.inputFiles()) <= len(full.inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
