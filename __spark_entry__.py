@@ -390,6 +390,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       aggregation + deterministic top-k ordering machinery, plus
 #       BM25 length normalization on top — retrieval.py computes
 #       df(t) as its idf input), + pytest each session.
+#   r14 addition 3: emb_ann_index_pq_query (the PQ-codes flavor of the
+#     managed ANN index: m-byte codes in the index table, change-feed
+#     refresh under build-frozen codebooks, ADC probe + exhaustive
+#     exact re-rank ≡ the same brute-force post-merge oracle) registers
+#     in the TAIL, same protocol; rotate into a recorded slot in r15
+#     or r16 (the vector-mode twin emb_ann_index_query goes first).
 #   r14 addition 2: docs_domain_mix (deterministic domain-MIXTURE
 #     resampling — the LLM data-mixing step: integer-part weights →
 #     exact BIGINT policy arithmetic, epoch replication via
@@ -460,6 +466,7 @@ _DEMOTED_TAIL = [
     "docs_vocab_topk",
     "emb_ann_index_query",
     "docs_domain_mix",
+    "emb_ann_index_pq_query",
 ]
 
 _DRIVER_SLOTS = 50

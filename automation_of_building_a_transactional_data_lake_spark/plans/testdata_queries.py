@@ -2842,7 +2842,12 @@ WHERE len(list_intersect(q.s, c.s)) * 1.0
 # --------------------------------------------------------------------------
 
 
-def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_index_post_merge(spark: SparkSession, sf_dir: str, **idx_kwargs):
+    """Shared scaffold for the ANN-index gates: 80% corpus into a
+    managed table, index built ONCE, then a three-commit merge
+    sequence (20% inserts, vector rewrites, overlapping keyed deletes)
+    folded through ONE change-feed refresh with exact NET
+    encoded/deleted pins. Returns (idx, emb, qvec)."""
     from ..catalog import Catalog
     from ..formats.parquet_cow import temp_warehouse
     from ..operators.ann_index import ManagedAnnIndex
@@ -2863,7 +2868,7 @@ def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = TableSpec("emb_vectors", "vec_id", None, None, "ann")
     tbl = cat.table(spec)
     tbl.create(corpus0)
-    idx = ManagedAnnIndex(cat, spec, vec_col="embedding", ivf_k=8)
+    idx = ManagedAnnIndex(cat, spec, vec_col="embedding", ivf_k=8, **idx_kwargs)
     idx.build()
 
     tbl.merge_upsert(inserts)
@@ -2891,6 +2896,11 @@ def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # updated, not deleted — identical on both sides). One 64-float
     # driver-side fetch, the same O(1) shape as the centroid state.
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+    return idx, emb, qvec
+
+
+def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _emb, qvec = _ann_index_post_merge(spark, sf_dir)
 
     # Shard pruning is physical: a 2-cluster probe must open strictly
     # fewer partition files than the all-cluster probe (the
@@ -2901,6 +2911,20 @@ def emb_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pruned probe opened {len(pruned_files)} files, exhaustive "
         f"{len(set(full.inputFiles()))} — cluster_id partition pruning regressed"
     )
+    return full.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def emb_ann_index_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-codes flavor of the managed index (r14): the index table
+    stores m-byte codes instead of vectors; refresh PQ-encodes only
+    the change feed under the BUILD-time frozen codebooks; the probe
+    is ADC over the probed codes + exact re-rank joining the source
+    for the shortlist. Gate exactness: exhaustive probe + shortlist
+    covering every candidate makes the re-ranked top-k ≡ brute force
+    (the emb_pq_knn degenerate-setting pattern), hash-checked against
+    the same post-merge oracle."""
+    idx, _emb, qvec = _ann_index_post_merge(spark, sf_dir, pq_m=8)
+    full = idx.topk(qvec, k=10, nprobe=8, rerank=1_000_000)
     return full.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -3580,6 +3604,14 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "emb_ann_index_query",
             emb_ann_index_query,
+            EMB_ANN_INDEX_ORACLE,
+            headline=False,
+        ),
+        # PQ-codes flavor: ADC probe + exhaustive exact re-rank == the
+        # same brute-force oracle.
+        QueryDef(
+            "emb_ann_index_pq_query",
+            emb_ann_index_pq_query,
             EMB_ANN_INDEX_ORACLE,
             headline=False,
         ),
