@@ -48,7 +48,7 @@ class MergeResult:
     as job telemetry (``src/hudi/hudi-cdc-load.py:97-104``)."""
 
     table: str
-    action: str  # "upsert" | "delete"
+    action: str  # "upsert" | "delete" | "update"
     source_rows: int
 
 
@@ -1255,6 +1255,80 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, is_primary_key boolean, "
                 "is_partition boolean"
+            )
+
+        # Predicate DELETE / UPDATE as text (r14) — the standard
+        # lakehouse retention/correction statements (Delta-SQL shape).
+        # Both resolve the matching rows through the table's own read
+        # (exact, any predicate Spark can evaluate) and commit through
+        # the keyed transactional merge machinery (W5/W7) — snapshot
+        # isolation, time travel and the change feed all apply.
+        m = re.match(
+            rf"DELETE\s+FROM\s+(?P<t>{ident})(?:\s+WHERE\s+(?P<w>.+))?$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            spec, tbl = self._resolve_ident(m.group("t"))
+            keys = tbl.read()
+            if m.group("w"):
+                keys = keys.filter(m.group("w"))
+            keys = keys.select(spec.primary_key)
+            n = keys.count()
+            if n:
+                tbl.merge_delete(keys)
+            return MergeResult(
+                table=spec.qualified_name, action="delete", source_rows=n
+            )
+
+        m = re.match(
+            rf"UPDATE\s+(?P<t>{ident})\s+SET\s+(?P<sets>.+?)"
+            r"(?:\s+WHERE\s+(?P<w>.+))?$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            spec, tbl = self._resolve_ident(m.group("t"))
+            masked_sets = _mask_strings(m.group("sets"))
+            assigns: dict[str, str] = {}
+            raw_sets = m.group("sets")
+            for cs, ce in _sql_split_commas(masked_sets):
+                part = raw_sets[cs:ce]
+                am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+                if not am:
+                    raise ValueError(
+                        f"unsupported UPDATE assignment {part.strip()!r}; "
+                        "expected <column> = <expression>"
+                    )
+                assigns[am.group(1)] = am.group(2)
+            df = tbl.read()
+            have = dict(df.dtypes)
+            for c in assigns:
+                if c not in have:
+                    raise ValueError(
+                        f"UPDATE SET references unknown column {c!r}"
+                    )
+            if spec.primary_key in assigns:
+                raise ValueError(
+                    f"UPDATE may not set the primary key "
+                    f"{spec.primary_key!r} (a key change is a DELETE + "
+                    "INSERT — use MERGE or two statements)"
+                )
+            matched = df.filter(m.group("w")) if m.group("w") else df
+            # ALL assignments evaluate against the PRE-update row (SQL
+            # semantics): one select replaces every column at once,
+            # casting each expression to the column's declared type.
+            updated = matched.select(
+                *[
+                    F.expr(assigns[c]).cast(have[c]).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            n = updated.count()
+            if n:
+                tbl.merge_upsert(updated)
+            return MergeResult(
+                table=spec.qualified_name, action="update", source_rows=n
             )
 
         return NotImplemented

@@ -1077,3 +1077,63 @@ def test_describe_detail_managed(spark, user_lake):
     assert row.format == "managed" and row.num_rows == 10000
     assert row.num_files > 0 and row.size_bytes > 0
     assert d.inputFiles() == []
+
+
+def test_sql_text_update_and_delete_predicates(user_lake, spark):
+    """r14: predicate UPDATE / DELETE FROM as text (the Delta-SQL
+    retention/correction statements) — exact row resolution through
+    the table's own read, committed via the keyed transactional merge,
+    so snapshot isolation, time travel and the change feed all apply.
+    SQL semantics pinned: all SET expressions evaluate against the
+    PRE-update row; expressions cast to the column's declared type;
+    primary-key assignment refuses."""
+    _cat, spec, lake = user_lake
+    t = "lake.game.user_data"
+
+    before = {r.user_id: r.cur_level for r in lake.sql(f"SELECT * FROM {t}").collect()}
+    v0 = lake.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n
+
+    # UPDATE with a row-referencing expression + string literal filter.
+    res = lake.sql(
+        f"UPDATE {t} SET cur_level = cur_level + 1000 "
+        "WHERE marketing_agreement = 'y' AND cur_level < 5"
+    )
+    assert res.action == "update" and res.source_rows > 0
+    after = {r.user_id: (r.cur_level, r.marketing_agreement) for r in lake.sql(f"SELECT * FROM {t}").collect()}
+    changed = {k for k, (lvl, _m) in after.items() if lvl >= 1000}
+    assert len(changed) == res.source_rows
+    for k, (lvl, mk) in after.items():
+        if k in changed:
+            assert mk == "y" and lvl == before[k] + 1000  # pre-update RHS
+        else:
+            assert lvl == before[k]
+    assert lake.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == v0
+
+    # All SETs see the PRE-update row: swapping via two assignments.
+    cat2 = Catalog(spark, str(spark._sc._temp_dir) + "/swapwh")
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    sp = TableSpec("sw", "id", None, None, "d")
+    cat2.table(sp).create(spark.createDataFrame([(1, 10, 20)], "id long, a long, b long"))
+    lk2 = LakeSQL(cat2)
+    lk2.sql("UPDATE lake.d.sw SET a = b, b = a")
+    r = lk2.sql("SELECT * FROM lake.d.sw").collect()[0]
+    assert (r.a, r.b) == (20, 10)
+
+    # DELETE with predicate; count drops exactly; version history grows.
+    n_del = lake.sql(f"SELECT count(*) AS n FROM {t} WHERE cur_level >= 1000").collect()[0].n
+    res = lake.sql(f"DELETE FROM {t} WHERE cur_level >= 1000")
+    assert res.action == "delete" and res.source_rows == n_del
+    assert lake.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == v0 - n_del
+
+    # No-match statements commit nothing (version count unchanged).
+    hist0 = lake.sql(f"DESCRIBE HISTORY {t}").count()
+    assert lake.sql(f"DELETE FROM {t} WHERE user_id < 0").source_rows == 0
+    assert lake.sql(f"UPDATE {t} SET cur_level = 0 WHERE user_id < 0").source_rows == 0
+    assert lake.sql(f"DESCRIBE HISTORY {t}").count() == hist0
+
+    # Guards: unknown column, primary-key assignment.
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.sql(f"UPDATE {t} SET nope = 1")
+    with pytest.raises(ValueError, match="primary key"):
+        lake.sql(f"UPDATE {t} SET user_id = 1 WHERE cur_level = 3")
