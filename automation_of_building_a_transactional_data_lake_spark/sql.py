@@ -720,6 +720,77 @@ class LakeSQL:
 
     # -- DDL / maintenance statements --------------------------------------
 
+    def _foreign_update_delete(self, m: re.Match) -> MergeResult:
+        """Predicate UPDATE/DELETE against a foreign table by path:
+        Hudi declares its record key in hoodie.properties, so the
+        statement resolves rows through read_hudi and commits through
+        the real keyed merge; Delta/Iceberg declare no record key —
+        refuse toward MERGE with an explicit key."""
+        from .formats.interop import (
+            _hudi_table_properties,
+            read_hudi,
+            write_hudi,
+        )
+
+        fmt = m.group("fmt").lower()
+        path = m.group("p")
+        op = "delete" if m.group("op").upper().startswith("DELETE") else "update"
+        if op == "update" and not m.group("sets"):
+            raise ValueError("UPDATE requires a SET clause")
+        if fmt != "hudi":
+            raise NotImplementedError(
+                f"predicate {op.upper()} on a {fmt} path needs a record "
+                "key the format does not declare — use MERGE INTO with "
+                "an explicit ON key"
+            )
+        key = _hudi_table_properties(path).get("hoodie.table.recordkey.fields", "")
+        if not key or "," in key:
+            raise NotImplementedError(
+                f"hudi table at {path!r} declares record key {key!r}; "
+                "predicate UPDATE/DELETE needs a single declared key"
+            )
+        df = read_hudi(self.spark, path)
+        matched = df.filter(m.group("w")) if m.group("w") else df
+        if op == "delete":
+            keys = matched.select(key)
+            n = keys.count()
+            if n:
+                write_hudi(keys, path, record_key=key, mode="delete")
+            return MergeResult(table=f"hudi.`{path}`", action="delete", source_rows=n)
+        masked_sets = _mask_strings(m.group("sets"))
+        raw_sets = m.group("sets")
+        assigns: dict[str, str] = {}
+        for cs, ce in _sql_split_commas(masked_sets):
+            part = raw_sets[cs:ce]
+            am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"unsupported UPDATE assignment {part.strip()!r}; "
+                    "expected <column> = <expression>"
+                )
+            assigns[am.group(1)] = am.group(2)
+        have = dict(df.dtypes)
+        for c in assigns:
+            if c not in have:
+                raise ValueError(f"UPDATE SET references unknown column {c!r}")
+        if key in assigns:
+            raise ValueError(
+                f"UPDATE may not set the record key {key!r} (a key change "
+                "is a DELETE + INSERT — use MERGE or two statements)"
+            )
+        updated = matched.select(
+            *[
+                F.expr(assigns[c]).cast(have[c]).alias(c)
+                if c in assigns
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        n = updated.count()
+        if n:
+            write_hudi(updated, path, record_key=key, mode="upsert")
+        return MergeResult(table=f"hudi.`{path}`", action="update", source_rows=n)
+
     def _resolve_ident(self, ident: str):
         parts = ident.split(".")
         if len(parts) != 3 or parts[0].lower() != self.name.lower():
@@ -1263,6 +1334,18 @@ class LakeSQL:
         # (exact, any predicate Spark can evaluate) and commit through
         # the keyed transactional merge machinery (W5/W7) — snapshot
         # isolation, time travel and the change feed all apply.
+        # Foreign HUDI paths work too (the record key is declared in
+        # hoodie.properties); delta/iceberg paths have no declared key
+        # and refuse toward MERGE.
+        m = re.match(
+            r"(?P<op>DELETE\s+FROM|UPDATE)\s+"
+            r"(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
+            r"(?:\s+SET\s+(?P<sets>.+?))?"
+            r"(?:\s+WHERE\s+(?P<w>.+))?$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._foreign_update_delete(m)
         m = re.match(
             rf"DELETE\s+FROM\s+(?P<t>{ident})(?:\s+WHERE\s+(?P<w>.+))?$",
             s, re.IGNORECASE | re.DOTALL,

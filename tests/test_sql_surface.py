@@ -1137,3 +1137,41 @@ def test_sql_text_update_and_delete_predicates(user_lake, spark):
         lake.sql(f"UPDATE {t} SET nope = 1")
     with pytest.raises(ValueError, match="primary key"):
         lake.sql(f"UPDATE {t} SET user_id = 1 WHERE cur_level = 3")
+
+
+def test_sql_text_update_delete_foreign_hudi_path(spark, tmp_path):
+    """r14: predicate UPDATE / DELETE FROM against a REAL Hudi table by
+    path — the record key comes from hoodie.properties, rows resolve
+    through read_hudi, commits go through the real keyed merge.
+    Delta/Iceberg paths declare no key and refuse toward MERGE."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_delta,
+        write_hudi,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    hp = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(10)],
+            "id long, val string, cat string",
+        ),
+        hp, record_key="id", partition_by=["cat"],
+    )
+    r = lake.sql(f"UPDATE hudi.`{hp}` SET val = upper(val) WHERE cat = 'c1'")
+    assert r.action == "update" and r.source_rows == 5
+    got = {x.id: x.val for x in read_hudi(spark, hp).collect()}
+    assert got == {i: (f"v{i}".upper() if i % 2 else f"v{i}") for i in range(10)}
+
+    r = lake.sql(f"DELETE FROM hudi.`{hp}` WHERE id >= 8")
+    assert r.action == "delete" and r.source_rows == 2
+    assert {x.id for x in read_hudi(spark, hp).collect()} == set(range(8))
+
+    # record-key assignment refuses; delta path refuses toward MERGE.
+    with pytest.raises(ValueError, match="record key"):
+        lake.sql(f"UPDATE hudi.`{hp}` SET id = 1")
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
+    with pytest.raises(NotImplementedError, match="MERGE"):
+        lake.sql(f"DELETE FROM delta.`{dp}` WHERE id = 1")
