@@ -48,7 +48,7 @@ class MergeResult:
     as job telemetry (``src/hudi/hudi-cdc-load.py:97-104``)."""
 
     table: str
-    action: str  # "upsert" | "delete" | "update"
+    action: str  # "upsert" | "delete" | "update" | "insert"
     source_rows: int
 
 
@@ -1326,6 +1326,65 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, is_primary_key boolean, "
                 "is_partition boolean"
+            )
+
+        # INSERT INTO as text (r14): the most basic write statement a
+        # switching user types. Tables here are KEYED (the merge
+        # model), so SQL primary-key semantics apply: a batch touching
+        # an EXISTING key refuses loudly (an INSERT must never silently
+        # update — that's MERGE/UPDATE), a clean batch commits as a
+        # pure-insert merge (same transactional machinery, W5).
+        m = re.match(
+            rf"INSERT\s+INTO\s+(?P<t>{ident})\s*"
+            r"(?:\((?P<cols>[\w\s,]+)\)\s*)?"
+            r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            spec, tbl = self._resolve_ident(m.group("t"))
+            df = self.spark.sql(self._rewrite(m.group("q")))
+            tcols = tbl.read().columns
+            if m.group("cols"):
+                named = [c.strip() for c in m.group("cols").split(",")]
+                unknown = [c for c in named if c not in tcols]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column list references unknown columns "
+                        f"{unknown} (table has {tcols})"
+                    )
+                if len(named) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT column list names {len(named)} columns "
+                        f"but the query produces {len(df.columns)}"
+                    )
+                df = df.toDF(*named)
+                for c in tcols:
+                    if c not in named:
+                        df = df.withColumn(c, F.lit(None))
+                df = df.select(*tcols)
+            else:
+                if len(df.columns) != len(tcols):
+                    raise ValueError(
+                        f"INSERT query produces {len(df.columns)} columns "
+                        f"but {spec.qualified_name} has {len(tcols)} — "
+                        "name the columns: INSERT INTO t (a, b) ..."
+                    )
+                df = df.toDF(*tcols)
+            dup = (
+                df.join(tbl.read(), spec.primary_key, "left_semi")
+                .select(spec.primary_key).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"INSERT would touch existing {spec.primary_key}="
+                    f"{dup[0][0]!r} — keyed tables reject duplicate "
+                    "inserts; use MERGE INTO or UPDATE for upserts"
+                )
+            n = df.count()
+            if n:
+                tbl.merge_upsert(df)
+            return MergeResult(
+                table=spec.qualified_name, action="insert", source_rows=n
             )
 
         # Predicate DELETE / UPDATE as text (r14) — the standard

@@ -1175,3 +1175,41 @@ def test_sql_text_update_delete_foreign_hudi_path(spark, tmp_path):
     write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
     with pytest.raises(NotImplementedError, match="MERGE"):
         lake.sql(f"DELETE FROM delta.`{dp}` WHERE id = 1")
+
+
+def test_sql_text_insert_into(user_lake, spark):
+    """r14: INSERT INTO as text — keyed tables enforce primary-key
+    semantics (an existing key refuses loudly; INSERT never silently
+    updates), clean batches commit as a pure-insert merge. VALUES,
+    SELECT (with managed identifiers inside), and a column list with
+    null-filled omitted columns all work."""
+    _cat, spec, lake = user_lake
+    t = "lake.game.user_data"
+    v0 = lake.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n
+    cols = [r.col_name for r in lake.sql(f"DESCRIBE {t}").collect()]
+
+    # SELECT-shaped insert derived from the table itself (new keys).
+    r = lake.sql(
+        f"INSERT INTO {t} SELECT user_id + 500000, {', '.join(c for c in cols if c != 'user_id')} "
+        f"FROM {t} WHERE user_id <= 3"
+    )
+    assert r.action == "insert" and r.source_rows == 3
+    assert lake.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == v0 + 3
+
+    # Column-list insert: omitted columns fill with null.
+    r = lake.sql(f"INSERT INTO {t} (user_id, cur_level) VALUES (910001, 7)")
+    assert r.source_rows == 1
+    row = lake.sql(f"SELECT * FROM {t} WHERE user_id = 910001").collect()[0]
+    assert row.cur_level == 7 and row.email is None
+
+    # Duplicate key refuses loudly; nothing commits.
+    hist0 = lake.sql(f"DESCRIBE HISTORY {t}").count()
+    with pytest.raises(ValueError, match="existing"):
+        lake.sql(f"INSERT INTO {t} (user_id, cur_level) VALUES (910001, 9)")
+    assert lake.sql(f"DESCRIBE HISTORY {t}").count() == hist0
+
+    # Arity mismatch refuses with guidance.
+    with pytest.raises(ValueError, match="name the columns"):
+        lake.sql(f"INSERT INTO {t} VALUES (1, 2)")
+    with pytest.raises(ValueError, match="unknown columns"):
+        lake.sql(f"INSERT INTO {t} (nope) VALUES (1)")
