@@ -6683,6 +6683,68 @@ def test_hudi_partition_value_update_moves_row(spark, tmp_path):
     assert len(p.inputFiles()) == len(read_hudi(spark, path).inputFiles())  # no prune
 
 
+def test_partition_value_update_moves_row_all_formats(spark, tmp_path):
+    """r14: the partition-value-update move invariant holds on EVERY
+    format's merge — delta, iceberg, the managed CoW table, and Hudi's
+    bounded-planner FALLBACK path (max_affected_file_groups=0 forces
+    the wholesale rewrite, which derives paths from values): the row
+    lands in its value's partition and a pruned read finds it."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        merge_iceberg,
+        read_delta,
+        read_hudi,
+        read_iceberg,
+        write_delta,
+        write_hudi,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.parquet_cow import (
+        temp_warehouse,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.spec import TableSpec
+
+    df0 = spark.createDataFrame(
+        [(1, "a", "c0"), (2, "b", "c1")], "id long, val string, cat string"
+    )
+    up = spark.createDataFrame([(1, "A2", "c9")], "id long, val string, cat string")
+    want = [(1, "A2", "c9"), (2, "b", "c1")]
+
+    p = str(tmp_path / "d")
+    write_delta(df0, p, partition_by=["cat"])
+    merge_delta(up, p, key="id")
+    assert sorted((x.id, x.val, x.cat) for x in read_delta(spark, p).collect()) == want
+    pr = read_delta(spark, p, where=[("cat", "=", "c9")])
+    assert [x.id for x in pr.collect()] == [1]
+    assert len(pr.inputFiles()) < len(read_delta(spark, p).inputFiles())
+
+    p = str(tmp_path / "i")
+    write_iceberg(df0, p, partition_by=["cat"])
+    merge_iceberg(up, p, key="id")
+    assert sorted((x.id, x.val, x.cat) for x in read_iceberg(spark, p).collect()) == want
+    pr = read_iceberg(spark, p, where=[("cat", "=", "c9")])
+    assert [x.id for x in pr.collect()] == [1]
+    assert len(pr.inputFiles()) < len(read_iceberg(spark, p).inputFiles())
+
+    t = Catalog(spark, temp_warehouse(prefix="mvfmt_")).table(
+        TableSpec("t", "id", "cat", None, "d")
+    )
+    t.create(df0)
+    t.merge_upsert(up)
+    assert sorted((x.id, x.val, x.cat) for x in t.read().collect()) == want
+    assert [x.id for x in t.read_partitions(["c9"]).collect()] == [1]
+
+    p = str(tmp_path / "h")
+    write_hudi(df0, p, record_key="id", partition_by=["cat"])
+    write_hudi(
+        up, p, record_key="id", mode="upsert", max_affected_file_groups=0
+    )
+    assert sorted((x.id, x.val, x.cat) for x in read_hudi(spark, p).collect()) == want
+    pr = read_hudi(spark, p, where=[("cat", "=", "c9")])
+    assert [x.id for x in pr.collect()] == [1]
+
+
 def test_hudi_ntz_partition_pruning(spark, tmp_path):
     """r14: timestamp_ntz partition paths render the WALL CLOCK via
     cast-to-string (session independent — no epoch stamp needed), so
