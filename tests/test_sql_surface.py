@@ -1213,3 +1213,66 @@ def test_sql_text_insert_into(user_lake, spark):
         lake.sql(f"INSERT INTO {t} VALUES (1, 2)")
     with pytest.raises(ValueError, match="unknown columns"):
         lake.sql(f"INSERT INTO {t} (nope) VALUES (1)")
+
+
+# (kind, key-seed, value-seed) — interpreted against the model below.
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _sql_op = st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(0, 11),
+        st.integers(-50, 50),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+        ],
+    )
+    @given(ops=st.lists(_sql_op, min_size=1, max_size=5))
+    def test_sql_statement_surface_model_fuzz(spark, tmp_path_factory, ops):
+        """PROPERTY (r14): any sequence of INSERT / predicate-UPDATE /
+        predicate-DELETE statements as TEXT matches a dict model —
+        primary-key refusal on duplicate inserts included — and the
+        table stays time-travel consistent (one version per effectful
+        statement)."""
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("sqlfz") / "wh"))
+        spec = TableSpec("m", "id", None, None, "d")
+        cat.table(spec).create(
+            spark.createDataFrame([(i, i * 10) for i in range(4)], "id long, v long")
+        )
+        lake = LakeSQL(cat)
+        model = {i: i * 10 for i in range(4)}
+        versions = 1
+        for kind, k, val in ops:
+            if kind == "insert":
+                if k in model:
+                    with pytest.raises(ValueError, match="existing"):
+                        lake.sql(f"INSERT INTO lake.d.m VALUES ({k}, {val})")
+                else:
+                    r = lake.sql(f"INSERT INTO lake.d.m VALUES ({k}, {val})")
+                    assert r.source_rows == 1
+                    model[k] = val
+                    versions += 1
+            elif kind == "update":
+                r = lake.sql(f"UPDATE lake.d.m SET v = v + {val} WHERE id >= {k}")
+                hit = [i for i in model if i >= k]
+                assert r.source_rows == len(hit)
+                for i in hit:
+                    model[i] += val
+                versions += 1 if hit else 0
+            else:
+                r = lake.sql(f"DELETE FROM lake.d.m WHERE id = {k}")
+                assert r.source_rows == (1 if k in model else 0)
+                if k in model:
+                    del model[k]
+                    versions += 1
+        got = {r.id: r.v for r in lake.sql("SELECT * FROM lake.d.m").collect()}
+        assert got == model
+        assert lake.sql("DESCRIBE HISTORY lake.d.m").count() == versions
+except ImportError:  # pragma: no cover — hypothesis is baked in here
+    pass
