@@ -9271,6 +9271,154 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     )
 
 
+def delete_iceberg_where(
+    spark: SparkSession, table_path: str, where: list
+) -> tuple[int, int]:
+    """Predicate DELETE against a REAL Iceberg v2 table (the
+    ``DELETE FROM iceberg.`/p` WHERE ...`` shape, r14 — the Delta
+    twin's machinery over manifests): only the data files that
+    POSSIBLY match — the same partition-record/column-bounds pruning
+    the reader uses — rewrite WITHOUT the matching rows; untouched
+    manifests carry forward verbatim, retired entries stay visible
+    status-2 for incremental readers, multi-spec manifests rewrite
+    under their own spec id. NULL-predicate rows survive (SQL
+    semantics).
+
+    Fences (loud): format-version 1 (run ``upgrade_iceberg_v1_to_v2``)
+    and snapshots carrying LIVE row-level delete files (position or
+    equality — composing their application with the rewrite hasn't
+    been built; run ``compact_iceberg`` first, or use a keyed MERGE).
+    Returns (new snapshot id, deleted row count); proves-nothing-
+    matches commits nothing and returns (current snapshot id, 0)."""
+    from .avro_lite import read_avro_file
+
+    where_n = _norm_where(where)
+    if not where_n:
+        raise ValueError(
+            "DELETE requires a predicate (refusing an implicit "
+            "full-table delete; overwrite explicitly instead)"
+        )
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "predicate DELETE on a format-version 1 Iceberg table is "
+            "not supported; run upgrade_iceberg_v1_to_v2 first"
+        )
+    schema = _iceberg_table_schema(meta)
+    if schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} carries no schema")
+    cols = [f.name for f in schema.fields]
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
+    spec_fields = spec.get("fields", [])
+
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], table_path)
+    )
+    data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
+    delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
+    for r in delete_recs:
+        _sd, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        if any(e.get("status", 1) != 2 for e in dentries):
+            raise NotImplementedError(
+                "the snapshot carries live row-level delete files; run "
+                "compact_iceberg first, or use a keyed MERGE"
+            )
+
+    plan = _ice_prune_plan(
+        meta, where_n, spark.conf.get("spark.sql.session.timeZone", None)
+    )
+    manifests: list[dict] = []
+    retire: set[str] = set()
+    for r in data_recs:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        paths = [
+            os.path.abspath(
+                _iceberg_local_path(e["data_file"]["file_path"], table_path)
+            )
+            for e in live
+        ]
+        manifests.append({"rec": r, "entries": live, "paths": paths})
+        for e, p in zip(live, paths):
+            try:
+                possible = _ice_prune_keep(e["data_file"], plan)
+            except Exception:  # noqa: BLE001 — foreign record shape: keep
+                possible = True
+            if possible:
+                retire.add(p)
+    if not retire:
+        return sid, 0
+
+    scan = spark.read.schema(schema).parquet(*sorted(retire))
+    hit = F.coalesce(_where_cond(where_n), F.lit(False))
+    n_del = scan.filter(hit).count()
+    if n_del == 0:
+        return sid, 0  # skipping kept a superset; honest no-op
+    survivors = scan.filter(~hit).select(*cols)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    mdir = os.path.join(table_path, "metadata")
+    staged = _iceberg_stage_files(
+        survivors, table_path, part_fields,
+        bounds_fields=_ice_schema_bounds_fields(cur_schema),
+        count_fields=_ice_schema_count_fields(cur_schema),
+    )
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
+    new_mlist: list[dict] = []
+    add_rec, n_added = _ice_add_data_manifest(
+        staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
+        snapshot_id, seq, spec_id=cur_spec_id,
+    )
+    if add_rec is not None:
+        new_mlist.append(add_rec)
+    new_mlist.extend(
+        _ice_retire_data_manifests(
+            manifests, retire, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, mdir,
+            spec_id=cur_spec_id,
+            all_specs={
+                int(sp.get("spec-id") or 0): sp
+                for sp in meta.get("partition-specs", [])
+            },
+        )
+    )
+    new_mlist.extend(_mlist_carry(r) for r in delete_recs)
+    summary = {
+        "operation": "delete",
+        "added-data-files": str(n_added),
+        "deleted-data-files": str(len(retire)),
+        "deleted-records": str(n_del),
+    }
+    new_sid = _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
+    return new_sid, n_del
+
+
 def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
     """Iceberg rollback (the catalog's ``rollback_to_snapshot``):
     move ``current-snapshot-id`` back to a RETAINED snapshot —

@@ -737,12 +737,12 @@ class LakeSQL:
         op = "delete" if m.group("op").upper().startswith("DELETE") else "update"
         if op == "update" and not m.group("sets"):
             raise ValueError("UPDATE requires a SET clause")
-        if fmt == "delta" and op == "delete":
+        if fmt in ("delta", "iceberg") and op == "delete":
             # Keyless surgical delete (r14): the predicate must
             # translate WHOLLY into the where= grammar (strict — a
             # partial translation would delete a superset); the rewrite
             # touches only the files that possibly match.
-            from .formats.interop import delete_delta_where
+            from .formats.interop import delete_delta_where, delete_iceberg_where
 
             w = m.group("w") or ""
             preds = _sql_parse_where_clause(
@@ -750,14 +750,15 @@ class LakeSQL:
             )
             if not preds:
                 raise NotImplementedError(
-                    "predicate DELETE on a delta path supports simple "
+                    f"predicate DELETE on a {fmt} path supports simple "
                     "conjuncts (=, <, <=, >, >=, !=, IN, NOT IN, "
                     "BETWEEN, IS [NOT] NULL, OR groups) — rewrite the "
                     "predicate or use MERGE INTO with an explicit key"
                 )
-            ver, n = delete_delta_where(self.spark, path, preds)
+            fn = delete_delta_where if fmt == "delta" else delete_iceberg_where
+            _ver, n = fn(self.spark, path, preds)
             return MergeResult(
-                table=f"delta.`{path}`", action="delete", source_rows=n
+                table=f"{fmt}.`{path}`", action="delete", source_rows=n
             )
         if fmt != "hudi":
             raise NotImplementedError(

@@ -9066,25 +9066,29 @@ def test_delete_delta_where_surgical(spark, tmp_path):
         min_size=1, max_size=20,
     ),
     layout=st.sampled_from(["flat", "identity"]),
+    fmt=st.sampled_from(["delta", "iceberg"]),
     preds=st.lists(
         st.one_of(_FUZZ_ATOM, st.lists(_FUZZ_ATOM, min_size=2, max_size=2)),
         min_size=1, max_size=2,
     ),
 )
-def test_delete_delta_where_equals_antifilter_fuzz(
-    spark, tmp_path_factory, rows, layout, preds
+def test_delete_where_equals_antifilter_fuzz(
+    spark, tmp_path_factory, rows, layout, fmt, preds
 ):
     """PROPERTY (r14): for every predicate the where= grammar accepts,
-    over null-bearing data on flat and partitioned layouts,
-    delete_delta_where leaves EXACTLY the rows Spark's own
+    over null-bearing data on flat and partitioned layouts, predicate
+    DELETE (delta AND iceberg) leaves EXACTLY the rows Spark's own
     NOT-provably-TRUE filter keeps — a destructive operation may never
     delete a row the predicate doesn't prove, nor keep one it does."""
     import datetime as _dt
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         delete_delta_where,
+        delete_iceberg_where,
         read_delta,
+        read_iceberg,
         write_delta,
+        write_iceberg,
     )
 
     base_day = _dt.datetime(2023, 9, 1, 12, 0)
@@ -9096,7 +9100,13 @@ def test_delete_delta_where_equals_antifilter_fuzz(
         data, "id long, n long, ts timestamp, cat string"
     ).repartition(3)
     path = str(tmp_path_factory.mktemp("dd") / "t")
-    write_delta(df, path, partition_by=["cat"] if layout == "identity" else [])
+    pb = ["cat"] if layout == "identity" else []
+    if fmt == "delta":
+        write_delta(df, path, partition_by=pb)
+        deleter, reader = delete_delta_where, read_delta
+    else:
+        write_iceberg(df, path, partition_by=pb)
+        deleter, reader = delete_iceberg_where, read_iceberg
 
     def _lit(col, seed):
         if col == "n":
@@ -9146,7 +9156,71 @@ def test_delete_delta_where_equals_antifilter_fuzz(
         for r in df.filter(~F.coalesce(cond, F.lit(False))).collect()
     }
 
-    _ver, n = delete_delta_where(spark, path, where)
-    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    _ver, n = deleter(spark, path, where)
+    got = {tuple(r) for r in reader(spark, path).collect()}
     assert got == keep, where
     assert n == len(data) - len(keep)
+
+
+def test_delete_iceberg_where_surgical(spark, tmp_path):
+    """r14: keyless predicate DELETE on a real Iceberg v2 table —
+    untouched manifests carry forward, retired entries stay visible
+    status-2, null-predicate rows survive, nothing-matches commits
+    nothing, and the v1 / live-delete-file fences refuse loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        delete_iceberg_where,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    rows = [(i, f"v{i}", f"c{i % 3}", None if i == 9 else i) for i in range(30)]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, val string, cat string, n long")
+        .repartition(4),
+        p, partition_by=["cat"],
+    )
+    files0 = set(read_iceberg(spark, p).inputFiles())
+    sid, n = delete_iceberg_where(spark, p, [("cat", "=", "c1"), ("id", "<", 10)])
+    assert n == 3
+    want = {i for i in range(30) if not (i % 3 == 1 and i < 10)}
+    assert {r.id for r in read_iceberg(spark, p).collect()} == want
+    assert files0 & set(read_iceberg(spark, p).inputFiles())
+    # Retired entries visible status-2 in the committed manifests.
+    _c, meta = _iceberg_current_metadata_named(p)
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, ml = read_avro_file(_iceberg_local_path(snap["manifest-list"], p))
+    st2 = 0
+    for r in ml:
+        if r.get("content", 0) == 0:
+            _s2, ents = read_avro_file(_iceberg_local_path(r["manifest_path"], p))
+            st2 += sum(1 for e in ents if e["status"] == 2)
+    assert st2 > 0
+    # Null-predicate row survives; nothing-matches commits nothing.
+    sid2, n2 = delete_iceberg_where(spark, p, [("n", ">=", 0)])
+    assert n2 == 26 and {r.id for r in read_iceberg(spark, p).collect()} == {9}
+    sid3, n3 = delete_iceberg_where(spark, p, [("id", "<", 0)])
+    assert n3 == 0 and sid3 == sid2
+    with pytest.raises(ValueError, match="predicate"):
+        delete_iceberg_where(spark, p, [])
+    # Live-delete-file fence (MoR debt).
+    p2 = str(tmp_path / "m")
+    write_iceberg(
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, val string")
+        .coalesce(1),
+        p2,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p2, key="id",
+        mode="delete", strategy="mor",
+    )
+    with pytest.raises(NotImplementedError, match="delete files"):
+        delete_iceberg_where(spark, p2, [("id", "=", 2)])

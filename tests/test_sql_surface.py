@@ -1308,3 +1308,23 @@ def test_sql_text_delete_foreign_delta_path(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="simple conjuncts"):
         lake.sql(f"DELETE FROM delta.`{p}` WHERE upper(val) = 'V5'")
     assert {x.id for x in read_delta(spark, p).collect()} == {4, 5, 6, 7, 8, 9}
+
+    # The Iceberg twin through the same statement shape.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    ip = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"c{i % 2}") for i in range(10)], "id long, cat string"
+        ),
+        ip, partition_by=["cat"],
+    )
+    r = lake.sql(f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' AND id BETWEEN 2 AND 7")
+    assert r.action == "delete" and r.source_rows == 3  # ids 2, 4, 6
+    assert {x.id for x in read_iceberg(spark, ip).collect()} == {0, 1, 3, 5, 7, 8, 9}
+    # BETWEEN inside an OR group is outside the grammar -> strict refuses.
+    with pytest.raises(NotImplementedError, match="simple conjuncts"):
+        lake.sql(f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' OR id BETWEEN 7 AND 8")
