@@ -1168,13 +1168,16 @@ def test_sql_text_update_delete_foreign_hudi_path(spark, tmp_path):
     assert r.action == "delete" and r.source_rows == 2
     assert {x.id for x in read_hudi(spark, hp).collect()} == set(range(8))
 
-    # record-key assignment refuses; delta path refuses toward MERGE.
+    # record-key assignment refuses; a delta-path UPDATE (no declared
+    # record key, no keyless update yet) refuses toward MERGE — the
+    # keyless predicate DELETE landed later in r14 and works (X159,
+    # gated in test_sql_text_delete_foreign_delta_path).
     with pytest.raises(ValueError, match="record key"):
         lake.sql(f"UPDATE hudi.`{hp}` SET id = 1")
     dp = str(tmp_path / "d")
     write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
     with pytest.raises(NotImplementedError, match="MERGE"):
-        lake.sql(f"DELETE FROM delta.`{dp}` WHERE id = 1")
+        lake.sql(f"UPDATE delta.`{dp}` SET val = 'b' WHERE id = 1")
 
 
 def test_sql_text_insert_into(user_lake, spark):
