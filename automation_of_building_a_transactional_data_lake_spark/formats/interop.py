@@ -2756,129 +2756,224 @@ def compact_delta(spark: SparkSession, table_path: str) -> int | None:
     return next_version
 
 
-def delete_delta_where(
-    spark: SparkSession, table_path: str, where: list
+def _delta_rewrite_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str] | None,
 ) -> tuple[int, int]:
-    """Predicate DELETE against a REAL Delta table (the Delta-SQL
-    ``DELETE FROM delta.`/p` WHERE ...`` shape, r14): only the data
-    files that POSSIBLY hold matching rows — the same
-    partitionValues/JSON-stats skipping the reader uses — rewrite
-    WITHOUT the matching rows; untouched files carry forward verbatim,
-    so the cost is O(affected files), never O(table). One commit of
-    remove+add actions (+ authoritative CDF ``delete`` capture when
-    ``delta.enableChangeDataFeed`` is on); time travel and snapshot
-    readers see standard Delta shapes. Rows where the predicate is
-    NULL survive (SQL DELETE semantics: only provably-TRUE rows go).
-
-    Fences (loud, r14): column-mapped tables and candidate files
-    carrying DELETION VECTORS refuse — composing the rewrite with
-    name/id mapping or DV application hasn't been built yet (run
-    ``compact_delta`` to purge DVs first, or use a keyed MERGE).
-    Returns (committed version, deleted row count); proves-nothing-
-    matches commits nothing and returns (current version, 0)."""
+    """Shared engine of ``delete_delta_where`` / ``update_delta_where``
+    (r14): a native-Delta-shaped TWO-PHASE rewrite. Phase 1 prunes the
+    log to the files that POSSIBLY match (the reader's own
+    partitionValues/JSON-stats skipping) and scans only those with
+    ``_metadata.file_path`` attached; phase 2 rewrites ONLY the files
+    that actually HOLD a matching row — candidate files the scan
+    proves clean carry forward verbatim with no remove/add at all, so
+    a weakly-selective predicate on a 100-TB table costs O(touched
+    files), not O(candidates). Column-mapped tables ('name' and 'id')
+    rewrite through the same physical-batch staging the MERGE path
+    uses, and DV-carrying candidates apply their deletion vectors at
+    read (executor-side decode) and restage CLEAN — the rewrite also
+    purges their DV debt. Rows where the predicate is NULL survive
+    (SQL semantics: only provably-TRUE rows are affected)."""
     where_n = _norm_where(where)
-    if not where_n:
+    if assigns is None and not where_n:
         raise ValueError(
             "DELETE requires a predicate (refusing an implicit "
             "full-table delete; overwrite explicitly instead)"
         )
+    if assigns is not None and not assigns:
+        raise ValueError("UPDATE requires at least one SET assignment")
     state = _delta_replay(table_path, None)
     meta = state["metaData"]
     _delta_guard_writer(state["protocol"], meta, "merge")
     conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
-        raise NotImplementedError(
-            "predicate DELETE on a column-mapped Delta table is not "
-            "supported — use a keyed MERGE or the native engine"
-        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    cols = [f.name for f in schema.fields]
+    cm_on = conf.get("delta.columnMapping.mode", "none") in ("name", "id")
     file_schema, read_names, phys, rsess = _delta_file_resolution(
         spark, meta, schema, pcols
     )
-    preds_dom = _delta_where_domain(
-        where_n, schema, spark.conf.get("spark.sql.session.timeZone", None)
-    )
-    candidates = [
-        a
-        for a in state["files"].values()
-        if _delta_prune_keep(a, schema, pcols, phys, preds_dom)
-    ]
+    if assigns is not None:
+        have = {f.name for f in schema.fields}
+        for c in assigns:
+            if c not in have:
+                raise ValueError(
+                    f"UPDATE SET references unknown column {c!r} "
+                    f"(table columns: {sorted(have)})"
+                )
+    if where_n:
+        preds_dom = _delta_where_domain(
+            where_n, schema, spark.conf.get("spark.sql.session.timeZone", None)
+        )
+        candidates = [
+            a
+            for a in state["files"].values()
+            if _delta_prune_keep(a, schema, pcols, phys, preds_dom)
+        ]
+    else:
+        candidates = list(state["files"].values())  # UPDATE without WHERE
     if not candidates:
         return state["version"], 0
-    if any(a.get("deletionVector") for a in candidates):
-        raise NotImplementedError(
-            "a candidate file carries a deletion vector; run "
-            "compact_delta (REORG PURGE) first, or use a keyed MERGE"
-        )
 
-    # Candidate scan, typed per partition group (unmapped tables only
-    # — the fence above): the same shape read_delta plans.
+    # Candidate scan, typed per partition group (partitionValues keys
+    # are PHYSICAL names on mapped tables), with the file path
+    # attached so phase 2 can restrict the rewrite to TOUCHED files
+    # and DV positions can anti-join.
+    abs_of = {
+        a["path"]: os.path.abspath(
+            os.path.join(table_path, urllib.parse.unquote(a["path"]))
+        )
+        for a in candidates
+    }
+    dv_by_file = {
+        abs_of[a["path"]]: a["deletionVector"]
+        for a in candidates
+        if a.get("deletionVector")
+    }
     groups: dict[tuple, list[str]] = {}
     for add in candidates:
         pv = add.get("partitionValues") or {}
-        key = tuple((c, pv.get(c)) for c in pcols)
-        groups.setdefault(key, []).append(
-            os.path.join(table_path, urllib.parse.unquote(add["path"]))
-        )
+        key = tuple((c, pv.get(phys.get(c, c))) for c in pcols)
+        groups.setdefault(key, []).append(abs_of[add["path"]])
     parts: list[DataFrame] = []
     for key, paths in sorted(
         groups.items(),
         key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
     ):
         df = rsess.read.schema(file_schema).parquet(*paths)
-        cols = []
+        gsel = []
         for f in schema.fields:
             if f.name in pcols:
                 raw = dict(key)[f.name]
-                cols.append(
+                gsel.append(
                     (F.lit(raw) if raw is not None else F.lit(None))
                     .cast(ptypes[f.name])
                     .alias(f.name)
                 )
             else:
-                cols.append(F.col(read_names[f.name]).alias(f.name))
-        parts.append(df.select(*cols))
+                gsel.append(F.col(read_names[f.name]).alias(f.name))
+        gsel.append(
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
+        )
+        gsel.append(F.col("_metadata.row_index").alias("__ri"))
+        parts.append(df.select(*gsel))
     cand_df = parts[0]
     for p in parts[1:]:
         cand_df = cand_df.unionByName(p)
+    if dv_by_file:
+        # DV-marked rows are already logically deleted: drop them
+        # before the predicate ever sees them (executor-side decode,
+        # the compact_delta machinery).
+        del_df, dv_paths, dv_inline = _delta_dv_pairs_frame(
+            spark, dv_by_file, table_path
+        )
+        cand_df = cand_df.join(
+            _delete_side(del_df, dv_paths, dv_inline),
+            ["__fp", "__ri"],
+            "left_anti",
+        )
+    cand_df = cand_df.drop("__ri")
 
-    hit = F.coalesce(_where_cond(where_n), F.lit(False))
+    hit = (
+        F.coalesce(_where_cond(where_n), F.lit(False))
+        if where_n
+        else F.lit(True)
+    )
     matched = cand_df.filter(hit)
-    n_del = matched.count()
-    if n_del == 0:
-        # Skipping kept a SUPERSET; nothing actually matches — honest
-        # no-op, no empty commit.
-        return state["version"], 0
-    survivors = cand_df.filter(~hit)
+    # Phase 2: only files that HOLD a matching row rewrite; clean
+    # candidates carry forward verbatim (no remove, no add). The
+    # touched list is O(files) driver metadata — the same scale as
+    # the replayed log state itself.
+    touched = {
+        r["__fp"] for r in matched.select("__fp").distinct().collect()
+    }
+    if not touched:
+        return state["version"], 0  # skipping kept a superset: no-op
+    rewrite_df = cand_df.filter(F.col("__fp").isin(*sorted(touched)))
+    matched = rewrite_df.filter(hit)
+    n_aff = matched.count()
+
+    if assigns is None:
+        out_df = rewrite_df.filter(~hit).select(*cols)
+        cdc_df = matched.select(*cols).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        operation, opp = "DELETE", {"predicate": repr(where)}
+    else:
+        upd = []
+        post = []
+        for f in schema.fields:
+            if f.name in assigns:
+                new_v = F.expr(assigns[f.name]).cast(f.dataType)
+                upd.append(F.when(hit, new_v).otherwise(F.col(f.name)).alias(f.name))
+                post.append(new_v.alias(f.name))
+            else:
+                upd.append(F.col(f.name))
+                post.append(F.col(f.name))
+        # Every SET expression evaluates against the PRE-update row
+        # (single select — SQL UPDATE semantics, so SET a = b, b = a
+        # swaps), cast to the declared column type.
+        out_df = rewrite_df.select(*upd).select(*cols)
+        cdc_df = (
+            matched.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                matched.select(*post)
+                .select(*cols)
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+        )
+        operation, opp = "UPDATE", {
+            "predicate": repr(where),
+            "set": json.dumps(dict(sorted(assigns.items()))),
+        }
 
     actions: list[dict] = []
     ts = int(time.time() * 1000)
-    for a in sorted(candidates, key=lambda a: a["path"]):
-        actions.append(
-            {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                }
-            }
-        )
+    rel_touched = sorted(
+        p for p, ap in abs_of.items() if ap in touched
+    )
+    for rel in rel_touched:
+        add = state["files"][rel]
+        rm = {
+            "path": rel,
+            "deletionTimestamp": ts,
+            "dataChange": True,
+        }
+        if add.get("deletionVector"):
+            # Spec fidelity: the remove carries the DV descriptor the
+            # add held, so native readers retire the right logical
+            # file. The rewrite restages its survivors CLEAN.
+            rm["deletionVector"] = add["deletionVector"]
+        actions.append({"remove": rm})
+    staged_df = _delta_physical_batch(out_df, schema) if cm_on else out_df
+    cm_pcols = [phys[c] for c in pcols] if cm_on else pcols
     actions.extend(
-        {"add": a} for a in _delta_stage_files(survivors, table_path, pcols)
+        {"add": a} for a in _delta_stage_files(staged_df, table_path, cm_pcols)
     )
     if conf.get("delta.enableChangeDataFeed", "false").lower() == "true":
-        cdc_df = matched.withColumn("_change_type", F.lit("delete"))
+        if cm_on:
+            from pyspark.sql.types import StringType, StructField
+
+            cdc_df = _delta_physical_batch(
+                cdc_df,
+                StructType(
+                    list(schema.fields)
+                    + [StructField("_change_type", StringType())]
+                ),
+            )
         actions.extend(
-            {"cdc": c} for c in _delta_stage_cdc(cdc_df, table_path, pcols)
+            {"cdc": c} for c in _delta_stage_cdc(cdc_df, table_path, cm_pcols)
         )
     actions.append(
         {
             "commitInfo": {
                 "timestamp": ts,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": repr(where)},
+                "operation": operation,
+                "operationParameters": opp,
                 "engineInfo": "transactional-data-lake-spark interop",
             }
         }
@@ -2893,7 +2988,57 @@ def delete_delta_where(
         os.unlink(log_path)
         raise
     _delta_maybe_checkpoint(table_path, next_version)
-    return next_version, n_del
+    return next_version, n_aff
+
+
+def delete_delta_where(
+    spark: SparkSession, table_path: str, where: list
+) -> tuple[int, int]:
+    """Predicate DELETE against a REAL Delta table (the Delta-SQL
+    ``DELETE FROM delta.`/p` WHERE ...`` shape, r14): a two-phase
+    native-shaped rewrite — phase 1 prunes the log to files that
+    POSSIBLY match (partitionValues/JSON-stats skipping, the reader's
+    own rules) and scans only those; phase 2 rewrites ONLY the files
+    that actually hold a matching row, WITHOUT those rows. Everything
+    else carries forward verbatim, so the cost is O(touched files),
+    never O(table). One commit of remove+add actions (+ authoritative
+    CDF ``delete`` capture when ``delta.enableChangeDataFeed`` is on);
+    time travel and snapshot readers see standard Delta shapes. Rows
+    where the predicate is NULL survive (SQL DELETE semantics: only
+    provably-TRUE rows go).
+
+    Column-mapped tables ('name'/'id') rewrite through the physical-
+    batch staging the MERGE path uses; DV-carrying candidates apply
+    their deletion vectors at read and restage clean (the r14 fences,
+    lifted late-r14). Returns (committed version, deleted row count);
+    proves-nothing-matches commits nothing and returns
+    (current version, 0)."""
+    return _delta_rewrite_where(spark, table_path, where, None)
+
+
+def update_delta_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str],
+) -> tuple[int, int]:
+    """Predicate UPDATE against a REAL Delta table (the Delta-SQL
+    ``UPDATE delta.`/p` SET col = expr WHERE ...`` shape, late-r14 —
+    the missing cell of the keyless DML matrix): the same two-phase
+    surgical rewrite as ``delete_delta_where``, but matching rows are
+    REWRITTEN with each SET expression evaluated against the
+    PRE-update row (one select — ``SET a = b, b = a`` swaps) and cast
+    to the declared column type; non-matching rows in touched files
+    carry through byte-identical in value. Updating a PARTITION column
+    moves rows to their new partition directory (the restage derives
+    partitionValues from the data). CDF capture emits
+    ``update_preimage``/``update_postimage`` pairs. ``where=None``
+    (or ``[]``) updates every row — UPDATE without WHERE is legal SQL,
+    unlike the guarded full-table DELETE. Returns (committed version,
+    updated row count); no match commits nothing."""
+    if not isinstance(assigns, dict):
+        raise TypeError("assigns must be a {column: sql_expression} dict")
+    return _delta_rewrite_where(spark, table_path, where, dict(assigns))
 
 
 def restore_delta(table_path: str, version: int) -> int:
@@ -2947,6 +3092,158 @@ def restore_delta(table_path: str, version: int) -> int:
         }
     )
     next_version = cur["version"] + 1
+    log_path = os.path.join(
+        table_path, _DELTA_LOG, f"{next_version:020d}.json"
+    )
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version
+
+
+def alter_delta_table(
+    table_path: str,
+    add_columns: list[tuple[str, str]] | None = None,
+    drop_columns: list[str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+) -> int:
+    """Schema evolution on a REAL foreign Delta table as ONE
+    metadata-only commit (the native ``ALTER TABLE ... ADD/DROP/RENAME
+    COLUMN`` statements — zero parquet bytes move, exactly like the
+    native engine):
+
+    - ``add_columns=[(name, spark_ddl_type), ...]`` appends NULLABLE
+      columns; on a column-mapped table each new field takes a fresh
+      ``delta.columnMapping.id`` + uuid physical name and the
+      configuration's ``maxColumnId`` advances (the spec's invariant).
+      Existing files read the new column as null.
+    - ``drop_columns=[name, ...]`` / ``rename_columns={old: new}``
+      REQUIRE column mapping ('name' or 'id') — the Delta protocol's
+      own rule, because without mapping the physical parquet columns
+      are bound to their logical names and a foreign reader would
+      mis-resolve them. Under mapping the physical name/id stay
+      frozen, so every existing file keeps reading correctly.
+      Partition columns may rename (partitionValues are keyed
+      physically) but not drop.
+
+    Returns the committed version."""
+    add_columns = list(add_columns or [])
+    drop_columns = list(drop_columns or [])
+    rename_columns = dict(rename_columns or {})
+    if not (add_columns or drop_columns or rename_columns):
+        raise ValueError("nothing to alter: pass add/drop/rename columns")
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "append")
+    conf = dict(meta.get("configuration") or {})
+    cm_on = conf.get("delta.columnMapping.mode", "none") in ("name", "id")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = set(meta.get("partitionColumns") or [])
+    lower = {f.name.lower(): f.name for f in schema.fields}
+    if (drop_columns or rename_columns) and not cm_on:
+        raise NotImplementedError(
+            "DROP/RENAME COLUMN on a Delta table requires column "
+            "mapping ('name' or 'id') — the protocol's rule: without "
+            "it physical parquet columns are bound to logical names "
+            "and foreign readers would mis-resolve existing files"
+        )
+    fields = [f.jsonValue() for f in schema.fields]
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+    if (drop_columns or rename_columns) and cm_on:
+        # Freeze IMPLICIT physical names before any rename/drop: a
+        # field without explicit ``physicalName`` metadata resolves
+        # through its logical name (the reader's documented default),
+        # so renaming it would orphan every existing file. Pinning
+        # physicalName to the CURRENT logical name (and allocating a
+        # mapping id) first makes the rename purely logical — the
+        # native "upgrade to column mapping" move.
+        for f in fields:
+            md = dict(f.get("metadata") or {})
+            if "delta.columnMapping.physicalName" not in md:
+                md["delta.columnMapping.physicalName"] = f["name"]
+            if "delta.columnMapping.id" not in md:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+            f["metadata"] = md
+    for name in drop_columns:
+        if name.lower() not in lower:
+            raise ValueError(f"DROP COLUMN: no column {name!r}")
+        if lower[name.lower()] in pcols:
+            raise ValueError(
+                f"DROP COLUMN: {name!r} is a partition column"
+            )
+        fields = [f for f in fields if f["name"].lower() != name.lower()]
+    if not fields:
+        raise ValueError("DROP COLUMN would leave the table empty")
+    for old, new in rename_columns.items():
+        if old.lower() not in lower:
+            raise ValueError(f"RENAME COLUMN: no column {old!r}")
+        if new.lower() in {f["name"].lower() for f in fields}:
+            raise ValueError(f"RENAME COLUMN: {new!r} already exists")
+        for f in fields:
+            if f["name"].lower() == old.lower():
+                f["name"] = new
+        if lower[old.lower()] in pcols:
+            # partitionValues are keyed by PHYSICAL name; the logical
+            # rename only touches metaData.partitionColumns.
+            pcols = {new if c == lower[old.lower()] else c for c in pcols}
+    for name, ddl_type in add_columns:
+        if name.lower() in {f["name"].lower() for f in fields}:
+            raise ValueError(f"ADD COLUMN: {name!r} already exists")
+        try:
+            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+        except Exception as exc:  # noqa: BLE001 — surface the parse error
+            raise ValueError(
+                f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"
+            ) from exc
+        from pyspark.sql.types import StructField
+
+        fld = StructField(name, dt, True).jsonValue()
+        fld["metadata"] = {}
+        if cm_on:
+            max_id += 1
+            fld["metadata"] = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
+        fields.append(fld)
+    if cm_on and max_id != int(conf.get("delta.columnMapping.maxColumnId", 0) or 0):
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    new_meta["configuration"] = conf
+    if rename_columns and meta.get("partitionColumns"):
+        new_meta["partitionColumns"] = [
+            rename_columns.get(c, c) for c in meta["partitionColumns"]
+        ]
+    ts = int(time.time() * 1000)
+    opp = {}
+    if add_columns:
+        opp["add"] = json.dumps([[n, t] for n, t in add_columns])
+    if drop_columns:
+        opp["drop"] = json.dumps(drop_columns)
+    if rename_columns:
+        opp["rename"] = json.dumps(rename_columns)
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "ALTER TABLE",
+                "operationParameters": opp,
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        },
+    ]
+    next_version = state["version"] + 1
     log_path = os.path.join(
         table_path, _DELTA_LOG, f"{next_version:020d}.json"
     )
@@ -5741,6 +6038,168 @@ def _ice_prune_keep(df_rec: dict, plan: list[list[list[tuple]]]) -> bool:
     return True
 
 
+def _ice_collect_deletes(
+    table_path: str, delete_manifests: list[tuple[str, int]]
+) -> tuple[list[str], list[tuple[str, int, tuple[int, ...]]]]:
+    """Walk the snapshot's DELETE manifests and collect the live
+    row-level delete files: (position delete paths, [(path, delete
+    sequence number, equality_ids)] for equality deletes). An entry
+    with a null sequence number inherits its manifest's (v2
+    inheritance). Shared by ``read_iceberg`` and the predicate-DML
+    rewrite (late-r14, the live-delete fence lift)."""
+    from .avro_lite import read_avro_file
+
+    pos_delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    for mpath, mseq in delete_manifests:
+        _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            df_rec = e["data_file"]
+            content = df_rec.get("content", 1)
+            fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg {fmt} delete files are not supported (parquet only)"
+                )
+            dpath = _iceberg_local_path(df_rec["file_path"], table_path)
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else int(mseq)
+            if content == 1:
+                pos_delete_files.append(dpath)
+            elif content == 2:
+                ids = tuple(df_rec.get("equality_ids") or ())
+                if not ids:
+                    raise ValueError(
+                        f"equality delete file {dpath} declares no equality_ids"
+                    )
+                eq_deletes.append((dpath, eseq, ids))
+            else:
+                raise ValueError(
+                    f"delete manifest entry with content={content} "
+                    "(expected 1 = position or 2 = equality deletes)"
+                )
+    return pos_delete_files, eq_deletes
+
+
+def _ice_scan_with_deletes(
+    spark: SparkSession,
+    meta: dict,
+    table_path: str,
+    files: list[tuple[str, int]],
+    pos_delete_files: list[str],
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    schema,
+    keep_path: bool = False,
+) -> DataFrame:
+    """Scan live Iceberg data files (``(path, data sequence number)``
+    pairs) applying v2 ROW-LEVEL DELETES exactly as the spec's scan
+    planning does — the engine's one source of truth for "the live
+    rows of these files", factored out of ``read_iceberg`` (late-r14)
+    so the predicate-DML rewrite composes with merge-on-read debt.
+    ``keep_path=True`` retains a ``__fp`` column (normalized file
+    path) so callers can attribute rows to files."""
+    def _scan(paths: list[str], with_meta: bool) -> DataFrame:
+        rdr = spark.read.schema(schema) if schema is not None else spark.read
+        d = rdr.parquet(*paths)
+        if with_meta:
+            d = d.select(
+                "*",
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        return d
+
+    need_meta = bool(pos_delete_files) or keep_path
+    if not eq_deletes:
+        df = _scan([p for p, _s in files], need_meta)
+    else:
+        # EQUALITY deletes apply to data files whose DATA sequence
+        # number is STRICTLY LESS than the delete's (spec "Scan
+        # Planning") — so the scan splits into classes by APPLICABLE
+        # DELETE SET, and each class anti-joins only the delete rows
+        # newer than it. Coalescing classes by applicable-delete set
+        # (not raw sequence number) keeps the plan width bounded by
+        # DELETE GENERATIONS, not commit count: a long-lived table with
+        # thousands of append commits between two delete snapshots
+        # still plans 2-3 branches (round-9 verdict #5 — plan WIDTH is
+        # a driver-side scale dimension). Nulls compare EQUAL here
+        # (the spec's equality semantics), hence eqNullSafe.
+        id_to_name: dict[int, str] = {}
+        for s in meta.get("schemas", []) or [meta.get("schema") or {}]:
+            for fld in s.get("fields", []):
+                id_to_name[int(fld["id"])] = fld["name"]
+
+        # The applicable set for a data file depends only on HOW MANY
+        # delete sequence numbers exceed its own — rank via bisect, so
+        # the driver-side grouping is O(files log deletes), never the
+        # O(files × deletes) scan a naive per-file filter would cost on
+        # a 100k-file table.
+        import bisect
+
+        sorted_deletes = sorted(eq_deletes, key=lambda d: d[1])
+        dseqs = [d[1] for d in sorted_deletes]
+        by_rank: dict[int, list[str]] = {}
+        for p, s in files:
+            by_rank.setdefault(bisect.bisect_right(dseqs, s), []).append(p)
+        by_dels: dict[tuple, list[str]] = {}
+        for i, paths_i in by_rank.items():
+            key_i = tuple(
+                sorted((dpath, ids) for dpath, _ds, ids in sorted_deletes[i:])
+            )
+            by_dels.setdefault(key_i, []).extend(paths_i)
+        parts = []
+        for dset, paths in sorted(by_dels.items()):
+            d = _scan(paths, need_meta)
+            # Group this class's applicable delete files by their
+            # equality-column set: one anti-join per column set.
+            groups: dict[tuple[int, ...], list[str]] = {}
+            for dpath, ids in dset:
+                groups.setdefault(ids, []).append(dpath)
+            for ids, dpaths in sorted(groups.items()):
+                try:
+                    cols = [id_to_name[i] for i in ids]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"equality delete references unknown field id {exc} "
+                        f"(schema ids: {sorted(id_to_name)})"
+                    ) from exc
+                dels = spark.read.parquet(*dpaths).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                ).distinct()
+                cond = None
+                for c in cols:
+                    piece = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                    cond = piece if cond is None else cond & piece
+                d = d.join(_delete_side(dels, dpaths), cond, "left_anti")
+            parts.append(d)
+        df = parts[0]
+        for d in parts[1:]:
+            df = df.unionByName(d)
+
+    if pos_delete_files:
+        # The delete parquet's own columns are (file_path, pos[, row]);
+        # normalize both sides' URIs the same way as the Delta DV path.
+        dels = (
+            spark.read.parquet(*pos_delete_files)
+            .select(
+                _norm_file_path(F.col("file_path")).alias("__fp"),
+                F.col("pos").cast("long").alias("__ri"),
+            )
+        )
+        df = df.join(
+            _delete_side(dels, pos_delete_files), ["__fp", "__ri"], "left_anti"
+        )
+    drop = [
+        c for c in ("__fp", "__ri")
+        if c in df.columns and not (keep_path and c == "__fp")
+    ]
+    if drop:
+        df = df.drop(*drop)
+    return df
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -5895,134 +6354,18 @@ def read_iceberg(
             "files and the metadata carries no schema"
         )
 
-    pos_delete_files: list[str] = []
-    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
-    for mpath, mseq in delete_manifests:
-        _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
-        for e in entries:
-            if e.get("status", 1) == 2:
-                continue
-            df_rec = e["data_file"]
-            content = df_rec.get("content", 1)
-            fmt = str(df_rec.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"Iceberg {fmt} delete files are not supported (parquet only)"
-                )
-            dpath = _iceberg_local_path(df_rec["file_path"], table_path)
-            if content == 1:
-                pos_delete_files.append(dpath)
-            elif content == 2:
-                ids = tuple(df_rec.get("equality_ids") or ())
-                if not ids:
-                    raise ValueError(
-                        f"equality delete file {dpath} declares no equality_ids"
-                    )
-                eq_deletes.append((dpath, _entry_seq(e, mseq), ids))
-            else:
-                raise ValueError(
-                    f"delete manifest entry with content={content} "
-                    "(expected 1 = position or 2 = equality deletes)"
-                )
+    pos_delete_files, eq_deletes = _ice_collect_deletes(
+        table_path, delete_manifests
+    )
 
     # Project the DECLARED schema when the metadata carries one:
     # evolution-stable (files predating an added column read it as
     # null; extra physical columns drop) and type-exact. Name-based
     # resolution — field-id renames are not re-mapped (documented).
     schema = _iceberg_table_schema(meta)
-
-    def _scan(paths: list[str], with_meta: bool) -> DataFrame:
-        rdr = spark.read.schema(schema) if schema is not None else spark.read
-        d = rdr.parquet(*paths)
-        if with_meta:
-            d = d.select(
-                "*",
-                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-        return d
-
-    need_meta = bool(pos_delete_files)
-    if not eq_deletes:
-        df = _scan([p for p, _s in files], need_meta)
-    else:
-        # EQUALITY deletes apply to data files whose DATA sequence
-        # number is STRICTLY LESS than the delete's (spec "Scan
-        # Planning") — so the scan splits into classes by APPLICABLE
-        # DELETE SET, and each class anti-joins only the delete rows
-        # newer than it. Coalescing classes by applicable-delete set
-        # (not raw sequence number) keeps the plan width bounded by
-        # DELETE GENERATIONS, not commit count: a long-lived table with
-        # thousands of append commits between two delete snapshots
-        # still plans 2-3 branches (round-9 verdict #5 — plan WIDTH is
-        # a driver-side scale dimension). Nulls compare EQUAL here
-        # (the spec's equality semantics), hence eqNullSafe.
-        id_to_name: dict[int, str] = {}
-        for s in meta.get("schemas", []) or [meta.get("schema") or {}]:
-            for fld in s.get("fields", []):
-                id_to_name[int(fld["id"])] = fld["name"]
-
-        # The applicable set for a data file depends only on HOW MANY
-        # delete sequence numbers exceed its own — rank via bisect, so
-        # the driver-side grouping is O(files log deletes), never the
-        # O(files × deletes) scan a naive per-file filter would cost on
-        # a 100k-file table.
-        import bisect
-
-        sorted_deletes = sorted(eq_deletes, key=lambda d: d[1])
-        dseqs = [d[1] for d in sorted_deletes]
-        by_rank: dict[int, list[str]] = {}
-        for p, s in files:
-            by_rank.setdefault(bisect.bisect_right(dseqs, s), []).append(p)
-        by_dels: dict[tuple, list[str]] = {}
-        for i, paths_i in by_rank.items():
-            key_i = tuple(
-                sorted((dpath, ids) for dpath, _ds, ids in sorted_deletes[i:])
-            )
-            by_dels.setdefault(key_i, []).extend(paths_i)
-        parts = []
-        for dset, paths in sorted(by_dels.items()):
-            d = _scan(paths, need_meta)
-            # Group this class's applicable delete files by their
-            # equality-column set: one anti-join per column set.
-            groups: dict[tuple[int, ...], list[str]] = {}
-            for dpath, ids in dset:
-                groups.setdefault(ids, []).append(dpath)
-            for ids, dpaths in sorted(groups.items()):
-                try:
-                    cols = [id_to_name[i] for i in ids]
-                except KeyError as exc:
-                    raise ValueError(
-                        f"equality delete references unknown field id {exc} "
-                        f"(schema ids: {sorted(id_to_name)})"
-                    ) from exc
-                dels = spark.read.parquet(*dpaths).select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
-                ).distinct()
-                cond = None
-                for c in cols:
-                    piece = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-                    cond = piece if cond is None else cond & piece
-                d = d.join(_delete_side(dels, dpaths), cond, "left_anti")
-            parts.append(d)
-        df = parts[0]
-        for d in parts[1:]:
-            df = df.unionByName(d)
-
-    if pos_delete_files:
-        out_cols = [c for c in df.columns if c not in ("__fp", "__ri")]
-        # The delete parquet's own columns are (file_path, pos[, row]);
-        # normalize both sides' URIs the same way as the Delta DV path.
-        dels = (
-            spark.read.parquet(*pos_delete_files)
-            .select(
-                _norm_file_path(F.col("file_path")).alias("__fp"),
-                F.col("pos").cast("long").alias("__ri"),
-            )
-        )
-        df = df.join(
-            _delete_side(dels, pos_delete_files), ["__fp", "__ri"], "left_anti"
-        ).select(*out_cols)
+    df = _ice_scan_with_deletes(
+        spark, meta, table_path, files, pos_delete_files, eq_deletes, schema
+    )
     # Residual ROW filter: pruning kept a superset of files; the
     # predicates themselves make the result exact.
     df = _where_residual(df, where_n)
@@ -7813,6 +8156,135 @@ def upgrade_iceberg_v1_to_v2(table_path: str) -> int:
     return version
 
 
+def alter_iceberg_table(
+    table_path: str,
+    add_columns: list[tuple[str, str]] | None = None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """Schema evolution on a REAL foreign Iceberg v2 table as ONE
+    metadata-only commit (what the native ``ALTER TABLE ... ADD/DROP
+    COLUMNS`` does — a new schema object at a fresh schema-id becomes
+    ``current-schema-id``; zero data or manifest bytes move):
+
+    - ``add_columns=[(name, spark_ddl_type), ...]`` appends OPTIONAL
+      fields with fresh field-ids drawn above ``last-column-id``
+      (nested members allocate their own ids, the spec's uniqueness
+      rule); existing files read the new column as null.
+    - ``drop_columns=[name, ...]`` removes fields from the new schema
+      (their ids are never reused — ``last-column-id`` only grows).
+      A column referenced by ANY listed partition spec refuses (its
+      manifests' partition records could no longer be reconstructed),
+      as does an identifier-field member.
+
+    RENAME is deliberately absent: this engine resolves parquet
+    columns by NAME (documented in ``read_iceberg``), so a rename
+    would silently null out every pre-rename file — use the native
+    engine's field-id mapping for that. Format-version 1 refuses
+    toward ``upgrade_iceberg_v1_to_v2``. Returns the new metadata
+    version number."""
+    add_columns = list(add_columns or [])
+    drop_columns = list(drop_columns or [])
+    if not (add_columns or drop_columns):
+        raise ValueError("nothing to alter: pass add_columns/drop_columns")
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "ALTER TABLE on a format-version 1 Iceberg table is not "
+            "supported; run upgrade_iceberg_v1_to_v2 first — a "
+            "metadata-only commit"
+        )
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    fields = [dict(f) for f in cur_schema.get("fields", [])]
+    by_name = {f["name"].lower(): f for f in fields}
+    id_used = {
+        int(f["source-id"])
+        for sp in meta.get("partition-specs", [])
+        for f in sp.get("fields", [])
+        if str(f.get("transform", "")) != "void"
+    }
+    ident_ids = {int(i) for i in meta.get("identifier-field-ids", []) or []}
+    for name in drop_columns:
+        f = by_name.get(name.lower())
+        if f is None:
+            raise ValueError(f"DROP COLUMN: no column {name!r}")
+        if int(f["id"]) in id_used:
+            raise ValueError(
+                f"DROP COLUMN: {name!r} (field-id {f['id']}) is a "
+                "partition source column of a listed spec — its "
+                "manifests' partition records need it"
+            )
+        if int(f["id"]) in ident_ids:
+            raise ValueError(
+                f"DROP COLUMN: {name!r} is an identifier field"
+            )
+        fields = [x for x in fields if x["name"].lower() != name.lower()]
+    if not fields:
+        raise ValueError("DROP COLUMN would leave the table empty")
+    counter = [int(meta.get("last-column-id", 0) or 0)]
+
+    def _alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    for name, ddl_type in add_columns:
+        if name.lower() in {f["name"].lower() for f in fields}:
+            raise ValueError(f"ADD COLUMN: {name!r} already exists")
+        try:
+            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+        except Exception as exc:  # noqa: BLE001 — surface the parse error
+            raise ValueError(
+                f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"
+            ) from exc
+        fid = _alloc()
+        fields.append(
+            {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": _ice_type(dt, _alloc),
+            }
+        )
+
+    new_schema_id = 1 + max(
+        (int(s.get("schema-id", 0)) for s in meta.get("schemas", [])),
+        default=0,
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_schema_id,
+        "fields": fields,
+    }
+    if cur_schema.get("identifier-field-ids"):
+        new_schema["identifier-field-ids"] = cur_schema["identifier-field-ids"]
+    now_ms = int(time.time() * 1000)
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    prev_version = int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(meta.get("schemas", [])) + [new_schema]
+    new_meta["current-schema-id"] = new_schema_id
+    new_meta["last-column-id"] = counter[0]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    mdir = os.path.join(table_path, "metadata")
+    version = prev_version + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    return version
+
+
 def write_iceberg(
     df: DataFrame,
     table_path: str,
@@ -9271,43 +9743,58 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     )
 
 
-def delete_iceberg_where(
-    spark: SparkSession, table_path: str, where: list
+def _ice_rewrite_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str] | None,
 ) -> tuple[int, int]:
-    """Predicate DELETE against a REAL Iceberg v2 table (the
-    ``DELETE FROM iceberg.`/p` WHERE ...`` shape, r14 — the Delta
-    twin's machinery over manifests): only the data files that
-    POSSIBLY match — the same partition-record/column-bounds pruning
-    the reader uses — rewrite WITHOUT the matching rows; untouched
-    manifests carry forward verbatim, retired entries stay visible
-    status-2 for incremental readers, multi-spec manifests rewrite
-    under their own spec id. NULL-predicate rows survive (SQL
-    semantics).
-
-    Fences (loud): format-version 1 (run ``upgrade_iceberg_v1_to_v2``)
-    and snapshots carrying LIVE row-level delete files (position or
-    equality — composing their application with the rewrite hasn't
-    been built; run ``compact_iceberg`` first, or use a keyed MERGE).
-    Returns (new snapshot id, deleted row count); proves-nothing-
-    matches commits nothing and returns (current snapshot id, 0)."""
+    """Shared engine of ``delete_iceberg_where`` /
+    ``update_iceberg_where`` (r14): the Delta twin's TWO-PHASE rewrite
+    over manifests. Phase 1 prunes manifest entries to the data files
+    that POSSIBLY match (partition records through the spec transforms
+    + column bounds — the reader's own rules) and scans only those,
+    applying any LIVE row-level delete files exactly as read_iceberg's
+    scan planning does (position deletes by (path, pos), equality
+    deletes under the strictly-below sequence rule — the late-r14
+    fence lift); phase 2 rewrites ONLY the files that actually HOLD a
+    matching live row. Untouched manifests carry forward verbatim,
+    retired entries stay visible status-2 for incremental readers,
+    multi-spec manifests rewrite under their own spec id, and delete
+    manifests carry forward unchanged — their files keep applying to
+    carried-forward data files (original sequence numbers preserved)
+    and cannot touch the rewrite's output, which commits at a HIGHER
+    data sequence number than every existing delete. NULL-predicate
+    rows survive (SQL semantics)."""
     from .avro_lite import read_avro_file
 
     where_n = _norm_where(where)
-    if not where_n:
+    if assigns is None and not where_n:
         raise ValueError(
             "DELETE requires a predicate (refusing an implicit "
             "full-table delete; overwrite explicitly instead)"
         )
+    if assigns is not None and not assigns:
+        raise ValueError("UPDATE requires at least one SET assignment")
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
+        op_name = "UPDATE" if assigns is not None else "DELETE"
         raise NotImplementedError(
-            "predicate DELETE on a format-version 1 Iceberg table is "
-            "not supported; run upgrade_iceberg_v1_to_v2 first"
+            f"predicate {op_name} on a format-version 1 Iceberg table "
+            "is not supported; run upgrade_iceberg_v1_to_v2 first"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
         raise ValueError(f"Iceberg metadata at {table_path} carries no schema")
     cols = [f.name for f in schema.fields]
+    if assigns is not None:
+        for c in assigns:
+            if c not in cols:
+                raise ValueError(
+                    f"UPDATE SET references unknown column {c!r} "
+                    f"(table columns: {sorted(cols)})"
+                )
+    types = {f.name: f.dataType for f in schema.fields}
     spec = next(
         (
             s for s in meta.get("partition-specs", [])
@@ -9332,21 +9819,27 @@ def delete_iceberg_where(
     )
     data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
     delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
-    for r in delete_recs:
-        _sd, dentries = read_avro_file(
-            _iceberg_local_path(r["manifest_path"], table_path)
-        )
-        if any(e.get("status", 1) != 2 for e in dentries):
-            raise NotImplementedError(
-                "the snapshot carries live row-level delete files; run "
-                "compact_iceberg first, or use a keyed MERGE"
-            )
+    # Live row-level delete files are APPLIED to the candidate scan
+    # (late-r14, the fence lift): the rewrite's survivors are the
+    # post-delete live rows, and the new data files commit at a higher
+    # sequence number than every existing delete, so none re-applies.
+    pos_delete_files, eq_deletes = _ice_collect_deletes(
+        table_path,
+        [
+            (r["manifest_path"], int(r.get("sequence_number") or 0))
+            for r in delete_recs
+        ],
+    )
 
-    plan = _ice_prune_plan(
-        meta, where_n, spark.conf.get("spark.sql.session.timeZone", None)
+    plan = (
+        _ice_prune_plan(
+            meta, where_n, spark.conf.get("spark.sql.session.timeZone", None)
+        )
+        if where_n
+        else []
     )
     manifests: list[dict] = []
-    retire: set[str] = set()
+    cand_files: list[tuple[str, int]] = []
     for r in data_recs:
         _s2, entries = read_avro_file(
             _iceberg_local_path(r["manifest_path"], table_path)
@@ -9359,22 +9852,58 @@ def delete_iceberg_where(
             for e in live
         ]
         manifests.append({"rec": r, "entries": live, "paths": paths})
+        mseq = int(r.get("sequence_number") or 0)
         for e, p in zip(live, paths):
-            try:
-                possible = _ice_prune_keep(e["data_file"], plan)
-            except Exception:  # noqa: BLE001 — foreign record shape: keep
-                possible = True
-            if possible:
-                retire.add(p)
-    if not retire:
+            if plan:
+                try:
+                    possible = _ice_prune_keep(e["data_file"], plan)
+                except Exception:  # noqa: BLE001 — foreign record shape: keep
+                    possible = True
+                if not possible:
+                    continue
+            eseq = e.get("sequence_number")
+            cand_files.append((p, int(eseq) if eseq is not None else mseq))
+    if not cand_files:
         return sid, 0
 
-    scan = spark.read.schema(schema).parquet(*sorted(retire))
-    hit = F.coalesce(_where_cond(where_n), F.lit(False))
-    n_del = scan.filter(hit).count()
-    if n_del == 0:
-        return sid, 0  # skipping kept a superset; honest no-op
-    survivors = scan.filter(~hit).select(*cols)
+    scan = _ice_scan_with_deletes(
+        spark, meta, table_path, cand_files,
+        pos_delete_files, eq_deletes, schema, keep_path=True,
+    )
+    hit = (
+        F.coalesce(_where_cond(where_n), F.lit(False))
+        if where_n
+        else F.lit(True)
+    )
+    # Phase 2: only files HOLDING a matching live row rewrite; clean
+    # candidates carry forward verbatim inside their manifests.
+    touched = {
+        r["__fp"]
+        for r in scan.filter(hit).select("__fp").distinct().collect()
+    }
+    if not touched:
+        return sid, 0  # pruning kept a superset; honest no-op
+    rewrite_df = scan.filter(F.col("__fp").isin(*sorted(touched)))
+    n_aff = rewrite_df.filter(hit).count()
+
+    if assigns is None:
+        out_df = rewrite_df.filter(~hit).select(*cols)
+    else:
+        upd = []
+        for f in schema.fields:
+            if f.name in assigns:
+                new_v = F.expr(assigns[f.name]).cast(types[f.name])
+                upd.append(
+                    F.when(hit, new_v).otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                upd.append(F.col(f.name))
+        # SET expressions evaluate against the PRE-update row (one
+        # select — SQL semantics), cast to the declared column type;
+        # a partition-source SET moves rows: the restage re-derives
+        # partition values through the spec transforms.
+        out_df = rewrite_df.select(*upd).select(*cols)
+    retire = touched
 
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int >> 65
@@ -9382,7 +9911,7 @@ def delete_iceberg_where(
     entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
     mdir = os.path.join(table_path, "metadata")
     staged = _iceberg_stage_files(
-        survivors, table_path, part_fields,
+        out_df, table_path, part_fields,
         bounds_fields=_ice_schema_bounds_fields(cur_schema),
         count_fields=_ice_schema_count_fields(cur_schema),
     )
@@ -9406,17 +9935,75 @@ def delete_iceberg_where(
         )
     )
     new_mlist.extend(_mlist_carry(r) for r in delete_recs)
-    summary = {
-        "operation": "delete",
-        "added-data-files": str(n_added),
-        "deleted-data-files": str(len(retire)),
-        "deleted-records": str(n_del),
-    }
+    if assigns is None:
+        summary = {
+            "operation": "delete",
+            "added-data-files": str(n_added),
+            "deleted-data-files": str(len(retire)),
+            "deleted-records": str(n_aff),
+        }
+    else:
+        summary = {
+            "operation": "overwrite",
+            "added-data-files": str(n_added),
+            "deleted-data-files": str(len(retire)),
+            "updated-records": str(n_aff),
+        }
     new_sid = _ice_commit_snapshot(
         table_path, chosen, meta, mlist_schema, new_mlist,
         snapshot_id, sid, seq, now_ms, summary,
     )
-    return new_sid, n_del
+    return new_sid, n_aff
+
+
+def delete_iceberg_where(
+    spark: SparkSession, table_path: str, where: list
+) -> tuple[int, int]:
+    """Predicate DELETE against a REAL Iceberg v2 table (the
+    ``DELETE FROM iceberg.`/p` WHERE ...`` shape, r14 — the Delta
+    twin's machinery over manifests): a two-phase rewrite — phase 1
+    prunes manifest entries to the files that POSSIBLY match (the
+    reader's own partition-record/column-bounds rules), phase 2
+    rewrites ONLY the files actually holding a matching live row,
+    WITHOUT those rows. Untouched manifests carry forward verbatim,
+    retired entries stay visible status-2 for incremental readers,
+    multi-spec manifests rewrite under their own spec id. LIVE
+    row-level delete files (merge-on-read debt) are APPLIED to the
+    candidate scan, not refused (late-r14 fence lift) — the new files
+    commit above every delete's sequence number, so none re-applies.
+    NULL-predicate rows survive (SQL semantics).
+
+    The one remaining fence: format-version 1 (run
+    ``upgrade_iceberg_v1_to_v2`` — one metadata-only commit).
+    Returns (new snapshot id, deleted row count); proves-nothing-
+    matches commits nothing and returns (current snapshot id, 0)."""
+    return _ice_rewrite_where(spark, table_path, where, None)
+
+
+def update_iceberg_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str],
+) -> tuple[int, int]:
+    """Predicate UPDATE against a REAL Iceberg v2 table (the
+    ``UPDATE iceberg.`/p` SET col = expr WHERE ...`` shape, late-r14 —
+    the missing cell of the keyless DML matrix): the same two-phase
+    surgical rewrite as ``delete_iceberg_where``, but matching rows
+    REWRITE with each SET expression evaluated against the PRE-update
+    row (one select — ``SET a = b, b = a`` swaps) and cast to the
+    declared column type; non-matching rows in touched files carry
+    through unchanged in value. Updating a partition SOURCE column
+    moves rows — the restage re-derives partition values through the
+    spec's transforms, so hidden-partition pruning keeps working.
+    Live row-level delete files apply to the candidate scan first: a
+    deleted row is invisible to the predicate and stays deleted.
+    ``where=None`` (or ``[]``) updates every row. The snapshot summary
+    records the spec's ``overwrite`` operation. Returns (new snapshot
+    id, updated row count); no match commits nothing."""
+    if not isinstance(assigns, dict):
+        raise TypeError("assigns must be a {column: sql_expression} dict")
+    return _ice_rewrite_where(spark, table_path, where, dict(assigns))
 
 
 def rollback_iceberg(table_path: str, snapshot_id: int) -> int:

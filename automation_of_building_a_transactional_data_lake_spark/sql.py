@@ -307,6 +307,23 @@ def _sql_parse_where_clause(
     return preds
 
 
+def _sql_parse_set_clause(raw_sets: str) -> dict[str, str]:
+    """``SET a = expr, b = expr`` -> {column: expression}; commas
+    inside parens/strings don't split (the shared comma splitter)."""
+    masked_sets = _mask_strings(raw_sets)
+    assigns: dict[str, str] = {}
+    for cs, ce in _sql_split_commas(masked_sets):
+        part = raw_sets[cs:ce]
+        am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+        if not am:
+            raise ValueError(
+                f"unsupported UPDATE assignment {part.strip()!r}; "
+                "expected <column> = <expression>"
+            )
+        assigns[am.group(1)] = am.group(2)
+    return assigns
+
+
 class LakeSQL:
     """SQL entry point bound to one :class:`Catalog` under a catalog
     name (default ``lake``)."""
@@ -721,11 +738,15 @@ class LakeSQL:
     # -- DDL / maintenance statements --------------------------------------
 
     def _foreign_update_delete(self, m: re.Match) -> MergeResult:
-        """Predicate UPDATE/DELETE against a foreign table by path:
-        Hudi declares its record key in hoodie.properties, so the
-        statement resolves rows through read_hudi and commits through
-        the real keyed merge; Delta/Iceberg declare no record key —
-        refuse toward MERGE with an explicit key."""
+        """Predicate UPDATE/DELETE against a foreign table by path.
+        Delta/Iceberg route through the keyless SURGICAL rewrite
+        (two-phase: prune to candidate files, rewrite only touched
+        ones) — the predicate must translate WHOLLY into the where=
+        grammar (strict: a partial translation would affect a
+        superset); Hudi declares its record key in hoodie.properties,
+        so the statement resolves rows through read_hudi and commits
+        through the real keyed merge (any Spark-evaluable
+        predicate)."""
         from .formats.interop import (
             _hudi_table_properties,
             read_hudi,
@@ -737,28 +758,46 @@ class LakeSQL:
         op = "delete" if m.group("op").upper().startswith("DELETE") else "update"
         if op == "update" and not m.group("sets"):
             raise ValueError("UPDATE requires a SET clause")
-        if fmt in ("delta", "iceberg") and op == "delete":
-            # Keyless surgical delete (r14): the predicate must
-            # translate WHOLLY into the where= grammar (strict — a
-            # partial translation would delete a superset); the rewrite
-            # touches only the files that possibly match.
-            from .formats.interop import delete_delta_where, delete_iceberg_where
+        if fmt in ("delta", "iceberg"):
+            # Keyless surgical DML (r14; UPDATE late-r14): strict
+            # WHERE translation. UPDATE without WHERE is legal SQL
+            # (every row); DELETE without WHERE stays refused by the
+            # engine (explicit-overwrite rule).
+            from .formats.interop import (
+                delete_delta_where,
+                delete_iceberg_where,
+                update_delta_where,
+                update_iceberg_where,
+            )
 
             w = m.group("w") or ""
-            preds = _sql_parse_where_clause(
-                w, _mask_strings(w), None, strict=True
-            )
-            if not preds:
+            preds: list | None = []
+            if w.strip():
+                preds = _sql_parse_where_clause(
+                    w, _mask_strings(w), None, strict=True
+                )
+            if (w.strip() and not preds) or (op == "delete" and not preds):
                 raise NotImplementedError(
-                    f"predicate DELETE on a {fmt} path supports simple "
-                    "conjuncts (=, <, <=, >, >=, !=, IN, NOT IN, "
+                    f"predicate {op.upper()} on a {fmt} path supports "
+                    "simple conjuncts (=, <, <=, >, >=, !=, IN, NOT IN, "
                     "BETWEEN, IS [NOT] NULL, OR groups) — rewrite the "
                     "predicate or use MERGE INTO with an explicit key"
                 )
-            fn = delete_delta_where if fmt == "delta" else delete_iceberg_where
-            _ver, n = fn(self.spark, path, preds)
+            if op == "delete":
+                fn = (
+                    delete_delta_where if fmt == "delta"
+                    else delete_iceberg_where
+                )
+                _ver, n = fn(self.spark, path, preds)
+            else:
+                assigns = _sql_parse_set_clause(m.group("sets"))
+                fn = (
+                    update_delta_where if fmt == "delta"
+                    else update_iceberg_where
+                )
+                _ver, n = fn(self.spark, path, preds, assigns)
             return MergeResult(
-                table=f"{fmt}.`{path}`", action="delete", source_rows=n
+                table=f"{fmt}.`{path}`", action=op, source_rows=n
             )
         if fmt != "hudi":
             raise NotImplementedError(
@@ -780,18 +819,7 @@ class LakeSQL:
             if n:
                 write_hudi(keys, path, record_key=key, mode="delete")
             return MergeResult(table=f"hudi.`{path}`", action="delete", source_rows=n)
-        masked_sets = _mask_strings(m.group("sets"))
-        raw_sets = m.group("sets")
-        assigns: dict[str, str] = {}
-        for cs, ce in _sql_split_commas(masked_sets):
-            part = raw_sets[cs:ce]
-            am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
-            if not am:
-                raise ValueError(
-                    f"unsupported UPDATE assignment {part.strip()!r}; "
-                    "expected <column> = <expression>"
-                )
-            assigns[am.group(1)] = am.group(2)
+        assigns = _sql_parse_set_clause(m.group("sets"))
         have = dict(df.dtypes)
         for c in assigns:
             if c not in have:
@@ -913,6 +941,61 @@ class LakeSQL:
             spec = TableSpec(tname, df.columns[0], None, None, db)
             self.catalog.table(spec).create(df)
             return {"table": spec.qualified_name, "action": "created"}
+
+        m = re.match(
+            r"ALTER\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
+            r"\s+(?P<rest>.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # Foreign-path schema evolution as text (late-r14): ONE
+            # metadata-only commit, zero data bytes move — the native
+            # ALTER TABLE economics at any table size.
+            from .formats.interop import alter_delta_table, alter_iceberg_table
+
+            fmt = m.group("fmt").lower()
+            path = m.group("p")
+            rest = m.group("rest").strip()
+            if fmt == "hudi":
+                raise NotImplementedError(
+                    "ALTER TABLE on a Hudi path is not supported — Hudi "
+                    "schema lives in commit metadata; evolve it with the "
+                    "next upsert via write_hudi(evolve=True)"
+                )
+            am = re.match(
+                r"ADD\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s+(?P<ty>[\w()<>, ]+?)\s*\)?$",
+                rest, re.IGNORECASE,
+            )
+            if am:
+                args = {"add_columns": [(am.group("c"), am.group("ty").lower())]}
+            else:
+                dm = re.match(
+                    r"DROP\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s*\)?$",
+                    rest, re.IGNORECASE,
+                )
+                rm = re.match(
+                    r"RENAME\s+COLUMN\s+(?P<a>\w+)\s+TO\s+(?P<b>\w+)$",
+                    rest, re.IGNORECASE,
+                )
+                if dm:
+                    args = {"drop_columns": [dm.group("c")]}
+                elif rm:
+                    if fmt == "iceberg":
+                        raise NotImplementedError(
+                            "RENAME COLUMN on an Iceberg path is not "
+                            "supported: this engine resolves parquet "
+                            "columns by NAME, so a rename would null out "
+                            "every pre-rename file — use the native "
+                            "engine's field-id mapping"
+                        )
+                    args = {"rename_columns": {rm.group("a"): rm.group("b")}}
+                else:
+                    raise ValueError(f"unsupported ALTER TABLE clause {rest!r}")
+            fn = alter_delta_table if fmt == "delta" else alter_iceberg_table
+            v = fn(path, **args)
+            return {
+                "action": "alter_table", "format": fmt, "version": v,
+            }
 
         m = re.match(
             rf"ALTER\s+TABLE\s+(?P<t>{ident})\s+(?P<rest>.+)$",
@@ -1452,18 +1535,7 @@ class LakeSQL:
         )
         if m:
             spec, tbl = self._resolve_ident(m.group("t"))
-            masked_sets = _mask_strings(m.group("sets"))
-            assigns: dict[str, str] = {}
-            raw_sets = m.group("sets")
-            for cs, ce in _sql_split_commas(masked_sets):
-                part = raw_sets[cs:ce]
-                am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
-                if not am:
-                    raise ValueError(
-                        f"unsupported UPDATE assignment {part.strip()!r}; "
-                        "expected <column> = <expression>"
-                    )
-                assigns[am.group(1)] = am.group(2)
+            assigns = _sql_parse_set_clause(m.group("sets"))
             df = tbl.read()
             have = dict(df.dtypes)
             for c in assigns:

@@ -9026,7 +9026,10 @@ def test_delete_delta_where_surgical(spark, tmp_path):
     with pytest.raises(ValueError, match="predicate"):
         delete_delta_where(spark, p, [])
 
-    # DV fence: a MoR merge leaves a DV on a candidate file.
+    # DV candidates (late-r14 fence lift): a MoR merge leaves a DV on
+    # the candidate file; the rewrite applies it at read — the
+    # DV-deleted row must NOT resurrect, must NOT count as deleted
+    # again, and the restaged file is CLEAN (DV debt purged).
     p2 = str(tmp_path / "dv")
     write_delta(
         spark.createDataFrame(
@@ -9038,17 +9041,31 @@ def test_delete_delta_where_surgical(spark, tmp_path):
         spark.createDataFrame([(1,)], "id long"), p2, key="id",
         mode="delete", strategy="dv",
     )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        delete_delta_where(spark, p2, [("id", "=", 2)])
+    _v, n_dv = delete_delta_where(spark, p2, [("id", "<", 3)])
+    assert n_dv == 2  # ids 0, 2 — id=1 was already DV-deleted
+    assert {r.id for r in read_delta(spark, p2).collect()} == set(range(3, 20))
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import _delta_replay
 
-    # Column-mapping fence.
+    st = _delta_replay(p2, None)
+    assert not any(a.get("deletionVector") for a in st["files"].values())
+
+    # Column-mapped tables (late-r14 fence lift): 'name' mode — the
+    # survivors restage under PHYSICAL column names and read back.
     p3 = str(tmp_path / "cm")
     write_delta(
-        spark.createDataFrame([(1, "a")], "id long, val string"), p3,
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(10)],
+            "id long, val string, cat string",
+        ),
+        p3, partition_by=["cat"],
         configuration={"delta.columnMapping.mode": "name"},
     )
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delete_delta_where(spark, p3, [("id", "=", 1)])
+    _v, n_cm = delete_delta_where(spark, p3, [("cat", "=", "c1")])
+    assert n_cm == 5
+    assert {r.id for r in read_delta(spark, p3).collect()} == {0, 2, 4, 6, 8}
+    _v, n_cm2 = delete_delta_where(spark, p3, [("id", "=", 4)])
+    assert n_cm2 == 1
+    assert {r.id for r in read_delta(spark, p3).collect()} == {0, 2, 6, 8}
 
 
 @settings(
@@ -9162,6 +9179,270 @@ def test_delete_where_equals_antifilter_fuzz(
     assert n == len(data) - len(keep)
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.integers(0, 40)),
+            st.sampled_from(["a", "b", "c", "dd", None]),
+        ),
+        min_size=1, max_size=20,
+    ),
+    layout=st.sampled_from(["flat", "identity"]),
+    fmt=st.sampled_from(["delta", "iceberg"]),
+    preds=st.lists(
+        st.one_of(_FUZZ_ATOM, st.lists(_FUZZ_ATOM, min_size=2, max_size=2)),
+        min_size=1, max_size=2,
+    ),
+)
+def test_update_where_equals_when_model_fuzz(
+    spark, tmp_path_factory, rows, layout, fmt, preds
+):
+    """PROPERTY (late-r14): for every predicate the where= grammar
+    accepts, over null-bearing data on flat and partitioned layouts,
+    predicate UPDATE (delta AND iceberg) produces EXACTLY the rows of
+    Spark's own CASE WHEN <pred-provably-true> THEN <set> ELSE <row>
+    model applied to the source — only provably-TRUE rows change, and
+    every SET expression sees the pre-update row."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        update_delta_where,
+        update_iceberg_where,
+        write_delta,
+        write_iceberg,
+    )
+
+    base_day = _dt.datetime(2023, 9, 1, 12, 0)
+    data = [
+        (i, n, None if d is None else base_day + _dt.timedelta(days=d), c)
+        for i, (n, d, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, n long, ts timestamp, cat string"
+    ).repartition(3)
+    path = str(tmp_path_factory.mktemp("ud") / "t")
+    pb = ["cat"] if layout == "identity" else []
+    if fmt == "delta":
+        write_delta(df, path, partition_by=pb)
+        updater, reader = update_delta_where, read_delta
+    else:
+        write_iceberg(df, path, partition_by=pb)
+        updater, reader = update_iceberg_where, read_iceberg
+
+    def _lit(col, seed):
+        if col == "n":
+            return seed
+        if col == "ts":
+            return base_day + _dt.timedelta(days=abs(seed) % 41)
+        return ["a", "b", "c", "dd", "zz"][abs(seed) % 5]
+
+    def _mk_atom(col, op, seed, width):
+        if op in ("is null", "is not null"):
+            return (col, op, None)
+        if op in ("in", "not in"):
+            return (col, op, [_lit(col, seed + k) for k in range(width)])
+        return (col, op, _lit(col, seed))
+
+    where = [
+        (_mk_atom(*e) if isinstance(e, tuple) else [_mk_atom(*a) for a in e])
+        for e in preds
+    ]
+
+    def _cond(col, op, lit):
+        c = F.col(col)
+        if op == "is null":
+            return c.isNull()
+        if op == "is not null":
+            return c.isNotNull()
+        if op == "in":
+            return c.isin(*[F.lit(v) for v in lit])
+        if op == "not in":
+            return ~c.isin(*[F.lit(v) for v in lit])
+        return {
+            "=": c == F.lit(lit), "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit), ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit), "!=": c != F.lit(lit),
+        }[op]
+
+    cond = None
+    for e in where:
+        atoms = [e] if isinstance(e, tuple) else e
+        d = None
+        for col, op, lit in atoms:
+            a = _cond(col, op, lit)
+            d = a if d is None else (d | a)
+        cond = d if cond is None else (cond & d)
+    hit = F.coalesce(cond, F.lit(False))
+    assigns = {"n": "coalesce(n, 0) + id", "cat": "upper(cat)"}
+    expected = {
+        tuple(r)
+        for r in df.select(
+            "id",
+            F.when(hit, F.expr(assigns["n"]).cast("long"))
+            .otherwise(F.col("n")).alias("n"),
+            "ts",
+            F.when(hit, F.expr(assigns["cat"]))
+            .otherwise(F.col("cat")).alias("cat"),
+        ).collect()
+    }
+    n_hit = df.filter(hit).count()
+
+    _ver, n = updater(spark, path, where, assigns)
+    got = {tuple(r) for r in reader(spark, path).collect()}
+    assert got == expected, where
+    assert n == n_hit
+
+
+def test_delete_delta_where_two_phase_touched_only(spark, tmp_path):
+    """late-r14: the rewrite is TWO-PHASE like native Delta — a
+    candidate file whose stats admit the predicate but which holds NO
+    matching row carries forward VERBATIM (no remove/add), so a
+    weakly-selective predicate costs O(touched files), not
+    O(candidate files)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        delete_delta_where,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    # File A spans n in [0, 10] but skips 5; file B holds n=5. Both
+    # are stats candidates for n = 5; only B is touched.
+    write_delta(
+        spark.createDataFrame(
+            [(1, 0), (2, 10)], "id long, n long"
+        ).coalesce(1),
+        p,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(3, 4), (4, 5), (5, 6)], "id long, n long"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    import json as _json
+
+    files_a = {
+        pp
+        for pp, a in _delta_replay(p, None)["files"].items()
+        if _json.loads(a.get("stats") or "{}")
+        .get("minValues", {})
+        .get("n") == 0
+    }
+    assert len(files_a) == 1
+    ver, n = delete_delta_where(spark, p, [("n", "=", 5)])
+    assert n == 1
+    st = _delta_replay(p, None)
+    # A's file is still referenced by the SAME path: never rewritten.
+    assert files_a <= set(st["files"])
+    assert {r.id for r in read_delta(spark, p).collect()} == {1, 2, 3, 5}
+
+
+def test_update_delta_where_surgical(spark, tmp_path):
+    """late-r14: keyless predicate UPDATE on a real Delta table — SET
+    expressions evaluate against the PRE-update row (a = b, b = a
+    swaps), cast to the declared type, CDF captures preimage/postimage
+    pairs, a partition-column SET moves rows to the new directory,
+    untouched files carry forward, no-match commits nothing, and
+    unknown columns refuse."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_delta_changes,
+        update_delta_where,
+        write_delta,
+    )
+
+    p = str(tmp_path / "u")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i * 10, i * 100, f"c{i % 2}") for i in range(10)],
+            "id long, a long, b long, cat string",
+        ).repartition(3),
+        p, partition_by=["cat"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # Pre-update-row semantics: the swap must actually swap.
+    ver, n = update_delta_where(
+        spark, p, [("id", "=", 3)], {"a": "b", "b": "a"}
+    )
+    assert n == 1
+    got = {r.id: (r.a, r.b) for r in read_delta(spark, p).collect()}
+    assert got[3] == (300, 30)
+    assert got[4] == (40, 400)  # non-matching rows untouched
+    # CDF pre/postimage pair for the one matched row.
+    ch = read_delta_changes(spark, p, ver, ver)
+    pre = ch.filter("_change_type = 'update_preimage'").collect()
+    post = ch.filter("_change_type = 'update_postimage'").collect()
+    assert len(pre) == 1 and (pre[0].a, pre[0].b) == (30, 300)
+    assert len(post) == 1 and (post[0].a, post[0].b) == (300, 30)
+    # Typed cast: a string expression assigns into a long column.
+    _v, n2 = update_delta_where(spark, p, [("id", "=", 0)], {"a": "'7'"})
+    assert n2 == 1
+    assert {r.a for r in read_delta(spark, p).filter("id = 0").collect()} == {7}
+    # Partition-column SET moves the row into the new directory and
+    # pruned reads see it there.
+    _v, n3 = update_delta_where(spark, p, [("id", "=", 2)], {"cat": "'c9'"})
+    assert n3 == 1
+    moved = read_delta(spark, p, where=[("cat", "=", "c9")])
+    assert [r.id for r in moved.collect()] == [2]
+    assert all("cat=c9" in f for f in moved.inputFiles())
+    # UPDATE without WHERE touches every row (legal SQL).
+    _v, n4 = update_delta_where(spark, p, None, {"a": "a + 1"})
+    assert n4 == 10
+    # No-match commits nothing; unknown column refuses.
+    before = read_delta(spark, p).count()
+    v_same, n5 = update_delta_where(spark, p, [("id", "<", 0)], {"a": "0"})
+    assert n5 == 0 and read_delta(spark, p, version=v_same).count() == before
+    with pytest.raises(ValueError, match="unknown column"):
+        update_delta_where(spark, p, [("id", "=", 1)], {"nope": "1"})
+    with pytest.raises(ValueError, match="SET assignment"):
+        update_delta_where(spark, p, [("id", "=", 1)], {})
+
+
+def test_update_delta_where_mapped_and_dv(spark, tmp_path):
+    """late-r14: predicate UPDATE composes with column mapping and
+    deletion vectors — a DV-deleted row is invisible to the predicate
+    and stays deleted; mapped tables restage physically."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta,
+        update_delta_where,
+        write_delta,
+    )
+
+    p = str(tmp_path / "m")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1),
+        p,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    merge_delta(
+        spark.createDataFrame([(2,)], "id long"), p, key="id",
+        mode="delete", strategy="dv",
+    )
+    _v, n = update_delta_where(
+        spark, p, [("id", "<", 4)], {"val": "concat(val, '!')"}
+    )
+    assert n == 3  # 0, 1, 3 — id=2 is DV-deleted, invisible
+    got = {r.id: r.val for r in read_delta(spark, p).collect()}
+    assert 2 not in got
+    assert got[0] == "v0!" and got[3] == "v3!" and got[5] == "v5"
+
+
 def test_delete_iceberg_where_surgical(spark, tmp_path):
     """r14: keyless predicate DELETE on a real Iceberg v2 table —
     untouched manifests carry forward, retired entries stay visible
@@ -9211,7 +9492,9 @@ def test_delete_iceberg_where_surgical(spark, tmp_path):
     assert n3 == 0 and sid3 == sid2
     with pytest.raises(ValueError, match="predicate"):
         delete_iceberg_where(spark, p, [])
-    # Live-delete-file fence (MoR debt).
+    # Live row-level delete files APPLY to the candidate scan
+    # (late-r14 fence lift): the MoR-deleted row is invisible to the
+    # predicate, stays deleted, and does not re-count.
     p2 = str(tmp_path / "m")
     write_iceberg(
         spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, val string")
@@ -9222,5 +9505,249 @@ def test_delete_iceberg_where_surgical(spark, tmp_path):
         spark.createDataFrame([(1,)], "id long"), p2, key="id",
         mode="delete", strategy="mor",
     )
-    with pytest.raises(NotImplementedError, match="delete files"):
-        delete_iceberg_where(spark, p2, [("id", "=", 2)])
+    _sid, n_mor = delete_iceberg_where(spark, p2, [("id", "<", 3)])
+    assert n_mor == 2  # ids 0, 2 — id=1 already MoR-deleted
+    assert {r.id for r in read_iceberg(spark, p2).collect()} == set(range(3, 20))
+
+
+def test_update_iceberg_where_surgical(spark, tmp_path):
+    """late-r14: keyless predicate UPDATE on a real Iceberg v2 table —
+    SET evaluates against the PRE-update row (swap works), casts to
+    the declared type, a partition-SOURCE-column SET moves rows across
+    hidden partitions (pruned reads find them in the new one),
+    untouched manifest entries carry forward, no-match commits
+    nothing, unknown columns refuse, and MoR delete debt composes (a
+    deleted row is invisible and stays deleted)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        read_iceberg,
+        update_iceberg_where,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "u")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, i * 10, i * 100, f"c{i % 2}") for i in range(10)],
+            "id long, a long, b long, cat string",
+        ).repartition(3),
+        p, partition_by=["cat"],
+    )
+    sid, n = update_iceberg_where(
+        spark, p, [("id", "=", 3)], {"a": "b", "b": "a"}
+    )
+    assert n == 1
+    got = {r.id: (r.a, r.b) for r in read_iceberg(spark, p).collect()}
+    assert got[3] == (300, 30) and got[4] == (40, 400)
+    # Typed cast into a long column.
+    _s, n2 = update_iceberg_where(spark, p, [("id", "=", 0)], {"a": "'7'"})
+    assert n2 == 1
+    assert read_iceberg(spark, p).filter("id = 0").collect()[0].a == 7
+    # Partition-column SET moves the row; identity pruning finds it.
+    _s, n3 = update_iceberg_where(spark, p, [("id", "=", 2)], {"cat": "'c9'"})
+    assert n3 == 1
+    moved = read_iceberg(spark, p, where=[("cat", "=", "c9")])
+    assert [r.id for r in moved.collect()] == [2]
+    # UPDATE without WHERE touches every row.
+    _s, n4 = update_iceberg_where(spark, p, None, {"a": "a + 1"})
+    assert n4 == 10
+    # No-match commits nothing; unknown column refuses.
+    before = {tuple(r) for r in read_iceberg(spark, p).collect()}
+    s_same, n5 = update_iceberg_where(spark, p, [("id", "<", 0)], {"a": "0"})
+    assert n5 == 0
+    assert {tuple(r) for r in read_iceberg(spark, p).collect()} == before
+    with pytest.raises(ValueError, match="unknown column"):
+        update_iceberg_where(spark, p, [("id", "=", 1)], {"nope": "1"})
+    with pytest.raises(ValueError, match="SET assignment"):
+        update_iceberg_where(spark, p, [("id", "=", 1)], {})
+
+    # MoR debt composes: equality-deleted row invisible to UPDATE.
+    p2 = str(tmp_path / "m")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1),
+        p2,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(2,)], "id long"), p2, key="id",
+        mode="delete", strategy="mor",
+    )
+    _s, n6 = update_iceberg_where(
+        spark, p2, [("id", "<", 4)], {"val": "concat(val, '!')"}
+    )
+    assert n6 == 3  # 0, 1, 3
+    got2 = {r.id: r.val for r in read_iceberg(spark, p2).collect()}
+    assert 2 not in got2
+    assert got2[0] == "v0!" and got2[3] == "v3!" and got2[5] == "v5"
+
+
+def test_delete_iceberg_where_two_phase_touched_only(spark, tmp_path):
+    """late-r14: the Iceberg rewrite is two-phase — a candidate file
+    whose bounds admit the predicate but which holds NO matching row
+    stays a LIVE (status-0/1) entry pointing at the SAME data file;
+    only touched files retire status-2."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 0), (2, 10)], "id long, n long").coalesce(1),
+        p,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, 4), (4, 5), (5, 6)], "id long, n long"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    files0 = set(read_iceberg(spark, p).inputFiles())
+    assert len(files0) == 2
+    # Both files' n-bounds admit n = 5; only the second holds it.
+    _sid, n = delete_iceberg_where(spark, p, [("n", "=", 5)])
+    assert n == 1
+    files1 = set(read_iceberg(spark, p).inputFiles())
+    # File A survives as the SAME physical file; B was rewritten.
+    untouched = {f for f in files0 & files1}
+    assert len(untouched) == 1
+    assert {r.id for r in read_iceberg(spark, p).collect()} == {1, 2, 3, 5}
+
+
+def test_alter_delta_table_metadata_only(spark, tmp_path):
+    """late-r14: schema evolution on a foreign Delta path as ONE
+    metadata-only commit — ADD COLUMN works unmapped (old files read
+    null), DROP/RENAME require column mapping (the protocol rule) and
+    keep the frozen physical names so every existing file keeps
+    reading; no parquet bytes move."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        alter_delta_table,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), p
+    )
+    files0 = set(read_delta(spark, p).inputFiles())
+    v = alter_delta_table(p, add_columns=[("score", "double")])
+    df = read_delta(spark, p)
+    assert df.columns == ["id", "val", "score"]
+    assert {r.score for r in df.collect()} == {None}
+    assert set(df.inputFiles()) == files0  # zero data bytes moved
+    assert v == 1
+    # Unmapped DROP/RENAME refuse per protocol.
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        alter_delta_table(p, drop_columns=["val"])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        alter_delta_table(p, rename_columns={"val": "v2"})
+    with pytest.raises(ValueError, match="already exists"):
+        alter_delta_table(p, add_columns=[("SCORE", "long")])
+    with pytest.raises(ValueError, match="nothing to alter"):
+        alter_delta_table(p)
+
+    # Mapped table: add (fresh id, maxColumnId advances), rename
+    # (old files keep reading through the frozen physical name), drop.
+    pm = str(tmp_path / "m")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, val string, n long"
+        ),
+        pm, configuration={"delta.columnMapping.mode": "name"},
+    )
+    alter_delta_table(pm, add_columns=[("extra", "string")])
+    st = _delta_replay(pm, None)
+    conf = st["metaData"]["configuration"]
+    sch = json.loads(st["metaData"]["schemaString"])
+    new_f = next(f for f in sch["fields"] if f["name"] == "extra")
+    assert new_f["metadata"]["delta.columnMapping.id"] == int(
+        conf["delta.columnMapping.maxColumnId"]
+    )
+    alter_delta_table(pm, rename_columns={"val": "label"})
+    df = read_delta(spark, pm)
+    assert {r.label for r in df.collect()} == {"a", "b"}
+    alter_delta_table(pm, drop_columns=["n"])
+    df = read_delta(spark, pm)
+    assert df.columns == ["id", "label", "extra"]
+    assert {r.label for r in df.collect()} == {"a", "b"}
+    # A write AFTER the evolution round-trips through the new schema.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import merge_delta
+
+    merge_delta(
+        spark.createDataFrame(
+            [(3, "c", "x")], "id long, label string, extra string"
+        ),
+        pm, key="id", mode="upsert",
+    )
+    assert {r.label for r in read_delta(spark, pm).collect()} == {"a", "b", "c"}
+
+
+def test_alter_iceberg_table_metadata_only(spark, tmp_path):
+    """late-r14: Iceberg schema evolution as ONE metadata-only commit —
+    a new schema object at a fresh schema-id, fresh field-ids above
+    last-column-id, old files read added columns as null; partition
+    source columns and identifier fields refuse to drop; ids are never
+    reused after a drop."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        alter_iceberg_table,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a", "c0"), (2, "b", "c1")], "id long, val string, cat string"
+        ),
+        p, partition_by=["cat"],
+    )
+    files0 = set(read_iceberg(spark, p).inputFiles())
+    alter_iceberg_table(p, add_columns=[("score", "double")])
+    meta = _iceberg_current_metadata(p)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    prev_last = max(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+        if s["schema-id"] != meta["current-schema-id"]
+    )
+    new_f = next(f for f in cur["fields"] if f["name"] == "score")
+    assert new_f["id"] > prev_last and not new_f["required"]
+    assert meta["last-column-id"] == new_f["id"]
+    df = read_iceberg(spark, p)
+    assert df.columns == ["id", "val", "cat", "score"]
+    assert {r.score for r in df.collect()} == {None}
+    assert set(df.inputFiles()) == files0
+    # Partition source column refuses to drop; plain column drops and
+    # its id is never reused.
+    with pytest.raises(ValueError, match="partition source"):
+        alter_iceberg_table(p, drop_columns=["cat"])
+    dropped_id = next(
+        f["id"] for f in cur["fields"] if f["name"] == "val"
+    )
+    alter_iceberg_table(p, drop_columns=["val"])
+    alter_iceberg_table(p, add_columns=[("val2", "string")])
+    meta2 = _iceberg_current_metadata(p)
+    cur2 = next(
+        s for s in meta2["schemas"]
+        if s["schema-id"] == meta2["current-schema-id"]
+    )
+    assert all(f["id"] != dropped_id for f in cur2["fields"] if f["name"] == "val2")
+    df2 = read_iceberg(spark, p)
+    assert df2.columns == ["id", "cat", "score", "val2"]
+    assert {r.id for r in df2.collect()} == {1, 2}
+    # Nested type allocates unique member ids.
+    alter_iceberg_table(p, add_columns=[("tags", "array<string>")])
+    meta3 = _iceberg_current_metadata(p)
+    cur3 = next(
+        s for s in meta3["schemas"]
+        if s["schema-id"] == meta3["current-schema-id"]
+    )
+    tags = next(f for f in cur3["fields"] if f["name"] == "tags")
+    assert tags["type"]["element-id"] == meta3["last-column-id"]

@@ -1168,16 +1168,71 @@ def test_sql_text_update_delete_foreign_hudi_path(spark, tmp_path):
     assert r.action == "delete" and r.source_rows == 2
     assert {x.id for x in read_hudi(spark, hp).collect()} == set(range(8))
 
-    # record-key assignment refuses; a delta-path UPDATE (no declared
-    # record key, no keyless update yet) refuses toward MERGE — the
-    # keyless predicate DELETE landed later in r14 and works (X159,
-    # gated in test_sql_text_delete_foreign_delta_path).
+    # record-key assignment refuses; a delta-path UPDATE with a
+    # predicate OUTSIDE the where= grammar refuses toward MERGE
+    # (strict: a partial translation would update a superset).
     with pytest.raises(ValueError, match="record key"):
         lake.sql(f"UPDATE hudi.`{hp}` SET id = 1")
     dp = str(tmp_path / "d")
     write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
     with pytest.raises(NotImplementedError, match="MERGE"):
-        lake.sql(f"UPDATE delta.`{dp}` SET val = 'b' WHERE id = 1")
+        lake.sql(f"UPDATE delta.`{dp}` SET val = 'b' WHERE upper(val) = 'A'")
+
+
+def test_sql_text_update_foreign_delta_iceberg_path(spark, tmp_path):
+    """late-r14: keyless predicate UPDATE as text on Delta AND Iceberg
+    paths — the missing DML-matrix cell. The WHERE must translate
+    WHOLLY into the where= grammar; SET expressions evaluate against
+    the pre-update row and cast to the declared type; UPDATE without
+    WHERE updates every row."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i * 10, f"c{i % 2}") for i in range(10)],
+            "id long, n long, cat string",
+        ),
+        dp, partition_by=["cat"],
+    )
+    r = lake.sql(f"UPDATE delta.`{dp}` SET n = n + 1 WHERE cat = 'c1' AND id < 5")
+    assert r.action == "update" and r.source_rows == 2  # ids 1, 3
+    got = {x.id: x.n for x in read_delta(spark, dp).collect()}
+    assert got[1] == 11 and got[3] == 31 and got[2] == 20
+    # No WHERE: every row (legal SQL, unlike the guarded DELETE).
+    r = lake.sql(f"UPDATE delta.`{dp}` SET n = 0")
+    assert r.source_rows == 10
+    assert {x.n for x in read_delta(spark, dp).collect()} == {0}
+    # String-masked comma inside a SET expression stays one assignment.
+    r = lake.sql(
+        f"UPDATE delta.`{dp}` SET cat = concat(cat, ',x') WHERE id = 0"
+    )
+    assert r.source_rows == 1
+    assert read_delta(spark, dp).filter("id = 0").collect()[0].cat == "c0,x"
+
+    ip = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, i * 10, f"c{i % 2}") for i in range(10)],
+            "id long, n long, cat string",
+        ),
+        ip, partition_by=["cat"],
+    )
+    r = lake.sql(
+        f"UPDATE iceberg.`{ip}` SET n = n * 2 WHERE id BETWEEN 4 AND 6"
+    )
+    assert r.action == "update" and r.source_rows == 3
+    got = {x.id: x.n for x in read_iceberg(spark, ip).collect()}
+    assert got[4] == 80 and got[5] == 100 and got[6] == 120 and got[7] == 70
+    # Untranslatable predicate refuses toward MERGE.
+    with pytest.raises(NotImplementedError, match="MERGE"):
+        lake.sql(f"UPDATE iceberg.`{ip}` SET n = 0 WHERE n % 2 = 0")
 
 
 def test_sql_text_insert_into(user_lake, spark):
@@ -1331,3 +1386,41 @@ def test_sql_text_delete_foreign_delta_path(spark, tmp_path):
     # BETWEEN inside an OR group is outside the grammar -> strict refuses.
     with pytest.raises(NotImplementedError, match="simple conjuncts"):
         lake.sql(f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' OR id BETWEEN 7 AND 8")
+
+
+def test_sql_alter_table_foreign_path(spark, tmp_path):
+    """late-r14: ALTER TABLE on foreign paths as text — ONE
+    metadata-only commit per statement; Iceberg RENAME and Hudi refuse
+    loudly with the reason."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), dp,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    r = lake.sql(f"ALTER TABLE delta.`{dp}` ADD COLUMN score double")
+    assert r["action"] == "alter_table" and r["version"] == 1
+    assert read_delta(spark, dp).columns == ["id", "val", "score"]
+    lake.sql(f"ALTER TABLE delta.`{dp}` RENAME COLUMN val TO label")
+    assert {x.label for x in read_delta(spark, dp).collect()} == {"a"}
+    lake.sql(f"ALTER TABLE delta.`{dp}` DROP COLUMN score")
+    assert read_delta(spark, dp).columns == ["id", "label"]
+
+    ip = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame([(1, "a")], "id long, val string"), ip)
+    r = lake.sql(f"ALTER TABLE iceberg.`{ip}` ADD COLUMN tags array<string>")
+    assert r["action"] == "alter_table"
+    assert read_iceberg(spark, ip).columns == ["id", "val", "tags"]
+    lake.sql(f"ALTER TABLE iceberg.`{ip}` DROP COLUMN val")
+    assert read_iceberg(spark, ip).columns == ["id", "tags"]
+    with pytest.raises(NotImplementedError, match="field-id mapping"):
+        lake.sql(f"ALTER TABLE iceberg.`{ip}` RENAME COLUMN id TO id2")
+    with pytest.raises(NotImplementedError, match="evolve"):
+        lake.sql("ALTER TABLE hudi.`/nope` ADD COLUMN x long")
