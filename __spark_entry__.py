@@ -402,6 +402,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     explode(sequence) + hash-thresholded fractional tail; BIGINT
 #     oracle re-derives the policy) registers in the TAIL, same
 #     protocol; rotate into a recorded slot in r15.
+#   r14 addition 4 (late-round): orders_dml_sqltext (keyless predicate
+#     UPDATE + DELETE as SQL text on a foreign Delta path, X159 — the
+#     two-phase surgical rewrite with the carry-forward pin in-gate;
+#     the DuckDB oracle models both statements declaratively: CASE
+#     WHEN for the update, an anti-filter for the delete). Registered
+#     DIRECTLY INTO A RECORDED SLOT (the DML family had none), funded
+#     by demoting q2_min_price_supplier per protocol: green r2-r13,
+#     twelve consecutive rounds, family-held by the STAYING
+#     q3_top_revenue (multi-way join + agg + global sort/limit),
+#     q8_market_share (superset snowflake join) and q18_large_orders
+#     (the aggregate-subquery shape, q2's distinctive bit), + pytest
+#     test_oracle_parity each session.
 #   r14 addition: emb_ann_index_query (the CDC-maintained ANN index —
 #     the last LLM-pipeline family without a driver gate: build, a
 #     three-commit merge sequence folded through ONE change-feed
@@ -467,6 +479,7 @@ _DEMOTED_TAIL = [
     "emb_ann_index_query",
     "docs_domain_mix",
     "emb_ann_index_pq_query",
+    "q2_min_price_supplier",
 ]
 
 _DRIVER_SLOTS = 50

@@ -1158,9 +1158,18 @@ _FILE_URI_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
 
 
 def _norm_file_path(col):
-    """`_metadata.file_path` URIs (``file:///x``) -> plain ``/x`` so
-    they join against driver-side ``os.path.abspath`` strings."""
-    return F.regexp_replace(col, _FILE_URI_RE, "/")
+    """`_metadata.file_path` URIs (``file:///x``, PERCENT-ENCODED by
+    Hadoop — a partition dir with a space renders ``%20``) -> the
+    plain filesystem path, so they join against driver-side
+    ``os.path.abspath`` strings (late-r14: the encoding bite was found
+    by the ``orders_dml_sqltext`` gate on the ``4-NOT SPECIFIED``
+    partition — every file-path join in the engine goes through here,
+    so DV application and position deletes on space-bearing layouts
+    are fixed in the same move). Literal ``+`` is protected before the
+    URL decode (URLDecoder would read it as a space); unencoded plain
+    paths pass through unchanged."""
+    stripped = F.regexp_replace(col, _FILE_URI_RE, "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
@@ -3104,6 +3113,428 @@ def restore_delta(table_path: str, version: int) -> int:
         raise
     _delta_maybe_checkpoint(table_path, next_version)
     return next_version
+
+
+def binpack_delta(
+    spark: SparkSession, table_path: str, target_bytes: int = 134217728
+) -> tuple[int | None, dict]:
+    """Small-file compaction on a REAL foreign Delta table — what the
+    native ``OPTIMIZE`` bin-packing does: per partition, live files
+    under ``target_bytes`` coalesce into ~target-size outputs; a
+    partition with fewer than two small files is already optimal and
+    is untouched. The commit is ``dataChange=False`` remove+add — the
+    CDF algorithm sees NO row-level change (a pure layout move), time
+    travel keeps the old layout. DV-carrying files are left to
+    ``compact_delta`` (debt first, then layout); column-mapped tables
+    restage physically. Returns (version or None when nothing to do,
+    {"removed": n, "added": m})."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "merge")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    cm_on = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) in ("name", "id")
+    file_schema, read_names, phys, rsess = _delta_file_resolution(
+        spark, meta, schema, pcols
+    )
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, add in state["files"].items():
+        if add.get("deletionVector"):
+            continue  # debt files belong to compact_delta
+        if int(add.get("size", 0) or 0) >= target_bytes:
+            continue
+        pv = add.get("partitionValues") or {}
+        key = tuple((c, pv.get(phys.get(c, c))) for c in pcols)
+        groups.setdefault(key, []).append((rel, add))
+    binnable = {k: v for k, v in groups.items() if len(v) >= 2}
+    if not binnable:
+        return None, {"removed": 0, "added": 0}
+
+    actions: list[dict] = []
+    ts = int(time.time() * 1000)
+    n_removed = n_added = 0
+    cm_pcols = [phys[c] for c in pcols] if cm_on else pcols
+    for key, members in sorted(
+        binnable.items(),
+        key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
+    ):
+        paths = [
+            os.path.abspath(
+                os.path.join(table_path, urllib.parse.unquote(rel))
+            )
+            for rel, _a in members
+        ]
+        total = sum(int(a.get("size", 0) or 0) for _r, a in members)
+        n_bins = max(1, -(-total // target_bytes))
+        df = rsess.read.schema(file_schema).parquet(*paths)
+        gsel = []
+        for f in schema.fields:
+            if f.name in pcols:
+                raw = dict(key)[f.name]
+                gsel.append(
+                    (F.lit(raw) if raw is not None else F.lit(None))
+                    .cast(ptypes[f.name])
+                    .alias(f.name)
+                )
+            else:
+                gsel.append(F.col(read_names[f.name]).alias(f.name))
+        out = df.select(*gsel).coalesce(int(n_bins))
+        staged = _delta_physical_batch(out, schema) if cm_on else out
+        for rel, _a in sorted(members):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        # A layout move changes no logical rows.
+                        "dataChange": False,
+                    }
+                }
+            )
+            n_removed += 1
+        for a in _delta_stage_files(staged, table_path, cm_pcols):
+            a["dataChange"] = False
+            actions.append({"add": a})
+            n_added += 1
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetBytes": int(target_bytes), "binpack": True,
+                },
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(
+        table_path, _DELTA_LOG, f"{next_version:020d}.json"
+    )
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version, {"removed": n_removed, "added": n_added}
+
+
+def binpack_iceberg(
+    spark: SparkSession, table_path: str, target_bytes: int = 134217728
+) -> tuple[int | None, dict]:
+    """Small-file compaction on a REAL foreign Iceberg v2 table (the
+    native ``rewrite_data_files`` bin-packing): live data files under
+    ``target_bytes`` rewrite into ~target-size outputs (partition
+    values re-derive from the data through the spec transforms, so
+    the layout routing is exact); a partition holding fewer than two
+    small files is untouched. The snapshot commits the spec's
+    ``replace`` operation — logical content identical, and the
+    incremental-append reader refuses to cross it rather than misread
+    layout moves as new rows (its documented behavior). Snapshots
+    carrying LIVE row-level deletes refuse toward ``compact_iceberg``
+    (debt first: rewriting data files above the deletes' sequence
+    numbers would un-delete rows). Returns (new snapshot id or None,
+    {"removed": n, "added": m})."""
+    from .avro_lite import read_avro_file
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "binpack on a format-version 1 Iceberg table is not "
+            "supported; run upgrade_iceberg_v1_to_v2 first"
+        )
+    schema = _iceberg_table_schema(meta)
+    if schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} carries no schema")
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
+    spec_fields = spec.get("fields", [])
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], table_path)
+    )
+    data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
+    delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
+    for r in delete_recs:
+        _sd, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        if any(e.get("status", 1) != 2 for e in dentries):
+            raise NotImplementedError(
+                "the snapshot carries live row-level delete files; run "
+                "compact_iceberg first (rewriting data above the deletes' "
+                "sequence numbers would resurrect deleted rows)"
+            )
+
+    manifests: list[dict] = []
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for r in data_recs:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        paths = [
+            os.path.abspath(
+                _iceberg_local_path(e["data_file"]["file_path"], table_path)
+            )
+            for e in live
+        ]
+        manifests.append({"rec": r, "entries": live, "paths": paths})
+        for e, p in zip(live, paths):
+            dfr = e["data_file"]
+            size = int(dfr.get("file_size_in_bytes", 0) or 0)
+            if size >= target_bytes:
+                continue
+            pkey = json.dumps(dfr.get("partition") or {}, sort_keys=True, default=str)
+            by_part.setdefault(pkey, []).append((p, size))
+    retire: set[str] = set()
+    total_bytes = 0
+    for _pkey, members in by_part.items():
+        if len(members) < 2:
+            continue
+        retire.update(p for p, _s3 in members)
+        total_bytes += sum(s for _p, s in members)
+    if not retire:
+        return None, {"removed": 0, "added": 0}
+
+    n_bins = max(1, -(-total_bytes // target_bytes))
+    out = (
+        spark.read.schema(schema)
+        .parquet(*sorted(retire))
+        .coalesce(int(n_bins))
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    mdir = os.path.join(table_path, "metadata")
+    staged = _iceberg_stage_files(
+        out, table_path, part_fields,
+        bounds_fields=_ice_schema_bounds_fields(cur_schema),
+        count_fields=_ice_schema_count_fields(cur_schema),
+    )
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
+    new_mlist: list[dict] = []
+    add_rec, n_added = _ice_add_data_manifest(
+        staged, part_fields, entry_schema, cur_schema, spec_fields, mdir,
+        snapshot_id, seq, spec_id=cur_spec_id,
+    )
+    if add_rec is not None:
+        new_mlist.append(add_rec)
+    new_mlist.extend(
+        _ice_retire_data_manifests(
+            manifests, retire, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, mdir,
+            spec_id=cur_spec_id,
+            all_specs={
+                int(sp.get("spec-id") or 0): sp
+                for sp in meta.get("partition-specs", [])
+            },
+        )
+    )
+    new_mlist.extend(_mlist_carry(r) for r in delete_recs)
+    summary = {
+        "operation": "replace",
+        "added-data-files": str(n_added),
+        "deleted-data-files": str(len(retire)),
+    }
+    new_sid = _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
+    return new_sid, {"removed": len(retire), "added": n_added}
+
+
+def truncate_delta(table_path: str) -> tuple[int, int | None]:
+    """TRUNCATE a REAL foreign Delta table as ONE metadata-only commit
+    (the logical whole-table delete, O(files) driver arithmetic —
+    zero data bytes read or written at any table size): every live
+    file gets a remove action; the schema, history and time travel
+    stay. Tables with ``delta.enableChangeDataFeed`` refuse — removes
+    without cdc capture would leave an unreconstructable hole in the
+    feed (use ``DELETE FROM`` / a keyed MERGE, which capture) — as do
+    appendOnly tables. Returns (committed version, removed logical
+    row count — None when any file lacks numRecords stats)."""
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "overwrite")
+    if not state["files"]:
+        return state["version"], 0  # already empty: no-op, no commit
+    n_rows: int | None = 0
+    ts = int(time.time() * 1000)
+    actions: list[dict] = []
+    for rel in sorted(state["files"]):
+        add = state["files"][rel]
+        if n_rows is not None:
+            try:
+                nr = json.loads(add.get("stats") or "{}").get("numRecords")
+            except ValueError:
+                nr = None
+            dv = add.get("deletionVector") or {}
+            n_rows = (
+                n_rows + int(nr) - int(dv.get("cardinality", 0) or 0)
+                if nr is not None
+                else None
+            )
+        rm = {"path": rel, "deletionTimestamp": ts, "dataChange": True}
+        if add.get("deletionVector"):
+            rm["deletionVector"] = add["deletionVector"]
+        actions.append({"remove": rm})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "TRUNCATE",
+                "operationParameters": {},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(
+        table_path, _DELTA_LOG, f"{next_version:020d}.json"
+    )
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version, n_rows
+
+
+def truncate_iceberg(table_path: str) -> tuple[int, int | None]:
+    """TRUNCATE a REAL foreign Iceberg v2 table as ONE metadata-only
+    snapshot commit: every live data-manifest entry rewrites status-2
+    (incremental readers see exactly what this snapshot removed) and
+    every delete manifest retires — manifest arithmetic only, zero
+    data bytes move; history and time travel stay. Format-version 1
+    refuses toward ``upgrade_iceberg_v1_to_v2``. Returns (new snapshot
+    id, removed logical row count from manifest record counts — None
+    when live row-level deletes make the manifest counts inexact)."""
+    from .avro_lite import read_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "TRUNCATE on a format-version 1 Iceberg table is not "
+            "supported; run upgrade_iceberg_v1_to_v2 first"
+        )
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    part_fields = _ice_spec_part_fields(spec, cur_schema)
+    spec_fields = spec.get("fields", [])
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], table_path)
+    )
+    data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
+    delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
+    manifests: list[dict] = []
+    retire: set[str] = set()
+    n_rows: int | None = 0
+    for r in data_recs:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        live = [e for e in entries if e.get("status", 1) != 2]
+        paths = [
+            os.path.abspath(
+                _iceberg_local_path(e["data_file"]["file_path"], table_path)
+            )
+            for e in live
+        ]
+        manifests.append({"rec": r, "entries": live, "paths": paths})
+        retire.update(paths)
+        if n_rows is not None:
+            n_rows += sum(
+                int(e["data_file"].get("record_count", 0) or 0) for e in live
+            )
+    if not retire:
+        return sid, 0  # already empty: no-op, no commit
+    for r in delete_recs:
+        _sd, dentries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], table_path)
+        )
+        if any(e.get("status", 1) != 2 for e in dentries):
+            # Live row-level deletes: the manifest record counts
+            # overcount the logical rows removed — stay honest.
+            n_rows = None
+            break
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    mdir = os.path.join(table_path, "metadata")
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
+    all_specs = {
+        int(sp.get("spec-id") or 0): sp
+        for sp in meta.get("partition-specs", [])
+    }
+    new_mlist = _ice_retire_data_manifests(
+        manifests, retire, seq, snapshot_id,
+        entry_schema, cur_schema, spec_fields, mdir,
+        spec_id=cur_spec_id, all_specs=all_specs,
+    )
+    new_mlist.extend(
+        _ice_retire_delete_manifests(
+            delete_recs, table_path, seq, snapshot_id,
+            entry_schema, cur_schema, spec_fields, part_fields, mdir,
+            spec_id=cur_spec_id, all_specs=all_specs,
+        )
+    )
+    summary = {
+        "operation": "delete",
+        "deleted-data-files": str(len(retire)),
+    }
+    if n_rows is not None:
+        summary["deleted-records"] = str(n_rows)
+    new_sid = _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
+    return new_sid, n_rows
 
 
 def alter_delta_table(

@@ -3268,6 +3268,74 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def orders_dml_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """late-r14: the keyless predicate-DML surface (X159) gated
+    end-to-end — a FRESH Delta export of orders (per call: DML
+    mutates, so nothing shared) takes a SQL-text predicate UPDATE
+    (``UPDATE delta.`p` SET ... WHERE ...``) then a predicate DELETE,
+    both through the TWO-PHASE surgical rewrite (phase 1 prunes to
+    stats candidates, phase 2 rewrites only files actually holding a
+    matching row — pinned in-gate: untouched partitions' files carry
+    forward byte-identical). The DuckDB oracle models the same two
+    statements declaratively: CASE WHEN for the update, an anti-filter
+    for the delete — exactly SQL's own semantics, so any divergence in
+    matching, SET evaluation, or survivor handling hash-mismatches."""
+    import os as _os
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..formats.interop import read_delta, write_delta
+    from ..sql import LakeSQL
+
+    _utc(spark)
+    path = _os.path.join(tempfile.mkdtemp(prefix="tdl_orders_dml_"), "t")
+    write_delta(
+        load(spark, sf_dir, "orders").repartition(4),
+        path, partition_by=["o_orderpriority"],
+    )
+    lake = LakeSQL(Catalog(spark, tempfile.mkdtemp(prefix="tdl_sqlwh_")))
+    files0 = set(read_delta(spark, path).inputFiles())
+    r1 = lake.sql(
+        f"UPDATE delta.`{path}` SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey >= 200"
+    )
+    if r1.source_rows <= 0:
+        raise AssertionError("the predicate UPDATE matched no rows")
+    files1 = set(read_delta(spark, path).inputFiles())
+    if not files0 & files1:
+        raise AssertionError(
+            "two-phase UPDATE rewrote every file; untouched "
+            "partitions must carry forward verbatim"
+        )
+    r2 = lake.sql(
+        f"DELETE FROM delta.`{path}` "
+        "WHERE o_orderstatus = 'F' AND o_orderkey < 500"
+    )
+    if r2.source_rows <= 0:
+        raise AssertionError("the predicate DELETE matched no rows")
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORDERS_DML_SQLTEXT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice
+                 + CASE WHEN o_orderpriority = '1-URGENT'
+                         AND o_orderkey >= 200
+                        THEN 1 ELSE 0 END), 2) AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 500)
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # q1_via_hudi_interop — the Hudi twin (r8 verdict "missing #1", second
 # half): lineitem bulk-inserts into an ACTUAL Apache Hudi CoW table
@@ -3704,6 +3772,16 @@ QUERIES: dict[str, QueryDef] = {
             "orders_1996_metadata_count",
             orders_1996_metadata_count,
             ORDERS_1996_COUNT_ORACLE,
+            headline=False,
+        ),
+        # late-r14: keyless predicate UPDATE + DELETE as SQL text on a
+        # foreign Delta path (X159) — two-phase surgical rewrite with
+        # the carry-forward pin in-gate; the oracle models both
+        # statements declaratively (CASE WHEN + anti-filter).
+        QueryDef(
+            "orders_dml_sqltext",
+            orders_dml_sqltext,
+            ORDERS_DML_SQLTEXT_ORACLE,
             headline=False,
         ),
     ]

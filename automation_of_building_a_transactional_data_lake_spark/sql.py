@@ -943,6 +943,42 @@ class LakeSQL:
             return {"table": spec.qualified_name, "action": "created"}
 
         m = re.match(
+            r"TRUNCATE\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Whole-table logical delete as ONE metadata-only commit
+            # (late-r14): O(files) driver arithmetic, zero data bytes
+            # move, history/time travel intact.
+            from .formats.interop import truncate_delta, truncate_iceberg
+
+            fmt = m.group("fmt").lower()
+            if fmt == "hudi":
+                raise NotImplementedError(
+                    "TRUNCATE on a Hudi path is not supported — Hudi has "
+                    "no metadata-only whole-table delete; issue a keyed "
+                    "delete of the full key set instead"
+                )
+            fn = truncate_delta if fmt == "delta" else truncate_iceberg
+            v, n = fn(m.group("p"))
+            return {
+                "action": "truncate", "format": fmt,
+                "version": v, "rows": n,
+            }
+
+        m = re.match(
+            rf"TRUNCATE\s+TABLE\s+(?P<t>{ident})$", s, re.IGNORECASE
+        )
+        if m:
+            # Managed TRUNCATE: an empty typed overwrite — snapshot
+            # isolation and time travel apply (the change feed sees an
+            # overwrite op, its documented abort signal).
+            spec, tbl = self._resolve_ident(m.group("t"))
+            empty = self.spark.createDataFrame([], tbl.read().schema)
+            tbl.overwrite(empty)
+            return {"table": spec.qualified_name, "action": "truncate"}
+
+        m = re.match(
             r"ALTER\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
             r"\s+(?P<rest>.+)$",
             s, re.IGNORECASE | re.DOTALL,
@@ -1053,6 +1089,39 @@ class LakeSQL:
             else:
                 out = clean_hudi(p, keep_last_slices=n)
             return {"action": "vacuum", "format": fmt, **out}
+
+        m = re.match(
+            r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
+            r"\s+BINPACK(?:\s+TARGET\s+(?P<n>\d+)\s*(?P<u>[MK]B))?$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Small-file compaction as text (late-r14, the native
+            # OPTIMIZE's bin-packing): per partition, files under the
+            # target coalesce into ~target-size outputs; the commit
+            # carries dataChange=False / operation 'replace', so change
+            # feeds see no row-level change. The bare OPTIMIZE form
+            # below stays the merge-on-read DEBT compaction.
+            from .formats.interop import binpack_delta, binpack_iceberg
+
+            fmt = m.group("fmt").lower()
+            if fmt == "hudi":
+                raise NotImplementedError(
+                    "BINPACK on a Hudi path is not supported — Hudi "
+                    "clustering (replacecommit) is not implemented; "
+                    "OPTIMIZE hudi.`p` folds MoR logs instead"
+                )
+            target = 134217728
+            if m.group("n"):
+                target = int(m.group("n")) * (
+                    1024 if m.group("u").upper() == "KB" else 1048576
+                )
+            fn = binpack_delta if fmt == "delta" else binpack_iceberg
+            v, stats = fn(self.spark, m.group("p"), target_bytes=target)
+            return {
+                "action": "binpack", "format": fmt,
+                "compacted": v is not None, "commit": v, **stats,
+            }
 
         m = re.match(
             r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`$",

@@ -9751,3 +9751,243 @@ def test_alter_iceberg_table_metadata_only(spark, tmp_path):
     )
     tags = next(f for f in cur3["fields"] if f["name"] == "tags")
     assert tags["type"]["element-id"] == meta3["last-column-id"]
+
+
+def test_dml_and_dv_on_space_bearing_partition_values(spark, tmp_path):
+    """late-r14 regression (found by the orders_dml_sqltext gate on
+    the '4-NOT SPECIFIED' priority): Hadoop PERCENT-ENCODES
+    `_metadata.file_path` (space -> %20), while driver-side file maps
+    hold real paths — every file-path join must decode, or a
+    space-bearing partition silently duplicates on predicate DML and
+    misses its DV rows on merge."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delete_delta_where,
+        merge_delta,
+        read_delta,
+        update_delta_where,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    rows = [(i, f"v{i}", "NOT SPECIFIED" if i % 2 else "A+B") for i in range(10)]
+    write_delta(
+        spark.createDataFrame(rows, "id long, val string, cat string"),
+        p, partition_by=["cat"],
+    )
+    _v, n = update_delta_where(
+        spark, p, [("cat", "=", "NOT SPECIFIED")], {"val": "upper(val)"}
+    )
+    assert n == 5
+    got = {r.id: r.val for r in read_delta(spark, p).collect()}
+    assert len(got) == 10  # no duplication
+    assert got[1] == "V1" and got[2] == "v2"
+    _v, n2 = delete_delta_where(spark, p, [("id", "<", 2)])
+    assert n2 == 2
+    assert {r.id for r in read_delta(spark, p).collect()} == set(range(2, 10))
+
+    # DV application on a space-bearing partition (the same decode).
+    p2 = str(tmp_path / "dv")
+    write_delta(
+        spark.createDataFrame(rows, "id long, val string, cat string")
+        .coalesce(1),
+        p2, partition_by=["cat"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(1,), (3,)], "id long"), p2, key="id",
+        mode="delete", strategy="dv",
+    )
+    assert {r.id for r in read_delta(spark, p2).collect()} == set(range(10)) - {1, 3}
+
+
+def test_truncate_delta_metadata_only(spark, tmp_path):
+    """late-r14: TRUNCATE as one metadata-only commit — every live
+    file removes with zero data bytes read, DV cardinality subtracts
+    from the row count, time travel keeps the old snapshot, CDF and
+    appendOnly refuse, empty tables no-op without committing."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta,
+        truncate_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"c{i % 2}") for i in range(20)], "id long, cat string"
+        ).repartition(3),
+        p, partition_by=["cat"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    merge_delta(
+        spark.createDataFrame([(1,), (2,)], "id long"), p, key="id",
+        mode="delete", strategy="dv",
+    )
+    v, n = truncate_delta(p)
+    assert n == 18  # 20 minus the 2 DV-deleted rows
+    assert read_delta(spark, p).count() == 0
+    assert read_delta(spark, p, version=v - 1).count() == 18  # time travel
+    # Already-empty: no-op, no new version.
+    v2, n2 = truncate_delta(p)
+    assert v2 == v and n2 == 0
+    # CDF refuses (removes without capture hole the feed).
+    p2 = str(tmp_path / "cdf")
+    write_delta(
+        spark.createDataFrame([(1,)], "id long"), p2,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    with pytest.raises(NotImplementedError, match="cdc"):
+        truncate_delta(p2)
+
+
+def test_truncate_iceberg_metadata_only(spark, tmp_path):
+    """late-r14: Iceberg TRUNCATE — all entries status-2, delete
+    manifests retire, manifest-count row tally, time travel intact,
+    v1 refuses, empty no-ops."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        read_iceberg,
+        truncate_iceberg,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"c{i % 2}") for i in range(20)], "id long, cat string"
+        ).repartition(3),
+        p, partition_by=["cat"],
+    )
+    sid0 = None
+    sid, n = truncate_iceberg(p)
+    assert n == 20
+    assert read_iceberg(spark, p).count() == 0
+    # Time travel to the pre-truncate snapshot still serves rows.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+    )
+
+    meta = _iceberg_current_metadata(p)
+    prev = next(
+        s["snapshot-id"] for s in meta["snapshots"]
+        if s["snapshot-id"] != sid
+    )
+    assert read_iceberg(spark, p, snapshot_id=prev).count() == 20
+    sid2, n2 = truncate_iceberg(p)
+    assert sid2 == sid and n2 == 0
+    # MoR debt: row count honest (None) but the truncate still lands.
+    p2 = str(tmp_path / "m")
+    write_iceberg(
+        spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1),
+        p2,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p2, key="id",
+        mode="delete", strategy="mor",
+    )
+    _sid, n3 = truncate_iceberg(p2)
+    assert n3 is None
+    assert read_iceberg(spark, p2).count() == 0
+
+
+def test_binpack_delta_small_files(spark, tmp_path):
+    """late-r14: OPTIMIZE bin-packing — per partition, small live
+    files coalesce into fewer outputs with dataChange=False (the CDF
+    algorithm sees NO change), content identical, DV files untouched,
+    already-optimal partitions untouched."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_cdf_commit_entries,
+        _delta_replay,
+        binpack_delta,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(0, "c0")], "id long, cat string"
+        ),
+        p, partition_by=["cat"],
+    )
+    for i in range(1, 6):
+        write_delta(
+            spark.createDataFrame(
+                [(i, f"c{i % 2}")], "id long, cat string"
+            ).coalesce(1),
+            p, mode="append",
+        )
+    before = {tuple(r) for r in read_delta(spark, p).collect()}
+    n_files0 = len(read_delta(spark, p).inputFiles())
+    assert n_files0 >= 6
+    v, stats = binpack_delta(spark, p, target_bytes=64 * 1024 * 1024)
+    assert v is not None and stats["removed"] >= 4
+    assert stats["added"] < stats["removed"]
+    after = {tuple(r) for r in read_delta(spark, p).collect()}
+    assert after == before
+    n_files1 = len(read_delta(spark, p).inputFiles())
+    assert n_files1 < n_files0
+    # dataChange=False: the CDF algorithm derives NO change rows.
+    assert _delta_cdf_commit_entries(p, v) == []
+    # Second run: nothing left to pack per partition -> no-op.
+    v2, stats2 = binpack_delta(spark, p, target_bytes=64 * 1024 * 1024)
+    assert v2 is None and stats2 == {"removed": 0, "added": 0}
+
+
+def test_binpack_iceberg_small_files(spark, tmp_path):
+    """late-r14: Iceberg bin-packing — a 'replace' snapshot with
+    identical content; live-delete snapshots refuse toward
+    compact_iceberg; the incremental-append reader refuses to cross
+    the replace rather than misreading layout moves as rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        binpack_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_incremental,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame([(0, "c0")], "id long, cat string"),
+        p, partition_by=["cat"],
+    )
+    sid0 = _iceberg_current_metadata(p)["current-snapshot-id"]
+    for i in range(1, 6):
+        write_iceberg(
+            spark.createDataFrame(
+                [(i, f"c{i % 2}")], "id long, cat string"
+            ).coalesce(1),
+            p, mode="append", partition_by=["cat"],
+        )
+    before = {tuple(r) for r in read_iceberg(spark, p).collect()}
+    n0 = len(read_iceberg(spark, p).inputFiles())
+    sid, stats = binpack_iceberg(spark, p, target_bytes=64 * 1024 * 1024)
+    assert sid is not None and stats["removed"] >= 4
+    assert {tuple(r) for r in read_iceberg(spark, p).collect()} == before
+    assert len(read_iceberg(spark, p).inputFiles()) < n0
+    meta = _iceberg_current_metadata(p)
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == sid
+    )
+    assert snap["summary"]["operation"] == "replace"
+    # The incremental-append reader refuses to cross the replace.
+    with pytest.raises(NotImplementedError, match="replace"):
+        read_iceberg_incremental(spark, p, sid0)
+    # Live-delete debt refuses toward compact_iceberg.
+    p2 = str(tmp_path / "m")
+    write_iceberg(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1),
+        p2,
+    )
+    write_iceberg(
+        spark.createDataFrame([(9,)], "id long").coalesce(1), p2, mode="append"
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p2, key="id",
+        mode="delete", strategy="mor",
+    )
+    with pytest.raises(NotImplementedError, match="compact_iceberg"):
+        binpack_iceberg(spark, p2, target_bytes=64 * 1024 * 1024)

@@ -1424,3 +1424,70 @@ def test_sql_alter_table_foreign_path(spark, tmp_path):
         lake.sql(f"ALTER TABLE iceberg.`{ip}` RENAME COLUMN id TO id2")
     with pytest.raises(NotImplementedError, match="evolve"):
         lake.sql("ALTER TABLE hudi.`/nope` ADD COLUMN x long")
+
+
+def test_sql_truncate_table(spark, tmp_path, user_lake):
+    """late-r14: TRUNCATE TABLE as text — metadata-only on foreign
+    delta/iceberg paths, an empty typed overwrite on managed tables;
+    Hudi refuses with the reason."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(i,) for i in range(5)], "id long"), dp)
+    r = lake.sql(f"TRUNCATE TABLE delta.`{dp}`")
+    assert r["action"] == "truncate" and r["rows"] == 5
+    assert read_delta(spark, dp).count() == 0
+
+    ip = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame([(i,) for i in range(7)], "id long"), ip)
+    r = lake.sql(f"TRUNCATE TABLE iceberg.`{ip}`")
+    assert r["rows"] == 7 and read_iceberg(spark, ip).count() == 0
+
+    with pytest.raises(NotImplementedError, match="keyed delete"):
+        lake.sql("TRUNCATE TABLE hudi.`/nope`")
+
+    # Managed: empty typed overwrite, time-travelable.
+    _cat, _spec, ulake = user_lake
+    before = ulake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data"
+    ).first().n
+    assert before > 0
+    r = ulake.sql("TRUNCATE TABLE lake.game.user_data")
+    assert r["action"] == "truncate"
+    assert ulake.sql(
+        "SELECT count(*) AS n FROM lake.game.user_data"
+    ).first().n == 0
+
+
+def test_sql_optimize_binpack(spark, tmp_path):
+    """late-r14: OPTIMIZE fmt.`p` BINPACK [TARGET n MB|KB] as text —
+    small-file compaction; the bare OPTIMIZE stays debt compaction."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(0,)], "id long"), dp)
+    for i in range(1, 5):
+        write_delta(
+            spark.createDataFrame([(i,)], "id long").coalesce(1),
+            dp, mode="append",
+        )
+    n0 = len(read_delta(spark, dp).inputFiles())
+    r = lake.sql(f"OPTIMIZE delta.`{dp}` BINPACK TARGET 64 MB")
+    assert r["action"] == "binpack" and r["compacted"] and r["removed"] == n0
+    assert len(read_delta(spark, dp).inputFiles()) < n0
+    assert {x.id for x in read_delta(spark, dp).collect()} == set(range(5))
+    # Idempotent second run.
+    r2 = lake.sql(f"OPTIMIZE delta.`{dp}` BINPACK")
+    assert r2["compacted"] is False
+    with pytest.raises(NotImplementedError, match="clustering"):
+        lake.sql("OPTIMIZE hudi.`/nope` BINPACK")
