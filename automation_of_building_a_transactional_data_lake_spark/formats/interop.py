@@ -5261,6 +5261,112 @@ def compact_hudi(
     return instant
 
 
+def cluster_hudi(
+    spark: SparkSession, table_path: str, target_bytes: int = 134217728
+) -> str | None:
+    """Hudi CLUSTERING, jar-less (the native clustering table service's
+    bin-packing shape): per partition, small log-free file groups merge
+    into ~target-size NEW file groups committed as ONE
+    ``.replacecommit`` whose ``partitionToReplaceFileIds`` lists the
+    superseded groups — the timeline rule every snapshot reader (this
+    module's ``_hudi_timeline`` and native ones) already implements, so
+    the old slices hide atomically at the instant. Emptied groups
+    (zero-row bases left by deletes) cluster away too — the
+    replacecommit is also the cleanup that removes their read-path
+    cost. Groups carrying LOG FILES are skipped (MoR debt: run
+    ``compact_hudi`` first — clustering a half-folded group would drop
+    its log rows). Incremental consumers see replaced groups hidden
+    only from the replace instant on; time travel (``as_of``) before
+    the instant still serves the old layout. Returns the replacecommit
+    instant, or None when no partition holds two small clean groups.
+
+    Scale: the rewrite reads only the small groups (one distributed
+    scan), bins rows by record-key hash into ceil(bytes/target) new
+    groups per partition, and stages one file per group — O(small
+    files), never O(table)."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    _completed, latest, slice_logs = _hudi_file_slices(table_path)
+    visible = _hudi_visible_groups(table_path)
+    todo: dict[str, list[tuple[str, str, int]]] = {}
+    for pp, fids in sorted(visible.items()):
+        members = []
+        for fid in fids:
+            if (pp, fid) in slice_logs:
+                continue  # MoR debt belongs to compact_hudi
+            ent = latest.get((pp, fid))
+            if ent is None:
+                continue
+            path = ent[1]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if size < target_bytes:
+                members.append((fid, os.path.abspath(path), size))
+        if len(members) >= 2:
+            todo[pp] = members
+    if not todo:
+        return None
+
+    instant = _hudi_new_instant(table_path)
+    fmap_rows = []
+    replaced: dict[str, list[str]] = {}
+    for pp, members in sorted(todo.items()):
+        total = sum(s for _f, _p, s in members)
+        n_bins = max(1, -(-total // target_bytes))
+        base_fid = f"cl-{uuid.uuid4().hex[:12]}"
+        replaced[pp] = sorted(f for f, _p, _s in members)
+        for _fid, p, _s in members:
+            fmap_rows.append((p, pp, base_fid, int(n_bins)))
+    paths = [p for p, _pp, _bf, _nb in fmap_rows]
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(paths))
+        .select("*", _norm_file_path(F.col("_metadata.file_path")).alias("__fp"))
+    )
+    if "_hoodie_record_key" not in df.columns:
+        raise NotImplementedError(
+            "clustering needs populated _hoodie_record_key meta columns"
+        )
+    fmap = spark.createDataFrame(
+        fmap_rows, "__fp string, __mpp string, __bfid string, __nb int"
+    )
+    out = (
+        df.join(F.broadcast(fmap), "__fp")
+        .withColumn(
+            "__hudi_fid",
+            F.concat(
+                F.col("__bfid"), F.lit("-"),
+                F.pmod(
+                    F.xxhash64(F.col("_hoodie_record_key")), F.col("__nb")
+                ).cast("string"),
+            ),
+        )
+        .withColumn("__hudi_pp", F.col("__mpp"))
+        .withColumn(
+            "__hudi_pp_dir",
+            F.when(F.col("__hudi_pp") == "", F.lit("__HUDI_ROOT__")).otherwise(
+                F.col("__hudi_pp")
+            ),
+        )
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__hudi_fid"), F.lit(f"_0-0-0_{instant}.parquet")),
+        )
+    )
+    business_cols = [
+        c for c in df.columns
+        if not c.startswith("_hoodie_") and c != "__fp"
+    ]
+    staged = _hudi_select_order(out, business_cols)
+    stats = _hudi_stage_commit(staged, table_path, instant)
+    _hudi_complete(
+        table_path, instant, "CLUSTER", stats, replaced_fids=replaced
+    )
+    return instant
+
+
 def _hudi_visible_groups(table_path: str) -> dict[str, list[str]]:
     """Currently-visible file groups per partition path — the same
     driver-side listing ``read_hudi`` plans with (completed instants,
@@ -8859,6 +8965,33 @@ def write_iceberg(
         if parent_id in (None, -1):
             parent_id = None
         location = meta.get("location") or table_path
+        # Carry the table's REAL schema/spec registry (late-r14: the
+        # pre-fix tail hardcoded create-time values — an append to a
+        # schema- or spec-EVOLVED table collapsed `schemas` to one
+        # entry while pointing current-schema-id at an id no longer
+        # listed, corrupting the metadata for every reader; found by
+        # the alter_iceberg_table + append streaming gate).
+        carry = {
+            "current-schema-id": int(meta.get("current-schema-id", 0)),
+            "schemas": list(meta.get("schemas", [])) or [ice_schema],
+            "default-spec-id": int(meta.get("default-spec-id", 0)),
+            "partition-specs": list(meta.get("partition-specs", []))
+            or [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": int(
+                meta.get("last-partition-id")
+                or (
+                    _ICE_PART_FIELD_ID0 + len(spec_fields) - 1
+                    if spec_fields
+                    else _ICE_PART_FIELD_ID0 - 1
+                )
+            ),
+            "default-sort-order-id": int(meta.get("default-sort-order-id", 0)),
+            "sort-orders": list(meta.get("sort-orders", []))
+            or [{"order-id": 0, "fields": []}],
+            "properties": dict(
+                meta.get("properties") or {"write.format.default": "parquet"}
+            ),
+        }
     else:
         os.makedirs(mdir, exist_ok=True)
         prev_version = 0
@@ -8867,6 +9000,7 @@ def write_iceberg(
         prev_snapshots, prev_snap_log, prev_meta_log = [], [], []
         parent_id = None
         location = table_path
+        carry = None
 
     cur_spec_id = (
         int(meta.get("default-spec-id") or 0) if exists else 0
@@ -9052,17 +9186,11 @@ def write_iceberg(
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
         },
-        "schema-id": 0,
+        "schema-id": (carry or {}).get("current-schema-id", 0),
     }
     if parent_id is not None:
         snap["parent-snapshot-id"] = parent_id
-    new_meta = {
-        "format-version": 2,
-        "table-uuid": table_uuid,
-        "location": location,
-        "last-sequence-number": seq,
-        "last-updated-ms": now_ms,
-        "last-column-id": last_col_id,
+    registry = carry or {
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
@@ -9075,6 +9203,15 @@ def write_iceberg(
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
+    }
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": location,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        **registry,
         "current-snapshot-id": snapshot_id,
         # Overwrite keeps prior snapshots listed: their manifest lists
         # stay on disk, so time travel to them still works.
@@ -9103,6 +9240,65 @@ def write_iceberg(
     with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
         f.write(str(version))
     return snapshot_id
+
+
+def _ice_append_chain(
+    table_path: str,
+    meta: dict,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int,
+) -> list[tuple[int, list[dict]]]:
+    """[(snapshot id, [added data_file records])] for the APPEND-ONLY
+    parent chain (from, to] — exclusive start, inclusive end, Iceberg's
+    incremental convention; ``from_snapshot_id=None`` walks to the
+    root. Any non-append snapshot in the range raises loudly (file
+    adds do not describe row-level change there). Shared by the batch
+    ``read_iceberg_incremental`` and the streaming append feed (one
+    implementation, no batch/stream drift)."""
+    from .avro_lite import read_avro_file
+
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    chain: list[int] = []
+    cur = to_snapshot_id
+    while cur != from_snapshot_id:
+        if cur is None or cur not in snaps:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id} (expired or a rollback crossed it)"
+            )
+        chain.append(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+        if cur is None and from_snapshot_id is None:
+            break
+    chain.reverse()
+    out: list[tuple[int, list[dict]]] = []
+    for sid in chain:
+        snap = snaps[sid]
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                f"incremental range contains snapshot {sid} with "
+                f"operation {op!r}; only append-only ranges are "
+                "incremental-scannable (use the Delta CDF mirror for "
+                "row-level change feeds)"
+            )
+        recs: list[dict] = []
+        _s, mlist = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], table_path)
+        )
+        for rec in mlist:
+            if rec.get("content", 0) != 0:
+                continue
+            if rec.get("added_snapshot_id") != sid:
+                continue
+            _s2, entries = read_avro_file(
+                _iceberg_local_path(rec["manifest_path"], table_path)
+            )
+            recs.extend(
+                e["data_file"] for e in entries if e.get("status", 1) == 1
+            )
+        out.append((sid, recs))
+    return out
 
 
 def read_iceberg_incremental(
@@ -9140,17 +9336,7 @@ def read_iceberg_incremental(
     )
     if to_sid not in snaps:
         raise ValueError(f"unknown to_snapshot_id {to_sid}")
-    # Walk the parent chain to -> from (exclusive).
-    chain = []
-    cur = to_sid
-    while cur != from_snapshot_id:
-        if cur is None or cur not in snaps:
-            raise ValueError(
-                f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
-            )
-        chain.append(cur)
-        cur = snaps[cur].get("parent-snapshot-id")
-    chain.reverse()
+    per_snap = _ice_append_chain(table_path, meta, from_snapshot_id, to_sid)
 
     schema = _iceberg_table_schema(meta)
     where_n = _norm_where(where)
@@ -9162,37 +9348,11 @@ def read_iceberg_incremental(
         else []
     )
     paths: list[str] = []
-    for sid in chain:
-        snap = snaps[sid]
-        op = (snap.get("summary") or {}).get("operation", "append")
-        if op != "append":
-            raise NotImplementedError(
-                f"incremental range contains snapshot {sid} with "
-                f"operation {op!r}; only append-only ranges are "
-                "incremental-scannable (use the Delta CDF mirror for "
-                "row-level change feeds)"
-            )
-        _s, mlist = read_avro_file(
-            _iceberg_local_path(snap["manifest-list"], table_path)
-        )
-        for rec in mlist:
-            if rec.get("content", 0) != 0:
-                continue
-            if rec.get("added_snapshot_id") != sid:
-                continue
-            _s2, entries = read_avro_file(
-                _iceberg_local_path(rec["manifest_path"], table_path)
-            )
-            for e in entries:
-                if e.get("status", 1) != 1:
-                    continue
-                if prune_plan and not _ice_prune_keep(
-                    e["data_file"], prune_plan
-                ):
-                    continue  # partition/bounds skipping (X142)
-                paths.append(
-                    _iceberg_local_path(e["data_file"]["file_path"], table_path)
-                )
+    for _sid, dfrecs in per_snap:
+        for dfr in dfrecs:
+            if prune_plan and not _ice_prune_keep(dfr, prune_plan):
+                continue  # partition/bounds skipping (X142)
+            paths.append(_iceberg_local_path(dfr["file_path"], table_path))
     if not paths:
         return spark.createDataFrame([], schema)
     rdr = spark.read.schema(schema) if schema is not None else spark.read

@@ -366,16 +366,36 @@ class LakeDataSource(DataSource):
             "_commit_version", LongType(), False
         )
 
+    def _iceberg_appends_schema(self) -> StructType:
+        from pyspark.sql.types import LongType
+
+        from ..formats.interop import (
+            _iceberg_current_metadata,
+            _iceberg_table_schema,
+        )
+
+        meta = _iceberg_current_metadata(self._table_path())
+        schema = _iceberg_table_schema(meta)
+        if schema is None:
+            raise ValueError(
+                f"Iceberg metadata at {self._table_path()} carries no schema"
+            )
+        return schema.add("_snapshot_id", LongType(), False)
+
     def schema(self) -> StructType:
         feed = self.options.get("feed")
         if feed == "changes":
             return self._changes_schema()
         if feed == "delta_changes":
             return self._delta_changes_schema()
+        if feed == "iceberg_appends":
+            return self._iceberg_appends_schema()
         return self._batch_schema()
 
     def reader(self, schema: StructType) -> "LakeReader":
-        if self.options.get("feed") in ("changes", "delta_changes"):
+        if self.options.get("feed") in (
+            "changes", "delta_changes", "iceberg_appends"
+        ):
             raise ValueError(
                 "change feeds are STREAMING sources (spark.readStream); "
                 "for batch snapshots drop the feed option"
@@ -388,12 +408,18 @@ class LakeDataSource(DataSource):
             return DeltaChangeFeedReader(
                 self._table_path(), dict(self.options), schema
             )
+        if feed == "iceberg_appends":
+            return IcebergAppendFeedReader(
+                self._table_path(), dict(self.options), schema
+            )
         meta = self._feed_meta()
         if feed != "changes":
             raise ValueError(
                 "streaming the lakehouse format requires .option('feed', "
-                "'changes') (managed tables) or .option('feed', "
-                "'delta_changes') (a foreign Delta table's CDF)"
+                "'changes') (managed tables), .option('feed', "
+                "'delta_changes') (a foreign Delta table's CDF), or "
+                ".option('feed', 'iceberg_appends') (a foreign Iceberg "
+                "table's append chain)"
             )
         fmt = "mor" if meta.get("format") == "mor" else "cow"
         return LakeChangeFeedReader(self._table_path(), dict(self.options), schema, fmt)
@@ -1026,6 +1052,111 @@ class DeltaChangeFeedReader(DataSourceStreamReader):
                     cols.append(tbl.column(phys).cast(field.type))
                 else:
                     cols.append(pa.nulls(n, field.type))
+        yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        return
+
+
+# -- FOREIGN Iceberg appends as a streaming source (late-r14) ----------------
+
+
+class IcebergAppendPartition(InputPartition):
+    def __init__(self, path: str, snapshot_id: int) -> None:
+        self.path = path
+        self.snapshot_id = snapshot_id
+
+
+class IcebergAppendFeedReader(DataSourceStreamReader):
+    """Structured-Streaming source over a FOREIGN Iceberg v2 table's
+    APPEND chain — the streaming twin of
+    ``formats/interop.read_iceberg_incremental`` (what native Spark's
+    Iceberg streaming read does), activated by
+    ``.option("feed", "iceberg_appends")`` on a path holding real
+    Iceberg ``metadata/``: each micro-batch delivers the data files
+    ADDED by the snapshots since the last offset as (business columns,
+    ``_snapshot_id``). Offsets are snapshot ids (O(1) driver metadata
+    per poll); planning walks only the NEW part of the parent chain
+    through the same ``_ice_append_chain`` the batch reader uses (one
+    implementation, no drift), so a non-append snapshot in the range —
+    overwrite, delete, replace — aborts the stream loudly rather than
+    misreading file-level adds as rows. ``starting_snapshot_id=-1``
+    streams the whole history; the default streams only NEW commits.
+    Iceberg data files store every column (identity partition values
+    included), so rows flow straight from the parquet, Arrow-batched
+    in executors."""
+
+    def __init__(self, table_path: str, options: dict, schema: StructType) -> None:
+        self.table_path = table_path
+        self.options = options
+        self.schema_ = schema
+
+    def _head(self) -> int:
+        from ..formats.interop import _iceberg_current_metadata
+
+        sid = _iceberg_current_metadata(self.table_path).get(
+            "current-snapshot-id"
+        )
+        return -1 if sid in (None, -1) else int(sid)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        start = self.options.get("starting_snapshot_id")
+        return {"snapshot_id": int(start) if start is not None else self._head()}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"snapshot_id": self._head()}
+
+    def partitions(self, start: dict, end: dict):
+        from ..formats.interop import (
+            _ice_append_chain,
+            _iceberg_current_metadata,
+            _iceberg_local_path,
+        )
+
+        out: list[IcebergAppendPartition] = []
+        start_sid, end_sid = start["snapshot_id"], end["snapshot_id"]
+        if end_sid != -1 and start_sid != end_sid:
+            meta = _iceberg_current_metadata(self.table_path)
+            per_snap = _ice_append_chain(
+                self.table_path, meta,
+                None if start_sid == -1 else start_sid, end_sid,
+            )
+            for sid, dfrecs in per_snap:
+                for dfr in dfrecs:
+                    out.append(
+                        IcebergAppendPartition(
+                            os.path.abspath(
+                                _iceberg_local_path(
+                                    dfr["file_path"], self.table_path
+                                )
+                            ),
+                            sid,
+                        )
+                    )
+        if not out:
+            out.append(IcebergAppendPartition("", end_sid))
+        return out
+
+    def read(self, partition: IcebergAppendPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not partition.path:
+            return
+        target = to_arrow_schema(self.schema_)
+        tbl = pq.read_table(partition.path)
+        n = len(tbl)
+        cols = []
+        for field in target:
+            if field.name == "_snapshot_id":
+                cols.append(pa.array([partition.snapshot_id] * n).cast(field.type))
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                # Schema evolution: pre-evolution files read the added
+                # column as null, the batch reader's rule.
+                cols.append(pa.nulls(n, field.type))
         yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:

@@ -1102,20 +1102,26 @@ class LakeSQL:
             # carries dataChange=False / operation 'replace', so change
             # feeds see no row-level change. The bare OPTIMIZE form
             # below stays the merge-on-read DEBT compaction.
-            from .formats.interop import binpack_delta, binpack_iceberg
+            from .formats.interop import (
+                binpack_delta,
+                binpack_iceberg,
+                cluster_hudi,
+            )
 
             fmt = m.group("fmt").lower()
-            if fmt == "hudi":
-                raise NotImplementedError(
-                    "BINPACK on a Hudi path is not supported — Hudi "
-                    "clustering (replacecommit) is not implemented; "
-                    "OPTIMIZE hudi.`p` folds MoR logs instead"
-                )
             target = 134217728
             if m.group("n"):
                 target = int(m.group("n")) * (
                     1024 if m.group("u").upper() == "KB" else 1048576
                 )
+            if fmt == "hudi":
+                # Hudi's binpack is the clustering table service: a
+                # replacecommit superseding the small file groups.
+                inst = cluster_hudi(self.spark, m.group("p"), target_bytes=target)
+                return {
+                    "action": "binpack", "format": fmt,
+                    "compacted": inst is not None, "commit": inst,
+                }
             fn = binpack_delta if fmt == "delta" else binpack_iceberg
             v, stats = fn(self.spark, m.group("p"), target_bytes=target)
             return {

@@ -9991,3 +9991,114 @@ def test_binpack_iceberg_small_files(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="compact_iceberg"):
         binpack_iceberg(spark, p2, target_bytes=64 * 1024 * 1024)
+
+
+def test_cluster_hudi_replacecommit(spark, tmp_path):
+    """late-r14: Hudi clustering as a replacecommit — small log-free
+    file groups merge into new groups, partitionToReplaceFileIds hides
+    the old slices atomically (this module's own timeline rule and
+    native Hudi's), content identical, time travel before the instant
+    serves the old layout, log-bearing groups are skipped, second run
+    no-ops."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_visible_groups,
+        cluster_hudi,
+        read_hudi,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(20)],
+            "id long, val string, cat string",
+        ),
+        p, record_key="id", partition_by=["cat"], num_buckets=4,
+    )
+    groups0 = _hudi_visible_groups(p)
+    n_groups0 = sum(len(v) for v in groups0.values())
+    assert n_groups0 >= 4  # several small groups per partition
+    before = {(r.id, r.val, r.cat) for r in read_hudi(spark, p).collect()}
+    inst = cluster_hudi(spark, p, target_bytes=64 * 1024 * 1024)
+    assert inst is not None
+    after = {(r.id, r.val, r.cat) for r in read_hudi(spark, p).collect()}
+    assert after == before
+    groups1 = _hudi_visible_groups(p)
+    n_groups1 = sum(len(v) for v in groups1.values())
+    assert n_groups1 < n_groups0
+    # The clustered groups' new base files are stamped at the replace
+    # instant on disk (read back through the timeline rule).
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_file_slices,
+    )
+
+    _c, latest1, _sl = _hudi_file_slices(p)
+    new_fids = {fid for fids in groups1.values() for fid in fids}
+    assert any(
+        inst in latest1[(pp, fid)][1]
+        for pp, fids in groups1.items() for fid in fids
+        if (pp, fid) in latest1
+    ), new_fids
+    # Time travel BEFORE the replace instant serves the old layout.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_completed_instants,
+    )
+
+    first_instant = min(_hudi_completed_instants(p))
+    old = read_hudi(spark, p, as_of_instant=first_instant)
+    assert {(r.id, r.val, r.cat) for r in old.collect()} == before
+    # Idempotent: one group per partition left -> nothing to cluster.
+    assert cluster_hudi(spark, p, target_bytes=64 * 1024 * 1024) is None
+    # A keyed upsert AFTER clustering still round-trips.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi as _wh,
+    )
+
+    _wh(
+        spark.createDataFrame([(1, "VX", "c1")], "id long, val string, cat string"),
+        p, record_key="id", mode="upsert",
+    )
+    got = {r.id: r.val for r in read_hudi(spark, p).collect()}
+    assert got[1] == "VX" and len(got) == 20
+
+
+def test_write_iceberg_append_carries_schema_registry(spark, tmp_path):
+    """late-r14 regression (found by the append streaming gate): an
+    append/overwrite to a schema-EVOLVED Iceberg table must carry the
+    table's REAL schemas list and current-schema-id — the pre-fix tail
+    hardcoded create-time values, collapsing `schemas` to one entry
+    while current-schema-id pointed at an unlisted id (corrupt
+    metadata for every reader)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        alter_iceberg_table,
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame([(1, "a")], "id long, val string"), p)
+    alter_iceberg_table(p, add_columns=[("score", "double")])
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id long, val string, score double"
+        ),
+        p, mode="append",
+    )
+    meta = _iceberg_current_metadata(p)
+    ids = {s["schema-id"] for s in meta["schemas"]}
+    assert meta["current-schema-id"] in ids and len(ids) == 2
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert snap["schema-id"] == meta["current-schema-id"]
+    got = {(r.id, r.val, r.score) for r in read_iceberg(spark, p).collect()}
+    assert got == {(1, "a", None), (2, "b", 1.5)}
+    # Everything downstream of the registry still works: predicate DML.
+    _sid, n = delete_iceberg_where(spark, p, [("id", "=", 1)])
+    assert n == 1
+    assert {r.id for r in read_iceberg(spark, p).collect()} == {2}
+    # properties carry too (not reset to the create-time default).
+    assert "write.format.default" in meta.get("properties", {})

@@ -586,3 +586,86 @@ def test_foreign_delta_cdf_streaming_source(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="CDC capture"):
         drain()
+
+
+def test_foreign_iceberg_append_streaming_source(spark, tmp_path):
+    """FOREIGN Iceberg append chain as a streaming source (late-r14):
+    a real Iceberg v2 table's appended files stream through
+    .option('feed', 'iceberg_appends') — offsets are snapshot ids,
+    checkpointed restarts deliver only new snapshots, schema evolution
+    null-fills pre-evolution files, and a non-append snapshot in the
+    range aborts loudly instead of misreading layout moves as rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        alter_iceberg_table,
+        delete_iceberg_where,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "fice")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"
+        ).coalesce(1),
+        path,
+    )
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, val string").coalesce(1),
+        path, mode="append",
+    )
+    register_lake_datasource(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", path)
+            .option("feed", "iceberg_appends")
+            .option("starting_snapshot_id", "-1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    meta = _iceberg_current_metadata(path)
+    sids = {
+        s["snapshot-id"]: i for i, s in enumerate(meta["snapshots"])
+    }
+    got = {(r.id, r.val, sids[r._snapshot_id]) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", 0), (2, "b", 0), (3, "c", 1)}
+
+    # Schema evolution mid-stream: new column null-fills old files'
+    # rows; a restart delivers ONLY the new snapshot's rows.
+    alter_iceberg_table(path, add_columns=[("score", "double")])
+    write_iceberg(
+        spark.createDataFrame(
+            [(4, "d", 1.5)], "id long, val string, score double"
+        ).coalesce(1),
+        path, mode="append",
+    )
+    drain()
+    rows = {
+        (r.id, r.val, r.score)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(sink).collect()
+    }
+    assert (4, "d", 1.5) in rows
+    assert len(rows) == 4  # restart added exactly one new row
+
+    # A non-append snapshot (predicate DELETE) aborts the stream.
+    delete_iceberg_where(spark, path, [("id", "=", 1)])
+    write_iceberg(
+        spark.createDataFrame(
+            [(5, "e", None)], "id long, val string, score double"
+        ).coalesce(1),
+        path, mode="append",
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="delete|non-append|append-only"):
+        drain()

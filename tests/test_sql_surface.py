@@ -1489,5 +1489,30 @@ def test_sql_optimize_binpack(spark, tmp_path):
     # Idempotent second run.
     r2 = lake.sql(f"OPTIMIZE delta.`{dp}` BINPACK")
     assert r2["compacted"] is False
-    with pytest.raises(NotImplementedError, match="clustering"):
-        lake.sql("OPTIMIZE hudi.`/nope` BINPACK")
+    # The Hudi form is the clustering service (gated in
+    # test_interop.test_cluster_hudi_replacecommit).
+
+
+def test_sql_optimize_binpack_hudi(spark, tmp_path):
+    """late-r14: OPTIMIZE hudi.`p` BINPACK routes to the clustering
+    replacecommit."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_visible_groups,
+        read_hudi,
+        write_hudi,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    hp = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "id long, val string"
+        ),
+        hp, record_key="id", num_buckets=4,
+    )
+    n0 = sum(len(v) for v in _hudi_visible_groups(hp).values())
+    r = lake.sql(f"OPTIMIZE hudi.`{hp}` BINPACK TARGET 64 MB")
+    assert r["action"] == "binpack" and r["compacted"]
+    assert sum(len(v) for v in _hudi_visible_groups(hp).values()) < n0
+    assert {x.id for x in read_hudi(spark, hp).collect()} == set(range(12))
+    assert lake.sql(f"OPTIMIZE hudi.`{hp}` BINPACK")["compacted"] is False
