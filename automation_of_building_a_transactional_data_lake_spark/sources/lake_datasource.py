@@ -382,6 +382,39 @@ class LakeDataSource(DataSource):
             )
         return schema.add("_snapshot_id", LongType(), False)
 
+    def _hudi_incremental_schema(self) -> StructType:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from ..formats.interop import (
+            _hudi_any_base_file,
+            _hudi_commit_schema,
+            _hudi_spark_type_of_avro,
+        )
+
+        path = self._table_path()
+        base = _hudi_any_base_file(path)
+        if base is None:
+            raise FileNotFoundError(
+                f"Hudi table at {path} has no committed base file"
+            )
+        schema = from_arrow_schema(pq.ParquetFile(base).schema_arrow)
+        # Commit-metadata schema is the authority beyond the base files
+        # (log-only evolution) — extend with typed nulls, the batch
+        # reader's rule.
+        have = {f.name for f in schema.fields}
+        for fld in (_hudi_commit_schema(path) or {}).get("fields", []):
+            n = fld.get("name", "")
+            if not n or n in have:
+                continue
+            try:
+                schema = schema.add(
+                    n, _hudi_spark_type_of_avro(fld.get("type")), True
+                )
+            except NotImplementedError:
+                continue
+        return schema
+
     def schema(self) -> StructType:
         feed = self.options.get("feed")
         if feed == "changes":
@@ -390,11 +423,13 @@ class LakeDataSource(DataSource):
             return self._delta_changes_schema()
         if feed == "iceberg_appends":
             return self._iceberg_appends_schema()
+        if feed == "hudi_incremental":
+            return self._hudi_incremental_schema()
         return self._batch_schema()
 
     def reader(self, schema: StructType) -> "LakeReader":
         if self.options.get("feed") in (
-            "changes", "delta_changes", "iceberg_appends"
+            "changes", "delta_changes", "iceberg_appends", "hudi_incremental"
         ):
             raise ValueError(
                 "change feeds are STREAMING sources (spark.readStream); "
@@ -412,14 +447,20 @@ class LakeDataSource(DataSource):
             return IcebergAppendFeedReader(
                 self._table_path(), dict(self.options), schema
             )
+        if feed == "hudi_incremental":
+            return HudiIncrementalFeedReader(
+                self._table_path(), dict(self.options), schema
+            )
         meta = self._feed_meta()
         if feed != "changes":
             raise ValueError(
                 "streaming the lakehouse format requires .option('feed', "
                 "'changes') (managed tables), .option('feed', "
-                "'delta_changes') (a foreign Delta table's CDF), or "
+                "'delta_changes') (a foreign Delta table's CDF), "
                 ".option('feed', 'iceberg_appends') (a foreign Iceberg "
-                "table's append chain)"
+                "table's append chain), or .option('feed', "
+                "'hudi_incremental') (a foreign Hudi table's incremental "
+                "pull)"
             )
         fmt = "mor" if meta.get("format") == "mor" else "cow"
         return LakeChangeFeedReader(self._table_path(), dict(self.options), schema, fmt)
@@ -1156,6 +1197,116 @@ class IcebergAppendFeedReader(DataSourceStreamReader):
             else:
                 # Schema evolution: pre-evolution files read the added
                 # column as null, the batch reader's rule.
+                cols.append(pa.nulls(n, field.type))
+        yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        return
+
+
+# -- FOREIGN Hudi incremental pull as a streaming source (late-r14) ----------
+
+
+class HudiIncrementalPartition(InputPartition):
+    def __init__(self, path: str, from_instant: str) -> None:
+        self.path = path
+        self.from_instant = from_instant
+
+
+class HudiIncrementalFeedReader(DataSourceStreamReader):
+    """Structured-Streaming source over a FOREIGN Hudi table's
+    INCREMENTAL pull — the streaming twin of
+    ``formats/interop.read_hudi_incremental`` (native Hudi's
+    ``hoodie.datasource.query.type=incremental``), activated by
+    ``.option("feed", "hudi_incremental")`` on a path holding a real
+    ``.hoodie`` timeline: each micro-batch delivers the rows whose
+    ``_hoodie_commit_time`` lies in (last offset, head] — an updated
+    key exactly once at its latest in-range state. Offsets are
+    timeline instants (O(1) driver metadata per poll); planning opens
+    only file groups whose latest base slice changed in the range.
+    File groups carrying LOG FILES abort loudly (the Python-worker
+    arrow path cannot run the distributed log merge — run
+    ``compact_hudi`` first, or consume the batch
+    ``read_hudi_incremental``, which merges MoR debt exactly).
+    ``starting_instant=""`` streams the whole history; the default
+    streams only NEW commits. Deletes are invisible (native
+    incremental's own limitation)."""
+
+    def __init__(self, table_path: str, options: dict, schema: StructType) -> None:
+        self.table_path = table_path
+        self.options = options
+        self.schema_ = schema
+
+    def _head(self) -> str:
+        from ..formats.interop import (
+            _hudi_completed_instants,
+            _hudi_instant_key,
+        )
+
+        done = _hudi_completed_instants(self.table_path)
+        return max(done, key=_hudi_instant_key) if done else ""
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        start = self.options.get("starting_instant")
+        return {"instant": start if start is not None else self._head()}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"instant": self._head()}
+
+    def partitions(self, start: dict, end: dict):
+        from ..formats.interop import _hudi_file_slices, _hudi_instant_key
+
+        out: list[HudiIncrementalPartition] = []
+        s_inst, e_inst = start["instant"], end["instant"]
+        if e_inst and s_inst != e_inst:
+            _c, latest, slice_logs = _hudi_file_slices(
+                self.table_path, as_of=e_inst
+            )
+            skey = _hudi_instant_key(s_inst) if s_inst else None
+            for k, (ts, path) in sorted(latest.items()):
+                changed = skey is None or _hudi_instant_key(ts) > skey
+                if not changed and k not in slice_logs:
+                    continue
+                if k in slice_logs:
+                    raise NotImplementedError(
+                        f"file group {k} carries log files; the streaming "
+                        "incremental feed cannot merge MoR debt — run "
+                        "compact_hudi first, or use the batch "
+                        "read_hudi_incremental"
+                    )
+                out.append(
+                    HudiIncrementalPartition(os.path.abspath(path), s_inst)
+                )
+        if not out:
+            out.append(HudiIncrementalPartition("", e_inst))
+        return out
+
+    def read(self, partition: HudiIncrementalPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not partition.path:
+            return
+        target = to_arrow_schema(self.schema_)
+        tbl = pq.read_table(partition.path)
+        if partition.from_instant and "_hoodie_commit_time" in tbl.column_names:
+            from ..formats.interop import _hudi_instant_key
+
+            fkey = _hudi_instant_key(partition.from_instant)
+            cts = tbl.column("_hoodie_commit_time").to_pylist()
+            mask = pa.array(
+                [c is not None and _hudi_instant_key(c) > fkey for c in cts]
+            )
+            tbl = tbl.filter(mask)
+        n = len(tbl)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                # Commit-schema evolution: pre-evolution files read the
+                # added column as null, the batch reader's rule.
                 cols.append(pa.nulls(n, field.type))
         yield from pa.table(cols, schema=target).to_batches(max_chunksize=1 << 16)
 

@@ -10102,3 +10102,118 @@ def test_write_iceberg_append_carries_schema_registry(spark, tmp_path):
     assert {r.id for r in read_iceberg(spark, p).collect()} == {2}
     # properties carry too (not reset to the create-time default).
     assert "write.format.default" in meta.get("properties", {})
+
+
+def test_read_hudi_incremental(spark, tmp_path):
+    """late-r14: the Hudi incremental query — rows whose
+    _hoodie_commit_time lies in (from, to], updated keys exactly once
+    at their latest in-range state, O(changed groups) planning (an
+    untouched group's base file never reaches the scan), MoR log
+    changes included through the real merge, deletes invisible
+    (native's own limitation)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_completed_instants,
+        read_hudi,
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"c{i % 2}") for i in range(10)],
+            "id long, val string, cat string",
+        ),
+        p, record_key="id", partition_by=["cat"], num_buckets=2,
+    )
+    t0 = max(_hudi_completed_instants(p))
+    # Commit 2: update id=1, insert id=10.
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "V1", "c1"), (10, "v10", "c0")],
+            "id long, val string, cat string",
+        ),
+        p, record_key="id", mode="upsert",
+    )
+    t1 = max(_hudi_completed_instants(p))
+    # Commit 3: update id=1 again, update id=2.
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "V1B", "c1"), (2, "V2", "c0")],
+            "id long, val string, cat string",
+        ),
+        p, record_key="id", mode="upsert",
+    )
+    t2 = max(_hudi_completed_instants(p))
+
+    # (t0, t2]: both commits fold — id=1 exactly once at latest state.
+    inc = read_hudi_incremental(spark, p, t0)
+    got = {(r.id, r.val) for r in inc.select("id", "val").collect()}
+    assert got == {(1, "V1B"), (2, "V2"), (10, "v10")}
+    # (t0, t1]: only commit 2's state.
+    inc1 = read_hudi_incremental(spark, p, t0, to_instant=t1)
+    got1 = {(r.id, r.val) for r in inc1.select("id", "val").collect()}
+    assert got1 == {(1, "V1"), (10, "v10")}
+    # (t1, t2]: only commit 3.
+    inc2 = read_hudi_incremental(spark, p, t1, to_instant=t2)
+    got2 = {(r.id, r.val) for r in inc2.select("id", "val").collect()}
+    assert got2 == {(1, "V1B"), (2, "V2")}
+    # From the beginning: everything at latest state == the snapshot.
+    all_rows = {
+        (r.id, r.val)
+        for r in read_hudi_incremental(spark, p, "").select("id", "val").collect()
+    }
+    snap = {(r.id, r.val) for r in read_hudi(spark, p).select("id", "val").collect()}
+    assert all_rows == snap
+    # O(changed groups) planning: an untouched group's base file never
+    # reaches the scan.
+    files = set(inc2.inputFiles())
+    n_all = len(read_hudi(spark, p).inputFiles())
+    assert 0 < len(files) < n_all
+    # Empty range: typed empty frame.
+    assert read_hudi_incremental(spark, p, t2).count() == 0
+    # meta columns kept by default; drop_meta drops them.
+    assert "_hoodie_commit_time" in inc.columns
+    assert not [
+        c
+        for c in read_hudi_incremental(spark, p, t0, drop_meta=True).columns
+        if c.startswith("_hoodie_")
+    ]
+
+
+def test_read_hudi_incremental_mor_and_stream_abort(spark, tmp_path):
+    """late-r14: incremental on a MERGE_ON_READ table folds the log
+    debt exactly (the batch path runs read_hudi's real merge); the
+    STREAMING feed refuses the log-bearing group toward compact_hudi."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_completed_instants,
+        read_hudi_incremental,
+        write_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sources.lake_datasource import (
+        HudiIncrementalFeedReader,
+    )
+
+    p = str(tmp_path / "m")
+    write_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, val string"
+        ),
+        p, record_key="id", num_buckets=2, table_type="MERGE_ON_READ",
+    )
+    t0 = max(_hudi_completed_instants(p))
+    write_hudi(
+        spark.createDataFrame([(1, "V1"), (9, "v9")], "id long, val string"),
+        p, record_key="id", mode="upsert", table_type="MERGE_ON_READ",
+    )
+    inc = read_hudi_incremental(spark, p, t0)
+    got = {(r.id, r.val) for r in inc.select("id", "val").collect()}
+    assert got == {(1, "V1"), (9, "v9")}
+    # Streaming feed: the log-bearing group aborts loudly.
+    from pyspark.sql.types import StructType
+
+    rdr = HudiIncrementalFeedReader(p, {}, StructType([]))
+    with pytest.raises(NotImplementedError, match="compact_hudi"):
+        rdr.partitions(
+            {"instant": t0}, {"instant": max(_hudi_completed_instants(p))}
+        )

@@ -669,3 +669,58 @@ def test_foreign_iceberg_append_streaming_source(spark, tmp_path):
 
     with pytest.raises(Exception, match="delete|non-append|append-only"):
         drain()
+
+
+def test_foreign_hudi_incremental_streaming_source(spark, tmp_path):
+    """FOREIGN Hudi incremental pull as a streaming source (late-r14):
+    a real Hudi CoW table's commits stream through
+    .option('feed', 'hudi_incremental') — updated keys exactly once at
+    their latest in-range state, offsets are timeline instants,
+    checkpointed restarts deliver only new commits, and a log-bearing
+    group (MoR debt) aborts toward compact_hudi."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    path = str(tmp_path / "fhudi")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"
+        ),
+        path, record_key="id", num_buckets=2,
+    )
+    register_lake_datasource(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", path)
+            .option("feed", "hudi_incremental")
+            .option("starting_instant", "")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got = {
+        (r.id, r.val)
+        for r in spark.read.parquet(sink).select("id", "val").collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+    # An upsert commit: restart delivers ONLY the changed/new keys.
+    write_hudi(
+        spark.createDataFrame([(1, "A1"), (3, "c")], "id long, val string"),
+        path, record_key="id", mode="upsert",
+    )
+    drain()
+    got = sorted(
+        (r.id, r.val)
+        for r in spark.read.parquet(sink).select("id", "val").collect()
+    )
+    assert got == [(1, "A1"), (1, "a"), (2, "b"), (3, "c")]
