@@ -208,13 +208,12 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
             "non-append commits, which the overwrite path does not produce; "
             "it would leave an unreconstructable hole in the feed"
         )
-    # CHECK constraints live in table configuration (writer version 3).
-    bad_constraints = [k for k in conf if k.startswith("delta.constraints.")]
-    if bad_constraints:
-        raise NotImplementedError(
-            f"Delta CHECK constraints {bad_constraints} are not enforced by "
-            "this writer — refusing to write"
-        )
+    # CHECK constraints (writer version 3) are ENFORCED, not refused,
+    # since late-r14: every path that introduces NEW row values runs
+    # _delta_enforce_constraints before staging (write_delta append/
+    # overwrite/create, merge_delta's batch, update_delta_where's
+    # post-image); rewrites of existing rows (compact/binpack/restore/
+    # truncate/delete) cannot create a violation.
     # Invariants / generated / identity columns ride as per-field
     # metadata (writer versions 2/4/6) — scan for ACTUAL usage rather
     # than blanket-rejecting protocol versions: a CDF table's protocol
@@ -264,6 +263,135 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
         )
     # mwv 3-6 carry no demands beyond the concrete scans above
     # (constraints v3, CDF/generated v4, column mapping v5, identity v6).
+
+
+def _delta_constraints(conf: dict | None) -> dict[str, str]:
+    return {
+        k[len("delta.constraints."):]: v
+        for k, v in (conf or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+
+
+def _delta_enforce_constraints(df: DataFrame, conf: dict | None) -> None:
+    """Enforce the table's CHECK constraints on rows about to be
+    WRITTEN (late-r14 — the native writer-version-3 contract, lifted
+    from a blanket refusal): a row violates when the expression
+    evaluates provably FALSE (NULL passes, the SQL-standard CHECK
+    rule). Raises with the constraint name and one offending row —
+    nothing stages, nothing commits."""
+    for name, expr in sorted(_delta_constraints(conf).items()):
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by row "
+                f"{bad[0].asDict()}"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` on a REAL
+    foreign Delta table: validates the EXISTING rows first (native
+    behavior — a constraint the current data violates refuses), then
+    commits the configuration change metadata-only, raising the
+    protocol to minWriterVersion 3 when needed. Returns the committed
+    version."""
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(f"constraint name {name!r} must be alphanumeric")
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "append")
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name.lower()}"
+    if key in conf:
+        raise ValueError(f"constraint {name!r} already exists: {conf[key]}")
+    # Native rule: existing rows must already satisfy the constraint.
+    cur = read_delta(spark, table_path)
+    bad = cur.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r}: existing row "
+            f"{bad[0].asDict()} violates ({expr})"
+        )
+    conf[key] = expr
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    proto = dict(state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2})
+    actions: list[dict] = []
+    if int(proto.get("minWriterVersion", 1)) < 3 and "writerFeatures" not in proto:
+        proto["minWriterVersion"] = 3
+        actions.append({"protocol": proto})
+    elif "writerFeatures" in proto and "checkConstraints" not in proto["writerFeatures"]:
+        proto = dict(proto)
+        proto["writerFeatures"] = sorted(
+            set(proto["writerFeatures"]) | {"checkConstraints"}
+        )
+        actions.append({"protocol": proto})
+    ts = int(time.time() * 1000)
+    actions.append({"metaData": new_meta})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name.lower(), "expr": expr},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        }
+    )
+    next_version = state["version"] + 1
+    log_path = os.path.join(table_path, _DELTA_LOG, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version
+
+
+def drop_delta_constraint(table_path: str, name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT name`` — metadata-only.
+    Returns the committed version."""
+    state = _delta_replay(table_path, None)
+    meta = state["metaData"]
+    _delta_guard_writer(state["protocol"], meta, "append")
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name.lower()}"
+    if key not in conf:
+        raise KeyError(f"no CHECK constraint {name!r} on {table_path}")
+    del conf[key]
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    ts = int(time.time() * 1000)
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name.lower()},
+                "engineInfo": "transactional-data-lake-spark interop",
+            }
+        },
+    ]
+    next_version = state["version"] + 1
+    log_path = os.path.join(table_path, _DELTA_LOG, f"{next_version:020d}.json")
+    fd = os.open(log_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    except Exception:
+        os.unlink(log_path)
+        raise
+    _delta_maybe_checkpoint(table_path, next_version)
+    return next_version
 
 
 def _norm_pv(pv) -> dict:
@@ -1909,6 +2037,10 @@ def write_delta(
         conf = dict(configuration or {})
         cdf_on = conf.get("delta.enableChangeDataFeed", "false").lower() == "true"
         dv_on = conf.get("delta.enableDeletionVectors", "false").lower() == "true"
+        cons_on = bool(_delta_constraints(conf))
+        if cons_on:
+            # CHECK constraints gate the very first batch too.
+            _delta_enforce_constraints(df, conf)
         os.makedirs(log_dir, exist_ok=True)
         if dv_on:
             # Deletion vectors are a TABLE FEATURE (spec): reader
@@ -1917,6 +2049,8 @@ def write_delta(
             wfeats = ["appendOnly", "invariants", "deletionVectors"]
             if cdf_on:
                 wfeats.append("changeDataFeed")
+            if cons_on:
+                wfeats.append("checkConstraints")
             protocol = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
@@ -1927,8 +2061,11 @@ def write_delta(
             protocol = {
                 "minReaderVersion": 1,
                 # CDF tables demand writer protocol 4 (spec): every
-                # later writer must know to capture change data.
-                "minWriterVersion": 4 if cdf_on else 2,
+                # later writer must know to capture change data; CHECK
+                # constraints demand 3.
+                "minWriterVersion": (
+                    4 if cdf_on else (3 if cons_on else 2)
+                ),
             }
         actions.append({"protocol": protocol})
         actions.append(
@@ -1951,6 +2088,11 @@ def write_delta(
             )
         state = _delta_replay(table_path, None)
         _delta_guard_writer(state["protocol"], state["metaData"], mode)
+        # CHECK constraints gate the incoming LOGICAL rows (before any
+        # physical renaming below).
+        _delta_enforce_constraints(
+            df, state["metaData"].get("configuration")
+        )
         next_version = state["version"] + 1
         recorded_parts = list(state["metaData"].get("partitionColumns") or [])
         if partition_by and partition_by != recorded_parts:
@@ -2287,6 +2429,9 @@ def merge_delta(
                 evolved_meta["configuration"] = cm_conf
             evolved_meta["schemaString"] = json.dumps(schema.jsonValue())
         src = source.select(*cols)
+        # CHECK constraints gate the incoming rows (deletes can't
+        # introduce a violating value).
+        _delta_enforce_constraints(src, meta.get("configuration"))
     else:
         if key not in source.columns:
             raise ValueError(f"delete source lacks the key column {key!r}")
@@ -2926,6 +3071,9 @@ def _delta_rewrite_where(
         # (single select — SQL UPDATE semantics, so SET a = b, b = a
         # swaps), cast to the declared column type.
         out_df = rewrite_df.select(*upd).select(*cols)
+        # CHECK constraints gate the POST-update rows (an UPDATE is
+        # the one rewrite that can introduce a violating value).
+        _delta_enforce_constraints(matched.select(*post).select(*cols), conf)
         cdc_df = (
             matched.select(*cols)
             .withColumn("_change_type", F.lit("update_preimage"))
@@ -3115,19 +3263,18 @@ def restore_delta(table_path: str, version: int) -> int:
     return next_version
 
 
-def binpack_delta(
-    spark: SparkSession, table_path: str, target_bytes: int = 134217728
+def _delta_layout_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    target_bytes: int,
+    zorder_by: list[str] | None,
 ) -> tuple[int | None, dict]:
-    """Small-file compaction on a REAL foreign Delta table — what the
-    native ``OPTIMIZE`` bin-packing does: per partition, live files
-    under ``target_bytes`` coalesce into ~target-size outputs; a
-    partition with fewer than two small files is already optimal and
-    is untouched. The commit is ``dataChange=False`` remove+add — the
-    CDF algorithm sees NO row-level change (a pure layout move), time
-    travel keeps the old layout. DV-carrying files are left to
-    ``compact_delta`` (debt first, then layout); column-mapped tables
-    restage physically. Returns (version or None when nothing to do,
-    {"removed": n, "added": m})."""
+    """Shared engine of ``binpack_delta`` / ``zorder_delta``: a
+    ``dataChange=False`` layout move. Binpack selects SMALL live files
+    per partition; zorder selects EVERY clean live file of any
+    multi-file partition (re-sorting is the point, size is not the
+    criterion) and range-partitions by the Morton code so each output
+    file gets a tight min/max box on all clustered columns at once."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     state = _delta_replay(table_path, None)
@@ -3142,11 +3289,18 @@ def binpack_delta(
     file_schema, read_names, phys, rsess = _delta_file_resolution(
         spark, meta, schema, pcols
     )
+    if zorder_by:
+        bad = [c for c in zorder_by if c in pcols]
+        if bad:
+            raise ValueError(
+                f"ZORDER BY columns {bad} are partition columns — "
+                "partition dirs already separate them"
+            )
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, add in state["files"].items():
         if add.get("deletionVector"):
             continue  # debt files belong to compact_delta
-        if int(add.get("size", 0) or 0) >= target_bytes:
+        if not zorder_by and int(add.get("size", 0) or 0) >= target_bytes:
             continue
         pv = add.get("partitionValues") or {}
         key = tuple((c, pv.get(phys.get(c, c))) for c in pcols)
@@ -3183,7 +3337,19 @@ def binpack_delta(
                 )
             else:
                 gsel.append(F.col(read_names[f.name]).alias(f.name))
-        out = df.select(*gsel).coalesce(int(n_bins))
+        scan = df.select(*gsel)
+        if zorder_by:
+            from .zorder import zorder_value
+
+            z = zorder_value(scan, list(zorder_by), table_path)
+            out = (
+                scan.withColumn("__z", z)
+                .repartitionByRange(int(n_bins), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            out = scan.coalesce(int(n_bins))
         staged = _delta_physical_batch(out, schema) if cm_on else out
         for rel, _a in sorted(members):
             actions.append(
@@ -3201,14 +3367,17 @@ def binpack_delta(
             a["dataChange"] = False
             actions.append({"add": a})
             n_added += 1
+    opp: dict = {"targetBytes": int(target_bytes)}
+    if zorder_by:
+        opp["zOrderBy"] = json.dumps(list(zorder_by))
+    else:
+        opp["binpack"] = True
     actions.append(
         {
             "commitInfo": {
                 "timestamp": ts,
                 "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetBytes": int(target_bytes), "binpack": True,
-                },
+                "operationParameters": opp,
                 "engineInfo": "transactional-data-lake-spark interop",
             }
         }
@@ -3228,8 +3397,51 @@ def binpack_delta(
     return next_version, {"removed": n_removed, "added": n_added}
 
 
-def binpack_iceberg(
+def binpack_delta(
     spark: SparkSession, table_path: str, target_bytes: int = 134217728
+) -> tuple[int | None, dict]:
+    """Small-file compaction on a REAL foreign Delta table — what the
+    native ``OPTIMIZE`` bin-packing does: per partition, live files
+    under ``target_bytes`` coalesce into ~target-size outputs; a
+    partition with fewer than two small files is already optimal and
+    is untouched. The commit is ``dataChange=False`` remove+add — the
+    CDF algorithm sees NO row-level change (a pure layout move), time
+    travel keeps the old layout. DV-carrying files are left to
+    ``compact_delta`` (debt first, then layout); column-mapped tables
+    restage physically. Returns (version or None when nothing to do,
+    {"removed": n, "added": m})."""
+    return _delta_layout_rewrite(spark, table_path, target_bytes, None)
+
+
+def zorder_delta(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: list[str],
+    target_bytes: int = 134217728,
+) -> tuple[int | None, dict]:
+    """``OPTIMIZE ... ZORDER BY`` on a REAL foreign Delta table
+    (late-r14): every clean live file of each multi-file partition
+    rewrites range-partitioned by the MORTON CODE of ``zorder_by`` —
+    rows close in z are close in every clustered dimension, so each
+    output file carries a tight min/max box on ALL the columns at once
+    and multi-column stats skipping engages (the shared
+    ``formats/zorder`` math the managed table uses). dataChange=False:
+    change feeds see nothing, time travel keeps the old layout.
+    Partition columns refuse (their dirs already separate); DV debt
+    routes to ``compact_delta`` first. Returns (version or None,
+    {"removed": n, "added": m})."""
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    return _delta_layout_rewrite(
+        spark, table_path, target_bytes, list(zorder_by)
+    )
+
+
+def binpack_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    target_bytes: int = 134217728,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int | None, dict]:
     """Small-file compaction on a REAL foreign Iceberg v2 table (the
     native ``rewrite_data_files`` bin-packing): live data files under
@@ -3308,8 +3520,8 @@ def binpack_iceberg(
         for e, p in zip(live, paths):
             dfr = e["data_file"]
             size = int(dfr.get("file_size_in_bytes", 0) or 0)
-            if size >= target_bytes:
-                continue
+            if not zorder_by and size >= target_bytes:
+                continue  # binpack: only small files; zorder: all
             pkey = json.dumps(dfr.get("partition") or {}, sort_keys=True, default=str)
             by_part.setdefault(pkey, []).append((p, size))
     retire: set[str] = set()
@@ -3323,11 +3535,19 @@ def binpack_iceberg(
         return None, {"removed": 0, "added": 0}
 
     n_bins = max(1, -(-total_bytes // target_bytes))
-    out = (
-        spark.read.schema(schema)
-        .parquet(*sorted(retire))
-        .coalesce(int(n_bins))
-    )
+    scan = spark.read.schema(schema).parquet(*sorted(retire))
+    if zorder_by:
+        from .zorder import zorder_value
+
+        z = zorder_value(scan, list(zorder_by), table_path)
+        out = (
+            scan.withColumn("__z", z)
+            .repartitionByRange(int(n_bins), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = scan.coalesce(int(n_bins))
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int >> 65
     seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -3368,6 +3588,31 @@ def binpack_iceberg(
         snapshot_id, sid, seq, now_ms, summary,
     )
     return new_sid, {"removed": len(retire), "added": n_added}
+
+
+def zorder_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: list[str],
+    target_bytes: int = 134217728,
+) -> tuple[int | None, dict]:
+    """``rewrite_data_files(strategy => 'sort', sort_order =>
+    zorder(...))`` on a REAL foreign Iceberg v2 table (late-r14):
+    every clean live file of each multi-file partition rewrites
+    range-partitioned by the Morton code of ``zorder_by`` (the shared
+    ``formats/zorder`` math), so each output file carries tight
+    min/max column bounds — which the manifests then RECORD
+    (``lower_bounds``/``upper_bounds``), making ``where=`` range
+    skipping engage on every clustered column at once. Commits the
+    spec's ``replace`` operation; live row-level deletes refuse toward
+    ``compact_iceberg`` first. Returns (new snapshot id or None,
+    {"removed": n, "added": m})."""
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    return binpack_iceberg(
+        spark, table_path, target_bytes=target_bytes,
+        zorder_by=list(zorder_by),
+    )
 
 
 def truncate_delta(table_path: str) -> tuple[int, int | None]:

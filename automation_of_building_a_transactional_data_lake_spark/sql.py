@@ -998,6 +998,38 @@ class LakeSQL:
                     "schema lives in commit metadata; evolve it with the "
                     "next upsert via write_hudi(evolve=True)"
                 )
+            cm_add = re.match(
+                r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*\((?P<e>.+)\)$",
+                rest, re.IGNORECASE | re.DOTALL,
+            )
+            cm_drop = re.match(
+                r"DROP\s+CONSTRAINT\s+(?P<n>\w+)$", rest, re.IGNORECASE
+            )
+            if cm_add or cm_drop:
+                # CHECK constraints as text (late-r14): Delta-native —
+                # ADD validates existing rows first, every later write
+                # through this engine enforces the expression.
+                if fmt != "delta":
+                    raise NotImplementedError(
+                        f"CHECK constraints on a {fmt} path are not "
+                        "supported — the Delta protocol carries them in "
+                        "table configuration; use a delta table"
+                    )
+                from .formats.interop import (
+                    add_delta_constraint,
+                    drop_delta_constraint,
+                )
+
+                if cm_add:
+                    v = add_delta_constraint(
+                        self.spark, path, cm_add.group("n"),
+                        cm_add.group("e").strip(),
+                    )
+                    act = "add_constraint"
+                else:
+                    v = drop_delta_constraint(path, cm_drop.group("n"))
+                    act = "drop_constraint"
+                return {"action": act, "format": fmt, "version": v}
             am = re.match(
                 r"ADD\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s+(?P<ty>[\w()<>, ]+?)\s*\)?$",
                 rest, re.IGNORECASE,
@@ -1089,6 +1121,31 @@ class LakeSQL:
             else:
                 out = clean_hudi(p, keep_last_slices=n)
             return {"action": "vacuum", "format": fmt, **out}
+
+        m = re.match(
+            r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
+            r"\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Multi-dimensional clustering as text (late-r14): the
+            # Morton-code rewrite that makes min/max skipping work on
+            # several columns at once (shared formats/zorder math).
+            from .formats.interop import zorder_delta, zorder_iceberg
+
+            fmt = m.group("fmt").lower()
+            if fmt == "hudi":
+                raise NotImplementedError(
+                    "ZORDER on a Hudi path is not supported — use "
+                    "OPTIMIZE hudi.`p` BINPACK (clustering) instead"
+                )
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+            fn = zorder_delta if fmt == "delta" else zorder_iceberg
+            v, stats = fn(self.spark, m.group("p"), cols)
+            return {
+                "action": "zorder", "format": fmt, "columns": cols,
+                "compacted": v is not None, "commit": v, **stats,
+            }
 
         m = re.match(
             r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"

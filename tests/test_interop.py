@@ -1402,11 +1402,17 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="writer features"):
         write_delta(df, p, mode="append")
 
-    # CHECK constraints and generated columns refuse on ACTUAL usage.
+    # CHECK constraints ENFORCE on foreign tables since late-r14 (the
+    # blanket refusal lifted): a violating batch refuses with the
+    # constraint name; a clean one commits.
     p = fresh("chk", {"minReaderVersion": 1, "minWriterVersion": 3},
               {"delta.constraints.positive": "id > 0"})
-    with pytest.raises(NotImplementedError, match="CHECK constraints"):
-        write_delta(df, p, mode="append")
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(
+            spark.createDataFrame([(0, "zero")], "id long, val string"),
+            p, mode="append",
+        )
+    write_delta(df, p, mode="append")
     p = fresh("gen", {"minReaderVersion": 1, "minWriterVersion": 4}, {},
               schema_fields=[{"name": "id", "type": "long", "nullable": True,
                               "metadata": {"delta.generationExpression": "1"}},
@@ -10217,3 +10223,144 @@ def test_read_hudi_incremental_mor_and_stream_abort(spark, tmp_path):
         rdr.partitions(
             {"instant": t0}, {"instant": max(_hudi_completed_instants(p))}
         )
+
+
+def test_delta_check_constraints_enforced(spark, tmp_path):
+    """late-r14 (lifting the blanket constraint refusal): Delta CHECK
+    constraints enforce on every path that introduces new row values —
+    create, append, merge, predicate UPDATE — with SQL-standard NULL
+    semantics (null passes); ADD CONSTRAINT validates existing rows
+    and bumps the protocol; DROP removes enforcement; a foreign table
+    carrying constraints is writable again (the old fence)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        add_delta_constraint,
+        drop_delta_constraint,
+        merge_delta,
+        read_delta,
+        update_delta_where,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    # Creation with a violated constraint refuses before any commit.
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_delta(
+            spark.createDataFrame([(1, -5)], "id long, n long"), p,
+            configuration={"delta.constraints.nonneg": "n >= 0"},
+        )
+    assert not (tmp_path / "d" / "_delta_log").exists() or not any(
+        (tmp_path / "d" / "_delta_log").iterdir()
+    )
+    write_delta(
+        spark.createDataFrame([(1, 5), (2, None)], "id long, n long"), p,
+        configuration={"delta.constraints.nonneg": "n >= 0"},
+    )  # null passes (SQL CHECK rule)
+    st = _delta_replay(p, None)
+    assert st["protocol"]["minWriterVersion"] >= 3
+    # Append: violation refuses, nothing commits.
+    with pytest.raises(ValueError, match="nonneg"):
+        write_delta(
+            spark.createDataFrame([(3, -1)], "id long, n long"), p,
+            mode="append",
+        )
+    assert read_delta(spark, p).count() == 2
+    # Merge: violating source refuses; clean source lands.
+    with pytest.raises(ValueError, match="nonneg"):
+        merge_delta(
+            spark.createDataFrame([(1, -9)], "id long, n long"), p,
+            key="id", mode="upsert",
+        )
+    merge_delta(
+        spark.createDataFrame([(3, 7)], "id long, n long"), p,
+        key="id", mode="upsert",
+    )
+    assert read_delta(spark, p).count() == 3
+    # Predicate UPDATE: a SET that breaks the constraint refuses.
+    with pytest.raises(ValueError, match="nonneg"):
+        update_delta_where(spark, p, [("id", "=", 1)], {"n": "-1"})
+    _v, nn = update_delta_where(spark, p, [("id", "=", 1)], {"n": "n + 1"})
+    assert nn == 1
+    # ADD CONSTRAINT validates existing rows (id=2 has n NULL: passes).
+    with pytest.raises(ValueError, match="existing row"):
+        add_delta_constraint(spark, p, "small", "n < 6")
+    add_delta_constraint(spark, p, "small", "n < 100")
+    with pytest.raises(ValueError, match="small"):
+        write_delta(
+            spark.createDataFrame([(9, 200)], "id long, n long"), p,
+            mode="append",
+        )
+    drop_delta_constraint(p, "small")
+    write_delta(
+        spark.createDataFrame([(9, 200)], "id long, n long"), p,
+        mode="append",
+    )
+    assert read_delta(spark, p).count() == 4
+    with pytest.raises(KeyError, match="no CHECK constraint"):
+        drop_delta_constraint(p, "nope")
+
+
+def test_zorder_delta_and_iceberg(spark, tmp_path):
+    """late-r14: OPTIMIZE ZORDER BY on foreign paths — content
+    identical, files carry TIGHT multi-column min/max boxes so range
+    skipping engages on BOTH clustered columns (pinned: a 2-D point
+    probe opens fewer files than the scattered layout), commit is a
+    layout move (dataChange=False / 'replace')."""
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        read_delta,
+        read_iceberg,
+        write_delta,
+        write_iceberg,
+        zorder_delta,
+        zorder_iceberg,
+    )
+
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(4000)]
+    # Delta: scattered 8-file layout -> zorder by (x, y).
+    dp = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(rows, "id long, x long, y long").repartition(8),
+        dp,
+    )
+    before = {tuple(r) for r in read_delta(spark, dp).collect()}
+    v, stats = zorder_delta(spark, dp, ["x", "y"], target_bytes=8 * 1024)
+    assert v is not None and stats["removed"] == 8 and stats["added"] >= 2
+    assert {tuple(r) for r in read_delta(spark, dp).collect()} == before
+    # Tight boxes: the where= point probe must skip files now.
+    probe = [("x", "<", 10), ("y", "<", 10)]
+    n_probe = len(read_delta(spark, dp, where=probe).inputFiles())
+    n_all = len(read_delta(spark, dp).inputFiles())
+    assert 0 < n_probe < n_all, (n_probe, n_all)
+    # dataChange=False on every remove/add of the commit.
+    st = _delta_replay(dp, None)
+    log = str(tmp_path / "d" / "_delta_log" / f"{v:020d}.json")
+    acts = [_json.loads(x) for x in open(log).read().splitlines() if x]
+    assert all(
+        not a[k].get("dataChange", True)
+        for a in acts for k in ("add", "remove") if k in a
+    )
+
+    # Iceberg twin: bounds land in the manifests, where= skips.
+    ip = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, x long, y long").repartition(8),
+        ip,
+    )
+    before_i = {tuple(r) for r in read_iceberg(spark, ip).collect()}
+    sid, stats_i = zorder_iceberg(spark, ip, ["x", "y"], target_bytes=8 * 1024)
+    assert sid is not None and stats_i["removed"] == 8
+    assert {tuple(r) for r in read_iceberg(spark, ip).collect()} == before_i
+    n_probe_i = len(read_iceberg(spark, ip, where=probe).inputFiles())
+    n_all_i = len(read_iceberg(spark, ip).inputFiles())
+    assert 0 < n_probe_i < n_all_i, (n_probe_i, n_all_i)
+    # Partition columns refuse for zorder.
+    pp = str(tmp_path / "p")
+    write_delta(
+        spark.createDataFrame(rows[:100], "id long, x long, y long"),
+        pp, partition_by=["x"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        zorder_delta(spark, pp, ["x"])

@@ -1516,3 +1516,46 @@ def test_sql_optimize_binpack_hudi(spark, tmp_path):
     assert sum(len(v) for v in _hudi_visible_groups(hp).values()) < n0
     assert {x.id for x in read_hudi(spark, hp).collect()} == set(range(12))
     assert lake.sql(f"OPTIMIZE hudi.`{hp}` BINPACK")["compacted"] is False
+
+
+def test_sql_alter_constraint_foreign_delta(spark, tmp_path):
+    """late-r14: ADD/DROP CONSTRAINT as text on a foreign Delta path."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_delta,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(spark.createDataFrame([(1, 5)], "id long, n long"), dp)
+    r = lake.sql(f"ALTER TABLE delta.`{dp}` ADD CONSTRAINT nonneg CHECK (n >= 0)")
+    assert r["action"] == "add_constraint"
+    with pytest.raises(ValueError, match="nonneg"):
+        lake.sql(f"UPDATE delta.`{dp}` SET n = -1 WHERE id = 1")
+    r = lake.sql(f"ALTER TABLE delta.`{dp}` DROP CONSTRAINT nonneg")
+    assert r["action"] == "drop_constraint"
+    assert lake.sql(f"UPDATE delta.`{dp}` SET n = -1 WHERE id = 1").source_rows == 1
+    with pytest.raises(NotImplementedError, match="delta"):
+        lake.sql("ALTER TABLE iceberg.`/nope` ADD CONSTRAINT c CHECK (1 = 1)")
+
+
+def test_sql_optimize_zorder_foreign(spark, tmp_path):
+    """late-r14: OPTIMIZE fmt.`p` ZORDER BY (c, ...) as text."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    dp = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(i, (i * 37) % 50, (i * 61) % 50) for i in range(500)],
+            "id long, x long, y long",
+        ).repartition(4),
+        dp,
+    )
+    r = lake.sql(f"OPTIMIZE delta.`{dp}` ZORDER BY (x, y)")
+    assert r["action"] == "zorder" and r["compacted"] and r["columns"] == ["x", "y"]
+    assert read_delta(spark, dp).count() == 500
+    with pytest.raises(NotImplementedError, match="BINPACK"):
+        lake.sql("OPTIMIZE hudi.`/nope` ZORDER BY (x)")
