@@ -214,25 +214,19 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
     # overwrite/create, merge_delta's batch, update_delta_where's
     # post-image); rewrites of existing rows (compact/binpack/restore/
     # truncate/delete) cannot create a violation.
-    # Invariants / generated / identity columns ride as per-field
-    # metadata (writer versions 2/4/6) — scan for ACTUAL usage rather
-    # than blanket-rejecting protocol versions: a CDF table's protocol
-    # is minWriterVersion 4, and refusing its (explicitly supported)
-    # appends on the version number alone would be a false rejection.
+    # Invariants and generated columns (writer versions 2/4) are
+    # ENFORCED/COMPUTED since late-r14 (_delta_enforce_constraints /
+    # _delta_apply_generated on every new-row path); identity columns
+    # still refuse on ACTUAL usage — assignment needs the high-water
+    # mark protocol this writer does not track. Scanning for usage
+    # rather than blanket-rejecting protocol versions: a CDF table's
+    # protocol is minWriterVersion 4, and refusing its (explicitly
+    # supported) appends on the version number alone would be a false
+    # rejection.
     for f in json.loads((meta or {}).get("schemaString") or '{"fields":[]}').get(
         "fields", []
     ):
         md = f.get("metadata") or {}
-        if md.get("delta.invariants"):
-            raise NotImplementedError(
-                f"Delta column invariant on field {f.get('name')!r} is not "
-                "enforced by this writer — refusing to write"
-            )
-        if md.get("delta.generationExpression"):
-            raise NotImplementedError(
-                f"Delta generated column {f.get('name')!r} is not computed by "
-                "this writer — refusing to write"
-            )
         if any(k.startswith("delta.identity.") for k in md):
             raise NotImplementedError(
                 f"Delta identity column {f.get('name')!r} is not assigned by "
@@ -273,14 +267,34 @@ def _delta_constraints(conf: dict | None) -> dict[str, str]:
     }
 
 
-def _delta_enforce_constraints(df: DataFrame, conf: dict | None) -> None:
-    """Enforce the table's CHECK constraints on rows about to be
-    WRITTEN (late-r14 — the native writer-version-3 contract, lifted
-    from a blanket refusal): a row violates when the expression
-    evaluates provably FALSE (NULL passes, the SQL-standard CHECK
-    rule). Raises with the constraint name and one offending row —
-    nothing stages, nothing commits."""
-    for name, expr in sorted(_delta_constraints(conf).items()):
+def _delta_enforce_constraints(
+    df: DataFrame, conf: dict | None, meta: dict | None = None
+) -> None:
+    """Enforce the table's CHECK constraints — and, when ``meta`` is
+    passed, its per-field column INVARIANTS (writer version 2's
+    ``delta.invariants`` metadata, the same contract in field clothing)
+    — on rows about to be WRITTEN (late-r14, lifted from a blanket
+    refusal): a row violates when the expression evaluates provably
+    FALSE (NULL passes, the SQL-standard CHECK rule; Delta's own
+    invariant checker treats nulls the same way). Raises with the
+    constraint name and one offending row — nothing stages, nothing
+    commits."""
+    checks = dict(_delta_constraints(conf))
+    for f in json.loads(
+        (meta or {}).get("schemaString") or '{"fields":[]}'
+    ).get("fields", []):
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"unparseable delta.invariants on field "
+                f"{f.get('name')!r}: {inv!r}"
+            ) from exc
+        checks[f"invariant:{f.get('name')}"] = expr
+    for name, expr in sorted(checks.items()):
         bad = df.filter(
             ~F.coalesce(F.expr(expr), F.lit(True))
         ).limit(1).collect()
@@ -289,6 +303,40 @@ def _delta_enforce_constraints(df: DataFrame, conf: dict | None) -> None:
                 f"CHECK constraint {name!r} ({expr}) violated by row "
                 f"{bad[0].asDict()}"
             )
+
+
+def _delta_apply_generated(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Generated columns (writer version 4's
+    ``delta.generationExpression`` field metadata), the native
+    contract, late-r14: a batch MISSING the generated column gets it
+    COMPUTED from its expression; a batch carrying it is VALIDATED —
+    any row where the value differs from the expression (null-safe)
+    refuses, exactly what Delta's own writer does. Returns the batch
+    with generated columns present, in no particular column order
+    (callers re-select the schema order)."""
+    gen: list[tuple[str, str, str]] = []  # (name, expr, spark type json)
+    for f in json.loads(
+        (meta or {}).get("schemaString") or '{"fields":[]}'
+    ).get("fields", []):
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            gen.append((f["name"], expr, json.dumps(f["type"])))
+    for name, expr, type_json in gen:
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        dt = _parse_datatype_json_string(type_json)
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr).cast(dt))
+            continue
+        bad = df.filter(
+            ~F.col(name).eqNullSafe(F.expr(expr).cast(dt))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"generated column {name!r} = {expr} violated by row "
+                f"{bad[0].asDict()}"
+            )
+    return df
 
 
 def add_delta_constraint(
@@ -2088,10 +2136,17 @@ def write_delta(
             )
         state = _delta_replay(table_path, None)
         _delta_guard_writer(state["protocol"], state["metaData"], mode)
-        # CHECK constraints gate the incoming LOGICAL rows (before any
-        # physical renaming below).
+        # Generated columns compute-or-validate, then CHECK
+        # constraints + invariants gate the incoming LOGICAL rows
+        # (before any physical renaming below).
+        df = _delta_apply_generated(df, state["metaData"])
+        tschema0 = StructType.fromJson(
+            json.loads(state["metaData"]["schemaString"])
+        )
+        if set(df.columns) == {f.name for f in tschema0.fields}:
+            df = df.select(*[f.name for f in tschema0.fields])
         _delta_enforce_constraints(
-            df, state["metaData"].get("configuration")
+            df, state["metaData"].get("configuration"), state["metaData"]
         )
         next_version = state["version"] + 1
         recorded_parts = list(state["metaData"].get("partitionColumns") or [])
@@ -2429,9 +2484,11 @@ def merge_delta(
                 evolved_meta["configuration"] = cm_conf
             evolved_meta["schemaString"] = json.dumps(schema.jsonValue())
         src = source.select(*cols)
-        # CHECK constraints gate the incoming rows (deletes can't
-        # introduce a violating value).
-        _delta_enforce_constraints(src, meta.get("configuration"))
+        # Generated columns validate, then CHECK constraints +
+        # invariants gate the incoming rows (deletes can't introduce
+        # a violating value).
+        src = _delta_apply_generated(src, meta).select(*cols)
+        _delta_enforce_constraints(src, meta.get("configuration"), meta)
     else:
         if key not in source.columns:
             raise ValueError(f"delete source lacks the key column {key!r}")
@@ -3071,9 +3128,12 @@ def _delta_rewrite_where(
         # (single select — SQL UPDATE semantics, so SET a = b, b = a
         # swaps), cast to the declared column type.
         out_df = rewrite_df.select(*upd).select(*cols)
-        # CHECK constraints gate the POST-update rows (an UPDATE is
-        # the one rewrite that can introduce a violating value).
-        _delta_enforce_constraints(matched.select(*post).select(*cols), conf)
+        # Generated columns validate and CHECK constraints +
+        # invariants gate the POST-update rows (an UPDATE is the one
+        # rewrite that can introduce a violating value).
+        post_df = matched.select(*post).select(*cols)
+        _delta_apply_generated(post_df, meta)
+        _delta_enforce_constraints(post_df, conf, meta)
         cdc_df = (
             matched.select(*cols)
             .withColumn("_change_type", F.lit("update_preimage"))

@@ -606,14 +606,25 @@ class LakeSQL:
           Iceberg form accepts hidden-partitioning transforms like
           ``days(ts)``, the reference's own DDL shape),
           ``ALTER TABLE <ident> ADD COLUMN c t | RENAME COLUMN a TO b |
-          DROP COLUMN c`` (X85), ``VACUUM <ident> [RETAIN n VERSIONS]``
+          DROP COLUMN c`` (X85; also on ``delta|iceberg.`/p``` paths as
+          metadata-only commits — X160 — plus ``ALTER TABLE delta.`/p`
+          ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n``, X166),
+          ``UPDATE fmt.`/p` SET c = expr [WHERE ...]`` / ``DELETE FROM
+          fmt.`/p` WHERE ...`` (keyless two-phase surgical DML on
+          delta/iceberg, keyed merge on hudi — X157/X159),
+          ``TRUNCATE TABLE <ident> | delta|iceberg.`/p``` (metadata-only
+          whole-table delete, X162),
+          ``VACUUM <ident> [RETAIN n VERSIONS]``
           (also ``VACUUM delta.`/p```/``iceberg.`/p```/``hudi.`/p``` —
           the real-format lifecycle: Delta VACUUM, Iceberg
           expire_snapshots, the Hudi cleaner),
           ``OPTIMIZE <ident> [ZORDER BY (c, ...)]`` (Delta maintenance
           SQL; also ``OPTIMIZE delta.`/p```/``iceberg.`/p```/
           ``hudi.`/p``` — merge-on-read debt compaction: DV purge,
-          delete-file apply+retire, log-to-base folding),
+          delete-file apply+retire, log-to-base folding — plus
+          ``... BINPACK [TARGET n MB|KB]`` small-file compaction /
+          Hudi clustering, X163, and ``... ZORDER BY (c, ...)``
+          multi-column clustering on foreign paths, X167),
           ``DESCRIBE HISTORY <ident>`` / ``DESCRIBE HISTORY
           delta.`/p``` (snapshot audit), ``RESTORE TABLE <ident> TO
           VERSION AS OF n`` (Delta RESTORE: a new version with the old

@@ -1413,13 +1413,19 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
             p, mode="append",
         )
     write_delta(df, p, mode="append")
+    # Generated columns VALIDATE since late-r14: a batch whose value
+    # disagrees with the expression refuses; an agreeing one commits.
     p = fresh("gen", {"minReaderVersion": 1, "minWriterVersion": 4}, {},
               schema_fields=[{"name": "id", "type": "long", "nullable": True,
                               "metadata": {"delta.generationExpression": "1"}},
                              {"name": "val", "type": "string", "nullable": True,
                               "metadata": {}}])
-    with pytest.raises(NotImplementedError, match="generated"):
-        write_delta(df, p, mode="append")
+    with pytest.raises(ValueError, match="generated column"):
+        write_delta(
+            spark.createDataFrame([(2, "b")], "id long, val string"),
+            p, mode="append",
+        )
+    write_delta(df, p, mode="append")  # id=1 == the expression: commits
 
     p = fresh("inv", {"minReaderVersion": 1, "minWriterVersion": 2}, {},
               schema_fields=[{"name": "id", "type": "long", "nullable": True,
@@ -1427,8 +1433,12 @@ def test_delta_writer_protocol_guards(spark, tmp_path):
                                            '{"expression":{"expression":"id > 0"}}'}},
                              {"name": "val", "type": "string", "nullable": True,
                               "metadata": {}}])
-    with pytest.raises(NotImplementedError, match="invariant"):
-        write_delta(df, p, mode="append")
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta(
+            spark.createDataFrame([(0, "z")], "id long, val string"),
+            p, mode="append",
+        )
+    write_delta(df, p, mode="append")  # id=1 satisfies the invariant
 
 
 def test_hudi_mixed_precision_instants(spark, tmp_path):
@@ -10364,3 +10374,66 @@ def test_zorder_delta_and_iceberg(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition columns"):
         zorder_delta(spark, pp, ["x"])
+
+
+def test_delta_generated_columns_compute_and_validate(spark, tmp_path):
+    """late-r14: a foreign table with delta.generationExpression —
+    a batch MISSING the generated column gets it computed; a carrying
+    batch validates value == expression null-safely; merges validate
+    too."""
+    import json as _json
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    # Hand-build a foreign table whose 'y' is generated as x * 2.
+    p = str(tmp_path / "g")
+    write_delta(
+        spark.createDataFrame([(1, 2)], "x long, y long"), p
+    )
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "y":
+                    f["metadata"]["delta.generationExpression"] = "x * 2"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 4
+    with open(log, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    # Missing column: computed.
+    write_delta(
+        spark.createDataFrame([(5,)], "x long"), p, mode="append"
+    )
+    got = {r.x: r.y for r in read_delta(spark, p).collect()}
+    assert got == {1: 2, 5: 10}
+    # Carrying batch: wrong value refuses; right value commits.
+    with pytest.raises(ValueError, match="generated column"):
+        write_delta(
+            spark.createDataFrame([(6, 13)], "x long, y long"),
+            p, mode="append",
+        )
+    write_delta(
+        spark.createDataFrame([(6, 12)], "x long, y long"), p, mode="append"
+    )
+    # Merge validates too.
+    with pytest.raises(ValueError, match="generated column"):
+        merge_delta(
+            spark.createDataFrame([(1, 99)], "x long, y long"), p,
+            key="x", mode="upsert",
+        )
+    merge_delta(
+        spark.createDataFrame([(1, 2)], "x long, y long"), p,
+        key="x", mode="upsert",
+    )
+    assert {r.x: r.y for r in read_delta(spark, p).collect()} == {
+        1: 2, 5: 10, 6: 12
+    }
