@@ -10982,6 +10982,152 @@ def update_iceberg_where(
     return _ice_rewrite_where(spark, table_path, where, dict(assigns))
 
 
+def rewrite_iceberg_manifests(table_path: str) -> tuple[int | None, dict]:
+    """Iceberg MANIFEST compaction (the native ``rewrite_manifests``
+    maintenance procedure — the metadata half of keeping a 100-TB
+    table plannable): every commit leaves one more manifest in the
+    list, and scan planning reads ALL of them, so a long-lived table's
+    O(commits) manifest count quietly becomes the driver-side
+    bottleneck. This merges all DATA manifests sharing a partition
+    spec into ONE manifest per spec — live entries carry forward
+    status-0 (EXISTING) with their ORIGINAL snapshot ids and data
+    sequence numbers (the spec's inheritance rules, so every
+    row-level-delete applicability decision is unchanged), dead
+    status-2 entries drop (only historic snapshots reference them,
+    through their own manifest lists, which stay on disk). Delete
+    manifests carry forward verbatim. Zero data bytes move; the
+    snapshot commits the spec's ``replace`` operation (logical content
+    identical — the incremental-append reader refuses to cross it, its
+    documented rule). A manifest written under a spec the metadata no
+    longer lists refuses, like every manifest rewrite here. Returns
+    (new snapshot id or None when at most one data manifest per spec,
+    {"merged": n_in, "created": n_out})."""
+    from .avro_lite import read_avro_file, write_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "manifest rewrite on a format-version 1 Iceberg table is "
+            "not supported; run upgrade_iceberg_v1_to_v2 first"
+        )
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    all_specs = {
+        int(sp.get("spec-id") or 0): sp
+        for sp in meta.get("partition-specs", [])
+    }
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    snap = snaps[sid]
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snap["manifest-list"], table_path)
+    )
+    data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
+    delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
+    by_spec: dict[int, list[dict]] = {}
+    for r in data_recs:
+        by_spec.setdefault(int(r.get("partition_spec_id") or 0), []).append(r)
+    if not any(len(v) >= 2 for v in by_spec.values()):
+        return None, {"merged": 0, "created": 0}
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mdir = os.path.join(table_path, "metadata")
+    new_mlist: list[dict] = []
+    n_merged = n_created = 0
+    for spec_id, recs in sorted(by_spec.items()):
+        if len(recs) < 2:
+            new_mlist.extend(_mlist_carry(r) for r in recs)
+            continue
+        spec_s = all_specs.get(spec_id)
+        pf_s = None
+        if spec_s is not None:
+            try:
+                pf_s = _ice_spec_part_fields(spec_s, cur_schema)
+            except (ValueError, NotImplementedError):
+                pf_s = None
+        if pf_s is None:
+            raise NotImplementedError(
+                f"cannot merge manifests under partition spec {spec_id}, "
+                "which the table metadata no longer describes — compact "
+                "the table with its native engine first"
+            )
+        entry_schema_s, _ml = _ice_manifest_schemas(pf_s)
+        merged: list[dict] = []
+        n_rows = 0
+        min_seq = seq
+        for r in recs:
+            _s2, entries = read_avro_file(
+                _iceberg_local_path(r["manifest_path"], table_path)
+            )
+            mseq = int(r.get("sequence_number") or 0)
+            for e in entries:
+                if e.get("status", 1) == 2:
+                    continue  # dead: only historic lists reference it
+                eseq = e.get("sequence_number")
+                eseq = int(eseq) if eseq is not None else mseq
+                min_seq = min(min_seq, eseq)
+                nrec = int(e["data_file"].get("record_count", 0) or 0)
+                n_rows += nrec
+                merged.append(
+                    {
+                        "status": 0,
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": eseq,
+                        "file_sequence_number": e.get(
+                            "file_sequence_number", eseq
+                        ),
+                        "data_file": _ice_datafile_carry(e["data_file"]),
+                    }
+                )
+            n_merged += 1
+        mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-mm.avro")
+        write_avro_file(
+            mpath, entry_schema_s, merged,
+            extra_meta=_ice_data_manifest_meta(
+                cur_schema, spec_s.get("fields", []), b"data", spec_id
+            ),
+        )
+        n_created += 1
+        new_mlist.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id, "content": 0,
+                "sequence_number": seq, "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(merged),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": n_rows,
+                "deleted_rows_count": 0,
+            }
+        )
+    new_mlist.extend(_mlist_carry(r) for r in delete_recs)
+    _entry_schema, mlist_schema = _ice_manifest_schemas(
+        _ice_spec_part_fields(
+            all_specs.get(int(meta.get("default-spec-id") or 0), {"fields": []}),
+            cur_schema,
+        )
+    )
+    summary = {
+        "operation": "replace",
+        "manifests-replaced": str(n_merged),
+        "manifests-created": str(n_created),
+    }
+    new_sid = _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+    )
+    return new_sid, {"merged": n_merged, "created": n_created}
+
+
 def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
     """Iceberg rollback (the catalog's ``rollback_to_snapshot``):
     move ``current-snapshot-id`` back to a RETAINED snapshot —

@@ -1134,6 +1134,23 @@ class LakeSQL:
             return {"action": "vacuum", "format": fmt, **out}
 
         m = re.match(
+            r"OPTIMIZE\s+iceberg\.`(?P<p>[^`]+)`\s+MANIFESTS$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            # Manifest compaction as text (late-r14, the native
+            # rewrite_manifests procedure): merges O(commits) data
+            # manifests into one per spec — metadata-only, zero data
+            # bytes; the driver-side planning cost at 100 TB.
+            from .formats.interop import rewrite_iceberg_manifests
+
+            v, stats = rewrite_iceberg_manifests(m.group("p"))
+            return {
+                "action": "rewrite_manifests", "format": "iceberg",
+                "compacted": v is not None, "commit": v, **stats,
+            }
+
+        m = re.match(
             r"OPTIMIZE\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`"
             r"\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\)$",
             s, re.IGNORECASE,

@@ -10437,3 +10437,86 @@ def test_delta_generated_columns_compute_and_validate(spark, tmp_path):
     assert {r.x: r.y for r in read_delta(spark, p).collect()} == {
         1: 2, 5: 10, 6: 12
     }
+
+
+def test_rewrite_iceberg_manifests(spark, tmp_path):
+    """late-r14: manifest compaction (native rewrite_manifests) — N
+    append manifests merge into ONE, entries keep their original
+    snapshot ids and data sequence numbers so existing equality
+    deletes still apply to exactly the same files, zero data bytes
+    move, content identical, historic snapshots keep their own lists,
+    second run no-ops."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        _iceberg_local_path,
+        merge_iceberg,
+        read_iceberg,
+        rewrite_iceberg_manifests,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    p = str(tmp_path / "i")
+    write_iceberg(
+        spark.createDataFrame([(0, "v0")], "id long, val string").coalesce(1),
+        p,
+    )
+    for i in range(1, 5):
+        write_iceberg(
+            spark.createDataFrame([(i, f"v{i}")], "id long, val string")
+            .coalesce(1),
+            p, mode="append",
+        )
+    # An equality delete BEFORE the rewrite: its strictly-below rule
+    # must keep working against the carried sequence numbers.
+    write_iceberg_equality_deletes(
+        spark.createDataFrame([(2,)], "id long"), p, ["id"]
+    )
+    before = {(r.id, r.val) for r in read_iceberg(spark, p).collect()}
+    assert (2, "v2") not in before and len(before) == 4
+    files_before = set(read_iceberg(spark, p).inputFiles())
+
+    def _n_data_manifests():
+        meta = _iceberg_current_metadata(p)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, ml = read_avro_file(_iceberg_local_path(snap["manifest-list"], p))
+        return sum(1 for r in ml if r.get("content", 0) == 0)
+
+    n0 = _n_data_manifests()
+    assert n0 == 5
+    sid, stats = rewrite_iceberg_manifests(p)
+    assert sid is not None and stats == {"merged": 5, "created": 1}
+    assert _n_data_manifests() == 1
+    # Content and physical files identical; the eq delete still holds.
+    assert {(r.id, r.val) for r in read_iceberg(spark, p).collect()} == before
+    assert set(read_iceberg(spark, p).inputFiles()) == files_before
+    # A row re-inserted ABOVE the delete's sequence number survives —
+    # the carried sequence numbers keep the strictly-below rule exact.
+    write_iceberg(
+        spark.createDataFrame([(2, "v2b")], "id long, val string").coalesce(1),
+        p, mode="append",
+    )
+    got = {(r.id, r.val) for r in read_iceberg(spark, p).collect()}
+    assert (2, "v2b") in got and (2, "v2") not in got
+    # Second rewrite: 2 manifests (merged + new append) -> 1 again;
+    # then a third is a no-op.
+    sid2, _ = rewrite_iceberg_manifests(p)
+    assert sid2 is not None and _n_data_manifests() == 1
+    sid3, stats3 = rewrite_iceberg_manifests(p)
+    assert sid3 is None and stats3 == {"merged": 0, "created": 0}
+    # Historic snapshot still serves through its own manifest list.
+    meta = _iceberg_current_metadata(p)
+    first = min(meta["snapshots"], key=lambda s: s["sequence-number"])
+    assert read_iceberg(spark, p, snapshot_id=first["snapshot-id"]).count() == 1
+    # A keyed merge AFTER the rewrite still works end-to-end.
+    merge_iceberg(
+        spark.createDataFrame([(0, "V0")], "id long, val string"), p,
+        key="id", mode="upsert",
+    )
+    assert read_iceberg(spark, p).filter("id = 0").collect()[0].val == "V0"

@@ -1559,3 +1559,27 @@ def test_sql_optimize_zorder_foreign(spark, tmp_path):
     assert read_delta(spark, dp).count() == 500
     with pytest.raises(NotImplementedError, match="BINPACK"):
         lake.sql("OPTIMIZE hudi.`/nope` ZORDER BY (x)")
+
+
+def test_sql_optimize_manifests_iceberg(spark, tmp_path):
+    """late-r14: OPTIMIZE iceberg.`p` MANIFESTS as text — manifest
+    compaction, metadata-only."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    ip = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame([(0,)], "id long"), ip)
+    for i in range(1, 4):
+        write_iceberg(
+            spark.createDataFrame([(i,)], "id long"), ip, mode="append"
+        )
+    files0 = set(read_iceberg(spark, ip).inputFiles())
+    r = lake.sql(f"OPTIMIZE iceberg.`{ip}` MANIFESTS")
+    assert r["action"] == "rewrite_manifests" and r["compacted"]
+    assert r["merged"] == 4 and r["created"] == 1
+    assert set(read_iceberg(spark, ip).inputFiles()) == files0
+    assert {x.id for x in read_iceberg(spark, ip).collect()} == {0, 1, 2, 3}
+    assert lake.sql(f"OPTIMIZE iceberg.`{ip}` MANIFESTS")["compacted"] is False
