@@ -402,6 +402,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     explode(sequence) + hash-thresholded fractional tail; BIGINT
 #     oracle re-derives the policy) registers in the TAIL, same
 #     protocol; rotate into a recorded slot in r15.
+#   r14 addition 5 (late-round): orders_dml_iceberg_lifecycle (the
+#     ICEBERG twin of the DML gate COMPOSED with the round's two new
+#     maintenance rewrites: SQL-text UPDATE -> DELETE -> small-file
+#     BINPACK ('replace' snapshot) -> MANIFEST compaction, with
+#     metadata-only pins in-gate — inputFiles byte-identical across
+#     the manifest rewrite, data-manifest count drops to 1; the same
+#     declarative oracle as the Delta twin, so drift introduced by
+#     EITHER maintenance step is a wrong answer). Registers in the
+#     TAIL (the emb_top_pairs pattern: oracle runs in pytest via
+#     test_oracle_parity every session); rotate into a recorded slot
+#     in r15 or r16 (behind the ANN index pair).
 #   r14 addition 4 (late-round): orders_dml_sqltext (keyless predicate
 #     UPDATE + DELETE as SQL text on a foreign Delta path, X159 — the
 #     two-phase surgical rewrite with the carry-forward pin in-gate;
@@ -480,6 +491,7 @@ _DEMOTED_TAIL = [
     "docs_domain_mix",
     "emb_ann_index_pq_query",
     "q2_min_price_supplier",
+    "orders_dml_iceberg_lifecycle",
 ]
 
 _DRIVER_SLOTS = 50

@@ -3336,6 +3336,83 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_dml_iceberg_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """late-r14: the ICEBERG lifecycle composition under one oracle —
+    a FRESH identity-partitioned v2 export of orders takes the keyless
+    SQL-text predicate UPDATE (X159's two-phase rewrite over
+    manifests), then predicate DELETE, then small-file BINPACK
+    (``replace`` snapshot — content must not move), then MANIFEST
+    compaction (X168 — sequence numbers carried, zero data bytes;
+    pinned in-gate: data-manifest count drops to the partition-spec
+    minimum while inputFiles stay byte-identical). The final aggregate
+    must hash-match the same declarative DuckDB model as the Delta
+    twin: CASE WHEN for the update, an anti-filter for the delete —
+    any drift introduced by EITHER maintenance step is a wrong answer,
+    not just a layout difference."""
+    import os as _os
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..formats.avro_lite import read_avro_file
+    from ..formats.interop import (
+        _iceberg_current_metadata,
+        _iceberg_local_path,
+        binpack_iceberg,
+        read_iceberg,
+        rewrite_iceberg_manifests,
+    )
+    from ..formats.interop import write_iceberg as _wi
+    from ..sql import LakeSQL
+
+    _utc(spark)
+    path = _os.path.join(tempfile.mkdtemp(prefix="tdl_orders_icedml_"), "t")
+    _wi(
+        load(spark, sf_dir, "orders").repartition(4),
+        path, partition_by=["o_orderpriority"],
+    )
+    lake = LakeSQL(Catalog(spark, tempfile.mkdtemp(prefix="tdl_sqlwh_")))
+    r1 = lake.sql(
+        f"UPDATE iceberg.`{path}` SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey >= 200"
+    )
+    if r1.source_rows <= 0:
+        raise AssertionError("the predicate UPDATE matched no rows")
+    r2 = lake.sql(
+        f"DELETE FROM iceberg.`{path}` "
+        "WHERE o_orderstatus = 'F' AND o_orderkey < 500"
+    )
+    if r2.source_rows <= 0:
+        raise AssertionError("the predicate DELETE matched no rows")
+    sid, _stats = binpack_iceberg(spark, path, target_bytes=128 << 20)
+    if sid is None:
+        raise AssertionError("binpack found nothing to compact")
+    files_before = set(read_iceberg(spark, path).inputFiles())
+    mid, mstats = rewrite_iceberg_manifests(path)
+    if mid is None or mstats["created"] >= mstats["merged"]:
+        raise AssertionError(f"manifest rewrite did not compact: {mstats}")
+    if set(read_iceberg(spark, path).inputFiles()) != files_before:
+        raise AssertionError(
+            "manifest rewrite moved data files; it must be metadata-only"
+        )
+    meta = _iceberg_current_metadata(path)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, ml = read_avro_file(_iceberg_local_path(snap["manifest-list"], path))
+    n_data = sum(1 for r in ml if r.get("content", 0) == 0)
+    if n_data != 1:
+        raise AssertionError(f"expected 1 merged data manifest, found {n_data}")
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # q1_via_hudi_interop — the Hudi twin (r8 verdict "missing #1", second
 # half): lineitem bulk-inserts into an ACTUAL Apache Hudi CoW table
@@ -3781,6 +3858,16 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "orders_dml_sqltext",
             orders_dml_sqltext,
+            ORDERS_DML_SQLTEXT_ORACLE,
+            headline=False,
+        ),
+        # late-r14 (TAIL registration, rotate per __spark_entry__):
+        # the Iceberg lifecycle composition — UPDATE -> DELETE ->
+        # BINPACK -> MANIFESTS, metadata-only pins in-gate, the Delta
+        # twin's declarative oracle.
+        QueryDef(
+            "orders_dml_iceberg_lifecycle",
+            orders_dml_iceberg_lifecycle,
             ORDERS_DML_SQLTEXT_ORACLE,
             headline=False,
         ),
