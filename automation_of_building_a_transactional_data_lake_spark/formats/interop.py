@@ -1342,10 +1342,17 @@ def _norm_file_path(col):
     partition — every file-path join in the engine goes through here,
     so DV application and position deletes on space-bearing layouts
     are fixed in the same move). Literal ``+`` is protected before the
-    URL decode (URLDecoder would read it as a space); unencoded plain
-    paths pass through unchanged."""
+    URL decode (URLDecoder would read it as a space). Only values that
+    actually carry a URI scheme are decoded — Hadoop percent-encodes
+    exactly those; a PLAIN path (e.g. an Iceberg position-delete
+    ``file_path`` written raw) passes through byte-identical, so a
+    literal ``%20`` or a lone ``%`` in a raw path neither mis-decodes
+    nor throws. A malformed escape inside a URI falls back to the
+    scheme-stripped undecoded string instead of failing the scan."""
+    is_uri = col.rlike(_FILE_URI_RE)
     stripped = F.regexp_replace(col, _FILE_URI_RE, "/")
-    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+    decoded = F.try_url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+    return F.when(is_uri, F.coalesce(decoded, stripped)).otherwise(col)
 
 
 def _delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
@@ -3124,23 +3131,53 @@ def _delta_rewrite_where(
             else:
                 upd.append(F.col(f.name))
                 post.append(F.col(f.name))
+        # Generated columns whose expression references an assigned
+        # base column RECOMPUTE on updated rows (native behavior — SET
+        # base_col alone is legal and the generated value follows);
+        # ones the user explicitly assigned VALIDATE instead.
+        regen: list[tuple[str, str, str]] = []
+        for f0 in json.loads(
+            meta.get("schemaString") or '{"fields":[]}'
+        ).get("fields", []):
+            ge = (f0.get("metadata") or {}).get("delta.generationExpression")
+            if not ge or f0["name"] in assigns:
+                continue
+            if any(
+                re.search(rf"\b{re.escape(a)}\b", ge, re.IGNORECASE)
+                for a in assigns
+            ):
+                regen.append((f0["name"], ge, json.dumps(f0["type"])))
         # Every SET expression evaluates against the PRE-update row
         # (single select — SQL UPDATE semantics, so SET a = b, b = a
-        # swaps), cast to the declared column type.
-        out_df = rewrite_df.select(*upd).select(*cols)
-        # Generated columns validate and CHECK constraints +
-        # invariants gate the POST-update rows (an UPDATE is the one
-        # rewrite that can introduce a violating value).
+        # swaps), cast to the declared column type. Recomputed
+        # generated columns then evaluate against the POST-assign row
+        # in a second pass.
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        out_pre = rewrite_df.select(*upd, hit.alias("__upd_hit"))
+        for gname, ge, tj in regen:
+            out_pre = out_pre.withColumn(
+                gname,
+                F.when(
+                    F.col("__upd_hit"),
+                    F.expr(ge).cast(_parse_datatype_json_string(tj)),
+                ).otherwise(F.col(gname)),
+            )
+        out_df = out_pre.select(*cols)
+        # CHECK constraints + invariants gate the POST-update rows (an
+        # UPDATE is the one rewrite that can introduce a violating
+        # value); recomputed generated columns are dropped first so
+        # the validator recomputes rather than flags the stale value.
         post_df = matched.select(*post).select(*cols)
-        _delta_apply_generated(post_df, meta)
+        if regen:
+            post_df = post_df.drop(*[g for g, _, _ in regen])
+        post_df = _delta_apply_generated(post_df, meta).select(*cols)
         _delta_enforce_constraints(post_df, conf, meta)
         cdc_df = (
             matched.select(*cols)
             .withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                matched.select(*post)
-                .select(*cols)
-                .withColumn("_change_type", F.lit("update_postimage"))
+                post_df.withColumn("_change_type", F.lit("update_postimage"))
             )
         )
         operation, opp = "UPDATE", {
@@ -3913,6 +3950,34 @@ def alter_delta_table(
             raise ValueError(
                 f"DROP COLUMN: {name!r} is a partition column"
             )
+        # Native rule: a column referenced by a CHECK constraint, a
+        # surviving column's invariant, or a generation expression
+        # cannot drop — otherwise every later write would die inside
+        # the enforcer with an opaque unresolved-column error.
+        ref_re = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        for k, cexpr in conf.items():
+            if k.startswith("delta.constraints.") and ref_re.search(cexpr):
+                raise ValueError(
+                    f"DROP COLUMN: {name!r} is referenced by CHECK "
+                    f"constraint {k.removeprefix('delta.constraints.')!r}"
+                    f" ({cexpr}); DROP the constraint first"
+                )
+        for f in fields:
+            if f["name"].lower() == name.lower():
+                continue
+            md = f.get("metadata") or {}
+            gexpr = md.get("delta.generationExpression")
+            if gexpr and ref_re.search(gexpr):
+                raise ValueError(
+                    f"DROP COLUMN: {name!r} is referenced by generated "
+                    f"column {f['name']!r} ({gexpr})"
+                )
+            inv = md.get("delta.invariants")
+            if inv and ref_re.search(inv):
+                raise ValueError(
+                    f"DROP COLUMN: {name!r} is referenced by the "
+                    f"invariant on column {f['name']!r} ({inv})"
+                )
         fields = [f for f in fields if f["name"].lower() != name.lower()]
     if not fields:
         raise ValueError("DROP COLUMN would leave the table empty")
@@ -3957,8 +4022,12 @@ def alter_delta_table(
     )
     new_meta["configuration"] = conf
     if rename_columns and meta.get("partitionColumns"):
+        # Rename keys matched case-insensitively, like the field
+        # rename above — {'P': 'q'} must retarget partition column
+        # 'p', not leave partitionColumns pointing at a dead name.
+        ren_l = {old.lower(): new for old, new in rename_columns.items()}
         new_meta["partitionColumns"] = [
-            rename_columns.get(c, c) for c in meta["partitionColumns"]
+            ren_l.get(c.lower(), c) for c in meta["partitionColumns"]
         ]
     ts = int(time.time() * 1000)
     opp = {}
@@ -8061,12 +8130,17 @@ def _ice_retire_data_manifests(
             )
             min_seq = min(min_seq, int(eseq))
             nrec = int(e["data_file"].get("record_count", 0) or 0)
+            # Resolve an inherited (explicit-null) file_sequence_number:
+            # the spec only permits null on status-1 entries.
+            fseq = e.get("file_sequence_number")
             rewritten.append(
                 {
                     "status": 2 if is_aff else 0,
                     "snapshot_id": snapshot_id if is_aff else e.get("snapshot_id"),
                     "sequence_number": eseq,
-                    "file_sequence_number": e.get("file_sequence_number", eseq),
+                    "file_sequence_number": (
+                        int(fseq) if fseq is not None else int(eseq)
+                    ),
                     "data_file": _ice_datafile_carry(e["data_file"]),
                 }
             )
@@ -8188,12 +8262,17 @@ def _ice_retire_delete_manifests(
             dfr = e["data_file"]
             nrec = int(dfr.get("record_count", 0) or 0)
             n_rows += nrec
+            # Explicit-null file_sequence_number (inheritance shape)
+            # resolves to the entry/manifest sequence.
+            fseq = e.get("file_sequence_number")
             retired.append(
                 {
                     "status": 2,
                     "snapshot_id": snapshot_id,
                     "sequence_number": eseq,
-                    "file_sequence_number": e.get("file_sequence_number", eseq),
+                    "file_sequence_number": (
+                        int(fseq) if fseq is not None else int(eseq)
+                    ),
                     "data_file": {
                         "content": dfr.get("content", 1),
                         "file_path": dfr["file_path"],
@@ -11074,13 +11153,19 @@ def rewrite_iceberg_manifests(table_path: str) -> tuple[int | None, dict]:
                 min_seq = min(min_seq, eseq)
                 nrec = int(e["data_file"].get("record_count", 0) or 0)
                 n_rows += nrec
+                # An explicit null (key present, value None — the normal
+                # shape for foreign-written ADDED entries relying on
+                # inheritance) must RESOLVE here: the spec permits a null
+                # file_sequence_number only on status-1 entries, and these
+                # are status 0.
+                fseq = e.get("file_sequence_number")
                 merged.append(
                     {
                         "status": 0,
                         "snapshot_id": e.get("snapshot_id"),
                         "sequence_number": eseq,
-                        "file_sequence_number": e.get(
-                            "file_sequence_number", eseq
+                        "file_sequence_number": (
+                            int(fseq) if fseq is not None else eseq
                         ),
                         "data_file": _ice_datafile_carry(e["data_file"]),
                     }

@@ -10520,3 +10520,246 @@ def test_rewrite_iceberg_manifests(spark, tmp_path):
         key="id", mode="upsert",
     )
     assert read_iceberg(spark, p).filter("id = 0").collect()[0].val == "V0"
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    """r15 (advisor): UPDATE SET base_col — where a generated column's
+    expression references base_col — is LEGAL and the generated value
+    RECOMPUTES on updated rows (native Delta behavior), in the
+    rewritten files AND the CDC postimage; explicitly assigning the
+    generated column still validates against the recomputed
+    expression."""
+    import json as _json
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        read_delta_changes,
+        update_delta_where,
+        write_delta,
+    )
+
+    p = str(tmp_path / "g")
+    write_delta(
+        spark.createDataFrame([(1, 2), (3, 6)], "x long, y long"), p,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "y":
+                    f["metadata"]["delta.generationExpression"] = "x * 2"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 4
+    with open(log, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    # SET x alone: y must follow (10 -> 20) on the hit row only.
+    v, n = update_delta_where(spark, p, [("x", "=", 1)], {"x": "10"})
+    assert n == 1
+    assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == {
+        (10, 20), (3, 6)
+    }
+    # The CDC postimage carries the recomputed value too.
+    post = [
+        r for r in read_delta_changes(
+            spark, p, starting_version=v, ending_version=v
+        ).collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert [(r.x, r.y) for r in post] == [(10, 20)]
+    # Explicit consistent assignment of both passes...
+    _v, n2 = update_delta_where(
+        spark, p, [("x", "=", 3)], {"x": "4", "y": "8"}
+    )
+    assert n2 == 1
+    assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == {
+        (10, 20), (4, 8)
+    }
+    # ...an inconsistent one refuses (validated against the new x).
+    with pytest.raises(ValueError, match="generated column"):
+        update_delta_where(spark, p, [("x", "=", 4)], {"x": "5", "y": "8"})
+
+
+def test_manifest_rewrite_resolves_inherited_null_fseq(spark, tmp_path):
+    """r15 (advisor): a foreign-written ADDED entry may carry an
+    EXPLICIT null file_sequence_number (the inheritance shape); the
+    compacted manifest's status-0 entries must RESOLVE it — the spec
+    only permits null on status-1 — so native readers accept the
+    rewritten table."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_data_manifest_meta,
+        _iceberg_current_metadata,
+        _iceberg_local_path,
+        read_iceberg,
+        rewrite_iceberg_manifests,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "i")
+    for i in range(2):
+        write_iceberg(
+            spark.createDataFrame([(i, f"v{i}")], "id long, val string")
+            .coalesce(1),
+            p, mode="error" if i == 0 else "append",
+        )
+    meta = _iceberg_current_metadata(p)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, ml = read_avro_file(_iceberg_local_path(snap["manifest-list"], p))
+    cur_schema = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    spec = next(
+        sp for sp in meta["partition-specs"]
+        if sp["spec-id"] == meta.get("default-spec-id", 0)
+    )
+    # Doctor every manifest entry into the inheritance shape: key
+    # PRESENT, value None (what a native ADDED entry looks like).
+    for r in ml:
+        mp = _iceberg_local_path(r["manifest_path"], p)
+        esch, entries = read_avro_file(mp)
+        for e in entries:
+            e["file_sequence_number"] = None
+        write_avro_file(
+            mp, esch, entries,
+            extra_meta=_ice_data_manifest_meta(
+                cur_schema, spec.get("fields", []), b"data",
+                spec.get("spec-id", 0),
+            ),
+        )
+    before = {(r.id, r.val) for r in read_iceberg(spark, p).collect()}
+    sid, stats = rewrite_iceberg_manifests(p)
+    assert sid is not None and stats == {"merged": 2, "created": 1}
+    meta2 = _iceberg_current_metadata(p)
+    snap2 = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _s2, ml2 = read_avro_file(_iceberg_local_path(snap2["manifest-list"], p))
+    for r in ml2:
+        _es, entries = read_avro_file(
+            _iceberg_local_path(r["manifest_path"], p)
+        )
+        for e in entries:
+            assert e["status"] == 0
+            assert isinstance(e["file_sequence_number"], int), (
+                "status-0 entry carried null file_sequence_number"
+            )
+    assert {(r.id, r.val) for r in read_iceberg(spark, p).collect()} == before
+
+
+def test_norm_file_path_plain_paths_pass_through(spark):
+    """r15 (advisor): only URI-scheme values URL-decode; a RAW path
+    containing a literal '%' (valid or malformed escape) passes
+    through byte-identical, and a malformed escape inside a URI falls
+    back to the scheme-stripped string instead of throwing."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import _norm_file_path
+
+    rows = [
+        ("file:///a/x%20y/z.parquet", "/a/x y/z.parquet"),
+        ("file:/a/b+c/z.parquet", "/a/b+c/z.parquet"),
+        ("/raw/x%20y/z.parquet", "/raw/x%20y/z.parquet"),
+        ("/raw/100%.parquet", "/raw/100%.parquet"),
+        ("file:///a/100%zz.parquet", "/a/100%zz.parquet"),
+        ("s3a://bkt/k%3Dv/z.parquet", "/bkt/k=v/z.parquet"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rows)], "i int, p string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", _norm_file_path(F.col("p")).alias("n")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(rows)}
+
+
+def test_alter_delta_rename_partition_column_any_case(spark, tmp_path):
+    """r15 (advisor): renaming a partition column with DIFFERENT
+    CASING in the rename key retargets metaData.partitionColumns too —
+    no commit may leave partitionColumns pointing at a dead name."""
+    import json as _json
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _delta_replay,
+        alter_delta_table,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string"),
+        p, partition_by=["part"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    alter_delta_table(p, rename_columns={"PART": "bucket"})
+    meta = _delta_replay(p, None)["metaData"]
+    assert meta["partitionColumns"] == ["bucket"]
+    sch = _json.loads(meta["schemaString"])
+    assert {f["name"] for f in sch["fields"]} == {"id", "bucket"}
+    got = {(r.id, r.bucket) for r in read_delta(spark, p).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_alter_delta_drop_column_refuses_referenced(spark, tmp_path):
+    """r15 (advisor): DROP COLUMN refuses while a CHECK constraint,
+    another column's invariant, or a generation expression references
+    the column (native behavior) — instead of committing a drop that
+    poisons every later write with an unresolved-column error."""
+    import json as _json
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        alter_delta_table,
+        drop_delta_constraint,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 2, 5, 7)], "x long, y long, n long, z long"
+        ),
+        p,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.constraints.nonneg": "n >= 0",
+        },
+    )
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "y":
+                    f["metadata"]["delta.generationExpression"] = "x * 2"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 7
+    with open(log, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        alter_delta_table(p, drop_columns=["n"])
+    with pytest.raises(ValueError, match="generated column"):
+        alter_delta_table(p, drop_columns=["x"])
+    # The generated column itself and an unreferenced column drop fine.
+    alter_delta_table(p, drop_columns=["z"])
+    alter_delta_table(p, drop_columns=["y"])
+    drop_delta_constraint(p, "nonneg")
+    alter_delta_table(p, drop_columns=["x"])
+    assert read_delta(spark, p).columns == ["n"]
