@@ -434,6 +434,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the TAIL (the emb_top_pairs pattern: oracle runs in pytest via
 #     test_oracle_parity every session); rotate into a recorded slot
 #     in r15.
+#   r15 rotation (closing the two r14 commitments above):
+#     emb_ann_index_query and docs_domain_mix rotate IN to recorded
+#     slots. Rotating OUT, per protocol (each green in every driver
+#     round since registration — emb_ivf_batch_knn r6-r14, nine
+#     consecutive rounds; docs_stratified_cap r9-r14, six — and
+#     family-held by a STAYING head gate on the same machinery):
+#     - emb_ivf_batch_knn → held by the INCOMING emb_ann_index_query
+#       (the same coarse-quantizer shard-route + candidate-probe +
+#       exact cosine re-rank machinery, composed with CDC index
+#       maintenance on top — the strict superset) and the staying
+#       emb_pq_knn (codebook-quantized distance path), + pytest
+#       test_oracle_parity each session.
+#     - docs_stratified_cap → held by the staying docs_curation_v3
+#       (its stratified-rebalance stage runs the same per-stratum
+#       deterministic cap under one composed oracle) and the INCOMING
+#       docs_domain_mix (the same exact-BIGINT per-domain policy
+#       arithmetic, extended to multi-epoch replication), + pytest
+#       each session.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -487,11 +505,11 @@ _DEMOTED_TAIL = [
     "q5_region_volume",
     "docs_curation_pipeline",
     "docs_vocab_topk",
-    "emb_ann_index_query",
-    "docs_domain_mix",
     "emb_ann_index_pq_query",
     "q2_min_price_supplier",
     "orders_dml_iceberg_lifecycle",
+    "emb_ivf_batch_knn",
+    "docs_stratified_cap",
 ]
 
 _DRIVER_SLOTS = 50
