@@ -452,6 +452,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #       docs_domain_mix (the same exact-BIGINT per-domain policy
 #       arithmetic, extended to multi-epoch replication), + pytest
 #       each session.
+#   r15 addition: orders_dml_hudi (the HUDI twin closing the keyless
+#     DML matrix's last cell — SQL-text predicate UPDATE + DELETE on
+#     a CoW path through the two-phase surgical file-group rewrite,
+#     no record key consulted; only-matched-partitions slice pin
+#     in-gate; the Delta twin's declarative oracle). Registers in the
+#     TAIL (the emb_top_pairs pattern: oracle runs in pytest via
+#     test_oracle_parity every session); rotate into a recorded slot
+#     in r16 or r17 (behind the PQ-index and Iceberg-lifecycle
+#     commitments).
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -510,6 +519,7 @@ _DEMOTED_TAIL = [
     "orders_dml_iceberg_lifecycle",
     "emb_ivf_batch_knn",
     "docs_stratified_cap",
+    "orders_dml_hudi",
 ]
 
 _DRIVER_SLOTS = 50

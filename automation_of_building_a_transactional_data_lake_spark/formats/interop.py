@@ -6291,6 +6291,338 @@ def write_hudi(
             kg_pin.unpersist()
 
 
+def _hudi_fid_of_path():
+    """fileId recovered from ``_metadata.file_path``'s basename — the
+    same extraction the merge planner uses."""
+    return F.regexp_extract(
+        F.element_at(
+            F.split(_norm_file_path(F.col("_metadata.file_path")), "/"), -1
+        ),
+        r"^([^_]+(?:-[^_]+)*)_",
+        1,
+    )
+
+
+def _hudi_where_update_select(
+    df: DataFrame, hit, assigns: dict[str, str], instant: str
+) -> DataFrame:
+    """The UPDATE projection: every SET expression evaluates against
+    the PRE-update row (one select — ``SET a = b, b = a`` swaps), cast
+    to the column's current type; hit rows take the new instant's
+    commit time + seqno (native CoW stamps updated records with the
+    writing instant), survivors keep theirs."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    sel = []
+    for c in df.columns:
+        if c in assigns:
+            sel.append(
+                F.when(hit, F.expr(assigns[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        elif c == "_hoodie_commit_time":
+            sel.append(
+                F.when(hit, F.lit(instant)).otherwise(F.col(c)).alias(c)
+            )
+        elif c == "_hoodie_commit_seqno":
+            sel.append(
+                F.when(
+                    hit,
+                    F.concat(
+                        F.lit(instant + "_"),
+                        F.monotonically_increasing_id().cast("string"),
+                    ),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            sel.append(F.col(c))
+    return df.select(*sel)
+
+
+def _hudi_rewrite_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str] | None,
+    max_affected_file_groups: int = 8192,
+) -> tuple[str | None, int]:
+    """Shared engine of ``delete_hudi_where`` / ``update_hudi_where``
+    (r15 — the DML matrix's last cell, the Hudi CoW twin of
+    ``_delta_rewrite_where``): a two-phase surgical rewrite. Phase 1
+    scans under the reader's own partition-path pruning plus the
+    pushed parquet predicate and finds the file groups that actually
+    HOLD a matching row; phase 2 re-reads ONLY those groups
+    (``read_hudi``'s group restriction) and rewrites each as a new
+    base slice at one commit instant — untouched file groups cost
+    NOTHING (no read, no write), Hudi's own CoW economics, so a
+    weakly-selective predicate on a 100-TB table pays O(touched file
+    groups), never O(table). A group emptied by the delete stages a
+    zero-row base file (never silently resurrecting its old slice).
+    Past ``max_affected_file_groups`` the per-group plan would scale
+    with the table, so survivors hash into FRESH groups at one
+    REPLACECOMMIT instant instead (the bounded-planning rule the
+    merge path uses). Rows where the predicate is NULL survive /
+    stay unmodified (SQL semantics). Returns (commit instant,
+    affected row count); proving nothing matches commits nothing and
+    returns (None, 0)."""
+    where_n = _norm_where(where)
+    if assigns is None and not where_n:
+        raise ValueError(
+            "DELETE requires a predicate (refusing an implicit "
+            "full-table delete; use truncate_hudi instead)"
+        )
+    if assigns is not None and not assigns:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    props = _hudi_table_properties(table_path)
+    opname = "UPSERT" if assigns is not None else "DELETE"
+    _hudi_guard_cow_write(
+        table_path, props,
+        "predicate UPDATE" if assigns is not None else "predicate DELETE",
+    )
+    parts = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    key_fields = [
+        c
+        for c in (props.get("hoodie.table.recordkey.fields") or "").split(",")
+        if c
+    ]
+    if assigns is not None:
+        bad_meta = sorted(c for c in assigns if c.startswith("_hoodie_"))
+        if bad_meta:
+            raise ValueError(
+                f"UPDATE may not set Hudi meta columns {bad_meta}"
+            )
+        set_key = sorted(set(assigns) & set(key_fields))
+        if set_key:
+            raise ValueError(
+                f"UPDATE may not set record-key field(s) {set_key} (a "
+                "key change is a delete + insert; use MERGE INTO)"
+            )
+        set_part = sorted(set(assigns) & set(parts))
+        if set_part:
+            raise NotImplementedError(
+                f"UPDATE on partition field(s) {set_part} would move "
+                "rows across partition paths — use MERGE INTO "
+                "(write_hudi upsert handles partition moves)"
+            )
+    # Phase 1: matching rows under the reader's own pruning (partition
+    # paths driver-side, column stats via the pushed parquet filter);
+    # the distinct (pp, fileId) set is LIMIT-bounded IN THE PLAN.
+    matched = read_hudi(
+        spark, table_path, drop_meta=False, where=where_n or None
+    )
+    if assigns is not None:
+        have = dict(matched.dtypes)
+        unknown = sorted(c for c in assigns if c not in have)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references unknown column(s) {unknown}"
+            )
+    affected_rows = (
+        matched.select(
+            F.col("_hoodie_partition_path").alias("__pp"),
+            _hudi_fid_of_path().alias("__fid"),
+        )
+        .distinct()
+        .limit(max_affected_file_groups + 1)
+        .collect()
+    )
+    if not affected_rows:
+        return None, 0  # skipping proves no match: no commit at all
+    instant = _hudi_new_instant(table_path)
+    hit = (
+        F.coalesce(_where_cond(where_n), F.lit(False))
+        if where_n
+        else F.lit(True)
+    )
+    if len(affected_rows) > max_affected_file_groups:
+        return _hudi_rewrite_where_all(
+            spark, table_path, hit, assigns, instant, props, opname
+        )
+    affected_keys = {(r["__pp"], r["__fid"]) for r in affected_rows}
+    expected = {f"{pp}\x00{fid}" for pp, fid in affected_keys}
+    # Phase 2: ONLY the touched groups re-read; every other group is
+    # untouched on disk (no remove action exists in Hudi — the
+    # latest-slice rule hides the old base files, which keep serving
+    # as-of reads before this instant).
+    rewrite_df = read_hudi(
+        spark, table_path, drop_meta=False, _groups=affected_keys
+    ).select("*", _hudi_fid_of_path().alias("__hudi_fid"))
+    business_cols = [
+        c
+        for c in rewrite_df.columns
+        if not c.startswith("_hoodie_") and c != "__hudi_fid"
+    ]
+    n_aff = rewrite_df.filter(hit).count()
+    if assigns is None:
+        out = rewrite_df.filter(~hit)
+    else:
+        out = _hudi_where_update_select(rewrite_df, hit, assigns, instant)
+    staged = (
+        out.withColumn(
+            "__hudi_pp_dir",
+            F.when(
+                F.col("_hoodie_partition_path") == "",
+                F.lit("__HUDI_ROOT__"),
+            ).otherwise(F.col("_hoodie_partition_path")),
+        )
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__hudi_fid"), F.lit(f"_0-0-0_{instant}.parquet")),
+        )
+        .select(*_HUDI_META_COLS, *business_cols, "__hudi_fid", "__hudi_pp_dir")
+    )
+    stats = _hudi_stage_commit(
+        staged, table_path, instant, expected_fids=expected
+    )
+    try:
+        types = {f.name: f for f in rewrite_df.schema.fields}
+        sj = json.dumps(
+            _hudi_avro_schema([types[c] for c in business_cols])
+        )
+    except NotImplementedError:
+        sj = None
+    _hudi_complete(table_path, instant, opname, stats, schema_json=sj)
+    return instant, n_aff
+
+
+def _hudi_rewrite_where_all(
+    spark: SparkSession,
+    table_path: str,
+    hit,
+    assigns: dict[str, str] | None,
+    instant: str,
+    props: dict,
+    opname: str,
+) -> tuple[str, int]:
+    """Full-rewrite fallback for a predicate touching more file groups
+    than the bounded per-group plan should hold: survivors (or the
+    post-update content) hash into FRESH file groups committed at one
+    REPLACECOMMIT instant replacing every previously-visible group —
+    the same economics as ``_hudi_rewrite_all``. Fresh fileIds are
+    salted with the instant (a replaced fileId must never be
+    reused)."""
+    visible_before = _hudi_visible_groups(table_path)
+    num_buckets = int(props.get("hoodie.bucket.index.num.buckets", 4) or 4)
+    current = read_hudi(spark, table_path, drop_meta=False)
+    business_cols = [
+        c for c in current.columns if not c.startswith("_hoodie_")
+    ]
+    n_aff = current.filter(hit).count()
+    if assigns is None:
+        content = current.filter(~hit)
+    else:
+        content = _hudi_where_update_select(current, hit, assigns, instant)
+    fid = F.concat(
+        F.lit("fg"),
+        F.pmod(
+            F.xxhash64(F.col("_hoodie_record_key")), F.lit(num_buckets)
+        ).cast("string"),
+        F.lit("-"),
+        F.substring(
+            F.md5(F.concat(F.lit(instant), F.col("_hoodie_partition_path"))),
+            1, 8,
+        ),
+    )
+    staged = (
+        content.withColumn("__hudi_fid", fid)
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__hudi_fid"), F.lit(f"_0-0-0_{instant}.parquet")),
+        )
+        .withColumn(
+            "__hudi_pp_dir",
+            F.when(
+                F.col("_hoodie_partition_path") == "",
+                F.lit("__HUDI_ROOT__"),
+            ).otherwise(F.col("_hoodie_partition_path")),
+        )
+        .select(*_HUDI_META_COLS, *business_cols, "__hudi_fid", "__hudi_pp_dir")
+    )
+    stats = _hudi_stage_commit(staged, table_path, instant)
+    try:
+        types = {f.name: f for f in current.schema.fields}
+        sj = json.dumps(
+            _hudi_avro_schema([types[c] for c in business_cols])
+        )
+    except NotImplementedError:
+        sj = None
+    _hudi_complete(
+        table_path, instant, opname, stats,
+        replaced_fids=visible_before, schema_json=sj,
+    )
+    return instant, n_aff
+
+
+def delete_hudi_where(
+    spark: SparkSession, table_path: str, where: list
+) -> tuple[str | None, int]:
+    """Predicate DELETE against a REAL Hudi CoW table (the
+    ``DELETE FROM hudi.`/p` WHERE ...`` shape, r15) — keyless: no
+    record-key lookup, no key join; the two-phase surgical rewrite
+    touches only file groups actually holding a matching row. See
+    ``_hudi_rewrite_where``. Merge-on-read tables refuse here (their
+    keyed route appends soft-delete log records via ``write_hudi``
+    mode='delete' instead — the SQL surface composes that)."""
+    return _hudi_rewrite_where(spark, table_path, where, None)
+
+
+def update_hudi_where(
+    spark: SparkSession,
+    table_path: str,
+    where: list | None,
+    assigns: dict[str, str],
+) -> tuple[str | None, int]:
+    """Predicate UPDATE against a REAL Hudi CoW table (r15 — closing
+    the keyless DML matrix's last cell): the same two-phase surgical
+    rewrite as ``delete_hudi_where``, matching rows rewritten with
+    each SET expression evaluated against the PRE-update row and cast
+    to the declared type; non-matching rows in touched groups carry
+    through with their original commit metadata. ``where=None``
+    updates every row (legal SQL). Setting record-key or partition
+    fields refuses (a key change is delete+insert; a partition move
+    is MERGE's job)."""
+    if not isinstance(assigns, dict):
+        raise TypeError("assigns must be a {column: sql_expression} dict")
+    return _hudi_rewrite_where(spark, table_path, where, dict(assigns))
+
+
+def truncate_hudi(table_path: str) -> tuple[str | None, int | None]:
+    """TRUNCATE a REAL Hudi table as ONE metadata-only REPLACECOMMIT
+    retiring every visible file group (r15 — the timeline shape
+    native Hudi's delete_partition/insert_overwrite_table writes):
+    zero parquet bytes move, the timeline stays, ``as_of_instant``
+    reads before the truncate still serve the old layout, and the
+    table reads as a typed EMPTY frame after (the engine's
+    merged-to-empty contract). Works on CoW and MoR alike — a
+    replaced file group hides its log slices too. Returns (commit
+    instant, removed row count — parquet-footer arithmetic on CoW,
+    None when log records make footer counts inexact); an
+    already-empty table no-ops as (None, 0)."""
+    props = _hudi_table_properties(table_path)
+    visible = _hudi_visible_groups(table_path)
+    if not visible:
+        return None, 0
+    n_rows = None
+    if props.get("hoodie.table.type", "COPY_ON_WRITE") == "COPY_ON_WRITE":
+        import pyarrow.parquet as pq
+
+        _c, latest, slice_logs = _hudi_file_slices(table_path)
+        if not slice_logs:
+            n_rows = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for _ts, p in latest.values()
+            )
+    instant = _hudi_new_instant(table_path)
+    _hudi_complete(table_path, instant, "DELETE", {}, replaced_fids=visible)
+    return instant, n_rows
+
+
 # -- Apache Iceberg: metadata walk (read) -----------------------------------
 
 

@@ -750,14 +750,16 @@ class LakeSQL:
 
     def _foreign_update_delete(self, m: re.Match) -> MergeResult:
         """Predicate UPDATE/DELETE against a foreign table by path.
-        Delta/Iceberg route through the keyless SURGICAL rewrite
-        (two-phase: prune to candidate files, rewrite only touched
-        ones) — the predicate must translate WHOLLY into the where=
-        grammar (strict: a partial translation would affect a
-        superset); Hudi declares its record key in hoodie.properties,
-        so the statement resolves rows through read_hudi and commits
-        through the real keyed merge (any Spark-evaluable
-        predicate)."""
+        Delta/Iceberg — and, r15, Hudi COPY_ON_WRITE — route through
+        the keyless SURGICAL rewrite (two-phase: prune to candidate
+        files/groups, rewrite only touched ones) when the predicate
+        translates WHOLLY into the where= grammar (strict: a partial
+        translation would affect a superset). Hudi MERGE_ON_READ — or
+        a CoW predicate outside the strict grammar — resolves rows
+        through read_hudi and commits through the real keyed merge
+        (any Spark-evaluable predicate; soft-delete log records on
+        MoR), needing the single record key hoodie.properties
+        declares."""
         from .formats.interop import (
             _hudi_table_properties,
             read_hudi,
@@ -816,11 +818,33 @@ class LakeSQL:
                 "key the format does not declare — use MERGE INTO with "
                 "an explicit ON key"
             )
-        key = _hudi_table_properties(path).get("hoodie.table.recordkey.fields", "")
+        props = _hudi_table_properties(path)
+        cow = props.get("hoodie.table.type", "COPY_ON_WRITE") == "COPY_ON_WRITE"
+        w = m.group("w") or ""
+        preds: list | None = []
+        if w.strip():
+            preds = _sql_parse_where_clause(
+                w, _mask_strings(w), None, strict=True
+            )
+        if cow and (preds or not w.strip()) and (op == "update" or preds):
+            # Keyless surgical rewrite (r15) — no record key needed,
+            # only file groups actually holding a match rewrite.
+            from .formats.interop import delete_hudi_where, update_hudi_where
+
+            if op == "delete":
+                _inst, n = delete_hudi_where(self.spark, path, preds)
+            else:
+                assigns = _sql_parse_set_clause(m.group("sets"))
+                _inst, n = update_hudi_where(self.spark, path, preds, assigns)
+            return MergeResult(
+                table=f"hudi.`{path}`", action=op, source_rows=n
+            )
+        key = props.get("hoodie.table.recordkey.fields", "")
         if not key or "," in key:
             raise NotImplementedError(
                 f"hudi table at {path!r} declares record key {key!r}; "
-                "predicate UPDATE/DELETE needs a single declared key"
+                "predicate UPDATE/DELETE outside the surgical grammar "
+                "needs a single declared key"
             )
         df = read_hudi(self.spark, path)
         matched = df.filter(m.group("w")) if m.group("w") else df
@@ -961,16 +985,20 @@ class LakeSQL:
             # Whole-table logical delete as ONE metadata-only commit
             # (late-r14): O(files) driver arithmetic, zero data bytes
             # move, history/time travel intact.
-            from .formats.interop import truncate_delta, truncate_iceberg
+            from .formats.interop import (
+                truncate_delta,
+                truncate_hudi,
+                truncate_iceberg,
+            )
 
             fmt = m.group("fmt").lower()
-            if fmt == "hudi":
-                raise NotImplementedError(
-                    "TRUNCATE on a Hudi path is not supported — Hudi has "
-                    "no metadata-only whole-table delete; issue a keyed "
-                    "delete of the full key set instead"
-                )
-            fn = truncate_delta if fmt == "delta" else truncate_iceberg
+            fn = {
+                "delta": truncate_delta,
+                "iceberg": truncate_iceberg,
+                # r15: one replacecommit retiring every visible file
+                # group — Hudi's own metadata-only whole-table delete.
+                "hudi": truncate_hudi,
+            }[fmt]
             v, n = fn(m.group("p"))
             return {
                 "action": "truncate", "format": fmt,

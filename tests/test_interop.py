@@ -10763,3 +10763,204 @@ def test_alter_delta_drop_column_refuses_referenced(spark, tmp_path):
     drop_delta_constraint(p, "nonneg")
     alter_delta_table(p, drop_columns=["x"])
     assert read_delta(spark, p).columns == ["n"]
+
+
+def test_hudi_predicate_dml_surgical(spark, tmp_path):
+    """r15 — the DML matrix's last cell: keyless predicate
+    UPDATE/DELETE on a Hudi CoW path via the two-phase surgical
+    rewrite. Pins: only file groups actually holding a match rewrite
+    (untouched groups' files stay byte-identical and no new slice
+    appears for them); NULL predicates leave rows alone (SQL
+    semantics); SET evaluates against the PRE-update row (a = b swaps
+    work); a group deleted to empty stages a zero-row base slice and
+    never resurrects; no-match commits nothing; as-of reads before
+    the DML still serve the old snapshot."""
+    import glob as _glob
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_timeline,
+        delete_hudi_where,
+        read_hudi,
+        update_hudi_where,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    rows = [
+        (i, f"u{i}", i % 4, float(i) if i != 7 else None) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, grp int, score double"
+    )
+    write_hudi(df, p, record_key="id", partition_by=["grp"], num_buckets=2)
+    files0 = set(_glob.glob(p + "/**/*.parquet", recursive=True))
+
+    # DELETE hitting only grp=0 rows: new slices appear ONLY under
+    # grp=0, everything else untouched on disk.
+    inst, n = delete_hudi_where(spark, p, [("grp", "=", 0), ("id", "<", 10)])
+    assert inst is not None and n == 3  # ids 0, 4, 8
+    files1 = set(_glob.glob(p + "/**/*.parquet", recursive=True))
+    assert files0 <= files1  # Hudi never removes old slices
+    assert all("grp=0" in f for f in files1 - files0)
+    got = read_hudi(spark, p)
+    assert got.count() == 37 and got.filter("grp = 0 and id < 10").count() == 0
+
+    # NULL predicate: score is NULL for id=7 — a score-comparison
+    # delete must leave it (only provably-TRUE rows go).
+    _i, n_null = delete_hudi_where(spark, p, [("score", "<", 0.0)])
+    assert n_null == 0
+    assert read_hudi(spark, p).filter("id = 7").count() == 1
+
+    # UPDATE: pre-image semantics — swap score and id-as-double.
+    _i2, n_upd = update_hudi_where(
+        spark, p, [("id", "=", 13)],
+        {"score": "cast(id as double)", "name": "concat(name, '!')"},
+    )
+    assert n_upd == 1
+    r13 = read_hudi(spark, p).filter("id = 13").collect()[0]
+    assert r13.score == 13.0 and r13.name == "u13!"
+
+    # UPDATE without WHERE touches every row (legal SQL).
+    _i3, n_all = update_hudi_where(spark, p, None, {"score": "coalesce(score, -1.0) + 0.5"})
+    assert n_all == 37
+    assert read_hudi(spark, p).filter("score is null").count() == 0
+
+    # Deleting every remaining grp=0 row empties its groups: a
+    # zero-row base slice stages, the old rows never resurrect.
+    _i4, n_g0 = delete_hudi_where(spark, p, [("grp", "=", 0)])
+    assert n_g0 == 7
+    assert read_hudi(spark, p).filter("grp = 0").count() == 0
+
+    # No-match: no commit at all.
+    before = _hudi_timeline(p)[0]
+    i5, n5 = delete_hudi_where(spark, p, [("id", ">", 10_000)])
+    assert i5 is None and n5 == 0 and _hudi_timeline(p)[0] == before
+
+    # As-of the first DML instant still serves that snapshot.
+    assert read_hudi(spark, p, as_of_instant=inst).count() == 37
+
+    # Guards: meta/key/partition assignment, unknown column.
+    with pytest.raises(ValueError, match="record-key"):
+        update_hudi_where(spark, p, [("id", "=", 1)], {"id": "2"})
+    with pytest.raises(NotImplementedError, match="partition field"):
+        update_hudi_where(spark, p, [("id", "=", 1)], {"grp": "3"})
+    with pytest.raises(ValueError, match="meta columns"):
+        update_hudi_where(
+            spark, p, [("id", "=", 1)], {"_hoodie_record_key": "'x'"}
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        update_hudi_where(spark, p, [("id", "=", 1)], {"nope": "1"})
+    with pytest.raises(ValueError, match="predicate"):
+        delete_hudi_where(spark, p, [])
+
+
+def test_hudi_predicate_dml_fallback_and_truncate(spark, tmp_path):
+    """r15: past max_affected_file_groups the predicate DML rewrites
+    wholesale into fresh groups at one REPLACECOMMIT (bounded
+    planning, same answer); truncate_hudi retires every visible group
+    metadata-only — CoW reports footer row counts, MoR None, as-of
+    before the truncate still serves, empty-table truncate no-ops."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_rewrite_where,
+        _hudi_timeline,
+        read_hudi,
+        truncate_hudi,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, grp int, score double",
+    )
+    write_hudi(df, p, record_key="id", partition_by=["grp"], num_buckets=2)
+    # Force the fallback: bound of 1 file group, predicate touches 3.
+    inst, n = _hudi_rewrite_where(
+        spark, p, [("id", "<", 9)], None, max_affected_file_groups=1
+    )
+    assert n == 9
+    # The fallback committed a replacecommit.
+    import os as _os
+
+    hdir = _os.path.join(p, ".hoodie")
+    assert any(f.endswith(".replacecommit") for f in _os.listdir(hdir))
+    got = {r.id for r in read_hudi(spark, p).collect()}
+    assert got == set(range(9, 30))
+    # UPDATE through the fallback keeps answers exact too.
+    _i, n2 = _hudi_rewrite_where(
+        spark, p, [("id", ">=", 27)], {"score": "score * 2"},
+        max_affected_file_groups=1,
+    )
+    assert n2 == 3
+    assert {
+        r.score for r in read_hudi(spark, p).filter("id >= 27").collect()
+    } == {54.0, 56.0, 58.0}
+
+    # CoW truncate: metadata-only, exact footer row count.
+    ti, tn = truncate_hudi(p)
+    assert ti is not None and tn == 21
+    assert read_hudi(spark, p).count() == 0
+    assert read_hudi(spark, p, as_of_instant=inst).count() == 21
+    assert truncate_hudi(p) == (None, 0)
+
+    # MoR: predicate DML refuses toward the keyed route; truncate
+    # works (replaced groups hide log slices) with rows=None.
+    pm = str(tmp_path / "hm")
+    write_hudi(
+        df, pm, record_key="id", partition_by=["grp"], num_buckets=2,
+        table_type="MERGE_ON_READ",
+    )
+    write_hudi(
+        spark.createDataFrame([(1, 1, 99.0)], "id long, grp int, score double"),
+        pm, record_key="id", mode="upsert",
+    )
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        _hudi_rewrite_where(spark, pm, [("id", "=", 1)], None)
+    tim, tnm = truncate_hudi(pm)
+    assert tim is not None and tnm is None
+    assert read_hudi(spark, pm).count() == 0
+
+
+def test_sql_hudi_predicate_dml_text(spark, tmp_path):
+    """r15: the SQL-text surface routes Hudi CoW predicate DML through
+    the keyless surgical rewrite (no record key consulted), falls back
+    to the keyed route on MERGE_ON_READ, and TRUNCATE TABLE works on
+    Hudi paths."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    df = spark.createDataFrame(
+        [(i, f"u{i}", i % 4, float(i)) for i in range(40)],
+        "id long, name string, grp int, score double",
+    )
+    p = str(tmp_path / "h")
+    write_hudi(df, p, record_key="id", partition_by=["grp"], num_buckets=2)
+    r = lake.sql(
+        f"UPDATE hudi.`{p}` SET score = score + 100 WHERE grp = 1 AND id >= 20"
+    )
+    assert r.source_rows == 5
+    got = {r.id: r.score for r in read_hudi(spark, p).collect()}
+    assert got[21] == 121.0 and got[13] == 13.0
+    r2 = lake.sql(f"DELETE FROM hudi.`{p}` WHERE id IN (21, 25)")
+    assert r2.source_rows == 2
+    assert read_hudi(spark, p).count() == 38
+    r3 = lake.sql(f"TRUNCATE TABLE hudi.`{p}`")
+    assert r3["rows"] == 38 and read_hudi(spark, p).count() == 0
+
+    pm = str(tmp_path / "hm")
+    write_hudi(
+        df, pm, record_key="id", partition_by=["grp"], num_buckets=2,
+        table_type="MERGE_ON_READ",
+    )
+    rm = lake.sql(f"DELETE FROM hudi.`{pm}` WHERE id < 4")
+    assert rm.source_rows == 4 and read_hudi(spark, pm).count() == 36
+    rmu = lake.sql(f"UPDATE hudi.`{pm}` SET score = 0.5 WHERE id = 10")
+    assert rmu.source_rows == 1
+    assert read_hudi(spark, pm).filter("id = 10").collect()[0].score == 0.5
+    rt = lake.sql(f"TRUNCATE TABLE hudi.`{pm}`")
+    assert rt["rows"] is None and read_hudi(spark, pm).count() == 0
