@@ -461,6 +461,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     test_oracle_parity every session); rotate into a recorded slot
 #     in r16 or r17 (behind the PQ-index and Iceberg-lifecycle
 #     commitments).
+#   r15 addition 2: lineitem_zorder_skipping (the ZORDER proof-gate —
+#     a deliberately-scattered Delta layout where a 2-D box predicate
+#     opens every file, the Morton ZORDER rewrite, then a
+#     strictly-fewer-files pin on the SAME predicate both pre-vs-post
+#     and post-vs-total; the aggregate over the skipping read
+#     hash-matches the raw-lineitem oracle). Registers in the TAIL,
+#     same protocol; rotate into a recorded slot in r16 or r17.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -520,6 +527,7 @@ _DEMOTED_TAIL = [
     "emb_ivf_batch_knn",
     "docs_stratified_cap",
     "orders_dml_hudi",
+    "lineitem_zorder_skipping",
 ]
 
 _DRIVER_SLOTS = 50

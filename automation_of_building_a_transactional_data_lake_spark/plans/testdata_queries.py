@@ -3413,6 +3413,78 @@ def orders_dml_iceberg_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ZORDER proof-gate (the reason ZORDER exists, pinned):
+    lineitem exports to a FRESH Delta table deliberately SCATTERED —
+    files range-split by l_orderkey, so every file's min/max box on
+    (l_quantity, l_extendedprice) spans both domains and a 2-D box
+    predicate must open EVERY file. ``OPTIMIZE ... ZORDER BY
+    (l_quantity, l_extendedprice)`` then rewrites the layout
+    Morton-ordered (``formats/zorder``'s shared math), and the pin
+    demands the SAME predicate now open strictly fewer files than it
+    did pre-ZORDER AND strictly fewer than the post-ZORDER total —
+    multi-column stats skipping engaging on both clustered columns at
+    once is exactly what a 100-TB point-lookup workload buys from the
+    rewrite. The aggregate over the skipping read hash-matches the
+    raw-lineitem DuckDB oracle, so the layout move may not drift a
+    single row. Reference analogue: the lake-maintenance step of the
+    reference's pipelines (compaction/clustering around
+    src/hudi/hudi-cdc-load.py's table services), expressed as Delta's
+    own OPTIMIZE ZORDER."""
+    import os as _os
+    import tempfile
+
+    from ..formats.interop import read_delta, write_delta, zorder_delta
+
+    _utc(spark)
+    path = _os.path.join(tempfile.mkdtemp(prefix="tdl_li_zorder_"), "t")
+    li = load(spark, sf_dir, "lineitem")
+    write_delta(li.repartitionByRange(8, "l_orderkey"), path)
+    box = [("l_quantity", "<=", 5.0), ("l_extendedprice", "<", 20000.0)]
+    n_pre = len(read_delta(spark, path, where=box).inputFiles())
+    pre_files = read_delta(spark, path).inputFiles()
+    if n_pre < len(pre_files):
+        raise AssertionError(
+            "the doctored scatter failed: the 2-D box already skips "
+            f"({n_pre} of {len(pre_files)} files) before ZORDER"
+        )
+    total = sum(
+        _os.path.getsize(f.removeprefix("file:")) for f in pre_files
+    )
+    v, _stats = zorder_delta(
+        spark, path, ["l_quantity", "l_extendedprice"],
+        target_bytes=max(total // 8, 1),
+    )
+    if v is None:
+        raise AssertionError("ZORDER found nothing to rewrite")
+    post_df = read_delta(spark, path, where=box)
+    n_post = len(post_df.inputFiles())
+    n_post_all = len(read_delta(spark, path).inputFiles())
+    if not (0 < n_post < n_pre and n_post < n_post_all):
+        raise AssertionError(
+            "ZORDER did not engage multi-column skipping: "
+            f"{n_post} of {n_post_all} files opened post-rewrite "
+            f"(pre-rewrite: {n_pre})"
+        )
+    return (
+        post_df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+LINEITEM_ZORDER_ORACLE = """
+SELECT l_returnflag,
+       count(*)                        AS n_rows,
+       round(sum(l_extendedprice), 2)  AS sum_price
+FROM lineitem
+WHERE l_quantity <= 5 AND l_extendedprice < 20000
+GROUP BY l_returnflag
+"""
+
+
 def orders_dml_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — the HUDI twin closing the keyless DML matrix's last cell:
     a FRESH Hudi CoW export of orders takes the same SQL-text
@@ -3948,6 +4020,16 @@ QUERIES: dict[str, QueryDef] = {
             "orders_dml_hudi",
             orders_dml_hudi,
             ORDERS_DML_SQLTEXT_ORACLE,
+            headline=False,
+        ),
+        # r15 (TAIL registration, rotate per __spark_entry__): the
+        # ZORDER proof-gate — a deliberately-scattered layout, the
+        # Morton rewrite, and a strictly-fewer-files pin on a 2-D box
+        # predicate both pre-vs-post and post-vs-total.
+        QueryDef(
+            "lineitem_zorder_skipping",
+            lineitem_zorder_skipping,
+            LINEITEM_ZORDER_ORACLE,
             headline=False,
         ),
     ]
