@@ -1622,6 +1622,95 @@ class LakeSQL:
                 "is_partition boolean"
             )
 
+        # INSERT INTO a FOREIGN path as text (r15): a pure append —
+        # Delta/Iceberg have no key, so no duplicate question arises;
+        # the writer enforces CHECK constraints / column invariants and
+        # computes generated columns (a named column list may omit
+        # them — native Delta's rule — and must not carry a value that
+        # contradicts the expression). Hudi INSERTs need record-key
+        # routing — MERGE INTO's job.
+        m = re.match(
+            r"INSERT\s+INTO\s+(?P<fmt>delta|iceberg|hudi)\.`(?P<p>[^`]+)`\s*"
+            r"(?:\((?P<cols>[\w\s,]+)\)\s*)?"
+            r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            fmt = m.group("fmt").lower()
+            path = m.group("p")
+            if fmt == "hudi":
+                raise NotImplementedError(
+                    "INSERT INTO a hudi path needs record-key routing — "
+                    "use MERGE INTO (the keyed upsert) instead"
+                )
+            from .formats.interop import (
+                read_delta,
+                read_iceberg,
+                write_delta,
+                write_iceberg,
+            )
+
+            reader = read_delta if fmt == "delta" else read_iceberg
+            tschema = reader(self.spark, path).schema
+            tcols = tschema.names
+            generated: set[str] = set()
+            if fmt == "delta":
+                import json as _json
+
+                from .formats.interop import _delta_replay
+
+                meta = _delta_replay(path, None)["metaData"]
+                for fld in _json.loads(
+                    meta.get("schemaString") or '{"fields":[]}'
+                ).get("fields", []):
+                    if (fld.get("metadata") or {}).get(
+                        "delta.generationExpression"
+                    ):
+                        generated.add(fld["name"])
+            df = self.spark.sql(self._rewrite(m.group("q")))
+            if m.group("cols"):
+                named = [c.strip() for c in m.group("cols").split(",")]
+                unknown = [c for c in named if c not in tcols]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column list references unknown columns "
+                        f"{unknown} (table has {tcols})"
+                    )
+                if len(named) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT column list names {len(named)} columns "
+                        f"but the query produces {len(df.columns)}"
+                    )
+                df = df.toDF(*named)
+                out = []
+                for c in tcols:
+                    if c in named:
+                        out.append(c)
+                    elif c in generated:
+                        continue  # the writer computes it
+                    else:
+                        df = df.withColumn(c, F.lit(None))
+                        out.append(c)
+                df = df.select(*out)
+            else:
+                if len(df.columns) != len(tcols):
+                    raise ValueError(
+                        f"INSERT query produces {len(df.columns)} columns "
+                        f"but {fmt}.`{path}` has {len(tcols)} — name the "
+                        "columns: INSERT INTO ... (a, b) ..."
+                    )
+                df = df.toDF(*tcols)
+            types = {f.name: f.dataType for f in tschema.fields}
+            df = df.select(
+                *[F.col(c).cast(types[c]).alias(c) for c in df.columns]
+            )
+            n = df.count()
+            writer = write_delta if fmt == "delta" else write_iceberg
+            writer(df, path, mode="append")
+            return MergeResult(
+                table=f"{fmt}.`{path}`", action="insert", source_rows=n
+            )
+
         # INSERT INTO as text (r14): the most basic write statement a
         # switching user types. Tables here are KEYED (the merge
         # model), so SQL primary-key semantics apply: a batch touching

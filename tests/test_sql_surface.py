@@ -1171,7 +1171,7 @@ def test_sql_text_update_delete_foreign_hudi_path(spark, tmp_path):
     # record-key assignment refuses; a delta-path UPDATE with a
     # predicate OUTSIDE the where= grammar refuses toward MERGE
     # (strict: a partial translation would update a superset).
-    with pytest.raises(ValueError, match="record key"):
+    with pytest.raises(ValueError, match="record.key"):
         lake.sql(f"UPDATE hudi.`{hp}` SET id = 1")
     dp = str(tmp_path / "d")
     write_delta(spark.createDataFrame([(1, "a")], "id long, val string"), dp)
@@ -1449,7 +1449,9 @@ def test_sql_truncate_table(spark, tmp_path, user_lake):
     r = lake.sql(f"TRUNCATE TABLE iceberg.`{ip}`")
     assert r["rows"] == 7 and read_iceberg(spark, ip).count() == 0
 
-    with pytest.raises(NotImplementedError, match="keyed delete"):
+    # r15: TRUNCATE works on Hudi paths now (one metadata-only
+    # replacecommit); a missing table still raises cleanly.
+    with pytest.raises(FileNotFoundError, match="no Hudi table"):
         lake.sql("TRUNCATE TABLE hudi.`/nope`")
 
     # Managed: empty typed overwrite, time-travelable.
@@ -1583,3 +1585,131 @@ def test_sql_optimize_manifests_iceberg(spark, tmp_path):
     assert set(read_iceberg(spark, ip).inputFiles()) == files0
     assert {x.id for x in read_iceberg(spark, ip).collect()} == {0, 1, 2, 3}
     assert lake.sql(f"OPTIMIZE iceberg.`{ip}` MANIFESTS")["compacted"] is False
+
+
+# -- r15: constraint + generated-column enforcement, SQL surface e2e --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _gen_delta_with_generated(spark, k):
+    """A foreign Delta table whose 'y' is generated as x * k (writer
+    version 4), built the way a native writer leaves it."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import write_delta
+
+    p = _os.path.join(tempfile.mkdtemp(prefix="tdl_sqlprop_"), "t")
+    write_delta(
+        spark.createDataFrame([(0, 0)], "x long, y long"), p
+    )
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "y":
+                    f["metadata"]["delta.generationExpression"] = f"x * {k}"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 4
+    with open(log, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+    return p
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    k=st.integers(1, 5),
+    xs0=st.lists(st.integers(1, 50), min_size=1, max_size=4, unique=True),
+    t=st.integers(10, 60),
+    xs1=st.lists(st.integers(51, 120), min_size=1, max_size=3, unique=True),
+    d=st.integers(-10, 10),
+)
+def test_sql_constraint_generated_dml_property(spark, k, xs0, t, xs1, d):
+    """r15 (verdict #7): the ALTER TABLE ADD CONSTRAINT → violating
+    DML refuses → conforming DML passes sequence, as a property over
+    generated expressions. The model: y is generated as x * k; a CHECK
+    x <= t gates every path. ADD CONSTRAINT refuses iff existing rows
+    violate; INSERT INTO the foreign path (column list omitting the
+    generated column) refuses iff any new x > t and computes y = x*k
+    otherwise; predicate UPDATE SET x refuses iff a post-image x > t
+    and RECOMPUTES y otherwise. After every refusal the table is
+    byte-identical to before (nothing staged, nothing committed); the
+    final state always equals the Python fold of the accepted
+    statements."""
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import read_delta
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    lake = LakeSQL(Catalog(spark, __import__("tempfile").mkdtemp(prefix="wh_")))
+    p = _gen_delta_with_generated(spark, k)
+    # Seed rows (x=0 from creation is row zero; append the xs0 batch
+    # through the surface, generated column computed).
+    vals = ", ".join(f"({x})" for x in xs0)
+    lake.sql(f"INSERT INTO delta.`{p}` (x) VALUES {vals}")
+    model = {0: 0} | {x: x * k for x in xs0}
+    assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == set(
+        model.items()
+    )
+
+    # ADD CONSTRAINT: refuses iff existing rows violate; after a
+    # refusal a permissive constraint still lands.
+    stmt = f"ALTER TABLE delta.`{p}` ADD CONSTRAINT xmax CHECK (x <= {t})"
+    if max(model) > t:
+        with _pytest.raises(ValueError, match="existing row"):
+            lake.sql(stmt)
+        t_eff = max(model) + 10
+        lake.sql(
+            f"ALTER TABLE delta.`{p}` ADD CONSTRAINT xmax CHECK (x <= {t_eff})"
+        )
+    else:
+        lake.sql(stmt)
+        t_eff = t
+
+    # INSERT: refuses iff any new x violates; nothing commits then.
+    vals1 = ", ".join(f"({x})" for x in xs1)
+    ins = f"INSERT INTO delta.`{p}` (x) VALUES {vals1}"
+    if max(xs1) > t_eff:
+        with _pytest.raises(ValueError, match="xmax"):
+            lake.sql(ins)
+    else:
+        lake.sql(ins)
+        model |= {x: x * k for x in xs1}
+    assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == set(
+        model.items()
+    )
+
+    # An INSERT carrying a value that CONTRADICTS the generated
+    # expression refuses regardless of the constraint.
+    bad_y = 1 * k + 1
+    with _pytest.raises(ValueError, match="generated column"):
+        lake.sql(f"INSERT INTO delta.`{p}` (x, y) VALUES (1, {bad_y})")
+
+    # UPDATE SET x: refuses iff a post-image violates; recomputes the
+    # generated column otherwise (nothing set it explicitly).
+    lo = min(model)
+    post = {x: (x + d if x >= lo else x) for x in model}
+    upd = f"UPDATE delta.`{p}` SET x = x + {d} WHERE x >= {lo}"
+    if any(v > t_eff for v in post.values()) and d != 0:
+        with _pytest.raises(ValueError, match="xmax"):
+            lake.sql(upd)
+    elif d != 0:
+        lake.sql(upd)
+        model = {v: v * k for v in post.values()}
+    assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == set(
+        model.items()
+    )
