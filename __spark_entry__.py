@@ -461,6 +461,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     test_oracle_parity every session); rotate into a recorded slot
 #     in r16 or r17 (behind the PQ-index and Iceberg-lifecycle
 #     commitments).
+#   r15 rotation 2 (closing the r14 "r15 or r16" commitments a round
+#     early): emb_ann_index_pq_query and orders_dml_iceberg_lifecycle
+#     rotate IN to recorded slots. Rotating OUT, per protocol (each
+#     green in every driver round since registration and family-held
+#     by a STAYING head gate):
+#     - docs_simhash_md5 (green r8-r14, seven consecutive rounds) →
+#       held by the staying near-dup family: docs_ngram_jaccard_dedup
+#       (exact similarity self-join), docs_dedup_index_query (banded
+#       hash-bucket joins), docs_winnow_fingerprints (rolling-hash
+#       fingerprint machinery) and docs_dedup_clusters (component
+#       fixpoint), + pytest test_oracle_parity each session.
+#     - emb_pca_knn (green r9-r14, six consecutive rounds) → held by
+#       the staying emb_pq_knn and the INCOMING emb_ann_index_pq_query
+#       (the same learned-transform + quantized-distance + exact
+#       re-rank machinery, composed with CDC maintenance on top), +
+#       pytest each session.
 #   r15 addition 2: lineitem_zorder_skipping (the ZORDER proof-gate —
 #     a deliberately-scattered Delta layout where a 2-D box predicate
 #     opens every file, the Morton ZORDER rewrite, then a
@@ -521,11 +537,11 @@ _DEMOTED_TAIL = [
     "q5_region_volume",
     "docs_curation_pipeline",
     "docs_vocab_topk",
-    "emb_ann_index_pq_query",
     "q2_min_price_supplier",
-    "orders_dml_iceberg_lifecycle",
     "emb_ivf_batch_knn",
     "docs_stratified_cap",
+    "docs_simhash_md5",
+    "emb_pca_knn",
     "orders_dml_hudi",
     "lineitem_zorder_skipping",
 ]
