@@ -6592,6 +6592,54 @@ def update_hudi_where(
     return _hudi_rewrite_where(spark, table_path, where, dict(assigns))
 
 
+def alter_hudi_table(
+    spark: SparkSession,
+    table_path: str,
+    add_columns: list[tuple[str, str]],
+) -> str:
+    """``ALTER TABLE ... ADD COLUMN`` on a REAL Hudi table as ONE
+    metadata-only commit (r15, lifting the SQL fence): Hudi's table
+    schema authority is the LATEST commit's ``extraMetadata.schema``
+    (native TableSchemaResolver — the same source this engine's
+    ``read_hudi`` consults), so appending nullable columns is one
+    empty ``ALTER_SCHEMA`` commit carrying the evolved Avro schema —
+    zero parquet bytes move at any table size, existing files read
+    the new columns as typed nulls, and later upserts may populate
+    them without ``evolve=True`` (the table now declares the column).
+    CoW commits a ``.commit``; MERGE_ON_READ keeps its deltacommit
+    timeline convention. DROP/RENAME refuse: this engine resolves
+    parquet columns by NAME, so either would orphan or null every
+    existing file — the reason native Hudi gates them behind its
+    field-id schema history. Returns the commit instant."""
+    if not add_columns:
+        raise ValueError("nothing to alter: pass add_columns")
+    props = _hudi_table_properties(table_path)
+    cur_fields = list(read_hudi(spark, table_path).schema.fields)
+    have = {f.name.lower() for f in cur_fields}
+    from pyspark.sql.types import StructField, StructType
+
+    for name, ddl_type in add_columns:
+        if name.lower() in have:
+            raise ValueError(f"ADD COLUMN: {name!r} already exists")
+        try:
+            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+        except Exception as exc:  # noqa: BLE001 — surface the parse error
+            raise ValueError(
+                f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"
+            ) from exc
+        cur_fields.append(StructField(name, dt, True))
+        have.add(name.lower())
+    sj = json.dumps(_hudi_avro_schema(cur_fields))
+    instant = _hudi_new_instant(table_path)
+    _hudi_complete(
+        table_path, instant, "ALTER_SCHEMA", {},
+        delta=props.get("hoodie.table.type", "COPY_ON_WRITE")
+        == "MERGE_ON_READ",
+        schema_json=sj,
+    )
+    return instant
+
+
 def truncate_hudi(table_path: str) -> tuple[str | None, int | None]:
     """TRUNCATE a REAL Hudi table as ONE metadata-only REPLACECOMMIT
     retiring every visible file group (r15 — the timeline shape

@@ -1032,11 +1032,31 @@ class LakeSQL:
             path = m.group("p")
             rest = m.group("rest").strip()
             if fmt == "hudi":
-                raise NotImplementedError(
-                    "ALTER TABLE on a Hudi path is not supported — Hudi "
-                    "schema lives in commit metadata; evolve it with the "
-                    "next upsert via write_hudi(evolve=True)"
+                # r15: ADD COLUMN is one empty ALTER_SCHEMA commit
+                # carrying the evolved Avro schema (Hudi's
+                # commit-metadata schema authority); DROP/RENAME stay
+                # refused (name-bound parquet resolution).
+                am = re.match(
+                    r"ADD\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s+"
+                    r"(?P<ty>[\w()<>, ]+?)\s*\)?$",
+                    rest, re.IGNORECASE,
                 )
+                if not am:
+                    raise NotImplementedError(
+                        f"ALTER TABLE on a Hudi path supports ADD COLUMN "
+                        f"only (got {rest!r}) — DROP/RENAME would break "
+                        "name-bound parquet resolution; use the native "
+                        "engine's schema history"
+                    )
+                from .formats.interop import alter_hudi_table
+
+                inst = alter_hudi_table(
+                    self.spark, path,
+                    [(am.group("c"), am.group("ty").lower())],
+                )
+                return {
+                    "action": "alter_table", "format": fmt, "version": inst,
+                }
             cm_add = re.match(
                 r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*\((?P<e>.+)\)$",
                 rest, re.IGNORECASE | re.DOTALL,

@@ -10964,3 +10964,64 @@ def test_sql_hudi_predicate_dml_text(spark, tmp_path):
     assert read_hudi(spark, pm).filter("id = 10").collect()[0].score == 0.5
     rt = lake.sql(f"TRUNCATE TABLE hudi.`{pm}`")
     assert rt["rows"] is None and read_hudi(spark, pm).count() == 0
+
+
+def test_alter_hudi_table_add_column(spark, tmp_path):
+    """r15 (lifting the SQL fence): ALTER TABLE ADD COLUMN on a Hudi
+    path is ONE empty ALTER_SCHEMA commit carrying the evolved Avro
+    schema — the commit-metadata authority read_hudi consults — so
+    existing rows read the column as typed null, later upserts
+    populate it WITHOUT evolve=True, and zero parquet bytes move.
+    Works on CoW (.commit) and MoR (.deltacommit); DROP/RENAME refuse
+    on the SQL surface; duplicate/unparseable columns refuse."""
+    import glob as _glob
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        alter_hudi_table,
+        read_hudi,
+        write_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    p = str(tmp_path / "h")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_hudi(df, p, record_key="id")
+    files0 = set(_glob.glob(p + "/**/*.parquet", recursive=True))
+    inst = alter_hudi_table(spark, p, [("score", "double")])
+    assert inst is not None
+    assert set(_glob.glob(p + "/**/*.parquet", recursive=True)) == files0
+    got = read_hudi(spark, p)
+    assert got.columns == ["id", "v", "score"]
+    assert {r.score for r in got.collect()} == {None}
+    write_hudi(
+        spark.createDataFrame([(1, "a2", 9.5)], "id long, v string, score double"),
+        p, record_key="id", mode="upsert",
+    )
+    assert {(r.id, r.v, r.score) for r in read_hudi(spark, p).collect()} == {
+        (1, "a2", 9.5), (2, "b", None)
+    }
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    r = lake.sql(f"ALTER TABLE hudi.`{p}` ADD COLUMN note string")
+    assert r["action"] == "alter_table"
+    assert "note" in read_hudi(spark, p).columns
+    with pytest.raises(NotImplementedError, match="ADD COLUMN only"):
+        lake.sql(f"ALTER TABLE hudi.`{p}` DROP COLUMN note")
+    with pytest.raises(ValueError, match="already exists"):
+        alter_hudi_table(spark, p, [("ID", "long")])
+    with pytest.raises(ValueError, match="cannot parse"):
+        alter_hudi_table(spark, p, [("z", "not_a_type")])
+    with pytest.raises(ValueError, match="nothing to alter"):
+        alter_hudi_table(spark, p, [])
+
+    pm = str(tmp_path / "hm")
+    write_hudi(df, pm, record_key="id", table_type="MERGE_ON_READ")
+    alter_hudi_table(spark, pm, [("x", "int")])
+    assert "x" in read_hudi(spark, pm).columns
+    write_hudi(
+        spark.createDataFrame([(2, "b2", 3)], "id long, v string, x int"),
+        pm, record_key="id", mode="upsert",
+    )
+    assert {(r.id, r.v, r.x) for r in read_hudi(spark, pm).collect()} == {
+        (1, "a", None), (2, "b2", 3)
+    }
