@@ -484,6 +484,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     and post-vs-total; the aggregate over the skipping read
 #     hash-matches the raw-lineitem oracle). Registers in the TAIL,
 #     same protocol; rotate into a recorded slot in r16 or r17.
+#   r15 addition 3: docs_chunking (fixed-size overlapping character
+#     windows — the intra-document half of training-data prep that
+#     packing leaves to the tokenizer; explode(sequence) + codegen'd
+#     substr, no UDF; per-document md5 of the ordered chunk
+#     concatenation vs a LATERAL generate_series oracle). Registers in
+#     the TAIL, same protocol; rotate into a recorded slot in r16 or
+#     r17.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -544,6 +551,7 @@ _DEMOTED_TAIL = [
     "emb_pca_knn",
     "orders_dml_hudi",
     "lineitem_zorder_skipping",
+    "docs_chunking",
 ]
 
 _DRIVER_SLOTS = 50

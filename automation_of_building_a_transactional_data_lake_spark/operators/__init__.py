@@ -34,4 +34,6 @@
   batch (the contamination-check shape).
 - ``decontam``: exact n-gram eval-set decontamination (GPT-3/PaLM
   pre-training scrub).
+- ``chunking``: fixed-size overlapping character windows per document
+  (the intra-document half of training-data prep; RAG indexing).
 """

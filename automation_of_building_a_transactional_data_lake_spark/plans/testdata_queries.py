@@ -1989,6 +1989,71 @@ FROM pack GROUP BY bucket, bin ORDER BY bucket, bin
 
 
 # --------------------------------------------------------------------------
+# docs_chunking — fixed-size overlapping character windows (the
+# intra-document half packing leaves to "the tokenizer"; RAG indexing
+# and long-document pretraining both need it). Spark-first: chunk
+# count is one integer expression, ids come from explode(sequence),
+# the slice is codegen'd substr — no UDF. The oracle re-derives every
+# chunk via a LATERAL generate_series + identical integer arithmetic
+# and md5-hashes the ordered chunk concatenation per document, so a
+# one-character boundary drift anywhere mismatches.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 40
+
+
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    _utc(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(
+        docs, "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return ch.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("chunk_chars"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("chunks_md5"),
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+DOCS_CHUNKING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST((greatest(length(text) - {_CHUNK_SIZE}, 0)
+               + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE} AS BIGINT) AS max_id
+  FROM documents
+), ids AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, max_id)) AS chunk_id
+  FROM base
+), ch AS (
+  SELECT doc_id, chunk_id,
+         substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                {_CHUNK_SIZE}) AS chunk
+  FROM ids
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars,
+       md5(string_agg(chunk, '|' ORDER BY chunk_id)) AS chunks_md5
+FROM ch GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -4030,6 +4095,16 @@ QUERIES: dict[str, QueryDef] = {
             "lineitem_zorder_skipping",
             lineitem_zorder_skipping,
             LINEITEM_ZORDER_ORACLE,
+            headline=False,
+        ),
+        # r15 (TAIL registration, rotate per __spark_entry__): document
+        # chunking — overlapping character windows, per-document md5
+        # of the ordered chunk concatenation vs a LATERAL
+        # generate_series oracle.
+        QueryDef(
+            "docs_chunking",
+            docs_chunking,
+            DOCS_CHUNKING_ORACLE,
             headline=False,
         ),
     ]

@@ -1245,3 +1245,53 @@ def test_winnow_fast_twin_guarantee_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="md5|fast"):
         winnow_fingerprints(docs, hash="sha1")
+
+
+# -- r15: document chunking ------------------------------------------------
+
+def test_chunk_documents_boundaries_and_reconstruction(spark):
+    """Chunk i covers [i*stride, i*stride + size); stripping the
+    overlap from every chunk but the first and concatenating
+    reconstructs the original text exactly (the invariant RAG
+    pipelines rely on); empty text yields one empty chunk; null text
+    yields no rows; parameter guards refuse."""
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 10),          # shorter than one chunk
+            (2, "x" * 200),         # exactly one chunk
+            (3, "".join(chr(97 + i % 26) for i in range(553))),
+            (4, ""),                # empty: one empty chunk
+            (5, None),              # null: no rows
+            (6, "y" * 360),         # len == size + stride: exactly 2
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(docs, "text", size=200, overlap=40)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk) for r in ch.collect())
+    )
+    by_doc: dict[int, list[str]] = {}
+    for did, cid, chunk in rows:
+        assert cid == len(by_doc.get(did, []))  # dense 0-based ids
+        by_doc.setdefault(did, []).append(chunk)
+    assert len(by_doc[1]) == 1 and by_doc[1][0] == "a" * 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0] == "x" * 200
+    assert len(by_doc[6]) == 2 and by_doc[6][1] == "y" * 200
+    assert by_doc[4] == [""]
+    assert 5 not in by_doc
+    # 553 chars -> 1 + ceil(353/160) = 4 chunks; reconstruction.
+    assert len(by_doc[3]) == 4
+    originals = {r.doc_id: r.text for r in docs.collect() if r.text is not None}
+    for did, chunks in by_doc.items():
+        rebuilt = chunks[0] + "".join(c[40:] for c in chunks[1:])
+        assert rebuilt == originals[did], f"doc {did} reconstruction"
+        # every chunk but the last is full-size
+        assert all(len(c) == 200 for c in chunks[:-1])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", size=100, overlap=100)
+    with _pytest.raises(ValueError, match="size"):
+        chunk_documents(docs, "text", size=0)
