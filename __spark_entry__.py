@@ -484,6 +484,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     and post-vs-total; the aggregate over the skipping read
 #     hash-matches the raw-lineitem oracle). Registers in the TAIL,
 #     same protocol; rotate into a recorded slot in r16 or r17.
+#   r15 addition 4: q21_waiting_supplier (TPC-H Q21's shape on the
+#     available columns — EXISTS + NOT EXISTS against the same fact
+#     table correlated on the outer key AND a non-key column, composed
+#     with the 4-table snowflake join; events_exclusive_errors holds
+#     the correlation family on events, this adds the TPC-H instance).
+#     Registers in the TAIL, same protocol; candidate for a recorded
+#     slot whenever the correlation family warrants a second gate.
 #   r15 addition 3: docs_chunking (fixed-size overlapping character
 #     windows — the intra-document half of training-data prep that
 #     packing leaves to the tokenizer; explode(sequence) + codegen'd
@@ -552,6 +559,7 @@ _DEMOTED_TAIL = [
     "orders_dml_hudi",
     "lineitem_zorder_skipping",
     "docs_chunking",
+    "q21_waiting_supplier",
 ]
 
 _DRIVER_SLOTS = 50

@@ -242,6 +242,87 @@ GROUP BY o_orderpriority
 """
 
 
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (r15 — the suite's hardest correlation:
+    EXISTS + NOT EXISTS against the SAME fact table, correlated on the
+    outer row's key AND a non-key column): suppliers who were the ONLY
+    late supplier on a finished multi-supplier order. The synthetic
+    lineitem has no commit/receipt dates, so "late" is the q4 family's
+    ``l_shipdate > o_orderdate + 60 days``; the correlation structure
+    is Q21's verbatim. Spark-first: the EXISTS is a ``left_semi``
+    against the distinct (order, supplier) pairs, the NOT EXISTS a
+    ``left_anti`` against the distinct LATE pairs — both shuffle on
+    ``l_orderkey``, the same key the orders join already shuffles on,
+    so the three heaviest stages co-partition; the supplier/nation
+    dims broadcast. Reference analogue: the validation SQL family,
+    src/sample_redshift_ml_sql_query.txt:97-133."""
+    _utc(spark)
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    any_pairs = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    late_pairs = late.distinct().select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = late.join(
+        any_pairs,
+        (late.l_orderkey == any_pairs.k2) & (late.l_suppkey != any_pairs.s2),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (late.l_orderkey == late_pairs.k3)
+        & (late.l_suppkey != late_pairs.s3),
+        "left_anti",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+Q21_ORACLE = """
+SELECT n.n_name, s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY n.n_name, s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # emb_batch_knn — batch k-nearest-neighbor: top-3 cosine neighbors for
 # each of 8 query vectors in ONE pass (vs emb_knn_brute's single
@@ -1678,6 +1759,10 @@ ANALYTICS_QUERIES: list[QueryDef] = [
     QueryDef("q16_brand_type_suppliers", q16_brand_type_suppliers, Q16_ORACLE),
     QueryDef("q2_min_price_supplier", q2_min_price_supplier, Q2_ORACLE),
     QueryDef("q4_late_shipment_exists", q4_late_shipment_exists, Q4_ORACLE),
+    QueryDef(
+        "q21_waiting_supplier", q21_waiting_supplier, Q21_ORACLE,
+        headline=False,
+    ),
     QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE),
     QueryDef("q12_shipmode_priority", q12_shipmode_priority, Q12_ORACLE),
     QueryDef("q19_disjunctive_pred", q19_disjunctive_pred, Q19_ORACLE),
