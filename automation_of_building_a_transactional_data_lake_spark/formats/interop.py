@@ -9666,6 +9666,188 @@ def alter_iceberg_table(
     return version
 
 
+def iceberg_default_spec_entries(table_path: str) -> list[str]:
+    """The current DEFAULT partition spec re-expressed in the
+    write-side ``partition_by`` grammar (plain column for identity,
+    ``days(col)`` / ``bucket(N, col)`` / ``truncate(W, col)`` for
+    transforms) — the list the SQL ``ADD/DROP PARTITION FIELD``
+    surface edits before handing it to
+    ``evolve_iceberg_partition_spec``."""
+    _chosen, meta = _iceberg_current_metadata_named(table_path)
+    cur_schema = next(
+        (
+            s for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        None,
+    )
+    if cur_schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} has no schema")
+    by_id = {int(f["id"]): f["name"] for f in cur_schema["fields"]}
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == int(meta.get("default-spec-id", 0))
+        ),
+        {"fields": []},
+    )
+    out: list[str] = []
+    for f in spec.get("fields", []):
+        t = _ice_norm_transform(f.get("transform"))
+        src = by_id.get(int(f["source-id"]))
+        if src is None:
+            raise ValueError(
+                f"spec field {f.get('name')!r} references unknown "
+                f"source-id {f.get('source-id')}"
+            )
+        if t == "identity":
+            out.append(src)
+        elif t in ("days", "months", "years", "hours"):
+            out.append(f"{t}({src})")
+        else:
+            m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+            if not m:
+                raise NotImplementedError(
+                    f"partition transform {t!r} is not supported"
+                )
+            out.append(f"{m.group(1)}({m.group(2)}, {src})")
+    return out
+
+
+def evolve_iceberg_partition_spec(
+    table_path: str, partition_by: list[str]
+) -> int:
+    """Partition SPEC EVOLUTION on a REAL foreign Iceberg v2 table
+    (r15 — native ``ALTER TABLE ... ADD/DROP PARTITION FIELD``) as ONE
+    metadata-only commit: ``partition_by`` is the FULL desired
+    partition list (identity columns or hidden transforms, the
+    ``write_iceberg`` grammar); it appends to ``partition-specs`` with
+    a fresh spec-id and becomes the default. ZERO data bytes move and
+    no snapshot commits — existing files keep their original spec
+    (their manifests carry its spec-id, and the multi-spec read /
+    DML / manifest-rewrite machinery resolves per-manifest specs),
+    while FUTURE writes lay out under the new spec: exactly Iceberg's
+    contract, evolution changes the layout going forward, never
+    retroactively. An equivalent (source column, transform) field
+    keeps its existing field-id across specs (the spec's rule, so
+    partition records stay join-compatible); genuinely new fields
+    allocate past ``last-partition-id``. Evolving to the CURRENT
+    default spec is a no-op (no commit). Returns the committed
+    metadata version."""
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "partition spec evolution on a format-version 1 Iceberg "
+            "table is not supported; run upgrade_iceberg_v1_to_v2 first"
+        )
+    cur_schema = next(
+        (
+            s for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        None,
+    )
+    if cur_schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} has no schema")
+    field_ids = {f["name"]: int(f["id"]) for f in cur_schema["fields"]}
+    parsed = [_ice_parse_partition_entry(c) for c in (partition_by or [])]
+    missing = [src for src, _t, _n in parsed if src not in field_ids]
+    if missing:
+        raise ValueError(
+            f"partition source columns {missing} not in the table schema"
+        )
+    specs = list(meta.get("partition-specs", []))
+    # The spec's field-id reuse rule: an equivalent (source-id,
+    # transform) anywhere in the spec history keeps its id.
+    known: dict[tuple[int, str], int] = {}
+    for sp in specs:
+        for f in sp.get("fields", []):
+            key = (int(f["source-id"]), _ice_norm_transform(f.get("transform")))
+            known.setdefault(key, int(f["field-id"]))
+    last_pid = int(
+        meta.get("last-partition-id") or (_ICE_PART_FIELD_ID0 - 1)
+    )
+    new_fields: list[dict] = []
+    seen: set[tuple[int, str]] = set()
+    for src, transform, pname in parsed:
+        key = (field_ids[src], _ice_norm_transform(transform))
+        if key in seen:
+            raise ValueError(
+                f"duplicate partition field {transform}({src}) in the "
+                "requested spec"
+            )
+        seen.add(key)
+        fid = known.get(key)
+        if fid is None:
+            last_pid = max(last_pid + 1, _ICE_PART_FIELD_ID0)
+            fid = last_pid
+        pf = {
+            "name": pname,
+            "source-id": key[0],
+            "transform": transform,
+            "field-id": fid,
+        }
+        ice_t = _ice_part_field_type(pf, cur_schema)
+        if not isinstance(ice_t, str) or ice_t not in _ICE_PART_AVRO:
+            raise NotImplementedError(
+                f"partition field {pname!r} ({transform}) would have "
+                f"Iceberg type {ice_t!r}, which is not supported "
+                "(string/int/long/date only)"
+            )
+        new_fields.append(pf)
+
+    def _shape(fs: list[dict]) -> list[tuple[int, str]]:
+        return [
+            (int(f["source-id"]), _ice_norm_transform(f.get("transform")))
+            for f in fs
+        ]
+
+    cur_spec = next(
+        (
+            s for s in specs
+            if s.get("spec-id") == int(meta.get("default-spec-id", 0))
+        ),
+        {"fields": []},
+    )
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    prev_version = (
+        int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
+    )
+    if _shape(cur_spec.get("fields", [])) == _shape(new_fields):
+        return prev_version  # already the default layout: no commit
+    new_spec_id = 1 + max(
+        (int(s.get("spec-id", 0)) for s in specs), default=-1
+    )
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = specs + [
+        {"spec-id": new_spec_id, "fields": new_fields}
+    ]
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta["last-partition-id"] = max(
+        last_pid, int(meta.get("last-partition-id") or 0)
+    )
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    mdir = os.path.join(table_path, "metadata")
+    version = prev_version + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(
+        os.path.join(mdir, "version-hint.text"), "w", encoding="ascii"
+    ) as f:
+        f.write(str(version))
+    return version
+
+
 def write_iceberg(
     df: DataFrame,
     table_path: str,

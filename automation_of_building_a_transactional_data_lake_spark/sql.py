@@ -1057,6 +1057,58 @@ class LakeSQL:
                 return {
                     "action": "alter_table", "format": fmt, "version": inst,
                 }
+            pm = re.match(
+                r"(?P<op>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<e>.+)$",
+                rest, re.IGNORECASE,
+            )
+            if pm:
+                # r15: partition SPEC EVOLUTION — Iceberg-native
+                # ALTER TABLE ... ADD/DROP PARTITION FIELD, one
+                # metadata-only commit; existing files keep their
+                # spec, future writes take the new layout.
+                if fmt != "iceberg":
+                    raise NotImplementedError(
+                        f"ADD/DROP PARTITION FIELD on a {fmt} path is "
+                        "not supported — partition spec evolution is "
+                        "Iceberg's contract; Delta/Hudi bind layout at "
+                        "write time"
+                    )
+                from .formats.interop import (
+                    _ice_norm_transform,
+                    _ice_parse_partition_entry,
+                    evolve_iceberg_partition_spec,
+                    iceberg_default_spec_entries,
+                )
+
+                entry = pm.group("e").strip().rstrip(";").strip()
+                src, t, _n = _ice_parse_partition_entry(entry)
+                key = (src, _ice_norm_transform(t))
+                cur = iceberg_default_spec_entries(path)
+                cur_keys = [
+                    (s, _ice_norm_transform(tt))
+                    for s, tt, _nn in map(_ice_parse_partition_entry, cur)
+                ]
+                if pm.group("op").upper() == "ADD":
+                    if key in cur_keys:
+                        raise ValueError(
+                            f"partition field {entry!r} is already part "
+                            "of the default spec"
+                        )
+                    target = cur + [entry]
+                else:
+                    if key not in cur_keys:
+                        raise ValueError(
+                            f"partition field {entry!r} is not part of "
+                            f"the default spec (current: {cur})"
+                        )
+                    target = [
+                        e for e, k in zip(cur, cur_keys) if k != key
+                    ]
+                v = evolve_iceberg_partition_spec(path, target)
+                return {
+                    "action": "evolve_partition_spec", "format": fmt,
+                    "version": v, "spec": target,
+                }
             cm_add = re.match(
                 r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*\((?P<e>.+)\)$",
                 rest, re.IGNORECASE | re.DOTALL,

@@ -11025,3 +11025,103 @@ def test_alter_hudi_table_add_column(spark, tmp_path):
     assert {(r.id, r.v, r.x) for r in read_hudi(spark, pm).collect()} == {
         (1, "a", None), (2, "b2", 3)
     }
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """r15: partition SPEC EVOLUTION — one metadata-only commit
+    appends the new spec and makes it the default; existing files
+    keep their spec (multi-spec reads resolve per manifest), future
+    appends lay out under the new spec, per-spec pruning stays
+    superset-safe, equivalent fields keep their field-id, a no-op
+    evolve commits nothing, the stale-spec append guard still
+    refuses, and the SQL ADD/DROP PARTITION FIELD surface edits the
+    default spec list."""
+    import datetime as _dt
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata,
+        evolve_iceberg_partition_spec,
+        iceberg_default_spec_entries,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    p = str(tmp_path / "i")
+    rows = [
+        (i, f"c{i % 2}", _dt.datetime(1995 + i % 3, 1 + i % 12, 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, ts timestamp")
+    write_iceberg(df.coalesce(2), p, partition_by=["cat"])
+    files0 = set(read_iceberg(spark, p).inputFiles())
+    assert iceberg_default_spec_entries(p) == ["cat"]
+
+    v = evolve_iceberg_partition_spec(p, ["cat", "months(ts)"])
+    meta = _iceberg_current_metadata(p)
+    assert iceberg_default_spec_entries(p) == ["cat", "months(ts)"]
+    assert meta["default-spec-id"] == 1
+    # Equivalent (source, transform) keeps its id; the new field
+    # allocates past last-partition-id.
+    specs = {s["spec-id"]: [f["field-id"] for f in s["fields"]]
+             for s in meta["partition-specs"]}
+    assert specs == {0: [1000], 1: [1000, 1001]}
+    assert meta["last-partition-id"] == 1001
+    # Metadata-only: zero data moved, content identical.
+    assert set(read_iceberg(spark, p).inputFiles()) == files0
+    # No-op evolve: no commit, no spec duplication.
+    assert evolve_iceberg_partition_spec(p, ["cat", "months(ts)"]) == v
+    assert len(_iceberg_current_metadata(p)["partition-specs"]) == 2
+
+    # Append under the NEW spec; the stale old-spec request refuses.
+    more = [
+        (100 + i, f"c{i % 2}", _dt.datetime(1999, 1 + i % 3, 7))
+        for i in range(12)
+    ]
+    mdf = spark.createDataFrame(more, "id long, cat string, ts timestamp")
+    with pytest.raises(ValueError, match="partition spec"):
+        write_iceberg(mdf, p, mode="append", partition_by=["cat"])
+    write_iceberg(
+        mdf.coalesce(2), p, mode="append",
+        partition_by=["cat", "months(ts)"],
+    )
+    got = read_iceberg(spark, p)
+    assert got.count() == 52
+    # Per-spec pruning: the month predicate skips new-spec files
+    # outside the range and keeps every old-spec file (superset-safe).
+    pruned = read_iceberg(
+        spark, p,
+        where=[
+            ("ts", ">=", _dt.datetime(1999, 1, 1)),
+            ("ts", "<", _dt.datetime(1999, 2, 1)),
+        ],
+    )
+    assert pruned.count() == 4
+    assert 0 < len(pruned.inputFiles()) < len(got.inputFiles())
+    assert files0 <= set(pruned.inputFiles())  # old spec: undecidable
+
+    # Keyed merge still works across the evolution.
+    merge_iceberg(
+        spark.createDataFrame(
+            [(0, "c0", _dt.datetime(1995, 1, 5))],
+            "id long, cat string, ts timestamp",
+        ),
+        p, key="id", mode="upsert",
+    )
+    assert read_iceberg(spark, p).count() == 52
+
+    # SQL surface: DROP then ADD edits the default spec list.
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    r = lake.sql(f"ALTER TABLE iceberg.`{p}` DROP PARTITION FIELD months(ts)")
+    assert r["spec"] == ["cat"]
+    r2 = lake.sql(f"ALTER TABLE iceberg.`{p}` ADD PARTITION FIELD bucket(4, id)")
+    assert r2["spec"] == ["cat", "bucket(4, id)"]
+    assert iceberg_default_spec_entries(p) == ["cat", "bucket(4, id)"]
+    with pytest.raises(ValueError, match="already part"):
+        lake.sql(f"ALTER TABLE iceberg.`{p}` ADD PARTITION FIELD cat")
+    with pytest.raises(ValueError, match="not part"):
+        lake.sql(f"ALTER TABLE iceberg.`{p}` DROP PARTITION FIELD months(ts)")
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        lake.sql("ALTER TABLE delta.`/nope` ADD PARTITION FIELD x")
