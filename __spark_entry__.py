@@ -484,6 +484,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     and post-vs-total; the aggregate over the skipping read
 #     hash-matches the raw-lineitem oracle). Registers in the TAIL,
 #     same protocol; rotate into a recorded slot in r16 or r17.
+#   r15 addition 5: orders_spec_evolve_pruned (partition SPEC
+#     EVOLUTION gated e2e — identity layout, metadata-only evolve to
+#     + months(o_orderdate) with a byte-identical files pin, append
+#     under the new spec, strictly-fewer-files pruning pin with
+#     old-spec superset safety; the 1996-range oracle). Registers in
+#     the TAIL, same protocol; rotate into a recorded slot in r16 or
+#     r17.
 #   r15 addition 4: q21_waiting_supplier (TPC-H Q21's shape on the
 #     available columns — EXISTS + NOT EXISTS against the same fact
 #     table correlated on the outer key AND a non-key column, composed
@@ -560,6 +567,7 @@ _DEMOTED_TAIL = [
     "lineitem_zorder_skipping",
     "docs_chunking",
     "q21_waiting_supplier",
+    "orders_spec_evolve_pruned",
 ]
 
 _DRIVER_SLOTS = 50

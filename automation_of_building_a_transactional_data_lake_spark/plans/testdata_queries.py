@@ -3550,6 +3550,77 @@ GROUP BY l_returnflag
 """
 
 
+def orders_spec_evolve_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — partition SPEC EVOLUTION gated end-to-end: half of orders
+    exports identity-partitioned (the layout a team starts with), the
+    spec evolves to add ``months(o_orderdate)`` METADATA-ONLY (pinned:
+    the data files are byte-identical across the evolve), the other
+    half appends under the evolved spec, and a 1996 range read must
+    open strictly fewer files than the full scan — hidden-partition
+    pruning engaging on the NEW files while every OLD-spec file stays
+    (per-spec superset safety, also pinned). The aggregate over the
+    pruned read hash-matches the raw-orders oracle, so per-spec
+    resolution may not lose or duplicate a row. Reference analogue:
+    the Iceberg DDL surface, src/iceberg/iceberg-initial-load.py:
+    59-94, evolved the way a production table actually grows."""
+    import datetime as _dt
+    import os as _os
+    import tempfile
+
+    from ..formats.interop import (
+        evolve_iceberg_partition_spec,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    _utc(spark)
+    path = _os.path.join(tempfile.mkdtemp(prefix="tdl_orders_specevo_"), "t")
+    orders = load(spark, sf_dir, "orders")
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+        path, partition_by=["o_orderpriority"],
+    )
+    files0 = set(read_iceberg(spark, path).inputFiles())
+    evolve_iceberg_partition_spec(
+        path, ["o_orderpriority", "months(o_orderdate)"]
+    )
+    if set(read_iceberg(spark, path).inputFiles()) != files0:
+        raise AssertionError(
+            "spec evolution moved data files; it must be metadata-only"
+        )
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+        path, mode="append",
+        partition_by=["o_orderpriority", "months(o_orderdate)"],
+    )
+    pruned = read_iceberg(
+        spark, path,
+        where=[
+            ("o_orderdate", ">=", _dt.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", _dt.datetime(1997, 1, 1)),
+        ],
+    )
+    n_pruned = len(pruned.inputFiles())
+    n_all = len(read_iceberg(spark, path).inputFiles())
+    if not 0 < n_pruned < n_all:
+        raise AssertionError(
+            f"per-spec pruning did not engage: {n_pruned} of {n_all} "
+            "files scanned"
+        )
+    if not files0 <= set(pruned.inputFiles()):
+        raise AssertionError(
+            "pruning dropped an old-spec file; identity-spec files "
+            "carry no month record and must stay (superset safety)"
+        )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def orders_dml_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — the HUDI twin closing the keyless DML matrix's last cell:
     a FRESH Hudi CoW export of orders takes the same SQL-text
@@ -4105,6 +4176,15 @@ QUERIES: dict[str, QueryDef] = {
             "docs_chunking",
             docs_chunking,
             DOCS_CHUNKING_ORACLE,
+            headline=False,
+        ),
+        # r15 (TAIL registration, rotate per __spark_entry__):
+        # partition spec evolution — metadata-only pin, per-spec
+        # pruning pins, the 1996-range oracle.
+        QueryDef(
+            "orders_spec_evolve_pruned",
+            orders_spec_evolve_pruned,
+            ORDERS_1996_PRUNED_ORACLE,
             headline=False,
         ),
     ]
