@@ -484,6 +484,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     and post-vs-total; the aggregate over the skipping read
 #     hash-matches the raw-lineitem oracle). Registers in the TAIL,
 #     same protocol; rotate into a recorded slot in r16 or r17.
+#   r15 addition 6: emb_semantic_dedup (SemDeDup-style corpus
+#     pruning — frozen-centroid cosine assignment, cluster-scoped
+#     keep-first near-dup drop; the pair join shuffles on the cluster
+#     id so the quadratic stays per-cluster; window + NOT EXISTS
+#     oracle). Registers in the TAIL, same protocol; rotate into a
+#     recorded slot in r16 or r17.
 #   r15 addition 5: orders_spec_evolve_pruned (partition SPEC
 #     EVOLUTION gated e2e — identity layout, metadata-only evolve to
 #     + months(o_orderdate) with a byte-identical files pin, append
@@ -568,6 +574,7 @@ _DEMOTED_TAIL = [
     "docs_chunking",
     "q21_waiting_supplier",
     "orders_spec_evolve_pruned",
+    "emb_semantic_dedup",
 ]
 
 _DRIVER_SLOTS = 50

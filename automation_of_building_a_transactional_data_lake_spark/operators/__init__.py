@@ -36,4 +36,6 @@
   pre-training scrub).
 - ``chunking``: fixed-size overlapping character windows per document
   (the intra-document half of training-data prep; RAG indexing).
+- ``semdedup``: SemDeDup-style semantic dedup — frozen-centroid
+  assignment + cluster-scoped keep-first cosine pruning.
 """

@@ -2054,6 +2054,75 @@ FROM ch GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# emb_semantic_dedup — SemDeDup-style corpus pruning: frozen centroids
+# (the first 4 vectors — deterministic and data-derived), nearest-
+# centroid assignment by cosine (tie -> lowest centroid id), then drop
+# every vector with a LOWER-ID neighbor at cosine >= t in the same
+# cluster. The oracle re-derives assignment AND the keep-first rule as
+# plain SQL (ranking window + NOT EXISTS), so a drift in either the
+# clustering or the pair pruning is a wrong answer. Scale: the pair
+# join shuffles on the cluster id, so the quadratic stays per-cluster
+# (sum-of-squares, not corpus^2) — SemDeDup's design point.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.3
+_SEMDEDUP_K = 4
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    kept = semantic_dedup(emb, threshold=_SEMDEDUP_T, centroids=cents)
+    return kept.groupBy("cluster").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        F.min("vec_id").cast("long").alias("first_kept"),
+    )
+
+
+EMB_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_K}
+), scored AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, v, c_id AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), kept AS (
+  SELECT a.* FROM assign a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM assign b
+    WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+      AND list_dot_product(b.v, a.v)
+            / (sqrt(list_dot_product(b.v, b.v))
+               * sqrt(list_dot_product(a.v, a.v))) >= {_SEMDEDUP_T}
+  )
+)
+SELECT cluster,
+       count(*) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum,
+       CAST(min(vec_id) AS BIGINT) AS first_kept
+FROM kept GROUP BY cluster
+"""
+
+
+# --------------------------------------------------------------------------
 # emb_knn_brute — brute-force cosine top-k over the embedding column:
 # the exact baseline for approximate-nearest-neighbor (operators/similarity).
 # Scale: the query vector broadcasts; similarity is a codegen'd
@@ -4185,6 +4254,16 @@ QUERIES: dict[str, QueryDef] = {
             "orders_spec_evolve_pruned",
             orders_spec_evolve_pruned,
             ORDERS_1996_PRUNED_ORACLE,
+            headline=False,
+        ),
+        # r15 (TAIL registration, rotate per __spark_entry__):
+        # SemDeDup-style semantic dedup — frozen-centroid assignment +
+        # cluster-scoped keep-first pruning vs a window + NOT EXISTS
+        # oracle.
+        QueryDef(
+            "emb_semantic_dedup",
+            emb_semantic_dedup,
+            EMB_SEMDEDUP_ORACLE,
             headline=False,
         ),
     ]

@@ -1295,3 +1295,65 @@ def test_chunk_documents_boundaries_and_reconstruction(spark):
         chunk_documents(docs, "text", size=100, overlap=100)
     with _pytest.raises(ValueError, match="size"):
         chunk_documents(docs, "text", size=0)
+
+
+def test_semantic_dedup_matches_numpy_model(spark):
+    """semantic_dedup ≡ the keep-first model: drop v iff a lower-id
+    same-cluster vector has cosine >= t; assignment is argmax cosine
+    with ties to the lowest centroid id; single-cluster mode prunes
+    globally; guards refuse bad thresholds."""
+    import numpy as np
+    import pytest as _pytest
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    vecs = [base[i % 6] + rng.normal(scale=0.05, size=8) for i in range(48)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 3").selectExpr(
+        "vec_id AS c_id", "embedding AS c_vec"
+    )
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    t = 0.8
+    # Model: assignment then keep-first.
+    cvecs = {i: np.array(vecs[i]) for i in range(3)}
+    assign = {}
+    for i, v in enumerate(vecs):
+        sims = sorted(
+            ((cos(np.array(v), cv), -c) for c, cv in cvecs.items()),
+            reverse=True,
+        )
+        assign[i] = -sims[0][1]
+    expect = {}
+    for i in range(len(vecs)):
+        dropped = any(
+            assign[j] == assign[i]
+            and cos(np.array(vecs[j]), np.array(vecs[i])) >= t
+            for j in range(i)
+        )
+        if not dropped:
+            expect[i] = assign[i]
+
+    kept = semantic_dedup(df, threshold=t, centroids=cents)
+    got = {r.vec_id: r.cluster for r in kept.collect()}
+    assert got == expect
+
+    # Single-cluster mode: global keep-first.
+    expect_g = [
+        i for i in range(len(vecs))
+        if not any(cos(np.array(vecs[j]), np.array(vecs[i])) >= t
+                   for j in range(i))
+    ]
+    kept_g = semantic_dedup(df, threshold=t)
+    assert sorted(r.vec_id for r in kept_g.collect()) == expect_g
+    # The clustered run can only keep MORE (pairs across clusters are
+    # never compared) — SemDeDup's approximation direction.
+    assert set(expect_g) <= set(expect)
+
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=1.5)
