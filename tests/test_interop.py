@@ -9099,7 +9099,7 @@ def test_delete_delta_where_surgical(spark, tmp_path):
         min_size=1, max_size=20,
     ),
     layout=st.sampled_from(["flat", "identity"]),
-    fmt=st.sampled_from(["delta", "iceberg"]),
+    fmt=st.sampled_from(["delta", "iceberg", "hudi"]),
     preds=st.lists(
         st.one_of(_FUZZ_ATOM, st.lists(_FUZZ_ATOM, min_size=2, max_size=2)),
         min_size=1, max_size=2,
@@ -9108,19 +9108,23 @@ def test_delete_delta_where_surgical(spark, tmp_path):
 def test_delete_where_equals_antifilter_fuzz(
     spark, tmp_path_factory, rows, layout, fmt, preds
 ):
-    """PROPERTY (r14): for every predicate the where= grammar accepts,
-    over null-bearing data on flat and partitioned layouts, predicate
-    DELETE (delta AND iceberg) leaves EXACTLY the rows Spark's own
-    NOT-provably-TRUE filter keeps — a destructive operation may never
-    delete a row the predicate doesn't prove, nor keep one it does."""
+    """PROPERTY (r14; hudi added r15): for every predicate the where=
+    grammar accepts, over null-bearing data on flat and partitioned
+    layouts, predicate DELETE (all three formats) leaves EXACTLY the
+    rows Spark's own NOT-provably-TRUE filter keeps — a destructive
+    operation may never delete a row the predicate doesn't prove, nor
+    keep one it does."""
     import datetime as _dt
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         delete_delta_where,
+        delete_hudi_where,
         delete_iceberg_where,
         read_delta,
+        read_hudi,
         read_iceberg,
         write_delta,
+        write_hudi,
         write_iceberg,
     )
 
@@ -9137,6 +9141,9 @@ def test_delete_where_equals_antifilter_fuzz(
     if fmt == "delta":
         write_delta(df, path, partition_by=pb)
         deleter, reader = delete_delta_where, read_delta
+    elif fmt == "hudi":
+        write_hudi(df, path, record_key="id", partition_by=pb)
+        deleter, reader = delete_hudi_where, read_hudi
     else:
         write_iceberg(df, path, partition_by=pb)
         deleter, reader = delete_iceberg_where, read_iceberg
@@ -9210,7 +9217,7 @@ def test_delete_where_equals_antifilter_fuzz(
         min_size=1, max_size=20,
     ),
     layout=st.sampled_from(["flat", "identity"]),
-    fmt=st.sampled_from(["delta", "iceberg"]),
+    fmt=st.sampled_from(["delta", "iceberg", "hudi"]),
     preds=st.lists(
         st.one_of(_FUZZ_ATOM, st.lists(_FUZZ_ATOM, min_size=2, max_size=2)),
         min_size=1, max_size=2,
@@ -9219,20 +9226,25 @@ def test_delete_where_equals_antifilter_fuzz(
 def test_update_where_equals_when_model_fuzz(
     spark, tmp_path_factory, rows, layout, fmt, preds
 ):
-    """PROPERTY (late-r14): for every predicate the where= grammar
-    accepts, over null-bearing data on flat and partitioned layouts,
-    predicate UPDATE (delta AND iceberg) produces EXACTLY the rows of
-    Spark's own CASE WHEN <pred-provably-true> THEN <set> ELSE <row>
-    model applied to the source — only provably-TRUE rows change, and
-    every SET expression sees the pre-update row."""
+    """PROPERTY (late-r14; hudi added r15): for every predicate the
+    where= grammar accepts, over null-bearing data on flat and
+    partitioned layouts, predicate UPDATE (all three formats) produces
+    EXACTLY the rows of Spark's own CASE WHEN <pred-provably-true>
+    THEN <set> ELSE <row> model applied to the source — only
+    provably-TRUE rows change, and every SET expression sees the
+    pre-update row. Hudi refuses partition-field SETs, so its
+    identity-layout run models the n-only assignment."""
     import datetime as _dt
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
         read_delta,
+        read_hudi,
         read_iceberg,
         update_delta_where,
+        update_hudi_where,
         update_iceberg_where,
         write_delta,
+        write_hudi,
         write_iceberg,
     )
 
@@ -9249,6 +9261,9 @@ def test_update_where_equals_when_model_fuzz(
     if fmt == "delta":
         write_delta(df, path, partition_by=pb)
         updater, reader = update_delta_where, read_delta
+    elif fmt == "hudi":
+        write_hudi(df, path, record_key="id", partition_by=pb)
+        updater, reader = update_hudi_where, read_hudi
     else:
         write_iceberg(df, path, partition_by=pb)
         updater, reader = update_iceberg_where, read_iceberg
@@ -9298,6 +9313,15 @@ def test_update_where_equals_when_model_fuzz(
         cond = d if cond is None else (cond & d)
     hit = F.coalesce(cond, F.lit(False))
     assigns = {"n": "coalesce(n, 0) + id", "cat": "upper(cat)"}
+    if fmt == "hudi" and layout == "identity":
+        # A partition-field SET refuses on Hudi (no partition moves
+        # outside MERGE); the property still covers the n assignment.
+        assigns = {"n": "coalesce(n, 0) + id"}
+    cat_model = (
+        F.when(hit, F.expr(assigns["cat"])).otherwise(F.col("cat"))
+        if "cat" in assigns
+        else F.col("cat")
+    ).alias("cat")
     expected = {
         tuple(r)
         for r in df.select(
@@ -9305,8 +9329,7 @@ def test_update_where_equals_when_model_fuzz(
             F.when(hit, F.expr(assigns["n"]).cast("long"))
             .otherwise(F.col("n")).alias("n"),
             "ts",
-            F.when(hit, F.expr(assigns["cat"]))
-            .otherwise(F.col("cat")).alias("cat"),
+            cat_model,
         ).collect()
     }
     n_hit = df.filter(hit).count()
