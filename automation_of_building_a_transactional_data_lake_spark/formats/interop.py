@@ -3997,7 +3997,16 @@ def alter_delta_table(
         if name.lower() in {f["name"].lower() for f in fields}:
             raise ValueError(f"ADD COLUMN: {name!r} already exists")
         try:
-            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+            parsed = StructType.fromDDL(f"`{name}` {ddl_type}")
+            if len(parsed) != 1:
+                # "int, b string" would parse as TWO fields and the
+                # extra column would silently vanish — refuse instead.
+                raise ValueError(
+                    f"ADD COLUMN takes one column; type {ddl_type!r} "
+                    f"parsed as {len(parsed)} fields — repeat the "
+                    "statement per column"
+                )
+            dt = parsed[0].dataType
         except Exception as exc:  # noqa: BLE001 — surface the parse error
             raise ValueError(
                 f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"
@@ -6071,12 +6080,8 @@ def write_hudi(
     # Current snapshot WITH file-group identity recovered from the
     # base-file names (one scan; _metadata costs nothing extra).
     current = read_hudi(spark, table_path, drop_meta=False).select(
-        "*", F.col("_metadata.file_path").alias("__path")
+        "*", _hudi_fid_of_path().alias("__hudi_fid")
     )
-    cur_fid = F.regexp_extract(
-        F.element_at(F.split(F.col("__path"), "/"), -1), r"^([^_]+(?:-[^_]+)*)_", 1
-    )
-    current = current.withColumn("__hudi_fid", cur_fid).drop("__path")
 
     # Business columns come from the TABLE, not the batch (r12 fix: a
     # key-only delete batch used to rewrite surviving groups with only
@@ -6622,7 +6627,16 @@ def alter_hudi_table(
         if name.lower() in have:
             raise ValueError(f"ADD COLUMN: {name!r} already exists")
         try:
-            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+            parsed = StructType.fromDDL(f"`{name}` {ddl_type}")
+            if len(parsed) != 1:
+                # "int, b string" would parse as TWO fields and the
+                # extra column would silently vanish — refuse instead.
+                raise ValueError(
+                    f"ADD COLUMN takes one column; type {ddl_type!r} "
+                    f"parsed as {len(parsed)} fields — repeat the "
+                    "statement per column"
+                )
+            dt = parsed[0].dataType
         except Exception as exc:  # noqa: BLE001 — surface the parse error
             raise ValueError(
                 f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"
@@ -9614,7 +9628,16 @@ def alter_iceberg_table(
         if name.lower() in {f["name"].lower() for f in fields}:
             raise ValueError(f"ADD COLUMN: {name!r} already exists")
         try:
-            dt = StructType.fromDDL(f"`{name}` {ddl_type}")[0].dataType
+            parsed = StructType.fromDDL(f"`{name}` {ddl_type}")
+            if len(parsed) != 1:
+                # "int, b string" would parse as TWO fields and the
+                # extra column would silently vanish — refuse instead.
+                raise ValueError(
+                    f"ADD COLUMN takes one column; type {ddl_type!r} "
+                    f"parsed as {len(parsed)} fields — repeat the "
+                    "statement per column"
+                )
+            dt = parsed[0].dataType
         except Exception as exc:  # noqa: BLE001 — surface the parse error
             raise ValueError(
                 f"ADD COLUMN: cannot parse type {ddl_type!r}: {exc}"

@@ -480,6 +480,20 @@ class ParquetCowTable:
         the new column as null; the first write that supplies it
         materializes values. Returns the committed version."""
 
+        from pyspark.sql.types import StructType
+
+        try:
+            parsed = StructType.fromDDL(f"`{name}` {dtype}")
+        except Exception as exc:  # noqa: BLE001 — surface the parse error
+            raise ValueError(
+                f"ADD COLUMN: cannot parse type {dtype!r}: {exc}"
+            ) from exc
+        if len(parsed) != 1:
+            raise ValueError(
+                f"ADD COLUMN takes one column; type {dtype!r} parsed as "
+                f"{len(parsed)} fields — repeat the statement per column"
+            )
+
         def mutate(m):
             if any(e["name"] == name for e in m["columns"]):
                 raise ValueError(f"column {name!r} already exists")

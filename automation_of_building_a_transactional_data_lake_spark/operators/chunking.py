@@ -53,9 +53,19 @@ def chunk_documents(
         raise ValueError(
             f"overlap must satisfy 0 <= overlap < size, got {overlap}"
         )
+    if text_col not in df.columns:
+        raise ValueError(f"no column {text_col!r} in the DataFrame")
+    clobber = {"chunk_id", "chunk", "chunk_len"} & set(df.columns)
+    if clobber:
+        raise ValueError(
+            f"input already carries {sorted(clobber)} — re-chunking "
+            "chunked output would silently clobber them; rename or "
+            "drop those columns first"
+        )
+    tq = "`" + text_col.replace("`", "``") + "`"
     stride = size - overlap
     n_chunks: Column = F.expr(
-        f"1 + (greatest(length({text_col}) - {size}, 0) + {stride - 1}) "
+        f"1 + (greatest(length({tq}) - {size}, 0) + {stride - 1}) "
         f"div {stride}"
     )
     # greatest() ignores nulls, so the count expression alone would
@@ -71,6 +81,6 @@ def chunk_documents(
         ),
     )
     out = out.withColumn(
-        "chunk", F.expr(f"substr({text_col}, chunk_id * {stride} + 1, {size})")
+        "chunk", F.expr(f"substr({tq}, chunk_id * {stride} + 1, {size})")
     )
     return out.withColumn("chunk_len", F.length("chunk"))

@@ -1741,7 +1741,13 @@ class LakeSQL:
                         generated.add(fld["name"])
             df = self.spark.sql(self._rewrite(m.group("q")))
             if m.group("cols"):
-                named = [c.strip() for c in m.group("cols").split(",")]
+                # Identifiers resolve case-insensitively, like the rest
+                # of this SQL surface (and Spark SQL itself).
+                actual = {c.lower(): c for c in tcols}
+                named = [
+                    actual.get(c.strip().lower(), c.strip())
+                    for c in m.group("cols").split(",")
+                ]
                 unknown = [c for c in named if c not in tcols]
                 if unknown:
                     raise ValueError(
@@ -1776,9 +1782,28 @@ class LakeSQL:
             df = df.select(
                 *[F.col(c).cast(types[c]).alias(c) for c in df.columns]
             )
-            n = df.count()
-            writer = write_delta if fmt == "delta" else write_iceberg
-            writer(df, path, mode="append")
+            # One materialization: the count and the write must see the
+            # SAME rows (a non-deterministic SELECT would otherwise
+            # report a different count than it committed), and an
+            # expensive SELECT must not scan twice.
+            df = df.persist()
+            try:
+                n = df.count()
+                if fmt == "delta":
+                    # write_delta's append adopts the table's recorded
+                    # partitionColumns itself.
+                    write_delta(df, path, mode="append")
+                else:
+                    from .formats.interop import iceberg_default_spec_entries
+
+                    # write_iceberg's append guard demands the table's
+                    # CURRENT default spec be requested explicitly.
+                    write_iceberg(
+                        df, path, mode="append",
+                        partition_by=iceberg_default_spec_entries(path),
+                    )
+            finally:
+                df.unpersist()
             return MergeResult(
                 table=f"{fmt}.`{path}`", action="insert", source_rows=n
             )
