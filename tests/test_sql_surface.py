@@ -1422,8 +1422,12 @@ def test_sql_alter_table_foreign_path(spark, tmp_path):
     assert read_iceberg(spark, ip).columns == ["id", "tags"]
     with pytest.raises(NotImplementedError, match="field-id mapping"):
         lake.sql(f"ALTER TABLE iceberg.`{ip}` RENAME COLUMN id TO id2")
-    with pytest.raises(NotImplementedError, match="evolve"):
+    # r15: hudi ADD COLUMN works (test_alter_hudi_table_add_column);
+    # a missing table raises cleanly, DROP/RENAME keep their fence.
+    with pytest.raises(FileNotFoundError, match="no Hudi table"):
         lake.sql("ALTER TABLE hudi.`/nope` ADD COLUMN x long")
+    with pytest.raises(NotImplementedError, match="ADD COLUMN only"):
+        lake.sql("ALTER TABLE hudi.`/nope` DROP COLUMN x")
 
 
 def test_sql_truncate_table(spark, tmp_path, user_lake):
