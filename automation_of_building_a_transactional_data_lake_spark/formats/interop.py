@@ -4400,6 +4400,115 @@ def _hudi_log_rows_frame(
     return desc.mapInPandas(decode, out_schema)
 
 
+def _hudi_footer_keep(path: str, where_n: list[list[tuple]]) -> bool:
+    """Conservative base-file skipping from parquet FOOTER column
+    stats (r15 — the jar-less stand-in for native Hudi's metadata
+    table ``column_stats`` index): a file DROPS only when the
+    normalized predicate is PROVABLY unsatisfiable against its
+    min/max/null-count aggregates — every undecidable shape (missing
+    stats, incomparable types, any error) keeps the file, and the
+    residual row filter downstream makes results exact either way, so
+    skipping can only ever remove provably-clean scans. Timestamp
+    literals never decide here (tz/unit semantics live in the
+    residual); float/double columns are safe because parquet writers
+    OMIT min/max when NaN is present (Spark orders NaN above every
+    double, so a stats-bearing file provably holds no NaN). Cost:
+    one driver-side footer read per candidate — the same bytes the
+    scan task would read first anyway."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — unreadable footer: scan decides
+        return True
+    # Keyed LOWER-CASE: predicates resolve case-insensitively in the
+    # residual filter, so the pruner must too — an exact-case miss
+    # would wrongly treat the column as absent and over-prune.
+    if sum(
+        md.row_group(i).num_rows for i in range(md.num_row_groups)
+    ) == 0:
+        return False  # zero rows: no predicate can match
+    agg: dict[str, list] = {}  # lower(name) -> [min, max, nulls, non_nulls]
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        if row.num_rows == 0:
+            continue  # contributes nothing (and carries no statistics)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema.lower()
+            st = col.statistics
+            ent = agg.setdefault(name, [None, None, 0, 0, True])
+            if st is None:
+                # No statistics at all: nothing is known — assume both
+                # nulls and non-nulls possible, min/max unusable.
+                ent[4] = False
+                ent[2] += 1
+                ent[3] += 1
+                continue
+            if not st.has_min_max:
+                ent[4] = False  # min/max unusable; counts still exact
+            else:
+                try:
+                    ent[0] = st.min if ent[0] is None else min(ent[0], st.min)
+                    ent[1] = st.max if ent[1] is None else max(ent[1], st.max)
+                except TypeError:
+                    ent[4] = False
+            ent[2] += st.null_count if st.null_count is not None else 1
+            ent[3] += st.num_values if st.num_values is not None else 1
+
+    def _possible(col: str, op: str, lit) -> bool:
+        ent = agg.get(col.lower())
+        if ent is None and md.num_row_groups == 0:
+            return False  # zero-row base file: nothing matches anything
+        if ent is None:
+            # Column absent from this file (pre-evolution): all null —
+            # only IS NULL can match; comparisons provably cannot.
+            return op == "is_null"
+        mn, mx, nulls, non_nulls, usable = ent
+        if op == "is_null":
+            return nulls > 0
+        if op == "is_not_null":
+            return non_nulls > 0
+        if non_nulls == 0:
+            return False  # no non-null value: no comparison can match
+        if not usable or mn is None or mx is None:
+            return True
+        ok_num = isinstance(lit, (int, float)) and isinstance(
+            mn, (int, float)
+        )
+        ok_date = (
+            isinstance(lit, _dt.date)
+            and not isinstance(lit, _dt.datetime)
+            and isinstance(mn, _dt.date)
+            and not isinstance(mn, _dt.datetime)
+        )
+        if not (ok_num or ok_date):
+            return True  # strings (truncation), timestamps (tz): scan
+        try:
+            if op == "=":
+                return mn <= lit <= mx
+            if op == "<":
+                return mn < lit
+            if op == "<=":
+                return mn <= lit
+            if op == ">":
+                return mx > lit
+            if op == ">=":
+                return mx >= lit
+            if op == "!=":
+                return not (mn == mx == lit)
+        except TypeError:
+            return True
+        return True
+
+    for disj in where_n:
+        if not any(_possible(c, o, v) for c, o, v in disj):
+            return False  # one AND-group provably empty: file clean
+    return True
+
+
 def read_hudi(
     spark: SparkSession,
     table_path: str,
@@ -4495,6 +4604,26 @@ def read_hudi(
         }
         latest = {k: v for k, v in latest.items() if k in keep}
         slice_logs = {k: v for k, v in slice_logs.items() if k in keep}
+        if not latest:
+            df = _hudi_empty_frame(
+                spark, table_path, as_of_instant, drop_meta, where_n
+            )
+            if df is not None:
+                return df
+    if where_n:
+        # Base-file STATS skipping (r15 — the column_stats-index
+        # stand-in; what makes zorder_hudi pay off at file
+        # granularity): a LOG-FREE slice whose footer proves the
+        # predicate unsatisfiable never scans. Slices carrying log
+        # files always keep — their log rows are invisible to base
+        # stats. The residual row filter keeps results exact.
+        drop = {
+            k
+            for k, (_ts, pth) in latest.items()
+            if k not in slice_logs and not _hudi_footer_keep(pth, where_n)
+        }
+        if drop:
+            latest = {k: v for k, v in latest.items() if k not in drop}
         if not latest:
             df = _hudi_empty_frame(
                 spark, table_path, as_of_instant, drop_meta, where_n
@@ -5812,6 +5941,144 @@ def cluster_hudi(
             F.when(F.col("__hudi_pp") == "", F.lit("__HUDI_ROOT__")).otherwise(
                 F.col("__hudi_pp")
             ),
+        )
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__hudi_fid"), F.lit(f"_0-0-0_{instant}.parquet")),
+        )
+    )
+    business_cols = [
+        c for c in df.columns
+        if not c.startswith("_hoodie_") and c != "__fp"
+    ]
+    staged = _hudi_select_order(out, business_cols)
+    stats = _hudi_stage_commit(staged, table_path, instant)
+    _hudi_complete(
+        table_path, instant, "CLUSTER", stats, replaced_fids=replaced
+    )
+    return instant
+
+
+def zorder_hudi(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: list[str],
+    target_bytes: int = 134217728,
+) -> str | None:
+    """Hudi CLUSTERING with a Z-ORDER sort (r15 — the native
+    clustering table service's ``hoodie.clustering.plan.strategy.sort.
+    columns`` + z-order layout strategy, jar-less): per partition,
+    every log-free file group of a MULTI-GROUP partition rewrites into
+    ~target-size NEW groups RANGE-BINNED by the Morton code of
+    ``zorder_by`` (the shared ``formats/zorder`` math the Delta /
+    Iceberg / managed rewrites use — one implementation, no drift), so
+    each new base file carries a tight min/max box on every clustered
+    column at once and multi-column skipping engages. Committed as ONE
+    ``.replacecommit`` (the same atomic-hide timeline rule
+    ``cluster_hudi`` uses); groups carrying LOG FILES are skipped (MoR
+    debt: ``compact_hudi`` first); as-of reads before the instant keep
+    the old layout. Partition fields refuse (their dirs already
+    separate). Returns the replacecommit instant, or None when no
+    partition holds two clean groups.
+
+    Scale: one distributed scan of the rewritten groups, one
+    per-partition range sort on the z value (the price every engine's
+    ZORDER pays), O(groups) driver planning."""
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from pyspark.sql.window import Window
+
+    from .zorder import zorder_value
+
+    props = _hudi_table_properties(table_path)
+    parts = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    bad = sorted(set(zorder_by) & set(parts))
+    if bad:
+        raise ValueError(
+            f"cannot zorder by partition field(s) {bad}; their "
+            "directories already separate values"
+        )
+    _completed, latest, slice_logs = _hudi_file_slices(table_path)
+    visible = _hudi_visible_groups(table_path)
+    todo: dict[str, list[tuple[str, str, int]]] = {}
+    for pp, fids in sorted(visible.items()):
+        members = []
+        for fid in fids:
+            if (pp, fid) in slice_logs:
+                continue  # MoR debt belongs to compact_hudi
+            ent = latest.get((pp, fid))
+            if ent is None:
+                continue
+            path = ent[1]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            members.append((fid, os.path.abspath(path), size))
+        if len(members) >= 2:
+            todo[pp] = members
+    if not todo:
+        return None
+
+    instant = _hudi_new_instant(table_path)
+    fmap_rows = []
+    replaced: dict[str, list[str]] = {}
+    for pp, members in sorted(todo.items()):
+        total = sum(s for _f, _p, s in members)
+        n_bins = max(1, -(-total // target_bytes))
+        base_fid = f"zo-{uuid.uuid4().hex[:12]}"
+        replaced[pp] = sorted(f for f, _p, _s in members)
+        for _fid, p, _s in members:
+            fmap_rows.append((p, pp, base_fid, int(n_bins)))
+    paths = [p for p, _pp, _bf, _nb in fmap_rows]
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(paths))
+        .select(
+            "*", _norm_file_path(F.col("_metadata.file_path")).alias("__fp")
+        )
+    )
+    if "_hoodie_record_key" not in df.columns:
+        raise NotImplementedError(
+            "clustering needs populated _hoodie_record_key meta columns"
+        )
+    missing = [c for c in zorder_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder columns {missing} not in the table")
+    fmap = spark.createDataFrame(
+        fmap_rows, "__fp string, __mpp string, __bfid string, __nb int"
+    )
+    z = zorder_value(df, list(zorder_by), f"zorder_hudi({table_path})")
+    w = Window.partitionBy("__mpp").orderBy(
+        z.asc(), F.col("_hoodie_record_key")
+    )
+    w_all = Window.partitionBy("__mpp")
+    # Contiguous RANGE bins over the z order: bin = floor((rank-1) *
+    # n_bins / rows) — rows adjacent in z land in the same new group,
+    # which is what gives each output file its tight multi-column box.
+    zbin = F.floor(
+        (F.row_number().over(w) - F.lit(1))
+        * F.col("__nb")
+        / F.count(F.lit(1)).over(w_all)
+    ).cast("string")
+    out = (
+        df.join(F.broadcast(fmap), "__fp")
+        .withColumn(
+            "__hudi_fid",
+            F.concat(F.col("__bfid"), F.lit("-"), zbin),
+        )
+        .withColumn("__hudi_pp", F.col("__mpp"))
+        .withColumn(
+            "__hudi_pp_dir",
+            F.when(
+                F.col("__hudi_pp") == "", F.lit("__HUDI_ROOT__")
+            ).otherwise(F.col("__hudi_pp")),
         )
         .withColumn(
             "_hoodie_file_name",

@@ -1256,18 +1256,25 @@ class LakeSQL:
             s, re.IGNORECASE,
         )
         if m:
-            # Multi-dimensional clustering as text (late-r14): the
-            # Morton-code rewrite that makes min/max skipping work on
-            # several columns at once (shared formats/zorder math).
-            from .formats.interop import zorder_delta, zorder_iceberg
+            # Multi-dimensional clustering as text (late-r14; hudi
+            # r15): the Morton-code rewrite that makes min/max
+            # skipping work on several columns at once (shared
+            # formats/zorder math — one implementation, three
+            # formats).
+            from .formats.interop import (
+                zorder_delta,
+                zorder_hudi,
+                zorder_iceberg,
+            )
 
             fmt = m.group("fmt").lower()
-            if fmt == "hudi":
-                raise NotImplementedError(
-                    "ZORDER on a Hudi path is not supported — use "
-                    "OPTIMIZE hudi.`p` BINPACK (clustering) instead"
-                )
             cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+            if fmt == "hudi":
+                v = zorder_hudi(self.spark, m.group("p"), cols)
+                return {
+                    "action": "zorder", "format": fmt, "columns": cols,
+                    "compacted": v is not None, "commit": v,
+                }
             fn = zorder_delta if fmt == "delta" else zorder_iceberg
             v, stats = fn(self.spark, m.group("p"), cols)
             return {
@@ -1710,20 +1717,36 @@ class LakeSQL:
         if m:
             fmt = m.group("fmt").lower()
             path = m.group("p")
-            if fmt == "hudi":
-                raise NotImplementedError(
-                    "INSERT INTO a hudi path needs record-key routing — "
-                    "use MERGE INTO (the keyed upsert) instead"
-                )
             from .formats.interop import (
+                _hudi_table_properties,
                 read_delta,
+                read_hudi,
                 read_iceberg,
                 write_delta,
+                write_hudi,
                 write_iceberg,
             )
 
-            reader = read_delta if fmt == "delta" else read_iceberg
-            tschema = reader(self.spark, path).schema
+            hudi_key = None
+            cur_hudi = None
+            if fmt == "hudi":
+                # r15: Hudi INSERT routes by the DECLARED record key —
+                # a pure insert, so a batch touching an existing key
+                # refuses (an INSERT must never silently update).
+                hudi_key = _hudi_table_properties(path).get(
+                    "hoodie.table.recordkey.fields", ""
+                )
+                if not hudi_key or "," in hudi_key:
+                    raise NotImplementedError(
+                        "INSERT INTO a hudi path needs the single record "
+                        f"key hoodie.properties declares (got {hudi_key!r})"
+                        " — use MERGE INTO"
+                    )
+                cur_hudi = read_hudi(self.spark, path)
+                tschema = cur_hudi.schema
+            else:
+                reader = read_delta if fmt == "delta" else read_iceberg
+                tschema = reader(self.spark, path).schema
             tcols = tschema.names
             generated: set[str] = set()
             if fmt == "delta":
@@ -1793,6 +1816,28 @@ class LakeSQL:
                     # write_delta's append adopts the table's recorded
                     # partitionColumns itself.
                     write_delta(df, path, mode="append")
+                elif fmt == "hudi":
+                    if df.filter(F.col(hudi_key).isNull()).limit(1).collect():
+                        raise ValueError(
+                            f"INSERT must provide the record key "
+                            f"{hudi_key!r} for every row"
+                        )
+                    dup = (
+                        df.join(
+                            cur_hudi.select(hudi_key), hudi_key, "left_semi"
+                        )
+                        .select(hudi_key).limit(1).collect()
+                    )
+                    if dup:
+                        raise ValueError(
+                            f"INSERT would touch existing {hudi_key}="
+                            f"{dup[0][0]!r} — keyed tables reject "
+                            "duplicate inserts; use MERGE INTO or UPDATE"
+                        )
+                    if n:
+                        write_hudi(
+                            df, path, record_key=hudi_key, mode="upsert"
+                        )
                 else:
                     from .formats.interop import iceberg_default_spec_entries
 

@@ -11148,3 +11148,147 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
         lake.sql(f"ALTER TABLE iceberg.`{p}` DROP PARTITION FIELD months(ts)")
     with pytest.raises(NotImplementedError, match="Iceberg"):
         lake.sql("ALTER TABLE delta.`/nope` ADD PARTITION FIELD x")
+
+
+def test_zorder_hudi_and_insert_sql(spark, tmp_path):
+    """r15: ZORDER on a Hudi path — every clean group of a multi-group
+    partition rewrites RANGE-BINNED by the Morton code at one
+    replacecommit: content identical, a 2-D box predicate then opens
+    strictly fewer base files than the total (multi-column skipping),
+    as-of before the instant serves the old layout, MoR-debt groups
+    are skipped, partition fields refuse. Plus the r15 Hudi INSERT
+    route: keyed pure-insert, duplicate and null keys refuse."""
+    import pyarrow.parquet as pq
+
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+        zorder_hudi,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import LakeSQL
+
+    p = str(tmp_path / "h")
+    rows = [(i, i % 997, (i * 7919) % 997, f"c{i % 2}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, cat string")
+    write_hudi(
+        df.repartition(4), p, record_key="id",
+        partition_by=["cat"], num_buckets=4,
+    )
+    before = {(r.id, r.x, r.y, r.cat) for r in read_hudi(spark, p).collect()}
+    inst = zorder_hudi(spark, p, ["x", "y"], target_bytes=16 << 10)
+    assert inst is not None
+    after = read_hudi(spark, p)
+    assert {(r.id, r.x, r.y, r.cat) for r in after.collect()} == before
+    n_all = len(after.inputFiles())
+    assert n_all > 4  # small target: several bins per partition
+    # Every new base file carries a TIGHT box: collect x-ranges and
+    # check they do not all span the domain.
+    spans = []
+    for f in after.inputFiles():
+        md = pq.ParquetFile(f.removeprefix("file:")).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["x"]).statistics
+        spans.append(st.max - st.min)
+    assert min(spans) < 996  # at least one file is x-boxed tight
+    pruned = read_hudi(spark, p, where=[("x", "<", 80), ("y", "<", 80)])
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < n_all
+    exp = len([1 for i in range(4000)
+               if i % 997 < 80 and (i * 7919) % 997 < 80])
+    assert pruned.count() == exp
+    # As-of before the rewrite serves the old layout and same content.
+    assert read_hudi(
+        spark, p, as_of_instant=str(int(inst) - 1)
+    ).count() == 4000
+    with pytest.raises(ValueError, match="partition field"):
+        zorder_hudi(spark, p, ["cat"])
+    with pytest.raises(ValueError, match="zorder_by"):
+        zorder_hudi(spark, p, [])
+    with pytest.raises(ValueError, match="not in the table"):
+        zorder_hudi(spark, p, ["nope"])
+
+    # SQL surface + the INSERT route.
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    r = lake.sql(f"OPTIMIZE hudi.`{p}` ZORDER BY (x, y)")
+    assert r["action"] == "zorder" and r["format"] == "hudi"
+    r2 = lake.sql(
+        f"INSERT INTO hudi.`{p}` (id, x, y, cat) VALUES (99999, 1, 2, 'c0')"
+    )
+    assert r2.source_rows == 1
+    assert read_hudi(spark, p).filter("id = 99999").count() == 1
+    with pytest.raises(ValueError, match="duplicate inserts"):
+        lake.sql(
+            f"INSERT INTO hudi.`{p}` (id, x, y, cat) "
+            "VALUES (99999, 1, 2, 'c0')"
+        )
+    with pytest.raises(ValueError, match="record key"):
+        lake.sql(f"INSERT INTO hudi.`{p}` (x, y, cat) VALUES (1, 2, 'c0')")
+
+
+def test_hudi_footer_stats_skipping_semantics(spark, tmp_path):
+    """r15: base-file footer-stats skipping — strictly fewer files on
+    a selective numeric predicate with rows exact; IS NULL keeps
+    null-bearing files; an EVOLVED column absent from old files keeps
+    them for IS NULL and provably drops them for comparisons;
+    case-mismatched predicate columns never over-prune; undecidable
+    types (strings, timestamps) keep everything."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _hudi_footer_keep,
+        alter_hudi_table,
+        read_hudi,
+        write_hudi,
+    )
+
+    import os as _os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import zorder_hudi
+
+    p = str(tmp_path / "h")
+    rows = [(i, i, None if i % 7 == 0 else float(i), f"s{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, n long, score double, s string")
+    write_hudi(df.repartition(2), p, record_key="id", num_buckets=4)
+    # Range-cluster on n so each base file carries a contiguous n box.
+    total = sum(
+        _os.path.getsize(f.removeprefix("file:"))
+        for f in read_hudi(spark, p).inputFiles()
+    )
+    assert zorder_hudi(spark, p, ["n"], target_bytes=total // 4 + 1)
+    all_files = read_hudi(spark, p).inputFiles()
+    assert len(all_files) >= 3
+
+    pruned = read_hudi(spark, p, where=[("n", "<", 10)])
+    assert 0 < len(pruned.inputFiles()) < len(all_files)
+    assert {r.n for r in pruned.collect()} == set(range(10))
+
+    # Case-mismatched column name: same skipping, same exact rows.
+    pruned_cs = read_hudi(spark, p, where=[("N", "<", 10)])
+    assert {r.n for r in pruned_cs.collect()} == set(range(10))
+    assert len(pruned_cs.inputFiles()) == len(pruned.inputFiles())
+
+    # IS NULL: every file holds a multiple of 7 -> all kept, rows exact.
+    nulls = read_hudi(spark, p, where=[("score", "is null", None)])
+    assert {r.id for r in nulls.collect()} == {i for i in range(40) if i % 7 == 0}
+
+    # Strings / undecidable types never prune.
+    s_read = read_hudi(spark, p, where=[("s", "=", "s5")])
+    assert [r.id for r in s_read.collect()] == [5]
+
+    # Evolved column: absent from every existing file.
+    alter_hudi_table(spark, p, [("extra", "long")])
+    ev_null = read_hudi(spark, p, where=[("extra", "is null", None)])
+    assert ev_null.count() == 40  # kept: all-null satisfies IS NULL
+    ev_cmp = read_hudi(spark, p, where=[("extra", "=", 5)])
+    assert ev_cmp.count() == 0
+    assert ev_cmp.inputFiles() == []  # provably-none: zero files scanned
+
+    # Unit tri-state: a zero-row footer drops for any predicate.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"n": pa.array([], type=pa.int64())}), empty)
+    assert _hudi_footer_keep(empty, [[("n", "is_null", None)]]) is False
+    assert _hudi_footer_keep(empty, [[("n", "=", 1)]]) is False
+    # An unreadable path keeps (the scan surfaces the real error).
+    assert _hudi_footer_keep(str(tmp_path / "nope.parquet"), [[("n", "=", 1)]])
