@@ -4562,9 +4562,12 @@ def read_hudi(
     (string / int / date — bools render ``True`` vs Spark's ``true``
     and float/decimal renderings drift, so those never prune, r12
     advisory); null atoms match the ``__HIVE_DEFAULT_PARTITION__``
-    segment. Every predicate also applies as a residual ROW filter,
-    so results are exact and non-partition predicates filter rows
-    only."""
+    segment. LOG-FREE base files additionally skip when their parquet
+    FOOTER column stats prove the predicate unsatisfiable
+    (``_hudi_footer_keep``, r15 — the column_stats-index stand-in
+    that makes ``zorder_hudi`` pay off at file granularity). Every
+    predicate also applies as a residual ROW filter, so results are
+    exact and undecidable predicates filter rows only."""
     where_n = _norm_where(where)
 
     try:
