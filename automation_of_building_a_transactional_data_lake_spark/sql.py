@@ -278,21 +278,33 @@ def _sql_parse_where_clause(
         co, cm = _sql_strip_parens(orig[cs:ce], masked[cs:ce])
         or_spans = _sql_split_spans(cm, "OR")
         if len(or_spans) > 1:
-            group = []
+            # Each OR member is a LIST of conjunctive atoms (one for a
+            # plain atom, two for BETWEEN). NOT IN members pass through
+            # (the where= normalizer distributes them, r14); BETWEEN
+            # members distribute HERE via the same exact CNF law —
+            # A OR (B AND C) ≡ (A OR B) AND (A OR C), valid in Kleene
+            # 3-valued logic — capped like the NOT IN expansion.
+            member_lists: list[list] | None = []
             for s, e in or_spans:
                 ao, am = _sql_strip_parens(co[s:e], cm[s:e])
                 atom = _sql_parse_atom(ao, am, alias)
-                # NOT IN atoms are legal OR members since r14: the
-                # where= normalizer distributes them to CNF exactly.
-                # BETWEEN (a list of two conjuncts) still abandons the
-                # group — the grammar has no conjunct-in-OR entry.
-                if atom is None or isinstance(atom, list):
-                    group = None
+                if atom is None:
+                    member_lists = None
                     break
-                group.append(atom)
-            if group:
-                preds.append(group)
-            elif strict:
+                member_lists.append(
+                    atom if isinstance(atom, list) else [atom]
+                )
+            if member_lists is not None:
+                n_groups = 1
+                for lst in member_lists:
+                    n_groups *= len(lst)
+                if n_groups <= 64:
+                    import itertools
+
+                    for combo in itertools.product(*member_lists):
+                        preds.append(list(combo))
+                    continue
+            if strict:
                 return None
             continue
         atom = _sql_parse_atom(co, cm, alias)

@@ -1717,3 +1717,49 @@ def test_sql_constraint_generated_dml_property(spark, k, xs0, t, xs1, d):
     assert {(r.x, r.y) for r in read_delta(spark, p).collect()} == set(
         model.items()
     )
+
+
+def test_sql_between_inside_or_groups(spark, tmp_path):
+    """r15 (closing the X149 note's leftover): BETWEEN inside an OR
+    group distributes to exact CNF — A OR (B AND C) ≡ (A OR B) AND
+    (A OR C) in Kleene logic — so strict translation succeeds and a
+    predicate DELETE through the surgical path leaves exactly the
+    anti-filter's rows; an over-wide expansion still abandons."""
+    from automation_of_building_a_transactional_data_lake_spark.catalog import Catalog
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.sql import (
+        LakeSQL,
+        _mask_strings,
+        _sql_parse_where_clause,
+    )
+
+    w = "n BETWEEN 3 AND 6 OR cat = 'zz'"
+    preds = _sql_parse_where_clause(w, _mask_strings(w), None, strict=True)
+    assert preds == [
+        [("n", ">=", 3), ("cat", "=", "zz")],
+        [("n", "<=", 6), ("cat", "=", "zz")],
+    ]
+    # Two BETWEENs OR-ed: 2x2 cross product.
+    w2 = "n BETWEEN 3 AND 6 OR n BETWEEN 20 AND 30"
+    preds2 = _sql_parse_where_clause(w2, _mask_strings(w2), None, strict=True)
+    assert len(preds2) == 4 and all(len(g) == 2 for g in preds2)
+
+    p = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "zz" if i == 9 else f"c{i}") for i in range(12)],
+            "n long, cat string",
+        ),
+        p,
+    )
+    lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
+    r = lake.sql(
+        f"DELETE FROM delta.`{p}` WHERE n BETWEEN 3 AND 6 OR cat = 'zz'"
+    )
+    assert r.source_rows == 5  # n in 3..6 plus the zz row
+    assert {x.n for x in read_delta(spark, p).collect()} == {
+        0, 1, 2, 7, 8, 10, 11
+    }
