@@ -773,11 +773,15 @@ def test_sql_where_clause_parser_units():
         [("x", "=", 1), ("x", "=", 2)], ("z", "<", 10),
     ]
     # NOT IN inside an OR group parses since r14 (the normalizer
-    # distributes it to CNF); BETWEEN in OR still abandons the group.
+    # distributes it to CNF); BETWEEN in OR distributes since r15
+    # (A OR (B AND C) = (A OR B) AND (A OR C), exact in Kleene logic).
     assert parse("x = 1 OR y NOT IN (2, 3)") == [
         [("x", "=", 1), ("y", "not in", [2, 3])],
     ]
-    assert parse("x = 1 OR y BETWEEN 2 AND 3") == []
+    assert parse("x = 1 OR y BETWEEN 2 AND 3") == [
+        [("x", "=", 1), ("y", ">=", 2)],
+        [("x", "=", 1), ("y", "<=", 3)],
+    ]
     # Qualified columns push only under the statement's alias.
     assert parse("t.x = 5", alias="t") == [("x", "=", 5)]
     assert parse("q.x = 5", alias="t") == []
@@ -1383,9 +1387,12 @@ def test_sql_text_delete_foreign_delta_path(spark, tmp_path):
     r = lake.sql(f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' AND id BETWEEN 2 AND 7")
     assert r.action == "delete" and r.source_rows == 3  # ids 2, 4, 6
     assert {x.id for x in read_iceberg(spark, ip).collect()} == {0, 1, 3, 5, 7, 8, 9}
-    # BETWEEN inside an OR group is outside the grammar -> strict refuses.
-    with pytest.raises(NotImplementedError, match="simple conjuncts"):
-        lake.sql(f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' OR id BETWEEN 7 AND 8")
+    # BETWEEN inside an OR group distributes to exact CNF since r15.
+    r2 = lake.sql(
+        f"DELETE FROM iceberg.`{ip}` WHERE cat = 'c0' OR id BETWEEN 7 AND 8"
+    )
+    assert r2.source_rows == 3  # survivors 0 and 8 (c0) plus 7 (BETWEEN)
+    assert {x.id for x in read_iceberg(spark, ip).collect()} == {1, 3, 5, 9}
 
 
 def test_sql_alter_table_foreign_path(spark, tmp_path):
@@ -1563,7 +1570,9 @@ def test_sql_optimize_zorder_foreign(spark, tmp_path):
     r = lake.sql(f"OPTIMIZE delta.`{dp}` ZORDER BY (x, y)")
     assert r["action"] == "zorder" and r["compacted"] and r["columns"] == ["x", "y"]
     assert read_delta(spark, dp).count() == 500
-    with pytest.raises(NotImplementedError, match="BINPACK"):
+    # r15: hudi ZORDER works (test_zorder_hudi_and_insert_sql); a
+    # missing table raises cleanly.
+    with pytest.raises(FileNotFoundError, match="hoodie"):
         lake.sql("OPTIMIZE hudi.`/nope` ZORDER BY (x)")
 
 
