@@ -4410,11 +4410,15 @@ def _hudi_footer_keep(path: str, where_n: list[list[tuple]]) -> bool:
     residual row filter downstream makes results exact either way, so
     skipping can only ever remove provably-clean scans. Timestamp
     literals never decide here (tz/unit semantics live in the
-    residual); float/double columns are safe because parquet writers
-    OMIT min/max when NaN is present (Spark orders NaN above every
-    double, so a stats-bearing file provably holds no NaN). Cost:
-    one driver-side footer read per candidate — the same bytes the
-    scan task would read first anyway."""
+    residual). A NaN in a float/double min or max marks the column's
+    bounds UNUSABLE — parquet-mr and pyarrow both write NaN into
+    stats, every Python comparison against NaN is False, and Spark
+    orders NaN ABOVE every double, so trusting such bounds would
+    silently drop matching rows. Nested columns appear in footers
+    only as their LEAF paths, so a predicate naming a struct/map/
+    array column never takes the absent-column branch. Cost: one
+    driver-side footer read per candidate — the same bytes the scan
+    task would read first anyway."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
@@ -4451,8 +4455,18 @@ def _hudi_footer_keep(path: str, where_n: list[list[tuple]]) -> bool:
                 ent[4] = False  # min/max unusable; counts still exact
             else:
                 try:
-                    ent[0] = st.min if ent[0] is None else min(ent[0], st.min)
-                    ent[1] = st.max if ent[1] is None else max(ent[1], st.max)
+                    smn, smx = st.min, st.max
+                    # NaN POISONS bounds: writers include it in stats,
+                    # NaN comparisons are all-False in Python, and
+                    # Spark orders NaN above every double — a NaN
+                    # bound can prove nothing.
+                    if any(
+                        isinstance(v, float) and v != v for v in (smn, smx)
+                    ):
+                        ent[4] = False
+                    else:
+                        ent[0] = smn if ent[0] is None else min(ent[0], smn)
+                        ent[1] = smx if ent[1] is None else max(ent[1], smx)
                 except TypeError:
                     ent[4] = False
             ent[2] += st.null_count if st.null_count is not None else 1
@@ -4460,11 +4474,16 @@ def _hudi_footer_keep(path: str, where_n: list[list[tuple]]) -> bool:
 
     def _possible(col: str, op: str, lit) -> bool:
         ent = agg.get(col.lower())
-        if ent is None and md.num_row_groups == 0:
-            return False  # zero-row base file: nothing matches anything
         if ent is None:
-            # Column absent from this file (pre-evolution): all null —
-            # only IS NULL can match; comparisons provably cannot.
+            prefix = col.lower() + "."
+            if any(k.startswith(prefix) for k in agg):
+                # A NESTED column: footers carry only leaf paths, so
+                # the top-level name is "absent" even when every row
+                # has a value — stats prove nothing about it.
+                return True
+            # Column truly absent from this file (pre-evolution): all
+            # null — only IS NULL can match; comparisons provably
+            # cannot.
             return op == "is_null"
         mn, mx, nulls, non_nulls, usable = ent
         if op == "is_null":
@@ -4486,6 +4505,16 @@ def _hudi_footer_keep(path: str, where_n: list[list[tuple]]) -> bool:
         )
         if not (ok_num or ok_date):
             return True  # strings (truncation), timestamps (tz): scan
+        if isinstance(lit, float) and lit != lit:
+            return True  # NaN literal: bounds prove nothing about it
+        if isinstance(mn, float) or isinstance(mx, float):
+            # A float file may hold NaN rows INVISIBLE to stats
+            # (pyarrow bounds only the non-NaN values), and Spark
+            # orders NaN above every double — so NaN rows satisfy
+            # any > / >= / != predicate regardless of the bounds.
+            # Only =, <, <= can prune a float column.
+            if op in (">", ">=", "!="):
+                return True
         try:
             if op == "=":
                 return mn <= lit <= mx
@@ -5881,26 +5910,9 @@ def cluster_hudi(
     files), never O(table)."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
-    _completed, latest, slice_logs = _hudi_file_slices(table_path)
-    visible = _hudi_visible_groups(table_path)
-    todo: dict[str, list[tuple[str, str, int]]] = {}
-    for pp, fids in sorted(visible.items()):
-        members = []
-        for fid in fids:
-            if (pp, fid) in slice_logs:
-                continue  # MoR debt belongs to compact_hudi
-            ent = latest.get((pp, fid))
-            if ent is None:
-                continue
-            path = ent[1]
-            try:
-                size = os.path.getsize(path)
-            except OSError:
-                continue
-            if size < target_bytes:
-                members.append((fid, os.path.abspath(path), size))
-        if len(members) >= 2:
-            todo[pp] = members
+    todo = _hudi_clean_members(
+        table_path, lambda size: size < target_bytes
+    )
     if not todo:
         return None
 
@@ -5962,6 +5974,38 @@ def cluster_hudi(
     return instant
 
 
+def _hudi_clean_members(
+    table_path: str, size_keep
+) -> dict[str, list[tuple[str, str, int]]]:
+    """Per partition path, the LOG-FREE visible file groups whose base
+    size passes ``size_keep`` — partitions with at least two such
+    members (the shared member planning behind ``cluster_hudi`` and
+    ``zorder_hudi``; groups carrying log files are MoR debt and
+    belong to ``compact_hudi``). Returns
+    {pp: [(fid, abs_path, size), ...]}."""
+    _completed, latest, slice_logs = _hudi_file_slices(table_path)
+    visible = _hudi_visible_groups(table_path)
+    todo: dict[str, list[tuple[str, str, int]]] = {}
+    for pp, fids in sorted(visible.items()):
+        members = []
+        for fid in fids:
+            if (pp, fid) in slice_logs:
+                continue
+            ent = latest.get((pp, fid))
+            if ent is None:
+                continue
+            path = ent[1]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if size_keep(size):
+                members.append((fid, os.path.abspath(path), size))
+        if len(members) >= 2:
+            todo[pp] = members
+    return todo
+
+
 def zorder_hudi(
     spark: SparkSession,
     table_path: str,
@@ -5991,8 +6035,6 @@ def zorder_hudi(
         raise ValueError("zorder_by must name at least one column")
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
-    from pyspark.sql.window import Window
-
     from .zorder import zorder_value
 
     props = _hudi_table_properties(table_path)
@@ -6007,25 +6049,7 @@ def zorder_hudi(
             f"cannot zorder by partition field(s) {bad}; their "
             "directories already separate values"
         )
-    _completed, latest, slice_logs = _hudi_file_slices(table_path)
-    visible = _hudi_visible_groups(table_path)
-    todo: dict[str, list[tuple[str, str, int]]] = {}
-    for pp, fids in sorted(visible.items()):
-        members = []
-        for fid in fids:
-            if (pp, fid) in slice_logs:
-                continue  # MoR debt belongs to compact_hudi
-            ent = latest.get((pp, fid))
-            if ent is None:
-                continue
-            path = ent[1]
-            try:
-                size = os.path.getsize(path)
-            except OSError:
-                continue
-            members.append((fid, os.path.abspath(path), size))
-        if len(members) >= 2:
-            todo[pp] = members
+    todo = _hudi_clean_members(table_path, lambda _size: True)
     if not todo:
         return None
 
@@ -6033,13 +6057,11 @@ def zorder_hudi(
     fmap_rows = []
     replaced: dict[str, list[str]] = {}
     for pp, members in sorted(todo.items()):
-        total = sum(s for _f, _p, s in members)
-        n_bins = max(1, -(-total // target_bytes))
         base_fid = f"zo-{uuid.uuid4().hex[:12]}"
         replaced[pp] = sorted(f for f, _p, _s in members)
         for _fid, p, _s in members:
-            fmap_rows.append((p, pp, base_fid, int(n_bins)))
-    paths = [p for p, _pp, _bf, _nb in fmap_rows]
+            fmap_rows.append((p, pp, base_fid))
+    paths = [p for p, _pp, _bf in fmap_rows]
     df = (
         spark.read.option("mergeSchema", "true")
         .parquet(*sorted(paths))
@@ -6055,26 +6077,34 @@ def zorder_hudi(
     if missing:
         raise ValueError(f"zorder columns {missing} not in the table")
     fmap = spark.createDataFrame(
-        fmap_rows, "__fp string, __mpp string, __bfid string, __nb int"
+        fmap_rows, "__fp string, __mpp string, __bfid string"
     )
     z = zorder_value(df, list(zorder_by), f"zorder_hudi({table_path})")
-    w = Window.partitionBy("__mpp").orderBy(
-        z.asc(), F.col("_hoodie_record_key")
+    # Contiguous RANGE bins over (partition path, z) via Spark's own
+    # distributed range partitioner — the same mechanism the Delta /
+    # Iceberg zorder rewrites use (no per-partition window, whose sort
+    # would funnel each partition path — the WHOLE table when
+    # unpartitioned — through one task). Each range partition is a
+    # contiguous z slice, so its spark_partition_id IS the bin; bins
+    # only need to be stable within this one staging job. A boundary
+    # partition spanning two partition paths still names distinct
+    # groups (the per-path base fid prefixes the bin).
+    n_bins_total = sum(
+        max(1, -(-sum(s for _f, _p, s in ms) // target_bytes))
+        for ms in todo.values()
     )
-    w_all = Window.partitionBy("__mpp")
-    # Contiguous RANGE bins over the z order: bin = floor((rank-1) *
-    # n_bins / rows) — rows adjacent in z land in the same new group,
-    # which is what gives each output file its tight multi-column box.
-    zbin = F.floor(
-        (F.row_number().over(w) - F.lit(1))
-        * F.col("__nb")
-        / F.count(F.lit(1)).over(w_all)
-    ).cast("string")
     out = (
         df.join(F.broadcast(fmap), "__fp")
+        .repartitionByRange(
+            max(int(n_bins_total), 1),
+            F.col("__mpp"), z.asc(), F.col("_hoodie_record_key"),
+        )
         .withColumn(
             "__hudi_fid",
-            F.concat(F.col("__bfid"), F.lit("-"), zbin),
+            F.concat(
+                F.col("__bfid"), F.lit("-"),
+                F.spark_partition_id().cast("string"),
+            ),
         )
         .withColumn("__hudi_pp", F.col("__mpp"))
         .withColumn(

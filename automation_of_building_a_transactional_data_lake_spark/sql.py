@@ -295,10 +295,12 @@ def _sql_parse_where_clause(
                     atom if isinstance(atom, list) else [atom]
                 )
             if member_lists is not None:
+                from .formats.interop import _WHERE_CNF_CAP
+
                 n_groups = 1
                 for lst in member_lists:
                     n_groups *= len(lst)
-                if n_groups <= 64:
+                if n_groups <= _WHERE_CNF_CAP:
                     import itertools
 
                     for combo in itertools.product(*member_lists):

@@ -11292,3 +11292,38 @@ def test_hudi_footer_stats_skipping_semantics(spark, tmp_path):
     assert _hudi_footer_keep(empty, [[("n", "=", 1)]]) is False
     # An unreadable path keeps (the scan surfaces the real error).
     assert _hudi_footer_keep(str(tmp_path / "nope.parquet"), [[("n", "=", 1)]])
+
+
+def test_hudi_footer_skipping_nan_safe(spark, tmp_path):
+    """r15 review regression: parquet writers put NaN INTO float
+    stats (max=NaN under parquet-mr; non-NaN bounds under pyarrow
+    with NaN rows invisible), and Spark orders NaN above every
+    double — so float bounds must never decide >, >= or !=, and
+    NaN-poisoned bounds must decide nothing. Before the fix a
+    where= read (and therefore predicate DELETE's phase 1) silently
+    dropped matching rows."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        delete_hudi_where,
+        read_hudi,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    rows = [(0, 1.0), (1, float("nan")), (2, 7.0), (3, 2.0)]
+    write_hudi(
+        spark.createDataFrame(rows, "id long, x double").coalesce(1),
+        p, record_key="id", num_buckets=1,
+    )
+    # Equality against a present value must find it.
+    assert {r.id for r in read_hudi(spark, p, where=[("x", "=", 7.0)]).collect()} == {2}
+    # NaN sorts ABOVE every double in Spark: > matches it.
+    assert {
+        r.id for r in read_hudi(spark, p, where=[("x", ">", 100.0)]).collect()
+    } == {1}
+    assert {
+        r.id for r in read_hudi(spark, p, where=[("x", "!=", 1.0)]).collect()
+    } == {1, 2, 3}
+    # And the destructive path: DELETE must actually delete.
+    _i, n = delete_hudi_where(spark, p, [("x", "=", 7.0)])
+    assert n == 1
+    assert {r.id for r in read_hudi(spark, p).collect()} == {0, 1, 3}
