@@ -511,6 +511,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #     concatenation vs a LATERAL generate_series oracle). Registers in
 #     the TAIL, same protocol; rotate into a recorded slot in r16 or
 #     r17.
+#   r16 rotation (closing ALL six r15 commitments — r15 verdict #1):
+#     orders_dml_hudi, lineitem_zorder_skipping,
+#     orders_spec_evolve_pruned, emb_semantic_dedup, docs_chunking and
+#     q21_waiting_supplier rotate IN to recorded slots. Rotating OUT,
+#     per protocol (each green in ≥2 consecutive driver rounds and
+#     family-held by a STAYING or INCOMING gate on the same machinery):
+#     - events_exclusive_errors (green r6-r15, ten rounds) → held by
+#       the INCOMING q21_waiting_supplier (the same correlated
+#       EXISTS + NOT-EXISTS-on-the-same-fact shape, composed with a
+#       4-table snowflake join — a strict superset of the correlation
+#       machinery), + pytest test_oracle_parity each session.
+#     - docs_decontamination (green r8-r15, eight rounds) → held by
+#       the staying docs_curation_v3, which COMPOSES the identical
+#       decontaminate stage (same n-gram equi-join scrub) under one
+#       end-to-end oracle, + pytest each session.
+#     - docs_winnow_fingerprints (green r11-r15, five rounds) → the
+#       same demotion class as docs_simhash_md5 in r15: the
+#       fingerprinting family is held by the staying near-dup gates
+#       (docs_ngram_jaccard_dedup exact-similarity self-join,
+#       docs_dedup_index_query banded hash-bucket joins,
+#       docs_dedup_clusters component fixpoint), and the Arrow-UDF ≡
+#       pure-expression winnowing twin stays pinned in pytest.
+#     - orders_1996_iceberg_pruned (green r13-r15) → held by the
+#       staying orders_1996_sqltext_pruned (the SAME
+#       months(o_orderdate) table and strictly-fewer-files pin, plus
+#       the sql.py WHERE→where= derivation on top — a strict
+#       superset) and the INCOMING orders_spec_evolve_pruned (the
+#       pruning-pin family under spec evolution).
+#     - game_user_cdc_e2e_iceberg_v1up (green r14-r15) → held by the
+#       staying Iceberg e2e trio (iceberg_eqd, iceberg_mor,
+#       iceberg_days — same write_*/merge_*/read_* surface on v2
+#       tables); the v1-refusal + metadata-only-upgrade pins stay
+#       asserted in pytest (test_interop) each session.
+#     - game_user_cdc_e2e_delta_evolve (green r12-r15, four rounds) →
+#       held by the staying game_user_cdc_e2e_delta_dv (same format,
+#       same reference job, same oracle, merge-on-read superset of
+#       the Delta merge machinery) and the staying
+#       game_user_cdc_e2e_hudi_evolve (the mid-stream
+#       schema-evolution family), + pytest each session.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -569,12 +608,12 @@ _DEMOTED_TAIL = [
     "docs_stratified_cap",
     "docs_simhash_md5",
     "emb_pca_knn",
-    "orders_dml_hudi",
-    "lineitem_zorder_skipping",
-    "docs_chunking",
-    "q21_waiting_supplier",
-    "orders_spec_evolve_pruned",
-    "emb_semantic_dedup",
+    "events_exclusive_errors",
+    "docs_decontamination",
+    "docs_winnow_fingerprints",
+    "orders_1996_iceberg_pruned",
+    "game_user_cdc_e2e_iceberg_v1up",
+    "game_user_cdc_e2e_delta_evolve",
 ]
 
 _DRIVER_SLOTS = 50
