@@ -608,6 +608,7 @@ _DEMOTED_TAIL = [
     "docs_stratified_cap",
     "docs_simhash_md5",
     "emb_pca_knn",
+    "emb_pq_knn_scale",  # bench-only scale twin: no value oracle by design
     "events_exclusive_errors",
     "docs_decontamination",
     "docs_winnow_fingerprints",

@@ -4291,10 +4291,24 @@ def _hudi_any_base_file(table_path: str, as_of: str | None = None) -> str | None
     return best[1] if best else None
 
 
+def _hudi_styp(dt) -> str:
+    """The type token the Hudi value codecs dispatch on: ``typeName()``
+    for every type except decimal, whose ``typeName()`` ('decimal')
+    loses the precision/scale the avro decimal logical type needs —
+    decimals carry ``simpleString()`` ('decimal(10,2)') instead."""
+    return dt.simpleString() if dt.typeName() == "decimal" else dt.typeName()
+
+
+def _decimal_scale_of(type_name: str) -> int:
+    m = re.match(r"decimal\(\s*\d+\s*,\s*(-?\d+)\s*\)", type_name)
+    return int(m.group(1)) if m else 0
+
+
 def _hudi_avro_to_spark_val(v, type_name: str):
     """One decoded HoodieLog avro value → the base schema's Spark-type
-    value (timestamp-micros longs, date days — the read-path inverse
-    of ``_spark_to_avro_val``)."""
+    value (timestamp-micros longs, date days, decimal unscaled
+    two's-complement bytes — the read-path inverse of
+    ``_pd_to_avro_val``)."""
     from datetime import date as _date
     from datetime import datetime as _dt
     from datetime import timedelta as _td
@@ -4307,6 +4321,14 @@ def _hudi_avro_to_spark_val(v, type_name: str):
         return _date(1970, 1, 1) + _td(days=v)
     if type_name in ("double", "float") and isinstance(v, int):
         return float(v)
+    if type_name.startswith("decimal") and isinstance(v, (bytes, bytearray)):
+        # Avro decimal: minimal big-endian two's-complement of the
+        # unscaled integer (bytes- AND fixed-backed — fixed decodes to
+        # raw sized bytes, same integer encoding per the Avro spec).
+        from decimal import Decimal as _Dec
+
+        unscaled = int.from_bytes(bytes(v), "big", signed=True)
+        return _Dec(unscaled).scaleb(-_decimal_scale_of(type_name))
     return v
 
 
@@ -4349,7 +4371,7 @@ def _hudi_log_rows_frame(
         # one task per slice up to defaultParallelism, no fixed cap.
         par = max(spark.sparkContext.defaultParallelism, 1)
         desc = desc.repartition(min(len(desc_rows), par))
-    field_list = [(f.name, f.dataType.typeName()) for f in fields]
+    field_list = [(f.name, _hudi_styp(f.dataType)) for f in fields]
     completed_set = set(completed)
     from pyspark.sql.types import BooleanType, LongType, StringType, StructField
 
@@ -4597,6 +4619,26 @@ def read_hudi(
     that makes ``zorder_hudi`` pay off at file granularity). Every
     predicate also applies as a residual ROW filter, so results are
     exact and undecidable predicates filter rows only."""
+    # Tables written with hoodie.datasource.write.drop.partition.columns
+    # store partition values ONLY in the directory path — every base
+    # file lacks those columns, so BOTH the residual row filter (reads
+    # them as null) and the footer pruner (treats absent == all-null)
+    # would be wrong. Refuse loudly instead of answering wrong (r15
+    # advisory); reconstruction from path segments is a distinct
+    # feature this jar-less reader does not claim.
+    _props = _hudi_table_properties(table_path)
+    if (
+        _props.get("hoodie.table.drop.partition.columns")
+        or _props.get("hoodie.datasource.write.drop.partition.columns")
+        or ""
+    ).strip().lower() == "true":
+        raise NotImplementedError(
+            f"Hudi table at {table_path} was written with "
+            "drop.partition.columns=true — partition values live only "
+            "in directory paths, which this reader does not "
+            "reconstruct; rewrite the table with partition columns "
+            "inline (Hudi's default) to read it here"
+        )
     where_n = _norm_where(where)
 
     try:
@@ -5080,7 +5122,8 @@ def _hudi_stage_commit(
 ) -> dict:
     """Write one base file per (partition_path, fileId) at ``instant``
     and return per-partition write stats. ``df_with_groups`` must carry
-    ``__hudi_pp`` (partition path string) and ``__hudi_fid``; rows of
+    ``__hudi_pp_dir`` (the partition dir with '' escaped to
+    ``__HUDI_ROOT__``) and ``__hudi_fid``; rows of
     one fileId land in one task (repartition upstream), so Spark's
     partitionBy emits exactly one parquet per group. ``expected_fids``
     lists groups that MUST produce a file this commit even when they
@@ -5324,6 +5367,9 @@ def _hudi_spark_type_of_avro(t) -> str:
             return "timestamp_ntz"
         if lt == "date":
             return "date"
+        if lt == "decimal":
+            # bytes- or fixed-backed avro decimal (both spec forms).
+            return f"decimal({t.get('precision', 38)},{t.get('scale', 0)})"
         t = t.get("type")
     prim = {
         "string": "string", "long": "long", "int": "int",
@@ -5349,6 +5395,26 @@ def _hudi_avro_schema(business_fields) -> dict:
     ]
     for f in business_fields:
         t = f.dataType.typeName()
+        if t == "decimal":
+            # Avro decimal logical type over bytes (HoodieAvroUtils'
+            # own serialization class): unscaled big-endian
+            # two's-complement, precision/scale carried in the schema.
+            fields.append(
+                {
+                    "name": f.name,
+                    "type": [
+                        "null",
+                        {
+                            "type": "bytes",
+                            "logicalType": "decimal",
+                            "precision": f.dataType.precision,
+                            "scale": f.dataType.scale,
+                        },
+                    ],
+                    "default": None,
+                }
+            )
+            continue
         if t not in _AVRO_OF_SPARK:
             raise NotImplementedError(
                 f"column {f.name!r}: Spark type {t!r} has no Hudi "
@@ -5412,6 +5478,13 @@ def _pd_to_avro_val(v, spark_type: str):
         return bool(v)
     if spark_type == "binary":
         return bytes(v)
+    if spark_type.startswith("decimal"):
+        from decimal import Decimal as _Dec
+
+        d = v if isinstance(v, _Dec) else _Dec(str(v))
+        unscaled = int(d.scaleb(_decimal_scale_of(spark_type)))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
     return v
 
 
@@ -5698,7 +5771,7 @@ def _hudi_log_write(
 
         avsc = _hudi_avro_schema(business_fields)
         avsc_json = json.dumps(avsc)
-        bf_types = {f.name: f.dataType.typeName() for f in business_fields}
+        bf_types = {f.name: _hudi_styp(f.dataType) for f in business_fields}
 
         def _write_group(pdf):
             import pandas as pd
@@ -6043,7 +6116,10 @@ def zorder_hudi(
         for c in (props.get("hoodie.table.partition.fields") or "").split(",")
         if c
     ]
-    bad = sorted(set(zorder_by) & set(parts))
+    # Identifiers resolve case-insensitively here, like the predicate
+    # grammar / footer pruner / alter paths do (r15 advisory).
+    parts_l = {p.lower() for p in parts}
+    bad = sorted({c for c in zorder_by if c.lower() in parts_l})
     if bad:
         raise ValueError(
             f"cannot zorder by partition field(s) {bad}; their "
@@ -6073,9 +6149,13 @@ def zorder_hudi(
         raise NotImplementedError(
             "clustering needs populated _hoodie_record_key meta columns"
         )
-    missing = [c for c in zorder_by if c not in df.columns]
+    by_lower = {c.lower(): c for c in df.columns}
+    missing = [c for c in zorder_by if c.lower() not in by_lower]
     if missing:
         raise ValueError(f"zorder columns {missing} not in the table")
+    # Map to the schema's actual casing so downstream F.col resolution
+    # never depends on the caller's spelling.
+    zorder_by = [by_lower[c.lower()] for c in zorder_by]
     fmap = spark.createDataFrame(
         fmap_rows, "__fp string, __mpp string, __bfid string"
     )

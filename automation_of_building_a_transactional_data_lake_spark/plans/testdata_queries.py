@@ -3932,6 +3932,29 @@ def emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PQ_ORACLE = EMB_KNN_ORACLE  # corpus-wide exact re-rank == exact top-k
 
 
+def emb_pq_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ search shape (r16, bench-only — r15 verdict
+    #6): ADC scan over m-byte codes with a BOUNDED exact-re-rank
+    shortlist (100 candidates for k=10), i.e. what a 100-TB
+    deployment actually runs. The recorded ``emb_pq_knn`` gate keeps
+    its shortlist == corpus exactness proof; this entry exists so the
+    headline bench total tracks the scale path's cost, not the
+    proof's. Approximate by design → no value-hash oracle; the
+    shortlist path's recall is pytest-gated (tests/test_ann_pq.py)."""
+    from ..operators.ann_pq import encode_pq, pq_topk, train_pq
+
+    _utc(spark)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    cand = emb.filter(F.col("vec_id") != 0)
+    books = train_pq(cand, m=8)
+    encoded = encode_pq(cand, books)
+    top = pq_topk(encoded, books, qvec, k=10, rerank=100)
+    return top.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4125,7 +4148,13 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
-        QueryDef("docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE),
+        # headline=False (r16): a strict SUBSET of docs_curation_v3's
+        # composition — benching both double-charges the same stages;
+        # the oracle gate stays (pytest test_oracle_parity).
+        QueryDef(
+            "docs_curation_v2", docs_curation_v2, DOCS_CURATION_V2_ORACLE,
+            headline=False,
+        ),
         QueryDef("docs_curation_v3", docs_curation_v3, DOCS_CURATION_V3_ORACLE),
         QueryDef("docs_stratified_cap", docs_stratified_cap, DOCS_STRATIFIED_CAP_ORACLE),
         # Domain-mixture resampling (epoch replication + fractional
@@ -4142,6 +4171,10 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("emb_knn_brute", emb_knn_brute, EMB_KNN_ORACLE),
         QueryDef("emb_ivf_knn", emb_ivf_knn, EMB_IVF_ORACLE),
         QueryDef("emb_pq_knn", emb_pq_knn, EMB_PQ_ORACLE),
+        # Bench-only scale twin (r16): bounded-shortlist production PQ
+        # path; approximate by design, so no value oracle — rows-only
+        # driver check in the tail, recall pytest-gated in test_ann_pq.
+        QueryDef("emb_pq_knn_scale", emb_pq_knn_scale, None),
         # Same oracle as q1: the managed write/read path must be
         # analytically invisible. headline=False like the game e2e rows
         # (bench times the query surface, not bulk-load I/O).

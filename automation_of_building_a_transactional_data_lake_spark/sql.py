@@ -1051,9 +1051,8 @@ class LakeSQL:
                 # commit-metadata schema authority); DROP/RENAME stay
                 # refused (name-bound parquet resolution).
                 am = re.match(
-                    r"ADD\s+COLUMNS?\s*\(?\s*(?P<c>\w+)\s+"
-                    r"(?P<ty>[\w()<>, ]+?)\s*\)?$",
-                    rest, re.IGNORECASE,
+                    r"ADD\s+COLUMNS?\s+(?P<body>.+)$",
+                    rest, re.IGNORECASE | re.DOTALL,
                 )
                 if not am:
                     raise NotImplementedError(
@@ -1062,11 +1061,26 @@ class LakeSQL:
                         "name-bound parquet resolution; use the native "
                         "engine's schema history"
                     )
+                # Strip ONE matched outer paren pair, then split
+                # name/type on the first whitespace — a lazy regex type
+                # group with an optional trailing ')' captured
+                # 'decimal(10,2' for the unparenthesized form (r15
+                # advisory); StructType.fromDDL downstream stays the
+                # type authority.
+                body = am.group("body").strip().rstrip(";").strip()
+                if body.startswith("(") and body.endswith(")"):
+                    body = body[1:-1].strip()
+                nm = re.match(r"(?P<c>\w+)\s+(?P<ty>.+)$", body, re.DOTALL)
+                if not nm:
+                    raise NotImplementedError(
+                        f"cannot parse ADD COLUMN body {body!r} — expected "
+                        "'<name> <type>' (optionally parenthesized)"
+                    )
                 from .formats.interop import alter_hudi_table
 
                 inst = alter_hudi_table(
                     self.spark, path,
-                    [(am.group("c"), am.group("ty").lower())],
+                    [(nm.group("c"), nm.group("ty").strip().lower())],
                 )
                 return {
                     "action": "alter_table", "format": fmt, "version": inst,

@@ -11028,6 +11028,15 @@ def test_alter_hudi_table_add_column(spark, tmp_path):
     r = lake.sql(f"ALTER TABLE hudi.`{p}` ADD COLUMN note string")
     assert r["action"] == "alter_table"
     assert "note" in read_hudi(spark, p).columns
+    # r16 advisory: a PARENTHESIZED TYPE in the unparenthesized form
+    # ('ADD COLUMN c decimal(10,2)') used to capture 'decimal(10,2'
+    # and raise a spurious parse error; both statement shapes work.
+    r2 = lake.sql(f"ALTER TABLE hudi.`{p}` ADD COLUMN amt decimal(10,2)")
+    assert r2["action"] == "alter_table"
+    assert dict(read_hudi(spark, p).dtypes)["amt"] == "decimal(10,2)"
+    r3 = lake.sql(f"ALTER TABLE hudi.`{p}` ADD COLUMNS (amt2 decimal(12,3))")
+    assert r3["action"] == "alter_table"
+    assert dict(read_hudi(spark, p).dtypes)["amt2"] == "decimal(12,3)"
     with pytest.raises(NotImplementedError, match="ADD COLUMN only"):
         lake.sql(f"ALTER TABLE hudi.`{p}` DROP COLUMN note")
     with pytest.raises(ValueError, match="already exists"):
@@ -11048,6 +11057,86 @@ def test_alter_hudi_table_add_column(spark, tmp_path):
     assert {(r.id, r.v, r.x) for r in read_hudi(spark, pm).collect()} == {
         (1, "a", None), (2, "b2", 3)
     }
+
+
+def test_hudi_decimal_log_round_trip(spark, tmp_path):
+    """r16: DECIMAL columns through the Hudi surface — the avro
+    decimal logical type (unscaled big-endian two's-complement over
+    bytes, HoodieAvroUtils' own serialization) round-trips through
+    MoR log blocks, commit-metadata schemas type the column for
+    evolved reads, and CoW upserts carry it through parquet."""
+    from decimal import Decimal
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        alter_hudi_table,
+        read_hudi,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "hd")
+    df = spark.createDataFrame(
+        [(1, Decimal("12.30")), (2, Decimal("-0.07"))],
+        "id long, amt decimal(10,2)",
+    )
+    write_hudi(df, p, record_key="id", table_type="MERGE_ON_READ")
+    # The upsert lands as an avro log block: decimal encode + decode.
+    write_hudi(
+        spark.createDataFrame(
+            [(2, Decimal("99999999.99")), (3, Decimal("0.00")), (4, None)],
+            "id long, amt decimal(10,2)",
+        ),
+        p, record_key="id", mode="upsert",
+    )
+    got = {(r.id, r.amt) for r in read_hudi(spark, p).collect()}
+    assert got == {
+        (1, Decimal("12.30")), (2, Decimal("99999999.99")),
+        (3, Decimal("0.00")), (4, None),
+    }
+    assert dict(read_hudi(spark, p).dtypes)["amt"] == "decimal(10,2)"
+
+    # CoW twin + metadata-only ADD COLUMN of a decimal type.
+    pc = str(tmp_path / "hc")
+    write_hudi(df, pc, record_key="id")
+    alter_hudi_table(spark, pc, [("fee", "decimal(6,3)")])
+    out = read_hudi(spark, pc)
+    assert dict(out.dtypes)["fee"] == "decimal(6,3)"
+    assert {r.fee for r in out.collect()} == {None}
+    write_hudi(
+        spark.createDataFrame(
+            [(1, Decimal("1.10"), Decimal("0.125"))],
+            "id long, amt decimal(10,2), fee decimal(6,3)",
+        ),
+        pc, record_key="id", mode="upsert",
+    )
+    assert {(r.id, r.fee) for r in read_hudi(spark, pc).collect()} == {
+        (1, Decimal("0.125")), (2, None),
+    }
+
+
+def test_hudi_drop_partition_columns_refused(spark, tmp_path):
+    """r16 advisory: a table declaring drop.partition.columns=true
+    stores partition values ONLY in directory paths — both the
+    residual row filter and the footer pruner would silently misread
+    it, so read_hudi refuses loudly instead."""
+    import os
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "h")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
+    write_hudi(df, p, record_key="id", partition_by=["grp"])
+    assert read_hudi(spark, p).count() == 2
+    with open(
+        os.path.join(p, ".hoodie", "hoodie.properties"), "a", encoding="utf-8"
+    ) as f:
+        f.write("hoodie.table.drop.partition.columns=true\n")
+    with pytest.raises(NotImplementedError, match="drop.partition.columns"):
+        read_hudi(spark, p)
+    with pytest.raises(NotImplementedError, match="drop.partition.columns"):
+        read_hudi(spark, p, where=[("grp", "=", "a")])
 
 
 def test_iceberg_partition_spec_evolution(spark, tmp_path):
@@ -11203,14 +11292,17 @@ def test_zorder_hudi_and_insert_sql(spark, tmp_path):
     ).count() == 4000
     with pytest.raises(ValueError, match="partition field"):
         zorder_hudi(spark, p, ["cat"])
+    with pytest.raises(ValueError, match="partition field"):
+        zorder_hudi(spark, p, ["CAT"])  # r16 advisory: case-insensitive
     with pytest.raises(ValueError, match="zorder_by"):
         zorder_hudi(spark, p, [])
     with pytest.raises(ValueError, match="not in the table"):
         zorder_hudi(spark, p, ["nope"])
 
-    # SQL surface + the INSERT route.
+    # SQL surface + the INSERT route. Uppercase ZORDER columns resolve
+    # case-insensitively like the rest of the identifier grammar (r16).
     lake = LakeSQL(Catalog(spark, str(tmp_path / "wh")))
-    r = lake.sql(f"OPTIMIZE hudi.`{p}` ZORDER BY (x, y)")
+    r = lake.sql(f"OPTIMIZE hudi.`{p}` ZORDER BY (X, Y)")
     assert r["action"] == "zorder" and r["format"] == "hudi"
     r2 = lake.sql(
         f"INSERT INTO hudi.`{p}` (id, x, y, cat) VALUES (99999, 1, 2, 'c0')"
