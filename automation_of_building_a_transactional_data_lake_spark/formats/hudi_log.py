@@ -34,12 +34,21 @@ Block types (ordinals): 0 command, 1 delete, 2 corrupt, 3 avro data,
 - COMMAND blocks (rollback): a later block whose
   ``TARGET_INSTANT_TIME`` names an instant neutralizes every earlier
   block written at that instant.
+- DELETE blocks version >= 2 (r16 — the most common foreign-MoR shape
+  previously refused: any MoR table that ever deleted a row): content
+  is the block version (int), a payload length (int), then ONE Avro
+  binary datum of ``HoodieDeleteRecordList`` (HoodieDeleteBlock's own
+  serialization since 0.12) — an array of (recordKey, partitionPath,
+  orderingVal) records. The keys anti-join the slice during merge.
+  The kryo-era VERSION 1 payload (serialized ``HoodieKey[]``) stays a
+  loud raise — kryo cannot be decoded faithfully jar-less. A non-null
+  ``orderingVal`` whose union branch is outside the primitive set
+  also raises rather than guessing.
 
-Delete / HFile / parquet-data / CDC blocks raise ``NotImplementedError``
-LOUDLY: their payloads are engine-serialized shapes (kryo delete
-records, HFile encoding) this codec cannot verify byte-faithfully, and
-guessing is worse than refusing — compact those tables with their
-native engine first.
+HFile / parquet-data / CDC blocks raise ``NotImplementedError``
+LOUDLY: their payloads are engine-serialized shapes this codec cannot
+verify byte-faithfully, and guessing is worse than refusing — compact
+those tables with their native engine first.
 
 The writer mirrors the same layout bit-for-bit; it exists for fixture
 building and for the reader's round-trip gate (a golden hand-packed
@@ -249,20 +258,132 @@ def decode_avro_data_block(block: LogBlock) -> tuple[dict, list[dict]]:
     return schema, records
 
 
+# HoodieDeleteRecordList.avsc (hudi-common/src/main/avro): the Avro
+# shape HoodieDeleteBlock serializes since 0.12 (block version 2+).
+# orderingVal's union is pinned to the Avro primitives; a foreign
+# block using a wrapper-record branch decodes to a branch index past
+# this list and raises loudly in decode_delete_block (never a silent
+# misread: Avro unions prefix the branch INDEX, so an out-of-range
+# index is structurally detectable).
+_DELETE_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecord",
+    "fields": [
+        {"name": "recordKey", "type": ["null", "string"], "default": None},
+        {"name": "partitionPath", "type": ["null", "string"], "default": None},
+        {
+            "name": "orderingVal",
+            "type": [
+                "null", "string", "int", "long",
+                "float", "double", "bytes", "boolean",
+            ],
+            "default": None,
+        },
+    ],
+}
+_DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {"type": "array", "items": _DELETE_RECORD_SCHEMA},
+        }
+    ],
+}
+
+_DELETE_BLOCK_VERSION = 2
+
+
+def encode_delete_block(
+    records: list[dict], version: int = _DELETE_BLOCK_VERSION
+) -> bytes:
+    """Serialize delete records as a DELETE block's content (version
+    int, payload length int, one HoodieDeleteRecordList Avro datum).
+    Records are dicts with recordKey / partitionPath / orderingVal
+    (orderingVal None unless a primitive)."""
+    payload = encode_datum(
+        _DELETE_RECORD_LIST_SCHEMA,
+        {
+            "deleteRecordList": [
+                {
+                    "recordKey": r.get("recordKey"),
+                    "partitionPath": r.get("partitionPath"),
+                    "orderingVal": r.get("orderingVal"),
+                }
+                for r in records
+            ]
+        },
+    )
+    out = io.BytesIO()
+    out.write(struct.pack(">i", version))
+    out.write(struct.pack(">i", len(payload)))
+    out.write(payload)
+    return out.getvalue()
+
+
+def decode_delete_block(block: LogBlock) -> list[dict]:
+    """Delete records of one DELETE block (r16): keys to retire from
+    the slice, applied in block order like data-block records — the
+    same commit-time-ordering simplification the data path documents
+    (a foreign EVENT_TIME_ORDERING merge with out-of-order
+    orderingVals is out of scope for every block kind here, not just
+    deletes). Kryo-era version 1 and non-primitive orderingVal
+    branches raise loudly."""
+    if block.block_type != DELETE_BLOCK:
+        raise ValueError(
+            f"not a delete block: {_BLOCK_NAMES.get(block.block_type)}"
+        )
+    buf = io.BytesIO(block.content)
+    ver_raw = buf.read(4)
+    if len(ver_raw) != 4:
+        raise ValueError("truncated delete block (no version)")
+    (version,) = struct.unpack(">i", ver_raw)
+    if version < 2:
+        raise NotImplementedError(
+            f"Hudi delete-block version {version} serializes kryo "
+            "HoodieKey[] — not decodable without the format jars; "
+            "compact the table with its native engine first"
+        )
+    ln_raw = buf.read(4)
+    if len(ln_raw) != 4:
+        raise ValueError("truncated delete block (no payload length)")
+    (length,) = struct.unpack(">i", ln_raw)
+    payload = buf.read(length)
+    if len(payload) != length:
+        raise ValueError("truncated delete block payload")
+    try:
+        datum = decode_datum(_DELETE_RECORD_LIST_SCHEMA, payload)
+    except Exception as exc:  # noqa: BLE001 — loud, actionable refusal
+        raise NotImplementedError(
+            f"Hudi delete-block (version {version}) payload does not "
+            "decode as HoodieDeleteRecordList with primitive "
+            f"orderingVal ({exc}) — a wrapper-typed orderingVal or a "
+            "newer layout; compact the table with its native engine"
+        ) from exc
+    recs = datum.get("deleteRecordList") or []
+    for r in recs:
+        if r.get("recordKey") is None:
+            raise ValueError("delete record carries no recordKey")
+    return recs
+
+
 def visible_data_blocks(
     log_paths: list[str], completed_instants: set[str]
 ) -> list[LogBlock]:
-    """The ORDERED, rollback-applied, committed AVRO data blocks of one
-    file slice's log files (callers pass the slice's logs sorted by
-    log version):
+    """The ORDERED, rollback-applied, committed AVRO data AND DELETE
+    blocks of one file slice's log files (callers pass the slice's
+    logs sorted by log version):
 
     - blocks whose INSTANT_TIME is not a completed instant are
       invisible (an in-flight or failed delta commit — exactly how
       Hudi keeps log appends atomic);
     - a committed COMMAND (rollback) block neutralizes every EARLIER
       block whose instant equals its TARGET_INSTANT_TIME;
-    - unsupported block kinds (delete / hfile / parquet / cdc) raise
-      loudly UNLESS a later rollback already neutralized them.
+    - DELETE blocks pass through in order (r16) — the consumer
+      decodes them via ``decode_delete_block``;
+    - unsupported block kinds (hfile / parquet / cdc) raise loudly
+      UNLESS a later rollback already neutralized them.
     """
     seen: list[LogBlock] = []
     for path in log_paths:
@@ -285,7 +406,7 @@ def visible_data_blocks(
             seen.append(b)
     out: list[LogBlock] = []
     for b in [x for x in seen if x.instant_time in completed_instants]:
-        if b.block_type != AVRO_DATA_BLOCK:
+        if b.block_type not in (AVRO_DATA_BLOCK, DELETE_BLOCK):
             raise NotImplementedError(
                 f"Hudi {_BLOCK_NAMES.get(b.block_type, b.block_type)} log "
                 "blocks are not supported by the pure-Python reader (its "

@@ -4397,6 +4397,28 @@ def _hudi_log_rows_frame(
                 for b in _hlog.visible_data_blocks(
                     json.loads(pjson), completed_set
                 ):
+                    if b.block_type == _hlog.DELETE_BLOCK:
+                        # r16: foreign delete blocks — each key retires
+                        # from the slice at its block-order position,
+                        # exactly like a _hoodie_is_deleted data record
+                        # (the anti-join happens in the shared
+                        # latest-wins merge downstream).
+                        for drec in _hlog.decode_delete_block(b):
+                            ordinal += 1
+                            rows.append(
+                                tuple(
+                                    drec["recordKey"]
+                                    if n == "_hoodie_record_key"
+                                    else (
+                                        drec.get("partitionPath")
+                                        if n == "_hoodie_partition_path"
+                                        else None
+                                    )
+                                    for n, _t in field_list
+                                )
+                                + (fp, ordinal, True)
+                            )
+                        continue
                     _s, recs = _hlog.decode_avro_data_block(b)
                     for rec in recs:
                         if rec.get("_hoodie_record_key") is None:

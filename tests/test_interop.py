@@ -4364,6 +4364,138 @@ def test_hudi_mor_snapshot_merges_committed_log_blocks(spark, tmp_path):
     assert row3["_hoodie_commit_time"] == inst1
 
 
+def test_hudi_delete_block_golden_bytes():
+    """r16: the v2+ DELETE block content layout pinned by HAND-PACKED
+    bytes, independent of the writer — block version (int), payload
+    length (int), one HoodieDeleteRecordList Avro datum: array of
+    (recordKey, partitionPath, orderingVal) with orderingVal a
+    primitive union. Includes a non-string primitive branch (int) and
+    a null branch; an out-of-range union branch refuses loudly; the
+    kryo-era version 1 refuses loudly."""
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        hudi_log as HL,
+    )
+
+    payload = bytes(
+        [0x04]  # array block count 2 (zigzag)
+        + [0x02, 0x04, 0x6B, 0x31]  # recordKey: union idx 1, "k1"
+        + [0x02, 0x02, 0x70]  # partitionPath: union idx 1, "p"
+        + [0x00]  # orderingVal: union idx 0 (null)
+        + [0x02, 0x04, 0x6B, 0x32]  # recordKey "k2"
+        + [0x02, 0x00]  # partitionPath ""
+        + [0x04, 0x0E]  # orderingVal: union idx 2 (int), value 7
+        + [0x00]  # array end
+    )
+    content = (
+        (2).to_bytes(4, "big") + len(payload).to_bytes(4, "big") + payload
+    )
+    blk = HL.LogBlock(HL.DELETE_BLOCK, header={HL.INSTANT_TIME: "1"},
+                      content=content)
+    assert HL.decode_delete_block(blk) == [
+        {"recordKey": "k1", "partitionPath": "p", "orderingVal": None},
+        {"recordKey": "k2", "partitionPath": "", "orderingVal": 7},
+    ]
+    # The fixture writer round-trips against the same decoder.
+    rt = HL.LogBlock(
+        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: "1"},
+        content=HL.encode_delete_block(
+            [{"recordKey": "a", "partitionPath": "", "orderingVal": None}]
+        ),
+    )
+    assert HL.decode_delete_block(rt) == [
+        {"recordKey": "a", "partitionPath": "", "orderingVal": None}
+    ]
+    # Out-of-range orderingVal union branch (a wrapper record type this
+    # codec cannot size): loud refusal, not a silent misread.
+    bad_payload = bytes(
+        [0x02, 0x02, 0x02, 0x61, 0x02, 0x00, 0x12, 0x00]
+    )  # one record, key "a", pp "", orderingVal branch 9
+    bad = HL.LogBlock(
+        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: "1"},
+        content=(2).to_bytes(4, "big")
+        + len(bad_payload).to_bytes(4, "big") + bad_payload,
+    )
+    with pytest.raises(NotImplementedError, match="does not decode"):
+        HL.decode_delete_block(bad)
+    v1 = HL.LogBlock(
+        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: "1"},
+        content=(1).to_bytes(4, "big") + b"\x00kryo",
+    )
+    with pytest.raises(NotImplementedError, match="version 1"):
+        HL.decode_delete_block(v1)
+
+
+def test_hudi_mor_foreign_delete_blocks(spark, tmp_path):
+    """r16 (r15 verdict #3): a foreign MoR table whose logs carry v2
+    DELETE blocks reads correctly — keys retire from the slice at
+    their block-order position, deletes of absent keys are no-ops, a
+    later data block re-inserts a deleted key, rollback of the delete
+    instant restores the rows, and the state matches the post-delete
+    oracle."""
+    path, inst0, fid, avsc, rec, HL = _hudi_mor_fixture(spark, tmp_path)
+
+    inst1 = "20240101000001000"
+    blk = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst1, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block(
+            [rec(inst1, 3, "NEW3"), rec(inst1, 42, "I42")], avsc
+        ),
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [blk])
+    open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
+
+    inst2 = "20240101000002000"
+    delb = HL.LogBlock(
+        HL.DELETE_BLOCK,
+        header={HL.INSTANT_TIME: inst2},
+        content=HL.encode_delete_block(
+            [
+                {"recordKey": "3", "partitionPath": ""},
+                {"recordKey": "5", "partitionPath": "",
+                 "orderingVal": "7"},
+                {"recordKey": "404", "partitionPath": ""},  # absent: no-op
+            ]
+        ),
+    )
+    HL.write_log_file(
+        os.path.join(path, f".{fid}_{inst0}.log.2_0-1-1"), [delb]
+    )
+    # In-flight delete: invisible.
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "NEW3" and got[5] == "v5"
+    open(os.path.join(path, ".hoodie", f"{inst2}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    # Post-delete oracle: base {0..9} + upsert(3→NEW3, +42) − {3, 5}.
+    expect = {i: f"v{i}" for i in range(10) if i not in (3, 5)}
+    expect[42] = "I42"
+    assert got == expect
+
+    # A LATER data block re-inserts a deleted key.
+    inst3 = "20240101000003000"
+    back = HL.LogBlock(
+        HL.AVRO_DATA_BLOCK,
+        header={HL.INSTANT_TIME: inst3, HL.SCHEMA: json.dumps(avsc)},
+        content=HL.encode_avro_data_block([rec(inst3, 3, "BACK")], avsc),
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.3_0-1-1"), [back])
+    open(os.path.join(path, ".hoodie", f"{inst3}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "BACK" and 5 not in got
+
+    # Rollback of the DELETE instant restores both deleted keys
+    # (3 was re-inserted anyway; 5 returns to its base value).
+    inst4 = "20240101000004000"
+    cmd = HL.LogBlock(
+        HL.COMMAND_BLOCK,
+        header={HL.INSTANT_TIME: inst4, HL.TARGET_INSTANT_TIME: inst2},
+    )
+    HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.4_0-1-1"), [cmd])
+    open(os.path.join(path, ".hoodie", f"{inst4}.deltacommit"), "w").close()
+    got = {r.id: r.val for r in read_hudi(spark, path).collect()}
+    assert got[3] == "BACK" and got[5] == "v5" and got[42] == "I42"
+
+
 def test_hudi_deleted_to_empty_reads_typed_and_recovers(spark, tmp_path):
     """A Hudi table deleted to EMPTY (every file group retired by a
     completed replacecommit — hypothesis-found r11) reads as a typed
@@ -4419,12 +4551,15 @@ def test_hudi_mor_guards(spark, tmp_path):
 
     path, inst0, fid, avsc, rec, HL = _hudi_mor_fixture(spark, tmp_path)
     inst1 = "20240101000001000"
+    # r16: v2+ delete blocks now DECODE; the kryo-era VERSION 1
+    # payload stays a loud raise (serialized HoodieKey[]).
     delb = HL.LogBlock(
-        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: inst1}, content=b"\x00\x00\x00\x02xx"
+        HL.DELETE_BLOCK, header={HL.INSTANT_TIME: inst1},
+        content=b"\x00\x00\x00\x01" + b"\x00\x00\x00\x02xx",
     )
     HL.write_log_file(os.path.join(path, f".{fid}_{inst0}.log.1_0-1-1"), [delb])
     open(os.path.join(path, ".hoodie", f"{inst1}.deltacommit"), "w").close()
-    with pytest.raises(Exception, match="delete log blocks"):
+    with pytest.raises(Exception, match="delete-block version 1"):
         read_hudi(spark, path).collect()
 
     # A committed ROLLBACK of the delete block's instant makes the
