@@ -148,9 +148,73 @@ def _delta_latest_version(log_dir: str) -> int:
     return best
 
 
+def _delta_widen_ok(frm: str, to: str) -> bool:
+    """One recorded Delta type change is readable here iff Spark's
+    parquet scan natively up-casts the file's narrower physical type
+    to the declared wider one (SPARK-40876, the widening promotions
+    added FOR Delta type widening) — the integral/float/date chains
+    plus decimal growth where integral digits and scale both grow."""
+    frm, to = frm.strip().lower(), to.strip().lower()
+    ints = ("byte", "short", "integer", "long")
+    if frm in ints and to in ints and ints.index(frm) < ints.index(to):
+        return True
+    if (frm, to) in {
+        ("float", "double"), ("byte", "double"), ("short", "double"),
+        ("integer", "double"), ("date", "timestamp_ntz"),
+        ("date", "timestampntz"),
+    }:
+        return True
+    mt = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", to)
+    if mt:
+        p2, s2 = int(mt.group(1)), int(mt.group(2))
+        mf = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", frm)
+        if mf:
+            p1, s1 = int(mf.group(1)), int(mf.group(2))
+            return s2 >= s1 and p2 - s2 >= p1 - s1
+        digits = {"byte": 3, "short": 5, "integer": 10, "long": 20}.get(frm)
+        return digits is not None and s2 >= 0 and p2 - s2 >= digits
+    return False
+
+
+def _delta_check_type_widening(meta: dict | None) -> None:
+    """Walk the declared schema's ``delta.typeChanges`` records (the
+    typeWidening feature's per-field history) and refuse any chain
+    Spark's parquet reader cannot up-cast natively — accepting the
+    feature blind would read such files wrong instead of loudly."""
+    schema_str = (meta or {}).get("schemaString")
+    if not schema_str:
+        return
+
+    def _walk(node) -> None:
+        if isinstance(node, dict):
+            md = node.get("metadata")
+            if isinstance(md, dict):
+                for ch in md.get("delta.typeChanges") or []:
+                    frm = str(ch.get("fromType", ""))
+                    to = str(ch.get("toType", ""))
+                    if not _delta_widen_ok(frm, to):
+                        raise NotImplementedError(
+                            f"Delta type widening {frm!r} -> {to!r} on "
+                            f"field {node.get('name')!r} is not a "
+                            "Spark-readable promotion — the pure-Python "
+                            "reader refuses rather than misread narrow "
+                            "files"
+                        )
+            for v in node.values():
+                _walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                _walk(v)
+
+    _walk(json.loads(schema_str))
+
+
 def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
     supported_reader_features = {
         "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+        # r16 (r15 verdict #5): accepted when every recorded widened
+        # chain is natively readable — verified below.
+        "typeWidening", "typeWidening-preview",
     }
     if protocol:
         feats = set(protocol.get("readerFeatures") or [])
@@ -160,6 +224,8 @@ def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
                 f"Delta reader features {sorted(unsupported)} are not "
                 "supported by the pure-Python reader"
             )
+        if feats & {"typeWidening", "typeWidening-preview"}:
+            _delta_check_type_widening(meta)
     conf = (meta or {}).get("configuration") or {}
     # Column mapping: 'name' mode resolves through the per-field
     # physicalName metadata; 'id' mode resolves through parquet field
@@ -244,6 +310,10 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
             "appendOnly", "changeDataFeed", "invariants", "checkConstraints",
             "generatedColumns", "identityColumns", "columnMapping",
             "deletionVectors", "timestampNtz", "v2Checkpoint",
+            # New data files stage at the DECLARED (widened) schema on
+            # every write path, which is exactly the feature's writer
+            # demand.
+            "typeWidening", "typeWidening-preview",
         }
         unsupported = set(p.get("writerFeatures") or []) - honored
         if unsupported:
@@ -3616,6 +3686,7 @@ def binpack_iceberg(
         manifests.append({"rec": r, "entries": live, "paths": paths})
         for e, p in zip(live, paths):
             dfr = e["data_file"]
+            _ice_require_parquet(dfr, "binpack/zorder rewrite")
             size = int(dfr.get("file_size_in_bytes", 0) or 0)
             if not zorder_by and size >= target_bytes:
                 continue  # binpack: only small files; zorder: all
@@ -7870,33 +7941,86 @@ def _ice_collect_deletes(
     return pos_delete_files, eq_deletes
 
 
+def _ice_require_parquet(df_rec: dict, op: str) -> None:
+    """Rewrite paths produce parquet; rewriting a table that HOLDS
+    non-parquet data files would need a byte-faithful rewrite of those
+    files too — refuse loudly (reads of ORC data files work, r16)."""
+    fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+    if fmt != "PARQUET":
+        raise NotImplementedError(
+            f"{op} on an Iceberg table holding {fmt} data files is not "
+            "supported (this engine rewrites parquet only; reading the "
+            "table works) — rewrite with the native engine first"
+        )
+
+
 def _ice_scan_with_deletes(
     spark: SparkSession,
     meta: dict,
     table_path: str,
-    files: list[tuple[str, int]],
+    files: list[tuple[str, int]] | list[tuple[str, int, str]],
     pos_delete_files: list[str],
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     schema,
     keep_path: bool = False,
 ) -> DataFrame:
-    """Scan live Iceberg data files (``(path, data sequence number)``
-    pairs) applying v2 ROW-LEVEL DELETES exactly as the spec's scan
-    planning does — the engine's one source of truth for "the live
-    rows of these files", factored out of ``read_iceberg`` (late-r14)
-    so the predicate-DML rewrite composes with merge-on-read debt.
-    ``keep_path=True`` retains a ``__fp`` column (normalized file
-    path) so callers can attribute rows to files."""
+    """Scan live Iceberg data files (``(path, data sequence number[,
+    file format])`` tuples; format defaults to PARQUET) applying v2
+    ROW-LEVEL DELETES exactly as the spec's scan planning does — the
+    engine's one source of truth for "the live rows of these files",
+    factored out of ``read_iceberg`` (late-r14) so the predicate-DML
+    rewrite composes with merge-on-read debt. ``keep_path=True``
+    retains a ``__fp`` column (normalized file path) so callers can
+    attribute rows to files.
+
+    ORC data files (r16 — r15 verdict #4) route through
+    ``spark.read.orc`` in the same delete-aware plan. One gap is
+    structural: Spark's ORC ``_metadata`` carries no ``row_index``,
+    so POSITION deletes cannot be attributed to ORC rows — a scan
+    needing both refuses loudly (equality deletes and the no-delete
+    path work; Iceberg writers overwhelmingly pair ORC with equality
+    deletes for exactly this kind of reader limitation)."""
+    fmt_of: dict[str, str] = {}
+    norm_files: list[tuple[str, int]] = []
+    for t in files:
+        p, s = t[0], t[1]
+        fmt_of[p] = (t[2] if len(t) > 2 else "PARQUET").upper()
+        norm_files.append((p, s))
+    files = norm_files
+
     def _scan(paths: list[str], with_meta: bool) -> DataFrame:
-        rdr = spark.read.schema(schema) if schema is not None else spark.read
-        d = rdr.parquet(*paths)
-        if with_meta:
-            d = d.select(
-                "*",
-                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
+        parts = []
+        for fmt in sorted({fmt_of.get(p, "PARQUET") for p in paths}):
+            fpaths = [p for p in paths if fmt_of.get(p, "PARQUET") == fmt]
+            rdr = (
+                spark.read.schema(schema) if schema is not None else spark.read
             )
-        return d
+            d = rdr.orc(list(fpaths)) if fmt == "ORC" else rdr.parquet(*fpaths)
+            if with_meta:
+                cols = [
+                    "*",
+                    _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                ]
+                if pos_delete_files:
+                    if fmt == "ORC":
+                        raise NotImplementedError(
+                            "Iceberg POSITION deletes over ORC data files "
+                            "are not supported — Spark's ORC scan exposes "
+                            "no _metadata.row_index to attribute deleted "
+                            "positions; compact the deletes with the "
+                            "native engine first"
+                        )
+                    cols.append(F.col("_metadata.row_index").alias("__ri"))
+                else:
+                    # keep_path-only callers never consume __ri, but the
+                    # per-format branches must union on one shape.
+                    cols.append(F.lit(None).cast("long").alias("__ri"))
+                d = d.select(*cols)
+            parts.append(d)
+        df = parts[0]
+        for d in parts[1:]:
+            df = df.unionByName(d)
+        return df
 
     need_meta = bool(pos_delete_files) or keep_path
     if not eq_deletes:
@@ -8100,8 +8224,8 @@ def read_iceberg(
         if where_n
         else []
     )
-    # (path, data sequence number) per live data file.
-    files: list[tuple[str, int]] = []
+    # (path, data sequence number, file format) per live data file.
+    files: list[tuple[str, int, str]] = []
     for mpath in manifests:
         _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
         for e in entries:
@@ -8114,9 +8238,10 @@ def read_iceberg(
                     "supported by the pure-Python reader"
                 )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC"):
                 raise NotImplementedError(
-                    f"Iceberg {fmt} data files are not supported (parquet only)"
+                    f"Iceberg {fmt} data files are not supported "
+                    "(parquet and orc only)"
                 )
             if prune_plan and not _ice_prune_keep(df_rec, prune_plan):
                 continue  # partition record / column bounds can't match
@@ -8124,6 +8249,7 @@ def read_iceberg(
                 (
                     _iceberg_local_path(df_rec["file_path"], table_path),
                     _entry_seq(e, mseqs.get(mpath, 0)),
+                    fmt,
                 )
             )
     if not files:
@@ -8719,8 +8845,9 @@ def _iceberg_stage_files(
     df: DataFrame, table_path: str, part_fields: list[dict],
     bounds_fields: dict[str, tuple[int, str]] | None = None,
     count_fields: dict[str, int] | None = None,
+    file_format: str = "PARQUET",
 ) -> list[tuple[str, dict, int, int, tuple[list, list, list]]]:
-    """Stage the batch as parquet under ``data/`` and return
+    """Stage the batch as parquet (or ORC, r16) under ``data/`` and return
     (abs_path, raw partition values, record_count, size,
     (lower_bounds, upper_bounds, null_value_counts)) per file. Unlike Delta, Iceberg data
     files must KEEP partition source columns inline — so Spark
@@ -8747,16 +8874,26 @@ def _iceberg_stage_files(
                 pf["src_ice_type"],
             ),
         )
+    fmt = file_format.upper()
+    if fmt not in ("PARQUET", "ORC"):
+        raise NotImplementedError(
+            f"Iceberg data file format {file_format!r} is not supported "
+            "(parquet and orc)"
+        )
+    ext = ".orc" if fmt == "ORC" else ".parquet"
     writer = w.write.mode("overwrite")
     if dups:
         writer = writer.partitionBy(*dups)
-    writer.parquet(staging)
+    if fmt == "ORC":
+        writer.orc(staging)
+    else:
+        writer.parquet(staging)
     out: list[tuple[str, dict, int, int]] = []
     try:
         for root, dirs, files in os.walk(staging):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for fname in files:
-                if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                if not fname.endswith(ext) or fname.startswith(("_", ".")):
                     continue
                 rel_dir = os.path.relpath(root, staging)
                 pv: dict[str, str | None] = {}
@@ -8769,22 +8906,30 @@ def _iceberg_stage_files(
                             else urllib.parse.unquote(v)
                         )
                         segs.append(f"{pf['name']}={v}")
-                nrec = pq.ParquetFile(
-                    os.path.join(root, fname)
-                ).metadata.num_rows
+                if fmt == "ORC":
+                    import pyarrow.orc as _po
+
+                    nrec = _po.ORCFile(os.path.join(root, fname)).nrows
+                else:
+                    nrec = pq.ParquetFile(
+                        os.path.join(root, fname)
+                    ).metadata.num_rows
                 if nrec == 0:
                     # Spark's empty input partitions leave zero-row
                     # part files; committing them would add dead
                     # manifest entries with no bounds that every
                     # pruned scan must conservatively keep (r12).
                     continue
-                final_rel = os.path.join("data", *segs, f"{uuid.uuid4().hex}.parquet")
+                final_rel = os.path.join("data", *segs, f"{uuid.uuid4().hex}{ext}")
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.rename(os.path.join(root, fname), final_abs)
                 bounds = (
+                    # ORC footers are not parquet footers: commit the
+                    # entries WITHOUT column bounds (legal — scans keep
+                    # unbounded files conservatively).
                     _ice_file_bounds(final_abs, bounds_fields, count_fields)
-                    if bounds_fields or count_fields
+                    if (bounds_fields or count_fields) and fmt != "ORC"
                     else ([], [], [])
                 )
                 out.append(
@@ -10278,9 +10423,12 @@ def write_iceberg(
     table_path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    file_format: str = "parquet",
 ) -> int:
     """Write a REAL Apache Iceberg v2 table: parquet data files (all
-    columns inline, identity-partition values included), an Avro
+    columns inline, identity-partition values included; pass
+    ``file_format="orc"`` for ORC data files, r16 — committed without
+    column bounds, so scans keep them conservatively), an Avro
     manifest + manifest list encoded by ``avro_lite`` with spec
     field-ids, and a new ``v<N>.metadata.json`` snapshot commit under
     the Hadoop-catalog convention (``version-hint.text`` updated
@@ -10460,6 +10608,7 @@ def write_iceberg(
         df, table_path, part_fields,
         bounds_fields=_ice_schema_bounds_fields(ice_schema),
         count_fields=_ice_schema_count_fields(ice_schema),
+        file_format=file_format,
     )
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
@@ -10477,7 +10626,7 @@ def write_iceberg(
                 "data_file": {
                     "content": 0,
                     "file_path": f"file://{apath}",
-                    "file_format": "PARQUET",
+                    "file_format": file_format.upper(),
                     "partition": {
                         pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
                         for pf in part_fields
@@ -10798,17 +10947,32 @@ def read_iceberg_incremental(
         if where_n
         else []
     )
-    paths: list[str] = []
+    by_fmt: dict[str, list[str]] = {}
     for _sid, dfrecs in per_snap:
         for dfr in dfrecs:
             if prune_plan and not _ice_prune_keep(dfr, prune_plan):
                 continue  # partition/bounds skipping (X142)
-            paths.append(_iceberg_local_path(dfr["file_path"], table_path))
-    if not paths:
+            fmt = str(dfr.get("file_format", "PARQUET")).upper()
+            if fmt not in ("PARQUET", "ORC"):
+                raise NotImplementedError(
+                    f"Iceberg {fmt} data files are not supported "
+                    "(parquet and orc only)"
+                )
+            by_fmt.setdefault(fmt, []).append(
+                _iceberg_local_path(dfr["file_path"], table_path)
+            )
+    if not by_fmt:
         return spark.createDataFrame([], schema)
-    rdr = spark.read.schema(schema) if schema is not None else spark.read
-    out = _where_residual(rdr.parquet(*paths), where_n)
-    return out
+    parts = []
+    for fmt, paths in sorted(by_fmt.items()):
+        rdr = spark.read.schema(schema) if schema is not None else spark.read
+        parts.append(
+            rdr.orc(list(paths)) if fmt == "ORC" else rdr.parquet(*paths)
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return _where_residual(out, where_n)
 
 
 def write_iceberg_equality_deletes(
@@ -11129,6 +11293,7 @@ def merge_iceberg(
         live = [e for e in entries if e.get("status", 1) != 2]
         paths = []
         for e in live:
+            _ice_require_parquet(e["data_file"], "merge_iceberg")
             ap = os.path.abspath(
                 _iceberg_local_path(e["data_file"]["file_path"], table_path)
             )
@@ -11692,6 +11857,8 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
             _iceberg_local_path(r["manifest_path"], table_path)
         )
         live = [e for e in entries if e.get("status", 1) != 2]
+        for e in live:
+            _ice_require_parquet(e["data_file"], "compact_iceberg")
         paths = [
             os.path.abspath(
                 _iceberg_local_path(e["data_file"]["file_path"], table_path)
@@ -11881,7 +12048,7 @@ def _ice_rewrite_where(
         else []
     )
     manifests: list[dict] = []
-    cand_files: list[tuple[str, int]] = []
+    cand_files: list[tuple[str, int, str]] = []
     for r in data_recs:
         _s2, entries = read_avro_file(
             _iceberg_local_path(r["manifest_path"], table_path)
@@ -11904,7 +12071,13 @@ def _ice_rewrite_where(
                 if not possible:
                     continue
             eseq = e.get("sequence_number")
-            cand_files.append((p, int(eseq) if eseq is not None else mseq))
+            cand_files.append(
+                (
+                    p,
+                    int(eseq) if eseq is not None else mseq,
+                    str(e["data_file"].get("file_format", "PARQUET")).upper(),
+                )
+            )
     if not cand_files:
         return sid, 0
 

@@ -135,6 +135,123 @@ def test_delta_reader_consumes_foreign_log(spark, tmp_path):
     assert _rows(head.select("id", "p")) == [(2, 2)]
 
 
+def test_delta_type_widening_read(spark, tmp_path):
+    """r16 (r15 verdict #5): a foreign Delta table with the
+    typeWidening reader feature reads when every recorded chain is a
+    Spark-readable promotion — files written BEFORE the widening keep
+    their narrow physical types and up-cast in the scan (int->long,
+    decimal(5,2)->decimal(10,2) here), files after carry the wide
+    type, and the declared dtypes win. An unsupported chain (a
+    narrowing) refuses loudly; an unknown reader feature still
+    refuses."""
+    path = str(tmp_path / "tw")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(1, Decimal("1.25"), "old")], "id int, amt decimal(5,2), v string"
+    ).coalesce(1).write.parquet(f"{path}/fa")
+    spark.createDataFrame(
+        [(2**40, Decimal("12345678.90"), "new")],
+        "id long, amt decimal(10,2), v string",
+    ).coalesce(1).write.parquet(f"{path}/fb")
+
+    def one_parquet(d):
+        return next(
+            os.path.join(os.path.relpath(r, path), x)
+            for r, _d, fs in os.walk(os.path.join(path, d))
+            for x in fs
+            if x.endswith(".parquet")
+        )
+
+    fa, fb = one_parquet("fa"), one_parquet("fb")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {
+                "delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long",
+                     "tableVersion": 1}
+                ]
+            }},
+            {"name": "amt", "type": "decimal(10,2)", "nullable": True,
+             "metadata": {
+                 "delta.typeChanges": [
+                     {"fromType": "decimal(5,2)", "toType": "decimal(10,2)",
+                      "tableVersion": 1}
+                 ]
+             }},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    v0 = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        }},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.enableTypeWidening": "true"},
+        }},
+        {"add": {"path": fa, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": fb, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in v0) + "\n")
+
+    got = read_delta(spark, path)
+    assert dict(got.dtypes) == {
+        "id": "bigint", "amt": "decimal(10,2)", "v": "string"
+    }
+    assert {(r.id, r.amt, r.v) for r in got.collect()} == {
+        (1, Decimal("1.25"), "old"),
+        (2**40, Decimal("12345678.90"), "new"),
+    }
+
+    # A narrowing chain refuses loudly.
+    bad = str(tmp_path / "tw_bad")
+    blog = os.path.join(bad, "_delta_log")
+    os.makedirs(blog)
+    bschema = {
+        "type": "struct",
+        "fields": [{"name": "x", "type": "float", "nullable": True,
+                    "metadata": {"delta.typeChanges": [
+                        {"fromType": "double", "toType": "float",
+                         "tableVersion": 1}]}}],
+    }
+    bv0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {"id": "m2",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(bschema),
+                      "partitionColumns": [], "configuration": {}}},
+    ]
+    with open(os.path.join(blog, f"{0:020d}.json"), "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in bv0) + "\n")
+    with pytest.raises(NotImplementedError, match="not a Spark-readable"):
+        read_delta(spark, bad)
+
+    # Unknown reader features still refuse.
+    unk = str(tmp_path / "tw_unk")
+    ulog = os.path.join(unk, "_delta_log")
+    os.makedirs(ulog)
+    uv0 = list(bv0)
+    uv0[0] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                           "readerFeatures": ["variantType-preview"],
+                           "writerFeatures": []}}
+    with open(os.path.join(ulog, f"{0:020d}.json"), "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in uv0) + "\n")
+    with pytest.raises(NotImplementedError, match="variantType"):
+        read_delta(spark, unk)
+
+
 @pytest.mark.parametrize("n_parts", [1, 2])
 def test_delta_checkpoint_replay_and_missing_log(spark, tmp_path, n_parts):
     """The reader recovers from a parquet checkpoint (single-part AND
@@ -11192,6 +11309,104 @@ def test_alter_hudi_table_add_column(spark, tmp_path):
     assert {(r.id, r.v, r.x) for r in read_hudi(spark, pm).collect()} == {
         (1, "a", None), (2, "b2", 3)
     }
+
+
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """r16 (r15 verdict #4): ORC data files route through
+    spark.read.orc in the same delete-aware scan — a pure-ORC table
+    round-trips, a MIXED parquet+ORC table (an appended format switch,
+    the real-world migration shape) unions correctly, equality deletes
+    apply across both formats, predicates stay exact (ORC entries
+    commit without column bounds, so pruning keeps them
+    conservatively), incremental append reads work, POSITION deletes
+    over ORC refuse loudly (Spark's ORC scan has no
+    _metadata.row_index), and rewrite paths refuse ORC-bearing
+    tables."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        binpack_iceberg,
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_incremental,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    p = str(tmp_path / "orc_tbl")
+    df1 = spark.createDataFrame(
+        [(i, f"a{i}", i % 3) for i in range(20)], "id long, v string, grp int"
+    )
+    write_iceberg(df1, p, file_format="orc")
+    got = read_iceberg(spark, p)
+    assert {(r.id, r.v, r.grp) for r in got.collect()} == {
+        (i, f"a{i}", i % 3) for i in range(20)
+    }
+    # Predicate stays exact without column bounds (residual filter).
+    assert read_iceberg(spark, p, where=[("id", "<", 5)]).count() == 5
+
+    # Mixed formats: append PARQUET onto the ORC table.
+    s1 = None
+    df2 = spark.createDataFrame(
+        [(i, f"b{i}", i % 3) for i in range(20, 30)],
+        "id long, v string, grp int",
+    )
+    s1 = write_iceberg(df2, p, mode="append")
+    both = read_iceberg(spark, p)
+    assert both.count() == 30
+    assert {r.v for r in both.filter("id >= 20").collect()} == {
+        f"b{i}" for i in range(20, 30)
+    }
+    # Incremental append scan crosses formats too.
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+    )
+
+    _nm, metap = _iceberg_current_metadata_named(p)
+    snaps = sorted(metap["snapshots"], key=lambda s: s["sequence-number"])
+    first_sid = snaps[0]["snapshot-id"]
+    inc = read_iceberg_incremental(spark, p, from_snapshot_id=first_sid)
+    assert {r.id for r in inc.collect()} == set(range(20, 30))
+
+    # Rewrites refuse ORC-bearing tables loudly (checked before any
+    # delete debt exists, which has its own earlier guard).
+    with pytest.raises(NotImplementedError, match="ORC data files"):
+        merge_iceberg(
+            spark.createDataFrame([(1, "x", 0)], "id long, v string, grp int"),
+            p, key="id",
+        )
+    with pytest.raises(NotImplementedError, match="ORC data files"):
+        binpack_iceberg(spark, p, target_bytes=1 << 30)
+
+    # Equality deletes retire rows in BOTH formats.
+    write_iceberg_equality_deletes(
+        spark.createDataFrame([(3,), (25,)], "id long"), p, keys="id"
+    )
+    after = read_iceberg(spark, p)
+    assert after.count() == 28
+    assert {r.id for r in after.filter("id in (3, 25)").collect()} == set()
+    with pytest.raises(NotImplementedError, match="ORC data files"):
+        compact_iceberg(spark, p)
+
+    # POSITION deletes over ORC data files refuse loudly (scan-unit
+    # check: Spark's ORC _metadata exposes no row_index to attribute
+    # deleted positions to).
+    import glob as _glob
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_scan_with_deletes,
+        _iceberg_current_metadata_named,
+    )
+
+    p2 = str(tmp_path / "orc_pos")
+    write_iceberg(df1, p2, file_format="orc")
+    _n2, meta2 = _iceberg_current_metadata_named(p2)
+    orc_files = sorted(_glob.glob(p2 + "/data/**/*.orc", recursive=True))
+    assert orc_files
+    with pytest.raises(NotImplementedError, match="POSITION deletes over ORC"):
+        _ice_scan_with_deletes(
+            spark, meta2, p2, [(orc_files[0], 1, "ORC")],
+            ["/nonexistent-pos-delete.parquet"], [], None,
+        )
 
 
 def test_hudi_decimal_log_round_trip(spark, tmp_path):
