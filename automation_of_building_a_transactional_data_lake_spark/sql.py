@@ -247,6 +247,114 @@ def _sql_parse_atom(orig: str, masked: str, alias: str | None):
     return None
 
 
+_SQL_NOT_PREFIX = re.compile(r"^\s*NOT\b", re.I)
+_SQL_ATOM_NBETWEEN = re.compile(
+    r"^\s*(?:(?P<q>\w+)\s*\.\s*)?(?P<col>\w+)\s+NOT\s+BETWEEN\s+"
+    r"(?P<a>.*?\S)\s+AND\s+(?P<b>\S.*?)\s*$",
+    re.I | re.S,
+)
+# Negation per atom op — EXACT in Kleene 3-valued logic: NULL operands
+# make both the positive and the negated comparison UNKNOWN, and the
+# residual filter drops unknowns either way (NOT IN / IN carry SQL's
+# own null semantics in the where= normalizer).
+_SQL_NEG_OP = {
+    "=": "!=", "!=": "=", "<": ">=", ">": "<=", "<=": ">", ">=": "<",
+    "in": "not in", "not in": "in",
+    "is null": "is not null", "is not null": "is null",
+}
+
+
+def _sql_cnf_or(cnfs: list[list]) -> list | None:
+    """OR of CNFs -> one CNF by the product law
+    (A1∧A2) OR (B1∧B2) ≡ ∧ over (Ai OR Bj) — valid in 3-valued
+    logic; None when the product exceeds ``_WHERE_CNF_CAP`` (callers
+    then keep the predicate residual-only, a sound skip)."""
+    from .formats.interop import _WHERE_CNF_CAP
+
+    n = 1
+    for c in cnfs:
+        n *= max(1, len(c))
+        if n > _WHERE_CNF_CAP:
+            return None
+    import itertools
+
+    out: list = []
+    for combo in itertools.product(*cnfs):
+        disj: list = []
+        for conj in combo:
+            disj.extend(conj if isinstance(conj, list) else [conj])
+        out.append(disj if len(disj) > 1 else disj[0])
+    return out
+
+
+def _sql_expr_cnf(
+    orig: str, masked: str, alias: str | None, negate: bool = False
+) -> list | None:
+    """One boolean expression -> where= CNF (r16, the NOT-grammar
+    close): AND/OR/NOT with nested parens distribute via De Morgan +
+    the CNF product law, all exact in Kleene 3-valued logic, so a
+    negated user predicate pushes down to file skipping instead of
+    silently keeping the full scan. Returns None when a leaf falls
+    outside the atom grammar or distribution exceeds the cap —
+    callers treat that as residual-only (sound) or strict failure."""
+    orig, masked = _sql_strip_parens(orig, masked)
+    or_spans = _sql_split_spans(masked, "OR")
+    if len(or_spans) > 1:
+        subs = []
+        for s, e in or_spans:
+            sub = _sql_expr_cnf(orig[s:e], masked[s:e], alias, negate)
+            if sub is None:
+                return None
+            subs.append(sub)
+        if negate:  # NOT(A OR B) ≡ NOT A AND NOT B
+            return [c for sub in subs for c in sub]
+        return _sql_cnf_or(subs)
+    and_spans = _sql_split_spans(masked, "AND")
+    if len(and_spans) > 1:
+        subs = []
+        for s, e in and_spans:
+            sub = _sql_expr_cnf(orig[s:e], masked[s:e], alias, negate)
+            if sub is None:
+                return None
+            subs.append(sub)
+        if negate:  # NOT(A AND B) ≡ NOT A OR NOT B
+            return _sql_cnf_or(subs)
+        return [c for sub in subs for c in sub]
+    m = _SQL_NOT_PREFIX.match(masked)
+    if m and not _SQL_ATOM_NULL.match(masked):
+        # A leaf-level NOT (IS NOT NULL never reaches here; NOT IN /
+        # NOT BETWEEN parse as atoms below, keeping their own spelling).
+        return _sql_expr_cnf(
+            orig[m.end():], masked[m.end():], alias, not negate
+        )
+    nb = _SQL_ATOM_NBETWEEN.match(masked)
+    if nb:
+        q = nb.group("q")
+        if q is not None and q != alias:
+            return None
+        col = nb.group("col")
+        a = _sql_push_literal(orig[nb.start("a"): nb.end("a")])
+        b = _sql_push_literal(orig[nb.start("b"): nb.end("b")])
+        if a is _NO_LIT or b is _NO_LIT:
+            return None
+        if negate:  # NOT(x NOT BETWEEN a b) ≡ BETWEEN
+            return [(col, ">=", a), (col, "<=", b)]
+        return [[(col, "<", a), (col, ">", b)]]
+    atom = _sql_parse_atom(orig, masked, alias)
+    if atom is None:
+        return None
+    conjs = atom if isinstance(atom, list) else [atom]
+    if not negate:
+        return list(conjs)
+    negs = []
+    for col, op, val in conjs:
+        nop = _SQL_NEG_OP.get(op)
+        if nop is None:
+            return None
+        negs.append((col, nop, val))
+    return [negs if len(negs) > 1 else negs[0]]
+
+
 def _sql_split_commas(masked: str) -> list[tuple[int, int]]:
     spans = []
     depth = 0
@@ -276,48 +384,16 @@ def _sql_parse_where_clause(
     preds: list = []
     for cs, ce in _sql_split_spans(masked, "AND"):
         co, cm = _sql_strip_parens(orig[cs:ce], masked[cs:ce])
-        or_spans = _sql_split_spans(cm, "OR")
-        if len(or_spans) > 1:
-            # Each OR member is a LIST of conjunctive atoms (one for a
-            # plain atom, two for BETWEEN). NOT IN members pass through
-            # (the where= normalizer distributes them, r14); BETWEEN
-            # members distribute HERE via the same exact CNF law —
-            # A OR (B AND C) ≡ (A OR B) AND (A OR C), valid in Kleene
-            # 3-valued logic — capped like the NOT IN expansion.
-            member_lists: list[list] | None = []
-            for s, e in or_spans:
-                ao, am = _sql_strip_parens(co[s:e], cm[s:e])
-                atom = _sql_parse_atom(ao, am, alias)
-                if atom is None:
-                    member_lists = None
-                    break
-                member_lists.append(
-                    atom if isinstance(atom, list) else [atom]
-                )
-            if member_lists is not None:
-                from .formats.interop import _WHERE_CNF_CAP
-
-                n_groups = 1
-                for lst in member_lists:
-                    n_groups *= len(lst)
-                if n_groups <= _WHERE_CNF_CAP:
-                    import itertools
-
-                    for combo in itertools.product(*member_lists):
-                        preds.append(list(combo))
-                    continue
+        # Full boolean grammar per conjunct (r16): atoms, BETWEEN
+        # pairs, OR groups, nested AND/OR parens, and NOT — all
+        # distributed into the where= CNF via De Morgan + the product
+        # law (exact in 3-valued logic, capped at _WHERE_CNF_CAP).
+        cnf = _sql_expr_cnf(co, cm, alias)
+        if cnf is None:
             if strict:
                 return None
             continue
-        atom = _sql_parse_atom(co, cm, alias)
-        if atom is None:
-            if strict:
-                return None
-            continue
-        if isinstance(atom, list):  # BETWEEN: two conjunctive atoms
-            preds.extend(atom)
-        else:
-            preds.append(atom)
+        preds.extend(cnf)
     return preds
 
 

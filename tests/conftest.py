@@ -11,6 +11,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "deep: sf0.01 tail-pipeline tier (opt-in: TDL_DEEP_TESTS=1; the "
+        "weekly/deep CI lane — demoted composed gates keep "
+        "nontrivial-scale coverage, r16)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = SessionFactory(
