@@ -45,10 +45,17 @@ Block types (ordinals): 0 command, 1 delete, 2 corrupt, 3 avro data,
   ``orderingVal`` whose union branch is outside the primitive set
   also raises rather than guessing.
 
-HFile / parquet-data / CDC blocks raise ``NotImplementedError``
-LOUDLY: their payloads are engine-serialized shapes this codec cannot
-verify byte-faithfully, and guessing is worse than refusing — compact
-those tables with their native engine first.
+- PARQUET data blocks (r16 — `hoodie.logfile.data.block.format=parquet`
+  writers): the content IS a self-contained parquet file
+  (HoodieParquetDataBlock streams its records through a parquet
+  writer into the block body) — verified structurally by the PAR1
+  magic at both ends, decoded with pyarrow, merged exactly like avro
+  data records. Content that does not frame a parquet file raises.
+
+HFile / CDC blocks raise ``NotImplementedError`` LOUDLY: their
+payloads are engine-serialized shapes this codec cannot verify
+byte-faithfully, and guessing is worse than refusing — compact those
+tables with their native engine first.
 
 The writer mirrors the same layout bit-for-bit; it exists for fixture
 building and for the reader's round-trip gate (a golden hand-packed
@@ -368,6 +375,29 @@ def decode_delete_block(block: LogBlock) -> list[dict]:
     return recs
 
 
+def decode_parquet_data_block(block: LogBlock) -> list[dict]:
+    """Records of one PARQUET data block (r16): the block content is a
+    complete parquet file — require the PAR1 magic at BOTH ends (the
+    structural check that this writer really used the parquet block
+    format) and decode with pyarrow to python-native values
+    (timestamps/decimals keep their parquet types; no avro conversion
+    applies). Anything else raises loudly."""
+    if block.block_type != PARQUET_DATA_BLOCK:
+        raise ValueError(
+            f"not a parquet data block: {_BLOCK_NAMES.get(block.block_type)}"
+        )
+    c = block.content
+    if len(c) < 8 or c[:4] != b"PAR1" or c[-4:] != b"PAR1":
+        raise NotImplementedError(
+            "Hudi parquet-data-block content does not frame a parquet "
+            "file (no PAR1 magic) — an unknown layout; compact the table "
+            "with its native engine first"
+        )
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(io.BytesIO(c)).to_pylist()
+
+
 def visible_data_blocks(
     log_paths: list[str], completed_instants: set[str]
 ) -> list[LogBlock]:
@@ -380,10 +410,11 @@ def visible_data_blocks(
       Hudi keeps log appends atomic);
     - a committed COMMAND (rollback) block neutralizes every EARLIER
       block whose instant equals its TARGET_INSTANT_TIME;
-    - DELETE blocks pass through in order (r16) — the consumer
-      decodes them via ``decode_delete_block``;
-    - unsupported block kinds (hfile / parquet / cdc) raise loudly
-      UNLESS a later rollback already neutralized them.
+    - DELETE and PARQUET-data blocks pass through in order (r16) —
+      the consumer decodes them via ``decode_delete_block`` /
+      ``decode_parquet_data_block``;
+    - unsupported block kinds (hfile / cdc) raise loudly UNLESS a
+      later rollback already neutralized them.
     """
     seen: list[LogBlock] = []
     for path in log_paths:
@@ -406,7 +437,9 @@ def visible_data_blocks(
             seen.append(b)
     out: list[LogBlock] = []
     for b in [x for x in seen if x.instant_time in completed_instants]:
-        if b.block_type not in (AVRO_DATA_BLOCK, DELETE_BLOCK):
+        if b.block_type not in (
+            AVRO_DATA_BLOCK, DELETE_BLOCK, PARQUET_DATA_BLOCK
+        ):
             raise NotImplementedError(
                 f"Hudi {_BLOCK_NAMES.get(b.block_type, b.block_type)} log "
                 "blocks are not supported by the pure-Python reader (its "

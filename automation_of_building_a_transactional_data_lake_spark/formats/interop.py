@@ -4490,6 +4490,45 @@ def _hudi_log_rows_frame(
                                 + (fp, ordinal, True)
                             )
                         continue
+                    if b.block_type == _hlog.PARQUET_DATA_BLOCK:
+                        # r16: the block body IS a parquet file —
+                        # values arrive spark-typed from pyarrow (no
+                        # avro conversion; tz-aware timestamps
+                        # normalize to the naive-UTC convention the
+                        # avro path uses).
+                        import datetime as _pdt
+
+                        def _pqv(v):
+                            if (
+                                isinstance(v, _pdt.datetime)
+                                and v.tzinfo is not None
+                            ):
+                                return v.astimezone(
+                                    _pdt.timezone.utc
+                                ).replace(tzinfo=None)
+                            return v
+
+                        for rec in _hlog.decode_parquet_data_block(b):
+                            if rec.get("_hoodie_record_key") is None:
+                                raise ValueError(
+                                    "merge-on-read log record carries "
+                                    "no _hoodie_record_key"
+                                )
+                            ordinal += 1
+                            rows.append(
+                                tuple(
+                                    _pqv(rec.get(n)) for n, _t in field_list
+                                )
+                                + (
+                                    fp,
+                                    ordinal,
+                                    bool(
+                                        rec.get("_hoodie_is_deleted")
+                                        or False
+                                    ),
+                                )
+                            )
+                        continue
                     _s, recs = _hlog.decode_avro_data_block(b)
                     for rec in recs:
                         if rec.get("_hoodie_record_key") is None:
