@@ -215,6 +215,13 @@ def _delta_guard_protocol(protocol: dict | None, meta: dict | None) -> None:
         # r16 (r15 verdict #5): accepted when every recorded widened
         # chain is natively readable — verified below.
         "typeWidening", "typeWidening-preview",
+        # r16: Spark 4's native VariantType IS the reference
+        # implementation of the parquet variant encoding Delta's
+        # variantType feature stores (struct<metadata,value> binary
+        # pairs) — StructType.fromJson parses 'variant' and the scan
+        # reads it end-to-end. variantShredding stays refused (absent
+        # from this set).
+        "variantType", "variantType-preview",
     }
     if protocol:
         feats = set(protocol.get("readerFeatures") or [])
@@ -314,6 +321,9 @@ def _delta_guard_writer(protocol: dict | None, meta: dict | None, mode: str) -> 
             # every write path, which is exactly the feature's writer
             # demand.
             "typeWidening", "typeWidening-preview",
+            # Spark's parquet writer emits the variant encoding the
+            # feature specifies (it is the reference implementation).
+            "variantType", "variantType-preview",
         }
         unsupported = set(p.get("writerFeatures") or []) - honored
         if unsupported:
@@ -1993,10 +2003,16 @@ def _delta_file_stats(path: str) -> dict:
     min/max/nullCount per top-level primitive column (dates/timestamps
     as ISO strings, the Delta JSON-stats convention). Nested and
     unstatable columns are simply omitted — readers treat absence as
-    'cannot skip'."""
+    'cannot skip'. A footer pyarrow cannot PARSE at all (e.g. the
+    VARIANT thrift logical type, newer than this pyarrow) yields {} —
+    the add action then carries no stats, which every reader treats
+    conservatively."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — unknown logical type annotations
+        return {}
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -2098,10 +2114,12 @@ def _delta_stage_files(
                             else urllib.parse.unquote(v)
                         )
                 stats = _delta_file_stats(os.path.join(root, fname))
-                if stats.get("numRecords", 0) == 0:
+                if stats.get("numRecords") == 0:
                     # Spark's empty input partitions leave zero-row
                     # part files; committing them adds dead stat-less
                     # entries every skipping reader must keep (r12).
+                    # (An UNPARSEABLE footer — stats {} — keeps the
+                    # file: unknown is not empty.)
                     continue
                 final_rel = os.path.join(
                     "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
@@ -2109,20 +2127,23 @@ def _delta_stage_files(
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.rename(os.path.join(root, fname), final_abs)
-                adds.append(
-                    {
-                        "path": urllib.parse.quote(final_rel.replace(os.sep, "/")),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(final_abs),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                        # Per-file stats: Delta readers drive FILE
-                        # SKIPPING off these (numRecords also powers
-                        # metadata-only counts) — a mirror without them
-                        # forces full scans in every foreign engine.
-                        "stats": json.dumps(stats),
-                    }
-                )
+                add = {
+                    "path": urllib.parse.quote(final_rel.replace(os.sep, "/")),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(final_abs),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+                if stats:
+                    # Per-file stats: Delta readers drive FILE
+                    # SKIPPING off these (numRecords also powers
+                    # metadata-only counts) — a mirror without them
+                    # forces full scans in every foreign engine.
+                    # Omitted entirely when the footer was
+                    # unparseable (variant columns, r16): readers
+                    # treat absence as 'cannot skip / must scan'.
+                    add["stats"] = json.dumps(stats)
+                adds.append(add)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds

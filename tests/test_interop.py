@@ -135,6 +135,65 @@ def test_delta_reader_consumes_foreign_log(spark, tmp_path):
     assert _rows(head.select("id", "p")) == [(2, 2)]
 
 
+def test_delta_variant_type(spark, tmp_path):
+    """r16: Delta variantType tables read and write — Spark 4's
+    native VariantType is the reference implementation of the parquet
+    variant encoding the feature stores, so the scan round-trips it
+    end-to-end; the protocol guard accepts variantType[-preview] and
+    still refuses variantShredding."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "var")
+    df = spark.sql(
+        "SELECT id, parse_json(concat('{\"k\":', id, ',\"t\":[', id, ']}')) "
+        "AS v FROM range(5)"
+    )
+    write_delta(df, path)
+    got = read_delta(spark, path)
+    assert dict(got.dtypes)["v"] == "variant"
+    assert {
+        (r.id, r.j) for r in got.selectExpr("id", "to_json(v) AS j").collect()
+    } == {(i, f'{{"k":{i},"t":[{i}]}}') for i in range(5)}
+
+    # Foreign protocol declaring the feature: accepted.
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    with open(log0, encoding="utf-8") as f:
+        actions = [json.loads(x) for x in f if x.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": ["variantType"],
+            }
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert read_delta(spark, path).count() == 5
+    # Appends under the feature protocol are honored.
+    write_delta(
+        spark.sql(
+            "SELECT id + 10 AS id, parse_json('{\"k\":99}') AS v FROM range(2)"
+        ),
+        path, mode="append",
+    )
+    assert read_delta(spark, path).count() == 7
+    assert read_delta(spark, path).filter(
+        "variant_get(v, '$.k', 'int') = 99"
+    ).count() == 2
+
+    # variantShredding stays refused.
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["variantShredding"]
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(NotImplementedError, match="variantShredding"):
+        read_delta(spark, path)
+
+
 def test_delta_type_widening_read(spark, tmp_path):
     """r16 (r15 verdict #5): a foreign Delta table with the
     typeWidening reader feature reads when every recorded chain is a
