@@ -8001,6 +8001,84 @@ def _ice_collect_deletes(
     return pos_delete_files, eq_deletes
 
 
+def _ice_avro_rows_frame(
+    spark: SparkSession, paths: list[str], schema, with_meta: bool
+) -> DataFrame:
+    """DISTRIBUTED decode of Iceberg AVRO data files (r16 — the format
+    Flink-era writers commonly emitted): one task per file opens it
+    with ``avro_lite`` and emits rows converted to the DECLARED table
+    schema (name-resolved; absent fields read as null), plus ``__fp``
+    (the normalized path) and ``__ri`` (the record's position in the
+    file — avro rows are ordinal-addressable, so POSITION deletes
+    apply exactly, unlike ORC's metadata-less scan) when the caller
+    needs delete attribution. Nested declared columns refuse loudly —
+    python-dict structs do not cross the Arrow boundary faithfully."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    if schema is None:
+        raise NotImplementedError(
+            "Iceberg AVRO data files need a declared table schema to "
+            "type their rows (metadata carries none)"
+        )
+    for f in schema.fields:
+        if f.dataType.typeName() in ("struct", "array", "map"):
+            raise NotImplementedError(
+                f"Iceberg AVRO data file column {f.name!r} has nested "
+                f"type {f.dataType.simpleString()} — only primitive/"
+                "logical columns decode here; rewrite to parquet with "
+                "the native engine"
+            )
+    field_list = [(f.name, _hudi_styp(f.dataType)) for f in schema.fields]
+    out_fields = list(schema.fields)
+    names = [n for n, _t in field_list]
+    if with_meta:
+        out_fields += [
+            StructField("__fp", StringType()),
+            StructField("__ri", LongType()),
+        ]
+        names += ["__fp", "__ri"]
+    out_schema = StructType(out_fields)
+    desc = spark.createDataFrame(
+        [(os.path.abspath(p),) for p in sorted(paths)], "__p string"
+    )
+    if len(paths) > 1:
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        desc = desc.repartition(min(len(paths), par))
+
+    def decode(batches):
+        from datetime import timezone as _tzu
+
+        import pandas as pd
+
+        from . import avro_lite as _av
+
+        for pdf in batches:
+            for p in pdf["__p"]:
+                _s, recs = _av.read_avro_file(p)
+                rows = []
+                for i, rec in enumerate(recs):
+                    vals = []
+                    for n, t in field_list:
+                        v = _hudi_avro_to_spark_val(rec.get(n), t)
+                        if (
+                            t == "timestamp"
+                            and v is not None
+                            and v.tzinfo is None
+                        ):
+                            # timestamptz stores an INSTANT (micros
+                            # UTC): attach the zone so Arrow lands the
+                            # right instant under ANY session timezone.
+                            v = v.replace(tzinfo=_tzu.utc)
+                        vals.append(v)
+                    rows.append(
+                        tuple(vals) + ((p, i) if with_meta else ())
+                    )
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    return desc.mapInPandas(decode, out_schema)
+
+
 def _ice_require_parquet(df_rec: dict, op: str) -> None:
     """Rewrite paths produce parquet; rewriting a table that HOLDS
     non-parquet data files would need a byte-faithful rewrite of those
@@ -8052,6 +8130,13 @@ def _ice_scan_with_deletes(
         parts = []
         for fmt in sorted({fmt_of.get(p, "PARQUET") for p in paths}):
             fpaths = [p for p in paths if fmt_of.get(p, "PARQUET") == fmt]
+            if fmt == "AVRO":
+                # r16: avro_lite decodes in executors; rows are
+                # ordinal-addressable, so position deletes apply.
+                parts.append(
+                    _ice_avro_rows_frame(spark, fpaths, schema, with_meta)
+                )
+                continue
             rdr = (
                 spark.read.schema(schema) if schema is not None else spark.read
             )
@@ -8298,10 +8383,10 @@ def read_iceberg(
                     "supported by the pure-Python reader"
                 )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
-            if fmt not in ("PARQUET", "ORC"):
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise NotImplementedError(
                     f"Iceberg {fmt} data files are not supported "
-                    "(parquet and orc only)"
+                    "(parquet, orc and avro only)"
                 )
             if prune_plan and not _ice_prune_keep(df_rec, prune_plan):
                 continue  # partition record / column bounds can't match
@@ -8901,6 +8986,47 @@ def _ice_schema_bounds_fields(cur_schema: dict) -> dict[str, tuple[int, str]]:
     return out
 
 
+def _ice_avro_datafile_schema(fields) -> dict:
+    """Avro record schema for an Iceberg AVRO data file: every column
+    a nullable union of its logical avro type (the same mapping the
+    Hudi log codec uses — timestamps as micros, dates as days,
+    decimals as bytes-backed logical decimals)."""
+    out = []
+    for f in fields:
+        t = f.dataType.typeName()
+        if t == "decimal":
+            at: object = {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": f.dataType.precision, "scale": f.dataType.scale,
+            }
+        elif t in _AVRO_OF_SPARK:
+            at = _AVRO_OF_SPARK[t]
+        else:
+            raise NotImplementedError(
+                f"column {f.name!r}: Spark type {t!r} has no Iceberg "
+                "avro data-file mapping here"
+            )
+        out.append({"name": f.name, "type": ["null", at], "default": None})
+    return {"type": "record", "name": "iceberg_data_row", "fields": out}
+
+
+def _parquet_to_avro_datafile(src: str, dst: str, fields) -> None:
+    """One staged parquet file -> one Iceberg AVRO data file (the
+    ``write_iceberg(file_format='avro')`` finalization — a fixture/
+    migration tool: conversion loads the single file's rows; the READ
+    side is the distributed scale path)."""
+    import pyarrow.parquet as pq
+
+    from .avro_lite import write_avro_file
+
+    field_list = [(f.name, _hudi_styp(f.dataType)) for f in fields]
+    recs = [
+        {n: _pd_to_avro_val(rec.get(n), t) for n, t in field_list}
+        for rec in pq.read_table(src).to_pylist()
+    ]
+    write_avro_file(dst, _ice_avro_datafile_schema(fields), recs)
+
+
 def _iceberg_stage_files(
     df: DataFrame, table_path: str, part_fields: list[dict],
     bounds_fields: dict[str, tuple[int, str]] | None = None,
@@ -8935,11 +9061,13 @@ def _iceberg_stage_files(
             ),
         )
     fmt = file_format.upper()
-    if fmt not in ("PARQUET", "ORC"):
+    if fmt not in ("PARQUET", "ORC", "AVRO"):
         raise NotImplementedError(
             f"Iceberg data file format {file_format!r} is not supported "
-            "(parquet and orc)"
+            "(parquet, orc and avro)"
         )
+    # AVRO stages through parquet (Spark carries no avro writer here)
+    # and converts per file at finalization.
     ext = ".orc" if fmt == "ORC" else ".parquet"
     writer = w.write.mode("overwrite")
     if dups:
@@ -8980,16 +9108,24 @@ def _iceberg_stage_files(
                     # manifest entries with no bounds that every
                     # pruned scan must conservatively keep (r12).
                     continue
-                final_rel = os.path.join("data", *segs, f"{uuid.uuid4().hex}{ext}")
+                final_ext = ".avro" if fmt == "AVRO" else ext
+                final_rel = os.path.join(
+                    "data", *segs, f"{uuid.uuid4().hex}{final_ext}"
+                )
                 final_abs = os.path.join(table_path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-                os.rename(os.path.join(root, fname), final_abs)
+                if fmt == "AVRO":
+                    src = os.path.join(root, fname)
+                    _parquet_to_avro_datafile(src, final_abs, df.schema.fields)
+                    os.unlink(src)
+                else:
+                    os.rename(os.path.join(root, fname), final_abs)
                 bounds = (
-                    # ORC footers are not parquet footers: commit the
-                    # entries WITHOUT column bounds (legal — scans keep
-                    # unbounded files conservatively).
+                    # ORC/AVRO footers are not parquet footers: commit
+                    # the entries WITHOUT column bounds (legal — scans
+                    # keep unbounded files conservatively).
                     _ice_file_bounds(final_abs, bounds_fields, count_fields)
-                    if (bounds_fields or count_fields) and fmt != "ORC"
+                    if (bounds_fields or count_fields) and fmt == "PARQUET"
                     else ([], [], [])
                 )
                 out.append(
@@ -10487,8 +10623,9 @@ def write_iceberg(
 ) -> int:
     """Write a REAL Apache Iceberg v2 table: parquet data files (all
     columns inline, identity-partition values included; pass
-    ``file_format="orc"`` for ORC data files, r16 — committed without
-    column bounds, so scans keep them conservatively), an Avro
+    ``file_format="orc"`` / ``"avro"`` for those data-file formats,
+    r16 — committed without column bounds, so scans keep them
+    conservatively; avro finalizes per file through avro_lite), an Avro
     manifest + manifest list encoded by ``avro_lite`` with spec
     field-ids, and a new ``v<N>.metadata.json`` snapshot commit under
     the Hadoop-catalog convention (``version-hint.text`` updated
@@ -11013,10 +11150,10 @@ def read_iceberg_incremental(
             if prune_plan and not _ice_prune_keep(dfr, prune_plan):
                 continue  # partition/bounds skipping (X142)
             fmt = str(dfr.get("file_format", "PARQUET")).upper()
-            if fmt not in ("PARQUET", "ORC"):
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise NotImplementedError(
                     f"Iceberg {fmt} data files are not supported "
-                    "(parquet and orc only)"
+                    "(parquet, orc and avro only)"
                 )
             by_fmt.setdefault(fmt, []).append(
                 _iceberg_local_path(dfr["file_path"], table_path)
@@ -11025,6 +11162,11 @@ def read_iceberg_incremental(
         return spark.createDataFrame([], schema)
     parts = []
     for fmt, paths in sorted(by_fmt.items()):
+        if fmt == "AVRO":
+            parts.append(
+                _ice_avro_rows_frame(spark, paths, schema, with_meta=False)
+            )
+            continue
         rdr = spark.read.schema(schema) if schema is not None else spark.read
         parts.append(
             rdr.orc(list(paths)) if fmt == "ORC" else rdr.parquet(*paths)

@@ -11545,6 +11545,110 @@ def test_iceberg_orc_data_files(spark, tmp_path):
         )
 
 
+def test_iceberg_avro_data_files(spark, tmp_path):
+    """r16: AVRO data files — avro_lite decodes them DISTRIBUTED (one
+    task per file) against the declared table schema: logical types
+    round-trip (timestamp instants, dates, bytes-backed decimals),
+    equality deletes apply, POSITION deletes apply exactly (avro rows
+    are ordinal-addressable, unlike ORC), mixed avro+parquet tables
+    union, and nested declared columns refuse loudly."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_scan_with_deletes,
+        _iceberg_current_metadata_named,
+        read_iceberg,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    p = str(tmp_path / "av_tbl")
+    rows = [
+        (
+            i,
+            _dt.datetime(2024, 1 + i % 3, 2, 3, 4),
+            _dt.date(2024, 1, 1 + i),
+            Decimal(f"{i}.25"),
+            f"s{i}",
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, d date, amt decimal(6,2), v string"
+    )
+    write_iceberg(df, p, file_format="avro")
+    got = read_iceberg(spark, p)
+    assert sorted(got.collect(), key=lambda r: r.id) == sorted(
+        df.collect(), key=lambda r: r.id
+    )
+
+    # Mixed formats: a parquet append unions with the avro base.
+    write_iceberg(
+        spark.createDataFrame(
+            [(100, _dt.datetime(2024, 6, 1), _dt.date(2024, 6, 1),
+              Decimal("9.99"), "pq")],
+            "id long, ts timestamp, d date, amt decimal(6,2), v string",
+        ),
+        p, mode="append",
+    )
+    assert read_iceberg(spark, p).count() == 13
+
+    # Equality deletes retire avro rows.
+    write_iceberg_equality_deletes(
+        spark.createDataFrame([(3,), (100,)], "id long"), p, keys="id"
+    )
+    after = read_iceberg(spark, p)
+    assert after.count() == 11
+    assert after.filter("id in (3, 100)").count() == 0
+
+    # POSITION deletes apply exactly to avro rows (scan-unit check):
+    # kill position 0 of one avro file and only that row disappears.
+    import glob as _glob
+
+    av_files = sorted(_glob.glob(p + "/data/**/*.avro", recursive=True))
+    assert av_files
+    target = av_files[0]
+    schema = read_iceberg(spark, p).schema
+    full = {
+        r.id
+        for r in _ice_scan_with_deletes(
+            spark, {}, p, [(f, 1, "AVRO") for f in av_files], [], [], schema
+        ).collect()
+    }
+    posd = str(tmp_path / "pos.parquet")
+    spark.createDataFrame(
+        [(os.path.abspath(target), 0)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(posd)
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+
+    _s, recs0 = read_avro_file(target)
+    killed_id = recs0[0]["id"]
+    pos_files = [
+        f for f in _glob.glob(posd + "/*.parquet")
+    ]
+    left = {
+        r.id
+        for r in _ice_scan_with_deletes(
+            spark, {}, p, [(f, 1, "AVRO") for f in av_files],
+            pos_files, [], schema,
+        ).collect()
+    }
+    assert left == full - {killed_id}
+
+    # Nested declared columns refuse loudly.
+    pn = str(tmp_path / "av_nested")
+    ndf = spark.createDataFrame(
+        [(1, {"a": 2})], "id long, s struct<a:int>"
+    )
+    with pytest.raises(NotImplementedError, match="avro data-file mapping"):
+        write_iceberg(ndf, pn, file_format="avro")
+    _n, _meta = _iceberg_current_metadata_named(p)
+    assert _meta.get("format-version") == 2
+
+
 def test_hudi_decimal_log_round_trip(spark, tmp_path):
     """r16: DECIMAL columns through the Hudi surface — the avro
     decimal logical type (unscaled big-endian two's-complement over
