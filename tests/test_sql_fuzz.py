@@ -247,10 +247,19 @@ _PUSH_WHERE_ATOM = st.sampled_from([
     "ts >= TIMESTAMP '2024-0{mo}-01 00:00:00'",
     "ts < TIMESTAMP '2024-0{mo}-15 12:00:00'",
     "d = DATE '2024-0{mo}-01'",
+    # NOT grammar (r16): De Morgan distribution must push AND stay exact
+    "NOT id = {n}",
+    "NOT (id < {n})",
+    "id NOT BETWEEN {n} AND {m}",
+    "NOT (cat = 'c{k}')",
+    "NOT cat IS NULL",
+    "NOT (id < {n} OR id > {m})",
+    "NOT (id = {n} AND cat = 'c{k}')",
     # unsupported shapes: must not push, must stay exact
     "upper(cat) = 'C{k}'",
     "id + 0 = {n}",
     "length(cat) > {k}",
+    "NOT (upper(cat) = 'C{k}')",
 ])
 
 
@@ -273,9 +282,10 @@ _PUSH_WHERE_ATOM = st.sampled_from([
     ),
     or_group=st.booleans(),
     alias=st.booleans(),
+    negate=st.booleans(),
 )
 def test_sql_where_pushdown_fuzz(
-    spark, tmp_path_factory, fmt, atoms, or_group, alias
+    spark, tmp_path_factory, fmt, atoms, or_group, alias, negate
 ):
     """PROPERTY (r13): for ANY WHERE clause assembled from supported
     and unsupported conjunct shapes, a single-table SELECT through
@@ -330,6 +340,10 @@ def test_sql_where_pushdown_fuzz(
         rest = rendered[2:]
     else:
         clause, rest = rendered[0], rendered[1:]
+    if negate:
+        # r16: the whole leading conjunct under NOT — De Morgan must
+        # distribute it (or soundly skip it) without changing results.
+        clause = f"NOT ({clause})"
     where_sql = " AND ".join([clause] + rest)
     a = "t" if alias else ""
     q = (
