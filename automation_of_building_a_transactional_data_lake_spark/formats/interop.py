@@ -4455,9 +4455,11 @@ def _hudi_log_rows_frame(
                 "raise the bound"
             )
         desc_rows.append(
-            (os.path.abspath(latest[(pp, fid)][1]), json.dumps(paths))
+            (os.path.abspath(latest[(pp, fid)][1]), json.dumps(paths), pp)
         )
-    desc = spark.createDataFrame(desc_rows, "__fp string, __paths string")
+    desc = spark.createDataFrame(
+        desc_rows, "__fp string, __paths string, __pp string"
+    )
     if len(desc_rows) > 1:
         # Cluster-parallel decode (the r11 verdict #7 fan-out rule):
         # one task per slice up to defaultParallelism, no fixed cap.
@@ -4483,7 +4485,9 @@ def _hudi_log_rows_frame(
         from . import hudi_log as _hlog
 
         for pdf in batches:
-            for fp, pjson in zip(pdf["__fp"], pdf["__paths"]):
+            for fp, pjson, slice_pp in zip(
+                pdf["__fp"], pdf["__paths"], pdf["__pp"]
+            ):
                 rows = []
                 ordinal = 0
                 for b in _hlog.visible_data_blocks(
@@ -4494,7 +4498,14 @@ def _hudi_log_rows_frame(
                         # from the slice at its block-order position,
                         # exactly like a _hoodie_is_deleted data record
                         # (the anti-join happens in the shared
-                        # latest-wins merge downstream).
+                        # latest-wins merge downstream). Partition path
+                        # comes from the SLICE's own location, not the
+                        # record: HoodieDeleteRecord.partitionPath is
+                        # schema-nullable, and a null would window the
+                        # delete under '' while the live row sits under
+                        # its real partition — a silent no-op (review
+                        # finding, r16). Keys live in exactly one
+                        # slice, so the slice path IS the truth.
                         for drec in _hlog.decode_delete_block(b):
                             ordinal += 1
                             rows.append(
@@ -4502,7 +4513,7 @@ def _hudi_log_rows_frame(
                                     drec["recordKey"]
                                     if n == "_hoodie_record_key"
                                     else (
-                                        drec.get("partitionPath")
+                                        slice_pp
                                         if n == "_hoodie_partition_path"
                                         else None
                                     )
@@ -4780,11 +4791,13 @@ def read_hudi(
     # advisory); reconstruction from path segments is a distinct
     # feature this jar-less reader does not claim.
     _props = _hudi_table_properties(table_path)
-    if (
-        _props.get("hoodie.table.drop.partition.columns")
-        or _props.get("hoodie.datasource.write.drop.partition.columns")
-        or ""
-    ).strip().lower() == "true":
+    if any(
+        (_props.get(k) or "").strip().lower() == "true"
+        for k in (
+            "hoodie.table.drop.partition.columns",
+            "hoodie.datasource.write.drop.partition.columns",
+        )
+    ):
         raise NotImplementedError(
             f"Hudi table at {table_path} was written with "
             "drop.partition.columns=true — partition values live only "
@@ -8986,11 +8999,15 @@ def _ice_schema_bounds_fields(cur_schema: dict) -> dict[str, tuple[int, str]]:
     return out
 
 
-def _ice_avro_datafile_schema(fields) -> dict:
+def _ice_avro_datafile_schema(
+    fields, field_ids: dict[str, int] | None = None
+) -> dict:
     """Avro record schema for an Iceberg AVRO data file: every column
     a nullable union of its logical avro type (the same mapping the
     Hudi log codec uses — timestamps as micros, dates as days,
-    decimals as bytes-backed logical decimals)."""
+    decimals as bytes-backed logical decimals), each field stamped
+    with its Iceberg ``field-id`` when known — native Avro readers
+    resolve by id (review finding, r16)."""
     out = []
     for f in fields:
         t = f.dataType.typeName()
@@ -9006,11 +9023,16 @@ def _ice_avro_datafile_schema(fields) -> dict:
                 f"column {f.name!r}: Spark type {t!r} has no Iceberg "
                 "avro data-file mapping here"
             )
-        out.append({"name": f.name, "type": ["null", at], "default": None})
+        fld = {"name": f.name, "type": ["null", at], "default": None}
+        if field_ids and f.name in field_ids:
+            fld["field-id"] = int(field_ids[f.name])
+        out.append(fld)
     return {"type": "record", "name": "iceberg_data_row", "fields": out}
 
 
-def _parquet_to_avro_datafile(src: str, dst: str, fields) -> None:
+def _parquet_to_avro_datafile(
+    src: str, dst: str, fields, field_ids: dict[str, int] | None = None
+) -> None:
     """One staged parquet file -> one Iceberg AVRO data file (the
     ``write_iceberg(file_format='avro')`` finalization — a fixture/
     migration tool: conversion loads the single file's rows; the READ
@@ -9024,7 +9046,7 @@ def _parquet_to_avro_datafile(src: str, dst: str, fields) -> None:
         {n: _pd_to_avro_val(rec.get(n), t) for n, t in field_list}
         for rec in pq.read_table(src).to_pylist()
     ]
-    write_avro_file(dst, _ice_avro_datafile_schema(fields), recs)
+    write_avro_file(dst, _ice_avro_datafile_schema(fields, field_ids), recs)
 
 
 def _iceberg_stage_files(
@@ -9032,6 +9054,7 @@ def _iceberg_stage_files(
     bounds_fields: dict[str, tuple[int, str]] | None = None,
     count_fields: dict[str, int] | None = None,
     file_format: str = "PARQUET",
+    field_ids: dict[str, int] | None = None,
 ) -> list[tuple[str, dict, int, int, tuple[list, list, list]]]:
     """Stage the batch as parquet (or ORC, r16) under ``data/`` and return
     (abs_path, raw partition values, record_count, size,
@@ -9116,7 +9139,9 @@ def _iceberg_stage_files(
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 if fmt == "AVRO":
                     src = os.path.join(root, fname)
-                    _parquet_to_avro_datafile(src, final_abs, df.schema.fields)
+                    _parquet_to_avro_datafile(
+                        src, final_abs, df.schema.fields, field_ids
+                    )
                     os.unlink(src)
                 else:
                     os.rename(os.path.join(root, fname), final_abs)
@@ -10806,6 +10831,7 @@ def write_iceberg(
         bounds_fields=_ice_schema_bounds_fields(ice_schema),
         count_fields=_ice_schema_count_fields(ice_schema),
         file_format=file_format,
+        field_ids=field_ids,
     )
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
@@ -10999,8 +11025,22 @@ def write_iceberg(
         ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {"write.format.default": file_format.lower()},
     }
+    if file_format.upper() != "PARQUET":
+        # Native readers resolve ORC/Avro data-file columns by field-id
+        # (no positional fallback like parquet) — the spec's
+        # name-mapping property supplies ids for files that lack them
+        # (review finding, r16). Avro files additionally embed
+        # field-ids directly (_ice_avro_datafile_schema).
+        registry.setdefault("properties", {})[
+            "schema.name-mapping.default"
+        ] = json.dumps(
+            [
+                {"field-id": f["id"], "names": [f["name"]]}
+                for f in ice_schema["fields"]
+            ]
+        )
     new_meta = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -11144,7 +11184,7 @@ def read_iceberg_incremental(
         if where_n
         else []
     )
-    by_fmt: dict[str, list[str]] = {}
+    files: list[tuple[str, int, str]] = []
     for _sid, dfrecs in per_snap:
         for dfr in dfrecs:
             if prune_plan and not _ice_prune_keep(dfr, prune_plan):
@@ -11155,25 +11195,14 @@ def read_iceberg_incremental(
                     f"Iceberg {fmt} data files are not supported "
                     "(parquet, orc and avro only)"
                 )
-            by_fmt.setdefault(fmt, []).append(
-                _iceberg_local_path(dfr["file_path"], table_path)
+            files.append(
+                (_iceberg_local_path(dfr["file_path"], table_path), 0, fmt)
             )
-    if not by_fmt:
+    if not files:
         return spark.createDataFrame([], schema)
-    parts = []
-    for fmt, paths in sorted(by_fmt.items()):
-        if fmt == "AVRO":
-            parts.append(
-                _ice_avro_rows_frame(spark, paths, schema, with_meta=False)
-            )
-            continue
-        rdr = spark.read.schema(schema) if schema is not None else spark.read
-        parts.append(
-            rdr.orc(list(paths)) if fmt == "ORC" else rdr.parquet(*paths)
-        )
-    out = parts[0]
-    for d in parts[1:]:
-        out = out.unionByName(d)
+    # ONE per-format scan implementation engine-wide (review finding,
+    # r16): the delete-aware scanner with no deletes IS the plain scan.
+    out = _ice_scan_with_deletes(spark, {}, table_path, files, [], [], schema)
     return _where_residual(out, where_n)
 
 

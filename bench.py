@@ -144,7 +144,13 @@ def _gate_load(cpus: int) -> tuple[list[float], int]:
 def _subset_in_tree(
     tree: str, sf_dir: str, cpus: int, n_runs: int
 ) -> dict[str, float] | None:
-    env = dict(os.environ, PYTHONPATH=tree)
+    # PREPEND to PYTHONPATH: clobbering it breaks hosts where pyspark
+    # itself resolves through PYTHONPATH (spark-distribution installs).
+    prev = os.environ.get("PYTHONPATH")
+    env = dict(
+        os.environ,
+        PYTHONPATH=tree + os.pathsep + prev if prev else tree,
+    )
     try:
         out = subprocess.run(
             [sys.executable, "-c", _SUBSET_SCRIPT,
@@ -173,10 +179,13 @@ def _control_ratio(sf_dir: str, cpus: int) -> float | None:
     if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") == "0":
         return None
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", "2")))
+    import shlex
+
     tmp = tempfile.mkdtemp(prefix="bench_ctrl_")
     try:
         arch = subprocess.run(
-            f"git -C {REPO_DIR} archive {CONTROL_SHA} | tar -x -C {tmp}",
+            f"git -C {shlex.quote(REPO_DIR)} archive {CONTROL_SHA} "
+            f"| tar -x -C {shlex.quote(tmp)}",
             shell=True, capture_output=True, timeout=120,
         )
         if arch.returncode != 0:

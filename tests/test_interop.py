@@ -4672,6 +4672,54 @@ def test_hudi_mor_foreign_delete_blocks(spark, tmp_path):
     assert got[3] == "BACK" and got[5] == "v5" and got[42] == "I42"
 
 
+def test_hudi_delete_block_partitioned_null_partition_path(spark, tmp_path):
+    """r16 review finding: on a PARTITIONED table a delete record with
+    a NULL partitionPath (schema-legal) must still retire the row —
+    the merge windows on (partition path, key), so the decode assigns
+    the SLICE's own partition path rather than trusting the record's
+    nullable field."""
+    import re as _re
+
+    from automation_of_building_a_transactional_data_lake_spark.formats import (
+        hudi_log as HL,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_hudi,
+    )
+
+    p = str(tmp_path / "hp")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 == 0 else "b") for i in range(6)],
+        "id long, val string, grp string",
+    )
+    write_hudi(
+        df, p, record_key="id", partition_by=["grp"],
+        table_type="MERGE_ON_READ",
+    )
+    # Find the grp=a slice (even ids live there).
+    pdir = next(
+        os.path.join(p, d) for d in os.listdir(p)
+        if d.startswith("grp=a")
+    )
+    base = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    m = _re.match(r"(?P<fid>.+?)_0-0-0_(?P<inst>\d+)\.parquet", base)
+    fid, base_inst = m.group("fid"), m.group("inst")
+    inst1 = str(int(base_inst) + 1)
+    delb = HL.LogBlock(
+        HL.DELETE_BLOCK,
+        header={HL.INSTANT_TIME: inst1},
+        content=HL.encode_delete_block(
+            [{"recordKey": "2", "partitionPath": None}]
+        ),
+    )
+    HL.write_log_file(
+        os.path.join(pdir, f".{fid}_{base_inst}.log.1_0-1-1"), [delb]
+    )
+    open(os.path.join(p, ".hoodie", f"{inst1}.deltacommit"), "w").close()
+    got = {r.id for r in read_hudi(spark, p).collect()}
+    assert got == {0, 1, 3, 4, 5}  # id=2 really deleted, not a no-op
+
+
 def test_hudi_mor_parquet_data_blocks(spark, tmp_path):
     """r16: PARQUET data blocks (hoodie.logfile.data.block.format=
     parquet writers) — the block body is a self-contained parquet
@@ -11727,6 +11775,19 @@ def test_hudi_drop_partition_columns_refused(spark, tmp_path):
         read_hudi(spark, p)
     with pytest.raises(NotImplementedError, match="drop.partition.columns"):
         read_hudi(spark, p, where=[("grp", "=", "a")])
+
+    # r16 review finding: an explicit 'false' in the table-level key
+    # must not MASK a 'true' in the datasource-level key.
+    p2 = str(tmp_path / "h2")
+    write_hudi(df, p2, record_key="id", partition_by=["grp"])
+    with open(
+        os.path.join(p2, ".hoodie", "hoodie.properties"), "a",
+        encoding="utf-8",
+    ) as f:
+        f.write("hoodie.table.drop.partition.columns=false\n")
+        f.write("hoodie.datasource.write.drop.partition.columns=true\n")
+    with pytest.raises(NotImplementedError, match="drop.partition.columns"):
+        read_hudi(spark, p2)
 
 
 def test_iceberg_partition_spec_evolution(spark, tmp_path):
