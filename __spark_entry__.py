@@ -609,6 +609,13 @@ _DEMOTED_TAIL = [
     "docs_simhash_md5",
     "emb_pca_knn",
     "emb_pq_knn_scale",  # bench-only scale twin: no value oracle by design
+    # r16 addition: docs_html_extract (HTML boilerplate removal — the
+    # web-corpus extraction step; pure regexp-chain expressions, the
+    # DuckDB oracle re-derives every extraction through the published
+    # SPEC). Registered in the TAIL first (the emb_top_pairs pattern;
+    # oracle runs in pytest via test_oracle_parity every session);
+    # rotate into a recorded slot in r17.
+    "docs_html_extract",
     "events_exclusive_errors",
     "docs_decontamination",
     "docs_winnow_fingerprints",

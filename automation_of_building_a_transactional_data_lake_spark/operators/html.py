@@ -1,0 +1,110 @@
+"""HTML boilerplate removal — the web-corpus EXTRACTION step that
+precedes every text-quality stage in an LLM data pipeline (the role
+trafilatura/justext play in published pipelines; reference analogue:
+none — this is part of the r7+ training-data operator family).
+
+Pure Catalyst expressions — regexp chains, no UDF, whole-stage
+codegen, scales with the scan. The SPEC (deterministic, re-derivable
+in any RE2/Java-regex engine, which is what the DuckDB oracle does):
+
+1. strip ``<!-- -->`` comments, ``<script>``/``<style>`` elements
+   INCLUDING their content (dotall, case-insensitive, lazy);
+2. block-level closers/breaks (``<br>``, ``</p>``, ``</div>``,
+   ``</li>``, ``</h1..6>``, ``</tr>``) become newlines, every other
+   tag disappears;
+3. the six HTML core entities decode (``&lt; &gt; &quot; &#39;
+   &nbsp;`` then ``&amp;`` LAST — decoding it first would
+   double-decode ``&amp;lt;``);
+4. horizontal whitespace collapses to one space, space-padded
+   newlines tighten, 3+ newlines collapse to a paragraph break, the
+   result trims.
+
+Malformed HTML degrades gracefully: an unclosed ``<`` without ``>``
+passes through (never swallowed to end-of-text), unknown entities stay
+literal. Title extraction is the first ``<title>`` element's inner
+text, entity-decoded and trimmed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) applied in order — shared by the Spark
+# expressions below and restated by the DuckDB oracle.
+_HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<!--.*?-->", ""),
+    (r"(?is)<script\b[^>]*>.*?</script>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style>", ""),
+    (
+        r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/title|/ul|/ol|/table)"
+        r"\b[^>]*/?>",
+        "\n",
+    ),
+    (r"<[^>]*>", ""),
+]
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: &amp;lt; must yield &lt;, not <
+]
+_HTML_WS_STEPS: list[tuple[str, str]] = [
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    # string-bound trim of ALL whitespace (plain trim() strips only
+    # spaces; explicit class, not \s — Java's \s includes \x0B, RE2's
+    # does not, and the two derivations must agree byte-for-byte)
+    (r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
+]
+
+
+def extract_html_text(col: Column | str) -> Column:
+    """The visible text of an HTML document as one Column expression
+    (see module spec). Null html yields null."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, rep in _HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def extract_html_title(col: Column | str) -> Column:
+    """The first ``<title>`` element's inner text, entity-decoded and
+    trimmed; '' when absent (regexp_extract's no-match convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title>", 1)
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_oracle_sql(expr: str) -> str:
+    """The extraction SPEC as a DuckDB scalar expression over
+    ``expr`` — the oracle's INDEPENDENT restatement (RE2 flavor) used
+    by the driver gate; kept beside the Spark chain so the two
+    derivations evolve together."""
+    def _rep_lit(rep: str) -> str:
+        # Newlines must travel as E'\n' escaped literals — a plain
+        # '...' literal keeps the backslash raw and RE2 drops the
+        # unknown escape from the replacement.
+        if "\n" in rep:
+            return "E'" + rep.replace("'", "''").replace("\n", "\\n") + "'"
+        return "'" + rep.replace("'", "''") + "'"
+
+    out = expr
+    for pat, rep in _HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', {_rep_lit(rep)}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', {_rep_lit(ch)})"
+    for pat, rep in _HTML_WS_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', {_rep_lit(rep)}, 'g')"
+    return f"trim({out})"

@@ -3932,6 +3932,72 @@ def emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PQ_ORACLE = EMB_KNN_ORACLE  # corpus-wide exact re-rank == exact top-k
 
 
+# --------------------------------------------------------------------------
+# docs_html_extract — HTML boilerplate removal (operators/html.py): the
+# web-corpus extraction step preceding every text-quality stage. Each
+# document wraps into a synthetic page IN-QUERY (title with an entity,
+# style/script/comment boilerplate, block structure, a &nbsp; footer)
+# so the extractor must strip ALL of it and recover the payload; the
+# DuckDB oracle re-derives every extraction independently through the
+# same published SPEC (html_oracle_sql — RE2 restatement) and the md5
+# per document must match EXACTLY.
+# --------------------------------------------------------------------------
+
+_HTML_WRAP_SUFFIX = (
+    "</p><div>footer&nbsp;of doc</div><script>track()</script></body></html>"
+)
+
+
+def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import extract_html_text, extract_html_title
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; co</title><style>p{margin:0}</style></head>"
+            "<body><!-- generated --><p>"
+        ),
+        F.col("text"),
+        F.lit(_HTML_WRAP_SUFFIX),
+    )
+    ext = extract_html_text(html)
+    return (
+        docs.select(
+            "doc_id",
+            extract_html_title(html).alias("title"),
+            F.md5(ext).alias("text_hash"),
+            F.length(ext).cast("int").alias("n_chars_ext"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _docs_html_oracle() -> str:
+    from ..operators.html import html_oracle_sql
+
+    html = (
+        "'<html><head><title>Doc ' || doc_id::VARCHAR || "
+        "' &amp; co</title><style>p{margin:0}</style></head>"
+        "<body><!-- generated --><p>' || text || "
+        f"'{_HTML_WRAP_SUFFIX}'"
+    )
+    ext = html_oracle_sql(html)
+    title = (
+        f"trim(regexp_replace(replace(regexp_extract({html}, "
+        "'(?is)<title\\b[^>]*>(.*?)</title>', 1), "
+        "'&amp;', '&'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       {title} AS title,
+       md5({ext}) AS text_hash,
+       CAST(length({ext}) AS INT) AS n_chars_ext
+FROM documents ORDER BY doc_id
+"""
+
+
 def emb_pq_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION PQ search shape (r16, bench-only — r15 verdict
     #6): ADC scan over m-byte codes with a BOUNDED exact-re-rank
@@ -4148,6 +4214,7 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_ORACLE),
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
+        QueryDef("docs_html_extract", docs_html_extract, _docs_html_oracle()),
         # headline=False (r16): a strict SUBSET of docs_curation_v3's
         # composition — benching both double-charges the same stages;
         # the oracle gate stays (pytest test_oracle_parity).

@@ -1357,3 +1357,63 @@ def test_semantic_dedup_matches_numpy_model(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, threshold=1.5)
+
+
+def test_html_extract_spec(spark):
+    """r16: HTML boilerplate removal — the published SPEC on
+    adversarial shapes: script/style/comment content gone, block
+    closers become newlines, entities decode in the double-decode-safe
+    order (&amp;lt; stays &lt;), malformed '<' passes through, title
+    extracts entity-decoded, and the DuckDB oracle restatement
+    (html_oracle_sql) agrees byte-for-byte on every case."""
+    import duckdb
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.html import (
+        extract_html_text,
+        extract_html_title,
+        html_oracle_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        "<html><head><title>T &amp; t</title><style>p{}</style></head>"
+        "<body><p>Hello &lt;world&gt;</p><script>x()</script>"
+        "<div>A  B</div><ul><li>i1</li><li>i2</li></ul></body></html>",
+        "plain text no tags",
+        "<p>broken < not a tag</p>",
+        "a<br/>b<BR>c",
+        "&amp;lt; stays",
+        "<!-- c --><P>x</P>",
+        "<div>multi\n\n\n\nnewlines</div><p>tail</p>",
+        "<TABLE><tr><td>a</td></tr><tr><td>b</td></tr></TABLE>",
+        "<script>a</script in weird places",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, h string"
+    )
+    got = {
+        r.i: (r.t, r.ti)
+        for r in df.select(
+            "i",
+            extract_html_text("h").alias("t"),
+            extract_html_title("h").alias("ti"),
+        ).collect()
+    }
+    assert got[0][0] == "T & t\nHello <world>\nA B\ni1\ni2"
+    assert got[0][1] == "T & t"
+    assert got[1][0] == "plain text no tags"
+    assert got[2][0] == "broken < not a tag"
+    assert got[3][0] == "a\nb\nc"
+    assert got[4][0] == "&lt; stays"
+    assert got[5][0] == "x"
+    assert got[7][0] == "a\nb"
+    assert got[9] == ("", "")
+
+    con = duckdb.connect()
+    expr = html_oracle_sql("h")
+    for i, c in enumerate(cases):
+        want = con.sql(
+            f"SELECT {expr} AS t FROM (SELECT ? AS h)", params=[c]
+        ).fetchone()[0]
+        assert got[i][0] == want, (i, got[i][0], want)
