@@ -173,12 +173,17 @@ def _subset_in_tree(
 
 def _control_ratio(sf_dir: str, cpus: int) -> float | None:
     """Same-session A/B: the five flagged queries, HEAD tree vs the
-    r12 record tree, fresh JVM each (symmetric startup), minutes
-    apart — the per-query interleaving BENCH_NOTES.md ran by hand in
-    r14/r15, now embedded in every record."""
+    r12 record tree — the per-query interleaving BENCH_NOTES.md ran by
+    hand in r14/r15, now embedded in every record. ALTERNATING rounds
+    (ctrl, head, ctrl, head, ...) with per-tree per-query MINIMA: a
+    single slow host window inflates one round, not the noise-floor
+    estimate (the first cut used one subprocess per tree and a load
+    spike during that window read as a 2.3x 'regression' while the
+    main loop, minutes earlier, had measured the same queries at
+    record speed)."""
     if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") == "0":
         return None
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", "2")))
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "2")))
     import shlex
 
     tmp = tempfile.mkdtemp(prefix="bench_ctrl_")
@@ -194,14 +199,25 @@ def _control_ratio(sf_dir: str, cpus: int) -> float | None:
                 file=sys.stderr,
             )
             return None
-        ctrl = _subset_in_tree(tmp, sf_dir, cpus, n_runs)
-        head = _subset_in_tree(REPO_DIR, sf_dir, cpus, n_runs)
-        if not ctrl or not head:
+        ctrl_best: dict[str, float] = {}
+        head_best: dict[str, float] = {}
+        for rnd in range(rounds):
+            for label, tree, best in (
+                ("ctrl", tmp, ctrl_best),
+                ("head", REPO_DIR, head_best),
+            ):
+                got = _subset_in_tree(tree, sf_dir, cpus, n_runs=1)
+                if got is None:
+                    return None
+                print(f"# A/B round {rnd} {label}: {got}", file=sys.stderr)
+                for k, v in got.items():
+                    best[k] = min(best.get(k, v), v)
+        if not ctrl_best or not head_best:
             return None
-        print(f"# A/B ctrl({CONTROL_SHA[:7]}): {ctrl}", file=sys.stderr)
-        print(f"# A/B head: {head}", file=sys.stderr)
-        c_total = sum(ctrl.values())
-        h_total = sum(head.values())
+        print(f"# A/B best ctrl({CONTROL_SHA[:7]}): {ctrl_best}", file=sys.stderr)
+        print(f"# A/B best head: {head_best}", file=sys.stderr)
+        c_total = sum(ctrl_best.values())
+        h_total = sum(head_best.values())
         return round(h_total / c_total, 3) if c_total > 0 else None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
