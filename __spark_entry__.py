@@ -616,6 +616,13 @@ _DEMOTED_TAIL = [
     # oracle runs in pytest via test_oracle_parity every session);
     # rotate into a recorded slot in r17.
     "docs_html_extract",
+    # r16 addition 2: orders_changelog_fold_iceberg (the Iceberg
+    # CHANGELOG scan across non-append snapshots — native
+    # create_changelog_view semantics; final state reconstructed
+    # purely from the feed, fold≡head pinned in-gate, declarative
+    # lifecycle oracle). Registered in the TAIL first, same protocol;
+    # rotate into a recorded slot in r17.
+    "orders_changelog_fold_iceberg",
     "events_exclusive_errors",
     "docs_decontamination",
     "docs_winnow_fingerprints",

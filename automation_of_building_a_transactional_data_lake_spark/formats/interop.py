@@ -11206,6 +11206,221 @@ def read_iceberg_incremental(
     return _where_residual(out, where_n)
 
 
+def _ice_snapshot_files_and_deletes(
+    table_path: str, meta: dict, sid: int
+) -> tuple[dict[str, tuple[int, str]], list[str], list[tuple]]:
+    """One snapshot's LIVE state: {abs data path: (data sequence
+    number, file format)} plus its row-level delete sets — the same
+    walk ``read_iceberg`` plans with, factored for the changelog."""
+    from .avro_lite import read_avro_file
+
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot id {sid}")
+    snap = snaps[sid]
+    manifests: list[str] = []
+    delete_manifests: list[tuple[str, int]] = []
+    mseqs: dict[str, int] = {}
+    if "manifest-list" in snap:
+        _s, mentries = read_avro_file(
+            _iceberg_local_path(snap["manifest-list"], table_path)
+        )
+        for e in mentries:
+            mseq = int(e.get("sequence_number") or 0)
+            if e.get("content", 0) == 0:
+                manifests.append(e["manifest_path"])
+                mseqs[e["manifest_path"]] = mseq
+            else:
+                delete_manifests.append((e["manifest_path"], mseq))
+    else:
+        manifests = list(snap.get("manifests", []))
+    files: dict[str, tuple[int, str]] = {}
+    for mpath in manifests:
+        _s2, entries = read_avro_file(
+            _iceberg_local_path(mpath, table_path)
+        )
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            dfr = e["data_file"]
+            if dfr.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "Iceberg delete files inside a DATA manifest are not "
+                    "supported by the pure-Python reader"
+                )
+            eseq = e.get("sequence_number")
+            files[
+                os.path.abspath(
+                    _iceberg_local_path(dfr["file_path"], table_path)
+                )
+            ] = (
+                int(eseq) if eseq is not None else mseqs.get(mpath, 0),
+                str(dfr.get("file_format", "PARQUET")).upper(),
+            )
+    pos_files, eq_dels = _ice_collect_deletes(table_path, delete_manifests)
+    return files, pos_files, eq_dels
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg CHANGELOG scan across ARBITRARY snapshots (r16 — the
+    native ``create_changelog_view`` procedure's semantics), where the
+    append-only ``read_iceberg_incremental`` refuses: each snapshot in
+    (from, to] along the parent chain emits
+
+    - ``insert`` rows: the live rows of data files the snapshot ADDED
+      (its own delete sets applied, so a row born and killed in one
+      commit never appears);
+    - ``delete`` rows: the rows of data files it REMOVED as they were
+      visible at the parent (the parent's delete sets applied — rows
+      already dead do not re-die), PLUS rows in files that SURVIVED
+      but were newly killed by the snapshot's row-level delete files
+      (computed as the multiset difference of the surviving files'
+      parent-visible and current-visible rows — provably exactly the
+      newly-deleted rows, whatever mix of position/equality deletes
+      landed).
+
+    Layout-only ``replace`` snapshots (binpack / zorder / manifest
+    rewrites) emit NOTHING — logical content is unchanged, exactly the
+    native changelog's behavior. A MERGE that retires and re-adds a
+    row therefore reads as delete+insert (the native view without its
+    compute-updates post-pass). Columns: the table schema plus
+    ``_change_type`` / ``_commit_snapshot_id`` / ``_change_ordinal``.
+
+    Scale: driver work is O(manifests) per snapshot; each snapshot
+    scans only its OWN added/removed files, and the newly-killed pass
+    touches only surviving files a new delete can apply to (position
+    deletes name their targets; equality deletes bound by sequence
+    number). Plan width grows with the range length — changelog
+    consumers read bounded ranges, exactly like the native procedure."""
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 2:
+        raise NotImplementedError(
+            "changelog scan needs a format-version 2 table"
+        )
+    schema = _iceberg_table_schema(meta)
+    if schema is None:
+        raise ValueError(f"Iceberg metadata at {table_path} has no schema")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    to_sid = (
+        int(to_snapshot_id)
+        if to_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    chain: list[int] = []
+    cur = to_sid
+    while cur != from_snapshot_id:
+        if cur is None or cur not in snaps:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_sid} (expired or a rollback crossed it)"
+            )
+        chain.append(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+        if cur is None and from_snapshot_id is None:
+            break
+    chain.reverse()
+
+    def _stamp(df: DataFrame, kind: str, sid: int, ordinal: int) -> DataFrame:
+        return (
+            df.withColumn("_change_type", F.lit(kind))
+            .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+            .withColumn("_change_ordinal", F.lit(ordinal))
+        )
+
+    if from_snapshot_id is None:
+        prev_files: dict[str, tuple[int, str]] = {}
+        prev_pos: list[str] = []
+        prev_eq: list[tuple] = []
+    else:
+        prev_files, prev_pos, prev_eq = _ice_snapshot_files_and_deletes(
+            table_path, meta, int(from_snapshot_id)
+        )
+    parts: list[DataFrame] = []
+    ordinal = 0
+    for sid in chain:
+        op = (snaps[sid].get("summary") or {}).get("operation", "append")
+        cur_files, cur_pos, cur_eq = _ice_snapshot_files_and_deletes(
+            table_path, meta, sid
+        )
+        if op == "replace":
+            # Layout-only: content provably identical, nothing to emit.
+            prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+            continue
+        ordinal += 1
+        added = [
+            (p, s, f) for p, (s, f) in sorted(cur_files.items())
+            if p not in prev_files
+        ]
+        removed = [
+            (p, s, f) for p, (s, f) in sorted(prev_files.items())
+            if p not in cur_files
+        ]
+        if added:
+            parts.append(
+                _stamp(
+                    _ice_scan_with_deletes(
+                        spark, meta, table_path, added, cur_pos, cur_eq,
+                        schema,
+                    ),
+                    "insert", sid, ordinal,
+                )
+            )
+        if removed:
+            parts.append(
+                _stamp(
+                    _ice_scan_with_deletes(
+                        spark, meta, table_path, removed, prev_pos, prev_eq,
+                        schema,
+                    ),
+                    "delete", sid, ordinal,
+                )
+            )
+        new_pos = [p for p in cur_pos if p not in set(prev_pos)]
+        new_eq = [d for d in cur_eq if d not in set(prev_eq)]
+        if new_pos or new_eq:
+            # Surviving files a NEW delete can apply to: position
+            # deletes name their target paths; equality deletes apply
+            # to data sequence numbers strictly below theirs.
+            named: set[str] = set()
+            if new_pos:
+                pos_pairs = spark.read.parquet(*new_pos).select(
+                    _norm_file_path(F.col("file_path")).alias("p")
+                )
+                named = {
+                    os.path.abspath(r.p)
+                    for r in pos_pairs.distinct().collect()
+                }
+            max_eq_seq = max((s for _p, s, _i in new_eq), default=0)
+            affected = [
+                (p, s, f)
+                for p, (s, f) in sorted(prev_files.items())
+                if p in cur_files and (p in named or s < max_eq_seq)
+            ]
+            if affected:
+                was = _ice_scan_with_deletes(
+                    spark, meta, table_path, affected, prev_pos, prev_eq,
+                    schema,
+                )
+                now = _ice_scan_with_deletes(
+                    spark, meta, table_path, affected, cur_pos, cur_eq,
+                    schema,
+                )
+                parts.append(_stamp(was.exceptAll(now), "delete", sid, ordinal))
+        prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return _stamp(empty, "insert", to_sid or 0, 0).filter(F.lit(False))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def write_iceberg_equality_deletes(
     source: DataFrame,
     table_path: str,

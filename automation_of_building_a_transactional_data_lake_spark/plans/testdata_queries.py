@@ -3933,6 +3933,84 @@ EMB_PQ_ORACLE = EMB_KNN_ORACLE  # corpus-wide exact re-rank == exact top-k
 
 
 # --------------------------------------------------------------------------
+# orders_changelog_fold_iceberg — the Iceberg CHANGELOG scan (r16,
+# interop.read_iceberg_changelog — the native create_changelog_view
+# semantics, where the append-only incremental reader refuses): the
+# orders table lives a three-commit life (bulk load, MoR upsert that
+# doubles some totals, keyed MoR delete), the final state is
+# reconstructed PURELY from the changelog feed folded per key (latest
+# ordinal wins; an update's delete+insert pair resolves to the
+# insert), pinned in-gate against the snapshot read, and hash-gated
+# against a DECLARATIVE DuckDB restatement of the lifecycle.
+# --------------------------------------------------------------------------
+
+
+def orders_changelog_fold_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..formats.interop import (
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+        write_iceberg,
+    )
+
+    _utc(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="tdl_clfold_") + "/t"
+    write_iceberg(orders, path)
+    merge_iceberg(
+        orders.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        path, key="o_orderkey", strategy="mor",
+    )
+    merge_iceberg(
+        orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        path, key="o_orderkey", mode="delete", strategy="mor",
+    )
+    cl = read_iceberg_changelog(spark, path)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("_change_ordinal").desc(), F.col("_change_type").desc()
+    )
+    folded = (
+        cl.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("_change_type") == "insert"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    # In-gate pin: the fold must reconstruct the snapshot read exactly.
+    head = read_iceberg(spark, path).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+    if folded.exceptAll(head).count() or head.exceptAll(folded).count():
+        raise AssertionError(
+            "changelog fold diverged from the snapshot read"
+        )
+    return folded
+
+
+ORDERS_CHANGELOG_FOLD_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       round(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                  ELSE o_totalprice END, 2) AS total_price
+FROM orders
+WHERE o_orderkey % 10 != 7
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # docs_html_extract — HTML boilerplate removal (operators/html.py): the
 # web-corpus extraction step preceding every text-quality stage. Each
 # document wraps into a synthetic page IN-QUERY (title with an entity,
@@ -4215,6 +4293,14 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef("docs_simhash_md5", docs_simhash_md5, DOCS_SIMHASH_ORACLE),
         QueryDef("docs_normalized", docs_normalized, DOCS_NORMALIZED_ORACLE),
         QueryDef("docs_html_extract", docs_html_extract, _docs_html_oracle()),
+        # headline=False like every write-lifecycle gate: the bench
+        # times query engines, not table-building fixtures.
+        QueryDef(
+            "orders_changelog_fold_iceberg",
+            orders_changelog_fold_iceberg,
+            ORDERS_CHANGELOG_FOLD_ORACLE,
+            headline=False,
+        ),
         # headline=False (r16): a strict SUBSET of docs_curation_v3's
         # composition — benching both double-charges the same stages;
         # the oracle gate stays (pytest test_oracle_parity).

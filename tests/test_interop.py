@@ -11593,6 +11593,104 @@ def test_iceberg_orc_data_files(spark, tmp_path):
         )
 
 
+def test_iceberg_changelog_scan(spark, tmp_path):
+    """r16: the native create_changelog_view semantics — CHANGELOG
+    across arbitrary snapshots: appends emit inserts, a MoR merge
+    emits delete+insert for updated keys (newly-killed rows in
+    SURVIVING files come from the multiset diff), keyed deletes and
+    equality deletes emit delete rows, layout-only replace snapshots
+    (compact) emit NOTHING, and folding the feed onto the range start
+    reconstructs head exactly — full-range AND mid-range."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    p = str(tmp_path / "cl")
+    s1 = write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, val string"
+        ),
+        p,
+    )
+    s2 = write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 15)], "id long, val string"
+        ),
+        p, mode="append",
+    )
+    s3 = merge_iceberg(
+        spark.createDataFrame(
+            [(3, "U3"), (4, "U4"), (20, "I20")], "id long, val string"
+        ),
+        p, key="id", strategy="mor",
+    )
+    s4 = merge_iceberg(
+        spark.createDataFrame([(1,), (10,)], "id long"),
+        p, key="id", mode="delete", strategy="mor",
+    )
+    s5 = write_iceberg_equality_deletes(
+        spark.createDataFrame([(7,)], "id long"), p, keys="id"
+    )
+    s6 = compact_iceberg(spark, p)
+    assert s6 is not None
+
+    def fold(cl_rows, state):
+        import collections
+
+        by_ord = collections.defaultdict(lambda: ([], []))
+        for r in cl_rows:
+            by_ord[r["_change_ordinal"]][
+                0 if r["_change_type"] == "delete" else 1
+            ].append(r)
+        for o in sorted(by_ord):
+            dels, ins = by_ord[o]
+            for r in dels:
+                state.pop(r["id"], None)
+            for r in ins:
+                state[r["id"]] = r["val"]
+        return state
+
+    head = {r.id: r.val for r in read_iceberg(spark, p).collect()}
+    cl = [r.asDict() for r in read_iceberg_changelog(spark, p).collect()]
+    assert fold(cl, {}) == head
+    # The replace (compact) snapshot emits nothing.
+    assert s6 not in {r["_commit_snapshot_id"] for r in cl}
+    # Kinds observed where expected.
+    kinds = {
+        (r["_commit_snapshot_id"], r["_change_type"]) for r in cl
+    }
+    assert (s1, "insert") in kinds and (s2, "insert") in kinds
+    assert (s3, "insert") in kinds and (s3, "delete") in kinds
+    assert (s4, "delete") in kinds and (s5, "delete") in kinds
+    assert (s4, "insert") not in kinds and (s5, "insert") not in kinds
+    # Updated key 3: exactly one delete (old value) + one insert (new).
+    k3 = [
+        (r["_change_type"], r["val"]) for r in cl
+        if r["id"] == 3 and r["_commit_snapshot_id"] == s3
+    ]
+    assert sorted(k3) == [("delete", "v3"), ("insert", "U3")]
+
+    # Mid-range fold: start from the state at s2.
+    state_s2 = {i: f"v{i}" for i in range(15)}
+    cl2 = [
+        r.asDict()
+        for r in read_iceberg_changelog(
+            spark, p, from_snapshot_id=s2
+        ).collect()
+    ]
+    assert fold(cl2, dict(state_s2)) == head
+    assert {r["_commit_snapshot_id"] for r in cl2} == {s3, s4, s5}
+
+    # Unknown ancestor refuses.
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_changelog(spark, p, from_snapshot_id=12345)
+
+
 def test_iceberg_avro_data_files(spark, tmp_path):
     """r16: AVRO data files — avro_lite decodes them DISTRIBUTED (one
     task per file) against the declared table schema: logical types
