@@ -47,6 +47,10 @@ _DEEP_TAIL = [
     "docs_winnow_fingerprints",
     "events_exclusive_errors",
     "orders_1996_iceberg_pruned",
+    # r16-new tail registrations (rotate to recorded slots in r17):
+    # sf0.01 depth from day one.
+    "docs_html_extract",
+    "orders_changelog_fold_iceberg",
 ]
 
 
