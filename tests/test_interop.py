@@ -302,12 +302,14 @@ def test_delta_type_widening_read(spark, tmp_path):
     ulog = os.path.join(unk, "_delta_log")
     os.makedirs(ulog)
     uv0 = list(bv0)
+    # variantShredding is a real feature this reader genuinely refuses
+    # (variantType itself is ACCEPTED since the same round).
     uv0[0] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                           "readerFeatures": ["variantType-preview"],
+                           "readerFeatures": ["variantShredding-preview"],
                            "writerFeatures": []}}
     with open(os.path.join(ulog, f"{0:020d}.json"), "w", encoding="utf-8") as f:
         f.write("\n".join(json.dumps(a) for a in uv0) + "\n")
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="variantShredding"):
         read_delta(spark, unk)
 
 
