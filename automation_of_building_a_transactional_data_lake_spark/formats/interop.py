@@ -11248,6 +11248,12 @@ def _ice_snapshot_files_and_deletes(
                     "Iceberg delete files inside a DATA manifest are not "
                     "supported by the pure-Python reader"
                 )
+            fmt = str(dfr.get("file_format", "PARQUET")).upper()
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
+                raise NotImplementedError(
+                    f"Iceberg {fmt} data files are not supported "
+                    "(parquet, orc and avro only)"
+                )
             eseq = e.get("sequence_number")
             files[
                 os.path.abspath(
@@ -11255,7 +11261,7 @@ def _ice_snapshot_files_and_deletes(
                 )
             ] = (
                 int(eseq) if eseq is not None else mseqs.get(mpath, 0),
-                str(dfr.get("file_format", "PARQUET")).upper(),
+                fmt,
             )
     pos_files, eq_dels = _ice_collect_deletes(table_path, delete_manifests)
     return files, pos_files, eq_dels
@@ -11311,6 +11317,19 @@ def read_iceberg_changelog(
         if to_snapshot_id is not None
         else meta.get("current-snapshot-id")
     )
+    from_snapshot_id = (
+        int(from_snapshot_id) if from_snapshot_id is not None else None
+    )
+    if to_sid is None or to_sid == -1:
+        # The native 'no current snapshot' convention: an empty table
+        # has an empty changelog.
+        empty = spark.createDataFrame([], schema)
+        return (
+            empty.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_snapshot_id", F.lit(0).cast("long"))
+            .withColumn("_change_ordinal", F.lit(0))
+            .filter(F.lit(False))
+        )
     chain: list[int] = []
     cur = to_sid
     while cur != from_snapshot_id:
@@ -11380,8 +11399,9 @@ def read_iceberg_changelog(
                     "delete", sid, ordinal,
                 )
             )
-        new_pos = [p for p in cur_pos if p not in set(prev_pos)]
-        new_eq = [d for d in cur_eq if d not in set(prev_eq)]
+        prev_pos_set, prev_eq_set = set(prev_pos), set(prev_eq)
+        new_pos = [p for p in cur_pos if p not in prev_pos_set]
+        new_eq = [d for d in cur_eq if d not in prev_eq_set]
         if new_pos or new_eq:
             # Surviving files a NEW delete can apply to: position
             # deletes name their target paths; equality deletes apply

@@ -30,15 +30,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+def _ci(word: str) -> str:
+    """Case-insensitive tag-name pattern via EXPLICIT [xX] classes —
+    not ``(?i)``: Java folds ASCII-only while RE2 folds Unicode
+    (U+017F matches 's' under RE2's (?i) but not Java's), and the two
+    derivations must agree byte-for-byte."""
+    return "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in word
+    )
+
+
 # (pattern, replacement) applied in order — shared by the Spark
 # expressions below and restated by the DuckDB oracle.
 _HTML_STRIP_STEPS: list[tuple[str, str]] = [
-    (r"(?is)<!--.*?-->", ""),
-    (r"(?is)<script\b[^>]*>.*?</script>", ""),
-    (r"(?is)<style\b[^>]*>.*?</style>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (rf"(?s)<{_ci('script')}\b[^>]*>.*?</{_ci('script')}>", ""),
+    (rf"(?s)<{_ci('style')}\b[^>]*>.*?</{_ci('style')}>", ""),
     (
-        r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/title|/ul|/ol|/table)"
-        r"\b[^>]*/?>",
+        "<(?:"
+        + "|".join(
+            _ci(w) for w in ("br", "/p", "/div", "/li", "/tr",
+                             "/title", "/ul", "/ol", "/table")
+        )
+        + r"|/[hH][1-6])\b[^>]*/?>",
         "\n",
     ),
     (r"<[^>]*>", ""),
@@ -75,14 +89,23 @@ def extract_html_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
+# The title SPEC, shared by the Column builder and the oracle
+# restatement: first <title> element's inner text, all six entities
+# decoded, horizontal+vertical whitespace collapsed with the same
+# EXPLICIT class as the text path (Java \s and RE2 \s disagree on
+# \x0B), trimmed.
+_HTML_TITLE_PATTERN = rf"(?s)<{_ci('title')}\b[^>]*>(.*?)</{_ci('title')}>"
+_HTML_TITLE_WS = (r"[ \t\n\r\f]+", " ")
+
+
 def extract_html_title(col: Column | str) -> Column:
     """The first ``<title>`` element's inner text, entity-decoded and
     trimmed; '' when absent (regexp_extract's no-match convention)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title>", 1)
+    t = F.regexp_extract(c, _HTML_TITLE_PATTERN, 1)
     for ent, ch in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(F.regexp_replace(t, *_HTML_TITLE_WS))
 
 
 def html_oracle_sql(expr: str) -> str:
@@ -108,3 +131,18 @@ def html_oracle_sql(expr: str) -> str:
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', {_rep_lit(rep)}, 'g')"
     return f"trim({out})"
+
+
+def html_title_oracle_sql(expr: str) -> str:
+    """``extract_html_title``'s SPEC as a DuckDB scalar expression —
+    the SAME title pattern, ALL six entities in the same order, the
+    same explicit whitespace class (an earlier cut decoded only &amp;
+    and collapsed with \\s+, a weaker spec that passed only because
+    the fixture title carried no other entity — r16 review)."""
+    pat = _HTML_TITLE_PATTERN.replace("'", "''")
+    out = f"regexp_extract({expr}, '{pat}', 1)"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    ws = _HTML_TITLE_WS[0].replace("'", "''")
+    return f"trim(regexp_replace({out}, '{ws}', ' ', 'g'))"

@@ -4053,7 +4053,7 @@ def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_html_oracle() -> str:
-    from ..operators.html import html_oracle_sql
+    from ..operators.html import html_oracle_sql, html_title_oracle_sql
 
     html = (
         "'<html><head><title>Doc ' || doc_id::VARCHAR || "
@@ -4062,11 +4062,7 @@ def _docs_html_oracle() -> str:
         f"'{_HTML_WRAP_SUFFIX}'"
     )
     ext = html_oracle_sql(html)
-    title = (
-        f"trim(regexp_replace(replace(regexp_extract({html}, "
-        "'(?is)<title\\b[^>]*>(.*?)</title>', 1), "
-        "'&amp;', '&'), '\\s+', ' ', 'g'))"
-    )
+    title = html_title_oracle_sql(html)
     return f"""
 SELECT doc_id,
        {title} AS title,

@@ -1388,6 +1388,14 @@ def test_html_extract_spec(spark):
         "<TABLE><tr><td>a</td></tr><tr><td>b</td></tr></TABLE>",
         "<script>a</script in weird places",
         "",
+        # r16 review: U+017F folds to 's' under RE2's (?i) but not
+        # Java's — explicit [sS] classes keep BOTH engines from
+        # treating <ſcript> as a script element (its tags strip
+        # as generic tags; its content stays).
+        "<ſcript>x()</ſcript><p>kept</p>",
+        # \x0B sits inside Java's \s but outside RE2's — the explicit
+        # whitespace class keeps it literal in BOTH engines.
+        "<title>a\x0bb</title><p>c\x0bd</p>",
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i int, h string"
@@ -1409,11 +1417,20 @@ def test_html_extract_spec(spark):
     assert got[5][0] == "x"
     assert got[7][0] == "a\nb"
     assert got[9] == ("", "")
+    assert got[10][0] == "x()kept"  # NOT stripped as a script element
+    assert got[11] == ("a\x0bb\nc\x0bd", "a\x0bb")  # \x0B stays literal
+
+    from automation_of_building_a_transactional_data_lake_spark.operators.html import (
+        html_title_oracle_sql,
+    )
 
     con = duckdb.connect()
     expr = html_oracle_sql("h")
+    texpr = html_title_oracle_sql("h")
     for i, c in enumerate(cases):
-        want = con.sql(
-            f"SELECT {expr} AS t FROM (SELECT ? AS h)", params=[c]
-        ).fetchone()[0]
-        assert got[i][0] == want, (i, got[i][0], want)
+        want_t, want_ti = con.sql(
+            f"SELECT {expr} AS t, {texpr} AS ti FROM (SELECT ? AS h)",
+            params=[c],
+        ).fetchone()
+        assert got[i][0] == want_t, (i, got[i][0], want_t)
+        assert got[i][1] == want_ti, (i, got[i][1], want_ti)
