@@ -550,6 +550,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the Delta merge machinery) and the staying
 #       game_user_cdc_e2e_hudi_evolve (the mid-stream
 #       schema-evolution family), + pytest each session.
+#   r17 rotation (closing the two r16 commitments below — r16 verdict
+#     #1): docs_html_extract and orders_changelog_fold_iceberg rotate
+#     IN to recorded slots. Rotating OUT, per protocol (each green in
+#     many consecutive driver rounds and family-held by a STAYING gate
+#     on the same machinery):
+#     - emb_pq_knn (green r6-r16, eleven consecutive rounds) → held by
+#       the staying emb_ann_index_pq_query (the same PQ codebook
+#       training + ADC distance + exhaustive exact re-rank machinery,
+#       composed with CDC index maintenance on top — the strict
+#       superset; the r15 emb_pca_knn demotion's exact pattern), with
+#       the production ADC path still benched as emb_pq_knn_scale and
+#       the exactness proof still oracle-gated in pytest via
+#       test_oracle_parity each session.
+#     - q1_via_sql_catalog (green r7-r16, ten consecutive rounds) →
+#       held by the staying SQL-text family: orders_1996_sqltext_pruned
+#       (SELECT-with-WHERE through sql.LakeSQL over a managed table,
+#       plus manifest-level file skipping on top — the strict superset
+#       of the identifier-SELECT surface) and orders_dml_sqltext
+#       (UPDATE/DELETE text DML), + pytest test_oracle_parity each
+#       session.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -609,20 +629,13 @@ _DEMOTED_TAIL = [
     "docs_simhash_md5",
     "emb_pca_knn",
     "emb_pq_knn_scale",  # bench-only scale twin: no value oracle by design
-    # r16 addition: docs_html_extract (HTML boilerplate removal — the
-    # web-corpus extraction step; pure regexp-chain expressions, the
-    # DuckDB oracle re-derives every extraction through the published
-    # SPEC). Registered in the TAIL first (the emb_top_pairs pattern;
-    # oracle runs in pytest via test_oracle_parity every session);
-    # rotate into a recorded slot in r17.
-    "docs_html_extract",
-    # r16 addition 2: orders_changelog_fold_iceberg (the Iceberg
-    # CHANGELOG scan across non-append snapshots — native
-    # create_changelog_view semantics; final state reconstructed
-    # purely from the feed, fold≡head pinned in-gate, declarative
-    # lifecycle oracle). Registered in the TAIL first, same protocol;
-    # rotate into a recorded slot in r17.
-    "orders_changelog_fold_iceberg",
+    # r17 rotation: docs_html_extract and orders_changelog_fold_iceberg
+    # rotated OUT of this tail INTO recorded slots (see the r17 note
+    # above); emb_pq_knn and q1_via_sql_catalog demoted here in their
+    # place, both family-held (emb_ann_index_pq_query superset;
+    # orders_1996_sqltext_pruned + orders_dml_sqltext SQL-text family).
+    "emb_pq_knn",
+    "q1_via_sql_catalog",
     "events_exclusive_errors",
     "docs_decontamination",
     "docs_winnow_fingerprints",

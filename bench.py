@@ -22,19 +22,27 @@ LOAD-AWARENESS (r16 — two consecutive rounds of driver records were
 dominated by host noise, r14/r15 verdicts): the harness now
 
 1. GATES on the 1-minute loadavg before starting Spark — above the
-   threshold (``SPARK_GRAFT_LOAD_GATE``, default max(8, cpus/4)) it
-   sleeps and retries up to ``SPARK_GRAFT_LOAD_TRIES``×20 s, then
+   threshold (``SPARK_GRAFT_LOAD_GATE``, default 2.0 since r17; the
+   r16 record passed the old max(8,cpus/4) gate at loadavg 4.2 and
+   paid ~14% for it) it sleeps and retries up to
+   ``SPARK_GRAFT_LOAD_TRIES``×20 s (default 30 tries = 10 min), then
    proceeds recording what it saw; the final pre-bench ``loadavg``
-   triple is embedded in the JSON record, and
-2. runs a SAME-SESSION A/B CONTROL: the five queries the r15 record
-   flagged (q1/q2/q16/emb_pq_knn/emb_batch_knn) are re-timed in two
-   fresh subprocesses — one importing THIS tree, one importing the r12
-   record-holder tree materialized via ``git archive`` — minutes apart
-   under the same host conditions. ``control_ratio`` =
-   head_subset_total / r12_subset_total lands in the JSON: ~1.0 means
-   "any headline delta vs old records is environment, not code".
-   Unavailable control (no .git, archive failure) records null rather
-   than failing the bench. ``SPARK_GRAFT_BENCH_CONTROL=0`` skips it.
+   triple AND the total gate wait (``gate_wait_s``) are embedded in
+   the JSON record, and
+2. runs a SAME-SESSION A/B CONTROL on a subset DERIVED from the
+   committed BENCH history (r17, verdict #1: a hard-coded subset
+   attributed the wrong queries): the previous round's >1.3x-on->1s
+   flags plus its top-3 cost centers, capped at 8
+   (``_derive_control_queries``; ``SPARK_GRAFT_CONTROL_QUERIES``
+   overrides). The subset re-times in two fresh subprocesses — one
+   importing THIS tree, one importing the r12 record-holder tree
+   materialized via ``git archive`` — alternating rounds minutes
+   apart under the same host conditions, per-tree per-query minima.
+   ``control_ratio`` = head_subset_total / r12_subset_total over the
+   queries both trees have: ~1.0 means "any headline delta vs old
+   records is environment, not code". Unavailable control (no .git,
+   archive failure) records null rather than failing the bench.
+   ``SPARK_GRAFT_BENCH_CONTROL=0`` skips it.
 
 GATE-SHAPED queries (do not "optimize" these numbers): several entries
 deliberately run a DEGENERATE setting whose output is provably exact so
@@ -76,15 +84,59 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # baseline the r14/r15 verdicts compared against.
 CONTROL_SHA = "7052024e3ebf3b5a8b0869f740a45836012e47b0"
 
-# The five queries the r15 driver record flagged >2.9x vs r14 — the
-# standing-protocol A/B set. All five exist unchanged in the r12 tree.
-CONTROL_QUERIES = [
+# Static fallback A/B set (the five queries the r15 driver record
+# flagged), used only when no prior BENCH_r*.json records are readable.
+# The live subset is DERIVED per run by _derive_control_queries() from
+# the two most recent committed records (r16 verdict #1: the r16
+# control hard-coded the r15 flags and so attributed the WRONG five
+# queries while that round's actual anomalies went uncontrolled).
+FALLBACK_CONTROL_QUERIES = [
     "q1_pricing_summary",
     "q2_min_price_supplier",
     "q16_brand_type_suppliers",
     "emb_pq_knn",
     "emb_batch_knn",
 ]
+
+
+def _derive_control_queries() -> list[str]:
+    """The A/B subset for THIS round: the previous round's actual flags
+    (>1.3x vs the round before it, on >1 s absolutes) plus its top-3
+    cost centers — so the control covers the queries whose headline
+    deltas most need environment-vs-code attribution. Derivation is
+    deterministic from the committed BENCH_r*.json history, so the
+    recorded control_ratio is auditable. ``SPARK_GRAFT_CONTROL_QUERIES``
+    (comma-separated) overrides."""
+    override = os.environ.get("SPARK_GRAFT_CONTROL_QUERIES")
+    if override:
+        return [n for n in override.split(",") if n]
+    import glob
+
+    parsed: list[dict[str, float]] = []
+    for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            q = (rec.get("parsed") or {}).get("queries")
+        except (OSError, ValueError):
+            continue
+        if isinstance(q, dict) and q:
+            parsed.append(q)
+    if not parsed:
+        return FALLBACK_CONTROL_QUERIES
+    prev = parsed[-1]
+    flags: list[str] = []
+    if len(parsed) >= 2:
+        before = parsed[-2]
+        flags = [
+            n
+            for n, t in prev.items()
+            if t > 1.0 and n in before and before[n] > 0 and t > 1.3 * before[n]
+        ]
+        flags.sort(key=lambda n: prev[n] / parsed[-2][n], reverse=True)
+    top3 = sorted(prev, key=prev.get, reverse=True)[:3]
+    subset = list(dict.fromkeys(flags + top3))[:8]  # bound control runtime
+    return subset or FALLBACK_CONTROL_QUERIES
 
 # Runs inside BOTH subprocess trees (r12 lacks this file, so the script
 # travels via -c): same session shape, same warmups, same median-of-N.
@@ -108,6 +160,8 @@ warm = F.pandas_udf(lambda s: s, "long")
 spark.range(8).select(warm("id")).collect()
 res = {}
 for n in names:
+    if n not in QUERIES:  # derived subsets may postdate the control tree
+        continue
     runs = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
@@ -123,10 +177,11 @@ def _gate_load(cpus: int) -> tuple[list[float], int]:
     """Sleep until the 1-min loadavg drops below the gate (bounded
     tries), so the record measures the engine, not a loaded host.
     Returns (final loadavg triple, waits taken)."""
-    gate = float(
-        os.environ.get("SPARK_GRAFT_LOAD_GATE", max(8.0, cpus / 4.0))
-    )
-    tries = int(os.environ.get("SPARK_GRAFT_LOAD_TRIES", "9"))
+    # r16 verdict #3: the old default (max(8, cpus/4)) passed the r16
+    # record at loadavg 4.2 and paid ~14% for it — gate at 2 with a
+    # longer retry budget instead; the wait cost lands in the JSON.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", 2.0))
+    tries = int(os.environ.get("SPARK_GRAFT_LOAD_TRIES", "30"))
     waits = 0
     load = list(os.getloadavg())
     while load[0] > gate and waits < tries:
@@ -142,7 +197,7 @@ def _gate_load(cpus: int) -> tuple[list[float], int]:
 
 
 def _subset_in_tree(
-    tree: str, sf_dir: str, cpus: int, n_runs: int
+    tree: str, names: list[str], sf_dir: str, cpus: int, n_runs: int
 ) -> dict[str, float] | None:
     # PREPEND to PYTHONPATH: clobbering it breaks hosts where pyspark
     # itself resolves through PYTHONPATH (spark-distribution installs).
@@ -154,7 +209,7 @@ def _subset_in_tree(
     try:
         out = subprocess.run(
             [sys.executable, "-c", _SUBSET_SCRIPT,
-             json.dumps(CONTROL_QUERIES), sf_dir, str(cpus), str(n_runs)],
+             json.dumps(names), sf_dir, str(cpus), str(n_runs)],
             env=env, cwd=tree, capture_output=True, text=True, timeout=1200,
         )
     except (subprocess.TimeoutExpired, OSError):
@@ -183,6 +238,8 @@ def _control_ratio(sf_dir: str, cpus: int) -> float | None:
     record speed)."""
     if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") == "0":
         return None
+    names = _derive_control_queries()
+    print(f"# A/B control subset (derived): {names}", file=sys.stderr)
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "2")))
     import shlex
 
@@ -206,18 +263,28 @@ def _control_ratio(sf_dir: str, cpus: int) -> float | None:
                 ("ctrl", tmp, ctrl_best),
                 ("head", REPO_DIR, head_best),
             ):
-                got = _subset_in_tree(tree, sf_dir, cpus, n_runs=1)
+                got = _subset_in_tree(tree, names, sf_dir, cpus, n_runs=1)
                 if got is None:
                     return None
                 print(f"# A/B round {rnd} {label}: {got}", file=sys.stderr)
                 for k, v in got.items():
                     best[k] = min(best.get(k, v), v)
-        if not ctrl_best or not head_best:
+        # Compare only queries BOTH trees ran: derived subsets can name
+        # operators that postdate the r12 control tree, which the subset
+        # script skips rather than KeyErrors.
+        common = sorted(set(ctrl_best) & set(head_best))
+        if not common:
             return None
         print(f"# A/B best ctrl({CONTROL_SHA[:7]}): {ctrl_best}", file=sys.stderr)
         print(f"# A/B best head: {head_best}", file=sys.stderr)
-        c_total = sum(ctrl_best.values())
-        h_total = sum(head_best.values())
+        if set(names) - set(common):
+            print(
+                f"# A/B subset members absent from control tree (skipped): "
+                f"{sorted(set(names) - set(common))}",
+                file=sys.stderr,
+            )
+        c_total = sum(ctrl_best[n] for n in common)
+        h_total = sum(head_best[n] for n in common)
         return round(h_total / c_total, 3) if c_total > 0 else None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -291,6 +358,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "loadavg": loadavg,
+            "gate_wait_s": waits * 20,
             "control_ratio": control,
         },
         separators=(",", ":"),

@@ -11573,9 +11573,9 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="ORC data files"):
         compact_iceberg(spark, p)
 
-    # POSITION deletes over ORC data files refuse loudly (scan-unit
-    # check: Spark's ORC _metadata exposes no row_index to attribute
-    # deleted positions to).
+    # POSITION deletes over ORC data files APPLY (r17 — r16 verdict
+    # #4; scan-unit check): kill row 1 of the first ORC file and the
+    # scan returns exactly the other rows.
     import glob as _glob
 
     from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
@@ -11588,11 +11588,169 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     _n2, meta2 = _iceberg_current_metadata_named(p2)
     orc_files = sorted(_glob.glob(p2 + "/data/**/*.orc", recursive=True))
     assert orc_files
-    with pytest.raises(NotImplementedError, match="POSITION deletes over ORC"):
-        _ice_scan_with_deletes(
-            spark, meta2, p2, [(orc_files[0], 1, "ORC")],
-            ["/nonexistent-pos-delete.parquet"], [], None,
+    # One small file = one split = one partition, and collect preserves
+    # intra-partition order, so collect order IS file order here.
+    file_rows = spark.read.orc(orc_files[0]).collect()
+    victim = file_rows[1]
+    pd_path = str(tmp_path / "orc_posdel.parquet")
+    _write_one_parquet(
+        spark, [(orc_files[0], 1)], "file_path string, pos long", pd_path
+    )
+    got2 = _ice_scan_with_deletes(
+        spark, meta2, p2, [(f, 1, "ORC") for f in orc_files],
+        [pd_path], [], None,
+    )
+    kept = {(r.id, r.v, r.grp) for r in got2.collect()}
+    assert len(kept) == 19
+    assert (victim.id, victim.v, victim.grp) not in kept
+    assert kept == {
+        (i, f"a{i}", i % 3) for i in range(20) if i != victim.id
+    }
+
+
+def test_iceberg_orc_position_deletes_end_to_end(spark, tmp_path):
+    """r17 (r16 verdict #4): a v2 table whose DATA files are ORC and
+    whose current snapshot carries content=1 POSITION deletes reads to
+    the post-delete oracle — the mixed Spark/Trino shop's first MERGE
+    on an ORC-backed Iceberg table. Then the ordinal machinery's
+    stress case: a multi-stripe ORC file scanned under a small
+    ``maxPartitionBytes`` (multiple splits per file) must assign every
+    row its exact file ordinal, cross-split offsets included
+    (validated against a sorted-write rank oracle)."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_orc_pos_frame,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "orc_pos_tbl")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def orc_file(name, rows):
+        dest = os.path.join(root, "data", name)
+        tmp = dest + ".tmpdir"
+        spark.createDataFrame(rows, "id long, val string").coalesce(
+            1
+        ).sortWithinPartitions("id").write.orc(tmp)
+        part = next(
+            os.path.join(r, f) for r, _d, fs in os.walk(tmp) for f in fs
+            if f.endswith(".orc")
         )
+        os.rename(part, dest)
+        import shutil
+
+        shutil.rmtree(tmp)
+        return dest
+
+    f1 = orc_file("f1.orc", [(1, "a"), (2, "b"), (3, "c")])
+    f2 = orc_file("f2.orc", [(4, "d"), (5, "e")])
+    pd_path = os.path.join(root, "data", "posdel.parquet")
+    # Kills (2,'b') [f1 pos 1] and (4,'d') [f2 pos 0].
+    _write_one_parquet(
+        spark, [("file://" + f1, 1), ("file://" + f2, 0)],
+        "file_path string, pos long", pd_path,
+    )
+
+    def entry(path, content, fmt, nrec):
+        return {"status": 1, "snapshot_id": 99,
+                "data_file": {"content": content,
+                              "file_path": "file://" + path,
+                              "file_format": fmt, "record_count": nrec,
+                              "file_size_in_bytes": os.path.getsize(path)}}
+
+    mdir = os.path.join(root, "metadata")
+    m1 = os.path.join(mdir, "m1.avro")
+    write_avro_file(
+        m1, _MANIFEST_ENTRY_SCHEMA,
+        [entry(f1, 0, "ORC", 3), entry(f2, 0, "ORC", 2)],
+    )
+    mdel = os.path.join(mdir, "mdel.avro")
+    write_avro_file(
+        mdel, _MANIFEST_ENTRY_SCHEMA, [entry(pd_path, 1, "PARQUET", 2)]
+    )
+    ml1 = os.path.join(mdir, "snap-99.avro")
+    write_avro_file(
+        ml1, _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": "file://" + m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 99}],
+    )
+    ml2 = os.path.join(mdir, "snap-100.avro")
+    write_avro_file(
+        ml2, _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": "file://" + m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 99},
+         {"manifest_path": "file://" + mdel, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 100}],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "u",
+        "location": "file://" + root, "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "val", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-snapshot-id": 100,
+        "snapshots": [
+            {"snapshot-id": 99, "manifest-list": "file://" + ml1},
+            {"snapshot-id": 100, "manifest-list": "file://" + ml2},
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="ascii") as f:
+        f.write("1")
+
+    got = read_iceberg(spark, root)
+    assert _rows(got.select("id", "val")) == [(1, "a"), (3, "c"), (5, "e")]
+    # Pre-delete snapshot unaffected.
+    assert read_iceberg(spark, root, snapshot_id=99).count() == 5
+
+    # -- multi-split ordinal stress -------------------------------------
+    big = os.path.join(str(tmp_path), "big.orc")
+    n = 50_000
+    tmp = big + ".tmpdir"
+    # Incompressible payload (md5 hex), or the whole file delta-encodes
+    # into a single tiny stripe and the stress degenerates.
+    spark.range(n).selectExpr(
+        "id", "repeat(md5(cast(id as string)), 4) as v"
+    ).coalesce(1).sortWithinPartitions("id").write.option(
+        "orc.stripe.size", "65536"
+    ).orc(tmp)
+    part = next(
+        os.path.join(r, f) for r, _d, fs in os.walk(tmp) for f in fs
+        if f.endswith(".orc")
+    )
+    os.rename(part, big)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        from pyspark.sql import functions as F
+
+        nsplits = (
+            spark.read.orc(big)
+            .select(F.col("_metadata.file_block_start").alias("bs"))
+            .distinct().count()
+        )
+        assert nsplits > 1, "stress fixture degenerated to one split"
+        frame = _ice_orc_pos_frame(spark, [big], None)
+        bad = frame.filter(F.col("__ri") != F.col("id")).count()
+        assert bad == 0  # sorted single-partition write: ordinal == id
+        assert frame.count() == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_iceberg_changelog_scan(spark, tmp_path):
