@@ -47,11 +47,39 @@ _DEEP_TAIL = [
     "docs_winnow_fingerprints",
     "events_exclusive_errors",
     "orders_1996_iceberg_pruned",
-    # r16-new tail registrations (rotate to recorded slots in r17):
-    # sf0.01 depth from day one.
+    # Rotated to recorded driver slots in r17; kept here for sf0.01
+    # depth beyond the driver's sf0.01 run.
     "docs_html_extract",
     "orders_changelog_fold_iceberg",
 ]
+
+
+def _deep_rotation(k: int = 5) -> list[str]:
+    """r17 (r16 verdict #5): a rotating k-subset of the deep tail runs
+    in the DEFAULT lane every session — composed pipelines keep
+    nontrivial-scale coverage without the TDL_DEEP_TESTS opt-in. The
+    rotation key is the committed CORRECTNESS history count (one file
+    per driver round), so each round exercises a different slice and
+    the whole tail cycles in ~len/k rounds, deterministically per
+    round (no wall-clock dependence)."""
+    import glob
+
+    rnd = len(
+        glob.glob(
+            os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+        )
+    )
+    return [_DEEP_TAIL[(rnd * k + i) % len(_DEEP_TAIL)] for i in range(k)]
+
+
+_DEEP_ALWAYS = _deep_rotation()
+
+
+@pytest.mark.parametrize("name", _DEEP_ALWAYS)
+def test_tail_pipeline_sf001_rotating(spark, name):
+    q = QUERIES[name]
+    con = duckdb_con(SF_CORRECTNESS)
+    compare(q.spark(spark, SF_CORRECTNESS), con.sql(q.oracle).df())
 
 
 @pytest.mark.deep
@@ -59,11 +87,54 @@ _DEEP_TAIL = [
     os.environ.get("TDL_DEEP_TESTS", "0") != "1",
     reason="sf0.01 tail tier: set TDL_DEEP_TESTS=1 (weekly/deep lane)",
 )
-@pytest.mark.parametrize("name", _DEEP_TAIL)
+@pytest.mark.parametrize(
+    "name", [n for n in _DEEP_TAIL if n not in _DEEP_ALWAYS]
+)
 def test_tail_pipeline_matches_oracle_sf001(spark, name):
     q = QUERIES[name]
     con = duckdb_con(SF_CORRECTNESS)
     compare(q.spark(spark, SF_CORRECTNESS), con.sql(q.oracle).df())
+
+
+def test_rotation_invariant_audited():
+    """r17 (r16 verdict #8): mechanize the 50-slot rotation log's
+    invariant. With 116+ registered queries and 50 driver-recorded
+    slots, every registered query must either (a) sit in the current
+    recorded head (it records this round), (b) have a driver-green row
+    in SOME committed CORRECTNESS_r*.json, or (c) be a fresh tail-first
+    registration carrying a rotation comment in the log (the
+    emb_top_pairs pattern: registered first, rotated to a recorded
+    slot next round) — at most a handful at a time, or the rotation
+    has stalled."""
+    import glob
+    import json
+
+    import __spark_entry__ as e
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    recorded: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(p, encoding="utf-8") as f:
+            recorded |= set(json.load(f))
+    all_q = set(QUERIES)
+    tail = set(e._DEMOTED_TAIL)
+    # A demoted name that is not registered is a wiring bug (queries()
+    # silently drops it).
+    assert tail <= all_q, f"stale tail entries: {sorted(tail - all_q)}"
+    head = all_q - tail
+    never = all_q - recorded - head
+    # Bench-only twins (no value oracle by design) never earn a row.
+    pending = {n for n in never if QUERIES[n].oracle is not None}
+    assert len(pending) <= 4, (
+        f"rotation stalled: {sorted(pending)} registered but never "
+        "driver-recorded and not in the current head"
+    )
+    with open(os.path.join(root, "__spark_entry__.py"), encoding="utf-8") as f:
+        src = f.read()
+    for n in sorted(pending):
+        assert src.count(n) >= 2, (
+            f"{n} is tail-registered but carries no rotation-log comment"
+        )
 
 
 def test_entry_smoke(spark):
