@@ -642,6 +642,14 @@ _DEMOTED_TAIL = [
     "orders_1996_iceberg_pruned",
     "game_user_cdc_e2e_iceberg_v1up",
     "game_user_cdc_e2e_delta_evolve",
+    # r17 addition: game_user_cdc_e2e_iceberg_v3dv (Iceberg
+    # FORMAT-VERSION 3 — upgrade_iceberg_v2_to_v3, CDC batches as
+    # Puffin DELETION VECTORS with the union/supersession rule pinned
+    # in-gate, row-lineage-assigned appends; same oracle as the other
+    # e2e twins). Registered in the TAIL first (the emb_top_pairs
+    # pattern; oracle runs in pytest via test_oracle_parity every
+    # session); rotate into a recorded slot in r18.
+    "game_user_cdc_e2e_iceberg_v3dv",
 ]
 
 _DRIVER_SLOTS = 50

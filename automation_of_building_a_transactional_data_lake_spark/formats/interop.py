@@ -824,19 +824,27 @@ def _roaring32_encode(values: list[int]) -> bytes:
     return head + offs + b"".join(bodies)
 
 
-def _dv_serialize(positions: list[int]) -> bytes:
-    """Delta DV blob: magic int32 LE + 64-bit portable roaring over the
-    sorted, deduplicated row positions."""
+def _roaring64_serialize(positions: list[int]) -> bytes:
+    """The 64-bit portable RoaringBitmap layout over the sorted,
+    deduplicated row positions — the vector serialization Delta DVs
+    and Iceberg v3 deletion vectors share (int64 LE bucket count, per
+    bucket a uint32 LE high key + one 32-bit portable bitmap)."""
     uniq = sorted(set(positions))
     if uniq and (uniq[0] < 0 or uniq[-1] >= 1 << 64):
         raise ValueError("DV positions must be uint64 row indexes")
     by_high: dict[int, list[int]] = {}
     for p in uniq:
         by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
-    out = struct.pack("<i", _DV_MAGIC) + struct.pack("<q", len(by_high))
+    out = struct.pack("<q", len(by_high))
     for h in sorted(by_high):
         out += struct.pack("<I", h) + _roaring32_encode(by_high[h])
     return out
+
+
+def _dv_serialize(positions: list[int]) -> bytes:
+    """Delta DV blob: magic int32 LE + the shared 64-bit portable
+    roaring vector."""
+    return struct.pack("<i", _DV_MAGIC) + _roaring64_serialize(positions)
 
 
 def _delta_write_dvs(
@@ -3651,8 +3659,11 @@ def binpack_iceberg(
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "binpack on a format-version 1 Iceberg table is not "
-            "supported; run upgrade_iceberg_v1_to_v2 first"
+            f"binpack on a format-version {meta.get('format-version', 1)} "
+            "Iceberg table is not supported (v2 only; v1: run "
+            "upgrade_iceberg_v1_to_v2 first — v3 writes, which must "
+            "maintain deletion vectors and row lineage, are not "
+            "implemented)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -3878,8 +3889,10 @@ def truncate_iceberg(table_path: str) -> tuple[int, int | None]:
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "TRUNCATE on a format-version 1 Iceberg table is not "
-            "supported; run upgrade_iceberg_v1_to_v2 first"
+            f"TRUNCATE on a format-version {meta.get('format-version', 1)} "
+            "Iceberg table is not supported (v2 only; v1: run "
+            "upgrade_iceberg_v1_to_v2 first; v3 writes are not "
+            "implemented)"
         )
     cur_schema = next(
         s for s in meta.get("schemas", [])
@@ -7974,14 +7987,17 @@ def _ice_collect_deletes(
 ) -> tuple[list[str], list[tuple[str, int, tuple[int, ...]]]]:
     """Walk the snapshot's DELETE manifests and collect the live
     row-level delete files: (position delete paths, [(path, delete
-    sequence number, equality_ids)] for equality deletes). An entry
-    with a null sequence number inherits its manifest's (v2
-    inheritance). Shared by ``read_iceberg`` and the predicate-DML
-    rewrite (late-r14, the live-delete fence lift)."""
+    sequence number, equality_ids)] for equality deletes, [(referenced
+    data file, puffin path, content offset, content size)] for v3
+    DELETION VECTORS). An entry with a null sequence number inherits
+    its manifest's (v2 inheritance). Shared by ``read_iceberg`` and
+    the predicate-DML rewrite (late-r14, the live-delete fence
+    lift)."""
     from .avro_lite import read_avro_file
 
     pos_delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    dvs: list[tuple[str, str, int, int]] = []
     for mpath, mseq in delete_manifests:
         _schema, entries = read_avro_file(_iceberg_local_path(mpath, table_path))
         for e in entries:
@@ -7990,9 +8006,35 @@ def _ice_collect_deletes(
             df_rec = e["data_file"]
             content = df_rec.get("content", 1)
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            if fmt == "PUFFIN":
+                # r17: an Iceberg v3 DELETION VECTOR — content=1 with
+                # the blob's location inside the Puffin file. The v3
+                # spec requires all three reference fields; a DV entry
+                # missing them cannot be applied and must not be
+                # silently skipped.
+                ref = df_rec.get("referenced_data_file")
+                off = df_rec.get("content_offset")
+                sz = df_rec.get("content_size_in_bytes")
+                if content != 1 or ref is None or off is None or sz is None:
+                    raise ValueError(
+                        f"Puffin delete entry {df_rec.get('file_path')!r} "
+                        "lacks referenced_data_file/content_offset/"
+                        "content_size_in_bytes (or is not content=1) — "
+                        "not a valid v3 deletion vector"
+                    )
+                dvs.append(
+                    (
+                        _iceberg_local_path(str(ref), table_path),
+                        _iceberg_local_path(df_rec["file_path"], table_path),
+                        int(off),
+                        int(sz),
+                    )
+                )
+                continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"Iceberg {fmt} delete files are not supported (parquet only)"
+                    f"Iceberg {fmt} delete files are not supported "
+                    "(parquet and puffin DVs only)"
                 )
             dpath = _iceberg_local_path(df_rec["file_path"], table_path)
             eseq = e.get("sequence_number")
@@ -8011,7 +8053,7 @@ def _ice_collect_deletes(
                     f"delete manifest entry with content={content} "
                     "(expected 1 = position or 2 = equality deletes)"
                 )
-    return pos_delete_files, eq_deletes
+    return pos_delete_files, eq_deletes, dvs
 
 
 def _ice_avro_rows_frame(
@@ -8205,6 +8247,8 @@ def _ice_scan_with_deletes(
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     schema,
     keep_path: bool = False,
+    dvs: list[tuple[str, str, int, int]] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Scan live Iceberg data files (``(path, data sequence number[,
     file format])`` tuples; format defaults to PARQUET) applying v2
@@ -8219,7 +8263,17 @@ def _ice_scan_with_deletes(
     ``spark.read.orc`` in the same delete-aware plan; POSITION deletes
     over ORC rows (r17 — r16 verdict #4) attribute via
     ``_ice_orc_pos_frame`` (native scan + per-split row ordinals),
-    since Spark's ORC ``_metadata`` carries no ``row_index``."""
+    since Spark's ORC ``_metadata`` carries no ``row_index``.
+
+    ``dvs`` (r17): Iceberg v3 DELETION VECTORS — ``(referenced data
+    file, puffin path, content offset, content size)`` tuples. Each
+    decodes driver-side (O(DV bytes), the same class as the Delta DV
+    path) into (file, position) pairs that anti-join alongside the v2
+    position deletes; per the v3 spec a DV applies to its referenced
+    file regardless of sequence numbers (writers must maintain DVs on
+    rewrite). ``keep_pos=True`` additionally retains ``__ri`` (the
+    row's ordinal in its file) so DV writers can name surviving
+    positions."""
     fmt_of: dict[str, str] = {}
     norm_files: list[tuple[str, int]] = []
     for t in files:
@@ -8239,7 +8293,7 @@ def _ice_scan_with_deletes(
                     _ice_avro_rows_frame(spark, fpaths, schema, with_meta)
                 )
                 continue
-            if fmt == "ORC" and with_meta and pos_delete_files:
+            if fmt == "ORC" and with_meta and need_pos:
                 # r17 (r16 verdict #4): ORC rows get file ordinals from
                 # the two-pass split-counter frame — Spark's ORC
                 # _metadata has no row_index to attribute positions.
@@ -8254,7 +8308,7 @@ def _ice_scan_with_deletes(
                     "*",
                     _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
                 ]
-                if pos_delete_files:
+                if need_pos:
                     cols.append(F.col("_metadata.row_index").alias("__ri"))
                 else:
                     # keep_path-only callers never consume __ri, but the
@@ -8267,7 +8321,8 @@ def _ice_scan_with_deletes(
             df = df.unionByName(d)
         return df
 
-    need_meta = bool(pos_delete_files) or keep_path
+    need_pos = bool(pos_delete_files) or bool(dvs) or keep_pos
+    need_meta = need_pos or keep_path
     if not eq_deletes:
         df = _scan([p for p, _s in files], need_meta)
     else:
@@ -8347,9 +8402,31 @@ def _ice_scan_with_deletes(
         df = df.join(
             _delete_side(dels, pos_delete_files), ["__fp", "__ri"], "left_anti"
         )
+
+    if dvs:
+        # v3 deletion vectors: decode each referenced file's blob
+        # driver-side (O(DV bytes)) and anti-join the (file, position)
+        # pairs — the Delta DV path's exact economics, shared codec.
+        from . import puffin as _puffin
+
+        pairs: list[tuple[str, int]] = []
+        dv_bytes = 0
+        for ref, ppath, off, sz in dvs:
+            fp = os.path.abspath(ref)
+            dv_bytes += sz
+            for pos in _puffin.read_dv_blob(ppath, off, sz):
+                pairs.append((fp, pos))
+        dv_df = spark.createDataFrame(pairs, "__fp string, __ri long")
+        df = df.join(
+            _delete_side(dv_df, [], extra_bytes=dv_bytes),
+            ["__fp", "__ri"], "left_anti",
+        )
+
     drop = [
         c for c in ("__fp", "__ri")
-        if c in df.columns and not (keep_path and c == "__fp")
+        if c in df.columns
+        and not (keep_path and c == "__fp")
+        and not (keep_pos and c == "__ri")
     ]
     if drop:
         df = df.drop(*drop)
@@ -8513,7 +8590,7 @@ def read_iceberg(
             "files and the metadata carries no schema"
         )
 
-    pos_delete_files, eq_deletes = _ice_collect_deletes(
+    pos_delete_files, eq_deletes, dvs = _ice_collect_deletes(
         table_path, delete_manifests
     )
 
@@ -8523,7 +8600,8 @@ def read_iceberg(
     # resolution — field-id renames are not re-mapped (documented).
     schema = _iceberg_table_schema(meta)
     df = _ice_scan_with_deletes(
-        spark, meta, table_path, files, pos_delete_files, eq_deletes, schema
+        spark, meta, table_path, files, pos_delete_files, eq_deletes, schema,
+        dvs=dvs,
     )
     # Residual ROW filter: pruning kept a superset of files; the
     # predicates themselves make the result exact.
@@ -9627,10 +9705,18 @@ def _ice_add_data_manifest(
     )
 
 
-def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
+def _ice_manifest_schemas(
+    part_fields: list[dict], v3: bool = False
+) -> tuple[dict, dict]:
     """(manifest_entry schema, manifest_file schema) — the Iceberg v2
     Avro shapes with spec field-ids, partition record typed per the
-    table's identity sources."""
+    table's identity sources. ``v3=True`` (r17) adds the
+    format-version-3 data_file fields: row-lineage ``first_row_id``
+    (field-id 142) and the deletion-vector reference triple
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` (143/144/145) — all nullable, so v2-era
+    entries carried through a v3 rewrite re-serialize cleanly (absent
+    keys encode as null)."""
     r102_fields = [
         {
             "name": pf["name"],
@@ -9700,6 +9786,20 @@ def _ice_manifest_schemas(part_fields: list[dict]) -> tuple[dict, dict]:
                                    ]}}]},
                 ]}},
         ]}
+    if v3:
+        entry_schema["fields"][-1]["type"]["fields"].extend(
+            [
+                {"name": "first_row_id", "type": ["null", "long"],
+                 "default": None, "field-id": 142},
+                {"name": "referenced_data_file",
+                 "type": ["null", "string"], "default": None,
+                 "field-id": 143},
+                {"name": "content_offset", "type": ["null", "long"],
+                 "default": None, "field-id": 144},
+                {"name": "content_size_in_bytes", "type": ["null", "long"],
+                 "default": None, "field-id": 145},
+            ]
+        )
     mlist_schema = {
         "type": "record", "name": "manifest_file", "fields": [
             {"name": "manifest_path", "type": "string", "field-id": 500},
@@ -10407,6 +10507,81 @@ def upgrade_iceberg_v1_to_v2(table_path: str) -> int:
     return version
 
 
+def upgrade_iceberg_v2_to_v3(table_path: str) -> int:
+    """Upgrade a format-version 2 Iceberg table to v3 with ONE
+    metadata-only commit (r17 — the native ``ALTER TABLE ... SET
+    TBLPROPERTIES ('format-version'='3')``). After it, the v3 write
+    surface here works: ``write_iceberg`` append/overwrite assigns
+    row-lineage ``first_row_id`` to new data files, and
+    ``write_iceberg_deletion_vectors`` retires rows via Puffin DVs.
+
+    Guards (spec "Version changes"): a v3 table must not carry v2
+    POSITION-delete parquet in its current snapshot — the native
+    upgrade rewrites them to DVs first; here the table refuses with
+    the same remedy (``compact_iceberg`` folds them away). Equality
+    deletes remain legal in v3 and carry through. Row lineage:
+    ``next-row-id`` initializes to 0 — pre-upgrade data files keep
+    null ``first_row_id`` (their rows have unknown lineage, per the
+    spec's upgrade rule); rows added after the upgrade get real ids.
+    Idempotent on an already-v3 table. Returns the new metadata
+    version number."""
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    fv = int(meta.get("format-version", 1))
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
+    cur_version = int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
+    if fv == 3:
+        return cur_version
+    if fv != 2:
+        raise NotImplementedError(
+            f"cannot upgrade format-version {fv} to 3 (v2 -> v3 only; "
+            "run upgrade_iceberg_v1_to_v2 first)"
+        )
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid not in (None, -1) and sid in snaps:
+        from .avro_lite import read_avro_file
+
+        _s, mlist_records = read_avro_file(
+            _iceberg_local_path(snaps[sid]["manifest-list"], table_path)
+        )
+        delete_manifests = [
+            (r["manifest_path"], int(r.get("sequence_number") or 0))
+            for r in mlist_records
+            if r.get("content", 0) != 0
+        ]
+        pos_files, _eq, _dvs = _ice_collect_deletes(
+            table_path, delete_manifests
+        )
+        if pos_files:
+            raise ValueError(
+                f"cannot upgrade to v3: the current snapshot carries "
+                f"{len(pos_files)} v2 position-delete parquet file(s), "
+                "which v3 forbids — run compact_iceberg first to fold "
+                "them away"
+            )
+    mdir = os.path.join(table_path, "metadata")
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["next-row-id"] = int(meta.get("next-row-id", 0))
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {"timestamp-ms": now_ms, "metadata-file": f"metadata/{chosen}"}
+    ]
+    version = cur_version + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+    except Exception:
+        os.unlink(meta_path)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w", encoding="ascii") as f:
+        f.write(str(version))
+    return version
+
+
 def alter_iceberg_table(
     table_path: str,
     add_columns: list[tuple[str, str]] | None = None,
@@ -10440,9 +10615,10 @@ def alter_iceberg_table(
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "ALTER TABLE on a format-version 1 Iceberg table is not "
-            "supported; run upgrade_iceberg_v1_to_v2 first — a "
-            "metadata-only commit"
+            f"ALTER TABLE on a format-version {meta.get('format-version', 1)} "
+            "Iceberg table is not supported (v2 only; v1: run "
+            "upgrade_iceberg_v1_to_v2 first — a metadata-only commit; "
+            "v3 writes are not implemented)"
         )
     cur_schema = next(
         s for s in meta.get("schemas", [])
@@ -10616,8 +10792,10 @@ def evolve_iceberg_partition_spec(
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "partition spec evolution on a format-version 1 Iceberg "
-            "table is not supported; run upgrade_iceberg_v1_to_v2 first"
+            f"partition spec evolution on a format-version "
+            f"{meta.get('format-version', 1)} Iceberg table is not "
+            "supported (v2 only; v1: run upgrade_iceberg_v1_to_v2 "
+            "first; v3 writes are not implemented)"
         )
     cur_schema = next(
         (
@@ -10803,13 +10981,20 @@ def write_iceberg(
 
     now_ms = int(time.time() * 1000)
     prev_mlist_records: list[dict] = []
+    table_fv = 2
+    next_row_id = 0
     if exists:
         chosen, meta = _iceberg_current_metadata_named(table_path)
-        if int(meta.get("format-version", 1)) != 2:
+        table_fv = int(meta.get("format-version", 1))
+        if table_fv not in (2, 3):
             raise NotImplementedError(
-                "appending to a format-version 1 Iceberg table is not "
-                "supported (this writer commits v2 metadata)"
+                f"appending to a format-version {table_fv} Iceberg table "
+                "is not supported (v2 and v3 only; v1: run "
+                "upgrade_iceberg_v1_to_v2 first)"
             )
+        # v3 (r17): new data files get row-lineage first_row_id
+        # assigned from the table's next-row-id counter.
+        next_row_id = int(meta.get("next-row-id", 0))
         cur_schema = None
         for s in meta.get("schemas", []):
             if s.get("schema-id") == meta.get("current-schema-id"):
@@ -10924,30 +11109,35 @@ def write_iceberg(
     snapshot_id = uuid.uuid4().int >> 65  # 63-bit positive long
     seq = last_seq + 1
 
-    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    entry_schema, mlist_schema = _ice_manifest_schemas(
+        part_fields, v3=table_fv == 3
+    )
     entries = []
     added_rows = 0
     for apath, pv, nrec, size, bounds in staged:
-        added_rows += nrec
         lowers, uppers, nulls = bounds
+        dfile = {
+            "content": 0,
+            "file_path": f"file://{apath}",
+            "file_format": file_format.upper(),
+            "partition": {
+                pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
+                for pf in part_fields
+            },
+            "record_count": nrec,
+            "file_size_in_bytes": size,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+            "null_value_counts": nulls or None,
+        }
+        if table_fv == 3:
+            dfile["first_row_id"] = next_row_id + added_rows
+        added_rows += nrec
         entries.append(
             {
                 "status": 1, "snapshot_id": snapshot_id,
                 "sequence_number": seq, "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"file://{apath}",
-                    "file_format": file_format.upper(),
-                    "partition": {
-                        pf["name"]: _ice_part_value(pf["ice_type"], pv.get(pf["name"]))
-                        for pf in part_fields
-                    },
-                    "record_count": nrec,
-                    "file_size_in_bytes": size,
-                    "lower_bounds": lowers or None,
-                    "upper_bounds": uppers or None,
-                    "null_value_counts": nulls or None,
-                },
+                "data_file": dfile,
             }
         )
     from .avro_lite import write_avro_file
@@ -10961,7 +11151,7 @@ def write_iceberg(
             "schema-id": str(ice_schema.get("schema-id", 0)).encode("utf-8"),
             "partition-spec": json.dumps(spec_fields).encode("utf-8"),
             "partition-spec-id": str(cur_spec_id).encode("ascii"),
-            "format-version": b"2",
+            "format-version": str(table_fv).encode("ascii"),
             "content": b"data",
         },
     )
@@ -11026,7 +11216,7 @@ def write_iceberg(
                     ),
                     "partition-spec": json.dumps(spec_fields).encode("utf-8"),
                     "partition-spec-id": str(cur_spec_id).encode("ascii"),
-                    "format-version": b"2",
+                    "format-version": str(table_fv).encode("ascii"),
                     "content": b"data",
                 },
             )
@@ -11099,6 +11289,8 @@ def write_iceberg(
         },
         "schema-id": (carry or {}).get("current-schema-id", 0),
     }
+    if table_fv == 3:
+        snap["first-row-id"] = next_row_id
     if parent_id is not None:
         snap["parent-snapshot-id"] = parent_id
     registry = carry or {
@@ -11130,12 +11322,13 @@ def write_iceberg(
             ]
         )
     new_meta = {
-        "format-version": 2,
+        "format-version": table_fv,
         "table-uuid": table_uuid,
         "location": location,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
+        **({"next-row-id": next_row_id + added_rows} if table_fv == 3 else {}),
         **registry,
         "current-snapshot-id": snapshot_id,
         # Overwrite keeps prior snapshots listed: their manifest lists
@@ -11351,8 +11544,8 @@ def _ice_snapshot_files_and_deletes(
                 int(eseq) if eseq is not None else mseqs.get(mpath, 0),
                 fmt,
             )
-    pos_files, eq_dels = _ice_collect_deletes(table_path, delete_manifests)
-    return files, pos_files, eq_dels
+    pos_files, eq_dels, dvs = _ice_collect_deletes(table_path, delete_manifests)
+    return files, pos_files, eq_dels, dvs
 
 
 def read_iceberg_changelog(
@@ -11392,9 +11585,11 @@ def read_iceberg_changelog(
     number). Plan width grows with the range length — changelog
     consumers read bounded ranges, exactly like the native procedure."""
     chosen, meta = _iceberg_current_metadata_named(table_path)
-    if int(meta.get("format-version", 1)) != 2:
+    # v3 is readable here too (r17): deletion vectors thread through
+    # the same named-target diff the v2 position deletes use.
+    if int(meta.get("format-version", 1)) not in (2, 3):
         raise NotImplementedError(
-            "changelog scan needs a format-version 2 table"
+            "changelog scan needs a format-version 2 or 3 table"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -11443,20 +11638,25 @@ def read_iceberg_changelog(
         prev_files: dict[str, tuple[int, str]] = {}
         prev_pos: list[str] = []
         prev_eq: list[tuple] = []
+        prev_dvs: list[tuple[str, str, int, int]] = []
     else:
-        prev_files, prev_pos, prev_eq = _ice_snapshot_files_and_deletes(
-            table_path, meta, int(from_snapshot_id)
+        prev_files, prev_pos, prev_eq, prev_dvs = (
+            _ice_snapshot_files_and_deletes(
+                table_path, meta, int(from_snapshot_id)
+            )
         )
     parts: list[DataFrame] = []
     ordinal = 0
     for sid in chain:
         op = (snaps[sid].get("summary") or {}).get("operation", "append")
-        cur_files, cur_pos, cur_eq = _ice_snapshot_files_and_deletes(
+        cur_files, cur_pos, cur_eq, cur_dvs = _ice_snapshot_files_and_deletes(
             table_path, meta, sid
         )
         if op == "replace":
             # Layout-only: content provably identical, nothing to emit.
-            prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+            prev_files, prev_pos, prev_eq, prev_dvs = (
+                cur_files, cur_pos, cur_eq, cur_dvs
+            )
             continue
         ordinal += 1
         added = [
@@ -11472,7 +11672,7 @@ def read_iceberg_changelog(
                 _stamp(
                     _ice_scan_with_deletes(
                         spark, meta, table_path, added, cur_pos, cur_eq,
-                        schema,
+                        schema, dvs=cur_dvs,
                     ),
                     "insert", sid, ordinal,
                 )
@@ -11482,18 +11682,21 @@ def read_iceberg_changelog(
                 _stamp(
                     _ice_scan_with_deletes(
                         spark, meta, table_path, removed, prev_pos, prev_eq,
-                        schema,
+                        schema, dvs=prev_dvs,
                     ),
                     "delete", sid, ordinal,
                 )
             )
         prev_pos_set, prev_eq_set = set(prev_pos), set(prev_eq)
+        prev_dv_set = set(prev_dvs)
         new_pos = [p for p in cur_pos if p not in prev_pos_set]
         new_eq = [d for d in cur_eq if d not in prev_eq_set]
-        if new_pos or new_eq:
+        new_dvs = [d for d in cur_dvs if d not in prev_dv_set]
+        if new_pos or new_eq or new_dvs:
             # Surviving files a NEW delete can apply to: position
-            # deletes name their target paths; equality deletes apply
-            # to data sequence numbers strictly below theirs.
+            # deletes and v3 DVs name their target paths; equality
+            # deletes apply to data sequence numbers strictly below
+            # theirs.
             named: set[str] = set()
             if new_pos:
                 pos_pairs = spark.read.parquet(*new_pos).select(
@@ -11503,6 +11706,7 @@ def read_iceberg_changelog(
                     os.path.abspath(r.p)
                     for r in pos_pairs.distinct().collect()
                 }
+            named |= {os.path.abspath(ref) for ref, _p, _o, _s in new_dvs}
             max_eq_seq = max((s for _p, s, _i in new_eq), default=0)
             affected = [
                 (p, s, f)
@@ -11512,14 +11716,16 @@ def read_iceberg_changelog(
             if affected:
                 was = _ice_scan_with_deletes(
                     spark, meta, table_path, affected, prev_pos, prev_eq,
-                    schema,
+                    schema, dvs=prev_dvs,
                 )
                 now = _ice_scan_with_deletes(
                     spark, meta, table_path, affected, cur_pos, cur_eq,
-                    schema,
+                    schema, dvs=cur_dvs,
                 )
                 parts.append(_stamp(was.exceptAll(now), "delete", sid, ordinal))
-        prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+        prev_files, prev_pos, prev_eq, prev_dvs = (
+            cur_files, cur_pos, cur_eq, cur_dvs
+        )
     if not parts:
         empty = spark.createDataFrame([], schema)
         return _stamp(empty, "insert", to_sid or 0, 0).filter(F.lit(False))
@@ -11687,6 +11893,271 @@ def write_iceberg_equality_deletes(
     )
 
 
+def write_iceberg_deletion_vectors(
+    source: DataFrame,
+    table_path: str,
+    keys: list[str] | str,
+    max_positions: int = 2_000_000,
+) -> int:
+    """Keyed DELETE into a REAL Iceberg format-version 3 table via
+    PUFFIN DELETION VECTORS (r17) — the v3 successor of the v2
+    merge-on-read position-delete commit: live rows whose key columns
+    match the source die by having their (file, position) marked in a
+    roaring bitmap; no data file is touched, O(matched rows) bytes
+    land per commit.
+
+    Spec conformance (Iceberg v3 "Deletion vectors"): one Puffin file
+    per commit holds one ``deletion-vector-v1`` blob per affected data
+    file; each blob's manifest entry records ``referenced_data_file``
+    / ``content_offset`` / ``content_size_in_bytes``. The SUPERSESSION
+    rule is honored: a data file already carrying a DV gets a NEW blob
+    holding the UNION of old and new positions, and the old DV's
+    manifest entry retires status-2 in a rewritten delete manifest —
+    a native reader never sees two DVs for one file. Equality deletes
+    (still legal in v3) carry forward untouched and are APPLIED to the
+    matching scan, so a row they already killed cannot re-die. Row
+    lineage: the commit assigns ``first-row-id`` = ``next-row-id``
+    (unchanged — no rows added).
+
+    Scale: the matched (file, position) set is LIMIT-bounded at
+    ``max_positions`` before the driver-side collect (the Delta DV
+    writer's budget); past it the commit refuses rather than
+    accumulating an unbounded driver list — compact first or raise the
+    budget. Partitioned tables refuse for now (a DV entry must carry
+    its referenced file's partition record). Keys matching nothing
+    commit nothing (returns the standing snapshot id)."""
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    if not key_cols:
+        raise ValueError("keys must name at least one column")
+    spark = source.sparkSession
+    from . import puffin as _puffin
+    from .avro_lite import read_avro_file, write_avro_file
+
+    chosen, meta = _iceberg_current_metadata_named(table_path)
+    if int(meta.get("format-version", 1)) != 3:
+        raise NotImplementedError(
+            "deletion vectors demand an Iceberg format-version 3 table; "
+            "run upgrade_iceberg_v2_to_v3 first (v2 tables take the "
+            "same deletes as merge_iceberg position deletes)"
+        )
+    cur_schema = next(
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
+    )
+    known = {f["name"] for f in cur_schema["fields"]}
+    unknown = [k for k in key_cols if k not in known]
+    if unknown:
+        raise ValueError(f"keys {unknown} are not table columns")
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id")
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise NotImplementedError(
+            "deletion-vector writes on a PARTITIONED Iceberg table are "
+            "not supported yet (each DV entry must carry its referenced "
+            "file's partition record); use the native engine"
+        )
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid in (None, -1) or sid not in snaps:
+        raise FileNotFoundError(f"Iceberg table at {table_path} has no snapshot")
+    _s, mlist_records = read_avro_file(
+        _iceberg_local_path(snaps[sid]["manifest-list"], table_path)
+    )
+    files, pos_files, eq_dels, dvs = _ice_snapshot_files_and_deletes(
+        table_path, meta, sid
+    )
+    if pos_files:
+        raise ValueError(
+            "v3 table carries v2 position-delete parquet — invalid per "
+            "the v3 spec; rewrite with the native engine"
+        )
+    if not files:
+        return sid
+    schema = _iceberg_table_schema(meta)
+    scan = _ice_scan_with_deletes(
+        spark, meta, table_path,
+        [(p, s, f) for p, (s, f) in sorted(files.items())],
+        [], eq_dels, schema, keep_path=True, dvs=dvs, keep_pos=True,
+    )
+    keys_side, keys_pin = _pin_gated(source.select(*key_cols).distinct())
+    try:
+        matched = (
+            scan.join(keys_side, key_cols, "left_semi")
+            .select("__fp", "__ri")
+            .limit(max_positions + 1)
+            .collect()
+        )
+    finally:
+        keys_pin.unpersist()
+    if len(matched) > max_positions:
+        raise ValueError(
+            f"DV commit would mark more than max_positions="
+            f"{max_positions} rows driver-side; compact the table or "
+            "raise the budget"
+        )
+    if not matched:
+        return sid
+    by_file: dict[str, list[int]] = {}
+    for r in matched:
+        by_file.setdefault(os.path.abspath(r["__fp"]), []).append(int(r["__ri"]))
+
+    # Supersession: union with each affected file's existing DV and
+    # retire the old entry.
+    dv_by_ref = {os.path.abspath(ref): (pp, off, sz) for ref, pp, off, sz in dvs}
+    superseded: set[str] = set()
+    for fp in list(by_file):
+        if fp in dv_by_ref:
+            pp, off, sz = dv_by_ref[fp]
+            by_file[fp] = sorted(
+                set(by_file[fp]) | set(_puffin.read_dv_blob(pp, off, sz))
+            )
+            superseded.add(fp)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int >> 65
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    next_row_id = int(meta.get("next-row-id", 0))
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    ppath_new = os.path.join(ddir, f"{uuid.uuid4().hex}-dv.puffin")
+    refs = _puffin.write_puffin_dvs(
+        ppath_new,
+        {f"file://{fp}": pos for fp, pos in by_file.items()},
+        snapshot_id=snapshot_id, sequence_number=seq,
+    )
+    psize = os.path.getsize(ppath_new)
+    spec_fields = spec.get("fields", [])
+    cur_spec_id = int(meta.get("default-spec-id") or 0)
+    entry_schema, mlist_schema = _ice_manifest_schemas([], v3=True)
+    new_positions = sum(len(v) for v in by_file.values())
+    del_entries = [
+        {
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 1, "file_path": f"file://{ppath_new}",
+                "file_format": "PUFFIN", "partition": {},
+                "record_count": card, "file_size_in_bytes": psize,
+                "referenced_data_file": ref,
+                "content_offset": off, "content_size_in_bytes": sz,
+            },
+        }
+        for ref, (off, sz, card) in sorted(refs.items())
+    ]
+    mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0dv.avro")
+    write_avro_file(
+        mpath, entry_schema, del_entries,
+        extra_meta=_ice_data_manifest_meta(
+            cur_schema, spec_fields, b"deletes", cur_spec_id
+        ),
+    )
+    new_mlist = [
+        {
+            "manifest_path": f"file://{mpath}",
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": cur_spec_id, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(del_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": new_positions,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }
+    ]
+    removed_dvs = 0
+    for r in mlist_records:
+        if int(r.get("content", 0) or 0) != 1 or not superseded:
+            new_mlist.append(_mlist_carry(r))
+            continue
+        # Delete manifest: rewrite if it holds a superseded DV entry.
+        local = _iceberg_local_path(r["manifest_path"], table_path)
+        _es, entries = read_avro_file(local)
+        mseq = int(r.get("sequence_number") or 0)
+        hit = False
+        out_entries = []
+        kept_rows = 0
+        dead_rows = 0
+        for e in entries:
+            dfr = e["data_file"]
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else mseq
+            is_sup = (
+                e.get("status", 1) != 2
+                and str(dfr.get("file_format", "")).upper() == "PUFFIN"
+                and dfr.get("referenced_data_file") is not None
+                and os.path.abspath(
+                    _iceberg_local_path(
+                        str(dfr["referenced_data_file"]), table_path
+                    )
+                ) in superseded
+            )
+            status = 2 if is_sup else (0 if e.get("status", 1) != 2 else 2)
+            if is_sup:
+                hit = True
+                removed_dvs += 1
+                dead_rows += int(dfr.get("record_count", 0) or 0)
+            elif status == 0:
+                kept_rows += int(dfr.get("record_count", 0) or 0)
+            out_entries.append(
+                {
+                    "status": status, "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": eseq, "file_sequence_number": eseq,
+                    "data_file": dfr,
+                }
+            )
+        if not hit:
+            new_mlist.append(_mlist_carry(r))
+            continue
+        rpath = os.path.join(mdir, f"{uuid.uuid4().hex}-mdvrw.avro")
+        write_avro_file(
+            rpath, entry_schema, out_entries,
+            extra_meta=_ice_data_manifest_meta(
+                cur_schema, spec_fields, b"deletes", cur_spec_id
+            ),
+        )
+        new_mlist.append(
+            {
+                "manifest_path": f"file://{rpath}",
+                "manifest_length": os.path.getsize(rpath),
+                "partition_spec_id": int(r.get("partition_spec_id") or 0),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    int(e["sequence_number"]) for e in out_entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": sum(
+                    1 for e in out_entries if e["status"] == 0
+                ),
+                "deleted_files_count": sum(
+                    1 for e in out_entries if e["status"] == 2
+                ),
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": dead_rows,
+            }
+        )
+    summary = {
+        "operation": "delete",
+        "added-dvs": str(len(del_entries)),
+        "removed-dvs": str(removed_dvs),
+        "added-position-deletes": str(new_positions),
+    }
+    return _ice_commit_snapshot(
+        table_path, chosen, meta, mlist_schema, new_mlist,
+        snapshot_id, sid, seq, now_ms, summary,
+        extra_snapshot={"first-row-id": next_row_id},
+        meta_updates={"next-row-id": next_row_id},
+    )
+
+
 def merge_iceberg(
     source: DataFrame,
     table_path: str,
@@ -11762,9 +12233,11 @@ def merge_iceberg(
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "merge into a format-version 1 Iceberg table is not "
-            "supported; run upgrade_iceberg_v1_to_v2 first — a "
-            "metadata-only commit"
+            f"merge into a format-version {meta.get('format-version', 1)} "
+            "Iceberg table is not supported (v2 only; v1: run "
+            "upgrade_iceberg_v1_to_v2 first — a metadata-only commit; "
+            "v3 writes, which must maintain deletion vectors and row "
+            "lineage, are not implemented)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -12280,10 +12753,15 @@ def _ice_commit_snapshot(
     seq: int,
     now_ms: int,
     summary: dict,
+    extra_snapshot: dict | None = None,
+    meta_updates: dict | None = None,
 ) -> int:
     """Write the manifest list, append the snapshot, and commit the
     next metadata JSON (O_EXCL; version-hint updated last) — the
-    shared tail of every snapshot-producing Iceberg write here."""
+    shared tail of every snapshot-producing Iceberg write here.
+    ``extra_snapshot`` merges extra keys into the snapshot record
+    (v3 ``first-row-id``); ``meta_updates`` into the table metadata
+    (v3 ``next-row-id``)."""
     from .avro_lite import write_avro_file
 
     mdir = os.path.join(table_path, "metadata")
@@ -12300,10 +12778,12 @@ def _ice_commit_snapshot(
         # The snapshot pins the schema it was written under — after an
         # evolve=True merge that is the freshly-committed schema.
         "schema-id": int(meta.get("current-schema-id", 0)),
+        **(extra_snapshot or {}),
     }
     m = re.fullmatch(r"v(\d+)\.metadata\.json", chosen)
     prev_version = int(m.group(1)) if m else 1 + len(meta.get("metadata-log", []))
     new_meta = dict(meta)
+    new_meta.update(meta_updates or {})
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
@@ -12350,9 +12830,10 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "compaction of a format-version 1 Iceberg table is not "
-            "supported; run upgrade_iceberg_v1_to_v2 first — a "
-            "metadata-only commit"
+            f"compaction of a format-version {meta.get('format-version', 1)} "
+            "Iceberg table is not supported (v2 only; v1: run "
+            "upgrade_iceberg_v1_to_v2 first — a metadata-only commit; "
+            "v3 writes are not implemented)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -12543,8 +13024,10 @@ def _ice_rewrite_where(
     if int(meta.get("format-version", 1)) != 2:
         op_name = "UPDATE" if assigns is not None else "DELETE"
         raise NotImplementedError(
-            f"predicate {op_name} on a format-version 1 Iceberg table "
-            "is not supported; run upgrade_iceberg_v1_to_v2 first"
+            f"predicate {op_name} on a format-version "
+            f"{meta.get('format-version', 1)} Iceberg table is not "
+            "supported (v2 only; v1: run upgrade_iceberg_v1_to_v2 "
+            "first; v3 writes are not implemented)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -12586,13 +13069,23 @@ def _ice_rewrite_where(
     # (late-r14, the fence lift): the rewrite's survivors are the
     # post-delete live rows, and the new data files commit at a higher
     # sequence number than every existing delete, so none re-applies.
-    pos_delete_files, eq_deletes = _ice_collect_deletes(
+    pos_delete_files, eq_deletes, dml_dvs = _ice_collect_deletes(
         table_path,
         [
             (r["manifest_path"], int(r.get("sequence_number") or 0))
             for r in delete_recs
         ],
     )
+    if dml_dvs:
+        # Unreachable through the public surface (every write path
+        # gates on format-version 2, and v2 tables cannot carry DVs) —
+        # but a rewrite that silently dropped a DV would resurrect its
+        # rows, so the guard is loud rather than assumed.
+        raise NotImplementedError(
+            "predicate DML on an Iceberg table carrying v3 deletion "
+            "vectors is not supported (reads are; rewrite with the "
+            "native engine first)"
+        )
 
     plan = (
         _ice_prune_plan(
@@ -12800,8 +13293,10 @@ def rewrite_iceberg_manifests(table_path: str) -> tuple[int | None, dict]:
     chosen, meta = _iceberg_current_metadata_named(table_path)
     if int(meta.get("format-version", 1)) != 2:
         raise NotImplementedError(
-            "manifest rewrite on a format-version 1 Iceberg table is "
-            "not supported; run upgrade_iceberg_v1_to_v2 first"
+            f"manifest rewrite on a format-version "
+            f"{meta.get('format-version', 1)} Iceberg table is not "
+            "supported (v2 only; v1: run upgrade_iceberg_v1_to_v2 "
+            "first; v3 writes are not implemented)"
         )
     cur_schema = next(
         s for s in meta.get("schemas", [])

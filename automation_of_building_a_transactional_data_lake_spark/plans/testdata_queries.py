@@ -2405,6 +2405,56 @@ def _game_user_e2e_foreign(spark: SparkSession, fmt: str) -> DataFrame:
                 "iceberg_mor e2e expected position-delete files"
             )
         final = interop.read_iceberg(spark, path)
+    elif fmt == "iceberg_v3dv":
+        # r17: the SAME reference job on a FORMAT-VERSION 3 table —
+        # initial load commits v2, upgrade_iceberg_v2_to_v3 (one
+        # metadata-only commit), then the CDC batch applies as the v3
+        # merge-on-read shape: matched keys retire via PUFFIN DELETION
+        # VECTORS (write_iceberg_deletion_vectors — the second DV
+        # commit exercises the spec's union/supersession rule), new
+        # and updated rows land as a row-lineage-assigned append.
+        # In-gate pins: v3 metadata with next-row-id tracking, a
+        # .puffin file on disk, at most ONE live DV per data file.
+        # Same oracle: the v3 mechanics must be analytically
+        # invisible.
+        import os as _os
+
+        from ..formats.avro_lite import read_avro_file as _raf
+
+        interop.write_iceberg(initial, path, mode="error")
+        interop.upgrade_iceberg_v2_to_v3(path)
+        interop.write_iceberg_deletion_vectors(ups.select(pk), path, keys=pk)
+        interop.write_iceberg(ups.select(*cols), path, mode="append")
+        interop.write_iceberg_deletion_vectors(dels.select(pk), path, keys=pk)
+        _c3, meta3 = interop._iceberg_current_metadata_named(path)
+        if int(meta3.get("format-version", 0)) != 3 or "next-row-id" not in meta3:
+            raise AssertionError("iceberg_v3dv e2e expected v3 metadata")
+        if not any(
+            f.endswith(".puffin")
+            for f in _os.listdir(_os.path.join(path, "data"))
+        ):
+            raise AssertionError("iceberg_v3dv e2e expected puffin DV files")
+        snap3 = next(
+            s for s in meta3["snapshots"]
+            if s["snapshot-id"] == meta3["current-snapshot-id"]
+        )
+        _s3, mlist3 = _raf(
+            interop._iceberg_local_path(snap3["manifest-list"], path)
+        )
+        _pf3, _eq3, dvs3 = interop._ice_collect_deletes(
+            path,
+            [
+                (r["manifest_path"], int(r.get("sequence_number") or 0))
+                for r in mlist3 if r.get("content", 0) == 1
+            ],
+        )
+        refs3 = [r for r, _pp, _o, _s in dvs3]
+        if len(refs3) != len(set(refs3)):
+            raise AssertionError(
+                "iceberg_v3dv e2e saw two live DVs for one data file "
+                "(supersession rule violated)"
+            )
+        final = interop.read_iceberg(spark, path)
     elif fmt == "iceberg_days":
         # The reference's Iceberg HIDDEN-PARTITIONING context
         # (src/iceberg/iceberg-initial-load.py:64-71): the table is
@@ -2702,6 +2752,10 @@ def game_user_cdc_e2e_iceberg_v1up(spark: SparkSession, sf_dir: str) -> DataFram
 
 def game_user_cdc_e2e_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _game_user_e2e_foreign(spark, "hudi_mor")
+
+
+def game_user_cdc_e2e_iceberg_v3dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _game_user_e2e_foreign(spark, "iceberg_v3dv")
 
 
 # --------------------------------------------------------------------------
@@ -4213,6 +4267,17 @@ QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "game_user_cdc_e2e_hudi_mor",
             game_user_cdc_e2e_hudi_mor,
+            GAME_USER_E2E_ORACLE,
+            headline=False,
+        ),
+        # r17: Iceberg FORMAT-VERSION 3 — upgrade_iceberg_v2_to_v3,
+        # then the CDC batch as the v3 merge-on-read shape: Puffin
+        # DELETION VECTORS (union/supersession pinned in-gate) +
+        # row-lineage-assigned appends. Same oracle: v3 mechanics
+        # must be analytically invisible.
+        QueryDef(
+            "game_user_cdc_e2e_iceberg_v3dv",
+            game_user_cdc_e2e_iceberg_v3dv,
             GAME_USER_E2E_ORACLE,
             headline=False,
         ),

@@ -698,7 +698,10 @@ class LakeSQL:
           ``ALTER TABLE <ident> ADD COLUMN c t | RENAME COLUMN a TO b |
           DROP COLUMN c`` (X85; also on ``delta|iceberg.`/p``` paths as
           metadata-only commits — X160 — plus ``ALTER TABLE delta.`/p`
-          ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n``, X166),
+          ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n``, X166,
+          and ``ALTER TABLE iceberg.`/p` SET TBLPROPERTIES
+          ('format-version'='2'|'3')`` — the native format-version
+          upgrade statements, r17),
           ``UPDATE fmt.`/p` SET c = expr [WHERE ...]`` / ``DELETE FROM
           fmt.`/p` WHERE ...`` (keyless two-phase surgical DML on
           delta/iceberg, keyed merge on hudi — X157/X159),
@@ -1212,6 +1215,42 @@ class LakeSQL:
                 return {
                     "action": "evolve_partition_spec", "format": fmt,
                     "version": v, "spec": target,
+                }
+            fm = re.match(
+                r"SET\s+TBLPROPERTIES\s*\(\s*'format-version'\s*=\s*"
+                r"'(?P<v>\d+)'\s*\)\s*;?$",
+                rest, re.IGNORECASE,
+            )
+            if fm:
+                # r17: the native format-version upgrade statement —
+                # ALTER TABLE iceberg.`/p` SET TBLPROPERTIES
+                # ('format-version'='2'|'3'), each ONE metadata-only
+                # commit (v3 additionally initializes row lineage).
+                if fmt != "iceberg":
+                    raise NotImplementedError(
+                        f"SET TBLPROPERTIES ('format-version') on a "
+                        f"{fmt} path is not supported — format-version "
+                        "upgrades are Iceberg's contract"
+                    )
+                from .formats.interop import (
+                    upgrade_iceberg_v1_to_v2,
+                    upgrade_iceberg_v2_to_v3,
+                )
+
+                target = int(fm.group("v"))
+                if target == 2:
+                    v = upgrade_iceberg_v1_to_v2(path)
+                elif target == 3:
+                    upgrade_iceberg_v1_to_v2(path)
+                    v = upgrade_iceberg_v2_to_v3(path)
+                else:
+                    raise ValueError(
+                        f"format-version {target} is not a valid upgrade "
+                        "target (2 or 3)"
+                    )
+                return {
+                    "action": "upgrade_format_version", "format": fmt,
+                    "format_version": target, "version": v,
                 }
             cm_add = re.match(
                 r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*\((?P<e>.+)\)$",

@@ -11753,6 +11753,409 @@ def test_iceberg_orc_position_deletes_end_to_end(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+# v3 manifest entry shape: the v2 fields plus the deletion-vector
+# reference triple and row-lineage first_row_id (Iceberg v3 spec,
+# field-ids 143/144/145/142) — all nullable, absent on v2 entries.
+_MANIFEST_ENTRY_SCHEMA_V3 = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "referenced_data_file", "type": ["null", "string"]},
+                {"name": "content_offset", "type": ["null", "long"]},
+                {"name": "content_size_in_bytes", "type": ["null", "long"]},
+                {"name": "first_row_id", "type": ["null", "long"]},
+            ]}},
+    ],
+}
+
+
+def test_puffin_dv_roundtrip(tmp_path):
+    """The Puffin subset: write_puffin_dvs -> footer metadata + every
+    blob decodes to its exact positions; framing corruption (CRC,
+    magic, compressed-footer flag) raises loudly."""
+    import struct as _struct
+
+    from automation_of_building_a_transactional_data_lake_spark.formats import puffin
+
+    p = str(tmp_path / "dvs.puffin")
+    dvs = {
+        "/data/a.parquet": [3, 1, 1, 70000],  # dup + cross-container
+        "/data/b.parquet": list(range(5000)),  # bitmap container
+    }
+    refs = puffin.write_puffin_dvs(p, dvs, snapshot_id=7, sequence_number=2)
+    assert set(refs) == set(dvs)
+    for ref, (off, ln, card) in refs.items():
+        got = puffin.read_dv_blob(p, off, ln)
+        assert got == sorted(set(dvs[ref]))
+        assert card == len(got)
+    foot = puffin.read_footer(p)
+    assert [b["type"] for b in foot["blobs"]] == ["deletion-vector-v1"] * 2
+    by_ref = {
+        b["properties"]["referenced-data-file"]: b for b in foot["blobs"]
+    }
+    for ref, (off, ln, card) in refs.items():
+        assert by_ref[ref]["offset"] == off
+        assert by_ref[ref]["length"] == ln
+        assert by_ref[ref]["properties"]["cardinality"] == str(card)
+        assert by_ref[ref]["snapshot-id"] == 7
+    # CRC corruption: flip a vector byte of the first blob.
+    raw = bytearray(open(p, "rb").read())
+    off0 = min(off for off, _l, _c in refs.values())
+    raw[off0 + 9] ^= 0xFF
+    bad = str(tmp_path / "bad.puffin")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC"):
+        puffin.read_dv_blob(bad, *list(refs.values())[0][:2])
+    # Compressed-footer flag refuses loudly.
+    raw2 = bytearray(open(p, "rb").read())
+    flags_at = len(raw2) - 8
+    raw2[flags_at : flags_at + 4] = _struct.pack("<I", 1)
+    comp = str(tmp_path / "comp.puffin")
+    open(comp, "wb").write(bytes(raw2))
+    with pytest.raises(NotImplementedError, match="compressed"):
+        puffin.read_footer(comp)
+    # Not a Puffin file at all.
+    notp = str(tmp_path / "not.puffin")
+    open(notp, "wb").write(b"XXXX" + bytes(raw[4:]))
+    with pytest.raises(ValueError, match="head magic"):
+        puffin.read_dv_blob(notp, *list(refs.values())[0][:2])
+
+
+def _iceberg_v3_dv_fixture(spark, tmp_path, data_format="PARQUET"):
+    """A hand-built Iceberg v3 table: two data files, snapshot 99
+    plain, snapshot 100 adds Puffin DELETION VECTORS killing one row
+    of f1 and two of f2. Metadata carries the v3 row-lineage fields
+    (next-row-id, snapshot first-row-id, entry first_row_id) the
+    reader must tolerate."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        write_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats import puffin
+
+    root = str(tmp_path / "v3_tbl")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def data_file(name, rows):
+        dest = os.path.join(root, "data", name)
+        if data_format == "ORC":
+            tmp = dest + ".tmpdir"
+            spark.createDataFrame(rows, "id long, val string").coalesce(
+                1
+            ).sortWithinPartitions("id").write.orc(tmp)
+            part = next(
+                os.path.join(r, f) for r, _d, fs in os.walk(tmp)
+                for f in fs if f.endswith(".orc")
+            )
+            os.rename(part, dest)
+            import shutil
+
+            shutil.rmtree(tmp)
+        else:
+            _write_one_parquet(spark, rows, "id long, val string", dest)
+        return dest
+
+    f1 = data_file("f1." + data_format.lower(),
+                   [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    f2 = data_file("f2." + data_format.lower(), [(5, "e"), (6, "f"), (7, "g")])
+    ppath = os.path.join(root, "data", "dvs.puffin")
+    # Kills (2,'b'),(4,'d') of f1 and (5,'e') of f2.
+    refs = puffin.write_puffin_dvs(
+        ppath, {"file://" + f1: [1, 3], "file://" + f2: [0]},
+        snapshot_id=100, sequence_number=2,
+    )
+
+    def dentry(path, content, fmt, nrec, ref=None, first_row=None):
+        off, sz = (None, None)
+        if ref is not None:
+            off, sz, _c = refs[ref]
+        return {"status": 1, "snapshot_id": 99 if ref is None else 100,
+                "data_file": {
+                    "content": content, "file_path": "file://" + path,
+                    "file_format": fmt, "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "referenced_data_file": ref,
+                    "content_offset": off,
+                    "content_size_in_bytes": sz,
+                    "first_row_id": first_row,
+                }}
+
+    mdir = os.path.join(root, "metadata")
+    m1 = os.path.join(mdir, "m1.avro")
+    write_avro_file(
+        m1, _MANIFEST_ENTRY_SCHEMA_V3,
+        [dentry(f1, 0, data_format, 4, first_row=0),
+         dentry(f2, 0, data_format, 3, first_row=4)],
+    )
+    mdel = os.path.join(mdir, "mdel.avro")
+    write_avro_file(
+        mdel, _MANIFEST_ENTRY_SCHEMA_V3,
+        [dentry(ppath, 1, "PUFFIN", 2, ref="file://" + f1),
+         dentry(ppath, 1, "PUFFIN", 1, ref="file://" + f2)],
+    )
+
+    def mlist(name, entries):
+        p = os.path.join(mdir, name)
+        write_avro_file(
+            p, _MANIFEST_FILE_SCHEMA,
+            [{"manifest_path": "file://" + mp, "manifest_length": 1,
+              "partition_spec_id": 0, "content": c,
+              "added_snapshot_id": s}
+             for mp, c, s in entries],
+        )
+        return p
+
+    ml1 = mlist("snap-99.avro", [(m1, 0, 99)])
+    ml2 = mlist("snap-100.avro", [(m1, 0, 99), (mdel, 1, 100)])
+    meta = {
+        "format-version": 3, "table-uuid": "u3",
+        "location": "file://" + root, "current-schema-id": 0,
+        "next-row-id": 7,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "val", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-snapshot-id": 100,
+        "snapshots": [
+            {"snapshot-id": 99, "manifest-list": "file://" + ml1,
+             "first-row-id": 0,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 100, "manifest-list": "file://" + ml2,
+             "first-row-id": 7, "parent-snapshot-id": 99,
+             "summary": {"operation": "overwrite"}},
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="ascii") as f:
+        f.write("1")
+    return root
+
+
+def test_iceberg_v3_deletion_vectors_read(spark, tmp_path):
+    """r17: a format-version 3 table whose current snapshot carries
+    Puffin DELETION VECTORS reads to the post-delete state — the shape
+    every v3 writer (Spark 4 + Iceberg 1.8+, Trino) produces for MERGE
+    deletes; time travel to the pre-DV snapshot is unaffected; the
+    changelog across the DV commit emits exactly the killed rows; v3
+    writes refuse with a version-accurate message."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+
+    root = _iceberg_v3_dv_fixture(spark, tmp_path)
+    got = read_iceberg(spark, root)
+    assert _rows(got.select("id", "val")) == [(1, "a"), (3, "c"), (6, "f"),
+                                              (7, "g")]
+    # Residual predicates compose with the DV anti-join.
+    assert {r.id for r in read_iceberg(
+        spark, root, where=[("id", ">", 2)]
+    ).collect()} == {3, 6, 7}
+    # Pre-DV snapshot: all 7 rows.
+    assert read_iceberg(spark, root, snapshot_id=99).count() == 7
+    # Changelog across the DV commit: exactly the three killed rows.
+    ch = read_iceberg_changelog(spark, root, from_snapshot_id=99)
+    assert sorted(
+        (r._change_type, r.id) for r in ch.collect()
+    ) == [("delete", 2), ("delete", 4), ("delete", 5)]
+    # v3 writes refuse, naming the actual version.
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        merge_iceberg(
+            spark.createDataFrame([(1, "x")], "id long, val string"),
+            root, key="id",
+        )
+
+
+def test_iceberg_v3_deletion_vectors_over_orc(spark, tmp_path):
+    """r17 composition: v3 DVs over ORC data files — the DV anti-join
+    rides the same _ice_orc_pos_frame ordinals as v2 position
+    deletes."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+    )
+
+    root = _iceberg_v3_dv_fixture(spark, tmp_path, data_format="ORC")
+    got = read_iceberg(spark, root)
+    assert _rows(got.select("id", "val")) == [(1, "a"), (3, "c"), (6, "f"),
+                                              (7, "g")]
+    assert read_iceberg(spark, root, snapshot_id=99).count() == 7
+
+
+def test_iceberg_v3_dv_write_lifecycle(spark, tmp_path):
+    """r17: the v3 WRITE surface end-to-end — upgrade_iceberg_v2_to_v3
+    (metadata-only), row-lineage-assigning append, then keyed deletes
+    via write_iceberg_deletion_vectors: first commit writes Puffin DVs,
+    second commit SUPERSEDES them (union blobs, old entries retired
+    status-2 so one DV per file stays visible), already-dead keys
+    no-op, time travel and the changelog see every state."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_collect_deletes,
+        _iceberg_current_metadata_named,
+        read_iceberg,
+        read_iceberg_changelog,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+        write_iceberg_deletion_vectors,
+    )
+
+    p = str(tmp_path / "v3w")
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    ).coalesce(1)
+    write_iceberg(df0, p)
+    # v2 table refuses DV writes with the remedy named.
+    with pytest.raises(NotImplementedError, match="upgrade_iceberg_v2_to_v3"):
+        write_iceberg_deletion_vectors(
+            spark.createDataFrame([(1,)], "id long"), p, keys="id"
+        )
+    v = upgrade_iceberg_v2_to_v3(p)
+    assert upgrade_iceberg_v2_to_v3(p) == v  # idempotent
+    _n, meta = _iceberg_current_metadata_named(p)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 0
+    assert read_iceberg(spark, p).count() == 10
+
+    # Append assigns row lineage: first_row_id from next-row-id.
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10, 15)], "id long, val string"
+    ).coalesce(1)
+    sid_after_append = write_iceberg(df1, p, mode="append")
+    _n, meta = _iceberg_current_metadata_named(p)
+    assert meta["next-row-id"] == 5
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == sid_after_append
+    )
+    assert snap["first-row-id"] == 0
+    import glob as _glob
+
+    newest_manifest = max(
+        _glob.glob(os.path.join(p, "metadata", "*-m0.avro")),
+        key=os.path.getmtime,
+    )
+    _s, entries = read_avro_file(newest_manifest)
+    assert [e["data_file"]["first_row_id"] for e in entries] == [0]
+
+    # DV commit 1: kill 2,3 (file A) and 11 (file B).
+    s1 = write_iceberg_deletion_vectors(
+        spark.createDataFrame([(2,), (3,), (11,)], "id long"), p, keys="id"
+    )
+    got1 = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got1 == set(range(15)) - {2, 3, 11}
+    _n, meta = _iceberg_current_metadata_named(p)
+    snap1 = next(s for s in meta["snapshots"] if s["snapshot-id"] == s1)
+    assert snap1["summary"]["added-dvs"] == "2"
+    assert snap1["summary"]["removed-dvs"] == "0"
+    assert _glob.glob(os.path.join(p, "data", "*-dv.puffin"))
+
+    # DV commit 2: kill 4 (file A again -> supersede), 12 (file B ->
+    # supersede) and 11 (already dead -> no position re-marked).
+    s2 = write_iceberg_deletion_vectors(
+        spark.createDataFrame([(4,), (11,), (12,)], "id long"), p, keys="id"
+    )
+    got2 = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got2 == set(range(15)) - {2, 3, 4, 11, 12}
+    _n, meta = _iceberg_current_metadata_named(p)
+    snap2 = next(s for s in meta["snapshots"] if s["snapshot-id"] == s2)
+    assert snap2["summary"]["added-dvs"] == "2"
+    assert snap2["summary"]["removed-dvs"] == "2"
+    # Exactly ONE live DV per file (supersession retired the old two);
+    # the union blobs carry the accumulated positions.
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file as _raf,
+    )
+
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_local_path,
+    )
+
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _s, mlist = _raf(_iceberg_local_path(snaps[s2]["manifest-list"], p))
+    dmf = [
+        (r["manifest_path"], int(r.get("sequence_number") or 0))
+        for r in mlist if r.get("content", 0) == 1
+    ]
+    _pf, _eq, live_dvs = _ice_collect_deletes(p, dmf)
+    assert len(live_dvs) == 2
+    # Already-dead key 11 marked no NEW position: union blob for file B
+    # holds exactly {pos(11), pos(12)} = 2 positions.
+    from automation_of_building_a_transactional_data_lake_spark.formats import puffin
+
+    cards = sorted(
+        len(puffin.read_dv_blob(pp, off, sz)) for _ref, pp, off, sz in live_dvs
+    )
+    assert cards == [2, 3]  # file B: {11,12}; file A: {2,3,4}
+
+    # Time travel: pre-DV2 snapshot still shows 12 live rows.
+    assert read_iceberg(spark, p, snapshot_id=s1).count() == 12
+    # Changelog across both DV commits: exactly the killed rows.
+    ch = read_iceberg_changelog(spark, p, from_snapshot_id=sid_after_append)
+    assert sorted((r._change_type, r.id) for r in ch.collect()) == [
+        ("delete", 2), ("delete", 3), ("delete", 4),
+        ("delete", 11), ("delete", 12),
+    ]
+    # Empty-match batch commits nothing.
+    assert write_iceberg_deletion_vectors(
+        spark.createDataFrame([(999,)], "id long"), p, keys="id"
+    ) == s2
+    # Budget guard refuses past max_positions.
+    with pytest.raises(ValueError, match="max_positions"):
+        write_iceberg_deletion_vectors(
+            spark.createDataFrame([(i,) for i in range(15)], "id long"),
+            p, keys="id", max_positions=3,
+        )
+
+
+def test_iceberg_v2_to_v3_upgrade_guards(spark, tmp_path):
+    """The upgrade refuses while v2 position-delete parquet is live
+    (v3 forbids it; compact first), and works after compaction."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "v3g")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1),
+        p,
+    )
+    merge_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p, key="id",
+        mode="delete", strategy="mor",
+    )
+    with pytest.raises(ValueError, match="position-delete parquet"):
+        upgrade_iceberg_v2_to_v3(p)
+    compact_iceberg(spark, p)
+    upgrade_iceberg_v2_to_v3(p)
+    assert {r.id for r in read_iceberg(spark, p).collect()} == set(
+        range(8)
+    ) - {1}
+
+
 def test_iceberg_changelog_scan(spark, tmp_path):
     """r16: the native create_changelog_view semantics — CHANGELOG
     across arbitrary snapshots: appends emit inserts, a MoR merge

@@ -1855,3 +1855,46 @@ def test_sql_between_inside_or_groups(spark, tmp_path):
     assert {x.n for x in read_delta(spark, p).collect()} == {
         0, 1, 2, 7, 8, 10, 11
     }
+
+
+def test_alter_iceberg_format_version_upgrade(user_lake, spark, tmp_path):
+    """r17: the native upgrade statement — ALTER TABLE iceberg.`/p`
+    SET TBLPROPERTIES ('format-version'='3') runs the v2->v3
+    metadata-only upgrade; SELECT through the SQL path then reads the
+    DV-carrying v3 table; invalid targets and non-Iceberg paths
+    refuse."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        write_iceberg,
+        write_iceberg_deletion_vectors,
+    )
+
+    cat, spec, lake = user_lake
+    ip = str(tmp_path / "ice_v3")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, val string"
+        ).coalesce(1),
+        ip,
+    )
+    out = lake.sql(
+        f"ALTER TABLE iceberg.`{ip}` SET TBLPROPERTIES "
+        "('format-version'='3')"
+    )
+    assert out["action"] == "upgrade_format_version"
+    assert out["format_version"] == 3
+    write_iceberg_deletion_vectors(
+        spark.createDataFrame([(2,)], "id long"), ip, keys="id"
+    )
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM iceberg.`{ip}`"
+    ).first().n == 5
+    with pytest.raises(ValueError, match="not a valid upgrade target"):
+        lake.sql(
+            f"ALTER TABLE iceberg.`{ip}` SET TBLPROPERTIES "
+            "('format-version'='4')"
+        )
+    with pytest.raises(NotImplementedError, match="Iceberg's contract"):
+        lake.sql(
+            f"ALTER TABLE delta.`{ip}` SET TBLPROPERTIES "
+            "('format-version'='3')"
+        )
