@@ -9379,14 +9379,14 @@ def _mlist_carry(rec: dict) -> dict:
 
 def _ice_data_manifest_meta(
     cur_schema: dict, spec_fields: list[dict], content: bytes,
-    spec_id: int = 0,
+    spec_id: int = 0, fv: int = 2,
 ) -> dict:
     return {
         "schema": json.dumps(cur_schema).encode("utf-8"),
         "schema-id": str(cur_schema.get("schema-id", 0)).encode("utf-8"),
         "partition-spec": json.dumps(spec_fields).encode("utf-8"),
         "partition-spec-id": str(int(spec_id)).encode("ascii"),
-        "format-version": b"2",
+        "format-version": str(int(fv)).encode("ascii"),
         "content": content,
     }
 
@@ -12054,7 +12054,7 @@ def write_iceberg_deletion_vectors(
     write_avro_file(
         mpath, entry_schema, del_entries,
         extra_meta=_ice_data_manifest_meta(
-            cur_schema, spec_fields, b"deletes", cur_spec_id
+            cur_schema, spec_fields, b"deletes", cur_spec_id, fv=3
         ),
     )
     new_mlist = [
@@ -12118,7 +12118,7 @@ def write_iceberg_deletion_vectors(
         write_avro_file(
             rpath, entry_schema, out_entries,
             extra_meta=_ice_data_manifest_meta(
-                cur_schema, spec_fields, b"deletes", cur_spec_id
+                cur_schema, spec_fields, b"deletes", cur_spec_id, fv=3
             ),
         )
         new_mlist.append(
@@ -12821,6 +12821,13 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
       (their value+sequence semantics make per-file survival depend on
       global ordering; read_iceberg's delete-aware scan supplies the
       merged state).
+    - v3 snapshots (r17) compact their Puffin DELETION VECTORS the
+      targeted way too: DVs name their referenced files, so only
+      those rewrite. Row-lineage note, a documented divergence:
+      rewritten files commit with NULL ``first_row_id`` (unknown
+      lineage — the same state as pre-upgrade files) rather than
+      preserving per-row ids through the rewrite; ``next-row-id`` is
+      unchanged (no rows added logically).
 
     Every prior delete file retires status-2 either way. Returns the
     new snapshot id, or None when the snapshot carries no live
@@ -12828,12 +12835,12 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     from .avro_lite import read_avro_file
 
     chosen, meta = _iceberg_current_metadata_named(table_path)
-    if int(meta.get("format-version", 1)) != 2:
+    fv = int(meta.get("format-version", 1))
+    if fv not in (2, 3):
         raise NotImplementedError(
-            f"compaction of a format-version {meta.get('format-version', 1)} "
-            "Iceberg table is not supported (v2 only; v1: run "
-            "upgrade_iceberg_v1_to_v2 first — a metadata-only commit; "
-            "v3 writes are not implemented)"
+            f"compaction of a format-version {fv} Iceberg table is not "
+            "supported (v2 and v3 only; v1: run upgrade_iceberg_v1_to_v2 "
+            "first — a metadata-only commit)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -12866,6 +12873,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     data_recs = [r for r in mlist_records if r.get("content", 0) == 0]
     delete_recs = [r for r in mlist_records if r.get("content", 0) != 0]
     existing_pos_files: list[str] = []
+    dvs: list[tuple[str, str, int, int]] = []
     has_eq = False
     n_live_deletes = 0
     for r in delete_recs:
@@ -12876,11 +12884,23 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
             if e.get("status", 1) == 2:
                 continue
             n_live_deletes += 1
-            if e["data_file"].get("content", 1) == 2:
+            dfr = e["data_file"]
+            if str(dfr.get("file_format", "PARQUET")).upper() == "PUFFIN":
+                dvs.append(
+                    (
+                        _iceberg_local_path(
+                            str(dfr["referenced_data_file"]), table_path
+                        ),
+                        _iceberg_local_path(dfr["file_path"], table_path),
+                        int(dfr["content_offset"]),
+                        int(dfr["content_size_in_bytes"]),
+                    )
+                )
+            elif dfr.get("content", 1) == 2:
                 has_eq = True
             else:
                 existing_pos_files.append(
-                    _iceberg_local_path(e["data_file"]["file_path"], table_path)
+                    _iceberg_local_path(dfr["file_path"], table_path)
                 )
     if not n_live_deletes:
         return None
@@ -12907,10 +12927,31 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         retire = set(all_paths)
         survivors = read_iceberg(spark, table_path).select(*cols)
     else:
-        pos_pairs = spark.read.parquet(*existing_pos_files).select(
-            _norm_file_path(F.col("file_path")).alias("__fp"),
-            F.col("pos").cast("long").alias("__ri"),
-        )
+        pair_frames = []
+        dv_bytes = 0
+        if existing_pos_files:
+            pair_frames.append(
+                spark.read.parquet(*existing_pos_files).select(
+                    _norm_file_path(F.col("file_path")).alias("__fp"),
+                    F.col("pos").cast("long").alias("__ri"),
+                )
+            )
+        if dvs:
+            from . import puffin as _puffin
+
+            pairs = []
+            for ref, pp, off, sz in dvs:
+                fp = os.path.abspath(ref)
+                dv_bytes += sz
+                pairs.extend(
+                    (fp, int(pos)) for pos in _puffin.read_dv_blob(pp, off, sz)
+                )
+            pair_frames.append(
+                spark.createDataFrame(pairs, "__fp string, __ri long")
+            )
+        pos_pairs = pair_frames[0]
+        for f_ in pair_frames[1:]:
+            pos_pairs = pos_pairs.unionByName(f_)
         live_set = set(all_paths)
         retire = {
             r["__fp"]
@@ -12926,7 +12967,8 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
                 F.col("_metadata.row_index").alias("__ri"),
             )
             survivors = scan.join(
-                _delete_side(pos_pairs, existing_pos_files),
+                _delete_side(pos_pairs, existing_pos_files,
+                             extra_bytes=dv_bytes),
                 ["__fp", "__ri"],
                 "left_anti",
             ).select(*cols)
@@ -12934,7 +12976,9 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int >> 65
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    entry_schema, mlist_schema = _ice_manifest_schemas(
+        part_fields, v3=fv == 3
+    )
     mdir = os.path.join(table_path, "metadata")
     staged = (
         _iceberg_stage_files(
@@ -12981,9 +13025,16 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int | None:
         "deleted-data-files": str(len(retire)),
         "removed-delete-files": str(n_live_deletes),
     }
+    extra_snap = None
+    meta_up = None
+    if fv == 3:
+        next_row = int(meta.get("next-row-id", 0))
+        extra_snap = {"first-row-id": next_row}
+        meta_up = {"next-row-id": next_row}
     return _ice_commit_snapshot(
         table_path, chosen, meta, mlist_schema, new_mlist,
         snapshot_id, sid, seq, now_ms, summary,
+        extra_snapshot=extra_snap, meta_updates=meta_up,
     )
 
 

@@ -12125,6 +12125,72 @@ def test_iceberg_v3_dv_write_lifecycle(spark, tmp_path):
         )
 
 
+def test_compact_iceberg_v3_deletion_vectors(spark, tmp_path):
+    """r17: compaction folds v3 DV debt the targeted way — only
+    DV-referenced files rewrite, every DV retires status-2, the table
+    stays format-version 3 with next-row-id intact, and the
+    pre-compaction snapshot still time-travels."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.avro_lite import (
+        read_avro_file,
+    )
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _ice_collect_deletes,
+        _iceberg_current_metadata_named,
+        _iceberg_local_path,
+        compact_iceberg,
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+        write_iceberg_deletion_vectors,
+    )
+
+    p = str(tmp_path / "v3c")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1),
+        p,
+    )
+    upgrade_iceberg_v2_to_v3(p)
+    before_append = set(read_iceberg(spark, p).inputFiles())
+    # A second, untouched data file: must NOT rewrite.
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8, 12)], "id long, val string"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    untouched = set(read_iceberg(spark, p).inputFiles()) - before_append
+    assert untouched
+    s_dv = write_iceberg_deletion_vectors(
+        spark.createDataFrame([(1,), (5,)], "id long"), p, keys="id"
+    )
+    s_c = compact_iceberg(spark, p)
+    assert s_c is not None
+    got = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got == set(range(12)) - {1, 5}
+    # The untouched file survived the rewrite verbatim.
+    assert untouched <= set(read_iceberg(spark, p).inputFiles())
+    _n, meta = _iceberg_current_metadata_named(p)
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _s, mlist = read_avro_file(
+        _iceberg_local_path(snaps[s_c]["manifest-list"], p)
+    )
+    _pf, _eq, live_dvs = _ice_collect_deletes(
+        p,
+        [
+            (r["manifest_path"], int(r.get("sequence_number") or 0))
+            for r in mlist if r.get("content", 0) == 1
+        ],
+    )
+    assert live_dvs == []
+    # Nothing left to compact; pre-compaction snapshot time-travels.
+    assert compact_iceberg(spark, p) is None
+    assert read_iceberg(spark, p, snapshot_id=s_dv).count() == 10
+
+
 def test_iceberg_v2_to_v3_upgrade_guards(spark, tmp_path):
     """The upgrade refuses while v2 position-delete parquet is live
     (v3 forbids it; compact first), and works after compaction."""
