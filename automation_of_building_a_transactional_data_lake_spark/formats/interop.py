@@ -7342,7 +7342,15 @@ def _iceberg_spark_type(t):
 
 def _iceberg_table_schema(meta: dict) -> StructType | None:
     """The CURRENT declared schema from the metadata JSON (v2 `schemas`
-    + current-schema-id, v1 inline `schema`); None when absent."""
+    + current-schema-id, v1 inline `schema`); None when absent.
+
+    v3 COLUMN DEFAULTS guard (r17): a field carrying a non-null
+    ``initial-default`` reads as the DEFAULT from data files that
+    predate the column — but this engine's name-based projection fills
+    absent columns with null and cannot distinguish a pre-column file
+    from an explicit null, so serving such a schema would be SILENTLY
+    WRONG. Refuse loudly instead (``write-default`` only affects
+    writers and passes through)."""
     sch = None
     if meta.get("schemas"):
         cur = meta.get("current-schema-id")
@@ -7355,6 +7363,17 @@ def _iceberg_table_schema(meta: dict) -> StructType | None:
         sch = meta["schema"]
     if sch is None:
         return None
+    defaulted = [
+        f["name"] for f in sch.get("fields", [])
+        if f.get("initial-default") is not None
+    ]
+    if defaulted:
+        raise NotImplementedError(
+            f"Iceberg v3 column default values are not supported: "
+            f"field(s) {defaulted} carry initial-default — this reader "
+            "would return null instead of the default for pre-column "
+            "files; rewrite with the native engine first"
+        )
     return _iceberg_spark_type({"type": "struct", "fields": sch["fields"]})
 
 

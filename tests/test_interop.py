@@ -12125,6 +12125,45 @@ def test_iceberg_v3_dv_write_lifecycle(spark, tmp_path):
         )
 
 
+def test_iceberg_v3_initial_default_refuses(spark, tmp_path):
+    """r17 honesty guard: a v3 schema field carrying a non-null
+    initial-default would read as null (not the default) from
+    pre-column files under name-based projection — refuse loudly
+    instead of a silently wrong read; write-default alone passes."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+    )
+
+    p = str(tmp_path / "v3def")
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, val string"), p
+    )
+    upgrade_iceberg_v2_to_v3(p)
+    mdir = os.path.join(p, "metadata")
+    with open(os.path.join(mdir, "version-hint.text"), encoding="ascii") as f:
+        v = int(f.read().strip())
+    mp = os.path.join(mdir, f"v{v}.metadata.json")
+    with open(mp, encoding="utf-8") as f:
+        meta = json.load(f)
+    sch = meta["schemas"][-1]
+    sch["fields"].append(
+        {"id": 99, "name": "score", "required": False, "type": "long",
+         "initial-default": 7, "write-default": 7}
+    )
+    with open(mp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        read_iceberg(spark, p).collect()
+    # write-default ONLY (initial-default null): reads fine — it
+    # affects writers, not existing files.
+    sch["fields"][-1].pop("initial-default")
+    with open(mp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    assert read_iceberg(spark, p).count() == 1
+
+
 def test_compact_iceberg_v3_deletion_vectors(spark, tmp_path):
     """r17: compaction folds v3 DV debt the targeted way — only
     DV-referenced files rewrite, every DV retires status-2, the table
