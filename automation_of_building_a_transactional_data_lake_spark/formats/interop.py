@@ -3657,13 +3657,12 @@ def binpack_iceberg(
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     chosen, meta = _iceberg_current_metadata_named(table_path)
-    if int(meta.get("format-version", 1)) != 2:
+    bp_fv = int(meta.get("format-version", 1))
+    if bp_fv not in (2, 3):
         raise NotImplementedError(
-            f"binpack on a format-version {meta.get('format-version', 1)} "
-            "Iceberg table is not supported (v2 only; v1: run "
-            "upgrade_iceberg_v1_to_v2 first — v3 writes, which must "
-            "maintain deletion vectors and row lineage, are not "
-            "implemented)"
+            f"binpack on a format-version {bp_fv} Iceberg table is not "
+            "supported (v2 and v3 only; v1: run upgrade_iceberg_v1_to_v2 "
+            "first)"
         )
     schema = _iceberg_table_schema(meta)
     if schema is None:
@@ -3751,7 +3750,9 @@ def binpack_iceberg(
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int >> 65
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    entry_schema, mlist_schema = _ice_manifest_schemas(
+        part_fields, v3=bp_fv == 3
+    )
     mdir = os.path.join(table_path, "metadata")
     staged = _iceberg_stage_files(
         out, table_path, part_fields,
@@ -3783,9 +3784,18 @@ def binpack_iceberg(
         "added-data-files": str(n_added),
         "deleted-data-files": str(len(retire)),
     }
+    bp_extra = bp_meta_up = None
+    if bp_fv == 3:
+        # Layout-only rewrite: no rows added; rewritten files carry
+        # NULL first_row_id (unknown lineage — the compact_iceberg
+        # divergence note applies).
+        nri = int(meta.get("next-row-id", 0))
+        bp_extra = {"first-row-id": nri}
+        bp_meta_up = {"next-row-id": nri}
     new_sid = _ice_commit_snapshot(
         table_path, chosen, meta, mlist_schema, new_mlist,
         snapshot_id, sid, seq, now_ms, summary,
+        extra_snapshot=bp_extra, meta_updates=bp_meta_up,
     )
     return new_sid, {"removed": len(retire), "added": n_added}
 
@@ -11759,8 +11769,10 @@ def write_iceberg_equality_deletes(
     table_path: str,
     keys: list[str] | str,
 ) -> int:
-    """EQUALITY-delete commit into a REAL Iceberg v2 table (spec
-    content=2): the source's distinct key rows land as delete parquet
+    """EQUALITY-delete commit into a REAL Iceberg v2 or v3 table (spec
+    content=2; equality deletes remain legal in v3 — r17, with the
+    snapshot's row-lineage fields maintained there): the source's
+    distinct key rows land as delete parquet
     (field-id-stamped columns) under one content=1 delete manifest at
     a fresh sequence number — rows in data files with a STRICTLY older
     data sequence whose key columns match die at read time under the
@@ -11785,9 +11797,11 @@ def write_iceberg_equality_deletes(
     from .avro_lite import read_avro_file, write_avro_file
 
     chosen, meta = _iceberg_current_metadata_named(table_path)
-    if int(meta.get("format-version", 1)) != 2:
+    eq_fv = int(meta.get("format-version", 1))
+    if eq_fv not in (2, 3):
         raise NotImplementedError(
-            "equality deletes demand an Iceberg format-version 2 table"
+            "equality deletes demand an Iceberg format-version 2 or 3 "
+            "table (they remain legal in v3)"
         )
     cur_schema = next(
         s for s in meta.get("schemas", [])
@@ -11826,7 +11840,9 @@ def write_iceberg_equality_deletes(
         _iceberg_local_path(snaps[sid]["manifest-list"], table_path)
     )
     spec_fields = spec.get("fields", [])
-    entry_schema, mlist_schema = _ice_manifest_schemas(part_fields)
+    entry_schema, mlist_schema = _ice_manifest_schemas(
+        part_fields, v3=eq_fv == 3
+    )
     # data_file gains equality_ids (field-id 135) — same shape the
     # retire path preserves.
     del_entry_schema = json.loads(json.dumps(entry_schema))
@@ -11884,7 +11900,7 @@ def write_iceberg_equality_deletes(
     write_avro_file(
         mpath, del_entry_schema, del_entries,
         extra_meta=_ice_data_manifest_meta(
-            cur_schema, spec_fields, b"deletes", cur_spec_id
+            cur_schema, spec_fields, b"deletes", cur_spec_id, fv=eq_fv
         ),
     )
     new_mlist = [
@@ -11906,9 +11922,15 @@ def write_iceberg_equality_deletes(
         "added-delete-files": str(len(del_entries)),
         "added-equality-deletes": str(deleted_rows),
     }
+    eq_extra = eq_meta_up = None
+    if eq_fv == 3:
+        nri = int(meta.get("next-row-id", 0))
+        eq_extra = {"first-row-id": nri}
+        eq_meta_up = {"next-row-id": nri}
     return _ice_commit_snapshot(
         table_path, chosen, meta, mlist_schema, new_mlist,
         snapshot_id, sid, seq, now_ms, summary,
+        extra_snapshot=eq_extra, meta_updates=eq_meta_up,
     )
 
 

@@ -12230,6 +12230,138 @@ def test_compact_iceberg_v3_deletion_vectors(spark, tmp_path):
     assert read_iceberg(spark, p, snapshot_id=s_dv).count() == 10
 
 
+def test_iceberg_v3_eqd_and_binpack(spark, tmp_path):
+    """r17: equality deletes remain legal on v3 (the writer keeps
+    row-lineage fields maintained); binpack refuses while delete debt
+    is live, compacts after the debt folds, and layout-only rewrites
+    keep the table v3."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        _iceberg_current_metadata_named,
+        binpack_iceberg,
+        compact_iceberg,
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    p = str(tmp_path / "v3eb")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, val string"
+        ).coalesce(2),
+        p,
+    )
+    upgrade_iceberg_v2_to_v3(p)
+    s_eq = write_iceberg_equality_deletes(
+        spark.createDataFrame([(2,), (4,)], "id long"), p, keys="id"
+    )
+    assert {r.id for r in read_iceberg(spark, p).collect()} == {0, 1, 3, 5}
+    _n, meta = _iceberg_current_metadata_named(p)
+    assert meta["format-version"] == 3 and "next-row-id" in meta
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == s_eq)
+    assert "first-row-id" in snap
+    # Debt-first rule unchanged on v3.
+    with pytest.raises(NotImplementedError, match="compact_iceberg first"):
+        binpack_iceberg(spark, p, target_bytes=1 << 30)
+    compact_iceberg(spark, p)
+    assert {r.id for r in read_iceberg(spark, p).collect()} == {0, 1, 3, 5}
+    # Fresh small files, then a layout-only binpack: content identical,
+    # still v3.
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6, 9)], "id long, val string"
+        ).coalesce(3),
+        p, mode="append",
+    )
+    new_sid, stats = binpack_iceberg(spark, p, target_bytes=1 << 30)
+    assert new_sid is not None and stats["added"] >= 1
+    assert {r.id for r in read_iceberg(spark, p).collect()} == {
+        0, 1, 3, 5, 6, 7, 8
+    }
+    _n, meta = _iceberg_current_metadata_named(p)
+    assert meta["format-version"] == 3
+
+
+_v3_batch = st.tuples(
+    st.dictionaries(
+        st.integers(0, 11),
+        st.one_of(st.none(), st.text(alphabet="abcd", min_size=1, max_size=3)),
+        min_size=1, max_size=4,
+    ),
+    st.booleans(),  # deletes via equality-delete files instead of DVs
+    st.booleans(),  # compact after this batch
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=st.lists(_v3_batch, min_size=1, max_size=3))
+def test_iceberg_v3_dv_lifecycle_fuzz(spark, tmp_path_factory, batches):
+    """r17 model fuzz: ANY sequence of v3 CDC batches — upserts as
+    DV-kill + row-lineage append, deletes as DVs or equality-delete
+    files, compaction interleaved at random — always reads as the dict
+    model, and time travel to the initial snapshot still sees the
+    initial rows. The physical mechanism (DV supersession, eq-delete
+    sequences, targeted compaction) must be analytically invisible."""
+    from automation_of_building_a_transactional_data_lake_spark.formats.interop import (
+        compact_iceberg,
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+        write_iceberg_deletion_vectors,
+        write_iceberg_equality_deletes,
+    )
+
+    path = str(tmp_path_factory.mktemp("v3fuzz") / "t")
+    model = {k: "init" for k in (0, 1, 2, 3)}
+    s0 = write_iceberg(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id long, val string"
+        ).coalesce(2),
+        path, mode="error",
+    )
+    upgrade_iceberg_v2_to_v3(path)
+    for batch, eqd_deletes, compact_after in batches:
+        ups = {k: v for k, v in batch.items() if v is not None}
+        dels = [k for k, v in batch.items() if v is None]
+        if ups:
+            write_iceberg_deletion_vectors(
+                spark.createDataFrame(
+                    [(k,) for k in ups], "id long"
+                ),
+                path, keys="id",
+            )
+            write_iceberg(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, val string"
+                ).coalesce(1),
+                path, mode="append",
+            )
+            model.update(ups)
+        if dels:
+            frame = spark.createDataFrame([(k,) for k in dels], "id long")
+            if eqd_deletes:
+                write_iceberg_equality_deletes(frame, path, keys="id")
+            else:
+                write_iceberg_deletion_vectors(frame, path, keys="id")
+            for k in dels:
+                model.pop(k, None)
+        if compact_after:
+            compact_iceberg(spark, path)
+        got = {
+            (r.id, r.val) for r in read_iceberg(spark, path).collect()
+        }
+        assert got == set(model.items())
+    assert {
+        (r.id, r.val)
+        for r in read_iceberg(spark, path, snapshot_id=s0).collect()
+    } == {(k, "init") for k in (0, 1, 2, 3)}
+
+
 def test_iceberg_v2_to_v3_upgrade_guards(spark, tmp_path):
     """The upgrade refuses while v2 position-delete parquet is live
     (v3 forbids it; compact first), and works after compaction."""
