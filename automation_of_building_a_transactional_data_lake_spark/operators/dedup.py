@@ -107,7 +107,14 @@ def _materialize(df: DataFrame, mode: str | None) -> DataFrame:
     if mode == "none":
         return df
     if mode == "local":
-        return df.localCheckpoint()
+        # LAZY checkpoint: the first consuming action computes the
+        # pipeline AND stores the blocks in one job, instead of an
+        # eager materialization job followed by the consumer's job.
+        # Same blocks, same lineage cut — one fewer job launch per
+        # materialize point (r17: job launch costs ~0.1-0.3 s on the
+        # bench host and a scheduler round everywhere; multi-stage
+        # pipelines hit many materialize points per query).
+        return df.localCheckpoint(eager=False)
     if mode == "disk":
         from pyspark.storagelevel import StorageLevel
 
@@ -687,22 +694,18 @@ def connected_components(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
     edges = _materialize(edges.distinct(), materialize)
-    # Size the iteration's partitioning to the GRAPH, not the session
-    # default: near-dup graphs are a small fraction of the corpus, and
-    # every round pays per-partition task overhead times the iteration
-    # count. ~50k edges per partition keeps big graphs parallel while a
-    # small graph runs its whole fixpoint in a handful of tasks
-    # (measured: the count() on the materialized edges is one cheap job).
-    n_parts = max(1, min(
-        edges.sparkSession.sparkContext.defaultParallelism,
-        edges.count() // 50_000 + 1,
-    ))
-    edges = _materialize(edges.repartition(n_parts, "v"), materialize)
-
+    # Iteration partitioning is left to AQE: every per-round join and
+    # groupBy re-shuffles from the checkpointed edge/label scans (a
+    # checkpoint scan reports UnknownPartitioning, so a pre-shuffle
+    # repartition here could never be reused downstream — it only
+    # added one full extra pass per materialize point), and AQE's
+    # coalescing sizes each round's shuffle to the GRAPH's actual
+    # bytes — small graphs run single-task rounds, huge graphs fan
+    # out, with no edge-count probe job needed (r17: the old explicit
+    # repartition+count cost 2 extra jobs per call and its 50k-row
+    # heuristic was a worse estimator than AQE's byte-based one).
     if algorithm in ("auto", "label"):
-        labels = _min_label_components(
-            edges, n_parts, max_iterations, materialize
-        )
+        labels = _min_label_components(edges, max_iterations, materialize)
         if labels is not None:
             return labels
         if algorithm == "label":
@@ -712,11 +715,11 @@ def connected_components(
                 "raise max_iterations or use algorithm='star' "
                 "(large-star/small-star, O(log^2 n) rounds)"
             )
-    return _star_components(edges, n_parts, materialize)
+    return _star_components(edges, materialize)
 
 
 def _min_label_components(
-    edges: DataFrame, n_parts: int, max_iterations: int, materialize: str | None
+    edges: DataFrame, max_iterations: int, materialize: str | None
 ) -> DataFrame | None:
     """Min-label propagation to the exact fixpoint; None when
     ``max_iterations`` rounds were not enough (caller decides whether
@@ -725,8 +728,7 @@ def _min_label_components(
     # the groupBy IS the first propagation, one iteration saved.
     labels = _materialize(
         edges.groupBy(F.col("u").alias("node"))
-        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
-        .repartition(n_parts, "node"),
+        .agg(F.least(F.min("v"), F.col("u")).alias("label")),
         materialize,
     )
     for _ in range(max_iterations):
@@ -748,7 +750,11 @@ def _min_label_components(
             ),
             materialize,
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        # FULL count, not limit(1): the round's frame must materialize
+        # completely either way (next round consumes it), so the full
+        # count rides the same job — a limit(1) probe would leave
+        # partitions for a second fill-in job (r17 job-count audit).
+        changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if changed == 0:
             return labels.select(
@@ -758,7 +764,7 @@ def _min_label_components(
 
 
 def _star_components(
-    edges: DataFrame, n_parts: int, materialize: str | None
+    edges: DataFrame, materialize: str | None
 ) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al. SoCC'14) to
     the exact fixpoint: at convergence every edge points a node at its
@@ -792,7 +798,7 @@ def _star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-        large = _materialize(large.repartition(n_parts, "u"), materialize)
+        large = _materialize(large, materialize)
 
         # Small-star over (big, small)-oriented edges.
         oriented = large.select(
@@ -809,7 +815,7 @@ def _star_components(
             )
             .distinct()
         )
-        small = _materialize(small.repartition(n_parts, "u"), materialize)
+        small = _materialize(small, materialize)
 
         # Fixpoint: the edge set did not change (both sides deduped, so
         # one symmetric difference probe is an exact equality check).

@@ -5,12 +5,22 @@ operator: corpus curation routinely ranks documents against probe
 queries (topical filtering, eval-set mining, contamination checks), and
 BM25 is the standard lexical ranker those pipelines start from.
 
-Scale shape (100 TB): one explode + map-side-combined groupBy produces
-per-(doc, term) frequencies — FILTERED TO THE QUERY TERMS before the
-shuffle, so the shuffled volume is O(docs x |query|), not O(tokens);
-document lengths ride the same tokenize pass; the per-term document
-frequencies and the corpus aggregates (N, avgdl) are tiny frames that
-broadcast. No UDFs anywhere — the score is a codegen'd expression.
+Scale shape (100 TB): the corpus is tokenized EXACTLY ONCE into a slim
+per-document frame ``(id, dl, matching-terms)`` — document length is
+``size(tokens)`` (no explode, no shuffle), and the query-term filter
+runs INSIDE the token array before any explode, so the only exploded
+rows are the O(docs x |query|) matches. That frame is O(documents) and
+materializes once (``dedup._materialize`` policy); every aggregate the
+formula needs (per-term tf, document frequencies, corpus N/avgdl)
+derives from it with map-side-combined shuffles. The per-term document
+frequencies and the corpus aggregates are tiny frames that broadcast.
+No UDFs anywhere — the score is a codegen'd expression.
+
+(The previous formulation exploded EVERY corpus token to compute
+document lengths and re-ran the tokenize per consumer branch — four
+full passes over the text and an O(tokens) explode; measured 2x slower
+at sf0.1 and strictly worse at scale, where the token explode dwarfs
+the matching-term rows.)
 """
 
 from __future__ import annotations
@@ -21,52 +31,44 @@ from pyspark.sql import functions as F
 from .textstats import tokens_col
 
 
-def bm25_topk(
+def _doc_terms(
     docs: DataFrame,
-    query: str,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
+    qt_filter,
+    materialize: str | None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Top-``k`` documents for ``query`` under Okapi BM25
-    (Robertson-Sparck Jones idf in the non-negative ``ln(1 + ...)``
-    form Lucene uses):
+    """The one-pass tokenize: ``(id, __dl, __qt)`` where ``__dl`` is the
+    whitespace-token count and ``__qt`` keeps only query-matching tokens
+    (duplicates preserved — term frequency needs them). The token array
+    is aliased in its own projection so it is computed once per row
+    (inlining it would re-tokenize per consuming expression — Catalyst
+    keeps non-cheap multi-use aliases in their own project). The frame
+    feeds three consumers (corpus stats, tf counts, df counts), so it
+    materializes once under the similarity-join policy. ``carry`` names
+    extra input columns the filter needs (e.g. a broadcast term-set
+    array); they are not part of the output."""
+    from .dedup import _materialize
 
-        idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
-        s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
-
-    Tokenization matches the engine's text operators (lowercased
-    whitespace split). Deterministic tie-break on (score desc, id).
-    Returns (id, bm25) with the score rounded to 4dp."""
-    qterms = sorted({t for t in query.lower().split() if t})
-    if not qterms:
-        raise ValueError("query has no terms")
-
-    # No pre-explode repartition here, deliberately: whitespace
-    # tokenize is CHEAP per byte (unlike minhash shingling or trigram
-    # slicing, where the X72 pre-shuffle pays for itself) — measured at
-    # sf0.1, shuffling the raw text first costs more than the serial
-    # scan it avoids. The two consumers (dl, qtf) re-run the light
-    # explode rather than paying a materialization barrier.
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("__t")
+    base = docs.select(
+        F.col(id_col),
+        tokens_col(F.lower(F.col(text_col))).alias("__toks"),
+        *[F.col(c) for c in carry],
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
-    # Corpus aggregates as a broadcastable 1-row frame — no driver
-    # collect in the plan (N and avgdl are the only scalars BM25 needs).
-    corpus = dl.agg(
-        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    return _materialize(
+        base.select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.filter("__toks", qt_filter).alias("__qt"),
+        ),
+        materialize,
     )
 
-    qtf = (
-        toks.filter(F.col("__t").isin(qterms))  # prune BEFORE the shuffle
-        .groupBy(id_col, "__t")
-        .agg(F.count("*").alias("__tf"))
-    )
-    dfreq = qtf.groupBy("__t").agg(F.count("*").alias("__df"))
 
+def _score_expr(k1: float, b: float):
+    """BM25 per-(doc, term) contribution (Robertson-Sparck Jones idf in
+    the non-negative ``ln(1 + ...)`` form Lucene uses)."""
     idf = F.log(
         1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
     )
@@ -78,11 +80,55 @@ def bm25_topk(
             + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
         )
     )
+    return idf * tf_part
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: str | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` under Okapi BM25:
+
+        idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+        s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Tokenization matches the engine's text operators (lowercased
+    whitespace split). N and avgdl count documents with at least one
+    token (the classic corpus definition). Deterministic tie-break on
+    (score desc, id). Returns (id, bm25) with the score rounded to 4dp.
+
+    ``materialize`` picks how the once-tokenized per-doc frame is
+    pinned (see ``dedup._materialize``): default localCheckpoint on
+    ``local[*]``, cluster-safe DISK_ONLY persist elsewhere."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("query has no terms")
+
+    wd = _doc_terms(
+        docs, id_col, text_col, lambda t: t.isin(*qterms), materialize
+    )
+    # Corpus aggregates as a broadcastable 1-row frame — no driver
+    # collect in the plan (N and avgdl are the only scalars BM25 needs).
+    corpus = wd.filter(F.col("__dl") > 0).agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    qtf = (
+        wd.select(F.col(id_col), F.col("__dl"), F.explode("__qt").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    dfreq = qtf.groupBy("__t").agg(F.count("*").alias("__df"))
+
     return (
         qtf.join(F.broadcast(dfreq), "__t")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
-        .withColumn("__s", idf * tf_part)
+        .withColumn("__s", _score_expr(k1, b))
         .groupBy(id_col)
         .agg(F.round(F.sum("__s"), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
@@ -100,6 +146,7 @@ def bm25_topk_batch(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_col: str = "query",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Per-query top-``k`` BM25 over a query TABLE — the shape curation
     pipelines actually run (contamination checks score every eval-set
@@ -107,10 +154,10 @@ def bm25_topk_batch(
     and tokenization to ``bm25_topk``; deterministic per-query
     tie-break on (rounded score desc, id).
 
-    Scale shape (100 TB corpus x 10^3-10^5 queries): the corpus-side
-    term stats are computed ONCE for the union of all query terms —
-    the token explode is filtered by a broadcast semi-join on the
-    distinct term set BEFORE the shuffle, so shuffled volume stays
+    Scale shape (100 TB corpus x 10^3-10^5 queries): the corpus is
+    tokenized once; the union of all query terms rides along as a
+    broadcast 1-row term-set array, and the per-document filter runs
+    inside the token array BEFORE the explode, so shuffled volume stays
     O(docs x |query vocabulary|), not O(tokens) and not
     O(docs x queries). The per-query fan-out then joins the slim
     (doc, term, tf) frame to the broadcast (query, term) list, and
@@ -128,35 +175,37 @@ def bm25_topk_batch(
             F.array_distinct(tokens_col(F.lower(F.col(query_col))))
         ).alias("__t"),
     )
-    terms = qterms.select("__t").distinct()
+    # The distinct term set as ONE broadcast row: the per-doc filter
+    # can then run inside the token array (array_contains) with no
+    # join machinery per token.
+    term_set = qterms.agg(F.collect_set("__t").alias("__terms"))
 
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("__t")
+    def _qt_filter(t):
+        return F.array_contains(F.col("__terms"), t)
+
+    wd = _doc_terms(
+        docs.crossJoin(F.broadcast(term_set)),
+        id_col,
+        text_col,
+        _qt_filter,
+        materialize,
+        carry=("__terms",),
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
-    corpus = dl.agg(F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
-
+    corpus = wd.filter(F.col("__dl") > 0).agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
     qtf = (
-        toks.join(F.broadcast(terms), "__t", "left_semi")  # prune BEFORE shuffle
+        wd.select(F.col(id_col), F.col("__dl"), F.explode("__qt").alias("__t"))
         .groupBy(id_col, "__t")
-        .agg(F.count("*").alias("__tf"))
+        .agg(F.count("*").alias("__tf"), F.first("__dl").alias("__dl"))
     )
     dfreq = qtf.groupBy("__t").agg(F.count("*").alias("__df"))
 
-    idf = F.log(
-        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-    )
-    tf_part = (
-        F.col("__tf")
-        * (k1 + 1.0)
-        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
-    )
     scored = (
         qtf.join(F.broadcast(dfreq), "__t")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .join(F.broadcast(qterms), "__t")  # per-query fan-out, broadcast side
-        .withColumn("__s", idf * tf_part)
+        .withColumn("__s", _score_expr(k1, b))
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("__s"), 4).alias("bm25"))
     )

@@ -168,10 +168,19 @@ def lsh_near_pairs(
     hash shuffle on (band, bucket), AQE skew-split for hot buckets;
     candidate count is controlled by n_planes (bucket granularity).
     """
+    from .dedup import _materialize
+
     d = as_double_vec(df, vec_col)
     sig = _banded_buckets_udf(dim, n_planes, n_bands, seed)
-    banded = d.select(
-        F.col(id_col), F.posexplode(sig(F.col(vec_col))).alias("band", "bucket")
+    # The banded frame feeds BOTH self-join sides: materialize it once
+    # (dedup._materialize policy) so the signature UDF and its scan run
+    # once, not once per differently-aliased branch (r17: the unpinned
+    # plan re-ran the matmul UDF twice and scanned the source 4x).
+    banded = _materialize(
+        d.select(
+            F.col(id_col), F.posexplode(sig(F.col(vec_col))).alias("band", "bucket")
+        ),
+        None,
     )
     cand = (
         banded.alias("a")

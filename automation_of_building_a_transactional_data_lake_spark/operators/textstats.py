@@ -91,10 +91,21 @@ def lang_score_col(text: Column, lang: str) -> Column:
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: argmax of per-language marker-token hits;
     'und' (undetermined) when nothing matches. Deterministic tie-break
-    by language code order en<de<fr<es<zh (first wins)."""
-    scored = df
+    by language code order en<de<fr<es<zh (first wins).
+
+    The lowercased token array is computed ONCE into its own projection
+    and every language's marker count reads it — inlining the tokenize
+    per language re-ran it 5x per row (higher-order-function lambdas
+    defeat Catalyst CSE; same finding as ``with_repetition_stats``)."""
+    scored = df.select("*", tokens_col(F.lower(F.col(text_col))).alias("__lang_toks"))
     for lang in _LANG_MARKERS:
-        scored = scored.withColumn(f"__score_{lang}", lang_score_col(F.col(text_col), lang))
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        scored = scored.withColumn(
+            f"__score_{lang}",
+            F.size(
+                F.filter(F.col("__lang_toks"), lambda t: F.array_contains(markers, t))
+            ),
+        )
     best = F.lit("und")
     best_score = F.lit(0)
     # Iterate in reverse so earlier languages win ties (>' strictly).
@@ -105,7 +116,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
         best = F.when((F.col(f"__score_{lang}") > 0) & cond, F.lit(lang)).otherwise(best)
         best_score = F.greatest(best_score, F.col(f"__score_{lang}"))
     out = scored.withColumn(out_col, best)
-    return out.drop(*[f"__score_{lang}" for lang in _LANG_MARKERS])
+    return out.drop("__lang_toks", *[f"__score_{lang}" for lang in _LANG_MARKERS])
 
 
 def normalize_text(
@@ -222,28 +233,41 @@ def with_repetition_stats(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_parts, F.col(id_col))
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
+
+    # Tokenize ONCE per branch: the token and 2-gram arrays are aliased
+    # in their own projections so every stat reads the computed column.
+    # Inlining them (the previous formulation) re-evaluated the
+    # split+filter ~12x per row inside one Project — lambda-variable
+    # ids defeat Catalyst's common-subexpression elimination for
+    # higher-order functions, so each occurrence really ran (r17
+    # measured ~2x on this operator at sf0.1; linear in text bytes at
+    # any scale).
+    n = F.size("__toks")
+    nd = F.size(F.array_distinct("__toks"))
     grams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(grams)
-    ngd = F.size(F.array_distinct(grams))
+    ng = F.size("__grams")
+    ngd = F.size(F.array_distinct("__grams"))
 
     base = (
-        df.withColumn("n_tokens", n.cast("long"))
-        .withColumn(
-            "dup_token_frac",
-            F.round(F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0)), 6),
+        df.select("*", toks.alias("__toks"))
+        .select("*", grams.alias("__grams"))
+        .select(
+            "*",
+            n.cast("long").alias("n_tokens"),
+            F.round(F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0)), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.when(ng > 0, 1.0 - ngd / ng).otherwise(F.lit(0.0)), 6).alias(
+                "dup_2gram_frac"
+            ),
         )
-        .withColumn(
-            "dup_2gram_frac",
-            F.round(F.when(ng > 0, 1.0 - ngd / ng).otherwise(F.lit(0.0)), 6),
-        )
+        .drop("__toks", "__grams")
     )
     mode = (
         df.select(F.col(id_col), F.explode(toks).alias("__tok"))
