@@ -1535,7 +1535,13 @@ def docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load(spark, sf_dir, "documents")
-    normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
+    # Materialize the normalized frame FIRST: it feeds both the
+    # dedup-keep aggregate and the semi-join's left side, so an
+    # unpinned plan runs the normalize pandas_udf twice (r17: one
+    # full extra Arrow round-trip over the corpus).
+    normed = _materialize(
+        normalize_text(docs).select("doc_id", "lang", "text_norm"), None
+    )
     # Exact dedup on the CANONICAL text: keep the min doc_id per form.
     # Materialized once — three downstream branches would otherwise
     # re-run the normalize pandas_udf + dedup shuffle each (r9; same
@@ -1628,7 +1634,12 @@ def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load(spark, sf_dir, "documents")
-    normed = normalize_text(docs).select("doc_id", "lang", "text_norm")
+    # Materialized FIRST: `normed` feeds both the keep aggregate and
+    # the semi-join's left side — unpinned, the normalize pandas_udf
+    # runs twice (r17; one full extra Arrow pass over the corpus).
+    normed = _materialize(
+        normalize_text(docs).select("doc_id", "lang", "text_norm"), None
+    )
     keep = normed.groupBy("text_norm").agg(F.min("doc_id").alias("doc_id"))
     # The deduped frame feeds FOUR consumers (eval slice, decontam
     # corpus side, LM training/scoring, rebalance): materialize once so
@@ -3978,8 +3989,11 @@ def emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") != 0)
     books = train_pq(cand, m=8)
     encoded = encode_pq(cand, books)
-    # Shortlist == corpus size → provably exact (see header comment).
-    top = pq_topk(encoded, books, qvec, k=10, rerank=cand.count())
+    # Shortlist >= corpus size → shortlist == corpus → provably exact
+    # (see header comment). Any bound at or above the corpus size is
+    # the same degenerate setting; the INT_MAX literal keeps the
+    # exactness proof without a count() probe job (r17).
+    top = pq_topk(encoded, books, qvec, k=10, rerank=(1 << 31) - 1)
     return top.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
