@@ -354,6 +354,15 @@ def minhash_near_dup_pairs(
     )
 
     # Exact verification: fetch each side's shingle set by id.
+    # The candidate pairs REPARTITION before verification: tiny in
+    # bytes (two longs) but each row costs an array_intersect/union
+    # over the full shingle sets, so AQE's byte-based coalescing would
+    # run the whole verify stage in ~one task (r17: measured
+    # 1.6 s -> 0.2 s at sf0.1 — the X72 cpu-heavy/small-bytes pattern,
+    # this time on a post-join stage).
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -513,6 +522,15 @@ def ngram_jaccard_prefix_pairs(
         .distinct()
     )
 
+    # The candidate pairs REPARTITION before verification: tiny in
+    # bytes (two longs) but each row costs an array_intersect/union
+    # over the full shingle sets, so AQE's byte-based coalescing would
+    # run the whole verify stage in ~one task (r17: measured
+    # 1.6 s -> 0.2 s at sf0.1 — the X72 cpu-heavy/small-bytes pattern,
+    # this time on a post-join stage).
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (

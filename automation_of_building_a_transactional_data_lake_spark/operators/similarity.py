@@ -196,6 +196,13 @@ def lsh_near_pairs(
         )
         .distinct()
     )
+    # Repartition the candidates before verification: tiny in bytes,
+    # heavy per row (interpreted cosine over the full vectors) — AQE's
+    # byte-based coalescing would verify on ~one task (the same r17
+    # fix as the dedup verify stages).
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     a_vec = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
     b_vec = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
     return (
