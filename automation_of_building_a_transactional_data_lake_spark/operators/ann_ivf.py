@@ -156,11 +156,29 @@ def _spread(df: DataFrame) -> DataFrame:
     """Ensure the CPU-heavy distance expressions run cluster-wide: a
     table arriving in fewer file splits than cores would evaluate them
     serially inside the scan stage (same trap as the minhash shingle
-    stage — measured 3x there). No-op when the input is already wide."""
+    stage — measured 3x there). No-op when the input is already wide.
+
+    Width is judged from the scan's file list plus the optimizer's
+    byte estimate (splits ≈ bytes / maxPartitionBytes), not
+    ``df.rdd.getNumPartitions()`` — the RDD probe forced a full
+    physical planning + codegen pass of the subtree per call (r17;
+    ~0.1-0.3 s of driver time). The byte estimate keeps the
+    one-huge-file case correct (many splits from one file → already
+    wide); non-file sources fall back to the RDD probe."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
-        return df.repartition(n_parts)
-    return df
+    files = df.inputFiles()
+    if not files:
+        wide = df.rdd.getNumPartitions() >= n_parts
+        return df if wide else df.repartition(n_parts)
+    if len(files) >= n_parts:
+        return df
+    jconf = df.sparkSession._jsparkSession.sessionState().conf()
+    est_splits = max(
+        len(files),
+        int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        // int(jconf.filesMaxPartitionBytes()),
+    )
+    return df if est_splits >= n_parts else df.repartition(n_parts)
 
 
 def build_ivf(
