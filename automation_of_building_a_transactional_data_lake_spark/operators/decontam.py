@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col
+from .dedup import _with_shingle_tokens, shingles_from_tokens
 
 
 def ngram_contamination(
@@ -54,14 +54,18 @@ def ngram_contamination(
     # is the EXPENSIVE tokenize class where the pre-shuffle pays for
     # itself (unlike BM25's cheap whitespace split).
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    grams_c = (
-        corpus.select(F.col(id_col), F.col(text_col))
-        .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("__g"))
+    grams_c = _with_shingle_tokens(
+        corpus.select(F.col(id_col), F.col(text_col)).repartition(
+            n_parts, F.col(id_col)
+        ),
+        text_col,
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__shingle_toks"), n)).alias("__g"),
     )
-    grams_e = eval_set.select(
+    grams_e = _with_shingle_tokens(eval_set, eval_text_col).select(
         F.col(eval_id_col),
-        F.explode(shingles_col(F.col(eval_text_col), n)).alias("__g"),
+        F.explode(shingles_from_tokens(F.col("__shingle_toks"), n)).alias("__g"),
     )
     return (
         grams_c.join(F.broadcast(grams_e), "__g")
@@ -81,12 +85,20 @@ def contaminated_ids(
     """Just the corpus ids to drop — a distinct left-semi shape for the
     common "scrub the corpus" call (one column out, no pair fan-out)."""
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    grams_c = (
-        corpus.select(F.col(id_col), F.col(text_col))
-        .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("__g"))
+    grams_c = _with_shingle_tokens(
+        corpus.select(F.col(id_col), F.col(text_col)).repartition(
+            n_parts, F.col(id_col)
+        ),
+        text_col,
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__shingle_toks"), n)).alias("__g"),
     )
-    grams_e = eval_set.select(
-        F.explode(shingles_col(F.col(eval_text_col), n)).alias("__g")
-    ).distinct()
+    grams_e = (
+        _with_shingle_tokens(eval_set, eval_text_col)
+        .select(
+            F.explode(shingles_from_tokens(F.col("__shingle_toks"), n)).alias("__g")
+        )
+        .distinct()
+    )
     return grams_c.join(F.broadcast(grams_e), "__g", "left_semi").select(id_col).distinct()

@@ -53,7 +53,8 @@ from .dedup import (
     band_buckets,
     jaccard_col,
     minhash_signature_udf,
-    shingles_col,
+    _with_shingle_tokens,
+    shingles_from_tokens,
 )
 
 _META_FILE = "_dedup_meta.json"
@@ -127,11 +128,13 @@ class ManagedDedupIndex:
         Arrow-batched signature pass; deterministic given the
         parameters, any partitioning."""
         rows_per_band = self.num_perm // self.bands
-        sig = df.select(
+        sig = _with_shingle_tokens(df, self.text_col).select(
             F.col(id_col),
             minhash_signature_udf(self.num_perm, self.seed)(
                 F.transform(
-                    shingles_col(F.col(self.text_col), self.shingle_n),
+                    shingles_from_tokens(
+                        F.col("__shingle_toks"), self.shingle_n
+                    ),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("__sig"),
@@ -291,13 +294,17 @@ class ManagedDedupIndex:
             .select(id_col, "doc_id")
             .distinct()
         )
-        sh_q = batch.select(
+        sh_q = _with_shingle_tokens(batch, self.text_col).select(
             F.col(id_col),
-            shingles_col(F.col(self.text_col), self.shingle_n).alias("__sh_q"),
+            shingles_from_tokens(F.col("__shingle_toks"), self.shingle_n).alias(
+                "__sh_q"
+            ),
         )
-        sh_c = self._source().read().select(
+        sh_c = _with_shingle_tokens(self._source().read(), self.text_col).select(
             F.col(pk).alias("doc_id"),
-            shingles_col(F.col(self.text_col), self.shingle_n).alias("__sh_c"),
+            shingles_from_tokens(F.col("__shingle_toks"), self.shingle_n).alias(
+                "__sh_c"
+            ),
         )
         return (
             cand.join(sh_q, id_col)
