@@ -33,8 +33,6 @@ Design choices for Spark:
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -99,6 +97,14 @@ def assign_clusters_vectorized(
         d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + c_sq[None, :]
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
+    # The function is deterministic, but the marker stops the optimizer
+    # DUPLICATING it: a downstream filter on the assignment (the batch
+    # path's equi-join pushes isnotnull(cluster_id)) otherwise plans a
+    # second ArrowEvalPython below the pushed filter, running the full
+    # corpus matmul twice (guide §4.4; r18 — emb_ivf_batch_knn's plan
+    # carried 2x ArrowEvalPython per side). Output values unchanged.
+    nearest = nearest.asNondeterministic()
+
     d = as_double_vec(df, vec_col)
     return d.withColumn(out_col, nearest(F.col(vec_col)))
 
@@ -152,32 +158,77 @@ def train_centroids(
     return [[float(v) for v in row] for row in centroids]
 
 
+# Analyzed-plan nodes that cannot change the scan's partitioning: a
+# plan made only of these above a file relation arrives in exactly the
+# scan's splits, so the split estimate below IS the frame's width.
+# Anything else (Join, Aggregate, Repartition, Window, Generate, ...)
+# may shuffle/coalesce, and the file list says nothing about the
+# frame's actual partitioning (r18 advisory) — fall back to the exact
+# RDD probe.
+_NARROW_NODES = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "View", "LogicalRelation"}
+)
+
+
+def _is_narrow_over_scan(df: DataFrame) -> bool:
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() not in _NARROW_NODES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the CPU-heavy distance expressions run cluster-wide: a
     table arriving in fewer file splits than cores would evaluate them
     serially inside the scan stage (same trap as the minhash shingle
     stage — measured 3x there). No-op when the input is already wide.
 
-    Width is judged from the scan's file list plus the optimizer's
-    byte estimate (splits ≈ bytes / maxPartitionBytes), not
-    ``df.rdd.getNumPartitions()`` — the RDD probe forced a full
-    physical planning + codegen pass of the subtree per call (r17;
-    ~0.1-0.3 s of driver time). The byte estimate keeps the
-    one-huge-file case correct (many splits from one file → already
-    wide); non-file sources fall back to the RDD probe."""
+    Width is estimated with Spark's own split-packing math
+    (``FilePartition.maxSplitBytes``): every file is charged
+    ``openCostInBytes``, and padded bytes pack into bins of
+    ``min(maxPartitionBytes, max(openCost, totalPadded/minPartitionNum))``
+    — so one huge file counts as many splits and many tiny files count
+    as the few splits Spark will actually coalesce them into. The r17
+    shortcut (``len(files) >= n_parts`` → already wide) got the tiny-
+    file case wrong: 64 small files pack into far fewer splits than 64
+    (r18 verdict #2). The estimate only applies when the plan is
+    narrow-only above a local file scan (``_is_narrow_over_scan``) —
+    joins/aggregates/repartitions change the partitioning, and remote
+    filesystems would need per-file RPCs — everything else takes the
+    exact (but physical-planning-cost) RDD probe, the pre-r17
+    behavior. Parquet is splittable, which the bin math assumes."""
+    import os
+
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if not files:
+
+    def _rdd_probe() -> DataFrame:
         wide = df.rdd.getNumPartitions() >= n_parts
         return df if wide else df.repartition(n_parts)
-    if len(files) >= n_parts:
-        return df
+
+    files = df.inputFiles()
+    if not files or not _is_narrow_over_scan(df):
+        return _rdd_probe()
+    total = 0
+    for f in files:
+        if "://" in f and not f.startswith("file:"):
+            return _rdd_probe()
+        try:
+            total += os.path.getsize(f[5:] if f.startswith("file:") else f)
+        except OSError:
+            return _rdd_probe()
     jconf = df.sparkSession._jsparkSession.sessionState().conf()
-    est_splits = max(
-        len(files),
-        int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        // int(jconf.filesMaxPartitionBytes()),
+    open_cost = int(jconf.filesOpenCostInBytes())
+    padded = total + open_cost * len(files)
+    bin_bytes = min(
+        int(jconf.filesMaxPartitionBytes()),
+        max(open_cost, padded // max(1, n_parts)),
     )
+    est_splits = padded // max(1, bin_bytes)
     return df if est_splits >= n_parts else df.repartition(n_parts)
 
 
@@ -256,6 +307,11 @@ def probe_clusters_vectorized(
         d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + c_sq[None, :]
         order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
         return pd.Series(list(order))
+
+    # Deterministic function, non-deterministic marker: the explode of
+    # the probe array pushes a size(__probe)>0 filter below, which
+    # otherwise duplicates the ArrowEvalPython (guide §4.4, as above).
+    nearest_n = nearest_n.asNondeterministic()
 
     return as_double_vec(df, vec_col).withColumn(out_col, nearest_n(F.col(vec_col)))
 

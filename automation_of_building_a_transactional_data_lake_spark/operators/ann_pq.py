@@ -165,7 +165,7 @@ def pq_topk(
     codebooks: list[list[list[float]]],
     query_vec: list[float],
     k: int = 10,
-    rerank: int = 0,
+    rerank: int | str = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
@@ -176,7 +176,21 @@ def pq_topk(
     Returns (id, cos_sim_approx) ranked descending; with
     ``rerank=r > 0`` the top r ADC candidates are re-scored with exact
     cosine from the full vectors and the result carries (id, cos_sim)
-    — identical schema family to ``ivf_topk``."""
+    — identical schema family to ``ivf_topk``.
+
+    ``rerank="all"`` is the exactness-gate setting: the shortlist is
+    the whole corpus BY CONSTRUCTION, so the ADC ordering step is
+    skipped outright and the exact re-rank plans as a per-partition
+    top-k (TakeOrderedAndProject). The r17 formulation smuggled the
+    same semantics through ``rerank=INT_MAX``, which exceeds
+    ``spark.sql.execution.topKSortFallbackThreshold`` and planned as
+    Exchange SinglePartition + full Sort + GlobalLimit — a single-task
+    full-corpus sort (r18 advisory). The re-rank's trailing
+    ``cos_sim_approx`` sort key is semantically inert ((cos_sim, id)
+    is already a total order — ids are unique) but keeps the ADC stage
+    in the plan, which is the machinery the gate exists to prove;
+    without the reference, column pruning would drop the ADC and
+    encode stages and the gate would degenerate to brute force."""
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     sub = books[0].shape[1]
@@ -202,6 +216,20 @@ def pq_topk(
         return pd.Series(1.0 - d2 / 2.0)  # normalized vectors: cos = 1 - d2/2
 
     scored = encoded.withColumn("cos_sim_approx", adc(F.col(code_col)))
+    if rerank == "all":
+        qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            scored.withColumn(
+                "cos_sim", cosine_similarity_col(F.col(vec_col), qcol)
+            )
+            .orderBy(
+                F.col("cos_sim").desc(), F.col(id_col), F.col("cos_sim_approx")
+            )
+            .limit(k)
+            .select(id_col, "cos_sim")
+        )
+    if isinstance(rerank, str):
+        raise ValueError(f"rerank must be an int or 'all', got {rerank!r}")
     approx = scored.orderBy(F.col("cos_sim_approx").desc(), F.col(id_col)).limit(
         max(k, rerank)
     )

@@ -872,10 +872,13 @@ def _star_components(
         small = _materialize(small, materialize)
 
         # Fixpoint: the edge set did not change (both sides deduped, so
-        # one symmetric difference probe is an exact equality check).
+        # the symmetric difference being empty is an exact equality
+        # check). ONE probe job: the two exceptAll directions union
+        # into a single limit(1) count instead of two separate jobs
+        # per round (r18, verdict #7 — job launches dominate the
+        # fixpoint's cost at any scale).
         changed = (
-            small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(small).limit(1).count()
+            small.exceptAll(cur).union(cur.exceptAll(small)).limit(1).count()
         )
         cur = small
         if changed == 0:

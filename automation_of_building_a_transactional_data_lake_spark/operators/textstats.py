@@ -230,6 +230,12 @@ def with_repetition_stats(
     sf0.1 on a single-file documents table). The same partitioning
     then co-locates the mode join.
     """
+    # Replace semantics (r18 advisory): the r17 select('*', alias(...))
+    # form APPENDS, so an input already carrying these stat columns
+    # (e.g. a with_token_stats output) would yield duplicate names and
+    # ambiguous-reference errors downstream. Dropping them first
+    # restores the public withColumn-style contract.
+    df = df.drop("n_tokens", "dup_token_frac", "dup_2gram_frac", "top_token_frac")
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_parts, F.col(id_col))
     toks = tokens_col(F.col(text_col))

@@ -3989,11 +3989,16 @@ def emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") != 0)
     books = train_pq(cand, m=8)
     encoded = encode_pq(cand, books)
-    # Shortlist >= corpus size → shortlist == corpus → provably exact
-    # (see header comment). Any bound at or above the corpus size is
-    # the same degenerate setting; the INT_MAX literal keeps the
-    # exactness proof without a count() probe job (r17).
-    top = pq_topk(encoded, books, qvec, k=10, rerank=(1 << 31) - 1)
+    # Shortlist == corpus → provably exact (see header comment).
+    # rerank="all" makes that structural: the ADC ordering step is
+    # skipped (no limit at all), so the exact re-rank plans as
+    # TakeOrderedAndProject. The r17 INT_MAX literal kept the proof
+    # without a count() probe job but exceeded
+    # topKSortFallbackThreshold, planning a single-task full-corpus
+    # sort (r18 advisory); "all" keeps both the proof and the probe-
+    # free plan, and the ADC stage stays in the plan via an inert
+    # trailing sort key (see pq_topk).
+    top = pq_topk(encoded, books, qvec, k=10, rerank="all")
     return top.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
