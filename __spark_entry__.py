@@ -570,6 +570,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #       of the identifier-SELECT surface) and orders_dml_sqltext
 #       (UPDATE/DELETE text DML), + pytest test_oracle_parity each
 #       session.
+#   r18 rotation (closing the r17 v3dv commitment + the r17 verdict's
+#     "touched ⇒ in-lane" rule, items #4/#8). Rotating IN:
+#     - game_user_cdc_e2e_iceberg_v3dv (the committed r17 promise).
+#     - emb_pq_knn (its ann_pq implementation changed in r17 — the
+#       Lloyd bincount rewrite — and again in r18 — rerank="all";
+#       per the rule a query whose operator code changed that round
+#       must sit in a recorded slot).
+#     - emb_ivf_knn and emb_ivf_batch_knn (ann_ivf changed in r18:
+#       the _spread width estimate and the asNondeterministic
+#       anti-duplication markers — same rule; emb_ann_index_query
+#       covers assign/train but not _spread/probe/batch-topk).
+#     Rotating OUT, per protocol (green in many consecutive driver
+#     rounds and family-held by a STAYING or INCOMING gate):
+#     - q16_brand_type_suppliers (green r2-r17, sixteen rounds) → the
+#       TPC-H join/agg family stays recorded via q3_top_revenue,
+#       q8_market_share, q18_large_orders and q21_waiting_supplier
+#       (EXISTS/NOT-EXISTS correlation superset), + pytest
+#       test_oracle_parity each session.
+#     - orders_metrics_unpivot (green r2-r17, sixteen rounds) → pure
+#       codegen'd stack() projection; the aggregate-shape family is
+#       held by the staying orders_grouping_sets, and the unpivot
+#       surface stays oracle-gated in pytest each session.
+#     - events_asof_purchase (green r2-r17, sixteen rounds) → the
+#       bucketed as-of join machinery is pinned by
+#       tests/test_temporal.py each session and the time-range join
+#       family is held by the staying events_time_range_rolling.
+#     - game_user_cdc_e2e_iceberg_days (green r13-r17, five rounds) →
+#       held by the staying game_user_cdc_e2e_iceberg_eqd and
+#       _iceberg_mor twins (same write/merge/read surface) and the
+#       INCOMING _iceberg_v3dv (v3 is the format superset); the
+#       days() hidden-partitioning pruning pin stays asserted in
+#       pytest (test_interop) each session.
 _DEMOTED_TAIL = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
@@ -616,7 +648,6 @@ _DEMOTED_TAIL = [
     "docs_bm25_search",
     "docs_normalized",
     "game_user_cdc_e2e_via_changes",
-    "emb_ivf_knn",
     "q4_late_shipment_exists",
     "q12_shipmode_priority",
     "q13_cust_distribution",
@@ -624,7 +655,6 @@ _DEMOTED_TAIL = [
     "docs_curation_pipeline",
     "docs_vocab_topk",
     "q2_min_price_supplier",
-    "emb_ivf_batch_knn",
     "docs_stratified_cap",
     "docs_simhash_md5",
     "emb_pca_knn",
@@ -634,7 +664,11 @@ _DEMOTED_TAIL = [
     # above); emb_pq_knn and q1_via_sql_catalog demoted here in their
     # place, both family-held (emb_ann_index_pq_query superset;
     # orders_1996_sqltext_pruned + orders_dml_sqltext SQL-text family).
-    "emb_pq_knn",
+    # r18: emb_pq_knn rotated BACK into a recorded slot (its operator
+    # code changed in r17 and r18 — the "touched ⇒ in-lane" rule), as
+    # did emb_ivf_knn / emb_ivf_batch_knn (ann_ivf changed in r18) and
+    # game_user_cdc_e2e_iceberg_v3dv (the r17 commitment); see the r18
+    # rotation note above for the four demotions that made room.
     "q1_via_sql_catalog",
     "events_exclusive_errors",
     "docs_decontamination",
@@ -648,8 +682,12 @@ _DEMOTED_TAIL = [
     # in-gate, row-lineage-assigned appends; same oracle as the other
     # e2e twins). Registered in the TAIL first (the emb_top_pairs
     # pattern; oracle runs in pytest via test_oracle_parity every
-    # session); rotate into a recorded slot in r18.
-    "game_user_cdc_e2e_iceberg_v3dv",
+    # session); rotated into a recorded slot in r18 as committed.
+    # r18 demotions (family-held; justifications in the r18 note):
+    "q16_brand_type_suppliers",
+    "orders_metrics_unpivot",
+    "events_asof_purchase",
+    "game_user_cdc_e2e_iceberg_days",
 ]
 
 _DRIVER_SLOTS = 50

@@ -105,7 +105,12 @@ def bm25_topk(
 
     ``materialize`` picks how the once-tokenized per-doc frame is
     pinned (see ``dedup._materialize``): default localCheckpoint on
-    ``local[*]``, cluster-safe DISK_ONLY persist elsewhere."""
+    ``local[*]``, cluster-safe DISK_ONLY persist elsewhere. The disk
+    mode pins executor blocks for the session (r18 advisory): after
+    collecting/writing the top-k on a non-local master, call
+    ``dedup.release_similarity_cache()`` — or pass
+    ``materialize="none"`` to trade the pin for a second tokenize
+    pass — exactly as for the similarity joins."""
     qterms = sorted({t for t in query.lower().split() if t})
     if not qterms:
         raise ValueError("query has no terms")
@@ -165,6 +170,11 @@ def bm25_topk_batch(
     broadcast side by assumption (eval sets are tiny next to the
     corpus); for query sets beyond broadcast size, shard them and
     union the calls.
+
+    On a non-local master the default ``materialize`` pins a
+    DISK_ONLY frame for the session — release it with
+    ``dedup.release_similarity_cache()`` after the results are
+    materialized, as for the similarity joins (r18 advisory).
 
     Returns (query_id, doc_id, bm25 rounded to 4dp)."""
     from pyspark.sql.window import Window

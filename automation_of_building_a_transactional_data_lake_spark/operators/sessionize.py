@@ -35,20 +35,28 @@ def with_session_id(
     0 <= threshold) regardless of sort order, so the result is
     deterministic without a tiebreaker."""
     w = Window.partitionBy(key_col).orderBy(time_col)
-    ntz = col_is_ntz(df, time_col)  # lag() preserves the input dtype
-    gap_us = epoch_micros(F.col(time_col), ntz) - epoch_micros(
-        F.lag(time_col).over(w), ntz
-    )
+    ntz = col_is_ntz(df, time_col)
+    # Decompose the timestamp to epoch micros ONCE per row, in its own
+    # projection BELOW the window: inlining epoch_micros around
+    # lag(ts) made Catalyst materialize one lag() copy per component
+    # of the decomposition (the r17 plan carried 8 identical lag
+    # windows) and re-run the date/hour/minute/second arithmetic per
+    # reference. Lagging the long instead is arithmetically identical
+    # (epoch_micros is monotone and null-preserving) and lags once
+    # (r18, guide §1.2 per-task work).
+    us = "__sess_us"
+    d = df.withColumn(us, epoch_micros(F.col(time_col), ntz))
+    gap_us = F.col(us) - F.lag(us).over(w)
     is_start = F.when(
         gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
-    return df.withColumn(
+    return d.withColumn(
         out_col,
         F.sum(is_start).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         - 1,
-    )
+    ).drop(us)
 
 
 def session_stats(

@@ -54,14 +54,17 @@ _DEEP_TAIL = [
 ]
 
 
-def _deep_rotation(k: int = 5) -> list[str]:
-    """r17 (r16 verdict #5): a rotating k-subset of the deep tail runs
-    in the DEFAULT lane every session — composed pipelines keep
-    nontrivial-scale coverage without the TDL_DEEP_TESTS opt-in. The
-    rotation key is the committed CORRECTNESS history count (one file
-    per driver round), so each round exercises a different slice and
-    the whole tail cycles in ~len/k rounds, deterministically per
-    round (no wall-clock dependence)."""
+def _deep_rotation(k: int = 1) -> list[str]:
+    """r17 (r16 verdict #5) ran FIVE rotating sf0.01 tail pipelines in
+    the default lane; the lane outgrew the driver's pytest budget and
+    the r17 verify run truncated at 32% (r17 verdict #1 — an
+    incomplete run protects nothing). r18: the default lane keeps ONE
+    rotating deep slot (composed-pipeline coverage at sf0.01 without
+    the opt-in, cycling the whole tail deterministically on the
+    committed CORRECTNESS history count); the other ``len(_DEEP_TAIL)-1``
+    pipelines run under TDL_DEEP_TESTS=1 (the weekly/deep CI lane).
+    Every tail query still oracle-gates at sf0.001 in the default lane
+    via test_query_matches_oracle_sf0001."""
     import glob
 
     rnd = len(
