@@ -73,14 +73,23 @@ def _lloyd(x: np.ndarray, k: int, iters: int) -> np.ndarray:
     is pinned by tests/test_ann_pq.py."""
     k = min(k, len(x))
     dim = x.shape[1]
+    # Callers slice subspaces out of a wider sample matrix, so x
+    # arrives strided; a contiguous copy makes the per-iteration
+    # matmul use the fast BLAS path.
+    x = np.ascontiguousarray(x)
     centroids = x[:k].copy()
+    score = np.empty((len(x), k))
     for _ in range(iters):
         # argmin_c |x - c|^2 == argmin_c (|c|^2 - 2 x.c): the |x|^2
         # row-constant term cannot change the winner, so it is not
-        # computed (one fewer 2 MB temp per iteration).
-        score = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (
-            x @ centroids.T
-        )
+        # computed (one fewer 2 MB temp per iteration). The score
+        # buffer is written in place (matmul out= + scale + add):
+        # |c|^2 + (-2 * x.c) is the same IEEE sum as before, so the
+        # centroids stay bit-identical while the n*k temporaries
+        # drop from 3 per iteration to 0.
+        np.matmul(x, centroids.T, out=score)
+        score *= -2.0
+        score += (centroids * centroids).sum(axis=1)[None, :]
         assign = score.argmin(axis=1)
         counts = np.bincount(assign, minlength=k)
         sums = np.stack(
