@@ -377,19 +377,26 @@ def minhash_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
 
     # Exact verification: fetch each side's shingle set by id.
-    # The candidate pairs REPARTITION before verification: tiny in
-    # bytes (two longs) but each row costs an array_intersect/union
-    # over the full shingle sets, so AQE's byte-based coalescing would
-    # run the whole verify stage in ~one task (r17: measured
-    # 1.6 s -> 0.2 s at sf0.1 — the X72 cpu-heavy/small-bytes pattern,
-    # this time on a post-join stage).
+    # The candidate pairs REPARTITION before the dedup + verification:
+    # tiny in bytes (two longs) but each row costs an
+    # array_intersect/union over the full shingle sets, so AQE's
+    # byte-based coalescing would run the whole verify stage in ~one
+    # task (r17: measured 1.6 s -> 0.2 s at sf0.1 — the X72
+    # cpu-heavy/small-bytes pattern, this time on a post-join stage).
+    # The repartition sits BELOW the distinct: the user shuffle then
+    # doubles as the dedup's clustering (one exchange, not two) and —
+    # critically — survives to runtime. distinct-then-repartition let
+    # the optimizer elide the user shuffle (child already hash-
+    # partitioned on the same keys), leaving only the dedup's
+    # ENSURE_REQUIREMENTS exchange, which AQE coalesced back to ~one
+    # task (r18: observed "AQEShuffleRead coalesced" feeding the
+    # verify stage on the checkpointed path).
     cand = cand.repartition(
         cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    ).distinct()
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -547,18 +554,24 @@ def ngram_jaccard_prefix_pairs(
             )
         )
         .select("id_a", "id_b")
-        .distinct()
     )
 
-    # The candidate pairs REPARTITION before verification: tiny in
-    # bytes (two longs) but each row costs an array_intersect/union
-    # over the full shingle sets, so AQE's byte-based coalescing would
-    # run the whole verify stage in ~one task (r17: measured
-    # 1.6 s -> 0.2 s at sf0.1 — the X72 cpu-heavy/small-bytes pattern,
-    # this time on a post-join stage).
+    # The candidate pairs REPARTITION before the dedup + verification:
+    # tiny in bytes (two longs) but each row costs an
+    # array_intersect/union over the full shingle sets, so AQE's
+    # byte-based coalescing would run the whole verify stage in ~one
+    # task (r17: measured 1.6 s -> 0.2 s at sf0.1 — the X72
+    # cpu-heavy/small-bytes pattern, this time on a post-join stage).
+    # The repartition sits BELOW the distinct (r18): distinct-then-
+    # repartition let the optimizer elide the user shuffle (child
+    # already hash-partitioned on the same keys), leaving only the
+    # dedup's ENSURE_REQUIREMENTS exchange, which AQE coalesced back
+    # to ~one task on the checkpointed path. This way the user
+    # REPARTITION_BY_NUM shuffle doubles as the distinct's clustering
+    # (one exchange, not two) and survives to runtime.
     cand = cand.repartition(
         cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    ).distinct()
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (

@@ -194,15 +194,19 @@ def lsh_near_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
-    # Repartition the candidates before verification: tiny in bytes,
-    # heavy per row (interpreted cosine over the full vectors) — AQE's
-    # byte-based coalescing would verify on ~one task (the same r17
-    # fix as the dedup verify stages).
+    # Repartition the candidates before the dedup + verification: tiny
+    # in bytes, heavy per row (interpreted cosine over the full
+    # vectors) — AQE's byte-based coalescing would verify on ~one task
+    # (the same r17 fix as the dedup verify stages). The repartition
+    # sits BELOW the distinct (r18, same fix as the dedup operators):
+    # the user shuffle doubles as the distinct's clustering (one
+    # exchange, not two) and its REPARTITION_BY_NUM origin blocks AQE
+    # from coalescing the verify stage; distinct-then-repartition let
+    # the optimizer elide the user shuffle entirely.
     cand = cand.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    ).distinct()
     a_vec = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
     b_vec = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
     return (

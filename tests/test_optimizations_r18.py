@@ -177,3 +177,31 @@ def test_star_components_fixpoint_and_single_probe(spark):
     b.exceptAll(a).limit(1).count()
     separate = len(tracker.getJobIdsForGroup(None)) - before
     assert folded < separate, (folded, separate)
+
+
+def test_verify_repartition_survives_on_checkpointed_path(spark):
+    """The exact-verify fan-out must survive the REAL (checkpointed)
+    similarity path, not just the materialize='none' plan the r17
+    guard pinned. distinct-then-repartition let the optimizer elide
+    the user shuffle (the distinct's output was already hash-
+    partitioned on the same keys), leaving an ENSURE_REQUIREMENTS
+    exchange that AQE coalesced back to ~one task — re-serializing the
+    CPU-heavy verify stage. The repartition now sits BELOW the
+    distinct, so the plan must carry its REPARTITION_BY_NUM shuffle
+    (AQE never coalesces a user-fixed partition count) and, once
+    executed, no coalesced shuffle read may feed the verify stage."""
+    from automation_of_building_a_transactional_data_lake_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for fn in (ngram_jaccard_prefix_pairs, minhash_near_dup_pairs):
+        df = fn(docs, threshold=0.7, materialize="local")
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in final, final
+        assert "AQEShuffleRead coalesced" not in final, final
